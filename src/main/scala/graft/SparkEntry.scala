@@ -1,13 +1,600 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.cep.{Cep, PatternDef, Step}
+import graft.functions.{Hashing, Text, Vectors}
+import graft.operators.{Dedup, Similarity, Windows}
+
+/** Typed event row used by the CEP queries (events table, ts in µs). */
+case class Evt(event_id: Long, ts_us: Long, user_id: Long,
+    event_type: String, value: Double)
+
+/** (user, first event id, second event id) pattern-match output. */
+case class PairOut(user_id: Long, a_id: Long, b_id: Long)
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory each
+  * query exercises. Every query has a DuckDB-equivalent oracle in
+  * [[SparkEntry.oracleSql]] unless the kernel is not SQL-expressible
+  * (MinHash/SimHash signatures, LSH bucketing, rolling-hash fingerprints),
+  * in which case determinism is guaranteed by fixed seeds and the
+  * semantics are unit-tested in src/test.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ld(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with a µs epoch column — the engine's canonical event-time
+    * representation (reference keeps long millis; we keep µs to preserve
+    * the parquet timestamps' full precision).
+    *
+    * The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long (legacy conf), then derive both
+    * a µs epoch and a proper TimestampType column. Integer `div` avoids
+    * double-precision loss on epoch-nano magnitudes.
+    */
+  private def evts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ld(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  private def evtsTyped(s: SparkSession, dir: String) = {
+    import s.implicits._
+    evts(s, dir)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+      .as[Evt]
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  //  queries — one per implemented operator family from SURVEY.md §2
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B2+B4: filter predicate + projection with alias
+    "q01_filter_project" -> ((s, dir) => {
+      evts(s, dir)
+        .filter(col("value") > 0.5 && col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value_r"))
+    }),
+
+    // B13+B14: group-by aggregation (sum/avg/count/min/max)
+    "q02_groupby_agg" -> ((s, dir) => {
+      ld(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 6).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    // B15: having (post-aggregation filter)
+    "q03_having" -> ((s, dir) => {
+      evts(s, dir)
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("avg_value"),
+          count(lit(1)).as("n"))
+        .filter(col("avg_value") > 0.5)
+    }),
+
+    // B8: tumbling time window (timeBatch) — daily per event_type
+    "q04_window_tumbling" -> ((s, dir) => {
+      evts(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+    }),
+
+    // B7: sliding time window (#window.time) — per-event trailing 5 min
+    "q05_window_time" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val w = Windows.time(Seq(col("user_id")), col("ts_us"), 300000000L)
+      e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_5m"),
+        round(sum(col("value")).over(w), 6).as("sum_5m"))
+    }),
+
+    // B6: count window (#window.length(5)) — trailing 5 rows per user
+    "q06_window_length" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val w = Windows.length(Seq(col("user_id")), col("ts_us"), col("event_id"), 5)
+      e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last5"),
+        round(sum(col("value")).over(w), 6).as("sum_last5"))
+    }),
+
+    // B8: count batch window (#window.lengthBatch(10)) per user
+    "q07_window_lengthbatch" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val bid = Windows.lengthBatchId(
+        Seq(col("user_id")), col("ts_us"), col("event_id"), 10)
+      e.withColumn("batch_id", bid)
+        .groupBy(col("user_id"), col("batch_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"),
+          min(col("event_id")).as("first_id"))
+    }),
+
+    // B14 tail: maxForever/minForever — running extrema per user
+    "q08_forever_agg" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val w = Windows.forever(Seq(col("user_id")), col("ts_us"), col("event_id"))
+      e.select(col("event_id"), col("user_id"),
+        round(max(col("value")).over(w), 6).as("max_forever"),
+        round(min(col("value")).over(w), 6).as("min_forever"))
+    }),
+
+    // B10: windowed stream-stream join (time-range condition, equi on key)
+    "q09_join_window" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val a = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("a_id"), col("ts_us").as("a_us"))
+      val b = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("b_id"), col("ts_us").as("b_us"))
+      a.join(b, Seq("user_id"))
+        .filter(col("b_us") >= col("a_us") - 60000000L &&
+          col("b_us") <= col("a_us") + 60000000L)
+        .select(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
+    // B12: stream–table join (broadcast small dimension) + agg
+    "q10_join_stream_table" -> ((s, dir) => {
+      val li = ld(s, dir, "lineitem")
+      val part = ld(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A3+B5: stream union (multiple queries into one output stream)
+    "q11_union" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), lit("c").as("tag"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), lit("v").as("tag"))
+      clicks.unionByName(views)
+    }),
+
+    // B22: scalar functions & expressions
+    "q12_scalar_fns" -> ((s, dir) => {
+      evts(s, dir).select(
+        col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("et"),
+        when(col("value") > 0.5, "hi").otherwise("lo").as("bucket"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        round(greatest(col("value"), lit(0.5)), 6).as("hi_val"),
+        round(abs(col("value") - lit(0.5)), 6).as("dist"),
+        concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("tagged"),
+        upper(substring(col("event_type"), 1, 3)).as("pre"),
+        (col("event_id") % 7).as("mod7"))
+    }),
+
+    // B14: distinctCount + stdDev per event_type
+    "q13_distinct_stddev" -> ((s, dir) => {
+      evts(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          round(stddev_pop(col("value")), 6).as("sd_value"),
+          count(lit(1)).as("n"))
+    }),
+
+    // B16+B19: pattern followed-by with `within` (CEP NFA, batch mode)
+    "q14_pattern_followedby" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Step[Evt]("a", _.event_type == "click"),
+        Step[Evt]("b", _.event_type == "purchase")),
+        withinMs = Some(600000000L)) // µs domain: 10 min
+      Cep.batch[Evt, Long, PairOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us, _.event_id) {
+        (k, m) => Iterator.single(
+          PairOut(k, m.head("a").event_id, m.head("b").event_id))
+      }.toDF()
+    }),
+
+    // B18: sequence (strict succession) within 5 min
+    "q15_pattern_sequence" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Step[Evt]("a", _.event_type == "view"),
+        Step[Evt]("b", _.event_type == "click", strict = true)),
+        withinMs = Some(300000000L))
+      Cep.batch[Evt, Long, PairOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us, _.event_id) {
+        (k, m) => Iterator.single(
+          PairOut(k, m.head("a").event_id, m.head("b").event_id))
+      }.toDF()
+    }),
+
+    // B18: strict pair of identical step predicates (error, error)
+    "q16_pattern_double_error" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Step[Evt]("a", _.event_type == "error"),
+        Step[Evt]("b", _.event_type == "error", strict = true)))
+      Cep.batch[Evt, Long, PairOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us, _.event_id) {
+        (k, m) => Iterator.single(
+          PairOut(k, m.head("a").event_id, m.head("b").event_id))
+      }.toDF()
+    }),
+
+    // B21: partition-with (per-value scoped aggregation; the groupBy key
+    // IS the partition key — Catalyst inserts the hash shuffle, map-side
+    // partial aggregation included)
+    "q17_partition" -> ((s, dir) => {
+      evts(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+    }),
+
+    // LLM: exact dedup by key columns (hash groupBy, keep first)
+    "q18_dedup_exact_key" -> ((s, dir) => {
+      evts(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // LLM: exact content dedup via normalized fingerprint (keeps all doc
+    // ids that survive; documents are unique at this sf, so the oracle is
+    // the identity set — planted-duplicate behavior is unit-tested)
+    "q19_dedup_exact_content" -> ((s, dir) => {
+      Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
+    // LLM: n-gram (word trigram) distinct counts — the Jaccard building
+    // block, fully SQL-expressible
+    "q20_ngram_counts" -> ((s, dir) => {
+      val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val n = size(toks)
+      val grams = array_distinct(transform(
+        sequence(lit(1), n - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      ld(s, dir, "documents").select(col("doc_id"),
+        when(n < 3, lit(0L)).otherwise(size(grams).cast("long")).as("n_trigrams"))
+    }),
+
+    // LLM text analysis: token counts + quality features
+    "q21_text_quality" -> ((s, dir) => {
+      val f = Text.qualityFeatures(col("text"))
+      ld(s, dir, "documents").select(col("doc_id"),
+        f.getField("n_tokens").cast("long").as("n_tokens"),
+        round(f.getField("punct_ratio"), 6).as("punct_ratio"),
+        round(f.getField("stopword_ratio"), 6).as("stopword_ratio"),
+        round(f.getField("mean_token_len"), 6).as("mean_token_len"))
+    }),
+
+    // LLM text analysis: language identification (marker heuristic)
+    "q22_langid" -> ((s, dir) => {
+      ld(s, dir, "documents").select(col("doc_id"),
+        Text.langId(col("text")).as("pred_lang"))
+    }),
+
+    // LLM: MinHash signatures + LSH band keys (deterministic; Jaccard
+    // estimation and banding are unit-tested — not SQL-expressible)
+    "q23_minhash_sigs" -> ((s, dir) => {
+      ld(s, dir, "documents")
+        .select(col("doc_id"),
+          Hashing.minhashSig(col("text"), 5, 64).as("sig"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("h0"),
+          element_at(col("sig"), 2).as("h1"),
+          element_at(col("sig"), 32).as("h31"),
+          element_at(col("sig"), 64).as("h63"))
+    }),
+
+    // LLM: SimHash fingerprints (deterministic)
+    "q24_simhash" -> ((s, dir) => {
+      ld(s, dir, "documents")
+        .select(col("doc_id"), Hashing.simhash(col("text")).as("sh"))
+    }),
+
+    // LLM: rolling-hash content fingerprint (deterministic)
+    "q25_fingerprint" -> ((s, dir) => {
+      ld(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    }),
+
+    // LLM: exact cosine near-duplicate pairs over embeddings
+    "q26_embedding_pairs" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // LLM: brute-force cosine top-k similarity search
+    "q27_similarity_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50)
+      Similarity.bruteForceTopK(e, queries, "embedding", "vec_id", 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // LLM: LSH-bucketed ANN (the 100 TB path; recall unit-tested)
+    "q28_similarity_lsh" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50)
+      Similarity.lshTopK(e, queries, "embedding", "vec_id", 64, 3, nPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // LLM multimodal: opaque binary column plumbing — utf8 bytes as the
+    // stand-in payload; length + md5 digest are engine-agnostic
+    "q29_multimodal_binary" -> ((s, dir) => {
+      ld(s, dir, "documents").select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+    }),
+
+    // B27: multi-granularity aggregation (hour within day)
+    "q30_multi_granularity" -> ((s, dir) => {
+      evts(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+    }))
+
+  // -------------------------------------------------------------------
+  //  oracle SQL (DuckDB dialect) — same table names, same column aliases
+  // -------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT event_id, user_id, round(value, 6) AS value_r
+        |FROM events WHERE value > 0.5 AND event_type = 'click'""".stripMargin,
+
+    "q02_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  round(sum(l_extendedprice), 6) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_having" ->
+      """SELECT user_id, round(avg(value), 6) AS avg_value, count(*) AS n
+        |FROM events GROUP BY user_id HAVING round(avg(value), 6) > 0.5""".stripMargin,
+
+    "q04_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q05_window_time" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_5m,
+        |  round(sum(value) OVER w, 6) AS sum_5m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q06_window_length" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_last5,
+        |  round(sum(value) OVER w, 6) AS sum_last5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q07_window_lengthbatch" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(floor((rn - 1) / 10) AS BIGINT) AS batch_id,
+        |  count(*) AS n, round(sum(value), 6) AS sum_v,
+        |  min(event_id) AS first_id
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q08_forever_agg" ->
+      """SELECT event_id, user_id,
+        |  round(max(value) OVER w, 6) AS max_forever,
+        |  round(min(value) OVER w, 6) AS min_forever
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q09_join_window" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |  AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000""".stripMargin,
+
+    "q10_join_stream_table" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q11_union" ->
+      """SELECT event_id, 'c' AS tag FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, 'v' AS tag FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "q12_scalar_fns" ->
+      """SELECT event_id,
+        |  coalesce(nullif(event_type, 'error'), 'ERR') AS et,
+        |  CASE WHEN value > 0.5 THEN 'hi' ELSE 'lo' END AS bucket,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents,
+        |  round(greatest(value, 0.5), 6) AS hi_val,
+        |  round(abs(value - 0.5), 6) AS dist,
+        |  event_type || '_' || CAST(user_id AS VARCHAR) AS tagged,
+        |  upper(substring(event_type, 1, 3)) AS pre,
+        |  event_id % 7 AS mod7
+        |FROM events""".stripMargin,
+
+    "q13_distinct_stddev" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  round(stddev_pop(value), 6) AS sd_value, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q14_pattern_followedby" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
+
+    "q15_pattern_sequence" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lead(event_type) OVER w AS nt,
+        |    lead(event_id) OVER w AS nid,
+        |    lead(epoch_us(ts)) OVER w AS nus
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id AS a_id, nid AS b_id FROM o
+        |WHERE event_type = 'view' AND nt = 'click' AND nus - us <= 300000000""".stripMargin,
+
+    "q16_pattern_double_error" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id AS a_id, nid AS b_id FROM o
+        |WHERE event_type = 'error' AND nt = 'error'""".stripMargin,
+
+    "q17_partition" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_v
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q18_dedup_exact_key" ->
+      """SELECT user_id, event_type, min(event_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q19_dedup_exact_content" ->
+      """WITH n AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |  FROM n)
+        |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
+
+    "q20_ngram_counts" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |      AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN 0
+        |    ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |  END AS n_trigrams
+        |FROM t""".stripMargin,
+
+    "q21_text_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |      / len(text)::DOUBLE END, 6) AS punct_ratio,
+        |  round(CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(lower(text),
+        |      '\b(the|of|and|to|in|a|is|that|it|was|for|on|with|as|at|by|be|this|are|or)\b'))::DOUBLE
+        |      / (CASE WHEN len(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE
+        |    END, 6) AS stopword_ratio,
+        |  round(CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0
+        |    ELSE len(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / (CASE WHEN len(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE
+        |    END, 6) AS mean_token_len
+        |FROM documents""".stripMargin,
+
+    "q22_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with|for)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|con|por|para)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(il|di|che|non|per|del|sono|una)\b')) AS s_it,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_de, s_fr, s_es, s_it, s_zh) = 0 THEN 'und'
+        |  WHEN s_zh >= greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'zh'
+        |  WHEN s_it >= greatest(s_en, s_de, s_fr, s_es) THEN 'it'
+        |  WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+        |  WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+        |  WHEN s_en >= s_de THEN 'en'
+        |  ELSE 'de' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "q26_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+        | FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.35""".stripMargin,
+
+    "q27_similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q29_multimodal_binary" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    "q30_multi_granularity" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  date_trunc('hour', ts) AS hour,
+        |  count(*) AS n, round(sum(value), 6) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,90 @@
+package graft.cep
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Batch and streaming executors for [[PatternDef]] over keyed event
+  * datasets. One NFA kernel ([[Nfa]]), two execution modes:
+  *
+  *  - [[batch]]: `groupByKey.flatMapGroups` — Spark's sort-based group
+  *    shuffle co-locates each key's events; we order them by
+  *    (ts, tieBreak) and run the NFA once per key. Used by the DuckDB
+  *    correctness oracle.
+  *  - [[streaming]]: `groupByKey.flatMapGroupsWithState` with event-time
+  *    timeout — the Spark-native replacement for the reference's
+  *    watermark-ordered PriorityQueue buffer
+  *    (AbstractSiddhiOperator.java:238-247): events buffer in keyed state
+  *    and are released through the NFA only once the watermark passes
+  *    them, so out-of-order arrival within the watermark delay is
+  *    handled identically to the reference.
+  *
+  * Scale: state per key = unreleased event buffer (bounded by watermark
+  * delay × rate) + live partials (bounded by `maxPartialMatches`).
+  * Keys are hash-distributed by the groupByKey shuffle — 1000 executors
+  * just means 1000× keys processed concurrently.
+  */
+object Cep {
+
+  def batch[E, K: Encoder, O: Encoder](
+      ds: Dataset[E],
+      key: E => K,
+      pattern: PatternDef[E],
+      tsOf: E => Long,
+      tieBreak: E => Long)(
+      build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
+    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+      val evs = it.toVector.sortBy(e => (tsOf(e), tieBreak(e)))
+      val nfa = new Nfa(pattern, tsOf)
+      evs.iterator.flatMap(e => nfa.onEvent(e).iterator.flatMap(build(k, _)))
+    }
+  }
+
+  /** Streaming state: event-time buffer + NFA partials. Kryo-encoded —
+    * internal state only, never crosses the query boundary.
+    */
+  final case class CepState[E](
+      buffer: Vector[E],
+      partials: List[Partial[E]],
+      terminated: Boolean,
+      lastReleasedTs: Long)
+
+  def streaming[E, K: Encoder, O: Encoder](
+      ds: Dataset[E],
+      key: E => K,
+      pattern: PatternDef[E],
+      tsOf: E => Long,
+      tieBreak: E => Long)(
+      build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
+    implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
+
+    def ordered(evs: Seq[E]): Vector[E] =
+      evs.sortBy(e => (tsOf(e), tieBreak(e))).toVector
+
+    val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
+      val prev = state.getOption
+        .getOrElse(CepState[E](Vector.empty, Nil, false, Long.MinValue))
+      val wm = state.getCurrentWatermarkMs()
+
+      // ingest new events; drop anything at/behind what the NFA already
+      // consumed (true late data — same policy as watermark semantics)
+      val incoming = it.filter(e => tsOf(e) >= prev.lastReleasedTs).toVector
+      val all = ordered(prev.buffer ++ incoming)
+      val (release, keep) =
+        if (wm <= 0) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
+
+      val nfa = new Nfa(pattern, tsOf)
+      nfa.restore((prev.partials, prev.terminated))
+      val matches = release.flatMap(e => nfa.onEvent(e).map(build(k, _)))
+      nfa.pruneExpired(wm)
+
+      val (np, nt) = nfa.snapshot
+      val lastTs = if (release.nonEmpty) tsOf(release.last) else prev.lastReleasedTs
+      state.update(CepState(keep, np, nt, lastTs))
+      if (wm > 0) state.setTimeoutTimestamp(wm + 1000)
+      matches.iterator.flatten
+    }
+
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Hashing, Text, Vectors}
+
+/** Deduplication operators for document-scale pipelines.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup shuffles a 8-byte fingerprint + id, never the text;
+  *  - MinHash/SimHash candidate generation is a band-key equi-join —
+  *    one shuffle on the band key, O(candidates) not O(n²);
+  *  - verification joins re-fetch only candidate pairs' signatures.
+  */
+object Dedup {
+
+  /** Exact duplicates via normalized-content fingerprint; keeps the row
+    * with the smallest `idCol` per group (deterministic winner).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.withColumn("_fp", Text.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    withFp
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Exact-duplicate groups of size > 1: (fingerprint, ids, count). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", Text.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n") > 1)
+
+  /** MinHash + banded-LSH candidate pairs with estimated Jaccard.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    * across bands, filtered at `threshold`.
+    */
+  def minhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", Hashing.minhashSig(col("text"), shingleK, numHashes))
+      .select(col("id"), col("sig"),
+        Hashing.bandKeys(col("sig"), bands, numHashes).as("bandkeys"))
+
+    val buckets = sigs.select(col("id"), col("sig"),
+      explode(col("bandkeys")).as("band"))
+
+    val a = buckets.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Hashing.minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius. Candidate generation
+    * splits the 64-bit simhash into `pieces` segments; by pigeonhole, two
+    * hashes within `maxHamming < pieces` share at least one exact segment,
+    * so an equi-join on (segment index, segment value) finds all pairs.
+    */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, pieces: Int = 4): DataFrame = {
+    require(maxHamming < pieces, "pigeonhole needs maxHamming < pieces")
+    val bitsPer = 64 / pieces
+    val hashed = df.select(col(idCol).as("id"),
+      Hashing.simhash(col(textCol)).as("sh"))
+    val segs = hashed.select(col("id"), col("sh"), explode(array(
+      (0 until pieces).map { p =>
+        struct(lit(p).as("seg"),
+          shiftrightunsigned(col("sh"), p * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("segval"))
+      }: _*)).as("s"))
+      .select(col("id"), col("sh"), col("s.seg"), col("s.segval"))
+
+    val l = segs.select(col("seg"), col("segval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = segs.select(col("seg"), col("segval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val ham = udf((x: Long, y: Long) => Hashing.hamming64(x, y))
+    l.join(r, Seq("seg", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), ham(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard over MinHash-LSH candidates: bands prune the
+    * pair space, then the true Jaccard of word n-gram sets verifies.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val prepared = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("grams", Hashing.ngramHashes(col("text"), ngram))
+      .withColumn("sig", Hashing.minhashSig(col("text"), 5, numHashes))
+      .withColumn("band", explode(Hashing.bandKeys(col("sig"), bands, numHashes)))
+      .select(col("id"), col("grams"), col("band"))
+
+    val l = prepared.select(col("band"), col("id").as("id_a"), col("grams").as("g_a"))
+    val r = prepared.select(col("band"), col("id").as("id_b"), col("grams").as("g_b"))
+    l.join(r, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Hashing.jaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH sign-bucket candidates verified
+    * by exact cosine. `dim` is the embedding dimension; `nPlanes` planes
+    * give 2^nPlanes buckets.
+    */
+  def embeddingPairs(
+      df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Vectors.signBuckets(col("v"), dim, nPlanes))
+    val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, broadcast the (small) query
+  *    side against the full corpus. Correct baseline; O(|Q|·N) work but
+  *    embarrassingly parallel and shuffle-free except the final top-k.
+  *  - [[lshTopK]]: sign-random-projection buckets; each query only scans
+  *    its own bucket (plus optional multi-probe neighbors). The 100 TB
+  *    path: candidate generation is an equi-join on the bucket id.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
+    * ties broken by neighbor id (deterministic).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val joined = c.crossJoin(broadcast(q))
+    val scored0 = joined.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("_qv"), col("_cv")).as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF/LSH-bucketed approximate top-k: queries only compare against
+    * corpus vectors in the same sign-projection bucket. Recall < 1.0 by
+    * construction; increase `nPlanes` ↓bucket size, decrease ↑recall.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nPlanes: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("bucket", Vectors.signBuckets(col("_cv"), dim, nPlanes))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("bucket", Vectors.signBuckets(col("_qv"), dim, nPlanes))
+    val joined = c.join(q, Seq("bucket"))
+    val scored0 = joined.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("_qv"), col("_cv")).as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
