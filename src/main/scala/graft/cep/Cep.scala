@@ -48,12 +48,17 @@ object Cep {
       terminated: Boolean,
       lastReleasedTs: Long)
 
+  /** @param tsScale event-time units per watermark millisecond: the NFA's
+    *                 `tsOf` may run in µs (tsScale=1000) or ms (tsScale=1);
+    *                 the Spark watermark is always ms.
+    */
   def streaming[E, K: Encoder, O: Encoder](
       ds: Dataset[E],
       key: E => K,
       pattern: PatternDef[E],
       tsOf: E => Long,
-      tieBreak: E => Long)(
+      tieBreak: E => Long,
+      tsScale: Long = 1L)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
 
@@ -63,14 +68,15 @@ object Cep {
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
       val prev = state.getOption
         .getOrElse(CepState[E](Vector.empty, Nil, false, Long.MinValue))
-      val wm = state.getCurrentWatermarkMs()
+      val wmMs = state.getCurrentWatermarkMs()
+      val wm = wmMs * tsScale // watermark in event-time units
 
       // ingest new events; drop anything at/behind what the NFA already
       // consumed (true late data — same policy as watermark semantics)
-      val incoming = it.filter(e => tsOf(e) >= prev.lastReleasedTs).toVector
+      val incoming = it.filter(e => tsOf(e) > prev.lastReleasedTs).toVector
       val all = ordered(prev.buffer ++ incoming)
       val (release, keep) =
-        if (wm <= 0) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
+        if (wmMs <= 0) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
 
       val nfa = new Nfa(pattern, tsOf)
       nfa.restore((prev.partials, prev.terminated))
@@ -78,9 +84,22 @@ object Cep {
       nfa.pruneExpired(wm)
 
       val (np, nt) = nfa.snapshot
-      val lastTs = if (release.nonEmpty) tsOf(release.last) else prev.lastReleasedTs
-      state.update(CepState(keep, np, nt, lastTs))
-      if (wm > 0) state.setTimeoutTimestamp(wm + 1000)
+      if (keep.isEmpty && np.isEmpty && !nt) {
+        state.remove()
+      } else {
+        val lastTs =
+          if (release.nonEmpty) tsOf(release.last) else prev.lastReleasedTs
+        state.update(CepState(keep, np, nt, lastTs))
+        // wake this key when its earliest pending work becomes releasable:
+        // the oldest buffered event, or the earliest partial-match expiry
+        val wakeCandidates =
+          keep.headOption.map(tsOf).toList ++
+            pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1))
+        if (wakeCandidates.nonEmpty) {
+          val wakeMs = wakeCandidates.min / tsScale
+          state.setTimeoutTimestamp(math.max(wmMs + 1, wakeMs))
+        }
+      }
       matches.iterator.flatten
     }
 

@@ -73,12 +73,18 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       if (!pattern.withinMs.exists(w => t - p.startTs > w)) {
         val s = steps(p.stepIdx)
         var moved = false
+        var keepOriginal = false
 
-        // (a) extend the current step's count group
+        // (a) extend the current step's count group. Below minCount the
+        // extension is committed; at/after minCount it is a branch — the
+        // un-extended partial stays live so it can still advance on a
+        // later event (A<2:3> must match both the 2-long and 3-long
+        // collections).
         if (p.curCount < s.maxCount && s.predicate(e)) {
           val np = extended(p, e)
           if (!emitIfComplete(np, out, t)) next += np
           moved = true
+          if (p.curCount >= s.minCount) keepOriginal = true
         }
         // (b) advance into the next step (skipping optional steps)
         if (p.curCount >= s.minCount && p.stepIdx < last) {
@@ -102,6 +108,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               steps(p.stepIdx + 1).strict) ||
             (p.curCount >= s.minCount && p.stepIdx == last)
           if (!mustDie) next += p
+        } else if (keepOriginal) {
+          next += p
         }
       }
     }

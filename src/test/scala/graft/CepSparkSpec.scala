@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.cep.{Cep, PatternDef, Step}
+
+case class TEvt(id: Long, ts_ms: Long, user: Long, typ: String)
+case class TOut(user: Long, a_id: Long, b_id: Long)
+
+/** Batch and streaming CEP executors must agree (one-kernel parity). */
+class CepSparkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pat = PatternDef[TEvt](IndexedSeq(
+    Step[TEvt]("a", _.typ == "A"),
+    Step[TEvt]("b", _.typ == "B")),
+    withinMs = Some(60000L))
+
+  private val events = Seq(
+    TEvt(1, 1000, 1, "A"), TEvt(2, 2000, 1, "C"), TEvt(3, 3000, 1, "B"),
+    TEvt(4, 1500, 2, "A"), TEvt(5, 70000, 2, "B"), // outside within
+    TEvt(6, 80000, 2, "A"), TEvt(7, 81000, 2, "B"),
+    TEvt(8, 5000, 3, "B")) // B with no A
+
+  private val expected = Set(TOut(1, 1, 3), TOut(2, 6, 7))
+
+  test("batch executor matches hand-computed result") {
+    val got = Cep.batch[TEvt, Long, TOut](
+      events.toDS(), _.user, pat, _.ts_ms, _.id) {
+      (k, m) => Iterator.single(TOut(k, m.head("a").id, m.head("b").id))
+    }.collect().toSet
+    assert(got == expected)
+  }
+
+  test("streaming executor agrees with batch (out-of-order input)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEvt]
+    val withTs = input.toDS()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "5 seconds")
+      .as[TEvt]
+    val out = Cep.streaming[TEvt, Long, TOut](
+      withTs, _.user, pat, _.ts_ms, _.id) {
+      (k, m) => Iterator.single(TOut(k, m.head("a").id, m.head("b").id))
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cep_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cep_ck").toString)
+      .start()
+    try {
+      // deliver out-of-order WITHIN the watermark delay (later-than-delay
+      // data is late by definition and correctly dropped): chunk by time,
+      // shuffle inside each chunk; then a far-future flush event
+      val (early, lateChunk) = events.partition(_.ts_ms < 10000)
+      input.addData(scala.util.Random.shuffle(early))
+      q.processAllAvailable()
+      input.addData(scala.util.Random.shuffle(lateChunk))
+      q.processAllAvailable()
+      input.addData(TEvt(99, 10000000L, 99, "X"))
+      q.processAllAvailable()
+      val got = spark.table("cep_out").as[TOut].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " * 5
+
+  // 0/1 exact dups (modulo whitespace), 2 near-dup of 0, 3/4 unrelated
+  private val docs = Seq(
+    (0L, base),
+    (1L, base.replaceAll(" +", "  ") + " "),
+    (2L, base.replaceFirst("lazy dog", "sleepy dog")),
+    (3L, "completely different content about spark sql engines " * 8),
+    (4L, "unrelated text regarding database query optimization " * 8)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first doc of each normalized-content group") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("exactGroups reports the duplicate group") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .select("ids").as[Seq[Long]].collect()
+    assert(g.length == 1 && g.head == Seq(0L, 1L))
+  }
+
+  test("minhash LSH finds near-duplicates, skips unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L))) // exact dups estimate ≈ 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs within hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 6, pieces = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard verifies candidates with exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 1.0) // identical after normalization
+    assert(m.contains((0L, 2L)) && m((0L, 2L)) > 0.5)
+    assert(!m.contains((3L, 4L)))
+  }
+
+  test("embedding LSH pairs find planted near-identical vectors") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)
+    val nearly = vec(1).clone(); nearly(0) = nearly(0) + 0.001f
+    val em = Seq(
+      (0L, vec(1)), (1L, nearly), (2L, vec(7)), (3L, vec(13))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(em, "embedding", "vec_id", dim,
+      threshold = 0.99, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("LSH ANN achieves full recall for identical-vector queries") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val got = Similarity.lshTopK(e, queries, "embedding", "vec_id", 64,
+      k = 1, nPlanes = 6, excludeSelf = false)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // a query identical to a corpus vector always lands in its own bucket
+    assert(got.length == 10 && got.forall(p => p._1 == p._2))
+  }
+}
