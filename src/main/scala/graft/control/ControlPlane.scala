@@ -1,0 +1,147 @@
+package graft.control
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Control-event ADT — wire-compatible in spirit with the reference's
+  * JSON control messages (control/ControlEvent.java hierarchy;
+  * MetadataControlEvent.java:81-99 add/update/remove;
+  * OperationControlEvent.java:47-59 enable/disable;
+  * JSON codec ControlEventSchema.java:29-41 `{type, payload}`).
+  */
+sealed trait ControlEvent { def planId: String }
+final case class AddPlan(planId: String, plan: String) extends ControlEvent
+final case class UpdatePlan(planId: String, plan: String) extends ControlEvent
+final case class RemovePlan(planId: String) extends ControlEvent
+final case class EnablePlan(planId: String) extends ControlEvent
+final case class DisablePlan(planId: String) extends ControlEvent
+
+object ControlEvent {
+  /** A15: minimal JSON codec for `{"type":…,"planId":…,"plan":…}`.
+    * Hand-rolled (no external deps): flat object, string values.
+    */
+  def fromJson(json: String): Either[String, ControlEvent] = {
+    def field(name: String): Option[String] = {
+      val m = ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(json)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\t", "\t"))
+    }
+    (field("type"), field("planId"), field("plan")) match {
+      case (Some("add"), Some(id), Some(p))    => Right(AddPlan(id, p))
+      case (Some("update"), Some(id), Some(p)) => Right(UpdatePlan(id, p))
+      case (Some("remove"), Some(id), _)       => Right(RemovePlan(id))
+      case (Some("enable"), Some(id), _)       => Right(EnablePlan(id))
+      case (Some("disable"), Some(id), _)      => Right(DisablePlan(id))
+      case (t, id, _) => Left(s"unrecognized control message type=$t planId=$id")
+    }
+  }
+
+  def toJson(e: ControlEvent): String = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    e match {
+      case AddPlan(id, p) =>
+        s"""{"type":"add","planId":"${esc(id)}","plan":"${esc(p)}"}"""
+      case UpdatePlan(id, p) =>
+        s"""{"type":"update","planId":"${esc(id)}","plan":"${esc(p)}"}"""
+      case RemovePlan(id)  => s"""{"type":"remove","planId":"${esc(id)}"}"""
+      case EnablePlan(id)  => s"""{"type":"enable","planId":"${esc(id)}"}"""
+      case DisablePlan(id) => s"""{"type":"disable","planId":"${esc(id)}"}"""
+    }
+  }
+}
+
+/** Driver-side dynamic query management — the Spark-idiomatic equivalent
+  * of the reference's broadcast control stream + per-TM runtime swap
+  * (§2.C of SURVEY.md; reference handlers at
+  * AbstractSiddhiOperator.java:400-467, routing AddRouteOperator.java:100-157).
+  *
+  * Spark's streaming queries are driver-managed, so control is a driver
+  * loop, not a data-plane broadcast: each execution plan is one named
+  * StreamingQuery; add/update/remove start/replace/stop it; disable stops
+  * it while keeping its checkpoint so enable resumes exactly where it
+  * paused (stronger than the reference, whose runtime-state restore is
+  * TODO at AbstractSiddhiOperator.java:341).
+  *
+  * @param compile plan text → DataFrame (default `spark.sql` — ANSI SQL
+  *                over registered stream views; any DSL compiler fits)
+  * @param sink    attaches the plan's output: given (planId, df), returns
+  *                a started StreamingQuery (for streaming dfs) or None
+  *                after executing a batch action
+  */
+class ControlPlane(
+    val spark: SparkSession,
+    compile: String => DataFrame,
+    sink: (String, DataFrame) => Option[StreamingQuery]) {
+
+  private case class Entry(plan: String, var running: Option[StreamingQuery],
+      var enabled: Boolean)
+
+  private val plans = mutable.LinkedHashMap[String, Entry]()
+
+  def this(spark: SparkSession,
+      sink: (String, DataFrame) => Option[StreamingQuery]) =
+    this(spark, spark.sql(_), sink)
+
+  private def start(id: String, plan: String): Option[StreamingQuery] =
+    sink(id, compile(plan))
+
+  def handle(e: ControlEvent): Unit = synchronized {
+    e match {
+      case AddPlan(id, plan) =>
+        require(!plans.contains(id), s"plan '$id' already exists")
+        plans(id) = Entry(plan, start(id, plan), enabled = true)
+      case UpdatePlan(id, plan) =>
+        val entry = plans.getOrElse(id,
+          throw new NoSuchElementException(s"plan '$id' not found"))
+        entry.running.foreach(_.stop())
+        entry.running = if (entry.enabled) start(id, plan) else None
+        plans(id) = entry.copy(plan = plan)
+      case RemovePlan(id) =>
+        plans.remove(id).foreach(_.running.foreach(_.stop()))
+      case DisablePlan(id) =>
+        plans.get(id).filter(_.enabled).foreach { entry =>
+          entry.running.foreach(_.stop())
+          entry.running = None
+          entry.enabled = false
+        }
+      case EnablePlan(id) =>
+        plans.get(id).filterNot(_.enabled).foreach { entry =>
+          entry.enabled = true
+          entry.running = start(id, entry.plan)
+        }
+    }
+  }
+
+  def handleJson(json: String): Either[String, Unit] =
+    ControlEvent.fromJson(json).map(handle)
+
+  def planIds: Seq[String] = synchronized(plans.keys.toSeq)
+  def isEnabled(id: String): Boolean = synchronized(plans(id).enabled)
+  def runningQuery(id: String): Option[StreamingQuery] =
+    synchronized(plans.get(id).flatMap(_.running))
+
+  /** Attach a streaming control channel: a DataFrame with a `value`
+    * string column (kafka/socket/file shaped) whose rows are control
+    * JSON. Processed on the driver via foreachBatch — the §3.2
+    * equivalent without a data-plane broadcast.
+    */
+  def attachControlStream(control: DataFrame): StreamingQuery = {
+    control.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("value").collect().foreach { row =>
+          handleJson(row.getString(0)).left.foreach(err =>
+            System.err.println(s"[graft-control] dropped message: $err"))
+        }
+      }
+      .start()
+  }
+
+  def shutdown(): Unit = synchronized {
+    plans.values.foreach(_.running.foreach(_.stop()))
+    plans.clear()
+  }
+}

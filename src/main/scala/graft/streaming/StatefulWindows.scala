@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming variants of the count-based / unbounded Siddhi windows that
+  * have no Structured Streaming primitive (SURVEY B6/B8 count flavor,
+  * B14 maxForever/minForever): per-key keyed state via
+  * flatMapGroupsWithState, one emitted row per input event — matching
+  * Siddhi's per-event window output.
+  *
+  * State per key is O(n) for lengthWindow (the last n events) and O(1)
+  * for foreverAgg — both bounded, 100 TB-safe under key distribution.
+  */
+object StatefulWindows {
+
+  /** `#window.length(n)` streaming: per event, aggregate over the
+    * trailing n events of its key (processing order within the key).
+    * @param agg fold over the current window contents
+    */
+  def lengthWindow[E, K: Encoder, V, O: Encoder](
+      ds: Dataset[E], key: E => K, n: Int,
+      value: E => V)(
+      emit: (K, E, Seq[V]) => O): Dataset[O] = {
+    implicit val stateEnc: Encoder[List[V]] = Encoders.kryo[List[V]]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[List[V]]) =>
+        var window = state.getOption.getOrElse(Nil) // newest first
+        val out = it.map { e =>
+          window = (value(e) :: window).take(n)
+          emit(k, e, window.reverse)
+        }.toList
+        state.update(window)
+        out.iterator
+    }
+  }
+
+  /** `#window.lengthBatch(n)` streaming: emits one aggregate row per
+    * completed batch of n events per key.
+    */
+  def lengthBatch[E, K: Encoder, O: Encoder](
+      ds: Dataset[E], key: E => K, n: Int)(
+      emit: (K, Seq[E]) => O): Dataset[O] = {
+    implicit val stateEnc: Encoder[List[E]] = Encoders.kryo[List[E]]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[List[E]]) =>
+        var pending = state.getOption.getOrElse(Nil) // newest first
+        val emitted = List.newBuilder[O]
+        it.foreach { e =>
+          pending = e :: pending
+          if (pending.length == n) {
+            emitted += emit(k, pending.reverse)
+            pending = Nil
+          }
+        }
+        state.update(pending)
+        emitted.result().iterator
+    }
+  }
+
+  /** Kryo can't encode bare primitives as state — box the accumulator. */
+  final case class Box[B](value: B)
+
+  /** maxForever/minForever streaming: running fold over the key's whole
+    * history, one output per event. O(1) state.
+    */
+  def foreverAgg[E, K: Encoder, B, O: Encoder](
+      ds: Dataset[E], key: E => K, zero: B)(
+      fold: (B, E) => B)(
+      emit: (K, E, B) => O): Dataset[O] = {
+    implicit val stateEnc: Encoder[Box[B]] = Encoders.kryo[Box[B]]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[Box[B]]) =>
+        var acc = state.getOption.map(_.value).getOrElse(zero)
+        val out = it.map { e => acc = fold(acc, e); emit(k, e, acc) }.toList
+        state.update(Box(acc))
+        out.iterator
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StatefulWindows
+
+case class WEvt(id: Long, user: Long, v: Double)
+case class WOut(user: Long, id: Long, sum: Double)
+case class BOut(user: Long, n: Int, sum: Double)
+
+class StatefulWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    WEvt(1, 1, 1.0), WEvt(2, 1, 2.0), WEvt(3, 1, 3.0), WEvt(4, 1, 4.0),
+    WEvt(5, 2, 10.0))
+
+  test("streaming length window emits trailing-n sums per event (B6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WEvt]
+    val out = StatefulWindows.lengthWindow[WEvt, Long, Double, WOut](
+      input.toDS(), _.user, 3, _.v) {
+      (k, e, window) => WOut(k, e.id, window.sum)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lw_out").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("lw_out").as[WOut].collect()
+        .map(o => o.id -> o.sum).toMap
+      // user1: 1 | 1+2 | 1+2+3 | 2+3+4 ; user2: 10
+      assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 9.0, 5L -> 10.0))
+    } finally q.stop()
+  }
+
+  test("streaming lengthBatch emits one row per full batch of n (B8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WEvt]
+    val out = StatefulWindows.lengthBatch[WEvt, Long, BOut](
+      input.toDS(), _.user, 2) {
+      (k, batch) => BOut(k, batch.length, batch.map(_.v).sum)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lb_out").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("lb_out").as[BOut].collect().toSet
+      // user1: (1,2) then (3,4); user2: incomplete batch held in state
+      assert(got == Set(BOut(1, 2, 3.0), BOut(1, 2, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming foreverAgg keeps running max per key (B14 tail)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WEvt]
+    val out = StatefulWindows.foreverAgg[WEvt, Long, Double, WOut](
+      input.toDS(), _.user, Double.MinValue)((acc, e) => math.max(acc, e.v)) {
+      (k, e, acc) => WOut(k, e.id, acc)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fa_out").start()
+    try {
+      input.addData(Seq(WEvt(1, 1, 5.0), WEvt(2, 1, 3.0), WEvt(3, 1, 7.0)))
+      q.processAllAvailable()
+      input.addData(Seq(WEvt(4, 1, 6.0))) // across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("fa_out").as[WOut].collect()
+        .map(o => o.id -> o.sum).toMap
+      assert(got == Map(1L -> 5.0, 2L -> 5.0, 3L -> 7.0, 4L -> 7.0))
+    } finally q.stop()
+  }
+}
