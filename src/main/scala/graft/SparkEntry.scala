@@ -311,14 +311,22 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     }),
 
-    // LLM: exact cosine near-duplicate pairs over embeddings
+    // LLM: exact cosine near-duplicate pairs over embeddings. Squared
+    // norms are computed once per row (not per pair); the pair dot is the
+    // native codegen'd ArrayDotProduct — same left-fold bits as the HOF
+    // form the oracle mirrors.
     "q26_embedding_pairs" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("n2", Vectors.dot(col("embedding"), col("embedding")))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        col("n2").as("n2_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        col("n2").as("n2_b"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+          Vectors.cosineFromParts(Vectors.dot(col("v_a"), col("v_b")),
+            col("n2_a"), col("n2_b")).as("cos"))
         .filter(col("cos") >= 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
     }),

@@ -15,22 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-left-fold dot product of two equal-length vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Sequential-left-fold dot product of two equal-length vectors —
+    * a native codegen'd expression ([[ArrayDotProduct]]); bit-identical
+    * to the HOF formulation
+    * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)` but allocation-free.
+    */
+  def dot(a: Column, b: Column): Column = ArrayDotProduct.column(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 for a zero vector (avoids NaN propagation). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm2(a)
-    val nb = norm2(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), dot(a, a), dot(b, b))
+
+  /** Cosine from a precomputed pair dot + per-side squared norms. At
+    * O(n²) candidate-join scale the squared norms are computed once per
+    * ROW instead of once per PAIR — same arithmetic, same bits, 3× less
+    * work.
+    */
+  def cosineFromParts(dotAB: Column, normSqA: Column, normSqB: Column): Column =
+    when(normSqA === 0.0 || normSqB === 0.0, lit(0.0))
+      .otherwise(dotAB / (sqrt(normSqA) * sqrt(normSqB)))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(
@@ -61,9 +66,7 @@ object Vectors {
       }
     }
     val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(
-        zip_with(v, lit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, lit(plane))
       when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

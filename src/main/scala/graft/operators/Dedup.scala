@@ -126,12 +126,16 @@ object Dedup {
       threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Vectors.signBuckets(col("v"), dim, nPlanes))
-    val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("n2", Vectors.dot(col("v"), col("v")))
+    val l = withBucket.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n2").as("n2_a"))
+    val r = withBucket.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n2").as("n2_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+        Vectors.cosineFromParts(Vectors.dot(col("v_a"), col("v_b")),
+          col("n2_a"), col("n2_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))

@@ -26,10 +26,13 @@ object Similarity {
       vecCol: String, idCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", Vectors.dot(col("_cv"), col("_cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", Vectors.dot(col("_qv"), col("_qv")))
     val joined = c.crossJoin(broadcast(q))
     val scored0 = joined.select(col("query_id"), col("neighbor_id"),
-      Vectors.cosine(col("_qv"), col("_cv")).as("cosine"))
+      Vectors.cosineFromParts(Vectors.dot(col("_qv"), col("_cv")),
+        col("_qn"), col("_cn")).as("cosine"))
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
       else scored0
@@ -49,11 +52,14 @@ object Similarity {
       nPlanes: Int = 6, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("bucket", Vectors.signBuckets(col("_cv"), dim, nPlanes))
+      .withColumn("_cn", Vectors.dot(col("_cv"), col("_cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("bucket", Vectors.signBuckets(col("_qv"), dim, nPlanes))
+      .withColumn("_qn", Vectors.dot(col("_qv"), col("_qv")))
     val joined = c.join(q, Seq("bucket"))
     val scored0 = joined.select(col("query_id"), col("neighbor_id"),
-      Vectors.cosine(col("_qv"), col("_cv")).as("cosine"))
+      Vectors.cosineFromParts(Vectors.dot(col("_qv"), col("_cv")),
+        col("_qn"), col("_cn")).as("cosine"))
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
       else scored0
