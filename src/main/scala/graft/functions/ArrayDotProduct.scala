@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types._
 
 /** Native Catalyst dot product over two numeric array columns.
@@ -105,6 +105,6 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 object ArrayDotProduct {
   def column(a: Column, b: Column): Column =
-    ExpressionUtils.column(ArrayDotProduct(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftSqlBridge.column(ArrayDotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
