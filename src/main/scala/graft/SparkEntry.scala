@@ -311,24 +311,17 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     }),
 
-    // LLM: exact cosine near-duplicate pairs over embeddings. Squared
-    // norms are computed once per row (not per pair); the pair dot is the
-    // native codegen'd ArrayDotProduct — same left-fold bits as the HOF
-    // form the oracle mirrors.
+    // LLM: embedding near-duplicate pairs via the sign-bucket LSH join
+    // (the 100 TB path: one equi-join shuffle on the bucket key, O(same-
+    // bucket candidates) instead of the O(N²) all-pairs join). The oracle
+    // replicates the deterministic hyperplane bucketing with the plane
+    // values inlined as SQL literals, so the DuckDB result is exact —
+    // no recall tolerance needed.
     "q26_embedding_pairs" -> ((s, dir) => {
-      val e = ld(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("n2", Vectors.dot(col("embedding"), col("embedding")))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-        col("n2").as("n2_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-        col("n2").as("n2_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Vectors.cosineFromParts(Vectors.dot(col("v_a"), col("v_b")),
-            col("n2_a"), col("n2_b")).as("cos"))
-        .filter(col("cos") >= 0.35)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      val e = ld(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Dedup.embeddingPairs(e, "embedding", "vec_id",
+          dim = 64, threshold = 0.35, nPlanes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // LLM: brute-force cosine top-k similarity search
@@ -367,6 +360,37 @@ object SparkEntry {
   // -------------------------------------------------------------------
   //  oracle SQL (DuckDB dialect) — same table names, same column aliases
   // -------------------------------------------------------------------
+
+  /** q26 oracle: the LSH sign-bucket join replicated in SQL. The
+    * hyperplanes are deterministic ([[Vectors.planes]], seed 42), so they
+    * are inlined as literal DOUBLE arrays and DuckDB computes the exact
+    * same bucket per vector — candidates = same bucket, then exact cosine.
+    */
+  private lazy val q26Oracle: String = {
+    val vals = Vectors.planes(dim = 64, nPlanes = 8).zipWithIndex.map {
+      case (pl, p) => s"($p, [${pl.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(p, pv) AS (VALUES $vals),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |b AS (SELECT e.vec_id,
+       |    sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> e.embedding[i]::DOUBLE * pl.pv[i])) >= 0
+       |      THEN 1 << pl.p ELSE 0 END)::BIGINT AS bucket
+       |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+       |cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |p AS (SELECT c.id_a, c.id_b,
+       |    list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |      i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1, len(eb.embedding) + 1),
+       |      i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS cos
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+       |    JOIN e eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p
+       |WHERE cos >= 0.35""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -564,17 +588,7 @@ object SparkEntry {
         |  ELSE 'de' END AS pred_lang
         |FROM s""".stripMargin,
 
-    "q26_embedding_pairs" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-        |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-        |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
-        | FROM e a, e b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.35""".stripMargin,
+    "q26_embedding_pairs" -> q26Oracle,
 
     "q27_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -55,7 +55,18 @@ object Vectors {
     * bucketing is stable across runs and executors.
     */
   def signBuckets(v: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    val planes: Seq[Array[Double]] = (0 until nPlanes).map { p =>
+    val bits = planes(dim, nPlanes, seed).zipWithIndex.map { case (plane, p) =>
+      val proj = dot(v, lit(plane))
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** The deterministic hyperplanes behind [[signBuckets]], exposed so an
+    * external oracle can replicate the bucketing bit-for-bit.
+    */
+  def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until nPlanes).map { p =>
       Array.tabulate(dim) { i =>
         // splitmix64 on (seed, plane, index) → uniform in [-1, 1)
         var z = seed + (p.toLong << 32) + i.toLong * 0x9E3779B97F4A7C15L
@@ -65,10 +76,4 @@ object Vectors {
         (z.toDouble / Long.MaxValue.toDouble)
       }
     }
-    val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val proj = dot(v, lit(plane))
-      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
 }
