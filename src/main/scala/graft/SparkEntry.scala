@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.cep.{Cep, PatternDef, Step}
+import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.operators.{Dedup, Similarity, Windows}
 
@@ -14,6 +14,19 @@ case class Evt(event_id: Long, ts_us: Long, user_id: Long,
 
 /** (user, first event id, second event id) pattern-match output. */
 case class PairOut(user_id: Long, a_id: Long, b_id: Long)
+
+/** `a -> (b or c)` output: exactly one of b_id/c_id is set. */
+case class OrOut(user_id: Long, a_id: Long, b_id: Option[Long], c_id: Option[Long])
+
+/** Absence-alert output: click with no purchase inside the window. */
+case class AbsOut(user_id: Long, a_id: Long, alert_us: Long)
+
+/** Quantifier output exposing `a[0]`/`a[1]` array access. */
+case class QuantOut(user_id: Long, a0_id: Long, a1_id: Long, b_id: Long)
+
+/** Routed-union envelope event for cross-stream patterns (A2/A3). */
+case class EnvEvt(stream_id: String, event_id: Long, ts_us: Long,
+    user_id: Long, value: Double)
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory each
   * query exercises. Every query has a DuckDB-equivalent oracle in
@@ -200,7 +213,8 @@ object SparkEntry {
         Step[Evt]("b", _.event_type == "purchase")),
         withinMs = Some(600000000L)) // µs domain: 10 min
       Cep.batch[Evt, Long, PairOut](
-        evtsTyped(s, dir), _.user_id, pat, _.ts_us, _.event_id) {
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) {
         (k, m) => Iterator.single(
           PairOut(k, m.head("a").event_id, m.head("b").event_id))
       }.toDF()
@@ -214,7 +228,8 @@ object SparkEntry {
         Step[Evt]("b", _.event_type == "click", strict = true)),
         withinMs = Some(300000000L))
       Cep.batch[Evt, Long, PairOut](
-        evtsTyped(s, dir), _.user_id, pat, _.ts_us, _.event_id) {
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) {
         (k, m) => Iterator.single(
           PairOut(k, m.head("a").event_id, m.head("b").event_id))
       }.toDF()
@@ -227,7 +242,8 @@ object SparkEntry {
         Step[Evt]("a", _.event_type == "error"),
         Step[Evt]("b", _.event_type == "error", strict = true)))
       Cep.batch[Evt, Long, PairOut](
-        evtsTyped(s, dir), _.user_id, pat, _.ts_us, _.event_id) {
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) {
         (k, m) => Iterator.single(
           PairOut(k, m.head("a").event_id, m.head("b").event_id))
       }.toDF()
@@ -355,6 +371,94 @@ object SparkEntry {
         .groupBy(date_trunc("day", col("ts")).as("day"),
           date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+    }),
+
+    // B20: logical OR pattern — view followed by (purchase OR error)
+    // within 10 min; exactly one of b_id/c_id binds per match
+    "q31_pattern_or" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Step[Evt]("a", _.event_type == "view"),
+        Logical.or(Step[Evt]("b", _.event_type == "purchase"),
+          Step[Evt]("c", _.event_type == "error"))),
+        withinMs = Some(600000000L))
+      Cep.batch[Evt, Long, OrOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) { (k, m) =>
+        Iterator.single(OrOut(k, m.head("a").event_id,
+          m.get("b").headOption.map(_.event_id),
+          m.get("c").headOption.map(_.event_id)))
+      }.toDF()
+    }),
+
+    // B20: absence pattern — click with NO purchase in the next 5 min
+    // (the canonical CEP alerting shape; emits at the window deadline)
+    "q32_absence" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Step[Evt]("a", _.event_type == "click"),
+        Absence(Step[Evt]("nb", _.event_type == "purchase"), 300000000L)))
+      Cep.batch[Evt, Long, AbsOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) { (k, m) =>
+        Iterator.single(AbsOut(k, m.head("a").event_id, m.endTs))
+      }.toDF()
+    }),
+
+    // B20: logical AND pattern — error and purchase in either order
+    // within 10 min; each side binds its first qualifying event
+    "q33_pattern_and" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Logical.and(Step[Evt]("a", _.event_type == "error"),
+          Step[Evt]("b", _.event_type == "purchase"))),
+        withinMs = Some(600000000L))
+      Cep.batch[Evt, Long, PairOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) { (k, m) =>
+        Iterator.single(PairOut(k, m.head("a").event_id, m.head("b").event_id))
+      }.toDF()
+    }),
+
+    // B17: count quantifier <2:2> + indexed group access (`a[0]`, `a[1]`)
+    // — two clicks then a purchase within 2 h of the first click
+    "q34_quantifier" -> ((s, dir) => {
+      import s.implicits._
+      val pat = PatternDef[Evt](IndexedSeq(
+        Step[Evt]("a", _.event_type == "click", minCount = 2, maxCount = 2),
+        Step[Evt]("b", _.event_type == "purchase")),
+        withinMs = Some(7200000000L))
+      Cep.batch[Evt, Long, QuantOut](
+        evtsTyped(s, dir), _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) { (k, m) =>
+        Iterator.single(QuantOut(k,
+          m("a", 0).event_id, m("a", 1).event_id, m.head("b").event_id))
+      }.toDF()
+    }),
+
+    // A2+A3+B16: cross-stream pattern over the routed union envelope —
+    // two registered streams, pattern steps predicated on stream_id
+    // (reference flagship: from every s1 = inputStream1[id == 2] ->
+    // s2 = inputStream2[id == 3], SiddhiCEPITCase.java:343-348)
+    "q35_cross_stream_pattern" -> ((s, dir) => {
+      import s.implicits._
+      val env = new GraftCEP(s)
+      val e = evts(s, dir)
+      env.registerStream("clicks_s", e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("value")))
+      env.registerStream("purch_s", e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("value")))
+      val typed = env.routedUnion("clicks_s", "purch_s").toDF
+        .select(col("_stream_id").as("stream_id"), col("event_id"),
+          col("ts_us"), col("user_id"), col("value")).as[EnvEvt]
+      val pat = PatternDef[EnvEvt](IndexedSeq(
+        Step[EnvEvt]("a", ev => ev.stream_id == "clicks_s" && ev.value > 0.8),
+        Step[EnvEvt]("b", _.stream_id == "purch_s")),
+        withinMs = Some(600000000L))
+      Cep.batch[EnvEvt, Long, PairOut](typed, _.user_id, pat, _.ts_us,
+        Seq(col("ts_us"), col("event_id"))) { (k, m) =>
+        Iterator.single(PairOut(k, m.head("a").event_id, m.head("b").event_id))
+      }.toDF()
     }))
 
   // -------------------------------------------------------------------
@@ -618,5 +722,92 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  date_trunc('hour', ts) AS hour,
         |  count(*) AS n, round(sum(value), 6) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // view followed by the FIRST later (purchase|error) within 10 min;
+    // "later" = (ts, event_id) lexicographic, matching the NFA feed order
+    "q31_pattern_or" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'view'),
+        |x AS (SELECT user_id, event_id AS x_id, event_type, epoch_us(ts) AS x_us
+        |    FROM events WHERE event_type IN ('purchase', 'error')),
+        |j AS (SELECT a.user_id, a.a_id, x.x_id, x.event_type,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY x.x_us, x.x_id) AS rn
+        |  FROM a JOIN x ON a.user_id = x.user_id
+        |    AND (x.x_us > a.a_us OR (x.x_us = a.a_us AND x.x_id > a.a_id))
+        |    AND x.x_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id,
+        |  CASE WHEN event_type = 'purchase' THEN x_id END AS b_id,
+        |  CASE WHEN event_type = 'error' THEN x_id END AS c_id
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // click with NO purchase strictly inside the following 5-min window
+    "q32_absence" ->
+      """SELECT a.user_id, a.event_id AS a_id,
+        |  epoch_us(a.ts) + 300000000 AS alert_us
+        |FROM events a
+        |WHERE a.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+        |    AND (epoch_us(p.ts) > epoch_us(a.ts)
+        |      OR (epoch_us(p.ts) = epoch_us(a.ts) AND p.event_id > a.event_id))
+        |    AND epoch_us(p.ts) - epoch_us(a.ts) < 300000000)""".stripMargin,
+
+    // error-and-purchase in either order: each event of either type pairs
+    // with the first later event of the other type within 10 min
+    "q33_pattern_and" ->
+      """WITH er AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS e_us
+        |    FROM events WHERE event_type = 'error'),
+        |pu AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |d1 AS (SELECT er.user_id, er.e_id AS a_id, pu.p_id AS b_id,
+        |    row_number() OVER (PARTITION BY er.user_id, er.e_id
+        |      ORDER BY pu.p_us, pu.p_id) AS rn
+        |  FROM er JOIN pu ON er.user_id = pu.user_id
+        |    AND (pu.p_us > er.e_us OR (pu.p_us = er.e_us AND pu.p_id > er.e_id))
+        |    AND pu.p_us - er.e_us <= 600000000),
+        |d2 AS (SELECT pu.user_id, er.e_id AS a_id, pu.p_id AS b_id,
+        |    row_number() OVER (PARTITION BY pu.user_id, pu.p_id
+        |      ORDER BY er.e_us, er.e_id) AS rn
+        |  FROM pu JOIN er ON er.user_id = pu.user_id
+        |    AND (er.e_us > pu.p_us OR (er.e_us = pu.p_us AND er.e_id > pu.p_id))
+        |    AND er.e_us - pu.p_us <= 600000000)
+        |SELECT user_id, a_id, b_id FROM d1 WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, a_id, b_id FROM d2 WHERE rn = 1""".stripMargin,
+
+    // click pair (each click + the next click) then the first purchase
+    // after the second click, within 2 h of the FIRST click
+    "q34_quantifier" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lead(event_id) OVER w AS c2_id,
+        |    lead(epoch_us(ts)) OVER w AS c2_us
+        |  FROM events WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.event_id AS a0_id, c.c2_id AS a1_id,
+        |    p.p_id AS b_id,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY p.p_us, p.p_id) AS rn
+        |  FROM c JOIN p ON c.user_id = p.user_id AND c.c2_id IS NOT NULL
+        |    AND (p.p_us > c.c2_us OR (p.p_us = c.c2_us AND p.p_id > c.c2_id))
+        |    AND p.p_us - c.us <= 7200000000)
+        |SELECT user_id, a0_id, a1_id, b_id FROM j WHERE rn = 1""".stripMargin,
+
+    // high-value click followed by the first purchase within 10 min —
+    // the cross-stream envelope reduces to this on the events table
+    "q35_cross_stream_pattern" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click' AND value > 0.8),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin)
 }

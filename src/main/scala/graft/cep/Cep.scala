@@ -1,14 +1,16 @@
 package graft.cep
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Batch and streaming executors for [[PatternDef]] over keyed event
   * datasets. One NFA kernel ([[Nfa]]), two execution modes:
   *
-  *  - [[batch]]: `groupByKey.flatMapGroups` — Spark's sort-based group
-  *    shuffle co-locates each key's events; we order them by
-  *    (ts, tieBreak) and run the NFA once per key. Used by the DuckDB
+  *  - [[batch]]: `groupByKey.flatMapSortedGroups` — Spark sorts each
+  *    key's events by the given columns INSIDE the shuffle (sort-based
+  *    aggregation), so the group streams through the NFA one event at a
+  *    time. A hot key with 10⁸ events never materializes in memory:
+  *    state is O(live partials), not O(group). Used by the DuckDB
   *    correctness oracle.
   *  - [[streaming]]: `groupByKey.flatMapGroupsWithState` with event-time
   *    timeout — the Spark-native replacement for the reference's
@@ -16,7 +18,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    (AbstractSiddhiOperator.java:238-247): events buffer in keyed state
   *    and are released through the NFA only once the watermark passes
   *    them, so out-of-order arrival within the watermark delay is
-  *    handled identically to the reference.
+  *    handled identically to the reference. Watermark advance also
+  *    drives absence (`not … for`) resolution via [[Nfa.advanceTime]].
   *
   * Scale: state per key = unreleased event buffer (bounded by watermark
   * delay × rate) + live partials (bounded by `maxPartialMatches`).
@@ -25,7 +28,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
+  /** @param sortCols columns ordering each group (event time + tie-break)
+    *                  — sorted by the shuffle, streamed, never collected.
+    */
   def batch[E, K: Encoder, O: Encoder](
+      ds: Dataset[E],
+      key: E => K,
+      pattern: PatternDef[E],
+      tsOf: E => Long,
+      sortCols: Seq[Column])(
+      build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
+    ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) { (k: K, it: Iterator[E]) =>
+      val nfa = new Nfa(pattern, tsOf)
+      it.flatMap(e => nfa.onEvent(e).iterator.flatMap(build(k, _))) ++
+        nfa.flush().iterator.flatMap(build(k, _))
+    }
+  }
+
+  /** In-memory-sort fallback for sources without sortable columns (tests,
+    * tiny keyed collections). Collects each group — do NOT use on skewed
+    * production keys; prefer [[batch]] with sort columns.
+    */
+  def batchCollected[E, K: Encoder, O: Encoder](
       ds: Dataset[E],
       key: E => K,
       pattern: PatternDef[E],
@@ -35,7 +59,8 @@ object Cep {
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
       val evs = it.toVector.sortBy(e => (tsOf(e), tieBreak(e)))
       val nfa = new Nfa(pattern, tsOf)
-      evs.iterator.flatMap(e => nfa.onEvent(e).iterator.flatMap(build(k, _)))
+      evs.iterator.flatMap(e => nfa.onEvent(e).iterator.flatMap(build(k, _))) ++
+        nfa.flush().iterator.flatMap(build(k, _))
     }
   }
 
@@ -81,7 +106,10 @@ object Cep {
       val nfa = new Nfa(pattern, tsOf)
       nfa.restore((prev.partials, prev.terminated))
       val matches = release.flatMap(e => nfa.onEvent(e).map(build(k, _)))
-      nfa.pruneExpired(wm)
+      // watermark advance resolves absence windows with no event needed
+      val timeMatches =
+        if (wmMs <= 0) Vector.empty
+        else nfa.advanceTime(wm).map(build(k, _))
 
       val (np, nt) = nfa.snapshot
       if (keep.isEmpty && np.isEmpty && !nt) {
@@ -91,16 +119,18 @@ object Cep {
           if (release.nonEmpty) tsOf(release.last) else prev.lastReleasedTs
         state.update(CepState(keep, np, nt, lastTs))
         // wake this key when its earliest pending work becomes releasable:
-        // the oldest buffered event, or the earliest partial-match expiry
+        // the oldest buffered event, the earliest partial-match expiry, or
+        // the earliest armed absence deadline
         val wakeCandidates =
           keep.headOption.map(tsOf).toList ++
-            pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1))
+            pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1)) ++
+            nfa.pendingDeadlines
         if (wakeCandidates.nonEmpty) {
           val wakeMs = wakeCandidates.min / tsScale
           state.setTimeoutTimestamp(math.max(wmMs + 1, wakeMs))
         }
       }
-      matches.iterator.flatten
+      (matches ++ timeMatches).iterator.flatten
     }
 
     ds.groupByKey(key).flatMapGroupsWithState(

@@ -5,10 +5,13 @@ import scala.collection.mutable.ArrayBuffer
 /** Incremental NFA for [[PatternDef]] evaluation.
   *
   * Feed events in event-time order via [[onEvent]]; completed matches are
-  * returned as they happen. The engine is pure in-JVM state (no Spark
-  * types), so the exact same kernel runs inside a batch `flatMapGroups`
-  * and a streaming `flatMapGroupsWithState` — one semantics, two
-  * execution modes.
+  * returned as they happen. Absence (`not … for t`) elements resolve by
+  * time alone, so callers must also drive [[advanceTime]] (streaming: at
+  * each watermark; batch: once after the last event via [[flush]]).
+  * The engine is pure in-JVM state (no Spark types), so the exact same
+  * kernel runs inside a batch `flatMapGroups`/`flatMapSortedGroups` and a
+  * streaming `flatMapGroupsWithState` — one semantics, two execution
+  * modes.
   *
   * Equivalent role in the reference: the embedded engine's pattern state
   * machines driven from the host operator's ordered event feed
@@ -16,18 +19,39 @@ import scala.collection.mutable.ArrayBuffer
   * orders by timestamp before delivery; the NFA itself lived in the
   * external siddhi-core dependency — rebuilt here, not copied).
   *
+  * Group layout: each element owns a contiguous range of "slots" in
+  * `Partial.groups` — a Step one slot, a Logical two (left, right), an
+  * Absence one (never filled). Slot→name mapping is static, so match
+  * output construction is a flat scan.
+  *
   * Scale: partial matches are bounded by `maxPartialMatches`; expired
   * partials are pruned on every event using `withinMs`, so per-key state
   * is O(live partials × pattern length), never O(stream).
   */
 final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     extends Serializable {
-  require(pattern.steps.nonEmpty, "pattern needs at least one step")
-  require(pattern.steps.head.minCount >= 1,
-    "first step must be non-optional")
+  private val elems = pattern.steps
+  require(elems.nonEmpty, "pattern needs at least one step")
+  elems.head match {
+    case s: Step[E] =>
+      require(s.minCount >= 1, "first step must be non-optional")
+    case _: Logical[E] => ()
+    case _: Absence[E] =>
+      throw new IllegalArgumentException(
+        "pattern cannot start with an absence element")
+  }
 
-  private val steps = pattern.steps
-  private val last = steps.length - 1
+  private val last = elems.length - 1
+
+  /** First group slot of each element. */
+  private val slotBase: Array[Int] = {
+    val b = new Array[Int](elems.length)
+    var acc = 0
+    var i = 0
+    while (i < elems.length) { b(i) = acc; acc += elems(i).names.length; i += 1 }
+    b
+  }
+  private val slotNames: IndexedSeq[String] = elems.flatMap(_.names)
 
   private var partials: List[Partial[E]] = Nil
   private var terminated: Boolean = false
@@ -38,75 +62,202 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     partials = s._1; terminated = s._2
   }
 
-  private def emitIfComplete(p: Partial[E], out: ArrayBuffer[PatternMatch[E]],
-      endTs: Long): Boolean = {
-    if (p.stepIdx == last && p.curCount >= steps(last).minCount) {
-      val groups = steps.indices.flatMap { i =>
-        val g = if (i < p.groups.length) p.groups(i) else Vector.empty
-        if (g.nonEmpty) Some(steps(i).name -> g.toIndexedSeq) else None
-      }.toMap
-      out += PatternMatch(p.startTs, endTs, groups)
-      if (!pattern.every) terminated = true
-      true
-    } else false
+  private def grown(g: Vector[Vector[E]], upTo: Int): Vector[Vector[E]] = {
+    var v = g
+    while (v.length <= upTo) v = v :+ Vector.empty[E]
+    v
   }
 
-  private def extended(p: Partial[E], e: E): Partial[E] =
-    p.copy(curCount = p.curCount + 1,
-      groups = p.groups.updated(p.stepIdx, p.groups(p.stepIdx) :+ e))
+  private def bound(p: Partial[E], slot: Int, e: E): Vector[Vector[E]] = {
+    val g = grown(p.groups, slot)
+    g.updated(slot, g(slot) :+ e)
+  }
 
-  private def advanced(p: Partial[E], toStep: Int, e: E): Partial[E] = {
-    var g = p.groups
-    while (g.length <= toStep) g = g :+ Vector.empty[E]
-    Partial(toStep, 1, p.startTs, g.updated(toStep, g(toStep) :+ e))
+  private def slotFilled(p: Partial[E], slot: Int): Boolean =
+    slot < p.groups.length && p.groups(slot).nonEmpty
+
+  /** Is the partial's current element satisfied (eligible to advance)? */
+  private def complete(p: Partial[E]): Boolean = elems(p.stepIdx) match {
+    case s: Step[E] => p.curCount >= s.minCount
+    case l: Logical[E] =>
+      val b = slotBase(p.stepIdx)
+      if (l.isAnd) slotFilled(p, b) && slotFilled(p, b + 1)
+      else slotFilled(p, b) || slotFilled(p, b + 1)
+    case _: Absence[E] => false // only time completes an absence
+  }
+
+  private def strictNext(p: Partial[E]): Boolean =
+    elems(p.stepIdx + 1) match {
+      case s: Step[E] => s.strict
+      case _ => false
+    }
+
+  private def emitMatch(p: Partial[E], endTs: Long,
+      out: ArrayBuffer[PatternMatch[E]]): Unit = {
+    val groups = slotNames.indices.flatMap { i =>
+      val g = if (i < p.groups.length) p.groups(i) else Vector.empty[E]
+      if (g.nonEmpty) Some(slotNames(i) -> (g: IndexedSeq[E])) else None
+    }.toMap
+    out += PatternMatch(p.startTs, endTs, groups)
+    if (!pattern.every) terminated = true
+  }
+
+  private def emitIfComplete(p: Partial[E], out: ArrayBuffer[PatternMatch[E]],
+      endTs: Long): Boolean =
+    if (p.stepIdx == last && complete(p)) { emitMatch(p, out = out, endTs = endTs); true }
+    else false
+
+  /** Add `np` to the next-partials set; if its current element is now
+    * satisfied and the next element is an absence, also arm an absence
+    * branch (window starts at `t`). The un-armed `np` survives alongside
+    * only if more events can still bind to it (open quantifier).
+    */
+  private def addPartial(np: Partial[E], t: Long,
+      next: ArrayBuffer[Partial[E]]): Unit = {
+    val armAbsence = np.stepIdx < last && complete(np) &&
+      elems(np.stepIdx + 1).isInstanceOf[Absence[E]]
+    if (armAbsence) {
+      next += np.copy(stepIdx = np.stepIdx + 1, curCount = 0, elemTs = t)
+      val canGrow = elems(np.stepIdx) match {
+        case s: Step[E] => np.curCount < s.maxCount
+        case _ => false
+      }
+      if (canGrow) next += np
+    } else next += np
+  }
+
+  /** Resolve absence windows that have fully elapsed by `now`: advance
+    * (or emit, if last) each partial parked at an elapsed absence.
+    * Chained absences resolve in sequence, each window starting at the
+    * previous deadline.
+    */
+  private def promote(now: Long, out: ArrayBuffer[PatternMatch[E]]): Unit = {
+    val res = List.newBuilder[Partial[E]]
+    partials.foreach { p0 =>
+      var p = p0
+      var alive = true
+      var again = true
+      while (alive && again) {
+        elems(p.stepIdx) match {
+          case a: Absence[E] if now - p.elemTs >= a.forMs =>
+            val deadline = p.elemTs + a.forMs
+            if (pattern.withinMs.exists(w => deadline - p.startTs > w)) {
+              alive = false // cannot complete inside `within`
+            } else if (p.stepIdx == last) {
+              if (!terminated) emitMatch(p, deadline, out)
+              alive = false
+            } else {
+              p = p.copy(stepIdx = p.stepIdx + 1, curCount = 0, elemTs = deadline)
+            }
+          case _ => again = false
+        }
+      }
+      if (alive) res += p
+    }
+    partials = res.result()
   }
 
   /** Process one event (must be fed in non-decreasing ts order). */
   def onEvent(e: E): IndexedSeq[PatternMatch[E]] = {
     val t = tsOf(e)
     val out = ArrayBuffer.empty[PatternMatch[E]]
+    // time passes: absence windows ending at or before t resolve first,
+    // so an event at exactly the deadline cannot violate the absence
+    promote(t, out)
     val next = ArrayBuffer.empty[Partial[E]]
 
     partials.foreach { p =>
       // `within`: with ordered input, no later event can complete this
       // partial either — prune.
       if (!pattern.withinMs.exists(w => t - p.startTs > w)) {
-        val s = steps(p.stepIdx)
         var moved = false
         var keepOriginal = false
+        var violated = false
 
-        // (a) extend the current step's count group. Below minCount the
-        // extension is committed; at/after minCount it is a branch — the
-        // un-extended partial stays live so it can still advance on a
-        // later event (A<2:3> must match both the 2-long and 3-long
-        // collections).
-        if (p.curCount < s.maxCount && s.predicate(e)) {
-          val np = extended(p, e)
-          if (!emitIfComplete(np, out, t)) next += np
-          moved = true
-          if (p.curCount >= s.minCount) keepOriginal = true
+        // (a) bind e into the current element
+        elems(p.stepIdx) match {
+          case s: Step[E] =>
+            // extend the current step's count group. Below minCount the
+            // extension is committed; at/after minCount it is a branch —
+            // the un-extended partial stays live so it can still advance
+            // on a later event (A<2:3> must match both the 2-long and
+            // 3-long collections).
+            if (p.curCount < s.maxCount && s.predicate(e)) {
+              val np = p.copy(curCount = p.curCount + 1,
+                groups = bound(p, slotBase(p.stepIdx), e))
+              if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+              moved = true
+              if (p.curCount >= s.minCount) keepOriginal = true
+            }
+          case l: Logical[E] =>
+            val b = slotBase(p.stepIdx)
+            val leftOpen = !slotFilled(p, b)
+            val rightOpen = !slotFilled(p, b + 1)
+            // or: stop binding once one side matched (it is complete);
+            // and: fill whichever side is open, left priority
+            val bindLeft = leftOpen && l.left.predicate(e) &&
+              (l.isAnd || rightOpen)
+            val bindRight = !bindLeft && rightOpen && l.right.predicate(e) &&
+              (l.isAnd || leftOpen)
+            val slot = if (bindLeft) b else if (bindRight) b + 1 else -1
+            if (slot >= 0) {
+              val np = p.copy(curCount = 1, groups = bound(p, slot, e))
+              if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+              moved = true
+            }
+          case a: Absence[E] =>
+            // promote() already ran, so t is inside the window here: a
+            // qualifying event violates the absence — the partial dies
+            if (a.step.predicate(e)) violated = true
         }
-        // (b) advance into the next step (skipping optional steps)
-        if (p.curCount >= s.minCount && p.stepIdx < last) {
+
+        // (b) advance into a later element (skipping optional steps;
+        // an un-elapsed absence window blocks the scan)
+        if (!violated && complete(p) && p.stepIdx < last) {
           var j = p.stepIdx + 1
           var scan = true
           while (scan && j <= last) {
-            val sj = steps(j)
-            if (sj.maxCount >= 1 && sj.predicate(e)) {
-              val np = advanced(p, j, e)
-              if (!emitIfComplete(np, out, t)) next += np
-              moved = true
+            elems(j) match {
+              case sj: Step[E] =>
+                if (sj.maxCount >= 1 && sj.predicate(e)) {
+                  val np = Partial(j, 1, p.startTs,
+                    bound(p, slotBase(j), e), elemTs = t)
+                  if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+                  moved = true
+                }
+                if (sj.minCount == 0) j += 1 else scan = false
+              case lj: Logical[E] =>
+                val bj = slotBase(j)
+                val slot =
+                  if (lj.left.predicate(e)) bj
+                  else if (lj.right.predicate(e)) bj + 1
+                  else -1
+                if (slot >= 0) {
+                  val np = Partial(j, 1, p.startTs,
+                    bound(p, slot, e), elemTs = t)
+                  if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+                  moved = true
+                }
+                scan = false
+              case _: Absence[E] =>
+                scan = false
             }
-            if (sj.minCount == 0) j += 1 else scan = false
           }
         }
-        if (!moved) {
-          // strict contiguity: the immediately-next event had to qualify
-          val mustDie =
-            (p.curCount < s.minCount && s.strict) ||
-            (p.curCount >= s.minCount && p.stepIdx < last &&
-              steps(p.stepIdx + 1).strict) ||
-            (p.curCount >= s.minCount && p.stepIdx == last)
+
+        if (violated) () // dropped
+        else if (!moved) {
+          val mustDie = elems(p.stepIdx) match {
+            case s: Step[E] =>
+              // strict contiguity: the immediately-next event had to qualify
+              (p.curCount < s.minCount && s.strict) ||
+              (complete(p) && p.stepIdx < last && strictNext(p)) ||
+              (complete(p) && p.stepIdx == last)
+            case _: Logical[E] =>
+              (complete(p) && p.stepIdx < last && strictNext(p)) ||
+              (complete(p) && p.stepIdx == last)
+            case _: Absence[E] => false
+          }
           if (!mustDie) next += p
         } else if (keepOriginal) {
           next += p
@@ -114,11 +265,26 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       }
     }
 
-    // start a new partial match at step 0
+    // start a new partial match at element 0
     if (!terminated && (pattern.every || (partials.isEmpty && next.isEmpty))) {
-      if (steps.head.predicate(e)) {
-        val np = Partial(0, 1, t, Vector(Vector(e)))
-        if (!emitIfComplete(np, out, t)) next += np
+      elems.head match {
+        case s: Step[E] =>
+          if (s.predicate(e)) {
+            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
+            if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+          }
+        case l: Logical[E] =>
+          val slot =
+            if (l.left.predicate(e)) 0
+            else if (l.right.predicate(e)) 1
+            else -1
+          if (slot >= 0) {
+            val g = if (slot == 0) Vector(Vector(e))
+              else Vector(Vector.empty[E], Vector(e))
+            val np = Partial(0, 1, t, g, elemTs = t)
+            if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+          }
+        case _: Absence[E] => () // unreachable (head require)
       }
     }
 
@@ -129,10 +295,35 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     out.toIndexedSeq
   }
 
+  /** Advance event time to `wm` with no event: resolves elapsed absence
+    * windows (may emit matches) and prunes expired partials. Streaming
+    * calls this at every watermark advance; batch via [[flush]].
+    */
+  def advanceTime(wm: Long): IndexedSeq[PatternMatch[E]] = {
+    val out = ArrayBuffer.empty[PatternMatch[E]]
+    promote(wm, out)
+    pruneExpired(wm)
+    out.toIndexedSeq
+  }
+
+  /** End-of-input flush (batch): every armed absence window elapses. */
+  def flush(): IndexedSeq[PatternMatch[E]] = advanceTime(Long.MaxValue)
+
   /** Drop partials that can no longer complete at watermark `wm`. */
   def pruneExpired(wm: Long): Unit =
     pattern.withinMs.foreach { w =>
       partials = partials.filter(p => wm - p.startTs <= w)
+    }
+
+  /** Future instants at which time alone changes state: armed absence
+    * deadlines. Streaming uses these to set wake-up timers.
+    */
+  def pendingDeadlines: List[Long] =
+    partials.flatMap { p =>
+      elems(p.stepIdx) match {
+        case a: Absence[E] => Some(p.elemTs + a.forMs)
+        case _ => None
+      }
     }
 
   def liveCount: Int = partials.size

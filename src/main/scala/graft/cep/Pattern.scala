@@ -4,7 +4,8 @@ package graft.cep
   * SiddhiQL pattern/sequence surface the reference forwards to its
   * embedded engine (reference evidence: pattern query at
   * core/src/test/java/org/apache/flink/streaming/siddhi/SiddhiCEPITCase.java:343-348,
-  * sequence + within + quantifiers at :370-374; StateInputStream handling at
+  * sequence + within + quantifiers at :370-374; StateInputStream handling —
+  * which covers logical state elements too — at
   * core/src/main/java/org/apache/flink/streaming/siddhi/utils/SiddhiExecutionPlanner.java:127).
   *
   * Semantics implemented (matching Siddhi defaults):
@@ -16,33 +17,75 @@ package graft.cep
   *  - `within t`: a match must complete within t ms of its first event;
   *  - count quantifiers `<m:n>` / `+` (min=1,max=∞) / `?` (min=0,max=1)
   *    collect consecutive qualifying events into a step group, exposed as
-  *    an indexed list (Siddhi's `s1[0]` access).
+  *    an indexed list (Siddhi's `s1[0]` access);
+  *  - logical elements (B20): `e1=A and e2=B` binds one event per side in
+  *    either order and completes when both are bound; `e1=A or e2=B`
+  *    completes on the first event matching either side;
+  *  - absence (B20): `not A for t` completes when t elapses with no
+  *    qualifying event after the element was armed; a qualifying event
+  *    inside the window kills the partial match.
   */
+sealed trait PatternElem[E] extends Serializable {
+  /** Output binding names this element owns — one group slot per name. */
+  def names: IndexedSeq[String]
+}
+
 final case class Step[E](
     name: String,
     predicate: E => Boolean,
     minCount: Int = 1,
     maxCount: Int = 1,
-    strict: Boolean = false) {
+    strict: Boolean = false) extends PatternElem[E] {
   require(minCount >= 0 && maxCount >= math.max(minCount, 1))
+  def names: IndexedSeq[String] = IndexedSeq(name)
+}
+
+/** `left and right` / `left or right` logical state element. Each side
+  * binds at most one event; sides bind in arrival order (left gets
+  * priority when one event satisfies both).
+  */
+final case class Logical[E](
+    left: Step[E], right: Step[E], isAnd: Boolean) extends PatternElem[E] {
+  def names: IndexedSeq[String] = IndexedSeq(left.name, right.name)
+}
+
+object Logical {
+  def and[E](left: Step[E], right: Step[E]): Logical[E] =
+    Logical(left, right, isAnd = true)
+  def or[E](left: Step[E], right: Step[E]): Logical[E] =
+    Logical(left, right, isAnd = false)
+}
+
+/** `not step for forMs` absence element: armed when the previous element
+  * completes (at event time τ); a qualifying event with ts in
+  * [τ, τ + forMs) kills the partial; once time reaches τ + forMs the
+  * partial advances (or emits, if the absence is the last element) with
+  * endTs = τ + forMs. Never binds an event.
+  */
+final case class Absence[E](step: Step[E], forMs: Long) extends PatternElem[E] {
+  require(forMs > 0, "absence window must be positive")
+  def names: IndexedSeq[String] = IndexedSeq(step.name)
 }
 
 final case class PatternDef[E](
-    steps: IndexedSeq[Step[E]],
+    steps: IndexedSeq[PatternElem[E]],
     withinMs: Option[Long] = None,
     every: Boolean = true,
     /** hard cap on live partial matches per key — bounded state at scale */
     maxPartialMatches: Int = 1024)
 
 /** A live partial match inside the NFA (also the unit of checkpointed
-  * streaming state): index of the step being collected, events collected
-  * so far for that step, start timestamp, and per-step event groups.
+  * streaming state): index of the element being collected, events
+  * collected so far for that element, start timestamp, per-slot event
+  * groups, and the event time at which the current element was entered
+  * (drives absence windows).
   */
 final case class Partial[E](
     stepIdx: Int,
     curCount: Int,
     startTs: Long,
-    groups: Vector[Vector[E]])
+    groups: Vector[Vector[E]],
+    elemTs: Long = 0L)
 
 /** A completed match: step name → the events bound to it, in order. */
 final case class PatternMatch[E](

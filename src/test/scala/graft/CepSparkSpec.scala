@@ -25,7 +25,7 @@ class CepSparkSpec extends SparkSpec {
   private val expected = Set(TOut(1, 1, 3), TOut(2, 6, 7))
 
   test("batch executor matches hand-computed result") {
-    val got = Cep.batch[TEvt, Long, TOut](
+    val got = Cep.batchCollected[TEvt, Long, TOut](
       events.toDS(), _.user, pat, _.ts_ms, _.id) {
       (k, m) => Iterator.single(TOut(k, m.head("a").id, m.head("b").id))
     }.collect().toSet

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.cep.{Nfa, PatternDef, PatternMatch, Step}
+import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternMatch, Step}
 
 /** Pure-JVM NFA semantics tests with hand-computed expected matches —
   * the SiddhiSyntaxTest-style ground-truth harness (SURVEY §3.3).
@@ -99,6 +99,88 @@ class NfaSpec extends AnyFunSuite {
     // reluctant emit at min: first B completes; the extended branch
     // continues and emits again at the second B
     assert(ms.exists(m => ids(m, "b") == Seq(2L)))
+  }
+
+  test("or: first event matching either side completes (B20)") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("s", _.typ == "C"),
+      Logical.or(Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B"))))
+    val evs = Seq(E(1, 10, "C"), E(2, 20, "X"), E(3, 30, "B"), E(4, 40, "A"))
+    val ms = run(pat, evs)
+    // the C at 10 matches with the FIRST of {A,B} after it — the B at 30
+    assert(ms.size == 1)
+    assert(ids(ms.head, "b") == Seq(3L) && ms.head.get("a").isEmpty)
+  }
+
+  test("or at pattern head: either side starts and completes a match") {
+    val pat = PatternDef[E](IndexedSeq(
+      Logical.or(Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B")),
+      Step[E]("c", _.typ == "C")))
+    val ms = run(pat, Seq(E(1, 10, "B"), E(2, 20, "C")))
+    assert(ms.size == 1 && ids(ms.head, "b") == Seq(1L) &&
+      ids(ms.head, "c") == Seq(2L))
+  }
+
+  test("and: binds both sides in either order (B20)") {
+    val pat = PatternDef[E](IndexedSeq(
+      Logical.and(Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B"))))
+    // order A then B: match emits when B arrives
+    val ms1 = run(pat, Seq(E(1, 10, "A"), E(2, 20, "X"), E(3, 30, "B")))
+    assert(ms1.exists(m => ids(m, "a") == Seq(1L) && ids(m, "b") == Seq(3L)))
+    // order B then A: match emits when A arrives
+    val ms2 = run(pat, Seq(E(1, 10, "B"), E(2, 20, "A")))
+    assert(ms2.exists(m => ids(m, "a") == Seq(2L) && ids(m, "b") == Seq(1L)))
+  }
+
+  test("absence: emits at deadline when no qualifying event (B20)") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Absence(Step[E]("nb", _.typ == "B"), forMs = 20L)))
+    val nfa = new Nfa[E](pat, _.ts)
+    val live = Seq(E(1, 10, "A"), E(2, 50, "X")).flatMap(nfa.onEvent)
+    // the X at 50 promotes the absence armed at 10 (deadline 30)
+    assert(live.size == 1 && live.head.endTs == 30L)
+    assert(ids(live.head, "a") == Seq(1L))
+  }
+
+  test("absence: qualifying event inside the window kills the partial") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Absence(Step[E]("nb", _.typ == "B"), forMs = 20L)))
+    val nfa = new Nfa[E](pat, _.ts)
+    val live = Seq(E(1, 10, "A"), E(2, 15, "B"), E(3, 99, "X")).flatMap(nfa.onEvent)
+    assert(live.isEmpty && nfa.flush().isEmpty)
+  }
+
+  test("absence: event at exactly the deadline does not violate") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Absence(Step[E]("nb", _.typ == "B"), forMs = 20L)))
+    val nfa = new Nfa[E](pat, _.ts)
+    val live = Seq(E(1, 10, "A"), E(2, 30, "B")).flatMap(nfa.onEvent)
+    assert(live.size == 1 && live.head.endTs == 30L)
+  }
+
+  test("absence: flush resolves windows still open at end of input") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Absence(Step[E]("nb", _.typ == "B"), forMs = 20L)))
+    val nfa = new Nfa[E](pat, _.ts)
+    assert(Seq(E(1, 10, "A")).flatMap(nfa.onEvent).isEmpty)
+    val flushed = nfa.flush()
+    assert(flushed.size == 1 && flushed.head.endTs == 30L)
+  }
+
+  test("absence followed by a step: events cannot cross an open window") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Absence(Step[E]("nb", _.typ == "B"), forMs = 20L),
+      Step[E]("c", _.typ == "C")))
+    val nfa = new Nfa[E](pat, _.ts)
+    // C at 15 is inside the open absence window — must NOT complete;
+    // C at 40 is after the deadline (30) — completes
+    val ms = Seq(E(1, 10, "A"), E(2, 15, "C"), E(3, 40, "C")).flatMap(nfa.onEvent)
+    assert(ms.size == 1 && ids(ms.head, "c") == Seq(3L))
   }
 
   test("partial-match cap bounds state") {
