@@ -50,7 +50,10 @@ object SparkEntry {
     * double-precision loss on epoch-nano magnitudes.
     */
   private def evts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set once per session (Verify/Bench set it at build; this is the
+    // safety net for external sessions, e.g. the driver's entry() smoke)
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ld(s, dir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))

@@ -71,7 +71,12 @@ object Cep {
       buffer: Vector[E],
       partials: List[Partial[E]],
       terminated: Boolean,
-      lastReleasedTs: Long)
+      lastReleasedTs: Long,
+      /** tie-break of the last released event: an event with the SAME
+        * timestamp arriving in a later micro-batch is only late if it is
+        * at/behind this (ts, tieBreak) point — same order the NFA feeds.
+        */
+      lastReleasedTie: Long)
 
   /** @param tsScale event-time units per watermark millisecond: the NFA's
     *                 `tsOf` may run in µs (tsScale=1000) or ms (tsScale=1);
@@ -92,13 +97,19 @@ object Cep {
 
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
       val prev = state.getOption
-        .getOrElse(CepState[E](Vector.empty, Nil, false, Long.MinValue))
+        .getOrElse(CepState[E](Vector.empty, Nil, false,
+          Long.MinValue, Long.MinValue))
       val wmMs = state.getCurrentWatermarkMs()
       val wm = wmMs * tsScale // watermark in event-time units
 
       // ingest new events; drop anything at/behind what the NFA already
-      // consumed (true late data — same policy as watermark semantics)
-      val incoming = it.filter(e => tsOf(e) > prev.lastReleasedTs).toVector
+      // consumed (true late data — same policy as watermark semantics).
+      // Comparison is on (ts, tieBreak) so a distinct same-timestamp
+      // event straddling micro-batches is NOT dropped.
+      val incoming = it.filter { e =>
+        tsOf(e) > prev.lastReleasedTs ||
+          (tsOf(e) == prev.lastReleasedTs && tieBreak(e) > prev.lastReleasedTie)
+      }.toVector
       val all = ordered(prev.buffer ++ incoming)
       val (release, keep) =
         if (wmMs <= 0) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
@@ -115,9 +126,10 @@ object Cep {
       if (keep.isEmpty && np.isEmpty && !nt) {
         state.remove()
       } else {
-        val lastTs =
-          if (release.nonEmpty) tsOf(release.last) else prev.lastReleasedTs
-        state.update(CepState(keep, np, nt, lastTs))
+        val (lastTs, lastTie) =
+          if (release.nonEmpty) (tsOf(release.last), tieBreak(release.last))
+          else (prev.lastReleasedTs, prev.lastReleasedTie)
+        state.update(CepState(keep, np, nt, lastTs, lastTie))
         // wake this key when its earliest pending work becomes releasable:
         // the oldest buffered event, the earliest partial-match expiry, or
         // the earliest armed absence deadline

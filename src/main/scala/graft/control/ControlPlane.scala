@@ -22,11 +22,30 @@ object ControlEvent {
     * Hand-rolled (no external deps): flat object, string values.
     */
   def fromJson(json: String): Either[String, ControlEvent] = {
+    // single left-to-right unescape pass: one escape sequence at a time,
+    // so a literal backslash followed by 'n' (e.g. a SQL regex "\n")
+    // round-trips instead of turning into a newline
+    def unescape(raw: String): String = {
+      val sb = new StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '\\' && i + 1 < raw.length) {
+          raw.charAt(i + 1) match {
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case other => sb.append(other) // covers \" \\ \/ …
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     def field(name: String): Option[String] = {
       val m = ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
         .findFirstMatchIn(json)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-        .replace("\\n", "\n").replace("\\t", "\t"))
+      m.map(mm => unescape(mm.group(1)))
     }
     (field("type"), field("planId"), field("plan")) match {
       case (Some("add"), Some(id), Some(p))    => Right(AddPlan(id, p))
@@ -40,7 +59,8 @@ object ControlEvent {
 
   def toJson(e: ControlEvent): String = {
     def esc(s: String) =
-      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
     e match {
       case AddPlan(id, p) =>
         s"""{"type":"add","planId":"${esc(id)}","plan":"${esc(p)}"}"""
@@ -133,8 +153,18 @@ class ControlPlane(
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.select("value").collect().foreach { row =>
-          handleJson(row.getString(0)).left.foreach(err =>
-            System.err.println(s"[graft-control] dropped message: $err"))
+          // a poison-pill message (bad JSON, duplicate planId, unknown
+          // plan) must not kill the control channel: log and continue,
+          // matching the reference's warn-and-drop policy
+          // (AbstractSiddhiOperator.java:402)
+          try {
+            handleJson(row.getString(0)).left.foreach(err =>
+              System.err.println(s"[graft-control] dropped message: $err"))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[graft-control] dropped message: ${e.getMessage}")
+          }
         }
       }
       .start()

@@ -17,14 +17,22 @@ object Dedup {
 
   /** Exact duplicates via normalized-content fingerprint; keeps the row
     * with the smallest `idCol` per group (deterministic winner).
+    *
+    * Winner election shuffles only (fingerprint, id) — map-side partial
+    * `min` keeps that exchange at ~16 bytes/row; the document text never
+    * enters it. The final semi-join hash-distributes by (fp, id), so a
+    * viral duplicate (one hot fingerprint) does not funnel every copy
+    * into a single task the way a `Window.partitionBy(fp)` formulation
+    * would.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withFp = df.withColumn("_fp", Text.fingerprint(col(textCol)))
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
-    withFp
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
+    val winners = withFp.select(col("_fp").as("_wfp"), col(idCol).as("_wid"))
+      .groupBy(col("_wfp")).agg(min(col("_wid")).as("_wid"))
+    withFp.join(winners,
+        withFp("_fp") === winners("_wfp") && col(idCol) === col("_wid"),
+        "left_semi")
+      .drop("_fp")
   }
 
   /** Exact-duplicate groups of size > 1: (fingerprint, ids, count). */

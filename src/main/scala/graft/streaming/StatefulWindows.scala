@@ -47,12 +47,15 @@ object StatefulWindows {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (k: K, it: Iterator[E], state: GroupState[List[E]]) =>
         var pending = state.getOption.getOrElse(Nil) // newest first
+        var count = pending.length // counted once per micro-batch, then O(1)
         val emitted = List.newBuilder[O]
         it.foreach { e =>
           pending = e :: pending
-          if (pending.length == n) {
+          count += 1
+          if (count == n) {
             emitted += emit(k, pending.reverse)
             pending = Nil
+            count = 0
           }
         }
         state.update(pending)

@@ -32,6 +32,26 @@ class CepSparkSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sorted-group batch streams a 10^6-event hot key (bounded memory)") {
+    import spark.implicits._
+    val n = 1000000L
+    // one single key: the skew worst case. flatMapSortedGroups must
+    // stream the group from the shuffle — state stays O(live partials).
+    val ds = spark.range(n).map { i =>
+      TEvt(i, i * 10, 1L, if (i % 2 == 0) "A" else "B")
+    }
+    val hotPat = PatternDef[TEvt](IndexedSeq(
+      Step[TEvt]("a", _.typ == "A"),
+      Step[TEvt]("b", _.typ == "B")),
+      withinMs = Some(100L))
+    val got = Cep.batch[TEvt, Long, TOut](
+      ds, _.user, hotPat, _.ts_ms, Seq(col("ts_ms"), col("id"))) {
+      (k, m) => Iterator.single(TOut(k, m.head("a").id, m.head("b").id))
+    }
+    // alternating A,B: every A pairs with the immediately-next B
+    assert(got.count() == n / 2)
+  }
+
   test("streaming executor agrees with batch (out-of-order input)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TEvt]
