@@ -462,6 +462,33 @@ object SparkEntry {
         Seq(col("ts_us"), col("event_id"))) { (k, m) =>
         Iterator.single(PairOut(k, m.head("a").event_id, m.head("b").event_id))
       }.toDF()
+    }),
+
+    // B9: session window (#window.session) — 30-min-gap sessions per
+    // user, one aggregate row per session
+    "q36_session_window" -> ((s, dir) => {
+      val sess = Windows.withSessionId(evts(s, dir), Seq(col("user_id")),
+        col("ts_us"), col("event_id"), 1800000000L)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          round(sum(col("value")), 6).as("sum_v"))
+    }),
+
+    // B9: sort window (#window.sort(n, attr)) — top-3 by value per user
+    "q37_sort_window" -> ((s, dir) => {
+      Windows.topN(evts(s, dir), Seq(col("user_id")),
+          Seq(col("value").desc, col("event_id").asc), 3)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value_r"))
+    }),
+
+    // B9: frequent window (#window.frequent(n)) — 2 most frequent event
+    // types per user
+    "q38_frequent_window" -> ((s, dir) => {
+      Windows.frequent(evts(s, dir), Seq(col("user_id")),
+          col("event_type"), 2)
+        .select(col("user_id"), col("event_type"), col("cnt"))
     }))
 
   // -------------------------------------------------------------------
@@ -812,5 +839,37 @@ object SparkEntry {
         |  FROM a JOIN b ON a.user_id = b.user_id
         |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
         |    AND b.b_us - a.a_us <= 600000000)
-        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
+
+    "q36_session_window" ->
+      """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, event_id, value, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id, count(*) AS n, min(us) AS start_us,
+        |  max(us) AS end_us, round(sum(value), 6) AS sum_v
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q37_sort_window" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id, round(value, 6) AS value_r
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    "q38_frequent_window" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |    FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type, cnt FROM r WHERE rk <= 2""".stripMargin)
 }

@@ -46,17 +46,42 @@ object Windows {
   def timeBatchStart(ts: Column, duration: String): Column =
     window(ts, duration).getField("start")
 
-  /** Session window start per Structured Streaming `session_window`;
-    * batch equivalent: gap-based session id via lag().
+  /** `#window.session(gap)`: gap-based session id per key (1-based,
+    * in first-event order). Batch equivalent of Structured Streaming's
+    * `session_window`; two window passes over ONE shuffle (same
+    * partitioning + ordering, Catalyst reuses the sort).
     */
-  def sessionId(partition: Seq[Column], ts: Column, tie: Column,
-      gapMicros: Long, tsMicros: Column): Column = {
-    val w = ordered(partition, ts, tie)
-    val newSession = when(
-      tsMicros - lag(tsMicros, 1).over(w) > gapMicros || lag(tsMicros, 1).over(w).isNull,
-      1).otherwise(0)
-    sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  def withSessionId(df: DataFrame, partition: Seq[Column], tsMicros: Column,
+      tie: Column, gapMicros: Long, out: String = "session_id"): DataFrame = {
+    val w = ordered(partition, tsMicros, tie)
+    df.withColumn("_new_session",
+        when(lag(tsMicros, 1).over(w).isNull ||
+          tsMicros - lag(tsMicros, 1).over(w) > gapMicros, 1L).otherwise(0L))
+      .withColumn(out, sum(col("_new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_session")
   }
+
+  /** `#window.frequent(n)`: the n most frequent values of `attr` per key
+    * (count desc, value asc tie-break). Exact counts — at 100 TB scale
+    * the groupBy is a map-side-combined hash agg on (key, attr), tiny
+    * unless attr cardinality explodes.
+    */
+  def frequent(df: DataFrame, partition: Seq[Column], attr: Column, n: Int): DataFrame = {
+    val counted = df.groupBy((partition :+ attr): _*)
+      .agg(count(lit(1)).as("cnt"))
+    counted.withColumn("_rank",
+        row_number().over(Window.partitionBy(partition: _*)
+          .orderBy(col("cnt").desc, attr.asc)))
+      .filter(col("_rank") <= n)
+      .drop("_rank")
+  }
+
+  /** `#window.delay(d)`: events become visible d later — batch shape is
+    * a shifted event-time column (streaming: watermark + d hold-back).
+    */
+  def delayed(tsMicros: Column, delayMicros: Long): Column =
+    tsMicros + delayMicros
 
   /** `#window.sort(n, attr)`: top-n rows per key by an ordering. */
   def topN(df: DataFrame, partition: Seq[Column], order: Seq[Column], n: Int): DataFrame =
