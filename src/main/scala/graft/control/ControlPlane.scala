@@ -85,8 +85,9 @@ object ControlEvent {
   * paused (stronger than the reference, whose runtime-state restore is
   * TODO at AbstractSiddhiOperator.java:341).
   *
-  * @param compile plan text → DataFrame (default `spark.sql` — ANSI SQL
-  *                over registered stream views; any DSL compiler fits)
+  * @param compile plan text → DataFrame (default [[PlanCompiler]] — ANSI
+  *                SQL or the `pattern:` CEP dialect over registered
+  *                stream views; any DSL compiler fits)
   * @param sink    attaches the plan's output: given (planId, df), returns
   *                a started StreamingQuery (for streaming dfs) or None
   *                after executing a batch action
@@ -103,7 +104,7 @@ class ControlPlane(
 
   def this(spark: SparkSession,
       sink: (String, DataFrame) => Option[StreamingQuery]) =
-    this(spark, spark.sql(_), sink)
+    this(spark, PlanCompiler(spark), sink)
 
   private def start(id: String, plan: String): Option[StreamingQuery] =
     sink(id, compile(plan))

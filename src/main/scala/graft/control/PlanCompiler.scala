@@ -1,0 +1,146 @@
+package graft.control
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cep.{Cep, PatternDef, PatternMatch, Step}
+
+/** Multi-dialect compiler for dynamic control-plane plan text — the
+  * piece that makes runtime-added plans more than relational SQL.
+  *
+  * The reference's control plans carry full SiddhiQL including patterns
+  * (router/AddRouteOperator.java:114-126 re-parses each added plan);
+  * Spark's `spark.sql` cannot express CEP, so plans are dispatched on a
+  * dialect prefix:
+  *
+  *  - `sql: SELECT …` (or no prefix) — ANSI SQL over the registered
+  *    stream views (Catalyst analyzes eagerly → add-time validation);
+  *  - `pattern: …` — a line-oriented CEP pattern over one registered
+  *    view, compiled onto the [[graft.cep.Nfa]] kernel.
+  *
+  * Pattern dialect (lines or `;`-separated clauses):
+  * {{{
+  * pattern:
+  *   from <view>
+  *   key <expr> ; ts <expr> ; tie <expr>     -- exprs over the view
+  *   eventtime <column>   -- streaming only: the view's watermarked
+  *                        -- timestamp column (carried through so the
+  *                        -- stateful op sees the watermark)
+  *   within <eventTimeUnits>                 -- optional
+  *   every true|false                        -- optional (default true)
+  *   tsscale <unitsPerMs>                    -- optional (default 1)
+  *   step <name> [strict] [min m] [max n] where <boolean expr>
+  *   step <name> …                           -- 1+ steps, in order
+  * }}}
+  *
+  * Step predicates are arbitrary Catalyst boolean expressions evaluated
+  * ONCE per event as a pre-computed flag array (codegen'd projection),
+  * so the NFA never interprets SQL per partial match. Output schema:
+  * `key string, start_ts long, end_ts long, binds map<string,long>`
+  * (step name → tie id of its first bound event).
+  *
+  * Batch views run the sorted-group batch executor; streaming views the
+  * watermark-buffered streaming executor (the view must carry a
+  * watermark).
+  */
+object PlanCompiler {
+
+  final case class DynEvt(key: String, ts: Long, tie: Long,
+      flags: Seq[Boolean], wmc: java.sql.Timestamp)
+  final case class DynMatch(key: String, start_ts: Long, end_ts: Long,
+      binds: Map[String, Long])
+
+  def apply(spark: SparkSession): String => DataFrame = compile(spark, _)
+
+  def compile(spark: SparkSession, text: String): DataFrame = {
+    val t = text.trim
+    val lower = t.toLowerCase
+    if (lower.startsWith("pattern:")) compilePattern(spark, t.drop(8))
+    else if (lower.startsWith("sql:")) spark.sql(t.drop(4))
+    else spark.sql(t)
+  }
+
+  private final case class StepSpec(
+      name: String, strict: Boolean, min: Int, max: Int, cond: String)
+
+  private def compilePattern(spark: SparkSession, body: String): DataFrame = {
+    var view: String = null
+    var keyE: String = null
+    var tsE: String = null
+    var tieE: String = null
+    var within: Option[Long] = None
+    var every = true
+    var tsScale = 1L
+    var wmCol: String = null
+    val steps = ArrayBuffer.empty[StepSpec]
+
+    body.split("[\n;]").map(_.trim).filter(_.nonEmpty).foreach { ln =>
+      val lower = ln.toLowerCase
+      if (lower.startsWith("from ")) view = ln.drop(5).trim
+      else if (lower.startsWith("key ")) keyE = ln.drop(4).trim
+      else if (lower.startsWith("ts ")) tsE = ln.drop(3).trim
+      else if (lower.startsWith("tie ")) tieE = ln.drop(4).trim
+      else if (lower.startsWith("eventtime ")) wmCol = ln.drop(10).trim
+      else if (lower.startsWith("within ")) within = Some(ln.drop(7).trim.toLong)
+      else if (lower.startsWith("every ")) every = ln.drop(6).trim.toBoolean
+      else if (lower.startsWith("tsscale ")) tsScale = ln.drop(8).trim.toLong
+      else if (lower.startsWith("step ")) {
+        val wi = lower.indexOf(" where ")
+        require(wi > 0, s"step clause needs 'where': $ln")
+        val head = ln.substring(5, wi).trim.split("\\s+")
+        val cond = ln.substring(wi + 7).trim
+        var strict = false
+        var min = 1
+        var max = 1
+        var i = 1
+        while (i < head.length) {
+          head(i).toLowerCase match {
+            case "strict" => strict = true; i += 1
+            case "min" => min = head(i + 1).toInt; i += 2
+            case "max" => max = head(i + 1).toInt; i += 2
+            case other =>
+              throw new IllegalArgumentException(s"unknown step modifier: $other")
+          }
+        }
+        steps += StepSpec(head(0), strict, min, max, cond)
+      }
+      else throw new IllegalArgumentException(s"unrecognized pattern clause: $ln")
+    }
+    require(view != null, "pattern plan needs 'from <view>'")
+    require(keyE != null && tsE != null && tieE != null,
+      "pattern plan needs 'key', 'ts' and 'tie' expressions")
+    require(steps.nonEmpty, "pattern plan needs at least one step")
+
+    val src = spark.table(view)
+    if (src.isStreaming) require(wmCol != null,
+      "streaming pattern plan needs 'eventtime <watermarked column>'")
+    val flags = array(steps.toSeq.map(s =>
+      coalesce(expr(s.cond).cast("boolean"), lit(false))): _*)
+    // plain alias (not cast) keeps the watermark metadata on the column,
+    // so the downstream stateful op sees the event-time watermark
+    val wmc = if (wmCol != null) col(wmCol).as("wmc")
+      else lit(null).cast("timestamp").as("wmc")
+    import spark.implicits._
+    val ds = src.select(
+      expr(keyE).cast("string").as("key"),
+      expr(tsE).cast("long").as("ts"),
+      expr(tieE).cast("long").as("tie"),
+      flags.as("flags"),
+      wmc).as[DynEvt]
+
+    val pSteps = steps.toIndexedSeq.zipWithIndex.map { case (s, i) =>
+      Step[DynEvt](s.name, _.flags(i), s.min, s.max, s.strict)
+    }
+    val pat = PatternDef[DynEvt](pSteps, within, every)
+    val build = (k: String, m: PatternMatch[DynEvt]) => Iterator.single(
+      DynMatch(k, m.startTs, m.endTs,
+        m.groups.map { case (n, es) => n -> es.head.tie }))
+
+    if (ds.isStreaming)
+      Cep.streaming[DynEvt, String, DynMatch](
+        ds, _.key, pat, _.ts, _.tie, tsScale)(build).toDF()
+    else
+      Cep.batch[DynEvt, String, DynMatch](
+        ds, _.key, pat, _.ts, Seq(col("ts"), col("tie")))(build).toDF()
+  }
+}

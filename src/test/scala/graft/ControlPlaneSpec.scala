@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.control._
 
@@ -53,6 +55,97 @@ class ControlPlaneSpec extends SparkSpec {
       intercept[NoSuchElementException] {
         cp.handle(UpdatePlan("p1", "SELECT 1"))
       }
+    } finally cp.shutdown()
+  }
+
+  test("dynamic pattern plan: CEP added at runtime over a batch view") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "C"), (3L, 30L, 1L, "B"),
+        (4L, 40L, 2L, "A"), (5L, 50L, 2L, "A"))
+      .toDF("id", "ts", "user", "typ").createOrReplaceTempView("cp_events")
+    var got: Array[(String, Long, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      got = df.selectExpr("key", "binds['a'] AS a_id", "binds['b'] AS b_id")
+        .as[(String, Long, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("pat1",
+        """pattern:
+          |from cp_events
+          |key user ; ts ts ; tie id
+          |within 100
+          |step a where typ = 'A'
+          |step b where typ = 'B'""".stripMargin))
+      // user 1: A(1) -> B(3); user 2 has no B — no match
+      assert(got.toSet == Set(("1", 1L, 3L)))
+    } finally cp.shutdown()
+  }
+
+  test("dynamic pattern plan over a streaming view (CEP in control plane)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEvt]
+    input.toDS()
+      .withColumn("tsc", timestamp_millis($"ts_ms"))
+      .withWatermark("tsc", "5 seconds")
+      .createOrReplaceTempView("cp_stream")
+    val cp = new ControlPlane(spark,
+      (id: String, df: DataFrame) => Some(
+        df.writeStream.format("memory").queryName(s"cps_$id")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("cps_ck").toString)
+          .start()))
+    try {
+      cp.handle(AddPlan("sp1",
+        "pattern:\nfrom cp_stream\nkey user ; ts ts_ms ; tie id\n" +
+          "eventtime tsc\nstep a where typ = 'A'\nstep b where typ = 'B'"))
+      input.addData(TEvt(1, 1000, 1, "A"), TEvt(2, 2000, 1, "B"))
+      cp.runningQuery("sp1").get.processAllAvailable()
+      input.addData(TEvt(9, 100000L, 9, "X")) // advance the watermark
+      cp.runningQuery("sp1").get.processAllAvailable()
+      val got = spark.table("cps_sp1")
+        .selectExpr("key", "binds['a'] AS a_id", "binds['b'] AS b_id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("1", 1L, 2L)))
+    } finally cp.shutdown()
+  }
+
+  test("disable→enable resumes from checkpoint, no loss/duplication (A14)") {
+    import spark.implicits._
+    spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+      .selectExpr("value").createOrReplaceTempView("rate_ck")
+    val outDir = java.nio.file.Files.createTempDirectory("cp_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("cp_ck").toString
+    def countOut(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+    def waitUntil(cond: () => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cond(), "timed out waiting for streaming progress")
+    }
+    val cp = new ControlPlane(spark,
+      (_: String, df: DataFrame) => Some(
+        df.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append").start()))
+    try {
+      cp.handle(AddPlan("ck1", "SELECT value FROM rate_ck"))
+      waitUntil(() => countOut() > 0)
+      cp.handle(DisablePlan("ck1"))
+      val afterPause = countOut()
+      // resume from the SAME checkpoint: continues at committed offsets
+      cp.handle(EnablePlan("ck1"))
+      waitUntil(() => countOut() > afterPause)
+      cp.handle(DisablePlan("ck1"))
+      val vals = spark.read.parquet(outDir).select("value").as[Long]
+        .collect().sorted
+      // rate source emits 0,1,2,…: exactly-once resume ⇒ the output is a
+      // gapless, duplicate-free prefix
+      assert(vals.length == vals.distinct.length, "duplicated rows")
+      assert(vals.zipWithIndex.forall { case (v, i) => v == i },
+        "gap in resumed output")
     } finally cp.shutdown()
   }
 }
