@@ -15,7 +15,12 @@ object Bench {
     // so the first timed query isn't charged for JVM init
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration;
+    // the driver sets no filter and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every projected column —
       // count() would let Catalyst prune unreferenced projections and

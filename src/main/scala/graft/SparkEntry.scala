@@ -277,15 +277,21 @@ object SparkEntry {
     }),
 
     // LLM: n-gram (word trigram) distinct counts — the Jaccard building
-    // block, fully SQL-expressible
+    // block, fully SQL-expressible. The token array is materialized in
+    // its own projection FIRST: inlining `split(regexp_replace(…))` into
+    // every element_at of the (interpreted) transform lambda re-runs the
+    // regex per trigram element — O(tokens²) regex work per document.
     "q20_ngram_counts" -> ((s, dir) => {
-      val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val withToks = ld(s, dir, "documents").select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("_toks"))
+      val toks = col("_toks")
       val n = size(toks)
       val grams = array_distinct(transform(
-        sequence(lit(1), n - 2),
+        sequence(lit(1), greatest(n - 2, lit(0))),
         i => concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      ld(s, dir, "documents").select(col("doc_id"),
+      withToks.select(col("doc_id"),
         when(n < 3, lit(0L)).otherwise(size(grams).cast("long")).as("n_trigrams"))
     }),
 
