@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{Dedup, Similarity, Windows}
+import graft.operators.{Dedup, Multimodal, Similarity, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -495,6 +495,29 @@ object SparkEntry {
       Windows.frequent(evts(s, dir), Seq(col("user_id")),
           col("event_type"), 2)
         .select(col("user_id"), col("event_type"), col("cnt"))
+    }),
+
+    // LLM multimodal: binary payload + typed metadata via the decode
+    // stub — deterministic, so the oracle replicates it byte-for-byte
+    "q39_multimodal_decode" -> ((s, dir) => {
+      Multimodal.synthesize(ld(s, dir, "documents"), "text")
+        .select(col("doc_id"), Multimodal.decode(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.media_type"), col("m.width"),
+          col("m.height"), col("m.n_frames"))
+    }),
+
+    // LLM multimodal: batched partition-wise byte-statistics kernel
+    // (histogram entropy isn't SQL-expressible — rows-only; exact values
+    // unit-tested in MultimodalSpec)
+    "q40_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val bin = Multimodal.synthesize(ld(s, dir, "documents"), "text")
+        .select(col("doc_id").as("id"), col("payload"))
+        .as[Multimodal.BinAsset]
+      Multimodal.byteFeatures(bin).toDF()
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("byte_entropy"), 6).as("byte_entropy"))
     }))
 
   // -------------------------------------------------------------------
@@ -877,5 +900,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY cnt DESC, event_type) AS rk
         |  FROM c)
-        |SELECT user_id, event_type, cnt FROM r WHERE rk <= 2""".stripMargin)
+        |SELECT user_id, event_type, cnt FROM r WHERE rk <= 2""".stripMargin,
+
+    "q39_multimodal_decode" ->
+      """WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb
+        |    FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN nb % 3 = 0 THEN 'image'
+        |    WHEN nb % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(64 + nb % 192 AS INTEGER) AS width,
+        |  CAST(64 + (nb * 7) % 192 AS INTEGER) AS height,
+        |  CAST(1 + nb % 30 AS INTEGER) AS n_frames
+        |FROM n""".stripMargin)
 }
