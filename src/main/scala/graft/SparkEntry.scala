@@ -518,6 +518,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bytes"),
           round(col("mean_byte"), 6).as("mean_byte"),
           round(col("byte_entropy"), 6).as("byte_entropy"))
+    }),
+
+    // B11: left outer join through the environment DSL — customers with
+    // their order count, keeping order-less customers (n_orders = 0)
+    "q41_outer_join" -> ((s, dir) => {
+      val env = new GraftCEP(s)
+      env.registerStream("cust_v", ld(s, dir, "customer"))
+      env.registerStream("ord_v", ld(s, dir, "orders"))
+      env.from("cust_v")
+        .join("ord_v", col("c_custkey") === col("o_custkey"), "left_outer")
+        .toDF
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
     }))
 
   // -------------------------------------------------------------------
@@ -911,5 +924,10 @@ object SparkEntry {
         |  CAST(64 + nb % 192 AS INTEGER) AS width,
         |  CAST(64 + (nb * 7) % 192 AS INTEGER) AS height,
         |  CAST(1 + nb % 30 AS INTEGER) AS n_frames
-        |FROM n""".stripMargin)
+        |FROM n""".stripMargin,
+
+    "q41_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin)
 }

@@ -42,22 +42,41 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n") > 1)
 
+  /** Drop over-crowded candidate buckets before a band self-join: a key
+    * shared by more than `cap` rows (boilerplate shingles, a degenerate
+    * band) would contribute a quadratic |bucket|² pair blow-up — one hot
+    * band at 100 TB is an executor-killer. Capping bounds every
+    * bucket's contribution at cap²; the pairs lost in a dropped band are
+    * exactly the ones the other independent bands still catch.
+    */
+  private def capBuckets(buckets: DataFrame, keyCols: Seq[String],
+      cap: Int): DataFrame =
+    if (cap <= 0) buckets
+    else {
+      val counts = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= cap)
+      buckets.join(counts, keyCols).drop("_bn")
+    }
+
   /** MinHash + banded-LSH candidate pairs with estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
-    * across bands, filtered at `threshold`.
+    * across bands, filtered at `threshold`. `maxBucket` caps per-band
+    * bucket size (see [[capBuckets]]).
     */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val sigs = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", Hashing.minhashSig(col("text"), shingleK, numHashes))
       .select(col("id"), col("sig"),
         Hashing.bandKeys(col("sig"), bands, numHashes).as("bandkeys"))
 
-    val buckets = sigs.select(col("id"), col("sig"),
-      explode(col("bandkeys")).as("band"))
+    val buckets = capBuckets(
+      sigs.select(col("id"), col("sig"), explode(col("bandkeys")).as("band")),
+      Seq("band"), maxBucket)
 
     val a = buckets.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -77,18 +96,20 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, pieces: Int = 4): DataFrame = {
+      maxHamming: Int = 3, pieces: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < pieces, "pigeonhole needs maxHamming < pieces")
     val bitsPer = 64 / pieces
     val hashed = df.select(col(idCol).as("id"),
       Hashing.simhash(col(textCol)).as("sh"))
-    val segs = hashed.select(col("id"), col("sh"), explode(array(
+    val segs = capBuckets(hashed.select(col("id"), col("sh"), explode(array(
       (0 until pieces).map { p =>
         struct(lit(p).as("seg"),
           shiftrightunsigned(col("sh"), p * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("segval"))
       }: _*)).as("s"))
-      .select(col("id"), col("sh"), col("s.seg"), col("s.segval"))
+      .select(col("id"), col("sh"), col("s.seg"), col("s.segval")),
+      Seq("seg", "segval"), maxBucket)
 
     val l = segs.select(col("seg"), col("segval"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = segs.select(col("seg"), col("segval"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -129,12 +150,19 @@ object Dedup {
     * by exact cosine. `dim` is the embedding dimension; `nPlanes` planes
     * give 2^nPlanes buckets.
     */
+  /** `maxBucket` caps bucket size as in [[capBuckets]]; 0 disables it —
+    * callers with an exact external oracle (q26) keep it off, scale
+    * deployments set it to bound the worst bucket.
+    */
   def embeddingPairs(
       df: DataFrame, vecCol: String, idCol: String, dim: Int,
-      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Vectors.signBuckets(col("v"), dim, nPlanes))
-      .withColumn("n2", Vectors.dot(col("v"), col("v")))
+      threshold: Double = 0.95, nPlanes: Int = 8,
+      maxBucket: Int = 0): DataFrame = {
+    val withBucket = capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", Vectors.signBuckets(col("v"), dim, nPlanes))
+        .withColumn("n2", Vectors.dot(col("v"), col("v"))),
+      Seq("bucket"), maxBucket)
     val l = withBucket.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("n2").as("n2_a"))
     val r = withBucket.select(col("bucket"), col("id").as("id_b"),

@@ -45,17 +45,43 @@ object Similarity {
   /** IVF/LSH-bucketed approximate top-k: queries only compare against
     * corpus vectors in the same sign-projection bucket. Recall < 1.0 by
     * construction; increase `nPlanes` ↓bucket size, decrease ↑recall.
+    *
+    * `multiProbe` > 0 additionally probes that many Hamming-1 neighbor
+    * buckets per query, flipping the LEAST-confident sign bits first
+    * (smallest |projection| — the planes the query sits closest to).
+    * Classic multi-probe LSH: recall climbs steeply with a handful of
+    * probes while the scanned volume grows only (1+multiProbe)×, all on
+    * the small query side (the corpus is bucketed once, never exploded).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dim: Int, k: Int,
-      nPlanes: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+      nPlanes: Int = 6, multiProbe: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("bucket", Vectors.signBuckets(col("_cv"), dim, nPlanes))
       .withColumn("_cn", Vectors.dot(col("_cv"), col("_cv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("bucket", Vectors.signBuckets(col("_qv"), dim, nPlanes))
       .withColumn("_qn", Vectors.dot(col("_qv"), col("_qv")))
+    val q =
+      if (multiProbe <= 0) q0
+      else {
+        val probes = math.min(multiProbe, nPlanes)
+        // per-plane |projection| paired with its bit mask; sorting the
+        // struct array ascending yields the flip order
+        val planeStructs = Vectors.planes(dim, nPlanes).zipWithIndex.map {
+          case (pl, p) => struct(
+            abs(Vectors.dot(col("_qv"), lit(pl))).as("a"),
+            lit(1L << p).as("m"))
+        }
+        val flipMasks = slice(
+          transform(array_sort(array(planeStructs: _*)), s => s.getField("m")),
+          1, probes)
+        q0.withColumn("bucket", explode(concat(
+            array(col("bucket")),
+            transform(flipMasks, m => col("bucket").bitwiseXOR(m)))))
+      }
     val joined = c.join(q, Seq("bucket"))
     val scored0 = joined.select(col("query_id"), col("neighbor_id"),
       Vectors.cosineFromParts(Vectors.dot(col("_qv"), col("_cv")),

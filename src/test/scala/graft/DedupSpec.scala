@@ -80,4 +80,42 @@ class DedupSpec extends SparkSpec {
     // a query identical to a corpus vector always lands in its own bucket
     assert(got.length == 10 && got.forall(p => p._1 == p._2))
   }
+
+  test("multi-probe LSH recovers near-dup neighbors across bucket edges") {
+    val dim = 32
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 100L).map(i => (i, vec()))
+    // queries are noisy copies of corpus vectors: the true top-1 neighbor
+    // is the source, but noise pushes some queries across a hyperplane
+    val queries = corpus.take(40).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    def recall(probes: Int): Double = {
+      val got = Similarity.lshTopK(cdf, qdf, "embedding", "vec_id", dim,
+        k = 1, nPlanes = 8, multiProbe = probes)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      got.count(p => p._1 - 1000L == p._2).toDouble / queries.size
+    }
+    val r0 = recall(0)
+    val r4 = recall(4)
+    info(s"recall@1: single-bucket $r0, multi-probe(4) $r4")
+    assert(r4 >= r0, s"multi-probe recall $r4 below single-bucket $r0")
+    assert(r4 >= 0.8, s"multi-probe recall too low: $r4")
+  }
+
+  test("bucket cap drops over-crowded bands (skew guard)") {
+    // 30 identical docs: every band bucket holds all 30 → cap 10 drops
+    // every bucket, so no candidate pairs survive
+    val many = (0L until 30L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(many, "text", "doc_id",
+      threshold = 0.0, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashPairs(many, "text", "doc_id",
+      threshold = 0.0, maxBucket = 0)
+    assert(uncapped.count() == 30L * 29L / 2L)
+  }
 }
