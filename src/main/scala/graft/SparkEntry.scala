@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{Dedup, Multimodal, Similarity, Windows}
+import graft.operators.{Dedup, Multimodal, Rollup, Similarity, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -531,6 +531,15 @@ object SparkEntry {
         .toDF
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // B27: incremental rollup cascade — minute→hour→day, raw data
+    // scanned once, coarser levels merge the finer level's partials
+    "q42_rollup_cascade" -> ((s, dir) => {
+      Rollup.cascade(evts(s, dir), col("ts"), col("value"),
+          Seq("minute", "hour", "day"))
+        .select(col("granularity"), col("bucket"),
+          round(col("sum_v"), 6).as("sum_v"), col("n"))
     }))
 
   // -------------------------------------------------------------------
@@ -929,5 +938,19 @@ object SparkEntry {
     "q41_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin)
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q42_rollup_cascade" ->
+      """SELECT 'minute' AS granularity,
+        |  CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+        |  round(sum(value), 6) AS sum_v, count(*) AS n
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'hour', CAST(date_trunc('hour', ts) AS TIMESTAMP),
+        |  round(sum(value), 6), count(*)
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |  round(sum(value), 6), count(*)
+        |FROM events GROUP BY 2""".stripMargin)
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** B27: incremental multi-granularity aggregation — Siddhi's
+  * `define aggregation … aggregate by ts every sec…year` cascade
+  * (grammar pass-through in the reference, SURVEY §2.B27).
+  *
+  * The base table is scanned and aggregated ONCE at the finest
+  * granularity; every coarser level re-aggregates the previous level's
+  * partial aggregates (sums of sums, sums of counts — additive merge),
+  * so a year-level rollup over 100 TB touches the raw data exactly once.
+  * Spark's ReuseExchange dedups the shared shuffle across the unioned
+  * branches at runtime.
+  */
+object Rollup {
+
+  /** @param granularities finest-first `date_trunc` units, e.g.
+    *                      Seq("minute", "hour", "day")
+    * @return one row per (granularity, bucket) with additive aggregates
+    *         `sum_v` and `n` (avg = sum_v / n at any level)
+    */
+  def cascade(df: DataFrame, ts: Column, valueCol: Column,
+      granularities: Seq[String]): DataFrame = {
+    require(granularities.nonEmpty)
+    val base = df
+      .groupBy(date_trunc(granularities.head, ts).as("bucket"))
+      .agg(sum(valueCol).as("sum_v"), count(lit(1)).as("n"))
+      .withColumn("granularity", lit(granularities.head))
+    val levels = granularities.tail.scanLeft(base) { (prev, g) =>
+      prev.groupBy(date_trunc(g, col("bucket")).as("bucket"))
+        .agg(sum(col("sum_v")).as("sum_v"), sum(col("n")).as("n"))
+        .withColumn("granularity", lit(g))
+    }
+    levels.reduce(_.unionByName(_))
+  }
+}
