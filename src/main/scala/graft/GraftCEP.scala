@@ -52,6 +52,14 @@ class GraftCEP(val spark: SparkSession) {
   def from(streamId: String): StreamQuery =
     new StreamQuery(this, getStream(streamId))
 
+  /** `.cql(planText)` equivalent: compile a plan string — ANSI SQL or
+    * the `pattern:` CEP dialect — against the registered stream views
+    * (same dialect the dynamic control plane accepts, so static and
+    * runtime-added plans share one surface).
+    */
+  def plan(text: String): DataFrame =
+    graft.control.PlanCompiler.compile(spark, text)
+
   /** A3: union of registered streams by name, null-filling missing
     * columns (reference `union`, SiddhiStream.java:185-257).
     */

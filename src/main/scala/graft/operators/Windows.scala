@@ -31,6 +31,14 @@ object Windows {
     Window.partitionBy(partition: _*).orderBy(tsMicros.asc)
       .rangeBetween(-rangeMicros, Window.currentRow)
 
+  /** `#window.externalTime(tsAttr, d)`: identical to [[time]] — every
+    * window here is already driven by the event's own timestamp
+    * attribute, which IS Siddhi's externalTime semantics (the wall-clock
+    * flavor does not exist in a batch/event-time engine).
+    */
+  def externalTime(partition: Seq[Column], tsMicros: Column,
+      rangeMicros: Long): WindowSpec = time(partition, tsMicros, rangeMicros)
+
   /** `maxForever` / `minForever`: unbounded-preceding running frame. */
   def forever(partition: Seq[Column], ts: Column, tie: Column): WindowSpec =
     ordered(partition, ts, tie)

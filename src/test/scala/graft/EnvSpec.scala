@@ -59,6 +59,20 @@ class EnvSpec extends SparkSpec {
     assert(u.filter($"_stream_id" === "s2").count() == 2)
   }
 
+  test("env.plan compiles SQL and pattern dialects (.cql parity)") {
+    import spark.implicits._
+    val env = GraftCEP(spark)
+    env.registerStream("pe",
+      Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B")).toDF("id", "ts", "u", "t"))
+    assert(env.plan("SELECT count(*) AS n FROM pe").as[Long].head() == 2L)
+    val m = env.plan(
+      "pattern:\nfrom pe\nkey u ; ts ts ; tie id\n" +
+        "step a where t = 'A'\nstep b where t = 'B'")
+      .selectExpr("binds['a'] AS a", "binds['b'] AS b")
+      .as[(Long, Long)].collect().toSeq
+    assert(m == Seq((1L, 2L)))
+  }
+
   test("registered UDF extension is callable from SQL (B23)") {
     val env = freshEnv()
     env.registerFunction("custom_plus", udf((a: Double, b: Double) => a + b))
