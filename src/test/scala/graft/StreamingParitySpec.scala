@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class SEvt(id: Long, ts_ms: Long, user: Long, v: Double)
+
+/** Built-in Structured Streaming paths (time windows, session windows,
+  * watermarked stream-stream joins) must agree with their batch
+  * formulations — the A6/B7/B8/B9/B10 streaming parity surface that the
+  * reference gets from its watermark-ordered event buffer.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evs = Seq(
+    SEvt(1, 1000, 1, 1.0), SEvt(2, 5000, 1, 2.0),
+    SEvt(3, 12000, 1, 4.0), SEvt(4, 3000, 2, 8.0))
+  private val flush = SEvt(99, 10000000L, 9, 0.0)
+
+  test("streaming tumbling window agg matches batch (B8 + A6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvt]
+    val streamed = input.toDF()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window($"ts", "10 seconds"), $"user")
+      .agg(sum($"v").as("sum_v"))
+      .select($"window.start".cast("long").as("w"), $"user", $"sum_v")
+    val q = streamed.writeStream.format("memory").queryName("par_tumble")
+      .outputMode("append").start()
+    try {
+      input.addData(scala.util.Random.shuffle(evs))
+      q.processAllAvailable()
+      input.addData(flush) // advance watermark → close all windows
+      q.processAllAvailable()
+      val got = spark.table("par_tumble")
+        .filter($"user" =!= 9).as[(Long, Long, Double)].collect().toSet
+      val expected = (evs :+ flush).toDF()
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+        .groupBy(window($"ts", "10 seconds"), $"user")
+        .agg(sum($"v").as("sum_v"))
+        .select($"window.start".cast("long").as("w"), $"user", $"sum_v")
+        .filter($"user" =!= 9).as[(Long, Long, Double)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming session window groups by gap (B9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvt]
+    // user 1: events at 1s and 3s (one 5s-gap session) then 20s (new one)
+    val sessEvs = Seq(SEvt(1, 1000, 1, 1.0), SEvt(2, 3000, 1, 1.0),
+      SEvt(3, 20000, 1, 1.0))
+    val streamed = input.toDF()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "2 seconds")
+      .groupBy(session_window($"ts", "5 seconds"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"user", $"n")
+    val q = streamed.writeStream.format("memory").queryName("par_session")
+      .outputMode("append").start()
+    try {
+      input.addData(sessEvs)
+      q.processAllAvailable()
+      input.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("par_session").filter($"user" === 1)
+        .as[(Long, Long)].collect().map(_._2).sorted.toSeq
+      assert(got == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream join matches batch join (B10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[SEvt]
+    val inB = MemoryStream[SEvt]
+    def side(in: MemoryStream[SEvt], p: String) = in.toDF()
+      .withColumn(s"${p}_ts", timestamp_millis($"ts_ms"))
+      .withWatermark(s"${p}_ts", "2 seconds")
+      .select(col("user").as(s"${p}_user"), col("id").as(s"${p}_id"),
+        col(s"${p}_ts"))
+    val joined = side(inA, "a").join(side(inB, "b"),
+      expr("a_user = b_user AND b_ts BETWEEN a_ts - INTERVAL 5 SECONDS " +
+        "AND a_ts + INTERVAL 5 SECONDS"))
+      .select($"a_user", $"a_id", $"b_id")
+    val q = joined.writeStream.format("memory").queryName("par_join")
+      .outputMode("append").start()
+    try {
+      val aEvs = Seq(SEvt(1, 1000, 1, 0), SEvt(2, 9000, 1, 0))
+      val bEvs = Seq(SEvt(11, 3000, 1, 0), SEvt(12, 30000, 1, 0))
+      inA.addData(aEvs); inB.addData(bEvs)
+      q.processAllAvailable()
+      inA.addData(flush); inB.addData(flush.copy(id = 98))
+      q.processAllAvailable()
+      val got = spark.table("par_join").filter($"a_user" === 1)
+        .as[(Long, Long, Long)].collect().toSet
+      // batch truth: pairs within ±5s — (1,11) at 1s/3s; 9s/3s too (6s? no:
+      // |9000-3000| = 6000 > 5000 — excluded); 30s out of range entirely
+      assert(got == Set((1L, 1L, 11L)))
+    } finally q.stop()
+  }
+}
