@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.cep.{Cep, PatternDef, Step}
+import graft.cep.{Absence, Cep, PatternDef, Step}
 
 case class TEvt(id: Long, ts_ms: Long, user: Long, typ: String)
 case class TOut(user: Long, a_id: Long, b_id: Long)
@@ -50,6 +50,42 @@ class CepSparkSpec extends SparkSpec {
     }
     // alternating A,B: every A pairs with the immediately-next B
     assert(got.count() == n / 2)
+  }
+
+  test("streaming absence emits at the deadline via event-time timers") {
+    implicit val sqlCtx = spark.sqlContext
+    val absPat = PatternDef[TEvt](IndexedSeq(
+      Step[TEvt]("a", _.typ == "A"),
+      Absence(Step[TEvt]("nb", _.typ == "B"), forMs = 10000L)))
+    val input = MemoryStream[TEvt]
+    val withTs = input.toDS()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "2 seconds")
+      .as[TEvt]
+    val out = Cep.streaming[TEvt, Long, TOut](
+      withTs, _.user, absPat, _.ts_ms, _.id) {
+      (k, m) => Iterator.single(TOut(k, m.head("a").id, m.endTs))
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cep_abs")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cep_abs_ck").toString)
+      .start()
+    try {
+      // user 1: A then no B — alert at 1000+10000; user 2: A then B
+      // inside the window — suppressed
+      input.addData(TEvt(1, 1000, 1, "A"), TEvt(2, 2000, 2, "A"),
+        TEvt(3, 4000, 2, "B"))
+      q.processAllAvailable()
+      // watermark far past both deadlines; no further events on key 1 —
+      // emission must come from the timer path
+      input.addData(TEvt(99, 100000L, 99, "X"))
+      q.processAllAvailable()
+      input.addData(TEvt(98, 200000L, 98, "X")) // extra trigger for timers
+      q.processAllAvailable()
+      val got = spark.table("cep_abs").as[TOut].collect().toSet
+      assert(got == Set(TOut(1, 1, 11000L)))
+    } finally q.stop()
   }
 
   test("streaming executor agrees with batch (out-of-order input)") {
