@@ -11,6 +11,7 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   */
 class DuplicatedStreamException(msg: String) extends RuntimeException(msg)
 class UndefinedStreamException(msg: String) extends RuntimeException(msg)
+class UndefinedFieldException(msg: String) extends RuntimeException(msg)
 
 /** The engine environment — Spark-native equivalent of `SiddhiCEP`
   * (reference: core/src/main/java/org/apache/flink/streaming/siddhi/SiddhiCEP.java:53-54
@@ -31,6 +32,22 @@ class GraftCEP(val spark: SparkSession) {
     streams(streamId) = df
     df.createOrReplaceTempView(streamId)
     this
+  }
+
+  /** Field-name binding form (reference `registerStream(streamId, ds,
+    * fieldNames…)`, SiddhiCEP.java:174-185): the user names the fields,
+    * types come from the host schema, unknown names fail fast (reference
+    * error surface: StreamSchemaTest.java unknown-field case).
+    */
+  def registerStream(streamId: String, df: DataFrame,
+      fieldNames: String*): this.type = {
+    val missing = fieldNames.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new UndefinedFieldException(
+        s"stream '$streamId': fields ${missing.mkString(", ")} not in " +
+          s"schema [${df.columns.mkString(", ")}]")
+    registerStream(streamId,
+      if (fieldNames.isEmpty) df else df.select(fieldNames.map(col): _*))
   }
 
   def getStream(streamId: String): DataFrame =

@@ -63,6 +63,31 @@ object StatefulWindows {
     }
   }
 
+  /** `#window.time(d)` streaming: per event, aggregate over the key's
+    * trailing `windowTs` event-time units. The buffer self-prunes on
+    * every event, so state per key is O(events inside the window), and
+    * eviction needs no timers (Siddhi's sliding time window emits on
+    * arrival; the trailing scope is defined by the arriving event's own
+    * timestamp).
+    */
+  def timeWindow[E, K: Encoder, O: Encoder](
+      ds: Dataset[E], key: E => K, ts: E => Long, windowTs: Long)(
+      emit: (K, E, Seq[E]) => O): Dataset[O] = {
+    implicit val stateEnc: Encoder[List[E]] = Encoders.kryo[List[E]]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[List[E]]) =>
+        var window = state.getOption.getOrElse(Nil) // newest first
+        val out = it.map { e =>
+          val t = ts(e)
+          window = e :: window.filter(x => t - ts(x) <= windowTs)
+          emit(k, e, window.reverse)
+        }.toList
+        state.update(window)
+        out.iterator
+    }
+  }
+
   /** Kryo can't encode bare primitives as state — box the accumulator. */
   final case class Box[B](value: B)
 

@@ -24,6 +24,16 @@ class EnvSpec extends SparkSpec {
     intercept[UndefinedStreamException] { freshEnv().from("nope") }
   }
 
+  test("field-name binding selects named fields, rejects unknown (A1/A4)") {
+    val env = GraftCEP(spark)
+    val df = Seq((1L, "x", 2.0)).toDF("id", "name", "v")
+    env.registerStream("named", df, "id", "v")
+    assert(env.getStream("named").columns.toSeq == Seq("id", "v"))
+    intercept[UndefinedFieldException] {
+      env.registerStream("bad", df, "id", "nope")
+    }
+  }
+
   test("fluent filter/select/insertInto pipeline (B1-B5)") {
     val env = freshEnv()
     val out = env.from("ev")

@@ -6,6 +6,7 @@ import graft.streaming.StatefulWindows
 case class WEvt(id: Long, user: Long, v: Double)
 case class WOut(user: Long, id: Long, sum: Double)
 case class BOut(user: Long, n: Int, sum: Double)
+case class TWEvt(id: Long, ts: Long, user: Long, v: Double)
 
 class StatefulWindowsSpec extends SparkSpec {
   import spark.implicits._
@@ -48,6 +49,29 @@ class StatefulWindowsSpec extends SparkSpec {
       val got = spark.table("lb_out").as[BOut].collect().toSet
       // user1: (1,2) then (3,4); user2: incomplete batch held in state
       assert(got == Set(BOut(1, 2, 3.0), BOut(1, 2, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sliding time window emits trailing-duration sums (B7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TWEvt]
+    val out = StatefulWindows.timeWindow[TWEvt, Long, WOut](
+      input.toDS(), _.user, _.ts, windowTs = 10L) {
+      (k, e, window) => WOut(k, e.id, window.map(_.v).sum)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("tw_out").start()
+    try {
+      input.addData(Seq(
+        TWEvt(1, 100, 1, 1.0), TWEvt(2, 105, 1, 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq( // state carries across micro-batches
+        TWEvt(3, 112, 1, 4.0), TWEvt(4, 130, 1, 8.0)))
+      q.processAllAvailable()
+      val got = spark.table("tw_out").as[WOut].collect()
+        .map(o => o.id -> o.sum).toMap
+      // trailing 10: [1] | [1,2] | [2(105≥102),3] | [4] (others expired)
+      assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 8.0))
     } finally q.stop()
   }
 
