@@ -1,0 +1,23 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** Native expressions surfaced as SQL functions via the Catalyst
+  * function registry / SparkSessionExtensions.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array_dot is callable from SQL after registration") {
+    GraftExtensions.registerAll(spark.sessionState.functionRegistry)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+    // and from a dynamic plan through the control-plane dialect
+    Seq((1L, Seq(1.0f, 1.0f))).toDF("id", "v").createOrReplaceTempView("vecs")
+    val viaPlan = graft.control.PlanCompiler.compile(spark,
+      "sql: SELECT array_dot(v, v) AS n2 FROM vecs").as[Double].head()
+    assert(viaPlan == 2.0)
+  }
+}
