@@ -63,6 +63,24 @@ object PlanCompiler {
   private final case class StepSpec(
       name: String, strict: Boolean, min: Int, max: Int, cond: String)
 
+  /** Split plan text into clauses on newline/`;` — but never inside a
+    * single-quoted SQL string, so predicates like `t = 'A;B'` survive.
+    */
+  private def splitClauses(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    body.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
+      else if ((c == '\n' || c == ';') && !inQuote) {
+        if (cur.nonEmpty) out += cur.toString; cur.clear()
+      }
+      else cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def compilePattern(spark: SparkSession, body: String): DataFrame = {
     var view: String = null
     var keyE: String = null
@@ -74,7 +92,7 @@ object PlanCompiler {
     var wmCol: String = null
     val steps = ArrayBuffer.empty[StepSpec]
 
-    body.split("[\n;]").map(_.trim).filter(_.nonEmpty).foreach { ln =>
+    splitClauses(body).foreach { ln =>
       val lower = ln.toLowerCase
       if (lower.startsWith("from ")) view = ln.drop(5).trim
       else if (lower.startsWith("key ")) keyE = ln.drop(4).trim

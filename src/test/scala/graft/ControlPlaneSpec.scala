@@ -82,6 +82,24 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("pattern clauses survive quoted ';' and newlines in predicates") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L, "x;y"), (2L, 20L, 1L, "z"))
+      .toDF("id", "ts", "user", "typ").createOrReplaceTempView("cpq_events")
+    var got: Array[(Long, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      got = df.selectExpr("binds['a'] AS a", "binds['b'] AS b")
+        .as[(Long, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("q1",
+        "pattern:\nfrom cpq_events\nkey user ; ts ts ; tie id\n" +
+          "step a where typ = 'x;y'\nstep b where typ = 'z'"))
+      assert(got.toSeq == Seq((1L, 2L)))
+    } finally cp.shutdown()
+  }
+
   test("dynamic pattern plan over a streaming view (CEP in control plane)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
-import graft.cep.{Nfa, PatternDef, PatternMatch, Step}
+import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternElem, PatternMatch, Step}
 
 /** Property-based NFA invariants over random event streams and random
   * quantified patterns (scalacheck; SURVEY §5 item 4).
@@ -29,15 +29,36 @@ object NfaProps extends Properties("Nfa") {
     strict <- Gen.oneOf(true, false)
   } yield (typ, min, min + extra, strict)
 
+  private sealed trait ESpec
+  private case class SSpec(t: String, mn: Int, mx: Int, strict: Boolean) extends ESpec
+  private case class LSpec(t1: String, t2: String, and: Boolean) extends ESpec
+  private case class ASpec(t: String, d: Long) extends ESpec
+
+  private val genTail: Gen[ESpec] = Gen.frequency(
+    4 -> genStep.map { case (t, mn, mx, st) => SSpec(t, mn, mx, st) },
+    1 -> (for {
+      t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+      and <- Gen.oneOf(true, false)
+    } yield LSpec(t1, t2, and)),
+    1 -> (for {
+      t <- Gen.oneOf("A", "B", "C"); d <- Gen.choose(5L, 50L)
+    } yield ASpec(t, d)))
+
   private val genPattern: Gen[PatternDef[E]] = for {
-    k <- Gen.choose(1, 3)
-    specs <- Gen.listOfN(k, genStep)
+    head <- genStep.map { case (t, mn, mx, _) => SSpec(t, mn, mx, strict = false) }
+    k <- Gen.choose(0, 2)
+    tail <- Gen.listOfN(k, genTail)
     within <- Gen.option(Gen.choose(10L, 200L))
   } yield PatternDef[E](
-    specs.zipWithIndex.map { case ((t, mn, mx, st), i) =>
-      // first step must be non-strict-safe and non-optional (min>=1 holds)
-      Step[E](s"s$i", _.typ == t, mn, mx, strict = st && i > 0)
-    }.toIndexedSeq,
+    (head :: tail).zipWithIndex.map {
+      case (SSpec(t, mn, mx, st), i) =>
+        Step[E](s"s$i", _.typ == t, mn, mx, strict = st && i > 0)
+      case (LSpec(t1, t2, and), i) =>
+        Logical[E](Step[E](s"s${i}l", _.typ == t1),
+          Step[E](s"s${i}r", _.typ == t2), and)
+      case (ASpec(t, d), i) =>
+        Absence[E](Step[E](s"s$i", _.typ == t), d)
+    }.toIndexedSeq: IndexedSeq[PatternElem[E]],
     withinMs = within)
 
   private def run(pat: PatternDef[E], evs: List[E]): (Seq[PatternMatch[E]], Nfa[E]) = {
@@ -50,9 +71,14 @@ object NfaProps extends Properties("Nfa") {
     forAll(genPattern, genEvents) { (pat, evs) =>
       val (ms, _) = run(pat, evs)
       Prop(ms.forall { m =>
-        pat.steps.forall { case s: Step[E] =>
-          val g = m.get(s.name)
-          g.isEmpty || (g.size >= math.min(s.minCount, 1) && g.size <= s.maxCount)
+        pat.steps.forall {
+          case s: Step[E] =>
+            val g = m.get(s.name)
+            g.isEmpty || (g.size >= math.min(s.minCount, 1) && g.size <= s.maxCount)
+          case l: Logical[E] =>
+            m.get(l.left.name).size <= 1 && m.get(l.right.name).size <= 1
+          case a: Absence[E] =>
+            m.get(a.step.name).isEmpty // absence never binds an event
         }
       })
     }
@@ -63,14 +89,17 @@ object NfaProps extends Properties("Nfa") {
       Prop(pat.withinMs.forall(w => ms.forall(m => m.endTs - m.startTs <= w)))
     }
 
-  property("bound events are time-ordered across steps") =
+  property("bound events are time-ordered across elements") =
     forAll(genPattern, genEvents) { (pat, evs) =>
       val (ms, _) = run(pat, evs)
       Prop(ms.forall { m =>
-        val groups = pat.steps.collect { case s: Step[E] => m.get(s.name) }
+        // events of a later element never precede an earlier element's
+        // (logical sides merge into one span; absences bind nothing)
+        val spans = pat.steps
+          .map(el => el.names.flatMap(n => m.get(n)))
           .filter(_.nonEmpty)
-        val stepSpans = groups.map(g => (g.map(_.ts).min, g.map(_.ts).max))
-        stepSpans.sliding(2).forall {
+          .map(g => (g.map(_.ts).min, g.map(_.ts).max))
+        spans.sliding(2).forall {
           case Seq((_, prevMax), (nextMin, _)) => nextMin >= prevMax
           case _ => true
         }
