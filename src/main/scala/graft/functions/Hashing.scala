@@ -120,12 +120,8 @@ object Hashing {
 
   // ---- Column-level API ------------------------------------------------
 
-  def minhashSig(text: Column, shingleK: Int = 5, numHashes: Int = 64): Column = {
-    val f = udf { (t: String) =>
-      minHashSignature(shingleHashes(t, shingleK), numHashes)
-    }
-    f(text)
-  }
+  def minhashSig(text: Column, shingleK: Int = 5, numHashes: Int = 64): Column =
+    TextKernelExprs.minhashSig(text, shingleK, numHashes)
 
   /** Band keys for LSH: signature split into `bands` bands of
     * numHashes/bands values; each band hashed to one Long, tagged with the
@@ -145,15 +141,10 @@ object Hashing {
     f(sig)
   }
 
-  def simhash(text: Column): Column = {
-    val f = udf((t: String) => simHash(t))
-    f(text)
-  }
+  def simhash(text: Column): Column = TextKernelExprs.simhash(text)
 
-  def ngramHashes(text: Column, n: Int = 3): Column = {
-    val f = udf((t: String) => wordNgramHashes(t, n))
-    f(text)
-  }
+  def ngramHashes(text: Column, n: Int = 3): Column =
+    TextKernelExprs.ngramHashes(text, n)
 
   /** Exact Jaccard similarity of two pre-hashed shingle/ngram sets
     * (sorted-array intersection, codegen-friendly sizes).
