@@ -122,15 +122,6 @@ object Text {
     fingerprintOfNormalized(norm)
   }
 
-  private val polyHash = udf { (s: String) =>
-    if (s == null) 0L
-    else {
-      var h = 1125899906842597L // large prime
-      var i = 0
-      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-      h
-    }
-  }
-
-  def fingerprintOfNormalized(norm: Column): Column = polyHash(norm)
+  def fingerprintOfNormalized(norm: Column): Column =
+    TextKernelExprs.polyHash(norm)
 }

@@ -28,6 +28,14 @@ object TextKernelExprs {
   def ngramEval(t: UTF8String, n: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.wordNgramHashes(t.toString, n))
 
+  def polyHashEval(t: UTF8String): Long = {
+    val s = t.toString
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
   def simhash(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
@@ -37,6 +45,25 @@ object TextKernelExprs {
 
   def ngramHashes(text: Column, n: Int): Column =
     GraftSqlBridge.column(NgramHashes(GraftSqlBridge.expression(text), n))
+
+  def polyHash(text: Column): Column =
+    GraftSqlBridge.column(PolyHash64(GraftSqlBridge.expression(text)))
+}
+
+case class PolyHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.polyHashEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelExprs.polyHashEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression)

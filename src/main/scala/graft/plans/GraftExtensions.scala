@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, MinhashSignature, PolyHash64, SimHash64}
 
 /** `SparkSessionExtensions` injection point — makes the engine's native
   * Catalyst expressions first-class SQL functions, so plan text (static
@@ -23,9 +23,8 @@ import graft.functions.ArrayDotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.arrayDot)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -39,9 +38,30 @@ object GraftExtensions {
       ArrayDotProduct(children.head, children(1))
     })
 
+  /** `graft_simhash(text)` — 64-bit SimHash fingerprint. */
+  val simhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash takes exactly 1 argument")
+      SimHash64(children.head)
+    })
+
+  /** `graft_fingerprint(text)` — polynomial rolling hash. */
+  val fingerprint: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[PolyHash64].getName, "graft_fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_fingerprint takes exactly 1 argument")
+      PolyHash64(children.head)
+    })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(arrayDot, simhash, fingerprint)
+
   /** Register on an existing session's registry (tests, REPL). */
-  def registerAll(registry: FunctionRegistry): Unit = {
-    val (id, info, builder) = arrayDot
-    registry.registerFunction(id, info, builder)
-  }
+  def registerAll(registry: FunctionRegistry): Unit =
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
 }

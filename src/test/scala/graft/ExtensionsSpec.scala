@@ -20,4 +20,15 @@ class ExtensionsSpec extends SparkSpec {
       "sql: SELECT array_dot(v, v) AS n2 FROM vecs").as[Double].head()
     assert(viaPlan == 2.0)
   }
+
+  test("graft_simhash / graft_fingerprint registered and deterministic") {
+    GraftExtensions.registerAll(spark.sessionState.functionRegistry)
+    val (sh, fp) = spark.sql(
+      "SELECT graft_simhash('hello world'), graft_fingerprint('hello world')")
+      .as[(Long, Long)].head()
+    assert(sh == graft.functions.Hashing.simHash("hello world"))
+    val again = spark.sql("SELECT graft_fingerprint('hello world')")
+      .as[Long].head()
+    assert(fp == again)
+  }
 }
