@@ -88,6 +88,46 @@ class CepSparkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming logical-or pattern agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val orPat = PatternDef[TEvt](IndexedSeq(
+      Step[TEvt]("s", _.typ == "A"),
+      graft.cep.Logical.or(Step[TEvt]("b", _.typ == "B"),
+        Step[TEvt]("c", _.typ == "C"))))
+    val orEvents = Seq(
+      TEvt(1, 1000, 1, "A"), TEvt(2, 2000, 1, "X"), TEvt(3, 3000, 1, "C"),
+      TEvt(4, 1000, 2, "A"), TEvt(5, 2500, 2, "B"))
+    def outOf(m: graft.cep.PatternMatch[TEvt], k: Long) = TOut(k,
+      m.head("s").id, m.get("b").headOption.orElse(m.get("c").headOption).get.id)
+    val expectedOr = Cep.batchCollected[TEvt, Long, TOut](
+      orEvents.toDS(), _.user, orPat, _.ts_ms, _.id) {
+      (k, m) => Iterator.single(outOf(m, k))
+    }.collect().toSet
+    assert(expectedOr == Set(TOut(1, 1, 3), TOut(2, 4, 5)))
+
+    val input = MemoryStream[TEvt]
+    val withTs = input.toDS()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "5 seconds")
+      .as[TEvt]
+    val out = Cep.streaming[TEvt, Long, TOut](
+      withTs, _.user, orPat, _.ts_ms, _.id) {
+      (k, m) => Iterator.single(outOf(m, k))
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cep_or")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cep_or_ck").toString)
+      .start()
+    try {
+      input.addData(scala.util.Random.shuffle(orEvents))
+      q.processAllAvailable()
+      input.addData(TEvt(99, 10000000L, 99, "X"))
+      q.processAllAvailable()
+      assert(spark.table("cep_or").as[TOut].collect().toSet == expectedOr)
+    } finally q.stop()
+  }
+
   test("streaming executor agrees with batch (out-of-order input)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TEvt]
