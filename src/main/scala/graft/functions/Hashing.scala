@@ -127,19 +127,8 @@ object Hashing {
     * numHashes/bands values; each band hashed to one Long, tagged with the
     * band index. Two docs sharing ≥1 band key are candidate duplicates.
     */
-  def bandKeys(sig: Column, bands: Int, numHashes: Int): Column = {
-    val rows = numHashes / bands
-    val f = udf { (s: Seq[Long]) =>
-      Array.tabulate(bands) { b =>
-        var h = b.toLong * 0x9E3779B97F4A7C15L
-        var r = 0
-        while (r < rows) { h = mix64(h ^ s(b * rows + r)); r += 1 }
-        // tag with band index so buckets from different bands never join
-        (b.toLong << 56) ^ (h >>> 8)
-      }
-    }
-    f(sig)
-  }
+  def bandKeys(sig: Column, bands: Int, numHashes: Int): Column =
+    TextKernelExprs.bandKeys(sig, bands, numHashes / bands)
 
   def simhash(text: Column): Column = TextKernelExprs.simhash(text)
 
@@ -149,34 +138,9 @@ object Hashing {
   /** Exact Jaccard similarity of two pre-hashed shingle/ngram sets
     * (sorted-array intersection, codegen-friendly sizes).
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val f = udf { (x: Seq[Long], y: Seq[Long]) =>
-      if (x.isEmpty && y.isEmpty) 1.0
-      else if (x.isEmpty || y.isEmpty) 0.0
-      else {
-        var i = 0; var j = 0; var inter = 0
-        while (i < x.length && j < y.length) {
-          val c = java.lang.Long.compare(x(i), y(j))
-          if (c == 0) { inter += 1; i += 1; j += 1 }
-          else if (c < 0) i += 1
-          else j += 1
-        }
-        inter.toDouble / (x.length + y.length - inter).toDouble
-      }
-    }
-    f(a, b)
-  }
+  def jaccard(a: Column, b: Column): Column = TextKernelExprs.jaccard(a, b)
 
   /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
-  def minhashSimilarity(a: Column, b: Column): Column = {
-    val f = udf { (x: Seq[Long], y: Seq[Long]) =>
-      if (x.isEmpty || y.isEmpty) 0.0
-      else {
-        var i = 0; var eq = 0
-        while (i < x.length) { if (x(i) == y(i)) eq += 1; i += 1 }
-        eq.toDouble / x.length
-      }
-    }
-    f(a, b)
-  }
+  def minhashSimilarity(a: Column, b: Column): Column =
+    TextKernelExprs.minhashAgreement(a, b)
 }

@@ -36,6 +36,49 @@ object TextKernelExprs {
     h
   }
 
+  def bandKeysEval(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val s = sig.toLongArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong * 0x9E3779B97F4A7C15L
+      var r = 0
+      while (r < rows) { h = Hashing.mix64(h ^ s(b * rows + r)); r += 1 }
+      // tag with band index so buckets from different bands never join
+      out(b) = (b.toLong << 56) ^ (h >>> 8)
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def jaccardEval(xa: ArrayData, ya: ArrayData): Double = {
+    val x = xa.toLongArray()
+    val y = ya.toLongArray()
+    if (x.isEmpty && y.isEmpty) 1.0
+    else if (x.isEmpty || y.isEmpty) 0.0
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < x.length && j < y.length) {
+        val c = java.lang.Long.compare(x(i), y(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter.toDouble / (x.length + y.length - inter).toDouble
+    }
+  }
+
+  def minhashAgreeEval(xa: ArrayData, ya: ArrayData): Double = {
+    val x = xa.toLongArray()
+    val y = ya.toLongArray()
+    if (x.isEmpty || y.isEmpty) 0.0
+    else {
+      var i = 0; var eq = 0
+      while (i < x.length) { if (x(i) == y(i)) eq += 1; i += 1 }
+      eq.toDouble / x.length
+    }
+  }
+
   def simhash(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
@@ -48,6 +91,26 @@ object TextKernelExprs {
 
   def polyHash(text: Column): Column =
     GraftSqlBridge.column(PolyHash64(GraftSqlBridge.expression(text)))
+
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    GraftSqlBridge.column(
+      BandKeys(GraftSqlBridge.expression(sig), bands, rows))
+
+  def jaccard(a: Column, b: Column): Column =
+    GraftSqlBridge.column(Jaccard64(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def minhashAgreement(a: Column, b: Column): Column =
+    GraftSqlBridge.column(MinhashAgreement(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+private[functions] object KernelTypes {
+  val longArray: DataType = ArrayType(LongType)
+  def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 }
 
 case class PolyHash64(child: Expression)
@@ -112,4 +175,56 @@ case class NgramHashes(child: Expression, n: Int)
       c => s"graft.functions.TextKernelExprs.ngramEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
+}
+
+case class BandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (KernelTypes.isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint>, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.bandKeysEval(input.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelExprs.bandKeysEval($c, $bands, $rows)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
+abstract class LongArrayBinaryExpr extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (KernelTypes.isLongArray(left.dataType) &&
+        KernelTypes.isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> inputs, got ${left.dataType.catalogString} / " +
+        right.dataType.catalogString)
+  override def dataType: DataType = DoubleType
+}
+
+case class Jaccard64(left: Expression, right: Expression)
+    extends LongArrayBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernelExprs.jaccardEval(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernelExprs.jaccardEval($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Jaccard64 =
+    copy(left = newLeft, right = newRight)
+}
+
+case class MinhashAgreement(left: Expression, right: Expression)
+    extends LongArrayBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernelExprs.minhashAgreeEval(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernelExprs.minhashAgreeEval($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashAgreement =
+    copy(left = newLeft, right = newRight)
 }

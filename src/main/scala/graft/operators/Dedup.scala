@@ -113,10 +113,11 @@ object Dedup {
 
     val l = segs.select(col("seg"), col("segval"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = segs.select(col("seg"), col("segval"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val ham = udf((x: Long, y: Long) => Hashing.hamming64(x, y))
     l.join(r, Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), ham(col("sh_a"), col("sh_b")).as("hamming"))
+      .select(col("id_a"), col("id_b"),
+        // native popcount-of-xor — no UDF in the candidate-pair loop
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
