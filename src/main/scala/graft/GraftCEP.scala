@@ -65,6 +65,20 @@ class GraftCEP(val spark: SparkSession) {
     this
   }
 
+  /** Output-stream insertion: unlike [[registerStream]] (which rejects
+    * duplicates), multiple queries inserting into one named output
+    * stream UNION their results — the reference runs 3 queries into a
+    * single output stream (SiddhiCEPITCase.java:289-293). Schemas must
+    * match by name.
+    */
+  private[graft] def appendStream(streamId: String, df: DataFrame): DataFrame = {
+    val merged = streams.get(streamId)
+      .map(_.unionByName(df)).getOrElse(df)
+    streams(streamId) = merged
+    merged.createOrReplaceTempView(streamId)
+    merged
+  }
+
   /** from(streamId): start a fluent query over one stream (B1). */
   def from(streamId: String): StreamQuery =
     new StreamQuery(this, getStream(streamId))
@@ -137,11 +151,11 @@ final class StreamQuery private[graft] (env: GraftCEP, private var df: DataFrame
     */
   def partitionBy(keys: Column*): GroupedQuery = new GroupedQuery(env, df, keys)
 
-  /** B5: insert into a named output stream (registers result). */
-  def insertInto(outStreamId: String): DataFrame = {
-    env.registerStream(outStreamId, df)
-    df
-  }
+  /** B5: insert into a named output stream; repeated inserts into the
+    * same output union (reference multi-query-one-output semantics).
+    */
+  def insertInto(outStreamId: String): DataFrame =
+    env.appendStream(outStreamId, df)
 
   def toDF: DataFrame = df
 }
@@ -158,10 +172,8 @@ final class AggedQuery private[graft] (env: GraftCEP, private var df: DataFrame)
   /** B15 having. */
   def having(cond: Column): AggedQuery = { df = df.filter(cond); this }
 
-  def insertInto(outStreamId: String): DataFrame = {
-    env.registerStream(outStreamId, df)
-    df
-  }
+  def insertInto(outStreamId: String): DataFrame =
+    env.appendStream(outStreamId, df)
 
   def toDF: DataFrame = df
 }

@@ -69,6 +69,18 @@ class EnvSpec extends SparkSpec {
     assert(u.filter($"_stream_id" === "s2").count() == 2)
   }
 
+  test("multiple queries into one output stream union (B5/B24)") {
+    val env = freshEnv()
+    val n1 = env.from("ev").where($"event_type" === "click")
+      .select($"event_id").insertInto("merged_out").count()
+    val n2 = env.from("ev").where($"event_type" === "view")
+      .select($"event_id").insertInto("merged_out").count()
+    // second insert returns the UNION of both queries' results
+    assert(n2 == n1 + env.getStream("ev")
+      .filter($"event_type" === "view").count())
+    assert(env.from("merged_out").toDF.count() == n2)
+  }
+
   test("env.plan compiles SQL and pattern dialects (.cql parity)") {
     import spark.implicits._
     val env = GraftCEP(spark)
