@@ -3,7 +3,7 @@ package graft.control
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cep.{Cep, PatternDef, PatternMatch, Step}
+import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, PatternMatch, Step}
 
 /** Multi-dialect compiler for dynamic control-plane plan text — the
   * piece that makes runtime-added plans more than relational SQL.
@@ -30,7 +30,10 @@ import graft.cep.{Cep, PatternDef, PatternMatch, Step}
   *   every true|false                        -- optional (default true)
   *   tsscale <unitsPerMs>                    -- optional (default 1)
   *   step <name> [strict] [min m] [max n] where <boolean expr>
-  *   step <name> …                           -- 1+ steps, in order
+  *   either <n1> where <c1> ; or <n2> where <c2>    -- logical OR element
+  *   both <n1> where <c1> ; and <n2> where <c2>     -- logical AND element
+  *   notfor <name> <durationTs> where <cond>        -- absence (alerting)
+  *   step <name> …                           -- 1+ elements, in order
   * }}}
   *
   * Step predicates are arbitrary Catalyst boolean expressions evaluated
@@ -60,8 +63,18 @@ object PlanCompiler {
     else spark.sql(t)
   }
 
+  /** Parsed pattern elements; `condIdx` indexes the per-event flag
+    * array (one precomputed boolean per distinct predicate).
+    */
+  private sealed trait ElemSpec
   private final case class StepSpec(
-      name: String, strict: Boolean, min: Int, max: Int, cond: String)
+      name: String, strict: Boolean, min: Int, max: Int,
+      condIdx: Int) extends ElemSpec
+  private final case class LogicalSpec(
+      leftName: String, leftIdx: Int, rightName: String, rightIdx: Int,
+      isAnd: Boolean) extends ElemSpec
+  private final case class AbsenceSpec(
+      name: String, forMs: Long, condIdx: Int) extends ElemSpec
 
   /** Split plan text into clauses on newline/`;` — but never inside a
     * single-quoted SQL string, so predicates like `t = 'A;B'` survive.
@@ -90,7 +103,19 @@ object PlanCompiler {
     var every = true
     var tsScale = 1L
     var wmCol: String = null
-    val steps = ArrayBuffer.empty[StepSpec]
+    val conds = ArrayBuffer.empty[String]
+    val elems = ArrayBuffer.empty[ElemSpec]
+    // an `either`/`both` clause opens a logical element completed by the
+    // next `or`/`and` clause
+    var pendingLogical: Option[(String, Int, Boolean)] = None
+
+    def addCond(c: String): Int = { conds += c; conds.length - 1 }
+
+    def nameAndCond(ln: String, keyword: String): (String, String) = {
+      val wi = ln.toLowerCase.indexOf(" where ")
+      require(wi > 0, s"$keyword clause needs 'where': $ln")
+      (ln.substring(keyword.length + 1, wi).trim, ln.substring(wi + 7).trim)
+    }
 
     splitClauses(body).foreach { ln =>
       val lower = ln.toLowerCase
@@ -120,20 +145,46 @@ object PlanCompiler {
               throw new IllegalArgumentException(s"unknown step modifier: $other")
           }
         }
-        steps += StepSpec(head(0), strict, min, max, cond)
+        elems += StepSpec(head(0), strict, min, max, addCond(cond))
+      }
+      else if (lower.startsWith("either ") || lower.startsWith("both ")) {
+        require(pendingLogical.isEmpty, s"dangling logical half before: $ln")
+        val kw = if (lower.startsWith("either ")) "either" else "both"
+        val (name, cond) = nameAndCond(ln, kw)
+        pendingLogical = Some((name, addCond(cond), kw == "both"))
+      }
+      else if (lower.startsWith("or ") || lower.startsWith("and ")) {
+        val kw = if (lower.startsWith("or ")) "or" else "and"
+        val (ln2, li, isAnd) = pendingLogical.getOrElse(
+          throw new IllegalArgumentException(
+            s"'$kw' clause without a preceding either/both: $ln"))
+        require((kw == "and") == isAnd,
+          s"'$kw' does not close ${if (isAnd) "'both'" else "'either'"}: $ln")
+        val (name, cond) = nameAndCond(ln, kw)
+        elems += LogicalSpec(ln2, li, name, addCond(cond), isAnd)
+        pendingLogical = None
+      }
+      else if (lower.startsWith("notfor ")) {
+        // notfor <name> <durationTs> where <cond>
+        val (head, cond) = nameAndCond(ln, "notfor")
+        val parts = head.split("\\s+")
+        require(parts.length == 2, s"notfor needs '<name> <duration>': $ln")
+        elems += AbsenceSpec(parts(0), parts(1).toLong, addCond(cond))
       }
       else throw new IllegalArgumentException(s"unrecognized pattern clause: $ln")
     }
+    require(pendingLogical.isEmpty,
+      "unclosed either/both clause (missing or/and)")
     require(view != null, "pattern plan needs 'from <view>'")
     require(keyE != null && tsE != null && tieE != null,
       "pattern plan needs 'key', 'ts' and 'tie' expressions")
-    require(steps.nonEmpty, "pattern plan needs at least one step")
+    require(elems.nonEmpty, "pattern plan needs at least one step")
 
     val src = spark.table(view)
     if (src.isStreaming) require(wmCol != null,
       "streaming pattern plan needs 'eventtime <watermarked column>'")
-    val flags = array(steps.toSeq.map(s =>
-      coalesce(expr(s.cond).cast("boolean"), lit(false))): _*)
+    val flags = array(conds.toSeq.map(c =>
+      coalesce(expr(c).cast("boolean"), lit(false))): _*)
     // plain alias (not cast) keeps the watermark metadata on the column,
     // so the downstream stateful op sees the event-time watermark
     val wmc = if (wmCol != null) col(wmCol).as("wmc")
@@ -146,10 +197,16 @@ object PlanCompiler {
       flags.as("flags"),
       wmc).as[DynEvt]
 
-    val pSteps = steps.toIndexedSeq.zipWithIndex.map { case (s, i) =>
-      Step[DynEvt](s.name, _.flags(i), s.min, s.max, s.strict)
+    val pElems: IndexedSeq[PatternElem[DynEvt]] = elems.toIndexedSeq.map {
+      case StepSpec(name, strict, mn, mx, ci) =>
+        Step[DynEvt](name, _.flags(ci), mn, mx, strict)
+      case LogicalSpec(lName, li, rName, ri, isAnd) =>
+        Logical[DynEvt](Step[DynEvt](lName, _.flags(li)),
+          Step[DynEvt](rName, _.flags(ri)), isAnd)
+      case AbsenceSpec(name, forMs, ci) =>
+        Absence[DynEvt](Step[DynEvt](name, _.flags(ci)), forMs)
     }
-    val pat = PatternDef[DynEvt](pSteps, within, every)
+    val pat = PatternDef[DynEvt](pElems, within, every)
     val build = (k: String, m: PatternMatch[DynEvt]) => Iterator.single(
       DynMatch(k, m.startTs, m.endTs,
         m.groups.map { case (n, es) => n -> es.head.tie }))

@@ -82,6 +82,42 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("dialect: notfor absence and either/or logical plans (B20)") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L, "C"), (2L, 5000L, 1L, "P"),   // user 1: C then P → no alert
+        (3L, 10L, 2L, "C"),                          // user 2: C, no P → alert
+        (4L, 10L, 3L, "V"), (5L, 20L, 3L, "E"))      // user 3: V then E
+      .toDF("id", "ts", "user", "typ").createOrReplaceTempView("cpl_events")
+    var rows: Array[(String, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      rows = df.selectExpr("key", "end_ts").as[(String, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("abs1",
+        "pattern:\nfrom cpl_events\nkey user ; ts ts ; tie id\n" +
+          "step a where typ = 'C'\nnotfor nb 10000 where typ = 'P'"))
+      // only user 2's C survives the absence window (deadline 10+10000)
+      assert(rows.toSeq == Seq(("2", 10010L)))
+
+      var orRows: Array[(String, Long, Any, Any)] = Array.empty
+      val cp2 = new ControlPlane(spark, (_: String, df: DataFrame) => {
+        orRows = df.selectExpr("key", "binds['v']", "binds['b']", "binds['c']")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            if (r.isNullAt(3)) null else r.getLong(3)))
+        None
+      })
+      try {
+        cp2.handle(AddPlan("or1",
+          "pattern:\nfrom cpl_events\nkey user ; ts ts ; tie id\n" +
+            "step v where typ = 'V'\n" +
+            "either b where typ = 'P'\nor c where typ = 'E'"))
+        assert(orRows.toSeq == Seq(("3", 4L, null, 5L)))
+      } finally cp2.shutdown()
+    } finally cp.shutdown()
+  }
+
   test("pattern clauses survive quoted ';' and newlines in predicates") {
     import spark.implicits._
     Seq((1L, 10L, 1L, "x;y"), (2L, 20L, 1L, "z"))
