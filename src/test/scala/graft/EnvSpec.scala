@@ -13,6 +13,10 @@ class EnvSpec extends SparkSpec {
     env
   }
 
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("duplicate stream registration throws") {
     val env = freshEnv()
     intercept[DuplicatedStreamException] {
