@@ -15,6 +15,8 @@ object Bench {
     // so the first timed query isn't charged for JVM init
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    try spark.read.parquet(s"$sfDir/events.parquet").count()
+    catch { case _: Throwable => }
     // optional comma-separated query filter for local iteration;
     // the driver sets no filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
