@@ -117,8 +117,15 @@ class ControlPlane(
       case UpdatePlan(id, plan) =>
         val entry = plans.getOrElse(id,
           throw new NoSuchElementException(s"plan '$id' not found"))
+        // compile (eager Catalyst analysis) BEFORE stopping the old
+        // query: an invalid update must not take down a healthy plan.
+        // (Start-new-then-stop-old, the reference's order at
+        // AbstractSiddhiOperator.java:426-438, is unsafe on Spark — two
+        // queries cannot share a sink queryName/checkpoint — so the
+        // validated-compile-then-swap is the idiomatic equivalent.)
+        val compiled = compile(plan)
         entry.running.foreach(_.stop())
-        entry.running = if (entry.enabled) start(id, plan) else None
+        entry.running = if (entry.enabled) sink(id, compiled) else None
         plans(id) = entry.copy(plan = plan)
       case RemovePlan(id) =>
         plans.remove(id).foreach(_.running.foreach(_.stop()))

@@ -50,6 +50,13 @@ class ControlPlaneSpec extends SparkSpec {
       cp.handle(UpdatePlan("p1", "SELECT value * 3 AS v FROM rate_view"))
       assert(cp.runningQuery("p1").exists(q => q.isActive && q.id != before))
 
+      // an invalid update must NOT take down the running plan
+      intercept[Exception] {
+        cp.handle(UpdatePlan("p1", "SELECT FROM no_such_table_xyz"))
+      }
+      assert(cp.runningQuery("p1").exists(_.isActive),
+        "bad update killed the healthy plan")
+
       cp.handle(RemovePlan("p1"))
       assert(cp.planIds.isEmpty)
       intercept[NoSuchElementException] {
