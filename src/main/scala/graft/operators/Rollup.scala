@@ -35,4 +35,16 @@ object Rollup {
     }
     levels.reduce(_.unionByName(_))
   }
+
+  /** Siddhi's `from agg within <from>,<to> per '<granularity>'` read
+    * surface: select one granularity (and optionally a bucket range)
+    * out of a [[cascade]] result. The granularity filter prunes the
+    * union branch; at rest (partitioned storage) it prunes partitions.
+    */
+  def at(cascaded: DataFrame, granularity: String,
+      from: Option[Column] = None, to: Option[Column] = None): DataFrame = {
+    val g = cascaded.filter(col("granularity") === granularity)
+    val lo = from.map(f => g.filter(col("bucket") >= f)).getOrElse(g)
+    to.map(t => lo.filter(col("bucket") < t)).getOrElse(lo)
+  }
 }

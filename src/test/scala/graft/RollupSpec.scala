@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rollup
+
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // events.parquet stores TIMESTAMP(NANOS) read as long — derive a real
+  // timestamp column the way the query surface does
+  private def events() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("cascade levels merge additively and agree with direct aggregation") {
+    val e = events()
+    val cascaded = Rollup.cascade(e, col("ts"), col("value"),
+      Seq("minute", "hour", "day"))
+    val day = Rollup.at(cascaded, "day")
+      .select(col("bucket"), col("n")).as[(java.sql.Timestamp, Long)]
+      .collect().toMap
+    val direct = e.groupBy(date_trunc("day", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(day == direct)
+    // total row count conserved at every level
+    val byLevel = cascaded.groupBy("granularity").agg(sum("n").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(byLevel.values.toSet.size == 1)
+  }
+
+  test("at() slices one granularity with a bucket range") {
+    val e = events()
+    val cascaded = Rollup.cascade(e, col("ts"), col("value"), Seq("hour", "day"))
+    val hours = Rollup.at(cascaded, "hour").select("bucket")
+      .as[java.sql.Timestamp].collect().sorted.toSeq
+    val mid = hours(hours.size / 2)
+    val sliced = Rollup.at(cascaded, "hour", from = Some(lit(mid)))
+      .select("bucket").as[java.sql.Timestamp].collect()
+    assert(sliced.forall(!_.before(mid)) && sliced.nonEmpty)
+  }
+}
