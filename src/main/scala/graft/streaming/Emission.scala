@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -82,4 +82,41 @@ object Emission {
       .filter(col("value") % (everySeconds.toLong * ticksPerSecond) === 0)
       .select(col("timestamp").as("triggered_time"))
   }
+
+  /** Cron field spec: empty sequence = wildcard (`*`), values = the
+    * allowed field set (`0,15,30,45`). Field ranges follow java.time:
+    * dayOfWeek 1-7 (Mon-Sun), months 1-12.
+    */
+  final case class CronSpec(
+      seconds: Seq[Int] = Seq(0),
+      minutes: Seq[Int] = Nil,
+      hours: Seq[Int] = Nil,
+      daysOfMonth: Seq[Int] = Nil,
+      months: Seq[Int] = Nil,
+      daysOfWeek: Seq[Int] = Nil)
+
+  /** The cron match as a Catalyst predicate over a timestamp column —
+    * batch-testable, and the building block of [[cronStream]].
+    */
+  def cronPredicate(ts: Column, spec: CronSpec): Column = {
+    def m(field: Column, vals: Seq[Int]): Option[Column] =
+      if (vals.isEmpty) None else Some(field.isin(vals.map(Integer.valueOf): _*))
+    (m(second(ts), spec.seconds) ++
+      m(minute(ts), spec.minutes) ++
+      m(hour(ts), spec.hours) ++
+      m(dayofmonth(ts), spec.daysOfMonth) ++
+      m(month(ts), spec.months) ++
+      m(dayofweek(ts), spec.daysOfWeek)) // Spark: 1=Sunday…
+      .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** B9/B28 cron trigger (`#window.cron` / `define trigger at <cron>`):
+    * one tick per wall-clock instant matching the spec, built from the
+    * rate source at 1 row/sec — a second-granularity declarative cron
+    * with no driver-side scheduler thread.
+    */
+  def cronStream(spark: SparkSession, spec: CronSpec): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .filter(cronPredicate(col("timestamp"), spec))
+      .select(col("timestamp").as("triggered_time"))
 }

@@ -58,4 +58,27 @@ class EmissionSpec extends SparkSpec {
     assert(t.isStreaming)
     assert(t.columns.toSeq == Seq("triggered_time"))
   }
+
+  test("cronPredicate matches exactly the specified wall-clock fields") {
+    import org.apache.spark.sql.functions._
+    // every 15th minute at second 0, 9am-10am only
+    val spec = Emission.CronSpec(seconds = Seq(0),
+      minutes = Seq(0, 15, 30, 45), hours = Seq(9, 10))
+    val ts = Seq(
+      "2026-08-12 09:00:00", "2026-08-12 09:15:00", "2026-08-12 10:45:00",
+      "2026-08-12 09:15:30", // wrong second
+      "2026-08-12 09:20:00", // wrong minute
+      "2026-08-12 11:00:00") // wrong hour
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+    val matched = ts.filter(Emission.cronPredicate($"ts", spec))
+      .as[java.sql.Timestamp].collect().map(_.toString).sorted.toSeq
+    assert(matched == Seq("2026-08-12 09:00:00.0",
+      "2026-08-12 09:15:00.0", "2026-08-12 10:45:00.0"))
+  }
+
+  test("cronStream is a streaming source built on the cron predicate") {
+    val c = Emission.cronStream(spark,
+      Emission.CronSpec(seconds = Seq(0), minutes = Seq(0)))
+    assert(c.isStreaming && c.columns.toSeq == Seq("triggered_time"))
+  }
 }
