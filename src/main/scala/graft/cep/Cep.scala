@@ -78,6 +78,63 @@ object Cep {
         */
       lastReleasedTie: Long)
 
+  object CepState {
+    def empty[E]: CepState[E] =
+      CepState[E](Vector.empty, Nil, false, Long.MinValue, Long.MinValue)
+  }
+
+  /** One micro-batch step of the streaming executor, as a pure function
+    * — the watermark-ordered release buffer + NFA advance, factored out
+    * of the Spark plumbing so chunking semantics are property-testable:
+    * feeding any chunking of an event stream through [[step]] must
+    * produce exactly the ordered-replay matches once the watermark
+    * passes.
+    *
+    * @return (new state or None if the key's state is empty, matches,
+    *          wake-up instants in event-time units)
+    */
+  def step[E](
+      prev: CepState[E],
+      incoming: Seq[E],
+      wm: Long,
+      hasWatermark: Boolean,
+      pattern: PatternDef[E],
+      tsOf: E => Long,
+      tieBreak: E => Long): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
+    // ingest new events; drop anything at/behind what the NFA already
+    // consumed (true late data — same policy as watermark semantics).
+    // Comparison is on (ts, tieBreak) so a distinct same-timestamp
+    // event straddling micro-batches is NOT dropped.
+    val fresh = incoming.filter { e =>
+      tsOf(e) > prev.lastReleasedTs ||
+        (tsOf(e) == prev.lastReleasedTs && tieBreak(e) > prev.lastReleasedTie)
+    }
+    val all = (prev.buffer ++ fresh).sortBy(e => (tsOf(e), tieBreak(e)))
+    val (release, keep) =
+      if (!hasWatermark) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
+
+    val nfa = new Nfa(pattern, tsOf)
+    nfa.restore((prev.partials, prev.terminated))
+    val matches = release.flatMap(e => nfa.onEvent(e))
+    // watermark advance resolves absence windows with no event needed
+    val timeMatches =
+      if (!hasWatermark) Vector.empty else nfa.advanceTime(wm).toVector
+
+    val (np, nt) = nfa.snapshot
+    if (keep.isEmpty && np.isEmpty && !nt) (None, matches ++ timeMatches, Nil)
+    else {
+      val (lastTs, lastTie) =
+        if (release.nonEmpty) (tsOf(release.last), tieBreak(release.last))
+        else (prev.lastReleasedTs, prev.lastReleasedTie)
+      val wake =
+        keep.headOption.map(tsOf).toList ++
+          pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1)) ++
+          nfa.pendingDeadlines
+      (Some(CepState(keep, np, nt, lastTs, lastTie)),
+        matches ++ timeMatches, wake)
+    }
+  }
+
   /** @param tsScale event-time units per watermark millisecond: the NFA's
     *                 `tsOf` may run in µs (tsScale=1000) or ms (tsScale=1);
     *                 the Spark watermark is always ms.
@@ -92,57 +149,28 @@ object Cep {
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
 
-    def ordered(evs: Seq[E]): Vector[E] =
-      evs.sortBy(e => (tsOf(e), tieBreak(e))).toVector
-
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
-      val prev = state.getOption
-        .getOrElse(CepState[E](Vector.empty, Nil, false,
-          Long.MinValue, Long.MinValue))
+      val prev = state.getOption.getOrElse(CepState.empty[E])
       val wmMs = state.getCurrentWatermarkMs()
       val wm = wmMs * tsScale // watermark in event-time units
 
-      // ingest new events; drop anything at/behind what the NFA already
-      // consumed (true late data — same policy as watermark semantics).
-      // Comparison is on (ts, tieBreak) so a distinct same-timestamp
-      // event straddling micro-batches is NOT dropped.
-      val incoming = it.filter { e =>
-        tsOf(e) > prev.lastReleasedTs ||
-          (tsOf(e) == prev.lastReleasedTs && tieBreak(e) > prev.lastReleasedTie)
-      }.toVector
-      val all = ordered(prev.buffer ++ incoming)
-      val (release, keep) =
-        if (wmMs <= 0) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
+      val (next, matches, wake) = step(
+        prev, it.toVector, wm, hasWatermark = wmMs > 0,
+        pattern, tsOf, tieBreak)
 
-      val nfa = new Nfa(pattern, tsOf)
-      nfa.restore((prev.partials, prev.terminated))
-      val matches = release.flatMap(e => nfa.onEvent(e).map(build(k, _)))
-      // watermark advance resolves absence windows with no event needed
-      val timeMatches =
-        if (wmMs <= 0) Vector.empty
-        else nfa.advanceTime(wm).map(build(k, _))
-
-      val (np, nt) = nfa.snapshot
-      if (keep.isEmpty && np.isEmpty && !nt) {
-        state.remove()
-      } else {
-        val (lastTs, lastTie) =
-          if (release.nonEmpty) (tsOf(release.last), tieBreak(release.last))
-          else (prev.lastReleasedTs, prev.lastReleasedTie)
-        state.update(CepState(keep, np, nt, lastTs, lastTie))
-        // wake this key when its earliest pending work becomes releasable:
-        // the oldest buffered event, the earliest partial-match expiry, or
-        // the earliest armed absence deadline
-        val wakeCandidates =
-          keep.headOption.map(tsOf).toList ++
-            pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1)) ++
-            nfa.pendingDeadlines
-        if (wakeCandidates.nonEmpty) {
-          val wakeMs = wakeCandidates.min / tsScale
-          state.setTimeoutTimestamp(math.max(wmMs + 1, wakeMs))
-        }
+      next match {
+        case None => state.remove()
+        case Some(ns) =>
+          state.update(ns)
+          // wake this key when its earliest pending work becomes
+          // releasable: the oldest buffered event, the earliest partial
+          // expiry, or the earliest armed absence deadline
+          if (wake.nonEmpty) {
+            val wakeMs = wake.min / tsScale
+            state.setTimeoutTimestamp(math.max(wmMs + 1, wakeMs))
+          }
       }
-      (matches ++ timeMatches).iterator.flatten
+      matches.iterator.flatMap(build(k, _))
     }
 
     ds.groupByKey(key).flatMapGroupsWithState(

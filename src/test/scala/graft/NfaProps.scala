@@ -121,4 +121,53 @@ object NfaProps extends Properties("Nfa") {
       val (ms, _) = run(pat, evs)
       Prop(ms.forall(_.groups.values.forall(_.forall(e => ids(e.id)))))
     }
+
+  private val genChunked: Gen[(List[E], List[Int])] = for {
+    evs <- genEvents
+    cuts <- Gen.listOfN(math.max(evs.size / 4, 1),
+      Gen.choose(0, math.max(evs.size, 1)))
+  } yield (evs, cuts)
+
+  /** The streaming micro-batch executor (Cep.step: watermark buffer +
+    * incremental NFA) must emit exactly the ordered-replay matches, for
+    * ANY chunking of the stream with shuffled intra-chunk order.
+    */
+  property("chunked streaming steps == ordered batch replay") =
+    forAll(genPattern, genChunked, Gen.choose(0L, 25L)) {
+      case (pat, (evs, cuts), wmLag) =>
+      import graft.cep.Cep
+      val sorted = evs.sortBy(e => (e.ts, e.id))
+      val expected = {
+        val nfa = new Nfa[E](pat, _.ts)
+        (sorted.flatMap(nfa.onEvent) ++ nfa.flush())
+          .map(m => (m.startTs, m.endTs, m.groups.view.mapValues(_.map(_.id)).toMap))
+      }
+      // chunk boundaries from the random cuts; each chunk delivered
+      // shuffled (deterministic seed), watermark = chunk's max ts
+      val bounds = (cuts.map(c => math.min(c, sorted.size)) :+ sorted.size)
+        .distinct.sorted
+      val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
+        case List(a, b) if b > a => sorted.slice(a, b)
+      }.toList
+      val rnd = new scala.util.Random(42)
+      var st = Cep.CepState.empty[E]
+      var alive = true
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Map[String, Seq[Long]])]
+      def doStep(chunk: Seq[E], wm: Long, hasWm: Boolean): Unit = {
+        val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWm, pat, _.ts, _.id)
+        got ++= ms.map(m =>
+          (m.startTs, m.endTs, m.groups.view.mapValues(_.map(_.id)).toMap))
+        st = ns.getOrElse(Cep.CepState.empty[E])
+        alive = ns.isDefined
+      }
+      // watermark lags each chunk's max ts: later events stay buffered in
+      // state and release in subsequent steps — the holdback path
+      chunks.foreach { chunk =>
+        doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag, hasWm = true)
+      }
+      // final watermark advance: everything releasable, absences flush
+      doStep(Nil, Long.MaxValue / 2, hasWm = true)
+      Prop(got.toList == expected) :| s"got=$got expected=$expected"
+    }
 }
