@@ -85,6 +85,12 @@ object ControlEvent {
   * paused (stronger than the reference, whose runtime-state restore is
   * TODO at AbstractSiddhiOperator.java:341).
   *
+  * Update caveat (same as the reference's runtime swap): if the sink
+  * reuses one checkpointLocation across an update, the NEW plan must be
+  * state-compatible with the old one or Spark refuses the restart —
+  * sinks that derive a fresh checkpoint per start trade that for
+  * at-least-once reprocessing. The sink callback owns this policy.
+  *
   * @param compile plan text → DataFrame (default [[PlanCompiler]] — ANSI
   *                SQL or the `pattern:` CEP dialect over registered
   *                stream views; any DSL compiler fits)

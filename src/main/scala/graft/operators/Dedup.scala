@@ -129,13 +129,15 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 32): DataFrame = {
-    val prepared = df
+      numHashes: Int = 64, bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val prepared = capBuckets(df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("grams", Hashing.ngramHashes(col("text"), ngram))
       .withColumn("sig", Hashing.minhashSig(col("text"), 5, numHashes))
       .withColumn("band", explode(Hashing.bandKeys(col("sig"), bands, numHashes)))
-      .select(col("id"), col("grams"), col("band"))
+      .select(col("id"), col("grams"), col("band")),
+      Seq("band"), maxBucket)
 
     val l = prepared.select(col("band"), col("id").as("id_a"), col("grams").as("g_a"))
     val r = prepared.select(col("band"), col("id").as("id_b"), col("grams").as("g_b"))
