@@ -109,7 +109,30 @@ object Cep {
       tsOf(e) > prev.lastReleasedTs ||
         (tsOf(e) == prev.lastReleasedTs && tieBreak(e) > prev.lastReleasedTie)
     }
-    val all = (prev.buffer ++ fresh).sortBy(e => (tsOf(e), tieBreak(e)))
+    // prev.buffer is invariantly sorted; sort only the new events and
+    // merge — O(B + F log F) per batch instead of re-sorting the whole
+    // holdback buffer (B can be large under long watermark delays)
+    val freshSorted = fresh.sortBy(e => (tsOf(e), tieBreak(e))).toVector
+    val all = {
+      val a = prev.buffer
+      val b = freshSorted
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val out = Vector.newBuilder[E]
+        var i = 0
+        var j = 0
+        while (i < a.length && j < b.length) {
+          val ae = a(i); val be = b(j)
+          val aFirst = tsOf(ae) < tsOf(be) ||
+            (tsOf(ae) == tsOf(be) && tieBreak(ae) <= tieBreak(be))
+          if (aFirst) { out += ae; i += 1 } else { out += be; j += 1 }
+        }
+        while (i < a.length) { out += a(i); i += 1 }
+        while (j < b.length) { out += b(j); j += 1 }
+        out.result()
+      }
+    }
     val (release, keep) =
       if (!hasWatermark) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
 
