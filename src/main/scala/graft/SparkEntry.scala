@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{Dedup, Multimodal, Rollup, Similarity, Windows}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Rollup, Similarity, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -540,6 +540,24 @@ object SparkEntry {
           Seq("minute", "hour", "day"))
         .select(col("granularity"), col("bucket"),
           round(col("sum_v"), 6).as("sum_v"), col("n"))
+    }),
+
+    // As-of join (event enrichment): each click joined to the latest
+    // prior-or-simultaneous view of the same user — one shuffle + one
+    // running window, no range-join pair explosion
+    "q43_asof_join" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_us"))
+      // dedup right ts per key for a deterministic as-of winner
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_id"))
+      AsofJoin.asof(clicks, views, Seq("user_id"), "c_us", "ts_us",
+          Seq("view_id"))
+        .select(col("user_id"), col("click_id"),
+          col("asof_view_id").as("view_id"))
     }))
 
   // -------------------------------------------------------------------
@@ -952,5 +970,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
         |  round(sum(value), 6), count(*)
-        |FROM events GROUP BY 2""".stripMargin)
+        |FROM events GROUP BY 2""".stripMargin,
+
+    "q43_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |    FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS v_us, max(event_id) AS view_id
+        |    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.user_id, c.click_id, v.view_id
+        |FROM c ASOF JOIN v
+        |  ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin)
 }

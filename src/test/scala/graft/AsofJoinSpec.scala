@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    (1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 20L))
+    .toDF("k", "ts", "trade_id")
+  private val quotes = Seq(
+    (1L, 90L, 1.0), (1L, 100L, 2.0), (1L, 200L, 3.0), (3L, 10L, 9.0))
+    .toDF("k", "qts", "px")
+
+  test("asof picks the latest right row at or before each left ts") {
+    val got = AsofJoin.asof(trades, quotes, Seq("k"), "ts", "qts", Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Double)].collect().toMap
+    // trade@100 sees quote@100 (>= convention); trade@205 sees quote@200;
+    // k=2 has no quotes → dropped (inner)
+    assert(got == Map(10L -> 2.0, 11L -> 3.0))
+  }
+
+  test("leftOuter keeps unmatched left rows with nulls") {
+    val got = AsofJoin.asof(trades, quotes, Seq("k"), "ts", "qts",
+        Seq("px"), leftOuter = true)
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(10L -> Some(2.0), 11L -> Some(3.0), 20L -> None))
+  }
+}
