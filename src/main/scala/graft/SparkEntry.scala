@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Dedup, Multimodal, Rollup, Similarity, Windows}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Rollup, Similarity, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -558,6 +558,21 @@ object SparkEntry {
           Seq("view_id"))
         .select(col("user_id"), col("click_id"),
           col("asof_view_id").as("view_id"))
+    }),
+
+    // Keyless range join: clicks inside any purchase's trailing 5-min
+    // window, across ALL users — bucketed to an exact equi-join instead
+    // of the planner's BroadcastNestedLoopJoin
+    "q44_range_join" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("c_us"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("ts_us") - 300000000L).as("lo"), col("ts_us").as("hi"))
+      RangeJoin.pointInInterval(clicks, windows, "c_us", "lo", "hi",
+          bucketWidth = 300000000L)
+        .select(col("click_id"), col("purchase_id"))
     }))
 
   // -------------------------------------------------------------------
@@ -979,5 +994,14 @@ object SparkEntry {
         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT c.user_id, c.click_id, v.view_id
         |FROM c ASOF JOIN v
-        |  ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin)
+        |  ON c.user_id = v.user_id AND c.c_us >= v.v_us""".stripMargin,
+
+    "q44_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS c_us
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id,
+        |    epoch_us(ts) - 300000000 AS lo, epoch_us(ts) AS hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.c_us >= p.lo AND c.c_us <= p.hi""".stripMargin)
 }

@@ -27,4 +27,18 @@ class AsofJoinSpec extends SparkSpec {
       .collect().toMap
     assert(got == Map(10L -> Some(2.0), 11L -> Some(3.0), 20L -> None))
   }
+
+  test("bucketed range join equals the naive interval join") {
+    import graft.operators.RangeJoin
+    val pts = (0L until 200L).map(i => (i, i * 7L)).toDF("pid", "pt")
+    val ivs = (0L until 50L).map(i => (i, i * 23L, i * 23L + 40L))
+      .toDF("iid", "lo", "hi")
+    val naive = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(7L, 40L, 100L)) {
+      val bucketed = RangeJoin.pointInInterval(pts, ivs, "pt", "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(bucketed == naive, s"bucketWidth=$w diverged")
+    }
+  }
 }
