@@ -29,8 +29,10 @@ object Dedup {
     val withFp = df.withColumn("_fp", Text.fingerprint(col(textCol)))
     val winners = withFp.select(col("_fp").as("_wfp"), col(idCol).as("_wid"))
       .groupBy(col("_wfp")).agg(min(col("_wid")).as("_wid"))
+    // null-safe fingerprint equality: null-text rows form their own
+    // group and keep one winner instead of silently vanishing
     withFp.join(winners,
-        withFp("_fp") === winners("_wfp") && col(idCol) === col("_wid"),
+        withFp("_fp") <=> winners("_wfp") && col(idCol) === col("_wid"),
         "left_semi")
       .drop("_fp")
   }

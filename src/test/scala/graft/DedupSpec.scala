@@ -24,6 +24,15 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 3L, 4L))
   }
 
+  test("exact dedup keeps one winner for null-text rows") {
+    val withNulls = docs.unionByName(
+      Seq((7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val kept = Dedup.exact(withNulls, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L, 7L))
+  }
+
   test("exactGroups reports the duplicate group") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .select("ids").as[Seq[Long]].collect()
