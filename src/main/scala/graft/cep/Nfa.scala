@@ -52,6 +52,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     b
   }
   private val slotNames: IndexedSeq[String] = elems.flatMap(_.names)
+  require(slotNames.distinct.length == slotNames.length,
+    s"duplicate step names: ${slotNames.diff(slotNames.distinct).distinct.mkString(", ")}")
 
   private var partials: List[Partial[E]] = Nil
   private var terminated: Boolean = false

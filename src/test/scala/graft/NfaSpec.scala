@@ -183,6 +183,12 @@ class NfaSpec extends AnyFunSuite {
     assert(ms.size == 1 && ids(ms.head, "c") == Seq(3L))
   }
 
+  test("duplicate step names are rejected at construction") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"), Step[E]("a", _.typ == "B")))
+    intercept[IllegalArgumentException] { new Nfa[E](pat, _.ts) }
+  }
+
   test("partial-match cap bounds state") {
     val pat = AB.copy(maxPartialMatches = 5)
     val nfa = new Nfa[E](pat, _.ts)
