@@ -88,6 +88,37 @@ class CepSparkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming executor in a microsecond event-time domain (tsScale)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the ts_ms field carries MICROSECONDS here; watermark stays in ms
+    val usPat = PatternDef[TEvt](IndexedSeq(
+      Step[TEvt]("a", _.typ == "A"),
+      Step[TEvt]("b", _.typ == "B")),
+      withinMs = Some(60000000L)) // 60 s in µs
+    val input = MemoryStream[TEvt]
+    val withTs = input.toDS()
+      .withColumn("ts", timestamp_micros($"ts_ms"))
+      .withWatermark("ts", "1 second")
+      .as[TEvt]
+    val out = Cep.streaming[TEvt, Long, TOut](
+      withTs, _.user, usPat, _.ts_ms, _.id, tsScale = 1000L) {
+      (k, m) => Iterator.single(TOut(k, m.head("a").id, m.head("b").id))
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cep_us")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cep_us_ck").toString)
+      .start()
+    try {
+      input.addData(TEvt(1, 1000000L, 1, "A"), TEvt(2, 2000000L, 1, "B"))
+      q.processAllAvailable()
+      input.addData(TEvt(99, 10000000000L, 99, "X")) // watermark flush
+      q.processAllAvailable()
+      val got = spark.table("cep_us").as[TOut].collect().toSet
+      assert(got == Set(TOut(1, 1, 2)))
+    } finally q.stop()
+  }
+
   test("streaming logical-or pattern agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     val orPat = PatternDef[TEvt](IndexedSeq(
