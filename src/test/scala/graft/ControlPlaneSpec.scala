@@ -173,6 +173,36 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("JSON control stream drives the plane; poison pills are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.range(3).toDF("x").createOrReplaceTempView("ctrl_src")
+    var lastRows = 0L
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      lastRows = df.count(); None
+    })
+    val input = MemoryStream[String]
+    val channel = cp.attachControlStream(input.toDF())
+    try {
+      input.addData(
+        """{"type":"add","planId":"c1","plan":"SELECT x FROM ctrl_src"}""")
+      channel.processAllAvailable()
+      assert(cp.planIds == Seq("c1") && lastRows == 3)
+
+      // poison pills: bad JSON, duplicate add, unknown update — channel
+      // must survive all three and keep applying later messages
+      input.addData("not json at all",
+        """{"type":"add","planId":"c1","plan":"SELECT 1"}""",
+        """{"type":"update","planId":"nope","plan":"SELECT 1"}""")
+      channel.processAllAvailable()
+      assert(channel.isActive, "poison pill killed the control channel")
+
+      input.addData("""{"type":"remove","planId":"c1"}""")
+      channel.processAllAvailable()
+      assert(cp.planIds.isEmpty)
+    } finally { channel.stop(); cp.shutdown() }
+  }
+
   test("disable→enable resumes from checkpoint, no loss/duplication (A14)") {
     import spark.implicits._
     spark.readStream.format("rate").option("rowsPerSecond", "100").load()
