@@ -39,6 +39,18 @@ class EmissionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rateLimited writer runs on a processing-time trigger (B26)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Emission.rateLimited(input.toDF(), "1 second")
+      .format("memory").queryName("rate_out").outputMode("append").start()
+    try {
+      input.addData(Ev(1, 1), Ev(2, 2))
+      q.processAllAvailable()
+      assert(spark.table("rate_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("snapshot writer emits the full aggregation state each tick (B26)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -9,6 +9,11 @@ import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternElem, PatternMatch, 
   */
 object NfaProps extends Properties("Nfa") {
 
+  // pure-JVM properties are cheap — fuzz harder than the default 100
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
   case class E(id: Long, ts: Long, typ: String)
 
   private val genEvents: Gen[List[E]] = for {
