@@ -17,6 +17,19 @@ class EnvSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: every oracle key names an existing query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("Returns.as gives a typed Dataset (A9 POJO path)") {
+    import spark.implicits._
+    case class Out(id: Long, name: String)
+    val ds = graft.out.Returns.as[(Long, String)](
+      Seq((1L, "x")).toDF("_1", "_2"))
+    assert(ds.collect().toSeq == Seq((1L, "x")))
+  }
+
   test("duplicate stream registration throws") {
     val env = freshEnv()
     intercept[DuplicatedStreamException] {
