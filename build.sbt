@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which prefixes every stdout
+// line with "[info] " — that breaks the driver's JSON-line parse of
+// Bench's single-line metric output. StdoutOutput passes the child's
+// stdout/stderr through verbatim (Spark logs go to stderr anyway).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

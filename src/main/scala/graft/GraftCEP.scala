@@ -25,11 +25,16 @@ class UndefinedFieldException(msg: String) extends RuntimeException(msg)
 class GraftCEP(val spark: SparkSession) {
 
   private val streams = mutable.LinkedHashMap[String, DataFrame]()
+  // ids created by registerStream — appendStream must not union query
+  // output into an INPUT stream (that would silently feed results back
+  // into the source view); only multi-query OUTPUT streams union
+  private val inputStreams = mutable.Set[String]()
 
   def registerStream(streamId: String, df: DataFrame): this.type = {
     if (streams.contains(streamId))
       throw new DuplicatedStreamException(s"stream '$streamId' already registered")
     streams(streamId) = df
+    inputStreams += streamId
     df.createOrReplaceTempView(streamId)
     this
   }
@@ -72,6 +77,10 @@ class GraftCEP(val spark: SparkSession) {
     * match by name.
     */
   private[graft] def appendStream(streamId: String, df: DataFrame): DataFrame = {
+    if (inputStreams.contains(streamId))
+      throw new DuplicatedStreamException(
+        s"'$streamId' is a registered input stream; queries may only " +
+          "insert into output streams")
     val merged = streams.get(streamId)
       .map(_.unionByName(df)).getOrElse(df)
     streams(streamId) = merged

@@ -31,25 +31,30 @@ object AsofJoin {
     val lTagged = left
       .withColumn("_ats", col(leftTs))
       .withColumn("_is_left", lit(1))
-    val rTagged = rightVals.foldLeft(
-        right.select((keyCols :+ rightTs).map(col) ++
-          rightVals.map(c => col(c).as(s"asof_$c")): _*)) { (df, _) => df }
-      .withColumn("_ats", col(rightTs))
+    // All carried values travel inside ONE struct so `last(ignoreNulls)`
+    // picks them atomically from the same right row — per-column fills
+    // would mix values from different right rows whenever a newer right
+    // row has a NULL in one carried column.
+    val rTagged = right
+      .select(keyCols.map(col) :+ col(rightTs).as("_ats") :+
+        struct(rightVals.map(col): _*).as("_asof_vals"): _*)
       .withColumn("_is_left", lit(0))
-      .drop(rightTs)
     val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right (side 0) sorts before left (side 1) at equal ts, so a right
     // row at exactly leftTs is visible — the `>=` as-of convention
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ats").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    val leftRows = filled.filter(col("_is_left") === 1).drop("_ats", "_is_left")
-    if (leftOuter) leftRows
-    else leftRows.filter(
-      rightVals.map(c => col(s"asof_$c").isNotNull).reduce(_ && _))
+    val filled = u.withColumn("_asof_vals",
+      last(col("_asof_vals"), ignoreNulls = true).over(w))
+    val matched = filled.filter(col("_is_left") === 1)
+    // inner mode = "an earlier right row exists": one null check on the
+    // struct itself, never on the carried values (which may be NULL)
+    val kept = if (leftOuter) matched
+               else matched.filter(col("_asof_vals").isNotNull)
+    rightVals.foldLeft(kept) { (df, c) =>
+        df.withColumn(s"asof_$c", col("_asof_vals").getField(c))
+      }
+      .drop("_ats", "_is_left", "_asof_vals")
   }
 }

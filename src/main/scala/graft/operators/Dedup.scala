@@ -18,6 +18,12 @@ object Dedup {
   /** Exact duplicates via normalized-content fingerprint; keeps the row
     * with the smallest `idCol` per group (deterministic winner).
     *
+    * Contract: `idCol` must be unique per row (and ideally non-null) —
+    * with duplicate id values, every row tied at the group minimum
+    * survives, because (fp, id) no longer identifies a single row.
+    * Rows whose id is NULL sort after all non-null ids (`min` ignores
+    * nulls), so a group of only-null ids keeps all its rows.
+    *
     * Winner election shuffles only (fingerprint, id) — map-side partial
     * `min` keeps that exchange at ~16 bytes/row; the document text never
     * enters it. The final semi-join hash-distributes by (fp, id), so a
@@ -29,10 +35,11 @@ object Dedup {
     val withFp = df.withColumn("_fp", Text.fingerprint(col(textCol)))
     val winners = withFp.select(col("_fp").as("_wfp"), col(idCol).as("_wid"))
       .groupBy(col("_wfp")).agg(min(col("_wid")).as("_wid"))
-    // null-safe fingerprint equality: null-text rows form their own
-    // group and keep one winner instead of silently vanishing
+    // null-safe equality on BOTH legs: null-text rows form their own
+    // fingerprint group, and a group whose ids are all NULL (min = NULL)
+    // still keeps its rows instead of silently vanishing
     withFp.join(winners,
-        withFp("_fp") <=> winners("_wfp") && col(idCol) === col("_wid"),
+        withFp("_fp") <=> winners("_wfp") && col(idCol) <=> col("_wid"),
         "left_semi")
       .drop("_fp")
   }

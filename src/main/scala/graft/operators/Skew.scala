@@ -23,6 +23,14 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    // right_outer/full_outer would emit each UNMATCHED right row once per
+    // salt replica (saltFactor duplicates); only left-preserving joins
+    // are sound under right-side replication
+    val norm = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti").contains(norm),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched right " +
+        "rows saltFactor times; use inner/left_outer/left_semi/left_anti")
     val salted = left.withColumn("_salt",
       (rand(seed = 42) * saltFactor).cast("int"))
     val replicated = right.withColumn("_salt",

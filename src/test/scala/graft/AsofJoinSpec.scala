@@ -28,6 +28,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Map(10L -> Some(2.0), 11L -> Some(3.0), 20L -> None))
   }
 
+  test("multiple carried columns come from the SAME right row even when " +
+      "the newest right row has a NULL value") {
+    // right rows: @90 (px=1.0, sz=5), @200 (px=NULL, sz=7).
+    // A per-column fill would give trade@205 px=1.0 (from @90) mixed with
+    // sz=7 (from @200); struct-carry must give (NULL, 7) — all from @200.
+    val q = Seq(
+      (1L, 90L, Some(1.0), Some(5L)),
+      (1L, 200L, None: Option[Double], Some(7L)))
+      .toDF("k", "qts", "px", "sz")
+    val got = AsofJoin.asof(trades, q, Seq("k"), "ts", "qts", Seq("px", "sz"))
+      .select("trade_id", "asof_px", "asof_sz")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map { case (id, px, sz) => id -> ((px, sz)) }.toMap
+    assert(got(11L) == ((None, Some(7L))))
+    assert(got(10L) == ((Some(1.0), Some(5L))))
+  }
+
+  test("inner mode keeps a left row whose as-of match carries NULL values") {
+    val q = Seq((1L, 90L, None: Option[Double])).toDF("k", "qts", "px")
+    val got = AsofJoin.asof(trades, q, Seq("k"), "ts", "qts", Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    // both k=1 trades matched the (NULL-valued) quote; k=2 trade dropped
+    assert(got == Map(10L -> None, 11L -> None))
+  }
+
   test("bucketed range join equals the naive interval join") {
     import graft.operators.RangeJoin
     val pts = (0L until 200L).map(i => (i, i * 7L)).toDF("pid", "pt")

@@ -33,6 +33,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 3L, 4L, 7L))
   }
 
+  test("exact dedup does not drop rows whose id is NULL") {
+    // a group whose ids are ALL NULL has min(id)=NULL; the null-safe id
+    // compare keeps those rows instead of vanishing them
+    val withNullId = Seq(
+      (Some(1L), "unique one"), (None: Option[Long], "only null id"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(withNullId, "text", "doc_id")
+      .select("text").as[String].collect().toSet
+    assert(kept == Set("unique one", "only null id"))
+  }
+
   test("exactGroups reports the duplicate group") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .select("ids").as[Seq[Long]].collect()

@@ -98,6 +98,14 @@ class EnvSpec extends SparkSpec {
     assert(env.from("merged_out").toDF.count() == n2)
   }
 
+  test("insertInto refuses a registered INPUT stream id (no silent " +
+      "feedback union into a source view)") {
+    val env = freshEnv()
+    assertThrows[DuplicatedStreamException](
+      env.from("ev").where($"event_type" === "click")
+        .select($"event_id").insertInto("ev"))
+  }
+
   test("env.plan compiles SQL and pattern dialects (.cql parity)") {
     import spark.implicits._
     val env = GraftCEP(spark)

@@ -28,6 +28,18 @@ class SkewSourcesSpec extends SparkSpec {
     assert(buckets >= 6, s"salt only hit $buckets buckets")
   }
 
+  test("saltedJoin rejects right-preserving join types (replication " +
+      "would duplicate unmatched right rows)") {
+    val left = Seq((1L, 1L)).toDF("k", "lv")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "rv")
+    for (jt <- Seq("right_outer", "full_outer", "full", "outer"))
+      assertThrows[IllegalArgumentException](
+        Skew.saltedJoin(left, right, "k", 4, jt))
+    // left-preserving types stay allowed
+    assert(Skew.saltedJoin(left, right, "k", 4, "left_outer").count() == 1)
+    assert(Skew.saltedJoin(left, right, "k", 4, "left_anti").count() == 0)
+  }
+
   test("keyHistogram surfaces the hottest keys first") {
     val df = ((1 to 50).map(_ => 1L) ++ (1 to 5).map(_ => 2L) ++ Seq(3L))
       .toDF("k")
