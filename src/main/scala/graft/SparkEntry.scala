@@ -311,8 +311,8 @@ object SparkEntry {
         Text.langId(col("text")).as("pred_lang"))
     }),
 
-    // LLM: MinHash signatures + LSH band keys (deterministic; Jaccard
-    // estimation and banding are unit-tested — not SQL-expressible)
+    // LLM: MinHash signature slots (deterministic; the oracle replicates
+    // the mix64 char-fold + signed slot-min in DuckDB HUGEINT arithmetic)
     "q23_minhash_sigs" -> ((s, dir) => {
       ld(s, dir, "documents")
         .select(col("doc_id"),
@@ -614,6 +614,154 @@ object SparkEntry {
        |WHERE cos >= 0.35""".stripMargin
   }
 
+  /** DuckDB SQL templates replicating the graft hash kernels bit-for-bit
+    * (mix64 splitmix finalizer, char-fold string hash, base-31 polyHash),
+    * so the hash-valued queries (q23/q24/q25) get exact external oracles
+    * instead of rows-only checks. 64-bit wraparound arithmetic is
+    * emulated in HUGEINT mod 2^64 (a 64×64 multiply is split at 32 bits
+    * so no intermediate exceeds HUGEINT range); xor/shifts operate on the
+    * non-negative HUGEINT domain; results convert to signed BIGINT at the
+    * edge. The documents tables are pure ASCII (verified at every SF), so
+    * DuckDB code points == Java chars == UTF-8 bytes.
+    */
+  private object DuckHash {
+    private val U = BigInt(1) << 64
+    private val W = BigInt(1) << 32
+    val uStr: String = U.toString
+    /** single-use let binding via a 1-element list_transform */
+    private def let(v: String, name: String, body: String) =
+      s"list_transform([$v], $name -> $body)[1]"
+    /** (a * b) mod 2^64 for HUGEINT expr `a` (an identifier) and constant b */
+    private def mulmod(a: String, b: BigInt): String = {
+      val bl = b % W; val bh = b / W
+      s"(($a % $W) * $bl + ((($a % $W) * $bh + ($a // $W) * $bl) % $W) * $W) % $U"
+    }
+    /** splitmix64 finalizer (Hashing.mix64) of HUGEINT expression `x`. */
+    def mix(x: String): String =
+      let(s"($x + 11400714819323198485) % $U", "z1",
+        let(let("xor(z1, z1 >> 30)", "a2",
+              mulmod("a2", BigInt("13787848793156543929"))), "z2",
+          let(let("xor(z2, z2 >> 27)", "a3",
+                mulmod("a3", BigInt("10723151780598845931"))), "z3",
+            "xor(z3, z3 >> 31)")))
+    /** Hashing.normalize: lowercase, collapse whitespace, trim. */
+    def norm(t: String): String =
+      s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
+    /** Hashing.hashString(s, seed=0): left fold of mix64(h xor char).
+      * `n` must be a simple column/lambda identifier — it is substituted
+      * repeatedly (ci/h/c are reserved lambda names).
+      */
+    def hashStr(n: String): String =
+      s"list_reduce(list_prepend(0::HUGEINT, list_transform(" +
+        s"range(1, length($n) + 1), ci -> unicode($n[ci:ci])::HUGEINT)), " +
+        s"(h, c) -> ${mix("xor(h, c)")})"
+    def toSigned(u: String): String =
+      s"(CASE WHEN $u >= 9223372036854775808 THEN $u - $U ELSE $u END)::BIGINT"
+    /** One minhash signature slot (Hashing.minHashSignature): SIGNED min
+      * over shingle hashes `sh` of mix64(h xor p*PERM); Long.MaxValue for
+      * empty text.
+      */
+    def minhashSlot(p: Int): String = {
+      val seed = (BigInt(p) * BigInt("14029467366897019727")) mod U
+      val inner = toSigned("(" + mix(s"xor(g, $seed::HUGEINT)") + ")")
+      s"CASE WHEN len(sh) = 0 THEN 9223372036854775807 " +
+        s"ELSE list_min(list_transform(sh, g -> $inner)) END"
+    }
+  }
+
+  /** q23 oracle: minhash signature slots 1/2/32/64 (permutations p =
+    * 0/1/31/63) replicated in DuckDB — distinct 5-char shingles of the
+    * normalized text, char-fold mix64 hash per shingle, signed min per
+    * permutation. Distinct is taken on shingle STRINGS (equivalent to the
+    * kernel's distinct-on-hashes: the hash is a function of the string,
+    * and the min is insensitive to duplicates).
+    */
+  private lazy val q23Oracle: String =
+    s"""WITH n AS (SELECT doc_id, ${DuckHash.norm("text")} AS nt FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+       |         WHEN length(nt) < 5 THEN [nt]
+       |         ELSE list_distinct(list_transform(range(1, length(nt) - 3),
+       |           si -> nt[si:si+4]))
+       |    END AS sgs
+       |  FROM n),
+       |s AS (SELECT doc_id,
+       |    list_transform(sgs, sg -> ${DuckHash.hashStr("sg")}) AS sh FROM g)
+       |SELECT doc_id, ${DuckHash.minhashSlot(0)} AS h0,
+       |  ${DuckHash.minhashSlot(1)} AS h1,
+       |  ${DuckHash.minhashSlot(31)} AS h31,
+       |  ${DuckHash.minhashSlot(63)} AS h63
+       |FROM s""".stripMargin
+
+  /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
+    * sign of sum(±1) across word hashes (Hashing.simHash).
+    */
+  private lazy val q24Oracle: String =
+    s"""WITH n AS (SELECT doc_id, ${DuckHash.norm("text")} AS nt FROM documents),
+       |w AS (SELECT doc_id,
+       |    list_filter(string_split(nt, ' '), x -> x <> '') AS words FROM n),
+       |h AS (SELECT doc_id,
+       |    list_transform(words, wd -> ${DuckHash.hashStr("wd")}) AS whs FROM w)
+       |SELECT doc_id,
+       |  CASE WHEN len(whs) = 0 THEN 0
+       |  ELSE ${DuckHash.toSigned(
+             """list_sum(list_transform(range(0, 64), b ->
+               |    CASE WHEN list_sum(list_transform(whs, wh ->
+               |      CASE WHEN (wh >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+               |    THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))""".stripMargin)}
+       |  END AS sh
+       |FROM h""".stripMargin
+
+  /** q25 oracle: base-31 polynomial rolling hash with native 64-bit wrap
+    * (TextKernelExprs.polyHashEval), over Text.fingerprint's
+    * normalization (trim → collapse whitespace → lower; no trailing
+    * trim — equivalent on this data, mirrored exactly anyway).
+    */
+  private lazy val q25Oracle: String =
+    s"""WITH n AS (SELECT doc_id,
+       |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents)
+       |SELECT doc_id, ${DuckHash.toSigned(
+          "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+          "list_transform(range(1, length(nt) + 1), " +
+          "ci -> unicode(nt[ci:ci])::HUGEINT)), " +
+          s"(h, c) -> (31 * h + c) % ${DuckHash.uStr})")} AS fp
+       |FROM n""".stripMargin
+
+  /** q28 oracle: the LSH-bucketed ANN replicated exactly — same
+    * deterministic hyperplanes ([[Vectors.planes]] dim 64, 4 planes)
+    * inlined as literals, bucket equi-join, exclude self, cosine top-3
+    * per query with neighbor-id tie-break.
+    */
+  private lazy val q28Oracle: String = {
+    val vals = Vectors.planes(dim = 64, nPlanes = 4).zipWithIndex.map {
+      case (pl, p) => s"($p, [${pl.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(p, pv) AS (VALUES $vals),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |b AS (SELECT e.vec_id,
+       |    sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> e.embedding[i]::DOUBLE * pl.pv[i])) >= 0
+       |      THEN 1 << pl.p ELSE 0 END)::BIGINT AS bucket
+       |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+       |      i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1, len(ec.embedding) + 1),
+       |      i -> ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)))) AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |    JOIN e eq ON eq.vec_id = q.vec_id
+       |    JOIN e ec ON ec.vec_id = c.vec_id
+       |  WHERE q.vec_id < 50),
+       |r AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT event_id, user_id, round(value, 6) AS value_r
@@ -810,7 +958,13 @@ object SparkEntry {
         |  ELSE 'de' END AS pred_lang
         |FROM s""".stripMargin,
 
+    "q23_minhash_sigs" -> q23Oracle,
+    "q24_simhash" -> q24Oracle,
+    "q25_fingerprint" -> q25Oracle,
+
     "q26_embedding_pairs" -> q26Oracle,
+
+    "q28_similarity_lsh" -> q28Oracle,
 
     "q27_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -972,6 +1126,28 @@ object SparkEntry {
         |  CAST(64 + (nb * 7) % 192 AS INTEGER) AS height,
         |  CAST(1 + nb % 30 AS INTEGER) AS n_frames
         |FROM n""".stripMargin,
+
+    // byte-statistics kernel replicated over the (ASCII) payload bytes:
+    // histogram in ascending byte order so the entropy sum adds in the
+    // same order as the kernel's j=0..255 loop (bit-identical in IEEE:
+    // -(a+b+...) == ((0-a)-b)-... under round-to-nearest)
+    "q40_multimodal_features" ->
+      """WITH c AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    list_transform(range(1, length(text) + 1),
+        |      ci -> unicode(text[ci:ci])) AS codes
+        |  FROM documents),
+        |h AS (SELECT doc_id, nb, codes,
+        |    list_transform(list_sort(list_distinct(codes)),
+        |      v -> len(list_filter(codes, x -> x = v))) AS hist
+        |  FROM c)
+        |SELECT doc_id, nb::BIGINT AS n_bytes,
+        |  round(CASE WHEN nb = 0 THEN 0.0
+        |    ELSE list_sum(codes)::DOUBLE / nb END, 6) AS mean_byte,
+        |  round(CASE WHEN nb = 0 THEN 0.0
+        |    ELSE 0.0 - list_sum(list_transform(hist,
+        |      k -> (k::DOUBLE / nb) * (ln(k::DOUBLE / nb) / ln(2.0)))) END,
+        |    6) AS byte_entropy
+        |FROM h""".stripMargin,
 
     "q41_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
