@@ -577,6 +577,27 @@ object SparkEntry {
       RangeJoin.pointInInterval(clicks, windows, "c_us", "lo", "hi",
           bucketWidth = 300000000L)
         .select(col("click_id"), col("purchase_id"))
+    }),
+
+    // A5/B16 via the whole-operator Catalyst path: the MATCH_RECOGNIZE
+    // custom LogicalPlan + SparkStrategy + SparkPlan (graft.plans). Same
+    // semantics as q14 (click -> purchase within 10 min), same oracle —
+    // but the physical plan declares distribution/ordering requirements,
+    // so Catalyst plans ONE hash shuffle (elided entirely on
+    // co-partitioned input) instead of the groupByKey encoder round-trip.
+    "q45_match_recognize" -> ((s, dir) => {
+      import graft.plans.MatchRecognize
+      import graft.plans.MatchRecognize.EStep
+      MatchRecognize(
+        evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value")),
+        Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", col("event_type") === "click"),
+          EStep("b", col("event_type") === "purchase")),
+        withinTs = Some(600000000L))
+        .select(col("user_id"),
+          element_at(col("a"), 1).getField("event_id").as("a_id"),
+          element_at(col("b"), 1).getField("event_id").as("b_id"))
     }))
 
   // -------------------------------------------------------------------
@@ -1184,5 +1205,19 @@ object SparkEntry {
         |    epoch_us(ts) - 300000000 AS lo, epoch_us(ts) AS hi
         |  FROM events WHERE event_type = 'purchase')
         |SELECT c.click_id, p.purchase_id
-        |FROM c JOIN p ON c.c_us >= p.lo AND c.c_us <= p.hi""".stripMargin)
+        |FROM c JOIN p ON c.c_us >= p.lo AND c.c_us <= p.hi""".stripMargin,
+
+    // identical semantics to q14, exercised through the custom plan node
+    "q45_match_recognize" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin)
 }

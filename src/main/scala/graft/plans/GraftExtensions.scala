@@ -23,8 +23,13 @@ import graft.functions.{ArrayDotProduct, MinhashSignature, PolyHash64, SimHash64
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // whole-operator integration: the MATCH_RECOGNIZE planner strategy
+    // (the MatchRecognize builder also self-registers on first use via
+    // experimental.extraStrategies for sessions built without extensions)
+    ext.injectPlannerStrategy(_ => MatchRecognizeStrategy)
+  }
 }
 
 object GraftExtensions {

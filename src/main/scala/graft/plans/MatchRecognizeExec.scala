@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BasePredicate, Expression, GenericInternalRow, Predicate, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternMatch, Step}
+
+/** Planner strategy for [[MatchRecognizeNode]] — registered either via
+  * `SparkSessionExtensions.injectPlannerStrategy` ([[GraftExtensions]])
+  * or lazily through `spark.experimental.extraStrategies` (the
+  * [[MatchRecognize]] builder self-registers).
+  */
+object MatchRecognizeStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: MatchRecognizeNode =>
+      MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
+        m.withinTs, m.every, m.maxPartials, m.outAttrs,
+        planLater(m.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical MATCH_RECOGNIZE: declares `ClusteredDistribution(keys)` +
+  * per-partition (keys, ts, tie) sort, so EnsureRequirements plans ONE
+  * hash shuffle + sort — or nothing at all when the child is already
+  * co-partitioned/sorted (the win over the Dataset `groupByKey` path,
+  * which always re-shuffles through an Encoder round-trip).
+  *
+  * Execution streams each sorted partition once: consecutive rows with
+  * equal keys feed one NFA instance event-by-event; a key change flushes
+  * the NFA (resolving armed absence windows) and starts the next group.
+  * No group is ever materialized — memory is O(live partials), so a
+  * hot key (bot user at 100 TB) cannot OOM an executor. Predicates are
+  * codegen'd ([[Predicate.create]]) once per partition.
+  */
+case class MatchRecognizeExec(
+    keys: Seq[Attribute],
+    ts: Expression,
+    tie: Expression,
+    predicates: Seq[Expression],
+    elems: Seq[MatchElemSpec],
+    withinTs: Option[Long],
+    every: Boolean,
+    maxPartials: Int,
+    outAttrs: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = keys ++ outAttrs
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(k => SortOrder(k, Ascending)) ++
+      Seq(SortOrder(ts, Ascending), SortOrder(tie, Ascending)))
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): MatchRecognizeExec =
+    copy(child = newChild)
+
+  protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val slotNames = elems.flatMap(_.names).toIndexedSeq
+    val nSlots = slotNames.length
+    val nKeys = keyExprs.length
+    val arity = nKeys + 2 + nSlots
+    val keyTypes = keyExprs.map(_.dataType)
+    val tsExpr = ts
+    val preds = predicates
+    val specs = elems
+    val within = withinTs
+    val ev = every
+    val maxP = maxPartials
+    val outTypes = output.map(_.dataType).toArray
+
+    child.execute().mapPartitionsWithIndex({ (idx, rows) =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val tsProj = UnsafeProjection.create(Seq(tsExpr), childOutput)
+      val predIt = preds.iterator
+      def mkStep(name: String, min: Int, max: Int,
+          strict: Boolean): Step[InternalRow] = {
+        val p: BasePredicate = Predicate.create(predIt.next(), childOutput)
+        p.initialize(idx)
+        Step[InternalRow](name, r => p.eval(r), min, max, strict)
+      }
+      val pelems = specs.map {
+        case StepSpec(n, mn, mx, st) => mkStep(n, mn, mx, st)
+        case LogicalSpec(ln, rn, isAnd) =>
+          Logical(mkStep(ln, 1, 1, strict = false),
+            mkStep(rn, 1, 1, strict = false), isAnd)
+        case AbsenceSpec(n, f) =>
+          Absence(mkStep(n, 1, 1, strict = false), f)
+      }.toIndexedSeq
+      val pat = PatternDef[InternalRow](pelems, within, ev, maxP)
+      val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
+      val toUnsafe = UnsafeProjection.create(outTypes)
+
+      def emit(keyRow: UnsafeRow, m: PatternMatch[InternalRow]): InternalRow = {
+        val vals = new Array[Any](arity)
+        var i = 0
+        while (i < nKeys) { vals(i) = keyRow.get(i, keyTypes(i)); i += 1 }
+        vals(nKeys) = m.startTs
+        vals(nKeys + 1) = m.endTs
+        var s = 0
+        while (s < nSlots) {
+          val g = m.groups.getOrElse(slotNames(s), IndexedSeq.empty)
+          vals(nKeys + 2 + s) = new GenericArrayData(g.toArray[Any])
+          s += 1
+        }
+        toUnsafe(new GenericInternalRow(vals)).copy()
+      }
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var curKey: UnsafeRow = _
+        private var nfa: Nfa[InternalRow] = _
+        private var exhausted = false
+
+        private def fill(): Unit = {
+          while (!pending.hasNext && !exhausted) {
+            if (rows.hasNext) {
+              val r = rows.next()
+              val k = keyProj(r)
+              if (nfa == null || k != curKey) {
+                val flushed =
+                  if (nfa == null) IndexedSeq.empty[PatternMatch[InternalRow]]
+                  else nfa.flush()
+                val prevKey = curKey
+                curKey = k.copy()
+                nfa = new Nfa(pat, tsOf)
+                val kk = curKey
+                val ms = nfa.onEvent(r.copy())
+                if (flushed.nonEmpty || ms.nonEmpty)
+                  pending = flushed.iterator.map(m => emit(prevKey, m)) ++
+                    ms.iterator.map(m => emit(kk, m))
+              } else {
+                val kk = curKey
+                val ms = nfa.onEvent(r.copy())
+                if (ms.nonEmpty) pending = ms.iterator.map(m => emit(kk, m))
+              }
+            } else {
+              if (nfa != null) {
+                val flushed = nfa.flush()
+                nfa = null
+                val kk = curKey
+                if (flushed.nonEmpty)
+                  pending = flushed.iterator.map(m => emit(kk, m))
+              }
+              exhausted = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): InternalRow = { fill(); pending.next() }
+      }
+    }, preservesPartitioning = true)
+  }
+}

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into `private[sql]` Column ↔ Expression conversion.
@@ -14,4 +15,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully-converted expression: [[expression]] defers the ColumnNode →
+    * Expression conversion behind an `Unevaluable` placeholder that only
+    * the Dataset API resolves; use the session's converter when the
+    * expression must be evaluable inside a custom physical operator.
+    */
+  def sessionExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Wrap a (possibly custom) logical plan as a DataFrame —
+    * `classic.Dataset.ofRows` is `private[sql]` in Spark 4.x; this is the
+    * injection point for graft's own plan nodes (MatchRecognizeNode).
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SortExec
+import graft.cep.{Cep, PatternDef, Step}
+import graft.plans.MatchRecognize
+import graft.plans.MatchRecognize.{EAnd, ENotFor, EOr, EStep}
+
+class MatchRecognizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+  }
+
+  test("custom plan matches the Dataset-API CEP executor (q14 pattern)") {
+    val viaPlan = MatchRecognize(events, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "click"),
+          EStep("b", $"event_type" === "purchase")),
+        withinTs = Some(600000000L))
+      .select($"user_id",
+        element_at($"a", 1).getField("event_id").as("a_id"),
+        element_at($"b", 1).getField("event_id").as("b_id"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val pat = PatternDef[Evt](IndexedSeq(
+      Step[Evt]("a", _.event_type == "click"),
+      Step[Evt]("b", _.event_type == "purchase")),
+      withinMs = Some(600000000L))
+    val viaDataset = Cep.batch[Evt, Long, PairOut](
+      events.as[Evt], _.user_id, pat, _.ts_us,
+      Seq(col("ts_us"), col("event_id"))) { (k, m) =>
+      Iterator.single(PairOut(k, m.head("a").event_id, m.head("b").event_id))
+    }.collect().map(p => (p.user_id, p.a_id, p.b_id)).toSet
+
+    assert(viaPlan.nonEmpty && viaPlan == viaDataset)
+  }
+
+  test("logical OR and absence elements run through the custom plan") {
+    val df = Seq(
+      // user 1: A at 10 then B at 20 -> or completes on B
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      // user 2: A at 10, nothing in (10, 110) -> absence fires at 110
+      (3L, 10L, 2L, "A"), (4L, 500L, 2L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+
+    val orOut = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("s", $"event_type" === "A"),
+          EOr("b", $"event_type" === "B", "c", $"event_type" === "C")))
+      .select($"user_id", size($"b").as("nb"), size($"c").as("nc"))
+      .as[(Long, Int, Int)].collect().toSet
+    // user 1 completes via b; user 2 via c (the C at 500)
+    assert(orOut == Set((1L, 1, 0), (2L, 0, 1)))
+
+    val absOut = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("s", $"event_type" === "A"),
+          ENotFor("n", $"event_type" === "B", 100L)))
+      .select($"user_id", $"match_end")
+      .as[(Long, Long)].collect().toSet
+    // user 1's B at 20 violates; user 2's window elapses at 110
+    assert(absOut == Set((2L, 110L)))
+  }
+
+  test("quantifier <2:2> with indexed access matches the q34 shape") {
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "buy"),
+      (4L, 10L, 2L, "click"), (5L, 30L, 2L, "buy"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "click", min = 2, max = 2),
+          EStep("b", $"event_type" === "buy")))
+      .select($"user_id",
+        element_at($"a", 1).getField("event_id").as("a0"),
+        element_at($"a", 2).getField("event_id").as("a1"),
+        element_at($"b", 1).getField("event_id").as("b"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L, 3L))) // user 2 has only one click
+  }
+
+  test("plan shape: one shuffle from cold input; none when pre-partitioned") {
+    // AQE wraps the plan in AdaptiveSparkPlanExec, hiding exchanges from
+    // collect() until execution — inspect the static plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try testPlanShape()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def testPlanShape(): Unit = {
+    val pat = Seq(EStep("a", $"event_type" === "click"),
+      EStep("b", $"event_type" === "purchase"))
+
+    val cold = MatchRecognize(events, Seq("user_id"), "ts_us", "event_id", pat)
+    val coldShuffles = cold.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(coldShuffles.length == 1, "expected exactly one hash shuffle")
+
+    val prepart = events.repartition($"user_id")
+    val warm = MatchRecognize(prepart, Seq("user_id"), "ts_us", "event_id", pat)
+    val warmPlan = warm.queryExecution.executedPlan
+    val warmShuffles = warmPlan.collect { case e: ShuffleExchangeExec => e }
+    // the repartition's own exchange is the only one — MatchRecognizeExec
+    // reuses it instead of adding a second
+    assert(warmShuffles.length == 1,
+      s"expected the repartition exchange only, got:\n$warmPlan")
+    assert(warmPlan.collect { case s: SortExec => s }.nonEmpty,
+      "expected a partition-local sort satisfying the NFA's order")
+  }
+
+  test("and element binds both sides in either order") {
+    val df = Seq(
+      (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
+      (4L, 10L, 2L, "X"), (5L, 20L, 2L, "A"), (6L, 30L, 2L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("s", $"event_type" === "X"),
+          EAnd("l", $"event_type" === "A", "r", $"event_type" === "B")))
+      .select($"user_id",
+        element_at($"l", 1).getField("event_id").as("l_id"),
+        element_at($"r", 1).getField("event_id").as("r_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 2L), (2L, 5L, 6L)))
+  }
+}
