@@ -598,6 +598,15 @@ object SparkEntry {
         .select(col("user_id"),
           element_at(col("a"), 1).getField("event_id").as("a_id"),
           element_at(col("b"), 1).getField("event_id").as("b_id"))
+    }),
+
+    // B9 tail: #window.delay(5 min) joined with its own source — per
+    // event, how many same-user events are already visible from the
+    // delayed stream (ts+d <= event ts). One range frame, one shuffle.
+    "q46_delay_window" -> ((s, dir) => {
+      evts(s, dir).select(col("user_id"), col("event_id"),
+        Windows.delayedVisibleCount(Seq(col("user_id")), col("ts_us"),
+          300000000L).as("n_delayed_visible"))
     }))
 
   // -------------------------------------------------------------------
@@ -1219,5 +1228,12 @@ object SparkEntry {
         |  FROM a JOIN b ON a.user_id = b.user_id
         |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
         |    AND b.b_us - a.a_us <= 600000000)
-        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
+
+    "q46_delay_window" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 300000000 PRECEDING)
+        |    AS n_delayed_visible
+        |FROM events""".stripMargin)
 }

@@ -91,6 +91,18 @@ object Windows {
   def delayed(tsMicros: Column, delayMicros: Long): Column =
     tsMicros + delayMicros
 
+  /** The delay window joined with its own source: for each event, how
+    * many same-key events are already visible from the d-delayed stream
+    * (delayed timestamp ts+d at or before the event's ts). One range
+    * frame over one shuffle — the batch dual of Siddhi's
+    * `#window.delay(d)` join pattern.
+    */
+  def delayedVisibleCount(partition: Seq[Column], tsMicros: Column,
+      delayMicros: Long): Column =
+    count(lit(1)).over(Window.partitionBy(partition: _*)
+      .orderBy(tsMicros.asc)
+      .rangeBetween(Window.unboundedPreceding, -delayMicros))
+
   /** `#window.sort(n, attr)`: top-n rows per key by an ordering. */
   def topN(df: DataFrame, partition: Seq[Column], order: Seq[Column], n: Int): DataFrame =
     df.withColumn("_rank",

@@ -88,6 +88,58 @@ object StatefulWindows {
     }
   }
 
+  /** `#window.sort(n, attr)` streaming: keeps the key's n best events
+    * (by `ord`) seen so far; per input event emits the CURRENT sorted
+    * top-n — Siddhi's sort window retains the n "smallest" and expires
+    * the rest. State per key is O(n).
+    */
+  def sortWindow[E, K: Encoder, O: Encoder](
+      ds: Dataset[E], key: E => K, n: Int, ord: Ordering[E])(
+      emit: (K, E, Seq[E]) => O): Dataset[O] = {
+    implicit val stateEnc: Encoder[List[E]] = Encoders.kryo[List[E]]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[List[E]]) =>
+        var best = state.getOption.getOrElse(Nil) // sorted ascending by ord
+        val out = it.map { e =>
+          // insertion into a size-n sorted list — O(n) per event
+          val (lt, ge) = best.span(x => ord.lt(x, e))
+          best = (lt ::: e :: ge).take(n)
+          emit(k, e, best)
+        }.toList
+        state.update(best)
+        out.iterator
+    }
+  }
+
+  /** `#window.frequent(n)` streaming: per event, the key's n most
+    * frequent values of `attr` so far (count desc, value asc tie-break).
+    * State per key is the value→count map — O(distinct values); for
+    * unbounded-cardinality attributes cap with a space-saving sketch
+    * upstream (the batch [[graft.operators.Windows.frequent]] is exact).
+    */
+  def frequentWindow[E, K: Encoder, A, O: Encoder](
+      ds: Dataset[E], key: E => K, attr: E => A, n: Int)(
+      emit: (K, E, Seq[(A, Long)]) => O)(
+      implicit ordA: Ordering[A]): Dataset[O] = {
+    implicit val stateEnc: Encoder[Map[A, Long]] = Encoders.kryo[Map[A, Long]]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[Map[A, Long]]) =>
+        var counts = state.getOption.getOrElse(Map.empty[A, Long])
+        val out = it.map { e =>
+          val a = attr(e)
+          counts = counts.updated(a, counts.getOrElse(a, 0L) + 1L)
+          val top = counts.toSeq
+            .sortBy { case (v, c) => (-c, v) }(
+              Ordering.Tuple2(Ordering.Long, ordA)).take(n)
+          emit(k, e, top)
+        }.toList
+        state.update(counts)
+        out.iterator
+    }
+  }
+
   /** Kryo can't encode bare primitives as state — box the accumulator. */
   final case class Box[B](value: B)
 

@@ -94,4 +94,47 @@ class StatefulWindowsSpec extends SparkSpec {
       assert(got == Map(1L -> 5.0, 2L -> 5.0, 3L -> 7.0, 4L -> 7.0))
     } finally q.stop()
   }
+
+  test("streaming sort window retains the n smallest per key (B9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WEvt]
+    val out = StatefulWindows.sortWindow[WEvt, Long, WOut](
+      input.toDS(), _.user, 2, Ordering.by((e: WEvt) => e.v)) {
+      (k, e, best) => WOut(k, e.id, best.map(_.v).sum)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("sw_out").as[WOut].collect()
+        .map(o => o.id -> o.sum).toMap
+      // user1 top-2 smallest after each event: {1}, {1,2}, {1,2}, {1,2}
+      assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 3.0, 4L -> 3.0,
+        5L -> 10.0))
+    } finally q.stop()
+  }
+
+  test("streaming frequent window tracks top-n values per key (B9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // (id, user, kind)
+    val out = StatefulWindows.frequentWindow[(Long, Long, String), Long,
+        String, (Long, Long, String, Long)](
+      input.toDS(), _._2, _._3, 1) {
+      (k, e, top) => (k, e._1, top.head._1, top.head._2)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fw_out").start()
+    try {
+      input.addData(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "b"),
+        (4L, 1L, "a"), (5L, 1L, "c")))
+      q.processAllAvailable()
+      val got = spark.table("fw_out")
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => r._2 -> ((r._3, r._4))).toMap
+      // after each event: a:1 | tie a/b -> a | b:2 | tie a/b 2:2 -> a | a
+      assert(got == Map(1L -> (("a", 1L)), 2L -> (("a", 1L)),
+        3L -> (("b", 2L)), 4L -> (("a", 2L)), 5L -> (("a", 2L))))
+    } finally q.stop()
+  }
 }
