@@ -132,9 +132,16 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     * (or emit, if last) each partial parked at an elapsed absence.
     * Chained absences resolve in sequence, each window starting at the
     * previous deadline.
+    *
+    * Emission order is DEADLINE order (stable on the partials order for
+    * ties): one promote over a large time jump must emit exactly what a
+    * sequence of smaller watermark advances would — the batch and
+    * streaming executors then agree on output order, and `every = false`
+    * terminates on the earliest-deadline match, not the list-order one.
     */
   private def promote(now: Long, out: ArrayBuffer[PatternMatch[E]]): Unit = {
     val res = List.newBuilder[Partial[E]]
+    val resolved = ArrayBuffer.empty[(Long, Partial[E])] // (deadline, p)
     partials.foreach { p0 =>
       var p = p0
       var alive = true
@@ -146,7 +153,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             if (pattern.withinMs.exists(w => deadline - p.startTs > w)) {
               alive = false // cannot complete inside `within`
             } else if (p.stepIdx == last) {
-              if (!terminated) emitMatch(p, deadline, out)
+              resolved += ((deadline, p))
               alive = false
             } else {
               p = p.copy(stepIdx = p.stepIdx + 1, curCount = 0, elemTs = deadline)
@@ -155,6 +162,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
         }
       }
       if (alive) res += p
+    }
+    resolved.sortInPlaceBy(_._1)
+    resolved.foreach { case (deadline, p) =>
+      if (!terminated) emitMatch(p, deadline, out)
     }
     partials = res.result()
   }

@@ -214,8 +214,35 @@ object PlanCompiler {
     if (ds.isStreaming)
       Cep.streaming[DynEvt, String, DynMatch](
         ds, _.key, pat, _.ts, _.tie, tsScale)(build).toDF()
-    else
-      Cep.batch[DynEvt, String, DynMatch](
-        ds, _.key, pat, _.ts, Seq(col("ts"), col("tie")))(build).toDF()
+    else {
+      // batch pattern plans run on the MATCH_RECOGNIZE custom operator:
+      // Catalyst plans one hash shuffle + sort (elided when the view is
+      // already co-partitioned) instead of the groupByKey kryo
+      // round-trip — then the array<struct> match columns fold into the
+      // dialect's stable (key, start_ts, end_ts, binds) schema
+      import graft.plans.MatchRecognize
+      import graft.plans.MatchRecognize.{EAnd, ENotFor, EOr, EStep}
+      val elems2: Seq[MatchRecognize.Elem] = elems.toSeq.map {
+        case StepSpec(n, strict, mn, mx, ci) =>
+          EStep(n, col("flags")(ci), mn, mx, strict)
+        case LogicalSpec(ln2, li, rn, ri, isAnd) =>
+          if (isAnd) EAnd(ln2, col("flags")(li), rn, col("flags")(ri))
+          else EOr(ln2, col("flags")(li), rn, col("flags")(ri))
+        case AbsenceSpec(n, f, ci) => ENotFor(n, col("flags")(ci), f)
+      }
+      val matched = MatchRecognize(ds.toDF(), Seq("key"), "ts", "tie",
+        elems2, within, every)
+      val slotNames = pElems.flatMap(_.names)
+      val entries = slotNames.map(n =>
+        struct(lit(n).as("k"), col(n).as("arr")))
+      matched.select(col("key"),
+        col("match_start").as("start_ts"),
+        col("match_end").as("end_ts"),
+        map_from_entries(transform(
+          filter(array(entries: _*), s => size(s.getField("arr")) > 0),
+          s => struct(s.getField("k"),
+            element_at(s.getField("arr"), 1).getField("tie"))))
+          .as("binds"))
+    }
   }
 }

@@ -195,4 +195,23 @@ class NfaSpec extends AnyFunSuite {
     (1 to 100).foreach(i => nfa.onEvent(E(i, i * 10L, "A")))
     assert(nfa.liveCount <= 5)
   }
+
+  test("absence resolution emits in DEADLINE order across partials " +
+      "(fuzz regression: one big promote == many small watermark steps)") {
+    // B{3,5} then `not C for 7`; B's at 19/33/34 arm absence windows with
+    // deadline 41 on the 3rd B, while later B's at 181/185 re-arm windows
+    // with deadlines 188/192. The C at 193 resolves 188 AND 192 in ONE
+    // promote — emissions must come out 188-first (deadline order), not
+    // in partials-list order, or the streaming executor (which resolves
+    // them at successive watermarks) diverges.
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("s0", _.typ == "B", minCount = 3, maxCount = 5),
+      Absence[E](Step[E]("s1", _.typ == "C"), 7L)))
+    val evs = Seq(E(1, 19, "B"), E(2, 33, "B"), E(3, 34, "B"),
+      E(16, 181, "B"), E(17, 185, "B"), E(18, 193, "C"))
+    val ms = run(pat, evs)
+    val endTs = ms.map(_.endTs)
+    assert(endTs == endTs.sorted, s"emissions out of deadline order: $endTs")
+    assert(endTs.take(3) == Seq(41L, 188L, 188L))
+  }
 }
