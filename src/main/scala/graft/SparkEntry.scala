@@ -607,6 +607,19 @@ object SparkEntry {
       evts(s, dir).select(col("user_id"), col("event_id"),
         Windows.delayedVisibleCount(Seq(col("user_id")), col("ts_us"),
           300000000L).as("n_delayed_visible"))
+    }),
+
+    // LLM: IVF ANN — deterministic seed centroids inlined as literals
+    // (map-side cell assignment, zero shuffle), nProbe=2 cells probed
+    // per query, exact cosine inside cells. The oracle replicates the
+    // whole index: same centroids, same assignment, same probes.
+    "q47_similarity_ivf" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50)
+      Similarity.ivfTopK(e, queries, "embedding", "vec_id", 3,
+          nCells = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
     }))
 
   // -------------------------------------------------------------------
@@ -1235,5 +1248,45 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND 300000000 PRECEDING)
         |    AS n_delayed_visible
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    // full IVF replication: same 16 seed centroids (lowest vec_ids),
+    // same nearest-centroid assignment (score desc, cell asc), same
+    // 2-cell probe, same in-cell cosine top-3
+    "q47_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, embedding AS cv
+        |    FROM embeddings ORDER BY vec_id LIMIT 16),
+        |sc AS (SELECT e.vec_id, c.cell_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+        |      i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)))) AS score
+        |  FROM e CROSS JOIN cents c),
+        |rk AS (SELECT vec_id, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell_id) AS rk
+        |  FROM sc),
+        |ccell AS (SELECT vec_id AS neighbor_id, cell_id FROM rk WHERE rk = 1),
+        |qcell AS (SELECT vec_id AS query_id, cell_id FROM rk
+        |  WHERE rk <= 2 AND vec_id < 50),
+        |s AS (SELECT q.query_id, c.neighbor_id,
+        |    list_sum(list_transform(range(1, len(eq.embedding) + 1),
+        |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+        |      i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(ec.embedding) + 1),
+        |      i -> ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)))) AS cos
+        |  FROM qcell q JOIN ccell c ON q.cell_id = c.cell_id
+        |    AND q.query_id <> c.neighbor_id
+        |    JOIN e eq ON eq.vec_id = q.query_id
+        |    JOIN e ec ON ec.vec_id = c.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 3""".stripMargin)
 }

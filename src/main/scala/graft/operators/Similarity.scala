@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Vectors
@@ -30,6 +30,60 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("_qn", Vectors.dot(col("_qv"), col("_qv")))
     val joined = c.crossJoin(broadcast(q))
+    val scored0 = joined.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosineFromParts(Vectors.dot(col("_qv"), col("_cv")),
+        col("_qn"), col("_cn")).as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style approximate top-k: an inverted-file index with a coarse
+    * quantizer. Centroids are the `nCells` lowest-id corpus vectors
+    * (deterministic seeds standing in for a trained k-means codebook —
+    * the plumbing, not the training, is the engine's job); every vector
+    * is assigned map-side to its nearest centroid via INLINED centroid
+    * literals (no shuffle, no broadcast join — the codebook rides the
+    * plan), queries probe their `nProbe` nearest cells, and candidate
+    * scoring is one equi-join on the cell id.
+    *
+    * 100 TB shape: assignment is a pure projection over the scan;
+    * the only shuffle is the cell-id join, sized by cell occupancy
+    * (≈ N/nCells per cell); recall grows with `nProbe` on the small
+    * query side only.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int, nProbe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .selectExpr(s"CAST($idCol AS LONG) AS id",
+        s"CAST($vecCol AS ARRAY<DOUBLE>) AS v")
+      .orderBy(col("id")).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // per-centroid (negated score, cell id) structs: ascending array_sort
+    // then yields best-score-first with smaller-cell-id tie-break
+    def cellRanks(v: Column): Column = array_sort(array(cents.map {
+      case (cid, cv) =>
+        val arr = cv.toArray
+        struct((-Vectors.cosineFromParts(Vectors.dot(v, lit(arr)),
+          Vectors.dot(v, v), lit(arr.map(x => x * x).sum))).as("ns"),
+          lit(cid).as("cid"))
+    }: _*))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("cell", element_at(cellRanks(col("_cv")), 1).getField("cid"))
+      .withColumn("_cn", Vectors.dot(col("_cv"), col("_cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("cell", explode(transform(
+        slice(cellRanks(col("_qv")), 1, math.min(nProbe, nCells)),
+        s => s.getField("cid"))))
+      .withColumn("_qn", Vectors.dot(col("_qv"), col("_qv")))
+    val joined = c.join(q, Seq("cell"))
     val scored0 = joined.select(col("query_id"), col("neighbor_id"),
       Vectors.cosineFromParts(Vectors.dot(col("_qv"), col("_cv")),
         col("_qn"), col("_cn")).as("cosine"))

@@ -101,6 +101,28 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 10 && got.forall(p => p._1 == p._2))
   }
 
+  test("IVF ANN achieves full recall for identical-vector queries and " +
+      "more probes never shrink the candidate set") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    // a query identical to a corpus vector assigns to the same cell
+    val got = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+      k = 1, nCells = 8, nProbe = 1, excludeSelf = false)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length == 10 && got.forall(p => p._1 == p._2))
+
+    def hits(nProbe: Int): Set[(Long, Long)] =
+      Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+        k = 5, nCells = 8, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val one = hits(1)
+    val three = hits(3)
+    // probing more cells can only add candidates above any cosine rank
+    // the 1-probe result reached
+    assert(one.nonEmpty && three.size >= one.size)
+  }
+
   test("multi-probe LSH recovers near-dup neighbors across bucket edges") {
     val dim = 32
     val rnd = new scala.util.Random(7)
