@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Rollup, Similarity, Windows}
+import graft.operators.{AsofJoin, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -620,6 +620,27 @@ object SparkEntry {
           nCells = 16, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Event table (`define table` + insert/update + stream-table join):
+    // two upsert waves (orders before/after a date cutoff) build a
+    // last-order-per-customer table; customers broadcast-join it. The
+    // winner across waves = global max (o_orderdate, o_orderkey) because
+    // wave 2's dates all exceed wave 1's — which is what the oracle
+    // computes with one window.
+    "q48_event_table_upsert" -> ((s, dir) => {
+      val orders = ld(s, dir, "orders")
+      val cutoff = to_date(lit("1995-01-01"))
+      val t = EventTable("o_custkey")
+      t.upsert(orders.filter(col("o_orderdate") < cutoff),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+      t.upsert(orders.filter(col("o_orderdate") >= cutoff),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+      ld(s, dir, "customer")
+        .join(broadcast(t.toDF.select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"))), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey").as("last_order"),
+          round(col("o_totalprice"), 6).as("total_r"))
     }))
 
   // -------------------------------------------------------------------
@@ -1288,5 +1309,14 @@ object SparkEntry {
         |      ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
-        |FROM r WHERE rank <= 3""".stripMargin)
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q48_event_table_upsert" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |  FROM orders)
+        |SELECT c_custkey, o_orderkey AS last_order,
+        |  round(o_totalprice, 6) AS total_r
+        |FROM customer JOIN r ON c_custkey = o_custkey AND rk = 1""".stripMargin)
 }

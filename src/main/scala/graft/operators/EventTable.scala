@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SiddhiQL `define table` equivalent: a keyed, updatable relation that
+  * streams join against and queries insert into / update / delete from
+  * (the reference forwards table DDL+DML verbatim to its embedded
+  * engine; Spark has no mutable relation, so this is the idiomatic
+  * rebuild: immutable DataFrame snapshots + generation-tagged upserts).
+  *
+  * Semantics (matching Siddhi's in-memory table):
+  *  - `upsert`: incoming rows REPLACE same-key rows (last writer wins;
+  *    within one call, duplicates collapse to the max of `winner`);
+  *  - `delete`: removes rows matching a predicate;
+  *  - `toDF`: the current compacted snapshot — join it (broadcast: the
+  *    table is dimension-sized by contract, like Siddhi's in-memory
+  *    tables) or register it as a view.
+  *
+  * Scale: each upsert pre-compacts ONLY the incoming batch (one shuffle
+  * of batch size); the lazily-compacted union resolves last-writer by a
+  * driver-side generation counter, so snapshot compaction is one
+  * hash-agg over the table — never over the stream joined against it.
+  */
+final class EventTable private (val keyCols: Seq[String]) {
+
+  private var gen = 0L
+  @volatile private var cur: Option[DataFrame] = None
+
+  /** Insert-or-update: per-key winner of `rows` (max of `winner`
+    * ordering, e.g. a version/timestamp column) replaces any existing
+    * row of that key.
+    */
+  def upsert(rows: DataFrame, winner: Seq[Column]): this.type =
+    synchronized {
+      gen += 1
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(winner.map(_.desc): _*)
+      val batch = rows.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).drop("_rk")
+        .withColumn("_gen", lit(gen))
+      cur = Some(cur.map(_.unionByName(batch)).getOrElse(batch))
+      this
+    }
+
+  /** Delete rows currently in the table matching `cond`. Compacts
+    * first: deleting a key's CURRENT row must not resurface the
+    * superseded row from an earlier upsert generation.
+    */
+  def delete(cond: Column): this.type = synchronized {
+    cur = cur.map(_ => toDF.filter(!cond).withColumn("_gen", lit(0L)))
+    this
+  }
+
+  /** Current snapshot: one row per key (highest generation wins). */
+  def toDF: DataFrame = {
+    val df = cur.getOrElse(
+      throw new IllegalStateException("EventTable is empty — upsert first"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_gen").desc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "_gen")
+  }
+
+  /** Materialize the compaction so later snapshots reuse it. */
+  def compact(): this.type = synchronized {
+    cur = cur.map(_ => toDF.withColumn("_gen", lit(0L)))
+    this
+  }
+}
+
+object EventTable {
+  def apply(keyCols: String*): EventTable = {
+    require(keyCols.nonEmpty, "EventTable needs at least one key column")
+    new EventTable(keyCols)
+  }
+}

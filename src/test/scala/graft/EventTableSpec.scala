@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventTable
+
+class EventTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert replaces same-key rows, last writer wins") {
+    val t = EventTable("k")
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq(col("v")))
+    t.upsert(Seq((1L, "a2")).toDF("k", "v"), Seq(col("v")))
+    val got = t.toDF.as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (2L, "b")))
+  }
+
+  test("duplicate keys within one upsert collapse to the winner") {
+    val t = EventTable("k")
+    t.upsert(Seq((1L, 3, "mid"), (1L, 7, "new"), (1L, 1, "old"))
+      .toDF("k", "ver", "v"), Seq(col("ver")))
+    assert(t.toDF.select("v").as[String].collect().toSeq == Seq("new"))
+  }
+
+  test("delete removes the CURRENT row without resurfacing older ones") {
+    val t = EventTable("k")
+    t.upsert(Seq((1L, "old")).toDF("k", "v"), Seq(col("v")))
+    t.upsert(Seq((1L, "new")).toDF("k", "v"), Seq(col("v")))
+    t.delete($"v" === "new")
+    assert(t.toDF.count() == 0) // the superseded "old" row must NOT return
+  }
+
+  test("compacted snapshot joins as a broadcast dimension") {
+    val t = EventTable("k")
+    t.upsert(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), Seq(col("price")))
+    t.compact()
+    val stream = Seq((100L, 1L), (101L, 1L), (102L, 2L)).toDF("ev", "k")
+    val joined = stream.join(broadcast(t.toDF), "k")
+    assert(joined.count() == 3)
+    assert(joined.filter($"k" === 1L).select("price")
+      .as[Double].collect().forall(_ == 10.0))
+  }
+}
