@@ -69,6 +69,27 @@ final class EventTable private (val keyCols: Seq[String]) {
     cur = cur.map(_ => toDF.withColumn("_gen", lit(0L)))
     this
   }
+
+  /** Maintain the table from a stream (`update or insert into <table>`
+    * in SiddhiQL): every micro-batch upserts by the table key with
+    * `winner` ordering intra-batch. Start the returned writer to run.
+    *
+    * The micro-batch frame is only valid inside its batch, so rows are
+    * materialized before landing in the table — fine by the
+    * dimension-sized contract (Siddhi tables are in-memory too).
+    */
+  def sink(stream: DataFrame, winner: Seq[Column]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toIndexedSeq
+        if (rows.nonEmpty) {
+          val stable = batch.sparkSession.createDataFrame(
+            batch.sparkSession.sparkContext.parallelize(rows), batch.schema)
+          upsert(stable, winner)
+        }
+        ()
+    }
 }
 
 object EventTable {

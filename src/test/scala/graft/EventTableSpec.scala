@@ -29,6 +29,23 @@ class EventTableSpec extends SparkSpec {
     assert(t.toDF.count() == 0) // the superseded "old" row must NOT return
   }
 
+  test("streaming sink maintains the table per micro-batch " +
+      "(update-or-insert-into)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val t = EventTable("k")
+    val q = t.sink(input.toDF().toDF("k", "v"), Seq(col("v"))).start()
+    try {
+      input.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "a2")))
+      q.processAllAvailable()
+      val got = t.toDF.as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a2"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("compacted snapshot joins as a broadcast dimension") {
     val t = EventTable("k")
     t.upsert(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), Seq(col("price")))
