@@ -641,6 +641,18 @@ object SparkEntry {
           col("o_totalprice"))), col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("o_orderkey").as("last_order"),
           round(col("o_totalprice"), 6).as("total_r"))
+    }),
+
+    // LLM multimodal: frame sampling — every 4th frame index of each
+    // "video" asset from the decode metadata, exploded to the row shape
+    // a batched frame decoder consumes
+    "q49_multimodal_framesample" -> ((s, dir) => {
+      Multimodal.synthesize(ld(s, dir, "documents"), "text")
+        .select(col("doc_id"), Multimodal.decode(col("payload")).as("m"))
+        .filter(col("m.media_type") === "video")
+        .select(col("doc_id"),
+          explode(Multimodal.frameSampleIndices(col("m.n_frames"), 4))
+            .as("frame_idx"))
     }))
 
   // -------------------------------------------------------------------
@@ -1318,5 +1330,13 @@ object SparkEntry {
         |  FROM orders)
         |SELECT c_custkey, o_orderkey AS last_order,
         |  round(o_totalprice, 6) AS total_r
-        |FROM customer JOIN r ON c_custkey = o_custkey AND rk = 1""".stripMargin)
+        |FROM customer JOIN r ON c_custkey = o_custkey AND rk = 1""".stripMargin,
+
+    "q49_multimodal_framesample" ->
+      """WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb
+        |    FROM documents),
+        |v AS (SELECT doc_id, (1 + nb % 30)::INT AS n_frames
+        |  FROM n WHERE nb % 3 = 2)
+        |SELECT doc_id, unnest(range(0, n_frames, 4))::INT AS frame_idx
+        |FROM v""".stripMargin)
 }

@@ -48,6 +48,17 @@ object Multimodal {
       (lit(1) + n % 30).cast("int").as("n_frames"))
   }
 
+  /** Frame-sampling plan for video assets: every `everyK`-th frame index
+    * from the decoded metadata, as an exploded (asset, frame_idx) row
+    * set — the shape a downstream batched frame-decoder consumes. The
+    * index arithmetic is real; the actual pixel fetch is the stubbed
+    * batch kernel boundary (see [[byteFeatures]]).
+    */
+  def frameSampleIndices(nFrames: Column, everyK: Int): Column = {
+    require(everyK >= 1)
+    sequence(lit(0), nFrames.cast("int") - 1, lit(everyK))
+  }
+
   /** Partition-wise batched byte-statistics kernel. Rows are processed
     * in `batchSize` groups — the batch boundary is where a vectorized
     * native call (image decode, resample, embed) would sit; the byte
