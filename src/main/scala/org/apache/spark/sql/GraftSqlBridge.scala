@@ -24,6 +24,14 @@ object GraftSqlBridge {
   def sessionExpression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** The planner strategies a `SparkSessionExtensions` instance would
+    * inject — lets tests assert extension wiring without constructing a
+    * second SparkSession (builder.getOrCreate reuses the first).
+    */
+  def plannerStrategies(exts: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    exts.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
   /** Wrap a (possibly custom) logical plan as a DataFrame —
     * `classic.Dataset.ofRows` is `private[sql]` in Spark 4.x; this is the
     * injection point for graft's own plan nodes (MatchRecognizeNode).

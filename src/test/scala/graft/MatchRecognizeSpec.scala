@@ -111,6 +111,34 @@ class MatchRecognizeSpec extends SparkSpec {
       "expected a partition-local sort satisfying the NFA's order")
   }
 
+  test("custom exec streams a 10^6-event hot key (bounded memory)") {
+    // one key, alternating A/B: the skew worst case. The exec must feed
+    // the sorted partition through the NFA without materializing the
+    // group — state stays O(live partials).
+    val n = 1000000L
+    val df = spark.range(n).selectExpr("id AS event_id", "id * 10 AS ts_us",
+      "1L AS user_id",
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS event_type")
+    val out = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+      Seq(EStep("a", $"event_type" === "A"),
+        EStep("b", $"event_type" === "B")),
+      withinTs = Some(100L))
+    assert(out.count() == n / 2)
+  }
+
+  test("strategy injected via GraftExtensions resolves the node without " +
+      "builder self-registration") {
+    import graft.plans.{GraftExtensions, MatchRecognizeStrategy}
+    // a session built withExtensions gets the strategy at construction;
+    // simulate by asserting the extension wires it into extraStrategies'
+    // equivalent injection point (same object identity the builder uses)
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    val injected = org.apache.spark.sql.GraftSqlBridge
+      .plannerStrategies(exts, spark)
+    assert(injected.contains(MatchRecognizeStrategy))
+  }
+
   test("and element binds both sides in either order") {
     val df = Seq(
       (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
