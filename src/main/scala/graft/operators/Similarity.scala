@@ -68,7 +68,7 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     // per-centroid (negated score, cell id) structs: ascending array_sort
     // then yields best-score-first with smaller-cell-id tie-break
-    def cellRanks(v: Column): Column = array_sort(array(cents.map {
+    def cellRanks(v: Column): Column = array_sort(array(cents.toIndexedSeq.map {
       case (cid, cv) =>
         val arr = cv.toArray
         struct((-Vectors.cosineFromParts(Vectors.dot(v, lit(arr)),

@@ -7,6 +7,9 @@ import graft.cep.{Cep, PatternDef, Step}
 import graft.plans.MatchRecognize
 import graft.plans.MatchRecognize.{EAnd, ENotFor, EOr, EStep}
 
+/** Random-pattern event row for the seeded plan-vs-kernel equivalence. */
+case class REv(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
+
 class MatchRecognizeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -137,6 +140,79 @@ class MatchRecognizeSpec extends SparkSpec {
     val injected = org.apache.spark.sql.GraftSqlBridge
       .plannerStrategies(exts, spark)
     assert(injected.contains(MatchRecognizeStrategy))
+  }
+
+  test("randomized patterns: custom plan == in-memory NFA replay (8 seeds)") {
+    import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternElem, Step}
+    import graft.plans.MatchRecognize.Elem
+
+    for (seed <- 0 until 8) {
+      val r = new scala.util.Random(seed)
+      def typ() = Seq("A", "B", "C")(r.nextInt(3))
+      // parallel user-facing elems + kernel elems from one random spec
+      val n = 1 + r.nextInt(3)
+      val specs: IndexedSeq[(Elem, PatternElem[REv])] = (0 until n).map { i =>
+        r.nextInt(if (i == 0) 4 else 6) match {
+          case 4 =>
+            val (t1, t2, and) = (typ(), typ(), r.nextBoolean())
+            val e: Elem =
+              if (and) EAnd(s"s${i}l", $"event_type" === t1,
+                s"s${i}r", $"event_type" === t2)
+              else EOr(s"s${i}l", $"event_type" === t1,
+                s"s${i}r", $"event_type" === t2)
+            val k: PatternElem[REv] =
+              Logical[REv](Step[REv](s"s${i}l", _.event_type == t1),
+                Step[REv](s"s${i}r", _.event_type == t2), and)
+            (e, k)
+          case 5 =>
+            val (t, d) = (typ(), 5L + r.nextInt(46))
+            (ENotFor(s"s$i", $"event_type" === t, d): Elem,
+              Absence[REv](Step[REv](s"s$i", _.event_type == t), d):
+                PatternElem[REv])
+          case _ =>
+            val t = typ()
+            val mn = 1 + r.nextInt(3)
+            val mx = mn + r.nextInt(3)
+            val strict = i > 0 && r.nextBoolean()
+            (EStep(s"s$i", $"event_type" === t, mn, mx, strict): Elem,
+              Step[REv](s"s$i", _.event_type == t, mn, mx, strict):
+                PatternElem[REv])
+        }
+      }
+      val within = if (r.nextBoolean()) Some(10L + r.nextInt(191)) else None
+      var t = 0L
+      val evs = (1 to 120).map { i =>
+        t += r.nextInt(21)
+        REv(i.toLong, t, r.nextInt(3).toLong, typ())
+      }
+
+      val kernelPat = PatternDef[REv](
+        specs.map(_._2).toIndexedSeq, withinMs = within)
+      val slotNames = kernelPat.steps.flatMap(_.names)
+      val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val nfa = new Nfa[REv](kernelPat, _.ts_us)
+        val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+        (sorted.flatMap(nfa.onEvent) ++ nfa.flush()).map(m =>
+          (u, m.startTs, m.endTs,
+            slotNames.map(sn => sn -> m.get(sn).map(_.event_id)).toMap))
+      }.sortBy(x => (x._1, x._2, x._3, x._4.toSeq.sortBy(_._1).mkString))
+
+      val planOut = MatchRecognize(
+          evs.map(e => (e.event_id, e.ts_us, e.user_id, e.event_type))
+            .toDF("event_id", "ts_us", "user_id", "event_type"),
+          Seq("user_id"), "ts_us",
+          "event_id", specs.map(_._1), withinTs = within)
+        .select(col("user_id") +: col("match_start") +: col("match_end") +:
+          slotNames.map(sn =>
+            transform(col(sn), s => s.getField("event_id")).as(sn)): _*)
+        .collect().toSeq.map { row =>
+          (row.getLong(0), row.getLong(1), row.getLong(2),
+            slotNames.zipWithIndex.map { case (sn, i) =>
+              sn -> row.getSeq[Long](3 + i) }.toMap)
+        }.sortBy(x => (x._1, x._2, x._3, x._4.toSeq.sortBy(_._1).mkString))
+
+      assert(planOut == expected, s"seed=$seed diverged")
+    }
   }
 
   test("and element binds both sides in either order") {
