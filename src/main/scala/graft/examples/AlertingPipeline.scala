@@ -66,6 +66,28 @@ object AlertingPipeline {
     println("SWAPPED active=" +
       cp.runningQuery("double_error").exists(_.isActive))
     cp.shutdown()
+
+    // batch post-mortem over the same pattern, through the Catalyst
+    // MATCH_RECOGNIZE operator (one planned shuffle), enriched with a
+    // user dimension maintained as an upsertable event table
+    import graft.operators.EventTable
+    import graft.plans.MatchRecognize
+    import graft.plans.MatchRecognize.EStep
+    val history = spark.range(0, 600)
+      .select(col("id"), (col("id") * 20).as("ts_ms"),
+        (col("id") % 5).as("user"),
+        when(col("id") % 3 === 0, "error").otherwise("ok").as("typ"))
+    val users = EventTable("user")
+    users.upsert(spark.range(0, 5).select(col("id").as("user"),
+      concat(lit("tier-"), col("id") % 2).as("tier")), Seq(col("tier")))
+    val matches = MatchRecognize(history, Seq("user"), "ts_ms", "id",
+        Seq(EStep("a", col("typ") === "error"),
+          EStep("b", col("typ") === "error")), withinTs = Some(1000L))
+      .select(col("user"), col("match_start"), col("match_end"))
+      .join(broadcast(users.toDF), "user")
+    println(s"POSTMORTEM matches=${matches.count()} " +
+      s"tiers=${matches.select("tier").distinct().count()}")
+
     println("PIPELINE-DONE")
     spark.stop()
   }
