@@ -160,6 +160,19 @@ final class StreamQuery private[graft] (env: GraftCEP, private var df: DataFrame
     */
   def partitionBy(keys: Column*): GroupedQuery = new GroupedQuery(env, df, keys)
 
+  /** B16-B20 via the whole-operator Catalyst path: run a CEP pattern over
+    * this stream through [[graft.plans.MatchRecognize]] (one planned hash
+    * shuffle; array<struct> match columns, `element_at(col("a"),1)` for
+    * Siddhi's `a[0]` access).
+    */
+  def matchRecognize(partitionKeys: Seq[String], tsCol: String, tieCol: String,
+      pattern: Seq[graft.plans.MatchRecognize.Elem],
+      withinTs: Option[Long] = None): StreamQuery = {
+    df = graft.plans.MatchRecognize(df, partitionKeys, tsCol, tieCol,
+      pattern, withinTs)
+    this
+  }
+
   /** B5: insert into a named output stream; repeated inserts into the
     * same output union (reference multi-query-one-output semantics).
     */

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternMatch, Step}
 
 /** Planner strategy for [[MatchRecognizeNode]] — registered either via
@@ -61,6 +62,10 @@ case class MatchRecognizeExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numMatches" -> SQLMetrics.createMetric(sparkContext, "number of matches"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of key groups"))
+
   override protected def withNewChildInternal(newChild: SparkPlan): MatchRecognizeExec =
     copy(child = newChild)
 
@@ -79,6 +84,8 @@ case class MatchRecognizeExec(
     val ev = every
     val maxP = maxPartials
     val outTypes = output.map(_.dataType).toArray
+    val matchMetric = longMetric("numMatches")
+    val groupMetric = longMetric("numGroups")
 
     child.execute().mapPartitionsWithIndex({ (idx, rows) =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -114,6 +121,7 @@ case class MatchRecognizeExec(
           vals(nKeys + 2 + s) = new GenericArrayData(g.toArray[Any])
           s += 1
         }
+        matchMetric += 1
         toUnsafe(new GenericInternalRow(vals)).copy()
       }
 
@@ -129,6 +137,7 @@ case class MatchRecognizeExec(
               val r = rows.next()
               val k = keyProj(r)
               if (nfa == null || k != curKey) {
+                groupMetric += 1
                 val flushed =
                   if (nfa == null) IndexedSeq.empty[PatternMatch[InternalRow]]
                   else nfa.flush()

@@ -215,6 +215,30 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("builder fails fast on unknown columns and non-long ts") {
+    val df = Seq((1L, 10L, "A")).toDF("event_id", "ts_us", "event_type")
+    assertThrows[IllegalArgumentException](
+      MatchRecognize(df, Seq("nope"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "A"))))
+    assertThrows[IllegalArgumentException](
+      MatchRecognize(df, Seq("event_id"), "event_type", "event_id",
+        Seq(EStep("a", $"event_type" === "A"))))
+  }
+
+  test("fluent env surface: from(...).matchRecognize(...) composes") {
+    val env = new GraftCEP(spark)
+    env.registerStream("mr_ev", Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type"))
+    val out = env.from("mr_ev")
+      .matchRecognize(Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "A"),
+          EStep("b", $"event_type" === "B")))
+      .select(element_at($"a", 1).getField("event_id").as("a_id"))
+      .toDF
+    assert(out.as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("and element binds both sides in either order") {
     val df = Seq(
       (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
