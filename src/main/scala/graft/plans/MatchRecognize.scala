@@ -137,4 +137,87 @@ object MatchRecognize {
       partitionKeys.map(attr), tsA, attr(tieCol), preds.flatten, specs,
       withinTs, every, maxPartials, outAttrs, child))
   }
+
+  /** Streaming MATCH_RECOGNIZE: the SAME [[Elem]] surface over an
+    * unbounded stream, executed on [[graft.cep.Cep.streaming]]
+    * (watermark-buffered ordered release + checkpointed NFA state).
+    *
+    * Predicates are evaluated ONCE per event as a codegen'd boolean
+    * flag array before entering keyed state — the NFA never interprets
+    * Catalyst expressions per partial match. Output schema:
+    * `keys ++ (match_start long, match_end long, binds map<string,long>)`
+    * (step name → `tie` of its first bound event; streaming state cannot
+    * afford the batch operator's full per-slot event arrays).
+    *
+    * @param eventTimeCol the stream's WATERMARKED timestamp column
+    *                     (apply `withWatermark` upstream); carried
+    *                     through so the stateful op sees the watermark
+    * @param tsScale      event-time units of `tsCol` per watermark
+    *                     millisecond (µs ts → 1000)
+    */
+  def streaming(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
+      tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
+      withinTs: Option[Long] = None, every: Boolean = true,
+      maxPartials: Int = 1024, tsScale: Long = 1L): DataFrame = {
+    val everyMatch = every // functions._ would shadow the parameter
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, MapType, StructField, StructType}
+    import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, Step}
+    require(df.isStreaming, "streaming() needs a streaming DataFrame; " +
+      "use MatchRecognize(...) for batch")
+
+    val predCols: Seq[Column] = pattern.flatMap {
+      case EStep(_, p, _, _, _) => Seq(p)
+      case EAnd(_, lp, _, rp)   => Seq(lp, rp)
+      case EOr(_, lp, _, rp)    => Seq(lp, rp)
+      case ENotFor(_, p, _)     => Seq(p)
+    }
+    val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
+      lit(false))): _*)
+    // plain alias keeps the watermark metadata on the event-time column
+    val env = df.select(
+      struct(partitionKeys.map(col): _*).as("k"),
+      col(tsCol).cast("long").as("ts"),
+      col(tieCol).cast("long").as("tie"),
+      flags.as("flags"),
+      col(eventTimeCol).as("wmc"))
+
+    var ci = -1
+    def idx(): Int = { ci += 1; ci }
+    def flagStep(name: String, min: Int, max: Int,
+        strict: Boolean): Step[Row] = {
+      val i = idx()
+      Step[Row](name, _.getSeq[Boolean](3)(i), min, max, strict)
+    }
+    val pElems: IndexedSeq[PatternElem[Row]] = pattern.map {
+      case EStep(n, _, mn, mx, st) => flagStep(n, mn, mx, st)
+      case EAnd(ln, _, rn, _) =>
+        Logical[Row](flagStep(ln, 1, 1, strict = false),
+          flagStep(rn, 1, 1, strict = false), isAnd = true)
+      case EOr(ln, _, rn, _) =>
+        Logical[Row](flagStep(ln, 1, 1, strict = false),
+          flagStep(rn, 1, 1, strict = false), isAnd = false)
+      case ENotFor(n, _, f) =>
+        Absence[Row](flagStep(n, 1, 1, strict = false), f)
+    }.toIndexedSeq
+    val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials)
+
+    val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
+    val outSchema = StructType(keySchema.fields ++ Array(
+      StructField("match_start", LongType, nullable = false),
+      StructField("match_end", LongType, nullable = false),
+      StructField("binds", MapType(
+        org.apache.spark.sql.types.StringType, LongType), nullable = false)))
+    val kEnc = Encoders.row(keySchema)
+    val oEnc = Encoders.row(outSchema)
+    Cep.streaming[Row, Row, Row](
+      env, _.getStruct(0), pat, _.getLong(1), _.getLong(2), tsScale) {
+      (k, m) =>
+        val binds = m.groups.map { case (n, es) => n -> es.head.getLong(2) }
+        Iterator.single(new GenericRowWithSchema(
+          (k.toSeq ++ Seq(m.startTs, m.endTs, binds)).toArray, outSchema))
+    }(kEnc, oEnc).toDF()
+  }
 }

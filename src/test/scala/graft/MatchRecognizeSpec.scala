@@ -239,6 +239,47 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("streaming MatchRecognize: same Elem surface, watermark-ordered, " +
+      "out-of-order across micro-batches, composite key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts_ms, region, user, typ)
+    val input = MemoryStream[(Long, Long, String, Long, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts_ms", "region", "user", "typ")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+    val out = graft.plans.MatchRecognize.streaming(df,
+      Seq("region", "user"), "ts_ms", "event_id",
+      Seq(EStep("a", $"typ" === "A"), EStep("b", $"typ" === "B")),
+      eventTimeCol = "etc", withinTs = Some(10000L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_stream").start()
+    try {
+      // batch 1: east's B@2000 arrives BEFORE its A@1000 (intra-batch
+      // disorder) and west's A lands too; watermark still at 0
+      input.addData((2L, 2000L, "east", 1L, "B"), (1L, 1000L, "east", 1L, "A"),
+        (3L, 1000L, "west", 1L, "A"))
+      q.processAllAvailable()
+      // batch 2: west's B straddles the micro-batch boundary (still
+      // inside the 10s watermark delay); the tick advances the
+      // watermark to 20s, releasing both keys through their NFAs
+      input.addData((5L, 1500L, "west", 1L, "B"), (6L, 30000L, "east", 9L, "X"))
+      q.processAllAvailable()
+      // batch 3: far-future tick flushes any remainder
+      input.addData((7L, 100000L, "east", 9L, "X"))
+      q.processAllAvailable()
+      val got = spark.table("mr_stream")
+        .select($"region", $"user", $"match_start", $"match_end",
+          element_at($"binds", "a").as("a_tie"),
+          element_at($"binds", "b").as("b_tie"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("east", 1L, 1000L, 2000L, 1L, 2L),
+        ("west", 1L, 1000L, 1500L, 3L, 5L)))
+    } finally q.stop()
+  }
+
   test("and element binds both sides in either order") {
     val df = Seq(
       (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
