@@ -653,6 +653,21 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(Multimodal.frameSampleIndices(col("m.n_frames"), 4))
             .as("frame_idx"))
+    }),
+
+    // The composed training-data filter — quality gate, then language
+    // gate, then exact dedup, in one plan: the end-to-end shape a 100 TB
+    // pretraining pipeline runs. Quality/langid are pure projections
+    // (pushed to the scan side); only dedup's fingerprint agg shuffles.
+    "q50_training_filter" -> ((s, dir) => {
+      val f = Text.qualityFeatures(col("text"))
+      val gated = ld(s, dir, "documents")
+        .withColumn("n_tokens", f.getField("n_tokens").cast("long"))
+        .withColumn("punct_ratio", f.getField("punct_ratio"))
+        .filter(col("n_tokens") >= 10 && col("punct_ratio") < 0.1)
+        .filter(Text.langId(col("text")) === "en")
+      Dedup.exact(gated, "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"))
     }))
 
   // -------------------------------------------------------------------
@@ -1338,5 +1353,41 @@ object SparkEntry {
         |v AS (SELECT doc_id, (1 + nb % 30)::INT AS n_frames
         |  FROM n WHERE nb % 3 = 2)
         |SELECT doc_id, unnest(range(0, n_frames, 4))::INT AS frame_idx
-        |FROM v""".stripMargin)
+        |FROM v""".stripMargin,
+
+    // quality gate + language gate + exact dedup, composed exactly as
+    // the Spark plan composes them (q21 + q22 + q19 building blocks)
+    "q50_training_filter" ->
+      """WITH feats AS (SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens,
+        |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |      (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |        / len(text)::DOUBLE END AS punct_ratio
+        |  FROM documents),
+        |lang AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with|for)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|con|por|para)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(il|di|che|non|per|del|sono|una)\b')) AS s_it,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents),
+        |gated AS (SELECT f.doc_id, f.text, f.n_tokens
+        |  FROM feats f JOIN lang l ON f.doc_id = l.doc_id
+        |  WHERE f.n_tokens >= 10 AND f.punct_ratio < 0.1
+        |    AND greatest(s_en, s_de, s_fr, s_es, s_it, s_zh) > 0
+        |    AND NOT s_zh >= greatest(s_en, s_de, s_fr, s_es, s_it)
+        |    AND NOT s_it >= greatest(s_en, s_de, s_fr, s_es)
+        |    AND NOT s_fr >= greatest(s_en, s_de, s_es)
+        |    AND NOT s_es >= greatest(s_en, s_de)
+        |    AND s_en >= s_de),
+        |n AS (SELECT doc_id, n_tokens,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM gated),
+        |r AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |  FROM n)
+        |SELECT doc_id, n_tokens FROM r WHERE rn = 1""".stripMargin)
 }

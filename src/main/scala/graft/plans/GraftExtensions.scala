@@ -61,8 +61,26 @@ object GraftExtensions {
       PolyHash64(children.head)
     })
 
+  /** `graft_minhash(text, shingleK, numHashes)` — MinHash signature
+    * (k and n must be integer literals: they shape the output array).
+    */
+  val minhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_minhash takes (text, shingleK, numHashes)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash: $what must be an integer literal, got $other")
+      }
+      MinhashSignature(children.head, intLit(children(1), "shingleK"),
+        intLit(children(2), "numHashes"))
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(arrayDot, simhash, fingerprint)
+    Seq(arrayDot, simhash, fingerprint, minhash)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

@@ -31,4 +31,16 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].head()
     assert(fp == again)
   }
+
+  test("graft_minhash registered; rejects non-literal shape args") {
+    GraftExtensions.registerAll(spark.sessionState.functionRegistry)
+    val sig = spark.sql("SELECT graft_minhash('hello world', 5, 16)")
+      .as[Seq[Long]].head()
+    assert(sig == graft.functions.Hashing.minHashSignature(
+      graft.functions.Hashing.shingleHashes("hello world", 5), 16).toSeq)
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_minhash('x', 5, 8 + 8)").collect())
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
 }
