@@ -1,7 +1,7 @@
 package graft.cep
 
 import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Batch and streaming executors for [[PatternDef]] over keyed event
   * datasets. One NFA kernel ([[Nfa]]), two execution modes:
@@ -198,5 +198,69 @@ object Cep {
 
     ds.groupByKey(key).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** The same streaming executor on Spark's `transformWithState`
+    * StatefulProcessor API (the successor to flatMapGroupsWithState:
+    * named state variables, first-class event-time timers, TTL) — the
+    * primitive SURVEY §2.A5 maps the reference's operator onto. Both
+    * executors drive the SAME pure [[step]] kernel, so the chunking
+    * property holds for either; this one replaces the wake-up
+    * set-timeout dance with real `registerTimer`/`handleExpiredTimer`
+    * callbacks (multiple pending deadlines coexist instead of one
+    * min-timeout per key).
+    *
+    * Requires the RocksDB state store (multiple column families):
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * — also the provider you want at 100 TB (state spills to local disk
+    * instead of living on the executor heap like HDFSBackedStateStore).
+    */
+  def streamingTws[E, K: Encoder, O: Encoder](
+      ds: Dataset[E],
+      key: E => K,
+      pattern: PatternDef[E],
+      tsOf: E => Long,
+      tieBreak: E => Long,
+      tsScale: Long = 1L)(
+      build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
+
+    class CepProcessor extends StatefulProcessor[K, E, O] {
+      @transient private var st: ValueState[CepState[E]] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[CepState[E]]("cep",
+          Encoders.kryo[CepState[E]], TTLConfig.NONE)
+
+      private def run(k: K, incoming: Seq[E],
+          timers: TimerValues): Iterator[O] = {
+        val wmMs = timers.getCurrentWatermarkInMs()
+        val prev = if (st.exists()) st.get() else CepState.empty[E]
+        val (next, matches, wake) = step(
+          prev, incoming, wmMs * tsScale, hasWatermark = wmMs > 0,
+          pattern, tsOf, tieBreak)
+        next match {
+          case None => st.clear()
+          case Some(ns) =>
+            st.update(ns)
+            // one timer per distinct future instant; stale timers fire
+            // harmless no-op steps (step(Nil) is idempotent at a given
+            // watermark), so no delete bookkeeping is needed
+            wake.map(w => math.max(wmMs + 1, w / tsScale)).distinct
+              .foreach(getHandle.registerTimer)
+        }
+        matches.iterator.flatMap(build(k, _))
+      }
+
+      override def handleInputRows(k: K, rows: Iterator[E],
+          timers: TimerValues): Iterator[O] = run(k, rows.toVector, timers)
+
+      override def handleExpiredTimer(k: K, timers: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[O] =
+        if (st.exists()) run(k, Nil, timers) else Iterator.empty
+    }
+
+    ds.groupByKey(key).transformWithState(
+      new CepProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -88,6 +88,48 @@ class CepSparkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState executor: out-of-order release + absence " +
+      "timer parity with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs column families => RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val absPat = PatternDef[TEvt](IndexedSeq(
+      Step[TEvt]("a", _.typ == "A"),
+      Absence(Step[TEvt]("nb", _.typ == "B"), forMs = 10000L)))
+    val input = MemoryStream[TEvt]
+    val withTs = input.toDS()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "2 seconds")
+      .as[TEvt]
+    val out = Cep.streamingTws[TEvt, Long, TOut](
+      withTs, _.user, absPat, _.ts_ms, _.id) {
+      (k, m) => Iterator.single(TOut(k, m.head("a").id, m.endTs))
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cep_tws")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cep_tws_ck").toString)
+      .start()
+    try {
+      // intra-batch disorder: the A arrives after an unrelated later
+      // event; user 1's absence window must still fire via the TIMER
+      // path (no further events on that key), user 2's B suppresses
+      input.addData(TEvt(3, 4000, 2, "B"), TEvt(1, 1000, 1, "A"),
+        TEvt(2, 2000, 2, "A"))
+      q.processAllAvailable()
+      input.addData(TEvt(99, 100000L, 99, "X"))
+      q.processAllAvailable()
+      input.addData(TEvt(98, 200000L, 98, "X"))
+      q.processAllAvailable()
+      val got = spark.table("cep_tws").as[TOut].collect().toSet
+      assert(got == Set(TOut(1, 1, 11000L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming executor in a microsecond event-time domain (tsScale)") {
     implicit val sqlCtx = spark.sqlContext
     // the ts_ms field carries MICROSECONDS here; watermark stays in ms
