@@ -154,11 +154,15 @@ object MatchRecognize {
     *                     through so the stateful op sees the watermark
     * @param tsScale      event-time units of `tsCol` per watermark
     *                     millisecond (µs ts → 1000)
+    * @param useTws       run on [[graft.cep.Cep.streamingTws]]
+    *                     (transformWithState + RocksDB state store)
+    *                     instead of flatMapGroupsWithState
     */
   def streaming(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
       tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
       withinTs: Option[Long] = None, every: Boolean = true,
-      maxPartials: Int = 1024, tsScale: Long = 1L): DataFrame = {
+      maxPartials: Int = 1024, tsScale: Long = 1L,
+      useTws: Boolean = false): DataFrame = {
     val everyMatch = every // functions._ would shadow the parameter
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -212,12 +216,19 @@ object MatchRecognize {
         org.apache.spark.sql.types.StringType, LongType), nullable = false)))
     val kEnc = Encoders.row(keySchema)
     val oEnc = Encoders.row(outSchema)
-    Cep.streaming[Row, Row, Row](
-      env, _.getStruct(0), pat, _.getLong(1), _.getLong(2), tsScale) {
-      (k, m) =>
-        val binds = m.groups.map { case (n, es) => n -> es.head.getLong(2) }
-        Iterator.single(new GenericRowWithSchema(
-          (k.toSeq ++ Seq(m.startTs, m.endTs, binds)).toArray, outSchema))
-    }(kEnc, oEnc).toDF()
+    val build = (k: Row, m: graft.cep.PatternMatch[Row]) => {
+      val binds = m.groups.map { case (n, es) => n -> es.head.getLong(2) }
+      Iterator.single(new GenericRowWithSchema(
+        (k.toSeq ++ Seq(m.startTs, m.endTs, binds)).toArray,
+        outSchema): Row)
+    }
+    val out =
+      if (useTws) Cep.streamingTws[Row, Row, Row](
+        env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
+        tsScale)(build)(kEnc, oEnc)
+      else Cep.streaming[Row, Row, Row](
+        env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
+        tsScale)(build)(kEnc, oEnc)
+    out.toDF()
   }
 }
