@@ -280,6 +280,37 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MatchRecognize on the transformWithState executor " +
+      "(useTws) produces the same matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("event_id", "ts_ms", "user", "typ")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+    val out = graft.plans.MatchRecognize.streaming(df, Seq("user"),
+      "ts_ms", "event_id",
+      Seq(EStep("a", $"typ" === "A"), EStep("b", $"typ" === "B")),
+      eventTimeCol = "etc", useTws = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_tws").start()
+    try {
+      input.addData((2L, 2000L, 1L, "B"), (1L, 1000L, 1L, "A"))
+      q.processAllAvailable()
+      input.addData((9L, 60000L, 9L, "X"))
+      q.processAllAvailable()
+      val got = spark.table("mr_tws")
+        .select($"user", element_at($"binds", "a"), element_at($"binds", "b"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 2L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("and element binds both sides in either order") {
     val df = Seq(
       (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
