@@ -668,6 +668,27 @@ object SparkEntry {
         .filter(Text.langId(col("text")) === "en")
       Dedup.exact(gated, "text", "doc_id")
         .select(col("doc_id"), col("n_tokens"))
+    }),
+
+    // B9: #window.timeLength(10 min, 5) — trailing scope bounded by BOTH
+    // time and count; per event the window's size/min/max (exact doubles,
+    // no accumulation order to disagree on)
+    "q51_timelength_window" -> ((s, dir) => {
+      val wv = Windows.timeLengthValues(Seq(col("user_id")), col("ts_us"),
+        col("event_id"), 600000000L, 5, col("value"))
+      evts(s, dir).select(col("user_id"), col("event_id"), wv.as("wv"))
+        .select(col("user_id"), col("event_id"),
+          size(col("wv")).as("n_win"),
+          round(array_min(col("wv")), 6).as("min_v"),
+          round(array_max(col("wv")), 6).as("max_v"))
+    }),
+
+    // B9: #window.unique(event_type) — latest event per (user, type)
+    "q52_unique_window" -> ((s, dir) => {
+      Windows.uniqueLatest(evts(s, dir), Seq(col("user_id")),
+          col("event_type"), col("ts_us"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 6).as("value_r"))
     }))
 
   // -------------------------------------------------------------------
@@ -1389,5 +1410,35 @@ object SparkEntry {
         |r AS (SELECT doc_id, n_tokens,
         |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
         |  FROM n)
-        |SELECT doc_id, n_tokens FROM r WHERE rn = 1""".stripMargin)
+        |SELECT doc_id, n_tokens FROM r WHERE rn = 1""".stripMargin,
+
+    "q51_timelength_window" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |    FROM events),
+        |w AS (SELECT user_id, event_id, us, value,
+        |    list(struct_pack(t := us, k := event_id, v := value)) OVER
+        |      (PARTITION BY user_id ORDER BY us
+        |       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS coll
+        |  FROM o),
+        |f AS (SELECT user_id, event_id,
+        |    list_transform(
+        |      list_filter(list_sort(coll),
+        |        s -> s.t < us OR (s.t = us AND s.k <= event_id)),
+        |      s -> s.v) AS vals
+        |  FROM w),
+        |s AS (SELECT user_id, event_id,
+        |    CASE WHEN len(vals) <= 5 THEN vals
+        |      ELSE list_slice(vals, len(vals) - 4, len(vals)) END AS wv
+        |  FROM f)
+        |SELECT user_id, event_id, len(wv) AS n_win,
+        |  round(list_min(wv), 6) AS min_v, round(list_max(wv), 6) AS max_v
+        |FROM s""".stripMargin,
+
+    "q52_unique_window" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, round(value, 6) AS value_r
+        |FROM r WHERE rk = 1""".stripMargin)
 }

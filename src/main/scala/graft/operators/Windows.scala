@@ -109,4 +109,38 @@ object Windows {
         row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*)))
       .filter(col("_rank") <= n)
       .drop("_rank")
+
+  /** `#window.timeLength(d, n)`: trailing scope bounded by BOTH an
+    * event-time range and a row count — the window holds the newest
+    * ≤ n events no older than d. Values inside the time range are
+    * collected per event and the newest n kept (`slice` from the tail),
+    * so any fold over the array implements the per-event aggregate.
+    * One shuffle + sort; array size is bounded by the time range.
+    */
+  def timeLengthValues(partition: Seq[Column], tsMicros: Column,
+      tie: Column, rangeMicros: Long, n: Int, value: Column): Column = {
+    // rangeBetween forbids a tie-break in orderBy, and the range frame
+    // includes same-ts LATER events — collect (ts, tie, value) structs,
+    // re-sort, and keep only entries at or before this event's (ts, tie)
+    val collected = collect_list(struct(tsMicros.as("t"), tie.as("k"),
+      value.as("v"))).over(Window.partitionBy(partition: _*)
+        .orderBy(tsMicros.asc).rangeBetween(-rangeMicros, Window.currentRow))
+    val upTo = filter(array_sort(collected),
+      s => s.getField("t") < tsMicros ||
+        (s.getField("t") === tsMicros && s.getField("k") <= tie))
+    val vals = transform(upTo, s => s.getField("v"))
+    when(size(vals) <= n, vals).otherwise(slice(vals, -n, n))
+  }
+
+  /** `#window.unique(attr)`: the window holds the LATEST event per
+    * distinct `attr` value within each key — older same-attr events are
+    * expired on arrival of a newer one.
+    */
+  def uniqueLatest(df: DataFrame, partition: Seq[Column], attr: Column,
+      ts: Column, tie: Column): DataFrame =
+    df.withColumn("_rank",
+        row_number().over(Window.partitionBy((partition :+ attr): _*)
+          .orderBy(ts.desc, tie.desc)))
+      .filter(col("_rank") === 1)
+      .drop("_rank")
 }
