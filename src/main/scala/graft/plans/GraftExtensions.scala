@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (the MatchRecognize builder also self-registers on first use via
     // experimental.extraStrategies for sessions built without extensions)
     ext.injectPlannerStrategy(_ => MatchRecognizeStrategy)
+    // `spark.sql("pattern: …")` — the CEP dialect as a first-class
+    // statement (same text as env.plan and the control plane)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.plans.GraftExtensions
 
 /** Native expressions surfaced as SQL functions via the Catalyst
@@ -30,6 +31,30 @@ class ExtensionsSpec extends SparkSpec {
     val again = spark.sql("SELECT graft_fingerprint('hello world')")
       .as[Long].head()
     assert(fp == again)
+  }
+
+  test("GraftSqlParser: 'pattern:' statements compile to CEP plans, " +
+      "plain SQL delegates untouched") {
+    import graft.plans.GraftSqlParser
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser)
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
+      .toDF("id", "ts", "user", "typ")
+      .createOrReplaceTempView("parser_ev")
+    val plan = parser.parsePlan(
+      """pattern:
+        |from parser_ev
+        |key user ; ts ts ; tie id
+        |step a where typ = 'A'
+        |step b where typ = 'B'""".stripMargin)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      .select($"key", element_at($"binds", "a"), element_at($"binds", "b"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("1", 1L, 2L)))
+    // delegation: ordinary SQL still parses through Spark's parser
+    val n = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan("SELECT count(*) AS n FROM parser_ev"))
+      .as[Long].head()
+    assert(n == 2L)
   }
 
   test("graft_minhash registered; rejects non-literal shape args") {
