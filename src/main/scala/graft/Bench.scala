@@ -19,7 +19,8 @@ object Bench {
     catch { case _: Throwable => }
     // optional comma-separated query filter for local iteration;
     // the driver sets no filter and benches everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>

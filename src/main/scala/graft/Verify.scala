@@ -18,7 +18,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for local iteration; the driver
     // sets no filter and dumps everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter(q => only.forall(_.contains(q._1)))
       .foreach { case (name, fn) =>

@@ -46,10 +46,13 @@ final class EventTable private (val keyCols: Seq[String]) {
 
   /** Delete rows currently in the table matching `cond`. Compacts
     * first: deleting a key's CURRENT row must not resurface the
-    * superseded row from an earlier upsert generation.
+    * superseded row from an earlier upsert generation. SQL DELETE-WHERE
+    * semantics: rows where `cond` is NULL are KEPT (a bare `!cond`
+    * filter would silently drop them — !NULL is NULL).
     */
   def delete(cond: Column): this.type = synchronized {
-    cur = cur.map(_ => toDF.filter(!cond).withColumn("_gen", lit(0L)))
+    cur = cur.map(_ => toDF.filter(!coalesce(cond, lit(false)))
+      .withColumn("_gen", lit(0L)))
     this
   }
 
@@ -64,9 +67,14 @@ final class EventTable private (val keyCols: Seq[String]) {
       .drop("_rk", "_gen")
   }
 
-  /** Materialize the compaction so later snapshots reuse it. */
+  /** Materialize the compaction and TRUNCATE LINEAGE: without this, a
+    * long-running upsert stream grows the snapshot's logical plan by one
+    * union+window per batch until planning time dominates.
+    * `localCheckpoint(eager)` cuts the plan to the materialized blocks.
+    */
   def compact(): this.type = synchronized {
-    cur = cur.map(_ => toDF.withColumn("_gen", lit(0L)))
+    cur = cur.map(_ => toDF.localCheckpoint(eager = true)
+      .withColumn("_gen", lit(0L)))
     this
   }
 
@@ -78,15 +86,21 @@ final class EventTable private (val keyCols: Seq[String]) {
     * materialized before landing in the table — fine by the
     * dimension-sized contract (Siddhi tables are in-memory too).
     */
-  def sink(stream: DataFrame, winner: Seq[Column]):
+  def sink(stream: DataFrame, winner: Seq[Column],
+      compactEvery: Int = 16):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val rows = batch.collect().toIndexedSeq
         if (rows.nonEmpty) {
           val stable = batch.sparkSession.createDataFrame(
             batch.sparkSession.sparkContext.parallelize(rows), batch.schema)
           upsert(stable, winner)
+          // periodic lineage truncation: each upsert deepens the lazy
+          // union chain; unbounded streams would otherwise grow planning
+          // time per batch
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compact()
         }
         ()
     }

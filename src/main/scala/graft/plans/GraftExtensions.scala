@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => MatchRecognizeStrategy)
     // `spark.sql("pattern: …")` — the CEP dialect as a first-class
     // statement (same text as env.plan and the control plane)
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(delegate, session))
   }
 }
 

@@ -16,14 +16,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ([[GraftExtensions]]); batch pattern text lands on the
   * MATCH_RECOGNIZE custom operator through [[graft.control.PlanCompiler]].
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
+    extends ParserInterface {
 
   private def isPattern(t: String): Boolean =
     t.trim.toLowerCase.startsWith("pattern:")
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (isPattern(sqlText))
-      graft.control.PlanCompiler.compile(SparkSession.active, sqlText)
+      // compile against the OWNING session, not SparkSession.active —
+      // with multiple sessions the thread-local active one may be a
+      // different tenant whose same-named views would silently win
+      graft.control.PlanCompiler.compile(session, sqlText)
         .queryExecution.logical
     else delegate.parsePlan(sqlText)
 

@@ -95,6 +95,11 @@ object MatchRecognize {
   def apply(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
       tieCol: String, pattern: Seq[Elem], withinTs: Option[Long] = None,
       every: Boolean = true, maxPartials: Int = 1024): DataFrame = {
+    // a streaming frame would re-plan the exec per micro-batch with a
+    // FRESH NFA — patterns straddling batches would silently never match
+    require(!df.isStreaming,
+      "MatchRecognize(...) is the batch operator; use " +
+        "MatchRecognize.streaming(...) for streaming DataFrames")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(MatchRecognizeStrategy))
       spark.experimental.extraStrategies =

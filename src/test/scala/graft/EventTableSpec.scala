@@ -21,6 +21,27 @@ class EventTableSpec extends SparkSpec {
     assert(t.toDF.select("v").as[String].collect().toSeq == Seq("new"))
   }
 
+  test("delete keeps rows where the predicate is NULL (SQL semantics)") {
+    val t = EventTable("k")
+    t.upsert(Seq((1L, Some("a")), (2L, None: Option[String]))
+      .toDF("k", "v"), Seq(col("v")))
+    t.delete($"v" === "a")
+    // key 2's v is NULL: (v = 'a') is NULL there, and NULL-predicate
+    // rows must survive a DELETE-WHERE
+    assert(t.toDF.select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("batch MatchRecognize rejects a streaming frame (fresh NFA per " +
+      "micro-batch would silently drop cross-batch matches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val sdf = input.toDF().toDF("event_id", "ts_us", "user_id", "event_type")
+    assertThrows[IllegalArgumentException](
+      graft.plans.MatchRecognize(sdf, Seq("user_id"), "ts_us", "event_id",
+        Seq(graft.plans.MatchRecognize.EStep("a", $"event_type" === "A"))))
+  }
+
   test("delete removes the CURRENT row without resurfacing older ones") {
     val t = EventTable("k")
     t.upsert(Seq((1L, "old")).toDF("k", "v"), Seq(col("v")))

@@ -36,7 +36,7 @@ class ExtensionsSpec extends SparkSpec {
   test("GraftSqlParser: 'pattern:' statements compile to CEP plans, " +
       "plain SQL delegates untouched") {
     import graft.plans.GraftSqlParser
-    val parser = new GraftSqlParser(spark.sessionState.sqlParser)
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
     Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
       .toDF("id", "ts", "user", "typ")
       .createOrReplaceTempView("parser_ev")
