@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.cep.{Cep, PatternDef, Step}
+
+/** Streaming micro-batch throughput measurement against BASELINE.md's
+  * working targets (events table replayed as a stream): stateless
+  * operator ≥ 1e5 events/s/core, CEP pattern operator ≥ 1e4
+  * events/s/core. Run ad hoc:
+  * `SPARK_GRAFT_CPUS=4 sbt "runMain graft.tools.ThroughputBench"`.
+  * Prints one JSON line.
+  */
+object ThroughputBench {
+
+  final case class TpEvt(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class TpOut(user_id: Long, a_id: Long, b_id: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val ss: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    ss.sparkContext.setLogLevel("ERROR")
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    implicit val evtEnc: Encoder[TpEvt] = Encoders.product[TpEvt]
+
+    val base = ss.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+      .as[TpEvt].collect().toIndexedSeq
+    // replicate the table along the time axis so micro-batch fixed cost
+    // amortizes and the number reflects SUSTAINED events/s: each copy is
+    // shifted past the previous one (ordering and pattern semantics keep)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_TP_COPIES", "10").toInt
+    val span = base.map(_.ts_us).max + 1L
+    val nBase = base.length.toLong
+    val events = (0 until copies).flatMap { c =>
+      base.map(e => e.copy(event_id = e.event_id + c * nBase,
+        ts_us = e.ts_us + c * span))
+    }
+    val chunks = events.grouped(500000).toIndexedSeq
+
+    def drive[O](start: org.apache.spark.sql.Dataset[O] =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+        mk: MemoryStream[TpEvt] => org.apache.spark.sql.Dataset[O]): Double = {
+      val input = MemoryStream[TpEvt]
+      val q = start(mk(input))
+      // warm the query machinery before timing
+      input.addData(events.take(100))
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      events.length / dt
+    }
+
+    def memSink[O](name: String)(ds: org.apache.spark.sql.Dataset[O]) =
+      ds.writeStream.outputMode("append").format("noop")
+        .queryName(name).start()
+
+    // stateless: filter + projection + scalar expressions
+    val statelessEps = drive[TpEvt](memSink("tp_stateless"), in =>
+      in.toDS().filter($"value" > 0.25)
+        .withColumn("tag", concat($"event_type", lit("_"),
+          $"user_id".cast("string")))
+        .as[TpEvt])
+
+    // CEP pattern: click -> purchase per user (watermarked event time)
+    val pat = PatternDef[TpEvt](IndexedSeq(
+      Step[TpEvt]("a", _.event_type == "click"),
+      Step[TpEvt]("b", _.event_type == "purchase")),
+      withinMs = Some(600000000L))
+    implicit val outEnc: Encoder[TpOut] = Encoders.product[TpOut]
+    val cepEps = drive[TpOut](memSink("tp_cep"), in =>
+      Cep.streaming[TpEvt, Long, TpOut](
+        in.toDS()
+          .withColumn("etc", timestamp_micros($"ts_us"))
+          .withWatermark("etc", "1 second").as[TpEvt],
+        _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L) {
+        (k, m) => Iterator.single(TpOut(k, m.head("a").event_id,
+          m.head("b").event_id))
+      })
+
+    println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
+      s""""cores":$cpus,"n_events":${events.length},""" +
+      s""""stateless":${statelessEps.round},""" +
+      s""""stateless_per_core":${(statelessEps / cpus).round},""" +
+      s""""cep":${cepEps.round},"cep_per_core":${(cepEps / cpus).round}}""")
+    ss.stop()
+  }
+}
