@@ -689,6 +689,26 @@ object SparkEntry {
           col("event_type"), col("ts_us"), col("event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           round(col("value"), 6).as("value_r"))
+    }),
+
+    // LLM text: token counting both ways — whitespace tokens and the
+    // BPE-ish word-piece estimate (how a byte-pair tokenizer segments)
+    "q53_token_counts" -> ((s, dir) => {
+      ld(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+    }),
+
+    // LLM multimodal: the resize kernel stub — aspect-fit dimensions
+    // from decode metadata + deterministic content digest
+    "q54_multimodal_resize" -> ((s, dir) => {
+      Multimodal.synthesize(ld(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("payload"),
+          Multimodal.decode(col("payload")).as("m"))
+        .select(col("doc_id"),
+          Multimodal.resize(col("payload"), col("m"), 224, 224).as("r"))
+        .select(col("doc_id"), col("r.out_w"), col("r.out_h"),
+          col("r.content_digest"))
     }))
 
   // -------------------------------------------------------------------
@@ -1440,5 +1460,28 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
         |  FROM events)
         |SELECT user_id, event_type, event_id, round(value, 6) AS value_r
-        |FROM r WHERE rk = 1""".stripMargin)
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q53_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q54_multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    64 + octet_length(encode(text)) % 192 AS w,
+        |    64 + (octet_length(encode(text)) * 7) % 192 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, w, h,
+        |    least(224.0 / w, 224.0 / h) AS scale
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(floor(w * scale) AS INTEGER) AS out_w,
+        |  CAST(floor(h * scale) AS INTEGER) AS out_h,
+        |  md5(text || ':224x224') AS content_digest
+        |FROM s""".stripMargin)
 }

@@ -59,6 +59,25 @@ object Multimodal {
     sequence(lit(0), nFrames.cast("int") - 1, lit(everyK))
   }
 
+  /** Resize STUB: target dimensions clamped to the decoded aspect
+    * ratio's nearest fit, plus a deterministic content digest of
+    * (payload, target) standing in for the resampled bytes — a real
+    * implementation hands the batch to an image library here. All the
+    * Spark-side plumbing (metadata math, digest, schema) is real.
+    */
+  def resize(bin: Column, decoded: Column, targetW: Int,
+      targetH: Int): Column = {
+    val w = decoded.getField("width").cast("double")
+    val h = decoded.getField("height").cast("double")
+    // fit inside the target box, preserving aspect ratio
+    val scale = least(lit(targetW) / w, lit(targetH) / h)
+    struct(
+      floor(w * scale).cast("int").as("out_w"),
+      floor(h * scale).cast("int").as("out_h"),
+      md5(concat(bin.cast("string"), lit(s":${targetW}x$targetH")))
+        .as("content_digest"))
+  }
+
   /** Partition-wise batched byte-statistics kernel. Rows are processed
     * in `batchSize` groups — the batch boundary is where a vectorized
     * native call (image decode, resample, embed) would sit; the byte
