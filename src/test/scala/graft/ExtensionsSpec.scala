@@ -57,6 +57,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 2L)
   }
 
+  test("SQL MATCH_RECOGNIZE: standard syntax compiles onto the custom " +
+      "operator (pattern, quantifier, FIRST/LAST, WITHIN)") {
+    import graft.plans.GraftSqlParser
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
+    Seq(
+      (1L, 10L, 1L, "click", 0.5), (2L, 20L, 1L, "view", 0.1),
+      (3L, 30L, 1L, "view", 0.2), (4L, 40L, 1L, "purchase", 0.9),
+      (5L, 10L, 2L, "click", 0.3), (6L, 5000L, 2L, "purchase", 0.7))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mr_sql_ev")
+    val plan = parser.parsePlan(
+      """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, FIRST(b.event_id) AS b0_id,
+        |           LAST(b.event_id) AS b1_id, c.event_id AS c_id,
+        |           MATCH_END AS me
+        |  PATTERN (a b+ c)
+        |  WITHIN 1000
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+        |         c AS event_type = 'purchase'
+        |)""".stripMargin)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // user 1: click(1) view(2) view(3) purchase(4); b+ collects from the
+    // FIRST qualifying view (skip-till-next-match), branching into
+    // b=[2] and b=[2,3] — both complete on the purchase.
+    // user 2: purchase outside WITHIN 1000 and no view — no match
+    assert(got == Set(
+      (1L, 1L, 2L, 2L, 4L, 40L),
+      (1L, 1L, 2L, 3L, 4L, 40L)))
+  }
+
+  test("SQL MATCH_RECOGNIZE fails fast on unsupported constructs") {
+    import graft.plans.GraftSqlParser
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
+    def bad(stmt: String): Unit =
+      assertThrows[IllegalArgumentException](parser.parsePlan(stmt))
+    // alternation in PATTERN
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x PATTERN (a | b)
+          | DEFINE a AS true, b AS true)""".stripMargin)
+    // DEFINE referencing a pattern variable
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x PATTERN (a b)
+          | DEFINE a AS true, b AS value > a.value)""".stripMargin)
+    // missing DEFINE for a pattern variable
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x PATTERN (a b)
+          | DEFINE a AS true)""".stripMargin)
+  }
+
   test("graft_minhash registered; rejects non-literal shape args") {
     GraftExtensions.registerAll(spark.sessionState.functionRegistry)
     val sig = spark.sql("SELECT graft_minhash('hello world', 5, 16)")
