@@ -74,10 +74,11 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * }}}
   *
   * Output = partition columns ++ measures (ONE ROW PER MATCH).
-  * `var.col` / `FIRST(var.col)` read the first event bound to `var`,
-  * `LAST(var.col)` the last. Not supported (fail fast): alternation /
-  * grouping inside PATTERN, DEFINE predicates referencing pattern
-  * variables, ALL ROWS PER MATCH, AFTER MATCH SKIP.
+  * `var.col` / `LAST(var.col)` read the LAST event bound to `var`
+  * (SQL-standard one-row-per-match resolution — Oracle/Flink/Trino
+  * agree), `FIRST(var.col)` the first. Not supported (fail fast):
+  * alternation / grouping inside PATTERN, DEFINE predicates referencing
+  * pattern variables, ALL ROWS PER MATCH, AFTER MATCH SKIP.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -87,40 +88,52 @@ private[plans] object MatchRecognizeSql {
     ("""(?is)\s*select\s+\*\s+from\s+([\w.]+)\s+match_recognize\s*""" +
       """\((.*)\)\s*;?\s*""").r
 
-  private val sections =
-    Seq("partition by", "order by", "measures", "pattern", "within", "define")
+  /** canonical key -> keyword regex (two-word keywords tolerate any
+    * whitespace; `(?<!\w)`/`(?!\w)` boundaries treat `_` as a word char,
+    * so `pattern_id` never matches `pattern`)
+    */
+  private val sections: Seq[(String, scala.util.matching.Regex)] = Seq(
+    "partition by" -> """(?i)(?<!\w)partition\s+by(?!\w)""".r,
+    "order by" -> """(?i)(?<!\w)order\s+by(?!\w)""".r,
+    "measures" -> """(?i)(?<!\w)measures(?!\w)""".r,
+    "pattern" -> """(?i)(?<!\w)pattern(?!\w)""".r,
+    "within" -> """(?i)(?<!\w)within(?!\w)""".r,
+    "define" -> """(?i)(?<!\w)define(?!\w)""".r)
 
-  /** Split the MATCH_RECOGNIZE body into its clause sections (case-
-    * insensitive keyword scan at paren depth 0, outside quotes).
+  /** The body with single-quoted literal CONTENTS blanked out (same
+    * length, positions preserved) — keyword scans, depth counts and
+    * guards run on this; extraction uses the original text.
+    */
+  private[plans] def maskLiterals(s: String): String = {
+    val b = s.toCharArray
+    var in = false
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\'') in = !in
+      else if (in) b(i) = ' '
+      i += 1
+    }
+    new String(b)
+  }
+
+  /** Split the MATCH_RECOGNIZE body into its clause sections (keyword
+    * scan at paren depth 0 on the literal-masked text).
     */
   private def splitSections(body: String): Map[String, String] = {
-    val lower = body.toLowerCase
-    // locate each section keyword at depth 0
-    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    for (kw <- sections) {
-      var idx = 0
-      var done = false
-      while (!done) {
-        val i = lower.indexOf(kw, idx)
-        if (i < 0) done = true
-        else {
-          val depth = body.substring(0, i).count(_ == '(') -
-            body.substring(0, i).count(_ == ')')
-          val quotes = body.substring(0, i).count(_ == '\'')
-          val wordBoundary =
-            (i == 0 || !body(i - 1).isLetterOrDigit) &&
-              (i + kw.length >= body.length ||
-                !body(i + kw.length).isLetterOrDigit)
-          if (depth == 0 && quotes % 2 == 0 && wordBoundary) {
-            found += ((i, kw)); done = true
-          } else idx = i + 1
+    val masked = maskLiterals(body)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    for ((key, re) <- sections) {
+      re.findAllMatchIn(masked)
+        .find { mm =>
+          val prefix = masked.substring(0, mm.start)
+          prefix.count(_ == '(') == prefix.count(_ == ')')
         }
-      }
+        .foreach(mm => found += ((mm.start, mm.end, key)))
     }
     val sorted = found.sortBy(_._1).toSeq
-    sorted.zipWithIndex.map { case ((pos, kw), j) =>
-      val end = if (j + 1 < sorted.length) sorted(j + 1)._1 else body.length
-      kw -> body.substring(pos + kw.length, end).trim
+    sorted.zipWithIndex.map { case ((_, end, key), j) =>
+      val next = if (j + 1 < sorted.length) sorted(j + 1)._1 else body.length
+      key -> body.substring(end, next).trim
     }.toMap
   }
 
@@ -154,8 +167,13 @@ private[plans] object MatchRecognizeSql {
     def need(kw: String): String = sec.getOrElse(kw,
       throw new IllegalArgumentException(s"MATCH_RECOGNIZE needs a " +
         s"${kw.toUpperCase} clause"))
+    // guard on literal-masked, whitespace-normalized text: a newline
+    // between 'AFTER' and 'MATCH' must still trip it, and a string
+    // literal containing the phrase must NOT
+    val guardText = maskLiterals(m.group(2)).toLowerCase
+      .replaceAll("\\s+", " ")
     for (bad <- Seq("all rows per match", "after match"))
-      require(!m.group(2).toLowerCase.contains(bad),
+      require(!guardText.contains(bad),
         s"MATCH_RECOGNIZE: '$bad' is not supported (one row per match only)")
 
     val keys = splitTopLevel(need("partition by"), ',')
@@ -200,11 +218,16 @@ private[plans] object MatchRecognizeSql {
     require(missing.isEmpty,
       s"PATTERN variables without DEFINE: ${missing.mkString(", ")}")
     for (d <- defs.values; v <- varNames)
-      require(!d.matches(s"(?is).*\\b$v\\s*\\..*"),
+      require(!maskLiterals(d).matches(s"(?is).*(?<!\\w)$v\\s*\\..*"),
         s"DEFINE predicates may not reference pattern variables " +
           s"(per-event predicates only): $d")
 
-    val within = sec.get("within").map(_.trim.toLong)
+    val within = sec.get("within").map(_.trim).map { w =>
+      require(w.matches("\\d+"),
+        s"WITHIN takes a raw long in ORDER BY units (got '$w'); " +
+          "interval syntax is not supported")
+      w.toLong
+    }
     val elems = vars.map { case (n, mn, mx) =>
       MatchRecognize.EStep(n,
         GraftSqlBridge.column(delegate.parseExpression(defs(n))), mn, mx)
@@ -213,7 +236,13 @@ private[plans] object MatchRecognizeSql {
       elems, within)
 
     // MEASURES: textual rewrite of var.col / FIRST(var.col) / LAST(var.col)
-    // to array accesses over the match columns, then parse as expressions
+    // to array accesses over the match columns, then parse as
+    // expressions. String literals are excluded from the rewrite: the
+    // text splits on quotes, rewrites run on the OUTSIDE segments only.
+    def rewriteOutsideLiterals(s: String)(f: String => String): String =
+      s.split("'", -1).zipWithIndex.map {
+        case (seg, i) => if (i % 2 == 0) f(seg) else seg
+      }.mkString("'")
     val measures = splitTopLevel(need("measures"), ',').map { mm =>
       val asRe = """(?is)(.+)\s+as\s+(\w+)""".r
       val (exprTxt, alias) = mm.trim match {
@@ -221,17 +250,20 @@ private[plans] object MatchRecognizeSql {
         case other => throw new IllegalArgumentException(
           s"MEASURES entries need 'expr AS name': $other")
       }
-      var t = exprTxt
-      for (v <- varNames) {
-        t = t.replaceAll(s"(?i)\\bfirst\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-          s"element_at(`$v`, 1).`$$1`")
-        t = t.replaceAll(s"(?i)\\blast\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-          s"element_at(`$v`, -1).`$$1`")
-        t = t.replaceAll(s"(?i)\\b$v\\.(\\w+)",
-          s"element_at(`$v`, 1).`$$1`")
+      val t = rewriteOutsideLiterals(exprTxt) { seg0 =>
+        var seg = seg0
+        for (v <- varNames) {
+          seg = seg.replaceAll(s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            s"element_at(`$v`, 1).`$$1`")
+          seg = seg.replaceAll(s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            s"element_at(`$v`, -1).`$$1`")
+          // bare var.col = LAST bound event (SQL-standard one-row-per-
+          // match resolution)
+          seg = seg.replaceAll(s"(?i)(?<!\\w)$v\\.(\\w+)",
+            s"element_at(`$v`, -1).`$$1`")
+        }
+        seg
       }
-      t = t.replaceAll("(?i)\\bmatch_start\\b", "match_start")
-        .replaceAll("(?i)\\bmatch_end\\b", "match_end")
       GraftSqlBridge.column(delegate.parseExpression(t)).as(alias)
     }
     matched.select(keys.map(col) ++ measures: _*)

@@ -53,8 +53,13 @@ object ThroughputBench {
         mk: MemoryStream[TpEvt] => org.apache.spark.sql.Dataset[O]): Double = {
       val input = MemoryStream[TpEvt]
       val q = start(mk(input))
-      // warm the query machinery before timing
-      input.addData(events.take(100))
+      // warm the query machinery before timing — with DISJOINT events
+      // shifted to negative time, so the warm-up cannot advance the
+      // watermark past (and silently drop) the timed events
+      val warm = base.take(100).zipWithIndex.map { case (e, i) =>
+        e.copy(event_id = -1000L + i, ts_us = -1000000000000L + i)
+      }
+      input.addData(warm)
       q.processAllAvailable()
       val t0 = System.nanoTime()
       chunks.foreach { c => input.addData(c); q.processAllAvailable() }

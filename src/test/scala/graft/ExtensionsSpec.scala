@@ -90,6 +90,30 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 1L, 2L, 3L, 4L, 40L)))
   }
 
+  test("SQL MATCH_RECOGNIZE scanner robustness: underscore identifiers, " +
+      "split keywords, literals stay intact") {
+    import graft.plans.GraftSqlParser
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
+    // a PARTITION BY column containing the keyword 'pattern', a newline
+    // inside 'PARTITION BY', and a literal measure containing both a
+    // var.col-shaped substring and the phrase 'after match'
+    Seq((1L, 1L, "A", 10L), (1L, 2L, "B", 20L))
+      .toDF("pattern_id", "event_id", "typ", "ts_us")
+      .createOrReplaceTempView("mr_rob_ev")
+    val plan = parser.parsePlan(
+      """SELECT * FROM mr_rob_ev MATCH_RECOGNIZE (
+        |  PARTITION
+        |      BY pattern_id
+        |  ORDER BY ts_us, event_id
+        |  MEASURES a.typ AS a_t, 'b.typ after match' AS lit
+        |  PATTERN (a b)
+        |  DEFINE a AS typ = 'A', b AS typ = 'B'
+        |)""".stripMargin)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "A", "b.typ after match")))
+  }
+
   test("SQL MATCH_RECOGNIZE fails fast on unsupported constructs") {
     import graft.plans.GraftSqlParser
     val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
@@ -110,6 +134,21 @@ class ExtensionsSpec extends SparkSpec {
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x PATTERN (a b)
           | DEFINE a AS true)""".stripMargin)
+    // AFTER MATCH split across lines must still be rejected
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x
+          | AFTER
+          |   MATCH SKIP PAST LAST ROW
+          | PATTERN (a) DEFINE a AS true)""".stripMargin)
+    // interval syntax in WITHIN gets the contextual error
+    val err = intercept[IllegalArgumentException](parser.parsePlan(
+      """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+        | PARTITION BY user_id ORDER BY ts_us
+        | MEASURES a.event_id AS x PATTERN (a)
+        | WITHIN INTERVAL '10' MINUTE
+        | DEFINE a AS true)""".stripMargin))
+    assert(err.getMessage.contains("ORDER BY units"))
   }
 
   test("graft_minhash registered; rejects non-literal shape args") {
