@@ -699,6 +699,26 @@ object SparkEntry {
         Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
     }),
 
+    // the SQL-standard MATCH_RECOGNIZE surface end-to-end: statement →
+    // GraftSqlParser → MatchRecognize custom operator → same oracle as
+    // the API-level q14/q45
+    "q55_match_recognize_sql" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_events_view")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_events_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // LLM multimodal: the resize kernel stub — aspect-fit dimensions
     // from decode metadata + deterministic content digest
     "q54_multimodal_resize" -> ((s, dir) => {
@@ -1470,6 +1490,20 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
         |    AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    // identical to q14/q45's oracle — the SQL surface must agree
+    "q55_match_recognize_sql" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
 
     "q54_multimodal_resize" ->
       """WITH d AS (SELECT doc_id, text,
