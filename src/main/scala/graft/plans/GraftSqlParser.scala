@@ -253,6 +253,16 @@ private[plans] object MatchRecognizeSql {
       val t = rewriteOutsideLiterals(exprTxt) { seg0 =>
         var seg = seg0
         for (v <- varNames) {
+          // aggregates over ALL events bound to the variable (numeric
+          // aggregation runs in double, in bind order)
+          seg = seg.replaceAll(s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)",
+            s"size(`$v`)")
+          seg = seg.replaceAll(s"(?i)(?<!\\w)sum\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            s"aggregate(`$v`, cast(0.0 as double), " +
+              s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`)")
+          seg = seg.replaceAll(s"(?i)(?<!\\w)avg\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            s"(aggregate(`$v`, cast(0.0 as double), " +
+              s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) / size(`$v`))")
           seg = seg.replaceAll(s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
             s"element_at(`$v`, 1).`$$1`")
           seg = seg.replaceAll(s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",

@@ -114,6 +114,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, "A", "b.typ after match")))
   }
 
+  test("SQL MATCH_RECOGNIZE aggregate measures: COUNT(v.*), SUM, AVG " +
+      "over the variable's bound events") {
+    import graft.plans.GraftSqlParser
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
+    Seq((1L, 10L, 1L, "A", 1.0), (2L, 20L, 1L, "B", 2.0),
+      (3L, 30L, 1L, "B", 4.0), (4L, 40L, 1L, "C", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "typ", "v")
+      .createOrReplaceTempView("mr_agg_ev")
+    val plan = parser.parsePlan(
+      """SELECT * FROM mr_agg_ev MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_us, event_id
+        |  MEASURES count(b.*) AS nb, sum(b.v) AS sb, avg(b.v) AS ab
+        |  PATTERN (a b{2,2} c)
+        |  DEFINE a AS typ = 'A', b AS typ = 'B', c AS typ = 'C'
+        |)""".stripMargin)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2, 6.0, 3.0)))
+  }
+
   test("SQL MATCH_RECOGNIZE fails fast on unsupported constructs") {
     import graft.plans.GraftSqlParser
     val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
