@@ -79,21 +79,31 @@ object ThroughputBench {
           $"user_id".cast("string")))
         .as[TpEvt])
 
-    // CEP pattern: click -> purchase per user (watermarked event time)
+    // CEP pattern: click -> purchase per user (watermarked event time);
+    // SPARK_GRAFT_TP_TWS=1 measures the transformWithState executor
+    // (requires the RocksDB state store) instead of fMGWS
+    val useTws = sys.env.get("SPARK_GRAFT_TP_TWS").contains("1")
+    if (useTws)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
     val pat = PatternDef[TpEvt](IndexedSeq(
       Step[TpEvt]("a", _.event_type == "click"),
       Step[TpEvt]("b", _.event_type == "purchase")),
       withinMs = Some(600000000L))
     implicit val outEnc: Encoder[TpOut] = Encoders.product[TpOut]
+    val build = (k: Long, m: graft.cep.PatternMatch[TpEvt]) =>
+      Iterator.single(TpOut(k, m.head("a").event_id, m.head("b").event_id))
+    def cepInput(in: MemoryStream[TpEvt]) = in.toDS()
+      .withColumn("etc", timestamp_micros($"ts_us"))
+      .withWatermark("etc", "1 second").as[TpEvt]
     val cepEps = drive[TpOut](memSink("tp_cep"), in =>
-      Cep.streaming[TpEvt, Long, TpOut](
-        in.toDS()
-          .withColumn("etc", timestamp_micros($"ts_us"))
-          .withWatermark("etc", "1 second").as[TpEvt],
-        _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L) {
-        (k, m) => Iterator.single(TpOut(k, m.head("a").event_id,
-          m.head("b").event_id))
-      })
+      if (useTws)
+        Cep.streamingTws[TpEvt, Long, TpOut](cepInput(in),
+          _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L)(build)
+      else
+        Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+          _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L)(build))
 
     println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
       s""""cores":$cpus,"n_events":${events.length},""" +
