@@ -67,6 +67,38 @@ class EventTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("model check: random upsert/delete sequences match a driver-side " +
+      "map (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val r = new scala.util.Random(seed)
+      val t = EventTable("k")
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      // seed with one batch so delete-before-first-upsert can't throw
+      val init = (1L to 5L).map(k => (k, r.nextLong(100)))
+      t.upsert(init.toDF("k", "ver"), Seq(col("ver")))
+      init.foreach { case (k, v) => model(k) = v }
+      for (_ <- 0 until 12) {
+        if (r.nextInt(4) > 0) {
+          // upsert a random batch (keys 1..8, random versions; per-key
+          // winner inside the batch = max version)
+          val batch = (0 until (1 + r.nextInt(6)))
+            .map(_ => (1L + r.nextInt(8), r.nextLong(100)))
+          t.upsert(batch.toDF("k", "ver"), Seq(col("ver")))
+          batch.groupBy(_._1).foreach { case (k, rows) =>
+            model(k) = rows.map(_._2).max
+          }
+        } else {
+          // delete a random version threshold
+          val cut = r.nextLong(100)
+          t.delete(col("ver") < cut)
+          model.filterInPlace { case (_, v) => v >= cut }
+        }
+      }
+      val got = t.toDF.as[(Long, Long)].collect().toMap
+      assert(got == model.toMap, s"seed=$seed diverged")
+    }
+  }
+
   test("compacted snapshot joins as a broadcast dimension") {
     val t = EventTable("k")
     t.upsert(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), Seq(col("price")))
