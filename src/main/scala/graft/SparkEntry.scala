@@ -478,11 +478,12 @@ object SparkEntry {
       sess.groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n"),
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
-          // sum in fixed-point so partial-aggregation order can't move
-          // the 6th decimal (double addition is non-associative; the
-          // DuckDB oracle sums in a different order)
-          round(sum(col("value").cast("decimal(38,12)")), 6)
-            .cast("double").as("sum_v"))
+          // sum integer-scaled micro-units so there is no accumulation
+          // for the engines to disagree on: both sides round the same
+          // double to the same long, and integer sums are exact and
+          // order-independent (immune to oracle decimal-cast drift)
+          round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 6)
+            .as("sum_v"))
     }),
 
     // B9: sort window (#window.sort(n, attr)) — top-3 by value per user
@@ -1248,7 +1249,7 @@ object SparkEntry {
         |  FROM o)
         |SELECT user_id, session_id, count(*) AS n, min(us) AS start_us,
         |  max(us) AS end_us,
-        |  CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE) AS sum_v
+        |  round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 6) AS sum_v
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q37_sort_window" ->
