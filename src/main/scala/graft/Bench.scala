@@ -28,14 +28,29 @@ object Bench {
       // noop sink forces full evaluation of every projected column —
       // count() would let Catalyst prune unreferenced projections and
       // flatter expression-heavy queries.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // a silently-broken query must not look like a fast query: surface
+    // failures in the JSON above AND in the exit code
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }
