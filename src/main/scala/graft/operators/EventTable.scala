@@ -84,14 +84,23 @@ final class EventTable private (val keyCols: Seq[String]) {
     *
     * The micro-batch frame is only valid inside its batch, so rows are
     * materialized before landing in the table — fine by the
-    * dimension-sized contract (Siddhi tables are in-memory too).
+    * dimension-sized contract (Siddhi tables are in-memory too). The
+    * contract is ENFORCED by `maxBatchRows`: a misrouted fact stream
+    * fails the batch loudly instead of OOMing the driver, and at most
+    * `maxBatchRows + 1` rows are ever materialized (the collect is
+    * limit-bounded, not count-then-collect).
     */
   def sink(stream: DataFrame, winner: Seq[Column],
-      compactEvery: Int = 16):
+      compactEvery: Int = 16, maxBatchRows: Int = 1 << 20):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val rows = batch.collect().toIndexedSeq
+        val rows = batch.limit(maxBatchRows + 1).collect().toIndexedSeq
+        if (rows.size > maxBatchRows)
+          throw new IllegalStateException(
+            s"EventTable.sink batch $batchId exceeds maxBatchRows=" +
+              s"$maxBatchRows — EventTables hold dimension-sized data " +
+              "only; route fact streams elsewhere or raise the cap")
         if (rows.nonEmpty) {
           val stable = batch.sparkSession.createDataFrame(
             batch.sparkSession.sparkContext.parallelize(rows), batch.schema)

@@ -67,6 +67,25 @@ class EventTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink rejects a batch over maxBatchRows instead of " +
+      "materializing it on the driver") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val t = EventTable("k")
+    val q = t.sink(input.toDF().toDF("k", "v"), Seq(col("v")),
+      maxBatchRows = 5).start()
+    try {
+      input.addData((1L to 10L).map(k => (k, s"v$k")))
+      val ex = intercept[StreamingQueryException](q.processAllAvailable())
+      def msgs(e: Throwable): Seq[String] =
+        if (e == null) Nil
+        else String.valueOf(e.getMessage) +: msgs(e.getCause)
+      assert(msgs(ex).exists(_.contains("maxBatchRows")))
+    } finally q.stop()
+  }
+
   test("model check: random upsert/delete sequences match a driver-side " +
       "map (8 seeds)") {
     for (seed <- 0 until 8) {
