@@ -478,12 +478,15 @@ object SparkEntry {
       sess.groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n"),
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
-          // sum integer-scaled micro-units so there is no accumulation
-          // for the engines to disagree on: both sides round the same
-          // double to the same long, and integer sums are exact and
-          // order-independent (immune to oracle decimal-cast drift)
-          round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 6)
-            .as("sum_v"))
+          // Emit the exact BIGINT micro-sum and nothing else: every output
+          // column is an integer, so no engine/DuckDB-version pair can
+          // render a float differently and cross the hash boundary.
+          // Semantics: sum of 6-decimal-rounded values (not a rounded sum)
+          // — a deliberate parity contract with the oracle. Note Spark's
+          // sum(LONG) stays LONG (throws on overflow under ANSI) while
+          // DuckDB promotes BIGINT sums to HUGEINT; at micro-scale 1e6 and
+          // |value|<=1 this needs >9e12 rows per session to diverge.
+          sum(round(col("value") * 1e6).cast("long")).as("sum_v_micro"))
     }),
 
     // B9: sort window (#window.sort(n, attr)) — top-3 by value per user
@@ -1249,7 +1252,8 @@ object SparkEntry {
         |  FROM o)
         |SELECT user_id, session_id, count(*) AS n, min(us) AS start_us,
         |  max(us) AS end_us,
-        |  round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 6) AS sum_v
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_micro
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q37_sort_window" ->

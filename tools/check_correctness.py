@@ -4,7 +4,9 @@
 Reads Verify.scala output (outDir/<name>/ parquet + oracle_sql.json),
 runs each oracle SQL in DuckDB against the same sf directory, and
 compares: row count, column names (sorted), and values (rows sorted,
-doubles rounded to 6 decimals).
+floats at FULL precision via repr — matching the driver's hash, which
+compares complete double representations; a 1-ulp divergence must FAIL
+here, never pass locally and fail at the gate).
 
 Usage: check_correctness.py <sfDir> <verifyOutDir>
 """
@@ -21,7 +23,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 6):.6f}"
+        return repr(v)
     return str(v)
 
 
