@@ -723,6 +723,53 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // B16 + AFTER MATCH SKIP PAST LAST ROW through the SQL statement:
+    // greedy NON-OVERLAPPING click→purchase pairs — after a match, the
+    // NFA discards all partials and resumes after the purchase, so no
+    // event participates in two matches (vs q14/q55 where every click
+    // pairs with its next purchase). Oracle: p = next purchase of some
+    // click; the match's click is the EARLIEST click whose next
+    // purchase is p (provably the greedy leftmost pairing).
+    "q56_mr_skip_past" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_skip_view")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_skip_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // B20 alternation through the SQL statement — PATTERN (a (b|c))
+    // maps onto the operator's EOr element; the unchosen side binds
+    // zero events and its measure is NULL (try_element_at, never an
+    // ANSI INVALID_ARRAY_INDEX). Same semantics as q31's API path.
+    "q57_mr_alternation" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_alt_view")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_alt_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a (b|c))
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'view',
+          |         b AS event_type = 'purchase',
+          |         c AS event_type = 'error'
+          |)""".stripMargin))
+    }),
+
     // LLM multimodal: the resize kernel stub — aspect-fit dimensions
     // from decode metadata + deterministic content digest
     "q54_multimodal_resize" -> ((s, dir) => {
@@ -1522,5 +1569,43 @@ object SparkEntry {
         |  CAST(floor(w * scale) AS INTEGER) AS out_w,
         |  CAST(floor(h * scale) AS INTEGER) AS out_h,
         |  md5(text || ':224x224') AS content_digest
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    // greedy non-overlap: each matched purchase p is some click's next
+    // purchase; its click is the earliest click whose next purchase is
+    // p. Equivalence to SKIP PAST LAST ROW by induction: the earliest
+    // click's match consumes every click before its purchase (they all
+    // share the same next purchase), and the scan restarts at the first
+    // click after it — exactly the rk = 1 row per purchase.
+    "q56_mr_skip_past" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |np AS (SELECT a.user_id, a.a_id, a.a_us, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))),
+        |f AS (SELECT user_id, a_id, b_id,
+        |    row_number() OVER (PARTITION BY user_id, b_id
+        |      ORDER BY a_us, a_id) AS rk
+        |  FROM np WHERE rn = 1)
+        |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    "q57_mr_alternation" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'view'),
+        |x AS (SELECT user_id, event_id AS x_id, event_type, epoch_us(ts) AS x_us
+        |    FROM events WHERE event_type IN ('purchase', 'error')),
+        |j AS (SELECT a.user_id, a.a_id, x.x_id, x.event_type,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY x.x_us, x.x_id) AS rn
+        |  FROM a JOIN x ON a.user_id = x.user_id
+        |    AND (x.x_us > a.a_us OR (x.x_us = a.a_us AND x.x_id > a.a_id))
+        |    AND x.x_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id,
+        |  CASE WHEN event_type = 'purchase' THEN x_id END AS b_id,
+        |  CASE WHEN event_type = 'error' THEN x_id END AS c_id
+        |FROM j WHERE rn = 1""".stripMargin)
 }

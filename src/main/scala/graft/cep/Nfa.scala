@@ -55,6 +55,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
   require(slotNames.distinct.length == slotNames.length,
     s"duplicate step names: ${slotNames.diff(slotNames.distinct).distinct.mkString(", ")}")
 
+  private val skip = pattern.skipPastLastRow
+
   private var partials: List[Partial[E]] = Nil
   private var terminated: Boolean = false
 
@@ -163,11 +165,22 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       }
       if (alive) res += p
     }
-    resolved.sortInPlaceBy(_._1)
+    if (skip) resolved.sortInPlaceBy(t => (t._1, t._2.startTs))
+    else resolved.sortInPlaceBy(_._1)
+    // skip-past-last-row: resolved matches consume their rows — a later
+    // resolved partial that started at/before an emitted match's end
+    // overlaps it and is dropped, as are surviving partials
+    var lastEnd = Long.MinValue
+    var emitted = false
     resolved.foreach { case (deadline, p) =>
-      if (!terminated) emitMatch(p, deadline, out)
+      if (!terminated && (!skip || !emitted || p.startTs > lastEnd)) {
+        emitMatch(p, deadline, out)
+        if (skip) { emitted = true; lastEnd = math.max(lastEnd, deadline) }
+      }
     }
-    partials = res.result()
+    partials =
+      if (skip && emitted) res.result().filter(_.startTs > lastEnd)
+      else res.result()
   }
 
   /** Process one event (must be fed in non-decreasing ts order). */
@@ -177,6 +190,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     // time passes: absence windows ending at or before t resolve first,
     // so an event at exactly the deadline cannot violate the absence
     promote(t, out)
+    // skip-past-last-row defers event-path emissions to a side buffer:
+    // all matches completing on THIS event are candidates, exactly one
+    // (the earliest-starting — greedy leftmost) is emitted
+    val evOut = if (skip) ArrayBuffer.empty[PatternMatch[E]] else out
     val next = ArrayBuffer.empty[Partial[E]]
 
     partials.foreach { p =>
@@ -198,7 +215,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             if (p.curCount < s.maxCount && s.predicate(e)) {
               val np = p.copy(curCount = p.curCount + 1,
                 groups = bound(p, slotBase(p.stepIdx), e))
-              if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+              if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
               moved = true
               if (p.curCount >= s.minCount) keepOriginal = true
             }
@@ -215,7 +232,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             val slot = if (bindLeft) b else if (bindRight) b + 1 else -1
             if (slot >= 0) {
               val np = p.copy(curCount = 1, groups = bound(p, slot, e))
-              if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+              if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
               moved = true
             }
           case a: Absence[E] =>
@@ -235,7 +252,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                 if (sj.maxCount >= 1 && sj.predicate(e)) {
                   val np = Partial(j, 1, p.startTs,
                     bound(p, slotBase(j), e), elemTs = t)
-                  if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+                  if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
                   moved = true
                 }
                 if (sj.minCount == 0) j += 1 else scan = false
@@ -248,7 +265,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                 if (slot >= 0) {
                   val np = Partial(j, 1, p.startTs,
                     bound(p, slot, e), elemTs = t)
-                  if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+                  if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
                   moved = true
                 }
                 scan = false
@@ -284,7 +301,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
         case s: Step[E] =>
           if (s.predicate(e)) {
             val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
-            if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+            if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case l: Logical[E] =>
           val slot =
@@ -295,10 +312,17 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             val g = if (slot == 0) Vector(Vector(e))
               else Vector(Vector.empty[E], Vector(e))
             val np = Partial(0, 1, t, g, elemTs = t)
-            if (!emitIfComplete(np, out, t)) addPartial(np, t, next)
+            if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case _: Absence[E] => () // unreachable (head require)
       }
+    }
+
+    if (skip && evOut.nonEmpty) {
+      // the match consumes this event and every live partial overlaps
+      // rows at/before it — emit the leftmost candidate, drop the rest
+      out += evOut.minBy(_.startTs)
+      next.clear()
     }
 
     partials =

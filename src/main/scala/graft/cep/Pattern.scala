@@ -72,7 +72,15 @@ final case class PatternDef[E](
     withinMs: Option[Long] = None,
     every: Boolean = true,
     /** hard cap on live partial matches per key — bounded state at scale */
-    maxPartialMatches: Int = 1024)
+    maxPartialMatches: Int = 1024,
+    /** AFTER MATCH SKIP PAST LAST ROW: when a match emits, every live
+      * partial is discarded and scanning resumes strictly after the
+      * match's last row, so matches never share events (greedy leftmost
+      * non-overlap — the SQL-standard default skip mode; Siddhi's
+      * `every` toggle covers the other two). When several partials
+      * complete on the same event, the earliest-starting one wins.
+      */
+    skipPastLastRow: Boolean = false)
 
 /** A live partial match inside the NFA (also the unit of checkpointed
   * streaming state): index of the element being collected, events

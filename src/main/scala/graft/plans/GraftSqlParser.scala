@@ -66,39 +66,66 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *   ORDER BY ts_us, event_id          -- (event-time, tie-break)
   *   MEASURES a.event_id AS a_id, LAST(b.event_id) AS b_id,
   *            MATCH_START AS s, MATCH_END AS e
-  *   PATTERN (a b+ c?)                 -- quantifiers: + * ? {m,n}
+  *   AFTER MATCH SKIP PAST LAST ROW    -- optional (default: overlap)
+  *   PATTERN (a b+ (c|d))              -- quantifiers: + * ? {m,n};
+  *                                     -- binary alternation (x|y)
   *   WITHIN 600000000                  -- optional, in ORDER BY units
+  *   EVENTTIME ts                      -- streaming tables only: the
+  *                                     -- watermarked timestamp column
+  *   TSSCALE 1000                      -- ORDER BY units per ms (µs→1000)
   *   DEFINE a AS event_type = 'click', b AS event_type = 'view',
-  *          c AS event_type = 'purchase'
+  *          c AS event_type = 'purchase', d AS event_type = 'error'
   * )
   * }}}
+  *
+  * Clauses must appear in the canonical order above (the SQL-standard
+  * clause order) — identifiers that merely LOOK like clause keywords
+  * (`... AS pattern`) never mis-split, because each clause is only
+  * sought after the previous one and `PATTERN`/`WITHIN`/`EVENTTIME`/
+  * `TSSCALE` require their following token shape.
   *
   * Output = partition columns ++ measures (ONE ROW PER MATCH).
   * `var.col` / `LAST(var.col)` read the LAST event bound to `var`
   * (SQL-standard one-row-per-match resolution — Oracle/Flink/Trino
-  * agree), `FIRST(var.col)` the first. Not supported (fail fast):
-  * alternation / grouping inside PATTERN, DEFINE predicates referencing
-  * pattern variables, ALL ROWS PER MATCH, AFTER MATCH SKIP.
+  * agree), `FIRST(var.col)` the first; a variable that bound zero
+  * events (`?`/`*`/unchosen alternation side) yields NULL, never an
+  * ANSI INVALID_ARRAY_INDEX. A STREAMING table dispatches to
+  * [[MatchRecognize.streamingFull]] (same output schema, watermark-
+  * buffered NFA) and requires the EVENTTIME clause. Not supported
+  * (fail fast): nested/quantified PATTERN groups, DEFINE predicates
+  * referencing pattern variables, ALL ROWS PER MATCH, AFTER MATCH
+  * skip modes other than SKIP PAST LAST ROW.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
-  import org.apache.spark.sql.functions.{col, element_at}
+  import org.apache.spark.sql.functions.col
 
   val statementRe =
     ("""(?is)\s*select\s+\*\s+from\s+([\w.]+)\s+match_recognize\s*""" +
       """\((.*)\)\s*;?\s*""").r
 
-  /** canonical key -> keyword regex (two-word keywords tolerate any
-    * whitespace; `(?<!\w)`/`(?!\w)` boundaries treat `_` as a word char,
-    * so `pattern_id` never matches `pattern`)
+  /** Canonical clause order: key, keyword regex (two-word keywords
+    * tolerate any whitespace; `(?<!\w)`/`(?!\w)` boundaries treat `_` as
+    * a word char, so `pattern_id` never matches `pattern`), and an
+    * optional lookahead the text after the keyword must start with —
+    * `PATTERN` must open a paren, `WITHIN`/`TSSCALE` a digit — so an
+    * alias spelled like a keyword is never taken for the clause.
     */
-  private val sections: Seq[(String, scala.util.matching.Regex)] = Seq(
-    "partition by" -> """(?i)(?<!\w)partition\s+by(?!\w)""".r,
-    "order by" -> """(?i)(?<!\w)order\s+by(?!\w)""".r,
-    "measures" -> """(?i)(?<!\w)measures(?!\w)""".r,
-    "pattern" -> """(?i)(?<!\w)pattern(?!\w)""".r,
-    "within" -> """(?i)(?<!\w)within(?!\w)""".r,
-    "define" -> """(?i)(?<!\w)define(?!\w)""".r)
+  private val sections: Seq[(String, scala.util.matching.Regex,
+      Option[scala.util.matching.Regex])] = Seq(
+    ("partition by", """(?i)(?<!\w)partition\s+by(?!\w)""".r, None),
+    ("order by", """(?i)(?<!\w)order\s+by(?!\w)""".r, None),
+    ("measures", """(?i)(?<!\w)measures(?!\w)""".r, None),
+    ("after match", """(?i)(?<!\w)after\s+match(?!\w)""".r, None),
+    ("pattern", """(?i)(?<!\w)pattern(?!\w)""".r, Some("""\s*\(""".r)),
+    // the within lookahead admits INTERVAL too, so interval syntax
+    // reaches the within parser's contextual "ORDER BY units" error
+    // instead of corrupting the PATTERN slice
+    ("within", """(?i)(?<!\w)within(?!\w)""".r,
+      Some("""(?i)\s*(\d|interval(?!\w))""".r)),
+    ("eventtime", """(?i)(?<!\w)eventtime(?!\w)""".r, Some("""\s*\w""".r)),
+    ("tsscale", """(?i)(?<!\w)tsscale(?!\w)""".r, Some("""\s*\d""".r)),
+    ("define", """(?i)(?<!\w)define(?!\w)""".r, None))
 
   /** The body with single-quoted literal CONTENTS blanked out (same
     * length, positions preserved) — keyword scans, depth counts and
@@ -116,19 +143,30 @@ private[plans] object MatchRecognizeSql {
     new String(b)
   }
 
-  /** Split the MATCH_RECOGNIZE body into its clause sections (keyword
-    * scan at paren depth 0 on the literal-masked text).
+  /** Split the MATCH_RECOGNIZE body into its clause sections: a
+    * POSITIONAL keyword scan at paren depth 0 on the literal-masked
+    * text. Clauses are sought strictly in canonical order, each only
+    * after the end of the previously-found keyword, and candidates must
+    * satisfy the clause's lookahead — so `MEASURES a.ts AS order` or an
+    * alias named `pattern` can never hijack a later clause boundary.
     */
   private def splitSections(body: String): Map[String, String] = {
     val masked = maskLiterals(body)
     val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
-    for ((key, re) <- sections) {
+    var pos = 0
+    for ((key, re, lookahead) <- sections) {
       re.findAllMatchIn(masked)
         .find { mm =>
-          val prefix = masked.substring(0, mm.start)
-          prefix.count(_ == '(') == prefix.count(_ == ')')
+          mm.start >= pos && {
+            val prefix = masked.substring(0, mm.start)
+            prefix.count(_ == '(') == prefix.count(_ == ')')
+          } && lookahead.forall(
+            _.pattern.matcher(masked.substring(mm.end)).lookingAt())
         }
-        .foreach(mm => found += ((mm.start, mm.end, key)))
+        .foreach { mm =>
+          found += ((mm.start, mm.end, key))
+          pos = mm.end
+        }
     }
     val sorted = found.sortBy(_._1).toSeq
     sorted.zipWithIndex.map { case ((_, end, key), j) =>
@@ -168,13 +206,22 @@ private[plans] object MatchRecognizeSql {
       throw new IllegalArgumentException(s"MATCH_RECOGNIZE needs a " +
         s"${kw.toUpperCase} clause"))
     // guard on literal-masked, whitespace-normalized text: a newline
-    // between 'AFTER' and 'MATCH' must still trip it, and a string
-    // literal containing the phrase must NOT
+    // inside the phrase must still trip it, and a string literal
+    // containing the phrase must NOT
     val guardText = maskLiterals(m.group(2)).toLowerCase
       .replaceAll("\\s+", " ")
-    for (bad <- Seq("all rows per match", "after match"))
-      require(!guardText.contains(bad),
-        s"MATCH_RECOGNIZE: '$bad' is not supported (one row per match only)")
+    require(!guardText.contains("all rows per match"),
+      "MATCH_RECOGNIZE: 'all rows per match' is not supported " +
+        "(one row per match only)")
+
+    // AFTER MATCH: exactly SKIP PAST LAST ROW (the SQL-standard default
+    // skip mode); every other skip mode fails fast
+    val skipPastLast = sec.get("after match").map { am =>
+      val norm = am.toLowerCase.replaceAll("\\s+", " ").trim
+      require(norm == "skip past last row",
+        s"AFTER MATCH supports only SKIP PAST LAST ROW (got '$am')")
+      true
+    }.getOrElse(false)
 
     val keys = splitTopLevel(need("partition by"), ',')
     val order = splitTopLevel(need("order by"), ',')
@@ -182,26 +229,36 @@ private[plans] object MatchRecognizeSql {
       "ORDER BY takes (event-time[, tie-break])")
     val (tsCol, tieCol) = (order.head, order.lift(1).getOrElse(order.head))
 
-    // PATTERN (a b+ c{2,3}) — linear concatenation with quantifiers
+    // PATTERN (a b+ c{2,3} (d|e)) — linear concatenation of quantified
+    // variables and binary alternation groups. An alternation group maps
+    // onto the operator's EOr element (first event matching either side
+    // completes it); nested or quantified groups fail fast.
     val patBody = need("pattern").trim
     require(patBody.startsWith("(") && patBody.endsWith(")"),
       "PATTERN needs parentheses")
     val inner = patBody.substring(1, patBody.length - 1).trim
-    require(!inner.contains("|") && !inner.contains("("),
-      "PATTERN alternation/grouping is not supported (linear only)")
-    val vars = inner.split("\\s+").toSeq.map {
+    sealed trait PatElem
+    case class Single(name: String, min: Int, max: Int) extends PatElem
+    case class Alt(leftName: String, rightName: String) extends PatElem
+    val altRe = """\(\s*(\w+)\s*\|\s*(\w+)\s*\)""".r
+    val patElems: Seq[PatElem] = splitTopLevel(inner, ' ').map {
+      case altRe(l, r) => Alt(l, r)
       case quantRe(name, q, mn, mx) =>
         q match {
-          case null => (name, 1, 1)
-          case "+" => (name, 1, Int.MaxValue)
-          case "*" => (name, 0, Int.MaxValue)
-          case "?" => (name, 0, 1)
-          case _ => (name, mn.toInt, mx.toInt)
+          case null => Single(name, 1, 1)
+          case "+" => Single(name, 1, Int.MaxValue)
+          case "*" => Single(name, 0, Int.MaxValue)
+          case "?" => Single(name, 0, 1)
+          case _ => Single(name, mn.toInt, mx.toInt)
         }
-      case other =>
-        throw new IllegalArgumentException(s"bad PATTERN element: $other")
+      case other => throw new IllegalArgumentException(
+        s"bad PATTERN element: $other (variables may carry + * ? {m,n}; " +
+          "groups must be a binary alternation '(x|y)')")
     }
-    val varNames = vars.map(_._1)
+    val varNames = patElems.flatMap {
+      case Single(n, _, _) => Seq(n)
+      case Alt(l, r) => Seq(l, r)
+    }
     require(varNames.distinct.length == varNames.length,
       "duplicate PATTERN variables")
 
@@ -228,12 +285,28 @@ private[plans] object MatchRecognizeSql {
           "interval syntax is not supported")
       w.toLong
     }
-    val elems = vars.map { case (n, mn, mx) =>
-      MatchRecognize.EStep(n,
-        GraftSqlBridge.column(delegate.parseExpression(defs(n))), mn, mx)
+    def pred(n: String): Column =
+      GraftSqlBridge.column(delegate.parseExpression(defs(n)))
+    val elems: Seq[MatchRecognize.Elem] = patElems.map {
+      case Single(n, mn, mx) => MatchRecognize.EStep(n, pred(n), mn, mx)
+      case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
     }
-    val matched = MatchRecognize(session.table(table), keys, tsCol, tieCol,
-      elems, within)
+    val src = session.table(table)
+    val matched =
+      if (src.isStreaming) {
+        val evc = sec.getOrElse("eventtime",
+          throw new IllegalArgumentException(
+            "MATCH_RECOGNIZE over a STREAMING table needs an " +
+              "EVENTTIME <watermarked timestamp column> clause")).trim
+        val tsScale = sec.get("tsscale").map(_.trim.toLong).getOrElse(1L)
+        MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
+          within, tsScale = tsScale, skipPastLastRow = skipPastLast)
+      } else {
+        require(!sec.contains("eventtime") && !sec.contains("tsscale"),
+          "EVENTTIME/TSSCALE are only valid over streaming tables")
+        MatchRecognize(src, keys, tsCol, tieCol, elems, within,
+          skipPastLastRow = skipPastLast)
+      }
 
     // MEASURES: textual rewrite of var.col / FIRST(var.col) / LAST(var.col)
     // to array accesses over the match columns, then parse as
@@ -254,23 +327,30 @@ private[plans] object MatchRecognizeSql {
         var seg = seg0
         for (v <- varNames) {
           // aggregates over ALL events bound to the variable (numeric
-          // aggregation runs in double, in bind order)
+          // aggregation runs in double, in bind order). SUM/AVG of an
+          // empty binding is NULL (SQL aggregate-of-no-rows semantics);
+          // the nullif guard keeps AVG from tripping ANSI DIVIDE_BY_ZERO
           seg = seg.replaceAll(s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)",
             s"size(`$v`)")
           seg = seg.replaceAll(s"(?i)(?<!\\w)sum\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"aggregate(`$v`, cast(0.0 as double), " +
-              s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`)")
+            s"if(size(`$v`) = 0, cast(null as double), " +
+              s"aggregate(`$v`, cast(0.0 as double), " +
+              s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`))")
           seg = seg.replaceAll(s"(?i)(?<!\\w)avg\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
             s"(aggregate(`$v`, cast(0.0 as double), " +
-              s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) / size(`$v`))")
+              s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) " +
+              s"/ nullif(size(`$v`), 0))")
+          // try_element_at: a variable that bound zero events (`?`/`*`
+          // quantifier, unchosen alternation side) yields SQL-standard
+          // NULL instead of an ANSI INVALID_ARRAY_INDEX crash
           seg = seg.replaceAll(s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"element_at(`$v`, 1).`$$1`")
+            s"try_element_at(`$v`, 1).`$$1`")
           seg = seg.replaceAll(s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"element_at(`$v`, -1).`$$1`")
+            s"try_element_at(`$v`, -1).`$$1`")
           // bare var.col = LAST bound event (SQL-standard one-row-per-
           // match resolution)
           seg = seg.replaceAll(s"(?i)(?<!\\w)$v\\.(\\w+)",
-            s"element_at(`$v`, -1).`$$1`")
+            s"try_element_at(`$v`, -1).`$$1`")
         }
         seg
       }

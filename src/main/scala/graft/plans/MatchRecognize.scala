@@ -53,6 +53,7 @@ case class MatchRecognizeNode(
     withinTs: Option[Long],
     every: Boolean,
     maxPartials: Int,
+    skipPastLastRow: Boolean,
     outAttrs: Seq[Attribute],
     child: LogicalPlan) extends UnaryNode {
 
@@ -94,7 +95,8 @@ object MatchRecognize {
     */
   def apply(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
       tieCol: String, pattern: Seq[Elem], withinTs: Option[Long] = None,
-      every: Boolean = true, maxPartials: Int = 1024): DataFrame = {
+      every: Boolean = true, maxPartials: Int = 1024,
+      skipPastLastRow: Boolean = false): DataFrame = {
     // a streaming frame would re-plan the exec per micro-batch with a
     // FRESH NFA — patterns straddling batches would silently never match
     require(!df.isStreaming,
@@ -129,6 +131,17 @@ object MatchRecognize {
         (AbsenceSpec(n, f), Seq(resolve(p)))
     }.unzip
 
+    // step names share the output row with the partition keys and the
+    // match_start/match_end bounds — a collision would produce ambiguous
+    // duplicate columns downstream, so fail fast here
+    val reserved = Seq("match_start", "match_end")
+    val clash = specs.flatMap(_.names).filter(n =>
+      reserved.contains(n.toLowerCase) ||
+        partitionKeys.exists(k => spark.sessionState.analyzer.resolver(k, n)))
+    require(clash.isEmpty,
+      s"step name(s) ${clash.mkString(", ")} collide with partition keys " +
+        "or the reserved match_start/match_end output columns")
+
     val rowType = StructType(
       child.output.map(a => StructField(a.name, a.dataType, a.nullable)))
     val outAttrs =
@@ -140,7 +153,7 @@ object MatchRecognize {
 
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, attr(tieCol), preds.flatten, specs,
-      withinTs, every, maxPartials, outAttrs, child))
+      withinTs, every, maxPartials, skipPastLastRow, outAttrs, child))
   }
 
   /** Streaming MATCH_RECOGNIZE: the SAME [[Elem]] surface over an
@@ -167,7 +180,7 @@ object MatchRecognize {
       tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
       withinTs: Option[Long] = None, every: Boolean = true,
       maxPartials: Int = 1024, tsScale: Long = 1L,
-      useTws: Boolean = false): DataFrame = {
+      useTws: Boolean = false, skipPastLastRow: Boolean = false): DataFrame = {
     val everyMatch = every // functions._ would shadow the parameter
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -211,7 +224,8 @@ object MatchRecognize {
       case ENotFor(n, _, f) =>
         Absence[Row](flagStep(n, 1, 1, strict = false), f)
     }.toIndexedSeq
-    val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials)
+    val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
+      skipPastLastRow)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
     val outSchema = StructType(keySchema.fields ++ Array(
@@ -225,6 +239,103 @@ object MatchRecognize {
       val binds = m.groups.map { case (n, es) => n -> es.head.getLong(2) }
       Iterator.single(new GenericRowWithSchema(
         (k.toSeq ++ Seq(m.startTs, m.endTs, binds)).toArray,
+        outSchema): Row)
+    }
+    val out =
+      if (useTws) Cep.streamingTws[Row, Row, Row](
+        env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
+        tsScale)(build)(kEnc, oEnc)
+      else Cep.streaming[Row, Row, Row](
+        env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
+        tsScale)(build)(kEnc, oEnc)
+    out.toDF()
+  }
+
+  /** Streaming MATCH_RECOGNIZE with the BATCH operator's output schema:
+    * `keys ++ (match_start, match_end) ++ one array<struct> column per
+    * step name`, each array holding the FULL input rows bound to that
+    * step — so SQL MEASURES (`var.col`, FIRST/LAST/SUM/AVG/COUNT)
+    * compile identically over batch and streaming input. This is the
+    * dispatch target for streaming `MATCH_RECOGNIZE` SQL statements.
+    *
+    * Costs more state than [[streaming]] (whole rows ride in the keyed
+    * buffer and in live partials instead of a (ts, tie) pair per bind) —
+    * the price of arbitrary-column measures, same trade Flink's CEP
+    * makes. State stays O(watermark-delay buffer + live partials ×
+    * pattern length) per key; project the input to the columns the
+    * measures read before matching to shrink it.
+    *
+    * Reference anchor: dynamic plans carry patterns over live streams
+    * (router/AddRouteOperator.java:114-126).
+    */
+  def streamingFull(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
+      tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
+      withinTs: Option[Long] = None, every: Boolean = true,
+      maxPartials: Int = 1024, tsScale: Long = 1L,
+      useTws: Boolean = false, skipPastLastRow: Boolean = false): DataFrame = {
+    val everyMatch = every
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, Step}
+    require(df.isStreaming, "streamingFull() needs a streaming DataFrame; " +
+      "use MatchRecognize(...) for batch")
+
+    val predCols: Seq[Column] = pattern.flatMap {
+      case EStep(_, p, _, _, _) => Seq(p)
+      case EAnd(_, lp, _, rp)   => Seq(lp, rp)
+      case EOr(_, lp, _, rp)    => Seq(lp, rp)
+      case ENotFor(_, p, _)     => Seq(p)
+    }
+    val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
+      lit(false))): _*)
+    val rowType = df.schema
+    // plain alias keeps the watermark metadata on the event-time column
+    val env = df.select(
+      struct(partitionKeys.map(col): _*).as("k"),
+      col(tsCol).cast("long").as("ts"),
+      col(tieCol).cast("long").as("tie"),
+      flags.as("flags"),
+      col(eventTimeCol).as("wmc"),
+      struct(df.columns.map(col).toIndexedSeq: _*).as("ev"))
+
+    var ci = -1
+    def idx(): Int = { ci += 1; ci }
+    def flagStep(name: String, min: Int, max: Int,
+        strict: Boolean): Step[Row] = {
+      val i = idx()
+      Step[Row](name, _.getSeq[Boolean](3)(i), min, max, strict)
+    }
+    val pElems: IndexedSeq[PatternElem[Row]] = pattern.map {
+      case EStep(n, _, mn, mx, st) => flagStep(n, mn, mx, st)
+      case EAnd(ln, _, rn, _) =>
+        Logical[Row](flagStep(ln, 1, 1, strict = false),
+          flagStep(rn, 1, 1, strict = false), isAnd = true)
+      case EOr(ln, _, rn, _) =>
+        Logical[Row](flagStep(ln, 1, 1, strict = false),
+          flagStep(rn, 1, 1, strict = false), isAnd = false)
+      case ENotFor(n, _, f) =>
+        Absence[Row](flagStep(n, 1, 1, strict = false), f)
+    }.toIndexedSeq
+    val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
+      skipPastLastRow)
+    val slotNames = pElems.flatMap(_.names)
+
+    val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
+    val outSchema = StructType(keySchema.fields ++ Array(
+      StructField("match_start", LongType, nullable = false),
+      StructField("match_end", LongType, nullable = false)) ++
+      slotNames.map(n =>
+        StructField(n, ArrayType(rowType, containsNull = false),
+          nullable = false)))
+    val kEnc = Encoders.row(keySchema)
+    val oEnc = Encoders.row(outSchema)
+    val build = (k: Row, m: graft.cep.PatternMatch[Row]) => {
+      val arrs = slotNames.map(n =>
+        m.groups.getOrElse(n, IndexedSeq.empty).map(_.getStruct(5)))
+      Iterator.single(new GenericRowWithSchema(
+        (k.toSeq ++ Seq(m.startTs, m.endTs) ++ arrs).toArray,
         outSchema): Row)
     }
     val out =

@@ -19,7 +19,7 @@ object MatchRecognizeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case m: MatchRecognizeNode =>
       MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
-        m.withinTs, m.every, m.maxPartials, m.outAttrs,
+        m.withinTs, m.every, m.maxPartials, m.skipPastLastRow, m.outAttrs,
         planLater(m.child)) :: Nil
     case _ => Nil
   }
@@ -47,6 +47,7 @@ case class MatchRecognizeExec(
     withinTs: Option[Long],
     every: Boolean,
     maxPartials: Int,
+    skipPastLastRow: Boolean,
     outAttrs: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
@@ -83,6 +84,7 @@ case class MatchRecognizeExec(
     val within = withinTs
     val ev = every
     val maxP = maxPartials
+    val skipPLR = skipPastLastRow
     val outTypes = output.map(_.dataType).toArray
     val matchMetric = longMetric("numMatches")
     val groupMetric = longMetric("numGroups")
@@ -105,7 +107,7 @@ case class MatchRecognizeExec(
         case AbsenceSpec(n, f) =>
           Absence(mkStep(n, 1, 1, strict = false), f)
       }.toIndexedSeq
-      val pat = PatternDef[InternalRow](pelems, within, ev, maxP)
+      val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
       val toUnsafe = UnsafeProjection.create(outTypes)
 

@@ -155,13 +155,26 @@ class ExtensionsSpec extends SparkSpec {
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x PATTERN (a b)
           | DEFINE a AS true)""".stripMargin)
-    // AFTER MATCH split across lines must still be rejected
+    // unsupported AFTER MATCH skip modes are rejected even split
+    // across lines (SKIP PAST LAST ROW itself is supported)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x
           | AFTER
-          |   MATCH SKIP PAST LAST ROW
+          |   MATCH SKIP TO NEXT ROW
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
+    // ALL ROWS PER MATCH stays rejected
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x
+          | ALL ROWS PER MATCH
+          | PATTERN (a) DEFINE a AS true)""".stripMargin)
+    // nested / quantified PATTERN groups are rejected (only binary
+    // alternation groups are supported)
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x PATTERN (a (b|c)+)
+          | DEFINE a AS true, b AS true, c AS true)""".stripMargin)
     // interval syntax in WITHIN gets the contextual error
     val err = intercept[IllegalArgumentException](parser.parsePlan(
       """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (

@@ -311,6 +311,185 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("AFTER MATCH SKIP PAST LAST ROW: non-overlapping greedy matches") {
+    // clicks at 10, 20; purchase 30; click 40; purchases 50, 60
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "purchase"),
+      (4L, 40L, 1L, "click"), (5L, 50L, 1L, "purchase"), (6L, 60L, 1L, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val pat = Seq(EStep("a", $"event_type" === "click"),
+      EStep("b", $"event_type" === "purchase"))
+    def ids(skip: Boolean) =
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_id", pat,
+          skipPastLastRow = skip)
+        .select(element_at($"a", 1).getField("event_id").as("a_id"),
+          element_at($"b", 1).getField("event_id").as("b_id"))
+        .as[(Long, Long)].collect().toSet
+    // default: every click pairs with its next purchase (overlap ok)
+    assert(ids(skip = false) == Set((1L, 3L), (2L, 3L), (4L, 5L)))
+    // skip past last row: the 20-click is consumed by the first match,
+    // and only the leftmost candidate emits per completing event
+    assert(ids(skip = true) == Set((1L, 3L), (4L, 5L)))
+  }
+
+  test("skip past last row drops overlapping absence resolutions too") {
+    // two A's arm absence windows; the first deadline (110) emits and
+    // consumes the partial started at 15 (overlap), so only one match
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 15L, 1L, "A"), (3L, 500L, 1L, "X"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val pat = Seq(EStep("s", $"event_type" === "A"),
+      ENotFor("n", $"event_type" === "B", 100L))
+    def ends(skip: Boolean) =
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_id", pat,
+        skipPastLastRow = skip).select($"match_end")
+        .as[Long].collect().toSeq.sorted
+    assert(ends(skip = false) == Seq(110L, 115L))
+    assert(ends(skip = true) == Seq(110L))
+  }
+
+  test("SQL: AFTER MATCH SKIP PAST LAST ROW parses; other modes rejected") {
+    val df = Seq((1L, 10L, 1L, "click"), (2L, 30L, 1L, "purchase"),
+      (3L, 40L, 1L, "click"), (4L, 50L, 1L, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_skip_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(afterMatch: String) = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_skip_sql MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+           |  $afterMatch
+           |  PATTERN (a b)
+           |  DEFINE a AS event_type = 'click',
+           |         b AS event_type = 'purchase'
+           |)""".stripMargin))
+    assert(run("AFTER MATCH SKIP PAST LAST ROW")
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 1L, 2L), (1L, 3L, 4L)))
+    assertThrows[IllegalArgumentException](run("AFTER MATCH SKIP TO NEXT ROW"))
+  }
+
+  test("SQL: zero-bound optional variable yields NULL measures under ANSI") {
+    // b? binds nothing for user 2 — try_element_at must give NULL, not
+    // an ANSI INVALID_ARRAY_INDEX crash; SUM/AVG over it are NULL too
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"),
+      (4L, 10L, 2L, "A"), (5L, 30L, 2L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_opt_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_opt_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           SUM(b.ts_us) AS b_sum, AVG(b.ts_us) AS b_avg,
+          |           COUNT(b.*) AS b_n, c.event_id AS c_id
+          |  PATTERN (a b? c)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C'
+          |)""".stripMargin))
+      .select($"user_id", $"a_id", $"b_id", $"b_sum", $"b_avg", $"b_n", $"c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        r.getInt(5), r.getLong(6))).toSet
+    assert(out == Set(
+      (1L, 1L, Some(2L), Some(20.0), Some(20.0), 1, 3L),
+      (2L, 4L, None, None, None, 0, 5L)))
+  }
+
+  test("SQL: aliases spelled like clause keywords do not hijack clauses") {
+    val df = Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_kw_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // aliases `order` and `pattern`: the positional clause scan already
+    // consumed ORDER BY, and the PATTERN keyword requires a following
+    // paren, so neither alias can mis-split the statement
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_kw_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.ts_us AS order, b.event_id AS pattern
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"user_id", $"order", $"pattern")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 2L)))
+  }
+
+  test("step names colliding with keys or match bounds fail fast") {
+    val df = Seq((1L, 10L, 1L, "A")).toDF("event_id", "ts_us", "user_id",
+      "event_type")
+    assertThrows[IllegalArgumentException](
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("user_id", $"event_type" === "A"))))
+    assertThrows[IllegalArgumentException](
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("match_start", $"event_type" === "A"))))
+  }
+
+  test("streaming SQL MATCH_RECOGNIZE dispatches to streamingFull and " +
+      "matches the batch statement") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (2L, 2000L, 1L, "B"), (1L, 1000L, 1L, "A"), // out of order in-batch
+      (3L, 4000L, 1L, "A"), (4L, 5000L, 1L, "B"),
+      (5L, 1000L, 2L, "A"))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+         |  PATTERN (a b)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_sql_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_sql_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_sql_stream_sink").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "X")) // watermark tick flushes
+      q.processAllAvailable()
+      val streamed = spark.table("mr_sql_stream_sink")
+        .select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+
+      rows.toDF("event_id", "ts_ms", "user_id", "event_type")
+        .createOrReplaceTempView("mr_sql_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_sql_batch", "")))
+        .select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed == Set((1L, 1L, 2L), (1L, 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("and element binds both sides in either order") {
     val df = Seq(
       (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
