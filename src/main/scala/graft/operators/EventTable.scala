@@ -89,6 +89,13 @@ final class EventTable private (val keyCols: Seq[String]) {
     * fails the batch loudly instead of OOMing the driver, and at most
     * `maxBatchRows + 1` rows are ever materialized (the collect is
     * limit-bounded, not count-then-collect).
+    *
+    * That failure is TERMINAL for the streaming query (a foreachBatch
+    * exception stops it; there is no skip/retry path) — intentional:
+    * a fact stream routed at a dimension table is a wiring bug, not a
+    * transient. Note the cap bounds ROWS, not bytes — for very wide
+    * dimensions size the cap accordingly; `spark.driver.maxResultSize`
+    * remains the byte-level backstop on the collect.
     */
   def sink(stream: DataFrame, winner: Seq[Column],
       compactEvery: Int = 16, maxBatchRows: Int = 1 << 20):

@@ -114,28 +114,54 @@ object StatefulWindows {
 
   /** `#window.frequent(n)` streaming: per event, the key's n most
     * frequent values of `attr` so far (count desc, value asc tie-break).
-    * State per key is the value→count map — O(distinct values); for
-    * unbounded-cardinality attributes cap with a space-saving sketch
-    * upstream (the batch [[graft.operators.Windows.frequent]] is exact).
+    *
+    * Scale: the top-n list is maintained INCREMENTALLY — counts only
+    * rise, so each event can change the exact top-n only at its own
+    * value; per-event cost is O(n log n), never a re-sort of the whole
+    * value→count map. State per key is that map, hard-bounded by
+    * `maxDistinct` via Space-Saving eviction (the least-frequent entry
+    * is dropped and its count inherited by the newcomer) — beyond the
+    * cap, counts become the standard Space-Saving overestimates; below
+    * it they are exact (the batch [[graft.operators.Windows.frequent]]
+    * is always exact).
     */
   def frequentWindow[E, K: Encoder, A, O: Encoder](
-      ds: Dataset[E], key: E => K, attr: E => A, n: Int)(
+      ds: Dataset[E], key: E => K, attr: E => A, n: Int,
+      maxDistinct: Int = 4096)(
       emit: (K, E, Seq[(A, Long)]) => O)(
       implicit ordA: Ordering[A]): Dataset[O] = {
-    implicit val stateEnc: Encoder[Map[A, Long]] = Encoders.kryo[Map[A, Long]]
+    require(maxDistinct > n, s"maxDistinct ($maxDistinct) must exceed n ($n)")
+    type St = (Map[A, Long], List[(A, Long)])
+    implicit val stateEnc: Encoder[St] = Encoders.kryo[St]
+    // emission order: count desc, value asc
+    val topOrd: Ordering[(A, Long)] =
+      Ordering.by[(A, Long), (Long, A)] { case (v, c) => (-c, v) }(
+        Ordering.Tuple2(Ordering.Long, ordA))
+    // eviction victim: count asc, value desc — the exact inverse, so
+    // with distinct values the victim is never inside the top-n
+    val victimOrd: Ordering[(A, Long)] =
+      Ordering.by[(A, Long), (Long, A)] { case (v, c) => (c, v) }(
+        Ordering.Tuple2(Ordering.Long, ordA.reverse))
     ds.groupByKey(key).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (k: K, it: Iterator[E], state: GroupState[Map[A, Long]]) =>
-        var counts = state.getOption.getOrElse(Map.empty[A, Long])
+      (k: K, it: Iterator[E], state: GroupState[St]) =>
+        var (counts, top) = state.getOption
+          .getOrElse((Map.empty[A, Long], List.empty[(A, Long)]))
         val out = it.map { e =>
           val a = attr(e)
-          counts = counts.updated(a, counts.getOrElse(a, 0L) + 1L)
-          val top = counts.toSeq
-            .sortBy { case (v, c) => (-c, v) }(
-              Ordering.Tuple2(Ordering.Long, ordA)).take(n)
+          val prev = counts.get(a)
+          if (prev.isEmpty && counts.size >= maxDistinct) {
+            val (vMin, cMin) = counts.min(victimOrd)
+            counts = counts - vMin + (a -> (cMin + 1L))
+          } else counts = counts.updated(a, prev.getOrElse(0L) + 1L)
+          // the updated value is the only possible change to the top-n
+          // (all other counts are unchanged and the threshold is
+          // monotone): re-rank it against the current list
+          top = ((a, counts(a)) :: top.filterNot(_._1 == a))
+            .sorted(topOrd).take(n)
           emit(k, e, top)
         }.toList
-        state.update(counts)
+        state.update((counts, top))
         out.iterator
     }
   }

@@ -32,10 +32,14 @@ object ThroughputBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     implicit val evtEnc: Encoder[TpEvt] = Encoders.product[TpEvt]
 
+    // sort by (ts_us, event_id): parquet row order is NOT time order, and
+    // an out-of-order feed would let the watermark (1 s delay) silently
+    // drop late CEP events, inflating the measured events/s
     val base = ss.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
       .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
       .as[TpEvt].collect().toIndexedSeq
+      .sortBy(e => (e.ts_us, e.event_id))
     // replicate the table along the time axis so micro-batch fixed cost
     // amortizes and the number reflects SUSTAINED events/s: each copy is
     // shifted past the previous one (ordering and pattern semantics keep)

@@ -173,6 +173,72 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("dialect: output first|last every n rate-limits matches per key") {
+    import spark.implicits._
+    // user 1 fires the single-step pattern 5 times (ids 1..5); user 2
+    // twice (ids 6..7)
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "A"), (3L, 30L, 1L, "A"),
+        (4L, 40L, 1L, "A"), (5L, 50L, 1L, "A"),
+        (6L, 10L, 2L, "A"), (7L, 20L, 2L, "A"))
+      .toDF("id", "ts", "user", "typ").createOrReplaceTempView("cpo_events")
+    var got: Array[(String, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      got = df.selectExpr("key", "binds['a'] AS a_id")
+        .as[(String, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("rl1",
+        "pattern:\nfrom cpo_events\nkey user ; ts ts ; tie id\n" +
+          "step a where typ = 'A'\noutput first every 2"))
+      // first of each count-pair per key: matches 1, 3, 5 / 6
+      assert(got.toSet == Set(("1", 1L), ("1", 3L), ("1", 5L), ("2", 6L)))
+      cp.handle(UpdatePlan("rl1",
+        "pattern:\nfrom cpo_events\nkey user ; ts ts ; tie id\n" +
+          "step a where typ = 'A'\noutput last every 2 events"))
+      assert(got.toSet == Set(("1", 2L), ("1", 4L), ("2", 7L)))
+      intercept[IllegalArgumentException] {
+        cp.handle(UpdatePlan("rl1",
+          "pattern:\nfrom cpo_events\nkey user ; ts ts ; tie id\n" +
+            "step a where typ = 'A'\noutput all every 2"))
+      }
+    } finally cp.shutdown()
+  }
+
+  test("streaming plan: output first every n persists the counter " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEvt]
+    input.toDS()
+      .withColumn("tsc", timestamp_millis($"ts_ms"))
+      .withWatermark("tsc", "5 seconds")
+      .createOrReplaceTempView("cpo_stream")
+    val cp = new ControlPlane(spark,
+      (id: String, df: DataFrame) => Some(
+        df.writeStream.format("memory").queryName(s"cpo_$id")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("cpo_ck").toString)
+          .start()))
+    try {
+      cp.handle(AddPlan("srl1",
+        "pattern:\nfrom cpo_stream\nkey user ; ts ts_ms ; tie id\n" +
+          "eventtime tsc\nstep a where typ = 'A'\noutput first every 2"))
+      input.addData(TEvt(1, 1000, 1, "A"), TEvt(2, 2000, 1, "A"))
+      cp.runningQuery("srl1").get.processAllAvailable()
+      input.addData(TEvt(3, 3000, 1, "A"), TEvt(9, 100000L, 9, "X"))
+      cp.runningQuery("srl1").get.processAllAvailable()
+      input.addData(TEvt(10, 200000L, 9, "X")) // flush the tail
+      cp.runningQuery("srl1").get.processAllAvailable()
+      val got = spark.table("cpo_srl1")
+        .selectExpr("key", "binds['a'] AS a_id")
+        .as[(String, Long)].collect().toSet
+      // counter spans micro-batches: matches 1 and 3 pass, 2 is dropped
+      assert(got == Set(("1", 1L), ("1", 3L)))
+    } finally cp.shutdown()
+  }
+
   test("JSON control stream drives the plane; poison pills are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -114,11 +114,12 @@ class MatchRecognizeSpec extends SparkSpec {
       "expected a partition-local sort satisfying the NFA's order")
   }
 
-  test("custom exec streams a 10^6-event hot key (bounded memory)") {
-    // one key, alternating A/B: the skew worst case. The exec must feed
-    // the sorted partition through the NFA without materializing the
-    // group — state stays O(live partials).
-    val n = 1000000L
+  test("custom exec streams a 10^7-event hot key (bounded memory, metrics)") {
+    // one key, alternating A/B: the skew worst case (bot user at
+    // 100 TB). The exec must feed the sorted partition through the NFA
+    // without materializing the group — state stays O(live partials),
+    // and the SQL metrics count every match and key group.
+    val n = 10000000L
     val df = spark.range(n).selectExpr("id AS event_id", "id * 10 AS ts_us",
       "1L AS user_id",
       "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS event_type")
@@ -126,7 +127,17 @@ class MatchRecognizeSpec extends SparkSpec {
       Seq(EStep("a", $"event_type" === "A"),
         EStep("b", $"event_type" === "B")),
       withinTs = Some(100L))
-    assert(out.count() == n / 2)
+    // AQE re-plans lazily and hides the exec node — use the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = out.queryExecution
+      assert(qe.executedPlan.execute().count() == n / 2)
+      val exec = qe.executedPlan.collect {
+        case m: graft.plans.MatchRecognizeExec => m
+      }.head
+      assert(exec.metrics("numMatches").value == n / 2)
+      assert(exec.metrics("numGroups").value == 1L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("strategy injected via GraftExtensions resolves the node without " +

@@ -137,4 +137,65 @@ class StatefulWindowsSpec extends SparkSpec {
         3L -> (("b", 2L)), 4L -> (("a", 2L)), 5L -> (("a", 2L))))
     } finally q.stop()
   }
+
+  test("frequent window: incremental top-n == full recount (model check)") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(7)
+    val kinds = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val evs = (1 to 240).map(i =>
+      (i.toLong, (i % 2).toLong, kinds(r.nextInt(kinds.size))))
+    val input = MemoryStream[(Long, Long, String)]
+    val out = StatefulWindows.frequentWindow[(Long, Long, String), Long,
+        String, (Long, Long, String)](
+      input.toDS(), _._2, _._3, 3) {
+      (k, e, top) =>
+        (k, e._1, top.map(t => s"${t._1}:${t._2}").mkString(","))
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fw_model").start()
+    try {
+      evs.grouped(40).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("fw_model").as[(Long, Long, String)]
+        .collect().map(r2 => r2._2 -> r2._3).toMap
+      // reference: exact per-event recount over the full history
+      val counts = collection.mutable.Map.empty[(Long, String), Long]
+      val expected = evs.map { case (id, u, kind) =>
+        counts((u, kind)) = counts.getOrElse((u, kind), 0L) + 1L
+        val top = counts.collect { case ((`u`, v), c) => (v, c) }.toSeq
+          .sortBy { case (v, c) => (-c, v) }.take(3)
+        id -> top.map(t => s"${t._1}:${t._2}").mkString(",")
+      }.toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("frequent window: maxDistinct triggers Space-Saving eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val out = StatefulWindows.frequentWindow[(Long, Long, String), Long,
+        String, (Long, Long, String, Long)](
+      input.toDS(), _._2, _._3, 1, maxDistinct = 2) {
+      (k, e, top) => (k, e._1, top.head._1, top.head._2)
+    }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fw_evict").start()
+    try {
+      input.addData(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")))
+      q.processAllAvailable()
+      val got = spark.table("fw_evict")
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => r._2 -> ((r._3, r._4))).toMap
+      // c evicts the count-tie victim with the larger value (b) and
+      // inherits its count + 1 — the Space-Saving overestimate
+      assert(got(3L) == (("c", 2L)))
+    } finally q.stop()
+    assertThrows[IllegalArgumentException](
+      StatefulWindows.frequentWindow[(Long, Long, String), Long,
+          String, (Long, Long, String, Long)](
+        input.toDS(), _._2, _._3, 3, maxDistinct = 3) {
+        (k, e, top) => (k, e._1, top.head._1, top.head._2)
+      })
+  }
 }
