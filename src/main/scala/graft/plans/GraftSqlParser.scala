@@ -116,6 +116,8 @@ private[plans] object MatchRecognizeSql {
     ("partition by", """(?i)(?<!\w)partition\s+by(?!\w)""".r, None),
     ("order by", """(?i)(?<!\w)order\s+by(?!\w)""".r, None),
     ("measures", """(?i)(?<!\w)measures(?!\w)""".r, None),
+    ("one row per match", """(?i)(?<!\w)one\s+row\s+per\s+match(?!\w)""".r,
+      None),
     ("after match", """(?i)(?<!\w)after\s+match(?!\w)""".r, None),
     ("pattern", """(?i)(?<!\w)pattern(?!\w)""".r, Some("""\s*\(""".r)),
     // the within lookahead admits INTERVAL too, so interval syntax
@@ -213,6 +215,10 @@ private[plans] object MatchRecognizeSql {
     require(!guardText.contains("all rows per match"),
       "MATCH_RECOGNIZE: 'all rows per match' is not supported " +
         "(one row per match only)")
+    // explicit ONE ROW PER MATCH is the (only) supported row mode — the
+    // clause carries no operands, so its slice must be empty
+    sec.get("one row per match").foreach(s => require(s.isEmpty,
+      s"unexpected text after ONE ROW PER MATCH: '$s'"))
 
     // AFTER MATCH: exactly SKIP PAST LAST ROW (the SQL-standard default
     // skip mode); every other skip mode fails fast

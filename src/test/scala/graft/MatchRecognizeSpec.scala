@@ -381,6 +381,11 @@ class MatchRecognizeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet ==
       Set((1L, 1L, 2L), (1L, 3L, 4L)))
     assertThrows[IllegalArgumentException](run("AFTER MATCH SKIP TO NEXT ROW"))
+    // explicit ONE ROW PER MATCH (the only supported row mode) parses
+    // and composes with the skip clause
+    assert(run("ONE ROW PER MATCH\n  AFTER MATCH SKIP PAST LAST ROW")
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 1L, 2L), (1L, 3L, 4L)))
   }
 
   test("SQL: zero-bound optional variable yields NULL measures under ANSI") {

@@ -54,6 +54,8 @@ object NfaProps extends Properties("Nfa") {
     k <- Gen.choose(0, 2)
     tail <- Gen.listOfN(k, genTail)
     within <- Gen.option(Gen.choose(10L, 200L))
+    every <- Gen.oneOf(true, false)
+    skip <- Gen.oneOf(true, false)
   } yield PatternDef[E](
     (head :: tail).zipWithIndex.map {
       case (SSpec(t, mn, mx, st), i) =>
@@ -64,7 +66,7 @@ object NfaProps extends Properties("Nfa") {
       case (ASpec(t, d), i) =>
         Absence[E](Step[E](s"s$i", _.typ == t), d)
     }.toIndexedSeq: IndexedSeq[PatternElem[E]],
-    withinMs = within)
+    withinMs = within, every = every, skipPastLastRow = skip)
 
   private def run(pat: PatternDef[E], evs: List[E]): (Seq[PatternMatch[E]], Nfa[E]) = {
     val nfa = new Nfa[E](pat, _.ts)
@@ -125,6 +127,15 @@ object NfaProps extends Properties("Nfa") {
       val ids = evs.map(_.id).toSet
       val (ms, _) = run(pat, evs)
       Prop(ms.forall(_.groups.values.forall(_.forall(e => ids(e.id)))))
+    }
+
+  property("skip-past-last-row matches never share a bound event") =
+    forAll(genPattern, genEvents) { (pat0, evs) =>
+      val pat = pat0.copy(every = true, skipPastLastRow = true)
+      val (ms, _) = run(pat, evs)
+      val ids = ms.flatMap(_.groups.values.flatten).map(_.id)
+      Prop(ids.distinct.length == ids.length) :|
+        s"shared events across matches: ${ids.diff(ids.distinct).distinct}"
     }
 
   private val genChunked: Gen[(List[E], List[Int])] = for {
