@@ -167,9 +167,10 @@ final class StreamQuery private[graft] (env: GraftCEP, private var df: DataFrame
     */
   def matchRecognize(partitionKeys: Seq[String], tsCol: String, tieCol: String,
       pattern: Seq[graft.plans.MatchRecognize.Elem],
-      withinTs: Option[Long] = None): StreamQuery = {
+      withinTs: Option[Long] = None,
+      skipPastLastRow: Boolean = false): StreamQuery = {
     df = graft.plans.MatchRecognize(df, partitionKeys, tsCol, tieCol,
-      pattern, withinTs)
+      pattern, withinTs, skipPastLastRow = skipPastLastRow)
     this
   }
 

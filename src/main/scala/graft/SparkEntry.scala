@@ -1294,8 +1294,9 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |s AS (SELECT user_id, event_id, value, us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM o)
         |SELECT user_id, session_id, count(*) AS n, min(us) AS start_us,
         |  max(us) AS end_us,

@@ -28,6 +28,9 @@ import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, PatternMatch, 
   *                        -- stateful op sees the watermark)
   *   within <eventTimeUnits>                 -- optional
   *   every true|false                        -- optional (default true)
+  *   skippastlast true|false                 -- optional (default false):
+  *                        -- AFTER MATCH SKIP PAST LAST ROW semantics —
+  *                        -- greedy leftmost non-overlapping matches
   *   tsscale <unitsPerMs>                    -- optional (default 1)
   *   output first|last every <n> [events]    -- optional rate limit:
   *                        -- per key, pass match 1, n+1, 2n+1… (first)
@@ -106,6 +109,7 @@ object PlanCompiler {
     var tieE: String = null
     var within: Option[Long] = None
     var every = true
+    var skipPastLast = false
     var tsScale = 1L
     var wmCol: String = null
     var rateLimit: Option[(Boolean, Int)] = None // (isFirst, n)
@@ -132,6 +136,8 @@ object PlanCompiler {
       else if (lower.startsWith("eventtime ")) wmCol = ln.drop(10).trim
       else if (lower.startsWith("within ")) within = Some(ln.drop(7).trim.toLong)
       else if (lower.startsWith("every ")) every = ln.drop(6).trim.toBoolean
+      else if (lower.startsWith("skippastlast "))
+        skipPastLast = ln.drop(13).trim.toBoolean
       else if (lower.startsWith("tsscale ")) tsScale = ln.drop(8).trim.toLong
       else if (lower.startsWith("output ")) {
         val re = """(?i)output\s+(first|last)\s+every\s+(\d+)(?:\s+events)?""".r
@@ -222,7 +228,8 @@ object PlanCompiler {
       case AbsenceSpec(name, forMs, ci) =>
         Absence[DynEvt](Step[DynEvt](name, _.flags(ci)), forMs)
     }
-    val pat = PatternDef[DynEvt](pElems, within, every)
+    val pat = PatternDef[DynEvt](pElems, within, every,
+      skipPastLastRow = skipPastLast)
     val build = (k: String, m: PatternMatch[DynEvt]) => Iterator.single(
       DynMatch(k, m.startTs, m.endTs,
         m.groups.map { case (n, es) => n -> es.head.tie }))
@@ -266,7 +273,7 @@ object PlanCompiler {
         case AbsenceSpec(n, f, ci) => ENotFor(n, col("flags")(ci), f)
       }
       val matched = MatchRecognize(ds.toDF(), Seq("key"), "ts", "tie",
-        elems2, within, every)
+        elems2, within, every, skipPastLastRow = skipPastLast)
       val slotNames = pElems.flatMap(_.names)
       val entries = slotNames.map(n =>
         struct(lit(n).as("k"), col(n).as("arr")))

@@ -205,6 +205,33 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("dialect: skippastlast gives non-overlapping matches") {
+    import spark.implicits._
+    // user 1: A A B B — default pairs each A with the first B (2
+    // matches); skip-past-last consumes both A's on the first B, then
+    // the second B has no A left (1 match)
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "A"),
+        (3L, 30L, 1L, "B"), (4L, 40L, 1L, "B"))
+      .toDF("id", "ts", "user", "typ").createOrReplaceTempView("cps_events")
+    var got: Array[(Long, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      got = df.selectExpr("binds['a'] AS a_id", "binds['b'] AS b_id")
+        .as[(Long, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("sk0",
+        "pattern:\nfrom cps_events\nkey user ; ts ts ; tie id\n" +
+          "step a where typ = 'A'\nstep b where typ = 'B'"))
+      assert(got.toSet == Set((1L, 3L), (2L, 3L)))
+      cp.handle(UpdatePlan("sk0",
+        "pattern:\nfrom cps_events\nkey user ; ts ts ; tie id\n" +
+          "skippastlast true\n" +
+          "step a where typ = 'A'\nstep b where typ = 'B'"))
+      assert(got.toSet == Set((1L, 3L)))
+    } finally cp.shutdown()
+  }
+
   test("streaming plan: output first every n persists the counter " +
       "across micro-batches") {
     import spark.implicits._

@@ -50,6 +50,14 @@ def main(sf_dir, out_dir):
             print(f"  FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
             continue
+        # types too: a DuckDB HUGEINT vs a Spark BIGINT hashes the same
+        # values here but can fail the driver's schema gate
+        gtypes = dict(zip(got.columns, (str(t) for t in got.types)))
+        etypes = dict(zip(exp.columns, (str(t) for t in exp.types)))
+        mism = [c for c in gcols if gtypes[c] != etypes[c]]
+        if mism:
+            print(f"  WARN {name}: column type drift "
+                  f"{[(c, gtypes[c], etypes[c]) for c in mism]}")
         grows = sorted(tuple(canon(v) for v in row) for row in
                        got.select(", ".join(f'"{c}"' for c in gcols)).fetchall())
         erows = sorted(tuple(canon(v) for v in row) for row in
