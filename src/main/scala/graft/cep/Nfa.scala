@@ -295,8 +295,14 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       }
     }
 
-    // start a new partial match at element 0
-    if (!terminated && (pattern.every || (partials.isEmpty && next.isEmpty))) {
+    // start a new partial match at element 0. Non-every seeding looks at
+    // `next` (the live set AFTER this event), not the stale pre-event
+    // `partials`: a partial that just died here — `within` expiry, strict
+    // violation — must not block a restart on this same event, or batch
+    // replay diverges from streaming (where a watermark advance between
+    // events prunes the same partial via pruneExpired before the event
+    // arrives and the restart happens).
+    if (!terminated && (pattern.every || next.isEmpty)) {
       elems.head match {
         case s: Step[E] =>
           if (s.predicate(e)) {

@@ -196,6 +196,25 @@ class NfaSpec extends AnyFunSuite {
     assert(nfa.liveCount <= 5)
   }
 
+  test("non-every: the event that expires a partial can seed the restart " +
+      "(fuzz regression: batch replay == chunked streaming)") {
+    // C{3,5} within 113, every=false, skip-past-last-row. The partial
+    // seeded at ts=31 expires when E11 arrives at ts=153 (122 > 113);
+    // E11 itself must start the replacement attempt — streaming prunes
+    // the dead partial at the preceding watermark and restarts, so batch
+    // replay refusing to seed on the same event diverged (round-6 fix:
+    // non-every seeding checks the post-event live set).
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("s0", _.typ == "C", minCount = 3, maxCount = 5)),
+      withinMs = Some(113L), every = false, skipPastLastRow = true)
+    val evs = Seq(E(1, 6, "B"), E(2, 20, "B"), E(3, 31, "C"),
+      E(11, 153, "C"), E(12, 167, "C"), E(17, 224, "C"))
+    val nfa = new Nfa[E](pat, _.ts)
+    val ms = evs.flatMap(nfa.onEvent) ++ nfa.flush()
+    assert(ms.map(m => (m.startTs, m.endTs, ids(m, "s0"))) ==
+      Seq((153L, 224L, Seq(11L, 12L, 17L))))
+  }
+
   test("absence resolution emits in DEADLINE order across partials " +
       "(fuzz regression: one big promote == many small watermark steps)") {
     // B{3,5} then `not C for 7`; B's at 19/33/34 arm absence windows with
