@@ -770,6 +770,47 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL-standard ALL ROWS PER MATCH — one row per matched EVENT:
+    // input columns ++ classifier (which variable bound it) ++
+    // match_start/match_end ++ measures with FINAL semantics (the
+    // whole-match value on every row). Same match set as q55, unpivoted
+    // to its (click, purchase) event rows.
+    "q58_mr_all_rows" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_allrows_view")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_allrows_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a b)
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // LLM dedup: cluster resolution — connected components over the
+    // q26 near-duplicate pair graph (min-label propagation with pointer
+    // jumping, O(log n) shuffle rounds). Every vector gets its cluster's
+    // minimum member id; singletons are their own cluster; is_canonical
+    // marks the one row per cluster a keep-one retention policy keeps.
+    "q59_dedup_clusters" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = Dedup.embeddingPairs(e, "embedding", "vec_id",
+        dim = 64, threshold = 0.35, nPlanes = 8)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      e.select(col("vec_id"))
+        .join(clusters, col("vec_id") === clusters("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("is_canonical",
+          (col("vec_id") === col("cluster_id")).cast("int"))
+    }),
+
     // LLM multimodal: the resize kernel stub — aspect-fit dimensions
     // from decode metadata + deterministic content digest
     "q54_multimodal_resize" -> ((s, dir) => {
@@ -815,6 +856,46 @@ object SparkEntry {
        |    JOIN e eb ON eb.vec_id = c.id_b)
        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p
        |WHERE cos >= 0.35""".stripMargin
+  }
+
+  /** q59 oracle: the q26 pair derivation (planes inlined, exact) feeding
+    * a recursive CTE that computes each node's minimum reachable id over
+    * the symmetrized pair graph — the textbook SQL statement of
+    * connected components. UNION (not UNION ALL) dedups the reach set,
+    * so the recursion terminates.
+    */
+  private lazy val q59Oracle: String = {
+    val vals = Vectors.planes(dim = 64, nPlanes = 8).zipWithIndex.map {
+      case (pl, p) => s"($p, [${pl.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH RECURSIVE planes(p, pv) AS (VALUES $vals),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |b AS (SELECT e.vec_id,
+       |    sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> e.embedding[i]::DOUBLE * pl.pv[i])) >= 0
+       |      THEN 1 << pl.p ELSE 0 END)::BIGINT AS bucket
+       |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+       |cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |p AS (SELECT c.id_a, c.id_b,
+       |    list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |      i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1, len(eb.embedding) + 1),
+       |      i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS cos
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+       |    JOIN e eb ON eb.vec_id = c.id_b),
+       |pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.35),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.id)
+       |SELECT id AS vec_id, min(r) AS cluster_id,
+       |  CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
+       |FROM reach GROUP BY id""".stripMargin
   }
 
   /** DuckDB SQL templates replicating the graft hash kernels bit-for-bit
@@ -1166,6 +1247,7 @@ object SparkEntry {
     "q25_fingerprint" -> q25Oracle,
 
     "q26_embedding_pairs" -> q26Oracle,
+    "q59_dedup_clusters" -> q59Oracle,
 
     "q28_similarity_lsh" -> q28Oracle,
 
@@ -1593,6 +1675,30 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // the q55 pair derivation, unpivoted: each match contributes its
+    // click row (classifier 'a') and its purchase row (classifier 'b');
+    // match_start/match_end are the pair's timestamps, a_id the FINAL
+    // measure repeated on both rows
+    "q58_mr_all_rows" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000),
+        |p AS (SELECT user_id, a_id, a_us, b_id, b_us FROM j WHERE rn = 1)
+        |SELECT a_id AS event_id, a_us AS ts_us, user_id,
+        |    'click' AS event_type, 'a' AS classifier,
+        |    a_us AS match_start, b_us AS match_end, a_id
+        |  FROM p
+        |UNION ALL
+        |SELECT b_id, b_us, user_id, 'purchase', 'b', a_us, b_us, a_id
+        |  FROM p""".stripMargin,
 
     "q57_mr_alternation" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us

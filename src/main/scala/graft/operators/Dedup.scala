@@ -158,6 +158,66 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the cluster-
+    * resolution step downstream of every pair generator above. Pairs only
+    * say "a ~ b"; a retention policy needs "which cluster is each doc in"
+    * so that keep-one-per-cluster is a filter. Returns `(id, cluster_id)`
+    * for every node appearing in `edges`; `cluster_id` is the cluster's
+    * minimum member id (a deterministic canonical representative).
+    *
+    * Algorithm: iterative min-label propagation with pointer-jumping.
+    * Each round every node takes the minimum label over its closed
+    * neighborhood — in the input graph AND across its current (node,
+    * label) pointer edges, so labels hop cluster-diameter-independent
+    * shortcuts and convergence is O(log n) rounds (hash-to-min family;
+    * Rastogi et al., "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds"), not O(diameter).
+    *
+    * Scale notes (100 TB): the loop state is (id, label) — 16 bytes a
+    * row, never the text; one hash shuffle per round on node id; LSH
+    * pair generation upstream is bucket-capped, so |edges| = O(docs).
+    * Every round `localCheckpoint`s the label frame — without it the
+    * plan grows by a join per iteration and the lineage blow-up kills
+    * the job long before the data does (the classic iterative-Spark
+    * trap; on a cluster prefer `checkpoint` to survive executor loss).
+    * Convergence is checked with `isEmpty` on the changed set (can
+    * short-circuit on the first changed row) and failure to converge
+    * within `maxIter` throws rather than returning half-merged clusters.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_m")).as("cluster_id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // pointer edges (id <-> cluster_id) ride along with the data edges:
+      // a node two hops from the minimum reaches it through its
+      // neighbor's POINTER, halving distances every round
+      val virt = labels.select(col("id").as("src"), col("cluster_id").as("dst"))
+        .union(labels.select(col("cluster_id").as("src"), col("id").as("dst")))
+      val allE = sym.union(virt)
+      val prop = allE.join(labels, allE("dst") === labels("id"))
+        .select(allE("src").as("id"), col("cluster_id"))
+      val next = prop.union(labels)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+        .filter(col("cluster_id") =!= col("_old")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (O(log n) rounds suffice for any graph)")
+    labels
+  }
+
   /** Embedding near-duplicate pairs: LSH sign-bucket candidates verified
     * by exact cosine. `dim` is the embedding dimension; `nPlanes` planes
     * give 2^nPlanes buckets.

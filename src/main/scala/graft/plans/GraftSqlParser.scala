@@ -84,17 +84,26 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * sought after the previous one and `PATTERN`/`WITHIN`/`EVENTTIME`/
   * `TSSCALE` require their following token shape.
   *
-  * Output = partition columns ++ measures (ONE ROW PER MATCH).
-  * `var.col` / `LAST(var.col)` read the LAST event bound to `var`
-  * (SQL-standard one-row-per-match resolution — Oracle/Flink/Trino
-  * agree), `FIRST(var.col)` the first; a variable that bound zero
+  * Output (ONE ROW PER MATCH, the default) = partition columns ++
+  * measures. `var.col` / `LAST(var.col)` read the LAST event bound to
+  * `var` (SQL-standard one-row-per-match resolution — Oracle/Flink/
+  * Trino agree), `FIRST(var.col)` the first; a variable that bound zero
   * events (`?`/`*`/unchosen alternation side) yields NULL, never an
-  * ANSI INVALID_ARRAY_INDEX. A STREAMING table dispatches to
-  * [[MatchRecognize.streamingFull]] (same output schema, watermark-
-  * buffered NFA) and requires the EVENTTIME clause. Not supported
-  * (fail fast): nested/quantified PATTERN groups, DEFINE predicates
-  * referencing pattern variables, ALL ROWS PER MATCH, AFTER MATCH
-  * skip modes other than SKIP PAST LAST ROW.
+  * ANSI INVALID_ARRAY_INDEX.
+  *
+  * ALL ROWS PER MATCH emits one row per MATCHED EVENT instead: the
+  * input columns of the bound event ++ `classifier` (the variable that
+  * bound it) ++ `match_start`/`match_end` ++ measures — with FINAL
+  * measure semantics (the whole-match value repeated on each row;
+  * RUNNING is not supported), and MEASURES itself optional. Unmatched
+  * rows are omitted (standard default, no WITH UNMATCHED ROWS).
+  *
+  * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
+  * (same output schema, watermark-buffered NFA) and requires the
+  * EVENTTIME clause. Not supported (fail fast): nested/quantified
+  * PATTERN groups, DEFINE predicates referencing pattern variables,
+  * RUNNING measures, AFTER MATCH skip modes other than SKIP PAST
+  * LAST ROW.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -117,6 +126,8 @@ private[plans] object MatchRecognizeSql {
     ("order by", """(?i)(?<!\w)order\s+by(?!\w)""".r, None),
     ("measures", """(?i)(?<!\w)measures(?!\w)""".r, None),
     ("one row per match", """(?i)(?<!\w)one\s+row\s+per\s+match(?!\w)""".r,
+      None),
+    ("all rows per match", """(?i)(?<!\w)all\s+rows\s+per\s+match(?!\w)""".r,
       None),
     ("after match", """(?i)(?<!\w)after\s+match(?!\w)""".r, None),
     ("pattern", """(?i)(?<!\w)pattern(?!\w)""".r, Some("""\s*\(""".r)),
@@ -207,18 +218,17 @@ private[plans] object MatchRecognizeSql {
     def need(kw: String): String = sec.getOrElse(kw,
       throw new IllegalArgumentException(s"MATCH_RECOGNIZE needs a " +
         s"${kw.toUpperCase} clause"))
-    // guard on literal-masked, whitespace-normalized text: a newline
-    // inside the phrase must still trip it, and a string literal
-    // containing the phrase must NOT
-    val guardText = maskLiterals(m.group(2)).toLowerCase
-      .replaceAll("\\s+", " ")
-    require(!guardText.contains("all rows per match"),
-      "MATCH_RECOGNIZE: 'all rows per match' is not supported " +
-        "(one row per match only)")
-    // explicit ONE ROW PER MATCH is the (only) supported row mode — the
-    // clause carries no operands, so its slice must be empty
+    // row mode: ONE ROW PER MATCH (default) or ALL ROWS PER MATCH; the
+    // clauses carry no operands, so their slices must be empty
     sec.get("one row per match").foreach(s => require(s.isEmpty,
       s"unexpected text after ONE ROW PER MATCH: '$s'"))
+    sec.get("all rows per match").foreach(s => require(s.isEmpty,
+      s"unexpected text after ALL ROWS PER MATCH: '$s'"))
+    require(!(sec.contains("one row per match") &&
+        sec.contains("all rows per match")),
+      "MATCH_RECOGNIZE: ONE ROW PER MATCH and ALL ROWS PER MATCH " +
+        "are mutually exclusive")
+    val allRows = sec.contains("all rows per match")
 
     // AFTER MATCH: exactly SKIP PAST LAST ROW (the SQL-standard default
     // skip mode); every other skip mode fails fast
@@ -322,7 +332,11 @@ private[plans] object MatchRecognizeSql {
       s.split("'", -1).zipWithIndex.map {
         case (seg, i) => if (i % 2 == 0) f(seg) else seg
       }.mkString("'")
-    val measures = splitTopLevel(need("measures"), ',').map { mm =>
+    // MEASURES is optional in ALL ROWS mode (the exploded events already
+    // carry the payload); required in one-row mode (it IS the output)
+    val measureSrc =
+      if (allRows) sec.get("measures") else Some(need("measures"))
+    val measures = measureSrc.toSeq.flatMap(splitTopLevel(_, ',')).map { mm =>
       val asRe = """(?is)(.+)\s+as\s+(\w+)""".r
       val (exprTxt, alias) = mm.trim match {
         case asRe(e, a) => (e.trim, a)
@@ -360,8 +374,17 @@ private[plans] object MatchRecognizeSql {
         }
         seg
       }
-      GraftSqlBridge.column(delegate.parseExpression(t)).as(alias)
+      GraftSqlBridge.column(delegate.parseExpression(t)).as(alias) -> alias
     }
-    matched.select(keys.map(col) ++ measures: _*)
+    if (allRows)
+      // ALL ROWS PER MATCH: input columns of each bound event ++
+      // classifier ++ match_start/match_end ++ measures (FINAL
+      // semantics — the whole-match value on every row; the SQL
+      // standard's RUNNING semantics is not supported)
+      MatchRecognize.explodeAllRows(
+        matched.select(org.apache.spark.sql.functions.col("*") +:
+          measures.map(_._1): _*),
+        src.columns.toIndexedSeq, varNames, measures.map(_._2))
+    else matched.select(keys.map(col) ++ measures.map(_._1): _*)
   }
 }

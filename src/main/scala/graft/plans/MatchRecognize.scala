@@ -156,6 +156,61 @@ object MatchRecognize {
       withinTs, every, maxPartials, skipPastLastRow, outAttrs, child))
   }
 
+  /** Pattern-element step names in declaration order (the output slot
+    * order of the batch operator and [[streamingFull]]).
+    */
+  private[graft] def slotNamesOf(pattern: Seq[Elem]): Seq[String] =
+    pattern.flatMap {
+      case EStep(n, _, _, _, _) => Seq(n)
+      case EAnd(l, _, r, _)     => Seq(l, r)
+      case EOr(l, _, r, _)      => Seq(l, r)
+      case ENotFor(n, _, _)     => Seq(n)
+    }
+
+  /** ALL ROWS PER MATCH shaping: explode a one-row-per-match frame (the
+    * batch operator's / [[streamingFull]]'s output, whose slot columns
+    * hold FULL input rows) back to one row per MATCHED EVENT — the SQL
+    * standard's other row mode. Output = the input columns of the bound
+    * event ++ `classifier` (the pattern variable that bound it) ++
+    * `match_start`/`match_end` (the match's identity — two matches never
+    * share (keys, match_start, match_end)) ++ `carryCols` (measure
+    * columns already computed on `one`, FINAL semantics: the whole-match
+    * value repeated on every row of the match).
+    *
+    * Declarative on purpose: one projection + one `explode` over the
+    * (small) match relation — Catalyst sees a Generate node, so column
+    * pruning and predicate pushdown still work downstream; no second
+    * pass over the raw input at any scale.
+    */
+  private[graft] def explodeAllRows(one: DataFrame, inputCols: Seq[String],
+      slots: Seq[String], carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val reserved = Seq("classifier", "match_start", "match_end")
+    val clash = inputCols.filter(c =>
+      reserved.contains(c.toLowerCase) || carryCols.contains(c))
+    require(clash.isEmpty,
+      s"ALL ROWS PER MATCH: input column(s) ${clash.mkString(", ")} " +
+        "collide with classifier/match_start/match_end or a measure alias")
+    val tagged = concat(slots.map(n =>
+      transform(col(n), e => struct(e.as("ev"), lit(n).as("cls")))): _*)
+    val keep = Seq("match_start", "match_end") ++ carryCols
+    one.select(keep.map(col) :+ explode(tagged).as("_t"): _*)
+      .select(inputCols.map(c => col("_t.ev").getField(c).as(c)) ++
+        (col("_t.cls").as("classifier") +: keep.map(col)): _*)
+  }
+
+  /** Batch ALL ROWS PER MATCH: the [[apply]] operator followed by
+    * [[explodeAllRows]] — one output row per event bound into a match.
+    */
+  def allRows(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
+      tieCol: String, pattern: Seq[Elem], withinTs: Option[Long] = None,
+      every: Boolean = true, maxPartials: Int = 1024,
+      skipPastLastRow: Boolean = false): DataFrame =
+    explodeAllRows(
+      apply(df, partitionKeys, tsCol, tieCol, pattern, withinTs, every,
+        maxPartials, skipPastLastRow),
+      df.columns.toIndexedSeq, slotNamesOf(pattern))
+
   /** Streaming MATCH_RECOGNIZE: the SAME [[Elem]] surface over an
     * unbounded stream, executed on [[graft.cep.Cep.streaming]]
     * (watermark-buffered ordered release + checkpointed NFA state).

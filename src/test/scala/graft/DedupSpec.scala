@@ -149,6 +149,27 @@ class DedupSpec extends SparkSpec {
     assert(r4 >= 0.8, s"multi-probe recall too low: $r4")
   }
 
+  test("connected components: min-label clusters over an edge list") {
+    // components: {1,2,3,7} (path 1-2-3 + 3-7), {4,5} and {9,10,11}
+    // (a chain long enough to need pointer jumping past round 1)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 7L), (4L, 5L),
+      (9L, 10L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 4L, 9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
+
+  test("connected components: a 64-node path converges (log rounds)") {
+    // worst diameter per edge count: a single path; maxIter=25 only
+    // works if pointer jumping actually shortcuts (plain propagation
+    // would need 63 rounds)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+  }
+
   test("bucket cap drops over-crowded bands (skew guard)") {
     // 30 identical docs: every band bucket holds all 30 → cap 10 drops
     // every bucket, so no candidate pairs survive

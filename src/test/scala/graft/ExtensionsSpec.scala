@@ -163,10 +163,12 @@ class ExtensionsSpec extends SparkSpec {
           | AFTER
           |   MATCH SKIP TO NEXT ROW
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
-    // ALL ROWS PER MATCH stays rejected
+    // ALL ROWS PER MATCH is supported (see MatchRecognizeSpec); naming
+    // BOTH row modes at once stays rejected
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x
+          | ONE ROW PER MATCH
           | ALL ROWS PER MATCH
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
     // nested / quantified PATTERN groups are rejected (only binary

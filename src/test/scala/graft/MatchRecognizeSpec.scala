@@ -388,6 +388,84 @@ class MatchRecognizeSpec extends SparkSpec {
       Set((1L, 1L, 2L), (1L, 3L, 4L)))
   }
 
+  test("SQL: ALL ROWS PER MATCH emits one row per matched event with " +
+      "classifier, match bounds and FINAL measures") {
+    // user 1: two overlapping matches (1→2, 3→4... within default every
+    // semantics 1 pairs with 2, 3 with 4); user 2: the B never comes —
+    // its A row must NOT appear (unmatched rows are omitted)
+    val df = Seq((1L, 10L, 1L, "click"), (2L, 30L, 1L, "purchase"),
+      (3L, 40L, 1L, "click"), (4L, 50L, 1L, "purchase"),
+      (5L, 10L, 2L, "click"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_allrows_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_allrows_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    assert(out.columns.toSeq == Seq("event_id", "ts_us", "user_id",
+      "event_type", "classifier", "match_start", "match_end", "a_id"))
+    val rows = out.select($"event_id", $"classifier", $"match_start",
+      $"match_end", $"a_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", 10L, 30L, 1L), (2L, "b", 10L, 30L, 1L),
+      (3L, "a", 40L, 50L, 3L), (4L, "b", 40L, 50L, 3L)))
+    // MEASURES is optional in ALL ROWS mode
+    val noMeasures = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_allrows_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    assert(noMeasures.count() == 4)
+    // both row modes at once is rejected
+    assertThrows[IllegalArgumentException](parser.parsePlan(
+      """SELECT * FROM mr_allrows_sql MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_us, event_id
+        |  ONE ROW PER MATCH
+        |  ALL ROWS PER MATCH
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'click',
+        |         b AS event_type = 'purchase'
+        |)""".stripMargin))
+  }
+
+  test("ALL ROWS PER MATCH: API surface, zero-bound side omitted, " +
+      "input-column collision fails fast") {
+    // alternation: the unchosen side binds zero events and contributes
+    // no rows to the explode
+    val df = Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 10L, 2L, "A"), (4L, 20L, 2L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = MatchRecognize.allRows(df, Seq("user_id"), "ts_us",
+        "event_id", Seq(EStep("a", $"event_type" === "A"),
+          EOr("b", $"event_type" === "B", "c", $"event_type" === "C")))
+      .select($"event_id", $"classifier")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")))
+
+    val clash = df.withColumnRenamed("event_type", "classifier")
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.allRows(clash, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"classifier" === "A")))
+    }
+    assert(e.getMessage.contains("classifier"))
+  }
+
   test("SQL: zero-bound optional variable yields NULL measures under ANSI") {
     // b? binds nothing for user 2 — try_element_at must give NULL, not
     // an ANSI INVALID_ARRAY_INDEX crash; SUM/AVG over it are NULL too
