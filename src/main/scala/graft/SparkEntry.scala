@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, Windows}
+import graft.operators.{AsofJoin, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -811,6 +811,52 @@ object SparkEntry {
           (col("vec_id") === col("cluster_id")).cast("int"))
     }),
 
+    // LLM quality: Gopher-style repetition signals (word-level — the
+    // documents corpus has no newlines). Filters downstream drop docs
+    // whose top word/bigram fraction is too high.
+    "q60_repetition_stats" -> ((s, dir) => {
+      TextOps.repetitionStats(ld(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // LLM compliance: PII detection + redaction. The corpus itself is
+    // PII-free word soup, so both engines derive the same synthetic
+    // contact line per doc (deterministic from doc_id), then count and
+    // redact it; the md5 of the redacted text proves byte equality.
+    "q61_pii_redaction" -> ((s, dir) => {
+      val t = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val (nEmails, nPhones) = TextOps.piiCounts(col("_t"))
+      ld(s, dir, "documents").select(col("doc_id"), t.as("_t"))
+        .select(col("doc_id"), nEmails.as("n_emails"),
+          nPhones.as("n_phones"),
+          md5(TextOps.piiRedact(col("_t")).cast("binary"))
+            .as("redacted_digest"))
+    }),
+
+    // LLM curation: deterministic stratified sampling — keep 10% of
+    // English docs, 25% of everything else, selected by a splitmix64
+    // hash of doc_id so the survivor set is engine- and
+    // partitioning-independent (oracle replays the same hash in
+    // HUGEINT arithmetic).
+    "q62_stratified_sample" -> ((s, dir) => {
+      TextOps.stratifiedSample(
+        ld(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 100), defaultPerMille = 250)
+    }),
+
+    // LLM eval hygiene: benchmark decontamination — flag docs sharing
+    // any word 4-gram with the benchmark subset (doc_id % 50 == 0);
+    // the benchmark gram set is broadcast, the corpus is scanned once.
+    "q63_decontamination" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      TextOps.decontaminate(docs,
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "text", "doc_id", n = 4)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // LLM multimodal: the resize kernel stub — aspect-fit dimensions
     // from decode metadata + deterministic content digest
     "q54_multimodal_resize" -> ((s, dir) => {
@@ -897,6 +943,16 @@ object SparkEntry {
        |  CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
        |FROM reach GROUP BY id""".stripMargin
   }
+
+  /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
+    * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
+    * `>> 12` drops the sign bit, so signed-JVM and unsigned-HUGEINT
+    * agree on the 52-bit bucket value.
+    */
+  private lazy val q62Oracle: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000 <
+       |  CASE WHEN lang = 'en' THEN 100 ELSE 250 END""".stripMargin
 
   /** DuckDB SQL templates replicating the graft hash kernels bit-for-bit
     * (mix64 splitmix finalizer, char-fold string hash, base-31 polyHash),
@@ -1248,6 +1304,67 @@ object SparkEntry {
 
     "q26_embedding_pairs" -> q26Oracle,
     "q59_dedup_clusters" -> q59Oracle,
+
+    // word/bigram counting over the same normalize-split convention as
+    // the Spark side (lower, collapse whitespace, split on ' ')
+    "q60_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct_words, max(c) AS top_word_count
+        |  FROM wc GROUP BY doc_id),
+        |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS b FROM t),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bgl GROUP BY doc_id, b),
+        |bs AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc
+        |  GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+        |  CAST(coalesce(bs.top_bigram_count, 0) AS BIGINT)
+        |    AS top_bigram_count
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+
+    // same synthetic contact line, same RE2-safe patterns, 'g' flag to
+    // match Spark's replace-all; md5 proves byte-identical redaction
+    "q61_pii_redaction" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'))
+        |    AS redacted_digest
+        |FROM d""".stripMargin,
+
+    "q62_stratified_sample" -> q62Oracle,
+
+    // 4-gram overlap vs the doc_id % 50 == 0 benchmark subset; distinct
+    // grams per doc, counted once each
+    "q63_decontamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+        |        || ' ' || toks[i + 3]))) AS gram FROM t),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n FROM g
+        |  JOIN bg ON g.gram = bg.gram GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT)
+        |    AS n_shared_grams,
+        |  CAST(CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin,
 
     "q28_similarity_lsh" -> q28Oracle,
 

@@ -79,6 +79,16 @@ object TextKernelExprs {
     }
   }
 
+  def mix64Eval(x: Long): Long = Hashing.mix64(x)
+
+  /** splitmix64 finalizer of a long column — the engine's scalar hash
+    * for deterministic sampling/bucketing (JVM long arithmetic wraps,
+    * so no ANSI overflow at any input; replicated in external oracles
+    * via the HUGEINT mod-2^64 template, SparkEntry.DuckHash.mix).
+    */
+  def mix64(x: Column): Column =
+    GraftSqlBridge.column(Mix64(GraftSqlBridge.expression(x)))
+
   def simhash(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
@@ -126,6 +136,22 @@ case class PolyHash64(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernelExprs.polyHashEval($c)")
   override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
+case class Mix64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected bigint input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.mix64Eval(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelExprs.mix64Eval($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
     copy(child = newChild)
 }
 

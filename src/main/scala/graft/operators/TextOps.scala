@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level text operators for training-data curation, beyond the
+  * per-column primitives in [[graft.functions.Text]]: repetition quality
+  * signals, PII redaction, deterministic stratified sampling, and
+  * benchmark decontamination.
+  *
+  * All four are pure declarative compositions (projections + hash
+  * aggregations + one broadcast join), so Catalyst keeps filters and
+  * column pruning working through them and nothing here caps at any
+  * scale factor.
+  */
+object TextOps {
+
+  /** Shared word tokenization: lowercase, collapse whitespace, split on
+    * single spaces (the q20/q21 convention — reproducible in any engine
+    * as `regexp_split_to_array(regexp_replace(lower(trim(t)),'\s+',' '),' ')`).
+    */
+  def words(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Repetition quality signals (Gopher-style filters, word-level):
+    * `(id, n_words, n_distinct_words, top_word_count, top_bigram_count)`.
+    * Downstream filters drop documents whose top word/bigram fraction is
+    * too high (boilerplate, keyword stuffing, templated spam).
+    *
+    * Shape for scale: explode → two-level hash aggregation. The first
+    * groupBy on (id, token) does map-side partial counting, so the
+    * shuffle carries (id, token, partial-count) — bounded by the
+    * distinct-token count per partition, not the token count; the
+    * second groupBy reduces to one row per document. No window
+    * functions, no per-document sorting.
+    */
+  def repetitionStats(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+    val wordStats = base
+      .select(col("id"), explode(col("_toks")).as("_w"))
+      .groupBy(col("id"), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("id")).agg(
+        sum(col("_c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("_c")).as("top_word_count"))
+    // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+    // a 1-token document must yield an empty bigram array explicitly
+    val n = size(col("_toks"))
+    val bigrams = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(col("_toks"), i),
+          element_at(col("_toks"), i + 1))))
+    val bigramStats = base
+      .select(col("id"), explode(bigrams).as("_b"))
+      .groupBy(col("id"), col("_b")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("id")).agg(max(col("_c")).as("top_bigram_count"))
+    // left join: a 0/1-word document has no bigrams
+    wordStats.join(bigramStats, Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_count"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+  }
+
+  /** Conservative PII patterns: email addresses and international-ish
+    * phone numbers. Both stay inside the regex subset that Java
+    * (Spark) and RE2-style engines (DuckDB, Go) interpret identically —
+    * no backreferences, no lookaround — so external oracles replicate
+    * the redaction byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** Occurrence counts per pattern (LongType). */
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+
+  /** Text with emails → `<EMAIL>` and phones → `<PHONE>`. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * rows chosen by a splitmix64 hash of the id — the same rows survive
+    * on every engine, every run, any partitioning (vs `df.sample`,
+    * whose selection depends on partition layout). Rates are per-mille
+    * so the whole predicate stays in exact integer math.
+    *
+    * At scale this is a scan-side filter: no shuffle, no state; the
+    * avalanche mix decorrelates the keep-set from id locality, so
+    * sequential-id blocks don't all land in (or out of) the sample.
+    * The `>>> 12` drops sign before the modulus — the 52-bit value is
+    * identical under JVM signed longs and an unsigned-64 oracle.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratePerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val bucket = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000
+    val rate = ratePerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** Benchmark decontamination: flag documents sharing any word `n`-gram
+    * with a benchmark corpus. Returns every row of `df` with
+    * `n_shared_grams` (distinct grams also present in the benchmark) and
+    * `contaminated` (0/1).
+    *
+    * Shape for scale: the benchmark gram set is small (eval suites are
+    * MBs, corpora are TBs) — distinct it and BROADCAST it into the
+    * gram-level semi-match, so the corpus is touched in one pass with no
+    * all-to-all shuffle; the per-doc count is one hash aggregation.
+    */
+  def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 4): DataFrame = {
+    def grams(text: Column): Column = {
+      val toks = words(text)
+      val k = size(toks)
+      // sequence(1, 0) is descending, not empty — guard short docs
+      when(k < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), k - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(toks, i + j)): _*))))
+    }
+    val benchGrams = bench
+      .select(explode(grams(col(textCol))).as("_g")).distinct()
+    val hits = df
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("_g"))
+      .join(broadcast(benchGrams), Seq("_g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared_grams"))
+    df.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated",
+        (col("n_shared_grams") > 0).cast("int"))
+  }
+}

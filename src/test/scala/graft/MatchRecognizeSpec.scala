@@ -584,6 +584,60 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SQL ALL ROWS PER MATCH: explode over streamingFull " +
+      "matches the batch statement") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),
+      (3L, 4000L, 1L, "A"), (4L, 5000L, 1L, "B"),
+      (5L, 1000L, 2L, "A"))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES a.event_id AS a_id
+         |  ALL ROWS PER MATCH
+         |  PATTERN (a b)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_ar_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_ar_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_ar_stream_sink").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "X")) // watermark tick flushes
+      q.processAllAvailable()
+      val streamed = spark.table("mr_ar_stream_sink")
+        .select($"event_id", $"classifier", $"match_start", $"a_id")
+        .as[(Long, String, Long, Long)].collect().toSet
+
+      rows.toDF("event_id", "ts_ms", "user_id", "event_type")
+        .createOrReplaceTempView("mr_ar_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_ar_batch", "")))
+        .select($"event_id", $"classifier", $"match_start", $"a_id")
+        .as[(Long, String, Long, Long)].collect().toSet
+
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed == Set(
+        (1L, "a", 1000L, 1L), (2L, "b", 1000L, 1L),
+        (3L, "a", 4000L, 3L), (4L, "b", 4000L, 3L)))
+    } finally q.stop()
+  }
+
   test("and element binds both sides in either order") {
     val df = Seq(
       (1L, 10L, 1L, "X"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),

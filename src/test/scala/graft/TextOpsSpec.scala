@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats counts words, distincts and top word/bigram") {
+    val df = Seq(
+      (1L, "a b a b a"),           // 5 words, 2 distinct, top a=3, top 'a b'=2
+      (2L, "x"),                   // single token: no bigrams
+      (3L, "one two three")        // all distinct
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 5L, 2L, 3L, 2L),
+      (2L, 1L, 1L, 1L, 0L),
+      (3L, 3L, 3L, 1L, 1L)))
+  }
+
+  test("piiRedact replaces every email and phone occurrence") {
+    val df = Seq(
+      ("mail a@b.com and c.d+x@e-f.org now", 2L, 0L),
+      ("call +1-555-0100 or +44-555-0199", 0L, 2L),
+      ("clean text", 0L, 0L)).toDF("t", "ne", "np")
+    val (nE, nP) = TextOps.piiCounts(col("t"))
+    val got = df.select(col("ne"), col("np"), nE.as("ge"), nP.as("gp"),
+      TextOps.piiRedact(col("t")).as("r")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3))
+      assert(!r.getString(4).contains("@") ||
+        r.getString(4).contains("<EMAIL>") == (r.getLong(0) > 0))
+    }
+    val red = df.filter(col("ne") === 2)
+      .select(TextOps.piiRedact(col("t"))).as[String].head()
+    assert(red == "mail <EMAIL> and <EMAIL> now")
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val a = TextOps.stratifiedSample(df, "id", "lang",
+      Map("en" -> 100), 500).as[(Long, String)].collect().toSet
+    val b = TextOps.stratifiedSample(df.repartition(7), "id", "lang",
+      Map("en" -> 100), 500).as[(Long, String)].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val en = a.count(_._2 == "en").toDouble / 2000
+    val de = a.count(_._2 == "de").toDouble / 2000
+    assert(math.abs(en - 0.10) < 0.03, s"en rate $en")
+    assert(math.abs(de - 0.50) < 0.05, s"de rate $de")
+  }
+
+  test("decontaminate flags n-gram overlap and broadcasts the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // shares the bench 4-gram
+      (2L, "zeta eta theta iota kappa"),       // disjoint
+      (3L, "tiny doc")                         // shorter than n
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma delta zzz")).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(docs, bench, "text", "doc_id", n = 4)
+    val got = out.as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)))
+    // the benchmark side must come in as a broadcast, not a shuffle —
+    // AQE hides exchange nodes from executedPlan, so assert on the
+    // statically-planned query
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val static = TextOps.decontaminate(docs, bench, "text", "doc_id", 4)
+      val hasBroadcast = static.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }.nonEmpty
+      assert(hasBroadcast, "benchmark gram join should be broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
