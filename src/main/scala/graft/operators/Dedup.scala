@@ -184,6 +184,12 @@ object Dedup {
     * short-circuit on the first changed row) and failure to converge
     * within `maxIter` throws rather than returning half-merged clusters.
     */
+  private def labelSig(labels: DataFrame): (Any, Any) = {
+    val r = labels.agg(
+      sum(col("cluster_id").cast("decimal(38,0)")), count(lit(1))).head()
+    (r.get(0), r.get(1))
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -194,6 +200,7 @@ object Dedup {
       .localCheckpoint()
     var it = 0
     var converged = false
+    var curSig = labelSig(labels)
     while (!converged && it < maxIter) {
       // pointer edges (id <-> cluster_id) ride along with the data edges:
       // a node two hops from the minimum reaches it through its
@@ -206,9 +213,13 @@ object Dedup {
       val next = prop.union(labels)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "_old"), "id")
-        .filter(col("cluster_id") =!= col("_old")).isEmpty
+      // labels are monotone non-increasing per node, so an unchanged
+      // label SUM means a fixed point — an O(1) driver compare instead
+      // of a per-round diff join (decimal sum: no BIGINT overflow at
+      // any node count)
+      val nextSig = labelSig(next)
+      converged = nextSig == curSig
+      curSig = nextSig
       labels = next
       it += 1
     }

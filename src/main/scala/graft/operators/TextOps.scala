@@ -115,8 +115,12 @@ object TextOps {
     */
   def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, n: Int = 4): DataFrame = {
-    def grams(text: Column): Column = {
-      val toks = words(text)
+    // tokenization is materialized as its own projection column BEFORE
+    // the gram lambda: HOF lambdas run interpreted, and an expression
+    // argument referenced inside one is re-evaluated per element — the
+    // regexp+split would run once per gram instead of once per doc
+    // (9-13× slowdown measured, same trap as q20)
+    def grams(toks: Column): Column = {
       val k = size(toks)
       // sequence(1, 0) is descending, not empty — guard short docs
       when(k < n, array().cast("array<string>"))
@@ -126,9 +130,11 @@ object TextOps {
             (0 until n).map(j => element_at(toks, i + j)): _*))))
     }
     val benchGrams = bench
-      .select(explode(grams(col(textCol))).as("_g")).distinct()
+      .select(words(col(textCol)).as("_toks"))
+      .select(explode(grams(col("_toks"))).as("_g")).distinct()
     val hits = df
-      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("_g"))
+      .select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+      .select(col("id"), explode(grams(col("_toks"))).as("_g"))
       .join(broadcast(benchGrams), Seq("_g"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared_grams"))
     df.select(col(idCol).as("id"))
