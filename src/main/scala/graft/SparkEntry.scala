@@ -857,6 +857,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Distributed quantiles via the mergeable log-bucket histogram
+    // aggregate (custom TypedImperativeAggregate, map-side combinable,
+    // merge-order independent — unlike percentile_approx, the result is
+    // bit-deterministic and externally replicable). Values scale to
+    // exact micro-longs first; outputs are bucket lower bounds (BIGINT).
+    "q64_quantile_hist" -> ((s, dir) => {
+      import graft.functions.Quantiles
+      evts(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 1e6).cast("long").as("micros"))
+        .groupBy(col("event_type"))
+        .agg(Quantiles.qhist(col("micros")).as("h"))
+        .select(col("event_type"),
+          Quantiles.quantile(col("h"), 0.5).as("p50_lb"),
+          Quantiles.quantile(col("h"), 0.9).as("p90_lb"),
+          Quantiles.quantile(col("h"), 0.99).as("p99_lb"))
+    }),
+
     // LLM multimodal: the resize kernel stub — aspect-fit dimensions
     // from decode metadata + deterministic content digest
     "q54_multimodal_resize" -> ((s, dir) => {
@@ -1346,6 +1364,39 @@ object SparkEntry {
         |FROM d""".stripMargin,
 
     "q62_stratified_sample" -> q62Oracle,
+
+    // the log-bucket histogram replayed in SQL: e = len(bin(m)) - 1
+    // gives the exact exponent, mantissa by shift/mask, quantile = the
+    // smallest bucket whose cumulative count reaches rank ceil(q*n),
+    // reported as the bucket's lower bound (identical integer math to
+    // Quantiles.bucketOf/lowerBound)
+    "q64_quantile_hist" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS m FROM events),
+        |b AS (SELECT event_type, CASE WHEN m <= 0 THEN 0 WHEN m < 32 THEN m
+        |    ELSE 32 + (len(bin(m)) - 6) * 16
+        |      + ((m >> (len(bin(m)) - 5)) & 15) END AS bucket FROM v),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM b
+        |  GROUP BY event_type, bucket),
+        |cum AS (SELECT event_type, bucket,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cn,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot FROM c),
+        |qs AS (SELECT event_type,
+        |    min(CASE WHEN cn >= greatest(1,
+        |      CAST(ceil(0.5 * tot) AS BIGINT)) THEN bucket END) AS b50,
+        |    min(CASE WHEN cn >= greatest(1,
+        |      CAST(ceil(0.9 * tot) AS BIGINT)) THEN bucket END) AS b90,
+        |    min(CASE WHEN cn >= greatest(1,
+        |      CAST(ceil(0.99 * tot) AS BIGINT)) THEN bucket END) AS b99
+        |  FROM cum GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(CASE WHEN b50 < 32 THEN b50 ELSE (16 + b50 % 16)::BIGINT
+        |    << ((b50 - 32) // 16 + 1) END AS BIGINT) AS p50_lb,
+        |  CAST(CASE WHEN b90 < 32 THEN b90 ELSE (16 + b90 % 16)::BIGINT
+        |    << ((b90 - 32) // 16 + 1) END AS BIGINT) AS p90_lb,
+        |  CAST(CASE WHEN b99 < 32 THEN b99 ELSE (16 + b99 % 16)::BIGINT
+        |    << ((b99 - 32) // 16 + 1) END AS BIGINT) AS p99_lb
+        |FROM qs""".stripMargin,
 
     // 4-gram overlap vs the doc_id % 50 == 0 benchmark subset; distinct
     // grams per doc, counted once each

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, MinhashSignature, PolyHash64, SimHash64}
+import graft.functions.{ArrayDotProduct, MinhashSignature, PolyHash64, QhistAgg, QhistQuantile, SimHash64}
 
 /** `SparkSessionExtensions` injection point — makes the engine's native
   * Catalyst expressions first-class SQL functions, so plan text (static
@@ -83,8 +83,27 @@ object GraftExtensions {
         intLit(children(2), "numHashes"))
     })
 
+  /** `graft_qhist(longCol)` — mergeable quantile histogram aggregate. */
+  val qhist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_qhist"),
+    new ExpressionInfo(classOf[QhistAgg].getName, "graft_qhist"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_qhist takes exactly 1 argument")
+      QhistAgg(children.head).toAggregateExpression()
+    })
+
+  /** `graft_qhist_quantile(hist, q)` — quantile lower bound. */
+  val qhistQuantile: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_qhist_quantile"),
+    new ExpressionInfo(classOf[QhistQuantile].getName, "graft_qhist_quantile"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_qhist_quantile takes (hist, q)")
+      QhistQuantile(children.head, children(1))
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(arrayDot, simhash, fingerprint, minhash)
+    Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucket math: lowerBound(bucketOf(v)) <= v within 1/16 relative") {
+    val probes = (0L until 2048L) ++
+      Seq(1L << 20, (1L << 20) + 7, 1L << 40, Long.MaxValue / 3,
+        Long.MaxValue - 1, Long.MaxValue) ++
+      (0 until 1000).map(i => math.abs(new scala.util.Random(i).nextLong()))
+    probes.foreach { v =>
+      val b = Quantiles.bucketOf(v)
+      val lb = Quantiles.lowerBound(b)
+      assert(lb <= v, s"v=$v bucket=$b lb=$lb")
+      if (v >= 32)
+        assert(v - lb <= lb / 16 + 1, s"v=$v lb=$lb error too big")
+      else assert(lb == v, s"small values are exact: v=$v lb=$lb")
+      // buckets are monotone: the next bucket's bound is above v
+      if (b + 1 < Quantiles.NumBuckets)
+        assert(Quantiles.lowerBound(b + 1) > v, s"v=$v not below next bound")
+    }
+  }
+
+  test("qhist quantiles: exact on small domains, merge-order independent") {
+    // values < 32 bucket exactly, so quantiles are exact order stats
+    val xs = (1L to 20L) ++ (1L to 20L) ++ Seq(25L, 25L)
+    val df = xs.toDF("v")
+    def quant(d: org.apache.spark.sql.DataFrame) = d
+      .agg(Quantiles.qhist(col("v")).as("h"))
+      .select(Quantiles.quantile(col("h"), 0.5).as("p50"),
+        Quantiles.quantile(col("h"), 1.0).as("p100"))
+      .as[(Long, Long)].head()
+    // n=42, rank ceil(0.5*42)=21; pairs 1..10 fill ranks 1-20, so the
+    // 21st order statistic is 11
+    val (p50, p100) = quant(df)
+    assert(p50 == 11L && p100 == 25L)
+    // different partitionings merge partials in different orders —
+    // the commutative buffer must not care
+    assert(quant(df.repartition(13)) == ((p50, p100)))
+    assert(quant(df.repartition(1)) == ((p50, p100)))
+  }
+
+  test("qhist registered in SQL; empty histogram quantile is -1") {
+    graft.plans.GraftExtensions.registerAll(
+      spark.sessionState.functionRegistry)
+    Seq(100L, 200L, 300L).toDF("v").createOrReplaceTempView("qh_v")
+    val got = spark.sql(
+      """SELECT graft_qhist_quantile(graft_qhist(v), 0.5d) AS p50
+        |FROM qh_v""".stripMargin).as[Long].head()
+    // 200 buckets to [192, 208): lb 192
+    assert(got == Quantiles.lowerBound(Quantiles.bucketOf(200L)))
+    val empty = spark.sql(
+      """SELECT graft_qhist_quantile(graft_qhist(v), 0.5d) AS p50
+        |FROM qh_v WHERE v < 0""".stripMargin).as[Long].head()
+    assert(empty == -1L)
+  }
+
+  test("null inputs are skipped, negatives clamp to bucket 0") {
+    val df = Seq(Some(5L), None, Some(-3L), Some(5L)).toDF("v")
+    val h = df.agg(Quantiles.qhist(col("v")).as("h"))
+      .select(col("h")).as[Seq[Long]].head()
+    assert(h.sum == 3L) // null skipped
+    assert(h(0) == 1L && h(5) == 2L)
+  }
+}
