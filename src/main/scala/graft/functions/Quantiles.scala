@@ -54,8 +54,13 @@ object Quantiles {
       (16L + m) << (e - 4)
     }
 
-  /** Rank-`ceil(q*n)` bucket lower bound; -1 on an empty histogram. */
+  /** Rank-`ceil(q*n)` bucket lower bound; -1 on an empty histogram.
+    * `q` outside [0, 1] is a caller bug — fail fast rather than let the
+    * rank exceed n and fall through to lowerBound(959) ≈ 2^62.
+    */
   def quantileEval(counts: ArrayData, q: Double): Long = {
+    require(q >= 0.0 && q <= 1.0,
+      s"quantile fraction must be in [0, 1], got $q")
     val c = counts.toLongArray()
     var n = 0L
     var i = 0
@@ -147,11 +152,19 @@ case class QhistAgg(child: Expression,
 case class QhistQuantile(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (KernelTypes.isLongArray(left.dataType) &&
-        right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"expected (array<bigint>, double), got ${left.dataType.catalogString}" +
-        s" / ${right.dataType.catalogString}")
+    if (!(KernelTypes.isLongArray(left.dataType) &&
+        right.dataType == DoubleType))
+      TypeCheckResult.TypeCheckFailure(
+        s"expected (array<bigint>, double), got ${left.dataType.catalogString}" +
+          s" / ${right.dataType.catalogString}")
+    else if (right.foldable) right.eval() match {
+      // catch a bad literal fraction at analysis time, not per row
+      case q: java.lang.Double if q < 0.0 || q > 1.0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"quantile fraction must be in [0, 1], got $q")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
   override def nullSafeEval(h: Any, q: Any): Any =
     Quantiles.quantileEval(h.asInstanceOf[ArrayData], q.asInstanceOf[Double])

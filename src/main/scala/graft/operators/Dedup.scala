@@ -192,8 +192,13 @@ object Dedup {
 
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // materialized ONCE: every round joins against sym, and without this
+    // the full upstream edge derivation (LSH bucketing + pair
+    // verification) re-executes O(log n) times — per-round cost must be
+    // one shuffle of 16-byte (src,dst) rows, not a re-run of the pipeline
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
     var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("_m"))
       .select(col("src").as("id"),
         least(col("src"), col("_m")).as("cluster_id"))

@@ -191,6 +191,15 @@ object MatchRecognize {
     require(clash.isEmpty,
       s"ALL ROWS PER MATCH: input column(s) ${clash.mkString(", ")} " +
         "collide with classifier/match_start/match_end or a measure alias")
+    // a measure ALIAS named like a reserved column or a pattern variable
+    // would survive the check above and die later with an ambiguous-
+    // column AnalysisException — reject it here with a clear message
+    val badCarry = carryCols.filter(c =>
+      reserved.contains(c.toLowerCase) || slots.contains(c))
+    require(badCarry.isEmpty,
+      s"ALL ROWS PER MATCH: measure alias(es) ${badCarry.mkString(", ")} " +
+        "collide with classifier/match_start/match_end or a pattern " +
+        "variable name — rename the measure")
     val tagged = concat(slots.map(n =>
       transform(col(n), e => struct(e.as("ev"), lit(n).as("cls")))): _*)
     val keep = Seq("match_start", "match_end") ++ carryCols

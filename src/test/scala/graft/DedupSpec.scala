@@ -170,6 +170,24 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 64 && got.forall(_._2 == 0L))
   }
 
+  test("connected components materializes the edge derivation once") {
+    // the upstream pair pipeline (LSH + verification in production) must
+    // run ONCE, not once per label-propagation round — count evaluations
+    // of an edge-derivation expression with an accumulator
+    val acc = spark.sparkContext.longAccumulator("edge-evals")
+    val bump = udf { (x: Long) => acc.add(1L); x }
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("raw_a", "id_b")
+      .select(bump(col("raw_a")).as("id_a"), col("id_b"))
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+    // the symmetrizing union scans edges twice during the one eager
+    // localCheckpoint; anything beyond a small constant means the
+    // derivation re-ran inside the loop (63-node path needs ~6 rounds)
+    assert(acc.value <= 63L * 2,
+      s"edge derivation evaluated ${acc.value} times — expected <= 126")
+  }
+
   test("bucket cap drops over-crowded bands (skew guard)") {
     // 30 identical docs: every band bucket holds all 30 → cap 10 drops
     // every bucket, so no candidate pairs survive

@@ -464,6 +464,19 @@ class MatchRecognizeSpec extends SparkSpec {
         Seq(EStep("a", $"classifier" === "A")))
     }
     assert(e.getMessage.contains("classifier"))
+
+    // a MEASURE alias named like a reserved column or a pattern variable
+    // must also fail fast, not die later in an ambiguous-column resolve
+    val one = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "A")))
+      .withColumn("classifier", lit(1)).withColumn("a2", lit(2))
+    for (bad <- Seq("classifier", "a")) {
+      val em = intercept[IllegalArgumentException] {
+        MatchRecognize.explodeAllRows(one, df.columns.toIndexedSeq,
+          slots = Seq("a"), carryCols = Seq(bad))
+      }
+      assert(em.getMessage.contains("rename the measure"), s"alias $bad")
+    }
   }
 
   test("SQL: zero-bound optional variable yields NULL measures under ANSI") {

@@ -43,6 +43,23 @@ class QuantilesSpec extends SparkSpec {
     assert(quant(df.repartition(1)) == ((p50, p100)))
   }
 
+  test("out-of-range quantile fraction fails fast") {
+    // literal out-of-range q dies at analysis (TypeCheckFailure), not
+    // by silently returning lowerBound(959) ~ 2^62
+    val df = Seq(1L, 2L, 3L).toDF("v").agg(Quantiles.qhist(col("v")).as("h"))
+    val e = intercept[Exception] {
+      df.select(Quantiles.quantile(col("h"), 1.5)).collect()
+    }
+    assert(e.getMessage.contains("[0, 1]"))
+    // non-literal path: the runtime kernel rejects too
+    val e2 = intercept[IllegalArgumentException] {
+      Quantiles.quantileEval(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(new Array[Long](Quantiles.NumBuckets)), -0.1)
+    }
+    assert(e2.getMessage.contains("[0, 1]"))
+  }
+
   test("qhist registered in SQL; empty histogram quantile is -1") {
     graft.plans.GraftExtensions.registerAll(
       spark.sessionState.functionRegistry)
