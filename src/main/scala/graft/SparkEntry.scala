@@ -885,6 +885,56 @@ object SparkEntry {
           Multimodal.resize(col("payload"), col("m"), 224, 224).as("r"))
         .select(col("doc_id"), col("r.out_w"), col("r.out_h"),
           col("r.content_digest"))
+    }),
+
+    // LLM dedup: exact word-3-gram Jaccard over single-hash MinHash-LSH
+    // candidates (numHashes=1, bands=1 keeps the band function exactly
+    // replicable in the oracle; production uses 64/32). Outputs are the
+    // exact integer intersection/union sizes — the jaccard double never
+    // crosses the hash gate.
+    "q65_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(ld(s, dir, "documents"), "text", "doc_id",
+          ngram = 3, threshold = 0.5, numHashes = 1, bands = 1,
+          maxBucket = 0)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+    }),
+
+    // Approximate distinct users per event type via the mergeable HLL
+    // register sketch (custom TypedImperativeAggregate — map-side
+    // combinable, merge-order independent, externally replicable).
+    // Oracle-facing columns are the exact integer register summaries;
+    // the estimate itself (graft_hll_estimate) is library surface,
+    // accuracy-tested in HllSpec.
+    "q66_hll_distinct" -> ((s, dir) => {
+      import graft.functions.Hll
+      evts(s, dir)
+        .groupBy(col("event_type"))
+        .agg(Hll.sketch(col("user_id")).as("regs"))
+        .select(col("event_type"),
+          aggregate(col("regs"), lit(0L), (acc, x) => acc + x.cast("long"))
+            .as("sum_reg"),
+          size(filter(col("regs"), _ === 0)).cast("long").as("n_zero"))
+    }),
+
+    // Deterministic per-stratum top-k sample (hash-order statistics as a
+    // fixed-size reservoir): 5 docs per language, engine- and
+    // partitioning-independent. The rank-limit filter exercises
+    // Catalyst's WindowGroupLimit pushdown — map-side partial top-k
+    // before the stratum shuffle (plan-asserted in TextOpsSpec).
+    "q67_topk_sample" -> ((s, dir) => {
+      TextOps.topKSample(
+        ld(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 5)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+    }),
+
+    // Chunk-level exact dedup (CCNet-style): 50-word chunks, corpus-wide
+    // first-occurrence election per chunk fingerprint, novel-chunk
+    // counts per doc.
+    "q68_chunk_dedup" -> ((s, dir) => {
+      TextOps.chunkDedupStats(ld(s, dir, "documents"), "text", "doc_id",
+          chunkWords = 50)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -1015,6 +1065,16 @@ object SparkEntry {
         s"(h, c) -> ${mix("xor(h, c)")})"
     def toSigned(u: String): String =
       s"(CASE WHEN $u >= 9223372036854775808 THEN $u - $U ELSE $u END)::BIGINT"
+    /** Base-31 polynomial rolling hash with 64-bit wrap
+      * (TextKernelExprs.polyHashEval) of string expression `n` — a
+      * simple column/lambda identifier, substituted repeatedly
+      * (ci/h/c are reserved lambda names).
+      */
+    def polyHash(n: String): String =
+      s"list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"list_transform(range(1, length($n) + 1), " +
+        s"ci -> unicode($n[ci:ci])::HUGEINT)), " +
+        s"(h, c) -> (31 * h + c) % $uStr)"
     /** One minhash signature slot (Hashing.minHashSignature): SIGNED min
       * over shingle hashes `sh` of mix64(h xor p*PERM); Long.MaxValue for
       * empty text.
@@ -1050,6 +1110,48 @@ object SparkEntry {
        |  ${DuckHash.minhashSlot(31)} AS h31,
        |  ${DuckHash.minhashSlot(63)} AS h63
        |FROM s""".stripMargin
+
+  /** q65 oracle: the single-hash MinHash-LSH band replicated — slot 0 of
+    * the 5-shingle signature (q23's h0), passed through the band-key
+    * finisher (TextKernelExprs.bandKeysEval with bands=1: mix64 then
+    * >>> 8) — then exact word-3-gram Jaccard verification kept entirely
+    * in integer arithmetic (2·inter ≥ union ⇔ jaccard ≥ 0.5).
+    */
+  private lazy val q65Oracle: String =
+    s"""WITH n AS (SELECT doc_id, ${DuckHash.norm("text")} AS nt FROM documents),
+       |g AS (SELECT doc_id, nt,
+       |    CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+       |         WHEN length(nt) < 5 THEN [nt]
+       |         ELSE list_distinct(list_transform(range(1, length(nt) - 3),
+       |           si -> nt[si:si+4]))
+       |    END AS sgs
+       |  FROM n),
+       |s AS (SELECT doc_id, nt,
+       |    list_transform(sgs, sg -> ${DuckHash.hashStr("sg")}) AS sh FROM g),
+       |sl AS (SELECT doc_id, nt, ${DuckHash.minhashSlot(0)} AS slot0 FROM s),
+       |bu AS (SELECT doc_id, nt,
+       |    ((${DuckHash.mix(s"(CASE WHEN slot0 < 0 THEN slot0::HUGEINT" +
+              s" + ${DuckHash.uStr} ELSE slot0::HUGEINT END)")}) >> 8) AS band
+       |  FROM sl),
+       |w AS (SELECT doc_id, band,
+       |    list_filter(string_split(nt, ' '), x -> x <> '') AS ws FROM bu),
+       |gs AS (SELECT doc_id, band,
+       |    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+       |         ELSE list_transform(range(1, len(ws) - least(3, len(ws)) + 2),
+       |           gi -> array_to_string(ws[gi:gi+least(3,len(ws))-1], ' '))
+       |    END AS gstrs
+       |  FROM w),
+       |g3 AS (SELECT doc_id, band,
+       |    list_distinct(list_transform(gstrs, gm -> ${DuckHash.hashStr("gm")}))
+       |      AS gh
+       |  FROM gs),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_filter(a.gh, ix -> list_contains(b.gh, ix))) AS n_inter,
+       |    len(a.gh) + len(b.gh) AS sum_len
+       |  FROM g3 a JOIN g3 b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, n_inter::BIGINT AS n_inter,
+       |  (sum_len - n_inter)::BIGINT AS n_union
+       |FROM p WHERE 2 * n_inter >= sum_len - n_inter""".stripMargin
 
   /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
     * sign of sum(±1) across word hashes (Hashing.simHash).
@@ -1317,6 +1419,7 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q23_minhash_sigs" -> q23Oracle,
+    "q65_ngram_jaccard" -> q65Oracle,
     "q24_simhash" -> q24Oracle,
     "q25_fingerprint" -> q25Oracle,
 
@@ -1364,6 +1467,57 @@ object SparkEntry {
         |FROM d""".stripMargin,
 
     "q62_stratified_sample" -> q62Oracle,
+
+    // HLL registers replayed in SQL: bucket = top 8 bits of mix64,
+    // rho = 1 + leading zeros of the low 56-bit field (57 - bit length,
+    // via len(bin(low))); register = max rho per bucket; outputs are the
+    // exact integer register summaries (sum, zero-count)
+    "q66_hll_distinct" ->
+      s"""WITH h AS (SELECT event_type,
+         |    (${DuckHash.mix("user_id::HUGEINT")}) AS u FROM events),
+         |b AS (SELECT event_type, (u >> 56)::BIGINT AS bucket,
+         |    (u % 72057594037927936)::BIGINT AS low FROM h),
+         |r AS (SELECT event_type, bucket,
+         |    max(CASE WHEN low = 0 THEN 57
+         |             ELSE 57 - len(bin(low)) END) AS rho
+         |  FROM b GROUP BY event_type, bucket)
+         |SELECT event_type, sum(rho)::BIGINT AS sum_reg,
+         |  (256 - count(*))::BIGINT AS n_zero
+         |FROM r GROUP BY event_type""".stripMargin,
+
+    // hash-order top-5 per language; >> 12 keeps the sort key in the
+    // signed-positive range so both engines order identically
+    "q67_topk_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12)::BIGINT AS u
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY u, doc_id) AS sample_rank FROM h)
+         |SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank
+         |FROM r WHERE sample_rank <= 5""".stripMargin,
+
+    // 50-word chunks over the q20/q60 normalize-split convention
+    // (unfiltered split — mirrors TextOps.words exactly), base-31
+    // polynomial fingerprint per chunk, first-occurrence election by
+    // (doc_id, chunk_idx)
+    "q68_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(${DuckHash.norm("text")}, ' ') AS ws
+         |  FROM documents),
+         |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 50)) AS st
+         |  FROM t),
+         |c AS (SELECT doc_id, ((st - 1) // 50)::BIGINT AS chunk_idx,
+         |    array_to_string(ws[st:st+49], ' ') AS ct FROM s),
+         |f AS (SELECT doc_id, chunk_idx, ${DuckHash.polyHash("ct")} AS fp
+         |  FROM c),
+         |k AS (SELECT doc_id, fp, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn FROM f),
+         |per AS (SELECT doc_id, count(*) AS n_chunks,
+         |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+         |  FROM k GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(per.n_chunks, 0)::BIGINT AS n_chunks,
+         |  coalesce(per.n_kept, 0)::BIGINT AS n_kept
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
 
     // the log-bucket histogram replayed in SQL: e = len(bin(m)) - 1
     // gives the exact exponent, mantissa by shift/mask, quantile = the

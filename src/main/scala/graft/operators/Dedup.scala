@@ -134,6 +134,9 @@ object Dedup {
 
   /** Exact n-gram Jaccard over MinHash-LSH candidates: bands prune the
     * pair space, then the true Jaccard of word n-gram sets verifies.
+    * Output carries the exact integer pieces (`n_inter`, `n_union`)
+    * alongside the derived `jaccard` double — downstream thresholds and
+    * external oracles can stay in exact integer arithmetic.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -152,10 +155,19 @@ object Dedup {
     val r = prepared.select(col("band"), col("id").as("id_b"), col("grams").as("g_b"))
     l.join(r, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Hashing.jaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("n_inter"),
+        (size(col("g_a")) + size(col("g_b"))).cast("long").as("_sum"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("_sum") - col("n_inter")).as("n_union"))
+      // two empty gram sets are identical documents: jaccard 1 by
+      // convention (matches TextKernelExprs.jaccardEval)
+      .withColumn("jaccard", when(col("n_union") === 0, lit(1.0))
+        .otherwise(col("n_inter").cast("double") / col("n_union")))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
+      .agg(max(col("jaccard")).as("jaccard"),
+        max(col("n_inter")).as("n_inter"), max(col("n_union")).as("n_union"))
   }
 
   /** Connected components over an undirected edge list — the cluster-

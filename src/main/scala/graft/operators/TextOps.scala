@@ -103,6 +103,73 @@ object TextOps {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic per-stratum top-k sample: the k rows with the
+    * smallest avalanche hash of the id win — a fixed-size "reservoir"
+    * whose membership is engine-, run- and partitioning-independent
+    * (hash-order statistics replace random state). `sample_rank` is the
+    * 1-based position within the stratum.
+    *
+    * Scale shape: the rank-limit filter triggers Catalyst's
+    * WindowGroupLimit pushdown (Spark 3.5+), so each map task keeps only
+    * its local top-k per stratum BEFORE the shuffle — the exchange
+    * carries O(strata · k · tasks) rows, not the corpus. The `>>> 12`
+    * shift keeps the sort key nonnegative so signed-JVM and
+    * unsigned-HUGEINT oracles order identically.
+    */
+  def topKSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    val key = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(col(idCol)), 12)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Chunk-level exact dedup statistics (CCNet-style): split each doc
+    * into fixed `chunkWords`-word chunks, fingerprint each chunk, elect
+    * the corpus-wide first occurrence (minimum `(id, chunk_idx)`) per
+    * fingerprint, and report `(id, n_chunks, n_kept)` — `n_kept` is the
+    * number of chunks this doc is the first to contribute. Downstream,
+    * `n_kept / n_chunks` is the doc's novel-content ratio; rebuilding
+    * the deduplicated text is a filter + re-aggregation over the same
+    * chunk relation.
+    *
+    * Scale shape: the winner election shuffles only (fingerprint, id,
+    * chunk_idx) — ~24 bytes per chunk, never the text; map-side partial
+    * `min` bounds the exchange by distinct fingerprints per partition.
+    * A viral chunk (boilerplate header duplicated across millions of
+    * docs) is one hot fingerprint group reduced by `min` — an
+    * associative aggregate, not a windowed sort.
+    */
+  def chunkDedupStats(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 50): DataFrame = {
+    val c = chunkWords
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+    val n = size(col("_toks"))
+    // sequence(1, 0) is descending, not empty — guard empty docs
+    val starts = when(n < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), n, lit(c)))
+    val chunks = base
+      .select(col("id"), col("_toks"), explode(starts).as("_st"))
+      .select(col("id"), (((col("_st") - 1) / c).cast("long")).as("chunk_idx"),
+        graft.functions.TextKernelExprs.polyHash(
+          concat_ws(" ", slice(col("_toks"), col("_st"), lit(c)))).as("_fp"))
+    val winners = chunks.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("_w"))
+    val per = chunks.join(winners, Seq("_fp"))
+      .withColumn("_kept",
+        (col("_w.id") === col("id") &&
+          col("_w.chunk_idx") === col("chunk_idx")).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("_kept")).as("n_kept"))
+    df.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Benchmark decontamination: flag documents sharing any word `n`-gram
     * with a benchmark corpus. Returns every row of `df` with
     * `n_shared_grams` (distinct grams also present in the benchmark) and

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, MinhashSignature, PolyHash64, QhistAgg, QhistQuantile, SimHash64}
+import graft.functions.{ArrayDotProduct, HllAgg, HllEstimate, MinhashSignature, PolyHash64, QhistAgg, QhistQuantile, SimHash64}
 
 /** `SparkSessionExtensions` injection point — makes the engine's native
   * Catalyst expressions first-class SQL functions, so plan text (static
@@ -102,8 +102,33 @@ object GraftExtensions {
       QhistQuantile(children.head, children(1))
     })
 
+  /** `graft_hll(longCol[, p])` — mergeable HLL distinct sketch. */
+  val hll: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll"),
+    new ExpressionInfo(classOf[HllAgg].getName, "graft_hll"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1 || children.length == 2,
+        "graft_hll takes (value[, p])")
+      val p = children.lift(1).map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_hll: p must be an integer literal, got $other")
+      }.getOrElse(graft.functions.Hll.DefaultP)
+      HllAgg(children.head, p).toAggregateExpression()
+    })
+
+  /** `graft_hll_estimate(regs)` — rounded cardinality estimate. */
+  val hllEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll_estimate"),
+    new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_hll_estimate takes exactly 1 argument")
+      HllEstimate(children.head)
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile)
+    Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile,
+      hll, hllEstimate)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

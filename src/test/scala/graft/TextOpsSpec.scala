@@ -75,4 +75,49 @@ class TextOpsSpec extends SparkSpec {
       assert(hasBroadcast, "benchmark gram join should be broadcast")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("topKSample: deterministic, k per stratum, WindowGroupLimit plan") {
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val a = TextOps.topKSample(df, "id", "lang", k = 4)
+      .select("id", "lang", "sample_rank")
+      .as[(Long, String, Long)].collect().toSet
+    val b = TextOps.topKSample(df.repartition(13), "id", "lang", k = 4)
+      .select("id", "lang", "sample_rank")
+      .as[(Long, String, Long)].collect().toSet
+    assert(a == b, "sample must be partitioning-independent")
+    assert(a.count(_._2 == "en") == 4 && a.count(_._2 == "de") == 4)
+    assert(a.filter(_._2 == "en").map(_._3) == Set(1L, 2L, 3L, 4L))
+    // the rank-limit must push a partial top-k below the shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.topKSample(df, "id", "lang", 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"expected WindowGroupLimit pushdown in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
+    val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
+    val tail = "unique tail content"
+    val docs = Seq(
+      (10L, s"$chunk1 $chunk2"),  // 2 chunks, both first occurrences
+      (20L, s"$chunk1 $tail"),    // chunk1 dups doc 10; partial chunk new
+      (30L, s"$chunk2 $chunk2")   // both 50-word chunks equal doc 10's
+                                  // second chunk — zero novel chunks
+    ).toDF("doc_id", "text")
+    val byId = TextOps.chunkDedupStats(docs, "text", "doc_id")
+      .select("id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(10L) == ((2L, 2L)))
+    assert(byId(20L) == ((2L, 1L)))
+    assert(byId(30L) == ((2L, 0L)))
+    // partitioning independence (winner election is a global min)
+    val re = TextOps.chunkDedupStats(docs.repartition(5), "text", "doc_id")
+      .select("id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(re == byId)
+  }
 }
