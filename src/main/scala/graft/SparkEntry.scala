@@ -887,14 +887,18 @@ object SparkEntry {
           col("r.content_digest"))
     }),
 
-    // LLM dedup: exact word-3-gram Jaccard over single-hash MinHash-LSH
-    // candidates (numHashes=1, bands=1 keeps the band function exactly
-    // replicable in the oracle; production uses 64/32). Outputs are the
-    // exact integer intersection/union sizes — the jaccard double never
-    // crosses the hash gate.
+    // LLM dedup: exact word-3-gram Jaccard over MinHash-LSH candidates.
+    // One band of FOUR signature rows (collision prob ≈ j⁴): a single
+    // min-hash would bucket 78% of this shared-vocabulary corpus
+    // together (the globally-minimal shingle is everywhere — measured:
+    // 76k candidate pairs per 500 docs vs 424 with r=4), an O(n²)
+    // blow-up at scale. Four slots keep the oracle affordable (same
+    // per-slot template as q23) while candidates stay near-linear.
+    // Outputs are the exact integer intersection/union sizes — the
+    // jaccard double never crosses the hash gate.
     "q65_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(ld(s, dir, "documents"), "text", "doc_id",
-          ngram = 3, threshold = 0.5, numHashes = 1, bands = 1,
+          ngram = 3, threshold = 0.5, numHashes = 4, bands = 1,
           maxBucket = 0)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
     }),
@@ -1111,13 +1115,17 @@ object SparkEntry {
        |  ${DuckHash.minhashSlot(63)} AS h63
        |FROM s""".stripMargin
 
-  /** q65 oracle: the single-hash MinHash-LSH band replicated — slot 0 of
-    * the 5-shingle signature (q23's h0), passed through the band-key
-    * finisher (TextKernelExprs.bandKeysEval with bands=1: mix64 then
-    * >>> 8) — then exact word-3-gram Jaccard verification kept entirely
-    * in integer arithmetic (2·inter ≥ union ⇔ jaccard ≥ 0.5).
+  /** q65 oracle: the 4-row MinHash-LSH band replicated — slots 0-3 of
+    * the 5-shingle signature (q23's per-slot template), folded through
+    * the band-key finisher (TextKernelExprs.bandKeysEval with bands=1:
+    * `h = mix64(h ^ slot)` left fold, then >>> 8) — then exact
+    * word-3-gram Jaccard verification kept entirely in integer
+    * arithmetic (2·inter ≥ union ⇔ jaccard ≥ 0.5).
     */
-  private lazy val q65Oracle: String =
+  private lazy val q65Oracle: String = {
+    def uns(s: String): String =
+      s"(CASE WHEN $s < 0 THEN $s::HUGEINT + ${DuckHash.uStr}" +
+        s" ELSE $s::HUGEINT END)"
     s"""WITH n AS (SELECT doc_id, ${DuckHash.norm("text")} AS nt FROM documents),
        |g AS (SELECT doc_id, nt,
        |    CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
@@ -1128,11 +1136,19 @@ object SparkEntry {
        |  FROM n),
        |s AS (SELECT doc_id, nt,
        |    list_transform(sgs, sg -> ${DuckHash.hashStr("sg")}) AS sh FROM g),
-       |sl AS (SELECT doc_id, nt, ${DuckHash.minhashSlot(0)} AS slot0 FROM s),
+       |sl AS (SELECT doc_id, nt, ${DuckHash.minhashSlot(0)} AS slot0,
+       |    ${DuckHash.minhashSlot(1)} AS slot1,
+       |    ${DuckHash.minhashSlot(2)} AS slot2,
+       |    ${DuckHash.minhashSlot(3)} AS slot3 FROM s),
+       |k1 AS (SELECT doc_id, nt, slot1, slot2, slot3,
+       |    (${DuckHash.mix(uns("slot0"))}) AS kk FROM sl),
+       |k2 AS (SELECT doc_id, nt, slot2, slot3,
+       |    (${DuckHash.mix(s"xor(kk, ${uns("slot1")})")}) AS kk FROM k1),
+       |k3 AS (SELECT doc_id, nt, slot3,
+       |    (${DuckHash.mix(s"xor(kk, ${uns("slot2")})")}) AS kk FROM k2),
        |bu AS (SELECT doc_id, nt,
-       |    ((${DuckHash.mix(s"(CASE WHEN slot0 < 0 THEN slot0::HUGEINT" +
-              s" + ${DuckHash.uStr} ELSE slot0::HUGEINT END)")}) >> 8) AS band
-       |  FROM sl),
+       |    ((${DuckHash.mix(s"xor(kk, ${uns("slot3")})")}) >> 8) AS band
+       |  FROM k3),
        |w AS (SELECT doc_id, band,
        |    list_filter(string_split(nt, ' '), x -> x <> '') AS ws FROM bu),
        |gs AS (SELECT doc_id, band,
@@ -1152,6 +1168,7 @@ object SparkEntry {
        |SELECT id_a, id_b, n_inter::BIGINT AS n_inter,
        |  (sum_len - n_inter)::BIGINT AS n_union
        |FROM p WHERE 2 * n_inter >= sum_len - n_inter""".stripMargin
+  }
 
   /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
     * sign of sum(±1) across word hashes (Hashing.simHash).
