@@ -140,7 +140,10 @@ object TextOps {
     * `min` bounds the exchange by distinct fingerprints per partition.
     * A viral chunk (boilerplate header duplicated across millions of
     * docs) is one hot fingerprint group reduced by `min` — an
-    * associative aggregate, not a windowed sort.
+    * associative aggregate, not a windowed sort. Per-doc keep counts
+    * come from RE-AGGREGATING THE WINNERS by winner id (one row per
+    * distinct chunk) — never by joining the winner set back against the
+    * full chunk relation, which would be a second corpus-sized shuffle.
     */
   def chunkDedupStats(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 50): DataFrame = {
@@ -155,16 +158,15 @@ object TextOps {
       .select(col("id"), (((col("_st") - 1) / c).cast("long")).as("chunk_idx"),
         graft.functions.TextKernelExprs.polyHash(
           concat_ws(" ", slice(col("_toks"), col("_st"), lit(c)))).as("_fp"))
-    val winners = chunks.groupBy(col("_fp"))
+    val kept = chunks.groupBy(col("_fp"))
       .agg(min(struct(col("id"), col("chunk_idx"))).as("_w"))
-    val per = chunks.join(winners, Seq("_fp"))
-      .withColumn("_kept",
-        (col("_w.id") === col("id") &&
-          col("_w.chunk_idx") === col("chunk_idx")).cast("long"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_chunks"), sum(col("_kept")).as("n_kept"))
+      .groupBy(col("_w.id").as("id"))
+      .agg(count(lit(1)).as("n_kept"))
+    val counts = chunks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"))
     df.select(col(idCol).as("id"))
-      .join(per, Seq("id"), "left")
+      .join(counts, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))

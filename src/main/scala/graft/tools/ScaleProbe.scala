@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.functions.Hll
+
+/** Ad-hoc N× scale probe for the curation operators (the BASELINE.md
+  * "growth at 10× data" table): replicates the documents/events tables
+  * N times with shifted ids — exact-copy replication is deliberately
+  * the WORST case for dedup-family operators (every chunk/gram/band
+  * bucket gets N copies) — and times each operator end-to-end with a
+  * noop sink. Prints one JSON line per operator.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_COPIES=10
+  *        sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until copies).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+
+    val docs = replicate(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang"), "doc_id")
+    val events = replicate(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"), col("user_id")), "user_id")
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      mk.write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","copies":$copies,"sec":$dt%.2f}""")
+    }
+
+    // warm-up: touch both inputs once
+    docs.count(); events.count()
+
+    time("chunk_dedup")(TextOps.chunkDedupStats(docs, "text", "doc_id"))
+    time("topk_sample")(TextOps.topKSample(docs, "doc_id", "lang", 5))
+    time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      ngram = 3, threshold = 0.5, numHashes = 4, bands = 1))
+    time("hll_distinct")(events.groupBy(col("event_type"))
+      .agg(Hll.sketch(col("user_id")).as("r"))
+      .select(col("event_type"), Hll.estimate(col("r")).as("est")))
+    spark.stop()
+  }
+}

@@ -48,6 +48,32 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est - 30L) <= 3L, s"estimate $est")
   }
 
+  test("streaming incremental sketch matches batch (mergeable state)") {
+    // the register buffer merges exactly across micro-batches — an
+    // approximate-distinct over an unbounded stream with 256 B of state
+    // per group, no distinct-value shuffle
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("grp", "v")
+      .groupBy(col("grp")).agg(Hll.sketch(col("v")).as("r"))
+      .select(col("grp"), Hll.estimate(col("r")).as("est"), col("r"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 700L).map(i => ("a", i % 400)))
+      q.processAllAvailable()
+      input.addData((1L to 700L).map(i => ("a", 300 + i)))
+      q.processAllAvailable()
+      val got = spark.table("hll_stream")
+        .select(col("grp"), col("r")).as[(String, Seq[Int])].head()
+      val batch = ((1L to 700L).map(_ % 400) ++ (1L to 700L).map(300 + _))
+        .toDF("v").agg(Hll.sketch(col("v")).as("r"))
+        .select(col("r")).as[Seq[Int]].head()
+      assert(got._2 == batch, "streamed registers must equal batch registers")
+    } finally q.stop()
+  }
+
   test("registered in SQL: graft_hll + graft_hll_estimate + p override") {
     graft.plans.GraftExtensions.registerAll(
       spark.sessionState.functionRegistry)
