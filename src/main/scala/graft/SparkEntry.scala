@@ -662,7 +662,9 @@ object SparkEntry {
     // The composed training-data filter — quality gate, then language
     // gate, then exact dedup, in one plan: the end-to-end shape a 100 TB
     // pretraining pipeline runs. Quality/langid are pure projections
-    // (pushed to the scan side); only dedup's fingerprint agg shuffles.
+    // (pushed to the scan side); dedup is the single-pass projecting
+    // variant, so the regex gates run ONCE and only (fp, id, n_tokens)
+    // shuffles.
     "q50_training_filter" -> ((s, dir) => {
       val f = Text.qualityFeatures(col("text"))
       val gated = ld(s, dir, "documents")
@@ -670,8 +672,8 @@ object SparkEntry {
         .withColumn("punct_ratio", f.getField("punct_ratio"))
         .filter(col("n_tokens") >= 10 && col("punct_ratio") < 0.1)
         .filter(Text.langId(col("text")) === "en")
-      Dedup.exact(gated, "text", "doc_id")
-        .select(col("doc_id"), col("n_tokens"))
+      Dedup.exactProject(gated, "text", "doc_id",
+        Seq("doc_id", "n_tokens"))
     }),
 
     // B9: #window.timeLength(10 min, 5) — trailing scope bounded by BOTH

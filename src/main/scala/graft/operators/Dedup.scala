@@ -44,6 +44,28 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Single-pass exact dedup returning only `projCols` of each winning
+    * row: winner election and projection ride the SAME aggregation
+    * (`min_by` keyed on `idCol` over the projected struct), so the
+    * upstream plan runs ONCE and the shuffle carries (fingerprint, id,
+    * projection) — unlike [[exact]], whose semi-join evaluates the
+    * upstream twice (fatal when the upstream is an expensive gate
+    * pipeline: q50's regex quality/language filters). Use [[exact]]
+    * when you need every input column back; use this when a narrow
+    * projection is the point.
+    *
+    * Contract: `idCol` unique and non-null per row (ties under
+    * duplicate ids would make `min_by` pick an arbitrary tied row).
+    */
+  def exactProject(df: DataFrame, textCol: String, idCol: String,
+      projCols: Seq[String]): DataFrame = {
+    val keep = (idCol +: projCols).distinct
+    df.select(keep.map(col) :+ Text.fingerprint(col(textCol)).as("_fp"): _*)
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(keep.map(col): _*), col(idCol)).as("_w"))
+      .select(projCols.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
   /** Exact-duplicate groups of size > 1: (fingerprint, ids, count). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("fp", Text.fingerprint(col(textCol)))

@@ -24,6 +24,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 3L, 4L))
   }
 
+  test("exactProject matches exact() and scans the input once") {
+    val viaExact = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val viaProject = Dedup.exactProject(docs, "text", "doc_id",
+      Seq("doc_id")).as[Long].collect().toSet
+    assert(viaProject == viaExact)
+    // the whole point: ONE evaluation of the upstream, not the
+    // semi-join's two (AQE off so plan nodes are visible)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scans(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.LocalTableScanExec => s
+        }.size
+      assert(scans(Dedup.exactProject(docs, "text", "doc_id",
+        Seq("doc_id"))) == 1)
+      assert(scans(Dedup.exact(docs, "text", "doc_id")) == 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("exact dedup keeps one winner for null-text rows") {
     val withNulls = docs.unionByName(
       Seq((7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String]))
