@@ -3,12 +3,13 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.functions.{Hll, Text}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** The 100 TB training-data pipeline composed end-to-end from the
   * library's operators: exact dedup → quality filter → language filter
-  * → near-duplicate removal → embedding-space neighbor audit. Every
+  * → chunk-level dedup audit → near-duplicate removal → per-language
+  * sample + sketch profile → embedding-space neighbor audit. Every
   * stage is a declarative DataFrame transform — at scale the same code
   * runs unchanged with more executors (no stage collects, no all-pairs
   * joins, fingerprint-only shuffles).
@@ -44,6 +45,12 @@ object TrainingDataPipeline {
     val english = quality.filter(Text.langId(col("text")) === "en")
     println(s"STAGE lang_en         n=${english.count()}")
 
+    // 3b. chunk-level novelty audit: fraction of 50-word chunks this doc
+    // is the first to contribute corpus-wide (CCNet-style)
+    val novelty = TextOps.chunkDedupStats(english, "text", "doc_id")
+    val lowNovel = novelty.filter(col("n_kept") * 2 < col("n_chunks")).count()
+    println(s"STAGE chunk_audit     low_novelty=$lowNovel")
+
     // 4. near-dup removal: MinHash-LSH candidates, keep the lower doc_id
     val nearPairs = Dedup.minhashPairs(english, "text", "doc_id",
       threshold = 0.8)
@@ -51,6 +58,18 @@ object TrainingDataPipeline {
     val kept = english.join(losers, Seq("doc_id"), "left_anti")
     println(s"STAGE near_dedup      n=${kept.count()} " +
       s"(removed ${losers.count()} near-dups)")
+
+    // 4b. per-language profile + deterministic eyeball sample: HLL
+    // distinct-user... distinct-document sketch per language (256 B of
+    // state per group) and 3 reproducible docs per language for review
+    val profile = kept.groupBy(col("lang"))
+      .agg(Hll.sketch(col("doc_id")).as("r"), count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), Hll.estimate(col("r")).as("est_docs"))
+    profile.collect().foreach(r =>
+      println(s"STAGE profile         lang=${r.getString(0)} " +
+        s"n=${r.getLong(1)} hll_est=${r.getLong(2)}"))
+    val eyeball = TextOps.topKSample(kept, "doc_id", "lang", k = 3)
+    println(s"STAGE eyeball_sample  n=${eyeball.count()}")
 
     // 5. embedding-space audit: multi-probe LSH top-3 neighbors for a
     // query sample — the index-building shape for retrieval curation
