@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.functions.Hashing
+import graft.streaming.StreamDedup
+
+case class SDoc(id: Long, text: String)
+
+object StreamDedupSpec {
+  // top-level so the streaming closure doesn't capture the spec class
+  private def fp(d: SDoc): Long = Hashing.mix64(
+    graft.functions.TextKernelExprs.polyHashEval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(d.text)))
+  private val fpF: SDoc => Long = fp
+  private val orderF: SDoc => Long = _.id
+}
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamDedupSpec.{fpF, orderF}
+
+  test("first-seen dedup across micro-batches, min-id winner within one") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    val q = StreamDedup.firstSeen(input.toDS(), fpF, orderF)
+      .writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two copies of A (ids 5, 2) and one B — A's winner is
+      // id 2 (min order), B passes
+      input.addData(SDoc(5, "content A"), SDoc(2, "content A"),
+        SDoc(7, "content B"))
+      q.processAllAvailable()
+      // batch 2: another copy of A (dropped — state remembers), a fresh C
+      input.addData(SDoc(9, "content A"), SDoc(11, "content C"))
+      q.processAllAvailable()
+      val got = spark.table("sd_out").as[SDoc].collect().map(_.id).toSet
+      assert(got == Set(2L, 7L, 11L))
+    } finally q.stop()
+  }
+
+  test("checkpointed state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // memory sink can't recover from a checkpoint — write parquet
+    val ckDir = java.nio.file.Files.createTempDirectory("sd_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sd_out").toString
+    val input = MemoryStream[SDoc]
+    def start() = StreamDedup.firstSeen(input.toDS(), fpF, orderF)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(SDoc(1, "persistent content"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the same fingerprint after restart must STAY deduplicated
+      input.addData(SDoc(2, "persistent content"), SDoc(3, "new content"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).as[SDoc]
+        .collect().map(_.id).toSet
+      assert(got == Set(1L, 3L))
+    } finally q2.stop()
+  }
+}
