@@ -941,6 +941,15 @@ object SparkEntry {
       TextOps.chunkDedupStats(ld(s, dir, "documents"), "text", "doc_id",
           chunkWords = 50)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Deterministic weighted sampling (data mixing): keep probability
+    // ∝ n_chars/500 capped at 1 — longer docs survive more often, all
+    // in exact integer math (scan-side filter, no shuffle).
+    "q69_weighted_sample" -> ((s, dir) => {
+      TextOps.weightedSample(
+        ld(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", perMillionPerUnit = 2000L)
     }))
 
   // -------------------------------------------------------------------
@@ -1503,6 +1512,13 @@ object SparkEntry {
          |SELECT event_type, sum(rho)::BIGINT AS sum_reg,
          |  (256 - count(*))::BIGINT AS n_zero
          |FROM r GROUP BY event_type""".stripMargin,
+
+    // weight-proportional keep in exact integer math (q62's mix
+    // template; the least() cap mirrors the Spark side)
+    "q69_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000000 <
+         |  least(1000000, n_chars * 2000)""".stripMargin,
 
     // hash-order top-5 per language; >> 12 keeps the sort key in the
     // signed-positive range so both engines order identically

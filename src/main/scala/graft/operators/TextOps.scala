@@ -103,6 +103,22 @@ object TextOps {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic weighted sampling: keep each row with probability
+    * proportional to `weightCol` (capped at 1) — the data-mixing /
+    * temperature-sampling primitive (upweight long or high-quality
+    * documents without a shuffle). Keep iff
+    * `(mix64(id) >>> 12) % 1e6 < weight · perMillionPerUnit` — exact
+    * integer math, so the survivor set is engine-, run- and
+    * partitioning-independent, and a scan-side filter at any scale.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      perMillionPerUnit: Long): DataFrame = {
+    val bucket = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000000L
+    df.filter(bucket <
+      least(lit(1000000L), col(weightCol) * perMillionPerUnit))
+  }
+
   /** Deterministic per-stratum top-k sample: the k rows with the
     * smallest avalanche hash of the id win — a fixed-size "reservoir"
     * whose membership is engine-, run- and partitioning-independent

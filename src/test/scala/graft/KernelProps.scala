@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import graft.functions.{Hashing, Hll, Quantiles, TextKernelExprs}
+
+/** Property-based cross-validation of the hashing/sketch kernels against
+  * naive reference implementations — the merge-scan Jaccard, the HLL
+  * register algebra, and the quantile histogram's rank contract.
+  */
+object KernelProps extends Properties("Kernels") {
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private val genSortedSet: Gen[Array[Long]] =
+    Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted.toArray)
+
+  property("jaccardEval equals naive set Jaccard on sorted inputs") =
+    forAll(genSortedSet, genSortedSet) { (a, b) =>
+      val got = TextKernelExprs.jaccardEval(
+        UnsafeArrayData.fromPrimitiveArray(a),
+        UnsafeArrayData.fromPrimitiveArray(b))
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expect =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else if (sa.isEmpty || sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      got == expect
+    }
+
+  private val genValues: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+
+  private def sketchOf(vs: Seq[Long], p: Int): Array[Byte] = {
+    val regs = new Array[Byte](1 << p)
+    vs.foreach { v =>
+      val h = Hashing.mix64(v)
+      val b = (h >>> (64 - p)).toInt
+      val low = h & ((1L << (64 - p)) - 1L)
+      val rho =
+        if (low == 0L) 64 - p + 1
+        else 64 - p + 1 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+      if (rho > regs(b)) regs(b) = rho.toByte
+    }
+    regs
+  }
+
+  property("HLL merge = sketch of the union (associative, idempotent)") =
+    forAll(genValues, genValues) { (xs, ys) =>
+      val p = 6
+      val merged = sketchOf(xs, p).zip(sketchOf(ys, p)).map {
+        case (a, b) => (a max b).toByte
+      }
+      val direct = sketchOf(xs ++ ys, p)
+      val idem = sketchOf(xs ++ xs, p)
+      merged.sameElements(direct) && idem.sameElements(sketchOf(xs, p))
+    }
+
+  property("HLL rho is within [1, 64-p+1] for any hash") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { v =>
+      val p = 8
+      val h = Hashing.mix64(v)
+      val low = h & ((1L << (64 - p)) - 1L)
+      val rho =
+        if (low == 0L) 64 - p + 1
+        else 64 - p + 1 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+      rho >= 1 && rho <= 64 - p + 1
+    }
+
+  private val genNonNeg: Gen[List[Long]] =
+    Gen.listOf(Gen.oneOf(Gen.choose(0L, 100L), Gen.choose(0L, Long.MaxValue)))
+
+  property("qhist quantile lower bound never exceeds the true quantile") =
+    forAll(genNonNeg, Gen.choose(0.0, 1.0)) { (vs, q) =>
+      vs.isEmpty || {
+        val counts = new Array[Long](Quantiles.NumBuckets)
+        vs.foreach(v => counts(Quantiles.bucketOf(v)) += 1L)
+        val got = Quantiles.quantileEval(
+          UnsafeArrayData.fromPrimitiveArray(counts), q)
+        val sorted = vs.sorted
+        val rank = math.max(1L, math.ceil(q * vs.length).toLong).toInt
+        val truth = sorted(rank - 1)
+        // the bucket lower bound brackets the true order statistic from
+        // below, within the histogram's 1/16 relative error
+        got <= truth && (truth == 0L || got.toDouble >= truth / 17.0)
+      }
+    }
+
+  property("estimate stays within 3x of truth from 1 to 100k (p=8)") =
+    forAll(Gen.choose(1, 100000)) { n =>
+      val regs = sketchOf((1L to n.toLong).map(_ * 7919L), 8)
+      val est = Hll.estimateOf(regs.map(_.toInt))
+      est >= n / 3 && est <= n.toLong * 3
+    }
+}

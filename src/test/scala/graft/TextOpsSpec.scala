@@ -98,6 +98,24 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("weightedSample: deterministic, weight-proportional, capped") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100L else 900L))
+      .toDF("id", "w")
+    // rate = w * 1000 / 1e6: w=100 → 10%, w=900 → 90%
+    val a = TextOps.weightedSample(df, "id", "w", 1000L)
+      .select("id").as[Long].collect().toSet
+    val b = TextOps.weightedSample(df.repartition(11), "id", "w", 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "survivor set must be partitioning-independent")
+    val light = a.count(_ % 2 == 0) / 2000.0
+    val heavy = a.count(_ % 2 == 1) / 2000.0
+    assert(math.abs(light - 0.1) < 0.03, s"light keep rate $light")
+    assert(math.abs(heavy - 0.9) < 0.03, s"heavy keep rate $heavy")
+    // weight at/above the cap keeps everything
+    val all = TextOps.weightedSample(df, "id", "w", 100000L)
+    assert(all.count() == 4000L)
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
