@@ -1518,7 +1518,7 @@ object SparkEntry {
     "q69_weighted_sample" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000000 <
-         |  least(1000000, n_chars * 2000)""".stripMargin,
+         |  least(1000000, coalesce(n_chars, 0) * 2000)""".stripMargin,
 
     // hash-order top-5 per language; >> 12 keeps the sort key in the
     // signed-positive range so both engines order identically

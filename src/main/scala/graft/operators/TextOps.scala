@@ -115,8 +115,11 @@ object TextOps {
       perMillionPerUnit: Long): DataFrame = {
     val bucket = shiftrightunsigned(
       graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000000L
+    // NULL weight → weight 0 → dropped. Explicit, because `least`
+    // IGNORES nulls (least(1e6, null) = 1e6 would keep every null-weight
+    // row), and engines disagree on least-vs-NULL semantics.
     df.filter(bucket <
-      least(lit(1000000L), col(weightCol) * perMillionPerUnit))
+      least(lit(1000000L), coalesce(col(weightCol), lit(0L)) * perMillionPerUnit))
   }
 
   /** Deterministic per-stratum top-k sample: the k rows with the

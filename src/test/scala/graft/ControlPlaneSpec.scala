@@ -23,6 +23,31 @@ class ControlPlaneSpec extends SparkSpec {
     assert(ControlEvent.fromJson(ControlEvent.toJson(tricky)) == Right(tricky))
   }
 
+  test("dynamic SQL plans can call the engine's registered functions") {
+    // extension functions (sketches, hashes) are first-class in the
+    // control plane: a runtime-added plan aggregates with graft_hll
+    graft.plans.GraftExtensions.registerAll(
+      spark.sessionState.functionRegistry)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    input.toDF().toDF("grp", "uid").createOrReplaceTempView("cpx_view")
+    val cp = new ControlPlane(spark,
+      (id: String, df: DataFrame) => Some[StreamingQuery](
+        df.writeStream.format("memory")
+          .queryName(s"cpx_$id").outputMode("complete").start()))
+    try {
+      cp.handle(AddPlan("px",
+        "sql: SELECT grp, graft_hll_estimate(graft_hll(uid)) AS est " +
+          "FROM cpx_view GROUP BY grp"))
+      input.addData((1L to 500L).map(i => ("a", i)))
+      cp.runningQuery("px").get.processAllAvailable()
+      val est = spark.table("cpx_px").as[(String, Long)].head()._2
+      assert(math.abs(est - 500L) < 150L, s"estimate $est")
+    } finally cp.shutdown()
+  }
+
   test("plan lifecycle: add/disable/enable/update/remove (§2.C)") {
     spark.readStream.format("rate").option("rowsPerSecond", "5").load()
       .createOrReplaceTempView("rate_view")

@@ -98,6 +98,35 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("new samplers/dedup tolerate null and empty inputs") {
+    // chunkDedupStats: null/empty text must yield (0, 0), not explode
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "real content here")).toDF("doc_id", "text")
+    val stats = TextOps.chunkDedupStats(weird, "text", "doc_id")
+      .select("id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(stats(1L) == ((0L, 0L)))
+    assert(stats(4L) == ((1L, 1L)))
+    // empty string normalizes to "" → one empty token → one chunk; the
+    // two whitespace variants share that chunk's fingerprint
+    assert(stats(2L)._1 == 1L && stats(3L)._1 == 1L)
+    assert(stats(2L)._2 + stats(3L)._2 == 1L, "one winner between 2 and 3")
+
+    // topKSample: a null stratum is its own group
+    val strat = Seq((1L, "en"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("id", "lang")
+    val topped = TextOps.topKSample(strat, "id", "lang", k = 1)
+    assert(topped.count() == 2L, "one winner per stratum incl. null")
+
+    // weightedSample: null weight never survives (null predicate)
+    val wdf = Seq((1L, Some(1000000L)), (2L, None: Option[Long]))
+      .toDF("id", "w")
+    val kept = TextOps.weightedSample(wdf, "id", "w", 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("weightedSample: deterministic, weight-proportional, capped") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100L else 900L))
       .toDF("id", "w")
