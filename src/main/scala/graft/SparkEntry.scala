@@ -950,6 +950,58 @@ object SparkEntry {
       TextOps.weightedSample(
         ld(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", perMillionPerUnit = 2000L)
+    }),
+
+    // Per-segment heavy hitters via the mergeable Count-Min sketch
+    // (custom TypedImperativeAggregate — map-side combinable, merge-
+    // order independent, externally replicable). Width 32 FORCES
+    // collisions on this 150-user corpus, so the oracle exercises the
+    // estimate's min-over-rows upper bound, not just exact counting.
+    // The sketch side is 5 rows (one per event_type) — broadcast; the
+    // distinct-pair probe side never shuffles the sketch.
+    "q70_countmin_heavy" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val e = evts(s, dir)
+      val sk = e.groupBy(col("event_type"))
+        .agg(CountMin.sketch(col("user_id"), 4, 32).as("sk"))
+      e.select(col("event_type"), col("user_id")).distinct()
+        .join(broadcast(sk), Seq("event_type"))
+        .select(col("event_type"), col("user_id"),
+          CountMin.estimate(col("sk"), col("user_id"), 4).as("est"))
+        .filter(col("est") >= 30)
+    }),
+
+    // Bloom-gated benchmark decontamination: the bench gram set
+    // aggregates to ONE 8 KiB bloom row (map-side OR-combine),
+    // broadcast into a map-side probe of the corpus — constant memory
+    // regardless of bench size, false positives deterministic and
+    // replayed exactly by the oracle's HUGEINT position math.
+    "q71_bloom_decontaminate" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      TextOps.bloomDecontaminate(docs,
+          docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
+          n = 4, mBits = 1 << 16, k = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Retention policy downstream of q59's near-dup clusters: keep the
+    // highest-quality member per cluster (quality = n_chars here; any
+    // scoring column works), ties to lowest id. "Drop the dupes" is
+    // then a `keep = 1` filter. One rank window over the cluster hash
+    // partitioning — the documents themselves never shuffle.
+    "q72_cluster_retention" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = Dedup.embeddingPairs(e, "embedding", "vec_id",
+        dim = 64, threshold = 0.35, nPlanes = 8)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val docs = ld(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val members = docs
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("n_chars"), lit(0L)).as("_q"))
+      Dedup.electRetention(members, "doc_id", "cluster_id", "_q")
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
     }))
 
   // -------------------------------------------------------------------
@@ -993,7 +1045,12 @@ object SparkEntry {
     * connected components. UNION (not UNION ALL) dedups the reach set,
     * so the recursion terminates.
     */
-  private lazy val q59Oracle: String = {
+  /** Shared q59/q72 derivation: the q26 pair pipeline (planes inlined,
+    * exact) feeding a recursive reach CTE — min reachable id over the
+    * symmetrized pair graph = connected components. Yields CTEs up to
+    * `reach(id, r)`; callers append their own final aggregation.
+    */
+  private lazy val clusterCtes: String = {
     val vals = Vectors.planes(dim = 64, nPlanes = 8).zipWithIndex.map {
       case (pl, p) => s"($p, [${pl.mkString(",")}]::DOUBLE[])"
     }.mkString(",\n  ")
@@ -1021,11 +1078,30 @@ object SparkEntry {
        |reach(id, r) AS (
        |  SELECT vec_id, vec_id FROM e
        |  UNION
-       |  SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.id)
+       |  SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.id)""".stripMargin
+  }
+
+  private lazy val q59Oracle: String =
+    s"""$clusterCtes
        |SELECT id AS vec_id, min(r) AS cluster_id,
        |  CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
        |FROM reach GROUP BY id""".stripMargin
-  }
+
+  /** q72 oracle: [[clusterCtes]] + quality join + per-cluster winner
+    * election (highest n_chars, ties to lowest doc_id).
+    */
+  private lazy val q72Oracle: String =
+    s"""$clusterCtes,
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |m AS (SELECT d.doc_id, cl.cluster_id,
+       |    coalesce(d.n_chars, 0) AS q
+       |  FROM documents d JOIN cl ON d.doc_id = cl.id),
+       |r AS (SELECT doc_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY q DESC, doc_id) AS rn FROM m)
+       |SELECT doc_id, cluster_id,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM r""".stripMargin
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1248,6 +1324,71 @@ object SparkEntry {
        |      ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM s)
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** q70 oracle: the Count-Min counter/estimate math replayed in SQL —
+    * per hash row j, bucket = (mix64(user_id xor j·PRIME) >>> 1) mod 32
+    * in HUGEINT mod-2^64 arithmetic; counters = per (event_type, row,
+    * bucket) counts; estimate = least of the four counters.
+    */
+  private lazy val q70Oracle: String = {
+    val U = BigInt(1) << 64
+    def seed(j: Int): BigInt = (BigInt(j) * BigInt("14029467366897019727")) mod U
+    def bucket(j: Int): String =
+      s"((${DuckHash.mix(s"xor(user_id::HUGEINT, ${seed(j)}::HUGEINT)")}) >> 1) % 32"
+    val bcols = (0 until 4).map(j => s"(${bucket(j)}) AS b$j").mkString(",\n  ")
+    val ctes = (0 until 4).map(j =>
+      s"c$j AS (SELECT event_type, b$j, count(*)::BIGINT AS n$j " +
+        s"FROM r GROUP BY 1, 2)").mkString(",\n")
+    val joins = (0 until 4).map(j => s"JOIN c$j USING (event_type, b$j)")
+      .mkString("\n  ")
+    s"""WITH r AS (SELECT event_type, user_id,
+       |  $bcols
+       |  FROM events),
+       |$ctes,
+       |d AS (SELECT DISTINCT event_type, user_id, b0, b1, b2, b3 FROM r)
+       |SELECT d.event_type, d.user_id, least(n0, n1, n2, n3) AS est
+       |FROM d
+       |  $joins
+       |WHERE least(n0, n1, n2, n3) >= 30""".stripMargin
+  }
+
+  /** q71 oracle: the bloom bit array replayed as a position SET — bit
+    * positions (3 probes per gram hash, HUGEINT mod-2^64 splitmix64)
+    * of the bench grams collected into one list; a corpus gram "hits"
+    * iff all three of its positions are present (`list_has_all`), which
+    * is exactly the all-k-bits-set probe — INCLUDING the filter's
+    * deterministic false positives. Gram construction and polyHash
+    * mirror the q63/q68 oracles.
+    */
+  private lazy val q71Oracle: String = {
+    val U = BigInt(1) << 64
+    val golden = BigInt("11400714819323198485")
+    def pos(i: Int): String = {
+      val seed = (BigInt(2 * i + 1) * golden) mod U
+      s"((${DuckHash.mix(s"xor(h, ${seed}::HUGEINT)")}) >> 1) % 65536"
+    }
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |        || ' ' || toks[i + 3]))) AS gram FROM t),
+       |gh AS (SELECT doc_id, ${DuckHash.polyHash("gram")} AS h FROM g),
+       |bh AS (SELECT DISTINCT h FROM gh WHERE doc_id % 50 = 0),
+       |bp AS (SELECT DISTINCT pos FROM (
+       |    SELECT (${pos(0)}) AS pos FROM bh
+       |    UNION SELECT ${pos(1)} FROM bh
+       |    UNION SELECT ${pos(2)} FROM bh) u),
+       |bl AS (SELECT list(pos) AS pl FROM bp),
+       |pr AS (SELECT doc_id, [${pos(0)}, ${pos(1)}, ${pos(2)}] AS ps FROM gh),
+       |hit AS (SELECT doc_id, count(*) AS n FROM pr, bl
+       |  WHERE list_has_all(bl.pl, pr.ps) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(hit.n, 0) AS BIGINT) AS n_bloom_hits,
+       |  CAST(CASE WHEN coalesce(hit.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+       |    AS flagged
+       |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1519,6 +1660,12 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000000 <
          |  least(1000000, coalesce(n_chars, 0) * 2000)""".stripMargin,
+
+    "q70_countmin_heavy" -> q70Oracle,
+
+    "q71_bloom_decontaminate" -> q71Oracle,
+
+    "q72_cluster_retention" -> q72Oracle,
 
     // hash-order top-5 per language; >> 12 keeps the sort key in the
     // signed-positive range so both engines order identically

@@ -298,4 +298,23 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))
   }
+
+  /** Retention election downstream of [[connectedComponents]]: one
+    * winner per cluster by highest `qualityCol` (ties to the lowest
+    * `idCol` — fully deterministic). Returns every member row with a
+    * 0/1 `keep` flag, so "drop near-duplicates, keep the best copy" is
+    * a filter on the result.
+    *
+    * Shape for scale: a single rank window over the cluster hash
+    * partitioning — one shuffle of (id, cluster, quality) triples,
+    * never the documents; no self-join of the member relation. Cluster
+    * sizes are bounded by the upstream pair generators' bucket caps,
+    * so no window partition is pathological.
+    */
+  def electRetention(members: DataFrame, idCol: String, clusterCol: String,
+      qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    members.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
 }

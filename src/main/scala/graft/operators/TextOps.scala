@@ -203,20 +203,7 @@ object TextOps {
     */
   def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, n: Int = 4): DataFrame = {
-    // tokenization is materialized as its own projection column BEFORE
-    // the gram lambda: HOF lambdas run interpreted, and an expression
-    // argument referenced inside one is re-evaluated per element — the
-    // regexp+split would run once per gram instead of once per doc
-    // (9-13× slowdown measured, same trap as q20)
-    def grams(toks: Column): Column = {
-      val k = size(toks)
-      // sequence(1, 0) is descending, not empty — guard short docs
-      when(k < n, array().cast("array<string>"))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), k - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(toks, i + j)): _*))))
-    }
+    def grams(toks: Column): Column = wordGrams(toks, n)
     val benchGrams = bench
       .select(words(col(textCol)).as("_toks"))
       .select(explode(grams(col("_toks"))).as("_g")).distinct()
@@ -231,5 +218,64 @@ object TextOps {
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
       .withColumn("contaminated",
         (col("n_shared_grams") > 0).cast("int"))
+  }
+
+  /** Distinct word `n`-grams of a pre-materialized token array.
+    *
+    * The token array must be its OWN projection column before this
+    * lambda: HOF lambdas run interpreted, and an expression argument
+    * referenced inside one is re-evaluated per element — an inline
+    * regexp+split would run once per gram instead of once per doc
+    * (9-13× slowdown measured, same trap as q20).
+    */
+  private def wordGrams(toks: Column, n: Int): Column = {
+    val k = size(toks)
+    // sequence(1, 0) is descending, not empty — guard short docs
+    when(k < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), k - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j)): _*))))
+  }
+
+  /** Bloom-gated benchmark decontamination: the constant-memory form of
+    * [[decontaminate]] for reference sets too large to broadcast as a
+    * hash set but trivially representable as an `mBits`-bit bloom
+    * filter ([[graft.functions.Bloom]]). Returns every row of `df` with
+    * `n_bloom_hits` (distinct grams whose k bloom probes all hit) and
+    * `flagged` (0/1).
+    *
+    * `n_bloom_hits` OVER-counts by the filter's deterministic false
+    * positives — callers route flagged docs to an exact verify (e.g.
+    * [[decontaminate]] restricted to the flagged subset), which is the
+    * point of the two-tier design: the exact join touches only the
+    * tiny flagged fraction.
+    *
+    * Shape for scale: the benchmark aggregates to ONE `mBits/8`-byte
+    * row (map-side OR-combine), broadcast to a 1-row nested-loop join;
+    * the corpus is probed map-side in one pass — the only shuffle is
+    * the per-doc count aggregation, carrying (id, partial-count).
+    */
+  def bloomDecontaminate(df: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 4, mBits: Int = graft.functions.Bloom.DefaultBits,
+      k: Int = graft.functions.Bloom.DefaultK): DataFrame = {
+    import graft.functions.{Bloom, TextKernelExprs}
+    val bloom = bench
+      .select(words(col(textCol)).as("_toks"))
+      .select(explode(wordGrams(col("_toks"), n)).as("_g"))
+      .agg(Bloom.agg(TextKernelExprs.polyHash(col("_g")), mBits, k)
+        .as("_bloom"))
+    val hits = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+      .select(col("id"), explode(wordGrams(col("_toks"), n)).as("_g"))
+      .select(col("id"), TextKernelExprs.polyHash(col("_g")).as("_h"))
+      .crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("_bloom"), col("_h"), k))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_bloom_hits"))
+    df.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"))
+      .withColumn("flagged", (col("n_bloom_hits") > 0).cast("int"))
   }
 }
