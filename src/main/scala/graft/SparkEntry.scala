@@ -1002,6 +1002,25 @@ object SparkEntry {
           coalesce(col("n_chars"), lit(0L)).as("_q"))
       Dedup.electRetention(members, "doc_id", "cluster_id", "_q")
         .select(col("doc_id"), col("cluster_id"), col("keep"))
+    }),
+
+    // Keyword relevance: BM25-family scoring (odds idf — no ln, so
+    // every float op is basic IEEE in a fixed expression order and the
+    // score doubles hash bit-identically on both engines). Top-10 via
+    // TakeOrderedAndProject, not a global sort.
+    "q73_bm25_rank" -> ((s, dir) => {
+      TextOps.bm25Rank(ld(s, dir, "documents"), "text", "doc_id",
+          Seq("join", "vector", "stream"), k1 = 1.2, b = 0.75, topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Deterministic Lloyd k-means over the embeddings (k=8, 2 rounds):
+    // integer-exact centroid accumulation (floor(x*2^20) longs), one
+    // double division per coordinate, fixed-order distance expression —
+    // every round replayed exactly by the SQL oracle.
+    "q74_kmeans" -> ((s, dir) => {
+      Similarity.kmeansAssign(ld(s, dir, "embeddings"), "embedding",
+        "vec_id", k = 8, iters = 2)
     }))
 
   // -------------------------------------------------------------------
@@ -1102,6 +1121,89 @@ object SparkEntry {
        |SELECT doc_id, cluster_id,
        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM r""".stripMargin
+
+  /** q73 oracle: the exact BM25 score expression — same literals (via
+    * Double.toString round-trip), same association order, so the score
+    * doubles are bit-identical. `nz` mirrors the Spark side's explode+
+    * filter tf derivation (docs with no query term never score).
+    */
+  private lazy val q73Oracle: String = {
+    val terms = Seq("join", "vector", "stream")
+    val k1 = 1.2; val b = 0.75
+    val k1s = k1.toString; val k1p1 = (k1 + 1.0).toString
+    val oneMb = (1.0 - b).toString; val bs = b.toString
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, w -> w = '$t'))::BIGINT AS tf$i"
+    }.mkString(",\n    ")
+    val tfList = terms.indices.map(i => s"tf$i").mkString(", ")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i")
+      .mkString(",\n    ")
+    val norm = s"$k1s * ($oneMb + $bs * (dl::DOUBLE / " +
+      s"(sum_dl::DOUBLE / n_docs::DOUBLE)))"
+    val score = terms.indices.map { i =>
+      s"((n_docs::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5)) * " +
+        s"(tf$i::DOUBLE * $k1p1) / (tf$i::DOUBLE + $norm)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |base AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t),
+       |tf AS (SELECT doc_id, dl,
+       |    $tfCols FROM base),
+       |nz AS (SELECT * FROM tf WHERE $anyTf > 0),
+       |g AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+       |  FROM base),
+       |d AS (SELECT
+       |    $dfCols FROM nz),
+       |s AS (SELECT doc_id, dl, $tfList, ($score) AS score FROM nz, g, d),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rank FROM s)
+       |SELECT doc_id, dl, $tfList, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** q74 oracle: both Lloyd rounds replayed — init = 8 lowest vec_ids,
+    * argmin by (fixed-order dist expression, cid), centroid update from
+    * integer-exact floor(x*2^20) sums, one double division per
+    * coordinate (`list(... ORDER BY pos)` = the Spark side's
+    * array_sort-by-pos rebuild).
+    */
+  private lazy val q74Oracle: String = {
+    def dot(a: String, bcol: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"di -> $a[di]::DOUBLE * $bcol[di]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dot(x, x)}) - 2.0 * (${dot(x, c)}) + (${dot(c, c)})"
+    s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+       |    ORDER BY vec_id LIMIT 8)),
+       |d1 AS (SELECT e.vec_id, c0.cid, e.x,
+       |    ${dist("x", "cv")} AS dist
+       |  FROM e CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, cid, x FROM (
+       |    SELECT vec_id, cid, x, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |sx AS (SELECT cid, unnest(list_transform(range(1, len(x) + 1),
+       |    di -> {'pos': di,
+       |      'sxv': floor(x[di]::DOUBLE * 1048576.0)::BIGINT})) AS u
+       |  FROM a1),
+       |s1 AS (SELECT cid, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
+       |    count(*)::BIGINT AS cnt FROM sx GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
+       |    ORDER BY pos) AS cv FROM s1 GROUP BY cid),
+       |d2 AS (SELECT e.vec_id, c1.cid,
+       |    ${dist("x", "cv")} AS dist
+       |  FROM e CROSS JOIN c1),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+  }
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1666,6 +1768,10 @@ object SparkEntry {
     "q71_bloom_decontaminate" -> q71Oracle,
 
     "q72_cluster_retention" -> q72Oracle,
+
+    "q73_bm25_rank" -> q73Oracle,
+
+    "q74_kmeans" -> q74Oracle,
 
     // hash-order top-5 per language; >> 12 keeps the sort key in the
     // signed-positive range so both engines order identically

@@ -148,4 +148,72 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Deterministic Lloyd k-means assignment over an embedding column —
+    * the clustering step of corpus organization / IVF index training.
+    * Init = the `k` lowest-id vectors; `iters` assignment rounds with a
+    * centroid update between consecutive rounds. Returns
+    * `(vec_id, cluster)` where `cluster` is the init centroid's id.
+    *
+    * Exactness design: centroid updates accumulate `floor(x * 2^20)`
+    * LONGS (float32 inputs are exact in double, floor is unambiguous —
+    * no round-half mode drift between engines), so the per-cluster sums
+    * are integer-exact and partitioning-independent; each new centroid
+    * coordinate is ONE double division of exact integers, and each
+    * distance is a fixed-order expression over IEEE add/mul
+    * (`x·x - 2 x·c + c·c`, index-order dot products). Every float in
+    * the pipeline is therefore bit-deterministic and externally
+    * replicable — the q74 oracle replays all rounds in SQL.
+    *
+    * Shape for scale: centroids are a k-row frame BROADCAST into the
+    * assignment (argmin via one rank window per round — the vectors
+    * shuffle once per round on vec_id, never pairwise); the update is
+    * a posexplode + (cluster, dim) hash aggregation with map-side
+    * partial sums. No driver-side collect at any k; plan depth grows
+    * linearly in `iters` (bounded, documented — use checkpointing
+    * beyond ~10 rounds).
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 2, scaleBits: Int = 20): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val scale = (1L << scaleBits).toDouble
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("x"))
+    def assign(cents: DataFrame): DataFrame = {
+      val dist = Vectors.dot(col("x"), col("x")) -
+        lit(2.0) * Vectors.dot(col("x"), col("cv")) +
+        Vectors.dot(col("cv"), col("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_dist"), col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("_dist", dist)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("cid"), col("x"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .select(col("cid"), col("pos"),
+          floor(col("xv") * lit(scale)).cast("long").as("sxv"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("sxv")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("cid"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("s")))),
+            p => p.getField("s")).as("_ss"),
+          max(col("cnt")).as("_cnt"))
+        .select(col("cid"), transform(col("_ss"),
+          s => s.cast("double") /
+            (col("_cnt").cast("double") * lit(scale))).as("cv"))
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("x").as("cv"))
+    var assigned = assign(init)
+    var i = 1
+    while (i < iters) {
+      assigned = assign(update(assigned))
+      i += 1
+    }
+    assigned.select(col("vec_id"), col("cid").as("cluster"))
+  }
 }

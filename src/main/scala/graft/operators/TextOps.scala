@@ -278,4 +278,69 @@ object TextOps {
         coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"))
       .withColumn("flagged", (col("n_bloom_hits") > 0).cast("int"))
   }
+
+  /** BM25-family keyword relevance ranking: top-`topK` documents for a
+    * fixed term set, Robertson/Sparck-Jones saturation weighting with a
+    * ratio ("odds") idf — `(N - df + 0.5) / (df + 0.5)`, deliberately
+    * WITHOUT the usual log so every arithmetic step is a basic IEEE
+    * operation (add/mul/div) in a FIXED expression order: the score
+    * doubles are then bit-identical on any engine that evaluates the
+    * same expression tree, and can sit behind the exact-parity gate
+    * (`ln` has no cross-library bit guarantee). Monotone in the
+    * standard idf, so rankings agree where it matters.
+    *
+    * Returns `(id, dl, tf0..tfN, score, rank)` for the `topK` highest
+    * scores (ties to lowest id).
+    *
+    * Shape for scale: tokens explode ONCE and filter to the query terms
+    * scan-side, so the tf shuffle carries only matching tokens; global
+    * stats (N, total length, per-term df) reduce to two 1-row frames
+    * cross-joined broadcast; the final top-k is `orderBy().limit()` —
+    * Catalyst's TakeOrderedAndProject, a per-partition heap + driver
+    * merge, never a single-partition global sort of the corpus. The
+    * row_number window runs on the already-collected `topK` rows only.
+    */
+  def bm25Rank(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"bm25Rank needs 1..16 terms, got ${terms.size}")
+    val base = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+      .select(col("id"), size(col("_toks")).cast("long").as("dl"),
+        col("_toks"))
+    val toks = base
+      .select(col("id"), col("dl"), explode(col("_toks")).as("_w"))
+      .filter(col("_w").isin(terms: _*))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_w") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = toks.groupBy(col("id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val nRow = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val dfRow = perDoc.agg(dfCols.head, dfCols.tail: _*)
+    val withStats = perDoc
+      .crossJoin(broadcast(nRow)).crossJoin(broadcast(dfRow))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val odds = (col("n_docs").cast("double") -
+        col(s"df$i").cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      odds * (tf * lit(k1 + 1.0)) / (tf + norm)
+    }.reduce(_ + _)
+    val scored = withStats.withColumn("score", score)
+      .orderBy(col("score").desc, col("id")).limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select(Seq(col("id"), col("dl")) ++
+        terms.indices.map(i => col(s"tf$i")) ++
+        Seq(col("score"), col("rank")): _*)
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** BM25 ranking, k-means assignment, and cluster-retention election. */
+class RankClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Rank orders by relevance and drops term-free docs") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"), // tf=3, short
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark spark filler")               // tf=2, shortest
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Rank(docs, "text", "doc_id", Seq("spark"),
+      topK = 10).collect()
+    // doc 3 has no query term: absent entirely
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    val byRank = out.sortBy(_.getInt(4)).map(_.getLong(0)).toSeq
+    // higher tf and shorter doc first: 1 (tf3) then 4 (tf2, dl3) then 2
+    assert(byRank == Seq(1L, 4L, 2L), s"got $byRank")
+    // saturation: score monotone decreasing in rank
+    val scores = out.sortBy(_.getInt(4)).map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
+  test("bm25Rank scores are partitioning-independent (bit-exact)") {
+    val docs = (1L to 200L).map(i =>
+      (i, ("alpha " * (i % 5).toInt) + ("beta " * (i % 3).toInt) + "tail"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25Rank(d, "text", "doc_id", Seq("alpha", "beta"), topK = 7)
+        .select(col("id"), col("score")).as[(Long, Double)].collect().toSeq
+    val base = run(docs)
+    assert(run(docs.repartition(13)) == base)
+    assert(run(docs.repartition(1)) == base)
+  }
+
+  test("kmeansAssign separates two well-split blobs (k=2)") {
+    // ids 0,1 seed the two blobs; members sit near their seed
+    val vecs = (0L until 40L).map { i =>
+      val blob = i % 2
+      val base = if (blob == 0) 0.0f else 10.0f
+      (i, Array(base + (i % 5) * 0.01f, base - (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, "embedding", "vec_id",
+      k = 2, iters = 3).as[(Long, Long)].collect().toMap
+    (0L until 40L).foreach { i =>
+      assert(out(i) == i % 2, s"vec $i in cluster ${out(i)}")
+    }
+  }
+
+  test("kmeansAssign is partitioning-independent") {
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(d, "embedding", "vec_id", k = 4, iters = 2)
+        .as[(Long, Long)].collect().toMap
+    val base = run(vecs)
+    assert(run(vecs.repartition(17)) == base)
+  }
+
+  test("electRetention keeps best quality per cluster, ties to lowest id") {
+    val members = Seq(
+      (1L, 100L, 50L), (2L, 100L, 80L), (3L, 100L, 80L), // tie at 80: id 2 wins
+      (4L, 200L, 10L)                                     // singleton
+    ).toDF("id", "cluster_id", "q")
+    val kept = Dedup.electRetention(members, "id", "cluster_id", "q")
+      .filter(col("keep") === 1).select(col("id")).as[Long]
+      .collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+}
