@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -86,16 +86,14 @@ object Bloom {
 case class BloomAgg(child: Expression,
     mBits: Int = Bloom.DefaultBits, k: Int = Bloom.DefaultK,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression]
+    with ImplicitCastInputTypes {
 
   require(mBits >= 8 && mBits <= (1 << 28) && mBits % 8 == 0,
     s"graft_bloom mBits must be a multiple of 8 in [8, 2^28], got $mBits")
   require(k >= 1 && k <= 16, s"graft_bloom k must be in [1, 16], got $k")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_bloom expects bigint, got ${child.dataType.catalogString}")
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Byte] =
     new Array[Byte](mBits / 8)
@@ -142,17 +140,12 @@ case class BloomAgg(child: Expression,
   * probe of a [[BloomAgg]] bit array.
   */
 case class BloomMightContain(left: Expression, right: Expression,
-    k: Int = Bloom.DefaultK) extends BinaryExpression {
+    k: Int = Bloom.DefaultK) extends BinaryExpression
+    with ImplicitCastInputTypes {
 
   require(k >= 1 && k <= 16, s"graft_bloom_contains k must be in [1, 16], got $k")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_bloom_contains expects (binary, bigint), got " +
-          s"(${l.catalogString}, ${r.catalogString})")
-    }
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
 
   override def dataType: DataType = BooleanType
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -103,17 +103,15 @@ case class CountMinAgg(child: Expression,
     depth: Int = CountMin.DefaultDepth,
     width: Int = CountMin.DefaultWidth,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+    with ImplicitCastInputTypes {
 
   require(depth >= 1 && depth <= 16,
     s"graft_cm depth must be in [1, 16], got $depth")
   require(width >= 2 && width <= (1 << 20),
     s"graft_cm width must be in [2, 2^20], got $width")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_cm expects bigint, got ${child.dataType.catalogString}")
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -167,19 +165,14 @@ case class CountMinAgg(child: Expression,
   * estimate from a [[CountMinAgg]] counter array.
   */
 case class CmEstimate(left: Expression, right: Expression,
-    depth: Int = CountMin.DefaultDepth) extends BinaryExpression {
+    depth: Int = CountMin.DefaultDepth) extends BinaryExpression
+    with ImplicitCastInputTypes {
 
   require(depth >= 1 && depth <= 16,
     s"graft_cm_estimate depth must be in [1, 16], got $depth")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), LongType) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_cm_estimate expects (array<bigint>, bigint), got " +
-          s"(${l.catalogString}, ${r.catalogString})")
-    }
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), LongType)
 
   override def dataType: DataType = LongType
 

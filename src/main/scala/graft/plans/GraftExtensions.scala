@@ -126,9 +126,70 @@ object GraftExtensions {
       HllEstimate(children.head)
     })
 
+  private def intLitOr(e: Option[Expression], what: String, dflt: Int): Int =
+    e.map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }.getOrElse(dflt)
+
+  /** `graft_cm(value[, depth, width])` — mergeable Count-Min sketch. */
+  val cm: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cm"),
+    new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName, "graft_cm"),
+    (children: Seq[Expression]) => {
+      require(children.length >= 1 && children.length <= 3,
+        "graft_cm takes (value[, depth, width])")
+      graft.functions.CountMinAgg(children.head,
+        intLitOr(children.lift(1), "graft_cm: depth",
+          graft.functions.CountMin.DefaultDepth),
+        intLitOr(children.lift(2), "graft_cm: width",
+          graft.functions.CountMin.DefaultWidth)).toAggregateExpression()
+    })
+
+  /** `graft_cm_estimate(counts, value[, depth])` — frequency estimate. */
+  val cmEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cm_estimate"),
+    new ExpressionInfo(classOf[graft.functions.CmEstimate].getName,
+      "graft_cm_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2 || children.length == 3,
+        "graft_cm_estimate takes (counts, value[, depth])")
+      graft.functions.CmEstimate(children.head, children(1),
+        intLitOr(children.lift(2), "graft_cm_estimate: depth",
+          graft.functions.CountMin.DefaultDepth))
+    })
+
+  /** `graft_bloom(value[, mBits, k])` — mergeable bloom filter. */
+  val bloom: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom"),
+    new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "graft_bloom"),
+    (children: Seq[Expression]) => {
+      require(children.length >= 1 && children.length <= 3,
+        "graft_bloom takes (value[, mBits, k])")
+      graft.functions.BloomAgg(children.head,
+        intLitOr(children.lift(1), "graft_bloom: mBits",
+          graft.functions.Bloom.DefaultBits),
+        intLitOr(children.lift(2), "graft_bloom: k",
+          graft.functions.Bloom.DefaultK)).toAggregateExpression()
+    })
+
+  /** `graft_bloom_contains(bits, value[, k])` — membership probe. */
+  val bloomContains: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName,
+      "graft_bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2 || children.length == 3,
+        "graft_bloom_contains takes (bits, value[, k])")
+      graft.functions.BloomMightContain(children.head, children(1),
+        intLitOr(children.lift(2), "graft_bloom_contains: k",
+          graft.functions.Bloom.DefaultK))
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile,
-      hll, hllEstimate)
+      hll, hllEstimate, cm, cmEstimate, bloom, bloomContains)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

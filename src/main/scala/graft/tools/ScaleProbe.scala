@@ -57,6 +57,20 @@ object ScaleProbe {
     time("hll_distinct")(events.groupBy(col("event_type"))
       .agg(Hll.sketch(col("user_id")).as("r"))
       .select(col("event_type"), Hll.estimate(col("r")).as("est")))
+    time("countmin")(events.groupBy(col("event_type"))
+      .agg(graft.functions.CountMin.sketch(col("user_id"), 4, 1024)
+        .as("sk")))
+    // 1e9 id shift is a multiple of 50, so the bench subset replicates
+    // with the corpus — bench-side growth is the bloom worst case
+    time("bloom_decontaminate")(TextOps.bloomDecontaminate(docs,
+      docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
+    time("bm25")(TextOps.bm25Rank(docs, "text", "doc_id",
+      Seq("join", "vector", "stream")))
+    val vecs = replicate(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), "vec_id")
+    time("kmeans")(graft.operators.Similarity.kmeansAssign(
+      vecs, "embedding", "vec_id", k = 8, iters = 2))
     spark.stop()
   }
 }

@@ -116,6 +116,47 @@ class SketchSpec extends SparkSpec {
     assert(bits(df.repartition(1)) == base)
   }
 
+  test("streaming incremental count-min matches batch (mergeable state)") {
+    // counter arrays merge exactly across micro-batches — streaming
+    // heavy-hitter detection with depth*width longs of state per group
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("grp", "v")
+      .groupBy(col("grp")).agg(CountMin.sketch(col("v"), 2, 32).as("sk"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 400L).map(i => ("a", i % 50)))
+      q.processAllAvailable()
+      input.addData((1L to 400L).map(i => ("a", i % 90)))
+      q.processAllAvailable()
+      val got = spark.table("cm_stream")
+        .select(col("sk")).as[Seq[Long]].head()
+      val batch = ((1L to 400L).map(_ % 50) ++ (1L to 400L).map(_ % 90))
+        .toDF("v").agg(CountMin.sketch(col("v"), 2, 32).as("sk"))
+        .select(col("sk")).as[Seq[Long]].head()
+      assert(got == batch, "streamed counters must equal batch counters")
+    } finally q.stop()
+  }
+
+  test("registered in SQL: graft_cm/graft_bloom families") {
+    graft.plans.GraftExtensions.registerAll(
+      spark.sessionState.functionRegistry)
+    (1L to 100L).map(v => v % 10).toDF("v").createOrReplaceTempView("sk_v")
+    val est = spark.sql(
+      """SELECT graft_cm_estimate(sk, 3, 4) AS e FROM
+        |  (SELECT graft_cm(v, 4, 256) AS sk FROM sk_v)""".stripMargin)
+      .as[Long].head()
+    assert(est == 10L, s"cm estimate $est")
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(b, 7, 3) AS h,
+        |       graft_bloom_contains(b, 999, 3) AS miss FROM
+        |  (SELECT graft_bloom(v, 65536, 3) AS b FROM sk_v)""".stripMargin)
+      .as[(Boolean, Boolean)].head()
+    assert(hit._1 && !hit._2)
+  }
+
   test("bloomDecontaminate flags exactly the oracle's maybe-set") {
     val bench = Seq((0L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
