@@ -1021,6 +1021,24 @@ object SparkEntry {
     "q74_kmeans" -> ((s, dir) => {
       Similarity.kmeansAssign(ld(s, dir, "embeddings"), "embedding",
         "vec_id", k = 8, iters = 2)
+    }),
+
+    // Percentile-gated curation: the distributed quantile sketch (q64)
+    // powering an actual filter decision — per-language p10 length
+    // thresholds (exact integer bucket lower bounds, externally
+    // replayed) broadcast into a scan-side keep flag. The corpus never
+    // shuffles; only (lang, 960-bucket histogram) rows do.
+    "q75_percentile_gate" -> ((s, dir) => {
+      import graft.functions.Quantiles
+      val docs = ld(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val th = docs.groupBy(col("lang"))
+        .agg(Quantiles.qhist(col("n_chars")).as("h"))
+        .select(col("lang"), Quantiles.quantile(col("h"), 0.1).as("p10_lb"))
+      docs.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p10_lb"),
+          (coalesce(col("n_chars"), lit(0L)) >= col("p10_lb"))
+            .cast("int").as("kept"))
     }))
 
   // -------------------------------------------------------------------
@@ -1772,6 +1790,29 @@ object SparkEntry {
     "q73_bm25_rank" -> q73Oracle,
 
     "q74_kmeans" -> q74Oracle,
+
+    // per-lang p10 threshold via the q64 log-bucket template, joined
+    // back as a keep gate
+    "q75_percentile_gate" ->
+      """WITH v AS (SELECT lang, coalesce(n_chars, 0) AS m FROM documents),
+        |b AS (SELECT lang, CASE WHEN m <= 0 THEN 0 WHEN m < 32 THEN m
+        |    ELSE 32 + (len(bin(m)) - 6) * 16
+        |      + ((m >> (len(bin(m)) - 5)) & 15) END AS bucket FROM v),
+        |c AS (SELECT lang, bucket, count(*) AS n FROM b
+        |  GROUP BY lang, bucket),
+        |cum AS (SELECT lang, bucket,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cn,
+        |    sum(n) OVER (PARTITION BY lang) AS tot FROM c),
+        |qs AS (SELECT lang, min(CASE WHEN cn >= greatest(1,
+        |    CAST(ceil(0.1 * tot) AS BIGINT)) THEN bucket END) AS b10
+        |  FROM cum GROUP BY lang),
+        |th AS (SELECT lang,
+        |    CAST(CASE WHEN b10 < 32 THEN b10 ELSE (16 + b10 % 16)::BIGINT
+        |      << ((b10 - 32) // 16 + 1) END AS BIGINT) AS p10_lb FROM qs)
+        |SELECT d.doc_id, d.lang, d.n_chars, th.p10_lb,
+        |  CAST(CASE WHEN coalesce(d.n_chars, 0) >= th.p10_lb
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM documents d JOIN th USING (lang)""".stripMargin,
 
     // hash-order top-5 per language; >> 12 keeps the sort key in the
     // signed-positive range so both engines order identically

@@ -71,6 +71,31 @@ object TrainingDataPipeline {
     val eyeball = TextOps.topKSample(kept, "doc_id", "lang", k = 3)
     println(s"STAGE eyeball_sample  n=${eyeball.count()}")
 
+    // 4c. two-tier benchmark decontamination: an 8 KiB broadcast bloom
+    // gates the corpus map-side (constant memory however large the
+    // benchmark suite), and only the flagged fraction pays the exact
+    // broadcast-gram verify — at 100 TB the exact join touches ~0.1%
+    // of documents instead of all of them
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val gated = TextOps.bloomDecontaminate(kept, bench, "text", "doc_id")
+      .filter(col("flagged") === 1)
+    val flaggedDocs = kept.join(
+      gated.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val confirmed = TextOps.decontaminate(flaggedDocs, bench, "text",
+      "doc_id").filter(col("contaminated") === 1)
+    println(s"STAGE decontaminate   bloom_flagged=${gated.count()} " +
+      s"confirmed=${confirmed.count()}")
+
+    // 4d. length-percentile gate: per-language p10 thresholds from the
+    // mergeable quantile histogram, broadcast back as a scan-side filter
+    val th = kept.groupBy(col("lang"))
+      .agg(graft.functions.Quantiles.qhist(col("n_chars")).as("h"))
+      .select(col("lang"),
+        graft.functions.Quantiles.quantile(col("h"), 0.1).as("p10"))
+    val longEnough = kept.join(broadcast(th), Seq("lang"))
+      .filter(col("n_chars") >= col("p10"))
+    println(s"STAGE length_gate     n=${longEnough.count()}")
+
     // 5. embedding-space audit: multi-probe LSH top-3 neighbors for a
     // query sample — the index-building shape for retrieval curation
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -78,6 +103,21 @@ object TrainingDataPipeline {
     val neighbors = Similarity.lshTopK(emb, sample, "embedding", "vec_id",
       dim = 64, k = 3, nPlanes = 8, multiProbe = 4)
     println(s"STAGE ann_audit       pairs=${neighbors.count()}")
+
+    // 6. near-dup cluster retention: connected components over embedding
+    // near-dup pairs, keep the longest member per cluster — "drop the
+    // dupes" ends as a keep=1 filter, never a pairwise delete loop
+    val pairs = Dedup.embeddingPairs(emb, "embedding", "vec_id",
+      dim = 64, threshold = 0.35, nPlanes = 8)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val members = docs.select(col("doc_id"), col("n_chars"))
+      .join(clusters, docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_chars"), lit(0L)).as("q"))
+    val elected = Dedup.electRetention(members, "doc_id", "cluster_id", "q")
+    println(s"STAGE retention       kept=${
+      elected.filter(col("keep") === 1).count()} of ${elected.count()}")
 
     println("PIPELINE-DONE")
     spark.stop()
