@@ -1039,6 +1039,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("p10_lb"),
           (coalesce(col("n_chars"), lit(0L)) >= col("p10_lb"))
             .cast("int").as("kept"))
+    }),
+
+    // SemDeDup: k-means cells bound the O(n²) cosine comparison, then a
+    // vector is dropped when a lower-id cell-mate is similar above the
+    // threshold. Every float in the pipeline is the proven-exact q74 /
+    // q26 arithmetic; the output is pure integers.
+    "q76_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(ld(s, dir, "embeddings"), "embedding",
+        "vec_id", k = 8, threshold = 0.3)
     }))
 
   // -------------------------------------------------------------------
@@ -1188,7 +1197,11 @@ object SparkEntry {
     * coordinate (`list(... ORDER BY pos)` = the Spark side's
     * array_sort-by-pos rebuild).
     */
-  private lazy val q74Oracle: String = {
+  /** Shared q74/q76 k-means replay: both Lloyd rounds as CTEs ending at
+    * `a2(vec_id, cid)` plus `e(vec_id, x)`; callers append their final
+    * shape.
+    */
+  private lazy val kmeansCtes: String = {
     def dot(a: String, bcol: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), " +
         s"di -> $a[di]::DOUBLE * $bcol[di]::DOUBLE))"
@@ -1219,8 +1232,35 @@ object SparkEntry {
        |a2 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val q74Oracle: String =
+    s"""$kmeansCtes
        |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+
+  /** q76 oracle: the q74 k-means replay feeding the intra-cell cosine
+    * pair join and the lower-id drop election. The cosine is the exact
+    * Spark expression (index-order dot, `dot / (sqrt(na) * sqrt(nb))`),
+    * so the `>= threshold` comparison agrees bit-for-bit; every output
+    * column is an integer.
+    */
+  private lazy val q76Oracle: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"di -> $a[di]::DOUBLE * $b[di]::DOUBLE))"
+    s"""$kmeansCtes,
+       |m AS (SELECT a2.vec_id, a2.cid AS cluster, e.x
+       |  FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+       |pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    (${dot("a.x", "b.x")}) /
+       |      (sqrt(${dot("a.x", "a.x")}) * sqrt(${dot("b.x", "b.x")})) AS cos
+       |  FROM m a JOIN m b ON a.cluster = b.cluster
+       |    AND a.vec_id < b.vec_id),
+       |dr AS (SELECT DISTINCT idb FROM pr WHERE cos >= 0.3)
+       |SELECT m.vec_id, m.cluster,
+       |  CAST(CASE WHEN dr.idb IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM m LEFT JOIN dr ON m.vec_id = dr.idb""".stripMargin
   }
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
@@ -1790,6 +1830,7 @@ object SparkEntry {
     "q73_bm25_rank" -> q73Oracle,
 
     "q74_kmeans" -> q74Oracle,
+    "q76_semdedup" -> q76Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -63,6 +63,33 @@ class RankClusterSpec extends SparkSpec {
     assert(run(vecs.repartition(17)) == base)
   }
 
+  test("semDedup drops higher-id near-duplicates within a cell only") {
+    // two far-apart blobs (cells); inside blob 0, vectors 0/2/4 are
+    // colinear (cosine 1.0) and 6 is orthogonal-ish; blob 1 all distinct
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (4L, Array(3.0f, 0.0f)), (6L, Array(0.0f, 1.0f)),
+      (1L, Array(-10.0f, -10.0f)), (3L, Array(-10.0f, -10.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "embedding", "vec_id",
+      k = 2, threshold = 0.9, iters = 3)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    // 0 keeps (lowest id of the colinear run), 2 and 4 drop to it,
+    // 6 survives (cos 0 to the others); 1 keeps, 3 drops (cos ≈ 0.9999)
+    assert(out == Map(0L -> 1, 2L -> 0, 4L -> 0, 6L -> 1, 1L -> 1, 3L -> 0))
+  }
+
+  test("semDedup is partitioning-independent") {
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.tabulate(6)(d => ((i * 17 + d * 5) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedup(d, "embedding", "vec_id", k = 4, threshold = 0.8)
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val base = run(vecs)
+    assert(run(vecs.repartition(19)) == base)
+  }
+
   test("electRetention keeps best quality per cluster, ties to lowest id") {
     val members = Seq(
       (1L, 100L, 50L), (2L, 100L, 80L), (3L, 100L, 80L), // tie at 80: id 2 wins
