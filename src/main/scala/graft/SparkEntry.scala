@@ -1048,6 +1048,15 @@ object SparkEntry {
     "q76_semdedup" -> ((s, dir) => {
       Similarity.semDedup(ld(s, dir, "embeddings"), "embedding",
         "vec_id", k = 8, threshold = 0.3)
+    }),
+
+    // Sequence packing: documents → fixed token-budget training packs in
+    // deterministic hash-shuffle order, sharded so the window cumsum
+    // never concentrates a stratum in one task. Pure integer outputs.
+    "q77_seq_packing" -> ((s, dir) => {
+      TextOps.packSequences(ld(s, dir, "documents"), "text", "doc_id",
+          "lang", budget = 2048, shards = 4)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -1262,6 +1271,28 @@ object SparkEntry {
        |  CAST(CASE WHEN dr.idb IS NULL THEN 1 ELSE 0 END AS INT) AS kept
        |FROM m LEFT JOIN dr ON m.vec_id = dr.idb""".stripMargin
   }
+
+  /** q77 oracle: hash-order (mix64 >> 12) layout, per-(lang, shard)
+    * running token totals via a window cumsum, integer pack assignment.
+    * DuckDB's windowed sum(BIGINT) yields HUGEINT — cast back before the
+    * integer division so every output column lands as BIGINT.
+    */
+  private lazy val q77Oracle: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) AS k
+       |  FROM documents),
+       |s AS (SELECT doc_id, lang, n_tokens, k, k % 4 AS shard FROM t),
+       |c AS (SELECT doc_id, lang, n_tokens, shard,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+       |      ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS st
+       |  FROM s)
+       |SELECT doc_id, lang, n_tokens,
+       |  (shard * 1099511627776 + st // 2048)::BIGINT AS pack_id,
+       |  (st % 2048)::BIGINT AS pack_offset
+       |FROM c""".stripMargin
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1831,6 +1862,7 @@ object SparkEntry {
 
     "q74_kmeans" -> q74Oracle,
     "q76_semdedup" -> q76Oracle,
+    "q77_seq_packing" -> q77Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -145,6 +145,46 @@ object TextOps {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget training packs. Documents are laid out in
+    * avalanche-hash order (the deterministic corpus shuffle), a running
+    * token total is kept per (stratum, shard), and a document belongs to
+    * the pack where its first token lands:
+    * `pack = floor(start / budget)`, namespaced per shard. Output:
+    * `(id, stratum, n_tokens, pack_id, pack_offset)` — all integers, so
+    * the assignment is engine-, run- and partitioning-independent.
+    *
+    * Scale shape: packing is inherently sequential, so the sequence is
+    * sharded — `shards` independent hash-order streams per stratum, each
+    * packed alone (pack ids never collide across shards: the shard index
+    * occupies the high bits). One window cumsum per (stratum, shard)
+    * partition is the only shuffle, and it carries (id, key, n_tokens) —
+    * never the text. Size `shards` so a partition fits a task at the
+    * target corpus.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, budget: Long, shards: Int = 1): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shards >= 1 && shards <= (1 << 20),
+      s"shards must be in [1, 2^20], got $shards")
+    val key = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(col(idCol)), 12)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(stratumCol).as(stratumCol),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
+      key.as("_k"))
+      .withColumn("_shard", col("_k") % shards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("_shard"))
+      .orderBy(col("_k").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.withColumn("_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("id"), col(stratumCol), col("n_tokens"),
+        (col("_shard") * lit(1L << 40) +
+          expr(s"_start DIV ${budget}L")).as("pack_id"),
+        pmod(col("_start"), lit(budget)).as("pack_offset"))
+  }
+
   /** Chunk-level exact dedup statistics (CCNet-style): split each doc
     * into fixed `chunkWords`-word chunks, fingerprint each chunk, elect
     * the corpus-wide first occurrence (minimum `(id, chunk_idx)`) per

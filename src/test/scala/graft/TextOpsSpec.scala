@@ -145,6 +145,44 @@ class TextOpsSpec extends SparkSpec {
     assert(all.count() == 4000L)
   }
 
+  test("packSequences: budget-respecting starts, shard-namespaced packs") {
+    val docs = (1L to 60L).map(i => (i, ("w " * (i % 9 + 1).toInt).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.packSequences(docs, "text", "doc_id", "lang",
+        budget = 10, shards = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.length == 60)
+    // every doc STARTS inside its pack: offset in [0, budget)
+    assert(out.forall(r => r._5 >= 0 && r._5 < 10))
+    // pack ids are shard-namespaced: shard = pack_id >> 40
+    val shards = out.map(_._4 >> 40).toSet
+    assert(shards.subsetOf(Set(0L, 1L)) && shards.size == 2)
+    // within a shard, cumulative layout: sum of tokens before each pack
+    // boundary is monotone — replay sequentially per shard
+    out.groupBy(_._4 >> 40).foreach { case (_, rows) =>
+      val byStart = rows.sortBy(r => (r._4 & ((1L << 40) - 1), r._5))
+      val starts = byStart.map(r => (r._4 & ((1L << 40) - 1)) * 10 + r._5)
+      assert(starts.sameElements(starts.sorted))
+      // starts are exactly the running token total
+      starts.zip(byStart.map(_._3).scanLeft(0L)(_ + _)).foreach {
+        case (s, cum) => assert(s == cum)
+      }
+    }
+  }
+
+  test("packSequences is partitioning-independent") {
+    val docs = (1L to 200L).map(i =>
+      (i, ("tok " * (i % 17 + 1).toInt).trim, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.packSequences(d, "text", "doc_id", "lang", budget = 64,
+        shards = 4).as[(Long, String, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val base = run(docs)
+    assert(run(docs.repartition(13)) == base)
+    assert(run(docs.repartition(1)) == base)
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
