@@ -1057,6 +1057,15 @@ object SparkEntry {
       TextOps.packSequences(ld(s, dir, "documents"), "text", "doc_id",
           "lang", budget = 2048, shards = 4)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Deterministic split + global-shuffle plan: per-mille hash split,
+    // independently-salted shuffle key, output-file assignment — all
+    // scan-side projections (zero shuffles at any corpus size).
+    "q78_split_shuffle" -> ((s, dir) => {
+      TextOps.splitAssign(ld(s, dir, "documents"), "doc_id",
+          Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 16)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -1293,6 +1302,22 @@ object SparkEntry {
        |  (shard * 1099511627776 + st // 2048)::BIGINT AS pack_id,
        |  (st % 2048)::BIGINT AS pack_offset
        |FROM c""".stripMargin
+
+  /** q78 oracle: both mixes replayed — the split bucket from mix(doc_id),
+    * the shuffle key from mix(doc_id + salt); `>> 12` keeps every value
+    * in the signed-BIGINT-safe 52-bit domain.
+    */
+  private lazy val q78Oracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000 AS b,
+       |    ((${DuckHash.mix("(doc_id + 1000000007)::HUGEINT")}) >> 12)
+       |      AS k2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  (k2 % 16)::BIGINT AS file_idx, k2::BIGINT AS shuffle_key
+       |FROM t""".stripMargin
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1863,6 +1888,7 @@ object SparkEntry {
     "q74_kmeans" -> q74Oracle,
     "q76_semdedup" -> q76Oracle,
     "q77_seq_packing" -> q77Oracle,
+    "q78_split_shuffle" -> q78Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -145,6 +145,41 @@ object TextOps {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic train/val/test split + global-shuffle plan. Each row
+    * gets: a `split` from per-mille hash buckets of the id (exact
+    * proportions in expectation, engine- and partitioning-independent,
+    * stable as the corpus grows — a doc never migrates between splits
+    * when others are added); an independently-salted `shuffle_key`
+    * (decorrelated from the split hash, so split membership doesn't bias
+    * sample order); and a `file_idx` in [0, nFiles). Writing shuffled
+    * training data = `repartitionByRange(file_idx) .sortWithinPartitions
+    * (shuffle_key)` — a deterministic global shuffle without any
+    * single-task rank bottleneck.
+    *
+    * Everything here is a scan-side projection: no shuffle, no state, no
+    * window — the op itself is free at any corpus size.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], nFiles: Int = 1): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split per-milles must sum to 1000, got $splits")
+    require(splits.forall(_._2 > 0), s"empty split in $splits")
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val bucket = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000
+    val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
+    // last branch is the unconditional otherwise: full coverage even if
+    // a future edit breaks the cumulative chain
+    val splitCol = splits.init.zip(cums.init).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
+        when(bucket < cum, lit(name)).otherwise(acc)
+      }
+    val key2 = shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
+      col(idCol).cast("long") + lit(1000000007L)), 12)
+    df.select(col(idCol).cast("long").as("id"), splitCol.as("split"),
+      (key2 % nFiles).as("file_idx"), key2.as("shuffle_key"))
+  }
+
   /** Deterministic sequence packing: assign documents to fixed
     * token-budget training packs. Documents are laid out in
     * avalanche-hash order (the deterministic corpus shuffle), a running

@@ -145,6 +145,28 @@ class TextOpsSpec extends SparkSpec {
     assert(all.count() == 4000L)
   }
 
+  test("splitAssign: complete, disjoint, proportional, shuffle-decorrelated") {
+    val docs = (1L to 5000L).toDF("doc_id")
+    val out = TextOps.splitAssign(docs, "doc_id",
+        Seq(("train", 800), ("val", 100), ("test", 100)), nFiles = 8)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 5000)                       // complete: one row each
+    val byS = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byS("train") - 4000) < 200, s"train ${byS("train")}")
+    assert(math.abs(byS("val") - 500) < 120 && math.abs(byS("test") - 500) < 120)
+    assert(out.forall(r => r._3 >= 0 && r._3 < 8))   // file_idx in range
+    assert(out.forall(r => r._3 == r._4 % 8))        // file derives from key
+    // shuffle key decorrelated from split: each split spans all files
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSet.size == 8)
+    }
+    // stable under corpus growth: same assignment for the common prefix
+    val sub = TextOps.splitAssign((1L to 100L).toDF("doc_id"), "doc_id",
+        Seq(("train", 800), ("val", 100), ("test", 100)), nFiles = 8)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(sub.subsetOf(out.toSet))
+  }
+
   test("packSequences: budget-respecting starts, shard-namespaced packs") {
     val docs = (1L to 60L).map(i => (i, ("w " * (i % 9 + 1).toInt).trim, "en"))
       .toDF("doc_id", "text", "lang")
