@@ -1066,6 +1066,14 @@ object SparkEntry {
       TextOps.splitAssign(ld(s, dir, "documents"), "doc_id",
           Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 16)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Salient terms: per-doc top-5 tf·idf keywords (ln-free odds idf —
+    // bit-exact score doubles, stopwords self-suppress via df ≈ N).
+    "q79_salient_terms" -> ((s, dir) => {
+      TextOps.salientTerms(ld(s, dir, "documents"), "text", "doc_id",
+          topK = 5)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -1318,6 +1326,29 @@ object SparkEntry {
        |    ELSE 'test' END AS split,
        |  (k2 % 16)::BIGINT AS file_idx, k2::BIGINT AS shuffle_key
        |FROM t""".stripMargin
+
+  /** q79 oracle: identical tokenization (q20/q21 convention) and the
+    * exact fixed-order score AST — `(tf * ((N - df) + 0.5)) / (df + 0.5)`
+    * — so the unrounded score doubles hash bit-identically (the q73
+    * precedent).
+    */
+  private lazy val q79Oracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+       |      AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |  FROM t GROUP BY 1, 2),
+       |d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |g AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf, d.df,
+       |    (tf.tf::DOUBLE * (g.n_docs::DOUBLE - d.df::DOUBLE + 0.5)) /
+       |      (d.df::DOUBLE + 0.5) AS score
+       |  FROM tf JOIN d USING (term), g),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rank FROM s)
+       |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1889,6 +1920,7 @@ object SparkEntry {
     "q76_semdedup" -> q76Oracle,
     "q77_seq_packing" -> q77Oracle,
     "q78_split_shuffle" -> q78Oracle,
+    "q79_salient_terms" -> q79Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -145,6 +145,42 @@ object TextOps {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Per-document salient terms: top-k words by tf·idf, the keyword /
+    * topic-tagging primitive. Like [[bm25Rank]], the idf is the ln-free
+    * ODDS form `(N - df + 0.5) / (df + 0.5)` — stopwords (df ≈ N) score
+    * near zero without a stopword list, and the score is one multiply +
+    * one divide over a fixed-order IEEE expression, so the doubles are
+    * bit-exact on any engine.
+    *
+    * Scale shape: explode → (id, term) hash agg with map-side partial
+    * counts; document frequencies reduce the SAME relation again (terms,
+    * not tokens, cross the second exchange); N rides in as a broadcast
+    * scalar. The per-doc top-k rank-limit triggers WindowGroupLimit, so
+    * each map task keeps k rows per doc before the final shuffle.
+    */
+  def salientTerms(df: DataFrame, textCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5))) /
+        (col("df").cast("double") + lit(0.5)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Deterministic train/val/test split + global-shuffle plan. Each row
     * gets: a `split` from per-mille hash buckets of the id (exact
     * proportions in expectation, engine- and partitioning-independent,

@@ -145,6 +145,30 @@ class TextOpsSpec extends SparkSpec {
     assert(all.count() == 4000L)
   }
 
+  test("salientTerms: rare terms outrank stopwords, top-k plan pushes down") {
+    // 'the' appears in every doc (df=N → odds idf ≈ 0.1); each doc has
+    // one private term (df=1 → high idf)
+    val docs = (1L to 10L).map(i => (i, s"the the the term$i common"))
+      .toDF("doc_id", "text")
+    val out = TextOps.salientTerms(docs, "text", "doc_id", topK = 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    assert(out.length == 20)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val byRank = rows.sortBy(_._6).map(_._2)
+      // private term first despite tf=1 vs tf=3 for 'the'
+      assert(byRank.head == s"term$id", s"doc $id got ${byRank.toSeq}")
+    }
+    // 'common' (df=10, tf=1) scores below 'the' (df=10, tf=3): tf matters
+    // within equal df — check ordering is (score, term), deterministic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.salientTerms(docs, "text", "doc_id", 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"expected WindowGroupLimit pushdown in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("splitAssign: complete, disjoint, proportional, shuffle-decorrelated") {
     val docs = (1L to 5000L).toDF("doc_id")
     val out = TextOps.splitAssign(docs, "doc_id",
