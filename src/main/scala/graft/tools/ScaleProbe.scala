@@ -66,11 +66,20 @@ object ScaleProbe {
       docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
     time("bm25")(TextOps.bm25Rank(docs, "text", "doc_id",
       Seq("join", "vector", "stream")))
+    time("seq_packing")(TextOps.packSequences(docs, "text", "doc_id",
+      "lang", budget = 2048, shards = 32))
+    time("split_shuffle")(TextOps.splitAssign(docs, "doc_id",
+      Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 64))
+    time("salient_terms")(TextOps.salientTerms(docs, "text", "doc_id", 5))
     val vecs = replicate(
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding")), "vec_id")
     time("kmeans")(graft.operators.Similarity.kmeansAssign(
       vecs, "embedding", "vec_id", k = 8, iters = 2))
+    // replication stacks near-identical vectors into every cell: the
+    // intra-cell pair join is the SemDeDup worst case by construction
+    time("semdedup")(graft.operators.Similarity.semDedup(
+      vecs, "embedding", "vec_id", k = 8, threshold = 0.3))
     spark.stop()
   }
 }
