@@ -119,6 +119,21 @@ object TrainingDataPipeline {
     println(s"STAGE retention       kept=${
       elected.filter(col("keep") === 1).count()} of ${elected.count()}")
 
+    // 7. materialization plan: deterministic train/val/test split, a
+    // salted global-shuffle key, and token-budget sequence packing —
+    // the curated corpus leaves as write-ready pack assignments
+    // (`repartitionByRange(file_idx).sortWithinPartitions(shuffle_key)`
+    // at the writer; no global rank, no driver state)
+    val splits = TextOps.splitAssign(longEnough, "doc_id",
+      Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 8)
+    val trainIds = splits.filter(col("split") === "train")
+      .select(col("id").as("doc_id"))
+    val packs = TextOps.packSequences(
+      longEnough.join(trainIds, Seq("doc_id"), "left_semi"),
+      "text", "doc_id", "lang", budget = 2048, shards = 4)
+    println(s"STAGE materialize     train=${trainIds.count()} " +
+      s"packs=${packs.select(col("pack_id")).distinct().count()}")
+
     println("PIPELINE-DONE")
     spark.stop()
   }

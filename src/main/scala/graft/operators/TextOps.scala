@@ -240,9 +240,13 @@ object TextOps {
       s"shards must be in [1, 2^20], got $shards")
     val key = shiftrightunsigned(
       graft.functions.TextKernelExprs.mix64(col(idCol)), 12)
+    // null text → 0 tokens (it consumes no budget but keeps its slot in
+    // the layout); without the coalesce a single null poisons every
+    // later start in its shard (null-propagating cumsum)
     val base = df.select(col(idCol).cast("long").as("id"),
       col(stratumCol).as(stratumCol),
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
+      coalesce(size(split(trim(col(textCol)), "\\s+")).cast("long"),
+        lit(0L)).as("n_tokens"),
       key.as("_k"))
       .withColumn("_shard", col("_k") % shards)
     val w = org.apache.spark.sql.expressions.Window

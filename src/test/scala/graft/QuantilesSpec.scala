@@ -75,6 +75,31 @@ class QuantilesSpec extends SparkSpec {
     assert(empty == -1L)
   }
 
+  test("streaming incremental qhist matches batch (mergeable state)") {
+    // the histogram's commutative merge makes it a valid streaming
+    // aggregate: per-group state is 960 longs, quantiles stay exact
+    // across micro-batch boundaries
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("grp", "v")
+      .groupBy(col("grp")).agg(Quantiles.qhist(col("v")).as("h"))
+      .writeStream.format("memory").queryName("qh_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 500L).map(i => ("a", i)))
+      q.processAllAvailable()
+      input.addData((501L to 1000L).map(i => ("a", i)))
+      q.processAllAvailable()
+      val got = spark.table("qh_stream")
+        .select(Quantiles.quantile(col("h"), 0.5)).as[Long].head()
+      val batch = (1L to 1000L).toDF("v")
+        .agg(Quantiles.qhist(col("v")).as("h"))
+        .select(Quantiles.quantile(col("h"), 0.5)).as[Long].head()
+      assert(got == batch, s"streamed p50 $got != batch p50 $batch")
+    } finally q.stop()
+  }
+
   test("null inputs are skipped, negatives clamp to bucket 0") {
     val df = Seq(Some(5L), None, Some(-3L), Some(5L)).toDF("v")
     val h = df.agg(Quantiles.qhist(col("v")).as("h"))

@@ -127,6 +127,26 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("round-7 ops tolerate null and empty text") {
+    val weird = Seq((1L, null.asInstanceOf[String], "en"), (2L, "", "en"),
+      (3L, "   ", "en"), (4L, "real content here", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    // packSequences: null text consumes no budget but keeps its row;
+    // null stratum is its own group
+    val packed = TextOps.packSequences(weird, "text", "doc_id", "lang",
+      budget = 100, shards = 2).as[(Long, String, Long, Long, Long)].collect()
+    assert(packed.length == 4)
+    assert(packed.find(_._1 == 1L).get._3 == 0L, "null text = 0 tokens")
+    assert(packed.forall(_._5 >= 0), "starts stay defined after a null")
+    // salientTerms: null-text docs simply produce no terms
+    val terms = TextOps.salientTerms(weird, "text", "doc_id", topK = 3)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    assert(!terms.exists(_._1 == 1L) && terms.exists(_._1 == 4L))
+    // splitAssign is a pure id projection: nulls elsewhere are irrelevant
+    assert(TextOps.splitAssign(weird, "doc_id",
+      Seq(("train", 990), ("heldout", 10))).count() == 4)
+  }
+
   test("weightedSample: deterministic, weight-proportional, capped") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100L else 900L))
       .toDF("id", "w")
