@@ -1074,6 +1074,23 @@ object SparkEntry {
       TextOps.salientTerms(ld(s, dir, "documents"), "text", "doc_id",
           topK = 5)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Chunk-dedup rebuild: the deduplicated corpus itself — each doc's
+    // text reassembled from only its corpus-wide first-occurrence chunks
+    // (25-word chunks so sf0.01 actually exercises multi-chunk docs).
+    "q80_chunk_rebuild" -> ((s, dir) => {
+      TextOps.chunkDedupRebuild(ld(s, dir, "documents"), "text", "doc_id",
+          chunkWords = 25)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Sliding-window chunking: 40-word windows every 20 words (RAG
+    // splitter) — pure explode projection, no shuffle.
+    "q81_sliding_chunks" -> ((s, dir) => {
+      TextOps.slidingChunks(ld(s, dir, "documents"), "text", "doc_id",
+          chunkWords = 40, strideWords = 20)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -1349,6 +1366,45 @@ object SparkEntry {
        |    ORDER BY score DESC, term) AS rank FROM s)
        |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** q80 oracle: the q68 chunk slicing + base-31 fingerprint replay,
+    * extended with the winning chunks' TEXT — string_agg in chunk order
+    * rebuilds exactly what the Spark side's array_sort + array_join
+    * emits.
+    */
+  private lazy val q80Oracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(${DuckHash.norm("text")}, ' ') AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 25)) AS st
+       |  FROM t),
+       |c AS (SELECT doc_id, ((st - 1) // 25)::BIGINT AS chunk_idx,
+       |    array_to_string(ws[st:st+24], ' ') AS ct FROM s),
+       |f AS (SELECT doc_id, chunk_idx, ct, ${DuckHash.polyHash("ct")} AS fp
+       |  FROM c),
+       |k AS (SELECT doc_id, chunk_idx, ct, row_number() OVER (
+       |    PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn FROM f),
+       |w AS (SELECT doc_id, chunk_idx, ct FROM k WHERE rn = 1),
+       |r AS (SELECT doc_id,
+       |    string_agg(ct, ' ' ORDER BY chunk_idx) AS text_dedup,
+       |    count(*)::BIGINT AS n_kept FROM w GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       |  coalesce(r.n_kept, 0)::BIGINT AS n_kept
+       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+
+  /** q81 oracle: same normalize-split, stride-20 starts, 40-word
+    * windows; trailing windows shorten exactly like Spark's `slice`.
+    */
+  private lazy val q81Oracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(${DuckHash.norm("text")}, ' ') AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 20)) AS st
+       |  FROM t)
+       |SELECT doc_id, ((st - 1) // 20)::BIGINT AS chunk_idx,
+       |  len(ws[st:st+39])::BIGINT AS n_words,
+       |  array_to_string(ws[st:st+39], ' ') AS chunk_text
+       |FROM s""".stripMargin
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1921,6 +1977,8 @@ object SparkEntry {
     "q77_seq_packing" -> q77Oracle,
     "q78_split_shuffle" -> q78Oracle,
     "q79_salient_terms" -> q79Oracle,
+    "q80_chunk_rebuild" -> q80Oracle,
+    "q81_sliding_chunks" -> q81Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -181,6 +181,77 @@ object TextOps {
         col("score"), col("rank"))
   }
 
+  /** Chunk-level dedup REBUILD: the companion to [[chunkDedupStats]]
+    * that actually emits the deduplicated corpus — each document's text
+    * reassembled from only the chunks it is the corpus-wide first to
+    * contribute (same first-occurrence election: minimum (id, chunk_idx)
+    * per fingerprint). Output: `(id, text_dedup, n_kept)`; a fully
+    * duplicated document comes back as the empty string.
+    *
+    * Scale shape: two shuffles, each carrying every surviving chunk's
+    * text exactly once — the election keeps the winner's text via
+    * `min(struct(id, idx, text))` (the (id, idx) prefix is unique, so
+    * the text never influences the ordering), and the rebuild regroups
+    * winners by document. There is no join back against the full chunk
+    * relation.
+    */
+  def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 50): DataFrame = {
+    val c = chunkWords
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+    val n = size(col("_toks"))
+    val starts = when(n < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), n, lit(c)))
+    val chunks = base
+      .select(col("id"), col("_toks"), explode(starts).as("_st"))
+      .select(col("id"),
+        (((col("_st") - 1) / c).cast("long")).as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("_st"), lit(c))).as("_ct"))
+      .withColumn("_fp",
+        graft.functions.TextKernelExprs.polyHash(col("_ct")))
+    val winners = chunks.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("chunk_idx"), col("_ct"))).as("_w"))
+      .select(col("_w.id").as("id"), col("_w.chunk_idx").as("chunk_idx"),
+        col("_w._ct").as("_ct"))
+    val rebuilt = winners.groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("_ct")))),
+          s => s.getField("_ct")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Sliding-window chunking (the RAG / embedding-input splitter):
+    * fixed `chunkWords`-word windows every `strideWords` words, so
+    * consecutive chunks overlap by `chunkWords - strideWords` words and
+    * every token is covered. Trailing windows are shorter (never
+    * empty); `chunk_idx` counts strides. Output:
+    * `(id, chunk_idx, n_words, chunk_text)`.
+    *
+    * Scale shape: pure explode projection — no shuffle, no state; the
+    * output feeds an embedding UDF or [[salientTerms]] directly.
+    */
+  def slidingChunks(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1 && strideWords <= chunkWords,
+      s"need 1 <= stride <= chunk, got chunk=$chunkWords stride=$strideWords")
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
+    val n = size(col("_toks"))
+    val starts = when(n < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), n, lit(strideWords)))
+    base.select(col("id"), col("_toks"), explode(starts).as("_st"))
+      .select(col("id"),
+        (((col("_st") - 1) / strideWords).cast("long")).as("chunk_idx"),
+        size(slice(col("_toks"), col("_st"), lit(chunkWords)))
+          .cast("long").as("n_words"),
+        concat_ws(" ", slice(col("_toks"), col("_st"), lit(chunkWords)))
+          .as("chunk_text"))
+  }
+
   /** Deterministic train/val/test split + global-shuffle plan. Each row
     * gets: a `split` from per-mille hash buckets of the id (exact
     * proportions in expectation, engine- and partitioning-independent,

@@ -249,6 +249,44 @@ class TextOpsSpec extends SparkSpec {
     assert(run(docs.repartition(1)) == base)
   }
 
+  test("chunkDedupRebuild reassembles first-occurrence chunks in order") {
+    // doc 1 owns both chunks; doc 2 repeats doc 1's first chunk then
+    // adds a novel one; doc 3 is a full copy of doc 1
+    val docs = Seq(
+      (1L, "a b c d e f"),       // chunks (3 words): "a b c", "d e f"
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDedupRebuild(docs, "text", "doc_id",
+        chunkWords = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (("a b c d e f", 2L)))
+    assert(out(2L) == (("x y z", 1L)))
+    assert(out(3L) == (("", 0L)), "full duplicate rebuilds to empty")
+    // agreement with chunkDedupStats on the kept counts
+    val stats = TextOps.chunkDedupStats(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(stats == out.view.mapValues(_._2).toMap)
+  }
+
+  test("slidingChunks covers every token with the declared overlap") {
+    val docs = Seq((1L, (1 to 10).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.slidingChunks(docs, "text", "doc_id",
+        chunkWords = 4, strideWords = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    // starts at words 1,3,5,7,9 → 5 chunks; last is the 2-word tail
+    assert(out.length == 5)
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.head._4 == "w1 w2 w3 w4")
+    assert(out(1)._4 == "w3 w4 w5 w6", "stride-2 overlap")
+    assert(out.last._4 == "w9 w10" && out.last._3 == 2L)
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map("w" + _).toSet)
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
