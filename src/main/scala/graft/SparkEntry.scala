@@ -1091,6 +1091,17 @@ object SparkEntry {
       TextOps.slidingChunks(ld(s, dir, "documents"), "text", "doc_id",
           chunkWords = 40, strideWords = 20)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Mixture rebalancing: per-language keep-rates computed from
+    // observed counts so the output hits 500/125/125/125/125 ‰ — en is
+    // the binding stratum (kept fully), the rest downsample. Integer
+    // math end-to-end; the corpus never shuffles.
+    "q82_mixture_rebalance" -> ((s, dir) => {
+      TextOps.rebalanceMixture(ld(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 500, "de" -> 125, "es" -> 125,
+            "fr" -> 125, "zh" -> 125))
+        .select(col("doc_id"), col("lang"), col("kept"))
     }))
 
   // -------------------------------------------------------------------
@@ -1405,6 +1416,26 @@ object SparkEntry {
        |  len(ws[st:st+39])::BIGINT AS n_words,
        |  array_to_string(ws[st:st+39], ' ') AS chunk_text
        |FROM s""".stripMargin
+
+  /** q82 oracle: the integer mixture math replayed — binding total
+    * `T = min(obs·1000 // share)`, per-stratum keep-rate
+    * `((T·share // 1000) · 1e6) // obs`, mix64 keep-predicate.
+    */
+  private lazy val q82Oracle: String =
+    s"""WITH c AS (SELECT lang, count(*)::BIGINT AS obs FROM documents
+       |  GROUP BY 1),
+       |sh AS (SELECT lang, obs, (CASE lang WHEN 'en' THEN 500
+       |    WHEN 'de' THEN 125 WHEN 'es' THEN 125 WHEN 'fr' THEN 125
+       |    WHEN 'zh' THEN 125 END)::BIGINT AS share FROM c),
+       |t AS (SELECT min((obs * 1000) // share) AS tt FROM sh
+       |  WHERE share IS NOT NULL),
+       |r AS (SELECT lang, ((((tt * share) // 1000) * 1000000) // obs)
+       |    AS rpm FROM sh, t WHERE share IS NOT NULL)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(CASE WHEN r.rpm IS NOT NULL AND
+       |      ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000000 < r.rpm
+       |    THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM documents d LEFT JOIN r ON d.lang = r.lang""".stripMargin
 
   /** q62 oracle: the splitmix64 keep-predicate replayed in HUGEINT
     * arithmetic (DuckHash.mix is the proven-exact q23/q25 template);
@@ -1979,6 +2010,7 @@ object SparkEntry {
     "q79_salient_terms" -> q79Oracle,
     "q80_chunk_rebuild" -> q80Oracle,
     "q81_sliding_chunks" -> q81Oracle,
+    "q82_mixture_rebalance" -> q82Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

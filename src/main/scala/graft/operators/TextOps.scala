@@ -181,6 +181,48 @@ object TextOps {
         col("score"), col("rank"))
   }
 
+  /** Deterministic mixture rebalancing: downsample each stratum so the
+    * OUTPUT hits target per-mille proportions (the data-mixing step —
+    * e.g. "40‰ code, 300‰ web, …" — computed from observed counts, no
+    * trial-and-error rates). The total is maximized subject to every
+    * stratum supplying its share from what it has:
+    * `T = min_s floor(observed_s · 1000 / share_s)`, then stratum `s`
+    * keeps `floor(T · share_s / 1000)` rows in expectation via the
+    * mix64 keep-predicate. All integer math end-to-end.
+    *
+    * Output: input rows + `kept` flag (audit-friendly; filter on kept=1
+    * to materialize). Scale shape: one tiny count-per-stratum aggregate
+    * broadcast back into a scan-side filter — the corpus itself never
+    * shuffles.
+    */
+  def rebalanceMixture(df: DataFrame, idCol: String, stratumCol: String,
+      sharePerMille: Map[String, Int]): DataFrame = {
+    require(sharePerMille.nonEmpty && sharePerMille.values.sum == 1000,
+      s"shares must sum to 1000, got $sharePerMille")
+    require(sharePerMille.values.forall(_ > 0), s"empty share: $sharePerMille")
+    val share = sharePerMille.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v.toLong))
+        .otherwise(acc)
+    }
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_obs"))
+      .withColumn("_share", share)
+      .filter(col("_share").isNotNull)
+    // T = min over strata of floor(obs * 1000 / share): scalar aggregate
+    val total = counts.agg(
+      min(expr("(_obs * 1000) DIV _share")).as("_t"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        // keep-rate per million: floor(floor(T*share/1000) * 1e6 / obs)
+        expr("((((_t * _share) DIV 1000) * 1000000) DIV _obs)").as("_rpm"))
+    val bucket = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000000L
+    df.join(broadcast(rates), Seq(stratumCol), "left")
+      .withColumn("kept",
+        (col("_rpm").isNotNull && bucket < col("_rpm")).cast("int"))
+      .drop("_rpm")
+  }
+
   /** Chunk-level dedup REBUILD: the companion to [[chunkDedupStats]]
     * that actually emits the deduplicated corpus — each document's text
     * reassembled from only the chunks it is the corpus-wide first to

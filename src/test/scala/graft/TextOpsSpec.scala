@@ -249,6 +249,34 @@ class TextOpsSpec extends SparkSpec {
     assert(run(docs.repartition(1)) == base)
   }
 
+  test("rebalanceMixture hits target proportions; binding stratum keeps all") {
+    // 8000 a's vs 2000 b's, target 50/50 → b binds: all b kept,
+    // a downsampled to ~2000
+    val rows = ((1L to 8000L).map((_, "a")) ++ (8001L to 10000L).map((_, "b")))
+      .toDF("id", "src")
+    val out = TextOps.rebalanceMixture(rows, "id", "src",
+        Map("a" -> 500, "b" -> 500))
+      .select(col("id"), col("src"), col("kept"))
+      .as[(Long, String, Int)].collect()
+    assert(out.length == 10000, "audit output keeps every input row")
+    val kept = out.filter(_._3 == 1)
+    assert(kept.count(_._2 == "b") == 2000, "binding stratum keeps all")
+    val aKept = kept.count(_._2 == "a")
+    assert(math.abs(aKept - 2000) < 150, s"a kept $aKept, want ~2000")
+    // strata outside the share map are dropped
+    val extra = TextOps.rebalanceMixture(
+      rows.withColumn("src", when(col("id") % 2 === 0, "c")
+        .otherwise(col("src"))), "id", "src",
+      Map("a" -> 500, "b" -> 500))
+    assert(extra.filter(col("src") === "c" && col("kept") === 1).count() == 0)
+    // deterministic: same keep-set under any partitioning
+    val again = TextOps.rebalanceMixture(rows.repartition(17), "id", "src",
+        Map("a" -> 500, "b" -> 500))
+      .select(col("id"), col("src"), col("kept"))
+      .as[(Long, String, Int)].collect()
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
   test("chunkDedupRebuild reassembles first-occurrence chunks in order") {
     // doc 1 owns both chunks; doc 2 repeats doc 1's first chunk then
     // adds a novel one; doc 3 is a full copy of doc 1
