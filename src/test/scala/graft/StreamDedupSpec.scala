@@ -39,6 +39,40 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation chain (quality gate → dedup) matches batch") {
+    // the q50 composition live: stateless quality projection + filter
+    // composes with the stateful first-seen dedup in ONE streaming plan
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[SDoc]
+    val gated = input.toDS()
+      .withColumn("_nt", graft.functions.Text
+        .qualityFeatures(col("text")).getField("n_tokens"))
+      .filter(col("_nt") >= 3).drop("_nt").as[SDoc]
+    val q = StreamDedup.firstSeen(gated, fpF, orderF)
+      .writeStream.format("memory").queryName("sc_out")
+      .outputMode("append").start()
+    val docs = Seq(
+      SDoc(1, "alpha beta gamma"), SDoc(2, "alpha beta gamma"), // dup of 1
+      SDoc(3, "too short"),                                     // gated out
+      SDoc(4, "delta epsilon zeta eta"))
+    val late = Seq(
+      SDoc(5, "alpha beta gamma"),                              // dup again
+      SDoc(6, "theta iota kappa"))
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      val got = spark.table("sc_out").as[SDoc].collect().map(_.id).toSet
+      // batch formulation: same gate, min-id election per fingerprint
+      val batch = (docs ++ late)
+        .filter(d => d.text.split(" ").length >= 3)
+        .groupBy(fpF).values.map(_.minBy(_.id).id).toSet
+      assert(got == batch, s"streamed $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("checkpointed state survives a query restart") {
     implicit val sqlCtx = spark.sqlContext
     // memory sink can't recover from a checkpoint — write parquet
