@@ -1245,15 +1245,12 @@ object SparkEntry {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
-  /** q74 oracle: both Lloyd rounds replayed — init = 8 lowest vec_ids,
+  /** Shared q74/q76 k-means replay: both Lloyd rounds as CTEs ending at
+    * `a2(vec_id, cid)` plus `e(vec_id, x)` — init = 8 lowest vec_ids,
     * argmin by (fixed-order dist expression, cid), centroid update from
     * integer-exact floor(x*2^20) sums, one double division per
     * coordinate (`list(... ORDER BY pos)` = the Spark side's
-    * array_sort-by-pos rebuild).
-    */
-  /** Shared q74/q76 k-means replay: both Lloyd rounds as CTEs ending at
-    * `a2(vec_id, cid)` plus `e(vec_id, x)`; callers append their final
-    * shape.
+    * array_sort-by-pos rebuild). Callers append their final shape.
     */
   private lazy val kmeansCtes: String = {
     def dot(a: String, bcol: String) =
@@ -1324,7 +1321,8 @@ object SparkEntry {
     */
   private lazy val q77Oracle: String =
     s"""WITH t AS (SELECT doc_id, lang,
-       |    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    coalesce(len(regexp_split_to_array(trim(text), '\\s+')),
+       |      0)::BIGINT AS n_tokens,
        |    ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) AS k
        |  FROM documents),
        |s AS (SELECT doc_id, lang, n_tokens, k, k % 4 AS shard FROM t),
@@ -1422,18 +1420,19 @@ object SparkEntry {
     * `((T·share // 1000) · 1e6) // obs`, mix64 keep-predicate.
     */
   private lazy val q82Oracle: String =
-    s"""WITH c AS (SELECT lang, count(*)::BIGINT AS obs FROM documents
-       |  GROUP BY 1),
-       |sh AS (SELECT lang, obs, (CASE lang WHEN 'en' THEN 500
-       |    WHEN 'de' THEN 125 WHEN 'es' THEN 125 WHEN 'fr' THEN 125
-       |    WHEN 'zh' THEN 125 END)::BIGINT AS share FROM c),
-       |t AS (SELECT min((obs * 1000) // share) AS tt FROM sh
-       |  WHERE share IS NOT NULL),
+    s"""WITH sh(lang, share) AS (VALUES ('en', 500::BIGINT),
+       |    ('de', 125::BIGINT), ('es', 125::BIGINT), ('fr', 125::BIGINT),
+       |    ('zh', 125::BIGINT)),
+       |c AS (SELECT sh.lang, sh.share, coalesce(o.obs, 0) AS obs
+       |  FROM sh LEFT JOIN (SELECT lang, count(*)::BIGINT AS obs
+       |    FROM documents GROUP BY 1) o ON o.lang = sh.lang),
+       |t AS (SELECT min((obs * 1000) // share) AS tt FROM c),
        |r AS (SELECT lang, ((((tt * share) // 1000) * 1000000) // obs)
-       |    AS rpm FROM sh, t WHERE share IS NOT NULL)
+       |    AS rpm FROM c, t WHERE obs > 0)
        |SELECT d.doc_id, d.lang,
        |  CAST(CASE WHEN r.rpm IS NOT NULL AND
-       |      ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000000 < r.rpm
+       |      ((${DuckHash.mix("(doc_id + 777767777)::HUGEINT")}) >> 12)
+       |        % 1000000 < r.rpm
        |    THEN 1 ELSE 0 END AS INT) AS kept
        |FROM documents d LEFT JOIN r ON d.lang = r.lang""".stripMargin
 

@@ -173,44 +173,6 @@ object Similarity {
     * linearly in `iters` (bounded, documented — use checkpointing
     * beyond ~10 rounds).
     */
-  /** SemDeDup — semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): k-means partitions the corpus into cells so the
-    * O(n²) cosine comparison never crosses a cell boundary; a vector is
-    * then dropped when a LOWER-ID vector in the same cell is similar
-    * above `threshold`. The "exists a lower-id similar neighbor" rule
-    * (rather than the paper's sequential greedy sweep) keeps the drop
-    * decision a pure semi-join: deterministic, partitioning-independent
-    * and exactly replayable in external SQL.
-    *
-    * Output: `(vec_id, cluster, kept)` — kept ∈ {0,1}, one row per input.
-    *
-    * 100 TB shape: the only pairwise work is an equi-join on the cell id
-    * (cell occupancy ≈ N/k — scale `k` with the corpus so cells stay
-    * bounded); the drop set is an aggregation of the much smaller pair
-    * stream and rejoins by id. Cell assignment reuses [[kmeansAssign]]'s
-    * integer-exact centroid math, so it is bit-deterministic too.
-    */
-  def semDedup(df: DataFrame, vecCol: String, idCol: String,
-      k: Int, threshold: Double, iters: Int = 2): DataFrame = {
-    val e = df.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("_x"))
-    val m = kmeansAssign(df, vecCol, idCol, k, iters)
-      .join(e, Seq("vec_id"))
-      .withColumn("_n", Vectors.dot(col("_x"), col("_x")))
-    val a = m.select(col("cluster"), col("vec_id").as("_ida"),
-      col("_x").as("_xa"), col("_n").as("_na"))
-    val b = m.select(col("cluster"), col("vec_id").as("_idb"),
-      col("_x").as("_xb"), col("_n").as("_nb"))
-    val dropped = a.join(b, Seq("cluster"))
-      .filter(col("_ida") < col("_idb"))
-      .filter(Vectors.cosineFromParts(Vectors.dot(col("_xa"), col("_xb")),
-        col("_na"), col("_nb")) >= threshold)
-      .select(col("_idb").as("vec_id")).distinct()
-    m.join(dropped.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        when(col("_drop").isNull, 1).otherwise(0).cast("int").as("kept"))
-  }
-
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 2, scaleBits: Int = 20): DataFrame = {
     require(k >= 1 && iters >= 1)
@@ -253,5 +215,42 @@ object Similarity {
       i += 1
     }
     assigned.select(col("vec_id"), col("cid").as("cluster"))
+  }
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the corpus into cells so the
+    * O(n²) cosine comparison never crosses a cell boundary; a vector is
+    * then dropped when a LOWER-ID vector in the same cell is similar
+    * above `threshold`. The "exists a lower-id similar neighbor" rule
+    * (rather than the paper's sequential greedy sweep) keeps the drop
+    * decision a pure semi-join: deterministic, partitioning-independent
+    * and exactly replayable in external SQL.
+    *
+    * Output: `(vec_id, cluster, kept)` — kept ∈ {0,1}, one row per input.
+    *
+    * 100 TB shape: the only pairwise work is an equi-join on the cell id
+    * (cell occupancy ≈ N/k — scale `k` with the corpus so cells stay
+    * bounded); the drop set is an aggregation of the much smaller pair
+    * stream and rejoins by id. Cell assignment reuses [[kmeansAssign]]'s
+    * integer-exact centroid math, so it is bit-deterministic too.
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, threshold: Double, iters: Int = 2): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("_x"))
+    val m = kmeansAssign(df, vecCol, idCol, k, iters)
+      .join(e, Seq("vec_id"))
+      .withColumn("_n", Vectors.dot(col("_x"), col("_x")))
+    val a = m.select(col("cluster"), col("vec_id").as("_ida"),
+      col("_x").as("_xa"), col("_n").as("_na"))
+    val b = m.select(col("cluster"), col("vec_id").as("_idb"),
+      col("_x").as("_xb"), col("_n").as("_nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("_ida") < col("_idb"))
+      .filter(Vectors.cosineFromParts(Vectors.dot(col("_xa"), col("_xb")),
+        col("_na"), col("_nb")) >= threshold)
+      .select(col("_idb").as("vec_id")).distinct()
+    m.join(dropped.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("_drop").isNull, 1).otherwise(0).cast("int").as("kept"))
   }
 }

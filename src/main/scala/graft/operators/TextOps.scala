@@ -191,32 +191,45 @@ object TextOps {
     * mix64 keep-predicate. All integer math end-to-end.
     *
     * Output: input rows + `kept` flag (audit-friendly; filter on kept=1
-    * to materialize). Scale shape: one tiny count-per-stratum aggregate
-    * broadcast back into a scan-side filter — the corpus itself never
-    * shuffles.
+    * to materialize). Rows whose stratum is absent from the share map
+    * get kept=0; a share-map stratum with zero observed rows forces
+    * T = 0 (the mixture is unsatisfiable — loud, not skewed). Scale
+    * shape: one tiny count-per-stratum aggregate broadcast back into a
+    * scan-side filter — the corpus itself never shuffles.
     */
   def rebalanceMixture(df: DataFrame, idCol: String, stratumCol: String,
       sharePerMille: Map[String, Int]): DataFrame = {
     require(sharePerMille.nonEmpty && sharePerMille.values.sum == 1000,
       s"shares must sum to 1000, got $sharePerMille")
     require(sharePerMille.values.forall(_ > 0), s"empty share: $sharePerMille")
-    val share = sharePerMille.foldLeft(lit(null).cast("long")) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v.toLong))
-        .otherwise(acc)
-    }
-    val counts = df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("_obs"))
-      .withColumn("_share", share)
-      .filter(col("_share").isNotNull)
+    val session = df.sparkSession
+    import session.implicits._
+    // shares enter as their own relation so a target stratum with ZERO
+    // observed rows still participates in the min — it forces T = 0
+    // (nothing can honor the mixture), rather than being silently
+    // dropped from the constraint and skewing the output proportions
+    val shares = sharePerMille.toSeq
+      .toDF(stratumCol, "_share_i")
+      .select(col(stratumCol), col("_share_i").cast("long").as("_share"))
+    val counts = shares.join(
+        df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_obs0")),
+        Seq(stratumCol), "left")
+      .select(col(stratumCol), col("_share"),
+        coalesce(col("_obs0"), lit(0L)).as("_obs"))
     // T = min over strata of floor(obs * 1000 / share): scalar aggregate
     val total = counts.agg(
       min(expr("(_obs * 1000) DIV _share")).as("_t"))
-    val rates = counts.crossJoin(broadcast(total))
+    val rates = counts.filter(col("_obs") > 0L)
+      .crossJoin(broadcast(total))
       .select(col(stratumCol),
         // keep-rate per million: floor(floor(T*share/1000) * 1e6 / obs)
         expr("((((_t * _share) DIV 1000) * 1000000) DIV _obs)").as("_rpm"))
+    // op-specific salt (like splitAssign's): the keep-predicate must not
+    // share a hash stream with weightedSample/stratifiedSample, or
+    // composing them correlates the survivor sets and bends the mixture
     val bucket = shiftrightunsigned(
-      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000000L
+      graft.functions.TextKernelExprs.mix64(
+        col(idCol).cast("long") + lit(777767777L)), 12) % 1000000L
     df.join(broadcast(rates), Seq(stratumCol), "left")
       .withColumn("kept",
         (col("_rpm").isNotNull && bucket < col("_rpm")).cast("int"))
@@ -237,18 +250,31 @@ object TextOps {
     * winners by document. There is no join back against the full chunk
     * relation.
     */
-  def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int = 50): DataFrame = {
-    val c = chunkWords
+  /** Shared chunk relation behind [[chunkDedupStats]],
+    * [[chunkDedupRebuild]] and [[slidingChunks]]: normalize-split words,
+    * stride-spaced starts, fixed-width slices →
+    * `(id, chunk_idx, n_words, chunk_text)`. The empty-doc guard is
+    * load-bearing: `sequence(1, 0)` is DESCENDING in Spark, not empty.
+    */
+  private def chunkRelation(df: DataFrame, textCol: String, idCol: String,
+      width: Int, stride: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
     val n = size(col("_toks"))
     val starts = when(n < 1, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), n, lit(c)))
-    val chunks = base
-      .select(col("id"), col("_toks"), explode(starts).as("_st"))
+      .otherwise(sequence(lit(1), n, lit(stride)))
+    base.select(col("id"), col("_toks"), explode(starts).as("_st"))
       .select(col("id"),
-        (((col("_st") - 1) / c).cast("long")).as("chunk_idx"),
-        concat_ws(" ", slice(col("_toks"), col("_st"), lit(c))).as("_ct"))
+        (((col("_st") - 1) / stride).cast("long")).as("chunk_idx"),
+        size(slice(col("_toks"), col("_st"), lit(width)))
+          .cast("long").as("n_words"),
+        concat_ws(" ", slice(col("_toks"), col("_st"), lit(width)))
+          .as("chunk_text"))
+  }
+
+  def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 50): DataFrame = {
+    val chunks = chunkRelation(df, textCol, idCol, chunkWords, chunkWords)
+      .select(col("id"), col("chunk_idx"), col("chunk_text").as("_ct"))
       .withColumn("_fp",
         graft.functions.TextKernelExprs.polyHash(col("_ct")))
     val winners = chunks.groupBy(col("_fp"))
@@ -281,17 +307,7 @@ object TextOps {
       chunkWords: Int, strideWords: Int): DataFrame = {
     require(chunkWords >= 1 && strideWords >= 1 && strideWords <= chunkWords,
       s"need 1 <= stride <= chunk, got chunk=$chunkWords stride=$strideWords")
-    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
-    val n = size(col("_toks"))
-    val starts = when(n < 1, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), n, lit(strideWords)))
-    base.select(col("id"), col("_toks"), explode(starts).as("_st"))
-      .select(col("id"),
-        (((col("_st") - 1) / strideWords).cast("long")).as("chunk_idx"),
-        size(slice(col("_toks"), col("_st"), lit(chunkWords)))
-          .cast("long").as("n_words"),
-        concat_ws(" ", slice(col("_toks"), col("_st"), lit(chunkWords)))
-          .as("chunk_text"))
+    chunkRelation(df, textCol, idCol, chunkWords, strideWords)
   }
 
   /** Deterministic train/val/test split + global-shuffle plan. Each row
@@ -394,17 +410,10 @@ object TextOps {
     */
   def chunkDedupStats(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 50): DataFrame = {
-    val c = chunkWords
-    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("_toks"))
-    val n = size(col("_toks"))
-    // sequence(1, 0) is descending, not empty — guard empty docs
-    val starts = when(n < 1, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), n, lit(c)))
-    val chunks = base
-      .select(col("id"), col("_toks"), explode(starts).as("_st"))
-      .select(col("id"), (((col("_st") - 1) / c).cast("long")).as("chunk_idx"),
-        graft.functions.TextKernelExprs.polyHash(
-          concat_ws(" ", slice(col("_toks"), col("_st"), lit(c)))).as("_fp"))
+    val chunks = chunkRelation(df, textCol, idCol, chunkWords, chunkWords)
+      .select(col("id"), col("chunk_idx"),
+        graft.functions.TextKernelExprs.polyHash(col("chunk_text"))
+          .as("_fp"))
     val kept = chunks.groupBy(col("_fp"))
       .agg(min(struct(col("id"), col("chunk_idx"))).as("_w"))
       .groupBy(col("_w.id").as("id"))

@@ -275,6 +275,11 @@ class TextOpsSpec extends SparkSpec {
       .select(col("id"), col("src"), col("kept"))
       .as[(Long, String, Int)].collect()
     assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+    // a target stratum with ZERO observed rows makes the mixture
+    // unsatisfiable: T = 0, nothing kept (loud, never silently skewed)
+    val unsat = TextOps.rebalanceMixture(rows, "id", "src",
+      Map("a" -> 400, "b" -> 400, "missing" -> 200))
+    assert(unsat.filter(col("kept") === 1).count() == 0)
   }
 
   test("chunkDedupRebuild reassembles first-occurrence chunks in order") {
