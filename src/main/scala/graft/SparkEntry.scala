@@ -1193,9 +1193,10 @@ object SparkEntry {
   private lazy val q72Oracle: String =
     s"""$clusterCtes,
        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-       |m AS (SELECT d.doc_id, cl.cluster_id,
+       |m AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id)
+       |      AS cluster_id,
        |    coalesce(d.n_chars, 0) AS q
-       |  FROM documents d JOIN cl ON d.doc_id = cl.id),
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
        |r AS (SELECT doc_id, cluster_id,
        |    row_number() OVER (PARTITION BY cluster_id
        |      ORDER BY q DESC, doc_id) AS rn FROM m)
