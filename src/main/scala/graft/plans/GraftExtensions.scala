@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, HllAgg, HllEstimate, MinhashSignature, PolyHash64, QhistAgg, QhistQuantile, SimHash64}
+import graft.functions.{ArrayDotProduct, HllAgg, HllEstimate, MinhashSignature, Mix64, PolyHash64, QhistAgg, QhistQuantile, SimHash64}
 
 /** `SparkSessionExtensions` injection point — makes the engine's native
   * Catalyst expressions first-class SQL functions, so plan text (static
@@ -187,9 +187,22 @@ object GraftExtensions {
           graft.functions.Bloom.DefaultK))
     })
 
+  /** `graft_mix64(longCol)` — splitmix64 avalanche finalizer: the hash
+    * stream behind every deterministic sampling / splitting predicate
+    * (`WHERE (graft_mix64(id + salt) >> 12) % 1000 < rate`). Salt per
+    * use-site so composed predicates stay decorrelated.
+    */
+  val mix64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mix64"),
+    new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_mix64 takes exactly 1 argument")
+      Mix64(children.head)
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile,
-      hll, hllEstimate, cm, cmEstimate, bloom, bloomContains)
+      hll, hllEstimate, cm, cmEstimate, bloom, bloomContains, mix64)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

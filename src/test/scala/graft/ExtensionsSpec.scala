@@ -33,6 +33,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp == again)
   }
 
+  test("graft_mix64 registered: SQL-side deterministic sampling predicate") {
+    GraftExtensions.registerAll(spark.sessionState.functionRegistry)
+    val got = spark.sql("SELECT graft_mix64(42L)").as[Long].head()
+    assert(got == graft.functions.Hashing.mix64(42L))
+    // the sampling predicate shape matches TextOps.stratifiedSample
+    spark.range(1000).createOrReplaceTempView("mx_ids")
+    val n = spark.sql(
+      """SELECT count(*) FROM mx_ids
+        |WHERE (shiftrightunsigned(graft_mix64(id), 12)) % 1000 < 100
+        |""".stripMargin).as[Long].head()
+    assert(math.abs(n - 100L) < 40, s"kept $n of 1000 at 10%")
+  }
+
   test("GraftSqlParser: 'pattern:' statements compile to CEP plans, " +
       "plain SQL delegates untouched") {
     import graft.plans.GraftSqlParser
