@@ -1093,6 +1093,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Overlapping-window duplication stats: shift-robust exact span
+    // dedup — sliding 30-word windows every 10, first-occurrence
+    // election, duplicated-span exposure per doc.
+    "q83_window_dup" -> ((s, dir) => {
+      TextOps.windowDupStats(ld(s, dir, "documents"), "text", "doc_id",
+          windowWords = 30, strideWords = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Mixture rebalancing: per-language keep-rates computed from
     // observed counts so the output hits 500/125/125/125/125 ‰ — en is
     // the binding stratum (kept fully), the rest downsample. Integer
@@ -1415,6 +1424,29 @@ object SparkEntry {
        |  len(ws[st:st+39])::BIGINT AS n_words,
        |  array_to_string(ws[st:st+39], ' ') AS chunk_text
        |FROM s""".stripMargin
+
+  /** q83 oracle: the q68 replay with a stride and a full-width filter —
+    * sliding windows, first-occurrence election by (doc_id, idx).
+    */
+  private lazy val q83Oracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(${DuckHash.norm("text")}, ' ') AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 10)) AS st
+       |  FROM t),
+       |c AS (SELECT doc_id, ((st - 1) // 10)::BIGINT AS chunk_idx,
+       |    array_to_string(ws[st:st+29], ' ') AS ct FROM s
+       |  WHERE len(ws[st:st+29]) = 30),
+       |f AS (SELECT doc_id, chunk_idx, ${DuckHash.polyHash("ct")} AS fp
+       |  FROM c),
+       |k AS (SELECT doc_id, fp, row_number() OVER (
+       |    PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn FROM f),
+       |per AS (SELECT doc_id, count(*) AS n_windows,
+       |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_owned
+       |  FROM k GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_windows, 0)::BIGINT AS n_windows,
+       |  coalesce(per.n_owned, 0)::BIGINT AS n_owned
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
   /** q82 oracle: the integer mixture math replayed — binding total
     * `T = min(obs·1000 // share)`, per-stratum keep-rate
@@ -2011,6 +2043,7 @@ object SparkEntry {
     "q80_chunk_rebuild" -> q80Oracle,
     "q81_sliding_chunks" -> q81Oracle,
     "q82_mixture_rebalance" -> q82Oracle,
+    "q83_window_dup" -> q83Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

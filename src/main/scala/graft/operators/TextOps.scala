@@ -271,6 +271,45 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Overlapping-window duplication statistics: like
+    * [[chunkDedupStats]] but over SLIDING windows, so a copied span is
+    * caught even when it is shifted relative to chunk boundaries (the
+    * failure mode of disjoint chunking — a one-word insertion up front
+    * desynchronizes every 50-word chunk, while a stride-`s` window
+    * re-synchronizes within `s` words). Only full-width windows
+    * fingerprint (tails would trivially collide). Output:
+    * `(id, n_windows, n_owned)` — `n_owned` counts windows this doc is
+    * the corpus-wide first (minimum (id, chunk_idx)) to contribute;
+    * `1 - n_owned/n_windows` is the doc's duplicated-span exposure.
+    *
+    * Scale shape: identical to [[chunkDedupStats]] — the election
+    * shuffles (fingerprint, id, idx) only, ~overlap× more rows
+    * (width/stride), never the text.
+    */
+  def windowDupStats(df: DataFrame, textCol: String, idCol: String,
+      windowWords: Int = 30, strideWords: Int = 10): DataFrame = {
+    require(windowWords >= 1 && strideWords >= 1 &&
+      strideWords <= windowWords,
+      s"need 1 <= stride <= window, got $windowWords/$strideWords")
+    val chunks = chunkRelation(df, textCol, idCol, windowWords, strideWords)
+      .filter(col("n_words") === windowWords)
+      .select(col("id"), col("chunk_idx"),
+        graft.functions.TextKernelExprs.polyHash(col("chunk_text"))
+          .as("_fp"))
+    val owned = chunks.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("_w"))
+      .groupBy(col("_w.id").as("id"))
+      .agg(count(lit(1)).as("n_owned"))
+    val counts = chunks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"))
+    df.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .join(owned, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"))
+  }
+
   def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 50): DataFrame = {
     val chunks = chunkRelation(df, textCol, idCol, chunkWords, chunkWords)

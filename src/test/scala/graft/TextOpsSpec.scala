@@ -320,6 +320,26 @@ class TextOpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map("w" + _).toSet)
   }
 
+  test("windowDupStats catches shifted copies that disjoint chunks miss") {
+    val original = (1 to 60).map("w" + _).mkString(" ")
+    val shifted = ((1 to 10).map("junk" + _) ++ (1 to 60).map("w" + _))
+      .mkString(" ")
+    val docs = Seq((1L, original), (2L, shifted)).toDF("doc_id", "text")
+    // disjoint 30-word chunks: the 10-word prefix desynchronizes every
+    // chunk — doc 2 looks fully novel
+    val chunked = TextOps.chunkDedupStats(docs, "text", "doc_id", 30)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(chunked(2L)._3 == chunked(2L)._2, "disjoint chunks all 'novel'")
+    // sliding 30-word windows every 10: the copy re-synchronizes
+    val windowed = TextOps.windowDupStats(docs, "text", "doc_id",
+        windowWords = 30, strideWords = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(windowed(1L) == ((1L, 4L, 4L)))  // owns all 4 of its windows
+    // doc 2: 5 full windows, only the junk-prefixed first is novel
+    assert(windowed(2L) == ((2L, 5L, 1L)),
+      s"got ${windowed(2L)}: shifted spans must be caught")
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
