@@ -66,6 +66,9 @@ object ScaleProbe {
       docs.filter(col("doc_id") % 50 === 0), "text", "doc_id"))
     time("bm25")(TextOps.bm25Rank(docs, "text", "doc_id",
       Seq("join", "vector", "stream")))
+    time("window_dup")(TextOps.windowDupStats(docs, "text", "doc_id",
+      windowWords = 30, strideWords = 10))
+    time("chunk_rebuild")(TextOps.chunkDedupRebuild(docs, "text", "doc_id"))
     time("seq_packing")(TextOps.packSequences(docs, "text", "doc_id",
       "lang", budget = 2048, shards = 32))
     time("split_shuffle")(TextOps.splitAssign(docs, "doc_id",
