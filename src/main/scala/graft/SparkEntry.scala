@@ -1093,6 +1093,29 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Corpus report card: the mergeable-sketch family composed in ONE
+    // aggregation pass per language — count, three length quantiles
+    // (qhist), distinct-fingerprint HLL register summary. One shuffle of
+    // (lang, sketch-state) rows however large the corpus; every output
+    // is an exact integer.
+    "q84_corpus_profile" -> ((s, dir) => {
+      import graft.functions.{Hll, Quantiles}
+      ld(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          graft.functions.TextKernelExprs.polyHash(col("text")).as("_fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          Quantiles.qhist(col("n_chars")).as("_h"),
+          Hll.sketch(col("_fp")).as("_regs"))
+        .select(col("lang"), col("n_docs"),
+          Quantiles.quantile(col("_h"), 0.1).as("p10_lb"),
+          Quantiles.quantile(col("_h"), 0.5).as("p50_lb"),
+          Quantiles.quantile(col("_h"), 0.9).as("p90_lb"),
+          aggregate(col("_regs"), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("sum_reg"),
+          size(filter(col("_regs"), _ === 0)).cast("long").as("n_zero"))
+    }),
+
     // Overlapping-window duplication stats: shift-robust exact span
     // dedup — sliding 30-word windows every 10, first-occurrence
     // election, duplicated-span exposure per doc.
@@ -1100,6 +1123,13 @@ object SparkEntry {
       TextOps.windowDupStats(ld(s, dir, "documents"), "text", "doc_id",
           windowWords = 30, strideWords = 10)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Embedding int8 quantization: per-vector symmetric codes, pure
+    // explode projection (no shuffle) — the 4× storage step before ANN.
+    "q85_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(ld(s, dir, "embeddings"), "embedding",
+        "vec_id")
     }),
 
     // Mixture rebalancing: per-language keep-rates computed from
@@ -1447,6 +1477,62 @@ object SparkEntry {
        |SELECT d.doc_id, coalesce(per.n_windows, 0)::BIGINT AS n_windows,
        |  coalesce(per.n_owned, 0)::BIGINT AS n_owned
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** q84 oracle: the q64 qhist bucket replay + the q66 HLL register
+    * replay, both over documents per language — `u` feeds the register
+    * math with mix64(polyHash(text)) exactly as HllAgg hashes its input.
+    */
+  private lazy val q84Oracle: String = {
+    def lb(b: String): String =
+      s"CAST(CASE WHEN $b < 32 THEN $b ELSE (16 + $b % 16)::BIGINT " +
+        s"<< (($b - 32) // 16 + 1) END AS BIGINT)"
+    def qAt(f: Double, name: String): String =
+      s"min(CASE WHEN cn >= greatest(1, CAST(ceil($f * tot) AS BIGINT)) " +
+        s"THEN bucket END) AS $name"
+    s"""WITH fp AS (SELECT lang, n_chars,
+       |    (${DuckHash.mix(s"(${DuckHash.polyHash("text")})")}) AS u
+       |  FROM documents),
+       |b AS (SELECT lang, CASE WHEN n_chars <= 0 THEN 0
+       |    WHEN n_chars < 32 THEN n_chars
+       |    ELSE 32 + (len(bin(n_chars)) - 6) * 16
+       |      + ((n_chars >> (len(bin(n_chars)) - 5)) & 15) END AS bucket
+       |  FROM fp),
+       |c AS (SELECT lang, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+       |cum AS (SELECT lang, bucket,
+       |    sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cn,
+       |    sum(n) OVER (PARTITION BY lang) AS tot FROM c),
+       |qs AS (SELECT lang, ${qAt(0.1, "b10")}, ${qAt(0.5, "b50")},
+       |    ${qAt(0.9, "b90")} FROM cum GROUP BY lang),
+       |hb AS (SELECT lang, (u >> 56)::BIGINT AS bucket,
+       |    (u % 72057594037927936)::BIGINT AS low FROM fp),
+       |hr AS (SELECT lang, bucket, max(CASE WHEN low = 0 THEN 57
+       |    ELSE 57 - len(bin(low)) END) AS rho FROM hb GROUP BY 1, 2),
+       |hs AS (SELECT lang, sum(rho)::BIGINT AS sum_reg,
+       |    (256 - count(*))::BIGINT AS n_zero FROM hr GROUP BY lang),
+       |nd AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+       |  GROUP BY lang)
+       |SELECT nd.lang, nd.n_docs, ${lb("b10")} AS p10_lb,
+       |  ${lb("b50")} AS p50_lb, ${lb("b90")} AS p90_lb,
+       |  hs.sum_reg, hs.n_zero
+       |FROM nd JOIN qs ON nd.lang = qs.lang
+       |  JOIN hs ON nd.lang = hs.lang""".stripMargin
+  }
+
+  /** q85 oracle: identical fixed-order quantization AST —
+    * `floor(x · 127 / max|x| + 0.5)`; scale by list_max (max is exactly
+    * order-independent, unlike a sum).
+    */
+  private lazy val q85Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+       |s AS (SELECT vec_id, x,
+       |    list_max(list_transform(x, a -> abs(a::DOUBLE))) AS sc FROM e)
+       |SELECT vec_id, u.pos, u.qv AS qval FROM (
+       |  SELECT vec_id, unnest(list_transform(range(1, len(x) + 1),
+       |    qi -> {'pos': (qi - 1)::BIGINT,
+       |      'qv': CASE WHEN sc = 0 THEN 0
+       |        ELSE floor(x[qi]::DOUBLE * 127.0 / sc + 0.5)::BIGINT END}))
+       |    AS u
+       |  FROM s) t""".stripMargin
 
   /** q82 oracle: the integer mixture math replayed — binding total
     * `T = min(obs·1000 // share)`, per-stratum keep-rate
@@ -2044,6 +2130,8 @@ object SparkEntry {
     "q81_sliding_chunks" -> q81Oracle,
     "q82_mixture_rebalance" -> q82Oracle,
     "q83_window_dup" -> q83Oracle,
+    "q84_corpus_profile" -> q84Oracle,
+    "q85_quantize_int8" -> q85Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

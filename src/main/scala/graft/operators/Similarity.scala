@@ -253,4 +253,30 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         when(col("_drop").isNull, 1).otherwise(0).cast("int").as("kept"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth reduction step before ANN indexing at corpus
+    * scale. Per-vector scale = max |x_i| (order-independent, exact);
+    * `q_i = floor(x_i · 127 / scale + 0.5)` — floor of a fixed-order
+    * IEEE expression, so the codes are bit-deterministic on any engine
+    * (no round-half mode in sight). A zero vector quantizes to zeros.
+    * Output: one row per dimension `(vec_id, pos, qval)` — integer
+    * codes; reconstruct with `qval · scale / 127`.
+    *
+    * Scale shape: pure explode projection over the scan — no shuffle,
+    * no state.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("_x"))
+      .withColumn("_sc", aggregate(transform(col("_x"), x => abs(x)),
+        lit(0.0), (a, b) => greatest(a, b)))
+    e.select(col("vec_id"), col("_sc"),
+        posexplode(col("_x")).as(Seq("pos", "_xv")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        when(col("_sc") === 0.0, lit(0L))
+          .otherwise(floor(col("_xv") * lit(127.0) / col("_sc") + lit(0.5))
+            .cast("long")).as("qval"))
+  }
 }

@@ -90,6 +90,31 @@ class RankClusterSpec extends SparkSpec {
     assert(run(vecs.repartition(19)) == base)
   }
 
+  test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),          // zero vector → zero codes
+      (3L, Array(3.0f, -1.5f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "embedding", "vec_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r._3 >= -127 && r._3 <= 127))
+    assert(out.filter(_._1 == 2L).forall(_._3 == 0L))
+    // reconstruction: |q * scale / 127 - x| <= scale / 254 (half a step)
+    val orig = Map(1L -> Array(0.5, -1.0, 0.25), 3L -> Array(3.0, -1.5, 0.75))
+    orig.foreach { case (id, xs) =>
+      val sc = xs.map(math.abs).max
+      out.filter(_._1 == id).foreach { case (_, pos, q) =>
+        val err = math.abs(q * sc / 127.0 - xs(pos.toInt))
+        assert(err <= sc / 254.0 + 1e-12, s"vec $id pos $pos err $err")
+      }
+    }
+    // extremes hit exactly ±127 at the max-magnitude coordinate
+    assert(out.find(r => r._1 == 1L && r._2 == 1L).get._3 == -127L)
+    assert(out.find(r => r._1 == 3L && r._2 == 0L).get._3 == 127L)
+  }
+
   test("electRetention keeps best quality per cluster, ties to lowest id") {
     val members = Seq(
       (1L, 100L, 50L), (2L, 100L, 80L), (3L, 100L, 80L), // tie at 80: id 2 wins
