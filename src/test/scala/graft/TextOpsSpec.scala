@@ -236,6 +236,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences matches a sequential reference model (seeded random)") {
+    val rnd = new scala.util.Random(20260812L)
+    val docs = (1L to 300L).map { i =>
+      (i, ("t " * (rnd.nextInt(40) + 1)).trim,
+        Seq("en", "de", "zh")(rnd.nextInt(3)))
+    }
+    val got = TextOps.packSequences(docs.toDF("doc_id", "text", "lang"),
+        "text", "doc_id", "lang", budget = 50, shards = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    // reference: group by (lang, mix64-shard), walk in (key, id) order,
+    // accumulate token counts sequentially
+    val expected = docs.groupBy { case (id, _, lang) =>
+      (lang, (graft.functions.Hashing.mix64(id) >>> 12) % 3)
+    }.flatMap { case ((_, shard), members) =>
+      var cum = 0L
+      members.sortBy { case (id, _, _) =>
+        (graft.functions.Hashing.mix64(id) >>> 12, id)
+      }.map { case (id, text, _) =>
+        val n = text.split("\\s+").length.toLong
+        val start = cum
+        cum += n
+        id -> ((shard * (1L << 40) + start / 50, start % 50))
+      }
+    }
+    assert(got == expected)
+  }
+
   test("packSequences is partitioning-independent") {
     val docs = (1L to 200L).map(i =>
       (i, ("tok " * (i % 17 + 1).toInt).trim, if (i % 3 == 0) "a" else "b"))
