@@ -210,13 +210,16 @@ object Dedup {
     * Scale notes (100 TB): the loop state is (id, label) — 16 bytes a
     * row, never the text; one hash shuffle per round on node id; LSH
     * pair generation upstream is bucket-capped, so |edges| = O(docs).
-    * Every round `localCheckpoint`s the label frame — without it the
-    * plan grows by a join per iteration and the lineage blow-up kills
-    * the job long before the data does (the classic iterative-Spark
-    * trap; on a cluster prefer `checkpoint` to survive executor loss).
-    * Convergence is checked with `isEmpty` on the changed set (can
-    * short-circuit on the first changed row) and failure to converge
-    * within `maxIter` throws rather than returning half-merged clusters.
+    * Every round checkpoints the label frame — without it the plan
+    * grows by a join per iteration and the lineage blow-up kills the
+    * job long before the data does (the classic iterative-Spark trap).
+    * By default that is `localCheckpoint` (executor-local blocks — fast,
+    * but lost on executor death); pass `checkpointDir` to write reliable
+    * checkpoints to shared storage instead, the option a 1000-executor
+    * run wants so one lost container doesn't restart the whole loop.
+    * Convergence is checked with an O(1) label-sum signature and failure
+    * to converge within `maxIter` throws rather than returning
+    * half-merged clusters.
     */
   private def labelSig(labels: DataFrame): (Any, Any) = {
     val r = labels.agg(
@@ -224,19 +227,32 @@ object Dedup {
     (r.get(0), r.get(1))
   }
 
+  /** [[connectedComponents]]'s per-round materialization: reliable
+    * `checkpoint` into `dir` when given, `localCheckpoint` otherwise.
+    */
+  private def materialize(df: DataFrame, dir: Option[String]): DataFrame =
+    dir match {
+      case Some(d) =>
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     // materialized ONCE: every round joins against sym, and without this
     // the full upstream edge derivation (LSH bucketing + pair
     // verification) re-executes O(log n) times — per-round cost must be
     // one shuffle of 16-byte (src,dst) rows, not a re-run of the pipeline
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("_m"))
-      .select(col("src").as("id"),
-        least(col("src"), col("_m")).as("cluster_id"))
-      .localCheckpoint()
+    val sym = materialize(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"))),
+      checkpointDir)
+    var labels = materialize(
+      sym.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+        .select(col("src").as("id"),
+          least(col("src"), col("_m")).as("cluster_id")),
+      checkpointDir)
     var it = 0
     var converged = false
     var curSig = labelSig(labels)
@@ -249,9 +265,10 @@ object Dedup {
       val allE = sym.union(virt)
       val prop = allE.join(labels, allE("dst") === labels("id"))
         .select(allE("src").as("id"), col("cluster_id"))
-      val next = prop.union(labels)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      val next = materialize(
+        prop.union(labels)
+          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id")),
+        checkpointDir)
       // labels are monotone non-increasing per node, so an unchanged
       // label SUM means a fixed point — an O(1) driver compare instead
       // of a per-round diff join (decimal sum: no BIGINT overflow at

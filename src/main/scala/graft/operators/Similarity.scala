@@ -66,6 +66,38 @@ object Similarity {
         s"CAST($vecCol AS ARRAY<DOUBLE>) AS v")
       .orderBy(col("id")).limit(nCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    ivfWithCodebook(corpus, queries, cents, vecCol, idCol, k, nProbe,
+      excludeSelf)
+  }
+
+  /** IVF top-k over a TRAINED codebook — the production ANN shape:
+    * [[kmeansCentroids]] (or any `(cid, cv)` frame) trains the coarse
+    * quantizer, this builds and probes the index. The codebook is
+    * collected once (bounded by construction: it is the k-row output of
+    * a groupBy on the cluster id — collecting it is the same bounded
+    * driver hop as [[ivfTopK]]'s seed collect) and INLINED into the
+    * assignment projection, so cell assignment stays a pure map-side
+    * expression over the scan at any corpus size.
+    */
+  def ivfTopKTrained(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .selectExpr("CAST(cid AS LONG) AS cid", "CAST(cv AS ARRAY<DOUBLE>) AS cv")
+      .orderBy(col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "ivfTopKTrained: empty codebook")
+    ivfWithCodebook(corpus, queries, cents, vecCol, idCol, k, nProbe,
+      excludeSelf)
+  }
+
+  private def ivfWithCodebook(
+      corpus: DataFrame, queries: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      vecCol: String, idCol: String, k: Int, nProbe: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val nCells = cents.length
     // per-centroid (negated score, cell id) structs: ascending array_sort
     // then yields best-score-first with smaller-cell-id tie-break
     def cellRanks(v: Column): Column = array_sort(array(cents.toIndexedSeq.map {
@@ -165,57 +197,116 @@ object Similarity {
     * the pipeline is therefore bit-deterministic and externally
     * replicable — the q74 oracle replays all rounds in SQL.
     *
-    * Shape for scale: centroids are a k-row frame BROADCAST into the
-    * assignment (argmin via one rank window per round — the vectors
-    * shuffle once per round on vec_id, never pairwise); the update is
-    * a posexplode + (cluster, dim) hash aggregation with map-side
-    * partial sums. No driver-side collect at any k; plan depth grows
-    * linearly in `iters` (bounded, documented — use checkpointing
-    * beyond ~10 rounds).
+    * Shape for scale: the k centroids collapse into ONE sorted
+    * array-of-structs column (a single-row frame, broadcast), and the
+    * argmin is a map-side `array_sort` over the per-centroid
+    * `(dist, cid)` structs — the corpus NEVER shuffles for assignment
+    * (no k× row amplification, no rank window; the vectors ride the
+    * scan). The update is a posexplode + (cluster, dim) hash
+    * aggregation with map-side partial sums. No driver-side collect at
+    * any k; plan depth grows linearly in `iters` — pass `checkpointDir`
+    * to truncate lineage with a reliable per-round checkpoint of the
+    * k-row centroid frame (executor-death-safe, unlike
+    * `localCheckpoint`; use beyond ~10 rounds or on a real cluster).
+    *
+    * The argmin's `(dist, cid)` struct sort uses the same fixed-order
+    * IEEE distance expression and the same (dist asc, cid asc)
+    * tie-break as the previous rank-window formulation — assignments
+    * are bit-identical, just computed without an exchange.
     */
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int = 2, scaleBits: Int = 20): DataFrame = {
+      k: Int, iters: Int = 2, scaleBits: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir)
+      .select(col("vec_id"), col("cid").as("cluster"))
+
+  /** The trained centroids themselves — the [[kmeansAssign]] rounds plus
+    * ONE more integer-exact update applied to the final assignment, as a
+    * k-row `(cid, cv)` frame. This is the codebook-training path for
+    * [[ivfTopKTrained]]: train here, index there. Bit-deterministic and
+    * externally replayable for the same reasons as [[kmeansAssign]].
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 2, scaleBits: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    centroidUpdate(
+      lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir),
+      (1L << scaleBits).toDouble)
+
+  /** The shared Lloyd core: `iters` assignment rounds, returning the
+    * final `(vec_id, cid, x)` frame (assignment WITH the vector, so
+    * callers never rejoin the corpus).
+    */
+  private def lloyd(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, scaleBits: Int,
+      checkpointDir: Option[String]): DataFrame = {
     require(k >= 1 && iters >= 1)
     val scale = (1L << scaleBits).toDouble
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
     def assign(cents: DataFrame): DataFrame = {
-      val dist = Vectors.dot(col("x"), col("x")) -
-        lit(2.0) * Vectors.dot(col("x"), col("cv")) +
-        Vectors.dot(col("cv"), col("cv"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_dist"), col("cid"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("_dist", dist)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("vec_id"), col("cid"), col("x"))
+      // whole codebook as one row: broadcast nested-loop join attaches
+      // it to every partition; sorted by cid so the transform order
+      // (and therefore tie-breaking) is deterministic
+      val codebook = cents.agg(array_sort(
+        collect_list(struct(col("cid"), col("cv")))).as("_cl"))
+      val ranked = array_sort(transform(col("_cl"), c => {
+        val cv = c.getField("cv")
+        struct(
+          (Vectors.dot(col("x"), col("x")) -
+            lit(2.0) * Vectors.dot(col("x"), cv) +
+            Vectors.dot(cv, cv)).as("d"),
+          c.getField("cid").as("cid"))
+      }))
+      e.crossJoin(broadcast(codebook))
+        .select(col("vec_id"),
+          element_at(ranked, 1).getField("cid").as("cid"),
+          col("x"))
     }
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("x")).as(Seq("pos", "xv")))
-        .select(col("cid"), col("pos"),
-          floor(col("xv") * lit(scale)).cast("long").as("sxv"))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("sxv")).as("s"), count(lit(1)).as("cnt"))
-        .groupBy(col("cid"))
-        .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("s")))),
-            p => p.getField("s")).as("_ss"),
-          max(col("cnt")).as("_cnt"))
-        .select(col("cid"), transform(col("_ss"),
-          s => s.cast("double") /
-            (col("_cnt").cast("double") * lit(scale))).as("cv"))
     val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("x").as("cv"))
     var assigned = assign(init)
     var i = 1
     while (i < iters) {
-      assigned = assign(update(assigned))
+      assigned = assign(
+        checkpointed(centroidUpdate(assigned, scale), checkpointDir))
       i += 1
     }
-    assigned.select(col("vec_id"), col("cid").as("cluster"))
+    assigned
   }
+
+  /** One integer-exact Lloyd centroid update over `(cid, x)` rows:
+    * floor(x·2^scaleBits) long sums per (cluster, dim), rebuilt in pos
+    * order, one double division per coordinate.
+    */
+  private def centroidUpdate(assigned: DataFrame, scale: Double): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("x")).as(Seq("pos", "xv")))
+      .select(col("cid"), col("pos"),
+        floor(col("xv") * lit(scale)).cast("long").as("sxv"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("sxv")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("cid"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          p => p.getField("s")).as("_ss"),
+        max(col("cnt")).as("_cnt"))
+      .select(col("cid"), transform(col("_ss"),
+        s => s.cast("double") /
+          (col("_cnt").cast("double") * lit(scale))).as("cv"))
+
+  /** Reliable checkpoint when a directory is given (truncates lineage
+    * AND survives executor loss — the cluster-run option), identity
+    * otherwise. The checkpointed frame here is always the k-row
+    * centroid table, so the write is a few KiB per round.
+    */
+  private def checkpointed(df: DataFrame, dir: Option[String]): DataFrame =
+    dir match {
+      case Some(d) =>
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df
+    }
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means partitions the corpus into cells so the
     * O(n²) cosine comparison never crosses a cell boundary; a vector is
@@ -235,11 +326,15 @@ object Similarity {
     */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
       k: Int, threshold: Double, iters: Int = 2): DataFrame = {
-    val e = df.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("_x"))
-    val m = kmeansAssign(df, vecCol, idCol, k, iters)
-      .join(e, Seq("vec_id"))
+    // the lloyd core already carries the vector with the assignment (no
+    // corpus rejoin), and the frame is referenced THREE times below
+    // (both pair-join sides + the final keep join) — materialize it once
+    // so the iterative k-means lineage is never re-derived per branch
+    val m = lloyd(df, vecCol, idCol, k, iters, scaleBits = 20,
+        checkpointDir = None)
+      .select(col("vec_id"), col("cid").as("cluster"), col("x").as("_x"))
       .withColumn("_n", Vectors.dot(col("_x"), col("_x")))
+      .localCheckpoint()
     val a = m.select(col("cluster"), col("vec_id").as("_ida"),
       col("_x").as("_xa"), col("_n").as("_na"))
     val b = m.select(col("cluster"), col("vec_id").as("_idb"),

@@ -208,6 +208,19 @@ class DedupSpec extends SparkSpec {
       s"edge derivation evaluated ${acc.value} times — expected <= 126")
   }
 
+  test("connected components with a reliable checkpoint dir") {
+    // same 64-node path as above, but materialized via reliable
+    // checkpoint (the cluster-run option) — identical labels, and the
+    // checkpoint data actually lands in the given directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b",
+      checkpointDir = Some(dir)).as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data in $dir")
+  }
+
   test("bucket cap drops over-crowded bands (skew guard)") {
     // 30 identical docs: every band bucket holds all 30 → cap 10 drops
     // every bucket, so no candidate pairs survive

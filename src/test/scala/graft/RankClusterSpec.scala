@@ -63,6 +63,71 @@ class RankClusterSpec extends SparkSpec {
     assert(run(vecs.repartition(17)) == base)
   }
 
+  test("kmeansAssign assignment is map-side: no vec_id exchange in plan") {
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.kmeansAssign(vecs, "embedding", "vec_id",
+      k = 4, iters = 2).queryExecution.executedPlan.toString
+    // argmin = array_sort projection over a 1-row broadcast codebook; a
+    // rank-window formulation would surface here as an exchange
+    // hash-partitioned on vec_id carrying the k×-amplified vectors
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "assignment shuffled on vec_id:\n" + plan.take(3000))
+  }
+
+  test("kmeansAssign reliable checkpointDir matches the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(ckpt: Option[String]) =
+      Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4,
+        iters = 3, checkpointDir = ckpt).as[(Long, Long)].collect().toMap
+    assert(run(Some(dir)) == run(None))
+    // the reliable checkpoint actually wrote to the given directory
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data in $dir")
+  }
+
+  test("kmeansCentroids lands on the blob means (k=2)") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i, Array(base + (i % 5) * 0.01f, base - (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "embedding", "vec_id",
+      k = 2, iters = 3).as[(Long, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0L, 1L))
+    // integer-exact mean of each blob's coordinates, within floor slack
+    assert(math.abs(cents(0L).head - 0.02) < 1e-3 &&
+      math.abs(cents(1L).head - 10.02) < 1e-3, cents.toString)
+    assert(cents.values.forall(_.length == 2))
+  }
+
+  test("ivfTopKTrained: trained codebook keeps neighbors blob-local") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(base + (i % 5) * 0.01f, base * 2.0f - (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "embedding", "vec_id",
+      k = 2, iters = 3)
+    val out = Similarity.ivfTopKTrained(vecs, vecs.filter($"vec_id" < 4),
+        cents, "embedding", "vec_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 4 * 3)
+    out.foreach { case (q, n, cos, rank) =>
+      assert(q % 2 == n % 2, s"query $q got cross-blob neighbor $n")
+      assert(rank >= 1 && rank <= 3 && cos > 0.9)
+    }
+    // within a probe cell the scoring is exact: agrees with brute force
+    // restricted to the same blob
+    val bf = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" % 2 === 0), vecs.filter($"vec_id" === 0),
+      "embedding", "vec_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out.filter(_._1 == 0L).toSet == bf)
+  }
+
   test("semDedup drops higher-id near-duplicates within a cell only") {
     // two far-apart blobs (cells); inside blob 0, vectors 0/2/4 are
     // colinear (cosine 1.0) and 6 is orthogonal-ish; blob 1 all distinct
