@@ -1333,8 +1333,11 @@ object SparkEntry {
   /** q76 oracle: the q74 k-means replay feeding the intra-cell cosine
     * pair join and the lower-id drop election. The cosine is the exact
     * Spark expression (index-order dot, `dot / (sqrt(na) * sqrt(nb))`),
-    * so the `>= threshold` comparison agrees bit-for-bit; every output
-    * column is an integer.
+    * with the zero-norm CASE mirroring `Vectors.cosineFromParts`'s 0.0
+    * (without it a zero vector yields 0/0 = NaN, which DuckDB orders
+    * ABOVE all doubles — the `>= threshold` would silently flip), so
+    * the comparison agrees bit-for-bit; every output column is an
+    * integer.
     */
   private lazy val q76Oracle: String = {
     def dot(a: String, b: String) =
@@ -1344,8 +1347,11 @@ object SparkEntry {
        |m AS (SELECT a2.vec_id, a2.cid AS cluster, e.x
        |  FROM a2 JOIN e ON e.vec_id = a2.vec_id),
        |pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-       |    (${dot("a.x", "b.x")}) /
-       |      (sqrt(${dot("a.x", "a.x")}) * sqrt(${dot("b.x", "b.x")})) AS cos
+       |    CASE WHEN (${dot("a.x", "a.x")}) = 0
+       |        OR (${dot("b.x", "b.x")}) = 0 THEN 0.0
+       |      ELSE (${dot("a.x", "b.x")}) /
+       |        (sqrt(${dot("a.x", "a.x")}) * sqrt(${dot("b.x", "b.x")}))
+       |      END AS cos
        |  FROM m a JOIN m b ON a.cluster = b.cluster
        |    AND a.vec_id < b.vec_id),
        |dr AS (SELECT DISTINCT idb FROM pr WHERE cos >= 0.3)
@@ -1361,8 +1367,9 @@ object SparkEntry {
     */
   private lazy val q77Oracle: String =
     s"""WITH t AS (SELECT doc_id, lang,
-       |    coalesce(len(regexp_split_to_array(trim(text), '\\s+')),
-       |      0)::BIGINT AS n_tokens,
+       |    CASE WHEN coalesce(len(trim(text)), 0) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |      END::BIGINT AS n_tokens,
        |    ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) AS k
        |  FROM documents),
        |s AS (SELECT doc_id, lang, n_tokens, k, k % 4 AS shard FROM t),
@@ -1481,6 +1488,11 @@ object SparkEntry {
   /** q84 oracle: the q64 qhist bucket replay + the q66 HLL register
     * replay, both over documents per language — `u` feeds the register
     * math with mix64(polyHash(text)) exactly as HllAgg hashes its input.
+    * Null hardening mirrors the Spark side: `u IS NOT NULL` before the
+    * register CTE (HllAgg skips null input), LEFT JOINs with null-safe
+    * lang equality (a NULL-lang group must not drop out of the report),
+    * and an all-null-text group coalesces to the empty sketch
+    * (sum_reg 0, n_zero 256).
     */
   private lazy val q84Oracle: String = {
     def lb(b: String): String =
@@ -1504,7 +1516,8 @@ object SparkEntry {
        |qs AS (SELECT lang, ${qAt(0.1, "b10")}, ${qAt(0.5, "b50")},
        |    ${qAt(0.9, "b90")} FROM cum GROUP BY lang),
        |hb AS (SELECT lang, (u >> 56)::BIGINT AS bucket,
-       |    (u % 72057594037927936)::BIGINT AS low FROM fp),
+       |    (u % 72057594037927936)::BIGINT AS low FROM fp
+       |  WHERE u IS NOT NULL),
        |hr AS (SELECT lang, bucket, max(CASE WHEN low = 0 THEN 57
        |    ELSE 57 - len(bin(low)) END) AS rho FROM hb GROUP BY 1, 2),
        |hs AS (SELECT lang, sum(rho)::BIGINT AS sum_reg,
@@ -1513,9 +1526,10 @@ object SparkEntry {
        |  GROUP BY lang)
        |SELECT nd.lang, nd.n_docs, ${lb("b10")} AS p10_lb,
        |  ${lb("b50")} AS p50_lb, ${lb("b90")} AS p90_lb,
-       |  hs.sum_reg, hs.n_zero
-       |FROM nd JOIN qs ON nd.lang = qs.lang
-       |  JOIN hs ON nd.lang = hs.lang""".stripMargin
+       |  coalesce(hs.sum_reg, 0)::BIGINT AS sum_reg,
+       |  coalesce(hs.n_zero, 256)::BIGINT AS n_zero
+       |FROM nd LEFT JOIN qs ON nd.lang IS NOT DISTINCT FROM qs.lang
+       |  LEFT JOIN hs ON nd.lang IS NOT DISTINCT FROM hs.lang""".stripMargin
   }
 
   /** q85 oracle: identical fixed-order quantization AST —

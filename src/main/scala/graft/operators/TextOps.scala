@@ -96,7 +96,7 @@ object TextOps {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       ratePerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
     val bucket = shiftrightunsigned(
-      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000
+      graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")), 12) % 1000
     val rate = ratePerMille.foldLeft(lit(defaultPerMille)) {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
@@ -114,7 +114,7 @@ object TextOps {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       perMillionPerUnit: Long): DataFrame = {
     val bucket = shiftrightunsigned(
-      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000000L
+      graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")), 12) % 1000000L
     // NULL weight → weight 0 → dropped. Explicit, because `least`
     // IGNORES nulls (least(1e6, null) = 1e6 would keep every null-weight
     // row), and engines disagree on least-vs-NULL semantics.
@@ -138,7 +138,7 @@ object TextOps {
   def topKSample(df: DataFrame, idCol: String, stratumCol: String,
       k: Int): DataFrame = {
     val key = shiftrightunsigned(
-      graft.functions.TextKernelExprs.mix64(col(idCol)), 12)
+      graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")), 12)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(key.asc, col(idCol).asc)
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
@@ -165,7 +165,14 @@ object TextOps {
       explode(words(col(textCol))).as("term"))
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the `tf >= 1` guard is always true (count of an existing group) but
+    // Catalyst can't prove it, so the df branch keeps consuming the tf
+    // column — WITHOUT it column pruning rewrites this branch's aggregate
+    // to keys-only, the two tf subtrees stop being identical, and
+    // ReuseExchange can no longer share the tokenize+explode+count work
+    // between the score join and this derivation (plan-asserted in spec)
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("score",
@@ -370,7 +377,7 @@ object TextOps {
     require(splits.forall(_._2 > 0), s"empty split in $splits")
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val bucket = shiftrightunsigned(
-      graft.functions.TextKernelExprs.mix64(col(idCol)), 12) % 1000
+      graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")), 12) % 1000
     val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
     // last branch is the unconditional otherwise: full coverage even if
     // a future edit breaks the cumulative chain
@@ -407,14 +414,17 @@ object TextOps {
     require(shards >= 1 && shards <= (1 << 20),
       s"shards must be in [1, 2^20], got $shards")
     val key = shiftrightunsigned(
-      graft.functions.TextKernelExprs.mix64(col(idCol)), 12)
-    // null text → 0 tokens (it consumes no budget but keeps its slot in
-    // the layout); without the coalesce a single null poisons every
-    // later start in its shard (null-propagating cumsum)
+      graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")), 12)
+    // null OR whitespace-only text → 0 tokens (it consumes no budget but
+    // keeps its slot in the layout): splitting the trimmed empty string
+    // yields [""] (1 token) and a null poisons every later start in its
+    // shard (null-propagating cumsum) — both guarded, matching the
+    // words()-based ops' accounting
     val base = df.select(col(idCol).cast("long").as("id"),
       col(stratumCol).as(stratumCol),
-      coalesce(size(split(trim(col(textCol)), "\\s+")).cast("long"),
-        lit(0L)).as("n_tokens"),
+      when(coalesce(length(trim(col(textCol))), lit(0)) === 0, lit(0L))
+        .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+        .as("n_tokens"),
       key.as("_k"))
       .withColumn("_shard", col("_k") % shards)
     val w = org.apache.spark.sql.expressions.Window

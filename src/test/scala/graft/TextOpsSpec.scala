@@ -147,6 +147,55 @@ class TextOpsSpec extends SparkSpec {
       Seq(("train", 990), ("heldout", 10))).count() == 4)
   }
 
+  test("packSequences: empty/whitespace text counts 0 tokens like null") {
+    val docs = Seq((1L, "two words", "en"), (2L, "", "en"),
+      (3L, "   ", "en"), (4L, null.asInstanceOf[String], "en"),
+      (5L, "one", "en")).toDF("doc_id", "text", "lang")
+    val toks = TextOps.packSequences(docs, "text", "doc_id", "lang",
+        budget = 100).as[(Long, String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(toks == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L),
+      s"got $toks")
+  }
+
+  test("deterministic-sampling ops accept int-typed id columns") {
+    // mix64's type check requires BIGINT — every op must cast, and the
+    // survivor/assignment sets must match the long-typed runs exactly
+    val ints = (1 to 500).map(i => (i, i.toLong % 7, "en", s"doc $i"))
+      .toDF("id", "w", "lang", "text")
+    val longs = ints.withColumn("id", col("id").cast("long"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id").cast("long")).as[Long].collect().toSet
+    assert(ids(TextOps.stratifiedSample(ints, "id", "lang", Map("en" -> 300), 0))
+      == ids(TextOps.stratifiedSample(longs, "id", "lang", Map("en" -> 300), 0)))
+    assert(ids(TextOps.weightedSample(ints, "id", "w", 200000L))
+      == ids(TextOps.weightedSample(longs, "id", "w", 200000L)))
+    assert(ids(TextOps.topKSample(ints, "id", "lang", 25))
+      == ids(TextOps.topKSample(longs, "id", "lang", 25)))
+    assert(TextOps.splitAssign(ints, "id", Seq(("a", 500), ("b", 500)))
+        .as[(Long, String, Long, Long)].collect().toSet
+      == TextOps.splitAssign(longs, "id", Seq(("a", 500), ("b", 500)))
+        .as[(Long, String, Long, Long)].collect().toSet)
+    assert(TextOps.packSequences(ints, "text", "id", "lang", budget = 64)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      == TextOps.packSequences(longs, "text", "id", "lang", budget = 64)
+        .as[(Long, String, Long, Long, Long)].collect().toSet)
+  }
+
+  test("salientTerms reuses the tf exchange (tokenize+count runs once)") {
+    val docs = (1L to 50L).map(i => (i, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.salientTerms(docs, "text", "doc_id", 3)
+        .queryExecution.executedPlan.toString
+      // tf is consumed twice (df derivation + the score join); the tf
+      // aggregation's exchange must be shared, not recomputed
+      assert(plan.contains("ReusedExchange"),
+        s"expected ReusedExchange in:\n${plan.take(4000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("weightedSample: deterministic, weight-proportional, capped") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100L else 900L))
       .toDF("id", "w")
