@@ -1141,11 +1141,85 @@ object SparkEntry {
           Map("en" -> 500, "de" -> 125, "es" -> 125,
             "fr" -> 125, "zh" -> 125))
         .select(col("doc_id"), col("lang"), col("kept"))
+    }),
+
+    // B17 through the SQL statement: PATTERN (a{2,2} b) — the parser
+    // maps variable quantifiers onto the NFA's Step(min,max), so the
+    // SQL surface covers the same quantified patterns as the Scala API
+    // (q34). Same semantics, same oracle.
+    "q86_mr_quantifier_sql" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_quant_view")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_quant_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a0_id, LAST(a.event_id) AS a1_id,
+          |           b.event_id AS b_id
+          |  PATTERN (a{2,2} b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // IVF over a TRAINED codebook — the production ANN shape:
+    // kmeansCentroids (the q74 rounds + one more integer-exact update)
+    // trains the coarse quantizer, ivfTopKTrained inlines the trained
+    // centroids into the map-side cell assignment and probes 2 cells.
+    // The oracle replays the WHOLE index, training included.
+    "q87_similarity_ivf_trained" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 8, iters = 2)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 25), cents,
+          "embedding", "vec_id", k = 3, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // B9/B28 cron end-to-end: the cron wall-clock field match
+    // (cronPredicate — the kernel under #window.cron and cron triggers,
+    // cronStream is this predicate over the rate source) as a per-event
+    // flag — minute set, hour range, ISO weekday set and the wildcard
+    // seconds all exercised; DuckDB replays the field match exactly.
+    "q88_cron_predicate" -> ((s, dir) => {
+      import graft.streaming.Emission
+      val spec = Emission.CronSpec(seconds = Nil,
+        minutes = Seq(0, 15, 30, 45), hours = (8 to 17).toSeq,
+        daysOfWeek = Seq(1, 2, 3, 4, 5))
+      evts(s, dir).select(col("event_id"),
+        Emission.cronPredicate(col("ts"), spec).cast("int").as("fired"))
     }))
 
   // -------------------------------------------------------------------
   //  oracle SQL (DuckDB dialect) — same table names, same column aliases
   // -------------------------------------------------------------------
+
+  /** q34/q86 oracle: quantified pattern a{2,2} b — each click paired
+    * with the NEXT click (lead over the click-only relation: intervening
+    * non-click events don't break the run), then the first purchase
+    * after the second click, within 2 h of the FIRST click. One match
+    * per leading click (overlapping; no skip-past).
+    */
+  private lazy val q34Oracle: String =
+    """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    lead(event_id) OVER w AS c2_id,
+      |    lead(epoch_us(ts)) OVER w AS c2_us
+      |  FROM events WHERE event_type = 'click'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+      |    FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.user_id, c.event_id AS a0_id, c.c2_id AS a1_id,
+      |    p.p_id AS b_id,
+      |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+      |      ORDER BY p.p_us, p.p_id) AS rn
+      |  FROM c JOIN p ON c.user_id = p.user_id AND c.c2_id IS NOT NULL
+      |    AND (p.p_us > c.c2_us OR (p.p_us = c.c2_us AND p.p_id > c.c2_id))
+      |    AND p.p_us - c.us <= 7200000000)
+      |SELECT user_id, a0_id, a1_id, b_id FROM j WHERE rn = 1""".stripMargin
 
   /** q26 oracle: the LSH sign-bucket join replicated in SQL. The
     * hyperplanes are deterministic ([[Vectors.planes]], seed 42), so they
@@ -1358,6 +1432,49 @@ object SparkEntry {
        |SELECT m.vec_id, m.cluster,
        |  CAST(CASE WHEN dr.idb IS NULL THEN 1 ELSE 0 END AS INT) AS kept
        |FROM m LEFT JOIN dr ON m.vec_id = dr.idb""".stripMargin
+  }
+
+  /** q87 oracle: the FULL trained-IVF index replayed — the q74 k-means
+    * rounds, PLUS one more integer-exact centroid update (= the trained
+    * codebook `kmeansCentroids` emits), then the q47 IVF probe replica
+    * over those centroids: nearest-centroid assignment (cosine desc,
+    * cid asc), 2-cell probe for queries vec_id < 25, exact in-cell
+    * cosine top-3.
+    */
+  private lazy val q87Oracle: String = {
+    def dotv(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
+    def cos(a: String, b: String) =
+      s"(${dotv(a, b)}) / (sqrt(${dotv(a, a)}) * sqrt(${dotv(b, b)}))"
+    s"""$kmeansCtes,
+       |sx2 AS (SELECT a2.cid, unnest(list_transform(range(1, len(e.x) + 1),
+       |    di -> {'pos': di,
+       |      'sxv': floor(e.x[di]::DOUBLE * 1048576.0)::BIGINT})) AS u
+       |  FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+       |s2 AS (SELECT cid, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
+       |    count(*)::BIGINT AS cnt FROM sx2 GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
+       |    ORDER BY pos) AS cv FROM s2 GROUP BY cid),
+       |sc AS (SELECT e.vec_id, c.cid, ${cos("e.x", "c.cv")} AS score
+       |  FROM e CROSS JOIN c2 c),
+       |rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cid) AS rk FROM sc),
+       |ccell AS (SELECT vec_id AS neighbor_id, cid FROM rk WHERE rk = 1),
+       |qcell AS (SELECT vec_id AS query_id, cid FROM rk
+       |  WHERE rk <= 2 AND vec_id < 25),
+       |pairs AS (SELECT q.query_id, c.neighbor_id,
+       |    ${cos("eq.x", "ec.x")} AS cos
+       |  FROM qcell q JOIN ccell c ON q.cid = c.cid
+       |    AND q.query_id <> c.neighbor_id
+       |    JOIN e eq ON eq.vec_id = q.query_id
+       |    JOIN e ec ON ec.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+       |FROM r WHERE rank <= 3""".stripMargin
   }
 
   /** q77 oracle: hash-order (mix64 >> 12) layout, per-(lang, shard)
@@ -2146,6 +2263,18 @@ object SparkEntry {
     "q83_window_dup" -> q83Oracle,
     "q84_corpus_profile" -> q84Oracle,
     "q85_quantize_int8" -> q85Oracle,
+    "q86_mr_quantifier_sql" -> q34Oracle,
+    "q87_similarity_ivf_trained" -> q87Oracle,
+
+    // the cron field match replayed on DuckDB's clock functions —
+    // isodow is the same 1=Monday convention as CronSpec/java.time
+    "q88_cron_predicate" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN minute(ts) IN (0, 15, 30, 45)
+        |    AND hour(ts) IN (8,9,10,11,12,13,14,15,16,17)
+        |    AND isodow(ts) IN (1,2,3,4,5) THEN 1 ELSE 0 END AS INT)
+        |    AS fired
+        |FROM events""".stripMargin,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate
@@ -2342,23 +2471,9 @@ object SparkEntry {
         |SELECT user_id, a_id, b_id FROM d2 WHERE rn = 1""".stripMargin,
 
     // click pair (each click + the next click) then the first purchase
-    // after the second click, within 2 h of the FIRST click
-    "q34_quantifier" ->
-      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-        |    lead(event_id) OVER w AS c2_id,
-        |    lead(epoch_us(ts)) OVER w AS c2_us
-        |  FROM events WHERE event_type = 'click'
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
-        |    FROM events WHERE event_type = 'purchase'),
-        |j AS (SELECT c.user_id, c.event_id AS a0_id, c.c2_id AS a1_id,
-        |    p.p_id AS b_id,
-        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
-        |      ORDER BY p.p_us, p.p_id) AS rn
-        |  FROM c JOIN p ON c.user_id = p.user_id AND c.c2_id IS NOT NULL
-        |    AND (p.p_us > c.c2_us OR (p.p_us = c.c2_us AND p.p_id > c.c2_id))
-        |    AND p.p_us - c.us <= 7200000000)
-        |SELECT user_id, a0_id, a1_id, b_id FROM j WHERE rn = 1""".stripMargin,
+    // after the second click, within 2 h of the FIRST click — shared
+    // with q86 (the same semantics through the SQL statement)
+    "q34_quantifier" -> q34Oracle,
 
     // high-value click followed by the first purchase within 10 min —
     // the cross-stream envelope reduces to this on the events table

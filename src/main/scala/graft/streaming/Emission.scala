@@ -106,7 +106,10 @@ object Emission {
       m(hour(ts), spec.hours) ++
       m(dayofmonth(ts), spec.daysOfMonth) ++
       m(month(ts), spec.months) ++
-      m(dayofweek(ts), spec.daysOfWeek)) // Spark: 1=Sunday…
+      // weekday() is 0=Monday; +1 = the documented java.time/ISO 1-7
+      // Mon-Sun convention (Spark's dayofweek() is 1=SUNDAY — using it
+      // here would shift every daysOfWeek spec by one day)
+      m(weekday(ts) + 1, spec.daysOfWeek))
       .reduceOption(_ && _).getOrElse(lit(true))
   }
 

@@ -88,6 +88,19 @@ class EmissionSpec extends SparkSpec {
       "2026-08-12 09:15:00.0", "2026-08-12 10:45:00.0"))
   }
 
+  test("cronPredicate daysOfWeek follows the documented ISO 1=Monday") {
+    import org.apache.spark.sql.functions._
+    // 2026-08-12 = Wednesday (ISO 3); 13th = Thursday, 16th = Sunday.
+    // Spark's dayofweek() (1=SUNDAY) here would match the 16th instead.
+    val spec = Emission.CronSpec(seconds = Nil, daysOfWeek = Seq(3))
+    val ts = Seq("2026-08-12 10:00:00", "2026-08-13 10:00:00",
+      "2026-08-16 10:00:00")
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+    val got = ts.filter(Emission.cronPredicate($"ts", spec))
+      .as[java.sql.Timestamp].collect().map(_.toString).toSeq
+    assert(got == Seq("2026-08-12 10:00:00.0"))
+  }
+
   test("cronStream is a streaming source built on the cron predicate") {
     val c = Emission.cronStream(spark,
       Emission.CronSpec(seconds = Seq(0), minutes = Seq(0)))
