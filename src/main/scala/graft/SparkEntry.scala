@@ -505,13 +505,19 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("cnt"))
     }),
 
-    // LLM multimodal: binary payload + typed metadata via the decode
-    // stub — deterministic, so the oracle replicates it byte-for-byte
+    // LLM multimodal: binary payload + typed metadata through the REAL
+    // batched decode kernel (javax.imageio) — synthetic text payloads
+    // aren't decodable images, so every row takes the deterministic
+    // stub fallback and the oracle replicates it byte-for-byte; real
+    // pixels are spec-covered (MultimodalSpec PNG fixture)
     "q39_multimodal_decode" -> ((s, dir) => {
-      Multimodal.synthesize(ld(s, dir, "documents"), "text")
-        .select(col("doc_id"), Multimodal.decode(col("payload")).as("m"))
-        .select(col("doc_id"), col("m.media_type"), col("m.width"),
-          col("m.height"), col("m.n_frames"))
+      import s.implicits._
+      val bin = Multimodal.synthesize(ld(s, dir, "documents"), "text")
+        .select(col("doc_id").as("id"), col("payload"))
+        .as[Multimodal.BinAsset]
+      Multimodal.decodeAssets(bin).toDF()
+        .select(col("id").as("doc_id"), col("media_type"), col("width"),
+          col("height"), col("n_frames"))
     }),
 
     // LLM multimodal: batched partition-wise byte-statistics kernel
@@ -877,16 +883,17 @@ object SparkEntry {
           Quantiles.quantile(col("h"), 0.99).as("p99_lb"))
     }),
 
-    // LLM multimodal: the resize kernel stub — aspect-fit dimensions
-    // from decode metadata + deterministic content digest
+    // LLM multimodal: the REAL resize kernel (ImageIO + deterministic
+    // nearest-neighbor resample); non-image payloads take the stub
+    // fallback (aspect-fit + payload digest) the oracle replays
     "q54_multimodal_resize" -> ((s, dir) => {
-      Multimodal.synthesize(ld(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("payload"),
-          Multimodal.decode(col("payload")).as("m"))
-        .select(col("doc_id"),
-          Multimodal.resize(col("payload"), col("m"), 224, 224).as("r"))
-        .select(col("doc_id"), col("r.out_w"), col("r.out_h"),
-          col("r.content_digest"))
+      import s.implicits._
+      val bin = Multimodal.synthesize(ld(s, dir, "documents"), "text")
+        .select(col("doc_id").as("id"), col("payload"))
+        .as[Multimodal.BinAsset]
+      Multimodal.resizeAssets(bin, 224, 224).toDF()
+        .select(col("id").as("doc_id"), col("out_w"), col("out_h"),
+          col("content_digest"))
     }),
 
     // LLM dedup: exact word-3-gram Jaccard over MinHash-LSH candidates.

@@ -43,6 +43,71 @@ class MultimodalSpec extends SparkSpec {
     assert(b1.toSeq == b64.toSeq)
   }
 
+  /** An in-memory PNG: 8x6, pixel (x,y) = opaque ARGB with R=x*30,
+    * G=y*40, B=(x+y)*10 — known values for decode + resample asserts.
+    */
+  private def fixturePng(w: Int = 8, h: Int = 6): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, 0xFF000000 | (x * 30 << 16) | (y * 40 << 8) |
+        ((x + y) * 10))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeAssets parses REAL PNG pixels; non-images take the stub") {
+    val png = fixturePng()
+    val txt = "not an image at all".getBytes("UTF-8") // n=19
+    val ds = Seq(BinAsset(1L, png), BinAsset(2L, txt),
+      BinAsset(3L, null)).toDS()
+    val got = Multimodal.decodeAssets(ds).collect().map(d => d.id -> d).toMap
+    assert(got(1L).media_type == "image" && got(1L).real_decode)
+    assert(got(1L).width.contains(8) && got(1L).height.contains(6))
+    // stub fallback must equal the Column stub exactly (n=19: audio,
+    // 64+19, 64+133, 1+19)
+    assert(!got(2L).real_decode && got(2L).media_type == "audio")
+    assert(got(2L).width.contains(83) && got(2L).height.contains(197) &&
+      got(2L).n_frames.contains(20))
+    // null payload mirrors the Column stub's null propagation
+    assert(got(3L).media_type == "video" && got(3L).width.isEmpty)
+  }
+
+  test("resizeAssets: real nearest-neighbor pixels, exact digest") {
+    val png = fixturePng() // 8x6 → fit in 4x4 box: scale 0.5 → 4x3
+    val ds = Seq(BinAsset(1L, png)).toDS()
+    val got = Multimodal.resizeAssets(ds, 4, 4).collect().head
+    assert(got.real_decode && got.out_w.contains(4) && got.out_h.contains(3))
+    // replicate the kernel's resample by hand from the known fixture:
+    // src = (x*8/4, y*6/3) = (2x, 2y); ARGB bytes big-endian row-major
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (sx, sy) = (2 * x, 2 * y)
+      val v = 0xFF000000 | (sx * 30 << 16) | (sy * 40 << 8) | ((sx + sy) * 10)
+      md.update(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte))
+    }
+    val expect = md.digest().map(b => f"$b%02x").mkString
+    assert(got.content_digest.contains(expect))
+  }
+
+  test("resizeAssets stub fallback equals the Column resize exactly") {
+    val txt = (1L to 40L).map(i => (i, s"payload ${"y" * (i % 23).toInt} $i"))
+      .toDF("id", "text")
+    val viaKernel = Multimodal.resizeAssets(
+        Multimodal.synthesize(txt, "text")
+          .select($"id", $"payload").as[BinAsset], 224, 224)
+      .collect().map(r => (r.id, r.out_w.get, r.out_h.get,
+        r.content_digest.get)).toSet
+    val viaColumn = Multimodal.synthesize(txt, "text")
+      .select($"id", $"payload", Multimodal.decode($"payload").as("m"))
+      .select($"id", Multimodal.resize($"payload", $"m", 224, 224).as("r"))
+      .select($"id", $"r.out_w", $"r.out_h", $"r.content_digest")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(viaKernel == viaColumn)
+  }
+
   test("partitionForPayloads sizes partitions by bytes, not rows") {
     val df = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("id", "text")
     val parts = Multimodal.partitionForPayloads(df,
