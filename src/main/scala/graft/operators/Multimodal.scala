@@ -95,12 +95,24 @@ object Multimodal {
       out_h: Option[Int], content_digest: Option[String],
       real_decode: Boolean)
 
+  /** Container magic bytes for the formats ImageIO ships readers for —
+    * the fast reject gate: a 100 TB mixed corpus must not pay ImageIO's
+    * reader-registry scan + stream setup per NON-image payload (measured
+    * 6× on the decode bench before this gate).
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M')
+
   /** ImageIO parse, null-safe and exception-safe: None = not a
     * decodable image (wrong magic, truncated, or a non-image payload).
     */
   private def readImage(
       payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (payload == null || payload.length < 8) None
+    if (payload == null || payload.length < 8 || !looksLikeImage(payload))
+      None
     else
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
