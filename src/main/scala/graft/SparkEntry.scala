@@ -905,6 +905,10 @@ object SparkEntry {
     // per-slot template as q23) while candidates stay near-linear.
     // Outputs are the exact integer intersection/union sizes — the
     // jaccard double never crosses the hash gate.
+    // NOTE: maxBucket = 0 (uncapped) is an ORACLE-PARITY config — the
+    // external replay must see every candidate. A production call sets
+    // maxBucket (> 0) so one degenerate band bucket can't go quadratic;
+    // the cap path is exercised by DedupSpec's skew guard.
     "q65_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(ld(s, dir, "documents"), "text", "doc_id",
           ngram = 3, threshold = 0.5, numHashes = 4, bands = 1,
@@ -1199,6 +1203,15 @@ object SparkEntry {
         daysOfWeek = Seq(1, 2, 3, 4, 5))
       evts(s, dir).select(col("event_id"),
         Emission.cronPredicate(col("ts"), spec).cast("int").as("fired"))
+    }),
+
+    // Product quantization: 64-dim embeddings → 2 subspace codes, each
+    // subspace's codebook trained with the q74 integer-exact Lloyd
+    // rounds over the SLICED vector (scan-side slice, map-side argmin).
+    // The oracle replays both subspace pipelines end-to-end.
+    "q89_pq_codes" -> ((s, dir) => {
+      Similarity.pqCodes(ld(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, m = 2, k = 4, iters = 2)
     }))
 
   // -------------------------------------------------------------------
@@ -1373,16 +1386,20 @@ object SparkEntry {
     * coordinate (`list(... ORDER BY pos)` = the Spark side's
     * array_sort-by-pos rebuild). Callers append their final shape.
     */
-  private lazy val kmeansCtes: String = {
+  /** Generic form of the replay, parameterized on the vector expression
+    * and k so q89 (product quantization) replays the same math per
+    * SLICED subspace. [[kmeansCtes]] is the (embedding, k=8) instance.
+    */
+  private def kmeansRounds(xExpr: String, k: Int): String = {
     def dot(a: String, bcol: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), " +
         s"di -> $a[di]::DOUBLE * $bcol[di]::DOUBLE))"
     def dist(x: String, c: String) =
       s"(${dot(x, x)}) - 2.0 * (${dot(x, c)}) + (${dot(c, c)})"
-    s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+    s"""WITH e AS (SELECT vec_id, $xExpr AS x FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, x AS cv FROM e
        |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-       |    ORDER BY vec_id LIMIT 8)),
+       |    ORDER BY vec_id LIMIT $k)),
        |d1 AS (SELECT e.vec_id, c0.cid, e.x,
        |    ${dist("x", "cv")} AS dist
        |  FROM e CROSS JOIN c0),
@@ -1405,6 +1422,23 @@ object SparkEntry {
        |    SELECT vec_id, cid, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val kmeansCtes: String = kmeansRounds("embedding", 8)
+
+  /** q89 oracle: the PQ encoding — one full k-means replay PER
+    * SUBSPACE over the sliced vector (DuckDB list slices are 1-based
+    * inclusive, matching Spark's `slice(col, start, length)`), each
+    * scoped as its own WITH-subquery, unioned with the subspace tag.
+    */
+  private lazy val q89Oracle: String = {
+    def subQ(s: Int, xExpr: String) =
+      s"""SELECT vec_id, CAST($s AS INT) AS subspace, cid AS code FROM (
+         |${kmeansRounds(xExpr, 4)}
+         |SELECT vec_id, cid FROM a2)""".stripMargin
+    s"""${subQ(0, "embedding[1:32]")}
+       |UNION ALL
+       |${subQ(1, "embedding[33:64]")}""".stripMargin
   }
 
   private lazy val q74Oracle: String =
@@ -2282,6 +2316,8 @@ object SparkEntry {
         |    AND isodow(ts) IN (1,2,3,4,5) THEN 1 ELSE 0 END AS INT)
         |    AS fired
         |FROM events""".stripMargin,
+
+    "q89_pq_codes" -> q89Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -307,6 +307,44 @@ object Similarity {
         df.checkpoint()
       case None => df
     }
+  /** Product-quantization codes — the billion-scale ANN compression
+    * step (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the vector splits into `m` contiguous
+    * subspaces, each subspace trains its own k-codeword codebook with
+    * the same integer-exact Lloyd rounds as [[kmeansAssign]], and every
+    * vector is encoded as its nearest sub-centroid id per subspace —
+    * `dim` floats collapse to `m` codes (e.g. 64 dims → 2 bytes at
+    * m=2, k≤256).
+    *
+    * Output: `(vec_id, subspace, code)` — one row per (vector,
+    * subspace); `code` is the winning init-centroid's vec_id within
+    * that subspace's codebook (the [[kmeansAssign]] cluster-id
+    * convention). Every float op is the proven q74 arithmetic, so the
+    * codes replay exactly in external SQL.
+    *
+    * Scale shape: `m` independent Lloyd pipelines over SLICED vectors —
+    * the slice is a scan-side projection, each subspace's assignment is
+    * the map-side broadcast-codebook argmin (the corpus never shuffles),
+    * and only (k · dim/m)-sized centroid updates cross an exchange. The
+    * union of the m code sets is plan-level only (no barrier).
+    */
+  def pqCodes(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must be a positive multiple of m ($m)")
+    val subLen = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol).cast("long").as("vec_id"),
+        slice(col(vecCol).cast("array<double>"),
+          s * subLen + 1, subLen).as("_sub"))
+      kmeansAssign(sub, "_sub", "vec_id", k, iters,
+          checkpointDir = checkpointDir)
+        .select(col("vec_id"), lit(s).cast("int").as("subspace"),
+          col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means partitions the corpus into cells so the
     * O(n²) cosine comparison never crosses a cell boundary; a vector is

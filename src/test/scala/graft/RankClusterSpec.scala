@@ -155,6 +155,49 @@ class RankClusterSpec extends SparkSpec {
     assert(run(vecs.repartition(19)) == base)
   }
 
+  test("pqCodes: per-subspace codebooks separate subspace structure") {
+    // 4 dims, m=2: dims 0-1 cluster by i%2, dims 2-3 cluster by i%3==0 —
+    // DIFFERENT groupings per subspace, which one whole-vector k-means
+    // could not encode
+    val vecs = (0L until 60L).map { i =>
+      val a = if (i % 2 == 0) 0.0f else 10.0f
+      val b = if (i % 3 == 0) -5.0f else 5.0f
+      (i, Array(a, a + 0.01f * (i % 4), b, b - 0.01f * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(vecs, "embedding", "vec_id",
+      dim = 4, m = 2, k = 2, iters = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 120)
+    val bySub = out.groupBy(_._2)
+    // subspace 0 groups by i%2, subspace 1 by i%3==0 (code values are
+    // init vec_ids; only the PARTITION must match the planted structure)
+    Seq(
+      (0, (i: Long) => i % 2 == 0),
+      (1, (i: Long) => i % 3 == 0)
+    ).foreach { case (s, side) =>
+      val codes = bySub(s).map(r => r._1 -> r._3).toMap
+      val g0 = codes.filter(kv => side(kv._1)).values.toSet
+      val g1 = codes.filterNot(kv => side(kv._1)).values.toSet
+      assert(g0.size == 1 && g1.size == 1 && g0 != g1,
+        s"subspace $s: $g0 vs $g1")
+    }
+  }
+
+  test("pqCodes is partitioning-independent and validates dims") {
+    val vecs = (0L until 90L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 3) % 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodes(d, "embedding", "vec_id", dim = 8, m = 4, k = 3)
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val base = run(vecs)
+    assert(base.map(_._2).toSet == Set(0, 1, 2, 3))
+    assert(run(vecs.repartition(13)) == base)
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodes(vecs, "embedding", "vec_id", dim = 8, m = 3, k = 2)
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
