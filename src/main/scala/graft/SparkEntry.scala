@@ -1212,6 +1212,19 @@ object SparkEntry {
     "q89_pq_codes" -> ((s, dir) => {
       Similarity.pqCodes(ld(s, dir, "embeddings"), "embedding", "vec_id",
         dim = 64, m = 2, k = 4, iters = 2)
+    }),
+
+    // PQ asymmetric-distance search (ADC): compressed-domain top-3 for
+    // the 25 lowest-id queries — map-side encoding, broadcast distance
+    // tables, WindowGroupLimit top-k. The oracle replays codebook
+    // training, encoding, the distance tables and the fixed-order
+    // subspace sum.
+    "q90_pq_adc_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 25), "embedding",
+          "vec_id", dim = 64, m = 2, k = 4, topK = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc_dist"), 6).as("adc_dist"))
     }))
 
   // -------------------------------------------------------------------
@@ -1439,6 +1452,38 @@ object SparkEntry {
     s"""${subQ(0, "embedding[1:32]")}
        |UNION ALL
        |${subQ(1, "embedding[33:64]")}""".stripMargin
+  }
+
+  /** q90 oracle: PQ ADC search replayed — per subspace, the k-means
+    * rounds (codes = a2, codebook = c1, the one a2 indexes), then the
+    * query-to-centroid distance join and the FIXED-ORDER subspace sum
+    * `d0 + d1` (one IEEE add, same as the Spark fold), ranked ascending
+    * with the neighbor-id tie-break.
+    */
+  private lazy val q90Oracle: String = {
+    def dotv(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
+    def part(xExpr: String) =
+      s"""(${kmeansRounds(xExpr, 4)}
+         |SELECT qe.vec_id AS query_id, a.vec_id,
+         |  ${dist("qe.x", "c.cv")} AS d
+         |FROM a2 a JOIN c1 c ON c.cid = a.cid,
+         |  (SELECT vec_id, x FROM e WHERE vec_id < 25) qe)""".stripMargin
+    s"""WITH p0 AS ${part("embedding[1:32]")},
+       |p1 AS ${part("embedding[33:64]")},
+       |g AS (SELECT p0.query_id, p0.vec_id AS neighbor_id,
+       |    p0.d + p1.d AS adc
+       |  FROM p0 JOIN p1 ON p0.query_id = p1.query_id
+       |    AND p0.vec_id = p1.vec_id
+       |  WHERE p0.query_id <> p0.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+       |  FROM g)
+       |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM r WHERE rank <= 3""".stripMargin
   }
 
   private lazy val q74Oracle: String =
@@ -2318,6 +2363,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q89_pq_codes" -> q89Oracle,
+    "q90_pq_adc_topk" -> q90Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -233,47 +233,63 @@ object Similarity {
       lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir),
       (1L << scaleBits).toDouble)
 
+  /** Map-side nearest-centroid argmin: the k-row `(cid, cv)` codebook
+    * collapses into ONE sorted array-of-structs row (broadcast
+    * nested-loop join attaches it to every partition; sorted by cid so
+    * the transform order — and therefore tie-breaking — is
+    * deterministic), and the winner is `array_sort` over per-centroid
+    * `(dist, cid)` structs. Adds `outCol` = nearest cid for `xCol`;
+    * zero shuffle, zero row amplification.
+    */
+  private def argminCodebook(df: DataFrame, xCol: String,
+      cents: DataFrame, outCol: String): DataFrame = {
+    val codebook = cents.agg(array_sort(
+      collect_list(struct(col("cid"), col("cv")))).as("_cl"))
+    val ranked = array_sort(transform(col("_cl"), c => {
+      val cv = c.getField("cv")
+      struct(
+        (Vectors.dot(col(xCol), col(xCol)) -
+          lit(2.0) * Vectors.dot(col(xCol), cv) +
+          Vectors.dot(cv, cv)).as("d"),
+        c.getField("cid").as("cid"))
+    }))
+    df.crossJoin(broadcast(codebook))
+      .withColumn(outCol, element_at(ranked, 1).getField("cid"))
+      .drop("_cl")
+  }
+
   /** The shared Lloyd core: `iters` assignment rounds, returning the
     * final `(vec_id, cid, x)` frame (assignment WITH the vector, so
-    * callers never rejoin the corpus).
+    * callers never rejoin the corpus) AND the codebook that final
+    * assignment indexes (the round-(iters-1) centroids) — ADC scoring
+    * must use exactly that codebook.
     */
-  private def lloyd(df: DataFrame, vecCol: String, idCol: String,
+  private def lloydFull(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int, scaleBits: Int,
-      checkpointDir: Option[String]): DataFrame = {
+      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val scale = (1L << scaleBits).toDouble
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
-    def assign(cents: DataFrame): DataFrame = {
-      // whole codebook as one row: broadcast nested-loop join attaches
-      // it to every partition; sorted by cid so the transform order
-      // (and therefore tie-breaking) is deterministic
-      val codebook = cents.agg(array_sort(
-        collect_list(struct(col("cid"), col("cv")))).as("_cl"))
-      val ranked = array_sort(transform(col("_cl"), c => {
-        val cv = c.getField("cv")
-        struct(
-          (Vectors.dot(col("x"), col("x")) -
-            lit(2.0) * Vectors.dot(col("x"), cv) +
-            Vectors.dot(cv, cv)).as("d"),
-          c.getField("cid").as("cid"))
-      }))
-      e.crossJoin(broadcast(codebook))
-        .select(col("vec_id"),
-          element_at(ranked, 1).getField("cid").as("cid"),
-          col("x"))
-    }
-    val init = e.orderBy(col("vec_id")).limit(k)
+    def assign(cents: DataFrame): DataFrame =
+      argminCodebook(e, "x", cents, "cid")
+        .select(col("vec_id"), col("cid"), col("x"))
+    var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("x").as("cv"))
-    var assigned = assign(init)
+    var assigned = assign(cents)
     var i = 1
     while (i < iters) {
-      assigned = assign(
-        checkpointed(centroidUpdate(assigned, scale), checkpointDir))
+      cents = checkpointed(centroidUpdate(assigned, scale), checkpointDir)
+      assigned = assign(cents)
       i += 1
     }
-    assigned
+    (assigned, cents)
   }
+
+  private def lloyd(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, scaleBits: Int,
+      checkpointDir: Option[String]): DataFrame =
+    lloydFull(df, vecCol, idCol, k, iters, scaleBits, checkpointDir)._1
 
   /** One integer-exact Lloyd centroid update over `(cid, x)` rows:
     * floor(x·2^scaleBits) long sums per (cluster, dim), rebuilt in pos
@@ -343,6 +359,77 @@ object Similarity {
         .select(col("vec_id"), lit(s).cast("int").as("subspace"),
           col("cluster").as("code"))
     }.reduce(_ unionByName _)
+  }
+
+  /** PQ asymmetric-distance top-k (ADC; Jégou et al. 2011 §IV): train
+    * per-subspace codebooks, encode the corpus ONCE as `m` codes per
+    * vector, and score each query against the codes via a per-query
+    * distance TABLE (query-subvector → each sub-centroid, |Q|·k·m rows)
+    * instead of per-vector float math — the compressed-domain search
+    * that makes billion-scale scans affordable.
+    *
+    * Output: `(query_id, neighbor_id, adc_dist, rank)`, rank 1..topK by
+    * ascending ADC distance (sum over subspaces of the squared
+    * query-to-sub-centroid distance, added in subspace order — a fixed
+    * IEEE fold, externally replayable).
+    *
+    * Scale shape: encoding is a pure map-side projection (one
+    * [[argminCodebook]] per subspace over the scan — NO join, NO
+    * shuffle); the distance tables are tiny broadcasts; the only
+    * O(N·|Q|) stage is the final scored relation, which feeds a
+    * rank-window whose `rank <= topK` filter triggers WindowGroupLimit
+    * (map-side partial top-k). Exact within the quantized domain;
+    * compose with IVF cells for the sub-linear production path.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, m: Int, k: Int, topK: Int,
+      iters: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must be a positive multiple of m ($m)")
+    require(topK >= 1)
+    val subLen = dim / m
+    def subVec(s: Int, c: Column) =
+      slice(c.cast("array<double>"), s * subLen + 1, subLen)
+    def dist(x: Column, cv: Column) =
+      Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
+        Vectors.dot(cv, cv)
+    // train each subspace codebook; keep the codebook the final
+    // assignment indexes (lloydFull) for both encoding and the tables
+    val cents = (0 until m).map { s =>
+      val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
+        subVec(s, col(vecCol)).as("_sub"))
+      lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
+        checkpointDir = None)._2
+    }
+    // encode: ONE projection over the corpus scan, all m argmins
+    // map-side (each codebook rides in as a 1-row broadcast)
+    val base = corpus.select(
+      col(idCol).cast("long").as("vec_id") +:
+        (0 until m).map(s => subVec(s, col(vecCol)).as(s"_x$s")): _*)
+    val coded = (0 until m).foldLeft(base) { (acc, s) =>
+      argminCodebook(acc, s"_x$s", cents(s), s"_c$s")
+    }.select(col("vec_id") +: (0 until m).map(s => col(s"_c$s")): _*)
+    // ADC distance tables: |Q|·k rows per subspace, broadcast into the
+    // codes — scoring is a lookup, never per-pair vector math
+    val scored0 = (0 until m).foldLeft(coded) { (acc, s) =>
+      val dtab = queries.select(col(idCol).cast("long").as("query_id"),
+          subVec(s, col(vecCol)).as("_q"))
+        .crossJoin(broadcast(cents(s)))
+        .select(col("query_id"), col("cid").as(s"_c$s"),
+          dist(col("_q"), col("cv")).as(s"_d$s"))
+      acc.join(broadcast(dtab),
+        if (s == 0) Seq(s"_c$s") else Seq(s"_c$s", "query_id"))
+    }
+    val adc = (0 until m).map(s => col(s"_d$s")).reduce(_ + _)
+    val scored1 = scored0.select(col("query_id"),
+      col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
+    val scored =
+      if (excludeSelf) scored1.filter(col("query_id") =!= col("neighbor_id"))
+      else scored1
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,

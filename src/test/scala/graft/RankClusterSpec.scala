@@ -198,6 +198,47 @@ class RankClusterSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK with k=N, iters=1 degenerates to exact L2 brute force") {
+    // every vector is its own codeword, so the ADC distance IS the
+    // exact (dot-form) squared L2 distance — a differential model check
+    val raw = (0L until 30L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(vecs, vecs.filter($"vec_id" < 5),
+        "embedding", "vec_id", dim = 4, m = 1, k = 30, topK = 4, iters = 1)
+      .select($"query_id", $"neighbor_id", $"adc_dist", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val dv = raw.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    (0L until 5L).foreach { q =>
+      val expect = dv.keys.filter(_ != q).toSeq
+        .map { n =>
+          val (x, c) = (dv(q), dv(n))
+          (n, dot(x, x) - 2.0 * dot(x, c) + dot(c, c))
+        }
+        .sortBy { case (n, d) => (d, n) }.take(4)
+      val mine = got.filter(_._1 == q).sortBy(_._4)
+        .map(r => (r._2, r._3)).toSeq
+      assert(mine == expect, s"query $q: $mine vs $expect")
+    }
+  }
+
+  test("pqTopK plan: top-k pushes down, encoding stays map-side") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 5) % 19).toFloat)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.pqTopK(vecs, vecs.filter($"vec_id" < 3),
+          "embedding", "vec_id", dim = 8, m = 2, k = 4, topK = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+      assert(!plan.contains("hashpartitioning(vec_id"),
+        "encoding shuffled on vec_id:\n" + plan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
