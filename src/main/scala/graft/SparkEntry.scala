@@ -1225,6 +1225,20 @@ object SparkEntry {
           "vec_id", dim = 64, m = 2, k = 4, topK = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("adc_dist"), 6).as("adc_dist"))
+    }),
+
+    // IVF-PQ: the production ANN composition — trained coarse cells
+    // bound the candidate set (sub-linear), PQ ADC scores it in the
+    // compressed domain. One map-side projection assigns cell + both
+    // subspace codes; the oracle replays coarse training, cell probe,
+    // PQ training, encoding and the ADC sum end-to-end.
+    "q91_ivf_pq_topk" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 25), "embedding",
+          "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
+          topK = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc_dist"), 6).as("adc_dist"))
     }))
 
   // -------------------------------------------------------------------
@@ -1489,6 +1503,57 @@ object SparkEntry {
   private lazy val q74Oracle: String =
     s"""$kmeansCtes
        |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+
+  /** q91 oracle: IVF-PQ end-to-end — the q87 trained-coarse chain
+    * (k-means rounds + one more update = c2) drives cell assignment
+    * (argmin dist, cid tie-break) and the 2-cell query probe; the q90
+    * per-subspace parts supply the ADC distances; the cell-pair join
+    * bounds which pairs score. All three k-means replays live in one
+    * statement (inner WITHs shadow the coarse CTE names per subspace).
+    */
+  private lazy val q91Oracle: String = {
+    def dotv(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
+    def part(xExpr: String) =
+      s"""(${kmeansRounds(xExpr, 4)}
+         |SELECT qe.vec_id AS query_id, a.vec_id,
+         |  ${dist("qe.x", "c.cv")} AS d
+         |FROM a2 a JOIN c1 c ON c.cid = a.cid,
+         |  (SELECT vec_id, x FROM e WHERE vec_id < 25) qe)""".stripMargin
+    s"""$kmeansCtes,
+       |sx2 AS (SELECT a2.cid, unnest(list_transform(range(1, len(e.x) + 1),
+       |    di -> {'pos': di,
+       |      'sxv': floor(e.x[di]::DOUBLE * 1048576.0)::BIGINT})) AS u
+       |  FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+       |s2 AS (SELECT cid, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
+       |    count(*)::BIGINT AS cnt FROM sx2 GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
+       |    ORDER BY pos) AS cv FROM s2 GROUP BY cid),
+       |csc AS (SELECT e.vec_id, c.cid, ${dist("e.x", "c.cv")} AS d
+       |  FROM e CROSS JOIN c2 c),
+       |crk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cid) AS rk FROM csc),
+       |ccell AS (SELECT vec_id, cid FROM crk WHERE rk = 1),
+       |qcell AS (SELECT vec_id AS query_id, cid FROM crk
+       |  WHERE rk <= 2 AND vec_id < 25),
+       |cp AS (SELECT q.query_id, c.vec_id FROM qcell q
+       |  JOIN ccell c ON q.cid = c.cid AND q.query_id <> c.vec_id),
+       |p0 AS ${part("embedding[1:32]")},
+       |p1 AS ${part("embedding[33:64]")},
+       |g AS (SELECT cp.query_id, cp.vec_id AS neighbor_id,
+       |    p0.d + p1.d AS adc
+       |  FROM cp
+       |    JOIN p0 ON p0.query_id = cp.query_id AND p0.vec_id = cp.vec_id
+       |    JOIN p1 ON p1.query_id = cp.query_id AND p1.vec_id = cp.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+       |  FROM g)
+       |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
 
   /** q76 oracle: the q74 k-means replay feeding the intra-cell cosine
     * pair join and the lower-id drop election. The cosine is the exact
@@ -2364,6 +2429,7 @@ object SparkEntry {
 
     "q89_pq_codes" -> q89Oracle,
     "q90_pq_adc_topk" -> q90Oracle,
+    "q91_ivf_pq_topk" -> q91Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

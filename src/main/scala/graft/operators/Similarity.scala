@@ -241,8 +241,8 @@ object Similarity {
     * `(dist, cid)` structs. Adds `outCol` = nearest cid for `xCol`;
     * zero shuffle, zero row amplification.
     */
-  private def argminCodebook(df: DataFrame, xCol: String,
-      cents: DataFrame, outCol: String): DataFrame = {
+  private def codebookRanks(cents: DataFrame,
+      xCol: String): (DataFrame, Column) = {
     val codebook = cents.agg(array_sort(
       collect_list(struct(col("cid"), col("cv")))).as("_cl"))
     val ranked = array_sort(transform(col("_cl"), c => {
@@ -253,8 +253,27 @@ object Similarity {
           Vectors.dot(cv, cv)).as("d"),
         c.getField("cid").as("cid"))
     }))
+    (codebook, ranked)
+  }
+
+  private def argminCodebook(df: DataFrame, xCol: String,
+      cents: DataFrame, outCol: String): DataFrame = {
+    val (codebook, ranked) = codebookRanks(cents, xCol)
     df.crossJoin(broadcast(codebook))
       .withColumn(outCol, element_at(ranked, 1).getField("cid"))
+      .drop("_cl")
+  }
+
+  /** Top-`nProbe` nearest centroids per row (the query-side multi-cell
+    * probe), exploded — same map-side broadcast-codebook shape as
+    * [[argminCodebook]].
+    */
+  private def probeCodebook(df: DataFrame, xCol: String,
+      cents: DataFrame, outCol: String, nProbe: Int): DataFrame = {
+    val (codebook, ranked) = codebookRanks(cents, xCol)
+    df.crossJoin(broadcast(codebook))
+      .withColumn(outCol,
+        explode(transform(slice(ranked, 1, nProbe), s => s.getField("cid"))))
       .drop("_cl")
   }
 
@@ -419,6 +438,82 @@ object Similarity {
           dist(col("_q"), col("cv")).as(s"_d$s"))
       acc.join(broadcast(dtab),
         if (s == 0) Seq(s"_c$s") else Seq(s"_c$s", "query_id"))
+    }
+    val adc = (0 until m).map(s => col(s"_d$s")).reduce(_ + _)
+    val scored1 = scored0.select(col("query_id"),
+      col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
+    val scored =
+      if (excludeSelf) scored1.filter(col("query_id") =!= col("neighbor_id"))
+      else scored1
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** IVF-PQ search — the billion-scale production composition (Jégou
+    * et al. 2011 §V, minus residual encoding, documented): a TRAINED
+    * coarse quantizer ([[kmeansCentroids]]) restricts each query to its
+    * `nProbe` nearest cells, and candidates inside those cells are
+    * scored in the compressed domain via [[pqTopK]]'s ADC tables. Raw
+    * vectors are PQ-encoded directly (no residuals — keeps every float
+    * externally replayable; residual encoding is a recall refinement,
+    * not a shape change).
+    *
+    * Output: `(query_id, neighbor_id, adc_dist, rank)` like [[pqTopK]],
+    * but the scored relation is cell-bounded (≈ N·nProbe/nCells per
+    * query) instead of the full N — the sub-linear path.
+    *
+    * Scale shape: cell assignment AND all m PQ encodings happen in ONE
+    * map-side projection over the scan (coarse + sub codebooks all ride
+    * in as 1-row broadcasts); the probe table (|Q|·nProbe) and the ADC
+    * tables (|Q|·k per subspace) broadcast; the only shuffle is the
+    * final rank exchange on query_id, already WindowGroupLimit-reduced.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, m: Int, k: Int, nCells: Int,
+      nProbe: Int = 1, topK: Int = 10, iters: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must be a positive multiple of m ($m)")
+    require(nCells >= 1 && nProbe >= 1 && topK >= 1)
+    val subLen = dim / m
+    def subVec(s: Int, c: Column) =
+      slice(c.cast("array<double>"), s * subLen + 1, subLen)
+    def dist(x: Column, cv: Column) =
+      Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
+        Vectors.dot(cv, cv)
+    val coarse = kmeansCentroids(corpus, vecCol, idCol, nCells, iters)
+    val pqCents = (0 until m).map { s =>
+      val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
+        subVec(s, col(vecCol)).as("_sub"))
+      lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
+        checkpointDir = None)._2
+    }
+    // one projection: coarse cell + all m PQ codes, map-side
+    val base = corpus.select(
+      col(idCol).cast("long").as("vec_id") +:
+        col(vecCol).cast("array<double>").as("_xf") +:
+        (0 until m).map(s => subVec(s, col(vecCol)).as(s"_x$s")): _*)
+    val coded = (0 until m).foldLeft(
+        argminCodebook(base, "_xf", coarse, "_cell")) { (acc, s) =>
+        argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
+      }
+      .select(col("vec_id") +: col("_cell") +:
+        (0 until m).map(s => col(s"_c$s")): _*)
+    val probes = probeCodebook(
+        queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("_qf")),
+        "_qf", coarse, "_cell", math.min(nProbe, nCells))
+      .select(col("query_id"), col("_cell"))
+    val pairs = coded.join(broadcast(probes), Seq("_cell"))
+    val scored0 = (0 until m).foldLeft(pairs) { (acc, s) =>
+      val dtab = queries.select(col(idCol).cast("long").as("query_id"),
+          subVec(s, col(vecCol)).as("_q"))
+        .crossJoin(broadcast(pqCents(s)))
+        .select(col("query_id"), col("cid").as(s"_c$s"),
+          dist(col("_q"), col("cv")).as(s"_d$s"))
+      acc.join(broadcast(dtab), Seq(s"_c$s", "query_id"))
     }
     val adc = (0 until m).map(s => col(s"_d$s")).reduce(_ + _)
     val scored1 = scored0.select(col("query_id"),

@@ -239,6 +239,37 @@ class RankClusterSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ivfPqTopK: nProbe=nCells equals full PQ ADC; fewer probes subset") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 11 + d * 7) % 23).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"adc_dist", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // probing every cell = the full compressed-domain search, exactly
+    val full = rows(Similarity.pqTopK(vecs, q, "embedding", "vec_id",
+      dim = 8, m = 2, k = 3, topK = 4))
+    val all = rows(Similarity.ivfPqTopK(vecs, q, "embedding", "vec_id",
+      dim = 8, m = 2, k = 3, nCells = 4, nProbe = 4, topK = 4))
+    assert(all == full)
+    // fewer probes: every returned pair carries the SAME ADC distance
+    // as the unrestricted search over all pairs
+    val fullAll = Similarity.pqTopK(vecs, q, "embedding", "vec_id",
+        dim = 8, m = 2, k = 3, topK = 100)
+      .select($"query_id", $"neighbor_id", $"adc_dist")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val probed = Similarity.ivfPqTopK(vecs, q, "embedding", "vec_id",
+        dim = 8, m = 2, k = 3, nCells = 4, nProbe = 1, topK = 4)
+      .select($"query_id", $"neighbor_id", $"adc_dist")
+      .as[(Long, Long, Double)].collect()
+    assert(probed.nonEmpty)
+    probed.foreach { case (qi, n, d) =>
+      assert(fullAll((qi, n)) == d, s"pair ($qi,$n) dist drift")
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
