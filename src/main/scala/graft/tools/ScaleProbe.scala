@@ -83,6 +83,14 @@ object ScaleProbe {
     // intra-cell pair join is the SemDeDup worst case by construction
     time("semdedup")(graft.operators.Similarity.semDedup(
       vecs, "embedding", "vec_id", k = 8, threshold = 0.3))
+    time("pq_codes")(graft.operators.Similarity.pqCodes(
+      vecs, "embedding", "vec_id", dim = 64, m = 2, k = 4))
+    // queries replicate with the corpus (1e9 shift % 2000 = 0 picks the
+    // same base queries in every copy) — probe fan-out is the worst case
+    time("ivf_pq_topk")(graft.operators.Similarity.ivfPqTopK(
+      vecs, vecs.filter(col("vec_id") % 2000 === 0), "embedding",
+      "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
+      topK = 3))
     spark.stop()
   }
 }
