@@ -104,6 +104,14 @@ object TrainingDataPipeline {
       dim = 64, k = 3, nPlanes = 8, multiProbe = 4)
     println(s"STAGE ann_audit       pairs=${neighbors.count()}")
 
+    // 5b. production ANN index: k-means-trained coarse cells + product-
+    // quantization codes, searched in the compressed domain (IVF-PQ) —
+    // dim·4 bytes per vector collapse to m codes, candidates stay
+    // cell-bounded, every float is externally replayable
+    val ivfpq = Similarity.ivfPqTopK(emb, sample, "embedding", "vec_id",
+      dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2, topK = 3)
+    println(s"STAGE ivf_pq_index    pairs=${ivfpq.count()}")
+
     // 6. near-dup cluster retention: connected components over embedding
     // near-dup pairs, keep the longest member per cluster — "drop the
     // dupes" ends as a keep=1 filter, never a pairwise delete loop
