@@ -1423,9 +1423,10 @@ object SparkEntry {
         s"di -> $a[di]::DOUBLE * $bcol[di]::DOUBLE))"
     def dist(x: String, c: String) =
       s"(${dot(x, x)}) - 2.0 * (${dot(x, c)}) + (${dot(c, c)})"
-    s"""WITH e AS (SELECT vec_id, $xExpr AS x FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, $xExpr AS x FROM embeddings
+       |  WHERE ($xExpr) IS NOT NULL),
        |c0 AS (SELECT vec_id AS cid, x AS cv FROM e
-       |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+       |  WHERE vec_id IN (SELECT vec_id FROM e
        |    ORDER BY vec_id LIMIT $k)),
        |d1 AS (SELECT e.vec_id, c0.cid, e.x,
        |    ${dist("x", "cv")} AS dist

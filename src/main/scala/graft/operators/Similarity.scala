@@ -187,6 +187,11 @@ object Similarity {
     * centroid update between consecutive rounds. Returns
     * `(vec_id, cluster)` where `cluster` is the init centroid's id.
     *
+    * Null vectors are EXCLUDED from both assignment and updates: a null
+    * distance would sort first under Spark's null ordering but last
+    * under an external engine's ORDER BY, so dropping the row is the
+    * only engine-independent semantics (the oracle filters identically).
+    *
     * Exactness design: centroid updates accumulate `floor(x * 2^20)`
     * LONGS (float32 inputs are exact in double, floor is unambiguous —
     * no round-half mode drift between engines), so the per-cluster sums
@@ -288,8 +293,13 @@ object Similarity {
       checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val scale = (1L << scaleBits).toDouble
+    // null vectors are EXCLUDED, explicitly: a null distance would sort
+    // first under Spark's null ordering but LAST under an external
+    // engine's ORDER BY (DuckDB) — dropping the row on both sides is
+    // the only engine-independent semantics
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
+      .filter(col("x").isNotNull)
     def assign(cents: DataFrame): DataFrame =
       argminCodebook(e, "x", cents, "cid")
         .select(col("vec_id"), col("cid"), col("x"))
@@ -421,8 +431,9 @@ object Similarity {
         checkpointDir = None)._2
     }
     // encode: ONE projection over the corpus scan, all m argmins
-    // map-side (each codebook rides in as a 1-row broadcast)
-    val base = corpus.select(
+    // map-side (each codebook rides in as a 1-row broadcast); null
+    // vectors excluded like the Lloyd core (engine-independent gate)
+    val base = corpus.filter(col(vecCol).isNotNull).select(
       col(idCol).cast("long").as("vec_id") +:
         (0 until m).map(s => subVec(s, col(vecCol)).as(s"_x$s")): _*)
     val coded = (0 until m).foldLeft(base) { (acc, s) =>
@@ -431,7 +442,8 @@ object Similarity {
     // ADC distance tables: |Q|·k rows per subspace, broadcast into the
     // codes — scoring is a lookup, never per-pair vector math
     val scored0 = (0 until m).foldLeft(coded) { (acc, s) =>
-      val dtab = queries.select(col(idCol).cast("long").as("query_id"),
+      val dtab = queries.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("query_id"),
           subVec(s, col(vecCol)).as("_q"))
         .crossJoin(broadcast(cents(s)))
         .select(col("query_id"), col("cid").as(s"_c$s"),
@@ -490,8 +502,9 @@ object Similarity {
       lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
         checkpointDir = None)._2
     }
-    // one projection: coarse cell + all m PQ codes, map-side
-    val base = corpus.select(
+    // one projection: coarse cell + all m PQ codes, map-side; null
+    // vectors excluded like the Lloyd core (engine-independent gate)
+    val base = corpus.filter(col(vecCol).isNotNull).select(
       col(idCol).cast("long").as("vec_id") +:
         col(vecCol).cast("array<double>").as("_xf") +:
         (0 until m).map(s => subVec(s, col(vecCol)).as(s"_x$s")): _*)
@@ -502,8 +515,9 @@ object Similarity {
       .select(col("vec_id") +: col("_cell") +:
         (0 until m).map(s => col(s"_c$s")): _*)
     val probes = probeCodebook(
-        queries.select(col(idCol).cast("long").as("query_id"),
-          col(vecCol).cast("array<double>").as("_qf")),
+        queries.filter(col(vecCol).isNotNull)
+          .select(col(idCol).cast("long").as("query_id"),
+            col(vecCol).cast("array<double>").as("_qf")),
         "_qf", coarse, "_cell", math.min(nProbe, nCells))
       .select(col("query_id"), col("_cell"))
     val pairs = coded.join(broadcast(probes), Seq("_cell"))
@@ -536,7 +550,9 @@ object Similarity {
     * decision a pure semi-join: deterministic, partitioning-independent
     * and exactly replayable in external SQL.
     *
-    * Output: `(vec_id, cluster, kept)` — kept ∈ {0,1}, one row per input.
+    * Output: `(vec_id, cluster, kept)` — kept ∈ {0,1}, one row per
+    * non-null-vector input (null embeddings are excluded by the Lloyd
+    * core — see [[kmeansAssign]]).
     *
     * 100 TB shape: the only pairwise work is an equi-join on the cell id
     * (cell occupancy ≈ N/k — scale `k` with the corpus so cells stay

@@ -270,6 +270,26 @@ class RankClusterSpec extends SparkSpec {
     }
   }
 
+  test("kmeans family excludes null vectors (engine-independent gate)") {
+    // a null distance sorts FIRST in Spark but LAST in DuckDB ORDER BY;
+    // the operators must drop null vectors rather than let the two
+    // engines disagree the first time one appears
+    val rows = (0L until 20L).map(i =>
+      (i, if (i == 7L || i == 13L) null
+          else Array.tabulate(4)(d => ((i * 5 + d) % 9).toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val km = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 3)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(km == (0L until 20L).toSet -- Set(7L, 13L))
+    val sd = Similarity.semDedup(vecs, "embedding", "vec_id",
+      k = 3, threshold = 0.99).as[(Long, Long, Int)].collect()
+    assert(sd.map(_._1).toSet == km && sd.length == 18)
+    val pq = Similarity.pqTopK(vecs, vecs.filter($"vec_id" < 3),
+      "embedding", "vec_id", dim = 4, m = 2, k = 3, topK = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(!pq.contains(7L) && !pq.contains(13L))
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
