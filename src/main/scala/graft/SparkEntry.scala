@@ -1239,6 +1239,14 @@ object SparkEntry {
           topK = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("adc_dist"), 6).as("adc_dist"))
+    }),
+
+    // Inverted-index export: per-term document frequency + the 64
+    // lowest doc ids as a deterministic posting string — df counts ALL
+    // postings so the cap is visible, never silent.
+    "q92_inverted_index" -> ((s, dir) => {
+      TextOps.invertedIndex(ld(s, dir, "documents"), "text", "doc_id",
+        maxPostings = 64)
     }))
 
   // -------------------------------------------------------------------
@@ -2431,6 +2439,22 @@ object SparkEntry {
     "q89_pq_codes" -> q89Oracle,
     "q90_pq_adc_topk" -> q90Oracle,
     "q91_ivf_pq_topk" -> q91Oracle,
+
+    // q79's tokenization convention; DISTINCT doc-level postings, rank
+    // by doc id, list(... ORDER BY) FILTER caps exactly like the
+    // Spark side's when(r <= 64) collect
+    "q92_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |      AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT term, doc_id FROM t),
+        |r AS (SELECT term, doc_id, row_number() OVER (
+        |    PARTITION BY term ORDER BY doc_id) AS rn FROM p)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string(list(doc_id ORDER BY doc_id)
+        |    FILTER (WHERE rn <= 64), ',') AS postings
+        |FROM r GROUP BY term""".stripMargin,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -188,6 +188,38 @@ object TextOps {
         col("score"), col("rank"))
   }
 
+  /** Inverted-index export: one row per term with its document
+    * frequency and a CAPPED posting list (the `maxPostings` lowest doc
+    * ids, ascending, comma-joined) — the serving artifact downstream of
+    * [[bm25Rank]] scoring. The cap is the scale guard: a stopword's
+    * postings would otherwise be a corpus-sized array in one row; `df`
+    * still counts ALL postings, so cap truncation is visible, never
+    * silent.
+    *
+    * Scale shape: explode → distinct (term, id) hash agg (map-side
+    * partials bound the shuffle by per-partition distinct terms), ONE
+    * exchange on term for the rank window, and the final per-term
+    * aggregation reuses that partitioning (no second shuffle). The
+    * posting string is deterministic (ascending ids), so the export is
+    * engine- and partitioning-independent.
+    */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val pairs = df.select(col(idCol).cast("long").as("id"),
+        explode(words(col(textCol))).as("term"))
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("id").asc)
+    pairs.withColumn("_r", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_r") <= maxPostings,
+            col("id")))),
+          x => x.cast("string")), ",").as("postings"))
+  }
+
   /** Deterministic mixture rebalancing: downsample each stratum so the
     * OUTPUT hits target per-mille proportions (the data-mixing step —
     * e.g. "40‰ code, 300‰ web, …" — computed from observed counts, no

@@ -196,6 +196,26 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("invertedIndex: doc-level df, capped sorted postings") {
+    val docs = Seq(
+      (3L, "alpha beta alpha"), // alpha appears twice but posts once
+      (1L, "alpha gamma"),
+      (2L, "alpha beta")).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, "text", "doc_id",
+        maxPostings = 2)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // df counts ALL postings; the string carries only the capped ids
+    assert(out("alpha") == ((3L, "1,2")))
+    assert(out("beta") == ((2L, "2,3")))
+    assert(out("gamma") == ((1L, "1")))
+    // partitioning-independent
+    val re = TextOps.invertedIndex(docs.repartition(7), "text", "doc_id",
+        maxPostings = 2)
+      .as[(String, Long, String)].collect().toSet
+    assert(re == out.map { case (t, (d, p)) => (t, d, p) }.toSet)
+  }
+
   test("weightedSample: deterministic, weight-proportional, capped") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100L else 900L))
       .toDF("id", "w")
