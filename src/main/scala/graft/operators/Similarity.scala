@@ -423,12 +423,15 @@ object Similarity {
       Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
         Vectors.dot(cv, cv)
     // train each subspace codebook; keep the codebook the final
-    // assignment indexes (lloydFull) for both encoding and the tables
+    // assignment indexes (lloydFull) for both encoding and the tables.
+    // Each k-row frame is referenced TWICE (argmin + distance table) —
+    // materialize it so the Lloyd training lineage runs once, not per
+    // reference (the semDedup lesson)
     val cents = (0 until m).map { s =>
       val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
         subVec(s, col(vecCol)).as("_sub"))
       lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
-        checkpointDir = None)._2
+        checkpointDir = None)._2.localCheckpoint()
     }
     // encode: ONE projection over the corpus scan, all m argmins
     // map-side (each codebook rides in as a 1-row broadcast); null
@@ -495,12 +498,16 @@ object Similarity {
     def dist(x: Column, cv: Column) =
       Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
         Vectors.dot(cv, cv)
+    // every codebook below is referenced twice (coarse: cell assignment
+    // + query probe; PQ: encoding + distance table) — materialize the
+    // k-row frames so each training pipeline runs once
     val coarse = kmeansCentroids(corpus, vecCol, idCol, nCells, iters)
+      .localCheckpoint()
     val pqCents = (0 until m).map { s =>
       val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
         subVec(s, col(vecCol)).as("_sub"))
       lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
-        checkpointDir = None)._2
+        checkpointDir = None)._2.localCheckpoint()
     }
     // one projection: coarse cell + all m PQ codes, map-side; null
     // vectors excluded like the Lloyd core (engine-independent gate)
