@@ -1247,6 +1247,19 @@ object SparkEntry {
     "q92_inverted_index" -> ((s, dir) => {
       TextOps.invertedIndex(ld(s, dir, "documents"), "text", "doc_id",
         maxPostings = 64)
+    }),
+
+    // Containment-scored fuzzy decontamination: per (doc, benchmark
+    // item) coverage of the item's distinct 4-grams — flagged when the
+    // doc covers >= 80% (integer cross-multiply, no division). The
+    // benchmark items themselves appear in the corpus, so full-coverage
+    // self-pairs are guaranteed.
+    "q93_containment_decontaminate" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      TextOps.containmentDecontaminate(docs,
+          docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
+          n = 4, tauPerMille = 800)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -2455,6 +2468,26 @@ object SparkEntry {
         |  array_to_string(list(doc_id ORDER BY doc_id)
         |    FILTER (WHERE rn <= 64), ',') AS postings
         |FROM r GROUP BY term""".stripMargin,
+
+    // q63's exact 4-gram template, extended to per-item containment:
+    // integer cross-multiply flag, no division
+    "q93_containment_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+        |        || ' ' || toks[i + 3]))) AS gram FROM t),
+        |bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0),
+        |bsz AS (SELECT bench_id, count(*)::BIGINT AS n_bench
+        |  FROM bg GROUP BY 1),
+        |hits AS (SELECT g.doc_id, bg.bench_id, count(*)::BIGINT AS n_match
+        |  FROM g JOIN bg ON g.gram = bg.gram GROUP BY 1, 2)
+        |SELECT h.doc_id, h.bench_id, h.n_match, b.n_bench,
+        |  CAST(CASE WHEN h.n_match * 1000 >= 800 * b.n_bench
+        |    THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM hits h JOIN bsz b ON h.bench_id = b.bench_id""".stripMargin,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -538,6 +538,44 @@ object TextOps {
         (col("n_shared_grams") > 0).cast("int"))
   }
 
+  /** Containment-scored (fuzzy) decontamination — the measure real eval
+    * hygiene uses (GPT-3 appx. C / Llama style): a benchmark ITEM is
+    * compromised in a document when the document covers at least
+    * `tauPerMille`‰ of the item's distinct word `n`-grams, not merely
+    * ANY gram ([[decontaminate]]'s binary form). Returns one row per
+    * (document, benchmark item) pair sharing at least one gram:
+    * `(id, bench_id, n_match, n_bench, flagged)` — all integer columns,
+    * `flagged = n_match·1000 >= tauPerMille·n_bench` (integer
+    * cross-multiply, no division anywhere).
+    *
+    * Shape for scale: the benchmark gram table (item id, gram, item
+    * gram count) is eval-suite-sized — broadcast; the corpus is touched
+    * in one exploded pass and the per-(doc, item) count is one hash
+    * aggregation. Output cardinality is bounded by docs × the items
+    * they actually overlap (sparse in practice; the exact-match q63
+    * tier prefilters at 100 TB).
+    */
+  def containmentDecontaminate(df: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 4,
+      tauPerMille: Int = 800): DataFrame = {
+    require(tauPerMille >= 1 && tauPerMille <= 1000,
+      s"tauPerMille must be in [1, 1000], got $tauPerMille")
+    val bg = bench.select(col(idCol).cast("long").as("bench_id"),
+        words(col(textCol)).as("_toks"))
+      .select(col("bench_id"), explode(wordGrams(col("_toks"), n)).as("_g"))
+    val bsz = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+    val bgrams = bg.join(bsz, Seq("bench_id"))
+    df.select(col(idCol).cast("long").as("id"),
+        words(col(textCol)).as("_toks"))
+      .select(col("id"), explode(wordGrams(col("_toks"), n)).as("_g"))
+      .join(broadcast(bgrams), Seq("_g"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_match"), max(col("n_bench")).as("n_bench"))
+      .select(col("id"), col("bench_id"), col("n_match"), col("n_bench"),
+        (col("n_match") * 1000 >= lit(tauPerMille) * col("n_bench"))
+          .cast("int").as("flagged"))
+  }
+
   /** Distinct word `n`-grams of a pre-materialized token array.
     *
     * The token array must be its OWN projection column before this

@@ -216,6 +216,22 @@ class TextOpsSpec extends SparkSpec {
     assert(re == out.map { case (t, (d, p)) => (t, d, p) }.toSet)
   }
 
+  test("containmentDecontaminate scores per-item gram coverage") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // item has 2 distinct 4-grams: "a b c d", "b c d e"
+    val docs = Seq(
+      (1L, "x a b c d e y"),   // both grams → 2/2, flagged at 800‰
+      (2L, "z a b c d w"),     // one gram → 1/2 = 500‰, not flagged
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = TextOps.containmentDecontaminate(docs, bench, "text",
+        "doc_id", n = 4, tauPerMille = 800)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 2L, 1)))
+    assert(out(2L) == ((1L, 2L, 0)))
+    assert(!out.contains(3L), "zero-overlap docs emit no row")
+  }
+
   test("weightedSample: deterministic, weight-proportional, capped") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100L else 900L))
       .toDF("id", "w")
