@@ -196,28 +196,32 @@ object TextOps {
     * still counts ALL postings, so cap truncation is visible, never
     * silent.
     *
-    * Scale shape: explode → distinct (term, id) hash agg (map-side
-    * partials bound the shuffle by per-partition distinct terms), ONE
-    * exchange on term for the rank window, and the final per-term
-    * aggregation reuses that partitioning (no second shuffle). The
-    * posting string is deterministic (ascending ids), so the export is
-    * engine- and partitioning-independent.
+    * Scale shape — skew is the enemy here: a stopword's posting set is
+    * corpus-sized, and a naive rank window would sort ALL of it in one
+    * task. Instead the cap runs as a `rank <= maxPostings` FILTER so
+    * Catalyst's WindowGroupLimit keeps at most `maxPostings` rows per
+    * term PER MAP TASK before the exchange (the window task then sees
+    * O(cap · tasks), never O(corpus)); `df` comes from a plain hash
+    * aggregation over the same distinct (term, id) relation, whose
+    * exchange is shared (ReusedExchange — both branches, plan-asserted).
+    * The posting string is deterministic (ascending ids), so the export
+    * is engine- and partitioning-independent.
     */
   def invertedIndex(df: DataFrame, textCol: String, idCol: String,
       maxPostings: Int): DataFrame = {
     require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
     val pairs = df.select(col(idCol).cast("long").as("id"),
         explode(words(col(textCol))).as("term"))
-      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("_tf"))
+      .distinct()
+    val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("id").asc)
-    pairs.withColumn("_r", row_number().over(w))
+    val capped = pairs.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxPostings)
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        array_join(transform(
-          array_sort(collect_list(when(col("_r") <= maxPostings,
-            col("id")))),
-          x => x.cast("string")), ",").as("postings"))
+      .agg(array_join(transform(array_sort(collect_list(col("id"))),
+        x => x.cast("string")), ",").as("postings"))
+    dfreq.join(capped, Seq("term"))
   }
 
   /** Deterministic mixture rebalancing: downsample each stratum so the

@@ -214,6 +214,16 @@ class TextOpsSpec extends SparkSpec {
         maxPostings = 2)
       .as[(String, Long, String)].collect().toSet
     assert(re == out.map { case (t, (d, p)) => (t, d, p) }.toSet)
+    // skew guard: the cap must push down (stopword partitions are
+    // corpus-sized), and the distinct-pairs exchange must be shared
+    // between the df branch and the postings branch
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.invertedIndex(docs, "text", "doc_id", 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+      assert(plan.contains("ReusedExchange"), plan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("containmentDecontaminate scores per-item gram coverage") {
