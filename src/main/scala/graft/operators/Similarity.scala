@@ -246,10 +246,15 @@ object Similarity {
     * `(dist, cid)` structs. Adds `outCol` = nearest cid for `xCol`;
     * zero shuffle, zero row amplification.
     */
+  /** The k-row codebook collapsed to ONE sorted array-of-structs row
+    * (broadcastable; sorted by cid for deterministic order).
+    */
+  private def codebookColumn(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(
+      collect_list(struct(col("cid"), col("cv")))).as("_cl"))
+
   private def codebookRanks(cents: DataFrame,
       xCol: String): (DataFrame, Column) = {
-    val codebook = cents.agg(array_sort(
-      collect_list(struct(col("cid"), col("cv")))).as("_cl"))
     val ranked = array_sort(transform(col("_cl"), c => {
       val cv = c.getField("cv")
       struct(
@@ -258,16 +263,20 @@ object Similarity {
           Vectors.dot(cv, cv)).as("d"),
         c.getField("cid").as("cid"))
     }))
-    (codebook, ranked)
+    (codebookColumn(cents), ranked)
   }
 
   private def argminCodebook(df: DataFrame, xCol: String,
-      cents: DataFrame, outCol: String): DataFrame = {
-    val (codebook, ranked) = codebookRanks(cents, xCol)
-    df.crossJoin(broadcast(codebook))
-      .withColumn(outCol, element_at(ranked, 1).getField("cid"))
+      cents: DataFrame, outCol: String): DataFrame =
+    // the hot per-row kernel: NearestCentroid is the codegen'd form of
+    // the (transform → array_sort → element_at 1) HOF argmin — same
+    // fixed-order floats, same (dist, cid) tie-break (differentially
+    // spec'd), but the k·dim loop inlines into whole-stage codegen
+    // instead of re-entering the interpreted HOF evaluator per row
+    df.crossJoin(broadcast(codebookColumn(cents)))
+      .withColumn(outCol,
+        graft.functions.NearestCentroid.column(col(xCol), col("_cl")))
       .drop("_cl")
-  }
 
   /** Top-`nProbe` nearest centroids per row (the query-side multi-cell
     * probe), exploded — same map-side broadcast-codebook shape as

@@ -290,6 +290,48 @@ class RankClusterSpec extends SparkSpec {
     assert(!pq.contains(7L) && !pq.contains(13L))
   }
 
+  test("NearestCentroid native expression matches the HOF argmin exactly") {
+    import graft.functions.{NearestCentroid, Vectors}
+    // random vectors + a codebook with an exact-duplicate centroid
+    // (tie → smaller cid) and a NaN centroid (must order GREATEST,
+    // never win over a real distance)
+    val cents = Seq(
+      (10L, Seq(1.0, 2.0, 3.0)),
+      (11L, Seq(4.0, 0.0, -1.0)),
+      (12L, Seq(1.0, 2.0, 3.0)),              // duplicate of 10 → tie
+      (13L, Seq(Double.NaN, 1.0, 1.0)),       // NaN distance
+      (14L, Seq(-2.0, 5.0, 0.5)))
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(3)(d => ((i * 17 + d * 13) % 29).toDouble - 14.0)))
+      .toDF("vec_id", "x")
+      .withColumn("_cl", typedLit(cents).cast(
+        "array<struct<cid: bigint, cv: array<double>>>"))
+    val hof = element_at(array_sort(transform(col("_cl"), c => {
+      val cv = c.getField("cv")
+      struct(
+        (Vectors.dot(col("x"), col("x")) -
+          lit(2.0) * Vectors.dot(col("x"), cv) +
+          Vectors.dot(cv, cv)).as("d"),
+        c.getField("cid").as("cid"))
+    })), 1).getField("cid")
+    val rows = vecs.select(col("vec_id"),
+        NearestCentroid.column(col("x"), col("_cl")).as("native"),
+        hof.as("hof"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (id, n, h) => assert(n == h, s"vec $id: $n != $h") }
+    // the duplicate-centroid tie resolves to the smaller cid somewhere
+    assert(rows.exists(_._2 == 10L) && !rows.exists(_._2 == 12L))
+    // the all-NaN edge: a NaN VECTOR makes every distance NaN → ties →
+    // smallest cid, on both paths
+    val nanRow = Seq((1L, Seq(Double.NaN, 0.0, 0.0))).toDF("vec_id", "x")
+      .withColumn("_cl", typedLit(cents).cast(
+        "array<struct<cid: bigint, cv: array<double>>>"))
+      .select(NearestCentroid.column(col("x"), col("_cl")).as("native"),
+        hof.as("hof")).as[(Long, Long)].head()
+    assert(nanRow._1 == nanRow._2 && nanRow._1 == 10L)
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
