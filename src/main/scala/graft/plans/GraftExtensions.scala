@@ -200,9 +200,24 @@ object GraftExtensions {
       Mix64(children.head)
     })
 
+  /** `graft_nearest_centroid(x, codebook)` — codegen'd argmin over an
+    * `array<struct<cid, cv>>` codebook (the k-means/PQ assignment
+    * kernel), fixed-order distance, smaller-cid tie-break.
+    */
+  val nearestCentroid: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nearest_centroid"),
+    new ExpressionInfo(classOf[graft.functions.NearestCentroid].getName,
+      "graft_nearest_centroid"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_nearest_centroid takes (x, codebook)")
+      graft.functions.NearestCentroid(children.head, children(1))
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile,
-      hll, hllEstimate, cm, cmEstimate, bloom, bloomContains, mix64)
+      hll, hllEstimate, cm, cmEstimate, bloom, bloomContains, mix64,
+      nearestCentroid)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

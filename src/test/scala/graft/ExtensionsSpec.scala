@@ -46,6 +46,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(n - 100L) < 40, s"kept $n of 1000 at 10%")
   }
 
+  test("graft_nearest_centroid registered: SQL-side assignment kernel") {
+    GraftExtensions.registerAll(spark.sessionState.functionRegistry)
+    val cid = spark.sql(
+      """SELECT graft_nearest_centroid(array(1.0D, 0.0D),
+        |  array(named_struct('cid', 5L, 'cv', array(10.0D, 10.0D)),
+        |        named_struct('cid', 7L, 'cv', array(1.0D, 0.1D))))
+        |""".stripMargin).as[Long].head()
+    assert(cid == 7L)
+    // exact tie → smaller cid
+    val tie = spark.sql(
+      """SELECT graft_nearest_centroid(array(0.0D),
+        |  array(named_struct('cid', 9L, 'cv', array(2.0D)),
+        |        named_struct('cid', 3L, 'cv', array(2.0D))))
+        |""".stripMargin).as[Long].head()
+    assert(tie == 3L)
+  }
+
   test("GraftSqlParser: 'pattern:' statements compile to CEP plans, " +
       "plain SQL delegates untouched") {
     import graft.plans.GraftSqlParser
