@@ -228,18 +228,24 @@ object Dedup {
   }
 
   /** [[connectedComponents]]'s per-round materialization: reliable
-    * `checkpoint` into `dir` when given, `localCheckpoint` otherwise.
+    * `checkpoint` (into the dir bound once at operator entry) when a
+    * dir was given, `localCheckpoint` otherwise.
     */
-  private def materialize(df: DataFrame, dir: Option[String]): DataFrame =
-    dir match {
-      case Some(d) =>
-        df.sparkSession.sparkContext.setCheckpointDir(d)
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
 
+  /** `checkpointDir` caveat: Spark's checkpoint directory is
+    * SparkContext-GLOBAL — binding it here rebinds it for the whole
+    * application (concurrent jobs should pass the same dir). It is
+    * bound ONCE per operator call, never per round: each
+    * `setCheckpointDir` mints a fresh UUID subdirectory, so a per-round
+    * rebind would scatter every round's files into its own directory.
+    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
     // materialized ONCE: every round joins against sym, and without this
     // the full upstream edge derivation (LSH bucketing + pair
     // verification) re-executes O(log n) times — per-round cost must be
@@ -247,12 +253,12 @@ object Dedup {
     val sym = materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"))),
-      checkpointDir)
+      reliable)
     var labels = materialize(
       sym.groupBy(col("src")).agg(min(col("dst")).as("_m"))
         .select(col("src").as("id"),
           least(col("src"), col("_m")).as("cluster_id")),
-      checkpointDir)
+      reliable)
     var it = 0
     var converged = false
     var curSig = labelSig(labels)
@@ -268,7 +274,7 @@ object Dedup {
       val next = materialize(
         prop.union(labels)
           .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id")),
-        checkpointDir)
+        reliable)
       // labels are monotone non-increasing per node, so an unchanged
       // label SUM means a fixed point — an O(1) driver compare instead
       // of a per-round diff join (decimal sum: no BIGINT overflow at

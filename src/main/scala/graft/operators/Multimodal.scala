@@ -106,17 +106,54 @@ object Multimodal {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
       (b(0) == 'B' && b(1) == 'M')
 
-  /** ImageIO parse, null-safe and exception-safe: None = not a
-    * decodable image (wrong magic, truncated, or a non-image payload).
+  /** Raster ceiling for real decodes: 64M pixels (≈256 MB ARGB). A
+    * malformed/adversarial header can DECLARE any dimensions — the
+    * reader would allocate the raster before noticing the payload ends,
+    * and that OutOfMemoryError is not catchable as "not an image". So
+    * dims are read from the HEADER first and bounds-checked before any
+    * pixel allocation happens.
     */
-  private def readImage(
-      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private val MaxPixels = 1L << 26
+
+  /** Header-first ImageIO parse, null-safe and exception-safe:
+    * None = not a decodable image (wrong magic, truncated, non-image
+    * payload, or a header declaring super-[[MaxPixels]] dimensions).
+    * Returns the first frame plus the container's frame count (animated
+    * GIFs report their real frame count, not 1).
+    */
+  private def readImageInfo(payload: Array[Byte])
+      : Option[(java.awt.image.BufferedImage, Int)] =
     if (payload == null || payload.length < 8 || !looksLikeImage(payload))
       None
     else
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            r.setInput(iis)
+            try {
+              val (w, h) = (r.getWidth(0), r.getHeight(0))
+              if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxPixels) None
+              else {
+                val n =
+                  try {
+                    val k = r.getNumImages(true)
+                    if (k > 0) k else 1
+                  } catch { case scala.util.control.NonFatal(_) => 1 }
+                Option(r.read(0)).map(img => (img, n))
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    readImageInfo(payload).map(_._1)
 
   /** The [[decode]] stub's field math on the JVM side — must stay
     * bit-identical to the Column expressions (shared oracle).
@@ -148,9 +185,9 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { a =>
-          readImage(a.payload) match {
-            case Some(img) => DecodedAsset(a.id, "image",
-              Some(img.getWidth), Some(img.getHeight), Some(1),
+          readImageInfo(a.payload) match {
+            case Some((img, nFrames)) => DecodedAsset(a.id, "image",
+              Some(img.getWidth), Some(img.getHeight), Some(nFrames),
               real_decode = true)
             case None if a.payload == null =>
               DecodedAsset(a.id, "video", None, None, None,

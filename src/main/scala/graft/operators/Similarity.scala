@@ -253,13 +253,19 @@ object Similarity {
     cents.agg(array_sort(
       collect_list(struct(col("cid"), col("cv")))).as("_cl"))
 
-  private def codebookRanks(cents: DataFrame,
-      xCol: String): (DataFrame, Column) = {
+  /** Per-centroid `(dist, cid)` ranking expression over the collapsed
+    * codebook. `dxx` is the PRE-HOISTED `dot(x,x)` column: computed once
+    * per row in the projection, not once per centroid inside the
+    * interpreted lambda — same value, same bits, k× less work (the same
+    * hoist [[graft.functions.NearestCentroid]] does natively on the
+    * assignment path).
+    */
+  private def codebookRanks(cents: DataFrame, xCol: String,
+      dxx: Column): (DataFrame, Column) = {
     val ranked = array_sort(transform(col("_cl"), c => {
       val cv = c.getField("cv")
       struct(
-        (Vectors.dot(col(xCol), col(xCol)) -
-          lit(2.0) * Vectors.dot(col(xCol), cv) +
+        (dxx - lit(2.0) * Vectors.dot(col(xCol), cv) +
           Vectors.dot(cv, cv)).as("d"),
         c.getField("cid").as("cid"))
     }))
@@ -284,11 +290,12 @@ object Similarity {
     */
   private def probeCodebook(df: DataFrame, xCol: String,
       cents: DataFrame, outCol: String, nProbe: Int): DataFrame = {
-    val (codebook, ranked) = codebookRanks(cents, xCol)
-    df.crossJoin(broadcast(codebook))
+    val (codebook, ranked) = codebookRanks(cents, xCol, col("_dxx"))
+    df.withColumn("_dxx", Vectors.dot(col(xCol), col(xCol)))
+      .crossJoin(broadcast(codebook))
       .withColumn(outCol,
         explode(transform(slice(ranked, 1, nProbe), s => s.getField("cid"))))
-      .drop("_cl")
+      .drop("_cl", "_dxx")
   }
 
   /** The shared Lloyd core: `iters` assignment rounds, returning the
@@ -309,6 +316,10 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
       .filter(col("x").isNotNull)
+    // the checkpoint dir is SparkContext-GLOBAL: bind it ONCE per
+    // operator call (a per-round setCheckpointDir would mint a fresh
+    // UUID subdirectory every round and scatter the files)
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
     def assign(cents: DataFrame): DataFrame =
       argminCodebook(e, "x", cents, "cid")
         .select(col("vec_id"), col("cid"), col("x"))
@@ -317,7 +328,8 @@ object Similarity {
     var assigned = assign(cents)
     var i = 1
     while (i < iters) {
-      cents = checkpointed(centroidUpdate(assigned, scale), checkpointDir)
+      cents = checkpointed(centroidUpdate(assigned, scale),
+        checkpointDir.isDefined)
       assigned = assign(cents)
       i += 1
     }
@@ -349,18 +361,14 @@ object Similarity {
         s => s.cast("double") /
           (col("_cnt").cast("double") * lit(scale))).as("cv"))
 
-  /** Reliable checkpoint when a directory is given (truncates lineage
-    * AND survives executor loss — the cluster-run option), identity
-    * otherwise. The checkpointed frame here is always the k-row
-    * centroid table, so the write is a few KiB per round.
+  /** Reliable checkpoint (into the dir bound once at operator entry)
+    * when requested — truncates lineage AND survives executor loss, the
+    * cluster-run option — identity otherwise. The checkpointed frame
+    * here is always the k-row centroid table, so the write is a few KiB
+    * per round.
     */
-  private def checkpointed(df: DataFrame, dir: Option[String]): DataFrame =
-    dir match {
-      case Some(d) =>
-        df.sparkSession.sparkContext.setCheckpointDir(d)
-        df.checkpoint()
-      case None => df
-    }
+  private def checkpointed(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df
   /** Product-quantization codes — the billion-scale ANN compression
     * step (Jégou et al., "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011): the vector splits into `m` contiguous
@@ -426,42 +434,71 @@ object Similarity {
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(topK >= 1)
     val subLen = dim / m
-    def subVec(s: Int, c: Column) =
-      slice(c.cast("array<double>"), s * subLen + 1, subLen)
-    def dist(x: Column, cv: Column) =
-      Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
-        Vectors.dot(cv, cv)
-    // train each subspace codebook; keep the codebook the final
-    // assignment indexes (lloydFull) for both encoding and the tables.
-    // Each k-row frame is referenced TWICE (argmin + distance table) —
-    // materialize it so the Lloyd training lineage runs once, not per
-    // reference (the semDedup lesson)
-    val cents = (0 until m).map { s =>
-      val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
-        subVec(s, col(vecCol)).as("_sub"))
-      lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
-        checkpointDir = None)._2.localCheckpoint()
-    }
+    val cents = trainPqCodebooks(corpus, vecCol, idCol, m, k, iters, subLen)
     // encode: ONE projection over the corpus scan, all m argmins
     // map-side (each codebook rides in as a 1-row broadcast); null
     // vectors excluded like the Lloyd core (engine-independent gate)
     val base = corpus.filter(col(vecCol).isNotNull).select(
       col(idCol).cast("long").as("vec_id") +:
-        (0 until m).map(s => subVec(s, col(vecCol)).as(s"_x$s")): _*)
+        (0 until m).map(s => subVecCol(col(vecCol), s, subLen)
+          .as(s"_x$s")): _*)
     val coded = (0 until m).foldLeft(base) { (acc, s) =>
       argminCodebook(acc, s"_x$s", cents(s), s"_c$s")
     }.select(col("vec_id") +: (0 until m).map(s => col(s"_c$s")): _*)
-    // ADC distance tables: |Q|·k rows per subspace, broadcast into the
-    // codes — scoring is a lookup, never per-pair vector math
-    val scored0 = (0 until m).foldLeft(coded) { (acc, s) =>
+    adcRank(coded, queries, vecCol, idCol, cents, subLen, topK,
+      excludeSelf, pairsCarryQueryId = false)
+  }
+
+  /** Vector slice for subspace `s` (1-based inclusive, matching DuckDB
+    * list slices in the oracles).
+    */
+  private def subVecCol(c: Column, s: Int, subLen: Int): Column =
+    slice(c.cast("array<double>"), s * subLen + 1, subLen)
+
+  /** The fixed-order squared distance every kernel and oracle shares. */
+  private def sqDist(x: Column, cv: Column): Column =
+    Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
+      Vectors.dot(cv, cv)
+
+  /** One trained codebook per subspace — the codebook the FINAL
+    * assignment indexes ([[lloydFull]]), each materialized because every
+    * caller references it twice (argmin/encoding + distance table; the
+    * semDedup lesson).
+    */
+  private def trainPqCodebooks(corpus: DataFrame, vecCol: String,
+      idCol: String, m: Int, k: Int, iters: Int,
+      subLen: Int): Seq[DataFrame] =
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
+        subVecCol(col(vecCol), s, subLen).as("_sub"))
+      lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
+        checkpointDir = None)._2.localCheckpoint()
+    }
+
+  /** The shared ADC tail of [[pqTopK]] and [[ivfPqTopK]]: per-subspace
+    * distance tables (|Q|·k rows, broadcast) joined onto the coded
+    * pairs, summed in subspace order (fixed IEEE fold), self-excluded,
+    * ranked ascending with the neighbor-id tie-break and
+    * WindowGroupLimit-capped at `topK`. `pairsCarryQueryId` says whether
+    * `pairs` is already a (query, vector) relation (IVF probe output) or
+    * the plain coded corpus (full scan — the first table join introduces
+    * query_id).
+    */
+  private def adcRank(pairs: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, pqCents: Seq[DataFrame],
+      subLen: Int, topK: Int, excludeSelf: Boolean,
+      pairsCarryQueryId: Boolean): DataFrame = {
+    val m = pqCents.length
+    val scored0 = (0 until m).foldLeft(pairs) { (acc, s) =>
       val dtab = queries.filter(col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("query_id"),
-          subVec(s, col(vecCol)).as("_q"))
-        .crossJoin(broadcast(cents(s)))
+          subVecCol(col(vecCol), s, subLen).as("_q"))
+        .crossJoin(broadcast(pqCents(s)))
         .select(col("query_id"), col("cid").as(s"_c$s"),
-          dist(col("_q"), col("cv")).as(s"_d$s"))
+          sqDist(col("_q"), col("cv")).as(s"_d$s"))
       acc.join(broadcast(dtab),
-        if (s == 0) Seq(s"_c$s") else Seq(s"_c$s", "query_id"))
+        if (s == 0 && !pairsCarryQueryId) Seq(s"_c$s")
+        else Seq(s"_c$s", "query_id"))
     }
     val adc = (0 until m).map(s => col(s"_d$s")).reduce(_ + _)
     val scored1 = scored0.select(col("query_id"),
@@ -502,28 +539,19 @@ object Similarity {
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(nCells >= 1 && nProbe >= 1 && topK >= 1)
     val subLen = dim / m
-    def subVec(s: Int, c: Column) =
-      slice(c.cast("array<double>"), s * subLen + 1, subLen)
-    def dist(x: Column, cv: Column) =
-      Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
-        Vectors.dot(cv, cv)
-    // every codebook below is referenced twice (coarse: cell assignment
-    // + query probe; PQ: encoding + distance table) — materialize the
-    // k-row frames so each training pipeline runs once
+    // the coarse codebook is referenced twice (cell assignment + query
+    // probe) — materialize like the PQ codebooks
     val coarse = kmeansCentroids(corpus, vecCol, idCol, nCells, iters)
       .localCheckpoint()
-    val pqCents = (0 until m).map { s =>
-      val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
-        subVec(s, col(vecCol)).as("_sub"))
-      lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
-        checkpointDir = None)._2.localCheckpoint()
-    }
+    val pqCents = trainPqCodebooks(corpus, vecCol, idCol, m, k, iters,
+      subLen)
     // one projection: coarse cell + all m PQ codes, map-side; null
     // vectors excluded like the Lloyd core (engine-independent gate)
     val base = corpus.filter(col(vecCol).isNotNull).select(
       col(idCol).cast("long").as("vec_id") +:
         col(vecCol).cast("array<double>").as("_xf") +:
-        (0 until m).map(s => subVec(s, col(vecCol)).as(s"_x$s")): _*)
+        (0 until m).map(s => subVecCol(col(vecCol), s, subLen)
+          .as(s"_x$s")): _*)
     val coded = (0 until m).foldLeft(
         argminCodebook(base, "_xf", coarse, "_cell")) { (acc, s) =>
         argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
@@ -537,24 +565,8 @@ object Similarity {
         "_qf", coarse, "_cell", math.min(nProbe, nCells))
       .select(col("query_id"), col("_cell"))
     val pairs = coded.join(broadcast(probes), Seq("_cell"))
-    val scored0 = (0 until m).foldLeft(pairs) { (acc, s) =>
-      val dtab = queries.select(col(idCol).cast("long").as("query_id"),
-          subVec(s, col(vecCol)).as("_q"))
-        .crossJoin(broadcast(pqCents(s)))
-        .select(col("query_id"), col("cid").as(s"_c$s"),
-          dist(col("_q"), col("cv")).as(s"_d$s"))
-      acc.join(broadcast(dtab), Seq(s"_c$s", "query_id"))
-    }
-    val adc = (0 until m).map(s => col(s"_d$s")).reduce(_ + _)
-    val scored1 = scored0.select(col("query_id"),
-      col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
-    val scored =
-      if (excludeSelf) scored1.filter(col("query_id") =!= col("neighbor_id"))
-      else scored1
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    adcRank(pairs, queries, vecCol, idCol, pqCents, subLen, topK,
+      excludeSelf, pairsCarryQueryId = true)
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,

@@ -170,7 +170,11 @@ object TextOps {
     // column — WITHOUT it column pruning rewrites this branch's aggregate
     // to keys-only, the two tf subtrees stop being identical, and
     // ReuseExchange can no longer share the tokenize+explode+count work
-    // between the score join and this derivation (plan-asserted in spec)
+    // between the score join and this derivation. This is deliberately
+    // optimizer-steering and therefore Spark-version-sensitive: the
+    // TextOpsSpec plan assertion is the canary — if an upgrade learns to
+    // fold the predicate, switch to materializing `tf` (persist), which
+    // trades block-store pressure for version-independence.
     val dfreq = tf.filter(col("tf") >= 1)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n_docs"))

@@ -92,6 +92,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.content_digest.contains(expect))
   }
 
+  test("malformed image header (giant declared dims) falls back, no alloc") {
+    // a 'BM' header declaring 100000x100000 pixels: dims are read from
+    // the HEADER and bounds-checked BEFORE any raster allocation, so
+    // this degrades to the deterministic stub instead of an
+    // OutOfMemoryError killing the task
+    val b = new Array[Byte](64)
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    b(0) = 'B'; b(1) = 'M'
+    put32(2, b.length); put32(10, 54); put32(14, 40)
+    put32(18, 100000); put32(22, 100000)
+    b(26) = 1; b(28) = 24
+    val got = Multimodal.decodeAssets(Seq(BinAsset(1L, b)).toDS())
+      .collect().head
+    // stub values for n=64: audio (64%3=1), w=128, h=128, f=5
+    assert(!got.real_decode && got.media_type == "audio")
+    assert(got.width.contains(128) && got.height.contains(128) &&
+      got.n_frames.contains(5))
+    val rz = Multimodal.resizeAssets(Seq(BinAsset(1L, b)).toDS(), 224, 224)
+      .collect().head
+    assert(!rz.real_decode && rz.out_w.contains(224))
+  }
+
   test("resizeAssets stub fallback equals the Column resize exactly") {
     val txt = (1L to 40L).map(i => (i, s"payload ${"y" * (i % 23).toInt} $i"))
       .toDF("id", "text")
