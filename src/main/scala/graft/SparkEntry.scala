@@ -1260,6 +1260,20 @@ object SparkEntry {
           docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
           n = 4, tauPerMille = 800)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Residual IVF-PQ (Jégou §V full form): PQ quantizes x − c_cell —
+    // per-(query, probed-cell) distance tables, per-element residual
+    // subtracts all exact fixed-order IEEE. The oracle replays THREE
+    // k-means pipelines (coarse + 2 residual subspaces), the residual
+    // derivation, encoding, and the cell-keyed ADC sum.
+    "q94_ivf_pq_residual" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 25), "embedding",
+          "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
+          topK = 3, residual = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc_dist"), 6).as("adc_dist"))
     }))
 
   // -------------------------------------------------------------------
@@ -1434,42 +1448,52 @@ object SparkEntry {
     * coordinate (`list(... ORDER BY pos)` = the Spark side's
     * array_sort-by-pos rebuild). Callers append their final shape.
     */
-  /** Generic form of the replay, parameterized on the vector expression
-    * and k so q89 (product quantization) replays the same math per
-    * SLICED subspace. [[kmeansCtes]] is the (embedding, k=8) instance.
+  /** Generic form of the replay, parameterized on the vector expression,
+    * k and the source relation, so q89 (product quantization) replays
+    * the same math per SLICED subspace and q94 replays it over the
+    * residual CTE. [[kmeansCtes]] is the (embeddings, embedding, k=8)
+    * instance.
+    *
+    * `p` prefixes EVERY CTE name — load-bearing for nested replays
+    * (q89/q90/q94): DuckDB re-binds an outer CTE's body at its USE
+    * site, so an inner scope that redefines `e` silently corrupts any
+    * outer CTE (like q94's `resid`) whose definition mentions `e` —
+    * the q94 oracle was wrong-by-3% until the inner chains stopped
+    * shadowing (the CTE-level form of the lambda-shadowing trap).
     */
-  private def kmeansRounds(xExpr: String, k: Int): String = {
+  private def kmeansRounds(xExpr: String, k: Int,
+      src: String = "embeddings", p: String = ""): String = {
     def dot(a: String, bcol: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), " +
         s"di -> $a[di]::DOUBLE * $bcol[di]::DOUBLE))"
     def dist(x: String, c: String) =
       s"(${dot(x, x)}) - 2.0 * (${dot(x, c)}) + (${dot(c, c)})"
-    s"""WITH e AS (SELECT vec_id, $xExpr AS x FROM embeddings
+    s"""WITH ${p}e AS (SELECT vec_id, $xExpr AS x FROM $src
        |  WHERE ($xExpr) IS NOT NULL),
-       |c0 AS (SELECT vec_id AS cid, x AS cv FROM e
-       |  WHERE vec_id IN (SELECT vec_id FROM e
+       |${p}c0 AS (SELECT vec_id AS cid, x AS cv FROM ${p}e
+       |  WHERE vec_id IN (SELECT vec_id FROM ${p}e
        |    ORDER BY vec_id LIMIT $k)),
-       |d1 AS (SELECT e.vec_id, c0.cid, e.x,
+       |${p}d1 AS (SELECT ${p}e.vec_id, ${p}c0.cid, ${p}e.x,
        |    ${dist("x", "cv")} AS dist
-       |  FROM e CROSS JOIN c0),
-       |a1 AS (SELECT vec_id, cid, x FROM (
+       |  FROM ${p}e CROSS JOIN ${p}c0),
+       |${p}a1 AS (SELECT vec_id, cid, x FROM (
        |    SELECT vec_id, cid, x, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ${p}d1)
        |  WHERE rn = 1),
-       |sx AS (SELECT cid, unnest(list_transform(range(1, len(x) + 1),
+       |${p}sx AS (SELECT cid, unnest(list_transform(range(1, len(x) + 1),
        |    di -> {'pos': di,
        |      'sxv': floor(x[di]::DOUBLE * 1048576.0)::BIGINT})) AS u
-       |  FROM a1),
-       |s1 AS (SELECT cid, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
-       |    count(*)::BIGINT AS cnt FROM sx GROUP BY 1, 2),
-       |c1 AS (SELECT cid, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
-       |    ORDER BY pos) AS cv FROM s1 GROUP BY cid),
-       |d2 AS (SELECT e.vec_id, c1.cid,
+       |  FROM ${p}a1),
+       |${p}s1 AS (SELECT cid, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
+       |    count(*)::BIGINT AS cnt FROM ${p}sx GROUP BY 1, 2),
+       |${p}c1 AS (SELECT cid, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
+       |    ORDER BY pos) AS cv FROM ${p}s1 GROUP BY cid),
+       |${p}d2 AS (SELECT ${p}e.vec_id, ${p}c1.cid,
        |    ${dist("x", "cv")} AS dist
-       |  FROM e CROSS JOIN c1),
-       |a2 AS (SELECT vec_id, cid FROM (
+       |  FROM ${p}e CROSS JOIN ${p}c1),
+       |${p}a2 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ${p}d2)
        |  WHERE rn = 1)""".stripMargin
   }
 
@@ -1483,8 +1507,8 @@ object SparkEntry {
   private lazy val q89Oracle: String = {
     def subQ(s: Int, xExpr: String) =
       s"""SELECT vec_id, CAST($s AS INT) AS subspace, cid AS code FROM (
-         |${kmeansRounds(xExpr, 4)}
-         |SELECT vec_id, cid FROM a2)""".stripMargin
+         |${kmeansRounds(xExpr, 4, p = s"q${s}_")}
+         |SELECT vec_id, cid FROM q${s}_a2)""".stripMargin
     s"""${subQ(0, "embedding[1:32]")}
        |UNION ALL
        |${subQ(1, "embedding[33:64]")}""".stripMargin
@@ -1502,14 +1526,14 @@ object SparkEntry {
         s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
     def dist(x: String, c: String) =
       s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
-    def part(xExpr: String) =
-      s"""(${kmeansRounds(xExpr, 4)}
+    def part(s: Int, xExpr: String) =
+      s"""(${kmeansRounds(xExpr, 4, p = s"q${s}_")}
          |SELECT qe.vec_id AS query_id, a.vec_id,
          |  ${dist("qe.x", "c.cv")} AS d
-         |FROM a2 a JOIN c1 c ON c.cid = a.cid,
-         |  (SELECT vec_id, x FROM e WHERE vec_id < 25) qe)""".stripMargin
-    s"""WITH p0 AS ${part("embedding[1:32]")},
-       |p1 AS ${part("embedding[33:64]")},
+         |FROM q${s}_a2 a JOIN q${s}_c1 c ON c.cid = a.cid,
+         |  (SELECT vec_id, x FROM q${s}_e WHERE vec_id < 25) qe)""".stripMargin
+    s"""WITH p0 AS ${part(0, "embedding[1:32]")},
+       |p1 AS ${part(1, "embedding[33:64]")},
        |g AS (SELECT p0.query_id, p0.vec_id AS neighbor_id,
        |    p0.d + p1.d AS adc
        |  FROM p0 JOIN p1 ON p0.query_id = p1.query_id
@@ -1526,12 +1550,71 @@ object SparkEntry {
     s"""$kmeansCtes
        |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
 
+  /** q94 oracle: residual IVF-PQ — the q91 coarse chain (trained c2,
+    * cell assignment, 2-cell probe), then the per-element residual
+    * `x − c2.cv`, TWO nested k-means replays over residual SLICES
+    * (inner WITHs read the outer `resid` CTE), each vector's codeword
+    * vector (a2 joined to the c1 it indexes), the query's per-probed-
+    * cell residual, and the fixed-order ADC sum `d0 + d1`.
+    */
+  private lazy val q94Oracle: String = {
+    def dotv(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
+    def part(s: Int, xExpr: String) =
+      s"""(${kmeansRounds(xExpr, 4, src = "resid", p = s"r${s}_")}
+         |SELECT a.vec_id, c.cv
+         |FROM r${s}_a2 a JOIN r${s}_c1 c ON c.cid = a.cid)""".stripMargin
+    s"""$kmeansCtes,
+       |sx2 AS (SELECT a2.cid, unnest(list_transform(range(1, len(e.x) + 1),
+       |    di -> {'pos': di,
+       |      'sxv': floor(e.x[di]::DOUBLE * 1048576.0)::BIGINT})) AS u
+       |  FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+       |s2 AS (SELECT cid, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
+       |    count(*)::BIGINT AS cnt FROM sx2 GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
+       |    ORDER BY pos) AS cv FROM s2 GROUP BY cid),
+       |csc AS (SELECT e.vec_id, c.cid, ${dist("e.x", "c.cv")} AS d
+       |  FROM e CROSS JOIN c2 c),
+       |crk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cid) AS rk FROM csc),
+       |ccell AS (SELECT vec_id, cid FROM crk WHERE rk = 1),
+       |qcell AS (SELECT vec_id AS query_id, cid FROM crk
+       |  WHERE rk <= 2 AND vec_id < 25),
+       |resid AS (SELECT e.vec_id, list_transform(range(1, len(e.x) + 1),
+       |    ri -> e.x[ri] - c2.cv[ri]) AS x
+       |  FROM e JOIN ccell cc ON cc.vec_id = e.vec_id
+       |    JOIN c2 ON c2.cid = cc.cid),
+       |p0 AS ${part(0, "x[1:32]")},
+       |p1 AS ${part(1, "x[33:64]")},
+       |qr AS (SELECT q.query_id, q.cid AS cell,
+       |    list_transform(range(1, len(e.x) + 1),
+       |      ri -> e.x[ri] - c2.cv[ri]) AS v
+       |  FROM qcell q JOIN e ON e.vec_id = q.query_id
+       |    JOIN c2 ON c2.cid = q.cid),
+       |g AS (SELECT qr.query_id, cc.vec_id AS neighbor_id,
+       |    (${dist("qr.v[1:32]", "p0.cv")}) +
+       |    (${dist("qr.v[33:64]", "p1.cv")}) AS adc
+       |  FROM qr JOIN ccell cc ON cc.cid = qr.cell
+       |    AND cc.vec_id <> qr.query_id
+       |    JOIN p0 ON p0.vec_id = cc.vec_id
+       |    JOIN p1 ON p1.vec_id = cc.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+       |  FROM g)
+       |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
   /** q91 oracle: IVF-PQ end-to-end — the q87 trained-coarse chain
     * (k-means rounds + one more update = c2) drives cell assignment
     * (argmin dist, cid tie-break) and the 2-cell query probe; the q90
     * per-subspace parts supply the ADC distances; the cell-pair join
     * bounds which pairs score. All three k-means replays live in one
-    * statement (inner WITHs shadow the coarse CTE names per subspace).
+    * statement — each inner chain fully NAME-PREFIXED (see
+    * [[kmeansRounds]]'s shadowing note).
     */
   private lazy val q91Oracle: String = {
     def dotv(a: String, b: String) =
@@ -1539,12 +1622,12 @@ object SparkEntry {
         s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
     def dist(x: String, c: String) =
       s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
-    def part(xExpr: String) =
-      s"""(${kmeansRounds(xExpr, 4)}
+    def part(s: Int, xExpr: String) =
+      s"""(${kmeansRounds(xExpr, 4, p = s"q${s}_")}
          |SELECT qe.vec_id AS query_id, a.vec_id,
          |  ${dist("qe.x", "c.cv")} AS d
-         |FROM a2 a JOIN c1 c ON c.cid = a.cid,
-         |  (SELECT vec_id, x FROM e WHERE vec_id < 25) qe)""".stripMargin
+         |FROM q${s}_a2 a JOIN q${s}_c1 c ON c.cid = a.cid,
+         |  (SELECT vec_id, x FROM q${s}_e WHERE vec_id < 25) qe)""".stripMargin
     s"""$kmeansCtes,
        |sx2 AS (SELECT a2.cid, unnest(list_transform(range(1, len(e.x) + 1),
        |    di -> {'pos': di,
@@ -1563,8 +1646,8 @@ object SparkEntry {
        |  WHERE rk <= 2 AND vec_id < 25),
        |cp AS (SELECT q.query_id, c.vec_id FROM qcell q
        |  JOIN ccell c ON q.cid = c.cid AND q.query_id <> c.vec_id),
-       |p0 AS ${part("embedding[1:32]")},
-       |p1 AS ${part("embedding[33:64]")},
+       |p0 AS ${part(0, "embedding[1:32]")},
+       |p1 AS ${part(1, "embedding[33:64]")},
        |g AS (SELECT cp.query_id, cp.vec_id AS neighbor_id,
        |    p0.d + p1.d AS adc
        |  FROM cp
@@ -2488,6 +2571,8 @@ object SparkEntry {
         |  CAST(CASE WHEN h.n_match * 1000 >= 800 * b.n_bench
         |    THEN 1 ELSE 0 END AS INT) AS flagged
         |FROM hits h JOIN bsz b ON h.bench_id = b.bench_id""".stripMargin,
+
+    "q94_ivf_pq_residual" -> q94Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -488,19 +488,34 @@ object Similarity {
       vecCol: String, idCol: String, pqCents: Seq[DataFrame],
       subLen: Int, topK: Int, excludeSelf: Boolean,
       pairsCarryQueryId: Boolean): DataFrame = {
-    val m = pqCents.length
-    val scored0 = (0 until m).foldLeft(pairs) { (acc, s) =>
-      val dtab = queries.filter(col(vecCol).isNotNull)
+    val dtabs = pqCents.zipWithIndex.map { case (cents, s) =>
+      queries.filter(col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("query_id"),
           subVecCol(col(vecCol), s, subLen).as("_q"))
-        .crossJoin(broadcast(pqCents(s)))
+        .crossJoin(broadcast(cents))
         .select(col("query_id"), col("cid").as(s"_c$s"),
           sqDist(col("_q"), col("cv")).as(s"_d$s"))
-      acc.join(broadcast(dtab),
-        if (s == 0 && !pairsCarryQueryId) Seq(s"_c$s")
-        else Seq(s"_c$s", "query_id"))
     }
-    val adc = (0 until m).map(s => col(s"_d$s")).reduce(_ + _)
+    adcScore(pairs, dtabs,
+      s => if (s == 0 && !pairsCarryQueryId) Seq(s"_c$s")
+      else Seq(s"_c$s", "query_id"),
+      topK, excludeSelf)
+  }
+
+  /** The generic ADC scoring/ranking tail over PREBUILT distance tables
+    * (`dtabs(s)` carries `_c\$s` and `_d\$s` plus whatever `keysFor(s)`
+    * joins on): broadcast-join each table, sum the per-subspace
+    * distances in subspace order (fixed IEEE fold), self-exclude, rank
+    * ascending with the neighbor-id tie-break, WindowGroupLimit-cap at
+    * `topK`.
+    */
+  private def adcScore(pairs: DataFrame, dtabs: Seq[DataFrame],
+      keysFor: Int => Seq[String], topK: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val scored0 = dtabs.zipWithIndex.foldLeft(pairs) {
+      case (acc, (dtab, s)) => acc.join(broadcast(dtab), keysFor(s))
+    }
+    val adc = dtabs.indices.map(s => col(s"_d$s")).reduce(_ + _)
     val scored1 = scored0.select(col("query_id"),
       col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
     val scored =
@@ -513,13 +528,19 @@ object Similarity {
   }
 
   /** IVF-PQ search — the billion-scale production composition (Jégou
-    * et al. 2011 §V, minus residual encoding, documented): a TRAINED
-    * coarse quantizer ([[kmeansCentroids]]) restricts each query to its
-    * `nProbe` nearest cells, and candidates inside those cells are
-    * scored in the compressed domain via [[pqTopK]]'s ADC tables. Raw
-    * vectors are PQ-encoded directly (no residuals — keeps every float
-    * externally replayable; residual encoding is a recall refinement,
-    * not a shape change).
+    * et al. 2011 §V): a TRAINED coarse quantizer ([[kmeansCentroids]])
+    * restricts each query to its `nProbe` nearest cells, and candidates
+    * inside those cells are scored in the compressed domain via ADC
+    * tables.
+    *
+    * `residual = false` (default) PQ-encodes the raw vectors —
+    * simplest, one shared codebook meaning per code. `residual = true`
+    * is the paper's full form: PQ quantizes `x − c_cell` (the residual
+    * after coarse quantization — much lower variance, so the same k
+    * codewords buy more precision), the distance tables become
+    * per-(query, probed-cell) because the QUERY's residual differs per
+    * cell, and every float stays an exact fixed-order IEEE expression
+    * (per-element subtract), so both forms replay externally.
     *
     * Output: `(query_id, neighbor_id, adc_dist, rank)` like [[pqTopK]],
     * but the scored relation is cell-bounded (≈ N·nProbe/nCells per
@@ -527,46 +548,91 @@ object Similarity {
     *
     * Scale shape: cell assignment AND all m PQ encodings happen in ONE
     * map-side projection over the scan (coarse + sub codebooks all ride
-    * in as 1-row broadcasts); the probe table (|Q|·nProbe) and the ADC
-    * tables (|Q|·k per subspace) broadcast; the only shuffle is the
-    * final rank exchange on query_id, already WindowGroupLimit-reduced.
+    * in as 1-row broadcasts; the residual subtract is a zip_with in the
+    * same projection); the probe table (|Q|·nProbe) and the ADC tables
+    * (|Q|·k, or |Q|·nProbe·k for residuals — still tiny) broadcast; the
+    * only shuffle is the final rank exchange on query_id, already
+    * WindowGroupLimit-reduced.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, dim: Int, m: Int, k: Int, nCells: Int,
       nProbe: Int = 1, topK: Int = 10, iters: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, residual: Boolean = false): DataFrame = {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(nCells >= 1 && nProbe >= 1 && topK >= 1)
     val subLen = dim / m
     // the coarse codebook is referenced twice (cell assignment + query
-    // probe) — materialize like the PQ codebooks
+    // probe; three times with residuals) — materialize like the PQ ones
     val coarse = kmeansCentroids(corpus, vecCol, idCol, nCells, iters)
       .localCheckpoint()
-    val pqCents = trainPqCodebooks(corpus, vecCol, idCol, m, k, iters,
-      subLen)
-    // one projection: coarse cell + all m PQ codes, map-side; null
-    // vectors excluded like the Lloyd core (engine-independent gate)
-    val base = corpus.filter(col(vecCol).isNotNull).select(
-      col(idCol).cast("long").as("vec_id") +:
-        col(vecCol).cast("array<double>").as("_xf") +:
-        (0 until m).map(s => subVecCol(col(vecCol), s, subLen)
-          .as(s"_x$s")): _*)
-    val coded = (0 until m).foldLeft(
-        argminCodebook(base, "_xf", coarse, "_cell")) { (acc, s) =>
-        argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
-      }
-      .select(col("vec_id") +: col("_cell") +:
-        (0 until m).map(s => col(s"_c$s")): _*)
+    // null vectors excluded like the Lloyd core (engine-independent)
+    val baseF = corpus.filter(col(vecCol).isNotNull).select(
+      col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("_xf"))
+    val withCell = argminCodebook(baseF, "_xf", coarse, "_cell")
     val probes = probeCodebook(
         queries.filter(col(vecCol).isNotNull)
           .select(col(idCol).cast("long").as("query_id"),
             col(vecCol).cast("array<double>").as("_qf")),
         "_qf", coarse, "_cell", math.min(nProbe, nCells))
-      .select(col("query_id"), col("_cell"))
-    val pairs = coded.join(broadcast(probes), Seq("_cell"))
-    adcRank(pairs, queries, vecCol, idCol, pqCents, subLen, topK,
-      excludeSelf, pairsCarryQueryId = true)
+    if (!residual) {
+      val pqCents = trainPqCodebooks(corpus, vecCol, idCol, m, k, iters,
+        subLen)
+      val sub = withCell.select(col("vec_id") +: col("_cell") +:
+        (0 until m).map(s => subVecCol(col("_xf"), s, subLen)
+          .as(s"_x$s")): _*)
+      val coded = (0 until m).foldLeft(sub) { (acc, s) =>
+          argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
+        }
+        .select(col("vec_id") +: col("_cell") +:
+          (0 until m).map(s => col(s"_c$s")): _*)
+      val pairs = coded.join(
+        broadcast(probes.select(col("query_id"), col("_cell"))),
+        Seq("_cell"))
+      adcRank(pairs, queries, vecCol, idCol, pqCents, subLen, topK,
+        excludeSelf, pairsCarryQueryId = true)
+    } else {
+      // residual = x − c_cell, a per-element zip_with subtract in the
+      // same map-side projection as the cell assignment (the coarse
+      // codeword arrives via a broadcast k-row join)
+      val coarseKV = coarse.select(col("cid").as("_cell"),
+        col("cv").as("_ccv"))
+      val rsub = withCell.join(broadcast(coarseKV), Seq("_cell"))
+        .withColumn("_r", zip_with(col("_xf"), col("_ccv"), (a, b) => a - b))
+        .select(col("vec_id") +: col("_cell") +:
+          (0 until m).map(s => subVecCol(col("_r"), s, subLen)
+            .as(s"_x$s")): _*)
+      // PQ codebooks train on the RESIDUALS (each training re-derives
+      // the assignment+subtract projection — scan-side work, same cost
+      // class as the non-residual trainings)
+      val pqCents = (0 until m).map { s =>
+        lloydFull(rsub.select(col("vec_id"), col(s"_x$s").as("_sub")),
+          "_sub", "vec_id", k, iters, scaleBits = 20,
+          checkpointDir = None)._2.localCheckpoint()
+      }
+      val coded = (0 until m).foldLeft(rsub) { (acc, s) =>
+          argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
+        }
+        .select(col("vec_id") +: col("_cell") +:
+          (0 until m).map(s => col(s"_c$s")): _*)
+      // the query residual is PER PROBED CELL, so the distance tables
+      // carry the cell key: |Q|·nProbe·k rows per subspace — broadcast
+      val qresid = probes.join(broadcast(coarseKV), Seq("_cell"))
+        .withColumn("_qr", zip_with(col("_qf"), col("_ccv"), (a, b) => a - b))
+      val dtabs = (0 until m).map { s =>
+        qresid.select(col("query_id"), col("_cell"),
+            subVecCol(col("_qr"), s, subLen).as("_q"))
+          .crossJoin(broadcast(pqCents(s)))
+          .select(col("query_id"), col("_cell"), col("cid").as(s"_c$s"),
+            sqDist(col("_q"), col("cv")).as(s"_d$s"))
+      }
+      val pairs = coded.join(
+        broadcast(probes.select(col("query_id"), col("_cell"))),
+        Seq("_cell"))
+      adcScore(pairs, dtabs, s => Seq(s"_c$s", "query_id", "_cell"),
+        topK, excludeSelf)
+    }
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,

@@ -332,6 +332,28 @@ class RankClusterSpec extends SparkSpec {
     assert(nanRow._1 == nanRow._2 && nanRow._1 == 10L)
   }
 
+  test("residual IVF-PQ: deterministic; more probes never worsen best hit") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 11 + d * 7) % 23).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 6)
+    def run(d: org.apache.spark.sql.DataFrame, probes: Int) =
+      Similarity.ivfPqTopK(d, q, "embedding", "vec_id", dim = 8, m = 2,
+          k = 3, nCells = 4, nProbe = probes, topK = 4, residual = true)
+        .select($"query_id", $"neighbor_id", $"adc_dist", $"rank")
+        .as[(Long, Long, Double, Int)].collect()
+    val base = run(vecs, 2).toSet
+    assert(base.nonEmpty)
+    assert(run(vecs.repartition(13), 2).toSet == base)
+    // widening the probe never worsens the best hit per query (the
+    // candidate set only grows; distances are per-pair constants)
+    val best1 = run(vecs, 1).filter(_._4 == 1).map(r => r._1 -> r._3).toMap
+    val best4 = run(vecs, 4).filter(_._4 == 1).map(r => r._1 -> r._3).toMap
+    best1.foreach { case (qid, d1) =>
+      assert(best4(qid) <= d1, s"query $qid: probe widening worsened best")
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
