@@ -1274,6 +1274,19 @@ object SparkEntry {
           topK = 3, residual = true)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("adc_dist"), 6).as("adc_dist"))
+    }),
+
+    // PQ + exact re-rank (Jégou §V-D refine): a 10-deep ADC shortlist
+    // per query, then exact fixed-order L2 over ONLY those candidates,
+    // re-ranked to top-3 — compressed-domain recall, exact-domain final
+    // order. The oracle replays the whole q90 ADC chain at depth 10,
+    // then the exact-distance re-rank.
+    "q95_pq_rerank" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.pqRerank(e, e.filter(col("vec_id") < 25), "embedding",
+          "vec_id", dim = 64, m = 2, k = 4, topK = 3, rerankDepth = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("l2_dist"), 6).as("l2_dist"))
     }))
 
   // -------------------------------------------------------------------
@@ -1544,6 +1557,47 @@ object SparkEntry {
        |  FROM g)
        |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
        |FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** q95 oracle: the q90 ADC chain cut at rank <= 10 (the shortlist),
+    * then the exact squared-L2 replay over just those (query, neighbor)
+    * pairs' RAW vectors and the final re-rank — the same fixed-order
+    * dist expression as the Spark side's shared [[Similarity]] kernel.
+    */
+  private lazy val q95Oracle: String = {
+    def dotv(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
+    def part(s: Int, xExpr: String) =
+      s"""(${kmeansRounds(xExpr, 4, p = s"q${s}_")}
+         |SELECT qe.vec_id AS query_id, a.vec_id,
+         |  ${dist("qe.x", "c.cv")} AS d
+         |FROM q${s}_a2 a JOIN q${s}_c1 c ON c.cid = a.cid,
+         |  (SELECT vec_id, x FROM q${s}_e WHERE vec_id < 25) qe)""".stripMargin
+    s"""WITH p0 AS ${part(0, "embedding[1:32]")},
+       |p1 AS ${part(1, "embedding[33:64]")},
+       |g AS (SELECT p0.query_id, p0.vec_id AS neighbor_id,
+       |    p0.d + p1.d AS adc
+       |  FROM p0 JOIN p1 ON p0.query_id = p1.query_id
+       |    AND p0.vec_id = p1.vec_id
+       |  WHERE p0.query_id <> p0.vec_id),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+       |  FROM g),
+       |sl AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 10),
+       |fe AS (SELECT vec_id, embedding AS x FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |    ${dist("qe.x", "ne.x")} AS l2
+       |  FROM sl JOIN fe qe ON qe.vec_id = sl.query_id
+       |    JOIN fe ne ON ne.vec_id = sl.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, l2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, rank, round(l2, 6) AS l2_dist
+       |FROM rr WHERE rank <= 3""".stripMargin
   }
 
   private lazy val q74Oracle: String =
@@ -2573,6 +2627,8 @@ object SparkEntry {
         |FROM hits h JOIN bsz b ON h.bench_id = b.bench_id""".stripMargin,
 
     "q94_ivf_pq_residual" -> q94Oracle,
+
+    "q95_pq_rerank" -> q95Oracle,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -635,6 +635,49 @@ object Similarity {
     }
   }
 
+  /** PQ search with exact re-ranking (Jégou et al. 2011 §V-D refine
+    * step): [[pqTopK]] produces a `rerankDepth`-deep ADC shortlist per
+    * query, then ONLY those candidates' raw vectors are fetched and
+    * re-scored with the exact squared L2 ([[sqDist]] — the same
+    * fixed-order IEEE expression every kernel shares), re-ranked to
+    * `topK`. Compressed-domain recall, exact-domain precision — the
+    * standard production composition when the raw vectors are still
+    * reachable (e.g. parquet-resident).
+    *
+    * Output: `(query_id, neighbor_id, l2_dist, rank)`, rank 1..topK by
+    * ascending EXACT distance, neighbor-id tie-break.
+    *
+    * Scale shape: the shortlist is |Q|·rerankDepth rows — broadcast
+    * onto the corpus scan, so the exact-fetch join is map-side (the
+    * corpus never shuffles for it); the query vectors broadcast
+    * likewise; the surviving |Q|·rerankDepth scored rows hit one rank
+    * exchange, WindowGroupLimit-capped at `topK`.
+    */
+  def pqRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, m: Int, k: Int, topK: Int,
+      rerankDepth: Int, iters: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankDepth >= topK,
+      s"rerankDepth ($rerankDepth) must be >= topK ($topK)")
+    val cands = pqTopK(corpus, queries, vecCol, idCol, dim, m, k,
+        rerankDepth, iters, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val nbr = corpus.filter(col(vecCol).isNotNull).select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_nv"))
+    val qv = queries.filter(col(vecCol).isNotNull).select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val exact = nbr.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqDist(col("_qv"), col("_nv")).as("l2_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means partitions the corpus into cells so the
     * O(n²) cosine comparison never crosses a cell boundary; a vector is

@@ -354,6 +354,38 @@ class RankClusterSpec extends SparkSpec {
     }
   }
 
+  test("pqRerank: depth=N-1 recovers the exact L2 order; depth>=topK") {
+    // with the shortlist covering EVERY candidate, the re-rank IS exact
+    // brute-force L2 — regardless of how lossy the PQ stage is (m=2,
+    // k=2: maximally coarse codes)
+    val raw = (0L until 24L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val got = Similarity.pqRerank(vecs, vecs.filter($"vec_id" < 5),
+        "embedding", "vec_id", dim = 4, m = 2, k = 2, topK = 3,
+        rerankDepth = 23)
+      .select($"query_id", $"neighbor_id", $"l2_dist", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val dv = raw.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    (0L until 5L).foreach { q =>
+      val expect = dv.keys.filter(_ != q).toSeq
+        .map { n =>
+          val (x, c) = (dv(q), dv(n))
+          (n, dot(x, x) - 2.0 * dot(x, c) + dot(c, c))
+        }
+        .sortBy { case (n, d) => (d, n) }.take(3)
+      val mine = got.filter(_._1 == q).sortBy(_._4)
+        .map(r => (r._2, r._3)).toSeq
+      assert(mine == expect, s"query $q: $mine vs $expect")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerank(vecs, vecs, "embedding", "vec_id", dim = 4,
+        m = 2, k = 2, topK = 5, rerankDepth = 3)
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
