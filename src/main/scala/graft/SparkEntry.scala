@@ -1287,6 +1287,15 @@ object SparkEntry {
           "vec_id", dim = 64, m = 2, k = 4, topK = 3, rerankDepth = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("l2_dist"), 6).as("l2_dist"))
+    }),
+
+    // Bigram-LM cross-entropy (the CCNet-class perplexity filter):
+    // add-0.5-smoothed bigram stats trained on the corpus itself; each
+    // doc's surprisal banked as floor(ln(p)·2^20) BIGINTs so the sum is
+    // order-free exact and only the final -Σ/(n·2^20) divides.
+    "q96_bigram_lm_entropy" -> ((s, dir) => {
+      TextOps.bigramLmScore(ld(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -2629,6 +2638,37 @@ object SparkEntry {
     "q94_ivf_pq_residual" -> q94Oracle,
 
     "q95_pq_rerank" -> q95Oracle,
+
+    // bigram LM entropy: the same tokenization replay as q20, add-0.5
+    // smoothing, per-bigram floor(ln(p)*2^20) integers, one final divide
+    "q96_bigram_lm_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |      AS toks
+        |  FROM documents),
+        |db AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      bi -> {'w1': toks[bi], 'w2': toks[bi+1]})) AS u
+        |    FROM t WHERE len(toks) >= 2)),
+        |dc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+        |  FROM db GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(c)::BIGINT AS cb FROM dc GROUP BY 1, 2),
+        |cp AS (SELECT w1, sum(cb)::BIGINT AS cp FROM cb GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM cb),
+        |sc AS (SELECT dc.doc_id, dc.c,
+        |    floor(ln((cb.cb::DOUBLE + (500::DOUBLE / 1000.0)) /
+        |      (cp.cp::DOUBLE + (500::DOUBLE / 1000.0) * vv.v::DOUBLE))
+        |      * 1048576.0)::BIGINT AS lp
+        |  FROM dc JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv),
+        |g AS (SELECT doc_id, sum(c * lp)::BIGINT AS lp_micro,
+        |    sum(c)::BIGINT AS n_bigrams
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(g.lp_micro, 0)::BIGINT AS lp_micro,
+        |  -(g.lp_micro::DOUBLE) / (g.n_bigrams::DOUBLE * 1048576.0)
+        |    AS h_nats
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -707,4 +707,76 @@ object TextOps {
         terms.indices.map(i => col(s"tf$i")) ++
         Seq(col("score"), col("rank")): _*)
   }
+
+  /** Bigram language-model cross-entropy scoring — the CCNet-class
+    * "perplexity filter" (Wenzek et al. 2020): train add-α-smoothed
+    * bigram statistics on the corpus ITSELF in one pass, then score
+    * each document by its average negative log-probability. Documents
+    * far above the corpus-typical entropy are gibberish/noise;
+    * far below are boilerplate/templated — both ends are standard
+    * curation drop zones.
+    *
+    * Per bigram type: `p = (c(w1,w2) + α) / (c(w1·) + α·V)` with
+    * `c(w1·) = Σ_w2 c(w1,w2)` (so probabilities sum to <= 1 over the
+    * observed vocabulary) and `V` = distinct successor words. The
+    * per-bigram surprisal is banked as an INTEGER,
+    * `floor(ln(p)·2^20)` — the kmeans scaled-int trick — so the
+    * per-document sum is order-free and exact, and the single final
+    * division `-Σ/(n·2^20)` is the only float rounding that depends on
+    * the aggregate: bit-replayable on any engine.
+    *
+    * Output: `(id, n_bigrams, lp_micro, h_nats)` — one row per input
+    * document; docs with < 2 tokens carry `n_bigrams = 0`, `lp_micro
+    * = 0`, `h_nats = NULL`.
+    *
+    * Shape for scale: bigrams are pre-aggregated PER DOCUMENT first
+    * (the shuffle carries distinct (id, bigram, count), bounded by
+    * distinct bigrams per doc, not tokens); the model tables `cb`/`cp`
+    * join back on gram keys as hash equi-joins — deliberately NOT
+    * broadcast (a 100 TB corpus's bigram vocabulary is itself huge);
+    * the final per-doc sum shuffles 24-byte rows. `docCnt` and `cb`
+    * each feed multiple branches and are materialized once
+    * (localCheckpoint — the semDedup lesson; lost-on-executor-death
+    * caveat as for connectedComponents).
+    */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String,
+      alphaPerMille: Int = 500): DataFrame = {
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    val alpha = lit(alphaPerMille.toDouble / 1000.0)
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      words(col(textCol)).as("_toks"))
+    val docBg = toks.filter(size(col("_toks")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(element_at(col("_toks"), i).as("w1"),
+          element_at(col("_toks"), i + 1).as("w2")))).as("_b"))
+      .select(col("id"), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    val docCnt = docBg.groupBy(col("id"), col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val cb = docCnt.groupBy(col("_w1"), col("_w2"))
+      .agg(sum(col("_c")).as("_cb"))
+      .localCheckpoint()
+    val cp = cb.groupBy(col("_w1")).agg(sum(col("_cb")).as("_cp"))
+    val vocab = cb.agg(countDistinct(col("_w2")).as("_v"))
+    val lp = floor(log((col("_cb").cast("double") + alpha) /
+        (col("_cp").cast("double") + alpha * col("_v").cast("double"))) *
+      lit(1048576.0)).cast("long")
+    val scored = docCnt.join(cb, Seq("_w1", "_w2"))
+      .join(cp, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("_c"), lp.as("_lp"))
+    val perDoc = scored.groupBy(col("id"))
+      .agg(sum(col("_c") * col("_lp")).as("lp_micro"),
+        sum(col("_c")).as("n_bigrams"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"),
+        (-col("lp_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1048576.0)))
+          .as("h_nats"))
+  }
 }

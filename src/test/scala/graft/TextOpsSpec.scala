@@ -21,6 +21,34 @@ class TextOpsSpec extends SparkSpec {
       (3L, 3L, 3L, 1L, 1L)))
   }
 
+  test("bigramLmScore matches a hand model; short docs carry null h") {
+    val df = Seq(
+      (1L, "a b a b"),     // bigrams: ab, ba, ab
+      (2L, "a b c"),       // ab, bc
+      (3L, "x"),           // 1 token: no bigrams
+      (4L, "")             // empty: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(df, "text", "doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // corpus model: cb(a,b)=3 cb(b,a)=1 cb(b,c)=1; cp(a)=3 cp(b)=2;
+    // V = |{b, a, c}| = 3; alpha = 0.5
+    def lp(cb: Long, cp: Long): Long =
+      math.floor(math.log((cb + 0.5) / (cp + 0.5 * 3)) * 1048576.0).toLong
+    val (ab, ba, bc) = (lp(3, 3), lp(1, 2), lp(1, 2))
+    val d1 = 2 * ab + ba
+    val d2 = ab + bc
+    assert(got(1L) == ((3L, d1, Some(-d1.toDouble / (3 * 1048576.0)))))
+    assert(got(2L) == ((2L, d2, Some(-d2.toDouble / (2 * 1048576.0)))))
+    assert(got(3L) == ((0L, 0L, None)))
+    assert(got(4L) == ((0L, 0L, None)))
+    // partitioning-independent (the sum is integer-exact)
+    val re = TextOps.bigramLmScore(df.repartition(7), "text", "doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re == got)
+  }
+
   test("piiRedact replaces every email and phone occurrence") {
     val df = Seq(
       ("mail a@b.com and c.d+x@e-f.org now", 2L, 0L),
