@@ -1296,6 +1296,14 @@ object SparkEntry {
     "q96_bigram_lm_entropy" -> ((s, dir) => {
       TextOps.bigramLmScore(ld(s, dir, "documents"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Fractional-epoch upsampling (2.3 epochs): every doc twice, plus a
+    // salted-mix64 30% once more — zero-shuffle map-side explode.
+    "q97_epoch_upsample" -> ((s, dir) => {
+      TextOps.epochUpsample(ld(s, dir, "documents"), "doc_id",
+          epochsPerMille = 2300)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // -------------------------------------------------------------------
@@ -2669,6 +2677,19 @@ object SparkEntry {
         |  -(g.lp_micro::DOUBLE) / (g.n_bigrams::DOUBLE * 1048576.0)
         |    AS h_nats
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // epoch upsampling: the salted mix64 bucket decides the fractional
+    // extra copy; copies materialize via range unnest
+    "q97_epoch_upsample" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ((${DuckHash.mix("(doc_id + 424243)::HUGEINT")}) >> 12)
+         |      % 1000 AS bk
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    (2 + CASE WHEN bk < 300 THEN 1 ELSE 0 END)::INT AS n_copies
+         |  FROM b)
+         |SELECT c.doc_id, u::INT AS epoch_copy, c.n_copies
+         |FROM c, unnest(range(0, c.n_copies)) AS t(u)""".stripMargin,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

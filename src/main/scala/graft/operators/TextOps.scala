@@ -431,6 +431,41 @@ object TextOps {
       (key2 % nFiles).as("file_idx"), key2.as("shuffle_key"))
   }
 
+  /** Fractional-epoch upsampling — the data-recipe "repeat this source
+    * 2.3 epochs" primitive (mixture weighting by repetition rather than
+    * by dropping). Every row is emitted `floor(epochs)` times, plus one
+    * more for a deterministic `epochs mod 1` fraction of rows selected
+    * by a SALTED avalanche hash (house rule: every sampling op salts
+    * its mix64 stream so composed keep-predicates never correlate —
+    * this one uses +424243).
+    *
+    * Output: `(id, epoch_copy, n_copies)` — `epoch_copy` ∈
+    * [0, n_copies); downstream shuffles (e.g. [[splitAssign]]'s
+    * shuffle_key on a composite of id and copy) spread the replicas.
+    *
+    * Shape for scale: a zero-shuffle scan-side projection —
+    * `explode(sequence(...))` amplifies rows map-side, no state, no
+    * exchange; rows with zero copies (epochs < 1, unlucky hash) are
+    * filtered before the explode so `sequence` never sees a negative
+    * span.
+    */
+  def epochUpsample(df: DataFrame, idCol: String,
+      epochsPerMille: Int): DataFrame = {
+    require(epochsPerMille >= 1,
+      s"epochsPerMille must be >= 1, got $epochsPerMille")
+    val full = epochsPerMille / 1000
+    val frac = epochsPerMille % 1000
+    val bucket = shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
+      col(idCol).cast("long") + lit(424243L)), 12) % 1000
+    df.select(col(idCol).cast("long").as("id"),
+        (lit(full) + when(bucket < frac, 1).otherwise(0)).cast("int")
+          .as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("id"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("epoch_copy"),
+        col("n_copies"))
+  }
+
   /** Deterministic sequence packing: assign documents to fixed
     * token-budget training packs. Documents are laid out in
     * avalanche-hash order (the deterministic corpus shuffle), a running

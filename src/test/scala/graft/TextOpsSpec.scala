@@ -49,6 +49,39 @@ class TextOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("epochUpsample: floor copies + deterministic fraction, zero-shuffle") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val got = TextOps.epochUpsample(df, "doc_id", epochsPerMille = 2300)
+      .as[(Long, Int, Int)].collect()
+    val byId = got.groupBy(_._1)
+    assert(byId.size == 1000)
+    byId.foreach { case (id, rows) =>
+      val n = rows.head._3
+      assert(n == 2 || n == 3)
+      assert(rows.map(_._2).sorted.toSeq == (0 until n))
+    }
+    // fraction lands near 30% (mix64 is uniform; 1000 ids)
+    val extra = byId.values.count(_.head._3 == 3)
+    assert(extra > 240 && extra < 360, s"extra-copy count $extra")
+    // deterministic + partitioning-independent
+    val re = TextOps.epochUpsample(df.repartition(7), "doc_id", 2300)
+      .as[(Long, Int, Int)].collect()
+    assert(re.sortBy(r => (r._1, r._2)).toSeq ==
+      got.sortBy(r => (r._1, r._2)).toSeq)
+    // sub-epoch rates (0.4 epochs) keep only the hash fraction
+    val sub = TextOps.epochUpsample(df, "doc_id", 400)
+      .as[(Long, Int, Int)].collect()
+    assert(sub.forall(r => r._2 == 0 && r._3 == 1))
+    assert(sub.length > 330 && sub.length < 470, s"sub count ${sub.length}")
+    // the plan is a pure map-side projection: no exchange anywhere
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.epochUpsample(df, "doc_id", 2300)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("piiRedact replaces every email and phone occurrence") {
     val df = Seq(
       ("mail a@b.com and c.d+x@e-f.org now", 2L, 0L),
