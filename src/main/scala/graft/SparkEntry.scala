@@ -1304,6 +1304,42 @@ object SparkEntry {
       TextOps.epochUpsample(ld(s, dir, "documents"), "doc_id",
           epochsPerMille = 2300)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Per-dimension embedding standardization: z-scores from
+    // integer-banked stats (2^10-quantized sums/sum-of-squares), so the
+    // unrounded doubles replay exactly — mean/var/sqrt/divide are
+    // fixed-order ops on exactly-representable integers.
+    "q98_embedding_standardize" -> ((s, dir) => {
+      Similarity.standardize(ld(s, dir, "embeddings"), "embedding",
+        "vec_id")
+    }),
+
+    // Perplexity band gate — the CCNet pipeline closed end-to-end:
+    // bigram-LM entropy in integer milli-nats, per-lang p10/p90 via the
+    // q64 mergeable qhist (thresholds broadcast back), keep the band
+    // (drop boilerplate below p10 and gibberish above p90). The scored
+    // relation feeds both the threshold agg and the gate — materialized
+    // once (the semDedup lesson).
+    "q99_perplexity_gate" -> ((s, dir) => {
+      import graft.functions.Quantiles
+      val docs = ld(s, dir, "documents")
+      val scored = TextOps.bigramLmScore(docs, "text", "doc_id")
+        .filter(col("n_bigrams") > 0)
+        .select(col("id").as("doc_id"),
+          floor(col("h_nats") * lit(1000.0)).cast("long").as("h_milli"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint()
+      val th = scored.groupBy(col("lang"))
+        .agg(Quantiles.qhist(col("h_milli")).as("h"))
+        .select(col("lang"),
+          Quantiles.quantile(col("h"), 0.1).as("p10_lb"),
+          Quantiles.quantile(col("h"), 0.9).as("p90_lb"))
+      scored.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("h_milli"),
+          col("p10_lb"), col("p90_lb"),
+          (col("h_milli") >= col("p10_lb") &&
+            col("h_milli") <= col("p90_lb")).cast("int").as("kept"))
     }))
 
   // -------------------------------------------------------------------
@@ -1616,6 +1652,33 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank, round(l2, 6) AS l2_dist
        |FROM rr WHERE rank <= 3""".stripMargin
   }
+
+  /** Shared q96/q99 model chain: q20's tokenization replay → per-doc
+    * bigram counts `dc` → corpus model (`cb`, `cp`, vocab `vv`) →
+    * integer-banked surprisal `sc` → per-doc totals `g`.
+    */
+  private lazy val bigramLmCtes: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+      |      AS toks
+      |  FROM documents),
+      |db AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |      bi -> {'w1': toks[bi], 'w2': toks[bi+1]})) AS u
+      |    FROM t WHERE len(toks) >= 2)),
+      |dc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+      |  FROM db GROUP BY 1, 2, 3),
+      |cb AS (SELECT w1, w2, sum(c)::BIGINT AS cb FROM dc GROUP BY 1, 2),
+      |cp AS (SELECT w1, sum(cb)::BIGINT AS cp FROM cb GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM cb),
+      |sc AS (SELECT dc.doc_id, dc.c,
+      |    floor(ln((cb.cb::DOUBLE + (500::DOUBLE / 1000.0)) /
+      |      (cp.cp::DOUBLE + (500::DOUBLE / 1000.0) * vv.v::DOUBLE))
+      |      * 1048576.0)::BIGINT AS lp
+      |  FROM dc JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv),
+      |g AS (SELECT doc_id, sum(c * lp)::BIGINT AS lp_micro,
+      |    sum(c)::BIGINT AS n_bigrams
+      |  FROM sc GROUP BY 1)""".stripMargin
 
   private lazy val q74Oracle: String =
     s"""$kmeansCtes
@@ -2650,33 +2713,52 @@ object SparkEntry {
     // bigram LM entropy: the same tokenization replay as q20, add-0.5
     // smoothing, per-bigram floor(ln(p)*2^20) integers, one final divide
     "q96_bigram_lm_entropy" ->
-      """WITH t AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
-        |      AS toks
-        |  FROM documents),
-        |db AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |      bi -> {'w1': toks[bi], 'w2': toks[bi+1]})) AS u
-        |    FROM t WHERE len(toks) >= 2)),
-        |dc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
-        |  FROM db GROUP BY 1, 2, 3),
-        |cb AS (SELECT w1, w2, sum(c)::BIGINT AS cb FROM dc GROUP BY 1, 2),
-        |cp AS (SELECT w1, sum(cb)::BIGINT AS cp FROM cb GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM cb),
-        |sc AS (SELECT dc.doc_id, dc.c,
-        |    floor(ln((cb.cb::DOUBLE + (500::DOUBLE / 1000.0)) /
-        |      (cp.cp::DOUBLE + (500::DOUBLE / 1000.0) * vv.v::DOUBLE))
-        |      * 1048576.0)::BIGINT AS lp
-        |  FROM dc JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv),
-        |g AS (SELECT doc_id, sum(c * lp)::BIGINT AS lp_micro,
-        |    sum(c)::BIGINT AS n_bigrams
-        |  FROM sc GROUP BY 1)
-        |SELECT d.doc_id,
-        |  coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
-        |  coalesce(g.lp_micro, 0)::BIGINT AS lp_micro,
-        |  -(g.lp_micro::DOUBLE) / (g.n_bigrams::DOUBLE * 1048576.0)
-        |    AS h_nats
-        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+      s"""$bigramLmCtes
+         |SELECT d.doc_id,
+         |  coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(g.lp_micro, 0)::BIGINT AS lp_micro,
+         |  -(g.lp_micro::DOUBLE) / (g.n_bigrams::DOUBLE * 1048576.0)
+         |    AS h_nats
+         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // perplexity band gate: milli-nat entropy through the q64/q75
+    // log-bucket qhist replay, per-lang p10/p90 lower bounds, keep the
+    // band (drop both tails: boilerplate below, gibberish above)
+    "q99_perplexity_gate" ->
+      s"""$bigramLmCtes,
+         |hm AS (SELECT d.doc_id, d.lang,
+         |    floor((-(g.lp_micro::DOUBLE) /
+         |      (g.n_bigrams::DOUBLE * 1048576.0)) * 1000.0)::BIGINT
+         |      AS h_milli
+         |  FROM documents d JOIN g USING (doc_id)
+         |  WHERE g.n_bigrams > 0),
+         |hb AS (SELECT doc_id, lang, h_milli,
+         |    CASE WHEN h_milli <= 0 THEN 0 WHEN h_milli < 32 THEN h_milli
+         |      ELSE 32 + (len(bin(h_milli)) - 6) * 16
+         |        + ((h_milli >> (len(bin(h_milli)) - 5)) & 15) END
+         |      AS bucket FROM hm),
+         |hc AS (SELECT lang, bucket, count(*) AS n FROM hb
+         |  GROUP BY lang, bucket),
+         |hcum AS (SELECT lang, bucket,
+         |    sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cn,
+         |    sum(n) OVER (PARTITION BY lang) AS tot FROM hc),
+         |hqs AS (SELECT lang,
+         |    min(CASE WHEN cn >= greatest(1,
+         |      CAST(ceil(0.1 * tot) AS BIGINT)) THEN bucket END) AS b10,
+         |    min(CASE WHEN cn >= greatest(1,
+         |      CAST(ceil(0.9 * tot) AS BIGINT)) THEN bucket END) AS b90
+         |  FROM hcum GROUP BY lang),
+         |hth AS (SELECT lang,
+         |    CAST(CASE WHEN b10 < 32 THEN b10 ELSE (16 + b10 % 16)::BIGINT
+         |      << ((b10 - 32) // 16 + 1) END AS BIGINT) AS p10_lb,
+         |    CAST(CASE WHEN b90 < 32 THEN b90 ELSE (16 + b90 % 16)::BIGINT
+         |      << ((b90 - 32) // 16 + 1) END AS BIGINT) AS p90_lb
+         |  FROM hqs)
+         |SELECT hb.doc_id, hb.lang, hb.h_milli, hth.p10_lb, hth.p90_lb,
+         |  CAST(CASE WHEN hb.h_milli >= hth.p10_lb
+         |    AND hb.h_milli <= hth.p90_lb THEN 1 ELSE 0 END AS INT)
+         |    AS kept
+         |FROM hb JOIN hth USING (lang)""".stripMargin,
 
     // epoch upsampling: the salted mix64 bucket decides the fractional
     // extra copy; copies materialize via range unnest
@@ -2690,6 +2772,26 @@ object SparkEntry {
          |  FROM b)
          |SELECT c.doc_id, u::INT AS epoch_copy, c.n_copies
          |FROM c, unnest(range(0, c.n_copies)) AS t(u)""".stripMargin,
+
+    // embedding standardization: 2^10-quantized integer stat banks,
+    // then the same fixed-order mean/var/sqrt/divide chain
+    "q98_embedding_standardize" ->
+      """WITH x AS (SELECT vec_id, u.pos - 1 AS pos, u.xv FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |      pi -> {'pos': pi, 'xv': embedding[pi]::DOUBLE})) AS u
+        |    FROM embeddings WHERE embedding IS NOT NULL)),
+        |q AS (SELECT vec_id, pos, xv, floor(xv * 1024.0)::BIGINT AS sx
+        |  FROM x),
+        |st AS (SELECT pos, sum(sx::HUGEINT) AS s,
+        |    sum(sx::HUGEINT * sx::HUGEINT) AS ss, count(*)::BIGINT AS n
+        |  FROM q GROUP BY pos),
+        |ms AS (SELECT pos, s::DOUBLE / (n::DOUBLE * 1024.0) AS m,
+        |    ss::DOUBLE / (n::DOUBLE * 1048576.0) AS ex2 FROM st),
+        |sd AS (SELECT pos, m, CASE WHEN (ex2 - m * m) > 0.0
+        |    THEN sqrt(ex2 - m * m) END AS sdv FROM ms)
+        |SELECT q.vec_id, q.pos::BIGINT AS pos,
+        |  (q.xv - sd.m) / sd.sdv AS zval
+        |FROM q JOIN sd USING (pos)""".stripMargin,
 
     // per-lang p10 threshold via the q64 log-bucket template, joined
     // back as a keep gate

@@ -747,4 +747,54 @@ object Similarity {
           .otherwise(floor(col("_xv") * lit(127.0) / col("_sc") + lit(0.5))
             .cast("long")).as("qval"))
   }
+
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the whitening-lite preprocessing step before clustering/ANN when
+    * dimensions carry wildly different scales. Statistics are banked as
+    * INTEGERS (the kmeans scaled-int trick, 2^10 per element so the
+    * sum of SQUARES stays exactly double-representable at corpus
+    * scale): per dimension `s = Σ floor(x·2^10)` and
+    * `ss = Σ floor(x·2^10)²`, both exact under any aggregation order;
+    * then `mean = s/(n·2^10)`, `E[x²] = ss/(n·2^20)`,
+    * `var = E[x²] − mean²` and `z = (x − mean)/√var` are a handful of
+    * fixed-order IEEE ops on exactly-representable integers —
+    * bit-replayable on any engine. (The statistics describe the
+    * 2^-10-quantized values — a documented, deterministic definition,
+    * not an approximation of some engine-dependent float sum.)
+    *
+    * Output: `(vec_id, pos, zval)` — one row per (vector, dimension);
+    * a zero-variance dimension yields NULL `zval` (guarded before the
+    * sqrt so float cancellation can never produce NaN).
+    *
+    * Shape for scale: one narrow aggregation shuffle (dim rows of
+    * 24-byte partials — map-side combined), the dim-row stats table
+    * broadcast back onto the scan, and the z projection is map-side.
+    * Sums use decimal(38,0) so a 10^12-row corpus cannot overflow the
+    * integer banks.
+    */
+  def standardize(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val e = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("pos", "_xv")))
+    val sx = floor(col("_xv") * lit(1024.0)).cast("long")
+    val stats = e
+      .select(col("pos"), sx.as("_sx"))
+      .groupBy(col("pos"))
+      .agg(sum(col("_sx").cast("decimal(38,0)")).as("_s"),
+        sum(col("_sx").cast("decimal(18,0)") *
+          col("_sx").cast("decimal(18,0)")).as("_ss"),
+        count(lit(1)).as("_n"))
+    val m = col("_s").cast("double") /
+      (col("_n").cast("double") * lit(1024.0))
+    val ex2 = col("_ss").cast("double") /
+      (col("_n").cast("double") * lit(1048576.0))
+    val varc = ex2 - m * m
+    val std = when(varc > 0.0, sqrt(varc))
+    e.join(broadcast(stats.select(col("pos"), m.as("_m"), std.as("_sd"))),
+        Seq("pos"))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        ((col("_xv") - col("_m")) / col("_sd")).as("zval"))
+  }
 }

@@ -91,6 +91,18 @@ object ScaleProbe {
       vecs, vecs.filter(col("vec_id") % 2000 === 0), "embedding",
       "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
       topK = 3))
+    time("ivf_pq_residual")(graft.operators.Similarity.ivfPqTopK(
+      vecs, vecs.filter(col("vec_id") % 2000 === 0), "embedding",
+      "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
+      topK = 3, residual = true))
+    time("pq_rerank")(graft.operators.Similarity.pqRerank(
+      vecs, vecs.filter(col("vec_id") % 2000 === 0), "embedding",
+      "vec_id", dim = 64, m = 2, k = 4, topK = 3, rerankDepth = 10))
+    // replication multiplies every bigram type's count by N but adds no
+    // new types: the model tables stay fixed-size while the probe join
+    // fans out — the worst case for the gram-key shuffles
+    time("bigram_lm")(TextOps.bigramLmScore(docs, "text", "doc_id"))
+    time("epoch_upsample")(TextOps.epochUpsample(docs, "doc_id", 2300))
     spark.stop()
   }
 }

@@ -386,6 +386,36 @@ class RankClusterSpec extends SparkSpec {
     }
   }
 
+  test("standardize: z-scores match the quantized-stat model; const dim null") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 5.0f, 2.0f)),
+      (2L, Array(3.0f, 5.0f, 4.0f)),
+      (3L, Array(5.0f, 5.0f, 9.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.standardize(vecs, "embedding", "vec_id")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // dim 1 is constant: quantized variance is exactly 0 -> NULL z
+    assert((1L to 3L).forall(i => got((i, 1L)).isEmpty))
+    // dims 0/2: replay the integer-banked math in Scala
+    def z(xs: Seq[Double], x: Double): Double = {
+      val sx = xs.map(v => math.floor(v * 1024.0).toLong)
+      val n = xs.size.toDouble
+      val m = sx.sum.toDouble / (n * 1024.0)
+      val ex2 = sx.map(v => v * v).sum.toDouble / (n * 1048576.0)
+      (x - m) / math.sqrt(ex2 - m * m)
+    }
+    assert(got((1L, 0L)).get == z(Seq(1, 3, 5), 1.0))
+    assert(got((3L, 2L)).get == z(Seq(2, 4, 9), 9.0))
+    // zero-mean unit-variance within quantization error
+    val col2 = (1L to 3L).map(i => got((i, 2L)).get)
+    assert(math.abs(col2.sum) < 1e-2)
+    // partitioning independence (integer banks)
+    val re = Similarity.standardize(vecs.repartition(5), "embedding",
+        "vec_id").as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(re == got)
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction within scale/254") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
