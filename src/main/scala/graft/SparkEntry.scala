@@ -1334,12 +1334,12 @@ object SparkEntry {
         .agg(Quantiles.qhist(col("h_milli")).as("h"))
         .select(col("lang"),
           Quantiles.quantile(col("h"), 0.1).as("p10_lb"),
-          Quantiles.quantile(col("h"), 0.9).as("p90_lb"))
+          Quantiles.quantileUb(col("h"), 0.9).as("p90_ub"))
       scored.join(broadcast(th), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("h_milli"),
-          col("p10_lb"), col("p90_lb"),
+          col("p10_lb"), col("p90_ub"),
           (col("h_milli") >= col("p10_lb") &&
-            col("h_milli") <= col("p90_lb")).cast("int").as("kept"))
+            col("h_milli") < col("p90_ub")).cast("int").as("kept"))
     }))
 
   // -------------------------------------------------------------------
@@ -2751,12 +2751,13 @@ object SparkEntry {
          |hth AS (SELECT lang,
          |    CAST(CASE WHEN b10 < 32 THEN b10 ELSE (16 + b10 % 16)::BIGINT
          |      << ((b10 - 32) // 16 + 1) END AS BIGINT) AS p10_lb,
-         |    CAST(CASE WHEN b90 < 32 THEN b90 ELSE (16 + b90 % 16)::BIGINT
-         |      << ((b90 - 32) // 16 + 1) END AS BIGINT) AS p90_lb
+         |    CAST(CASE WHEN b90 + 1 < 32 THEN b90 + 1
+         |      ELSE (16 + (b90 + 1) % 16)::BIGINT
+         |      << ((b90 + 1 - 32) // 16 + 1) END AS BIGINT) AS p90_ub
          |  FROM hqs)
-         |SELECT hb.doc_id, hb.lang, hb.h_milli, hth.p10_lb, hth.p90_lb,
+         |SELECT hb.doc_id, hb.lang, hb.h_milli, hth.p10_lb, hth.p90_ub,
          |  CAST(CASE WHEN hb.h_milli >= hth.p10_lb
-         |    AND hb.h_milli <= hth.p90_lb THEN 1 ELSE 0 END AS INT)
+         |    AND hb.h_milli < hth.p90_ub THEN 1 ELSE 0 END AS INT)
          |    AS kept
          |FROM hb JOIN hth USING (lang)""".stripMargin,
 

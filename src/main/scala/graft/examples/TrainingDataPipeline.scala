@@ -96,6 +96,25 @@ object TrainingDataPipeline {
       .filter(col("n_chars") >= col("p10"))
     println(s"STAGE length_gate     n=${longEnough.count()}")
 
+    // 4e. perplexity band gate: bigram-LM entropy (trained on the
+    // surviving corpus itself, integer-banked surprisal) in milli-nats;
+    // the per-language p10/p90 band keeps the middle — boilerplate
+    // falls below, gibberish above
+    val lm = TextOps.bigramLmScore(longEnough, "text", "doc_id")
+      .filter(col("n_bigrams") > 0)
+      .select(col("id").as("doc_id"),
+        floor(col("h_nats") * lit(1000.0)).cast("long").as("hm"))
+    val scored = longEnough.join(lm, Seq("doc_id")).localCheckpoint()
+    val band = scored.groupBy(col("lang"))
+      .agg(graft.functions.Quantiles.qhist(col("hm")).as("h"))
+      .select(col("lang"),
+        graft.functions.Quantiles.quantile(col("h"), 0.1).as("lo"),
+        graft.functions.Quantiles.quantileUb(col("h"), 0.9).as("hi"))
+    val inBand = scored.join(broadcast(band), Seq("lang"))
+      .filter(col("hm") >= col("lo") && col("hm") < col("hi"))
+      .drop("hm", "lo", "hi")
+    println(s"STAGE perplexity_gate n=${inBand.count()}")
+
     // 5. embedding-space audit: multi-probe LSH top-3 neighbors for a
     // query sample — the index-building shape for retrieval curation
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -111,6 +130,12 @@ object TrainingDataPipeline {
     val ivfpq = Similarity.ivfPqTopK(emb, sample, "embedding", "vec_id",
       dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2, topK = 3)
     println(s"STAGE ivf_pq_index    pairs=${ivfpq.count()}")
+
+    // 5c. refine: ADC shortlist re-ranked by exact L2 over just the
+    // candidates — compressed-domain recall, exact-domain precision
+    val refined = Similarity.pqRerank(emb, sample, "embedding", "vec_id",
+      dim = 64, m = 2, k = 4, topK = 3, rerankDepth = 10)
+    println(s"STAGE pq_rerank       pairs=${refined.count()}")
 
     // 6. near-dup cluster retention: connected components over embedding
     // near-dup pairs, keep the longest member per cluster — "drop the
@@ -132,12 +157,18 @@ object TrainingDataPipeline {
     // the curated corpus leaves as write-ready pack assignments
     // (`repartitionByRange(file_idx).sortWithinPartitions(shuffle_key)`
     // at the writer; no global rank, no driver state)
-    val splits = TextOps.splitAssign(longEnough, "doc_id",
+    val splits = TextOps.splitAssign(inBand, "doc_id",
       Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 8)
     val trainIds = splits.filter(col("split") === "train")
       .select(col("id").as("doc_id"))
+    // data recipe: the curated train split repeats 1.5 epochs (every doc
+    // once, a salted-hash half once more) before packing
+    val recipe = TextOps.epochUpsample(
+      inBand.join(trainIds, Seq("doc_id"), "left_semi"), "doc_id",
+      epochsPerMille = 1500)
+    println(s"STAGE epoch_recipe    rows=${recipe.count()}")
     val packs = TextOps.packSequences(
-      longEnough.join(trainIds, Seq("doc_id"), "left_semi"),
+      inBand.join(trainIds, Seq("doc_id"), "left_semi"),
       "text", "doc_id", "lang", budget = 2048, shards = 4)
     println(s"STAGE materialize     train=${trainIds.count()} " +
       s"packs=${packs.select(col("pack_id")).distinct().count()}")

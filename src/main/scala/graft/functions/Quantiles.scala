@@ -54,29 +54,51 @@ object Quantiles {
       (16L + m) << (e - 4)
     }
 
-  /** Rank-`ceil(q*n)` bucket lower bound; -1 on an empty histogram.
+  /** Bucket index holding rank `ceil(q*n)`; -1 on an empty histogram.
     * `q` outside [0, 1] is a caller bug — fail fast rather than let the
     * rank exceed n and fall through to lowerBound(959) ≈ 2^62.
     */
-  def quantileEval(counts: ArrayData, q: Double): Long = {
+  private def quantileBucket(counts: ArrayData, q: Double): Int = {
     require(q >= 0.0 && q <= 1.0,
       s"quantile fraction must be in [0, 1], got $q")
     val c = counts.toLongArray()
     var n = 0L
     var i = 0
     while (i < c.length) { n += c(i); i += 1 }
-    if (n == 0L) -1L
+    if (n == 0L) -1
     else {
       val r = math.max(1L, math.ceil(q * n).toLong)
       var cum = 0L
       i = 0
       while (i < c.length) {
         cum += c(i)
-        if (cum >= r) return lowerBound(i)
+        if (cum >= r) return i
         i += 1
       }
-      lowerBound(c.length - 1)
+      c.length - 1
     }
+  }
+
+  /** Rank-`ceil(q*n)` bucket lower bound; -1 on an empty histogram. */
+  def quantileEval(counts: ArrayData, q: Double): Long = {
+    val b = quantileBucket(counts, q)
+    if (b < 0) -1L else lowerBound(b)
+  }
+
+  /** EXCLUSIVE upper bound of the rank-`ceil(q*n)` bucket (= the next
+    * bucket's lower bound) — the right cut for a "keep up to the pXX
+    * bucket" band gate: `v < quantileUbEval(h, 0.9)` keeps everything
+    * in or below the p90 bucket, where the lower bound would drop the
+    * p90 bucket's own contents (observed: a corpus whose values share
+    * one coarse log-bucket makes every lower-bound band empty).
+    * Long.MaxValue when the quantile lands in the last bucket; -1 on an
+    * empty histogram.
+    */
+  def quantileUbEval(counts: ArrayData, q: Double): Long = {
+    val b = quantileBucket(counts, q)
+    if (b < 0) -1L
+    else if (b >= NumBuckets - 1) Long.MaxValue
+    else lowerBound(b + 1)
   }
 
   /** Aggregate: histogram of a long column (`array<bigint>` of counts). */
@@ -87,6 +109,11 @@ object Quantiles {
   /** Scalar: quantile lower bound out of a [[qhist]] histogram. */
   def quantile(hist: Column, q: Double): Column =
     GraftSqlBridge.column(QhistQuantile(
+      GraftSqlBridge.expression(hist), Literal(q)))
+
+  /** Scalar: EXCLUSIVE quantile-bucket upper bound ([[quantileUbEval]]). */
+  def quantileUb(hist: Column, q: Double): Column =
+    GraftSqlBridge.column(QhistQuantileUb(
       GraftSqlBridge.expression(hist), Literal(q)))
 }
 
@@ -173,5 +200,34 @@ case class QhistQuantile(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.Quantiles.quantileEval($h, $q);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QhistQuantile =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[QhistQuantile]]'s exclusive-upper-bound sibling
+  * ([[Quantiles.quantileUbEval]]) — same typing/validation rules.
+  */
+case class QhistQuantileUb(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!(KernelTypes.isLongArray(left.dataType) &&
+        right.dataType == DoubleType))
+      TypeCheckResult.TypeCheckFailure(
+        s"expected (array<bigint>, double), got ${left.dataType.catalogString}" +
+          s" / ${right.dataType.catalogString}")
+    else if (right.foldable) right.eval() match {
+      case q: java.lang.Double if q < 0.0 || q > 1.0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"quantile fraction must be in [0, 1], got $q")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = LongType
+  override def nullSafeEval(h: Any, q: Any): Any =
+    Quantiles.quantileUbEval(h.asInstanceOf[ArrayData], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, q) =>
+      s"${ev.value} = graft.functions.Quantiles.quantileUbEval($h, $q);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QhistQuantileUb =
     copy(left = newLeft, right = newRight)
 }

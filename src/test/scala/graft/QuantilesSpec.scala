@@ -24,6 +24,25 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("quantileUb: exclusive upper bound covers the quantile bucket") {
+    // all values in ONE coarse bucket: lb == lb but ub > every value —
+    // the band [p10_lb, p90_ub) keeps the whole corpus instead of none
+    val xs = Seq(3388L, 3393L, 3411L, 3470L, 3399L)
+    val got = xs.toDF("v").agg(Quantiles.qhist(col("v")).as("h"))
+      .select(Quantiles.quantile(col("h"), 0.1).as("lo"),
+        Quantiles.quantileUb(col("h"), 0.9).as("hi"))
+      .as[(Long, Long)].head()
+    assert(got._1 <= xs.min)
+    assert(got._2 > xs.max)
+    assert(xs.forall(v => v >= got._1 && v < got._2))
+    // exact domain (< 32): ub is lb + 1 — the band is a true order-stat
+    val ex = (1L to 10L).toDF("v").agg(Quantiles.qhist(col("v")).as("h"))
+      .select(Quantiles.quantile(col("h"), 0.5).as("lo"),
+        Quantiles.quantileUb(col("h"), 0.5).as("hi"))
+      .as[(Long, Long)].head()
+    assert(ex == ((5L, 6L)))
+  }
+
   test("qhist quantiles: exact on small domains, merge-order independent") {
     // values < 32 bucket exactly, so quantiles are exact order stats
     val xs = (1L to 20L) ++ (1L to 20L) ++ Seq(25L, 25L)
