@@ -1340,6 +1340,24 @@ object SparkEntry {
           col("p10_lb"), col("p90_ub"),
           (col("h_milli") >= col("p10_lb") &&
             col("h_milli") < col("p90_ub")).cast("int").as("kept"))
+    }),
+
+    // IVF-PQ + exact refine — the full Faiss-style composition:
+    // cell-bounded ADC shortlist of 8, exact L2 re-rank to top-3.
+    "q100_ivf_pq_rerank" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.ivfPqRerank(e, e.filter(col("vec_id") < 25), "embedding",
+          "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
+          topK = 3, rerankDepth = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("l2_dist"), 6).as("l2_dist"))
+    }),
+
+    // Per-language vocabulary profile: tokens, vocab, hapax tail, top-10
+    // head concentration — all integers, data-card material.
+    "q101_vocab_profile" -> ((s, dir) => {
+      TextOps.vocabProfile(ld(s, dir, "documents"), "text", "doc_id",
+        "lang")
     }))
 
   // -------------------------------------------------------------------
@@ -1750,7 +1768,11 @@ object SparkEntry {
     * statement — each inner chain fully NAME-PREFIXED (see
     * [[kmeansRounds]]'s shadowing note).
     */
-  private lazy val q91Oracle: String = {
+  /** The q91 IVF-PQ replay chain up to the ranked ADC relation `r` —
+    * shared by q91 (cut at topK) and q100 (cut at rerankDepth, then the
+    * exact refine).
+    */
+  private lazy val ivfPqChainCtes: String = {
     def dotv(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), " +
         s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
@@ -1789,9 +1811,37 @@ object SparkEntry {
        |    JOIN p1 ON p1.query_id = cp.query_id AND p1.vec_id = cp.vec_id),
        |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
-       |  FROM g)
+       |  FROM g)""".stripMargin
+  }
+
+  private lazy val q91Oracle: String =
+    s"""$ivfPqChainCtes
        |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
        |FROM r WHERE rank <= 3""".stripMargin
+
+  /** q100 oracle: the q91 chain cut at rank <= 8 (the IVF-PQ
+    * shortlist), then the q95-style exact squared-L2 refine and final
+    * re-rank over just those pairs' raw vectors.
+    */
+  private lazy val q100Oracle: String = {
+    def dotv(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
+    s"""$ivfPqChainCtes,
+       |sl AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 8),
+       |fe AS (SELECT vec_id, embedding AS x FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |    ${dist("qe.x", "ne.x")} AS l2
+       |  FROM sl JOIN fe qe ON qe.vec_id = sl.query_id
+       |    JOIN fe ne ON ne.vec_id = sl.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, l2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, rank, round(l2, 6) AS l2_dist
+       |FROM rr WHERE rank <= 3""".stripMargin
   }
 
   /** q76 oracle: the q74 k-means replay feeding the intra-cell cosine
@@ -2709,6 +2759,36 @@ object SparkEntry {
     "q94_ivf_pq_residual" -> q94Oracle,
 
     "q95_pq_rerank" -> q95Oracle,
+
+    "q100_ivf_pq_rerank" -> q100Oracle,
+
+    // vocab profile: q20 tokenization replay, (lang, token) counts,
+    // integer aggregates + top-10 coverage via BIGINT floor-division
+    "q101_vocab_profile" ->
+      """WITH t AS (SELECT lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |      AS toks
+        |  FROM documents),
+        |wt AS (SELECT lang, unnest(toks) AS w FROM t),
+        |tc AS (SELECT lang, w, count(*)::BIGINT AS c FROM wt
+        |  GROUP BY 1, 2),
+        |a AS (SELECT lang, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS vocab_size,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM tc GROUP BY 1),
+        |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+        |    ORDER BY c DESC, w) AS rk FROM tc),
+        |tt AS (SELECT lang, sum(c)::BIGINT AS tk FROM r
+        |  WHERE rk <= 10 GROUP BY 1),
+        |d AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+        |  GROUP BY 1)
+        |SELECT d.lang, d.n_docs,
+        |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(a.vocab_size, 0)::BIGINT AS vocab_size,
+        |  coalesce(a.n_hapax, 0)::BIGINT AS n_hapax,
+        |  coalesce((tt.tk * 1000) // a.n_tokens, 0)::BIGINT
+        |    AS topk_permille
+        |FROM d LEFT JOIN a USING (lang) LEFT JOIN tt USING (lang)""".stripMargin,
 
     // bigram LM entropy: the same tokenization replay as q20, add-0.5
     // smoothing, per-bigram floor(ln(p)*2^20) integers, one final divide

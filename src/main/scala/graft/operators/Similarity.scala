@@ -662,6 +662,17 @@ object Similarity {
     val cands = pqTopK(corpus, queries, vecCol, idCol, dim, m, k,
         rerankDepth, iters, excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, vecCol, idCol, cands, topK)
+  }
+
+  /** The shared refine tail: exact fixed-order squared L2 over a
+    * (query_id, neighbor_id) shortlist, re-ranked to `topK`. The
+    * shortlist and query vectors broadcast; the corpus never shuffles
+    * for the fetch; one WindowGroupLimit-capped rank exchange.
+    */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, cands: DataFrame,
+      topK: Int): DataFrame = {
     val nbr = corpus.filter(col(vecCol).isNotNull).select(
       col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_nv"))
@@ -676,6 +687,27 @@ object Similarity {
       .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** The full production ANN composition (Faiss-style IVFPQ + refine):
+    * trained coarse cells bound the candidate set, PQ ADC ranks it in
+    * the compressed domain to a `rerankDepth` shortlist, and ONLY the
+    * shortlist's raw vectors pay the exact re-rank — sub-linear scan,
+    * compressed scoring, exact final order. All three stages are the
+    * proven kernels ([[ivfPqTopK]] → [[pqRerank]]'s refine tail), so
+    * every float replays externally.
+    */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, m: Int, k: Int, nCells: Int,
+      nProbe: Int, topK: Int, rerankDepth: Int, iters: Int = 2,
+      excludeSelf: Boolean = true,
+      residual: Boolean = false): DataFrame = {
+    require(rerankDepth >= topK,
+      s"rerankDepth ($rerankDepth) must be >= topK ($topK)")
+    val cands = ivfPqTopK(corpus, queries, vecCol, idCol, dim, m, k,
+        nCells, nProbe, rerankDepth, iters, excludeSelf, residual)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, vecCol, idCol, cands, topK)
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,

@@ -743,6 +743,52 @@ object TextOps {
         Seq(col("score"), col("rank")): _*)
   }
 
+  /** Per-group vocabulary profile — the corpus-health report a data
+    * card wants per language/source: document count, token count,
+    * vocabulary size, hapax-legomena count (tokens seen exactly once —
+    * the Zipf tail; a collapsing hapax fraction flags templated/
+    * machine-generated text) and the per-mille of all tokens covered by
+    * the `topK` most frequent tokens (head concentration — boilerplate
+    * pushes it up). All outputs are integers (`div` for the per-mille),
+    * so the profile replays exactly on any engine.
+    *
+    * Shape for scale: one explode → (group, token) hash aggregation
+    * (map-side partial, the shuffle carries distinct tokens per
+    * partition); every profile column then derives from that counts
+    * relation — materialized once, it feeds the totals aggregate AND
+    * the WindowGroupLimit-capped top-k — plus a trivial doc-count agg.
+    * Group count is assumed small (languages/sources, not users).
+    */
+  def vocabProfile(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tc = df.select(col(groupCol).as("grp"),
+        words(col(textCol)).as("_toks"))
+      .select(col("grp"), explode(col("_toks")).as("_w"))
+      .groupBy(col("grp"), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val aggs = tc.groupBy(col("grp")).agg(
+      sum(col("_c")).as("n_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("_c").desc, col("_w").asc)
+    val top = tc.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= topK)
+      .groupBy(col("grp")).agg(sum(col("_c")).as("_tk"))
+    val docs = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(aggs, Seq("grp"), "left").join(top, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab_size"), lit(0L)).as("vocab_size"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(expr("(_tk * 1000) div n_tokens"), lit(0L))
+          .as("topk_permille"))
+  }
+
   /** Bigram language-model cross-entropy scoring — the CCNet-class
     * "perplexity filter" (Wenzek et al. 2020): train add-α-smoothed
     * bigram statistics on the corpus ITSELF in one pass, then score

@@ -386,6 +386,31 @@ class RankClusterSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerank: full probe + full depth recovers exact L2 order") {
+    val raw = (0L until 24L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqRerank(vecs, vecs.filter($"vec_id" < 4),
+        "embedding", "vec_id", dim = 4, m = 2, k = 2, nCells = 3,
+        nProbe = 3, topK = 3, rerankDepth = 23)
+      .select($"query_id", $"neighbor_id", $"l2_dist", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val dv = raw.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    (0L until 4L).foreach { q =>
+      val expect = dv.keys.filter(_ != q).toSeq
+        .map { n =>
+          val (x, c) = (dv(q), dv(n))
+          (n, dot(x, x) - 2.0 * dot(x, c) + dot(c, c))
+        }
+        .sortBy { case (n, d) => (d, n) }.take(3)
+      val mine = got.filter(_._1 == q).sortBy(_._4)
+        .map(r => (r._2, r._3)).toSeq
+      assert(mine == expect, s"query $q: $mine vs $expect")
+    }
+  }
+
   test("standardize: z-scores match the quantized-stat model; const dim null") {
     val vecs = Seq(
       (1L, Array(1.0f, 5.0f, 2.0f)),

@@ -49,6 +49,27 @@ class TextOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("vocabProfile: tokens, vocab, hapax and head coverage per group") {
+    val df = Seq(
+      (1L, "a a a b", "en"),   // en: tokens a×3 b×1
+      (2L, "a c", "en"),       // en totals: 6 tokens, vocab {a,b,c}
+      (3L, "x y", "de")        // de: 2 tokens, both hapax
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.vocabProfile(df, "text", "doc_id", "lang", topK = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // en: 2 docs, 6 tokens, vocab 3, hapax {b,c}=2, top-1 a=4 -> 666‰
+    assert(got("en") == ((2L, 6L, 3L, 2L, 666L)))
+    // de: top-1 is "x" (tie broken by token asc) = 1 of 2 -> 500‰
+    assert(got("de") == ((1L, 2L, 2L, 2L, 500L)))
+    // partitioning independence
+    val re = TextOps.vocabProfile(df.repartition(5), "text", "doc_id",
+        "lang", topK = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(re == got)
+  }
+
   test("epochUpsample: floor copies + deterministic fraction, zero-shuffle") {
     val df = (0L until 1000L).toDF("doc_id")
     val got = TextOps.epochUpsample(df, "doc_id", epochsPerMille = 2300)
