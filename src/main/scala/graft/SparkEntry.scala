@@ -1358,6 +1358,19 @@ object SparkEntry {
     "q101_vocab_profile" -> ((s, dir) => {
       TextOps.vocabProfile(ld(s, dir, "documents"), "text", "doc_id",
         "lang")
+    }),
+
+    // Leakage-safe split: near-dup CLUSTERS are the split unit — a
+    // near-dup pair straddling train/test is silent eval leakage. The
+    // q59 cluster pipeline + the q78 per-mille hash, keyed on cluster.
+    "q102_leakage_safe_split" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val pairs = Dedup.embeddingPairs(e, "embedding", "vec_id",
+        dim = 64, threshold = 0.35, nPlanes = 8)
+      Dedup.leakageSafeSplit(e, "vec_id", pairs, "id_a", "id_b",
+          Seq(("train", 900), ("val", 50), ("test", 50)))
+        .withColumnRenamed("id", "vec_id")
     }))
 
   // -------------------------------------------------------------------
@@ -2689,6 +2702,25 @@ object SparkEntry {
     "q71_bloom_decontaminate" -> q71Oracle,
 
     "q72_cluster_retention" -> q72Oracle,
+
+    // leakage-safe split: q59 cluster replay, per-cluster mix64 bucket,
+    // members inherit their cluster's split
+    "q102_leakage_safe_split" ->
+      s"""$clusterCtes,
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |m AS (SELECT e.vec_id AS id,
+         |    coalesce(cl.cluster_id, e.vec_id) AS cluster_id
+         |  FROM e LEFT JOIN cl ON e.vec_id = cl.id),
+         |reps AS (SELECT DISTINCT cluster_id FROM m),
+         |sp AS (SELECT cluster_id,
+         |    CASE WHEN bkt < 900 THEN 'train' WHEN bkt < 950 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT cluster_id,
+         |      ((${DuckHash.mix("cluster_id::HUGEINT")}) >> 12) % 1000
+         |        AS bkt
+         |    FROM reps))
+         |SELECT m.id AS vec_id, m.cluster_id, sp.split
+         |FROM m JOIN sp USING (cluster_id)""".stripMargin,
 
     "q73_bm25_rank" -> q73Oracle,
 

@@ -340,4 +340,38 @@ object Dedup {
       .orderBy(col(qualityCol).desc, col(idCol))
     members.withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
+    * split unit, not documents — a near-dup pair straddling train and
+    * test is silent evaluation leakage, the exact failure class
+    * benchmark decontamination exists to prevent, reintroduced by a
+    * per-document split. [[connectedComponents]] resolves the edge list
+    * to clusters, singletons are their own cluster, and
+    * [[TextOps.splitAssign]]'s per-mille hash decides each CLUSTER's
+    * split; every member inherits it.
+    *
+    * Output: `(id, cluster_id, split)` — one row per input row.
+    *
+    * Shape for scale: the cluster resolution is the proven O(log n)
+    * pointer-jumping loop over 16-byte rows; the split assignment is a
+    * scan-side projection over the (much smaller) distinct-cluster
+    * relation; members rejoin on cluster_id — one narrow shuffle (or a
+    * broadcast when the cluster relation is small enough for Catalyst
+    * to pick one).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, splits: Seq[(String, Int)],
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = connectedComponents(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
+    val members = df.select(col(idCol).cast("long").as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val reps = members.select(col("cluster_id")).distinct()
+    val csplit = TextOps.splitAssign(reps, "cluster_id", splits)
+      .select(col("id").as("cluster_id"), col("split"))
+    members.join(csplit, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("split"))
+  }
 }

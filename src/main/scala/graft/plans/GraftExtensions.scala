@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, HllAgg, HllEstimate, MinhashSignature, Mix64, PolyHash64, QhistAgg, QhistQuantile, SimHash64}
+import graft.functions.{ArrayDotProduct, HllAgg, HllEstimate, MinhashSignature, Mix64, PolyHash64, QhistAgg, QhistQuantile, QhistQuantileUb, SimHash64}
 
 /** `SparkSessionExtensions` injection point — makes the engine's native
   * Catalyst expressions first-class SQL functions, so plan text (static
@@ -100,6 +100,19 @@ object GraftExtensions {
       require(children.length == 2,
         "graft_qhist_quantile takes (hist, q)")
       QhistQuantile(children.head, children(1))
+    })
+
+  /** `graft_qhist_quantile_ub(hist, q)` — EXCLUSIVE quantile-bucket
+    * upper bound (band-gate cut; see `Quantiles.quantileUbEval`).
+    */
+  val qhistQuantileUb: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_qhist_quantile_ub"),
+    new ExpressionInfo(classOf[QhistQuantileUb].getName,
+      "graft_qhist_quantile_ub"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_qhist_quantile_ub takes (hist, q)")
+      QhistQuantileUb(children.head, children(1))
     })
 
   /** `graft_hll(longCol[, p])` — mergeable HLL distinct sketch. */
@@ -216,8 +229,8 @@ object GraftExtensions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, simhash, fingerprint, minhash, qhist, qhistQuantile,
-      hll, hllEstimate, cm, cmEstimate, bloom, bloomContains, mix64,
-      nearestCentroid)
+      qhistQuantileUb, hll, hllEstimate, cm, cmEstimate, bloom,
+      bloomContains, mix64, nearestCentroid)
 
   /** Register on an existing session's registry (tests, REPL). */
   def registerAll(registry: FunctionRegistry): Unit =

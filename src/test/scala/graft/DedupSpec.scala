@@ -232,4 +232,32 @@ class DedupSpec extends SparkSpec {
       threshold = 0.0, maxBucket = 0)
     assert(uncapped.count() == 30L * 29L / 2L)
   }
+
+  test("leakageSafeSplit: clusters never straddle splits; full coverage") {
+    val ids = (0L until 200L).toDF("doc_id")
+    // chain edges form 50 clusters of 4 {0-3}, {4-7}, ...
+    val pairs = (0L until 200L).filter(i => i % 4 != 3)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.leakageSafeSplit(ids, "doc_id", pairs, "id_a", "id_b",
+        Seq(("train", 900), ("val", 50), ("test", 50)))
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 200)
+    // every member of a cluster carries the same split
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles")
+      assert(rows.length == 4)
+    }
+    // the split of a cluster is splitAssign of its canonical (min) id
+    val expect = graft.operators.TextOps.splitAssign(
+        (0L until 200L by 4L).toDF("cid"), "cid",
+        Seq(("train", 900), ("val", 50), ("test", 50)))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    got.foreach { case (_, c, s) => assert(expect(c) == s) }
+    // singletons (no edges) split by their own id
+    val solo = Dedup.leakageSafeSplit(ids, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b",
+        Seq(("train", 500), ("test", 500)))
+      .as[(Long, Long, String)].collect()
+    assert(solo.length == 200 && solo.forall(r => r._1 == r._2))
+  }
 }

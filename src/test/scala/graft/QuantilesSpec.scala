@@ -92,6 +92,11 @@ class QuantilesSpec extends SparkSpec {
       """SELECT graft_qhist_quantile(graft_qhist(v), 0.5d) AS p50
         |FROM qh_v WHERE v < 0""".stripMargin).as[Long].head()
     assert(empty == -1L)
+    // the exclusive upper bound is registered too and brackets the lb
+    val ub = spark.sql(
+      """SELECT graft_qhist_quantile_ub(graft_qhist(v), 0.5d) AS u
+        |FROM qh_v""".stripMargin).as[Long].head()
+    assert(ub == Quantiles.lowerBound(Quantiles.bucketOf(200L) + 1))
   }
 
   test("streaming incremental qhist matches batch (mergeable state)") {
