@@ -1617,7 +1617,11 @@ object SparkEntry {
     * `d0 + d1` (one IEEE add, same as the Spark fold), ranked ascending
     * with the neighbor-id tie-break.
     */
-  private lazy val q90Oracle: String = {
+  /** The q90 PQ-ADC replay chain up to the ranked relation `r` —
+    * shared by q90 (cut at topK) and q95 (cut at rerankDepth, then the
+    * exact refine). Mirrors [[ivfPqChainCtes]]' role for q91/q100.
+    */
+  private lazy val pqChainCtes: String = {
     def dotv(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), " +
         s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
@@ -1638,39 +1642,22 @@ object SparkEntry {
        |  WHERE p0.query_id <> p0.vec_id),
        |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
-       |  FROM g)
-       |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
-       |FROM r WHERE rank <= 3""".stripMargin
+       |  FROM g)""".stripMargin
   }
 
-  /** q95 oracle: the q90 ADC chain cut at rank <= 10 (the shortlist),
-    * then the exact squared-L2 replay over just those (query, neighbor)
-    * pairs' RAW vectors and the final re-rank — the same fixed-order
-    * dist expression as the Spark side's shared [[Similarity]] kernel.
+  /** The q95/q100 exact-refine tail: cut the ranked ADC relation `r`
+    * at `depth`, fetch the shortlist pairs' RAW vectors and re-rank by
+    * the exact squared L2 — the same fixed-order dist expression as
+    * the Spark side's shared refine kernel.
     */
-  private lazy val q95Oracle: String = {
+  private def exactRefineTailSql(depth: Int): String = {
     def dotv(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), " +
         s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
     def dist(x: String, c: String) =
       s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
-    def part(s: Int, xExpr: String) =
-      s"""(${kmeansRounds(xExpr, 4, p = s"q${s}_")}
-         |SELECT qe.vec_id AS query_id, a.vec_id,
-         |  ${dist("qe.x", "c.cv")} AS d
-         |FROM q${s}_a2 a JOIN q${s}_c1 c ON c.cid = a.cid,
-         |  (SELECT vec_id, x FROM q${s}_e WHERE vec_id < 25) qe)""".stripMargin
-    s"""WITH p0 AS ${part(0, "embedding[1:32]")},
-       |p1 AS ${part(1, "embedding[33:64]")},
-       |g AS (SELECT p0.query_id, p0.vec_id AS neighbor_id,
-       |    p0.d + p1.d AS adc
-       |  FROM p0 JOIN p1 ON p0.query_id = p1.query_id
-       |    AND p0.vec_id = p1.vec_id
-       |  WHERE p0.query_id <> p0.vec_id),
-       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
-       |  FROM g),
-       |sl AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 10),
+    s""",
+       |sl AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $depth),
        |fe AS (SELECT vec_id, embedding AS x FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |ex AS (SELECT sl.query_id, sl.neighbor_id,
@@ -1683,6 +1670,19 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank, round(l2, 6) AS l2_dist
        |FROM rr WHERE rank <= 3""".stripMargin
   }
+
+  private lazy val q90Oracle: String =
+    s"""$pqChainCtes
+       |SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** q95 oracle: the q90 ADC chain cut at rank <= 10 (the shortlist),
+    * then the exact squared-L2 replay over just those (query, neighbor)
+    * pairs' RAW vectors and the final re-rank — the same fixed-order
+    * dist expression as the Spark side's shared [[Similarity]] kernel.
+    */
+  private lazy val q95Oracle: String =
+    s"$pqChainCtes${exactRefineTailSql(10)}"
 
   /** Shared q96/q99 model chain: q20's tokenization replay → per-doc
     * bigram counts `dc` → corpus model (`cb`, `cp`, vocab `vv`) →
@@ -1836,26 +1836,8 @@ object SparkEntry {
     * shortlist), then the q95-style exact squared-L2 refine and final
     * re-rank over just those pairs' raw vectors.
     */
-  private lazy val q100Oracle: String = {
-    def dotv(a: String, b: String) =
-      s"list_sum(list_transform(range(1, len($a) + 1), " +
-        s"vi -> $a[vi]::DOUBLE * $b[vi]::DOUBLE))"
-    def dist(x: String, c: String) =
-      s"(${dotv(x, x)}) - 2.0 * (${dotv(x, c)}) + (${dotv(c, c)})"
-    s"""$ivfPqChainCtes,
-       |sl AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 8),
-       |fe AS (SELECT vec_id, embedding AS x FROM embeddings
-       |  WHERE embedding IS NOT NULL),
-       |ex AS (SELECT sl.query_id, sl.neighbor_id,
-       |    ${dist("qe.x", "ne.x")} AS l2
-       |  FROM sl JOIN fe qe ON qe.vec_id = sl.query_id
-       |    JOIN fe ne ON ne.vec_id = sl.neighbor_id),
-       |rr AS (SELECT query_id, neighbor_id, l2, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank
-       |  FROM ex)
-       |SELECT query_id, neighbor_id, rank, round(l2, 6) AS l2_dist
-       |FROM rr WHERE rank <= 3""".stripMargin
-  }
+  private lazy val q100Oracle: String =
+    s"$ivfPqChainCtes${exactRefineTailSql(8)}"
 
   /** q76 oracle: the q74 k-means replay feeding the intra-cell cosine
     * pair join and the lower-id drop election. The cosine is the exact

@@ -162,14 +162,19 @@ object TrainingDataPipeline {
     val trainIds = splits.filter(col("split") === "train")
       .select(col("id").as("doc_id"))
     // data recipe: the curated train split repeats 1.5 epochs (every doc
-    // once, a salted-hash half once more) before packing
+    // once, a salted-hash half once more); each copy gets its own pack
+    // identity (uid = id·8 + copy) so the replicas REALLY reach the
+    // packer instead of collapsing back onto one doc_id
     val recipe = TextOps.epochUpsample(
       inBand.join(trainIds, Seq("doc_id"), "left_semi"), "doc_id",
       epochsPerMille = 1500)
     println(s"STAGE epoch_recipe    rows=${recipe.count()}")
-    val packs = TextOps.packSequences(
-      inBand.join(trainIds, Seq("doc_id"), "left_semi"),
-      "text", "doc_id", "lang", budget = 2048, shards = 4)
+    val packInput = recipe
+      .withColumn("uid", col("id") * 8 + col("epoch_copy"))
+      .join(inBand.select(col("doc_id").as("id"), col("text"),
+        col("lang")), Seq("id"))
+    val packs = TextOps.packSequences(packInput,
+      "text", "uid", "lang", budget = 2048, shards = 4)
     println(s"STAGE materialize     train=${trainIds.count()} " +
       s"packs=${packs.select(col("pack_id")).distinct().count()}")
 

@@ -176,8 +176,13 @@ case class QhistAgg(child: Expression,
   * [[QhistAgg]] histogram; -1 on an empty histogram (never a valid
   * result: bucket 0's bound is 0).
   */
-case class QhistQuantile(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** Shared shell of the two quantile-extraction scalars: `(hist, q)`
+  * typing, the analysis-time literal-fraction check, and the codegen
+  * pattern — subclasses pick the static eval method (`evalMethod`).
+  */
+sealed abstract class QhistQuantileBase extends BinaryExpression {
+  /** Static method on [[Quantiles]] this expression dispatches to. */
+  protected def evalMethod: String
   override def checkInputDataTypes(): TypeCheckResult =
     if (!(KernelTypes.isLongArray(left.dataType) &&
         right.dataType == DoubleType))
@@ -193,11 +198,16 @@ case class QhistQuantile(left: Expression, right: Expression)
     }
     else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
-  override def nullSafeEval(h: Any, q: Any): Any =
-    Quantiles.quantileEval(h.asInstanceOf[ArrayData], q.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (h, q) =>
-      s"${ev.value} = graft.functions.Quantiles.quantileEval($h, $q);")
+      s"${ev.value} = graft.functions.Quantiles.$evalMethod($h, $q);")
+}
+
+case class QhistQuantile(left: Expression, right: Expression)
+    extends QhistQuantileBase {
+  override protected def evalMethod: String = "quantileEval"
+  override def nullSafeEval(h: Any, q: Any): Any =
+    Quantiles.quantileEval(h.asInstanceOf[ArrayData], q.asInstanceOf[Double])
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QhistQuantile =
     copy(left = newLeft, right = newRight)
@@ -207,26 +217,10 @@ case class QhistQuantile(left: Expression, right: Expression)
   * ([[Quantiles.quantileUbEval]]) — same typing/validation rules.
   */
 case class QhistQuantileUb(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (!(KernelTypes.isLongArray(left.dataType) &&
-        right.dataType == DoubleType))
-      TypeCheckResult.TypeCheckFailure(
-        s"expected (array<bigint>, double), got ${left.dataType.catalogString}" +
-          s" / ${right.dataType.catalogString}")
-    else if (right.foldable) right.eval() match {
-      case q: java.lang.Double if q < 0.0 || q > 1.0 =>
-        TypeCheckResult.TypeCheckFailure(
-          s"quantile fraction must be in [0, 1], got $q")
-      case _ => TypeCheckResult.TypeCheckSuccess
-    }
-    else TypeCheckResult.TypeCheckSuccess
-  override def dataType: DataType = LongType
+    extends QhistQuantileBase {
+  override protected def evalMethod: String = "quantileUbEval"
   override def nullSafeEval(h: Any, q: Any): Any =
     Quantiles.quantileUbEval(h.asInstanceOf[ArrayData], q.asInstanceOf[Double])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (h, q) =>
-      s"${ev.value} = graft.functions.Quantiles.quantileUbEval($h, $q);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QhistQuantileUb =
     copy(left = newLeft, right = newRight)

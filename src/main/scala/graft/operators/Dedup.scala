@@ -352,6 +352,14 @@ object Dedup {
     *
     * Output: `(id, cluster_id, split)` — one row per input row.
     *
+    * The per-mille proportions apply to CLUSTERS, not documents — the
+    * price of leakage safety. With near-dup clusters of typical size
+    * the document ratios track closely; a boilerplate mega-cluster
+    * (one template = a large corpus fraction) lands whole in ONE
+    * split and skews document counts. Audit cluster sizes first
+    * (e.g. [[connectedComponents]] + a count) and drop or cap
+    * degenerate clusters before splitting.
+    *
     * Shape for scale: the cluster resolution is the proven O(log n)
     * pointer-jumping loop over 16-byte rows; the split assignment is a
     * scan-side projection over the (much smaller) distinct-cluster

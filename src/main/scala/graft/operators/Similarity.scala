@@ -815,8 +815,11 @@ object Similarity {
       .select(col("pos"), sx.as("_sx"))
       .groupBy(col("pos"))
       .agg(sum(col("_sx").cast("decimal(38,0)")).as("_s"),
-        sum(col("_sx").cast("decimal(18,0)") *
-          col("_sx").cast("decimal(18,0)")).as("_ss"),
+        // decimal(19,0) holds ANY long (19 digits), and the 38-digit
+        // product of two fits decimal(38,0) exactly — an 18-digit cast
+        // would NULL (and silently drop from the sum) on |x| >= ~9e14
+        sum(col("_sx").cast("decimal(19,0)") *
+          col("_sx").cast("decimal(19,0)")).as("_ss"),
         count(lit(1)).as("_n"))
     val m = col("_s").cast("double") /
       (col("_n").cast("double") * lit(1024.0))
