@@ -18,6 +18,37 @@ class StreamingParitySpec extends SparkSpec {
     SEvt(3, 12000, 1, 4.0), SEvt(4, 3000, 2, 8.0))
   private val flush = SEvt(99, 10000000L, 9, 0.0)
 
+  test("stateless curation projections run unchanged on a stream") {
+    // splitAssign and epochUpsample are pure scan-side projections —
+    // the SAME operator call compiles to a streaming plan with no
+    // watermark, no state, and byte-identical assignments to batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val input = MemoryStream[SEvt]
+    val splits = Seq(("train", 900), ("val", 50), ("test", 50))
+    val sq = TextOps.splitAssign(input.toDF(), "id", splits, nFiles = 4)
+      .writeStream.format("memory").queryName("par_split")
+      .outputMode("append").start()
+    val uq = TextOps.epochUpsample(input.toDF(), "id", 2300)
+      .writeStream.format("memory").queryName("par_epoch")
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 200L).map(i => SEvt(i, i, i, 0.0)))
+      sq.processAllAvailable(); uq.processAllAvailable()
+      val batchDf = (0L until 200L).map(i => SEvt(i, i, i, 0.0)).toDF()
+      val gotSplit = spark.table("par_split")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val expSplit = TextOps.splitAssign(batchDf, "id", splits, nFiles = 4)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(gotSplit == expSplit && gotSplit.size == 200)
+      val gotEpoch = spark.table("par_epoch")
+        .as[(Long, Int, Int)].collect().toSet
+      val expEpoch = TextOps.epochUpsample(batchDf, "id", 2300)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(gotEpoch == expEpoch && gotEpoch.size >= 400)
+    } finally { sq.stop(); uq.stop() }
+  }
+
   test("streaming tumbling window agg matches batch (B8 + A6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SEvt]
