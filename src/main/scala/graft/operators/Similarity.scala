@@ -598,14 +598,16 @@ object Similarity {
       // codeword arrives via a broadcast k-row join)
       val coarseKV = coarse.select(col("cid").as("_cell"),
         col("cv").as("_ccv"))
+      // materialized ONCE: rsub feeds every PQ training (m of them,
+      // 2 aggregation rounds each) AND the encoding — without this the
+      // coarse argmin + residual subtract re-derives m·(2·iters)+1
+      // times (the semDedup lesson, iterative-consumer form)
       val rsub = withCell.join(broadcast(coarseKV), Seq("_cell"))
         .withColumn("_r", zip_with(col("_xf"), col("_ccv"), (a, b) => a - b))
         .select(col("vec_id") +: col("_cell") +:
           (0 until m).map(s => subVecCol(col("_r"), s, subLen)
             .as(s"_x$s")): _*)
-      // PQ codebooks train on the RESIDUALS (each training re-derives
-      // the assignment+subtract projection — scan-side work, same cost
-      // class as the non-residual trainings)
+        .localCheckpoint()
       val pqCents = (0 until m).map { s =>
         lloydFull(rsub.select(col("vec_id"), col(s"_x$s").as("_sub")),
           "_sub", "vec_id", k, iters, scaleBits = 20,
