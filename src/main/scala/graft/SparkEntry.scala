@@ -1360,6 +1360,18 @@ object SparkEntry {
         "lang")
     }),
 
+    // Incremental dedup: a new batch (doc_id % 5) against the
+    // fingerprint HISTORY of previously-ingested docs (doc_id % 3) plus
+    // itself — fingerprint-only joins, text never shuffles.
+    "q103_incremental_dedup" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 3 === 0)
+        .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 5 === 0), hist,
+          "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Leakage-safe split: near-dup CLUSTERS are the split unit — a
     // near-dup pair straddling train/test is silent eval leakage. The
     // q59 cluster pipeline + the q78 per-mille hash, keyed on cluster.
@@ -2299,15 +2311,20 @@ object SparkEntry {
     * normalization (trim → collapse whitespace → lower; no trailing
     * trim — equivalent on this data, mirrored exactly anyway).
     */
+  /** The q25 content-fingerprint replay over a pre-normalized column
+    * `nt` — shared by q25 and q103 so the two can't diverge.
+    */
+  private lazy val fpOfNt: String = DuckHash.toSigned(
+    "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(range(1, length(nt) + 1), " +
+      "ci -> unicode(nt[ci:ci])::HUGEINT)), " +
+      s"(h, c) -> (31 * h + c) % ${DuckHash.uStr})")
+
   private lazy val q25Oracle: String =
     s"""WITH n AS (SELECT doc_id,
        |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
        |  FROM documents)
-       |SELECT doc_id, ${DuckHash.toSigned(
-          "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
-          "list_transform(range(1, length(nt) + 1), " +
-          "ci -> unicode(nt[ci:ci])::HUGEINT)), " +
-          s"(h, c) -> (31 * h + c) % ${DuckHash.uStr})")} AS fp
+       |SELECT doc_id, $fpOfNt AS fp
        |FROM n""".stripMargin
 
   /** q28 oracle: the LSH-bucketed ANN replicated exactly — same
@@ -2609,6 +2626,25 @@ object SparkEntry {
     "q65_ngram_jaccard" -> q65Oracle,
     "q24_simhash" -> q24Oracle,
     "q25_fingerprint" -> q25Oracle,
+
+    // incremental dedup: the q25 fingerprint replay on both sides, the
+    // history as a DISTINCT fingerprint set, min-id in-batch election
+    "q103_incremental_dedup" ->
+      s"""WITH bn AS (SELECT doc_id,
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |bb AS (SELECT doc_id AS id, $fpOfNt AS fp FROM bn),
+         |hn AS (SELECT doc_id,
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |hh AS (SELECT DISTINCT $fpOfNt AS fp FROM hn),
+         |m AS (SELECT fp, min(id) AS mid FROM bb GROUP BY fp)
+         |SELECT bb.id AS doc_id, bb.fp,
+         |  CAST(CASE WHEN hh.fp IS NULL THEN 1 ELSE 0 END AS INT)
+         |    AS is_new,
+         |  CAST(CASE WHEN hh.fp IS NULL AND bb.id = m.mid
+         |    THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM bb LEFT JOIN hh USING (fp) JOIN m USING (fp)""".stripMargin,
 
     "q26_embedding_pairs" -> q26Oracle,
     "q59_dedup_clusters" -> q59Oracle,

@@ -341,6 +341,39 @@ object Dedup {
     members.withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Incremental exact dedup — the continuous-ingestion form: a new
+    * batch is deduplicated against the accumulated HISTORY of content
+    * fingerprints (8 bytes per document ever seen, not the documents
+    * themselves) plus within itself. `is_new` = no historical row had
+    * this content; `kept` = is_new AND first-in-batch (lowest id) among
+    * the batch's own duplicates — so appending `kept = 1` rows'
+    * fingerprints to the history preserves the invariant across
+    * batches.
+    *
+    * Output: `(id, fp, is_new, kept)` — one row per batch row.
+    *
+    * Shape for scale: the batch reduces to (id, fp) scan-side; the
+    * history join is a fingerprint-key hash join (deliberately NOT a
+    * broadcast — the history grows with the corpus); the in-batch
+    * election is an associative min aggregate, never a window. Text
+    * never shuffles.
+    */
+  def incrementalExact(batch: DataFrame, historyFp: DataFrame,
+      textCol: String, idCol: String,
+      fpCol: String = "fp"): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as("id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("fp"))
+    val hist = historyFp.select(col(fpCol).cast("long").as("fp"))
+      .distinct().withColumn("_seen", lit(1))
+    val winners = b.groupBy(col("fp")).agg(min(col("id")).as("_mid"))
+    b.join(hist, Seq("fp"), "left")
+      .join(winners, Seq("fp"))
+      .select(col("id"), col("fp"),
+        when(col("_seen").isNull, 1).otherwise(0).cast("int").as("is_new"),
+        (col("_seen").isNull && col("id") === col("_mid"))
+          .cast("int").as("kept"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
     * split unit, not documents — a near-dup pair straddling train and
     * test is silent evaluation leakage, the exact failure class

@@ -233,6 +233,33 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 30L * 29L / 2L)
   }
 
+  test("incrementalExact: history blocks, first-in-batch wins, invariant") {
+    import graft.functions.Text
+    val history = Seq((100L, "seen before")).toDF("doc_id", "text")
+      .select(Text.fingerprint($"text").as("fp"))
+    val batch = Seq(
+      (1L, "seen before"),     // in history -> not new
+      (2L, "fresh text"),      // new, unique -> kept
+      (3L, "dup in batch"),    // new, first of pair -> kept
+      (4L, "dup in batch"),    // new, second -> is_new but not kept
+      (5L, "  DUP   in batch") // normalizes to the same content
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, history, "text", "doc_id")
+      .select($"id", $"is_new", $"kept")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((0, 0)), 2L -> ((1, 1)), 3L -> ((1, 1)),
+      4L -> ((1, 0)), 5L -> ((1, 0))))
+    // the append invariant: adding kept fingerprints to the history and
+    // replaying the SAME batch marks every row as seen
+    val kept = Dedup.incrementalExact(batch, history, "text", "doc_id")
+      .filter($"kept" === 1).select($"fp")
+    val round2 = Dedup.incrementalExact(batch, history.union(kept),
+        "text", "doc_id")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(round2.forall(r => r._3 == 0 && r._4 == 0))
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; full coverage") {
     val ids = (0L until 200L).toDF("doc_id")
     // chain edges form 50 clusters of 4 {0-3}, {4-7}, ...
