@@ -39,6 +39,27 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("history-seeded stream continues the batch dedup invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    // the accumulated batch history holds content A's fingerprint
+    val history = Seq(fpF(SDoc(0, "content A"))).toDS()
+    val q = StreamDedup.firstSeen(input.toDS(), fpF, orderF,
+        history = Some(history))
+      .writeStream.format("memory").queryName("sd_hist")
+      .outputMode("append").start()
+    try {
+      // A is suppressed by the seeded state; B is fresh and passes;
+      // a second B copy in a later batch is dropped by live state
+      input.addData(SDoc(1, "content A"), SDoc(2, "content B"))
+      q.processAllAvailable()
+      input.addData(SDoc(3, "content B"), SDoc(4, "content A"))
+      q.processAllAvailable()
+      val got = spark.table("sd_hist").as[SDoc].collect().map(_.id).toSet
+      assert(got == Set(2L))
+    } finally q.stop()
+  }
+
   test("streaming curation chain (quality gate → dedup) matches batch") {
     // the q50 composition live: stateless quality projection + filter
     // composes with the stateful first-seen dedup in ONE streaming plan
