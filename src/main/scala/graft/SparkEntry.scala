@@ -1360,6 +1360,20 @@ object SparkEntry {
         "lang")
     }),
 
+    // Embedding outliers: distance to the row's OWN language centroid
+    // (integer-exact mean bank, broadcast back, map-side distance) —
+    // the mislabeled/off-domain curation gate.
+    "q104_embedding_outliers" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val docs = ld(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val joined = e.join(docs, e("vec_id") === docs("doc_id"))
+        .select(col("vec_id"), col("lang"), col("embedding"))
+      Similarity.groupCentroidDistance(joined, "embedding", "vec_id",
+          "lang")
+        .select(col("vec_id"), col("lang"),
+          round(col("l2_centroid"), 6).as("l2_centroid"))
+    }),
+
     // Incremental dedup: a new batch (doc_id % 5) against the
     // fingerprint HISTORY of previously-ingested docs (doc_id % 3) plus
     // itself — fingerprint-only joins, text never shuffles.
@@ -2626,6 +2640,30 @@ object SparkEntry {
     "q65_ngram_jaccard" -> q65Oracle,
     "q24_simhash" -> q24Oracle,
     "q25_fingerprint" -> q25Oracle,
+
+    // embedding outliers: the q74 integer centroid bank grouped by lang
+    // (embeddings join documents on id), then the fixed-order distance
+    "q104_embedding_outliers" ->
+      """WITH e AS (SELECT d.lang, em.vec_id, em.embedding AS x
+        |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+        |  WHERE em.embedding IS NOT NULL),
+        |sx AS (SELECT lang, unnest(list_transform(range(1, len(x) + 1),
+        |    di -> {'pos': di,
+        |      'sxv': floor(x[di]::DOUBLE * 1048576.0)::BIGINT})) AS u
+        |  FROM e),
+        |s1 AS (SELECT lang, u.pos AS pos, sum(u.sxv)::BIGINT AS s,
+        |    count(*)::BIGINT AS cnt FROM sx GROUP BY 1, 2),
+        |c1 AS (SELECT lang, list(s::DOUBLE / (cnt::DOUBLE * 1048576.0)
+        |    ORDER BY pos) AS cv FROM s1 GROUP BY lang)
+        |SELECT e.vec_id, e.lang,
+        |  round((list_sum(list_transform(range(1, len(e.x) + 1),
+        |      vi -> e.x[vi]::DOUBLE * e.x[vi]::DOUBLE)))
+        |    - 2.0 * (list_sum(list_transform(range(1, len(e.x) + 1),
+        |      vi -> e.x[vi]::DOUBLE * c1.cv[vi]::DOUBLE)))
+        |    + (list_sum(list_transform(range(1, len(c1.cv) + 1),
+        |      vi -> c1.cv[vi]::DOUBLE * c1.cv[vi]::DOUBLE))), 6)
+        |    AS l2_centroid
+        |FROM e JOIN c1 USING (lang)""".stripMargin,
 
     // incremental dedup: the q25 fingerprint replay on both sides, the
     // history as a DISTINCT fingerprint set, min-id in-batch election

@@ -782,6 +782,35 @@ object Similarity {
             .cast("long")).as("qval"))
   }
 
+  /** Embedding outlier scoring against each row's OWN stratum centroid:
+    * the per-group mean embedding (the same integer-exact
+    * [[centroidUpdate]] bank the Lloyd core uses, so the centroid is
+    * bit-deterministic) and each vector's fixed-order squared L2 to it.
+    * Rows far from their stratum prototype are mislabeled/off-domain/
+    * garbage candidates — the standard embedding-space curation gate
+    * after language or domain tagging.
+    *
+    * Output: `(vec_id, <groupCol>, l2_centroid)` — one row per
+    * non-null-vector input; compose with [[graft.functions.Quantiles]]
+    * for a per-group percentile cut (the q99 band-gate pattern).
+    *
+    * Shape for scale: one (group, dim) integer-bank aggregation
+    * (map-side combined, 24-byte partials), the tiny per-group centroid
+    * table broadcast back onto the scan, distance map-side. Group
+    * cardinality is assumed coarse (languages/domains), like the other
+    * stratum operators.
+    */
+  def groupCentroidDistance(df: DataFrame, vecCol: String, idCol: String,
+      groupCol: String): DataFrame = {
+    val e = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("cid"), col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val cents = centroidUpdate(e, (1L << 20).toDouble)
+    e.join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid").as(groupCol),
+        sqDist(col("x"), col("cv")).as("l2_centroid"))
+  }
+
   /** Per-dimension standardization (z-scoring) of an embedding column —
     * the whitening-lite preprocessing step before clustering/ANN when
     * dimensions carry wildly different scales. Statistics are banked as

@@ -411,6 +411,33 @@ class RankClusterSpec extends SparkSpec {
     }
   }
 
+  test("groupCentroidDistance: distance to own-stratum quantized mean") {
+    val vecs = Seq(
+      ("a", 1L, Array(1.0f, 3.0f)),
+      ("a", 2L, Array(3.0f, 5.0f)),   // centroid a = (2, 4)
+      ("b", 3L, Array(10.0f, 0.0f))   // singleton: centroid = itself
+    ).toDF("grp", "vec_id", "embedding")
+    val got = Similarity.groupCentroidDistance(vecs, "embedding",
+        "vec_id", "grp")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def d(x: Array[Double], c: Array[Double]) = {
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    }
+    assert(got(1L) == (("a", d(Array(1, 3), Array(2, 4)))))
+    assert(got(2L) == (("a", d(Array(3, 5), Array(2, 4)))))
+    // a singleton's distance to its own mean is exactly 0
+    assert(got(3L)._2 == 0.0)
+    // partitioning independence (integer centroid banks)
+    val re = Similarity.groupCentroidDistance(vecs.repartition(5),
+        "embedding", "vec_id", "grp")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(re == got)
+  }
+
   test("standardize: z-scores match the quantized-stat model; const dim null") {
     val vecs = Seq(
       (1L, Array(1.0f, 5.0f, 2.0f)),
