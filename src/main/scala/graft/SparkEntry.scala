@@ -1374,6 +1374,23 @@ object SparkEntry {
           round(col("l2_centroid"), 6).as("l2_centroid"))
     }),
 
+    // DSIR importance weights: hashed unigram+bigram LLR of the src0
+    // slice (target) against the whole corpus — integer surprisal banks.
+    "q105_dsir_weights" -> ((s, dir) => {
+      TextOps.dsirWeights(ld(s, dir, "documents"), "text", "doc_id",
+          isTarget = col("source") === "src0")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // DSIR Gumbel top-k resample: keep the 100 docs maximizing
+    // logw + deterministic Gumbel noise — weighted sampling without
+    // replacement that every engine elects identically.
+    "q106_dsir_resample" -> ((s, dir) => {
+      TextOps.dsirResample(ld(s, dir, "documents"), "text", "doc_id",
+          isTarget = col("source") === "src0", k = 100)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Incremental dedup: a new batch (doc_id % 5) against the
     // fingerprint HISTORY of previously-ingested docs (doc_id % 3) plus
     // itself — fingerprint-only joins, text never shuffles.
@@ -1736,6 +1753,45 @@ object SparkEntry {
       |g AS (SELECT doc_id, sum(c * lp)::BIGINT AS lp_micro,
       |    sum(c)::BIGINT AS n_bigrams
       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** q105/q106 shared chain: DSIR hashed-n-gram importance weights —
+    * unigram+bigram features, `mix64(polyHash(gram)) >>> 12 mod 1024`
+    * buckets, add-0.5 bag-of-words models for target (source='src0')
+    * vs raw (everything), per-bucket LLR banked as `floor(Δln·2^20)`
+    * BIGINTs, per-doc integer sums. Column alias `c` is avoided in the
+    * CTE that computes the hash (polyHash's list_reduce binds lambda
+    * var `c`, which would shadow it).
+    */
+  private lazy val dsirCtes: String = {
+    val bucket = s"((${DuckHash.mix(s"(${DuckHash.polyHash("w")})")}) " +
+      ">> 12) % 1024"
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS tgt,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+       |f AS (SELECT doc_id, tgt, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      bi -> toks[bi] || ' ' || toks[bi + 1])
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS w FROM t),
+       |fb AS (SELECT doc_id, tgt, ($bucket)::BIGINT AS bucket FROM f),
+       |dc AS (SELECT doc_id, tgt, bucket, count(*)::BIGINT AS cnt
+       |  FROM fb GROUP BY 1, 2, 3),
+       |gb AS (SELECT bucket,
+       |    sum(CASE WHEN tgt = 1 THEN cnt ELSE 0 END)::BIGINT AS ct,
+       |    sum(cnt)::BIGINT AS cr FROM dc GROUP BY 1),
+       |tt AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM gb),
+       |lr AS (SELECT bucket,
+       |    floor((ln((ct::DOUBLE + (500::DOUBLE / 1000.0)) /
+       |        (tt.tt::DOUBLE + (500::DOUBLE / 1000.0) * 1024.0))
+       |      - ln((cr::DOUBLE + (500::DOUBLE / 1000.0)) /
+       |        (tt.tr::DOUBLE + (500::DOUBLE / 1000.0) * 1024.0)))
+       |      * 1048576.0)::BIGINT AS lrm
+       |  FROM gb CROSS JOIN tt),
+       |pd AS (SELECT dc.doc_id, sum(dc.cnt * lr.lrm)::BIGINT AS logw_micro,
+       |    sum(dc.cnt)::BIGINT AS n_feats
+       |  FROM dc JOIN lr USING (bucket) GROUP BY 1)""".stripMargin
+  }
 
   private lazy val q74Oracle: String =
     s"""$kmeansCtes
@@ -2664,6 +2720,33 @@ object SparkEntry {
         |      vi -> c1.cv[vi]::DOUBLE * c1.cv[vi]::DOUBLE))), 6)
         |    AS l2_centroid
         |FROM e JOIN c1 USING (lang)""".stripMargin,
+
+    // DSIR weights: the hashed-n-gram LLR chain, all-docs left-join tail
+    "q105_dsir_weights" ->
+      s"""$dsirCtes
+         |SELECT d.doc_id, coalesce(pd.n_feats, 0)::BIGINT AS n_feats,
+         |  coalesce(pd.logw_micro, 0)::BIGINT AS logw_micro,
+         |  pd.logw_micro::DOUBLE / 1048576.0 AS logw_nats
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // DSIR resample: + deterministic Gumbel noise from the salted mix64
+    // stream, floor(key*2^20) integer rank key, global top-100
+    "q106_dsir_resample" ->
+      s"""$dsirCtes,
+         |gu AS (SELECT d.doc_id, coalesce(pd.n_feats, 0)::BIGINT AS n_feats,
+         |    pd.logw_micro::DOUBLE / 1048576.0 AS logw_nats,
+         |    floor((coalesce(pd.logw_micro::DOUBLE / 1048576.0, 0.0)
+         |      + -ln(-ln(
+         |        (((${DuckHash.mix("(doc_id + 60067303)::HUGEINT")}) >> 12)
+         |          ::DOUBLE + 0.5) / 4503599627370496.0)))
+         |      * 1048576.0)::BIGINT AS key_micro
+         |  FROM documents d LEFT JOIN pd USING (doc_id)),
+         |rk AS (SELECT doc_id, n_feats, logw_nats, key_micro,
+         |    row_number() OVER (ORDER BY key_micro DESC, doc_id ASC)
+         |      ::BIGINT AS sample_rank
+         |  FROM gu)
+         |SELECT doc_id, n_feats, logw_nats, key_micro, sample_rank
+         |FROM rk WHERE sample_rank <= 100""".stripMargin,
 
     // incremental dedup: the q25 fingerprint replay on both sides, the
     // history as a DISTINCT fingerprint set, min-id in-batch election

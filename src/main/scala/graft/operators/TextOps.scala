@@ -860,4 +860,125 @@ object TextOps {
           (col("n_bigrams").cast("double") * lit(1048576.0)))
           .as("h_nats"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-n-gram
+    * log-likelihood ratio of a TARGET distribution (the high-quality
+    * exemplar slice, e.g. a curated source) against the RAW corpus.
+    * Features are unigrams + bigrams of [[words]], bucket-hashed into
+    * `buckets` bins (`mix64(polyHash(gram)) >>> 12 mod B` — collisions
+    * are part of the method); each corpus gets an add-α bag-of-words
+    * model over the bins, and a document's log-weight is
+    * `Σ_b c_b · (ln p_target[b] − ln p_raw[b])`.
+    *
+    * The per-bucket log-ratio is banked as an INTEGER,
+    * `floor(Δln·2^20)` (the q96 surprisal trick), so the per-document
+    * sum is order-free and exact and the only float emitted is the
+    * exact power-of-two division `logw_micro / 2^20`: bit-replayable on
+    * any engine.
+    *
+    * Output: `(id, n_feats, logw_micro, logw_nats)` — one row per input
+    * document; null/whitespace-only text carries `n_feats = 0`,
+    * `logw_micro = 0`, `logw_nats = NULL`.
+    *
+    * Shape for scale: features are pre-aggregated PER DOCUMENT first
+    * (the shuffle carries distinct (id, bucket, count), bounded by
+    * `buckets` per doc, not tokens); the global model table is ≤ B rows
+    * — broadcast back onto the per-doc counts, so scoring is map-side;
+    * the per-doc sum shuffles 24-byte rows. `docCnt` feeds both the
+    * model and the scoring branch — materialized once (the semDedup
+    * lesson).
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024,
+      alphaPerMille: Int = 500): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    val alpha = lit(alphaPerMille.toDouble / 1000.0)
+    val toks = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        isTarget.cast("boolean").as("_t"), words(col(textCol)).as("_toks"))
+    // unigrams ++ bigrams ("w1 w2"); sequence(1, 0) DESCENDS in Spark,
+    // so the bigram arm must be guarded for 1-token docs
+    val feats = toks.select(col("id"), col("_t"), explode(concat(
+        col("_toks"),
+        when(size(col("_toks")) >= 2, transform(
+          sequence(lit(1), size(col("_toks")) - 1),
+          i => concat_ws(" ", element_at(col("_toks"), i),
+            element_at(col("_toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("_w"))
+    val bucket = shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
+      graft.functions.TextKernelExprs.polyHash(col("_w"))), 12) % buckets
+    val docCnt = feats
+      .select(col("id"), col("_t"), bucket.as("_b"))
+      .groupBy(col("id"), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    // ≤ `buckets` rows, but it feeds BOTH `tot` and `lr` — materialize
+    // so the docCnt→bucket aggregation pass runs once, not twice
+    val gb = docCnt.groupBy(col("_b"))
+      .agg(sum(when(col("_t"), col("_c")).otherwise(lit(0L))).as("_ct"),
+        sum(col("_c")).as("_cr"))
+      .localCheckpoint()
+    val tot = gb.agg(sum(col("_ct")).as("_tt"), sum(col("_cr")).as("_tr"))
+    def lnp(c: Column, t: Column): Column =
+      log((c.cast("double") + alpha) /
+        (t.cast("double") + alpha * lit(buckets.toDouble)))
+    val lr = gb.crossJoin(broadcast(tot))
+      .select(col("_b"),
+        floor((lnp(col("_ct"), col("_tt")) - lnp(col("_cr"), col("_tr"))) *
+          lit(1048576.0)).cast("long").as("_lr"))
+    val perDoc = docCnt.join(broadcast(lr), Seq("_b"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c") * col("_lr")).as("logw_micro"),
+        sum(col("_c")).as("n_feats"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"),
+        (col("logw_micro").cast("double") / lit(1048576.0))
+          .as("logw_nats"))
+  }
+
+  /** DSIR resampling: Gumbel top-k over [[dsirWeights]] — keep the `k`
+    * documents maximizing `logw + g_i`, where `g_i = −ln(−ln(u_i))` is
+    * deterministic Gumbel noise from the document's own salted mix64
+    * stream (`u_i = ((mix64(id + salt) >>> 12) + 0.5) / 2^52`). This IS
+    * sampling-without-replacement proportional to `exp(logw)` (the
+    * Gumbel-max trick), yet every engine/run/partitioning elects the
+    * same set. The key is banked as `key_micro = floor(key·2^20)` so
+    * the rank order never hinges on a final-ulp double comparison;
+    * zero-feature docs compete with `logw = 0` (weight 1) like the
+    * paper's untokenizable tail.
+    *
+    * Output: `(id, n_feats, logw_nats, key_micro, sample_rank)` for the
+    * k kept documents.
+    *
+    * Shape for scale: the rank input is a 24-byte (id, key) projection
+    * — text never reaches the sort — and the literal rank-limit filter
+    * triggers WindowGroupLimit, so each map task keeps its local top-k
+    * before the single exchange (O(k·tasks) rows, not the corpus).
+    */
+  def dsirResample(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, k: Int, buckets: Int = 1024,
+      alphaPerMille: Int = 500, salt: Long = 60067303L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = dsirWeights(df, textCol, idCol, isTarget, buckets,
+      alphaPerMille)
+    val u = (shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
+        col("id") + lit(salt)), 12).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
+    val keyMicro = floor((coalesce(col("logw_nats"), lit(0.0)) +
+        -log(-log(u))) * lit(1048576.0)).cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_micro").desc, col("id").asc)
+    w.select(col("id"), col("n_feats"), col("logw_nats"),
+        keyMicro.as("key_micro"))
+      .withColumn("sample_rank", row_number().over(win).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

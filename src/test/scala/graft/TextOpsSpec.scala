@@ -567,4 +567,93 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
     assert(re == byId)
   }
+
+  /** Sequential reference model of [[TextOps.dsirWeights]]: same
+    * tokenization, feature set, bucket hash and integer LLR banks.
+    */
+  private def dsirModel(docs: Seq[(Long, String, Boolean)], buckets: Int,
+      alpha: Double): Map[Long, (Long, Long)] = {
+    def polyHash(s: String): Long =
+      s.foldLeft(1125899906842597L)((h, c) => 31 * h + c)
+    def feats(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val tokenized = docs.filter { case (_, t, _) =>
+      t != null && t.trim.nonEmpty }
+      .map { case (id, t, tgt) =>
+        (id, tgt, feats(t).map(w =>
+          (graft.functions.Hashing.mix64(polyHash(w)) >>> 12) % buckets)) }
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    tokenized.foreach { case (_, tgt, bs) => bs.foreach { b =>
+      if (tgt) ct(b) += 1; cr(b) += 1 } }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def lnp(c: Long, t: Long) =
+      math.log((c + alpha) / (t + alpha * buckets))
+    val lrm = cr.keys.map(b => b ->
+      math.floor((lnp(ct(b), tt) - lnp(cr(b), tr)) * 1048576.0).toLong).toMap
+    docs.map { case (id, t, _) =>
+      val bs = if (t == null || t.trim.isEmpty) Seq.empty
+        else tokenized.find(_._1 == id).get._3
+      id -> ((bs.size.toLong, bs.map(lrm).sum))
+    }.toMap
+  }
+
+  test("dsirWeights matches the sequential reference model") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "the quick brown fox", true),
+      (3L, "lorem ipsum dolor sit amet consectetur", false),
+      (4L, "sphinx of black quartz judge my vow", false),
+      (5L, "the quick brown fox jumps again and again", false),
+      (6L, "", false),                       // empty → 0 features
+      (7L, null.asInstanceOf[String], false) // null → 0 features
+    )
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val got = TextOps.dsirWeights(df, "text", "doc_id", col("tgt"),
+        buckets = 64)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val model = dsirModel(docs, buckets = 64, alpha = 0.5)
+    docs.foreach { case (id, _, _) =>
+      val (nf, lw) = model(id)
+      assert(got(id)._2 == nf, s"n_feats mismatch for doc $id")
+      assert(got(id)._3 == lw, s"logw_micro mismatch for doc $id")
+      assert(got(id)._4 == (if (nf == 0) None else Some(lw / 1048576.0)))
+    }
+    // target-vocabulary doc outweighs off-target vocabulary
+    assert(got(2L)._3 > got(3L)._3)
+    // partitioning independence (integer banks end-to-end)
+    val re = TextOps.dsirWeights(df.repartition(5), "text", "doc_id",
+        col("tgt"), buckets = 64)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
+
+  test("dsirResample: k rows, rank follows the Gumbel-perturbed weight") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 8) "alpha beta gamma" else "delta epsilon zeta",
+        i <= 8))
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val kept = TextOps.dsirResample(df, "text", "doc_id", col("tgt"),
+        k = 10)
+      .as[(Long, Long, Option[Double], Long, Long)].collect()
+    assert(kept.length == 10)
+    assert(kept.map(_._5).sorted.toSeq == (1L to 10L))
+    // ranks are ordered by (key_micro desc, id asc)
+    val byRank = kept.sortBy(_._5)
+    assert(byRank.map(_._4).toSeq ==
+      byRank.map(r => (r._4, r._1)).sortBy(p => (-p._1, p._2)).map(_._1).toSeq)
+    // the 20%-of-corpus target slice dominates the sample: its exp(logw)
+    // is e^~2.4 ≈ 11× the raw slice's, so a majority of the 10 kept
+    val tgtKept = kept.count(_._1 <= 8)
+    assert(tgtKept >= 5, s"target slice under-sampled: $tgtKept/10")
+    // partitioning independence
+    val re = TextOps.dsirResample(df.repartition(7), "text", "doc_id",
+        col("tgt"), k = 10)
+      .as[(Long, Long, Option[Double], Long, Long)].collect()
+    assert(re.sortBy(_._5).toSeq == byRank.toSeq)
+  }
 }
