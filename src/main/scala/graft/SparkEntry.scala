@@ -1391,6 +1391,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Temperature mixture sampling (α=0.5): rarest lang keeps all,
+    // head langs downsampled toward the flattened p^α shares.
+    "q107_temperature_sample" -> ((s, dir) => {
+      TextOps.temperatureSample(ld(s, dir, "documents"), "doc_id",
+          "lang", alphaPerMille = 500)
+        .select(col("doc_id"), col("lang"), col("kept"))
+    }),
+
     // Incremental dedup: a new batch (doc_id % 5) against the
     // fingerprint HISTORY of previously-ingested docs (doc_id % 3) plus
     // itself — fingerprint-only joins, text never shuffles.
@@ -2747,6 +2755,23 @@ object SparkEntry {
          |  FROM gu)
          |SELECT doc_id, n_feats, logw_nats, key_micro, sample_rank
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
+
+    // temperature sampling: per-lang keep-rate exp((α−1)·ln(n/n_min))
+    // per million, salted mix64 keep-predicate
+    "q107_temperature_sample" ->
+      s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS obs
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |nm AS (SELECT min(obs)::BIGINT AS nmin FROM cnt),
+         |r AS (SELECT lang,
+         |    floor(exp((500::DOUBLE / 1000.0 - 1.0)
+         |        * ln(obs::DOUBLE / nm.nmin::DOUBLE)) * 1000000.0)
+         |      ::BIGINT AS rpm
+         |  FROM cnt CROSS JOIN nm)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(CASE WHEN r.rpm IS NOT NULL
+         |    AND ((${DuckHash.mix("(doc_id + 151515157)::HUGEINT")}) >> 12)
+         |      % 1000000 < r.rpm THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM documents d LEFT JOIN r USING (lang)""".stripMargin,
 
     // incremental dedup: the q25 fingerprint replay on both sides, the
     // history as a DISTINCT fingerprint set, min-id in-batch election

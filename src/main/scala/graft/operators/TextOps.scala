@@ -283,6 +283,47 @@ object TextOps {
       .drop("_rpm")
   }
 
+  /** Temperature-based mixture sampling (the multilingual `p^α` rule —
+    * Conneau & Lample 2019, mT5): downsample so the OUTPUT stratum
+    * shares follow `p_i^α / Σ p_j^α` for observed shares `p_i`, with
+    * `α = alphaPerMille/1000 ∈ (0, 1]`. Unlike [[rebalanceMixture]],
+    * the targets are DERIVED from the data (flattened toward uniform as
+    * α → 0), not supplied. Downsampling-only: the rarest stratum keeps
+    * everything (`rate 1`), stratum `i` keeps
+    * `floor(1e6 · exp((α−1) · ln(n_i / n_min)))` per million via its
+    * own salted mix64 stream. `α = 1000‰` keeps every row.
+    *
+    * Output: input rows + `kept` flag; rows with a NULL stratum get
+    * `kept = 0` (like [[rebalanceMixture]]'s absent strata).
+    *
+    * Scale shape: one tiny per-stratum count aggregate, the 1-row
+    * `n_min` broadcast into the ≤strata-row rate table, rates broadcast
+    * back into a scan-side predicate — the corpus never shuffles.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      alphaPerMille: Int): DataFrame = {
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    val am1 = lit(alphaPerMille.toDouble / 1000.0 - 1.0)
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("_obs"))
+    val nmin = counts.agg(min(col("_obs")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(stratumCol),
+        floor(exp(am1 * log(col("_obs").cast("double") /
+            col("_nmin").cast("double"))) * lit(1000000.0))
+          .cast("long").as("_rpm"))
+    // op-specific salt (the splitAssign/rebalanceMixture rule): never
+    // share a hash stream with the other deterministic-sampling ops
+    val bucket = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(
+        col(idCol).cast("long") + lit(151515157L)), 12) % 1000000L
+    df.join(broadcast(rates), Seq(stratumCol), "left")
+      .withColumn("kept",
+        (col("_rpm").isNotNull && bucket < col("_rpm")).cast("int"))
+      .drop("_rpm")
+  }
+
   /** Chunk-level dedup REBUILD: the companion to [[chunkDedupStats]]
     * that actually emits the deduplicated corpus — each document's text
     * reassembled from only the chunks it is the corpus-wide first to

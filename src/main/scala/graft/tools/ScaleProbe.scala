@@ -103,6 +103,18 @@ object ScaleProbe {
     // fans out — the worst case for the gram-key shuffles
     time("bigram_lm")(TextOps.bigramLmScore(docs, "text", "doc_id"))
     time("epoch_upsample")(TextOps.epochUpsample(docs, "doc_id", 2300))
+    // replication multiplies bucket counts by N but the model table
+    // stays 1024 rows — growth isolates the per-doc count shuffles
+    time("dsir_weights")(TextOps.dsirWeights(docs, "text", "doc_id",
+      col("lang") === "en"))
+    time("dsir_resample")(TextOps.dsirResample(docs, "text", "doc_id",
+      col("lang") === "en", k = 100))
+    // stratum centroids: the (group, dim) bank stays fixed-size while
+    // the distance projection scales with the corpus
+    time("group_centroid")(graft.operators.Similarity.groupCentroidDistance(
+      vecs.join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id")),
+      "embedding", "vec_id", "lang"))
     spark.stop()
   }
 }

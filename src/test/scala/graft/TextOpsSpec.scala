@@ -568,6 +568,32 @@ class TextOpsSpec extends SparkSpec {
     assert(re == byId)
   }
 
+  test("temperatureSample: p^alpha keep-rates, rarest stratum keeps all") {
+    // 64 'big' rows vs 4 'small' rows; alpha = 0.5 →
+    // big keeps floor(1e6·exp(-0.5·ln(16))) = 250000 per million
+    val df = ((1L to 64L).map(i => (i, "big")) ++
+      (65L to 68L).map(i => (i, "small")) ++
+      Seq((69L, null.asInstanceOf[String]))).toDF("doc_id", "stratum")
+    val got = TextOps.temperatureSample(df, "doc_id", "stratum", 500)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    // model: the exact salted-bucket predicate at rate 250000/1e6
+    def bucket(id: Long) =
+      (graft.functions.Hashing.mix64(id + 151515157L) >>> 12) % 1000000L
+    (1L to 64L).foreach { i =>
+      assert(got(i) == (if (bucket(i) < 250000L) 1 else 0), s"doc $i") }
+    (65L to 68L).foreach(i => assert(got(i) == 1, "rarest keeps all"))
+    assert(got(69L) == 0, "null stratum dropped")
+    // alpha = 1000‰ is the identity (every non-null stratum rate 1e6)
+    val all = TextOps.temperatureSample(df, "doc_id", "stratum", 1000)
+      .filter(col("stratum").isNotNull).agg(sum("kept")).as[Long].head()
+    assert(all == 68L)
+    // partitioning independence
+    val re = TextOps.temperatureSample(df.repartition(5), "doc_id",
+        "stratum", 500)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(re == got)
+  }
+
   /** Sequential reference model of [[TextOps.dsirWeights]]: same
     * tokenization, feature set, bucket hash and integer LLR banks.
     */
