@@ -40,11 +40,17 @@ object ScaleProbe {
       spark.read.parquet(s"$sfDir/events.parquet")
         .select(col("event_type"), col("user_id")), "user_id")
 
+    // builder-side iteration filter (comma-separated op names); the
+    // BASELINE.md tables come from unfiltered runs
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def time(name: String)(mk: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      mk.write.mode("overwrite").format("noop").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","copies":$copies,"sec":$dt%.2f}""")
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        mk.write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","copies":$copies,"sec":$dt%.2f}""")
+      }
     }
 
     // warm-up: touch both inputs once
