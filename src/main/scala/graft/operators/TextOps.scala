@@ -258,11 +258,14 @@ object TextOps {
     val shares = sharePerMille.toSeq
       .toDF(stratumCol, "_share_i")
       .select(col(stratumCol), col("_share_i").cast("long").as("_share"))
+    // ≤ strata rows, but referenced by BOTH `total` and `rates`:
+    // materialize so the corpus count-aggregation pass runs once
     val counts = shares.join(
         df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_obs0")),
         Seq(stratumCol), "left")
       .select(col(stratumCol), col("_share"),
         coalesce(col("_obs0"), lit(0L)).as("_obs"))
+      .localCheckpoint()
     // T = min over strata of floor(obs * 1000 / share): scalar aggregate
     val total = counts.agg(
       min(expr("(_obs * 1000) DIV _share")).as("_t"))
@@ -305,8 +308,11 @@ object TextOps {
     require(alphaPerMille >= 1 && alphaPerMille <= 1000,
       s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
     val am1 = lit(alphaPerMille.toDouble / 1000.0 - 1.0)
+    // ≤ strata rows, but referenced by BOTH `nmin` and `rates`:
+    // materialize so the corpus count-aggregation pass runs once
     val counts = df.filter(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("_obs"))
+      .localCheckpoint()
     val nmin = counts.agg(min(col("_obs")).as("_nmin"))
     val rates = counts.crossJoin(broadcast(nmin))
       .select(col(stratumCol),
