@@ -1391,6 +1391,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Frozen-model DSIR: train the bucket model once (bounded ≤1024-row
+    // collect), score with the stateless projection — must reproduce
+    // q105 bit-for-bit (same oracle).
+    "q108_dsir_frozen" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = TextOps.dsirTrain(docs, "text", "doc_id",
+        isTarget = col("source") === "src0")
+      TextOps.dsirScoreFrozen(docs, "text", "doc_id", model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Temperature mixture sampling (α=0.5): rarest lang keeps all,
     // head langs downsampled toward the flattened p^α shares.
     "q107_temperature_sample" -> ((s, dir) => {
@@ -2755,6 +2766,14 @@ object SparkEntry {
          |  FROM gu)
          |SELECT doc_id, n_feats, logw_nats, key_micro, sample_rank
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
+
+    // frozen-model DSIR reproduces the q105 chain exactly — same oracle
+    "q108_dsir_frozen" ->
+      s"""$dsirCtes
+         |SELECT d.doc_id, coalesce(pd.n_feats, 0)::BIGINT AS n_feats,
+         |  coalesce(pd.logw_micro, 0)::BIGINT AS logw_micro,
+         |  pd.logw_micro::DOUBLE / 1048576.0 AS logw_nats
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // temperature sampling: per-lang keep-rate exp((α−1)·ln(n/n_min))
     // per million, salted mix64 keep-predicate

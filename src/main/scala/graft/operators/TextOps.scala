@@ -936,6 +936,22 @@ object TextOps {
     * model and the scoring branch — materialized once (the semDedup
     * lesson).
     */
+  /** Unigrams ++ bigrams ("w1 w2") of a token array; `sequence(1, 0)`
+    * DESCENDS in Spark, so the bigram arm must be guarded for 1-token
+    * docs.
+    */
+  private def dsirFeatArray(toks: Column): Column = concat(
+    toks,
+    when(size(toks) >= 2, transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>")))
+
+  /** The DSIR feature bucket: `mix64(polyHash(gram)) >>> 12 mod B`. */
+  private def dsirBucket(w: Column, buckets: Int): Column =
+    shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
+      graft.functions.TextKernelExprs.polyHash(w)), 12) % buckets
+
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 1024,
       alphaPerMille: Int = 500): DataFrame = {
@@ -948,19 +964,10 @@ object TextOps {
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(col(idCol).cast("long").as("id"),
         isTarget.cast("boolean").as("_t"), words(col(textCol)).as("_toks"))
-    // unigrams ++ bigrams ("w1 w2"); sequence(1, 0) DESCENDS in Spark,
-    // so the bigram arm must be guarded for 1-token docs
-    val feats = toks.select(col("id"), col("_t"), explode(concat(
-        col("_toks"),
-        when(size(col("_toks")) >= 2, transform(
-          sequence(lit(1), size(col("_toks")) - 1),
-          i => concat_ws(" ", element_at(col("_toks"), i),
-            element_at(col("_toks"), i + 1))))
-          .otherwise(array().cast("array<string>")))).as("_w"))
-    val bucket = shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
-      graft.functions.TextKernelExprs.polyHash(col("_w"))), 12) % buckets
+    val feats = toks.select(col("id"), col("_t"),
+      explode(dsirFeatArray(col("_toks"))).as("_w"))
     val docCnt = feats
-      .select(col("id"), col("_t"), bucket.as("_b"))
+      .select(col("id"), col("_t"), dsirBucket(col("_w"), buckets).as("_b"))
       .groupBy(col("id"), col("_t"), col("_b"))
       .agg(count(lit(1)).as("_c"))
       .localCheckpoint()
@@ -1027,5 +1034,85 @@ object TextOps {
         keyMicro.as("key_micro"))
       .withColumn("sample_rank", row_number().over(win).cast("long"))
       .filter(col("sample_rank") <= k)
+  }
+
+  /** A trained, frozen DSIR model: the ≤`buckets` banked log-ratios
+    * plus the never-observed-bucket constant (`ln((α/(T_t+αB)) /
+    * (α/(T_r+αB)))` banked — what an unseen gram contributes when the
+    * model scores NEW data). Small by construction (≤ B entries), so it
+    * ships to executors as a literal, like IVF's bounded centroid
+    * collect.
+    */
+  final case class DsirModel(buckets: Int, alphaPerMille: Int,
+      lrMicro: Map[Long, Long], defaultLrMicro: Long)
+
+  /** Train a [[DsirModel]] on a corpus — the offline half of the
+    * production DSIR shape (train once on a reference crawl, score
+    * every incoming batch/stream against the frozen model). The bank
+    * arithmetic is the exact [[dsirWeights]] chain (same `Math.log` /
+    * `Math.floor` on the same doubles), so scoring the training corpus
+    * with the frozen model reproduces `dsirWeights` bit-for-bit.
+    *
+    * Shape for scale: one feature pass → a ≤`buckets`-row aggregate →
+    * a bounded driver collect (≤ B rows of 24 bytes).
+    */
+  def dsirTrain(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024,
+      alphaPerMille: Int = 500): DsirModel = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    val feats = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(isTarget.cast("boolean").as("_t"),
+        words(col(textCol)).as("_toks"))
+      .select(col("_t"), explode(dsirFeatArray(col("_toks"))).as("_w"))
+    val rows = feats
+      .select(col("_t"), dsirBucket(col("_w"), buckets).as("_b"))
+      .groupBy(col("_b"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+        count(lit(1)).as("_cr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val alpha = alphaPerMille.toDouble / 1000.0
+    val tt = rows.map(_._2).sum
+    val tr = rows.map(_._3).sum
+    def lnp(c: Long, t: Long): Double =
+      math.log((c + alpha) / (t + alpha * buckets))
+    def bank(ct: Long, cr: Long): Long =
+      math.floor((lnp(ct, tt) - lnp(cr, tr)) * 1048576.0).toLong
+    DsirModel(buckets, alphaPerMille,
+      rows.map(r => r._1 -> bank(r._2, r._3)).toMap, bank(0L, 0L))
+  }
+
+  /** Score documents against a frozen [[DsirModel]] — a STATELESS
+    * scan-side projection (feature array → bucket array → banked sum
+    * via `aggregate`), so the same call compiles onto a batch scan or a
+    * structured stream with no state, no watermark, and bit-identical
+    * output (asserted by StreamingParitySpec). Output matches
+    * [[dsirWeights]]: `(id, n_feats, logw_micro, logw_nats)`.
+    *
+    * The split/feature construction is materialized as its own
+    * projection column; only the per-gram hash and the map lookup run
+    * inside HOF lambdas (interpreted — keep them this cheap).
+    */
+  def dsirScoreFrozen(df: DataFrame, textCol: String, idCol: String,
+      model: DsirModel): DataFrame = {
+    val nonEmpty = coalesce(length(trim(col(textCol))), lit(0)) > 0
+    val base = df.select(col(idCol).cast("long").as("id"),
+      when(nonEmpty, dsirFeatArray(words(col(textCol))))
+        .otherwise(array().cast("array<string>")).as("_fs"))
+    val bs = base.select(col("id"),
+      transform(col("_fs"), w => dsirBucket(w, model.buckets)).as("_bs"))
+    val mapCol = typedLit(model.lrMicro)
+    bs.select(col("id"), size(col("_bs")).cast("long").as("n_feats"),
+        aggregate(col("_bs"), lit(0L), (acc, b) =>
+          acc + coalesce(element_at(mapCol, b),
+            lit(model.defaultLrMicro))).as("logw_micro"))
+      .select(col("id"), col("n_feats"), col("logw_micro"),
+        when(col("n_feats") === 0, lit(null).cast("double"))
+          .otherwise(col("logw_micro").cast("double") / lit(1048576.0))
+          .as("logw_nats"))
   }
 }

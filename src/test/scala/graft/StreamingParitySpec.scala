@@ -49,6 +49,41 @@ class StreamingParitySpec extends SparkSpec {
     } finally { sq.stop(); uq.stop() }
   }
 
+  test("frozen-model DSIR scores a stream identically to batch") {
+    // the production DSIR shape: model trained offline on a reference
+    // corpus, incoming docs scored by a stateless projection — the SAME
+    // operator call compiles onto a MemoryStream with no state and
+    // byte-identical banked scores
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "alpha beta", true),
+      (3L, "epsilon zeta eta theta", false),
+      (4L, "iota kappa lambda", false)).toDF("id", "text", "tgt")
+    val model = TextOps.dsirTrain(corpus, "text", "id", col("tgt"),
+      buckets = 32)
+    val incoming = Seq( // overlaps + unseen grams + empty
+      (10L, "alpha beta gamma"), (11L, "iota kappa"),
+      (12L, "totally novel grams"), (13L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.dsirScoreFrozen(
+        input.toDF().toDF("id", "text"), "text", "id", model)
+      .writeStream.format("memory").queryName("par_dsir")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_dsir")
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+      val exp = TextOps.dsirScoreFrozen(
+          incoming.toDF("id", "text"), "text", "id", model)
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+      assert(got == exp && got.size == 4)
+      assert(got.find(_._1 == 13L).get._2 == 0L) // empty → 0 features
+    } finally q.stop()
+  }
+
   test("streaming tumbling window agg matches batch (B8 + A6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SEvt]

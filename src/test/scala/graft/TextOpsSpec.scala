@@ -658,6 +658,37 @@ class TextOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("dsirScoreFrozen: bit-equal to dsirWeights; unseen grams bank default") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "the quick brown fox", true),
+      (3L, "lorem ipsum dolor sit amet consectetur", false),
+      (4L, "sphinx of black quartz judge my vow", false),
+      (5L, "", false),
+      (6L, null.asInstanceOf[String], false))
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val model = TextOps.dsirTrain(df, "text", "doc_id", col("tgt"),
+      buckets = 64)
+    val frozen = TextOps.dsirScoreFrozen(df, "text", "doc_id", model)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val online = TextOps.dsirWeights(df, "text", "doc_id", col("tgt"),
+        buckets = 64)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(frozen == online, "frozen scoring must replay the online chain")
+    // a doc of entirely unseen grams scores n_feats · defaultLrMicro
+    // (modulo bucket collisions with trained grams — none here for the
+    // distinctive tokens chosen)
+    val novel = Seq((7L, "xylophone zeppelin")).toDF("doc_id", "text")
+    val got = TextOps.dsirScoreFrozen(novel, "text", "doc_id", model)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(got._2 == 3L) // 2 unigrams + 1 bigram
+    if (Seq("xylophone", "zeppelin", "xylophone zeppelin").forall { w =>
+      def ph(s: String) = s.foldLeft(1125899906842597L)((h, c) => 31 * h + c)
+      !model.lrMicro.contains(
+        (graft.functions.Hashing.mix64(ph(w)) >>> 12) % 64)
+    }) assert(got._3 == 3L * model.defaultLrMicro)
+  }
+
   test("dsirResample: k rows, rank follows the Gumbel-perturbed weight") {
     val docs = (1L to 40L).map(i =>
       (i, if (i <= 8) "alpha beta gamma" else "delta epsilon zeta",
