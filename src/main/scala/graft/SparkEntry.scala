@@ -1391,6 +1391,21 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Incremental NEAR-dup: the new batch (doc_id % 5) LSH-banded
+    // against the signature HISTORY (doc_id % 3) plus itself — fuzzy
+    // companion to q103; uncapped buckets for oracle parity (production
+    // sets maxBucket).
+    "q109_incremental_minhash" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val hist = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id",
+        shingleK = 5, numHashes = 8)
+      Dedup.incrementalMinhash(docs.filter(col("doc_id") % 5 === 0),
+          hist, "text", "doc_id", shingleK = 5, numHashes = 8,
+          bands = 2, threshold = 0.5, maxBucket = 0)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Frozen-model DSIR: train the bucket model once (bounded ≤1024-row
     // collect), score with the stateless projection — must reproduce
     // q105 bit-for-bit (same oracle).
@@ -2376,6 +2391,67 @@ object SparkEntry {
        |FROM p WHERE 2 * n_inter >= sum_len - n_inter""".stripMargin
   }
 
+  /** q109 oracle: incremental minhash — signatures with 8 slots, TWO
+    * band keys per doc (slots 0-3 seed 0, slots 4-7 seed
+    * 0x9E3779B97F4A7C15 tagged 1<<56 — TextKernelExprs.bandKeysEval),
+    * batch (%5) banded against history (%3) and itself, agreement =
+    * equal-slots / 8 (exact dyadic doubles).
+    */
+  private lazy val q109Oracle: String = {
+    def uns(s: String): String =
+      s"(CASE WHEN $s < 0 THEN $s::HUGEINT + ${DuckHash.uStr}" +
+        s" ELSE $s::HUGEINT END)"
+    def agree(a: String, b: String): String =
+      "(" + (0 until 8).map(i => s"($a.s$i = $b.s$i)::INT")
+        .mkString(" + ") + ")::DOUBLE / 8.0"
+    val allSlots = (0 until 8).map(i => s"s$i").mkString(", ")
+    def fold(prev: String, si: Int, alias: String): String =
+      s"(${DuckHash.mix(s"xor($prev, ${uns(s"s$si")})")}) AS $alias"
+    s"""WITH n AS (SELECT doc_id, ${DuckHash.norm("text")} AS nt
+       |  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 3 = 0),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+       |         WHEN length(nt) < 5 THEN [nt]
+       |         ELSE list_distinct(list_transform(range(1, length(nt) - 3),
+       |           si -> nt[si:si+4]))
+       |    END AS sgs
+       |  FROM n),
+       |s AS (SELECT doc_id,
+       |    list_transform(sgs, sg -> ${DuckHash.hashStr("sg")}) AS sh FROM g),
+       |sl AS (SELECT doc_id,
+       |    ${(0 until 8).map(i =>
+              s"${DuckHash.minhashSlot(i)} AS s$i").mkString(",\n    ")}
+       |  FROM s),
+       |k1 AS (SELECT doc_id, $allSlots,
+       |    (${DuckHash.mix(uns("s0"))}) AS ka,
+       |    (${DuckHash.mix(s"xor(11400714819323198485::HUGEINT, ${uns("s4")})")}) AS kb
+       |  FROM sl),
+       |k2 AS (SELECT doc_id, $allSlots, ${fold("ka", 1, "ka")},
+       |    ${fold("kb", 5, "kb")} FROM k1),
+       |k3 AS (SELECT doc_id, $allSlots, ${fold("ka", 2, "ka")},
+       |    ${fold("kb", 6, "kb")} FROM k2),
+       |k4 AS (SELECT doc_id, $allSlots, ${fold("ka", 3, "ka")},
+       |    ${fold("kb", 7, "kb")} FROM k3),
+       |bnd AS (SELECT doc_id, $allSlots,
+       |    unnest([ka >> 8,
+       |      xor(72057594037927936::HUGEINT, kb >> 8)]) AS band
+       |  FROM k4),
+       |bb AS (SELECT * FROM bnd WHERE doc_id % 5 = 0),
+       |hh AS (SELECT * FROM bnd WHERE doc_id % 3 = 0),
+       |hb AS (SELECT bb.doc_id, max(${agree("bb", "hh")}) AS hist_jaccard
+       |  FROM bb JOIN hh ON bb.band = hh.band GROUP BY 1),
+       |ib AS (SELECT DISTINCT x.doc_id FROM bb x JOIN bb y
+       |    ON x.band = y.band AND y.doc_id < x.doc_id
+       |  WHERE ${agree("x", "y")} >= 0.5)
+       |SELECT d.doc_id, hb.hist_jaccard,
+       |  CAST(CASE WHEN hb.hist_jaccard IS NULL OR hb.hist_jaccard < 0.5
+       |    THEN 1 ELSE 0 END AS INT) AS is_new,
+       |  CAST(CASE WHEN (hb.hist_jaccard IS NULL OR hb.hist_jaccard < 0.5)
+       |      AND ib.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+       |LEFT JOIN hb USING (doc_id) LEFT JOIN ib USING (doc_id)""".stripMargin
+  }
+
   /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
     * sign of sum(±1) across word hashes (Hashing.simHash).
     */
@@ -2766,6 +2842,8 @@ object SparkEntry {
          |  FROM gu)
          |SELECT doc_id, n_feats, logw_nats, key_micro, sample_rank
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
+
+    "q109_incremental_minhash" -> q109Oracle,
 
     // frozen-model DSIR reproduces the q105 chain exactly — same oracle
     "q108_dsir_frozen" ->

@@ -374,6 +374,80 @@ object Dedup {
           .cast("int").as("kept"))
   }
 
+  /** MinHash signatures as a persistable artifact: `(id, sig)` — the
+    * 8·numHashes-byte row a continuous-ingestion pipeline appends for
+    * every retained document, so future batches can near-dup against
+    * history WITHOUT the historical text (band keys re-derive from the
+    * signature alone).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      Hashing.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
+
+  /** Incremental NEAR-dup dedup — [[incrementalExact]]'s fuzzy
+    * companion: a new batch is LSH-banded against the accumulated
+    * history of [[minhashSignatures]] (signatures, not text) plus
+    * within itself. `hist_jaccard` = the best estimated Jaccard against
+    * any historical signature sharing a band bucket (NULL if none);
+    * `is_new` = no history match at ≥ `threshold`; `kept` = is_new AND
+    * no in-batch near-partner with a lower id (the greedy min-id
+    * election) — so appending `kept = 1` rows' signatures to the
+    * history preserves the invariant across batches.
+    *
+    * Output: `(id, hist_jaccard, is_new, kept)` — one row per batch row.
+    *
+    * Shape for scale: both sides reduce to (band, id, sig) — the text
+    * never shuffles; candidate generation is a per-band bucket
+    * equi-join with the same `maxBucket` cap as [[minhashPairs]]
+    * (`maxBucket = 0` disables capping — oracle/test use only); the
+    * history side is a hash join, deliberately NOT broadcast (history
+    * grows with the corpus); elections are associative max/min
+    * aggregates, never windows.
+    */
+  def incrementalMinhash(batch: DataFrame, historySig: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 5,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 1000, sigCol: String = "sig",
+      histIdCol: String = "id"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    def banded(sigs: DataFrame, idc: String): DataFrame = {
+      val e = sigs.withColumn("band",
+        explode(Hashing.bandKeys(col(sigCol), bands, numHashes)))
+      if (maxBucket > 0)
+        capBuckets(e.select(col(idc), col(sigCol), col("band")),
+          Seq("band"), maxBucket)
+      else e
+    }
+    val b = banded(
+      minhashSignatures(batch, textCol, idCol, shingleK, numHashes), "id")
+    val h = banded(historySig.select(col(histIdCol).cast("long").as("_hid"),
+        col(sigCol).as(sigCol)), "_hid")
+      .withColumnRenamed(sigCol, "_hsig")
+    // best history match per batch doc (band-bucket candidates only)
+    val histBest = b.join(h, Seq("band"))
+      .select(col("id"),
+        Hashing.minhashSimilarity(col(sigCol), col("_hsig")).as("_j"))
+      .groupBy(col("id")).agg(max(col("_j")).as("hist_jaccard"))
+    // in-batch: does a near-partner with a lower id exist?
+    val a2 = b.select(col("band"), col("id").as("_ida"), col("sig").as("_siga"))
+    val beaten = b.join(a2, Seq("band"))
+      .filter(col("_ida") < col("id"))
+      .filter(Hashing.minhashSimilarity(col("sig"), col("_siga"))
+        >= threshold)
+      .select(col("id")).distinct().withColumn("_beaten", lit(1))
+    batch.select(col(idCol).cast("long").as("id"))
+      .join(histBest, Seq("id"), "left")
+      .join(beaten, Seq("id"), "left")
+      .select(col("id"), col("hist_jaccard"),
+        (col("hist_jaccard").isNull ||
+          col("hist_jaccard") < threshold).cast("int").as("is_new"),
+        ((col("hist_jaccard").isNull ||
+            col("hist_jaccard") < threshold) && col("_beaten").isNull)
+          .cast("int").as("kept"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
     * split unit, not documents — a near-dup pair straddling train and
     * test is silent evaluation leakage, the exact failure class

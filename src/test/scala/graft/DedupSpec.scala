@@ -260,6 +260,52 @@ class DedupSpec extends SparkSpec {
     assert(round2.forall(r => r._3 == 0 && r._4 == 0))
   }
 
+  test("incrementalMinhash: history near-dups block, min-id wins, invariant") {
+    val histDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog far from home"))
+      .toDF("doc_id", "text")
+    val history = Dedup.minhashSignatures(histDocs, "text", "doc_id",
+      shingleK = 5, numHashes = 8)
+    val batch = Seq(
+      // exact copy of the history doc -> jaccard 1.0, blocked
+      (1L, "the quick brown fox jumps over the lazy dog far from home"),
+      // disjoint content -> new, kept
+      (2L, "completely unrelated subject matter written here instead"),
+      // identical in-batch pair -> min id kept, partner dropped
+      (3L, "sphinx of black quartz judge my vow tonight for good luck"),
+      (4L, "sphinx of black quartz judge my vow tonight for good luck")
+    ).toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame,
+        h: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalMinhash(b, h, "text", "doc_id", shingleK = 5,
+        numHashes = 8, bands = 2, threshold = 0.5, maxBucket = 0)
+    val got = run(batch, history)
+      .select($"id", $"hist_jaccard", $"is_new", $"kept")
+      .as[(Long, Option[Double], Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(1.0), 0, 0)))
+    assert(got(2L)._2 == 1 && got(2L)._3 == 1)
+    assert(got(3L) == ((None, 1, 1)))
+    assert(got(4L)._2 == 1 && got(4L)._3 == 0,
+      s"in-batch dup must lose to the lower id: ${got(4L)}")
+    // append invariant: add kept docs' signatures, replay the batch —
+    // every row now matches history at 1.0
+    val keptIds = run(batch, history).filter($"kept" === 1).select($"id")
+    val kept = Dedup.minhashSignatures(
+      batch.join(keptIds, batch("doc_id") === keptIds("id")),
+      "text", "doc_id", shingleK = 5, numHashes = 8)
+    val round2 = run(batch, history.unionByName(kept))
+      .as[(Long, Option[Double], Int, Int)].collect()
+    assert(round2.forall(r => r._2 == Some(1.0) && r._3 == 0 && r._4 == 0),
+      round2.mkString(", "))
+    // partitioning independence
+    val re = run(batch.repartition(5), history.repartition(3))
+      .select($"id", $"hist_jaccard", $"is_new", $"kept")
+      .as[(Long, Option[Double], Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re == got)
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; full coverage") {
     val ids = (0L until 200L).toDF("doc_id")
     // chain edges form 50 clusters of 4 {0-3}, {4-7}, ...
