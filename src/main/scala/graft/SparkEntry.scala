@@ -1391,6 +1391,29 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // C4 line-level cleaning: the corpus has no line structure, so the
+    // query first restructures text deterministically (8-word lines,
+    // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
+    // docs a curly-brace line) — BOTH engines replay the restructure,
+    // then the operator's line gates + page gate run on top.
+    "q110_c4_line_filter" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val lastLine = ((size(ws) - lit(1)).cast("double") / lit(8.0))
+        .cast("int")
+      val li = transform(sequence(lit(0), lastLine), i =>
+        concat(array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " "),
+          when(i % 3 =!= 2, lit(".")).otherwise(lit(""))))
+      val base = array_join(li, "\n")
+      val t2 = when(col("doc_id") % 11 === 0,
+        concat(lit("Lorem Ipsum dolor sit amet right here.\n"), base))
+        .otherwise(base)
+      val t3 = when(col("doc_id") % 7 === 0,
+        concat(t2, lit("\nvar x = {1};"))).otherwise(t2)
+      TextOps.c4LineFilter(
+          ld(s, dir, "documents").withColumn("text", t3), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Incremental NEAR-dup: the new batch (doc_id % 5) LSH-banded
     // against the signature HISTORY (doc_id % 3) plus itself — fuzzy
     // companion to q103; uncapped buckets for oracle parity (production
@@ -2844,6 +2867,45 @@ object SparkEntry {
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
 
     "q109_incremental_minhash" -> q109Oracle,
+
+    // C4 line filter: restructure replay + line gates + page gate
+    "q110_c4_line_filter" ->
+      """WITH ws AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |      AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(0, ((len(w) - 1) // 8) + 1),
+        |      li -> array_to_string(w[li * 8 + 1 : li * 8 + 8], ' ')
+        |        || CASE WHEN li % 3 <> 2 THEN '.' ELSE '' END),
+        |      chr(10)) AS base
+        |  FROM ws),
+        |t4 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |      THEN b2 || chr(10) || 'var x = {1};' ELSE b2 END AS txt
+        |  FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |      THEN 'Lorem Ipsum dolor sit amet right here.' || chr(10) || base
+        |      ELSE base END AS b2 FROM t2)),
+        |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lns FROM t4),
+        |ln AS (SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1),
+        |      pi -> {'pos': pi, 'line': lns[pi]})) AS u FROM ls)),
+        |ke AS (SELECT doc_id, pos, line FROM ln
+        |  WHERE regexp_matches(trim(line), '[.!?"]$')
+        |    AND len(string_split_regex(trim(line), '\s+')) >= 5),
+        |kd AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+        |      AS clean_text, count(*)::BIGINT AS n_kept
+        |  FROM ke GROUP BY 1),
+        |tt AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM ln GROUP BY 1),
+        |pg AS (SELECT doc_id, (NOT contains(txt, '{')
+        |    AND NOT contains(txt, '}')
+        |    AND NOT contains(lower(txt), 'lorem ipsum')) AS pgf FROM t4)
+        |SELECT pg.doc_id, coalesce(kd.clean_text, '') AS clean_text,
+        |  coalesce(tt.n_lines, 0)::BIGINT AS n_lines,
+        |  coalesce(kd.n_kept, 0)::BIGINT AS n_kept,
+        |  CAST(CASE WHEN pgf AND coalesce(kd.n_kept, 0) >= 3
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM pg LEFT JOIN tt USING (doc_id)
+        |  LEFT JOIN kd USING (doc_id)""".stripMargin,
 
     // frozen-model DSIR reproduces the q105 chain exactly — same oracle
     "q108_dsir_frozen" ->

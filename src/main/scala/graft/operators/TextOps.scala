@@ -426,6 +426,53 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation (`. ! ? "`) AND contain at
+    * least `minWords` words; gate the whole page on ≥ `minLines` kept
+    * lines, no curly braces, and no "lorem ipsum" (case-insensitive).
+    * Output: `(id, clean_text, n_lines, n_kept, kept)` — kept lines
+    * rejoined by newline in original order; `kept` is the page gate
+    * (audit-friendly flag, filter `kept = 1` to materialize the C4
+    * corpus).
+    *
+    * Scale shape: lines explode scan-side with their position and the
+    * line gates run codegen'd in the same projection (no interpreted
+    * per-line lambda); only KEPT lines shuffle once into the per-doc
+    * reassembly (`chunkDedupRebuild`'s collect_list/array_sort
+    * pattern); the page-gate scalars ride the same aggregate. Dropped
+    * lines cost a counter, not bandwidth.
+    */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    val lines = df.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val lt = trim(col("_line"))
+    val lineKept = lt.rlike("[.!?\"]$") &&
+      size(split(lt, "\\s+")) >= minWords
+    val kept = lines.filter(lineKept)
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val pageGate = df.select(col(idCol).cast("long").as("id"),
+      (!col(textCol).contains("{") && !col(textCol).contains("}") &&
+        !lower(col(textCol)).contains("lorem ipsum")).as("_pg"))
+    pageGate.join(totals, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("_pg"), lit(false)) &&
+          coalesce(col("n_kept"), lit(0L)) >= minLines)
+          .cast("int").as("kept"))
+  }
+
   /** Sliding-window chunking (the RAG / embedding-input splitter):
     * fixed `chunkWords`-word windows every `strideWords` words, so
     * consecutive chunks overlap by `chunkWords - strideWords` words and

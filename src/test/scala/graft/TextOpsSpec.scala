@@ -568,6 +568,33 @@ class TextOpsSpec extends SparkSpec {
     assert(re == byId)
   }
 
+  test("c4LineFilter: line gates, order-preserving rebuild, page gates") {
+    val docs = Seq(
+      // 3 good lines + 1 short + 1 unterminated -> page kept
+      (1L, "one two three four five six.\nshort line.\nthis line has no terminal punct at all\nseven eight nine ten eleven twelve!\nanother good line with five words?"),
+      // only 2 good lines -> below minLines
+      (2L, "one two three four five six.\nseven eight nine ten eleven."),
+      // curly brace kills the page even with 3 good lines
+      (3L, "one two three four five six.\nseven eight nine ten eleven twelve.\nmore words in a fine line.\nvar x = {1};"),
+      // lorem ipsum (case-insensitive) kills the page
+      (4L, "one two three four five six.\nseven eight nine ten eleven twelve.\nLoReM IpSuM dolor sit amet here.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4LineFilter(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L,
+      "one two three four five six.\nseven eight nine ten eleven twelve!\nanother good line with five words?",
+      5L, 3L, 1)))
+    assert(got(2L)._4 == 2L && got(2L)._5 == 0)
+    assert(got(3L)._5 == 0, "curly brace must kill the page")
+    assert(got(4L)._5 == 0, "lorem ipsum must kill the page")
+    // kept lines preserve original order even under repartition
+    val re = TextOps.c4LineFilter(docs.repartition(5), "text", "doc_id")
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
+
   test("temperatureSample: p^alpha keep-rates, rarest stratum keeps all") {
     // 64 'big' rows vs 4 'small' rows; alpha = 0.5 →
     // big keeps floor(1e6·exp(-0.5·ln(16))) = 250000 per million
