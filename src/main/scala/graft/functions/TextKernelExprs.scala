@@ -28,13 +28,7 @@ object TextKernelExprs {
   def ngramEval(t: UTF8String, n: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.wordNgramHashes(t.toString, n))
 
-  def polyHashEval(t: UTF8String): Long = {
-    val s = t.toString
-    var h = 1125899906842597L // large prime
-    var i = 0
-    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-    h
-  }
+  def polyHashEval(t: UTF8String): Long = polyHashOfString(t.toString)
 
   def bandKeysEval(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val s = sig.toLongArray()
@@ -81,6 +75,41 @@ object TextKernelExprs {
 
   def mix64Eval(x: Long): Long = Hashing.mix64(x)
 
+  /** Whole-document DSIR score in one pass over the TOKEN array:
+    * unigram + adjacent-bigram ("w1 w2") features, bucket =
+    * `mix64(polyHash(gram)) >>> 12 mod buckets`, summing the dense
+    * banked log-ratio table (index b; unseen buckets hold the model's
+    * default). Bit-identical to hashing the exploded feature strings —
+    * the bigram string is the same `w1 + " " + w2` concatenation — but
+    * runs as ONE codegen'd call per document instead of interpreted
+    * HOF lambdas per gram (measured 4× on the frozen scorer).
+    */
+  def dsirScoreEval(toks: ArrayData, buckets: Int, lr: Array[Long]): Long = {
+    val n = toks.numElements()
+    var s = 0L
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i).toString
+      s += lr(((Hashing.mix64(polyHashOfString(w)) >>> 12) % buckets).toInt)
+      if (prev != null) {
+        val bg = prev + " " + w
+        s += lr(((Hashing.mix64(polyHashOfString(bg)) >>> 12) % buckets)
+          .toInt)
+      }
+      prev = w
+      i += 1
+    }
+    s
+  }
+
+  private def polyHashOfString(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
   /** splitmix64 finalizer of a long column — the engine's scalar hash
     * for deterministic sampling/bucketing (JVM long arithmetic wraps,
     * so no ANSI overflow at any input; replicated in external oracles
@@ -101,6 +130,10 @@ object TextKernelExprs {
 
   def polyHash(text: Column): Column =
     GraftSqlBridge.column(PolyHash64(GraftSqlBridge.expression(text)))
+
+  def dsirScore(toks: Column, buckets: Int, lr: Array[Long]): Column =
+    GraftSqlBridge.column(
+      DsirScore(GraftSqlBridge.expression(toks), buckets, lr))
 
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     GraftSqlBridge.column(
@@ -152,6 +185,29 @@ case class Mix64(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernelExprs.mix64Eval($c)")
   override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+/** Codegen'd whole-document DSIR scorer over a token array — the dense
+  * banked model rides into generated code as a reference object, so the
+  * hot loop (hash + array index per gram) never leaves the JVM method.
+  */
+case class DsirScore(child: Expression, buckets: Int, lr: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.dsirScoreEval(input.asInstanceOf[ArrayData], buckets, lr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lrRef = ctx.addReferenceObj("dsirLr", lr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.dsirScoreEval($c, $buckets, $lrRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
     copy(child = newChild)
 }
 

@@ -1134,29 +1134,32 @@ object TextOps {
   }
 
   /** Score documents against a frozen [[DsirModel]] — a STATELESS
-    * scan-side projection (feature array → bucket array → banked sum
-    * via `aggregate`), so the same call compiles onto a batch scan or a
-    * structured stream with no state, no watermark, and bit-identical
-    * output (asserted by StreamingParitySpec). Output matches
-    * [[dsirWeights]]: `(id, n_feats, logw_micro, logw_nats)`.
+    * scan-side projection, so the same call compiles onto a batch scan
+    * or a structured stream with no state, no watermark, and
+    * bit-identical output (asserted by StreamingParitySpec). Output
+    * matches [[dsirWeights]]: `(id, n_feats, logw_micro, logw_nats)`.
     *
-    * The split/feature construction is materialized as its own
-    * projection column; only the per-gram hash and the map lookup run
-    * inside HOF lambdas (interpreted — keep them this cheap).
+    * The whole per-document score is ONE codegen'd
+    * [[graft.functions.DsirScore]] call over the token array (the
+    * dense ≤B-entry model rides into generated code as a reference
+    * object) — an HOF-lambda formulation of the same sum ran the
+    * per-gram hash interpreted and was 4× slower on the full corpus.
+    * `n_feats` needs no second pass: unigrams + adjacent bigrams of n
+    * tokens are exactly 2n−1 features.
     */
   def dsirScoreFrozen(df: DataFrame, textCol: String, idCol: String,
       model: DsirModel): DataFrame = {
     val nonEmpty = coalesce(length(trim(col(textCol))), lit(0)) > 0
+    val lrArr = (0 until model.buckets).map(b =>
+      model.lrMicro.getOrElse(b.toLong, model.defaultLrMicro)).toArray
     val base = df.select(col(idCol).cast("long").as("id"),
-      when(nonEmpty, dsirFeatArray(words(col(textCol))))
-        .otherwise(array().cast("array<string>")).as("_fs"))
-    val bs = base.select(col("id"),
-      transform(col("_fs"), w => dsirBucket(w, model.buckets)).as("_bs"))
-    val mapCol = typedLit(model.lrMicro)
-    bs.select(col("id"), size(col("_bs")).cast("long").as("n_feats"),
-        aggregate(col("_bs"), lit(0L), (acc, b) =>
-          acc + coalesce(element_at(mapCol, b),
-            lit(model.defaultLrMicro))).as("logw_micro"))
+      when(nonEmpty, words(col(textCol)))
+        .otherwise(array().cast("array<string>")).as("_tk"))
+    base.select(col("id"),
+        when(size(col("_tk")) === 0, lit(0L))
+          .otherwise(size(col("_tk")).cast("long") * 2 - 1).as("n_feats"),
+        graft.functions.TextKernelExprs.dsirScore(col("_tk"),
+          model.buckets, lrArr).as("logw_micro"))
       .select(col("id"), col("n_feats"), col("logw_micro"),
         when(col("n_feats") === 0, lit(null).cast("double"))
           .otherwise(col("logw_micro").cast("double") / lit(1048576.0))
