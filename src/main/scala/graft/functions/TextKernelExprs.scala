@@ -104,10 +104,32 @@ object TextKernelExprs {
   }
 
   private def polyHashOfString(s: String): Long = {
-    var h = 1125899906842597L
+    var h = 1125899906842597L // large prime
     var i = 0
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
     h
+  }
+
+  /** The DSIR feature-bucket multiset of a token array (unigrams then
+    * each adjacent bigram) — one codegen'd call replacing the
+    * interpreted feature-string construction + per-gram hash lambdas.
+    * Bucket math identical to [[dsirScoreEval]].
+    */
+  def dsirBucketsEval(toks: ArrayData, buckets: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](if (n == 0) 0 else 2 * n - 1)
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i).toString
+      out(i) = (Hashing.mix64(polyHashOfString(w)) >>> 12) % buckets
+      if (prev != null)
+        out(n + i - 1) =
+          (Hashing.mix64(polyHashOfString(prev + " " + w)) >>> 12) % buckets
+      prev = w
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** splitmix64 finalizer of a long column — the engine's scalar hash
@@ -134,6 +156,10 @@ object TextKernelExprs {
   def dsirScore(toks: Column, buckets: Int, lr: Array[Long]): Column =
     GraftSqlBridge.column(
       DsirScore(GraftSqlBridge.expression(toks), buckets, lr))
+
+  def dsirBuckets(toks: Column, buckets: Int): Column =
+    GraftSqlBridge.column(
+      DsirBuckets(GraftSqlBridge.expression(toks), buckets))
 
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     GraftSqlBridge.column(
@@ -208,6 +234,27 @@ case class DsirScore(child: Expression, buckets: Int, lr: Array[Long])
       s"graft.functions.TextKernelExprs.dsirScoreEval($c, $buckets, $lrRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+}
+
+/** Codegen'd DSIR feature-bucket array (see
+  * [[TextKernelExprs.dsirBucketsEval]]) — feeds the explode in the
+  * model-training aggregation paths.
+  */
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.dsirBucketsEval(input.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.dsirBucketsEval($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
     copy(child = newChild)
 }
 

@@ -983,21 +983,13 @@ object TextOps {
     * model and the scoring branch — materialized once (the semDedup
     * lesson).
     */
-  /** Unigrams ++ bigrams ("w1 w2") of a token array; `sequence(1, 0)`
-    * DESCENDS in Spark, so the bigram arm must be guarded for 1-token
-    * docs.
+  /** The DSIR feature-bucket multiset of a document: unigram + adjacent
+    * bigram grams, hashed `mix64(polyHash(gram)) >>> 12 mod B` — ONE
+    * codegen'd call per document ([[graft.functions.DsirBuckets]]); the
+    * explode then carries 8-byte bucket ids, never feature strings.
     */
-  private def dsirFeatArray(toks: Column): Column = concat(
-    toks,
-    when(size(toks) >= 2, transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>")))
-
-  /** The DSIR feature bucket: `mix64(polyHash(gram)) >>> 12 mod B`. */
-  private def dsirBucket(w: Column, buckets: Int): Column =
-    shiftrightunsigned(graft.functions.TextKernelExprs.mix64(
-      graft.functions.TextKernelExprs.polyHash(w)), 12) % buckets
+  private def dsirBucketArray(toks: Column, buckets: Int): Column =
+    graft.functions.TextKernelExprs.dsirBuckets(toks, buckets)
 
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 1024,
@@ -1011,10 +1003,8 @@ object TextOps {
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(col(idCol).cast("long").as("id"),
         isTarget.cast("boolean").as("_t"), words(col(textCol)).as("_toks"))
-    val feats = toks.select(col("id"), col("_t"),
-      explode(dsirFeatArray(col("_toks"))).as("_w"))
-    val docCnt = feats
-      .select(col("id"), col("_t"), dsirBucket(col("_w"), buckets).as("_b"))
+    val docCnt = toks.select(col("id"), col("_t"),
+        explode(dsirBucketArray(col("_toks"), buckets)).as("_b"))
       .groupBy(col("id"), col("_t"), col("_b"))
       .agg(count(lit(1)).as("_c"))
       .localCheckpoint()
@@ -1110,13 +1100,12 @@ object TextOps {
       s"buckets must be in [2, 2^24], got $buckets")
     require(alphaPerMille >= 1 && alphaPerMille <= 1000,
       s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
-    val feats = df
+    val rows = df
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(isTarget.cast("boolean").as("_t"),
         words(col(textCol)).as("_toks"))
-      .select(col("_t"), explode(dsirFeatArray(col("_toks"))).as("_w"))
-    val rows = feats
-      .select(col("_t"), dsirBucket(col("_w"), buckets).as("_b"))
+      .select(col("_t"),
+        explode(dsirBucketArray(col("_toks"), buckets)).as("_b"))
       .groupBy(col("_b"))
       .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
         count(lit(1)).as("_cr"))
