@@ -1414,6 +1414,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // BPE first-merge statistics: adjacent char pairs within words,
+    // weighted by word frequency — the tokenizer-induction ranking.
+    "q111_bpe_pair_counts" -> ((s, dir) => {
+      TextOps.bpePairCounts(ld(s, dir, "documents"), "text", topK = 50)
+    }),
+
+    // Cross-source duplication matrix: distinct shared fingerprints per
+    // source pair — the mirror/scrape audit.
+    "q112_cross_source_dup" -> ((s, dir) => {
+      Dedup.crossSourceDupMatrix(ld(s, dir, "documents"), "text",
+        "source")
+    }),
+
     // Incremental NEAR-dup: the new batch (doc_id % 5) LSH-banded
     // against the signature HISTORY (doc_id % 3) plus itself — fuzzy
     // companion to q103; uncapped buckets for oracle parity (production
@@ -2867,6 +2880,36 @@ object SparkEntry {
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
 
     "q109_incremental_minhash" -> q109Oracle,
+
+    // BPE pair counts: word-frequency-weighted adjacent char pairs of
+    // the distinct vocabulary, global top-50
+    "q111_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |      AS wd
+        |  FROM documents),
+        |wc AS (SELECT wd, count(*)::BIGINT AS wcnt FROM w GROUP BY 1),
+        |ps AS (SELECT u AS pair, wcnt FROM (
+        |    SELECT wcnt, unnest(list_transform(range(1, length(wd)),
+        |      pi -> wd[pi:pi+1])) AS u
+        |    FROM wc WHERE length(wd) >= 2)),
+        |pc AS (SELECT pair, sum(wcnt)::BIGINT AS cnt FROM ps GROUP BY 1),
+        |rk AS (SELECT pair, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, pair ASC)::BIGINT AS rank
+        |  FROM pc)
+        |SELECT pair, cnt, rank FROM rk WHERE rank <= 50""".stripMargin,
+
+    // cross-source dup matrix: distinct (source, fp), fp self-join,
+    // unordered pairs
+    "q112_cross_source_dup" ->
+      s"""WITH nn AS (SELECT source,
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |fps AS (SELECT DISTINCT source, $fpOfNt AS fp FROM nn)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*)::BIGINT AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source <= b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     // C4 line filter: restructure replay + line gates + page gate
     "q110_c4_line_filter" ->

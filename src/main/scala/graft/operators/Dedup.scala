@@ -448,6 +448,34 @@ object Dedup {
           .cast("int").as("kept"))
   }
 
+  /** Cross-source duplication matrix — the data-card audit for "which
+    * sources copy from each other": for every unordered source pair,
+    * the number of DISTINCT content fingerprints present in both. High
+    * off-diagonal counts mean a mirror/scrape relationship, which
+    * inflates mixture weights and leaks across splits.
+    * Output: `(src_a, src_b, n_shared)`, `src_a <= src_b`; the DIAGONAL
+    * rows carry each source's DISTINCT content count (the normalizer
+    * for overlap coefficients — off-diagonal/min(diagonals) is the
+    * containment ratio); zero-overlap off-diagonal pairs are omitted.
+    *
+    * Shape for scale: the corpus reduces scan-side to DISTINCT
+    * (source, fingerprint) 16-byte rows; the self-join is a
+    * fingerprint-key hash join whose fan-out is bounded by sources per
+    * fingerprint (≤ |sources|), and the matrix aggregate is tiny.
+    */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val fps = df.select(col(groupCol).as("_g"),
+        graft.functions.Text.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val a = fps.select(col("fp"), col("_g").as("src_a"))
+    val b = fps.select(col("fp"), col("_g").as("src_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
     * split unit, not documents — a near-dup pair straddling train and
     * test is silent evaluation leakage, the exact failure class

@@ -426,6 +426,35 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** First-iteration BPE merge statistics (Sennrich et al. 2016): the
+    * corpus-wide frequency of every adjacent CHARACTER pair within
+    * words, weighted by word frequency — the ranking the first BPE
+    * merge is chosen from, and the tokenizer-induction primitive a
+    * training-data pipeline derives its vocabulary from. Output: the
+    * `topK` `(pair, cnt, rank)` rows, ranked `(cnt desc, pair asc)`.
+    *
+    * Shape for scale: the corpus explodes ONCE into a word-keyed count
+    * aggregation (the q101 vocabProfile shuffle); character pairs then
+    * explode from the DISTINCT-word vocabulary — orders of magnitude
+    * smaller than the corpus — weighted by word count, and the literal
+    * rank-limit plans as a global top-k.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val wc = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_wc"))
+    val pairs = wc.filter(length(col("w")) >= 2)
+      .select(col("_wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(sum(col("_wc")).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    counts.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
     * lines that end in terminal punctuation (`. ! ? "`) AND contain at
     * least `minWords` words; gate the whole page on ≥ `minLines` kept

@@ -306,6 +306,25 @@ class DedupSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("crossSourceDupMatrix: shared distinct content per source pair") {
+    val docs = Seq(
+      (1L, "a", "shared one"), (2L, "a", "shared two"), (3L, "a", "only a"),
+      (4L, "b", "shared one"), (5L, "b", "shared two"), (6L, "b", "only b"),
+      (7L, "c", "shared one"), (8L, "c", "  SHARED   one"), // normalizes
+      (9L, "c", "only c")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceDupMatrix(docs, "text", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // diagonal = distinct contents per source (c's two "shared one"
+    // spellings collapse to one fingerprint)
+    assert(got(("a", "a")) == 3L && got(("b", "b")) == 3L)
+    assert(got(("c", "c")) == 2L)
+    assert(got(("a", "b")) == 2L)  // shared one + shared two
+    assert(got(("a", "c")) == 1L && got(("b", "c")) == 1L)
+    assert(got.size == 6, s"zero-overlap pairs must be omitted: $got")
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; full coverage") {
     val ids = (0L until 200L).toDF("doc_id")
     // chain edges form 50 clusters of 4 {0-3}, {4-7}, ...

@@ -568,6 +568,24 @@ class TextOpsSpec extends SparkSpec {
     assert(re == byId)
   }
 
+  test("bpePairCounts: word-frequency-weighted char pairs, ranked") {
+    val docs = Seq(
+      (1L, "abab abab cd"),   // "abab" x2, "cd" x1
+      (2L, "abab x")          // "abab" x1 more; "x" has no pairs
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(docs, "text", topK = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    // "abab" (count 3) contributes ab x2, ba x1 per occurrence
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map("ab" -> 6L, "ba" -> 3L, "cd" -> 1L))
+    assert(got.map(_._1).toSeq == Seq("ab", "ba", "cd"),
+      "rank follows (cnt desc, pair asc)")
+    // topK truncation keeps the best-ranked pairs
+    val top1 = TextOps.bpePairCounts(docs, "text", topK = 1)
+      .as[(String, Long, Long)].collect()
+    assert(top1.toSeq == Seq(("ab", 6L, 1L)))
+  }
+
   test("c4LineFilter: line gates, order-preserving rebuild, page gates") {
     val docs = Seq(
       // 3 good lines + 1 short + 1 unterminated -> page kept
