@@ -465,9 +465,12 @@ object Dedup {
     */
   def crossSourceDupMatrix(df: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
+    // both self-join sides read this relation — materialize so the
+    // corpus scan + distinct aggregation run once
     val fps = df.select(col(groupCol).as("_g"),
         graft.functions.Text.fingerprint(col(textCol)).as("fp"))
       .distinct()
+      .localCheckpoint()
     val a = fps.select(col("fp"), col("_g").as("src_a"))
     val b = fps.select(col("fp"), col("_g").as("src_b"))
     a.join(b, Seq("fp"))
