@@ -121,6 +121,19 @@ object ScaleProbe {
       vecs.join(docs.select(col("doc_id").as("vec_id"), col("lang")),
         Seq("vec_id")),
       "embedding", "vec_id", "lang"))
+    // replication multiplies every signature N× — every band bucket
+    // gets N copies of each member, the LSH worst case (production
+    // maxBucket caps it; the probe runs the capped call)
+    time("incremental_minhash")(Dedup.incrementalMinhash(
+      docs.filter(col("doc_id") % 5 === 0),
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", shingleK = 5, numHashes = 8),
+      "text", "doc_id", shingleK = 5, numHashes = 8, bands = 2,
+      threshold = 0.5, maxBucket = 1000))
+    time("c4_line_filter")(TextOps.c4LineFilter(docs, "text", "doc_id"))
+    // vocabulary stays fixed under replication — only the word-count
+    // aggregation sees more rows
+    time("bpe_pairs")(TextOps.bpePairCounts(docs, "text", topK = 50))
     spark.stop()
   }
 }
