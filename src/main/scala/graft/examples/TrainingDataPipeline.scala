@@ -115,6 +115,40 @@ object TrainingDataPipeline {
       .drop("hm", "lo", "hi")
     println(s"STAGE perplexity_gate n=${inBand.count()}")
 
+    // 4f. temperature flattening (the multilingual p^α rule): head
+    // languages downsample toward the flattened shares, the rarest
+    // keeps everything — a real gate in the flow, α = 0.7
+    val tempered = TextOps.temperatureSample(inBand, "doc_id", "lang",
+        alphaPerMille = 700)
+      .filter(col("kept") === 1).drop("kept")
+    println(s"STAGE temperature     n=${tempered.count()}")
+
+    // 4g. DSIR audit: a frozen importance model (target = src0) scores
+    // the survivors — logw > 0 means "more plausible under the target
+    // than the raw corpus"; the sampler (q106) would select on exactly
+    // this score, here it rides as a data-card signal
+    val dsirModel = TextOps.dsirTrain(tempered, "text", "doc_id",
+      isTarget = col("source") === "src0")
+    val dsirScored = TextOps.dsirScoreFrozen(tempered, "text", "doc_id",
+      dsirModel)
+    val targetLike = dsirScored.filter(col("logw_nats") > 0).count()
+    println(s"STAGE dsir_audit      target_like=$targetLike " +
+      s"of ${dsirScored.count()}")
+
+    // 4h. source-overlap audit: shared distinct fingerprints per source
+    // pair (mirrors/scrapes inflate mixtures and leak across splits);
+    // diagonal rows carry each source's distinct-content count
+    val dupMatrix = Dedup.crossSourceDupMatrix(tempered, "text", "source")
+    val offDiag = dupMatrix.filter(col("src_a") =!= col("src_b")).count()
+    println(s"STAGE source_overlap  off_diagonal_pairs=$offDiag")
+
+    // 4i. tokenizer-induction statistics: the corpus-weighted adjacent
+    // char pairs the first BPE merge would be chosen from
+    val topPairs = TextOps.bpePairCounts(tempered, "text", topK = 3)
+      .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().mkString(",")
+    println(s"STAGE bpe_stats       top_pairs=$topPairs")
+
     // 5. embedding-space audit: multi-probe LSH top-3 neighbors for a
     // query sample — the index-building shape for retrieval curation
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -157,7 +191,7 @@ object TrainingDataPipeline {
     // the curated corpus leaves as write-ready pack assignments
     // (`repartitionByRange(file_idx).sortWithinPartitions(shuffle_key)`
     // at the writer; no global rank, no driver state)
-    val splits = TextOps.splitAssign(inBand, "doc_id",
+    val splits = TextOps.splitAssign(tempered, "doc_id",
       Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 8)
     val trainIds = splits.filter(col("split") === "train")
       .select(col("id").as("doc_id"))
@@ -166,12 +200,12 @@ object TrainingDataPipeline {
     // identity (uid = id·8 + copy) so the replicas REALLY reach the
     // packer instead of collapsing back onto one doc_id
     val recipe = TextOps.epochUpsample(
-      inBand.join(trainIds, Seq("doc_id"), "left_semi"), "doc_id",
+      tempered.join(trainIds, Seq("doc_id"), "left_semi"), "doc_id",
       epochsPerMille = 1500)
     println(s"STAGE epoch_recipe    rows=${recipe.count()}")
     val packInput = recipe
       .withColumn("uid", col("id") * 8 + col("epoch_copy"))
-      .join(inBand.select(col("doc_id").as("id"), col("text"),
+      .join(tempered.select(col("doc_id").as("id"), col("text"),
         col("lang")), Seq("id"))
     val packs = TextOps.packSequences(packInput,
       "text", "uid", "lang", budget = 2048, shards = 4)
