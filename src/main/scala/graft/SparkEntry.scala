@@ -1414,6 +1414,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Gopher duplicate-n-gram fractions: per doc and order, repeat
+    // occurrences of word n-grams — all exact integers, zero shuffle.
+    "q113_dup_ngram_stats" -> ((s, dir) => {
+      TextOps.dupNgramStats(ld(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // BPE first-merge statistics: adjacent char pairs within words,
     // weighted by word frequency — the tokenizer-induction ranking.
     "q111_bpe_pair_counts" -> ((s, dir) => {
@@ -2880,6 +2887,34 @@ object SparkEntry {
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
 
     "q109_incremental_minhash" -> q109Oracle,
+
+    // dup n-gram stats: occurrence arithmetic + distinct gram strings
+    // (≡ the kernel's distinct hashes — hash is a function of the gram,
+    // the q20/q23 equivalence)
+    "q113_dup_ngram_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |      AS toks,
+        |    CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
+        |      ELSE len(string_split(
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |      END AS nw
+        |  FROM documents),
+        |g AS (SELECT doc_id, u AS n, least(u, nw) AS eff, nw, toks
+        |  FROM t, unnest([2, 3, 4]) AS s(u))
+        |SELECT doc_id, n::INT AS n,
+        |  (CASE WHEN nw = 0 THEN 0 ELSE nw - eff + 1 END)::BIGINT
+        |    AS n_total,
+        |  (CASE WHEN nw = 0 THEN 0
+        |    ELSE len(list_distinct(list_transform(range(1, nw - eff + 2),
+        |      gi -> array_to_string(toks[gi:gi+eff-1], ' '))))
+        |    END)::BIGINT AS n_distinct,
+        |  ((CASE WHEN nw = 0 THEN 0 ELSE nw - eff + 1 END)
+        |    - (CASE WHEN nw = 0 THEN 0
+        |    ELSE len(list_distinct(list_transform(range(1, nw - eff + 2),
+        |      gi -> array_to_string(toks[gi:gi+eff-1], ' '))))
+        |    END))::BIGINT AS n_dup
+        |FROM g""".stripMargin,
 
     // BPE pair counts: word-frequency-weighted adjacent char pairs of
     // the distinct vocabulary, global top-50

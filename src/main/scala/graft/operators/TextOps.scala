@@ -426,6 +426,46 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Gopher duplicate-n-gram signals (Rae et al. 2021 §A1.1): per
+    * document and n-gram order, how many word-n-gram occurrences are
+    * REPEATS of an earlier occurrence in the same document —
+    * `n_dup / n_total` is the "fraction of duplicate n-grams" quality
+    * gate (templated/spammy text scores high). Occurrence counts are
+    * arithmetic (`len − eff + 1`, `eff = min(n, len)` — the
+    * [[graft.functions.Hashing.wordNgramHashes]] shrink rule for short
+    * docs) and the distinct count is the SIZE of that kernel's
+    * distinct-hash set, so every output is an exact integer.
+    *
+    * Output: `(id, n, n_total, n_distinct, n_dup)` — one row per doc
+    * per requested order.
+    *
+    * Shape for scale: a single scan-side projection (one codegen'd
+    * gram-hash call per order + an explode of the per-order struct
+    * array) — no shuffle, no state.
+    */
+  def dupNgramStats(df: DataFrame, textCol: String, idCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 32),
+      s"ns must be nonempty with each in [1, 32], got $ns")
+    val nw = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
+      lit(0)).otherwise(size(words(col(textCol))))
+    val perN = ns.map { n =>
+      val eff = least(lit(n), nw)
+      val total = when(nw === 0, lit(0L))
+        .otherwise((nw - eff + 1).cast("long"))
+      val distinct = coalesce(size(
+        graft.functions.Hashing.ngramHashes(col(textCol), n))
+        .cast("long"), lit(0L))
+      struct(lit(n).as("n"), total.as("n_total"),
+        distinct.as("n_distinct"), (total - distinct).as("n_dup"))
+    }
+    df.select(col(idCol).cast("long").as("id"),
+        explode(array(perN: _*)).as("_s"))
+      .select(col("id"), col("_s.n").as("n"),
+        col("_s.n_total").as("n_total"),
+        col("_s.n_distinct").as("n_distinct"), col("_s.n_dup").as("n_dup"))
+  }
+
   /** First-iteration BPE merge statistics (Sennrich et al. 2016): the
     * corpus-wide frequency of every adjacent CHARACTER pair within
     * words, weighted by word frequency — the ranking the first BPE

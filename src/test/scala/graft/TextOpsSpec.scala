@@ -568,6 +568,27 @@ class TextOpsSpec extends SparkSpec {
     assert(re == byId)
   }
 
+  test("dupNgramStats: repeat occurrences per order, short-doc shrink") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 6 toks: 5 bigrams 2 distinct; 4 trigrams
+                             // 2 distinct; 3 4-grams 2 distinct
+      (2L, "x y"),           // 2 toks: n=3,4 shrink to eff=2 -> 1 gram
+      (3L, "solo"),          // 1 tok: eff=1, total=1, distinct=1
+      (4L, "")               // empty -> all zero
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramStats(docs, "text", "doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 2)) == ((5L, 2L, 3L)))
+    assert(got((1L, 3)) == ((4L, 2L, 2L)))
+    assert(got((1L, 4)) == ((3L, 2L, 1L)))
+    assert(got((2L, 2)) == ((1L, 1L, 0L)))
+    assert(got((2L, 3)) == ((1L, 1L, 0L)), "eff shrinks to doc length")
+    assert(got((3L, 4)) == ((1L, 1L, 0L)))
+    assert(got((4L, 2)) == ((0L, 0L, 0L)))
+    assert(got.size == 12)
+  }
+
   test("bpePairCounts: word-frequency-weighted char pairs, ranked") {
     val docs = Seq(
       (1L, "abab abab cd"),   // "abab" x2, "cd" x1
