@@ -426,6 +426,57 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** The offline half of [[temperatureSample]]: the per-stratum
+    * keep-rates per million as a plain map (≤ strata entries — a
+    * bounded driver collect), for [[applySampleRates]] to apply
+    * statelessly to later batches or a stream. Rates computed from
+    * THIS corpus's counts with the exact [[temperatureSample]]
+    * arithmetic, so applying them back to the same corpus reproduces
+    * its kept set bit-for-bit.
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      alphaPerMille: Int): Map[String, Long] = {
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_obs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty) Map.empty
+    else {
+      val nmin = counts.map(_._2).min
+      val am1 = alphaPerMille.toDouble / 1000.0 - 1.0
+      counts.map { case (s, n) =>
+        s -> math.floor(math.exp(am1 *
+          math.log(n.toDouble / nmin.toDouble)) * 1000000.0).toLong
+      }.toMap
+    }
+  }
+
+  /** Apply frozen per-stratum keep-rates (per million) with the
+    * [[temperatureSample]] salt — a STATELESS scan-side predicate, so
+    * the same call compiles onto a batch scan or a structured stream
+    * (StreamingParitySpec asserts bit-identical kept sets). Rows whose
+    * stratum is absent from the map (or NULL) get `kept = 0`, like
+    * [[rebalanceMixture]]'s absent strata.
+    */
+  def applySampleRates(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPerMillion: Map[String, Long],
+      salt: Long = 151515157L): DataFrame = {
+    val bucket = shiftrightunsigned(
+      graft.functions.TextKernelExprs.mix64(
+        col(idCol).cast("long") + lit(salt)), 12) % 1000000L
+    // literal map lookup: ≤ strata entries, evaluated map-side;
+    // try_element_at because ANSI element_at throws on a missing key
+    val rateCol = if (ratesPerMillion.isEmpty)
+      lit(null).cast("long")
+    else
+      try_element_at(typedLit(ratesPerMillion),
+        col(stratumCol).cast("string"))
+    df.withColumn("kept",
+      (rateCol.isNotNull && bucket < rateCol).cast("int"))
+  }
+
   /** Gopher duplicate-n-gram signals (Rae et al. 2021 §A1.1): per
     * document and n-gram order, how many word-n-gram occurrences are
     * REPEATS of an earlier occurrence in the same document —

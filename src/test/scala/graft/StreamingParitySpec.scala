@@ -84,6 +84,32 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen temperature rates gate a stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val corpus = ((1L to 40L).map(i => (i, "head")) ++
+      (41L to 45L).map(i => (i, "tail"))).toDF("id", "stratum")
+    val rates = TextOps.temperatureRates(corpus, "stratum", 500)
+    val incoming = (1L to 45L).map(i =>
+      (i, if (i <= 40) "head" else "tail")) :+ ((99L, "unseen"))
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.applySampleRates(
+        input.toDF().toDF("id", "stratum"), "id", "stratum", rates)
+      .writeStream.format("memory").queryName("par_temp")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_temp")
+        .select($"id", $"kept").as[(Long, Int)].collect().toSet
+      val exp = TextOps.applySampleRates(
+          incoming.toDF("id", "stratum"), "id", "stratum", rates)
+        .select($"id", $"kept").as[(Long, Int)].collect().toSet
+      assert(got == exp && got.size == 46)
+      assert(got.find(_._1 == 99L).get._2 == 0) // unseen stratum dropped
+    } finally q.stop()
+  }
+
   test("streaming tumbling window agg matches batch (B8 + A6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SEvt]

@@ -660,6 +660,26 @@ class TextOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("temperatureRates + applySampleRates replay the online sampler") {
+    val df = ((1L to 64L).map(i => (i, "big")) ++
+      (65L to 68L).map(i => (i, "small")) ++
+      Seq((69L, null.asInstanceOf[String]))).toDF("doc_id", "stratum")
+    val rates = TextOps.temperatureRates(df, "stratum", 500)
+    assert(rates == Map("big" -> 250000L, "small" -> 1000000L))
+    val frozen = TextOps.applySampleRates(df, "doc_id", "stratum", rates)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    val online = TextOps.temperatureSample(df, "doc_id", "stratum", 500)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(frozen == online)
+    // unknown stratum under frozen rates -> kept 0
+    val other = Seq((99L, "unseen")).toDF("doc_id", "stratum")
+    assert(TextOps.applySampleRates(other, "doc_id", "stratum", rates)
+      .select("kept").as[Int].head() == 0)
+    // empty rate map keeps nothing, loudly typed
+    assert(TextOps.applySampleRates(df, "doc_id", "stratum", Map.empty)
+      .agg(sum("kept")).as[Long].head() == 0L)
+  }
+
   /** Sequential reference model of [[TextOps.dsirWeights]]: same
     * tokenization, feature set, bucket hash and integer LLR banks.
     */
