@@ -71,6 +71,31 @@ object Hashing {
     }
   }
 
+  /** Distinct word-n-gram counts for SEVERAL orders in one tokenize
+    * pass — each entry equals `wordNgramHashes(text, ns(j)).length`
+    * exactly (same normalize, same `eff = min(n, len)` shrink, same
+    * gram hash; set SIZE is insensitive to TreeSet-vs-HashSet).
+    */
+  def wordNgramDistinctCounts(text: String, ns: Array[Int]): Array[Long] = {
+    val words = normalize(text).split(" ").filter(_.nonEmpty)
+    val out = new Array[Long](ns.length)
+    var j = 0
+    while (j < ns.length) {
+      if (words.length > 0) {
+        val eff = math.min(ns(j), words.length)
+        val set = new java.util.HashSet[java.lang.Long]()
+        var i = 0
+        while (i + eff <= words.length) {
+          set.add(hashString(words.slice(i, i + eff).mkString(" "), 0L))
+          i += 1
+        }
+        out(j) = set.size.toLong
+      }
+      j += 1
+    }
+    out
+  }
+
   /** MinHash signature: for each of `numHashes` seeded permutations,
     * the minimum of mix64(seed ^ shingleHash). Empty text ⇒ Long.MaxValue
     * rows (never collides with real content under banding because band

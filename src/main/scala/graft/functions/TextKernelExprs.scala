@@ -75,6 +75,16 @@ object TextKernelExprs {
 
   def mix64Eval(x: Long): Long = Hashing.mix64(x)
 
+  /** Distinct word-n-gram counts for SEVERAL orders in one pass —
+    * tokenizes once where per-order [[ngramEval]] calls would tokenize
+    * `ns.length` times. Each count equals `wordNgramHashes(text, n)
+    * .length` exactly (same normalize, same `eff = min(n, len)` shrink,
+    * same gram hash).
+    */
+  def ngramDistinctCountsEval(t: UTF8String, ns: Array[Int]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.wordNgramDistinctCounts(t.toString, ns))
+
   /** Whole-document DSIR score in one pass over the TOKEN array:
     * unigram + adjacent-bigram ("w1 w2") features, bucket =
     * `mix64(polyHash(gram)) >>> 12 mod buckets`, summing the dense
@@ -161,6 +171,10 @@ object TextKernelExprs {
     GraftSqlBridge.column(
       DsirBuckets(GraftSqlBridge.expression(toks), buckets))
 
+  def ngramDistinctCounts(text: Column, ns: Seq[Int]): Column =
+    GraftSqlBridge.column(
+      NgramDistinctCounts(GraftSqlBridge.expression(text), ns))
+
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     GraftSqlBridge.column(
       BandKeys(GraftSqlBridge.expression(sig), bands, rows))
@@ -235,6 +249,29 @@ case class DsirScore(child: Expression, buckets: Int, lr: Array[Long])
   }
   override protected def withNewChildInternal(newChild: Expression): DsirScore =
     copy(child = newChild)
+}
+
+/** Codegen'd multi-order distinct-n-gram counter (see
+  * [[TextKernelExprs.ngramDistinctCountsEval]]).
+  */
+case class NgramDistinctCounts(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val nsArr: Array[Int] = ns.toArray
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.ngramDistinctCountsEval(
+      input.asInstanceOf[UTF8String], nsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("ngramNs", nsArr, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.ngramDistinctCountsEval($c, $nsRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramDistinctCounts = copy(child = newChild)
 }
 
 /** Codegen'd DSIR feature-bucket array (see

@@ -500,18 +500,23 @@ object TextOps {
       s"ns must be nonempty with each in [1, 32], got $ns")
     val nw = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
       lit(0)).otherwise(size(words(col(textCol))))
-    val perN = ns.map { n =>
-      val eff = least(lit(n), nw)
-      val total = when(nw === 0, lit(0L))
-        .otherwise((nw - eff + 1).cast("long"))
-      val distinct = coalesce(size(
-        graft.functions.Hashing.ngramHashes(col(textCol), n))
-        .cast("long"), lit(0L))
+    // ONE tokenize pass counts every order's distinct set; materialized
+    // as its OWN projection column — referenced once per order, an
+    // inlined copy would re-run the whole pass per order (measured: the
+    // inline variant was SLOWER than per-order kernels)
+    val base = df.select(col(idCol).cast("long").as("id"), nw.as("_nw"),
+      coalesce(graft.functions.TextKernelExprs
+          .ngramDistinctCounts(col(textCol), ns),
+        typedLit(ns.map(_ => 0L))).as("_dc"))
+    val perN = ns.zipWithIndex.map { case (n, j) =>
+      val eff = least(lit(n), col("_nw"))
+      val total = when(col("_nw") === 0, lit(0L))
+        .otherwise((col("_nw") - eff + 1).cast("long"))
+      val distinct = element_at(col("_dc"), j + 1)
       struct(lit(n).as("n"), total.as("n_total"),
         distinct.as("n_distinct"), (total - distinct).as("n_dup"))
     }
-    df.select(col(idCol).cast("long").as("id"),
-        explode(array(perN: _*)).as("_s"))
+    base.select(col("id"), explode(array(perN: _*)).as("_s"))
       .select(col("id"), col("_s.n").as("n"),
         col("_s.n_total").as("n_total"),
         col("_s.n_distinct").as("n_distinct"), col("_s.n_dup").as("n_dup"))
