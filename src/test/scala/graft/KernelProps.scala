@@ -95,4 +95,47 @@ object KernelProps extends Properties("Kernels") {
       val est = Hll.estimateOf(regs.map(_.toInt))
       est >= n / 3 && est <= n.toLong * 3
     }
+
+  private val genWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(6))
+  private val genText: Gen[String] =
+    Gen.listOf(genWord).map(_.mkString(" "))
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  property("wordNgramDistinctCounts agrees with per-order wordNgramHashes") =
+    forAll(genText, Gen.someOf(1, 2, 3, 4, 5)) { (t, nsRaw) =>
+      val ns = if (nsRaw.isEmpty) Array(2) else nsRaw.toArray
+      val got = Hashing.wordNgramDistinctCounts(t, ns)
+      got.toSeq == ns.toSeq.map(n =>
+        Hashing.wordNgramHashes(t, n).length.toLong)
+    }
+
+  property("dsirScoreEval = sum over the dsirBucketsEval multiset") =
+    forAll(genText, Gen.choose(2, 64)) { (t, b) =>
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(toks.map(utf8))
+      val lr = Array.tabulate(b)(i => (i.toLong + 3L) * 17L)
+      val buckets = TextKernelExprs.dsirBucketsEval(arr, b).toLongArray()
+      val score = TextKernelExprs.dsirScoreEval(arr, b, lr)
+      // n tokens -> n unigrams + (n-1) bigrams, and the score is the
+      // banked sum over exactly that multiset
+      buckets.length == (if (toks.isEmpty) 0 else 2 * toks.length - 1) &&
+        score == buckets.map(x => lr(x.toInt)).sum
+    }
+
+  property("dsirBucketsEval matches explicit unigram+bigram hashing") =
+    forAll(genText, Gen.choose(2, 1024)) { (t, b) =>
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      def ph(s: String) = s.foldLeft(1125899906842597L)((h, c) => 31 * h + c)
+      def bucket(s: String) = (Hashing.mix64(ph(s)) >>> 12) % b
+      val grams = toks.toSeq ++ toks.toSeq.sliding(2)
+        .filter(_.size == 2).map(_.mkString(" "))
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(toks.map(utf8))
+      TextKernelExprs.dsirBucketsEval(arr, b).toLongArray()
+        .sorted.toSeq == grams.map(bucket).sorted
+    }
 }
