@@ -1414,6 +1414,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Language-consistency audit: metadata lang vs detected lang —
+    // the mislabeled-metadata confusion matrix.
+    "q114_lang_consistency" -> ((s, dir) => {
+      TextOps.langConsistency(ld(s, dir, "documents"), "text", "lang")
+    }),
+
     // Gopher duplicate-n-gram fractions: per doc and order, repeat
     // occurrences of word n-grams — all exact integers, zero shuffle.
     "q113_dup_ngram_stats" -> ((s, dir) => {
@@ -2887,6 +2893,29 @@ object SparkEntry {
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
 
     "q109_incremental_minhash" -> q109Oracle,
+
+    // lang consistency: the q22 detector replay grouped into the
+    // (meta, detected) confusion matrix
+    "q114_lang_consistency" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with|for)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|con|por|para)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(il|di|che|non|per|del|sono|una)\b')) AS s_it,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |FROM documents),
+        |p AS (SELECT lang AS lang_meta, CASE
+        |  WHEN greatest(s_en, s_de, s_fr, s_es, s_it, s_zh) = 0 THEN 'und'
+        |  WHEN s_zh >= greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'zh'
+        |  WHEN s_it >= greatest(s_en, s_de, s_fr, s_es) THEN 'it'
+        |  WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+        |  WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+        |  WHEN s_en >= s_de THEN 'en'
+        |  ELSE 'de' END AS lang_detected
+        |FROM s)
+        |SELECT lang_meta, lang_detected, count(*)::BIGINT AS n_docs
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // dup n-gram stats: occurrence arithmetic + distinct gram strings
     // (≡ the kernel's distinct hashes — hash is a function of the gram,

@@ -522,6 +522,23 @@ object TextOps {
         col("_s.n_distinct").as("n_distinct"), col("_s.n_dup").as("n_dup"))
   }
 
+  /** Language-consistency audit: the confusion matrix between a
+    * corpus's language METADATA and [[graft.functions.Text.langId]]'s
+    * content detection — `(lang_meta, lang_detected, n_docs)`. Large
+    * off-diagonal cells mean mislabeled metadata (scrapers copying a
+    * site-level tag onto foreign-language pages), which silently skews
+    * every lang-stratified gate/mixture downstream.
+    *
+    * Shape for scale: detection is a scan-side codegen'd projection;
+    * the matrix aggregate is ≤ |langs|² rows.
+    */
+  def langConsistency(df: DataFrame, textCol: String,
+      langCol: String): DataFrame =
+    df.select(col(langCol).as("lang_meta"),
+        graft.functions.Text.langId(col(textCol)).as("lang_detected"))
+      .groupBy(col("lang_meta"), col("lang_detected"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** First-iteration BPE merge statistics (Sennrich et al. 2016): the
     * corpus-wide frequency of every adjacent CHARACTER pair within
     * words, weighted by word frequency — the ranking the first BPE

@@ -568,6 +568,20 @@ class TextOpsSpec extends SparkSpec {
     assert(re == byId)
   }
 
+  test("langConsistency: confusion matrix of metadata vs detection") {
+    val docs = Seq(
+      (1L, "en", "the cat and the dog with food for all"),  // en ✓
+      (2L, "en", "der hund ist nicht mit der katze"),        // de text!
+      (3L, "de", "der hund ist nicht mit der katze"),        // de ✓
+      (4L, "fr", "qwzx vbnm")                                // no markers
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.langConsistency(docs, "text", "lang")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("en", "en") -> 1L, ("en", "de") -> 1L,
+      ("de", "de") -> 1L, ("fr", "und") -> 1L))
+  }
+
   test("dupNgramStats: repeat occurrences per order, short-doc shrink") {
     val docs = Seq(
       (1L, "a b a b a b"),   // 6 toks: 5 bigrams 2 distinct; 4 trigrams
