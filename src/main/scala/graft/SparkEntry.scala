@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, Windows}
+import graft.operators.{AsofJoin, Classifier, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -1391,6 +1391,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Frozen linear quality classifier: 2-epoch batch perceptron over
+    // hashed unigram+bigram buckets (all-integer training — the
+    // weights are bit-identical under any partitioning), then the
+    // stateless scan-side margin/prediction projection.
+    "q115_quality_classifier" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = Classifier.perceptronTrain(docs, "text", "doc_id",
+        label = col("source") === "src0", buckets = 1024, epochs = 2)
+      Classifier.perceptronScore(docs, "text", "doc_id", model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -1874,6 +1886,47 @@ object SparkEntry {
        |pd AS (SELECT dc.doc_id, sum(dc.cnt * lr.lrm)::BIGINT AS logw_micro,
        |    sum(dc.cnt)::BIGINT AS n_feats
        |  FROM dc JOIN lr USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  /** q115: the batch-perceptron training loop (epochs=2, w⁰=0)
+    * replayed in SQL over the same hashed unigram+bigram buckets as
+    * [[dsirCtes]], labels y = ±1 from source='src0'. Every step is
+    * integer arithmetic: epoch-1 margins are all 0 (w⁰=0) so every
+    * document is misclassified and w¹ = Σᵢ yᵢxᵢ; epoch-2 margins are
+    * Σ_b c_b·w¹_b, and w² adds Σ_{y·m ≤ 0} yᵢxᵢ. Final output scores
+    * every document (empty text → 0 features, margin 0) under w².
+    */
+  private lazy val perceptronOracle: String = {
+    val bucket = s"((${DuckHash.mix(s"(${DuckHash.polyHash("w")})")}) " +
+      ">> 12) % 1024"
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+       |f AS (SELECT doc_id, y, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      bi -> toks[bi] || ' ' || toks[bi + 1])
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS w FROM t),
+       |fb AS (SELECT doc_id, y, ($bucket)::BIGINT AS bucket FROM f),
+       |dc AS (SELECT doc_id, y, bucket, count(*)::BIGINT AS cnt
+       |  FROM fb GROUP BY 1, 2, 3),
+       |w1 AS (SELECT bucket, sum(y * cnt)::BIGINT AS wt FROM dc GROUP BY 1),
+       |m2 AS (SELECT dc.doc_id, dc.y, sum(dc.cnt * w1.wt)::BIGINT AS m
+       |  FROM dc JOIN w1 USING (bucket) GROUP BY 1, 2),
+       |g2 AS (SELECT dc.bucket, sum(dc.y * dc.cnt)::BIGINT AS g
+       |  FROM dc JOIN m2 ON m2.doc_id = dc.doc_id
+       |  WHERE m2.y * m2.m <= 0 GROUP BY 1),
+       |w2 AS (SELECT w1.bucket, (w1.wt + coalesce(g2.g, 0))::BIGINT AS wt
+       |  FROM w1 LEFT JOIN g2 USING (bucket)),
+       |sc AS (SELECT dc.doc_id, sum(dc.cnt)::BIGINT AS n_feats,
+       |    sum(dc.cnt * w2.wt)::BIGINT AS margin
+       |  FROM dc JOIN w2 USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+       |  coalesce(sc.margin, 0)::BIGINT AS margin,
+       |  (CASE WHEN coalesce(sc.margin, 0) > 0 THEN 1 ELSE 0 END)::INT
+       |    AS predicted
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
   private lazy val q74Oracle: String =
@@ -2864,6 +2917,12 @@ object SparkEntry {
         |      vi -> c1.cv[vi]::DOUBLE * c1.cv[vi]::DOUBLE))), 6)
         |    AS l2_centroid
         |FROM e JOIN c1 USING (lang)""".stripMargin,
+
+    // quality classifier: the 2-epoch batch-perceptron training loop
+    // unrolled — epoch 1 from w=0 misclassifies everything (margin 0),
+    // so w1 = Σ y·x; epoch 2 recomputes margins under w1 and adds the
+    // misclassified gradient. All-integer, so exact.
+    "q115_quality_classifier" -> perceptronOracle,
 
     // DSIR weights: the hashed-n-gram LLR chain, all-docs left-join tail
     "q105_dsir_weights" ->

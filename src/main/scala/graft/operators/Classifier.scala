@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A frozen linear quality classifier over hashed text features — the
+  * fastText/CCNet-style "model-based quality filter" a production
+  * curation pipeline runs in front of training: label a small seed set
+  * (here: any deterministic label column), train a linear model on
+  * hashed bag-of-n-gram features, then score the whole corpus with a
+  * stateless scan-side projection and keep what the model likes.
+  *
+  * Training uses the BATCH PERCEPTRON instead of logistic regression on
+  * purpose: every quantity in the training loop — feature counts, the
+  * per-document margin `Σ_b w_b·c_b`, the epoch gradient
+  * `Σ_{misclassified} y_i·x_i` — is a sum of 64-bit integers, so the
+  * trained weights are bit-identical under any partitioning, task
+  * order, or engine (no float-summation order to pin down, no `exp`
+  * whose last ulp differs between libm implementations). The q115
+  * oracle replays the full two-epoch training loop in SQL and matches
+  * exactly.
+  *
+  * Feature space: the DSIR space — unigrams + adjacent bigrams, hashed
+  * `mix64(polyHash(gram)) >>> 12 mod buckets`
+  * ([[graft.functions.TextKernelExprs.dsirBuckets]]), so the classifier
+  * shares kernels (and the frozen scorer shares
+  * [[graft.functions.TextKernelExprs.dsirScore]] — a weight vector and
+  * a log-likelihood-ratio table are both "sum table[bucket] over the
+  * document's grams").
+  *
+  * Shape for 100 TB: training is `epochs` passes over a per-document
+  * bucket-count relation that is materialized ONCE (8-byte bucket ids,
+  * never feature strings); each epoch is one hash aggregation per side
+  * plus a bounded ≤`buckets`-row driver collect — the exact
+  * [[TextOps.dsirTrain]] contract. Scoring is one codegen'd expression
+  * per document over the scan: no shuffle, no state, stream-safe.
+  */
+object Classifier {
+
+  /** A trained frozen linear model: dense per-bucket integer weights.
+    * Small by construction (≤ `buckets` longs), so it rides into
+    * generated code as a reference object like the DSIR model.
+    */
+  final case class PerceptronModel(buckets: Int, epochs: Int,
+      w: Array[Long])
+
+  private def nonEmpty(textCol: String): Column =
+    coalesce(length(trim(col(textCol))), lit(0)) > 0
+
+  /** Per-document hashed-feature counts `(id, _y ∈ {+1,−1}, _b, _c)` —
+    * the one relation every epoch re-reads.
+    */
+  private def docCounts(df: DataFrame, textCol: String, idCol: String,
+      label: Column, buckets: Int): DataFrame =
+    df.filter(nonEmpty(textCol))
+      .select(col(idCol).cast("long").as("id"),
+        when(label, 1L).otherwise(-1L).as("_y"),
+        explode(graft.functions.TextKernelExprs.dsirBuckets(
+          TextOps.words(col(textCol)), buckets)).as("_b"))
+      .groupBy(col("id"), col("_y"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+
+  /** Train a [[PerceptronModel]] with `epochs` batch-perceptron epochs
+    * (w ← w + Σ_{i: y_i·margin_i ≤ 0} y_i·x_i, starting from w = 0 —
+    * so epoch 1 always applies the full class-centroid difference).
+    *
+    * Each epoch: margins via a per-document aggregation (the current
+    * weights ride the plan as an array literal, indexed O(1) per
+    * feature row), then the gradient via a per-bucket aggregation over
+    * the misclassified documents, collected bounded (≤ `buckets` rows).
+    */
+  def perceptronTrain(df: DataFrame, textCol: String, idCol: String,
+      label: Column, buckets: Int = 1024,
+      epochs: Int = 2): PerceptronModel = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs must be in [1, 64], got $epochs")
+    val dc = docCounts(df, textCol, idCol, label, buckets)
+      .localCheckpoint() // read 2× per epoch — materialize once
+    val w = Array.fill[Long](buckets)(0L)
+    for (_ <- 0 until epochs) {
+      val wLit = lit(w)
+      val margins = dc.groupBy(col("id"), col("_y"))
+        .agg(sum(col("_c") *
+          element_at(wLit, (col("_b") + 1).cast("int"))).as("_m"))
+      val miscl = margins.filter(col("_y") * col("_m") <= 0).select("id")
+      val grad = dc.join(miscl, Seq("id"))
+        .groupBy(col("_b"))
+        .agg(sum(col("_y") * col("_c")).as("_g"))
+        .collect()
+      grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    PerceptronModel(buckets, epochs, w)
+  }
+
+  /** Score documents against a frozen [[PerceptronModel]] — a
+    * STATELESS scan-side projection (batch or stream, no state):
+    * `(id, n_feats, margin, predicted)` where `margin = Σ w[bucket]`
+    * over the document's grams (one codegen'd
+    * [[graft.functions.DsirScore]] call — the dense weight table rides
+    * generated code as a reference object) and `predicted = 1` iff
+    * `margin > 0`. Empty/null text scores `(0, 0, 0)`.
+    */
+  def perceptronScore(df: DataFrame, textCol: String, idCol: String,
+      model: PerceptronModel): DataFrame = {
+    val tk = when(nonEmpty(textCol), TextOps.words(col(textCol)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).cast("long").as("id"), tk.as("_tk"))
+      .select(col("id"),
+        when(size(col("_tk")) === 0, lit(0L))
+          .otherwise(size(col("_tk")).cast("long") * 2 - 1).as("n_feats"),
+        graft.functions.TextKernelExprs.dsirScore(col("_tk"),
+          model.buckets, model.w).as("margin"))
+      .select(col("id"), col("n_feats"), col("margin"),
+        (col("margin") > 0).cast("int").as("predicted"))
+  }
+}

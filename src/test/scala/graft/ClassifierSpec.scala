@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "good clean prose with varied words here", true),
+    (2L, "good useful clean text and varied prose", true),
+    (3L, "clean good words useful text varied here", true),
+    (4L, "spam spam buy now spam buy spam now", false),
+    (5L, "buy now spam buy buy now now spam", false),
+    (6L, "now buy spam now spam buy now buy", false),
+    (7L, "", false),
+    (8L, null.asInstanceOf[String], true)
+  ).toDF("id", "text", "good")
+
+  test("perceptron separates an obviously separable corpus") {
+    val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+      buckets = 256, epochs = 3)
+    val scored = Classifier.perceptronScore(corpus, "text", "id", m)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(scored(id).getLong(2) > 0, s"doc $id should score positive")
+    for (id <- Seq(4L, 5L, 6L))
+      assert(scored(id).getLong(2) < 0, s"doc $id should score negative")
+    // empty/null text: zero features, zero margin, predicted 0
+    for (id <- Seq(7L, 8L)) {
+      assert(scored(id).getLong(1) === 0L)
+      assert(scored(id).getLong(2) === 0L)
+      assert(scored(id).getInt(3) === 0)
+    }
+  }
+
+  test("trained weights are bit-identical under different partitionings") {
+    def weights(parts: Int): Seq[Long] =
+      Classifier.perceptronTrain(corpus.repartition(parts), "text", "id",
+        col("good"), buckets = 128, epochs = 2).w.toSeq
+    assert(weights(1) === weights(7))
+  }
+
+  test("frozen scorer margin equals the training-side margin formula") {
+    val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+      buckets = 64, epochs = 2)
+    // recompute margins the slow way: explode buckets, sum w[bucket]
+    val wLit = lit(m.w)
+    val slow = corpus
+      .filter(coalesce(length(trim(col("text"))), lit(0)) > 0)
+      .select(col("id"),
+        explode(graft.functions.TextKernelExprs.dsirBuckets(
+          graft.operators.TextOps.words(col("text")), m.buckets)).as("b"))
+      .groupBy("id")
+      .agg(sum(element_at(wLit, (col("b") + 1).cast("int"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Classifier.perceptronScore(corpus, "text", "id", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, mm) <- slow) assert(fast(id) === mm, s"doc $id margin")
+    // docs absent from slow (empty text) must be 0 in fast
+    assert(fast(7L) === 0L && fast(8L) === 0L)
+  }
+
+  test("n_feats is 2n-1 for n tokens") {
+    val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+      buckets = 32, epochs = 1)
+    val nf = Classifier.perceptronScore(corpus, "text", "id", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf(1L) === 13L) // 7 tokens -> 7 + 6
+    assert(nf(7L) === 0L)
+  }
+}
