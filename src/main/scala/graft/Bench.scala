@@ -56,7 +56,17 @@ object Bench {
     // null for the whole line (BENCH_r05.json "parsed": null) — the
     // failure count is already visible as the size of "errors" and the
     // nonzero exit code, so it carries no extra information anyway.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // the driver's artifact keeps only the TAIL of stdout (~2 KB), which
+    // truncated 58 of 115 per-query times in round 8 — persist the full
+    // line to a file too, so every time survives regardless of capture
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_FULL.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
     // a silently-broken query must not look like a fast query: surface
     // failures in the JSON above AND in the exit code

@@ -197,14 +197,21 @@ object TrainingDataPipeline {
       .select(col("id").as("doc_id"))
     // data recipe: the curated train split repeats 1.5 epochs (every doc
     // once, a salted-hash half once more); each copy gets its own pack
-    // identity (uid = id·8 + copy) so the replicas REALLY reach the
-    // packer instead of collapsing back onto one doc_id
+    // identity (uid = id·stride + copy) so the replicas REALLY reach
+    // the packer instead of collapsing back onto one doc_id. The stride
+    // is DERIVED from the epochs parameter (next power of two above the
+    // copy count) — a hardcoded stride silently collides ids once
+    // epochs outgrow it; ids must stay below Long.MaxValue/stride
+    val epochsPerMille = 1500
+    val maxCopies = (epochsPerMille + 999) / 1000
+    val stride = java.lang.Integer.highestOneBit(
+      math.max(1, 2 * maxCopies - 1)).toLong
     val recipe = TextOps.epochUpsample(
       tempered.join(trainIds, Seq("doc_id"), "left_semi"), "doc_id",
-      epochsPerMille = 1500)
+      epochsPerMille = epochsPerMille)
     println(s"STAGE epoch_recipe    rows=${recipe.count()}")
     val packInput = recipe
-      .withColumn("uid", col("id") * 8 + col("epoch_copy"))
+      .withColumn("uid", col("id") * stride + col("epoch_copy"))
       .join(tempered.select(col("doc_id").as("id"), col("text"),
         col("lang")), Seq("id"))
     val packs = TextOps.packSequences(packInput,

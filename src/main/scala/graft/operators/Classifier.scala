@@ -68,21 +68,36 @@ object Classifier {
     * weights ride the plan as an array literal, indexed O(1) per
     * feature row), then the gradient via a per-bucket aggregation over
     * the misclassified documents, collected bounded (≤ `buckets` rows).
+    * Margins are banked as `decimal(38,0)` (the standardize
+    * sum-of-squares pattern): at corpus scale `w_b` is a sum of
+    * corpus-wide counts (~1e13+) and `c_b·w_b` summed over a document
+    * can pass Long.MaxValue — a silent non-ANSI wrap would flip the
+    * misclassification test, so the sum runs exact at 38 digits.
+    *
+    * Pass `checkpointDir` to materialize the per-document feature
+    * relation as a RELIABLE checkpoint (executor-death-safe across the
+    * 2·`epochs` reads) instead of `localCheckpoint`; the dir is
+    * SparkContext-GLOBAL (bound via the [[Checkpoints]] guard) —
+    * concurrent operator calls must pass the same path.
     */
   def perceptronTrain(df: DataFrame, textCol: String, idCol: String,
       label: Column, buckets: Int = 1024,
-      epochs: Int = 2): PerceptronModel = {
+      epochs: Int = 2, checkpointDir: Option[String] = None): PerceptronModel = {
     require(buckets >= 2 && buckets <= (1 << 24),
       s"buckets must be in [2, 2^24], got $buckets")
     require(epochs >= 1 && epochs <= 64,
       s"epochs must be in [1, 64], got $epochs")
-    val dc = docCounts(df, textCol, idCol, label, buckets)
-      .localCheckpoint() // read 2× per epoch — materialize once
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    val dc0 = docCounts(df, textCol, idCol, label, buckets)
+    // read 2× per epoch — materialize once
+    val dc = if (checkpointDir.isDefined) dc0.checkpoint()
+      else dc0.localCheckpoint()
     val w = Array.fill[Long](buckets)(0L)
     for (_ <- 0 until epochs) {
       val wLit = lit(w)
       val margins = dc.groupBy(col("id"), col("_y"))
-        .agg(sum(col("_c") *
+        .agg(sum(col("_c").cast("decimal(38,0)") *
           element_at(wLit, (col("_b") + 1).cast("int"))).as("_m"))
       val miscl = margins.filter(col("_y") * col("_m") <= 0).select("id")
       val grad = dc.join(miscl, Seq("id"))

@@ -244,7 +244,7 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(
-      edges.sparkSession.sparkContext.setCheckpointDir)
+      Checkpoints.bindDir(edges.sparkSession.sparkContext, _))
     val reliable = checkpointDir.isDefined
     // materialized ONCE: every round joins against sym, and without this
     // the full upstream edge derivation (LSH bucketing + pair

@@ -114,6 +114,9 @@ object Multimodal {
     * pixel allocation happens.
     */
   private val MaxPixels = 1L << 26
+  // frame-count search budget: bounds the per-row header walk when the
+  // reader can't report a count without scanning (animated GIF)
+  private val MaxFrames = 4096
 
   /** Header-first ImageIO parse, null-safe and exception-safe:
     * None = not a decodable image (wrong magic, truncated, non-image
@@ -139,10 +142,24 @@ object Multimodal {
               val (w, h) = (r.getWidth(0), r.getHeight(0))
               if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxPixels) None
               else {
+                // frame count: ask the cheap metadata question first
+                // (`allowSearch = false` is O(1)); only when the reader
+                // cannot answer without scanning, walk frame headers
+                // under a fixed budget — a hostile container declaring
+                // huge frame counts costs O(MaxFrames), not a full
+                // per-row stream scan
                 val n =
                   try {
-                    val k = r.getNumImages(true)
-                    if (k > 0) k else 1
+                    val k = r.getNumImages(false)
+                    if (k > 0) k
+                    else {
+                      var i = 1
+                      try {
+                        while (i < MaxFrames && { r.getHeight(i); true })
+                          i += 1
+                      } catch { case scala.util.control.NonFatal(_) => () }
+                      i
+                    }
                   } catch { case scala.util.control.NonFatal(_) => 1 }
                 Option(r.read(0)).map(img => (img, n))
               }

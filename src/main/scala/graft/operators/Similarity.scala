@@ -243,6 +243,9 @@ object Similarity {
     * to truncate lineage with a reliable per-round checkpoint of the
     * k-row centroid frame (executor-death-safe, unlike
     * `localCheckpoint`; use beyond ~10 rounds or on a real cluster).
+    * The dir is SparkContext-GLOBAL (bound via the [[Checkpoints]]
+    * guard): concurrent operator calls must pass the SAME path — this
+    * applies to [[kmeansCentroids]] and [[pqCodes]] too.
     *
     * The argmin's `(dist, cid)` struct sort uses the same fixed-order
     * IEEE distance expression and the same (dist asc, cid asc)
@@ -346,10 +349,13 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
       .filter(col("x").isNotNull)
-    // the checkpoint dir is SparkContext-GLOBAL: bind it ONCE per
-    // operator call (a per-round setCheckpointDir would mint a fresh
-    // UUID subdirectory every round and scatter the files)
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    // the checkpoint dir is SparkContext-GLOBAL: bound through the
+    // shared [[Checkpoints]] guard, ONCE per distinct path — repeated
+    // calls with the same dir (the pipeline norm) no longer mint fresh
+    // UUID subdirectories or clobber another operator's binding;
+    // CONCURRENT calls must pass the same dir (global slot)
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
     def assign(cents: DataFrame): DataFrame =
       argminCodebook(e, "x", cents, "cid")
         .select(col("vec_id"), col("cid"), col("x"))

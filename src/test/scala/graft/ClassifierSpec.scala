@@ -17,6 +17,18 @@ class ClassifierSpec extends SparkSpec {
     (8L, null.asInstanceOf[String], true)
   ).toDF("id", "text", "good")
 
+  test("perceptronTrain reliable checkpointDir matches the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf-ckpt")
+      .toString
+    def run(ckpt: Option[String]) =
+      Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+        buckets = 256, epochs = 3, checkpointDir = ckpt).w.toSeq
+    assert(run(Some(dir)) == run(None))
+    // the reliable checkpoint actually wrote to the given directory
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data in $dir")
+  }
+
   test("perceptron separates an obviously separable corpus") {
     val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
       buckets = 256, epochs = 3)
