@@ -1403,6 +1403,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Exact-substring dedup (Lee et al. 2022 tier): every-offset 8-word
+    // gram fingerprints, corpus-wide first-occurrence election, per-doc
+    // maximal-span merge — catches verbatim copies at ANY offset, the
+    // layer stride-aligned chunk/window dedup (q68/q83) approximates.
+    "q116_substring_dedup" -> ((s, dir) => {
+      TextOps.substringDupStats(ld(s, dir, "documents"), "text",
+          "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -3003,6 +3013,49 @@ object SparkEntry {
         |      gi -> array_to_string(toks[gi:gi+eff-1], ' '))))
         |    END))::BIGINT AS n_dup
         |FROM g""".stripMargin,
+
+    // exact-substring dedup: per-word polyHash, per-offset base-31 fold
+    // over the 8 word-hashes (the direct form of the Spark side's
+    // rolling kernel — identical mod-2^64 arithmetic), row_number
+    // election per fingerprint, gaps-and-islands span merge per doc
+    "q116_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(${DuckHash.norm("coalesce(text, '')")}, ' ')
+         |      AS ws
+         |  FROM documents),
+         |wh AS (SELECT doc_id,
+         |    list_transform(ws, wx -> ${DuckHash.polyHash("wx")}) AS whs
+         |  FROM t),
+         |g AS (SELECT doc_id, whs,
+         |    unnest(range(1, greatest(len(whs) - 7, 0) + 1)) AS off
+         |  FROM wh),
+         |f AS (SELECT doc_id, off,
+         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+         |      whs[off:off+7]),
+         |      (gh, gc) -> (31 * gh + gc) % ${DuckHash.uStr}) AS fp
+         |  FROM g),
+         |e AS (SELECT doc_id, off, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id, off) AS rn FROM f),
+         |d AS (SELECT doc_id, off FROM e WHERE rn > 1),
+         |i1 AS (SELECT doc_id, off, CASE WHEN off - lag(off) OVER (
+         |      PARTITION BY doc_id ORDER BY off) <= 8 THEN 0
+         |    ELSE 1 END AS brk FROM d),
+         |i2 AS (SELECT doc_id, off, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY off
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM i1),
+         |sp AS (SELECT doc_id, isl, min(off) AS s, max(off) AS e0,
+         |    count(*) AS nd FROM i2 GROUP BY 1, 2),
+         |per AS (SELECT doc_id, sum(nd)::BIGINT AS n_dup_grams,
+         |    count(*)::BIGINT AS n_spans,
+         |    sum(e0 - s + 8)::BIGINT AS dup_words FROM sp GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |    greatest(len(ws) - 7, 0)::BIGINT AS n_grams FROM t)
+         |SELECT tot.doc_id, tot.n_grams,
+         |  coalesce(per.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+         |  coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(per.dup_words, 0)::BIGINT AS dup_words
+         |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id""".stripMargin,
 
     // BPE pair counts: word-frequency-weighted adjacent char pairs of
     // the distinct vocabulary, global top-50

@@ -113,6 +113,46 @@ object TextKernelExprs {
     s
   }
 
+  /** Per-offset word-k-gram fingerprints of a token array — the
+    * EVERY-offset relation exact-substring dedup elects over (stride-1,
+    * unlike the chunk/window kernels). Each gram hash is the base-31
+    * fold of the k word-hashes starting from the polyHash seed:
+    * `h = fold(seed, wh(i..i+k-1), (h, c) => 31·h + c)` with 64-bit
+    * wrap, where `wh = polyHash(word)`. Computed ROLLING — word hashes
+    * once (O(n)), then each next gram in O(1) via
+    * `h' = (h − A − wh_i·B)·31 + A + wh_{i+k}` with `A = seed·31^k`,
+    * `B = 31^{k-1}` (exact: all ring ops mod 2^64) — so a document
+    * costs O(n), not O(n·k). Externally replayable as a per-offset
+    * list fold over the word-hash array (the q116 oracle).
+    */
+  def gramPolyHashesEval(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = math.max(0, n - k + 1)
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wh(i) = polyHashOfString(toks.getUTF8String(i).toString)
+      i += 1
+    }
+    var pow = 1L // 31^(k-1)
+    var j = 1
+    while (j < k) { pow *= 31L; j += 1 }
+    val seedPow = 1125899906842597L * pow * 31L // seed * 31^k
+    val out = new Array[Long](m)
+    var h = 1125899906842597L
+    j = 0
+    while (j < k) { h = 31L * h + wh(j); j += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - seedPow - wh(i - 1) * pow) * 31L + seedPow + wh(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private def polyHashOfString(s: String): Long = {
     var h = 1125899906842597L // large prime
     var i = 0
@@ -170,6 +210,10 @@ object TextKernelExprs {
   def dsirBuckets(toks: Column, buckets: Int): Column =
     GraftSqlBridge.column(
       DsirBuckets(GraftSqlBridge.expression(toks), buckets))
+
+  def gramPolyHashes(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      GramPolyHashes(GraftSqlBridge.expression(toks), k))
 
   def ngramDistinctCounts(text: Column, ns: Seq[Int]): Column =
     GraftSqlBridge.column(
@@ -292,6 +336,27 @@ case class DsirBuckets(child: Expression, buckets: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextKernelExprs.dsirBucketsEval($c, $buckets)")
   override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-offset word-k-gram fingerprint array (see
+  * [[TextKernelExprs.gramPolyHashesEval]]) — feeds the posexplode in
+  * the exact-substring dedup election.
+  */
+case class GramPolyHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.gramPolyHashesEval(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.gramPolyHashesEval($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): GramPolyHashes =
     copy(child = newChild)
 }
 

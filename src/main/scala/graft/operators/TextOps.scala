@@ -404,6 +404,77 @@ object TextOps {
         coalesce(col("n_owned"), lit(0L)).as("n_owned"))
   }
 
+  /** Exact-substring duplication spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" tier —
+    * the layer the chunk/window kernels only approximate): word-k-gram
+    * fingerprints at EVERY offset (stride 1), corpus-wide
+    * first-occurrence election, then the duplicated offsets of each
+    * document merged into MAXIMAL spans (overlapping or abutting k-gram
+    * intervals coalesce). Catches an arbitrary-position verbatim copy —
+    * including one that straddles chunk boundaries at a non-stride
+    * offset, where [[chunkDedupStats]] misses entirely and
+    * [[windowDupStats]] only re-synchronizes within a stride
+    * (differentially spec'd in TextOpsSpec).
+    *
+    * Output: one row per input document,
+    * `(id, n_grams, n_dup_grams, n_spans, dup_words)` — `n_grams =
+    * max(0, n_words − k + 1)`; `dup_words` is the total word count
+    * covered by the merged duplicated spans (`1 − dup_words/n_words`
+    * is the doc's unique-text fraction). The first occurrence of each
+    * gram corpus-wide (min (id, offset)) is NOT counted as duplicated
+    * — the canonical copy survives, like every other dedup tier here.
+    *
+    * Shape for scale: gram hashing is one O(n_words) rolling codegen'd
+    * kernel per document ([[graft.functions.GramPolyHashes]]); the
+    * election shuffles 24-byte `(fp, id, off)` rows once (window over
+    * fp — high-cardinality partitions, no skew beyond true dup
+    * multiplicity), and the span merge is windows/aggregates
+    * partitioned by document id — bounded by doc length, no global
+    * sort, text never shuffles. The every-offset relation is ~n_words
+    * rows/doc (vs n/stride for the window tier): that linear factor IS
+    * the price of exactness, the same one the suffix-array
+    * formulation pays; it rides fingerprints, never text.
+    */
+  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextKernelExprs.gramPolyHashes(
+        words(coalesce(col(textCol), lit(""))), k).as("_fps"))
+    val occ = base.select(col("id"),
+        posexplode(col("_fps")).as(Seq("_p", "_fp")))
+      .select(col("id"), (col("_p") + 1).cast("long").as("off"),
+        col("_fp"))
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col("id"), col("off"))
+    val dup = occ.withColumn("_rn", row_number().over(wElect))
+      .filter(col("_rn") > 1)
+      .select(col("id"), col("off"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("off"))
+    val isl = dup
+      .withColumn("_brk",
+        when(col("off") - lag(col("off"), 1).over(wDoc) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val spans = isl.groupBy(col("id"), col("_isl"))
+      .agg(min(col("off")).as("_s"), max(col("off")).as("_e"),
+        count(lit(1)).as("_nd"))
+    val per = spans.groupBy(col("id"))
+      .agg(sum(col("_nd")).as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s") + k).as("dup_words"))
+    base.select(col("id"), size(col("_fps")).cast("long").as("n_grams"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+  }
+
   def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 50): DataFrame = {
     val chunks = chunkRelation(df, textCol, idCol, chunkWords, chunkWords)

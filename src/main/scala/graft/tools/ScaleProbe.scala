@@ -131,6 +131,11 @@ object ScaleProbe {
       "text", "doc_id", shingleK = 5, numHashes = 8, bands = 2,
       threshold = 0.5, maxBucket = 1000))
     time("c4_line_filter")(TextOps.c4LineFilter(docs, "text", "doc_id"))
+    // exact-copy replication duplicates EVERY gram N×: the election
+    // window sees N rows per fingerprint and all but copy 0 turn into
+    // full-document dup spans — the worst case for the span merge
+    time("substring_dedup")(TextOps.substringDupStats(docs, "text",
+      "doc_id", k = 8))
     // vocabulary stays fixed under replication — only the word-count
     // aggregation sees more rows
     time("bpe_pairs")(TextOps.bpePairCounts(docs, "text", topK = 50))

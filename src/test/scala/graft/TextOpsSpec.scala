@@ -545,6 +545,58 @@ class TextOpsSpec extends SparkSpec {
       s"got ${windowed(2L)}: shifted spans must be caught")
   }
 
+  test("substringDupStats catches copies windowDupStats cannot re-sync") {
+    // a 35-word verbatim copy at offset 7 (NOT a multiple of the window
+    // stride 10): doc 2's windows never line up with doc 1's, so the
+    // window tier sees zero duplication — the exact-substring tier must
+    // recover the whole copied span
+    val original = (1 to 60).map("w" + _).mkString(" ")
+    val copied = ((1 to 7).map("junkA" + _) ++ (10 to 44).map("w" + _) ++
+      (1 to 8).map("junkB" + _)).mkString(" ")
+    val docs = Seq((1L, original), (2L, copied)).toDF("doc_id", "text")
+    val windowed = TextOps.windowDupStats(docs, "text", "doc_id",
+        windowWords = 30, strideWords = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(windowed(2L)._3 == windowed(2L)._2,
+      s"precondition: window tier must MISS the off-stride copy, " +
+        s"got ${windowed(2L)}")
+    val sub = TextOps.substringDupStats(docs, "text", "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is first occurrence everywhere: nothing duplicated
+    assert(sub(1L) == ((1L, 53L, 0L, 0L, 0L)))
+    // doc 2: 50 words -> 43 grams; the copy spans words 8..42 (35
+    // words) -> 28 duplicated grams merged into ONE maximal span
+    // covering exactly the 35 copied words
+    assert(sub(2L) == ((2L, 43L, 28L, 1L, 35L)),
+      s"got ${sub(2L)}: expected one 35-word maximal span")
+  }
+
+  test("substringDupStats merges abutting gram intervals; repeats within one doc count") {
+    // doc 1 repeats its own 8-word block back-to-back: the second block
+    // duplicates the first (within-document), and the two dup
+    // intervals [9..16] must merge with nothing else
+    val block = (1 to 8).map("b" + _).mkString(" ")
+    val selfRep = s"$block $block"
+    // doc 2: empty and null texts produce zero grams
+    val docs = Seq((1L, selfRep), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sub = TextOps.substringDupStats(docs, "text", "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // 16 words -> 9 grams; gram at offset 9 equals gram at offset 1 ->
+    // exactly one duplicated gram, one span of 8 words
+    assert(sub(1L) == ((1L, 9L, 1L, 1L, 8L)), s"got ${sub(1L)}")
+    assert(sub(2L) == ((2L, 0L, 0L, 0L, 0L)))
+    assert(sub(3L) == ((3L, 0L, 0L, 0L, 0L)))
+    // partitioning independence of the global election
+    val re = TextOps.substringDupStats(docs.repartition(5), "text",
+        "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == sub)
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
