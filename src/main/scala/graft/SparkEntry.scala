@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Classifier, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, Windows}
+import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -1413,6 +1413,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Full BPE merge loop (beyond q111's first step): 6 iterative
+    // merges trained on the bounded top-V word-count election, then
+    // the frozen encoder's real per-doc token counts (upgrading q53's
+    // char-class proxies to tokenizer counts).
+    "q117_bpe_encode" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = Bpe.bpeTrain(docs, "text", nMerges = 6,
+        maxVocab = bpeMaxVocab)
+      Bpe.tokenCounts(docs, "text", "doc_id", model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // The learned BPE merge table itself: rank, pair, merged token,
+    // election-time corpus count — each merge chosen AFTER the prior
+    // merges rewrote the vocabulary (q111 can only rank step 1).
+    "q120_bpe_merges" -> ((s, dir) => {
+      val model = Bpe.bpeTrain(ld(s, dir, "documents"), "text",
+        nMerges = 6, maxVocab = bpeMaxVocab)
+      Bpe.mergeTable(s, model)
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -1906,6 +1927,71 @@ object SparkEntry {
     * Σ_b c_b·w¹_b, and w² adds Σ_{y·m ≤ 0} yᵢxᵢ. Final output scores
     * every document (empty text → 0 features, margin 0) under w².
     */
+  /** Training-vocab cap for the q117/q120 BPE queries — far above the
+    * corpus's distinct-word count, so the top-V election keeps
+    * everything at test scale while the oracle still replays the gate.
+    */
+  private val bpeMaxVocab = 10000
+
+  /** Unrolled BPE merge-loop replay (Bpe.trainMerges, stage per merge):
+    * `v0` = the intop-flagged distinct vocabulary as code-point lists
+    * (intop = inside the top-`maxVocab` `(count desc, word asc)`
+    * election — only those vote on merges; ALL words get rewritten so
+    * the frozen-encoder replay covers out-of-vocab words too). Stage k:
+    * `p` counts adjacent pairs weighted by word count, `m` elects
+    * `(cnt desc, pair asc)`, `kp` keeps left-to-right non-overlapping
+    * match positions (gaps-and-islands + odd parity — the only place
+    * overlap matters is equal-halves runs like `aaa`), `v` splices
+    * each kept position into one merged token. CTEs are MATERIALIZED:
+    * each stage reads its predecessor 3×, so the default inlining
+    * re-derives the chain exponentially (measured: >120 s inlined vs
+    * 0.25 s materialized at sf0.01).
+    */
+  private def bpeCtes(nMerges: Int, maxVocab: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wraw AS (SELECT unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+         |      AS wd
+         |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+         |wc AS (SELECT wd, count(*)::BIGINT AS wcnt FROM wraw GROUP BY 1),
+         |wv AS (SELECT wd, wcnt, (row_number() OVER (
+         |    ORDER BY wcnt DESC, wd ASC)) <= $maxVocab AS intop FROM wc),
+         |v0 AS MATERIALIZED (SELECT wd, wcnt, intop,
+         |  list_transform(range(1, length(wd) + 1), ci -> wd[ci:ci]) AS toks
+         |  FROM wv)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val pv = s"v${k - 1}"
+      sb.append(
+        s""",
+           |p$k AS MATERIALIZED (SELECT toks[j] AS a, toks[j + 1] AS b,
+           |    sum(wcnt)::BIGINT AS cnt
+           |  FROM $pv, unnest(range(1, len(toks))) AS u$k(j)
+           |  WHERE intop GROUP BY 1, 2),
+           |m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |x$k AS MATERIALIZED (SELECT v.wd, v.wcnt, v.intop, v.toks, u.j
+           |  FROM $pv v, unnest(range(1, len(v.toks) + 1)) AS u(j)),
+           |kp$k AS MATERIALIZED (SELECT wd, j FROM (
+           |    SELECT wd, j, row_number() OVER (
+           |      PARTITION BY wd, isl ORDER BY j) AS rn
+           |    FROM (SELECT x.wd, x.j, x.j - row_number() OVER (
+           |        PARTITION BY x.wd ORDER BY x.j) AS isl
+           |      FROM x$k x JOIN m$k m ON x.j < len(x.toks)
+           |        AND x.toks[x.j] = m.a AND x.toks[x.j + 1] = m.b))
+           |  WHERE rn % 2 = 1),
+           |v$k AS MATERIALIZED (SELECT x.wd, x.wcnt, x.intop,
+           |    list(CASE WHEN k1.j IS NOT NULL
+           |      THEN x.toks[x.j] || x.toks[x.j + 1]
+           |      ELSE x.toks[x.j] END ORDER BY x.j) AS toks
+           |  FROM x$k x
+           |  LEFT JOIN kp$k k1 ON k1.wd = x.wd AND k1.j = x.j
+           |  LEFT JOIN kp$k k2 ON k2.wd = x.wd AND k2.j = x.j - 1
+           |  WHERE k2.j IS NULL GROUP BY x.wd, x.wcnt, x.intop)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private lazy val perceptronOracle: String = {
     val bucket = s"((${DuckHash.mix(s"(${DuckHash.polyHash("w")})")}) " +
       ">> 12) % 1024"
@@ -3056,6 +3142,34 @@ object SparkEntry {
          |  coalesce(per.n_spans, 0)::BIGINT AS n_spans,
          |  coalesce(per.dup_words, 0)::BIGINT AS dup_words
          |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id""".stripMargin,
+
+    // full BPE loop: unrolled merge stages over the distinct
+    // vocabulary (select best pair, rewrite every word, repeat), then
+    // the merge table as a rank-stamped UNION of the stage winners
+    "q120_bpe_merges" ->
+      s"""${bpeCtes(6, bpeMaxVocab)}
+         |SELECT * FROM (${(1 to 6).map(k =>
+             s"SELECT $k::BIGINT AS rank, a AS pair_left, b AS pair_right, " +
+               s"a || b AS merged, cnt FROM m$k").mkString("\nUNION ALL ")})
+         |""".stripMargin,
+
+    // frozen-encoder replay: token length of every distinct word after
+    // the 6 unrolled merges, joined back through per-doc word counts
+    "q117_bpe_encode" ->
+      s"""${bpeCtes(6, bpeMaxVocab)},
+         |tl AS (SELECT wd, len(toks)::BIGINT AS ntok FROM v6),
+         |dw AS (SELECT doc_id, unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+         |      AS wd
+         |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+         |dc AS (SELECT doc_id, wd, count(*)::BIGINT AS c
+         |  FROM dw GROUP BY 1, 2),
+         |per AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_words,
+         |    sum(dc.c * tl.ntok)::BIGINT AS n_tokens
+         |  FROM dc JOIN tl USING (wd) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(per.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
 
     // BPE pair counts: word-frequency-weighted adjacent char pairs of
     // the distinct vocabulary, global top-50

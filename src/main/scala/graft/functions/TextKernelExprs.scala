@@ -153,6 +153,17 @@ object TextKernelExprs {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Whole-document BPE token count under a frozen merge table: each
+    * word splits to code points, the N merges apply sequentially in
+    * rank order (one left-to-right non-overlapping pass each — the
+    * [[graft.operators.Bpe]] spec), and the surviving token counts
+    * sum. One codegen'd call per document; a small per-thread
+    * memo (the distinct-word working set) makes the per-word cost
+    * amortize to a hash lookup on natural-language corpora.
+    */
+  def bpeTokenCountEval(toks: ArrayData, counter: BpeCounter): Long =
+    counter.countDoc(toks)
+
   private def polyHashOfString(s: String): Long = {
     var h = 1125899906842597L // large prime
     var i = 0
@@ -206,6 +217,11 @@ object TextKernelExprs {
   def dsirScore(toks: Column, buckets: Int, lr: Array[Long]): Column =
     GraftSqlBridge.column(
       DsirScore(GraftSqlBridge.expression(toks), buckets, lr))
+
+  def bpeTokenCount(toks: Column, lefts: Array[String],
+      rights: Array[String]): Column =
+    GraftSqlBridge.column(
+      BpeTokenCount(GraftSqlBridge.expression(toks), lefts, rights))
 
   def dsirBuckets(toks: Column, buckets: Int): Column =
     GraftSqlBridge.column(
@@ -292,6 +308,83 @@ case class DsirScore(child: Expression, buckets: Int, lr: Array[Long])
       s"graft.functions.TextKernelExprs.dsirScoreEval($c, $buckets, $lrRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+}
+
+/** The frozen-BPE word→token-count kernel behind [[BpeTokenCount]].
+  * Serializable so it ships inside the expression; the memo is
+  * per-thread (tasks share nothing) and capped so an adversarial
+  * unbounded vocabulary degrades to cold encoding, never to memory
+  * growth.
+  */
+final class BpeCounter(lefts: Array[String], rights: Array[String])
+    extends Serializable {
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() =
+        new java.util.HashMap[String, java.lang.Long]()
+    }
+  private val MaxMemo = 1 << 16
+
+  private def encodeLen(w: String): Long = {
+    var toks = graft.operators.Bpe.charTokens(w)
+    var k = 0
+    while (k < lefts.length) {
+      toks = graft.operators.Bpe.applyMerge(toks, lefts(k), rights(k))
+      k += 1
+    }
+    toks.length.toLong
+  }
+
+  def countWord(w: String): Long = {
+    val m = memo.get()
+    val hit = m.get(w)
+    if (hit != null) hit.longValue()
+    else {
+      val n = encodeLen(w)
+      if (m.size() >= MaxMemo) m.clear()
+      m.put(w, java.lang.Long.valueOf(n))
+      n
+    }
+  }
+
+  def countDoc(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      total += countWord(toks.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+}
+
+/** Codegen'd whole-document frozen-BPE token counter — the merge table
+  * rides into generated code inside a [[BpeCounter]] reference object
+  * (the DsirScore pattern), so the encode loop never leaves the JVM
+  * method and the distinct-word memo amortizes repeated words.
+  */
+case class BpeTokenCount(child: Expression, lefts: Array[String],
+    rights: Array[String]) extends UnaryExpression {
+  require(lefts.length == rights.length,
+    s"merge table halves differ: ${lefts.length} vs ${rights.length}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  private lazy val counter = new BpeCounter(lefts, rights)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.bpeTokenCountEval(input.asInstanceOf[ArrayData], counter)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("bpeCounter", counter,
+      classOf[BpeCounter].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.bpeTokenCountEval($c, $cRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer induction (Sennrich et al. 2016) — the
+  * full iterative merge loop [[TextOps.bpePairCounts]] only takes the
+  * first step of, plus the frozen encoder that turns the learned merge
+  * table into real per-document token counts (upgrading q53's
+  * whitespace/char-class proxy counts).
+  *
+  * Semantics (identical on every engine, replayed by the q117/q120
+  * DuckDB oracles):
+  *   - a word's initial tokens are its code points;
+  *   - merge selection ranks corpus pair counts `(cnt desc, left asc,
+  *     right asc)` — pair counts are word-frequency-weighted counts of
+  *     ADJACENT token positions (overlapping occurrences each count,
+  *     the reference BPE convention);
+  *   - applying a merge is ONE left-to-right non-overlapping pass
+  *     (`aaa` + merge `(a,a)` → `[aa, a]`);
+  *   - encoding applies the N merges sequentially in rank order, one
+  *     pass each. This equals greedy rank-order BPE encoding except in
+  *     the degenerate case where a later merge manufactures a string
+  *     equal to an earlier merge's operand — impossible for char-level
+  *     rank-1 pairs and vanishingly rare after (documented trade for a
+  *     loop-free, engine-replayable spec).
+  *
+  * Shape for scale: training follows the dsirTrain pattern — ONE
+  * distributed word-count aggregation, a bounded top-`maxVocab`
+  * election (`TakeOrderedAndProject`, never a full sort), one driver
+  * collect of ≤ maxVocab (word, count) rows, then a driver-side merge
+  * loop costing O(maxVocab · avgWordLen) per merge. This is the same
+  * bounded-memory shape production tokenizer trainers use (word-count
+  * table in memory); the dropped tail mass is reported on the model.
+  * Scoring is a stateless scan-side codegen'd projection (the merge
+  * table rides into generated code as a reference object), so the
+  * frozen encoder is stream-capable like [[TextOps.DsirModel]] scoring.
+  */
+object Bpe {
+
+  /** One learned merge: `left + right -> left ++ right`, with the
+    * corpus pair count at election time.
+    */
+  final case class Merge(left: String, right: String, cnt: Long)
+
+  /** A trained, frozen BPE model: the ranked merge list (rank = list
+    * order) plus the share of corpus word mass the training vocabulary
+    * covered (1000 = the top-`maxVocab` election dropped nothing).
+    */
+  final case class BpeModel(merges: Seq[Merge], coveragePerMille: Long) {
+    def lefts: Array[String] = merges.map(_.left).toArray
+    def rights: Array[String] = merges.map(_.right).toArray
+  }
+
+  /** A word's initial token list: its code points (NOT UTF-16 units —
+    * matches character indexing in external engines).
+    */
+  private[graft] def charTokens(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** One left-to-right non-overlapping pass of merge `(a, b)`. */
+  private[graft] def applyMerge(toks: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The driver-side merge loop over a collected (word, count) vocab.
+    * All-integer pair counts; tie-break `(cnt desc, left asc, right
+    * asc)` under code-unit string order (≡ byte order for the ASCII
+    * range the corpus normalizer emits). Stops early if no pair
+    * remains (every word fused to one token).
+    */
+  private[graft] def trainMerges(vocab: Seq[(String, Long)],
+      nMerges: Int): Seq[Merge] = {
+    var ws: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (charTokens(w), c) }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var k = 0
+    var dry = false
+    while (k < nMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (t, c) =>
+        var j = 0
+        while (j < t.length - 1) {
+          val key = (t(j), t(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += Merge(a, b, c)
+        ws = ws.map { case (t, c2) => (applyMerge(t, a, b), c2) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Train a [[BpeModel]]: one word-count aggregation, a bounded
+    * top-`maxVocab` election `(count desc, word asc)`, one ≤ maxVocab
+    * driver collect, then [[trainMerges]]. Empty/whitespace-only
+    * documents are excluded (the dsirWeights guard).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 20): BpeModel = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val wc = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // total mass + top-V mass in one bounded pass each; the top-V
+    // election plans as TakeOrderedAndProject (per-task heap, one
+    // exchange of ≤ maxVocab rows), never a global sort
+    val top = wc.orderBy(col("c").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val totalMass = wc.agg(sum(col("c"))).collect()(0).getLong(0)
+    val topMass = top.iterator.map(_._2).sum
+    val cov = if (totalMass == 0L) 1000L else topMass * 1000L / totalMass
+    BpeModel(trainMerges(top, nMerges), cov)
+  }
+
+  /** The learned merge table as a relation:
+    * `(rank, pair_left, pair_right, merged, cnt)`.
+    */
+  def mergeTable(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case (m, i) => (i + 1L, m.left, m.right, m.left + m.right, m.cnt) }
+      .toDF("rank", "pair_left", "pair_right", "merged", "cnt")
+  }
+
+  /** Frozen-encoder token counts: `(id, n_words, n_tokens)` — one row
+    * per input document; empty/whitespace-only docs carry zeros. A
+    * stateless scan-side projection (ONE codegen'd call per document),
+    * so it composes into streaming plans unchanged.
+    */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
+    val toks = TextOps.words(col(textCol))
+    val scored = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(col(idCol).cast("long").as("id"), toks.as("_toks"))
+      .select(col("id"), size(col("_toks")).cast("long").as("n_words"),
+        graft.functions.TextKernelExprs
+          .bpeTokenCount(col("_toks"), model.lefts, model.rights)
+          .as("n_tokens"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+}
