@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, Windows}
+import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, UrlOps, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -1434,6 +1434,27 @@ object SparkEntry {
       Bpe.mergeTable(s, model)
     }),
 
+    // Domain audit (C4/RefinedWeb front gate): deterministic synthetic
+    // URLs (the corpus has no url column — scheme/userinfo/port/path
+    // variants by doc_id mod, replayed by BOTH engines), registrable-
+    // domain extraction, per-domain exact-dup rate + token mass.
+    "q118_domain_stats" -> ((s, dir) => {
+      UrlOps.domainStats(withUrls(ld(s, dir, "documents")), "url", "text")
+    }),
+
+    // Domain blocklist gate + mixture report: drop three blocked
+    // registrable domains (anti broadcast join), then the top-10
+    // domain shares of the surviving corpus.
+    "q121_domain_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = Seq("src00.com", "src11.org", "src22.co.uk")
+        .toDF("domain")
+      UrlOps.domainMixture(
+        UrlOps.blocklistFilter(withUrls(ld(s, dir, "documents")), "url",
+          blocked),
+        "url", topK = 10)
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -1927,6 +1948,59 @@ object SparkEntry {
     * Σ_b c_b·w¹_b, and w² adds Σ_{y·m ≤ 0} yᵢxᵢ. Final output scores
     * every document (empty text → 0 features, margin 0) under w².
     */
+  /** Deterministic synthetic URL column for the q118/q121 domain
+    * queries — the corpus has no url field, so both engines replay the
+    * same construction. Three shapes by `doc_id % 3`: a plain https
+    * URL with a `www.` subdomain, an uppercase HTTP URL with userinfo
+    * + `m.` subdomain + port, and a scheme-less bare string; the site
+    * itself varies digit and TLD (incl. the multi-label `co.uk`) by
+    * doc_id mod.
+    */
+  private def withUrls(docs: DataFrame): DataFrame = {
+    val site = concat(col("source"), (col("doc_id") % 10).cast("string"),
+      lit("."),
+      when(col("doc_id") % 4 === 0, "com")
+        .when(col("doc_id") % 4 === 1, "org")
+        .when(col("doc_id") % 4 === 2, "co.uk")
+        .otherwise("net"))
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://www."), site, lit("/p/"),
+          col("doc_id").cast("string")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("HTTP://user:pw@"), upper(concat(lit("m."), site)),
+          lit(":8080/x?q="), col("doc_id").cast("string")))
+      .otherwise(concat(site, lit("/plain#frag")))
+    docs.withColumn("url", url)
+  }
+
+  /** The q118/q121 URL synthesis + host + registrable-domain replay:
+    * relation `dd` = (doc_id, text, domain). Same regex as
+    * [[UrlOps.hostOf]] (RE2/Java-compatible subset), same last-2/last-3
+    * label heuristic over [[UrlOps.multiLabelSuffixes]].
+    */
+  private lazy val urlCtes: String = {
+    val suffixes = UrlOps.multiLabelSuffixes.map(x => s"'$x'").mkString(", ")
+    s"""WITH u AS (SELECT doc_id, text,
+       |    CASE (doc_id % 3)
+       |      WHEN 0 THEN 'https://www.' || site || '/p/' || doc_id
+       |      WHEN 1 THEN 'HTTP://user:pw@' || upper('m.' || site) ||
+       |        ':8080/x?q=' || doc_id
+       |      ELSE site || '/plain#frag' END AS url
+       |  FROM (SELECT doc_id, text, source || (doc_id % 10) || '.' ||
+       |      (CASE (doc_id % 4) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+       |        WHEN 2 THEN 'co.uk' ELSE 'net' END) AS site
+       |    FROM documents)),
+       |uh AS (SELECT doc_id, text, regexp_replace(lower(regexp_extract(url,
+       |    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+       |    '\\.$$', '') AS host FROM u),
+       |dd AS (SELECT doc_id, text, CASE WHEN len(p) <= 2 THEN host
+       |    WHEN array_to_string(p[len(p)-1:], '.') IN ($suffixes)
+       |      THEN array_to_string(p[len(p)-2:], '.')
+       |    ELSE array_to_string(p[len(p)-1:], '.') END AS domain
+       |  FROM (SELECT doc_id, text, host, string_split(host, '.') AS p
+       |    FROM uh))""".stripMargin
+  }
+
   /** Training-vocab cap for the q117/q120 BPE queries — far above the
     * corpus's distinct-word count, so the top-V election keeps
     * everything at test scale while the oracle still replays the gate.
@@ -3170,6 +3244,40 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(per.n_words, 0)::BIGINT AS n_words,
          |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens
          |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
+
+    // domain audit: URL synthesis + host/domain extraction replay,
+    // per-domain content-fingerprint dup rate + token mass
+    "q118_domain_stats" ->
+      s"""$urlCtes,
+         |df2 AS (SELECT domain, $fpOfNt AS fp, nw FROM (
+         |    SELECT domain,
+         |      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt,
+         |      CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
+         |        ELSE len(string_split(
+         |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+         |        END AS nw
+         |    FROM dd))
+         |SELECT domain, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT fp)::BIGINT AS n_unique,
+         |  ((count(*) - count(DISTINCT fp)) * 1000 // count(*))::BIGINT
+         |    AS dup_permille,
+         |  sum(nw)::BIGINT AS n_words
+         |FROM df2 GROUP BY 1""".stripMargin,
+
+    // blocklist gate (anti-join on registrable domain) + top-10 domain
+    // mixture with shares against the surviving corpus
+    "q121_domain_mixture" ->
+      s"""$urlCtes,
+         |kept AS (SELECT domain FROM dd WHERE domain NOT IN
+         |  ('src00.com', 'src11.org', 'src22.co.uk')),
+         |dm AS (SELECT domain, count(*)::BIGINT AS n_docs
+         |  FROM kept GROUP BY 1),
+         |tt AS (SELECT sum(n_docs) AS t FROM dm),
+         |rk AS (SELECT domain, n_docs, row_number() OVER (
+         |    ORDER BY n_docs DESC, domain ASC)::BIGINT AS rank FROM dm)
+         |SELECT domain, n_docs, (n_docs * 1000 // t)::BIGINT
+         |    AS share_permille, rank
+         |FROM rk, tt WHERE rank <= 10""".stripMargin,
 
     // BPE pair counts: word-frequency-weighted adjacent char pairs of
     // the distinct vocabulary, global top-50

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Hll, Text}
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Similarity, TextOps, UrlOps}
 
 /** The 100 TB training-data pipeline composed end-to-end from the
   * library's operators: exact dedup → quality filter → language filter
@@ -28,8 +28,23 @@ object TrainingDataPipeline {
     val docs = Tables.load(spark, sfDir, "documents")
     println(s"STAGE ingest          n=${docs.count()}")
 
+    // 0b. domain front gate (C4/RefinedWeb order: before any content
+    // work): synthesize provenance URLs (this corpus carries none),
+    // drop blocklisted registrable domains via the broadcast anti
+    // join, and report the surviving top-domain mixture
+    import spark.implicits._
+    val withUrl = docs.withColumn("url", concat(lit("https://www."),
+      col("source"), (col("doc_id") % 10).cast("string"), lit(".com/p/"),
+      col("doc_id").cast("string")))
+    val blocked = Seq("src00.com", "src11.com").toDF("domain")
+    val domGated = UrlOps.blocklistFilter(withUrl, "url", blocked)
+    val topDom = UrlOps.domainMixture(domGated, "url", topK = 3)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(2)}pm")
+      .mkString(",")
+    println(s"STAGE domain_gate     n=${domGated.count()} top=$topDom")
+
     // 1. exact dedup: fingerprint winner election, text never shuffles
-    val exact = Dedup.exact(docs, "text", "doc_id")
+    val exact = Dedup.exact(domGated.drop("url"), "text", "doc_id")
     println(s"STAGE exact_dedup     n=${exact.count()}")
 
     // 2. quality gate: token count + stopword ratio (native expressions)
@@ -148,6 +163,16 @@ object TrainingDataPipeline {
       .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().mkString(",")
     println(s"STAGE bpe_stats       top_pairs=$topPairs")
+
+    // 4j. real tokenizer counts: train the full BPE merge loop on the
+    // surviving corpus (bounded top-V vocab collect), then count
+    // tokens with the frozen encoder — the number that actually sizes
+    // the training run
+    val bpeModel = Bpe.bpeTrain(tempered, "text", nMerges = 8)
+    val tokTotal = Bpe.tokenCounts(tempered, "text", "doc_id", bpeModel)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    println(s"STAGE bpe_tokens      merges=${bpeModel.merges.size} " +
+      s"total_tokens=$tokTotal")
 
     // 5. embedding-space audit: multi-probe LSH top-3 neighbors for a
     // query sample — the index-building shape for retrieval curation

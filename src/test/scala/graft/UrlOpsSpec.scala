@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.operators.UrlOps
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def host1(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.hostOf(col("u"))).as[String].head()
+
+  private def dom1(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.domainOf(col("u"))).as[String].head()
+
+  test("hostOf strips scheme, userinfo, port, path, case, trailing dot") {
+    assert(host1("https://www.Example.com/p/1") == "www.example.com")
+    assert(host1("HTTP://user:pw@M.SITE.ORG:8080/x?q=1") == "m.site.org")
+    assert(host1("example.net/plain#frag") == "example.net")
+    assert(host1("ftp://files.example.co.uk.") == "files.example.co.uk")
+    assert(host1("example.com") == "example.com")
+    assert(host1("") == "")
+  }
+
+  test("registrable domain: last-2 labels, multi-label suffixes, short hosts") {
+    assert(dom1("https://a.b.example.com/x") == "example.com")
+    assert(dom1("https://a.b.example.co.uk/x") == "example.co.uk")
+    assert(dom1("https://example.org") == "example.org")
+    assert(dom1("http://localhost:8080/") == "localhost")
+    assert(dom1("https://co.uk/odd") == "co.uk") // 2 labels pass through
+  }
+
+  test("domainStats counts docs, unique contents and words per domain") {
+    val df = Seq(
+      ("https://a.one.com/1", "x y z"),
+      ("http://b.one.com/2", "x y z"),   // exact dup content, same domain
+      ("one.com/3", "p q"),
+      ("https://two.org/4", "hello")
+    ).toDF("url", "text")
+    val got = UrlOps.domainStats(df, "url", "text")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("one.com", 3L, 2L, 333L, 8L),
+      ("two.org", 1L, 1L, 0L, 1L)))
+  }
+
+  test("blocklistFilter drops blocked registrable domains via broadcast anti join") {
+    val df = Seq(
+      ("https://spam.bad.com/x", 1L),
+      ("https://sub.good.org/y", 2L),
+      ("bad.com/z", 3L)
+    ).toDF("url", "id")
+    val blocked = Seq("bad.com").toDF("domain")
+    val kept = UrlOps.blocklistFilter(df, "url", blocked)
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(2L))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bhj = UrlOps.blocklistFilter(df, "url", blocked)
+        .queryExecution.executedPlan.collect {
+          case b: BroadcastHashJoinExec => b
+        }
+      assert(bhj.nonEmpty, "blocklist side must broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("domainMixture ranks top-k with permille shares of the full input") {
+    val df = (1 to 6).map(i => s"https://a$i.big.com/p").map(("%s", _))
+      .map(_._2).map(u => Tuple1(u)).toDF("url")
+      .union(Seq("https://x.mid.org/p", "https://y.mid.org/p",
+        "https://z.small.net/p").map(Tuple1(_)).toDF("url"))
+    val got = UrlOps.domainMixture(df, "url", topK = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("big.com", 6L, 666L, 1L),
+      ("mid.org", 2L, 222L, 2L)))
+  }
+}
