@@ -1455,6 +1455,16 @@ object SparkEntry {
         "url", topK = 10)
     }),
 
+    // Trigram LM with stupid backoff: counts train on the src0 slice,
+    // every doc scores against the frozen counts, unseen trigrams back
+    // off trigram -> 0.4*bigram -> 0.4^2*add-alpha-unigram (Brants et
+    // al. 2007) — integer-banked surprisal like q96.
+    "q119_trigram_backoff" -> ((s, dir) => {
+      TextOps.trigramLmScore(ld(s, dir, "documents"), "text", "doc_id",
+          isTrain = col("source") === "src0")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -3596,6 +3606,53 @@ object SparkEntry {
          |  -(g.lp_micro::DOUBLE) / (g.n_bigrams::DOUBLE * 1048576.0)
          |    AS h_nats
          |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // trigram stupid backoff: src0-trained count tables (t1/t2 feed
+    // two join branches each — MATERIALIZED, the CTE-inlining lesson
+    // from the BPE oracle), the three-level CASE picks one ratio and
+    // ONE ln per trigram, banked floor(ln*2^20)
+    "q119_trigram_backoff" ->
+      """WITH base AS MATERIALIZED (SELECT doc_id, source = 'src0' AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |      AS toks
+        |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+        |t1 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c1 FROM (
+        |    SELECT unnest(toks) AS w FROM base WHERE t) GROUP BY 1),
+        |t2 AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS c2 FROM (
+        |    SELECT toks[i] AS a, toks[i + 1] AS b
+        |    FROM base, unnest(range(1, len(toks))) AS u2(i) WHERE t)
+        |  GROUP BY 1, 2),
+        |t3 AS MATERIALIZED (SELECT w1, w2, w3, count(*)::BIGINT AS c3
+        |  FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |    FROM base, unnest(range(1, len(toks) - 1)) AS u3(i) WHERE t)
+        |  GROUP BY 1, 2, 3),
+        |nv AS (SELECT sum(c1)::BIGINT AS n, count(*)::BIGINT AS v FROM t1),
+        |d3 AS (SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+        |      toks[i + 2] AS w3
+        |    FROM base, unnest(range(1, len(toks) - 1)) AS ud(i))
+        |  GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT d.doc_id, d.c, floor(ln(CASE
+        |      WHEN t3.c3 IS NOT NULL THEN t3.c3::DOUBLE / ta.c2::DOUBLE
+        |      WHEN tb.c2 IS NOT NULL THEN
+        |        0.4 * (tb.c2::DOUBLE / ub.c1::DOUBLE)
+        |      ELSE 0.4 * 0.4 * ((coalesce(uw.c1, 0)::DOUBLE + 0.5) /
+        |        (nv.n::DOUBLE + 0.5 * nv.v::DOUBLE)) END) * 1048576.0)
+        |    ::BIGINT AS lp
+        |  FROM d3 d
+        |  LEFT JOIN t3 ON t3.w1 = d.w1 AND t3.w2 = d.w2 AND t3.w3 = d.w3
+        |  LEFT JOIN t2 ta ON ta.a = d.w1 AND ta.b = d.w2
+        |  LEFT JOIN t2 tb ON tb.a = d.w2 AND tb.b = d.w3
+        |  LEFT JOIN t1 ub ON ub.w = d.w2
+        |  LEFT JOIN t1 uw ON uw.w = d.w3, nv),
+        |per AS (SELECT doc_id, sum(c * lp)::BIGINT AS lp_micro,
+        |    sum(c)::BIGINT AS n_trigrams FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_trigrams, 0)::BIGINT AS n_trigrams,
+        |  coalesce(per.lp_micro, 0)::BIGINT AS lp_micro,
+        |  -(per.lp_micro::DOUBLE) / (per.n_trigrams::DOUBLE * 1048576.0)
+        |    AS h_nats
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // perplexity band gate: milli-nat entropy through the q64/q75
     // log-bucket qhist replay, per-lang p10/p90 lower bounds, keep the

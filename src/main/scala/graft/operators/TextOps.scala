@@ -1168,6 +1168,103 @@ object TextOps {
           .as("h_nats"))
   }
 
+  /** Trigram language-model scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * web-scale upgrade of [[bigramLmScore]]: counts train on a
+    * REFERENCE slice (`isTrain`), every document scores against the
+    * frozen counts, and unseen trigrams back off
+    * `trigram → 0.4·bigram → 0.4²·add-α-unigram` instead of smearing
+    * α-mass over the cubic trigram space. Per trigram position:
+    *
+    *   s = c3(w1w2w3)/c2(w1w2)                        if c3 > 0
+    *     | 0.4 · c2(w2w3)/c1(w2)                      else if c2(w2w3) > 0
+    *     | 0.4² · (c1(w3)+α)/(N+α·V)                  otherwise
+    *
+    * (each ratio one double division, one multiply chain, ONE `ln` —
+    * bit-identical on any IEEE engine), banked as
+    * `floor(ln(s)·2^20)` (the q96 surprisal trick) so per-document
+    * sums are order-free and exact. Output: `(id, n_trigrams,
+    * lp_micro, h_nats)`; docs with < 3 tokens carry zeros and null
+    * `h_nats`.
+    *
+    * Shape for scale: doc trigrams pre-aggregate PER DOCUMENT
+    * (shuffle carries distinct (id, gram, count)); the count tables
+    * join back as hash equi-joins — deliberately NOT broadcast (a
+    * 100 TB reference slice's trigram vocabulary is itself huge); t1
+    * and t2 each feed two join branches and are materialized once
+    * (the semDedup lesson); N/V ride a broadcast 1-row crossJoin.
+    */
+  def trigramLmScore(df: DataFrame, textCol: String, idCol: String,
+      isTrain: Column, alphaPerMille: Int = 500): DataFrame = {
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    val alpha = lit(alphaPerMille.toDouble / 1000.0)
+    val base = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        isTrain.cast("boolean").as("_t"), words(col(textCol)).as("_toks"))
+    val trainToks = base.filter(col("_t")).select(col("_toks"))
+    val t1 = trainToks.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c1"))
+      .localCheckpoint()
+    val t2 = trainToks.filter(size(col("_toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(element_at(col("_toks"), i).as("a"),
+          element_at(col("_toks"), i + 1).as("b")))).as("_g"))
+      .select(col("_g.a").as("a"), col("_g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_c2"))
+      .localCheckpoint()
+    def triples(src: DataFrame, extraCols: Seq[Column]): DataFrame =
+      src.filter(size(col("_toks")) >= 3)
+        .select(extraCols :+ explode(transform(
+          sequence(lit(1), size(col("_toks")) - 2),
+          i => struct(element_at(col("_toks"), i).as("w1"),
+            element_at(col("_toks"), i + 1).as("w2"),
+            element_at(col("_toks"), i + 2).as("w3")))).as("_g"): _*)
+        .select(extraCols.map(c => c) :+ col("_g.w1").as("w1") :+
+          col("_g.w2").as("w2") :+ col("_g.w3").as("w3"): _*)
+    val t3 = triples(base.filter(col("_t")), Seq.empty)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_c3"))
+    val nv = t1.agg(sum(col("_c1")).as("_n"),
+      count(lit(1)).as("_v"))
+    val d3 = triples(base, Seq(col("id")))
+      .groupBy(col("id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_c"))
+    val joined = d3
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(t2.select(col("a").as("w1"), col("b").as("w2"),
+        col("_c2").as("_c2a")), Seq("w1", "w2"), "left")
+      .join(t2.select(col("a").as("w2"), col("b").as("w3"),
+        col("_c2").as("_c2b")), Seq("w2", "w3"), "left")
+      .join(t1.select(col("w").as("w2"), col("_c1").as("_c1b")),
+        Seq("w2"), "left")
+      .join(t1.select(col("w").as("w3"), col("_c1").as("_c1w")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+    val s = when(col("_c3").isNotNull,
+        col("_c3").cast("double") / col("_c2a").cast("double"))
+      .when(col("_c2b").isNotNull,
+        lit(0.4) * (col("_c2b").cast("double") / col("_c1b").cast("double")))
+      .otherwise(lit(0.4) * lit(0.4) *
+        ((coalesce(col("_c1w"), lit(0L)).cast("double") + alpha) /
+          (col("_n").cast("double") + alpha * col("_v").cast("double"))))
+    val perDoc = joined
+      .select(col("id"), col("_c"),
+        floor(log(s) * lit(1048576.0)).cast("long").as("_lp"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c") * col("_lp")).as("lp_micro"),
+        sum(col("_c")).as("n_trigrams"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"),
+        (-col("lp_micro").cast("double") /
+          (col("n_trigrams").cast("double") * lit(1048576.0)))
+          .as("h_nats"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): hashed-n-gram
     * log-likelihood ratio of a TARGET distribution (the high-quality

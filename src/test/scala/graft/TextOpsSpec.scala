@@ -21,6 +21,35 @@ class TextOpsSpec extends SparkSpec {
       (3L, 3L, 3L, 1L, 1L)))
   }
 
+  test("trigramLmScore backs off trigram -> bigram -> add-alpha unigram") {
+    val df = Seq(
+      (1L, "a b c a b c", 1), // the train slice
+      (2L, "a b c x", 0),     // seen trigram + full backoff to unigram
+      (3L, "c c a", 0),       // unseen trigram, seen (c,a) bigram
+      (4L, "x y", 0)          // < 3 tokens: zeros, null h
+    ).toDF("doc_id", "text", "t")
+    val got = TextOps.trigramLmScore(df, "text", "doc_id",
+        isTrain = col("t") === 1)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // train counts: c1 a=2 b=2 c=2 (N=6, V=3); c2 ab=2 bc=2 ca=1;
+    // c3 abc=2 bca=1 cab=1
+    def bank(s: Double): Long = math.floor(math.log(s) * 1048576.0).toLong
+    val lpHalf = bank(1.0 / 2.0)               // bca: c3=1/c2(b,c)=2
+    val lpUni = bank(0.4 * 0.4 * ((0.0 + 0.5) / (6.0 + 0.5 * 3.0)))
+    val lpBig = bank(0.4 * (1.0 / 2.0))        // cca -> 0.4*c2(c,a)/c1(c)
+    // doc1: abc(x2, s=1), bca(s=1/2), cab(c3=1/c2(c,a)=1 -> s=1)
+    assert(got(1L)._2 == 4L && got(1L)._3 == lpHalf)
+    // doc2: abc (s=1, lp=0), bcx (unseen trigram AND bigram -> unigram
+    // with c1(x)=0)
+    assert(got(2L)._2 == 2L && got(2L)._3 == lpUni)
+    assert(got(2L)._4.get == -lpUni.toDouble / (2.0 * 1048576.0))
+    // doc3: cca -> bigram backoff
+    assert(got(3L)._2 == 1L && got(3L)._3 == lpBig)
+    // doc4: too short
+    assert(got(4L) == (4L, 0L, 0L, None))
+  }
+
   test("bigramLmScore matches a hand model; short docs carry null h") {
     val df = Seq(
       (1L, "a b a b"),     // bigrams: ab, ba, ab
