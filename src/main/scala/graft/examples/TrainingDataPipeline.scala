@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Hll, Text}
-import graft.operators.{Bpe, Dedup, Similarity, TextOps, UrlOps}
+import graft.operators.{Bpe, CorpusWriter, Dedup, Similarity, TextOps, UrlOps}
 
 /** The 100 TB training-data pipeline composed end-to-end from the
   * library's operators: exact dedup → quality filter → language filter
@@ -243,6 +243,20 @@ object TrainingDataPipeline {
       "text", "uid", "lang", budget = 2048, shards = 4)
     println(s"STAGE materialize     train=${trainIds.count()} " +
       s"packs=${packs.select(col("pack_id")).distinct().count()}")
+
+    // 7. execute the layout: the split dirs and the packed train
+    // stream land on disk as partitioned parquet (one shuffle each,
+    // one file per partition dir, deterministic in-file order)
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("graft-corpus").toString
+    CorpusWriter.writeSplits(tempered, "doc_id", s"$outRoot/splits",
+      Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 8)
+    CorpusWriter.writePacked(packInput, "text", "uid", "lang",
+      budget = 2048, outDir = s"$outRoot/packed", shards = 4)
+    val wrote = spark.read.parquet(s"$outRoot/splits").count()
+    val wrotePacked = spark.read.parquet(s"$outRoot/packed").count()
+    println(s"STAGE corpus_write    split_rows=$wrote " +
+      s"packed_rows=$wrotePacked dir=$outRoot")
 
     println("PIPELINE-DONE")
     spark.stop()

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The last mile of the pipeline: actually WRITE the corpus layouts
+  * that [[TextOps.splitAssign]] and [[TextOps.packSequences]] plan —
+  * partitioned parquet with deterministic file routing and in-file
+  * ordering, the artifact a training job streams.
+  *
+  * Scale shape (both writers): ONE shuffle, keyed by the layout's
+  * partition unit — `repartition(partition cols)` co-locates each
+  * output file's rows in exactly one task, `sortWithinPartitions`
+  * orders them with the task-local sorter (spill-capable), and
+  * `partitionBy` fans the task's groups into one parquet file per
+  * directory. No global sort, no single-task rank bottleneck, no
+  * driver materialization — the 100 TB write is the same plan with
+  * more executors.
+  */
+object CorpusWriter {
+
+  /** Materialize [[TextOps.splitAssign]]: `outDir/split=<s>/file_idx=<f>/`
+    * holds exactly one parquet file per task-group whose rows are
+    * ordered by the decorrelated `shuffle_key` — a deterministic
+    * global shuffle of each split, reproducible row-for-row on any
+    * cluster. All original columns are kept; `shuffle_key` is written
+    * too (provenance + resumable ordering).
+    */
+  def writeSplits(df: DataFrame, idCol: String, outDir: String,
+      splits: Seq[(String, Int)], nFiles: Int = 1): Unit = {
+    val plan = TextOps.splitAssign(df, idCol, splits, nFiles)
+      .withColumnRenamed("id", "_plan_id")
+    df.join(plan, col(idCol).cast("long") === col("_plan_id"))
+      .drop("_plan_id")
+      .repartition(col("split"), col("file_idx"))
+      .sortWithinPartitions(col("split"), col("file_idx"),
+        col("shuffle_key"), col(idCol))
+      .write.partitionBy("split", "file_idx")
+      .mode("overwrite").parquet(outDir)
+  }
+
+  /** Materialize [[TextOps.packSequences]]: `outDir/<stratum>=…/shard=<k>/`
+    * holds one parquet file whose rows stream in `(pack_id,
+    * pack_offset)` order — a sequence-packing consumer reads packs
+    * contiguously with zero seeks. Documents keep their columns plus
+    * the pack coordinates (`n_tokens`, `pack_id`, `pack_offset`).
+    */
+  def writePacked(df: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, budget: Long, outDir: String,
+      shards: Int = 1): Unit = {
+    val plan = TextOps.packSequences(df, textCol, idCol, stratumCol,
+        budget, shards)
+      .select(col("id").as("_plan_id"), col("n_tokens"), col("pack_id"),
+        col("pack_offset"))
+    df.join(plan, col(idCol).cast("long") === col("_plan_id"))
+      .drop("_plan_id")
+      .withColumn("shard", (col("pack_id") / lit(1L << 40)).cast("long"))
+      .repartition(col(stratumCol), col("shard"))
+      .sortWithinPartitions(col(stratumCol), col("shard"), col("pack_id"),
+        col("pack_offset"), col(idCol))
+      .write.partitionBy(stratumCol, "shard")
+      .mode("overwrite").parquet(outDir)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusWriter, TextOps}
+
+class CorpusWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-cw-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def subdirs(p: String): Set[String] =
+    Files.list(Paths.get(p)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+
+  private def parquetFiles(p: String): Seq[String] =
+    Files.list(Paths.get(p)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+
+  test("writeSplits lays out split=/file_idx= dirs, one file each, " +
+      "sorted by shuffle_key, routing exactly the plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = tmpDir("splits")
+    val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    CorpusWriter.writeSplits(docs, "doc_id", out, splits, nFiles = 3)
+
+    assert(subdirs(out) == Set("split=train", "split=val", "split=test"))
+    for (s <- Seq("train", "val", "test");
+         fdirs = subdirs(s"$out/split=$s")) {
+      assert(fdirs.subsetOf((0 until 3).map(i => s"file_idx=$i").toSet)
+        && fdirs.nonEmpty)
+      for (fd <- fdirs) {
+        val files = parquetFiles(s"$out/split=$s/$fd")
+        assert(files.size == 1, s"one parquet file per dir, got $files")
+        // in-file order: shuffle_key ascending
+        val keys = spark.read.parquet(files.head)
+          .select("shuffle_key").as[Long].collect().toSeq
+        assert(keys == keys.sorted, s"rows in $fd not in shuffle order")
+      }
+    }
+    // round trip: every doc lands exactly once, in the planned split
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val plan = TextOps.splitAssign(docs, "doc_id", splits, nFiles = 3)
+    val mismatched = back.select(col("doc_id"), col("split"),
+        col("file_idx").cast("long").as("file_idx"))
+      .join(plan.select(col("id").as("doc_id"),
+        col("split").as("p_split"), col("file_idx").as("p_file")),
+        Seq("doc_id"))
+      .filter(col("split") =!= col("p_split") ||
+        col("file_idx") =!= col("p_file"))
+      .count()
+    assert(mismatched == 0L)
+  }
+
+  test("writePacked streams packs contiguously per stratum/shard") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = tmpDir("packed")
+    CorpusWriter.writePacked(docs, "text", "doc_id", "lang",
+      budget = 2048, outDir = out, shards = 2)
+
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(subdirs(out) == langs.map(l => s"lang=$l"))
+    for (l <- langs; sd <- subdirs(s"$out/lang=$l")) {
+      val files = parquetFiles(s"$out/lang=$l/$sd")
+      assert(files.size == 1)
+      val coords = spark.read.parquet(files.head)
+        .select("pack_id", "pack_offset").as[(Long, Long)].collect().toSeq
+      assert(coords == coords.sorted, s"pack stream out of order in $sd")
+      // offsets stay inside the budget
+      assert(coords.forall(_._2 < 2048))
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // shard dir matches the pack_id's high bits
+    val badShard = back
+      .filter((col("pack_id") / lit(1L << 40)).cast("long") =!=
+        col("shard").cast("long")).count()
+    assert(badShard == 0L)
+  }
+}
