@@ -49,15 +49,8 @@ object SparkEntry {
     * a µs epoch and a proper TimestampType column. Integer `div` avoids
     * double-precision loss on epoch-nano magnitudes.
     */
-  private def evts(s: SparkSession, dir: String): DataFrame = {
-    // set once per session (Verify/Bench set it at build; this is the
-    // safety net for external sessions, e.g. the driver's entry() smoke)
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ld(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
-  }
+  private def evts(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTsUs(s, dir)
 
   private def evtsTyped(s: SparkSession, dir: String) = {
     import s.implicits._

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loader for the driver-generated test tables (TESTDATA.md).
   *
@@ -17,6 +19,34 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
+
+  /** The events table with a µs-epoch `ts_us` BIGINT plus `ts`
+    * normalized to a µs TimestampType — whatever physical type the
+    * generator wrote: TIMESTAMP(NANOS) (read as long under the legacy
+    * flag, ÷1000), TIMESTAMP(MICROS) (read as timestamp or ntz,
+    * `unix_micros`). The dispatch is on the READ schema, so a testdata
+    * regeneration that flips the parquet type cannot silently break
+    * every event query again (round 9: nanos → micros).
+    *
+    * NTZ→timestamp interprets the wall-clock in the session timezone;
+    * both confs are pinned here as the safety net for sessions that
+    * didn't set them (the SparkEntry.evts convention, generalized).
+    */
+  def eventsTsUs(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _: TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Map[String, DataFrame] =

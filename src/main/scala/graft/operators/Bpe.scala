@@ -148,24 +148,20 @@ object Bpe {
   }
 
   /** Frozen-encoder token counts: `(id, n_words, n_tokens)` — one row
-    * per input document; empty/whitespace-only docs carry zeros. A
-    * stateless scan-side projection (ONE codegen'd call per document),
-    * so it composes into streaming plans unchanged.
+    * per input document; empty/whitespace-only docs carry zeros
+    * (handled inline as an empty token array — no join-back, so the
+    * whole op is a stateless scan-side projection, ONE codegen'd call
+    * per document, and composes into streaming plans unchanged).
     */
   def tokenCounts(df: DataFrame, textCol: String, idCol: String,
       model: BpeModel): DataFrame = {
-    val toks = TextOps.words(col(textCol))
-    val scored = df
-      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
-      .select(col(idCol).cast("long").as("id"), toks.as("_toks"))
+    val nonEmpty = coalesce(length(trim(col(textCol))), lit(0)) > 0
+    val toks = when(nonEmpty, TextOps.words(col(textCol)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).cast("long").as("id"), toks.as("_toks"))
       .select(col("id"), size(col("_toks")).cast("long").as("n_words"),
         graft.functions.TextKernelExprs
           .bpeTokenCount(col("_toks"), model.lefts, model.rights)
           .as("n_tokens"))
-    df.select(col(idCol).cast("long").as("id"))
-      .join(scored, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 }

@@ -17,6 +17,8 @@ object ThroughputBench {
   final case class TpEvt(event_id: Long, ts_us: Long, user_id: Long,
       event_type: String, value: Double)
   final case class TpOut(user_id: Long, a_id: Long, b_id: Long)
+  final case class TpDoc(doc_id: Long, text: String, lang: String,
+      source: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,8 +37,7 @@ object ThroughputBench {
     // sort by (ts_us, event_id): parquet row order is NOT time order, and
     // an out-of-order feed would let the watermark (1 s delay) silently
     // drop late CEP events, inflating the measured events/s
-    val base = ss.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val base = graft.Tables.eventsTsUs(ss, sfDir)
       .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
       .as[TpEvt].collect().toIndexedSeq
       .sortBy(e => (e.ts_us, e.event_id))
@@ -109,11 +110,72 @@ object ThroughputBench {
         Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
           _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L)(build))
 
+    // frozen curation scorers on a DOCUMENT stream: models train once
+    // in batch, scoring is the claimed stateless scan projection —
+    // measured here as sustained docs/s (each doc ≈ 100 tokens)
+    implicit val docEnc: Encoder[TpDoc] = Encoders.product[TpDoc]
+    val docsStatic = ss.read.parquet(s"$sfDir/documents.parquet")
+    val docBase = docsStatic
+      .select($"doc_id", $"text", $"lang", $"source").as[TpDoc]
+      .collect().toIndexedSeq
+    val docCopies = sys.env.getOrElse("SPARK_GRAFT_TP_DOC_COPIES", "40").toInt
+    val nDocBase = docBase.length.toLong
+    val docFeed = (0 until docCopies).flatMap { c =>
+      docBase.map(d => d.copy(doc_id = d.doc_id + c * nDocBase))
+    }
+    val docChunks = docFeed.grouped(100000).toIndexedSeq
+
+    def driveDocs(mk: MemoryStream[TpDoc] =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val input = MemoryStream[TpDoc]
+      val q = mk(input).writeStream.outputMode("append").format("noop")
+        .start()
+      input.addData(docBase.take(100))
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      docChunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      docFeed.length / dt
+    }
+
+    val perceptron = graft.operators.Classifier.perceptronTrain(
+      docsStatic, "text", "doc_id",
+      label = col("source") === "src0", buckets = 1024, epochs = 2)
+    val perceptronDps = driveDocs(in =>
+      graft.operators.Classifier.perceptronScore(in.toDF(), "text",
+        "doc_id", perceptron))
+
+    val dsir = graft.operators.TextOps.dsirTrain(docsStatic, "text",
+      "doc_id", isTarget = col("source") === "src0")
+    val dsirDps = driveDocs(in =>
+      graft.operators.TextOps.dsirScoreFrozen(in.toDF(), "text",
+        "doc_id", dsir))
+
+    val rates = Map("en" -> 500000L, "de" -> 250000L, "fr" -> 250000L,
+      "es" -> 250000L, "zh" -> 125000L)
+    val ratesDps = driveDocs(in =>
+      graft.operators.TextOps.applySampleRates(in.toDF(), "doc_id",
+        "lang", rates))
+
+    val bpe = graft.operators.Bpe.bpeTrain(docsStatic, "text", nMerges = 8)
+    val bpeDps = driveDocs(in =>
+      graft.operators.Bpe.tokenCounts(in.toDF(), "text", "doc_id", bpe))
+
     println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
       s""""cores":$cpus,"n_events":${events.length},""" +
       s""""stateless":${statelessEps.round},""" +
       s""""stateless_per_core":${(statelessEps / cpus).round},""" +
-      s""""cep":${cepEps.round},"cep_per_core":${(cepEps / cpus).round}}""")
+      s""""cep":${cepEps.round},"cep_per_core":${(cepEps / cpus).round},""" +
+      s""""n_docs":${docFeed.length},""" +
+      s""""perceptron_docs":${perceptronDps.round},""" +
+      s""""perceptron_docs_per_core":${(perceptronDps / cpus).round},""" +
+      s""""dsir_frozen_docs":${dsirDps.round},""" +
+      s""""dsir_frozen_docs_per_core":${(dsirDps / cpus).round},""" +
+      s""""sample_rates_docs":${ratesDps.round},""" +
+      s""""sample_rates_docs_per_core":${(ratesDps / cpus).round},""" +
+      s""""bpe_encode_docs":${bpeDps.round},""" +
+      s""""bpe_encode_docs_per_core":${(bpeDps / cpus).round}}""")
     ss.stop()
   }
 }

@@ -13,12 +13,8 @@ case class REv(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
 class MatchRecognizeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
-  }
+  private def events = Tables.eventsTsUs(spark, sfDir)
+    .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
 
   test("custom plan matches the Dataset-API CEP executor (q14 pattern)") {
     val viaPlan = MatchRecognize(events, Seq("user_id"), "ts_us", "event_id",

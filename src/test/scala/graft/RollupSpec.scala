@@ -6,13 +6,8 @@ import graft.operators.Rollup
 class RollupSpec extends SparkSpec {
   import spark.implicits._
 
-  // events.parquet stores TIMESTAMP(NANOS) read as long — derive a real
-  // timestamp column the way the query surface does
-  private def events() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  // normalized µs timestamp whatever parquet type the generator wrote
+  private def events() = Tables.eventsTsUs(spark, sfDir).drop("ts_us")
 
   test("cascade levels merge additively and agree with direct aggregation") {
     val e = events()
