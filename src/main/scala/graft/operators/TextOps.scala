@@ -1223,14 +1223,19 @@ object TextOps {
             element_at(col("_toks"), i + 2).as("w3")))).as("_g"): _*)
         .select(extraCols.map(c => c) :+ col("_g.w1").as("w1") :+
           col("_g.w2").as("w2") :+ col("_g.w3").as("w3"): _*)
-    val t3 = triples(base.filter(col("_t")), Seq.empty)
+    // one trigram explode serves BOTH relations: the per-doc scoring
+    // counts and (re-aggregated from them — sums of per-doc counts ≡
+    // direct counts) the train model table; materialized once
+    val d3x = triples(base, Seq(col("id"), col("_t")))
+      .groupBy(col("id"), col("_t"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val t3 = d3x.filter(col("_t"))
       .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("_c3"))
+      .agg(sum(col("_c")).as("_c3"))
     val nv = t1.agg(sum(col("_c1")).as("_n"),
       count(lit(1)).as("_v"))
-    val d3 = triples(base, Seq(col("id")))
-      .groupBy(col("id"), col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("_c"))
+    val d3 = d3x.drop("_t")
     val joined = d3
       .join(t3, Seq("w1", "w2", "w3"), "left")
       .join(t2.select(col("a").as("w1"), col("b").as("w2"),
