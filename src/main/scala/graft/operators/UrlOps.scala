@@ -107,8 +107,12 @@ object UrlOps {
   def domainMixture(df: DataFrame, urlCol: String,
       topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // the domain-count relation feeds BOTH the total and the top-k cut
+    // — materialize once (the semDedup lesson) so the corpus scan and
+    // aggregation run a single time
     val doms = df.select(domainOf(col(urlCol)).as("domain"))
       .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val tot = doms.agg(sum(col("n_docs")).as("_tot"))
     doms.orderBy(col("n_docs").desc, col("domain").asc).limit(topK)
       .crossJoin(broadcast(tot))
