@@ -139,6 +139,40 @@ object ScaleProbe {
     // vocabulary stays fixed under replication — only the word-count
     // aggregation sees more rows
     time("bpe_pairs")(TextOps.bpePairCounts(docs, "text", topK = 50))
+    // full chain: bounded top-V election + driver merge loop + frozen
+    // encode — the vocabulary stays fixed under replication, so growth
+    // isolates the word-count aggregation and the O(n) encode scan
+    time("bpe_encode") {
+      val model = graft.operators.Bpe.bpeTrain(docs, "text", nMerges = 6)
+      graft.operators.Bpe.tokenCounts(docs, "text", "doc_id", model)
+    }
+    // replication multiplies gram counts but adds no new types: model
+    // tables stay fixed-size while the per-doc count shuffle and the
+    // five gram-key hash joins scale with the corpus
+    time("trigram_lm")(TextOps.trigramLmScore(docs, "text", "doc_id",
+      isTrain = col("lang") === "en"))
+    // domain family over synthesized URLs (fixed domain cardinality —
+    // growth isolates the scan-side extraction + the keyed aggregation)
+    def withUrl(d: DataFrame) = d.withColumn("url",
+      concat(lit("https://www.d"), pmod(col("doc_id"), lit(97L)),
+        lit(".example.com/p/"), col("doc_id")))
+    time("domain_stats")(graft.operators.UrlOps.domainStats(
+      withUrl(docs), "url", "text"))
+    time("domain_mixture") {
+      import spark.implicits._
+      graft.operators.UrlOps.domainMixture(
+        graft.operators.UrlOps.blocklistFilter(withUrl(docs), "url",
+          Seq("d13.example.com", "d42.example.com").toDF("domain")),
+        "url", topK = 10)
+    }
+    // integer-exact training (bounded ≤buckets collect per epoch) +
+    // frozen scan-side scoring
+    time("perceptron") {
+      val m = graft.operators.Classifier.perceptronTrain(docs, "text",
+        "doc_id", label = col("lang") === "en", buckets = 1024,
+        epochs = 2)
+      graft.operators.Classifier.perceptronScore(docs, "text", "doc_id", m)
+    }
     spark.stop()
   }
 }
