@@ -1406,6 +1406,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // The exact-substring dedup EXECUTED (Lee et al. 2022's actual
+    // transformation): words covered by duplicated maximal spans drop,
+    // first occurrences survive, survivors rejoin in original order.
+    "q122_substring_rebuild" -> ((s, dir) => {
+      TextOps.substringDedupRebuild(ld(s, dir, "documents"), "text",
+          "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Full BPE merge loop (beyond q111's first step): 6 iterative
     // merges trained on the bounded top-V word-count election, then
     // the frozen encoder's real per-doc token counts (upgrading q53's
@@ -2003,6 +2012,42 @@ object SparkEntry {
        |  FROM (SELECT doc_id, text, host, string_split(host, '.') AS p
        |    FROM uh))""".stripMargin
   }
+
+  /** The exact-substring election chain shared by q116 (stats) and
+    * q122 (rebuild): normalized words `t`, per-word polyHashes, the
+    * per-offset base-31 gram fold, first-occurrence election, and the
+    * gaps-and-islands merge into maximal spans `sp(doc_id, s, e0, nd)`.
+    * CTEs referenced by both consumers stay single-use per statement,
+    * so no MATERIALIZED is needed here.
+    */
+  private lazy val substringCtes: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(${DuckHash.norm("coalesce(text, '')")}, ' ')
+       |      AS ws
+       |  FROM documents),
+       |wh AS (SELECT doc_id,
+       |    list_transform(ws, wx -> ${DuckHash.polyHash("wx")}) AS whs
+       |  FROM t),
+       |g AS (SELECT doc_id, whs,
+       |    unnest(range(1, greatest(len(whs) - 7, 0) + 1)) AS off
+       |  FROM wh),
+       |f AS (SELECT doc_id, off,
+       |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+       |      whs[off:off+7]),
+       |      (gh, gc) -> (31 * gh + gc) % ${DuckHash.uStr}) AS fp
+       |  FROM g),
+       |e AS (SELECT doc_id, off, row_number() OVER (
+       |    PARTITION BY fp ORDER BY doc_id, off) AS rn FROM f),
+       |d AS (SELECT doc_id, off FROM e WHERE rn > 1),
+       |i1 AS (SELECT doc_id, off, CASE WHEN off - lag(off) OVER (
+       |      PARTITION BY doc_id ORDER BY off) <= 8 THEN 0
+       |    ELSE 1 END AS brk FROM d),
+       |i2 AS (SELECT doc_id, off, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY off
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM i1),
+       |sp AS (SELECT doc_id, isl, min(off) AS s, max(off) AS e0,
+       |    count(*) AS nd FROM i2 GROUP BY 1, 2)""".stripMargin
 
   /** Training-vocab cap for the q117/q120 BPE queries — far above the
     * corpus's distinct-word count, so the top-V election keeps
@@ -3182,33 +3227,7 @@ object SparkEntry {
     // rolling kernel — identical mod-2^64 arithmetic), row_number
     // election per fingerprint, gaps-and-islands span merge per doc
     "q116_substring_dedup" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    string_split(${DuckHash.norm("coalesce(text, '')")}, ' ')
-         |      AS ws
-         |  FROM documents),
-         |wh AS (SELECT doc_id,
-         |    list_transform(ws, wx -> ${DuckHash.polyHash("wx")}) AS whs
-         |  FROM t),
-         |g AS (SELECT doc_id, whs,
-         |    unnest(range(1, greatest(len(whs) - 7, 0) + 1)) AS off
-         |  FROM wh),
-         |f AS (SELECT doc_id, off,
-         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
-         |      whs[off:off+7]),
-         |      (gh, gc) -> (31 * gh + gc) % ${DuckHash.uStr}) AS fp
-         |  FROM g),
-         |e AS (SELECT doc_id, off, row_number() OVER (
-         |    PARTITION BY fp ORDER BY doc_id, off) AS rn FROM f),
-         |d AS (SELECT doc_id, off FROM e WHERE rn > 1),
-         |i1 AS (SELECT doc_id, off, CASE WHEN off - lag(off) OVER (
-         |      PARTITION BY doc_id ORDER BY off) <= 8 THEN 0
-         |    ELSE 1 END AS brk FROM d),
-         |i2 AS (SELECT doc_id, off, sum(brk) OVER (
-         |    PARTITION BY doc_id ORDER BY off
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-         |  FROM i1),
-         |sp AS (SELECT doc_id, isl, min(off) AS s, max(off) AS e0,
-         |    count(*) AS nd FROM i2 GROUP BY 1, 2),
+      s"""$substringCtes,
          |per AS (SELECT doc_id, sum(nd)::BIGINT AS n_dup_grams,
          |    count(*)::BIGINT AS n_spans,
          |    sum(e0 - s + 8)::BIGINT AS dup_words FROM sp GROUP BY 1),
@@ -3219,6 +3238,30 @@ object SparkEntry {
          |  coalesce(per.n_spans, 0)::BIGINT AS n_spans,
          |  coalesce(per.dup_words, 0)::BIGINT AS dup_words
          |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id""".stripMargin,
+
+    // the dedup EXECUTED: positions covered by the merged spans drop
+    // (disjoint intervals by construction), survivors rebuild in order
+    "q122_substring_rebuild" ->
+      s"""$substringCtes,
+         |cov AS (SELECT doc_id, unnest(range(s, e0 + 8)) AS pos FROM sp),
+         |wrd AS (SELECT doc_id, j AS pos, ws[j] AS w
+         |  FROM t, unnest(range(1, len(ws) + 1)) AS u9(j)),
+         |kept AS (SELECT wrd.doc_id, wrd.pos, wrd.w FROM wrd
+         |  LEFT JOIN cov ON cov.doc_id = wrd.doc_id AND cov.pos = wrd.pos
+         |  WHERE cov.pos IS NULL),
+         |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos)
+         |      AS text_dedup,
+         |    count(*)::BIGINT AS n_kept FROM kept GROUP BY 1),
+         |ng AS (SELECT doc_id, greatest(len(ws) - 7, 0)::BIGINT
+         |      AS n_grams,
+         |    len(ws)::BIGINT AS nw FROM t)
+         |SELECT ng.doc_id,
+         |  coalesce(reb.text_dedup, '') AS text_dedup,
+         |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept_words,
+         |  (CASE WHEN ng.n_grams = 0 THEN 0
+         |    ELSE ng.nw - coalesce(reb.n_kept, 0) END)::BIGINT
+         |    AS n_removed_words
+         |FROM ng LEFT JOIN reb USING (doc_id)""".stripMargin,
 
     // full BPE loop: unrolled merge stages over the distinct
     // vocabulary (select best pair, rewrite every word, repeat), then

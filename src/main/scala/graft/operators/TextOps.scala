@@ -435,8 +435,12 @@ object TextOps {
     * the price of exactness, the same one the suffix-array
     * formulation pays; it rides fingerprints, never text.
     */
-  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+  /** The (id, _fps) gram-fingerprint base and the merged maximal dup
+    * spans `(id, _s, _e, _nd)` shared by [[substringDupStats]] and
+    * [[substringDedupRebuild]] — one election chain, two consumers.
+    */
+  private def substringDupSpans(df: DataFrame, textCol: String,
+      idCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
     val base = df.select(col(idCol).cast("long").as("id"),
       graft.functions.TextKernelExprs.gramPolyHashes(
@@ -463,6 +467,12 @@ object TextOps {
     val spans = isl.groupBy(col("id"), col("_isl"))
       .agg(min(col("off")).as("_s"), max(col("off")).as("_e"),
         count(lit(1)).as("_nd"))
+    (base, spans)
+  }
+
+  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val (base, spans) = substringDupSpans(df, textCol, idCol, k)
     val per = spans.groupBy(col("id"))
       .agg(sum(col("_nd")).as("n_dup_grams"),
         count(lit(1)).as("n_spans"),
@@ -473,6 +483,49 @@ object TextOps {
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+  }
+
+  /** Execute the exact-substring dedup: rebuild each document with the
+    * duplicated maximal spans REMOVED — every word position covered by
+    * a duplicated k-gram span drops; the corpus-wide first occurrence
+    * survives untouched (Lee et al. 2022's actual transformation, the
+    * step [[substringDupStats]] only reports). Output: `(id,
+    * text_dedup, n_kept_words, n_removed_words)` — one row per input
+    * document, kept words rejoined in original order.
+    *
+    * Shape for scale: the same fingerprint-only election as the stats
+    * tier; spans explode into (id, pos) covered positions (≤ n_words
+    * rows/doc, disjoint intervals by construction of the maximal
+    * merge), the word relation anti-joins them keyed by (id, pos), and
+    * the rebuild is the [[chunkDedupRebuild]] collect_list/array_sort
+    * pattern partitioned by id. Text shuffles once, as words that
+    * survive — dropped spans cost a fingerprint, not bandwidth.
+    */
+  def substringDedupRebuild(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val (base, spans) = substringDupSpans(df, textCol, idCol, k)
+    val covered = spans.select(col("id"),
+      explode(sequence(col("_s"), col("_e") + lit(k - 1))).as("pos"))
+    val w = df.select(col(idCol).cast("long").as("id"),
+        posexplode(words(coalesce(col(textCol), lit(""))))
+          .as(Seq("_p", "_w")))
+      .select(col("id"), (col("_p") + 1).cast("long").as("pos"),
+        col("_w"))
+    val kept = w.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("_w")))),
+          s => s.getField("_w")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept_words"))
+    base.select(col("id"), size(col("_fps")).cast("long").as("_ng"))
+      .withColumn("_nw", col("_ng") + lit(k - 1))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
+        (when(col("_ng") === 0, coalesce(col("n_kept_words"), lit(0L)))
+          .otherwise(col("_nw")) -
+          coalesce(col("n_kept_words"), lit(0L))).as("n_removed_words"))
   }
 
   def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,

@@ -192,4 +192,32 @@ class StreamingParitySpec extends SparkSpec {
       assert(got == Set((1L, 1L, 11L)))
     } finally q.stop()
   }
+
+  test("frozen BPE encoder counts a stream identically to batch") {
+    // tokenizer trained offline, incoming docs token-counted by the
+    // stateless codegen'd projection — same call, same counts
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val corpus = Seq((1L, "low low lower newest widest newest"))
+      .toDF("id", "text")
+    val model = Bpe.bpeTrain(corpus, "text", nMerges = 4)
+    val incoming = Seq((10L, "low lower"), (11L, "newest unknown"),
+      (12L, ""), (13L, "west west west"))
+    val input = MemoryStream[(Long, String)]
+    val q = Bpe.tokenCounts(
+        input.toDF().toDF("id", "text"), "text", "id", model)
+      .writeStream.format("memory").queryName("par_bpe")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_bpe")
+        .as[(Long, Long, Long)].collect().toSet
+      val exp = Bpe.tokenCounts(
+          incoming.toDF("id", "text"), "text", "id", model)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exp && got.size == 4)
+      assert(got.find(_._1 == 12L).get == (12L, 0L, 0L)) // empty doc
+    } finally q.stop()
+  }
 }

@@ -626,6 +626,37 @@ class TextOpsSpec extends SparkSpec {
     assert(re == sub)
   }
 
+  test("substringDedupRebuild drops exactly the covered span, keeps order") {
+    // doc 2 copies doc 1's words 10..44 at offset 7: the rebuild must
+    // drop exactly those 35 words and stitch junkA + junkB back
+    // together in original order; doc 1 (first occurrence) is untouched
+    val original = (1 to 60).map("w" + _).mkString(" ")
+    val copied = ((1 to 7).map("junkA" + _) ++ (10 to 44).map("w" + _) ++
+      (1 to 8).map("junkB" + _)).mkString(" ")
+    val docs = Seq((1L, original), (2L, copied)).toDF("doc_id", "text")
+    val got = TextOps.substringDedupRebuild(docs, "text", "doc_id", k = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, original, 60L, 0L)))
+    // the rebuild emits NORMALIZED words (words() lowercases), like
+    // every fingerprint-tier rebuild
+    val expected2 = ((1 to 7).map("junka" + _) ++
+      (1 to 8).map("junkb" + _)).mkString(" ")
+    assert(got(2L) == ((2L, expected2, 15L, 35L)), s"got ${got(2L)}")
+    // stats agreement: removed words == dup_words from the stats tier
+    val stats = TextOps.substringDupStats(docs, "text", "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(stats(2L) == got(2L)._4)
+    // short/empty docs survive unchanged with zero removals
+    val edge = Seq((1L, "too short"), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val g2 = TextOps.substringDedupRebuild(edge, "text", "doc_id", k = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(g2(1L) == ((1L, "too short", 2L, 0L)))
+    assert(g2(2L)._2 == "" && g2(2L)._4 == 0L)
+    assert(g2(3L)._2 == "" && g2(3L)._4 == 0L)
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
