@@ -66,6 +66,16 @@ object TrainingDataPipeline {
     val lowNovel = novelty.filter(col("n_kept") * 2 < col("n_chunks")).count()
     println(s"STAGE chunk_audit     low_novelty=$lowNovel")
 
+    // 3c. exact-substring dedup (Lee et al. 2022 tier): arbitrary-
+    // offset verbatim copies drop at word level — the layer the
+    // chunk audit above only approximates; documents keep their
+    // unique remainder
+    val subDedup = TextOps.substringDedupRebuild(english, "text",
+      "doc_id", k = 8)
+    val removedWords = subDedup.agg(sum(col("n_removed_words")))
+      .collect()(0).getLong(0)
+    println(s"STAGE substring_dedup removed_words=$removedWords")
+
     // 4. near-dup removal: MinHash-LSH candidates, keep the lower doc_id
     val nearPairs = Dedup.minhashPairs(english, "text", "doc_id",
       threshold = 0.8)
