@@ -43,6 +43,40 @@ object Sources {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** JSONL corpus — the crawl-dump interchange format real curation
+    * pipelines ingest. Schema is explicit (inference is a full extra
+    * pass at 100 TB), and malformed lines are CAPTURED into
+    * `_corrupt_record` (PERMISSIVE) so ingest loss is auditable:
+    * `df.filter(col("_corrupt_record").isNotNull)` is the reject
+    * relation (Spark requires the parse be materialized — cache or
+    * write — before a corrupt-only projection). Pass
+    * `dropMalformed = true` to discard instead.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+      dropMalformed: Boolean = false): DataFrame = {
+    val withCorrupt =
+      if (dropMalformed) schema
+      else new StructType((schema.fields :+ org.apache.spark.sql.types
+        .StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, nullable = true)).toArray)
+    spark.read.schema(withCorrupt)
+      .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** JSONL tailed as a stream (same schema/corrupt-record contract). */
+  def jsonlStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = new StructType((schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true)).toArray)
+    spark.readStream.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** Watermarked event-time edge: timestamp column + allowed lateness,
     * applied once at the source boundary (every downstream stateful op
     * inherits it).

@@ -63,4 +63,36 @@ class SkewSourcesSpec extends SparkSpec {
       assert(spark.table("src_out").count() == 5)
     } finally q.stop()
   }
+
+  test("jsonl source captures malformed lines instead of dropping them") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    dir.toFile.deleteOnExit()
+    Files.writeString(dir.resolve("part0.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta"}
+        |{"doc_id": 2, "text": "gamma"}
+        |{not valid json at all
+        |{"doc_id": 4, "text": null}
+        |""".stripMargin)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    // corrupt-only projections on raw JSON are disallowed — materialize
+    // the parse once (what a real ingest does anyway before auditing)
+    val df = graft.sources.Sources.jsonl(spark, dir.toString, schema)
+      .cache()
+    assert(df.count() == 4)
+    val rejects = df.filter(col("_corrupt_record").isNotNull)
+    assert(rejects.count() == 1)
+    assert(rejects.select("_corrupt_record").as[String].head()
+      .startsWith("{not valid"))
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().toSet
+    assert(good == Set(1L, 2L, 4L))
+    // dropMalformed discards the bad line and carries no audit column
+    val dropped = graft.sources.Sources.jsonl(spark, dir.toString, schema,
+      dropMalformed = true)
+    assert(!dropped.columns.contains("_corrupt_record"))
+    assert(dropped.count() == 3)
+  }
 }
