@@ -147,6 +147,24 @@ object Bpe {
       .toDF("rank", "pair_left", "pair_right", "merged", "cnt")
   }
 
+  /** Rehydrate a [[BpeModel]] from a persisted [[mergeTable]] relation
+    * (e.g. `spark.read.parquet(...)` of an earlier training run) — the
+    * train-once / score-many-jobs artifact cycle, like
+    * `Dedup.minhashSignatures`. Rank order is restored from the `rank`
+    * column; the collect is ≤ nMerges rows. `coveragePerMille` is not
+    * part of the table (it describes the training corpus, not the
+    * model) and rehydrates as 1000.
+    */
+  def fromMergeTable(table: DataFrame): BpeModel = {
+    val merges = table.select(col("rank").cast("long"),
+        col("pair_left"), col("pair_right"), col("cnt").cast("long"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    BpeModel(merges, 1000L)
+  }
+
   /** Frozen-encoder token counts: `(id, n_words, n_tokens)` — one row
     * per input document; empty/whitespace-only docs carry zeros
     * (handled inline as an empty token array — no join-back, so the

@@ -82,6 +82,22 @@ class BpeSpec extends SparkSpec {
     assert(again == tc.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("mergeTable round-trips through parquet into an identical model") {
+    val docs = Seq((1L, "low low lower newest widest newest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", nMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.mergeTable(spark, model).write.mode("overwrite").parquet(dir)
+    val back = Bpe.fromMergeTable(spark.read.parquet(dir))
+    assert(back.merges == model.merges)
+    // scoring under the rehydrated model is identical
+    val a = Bpe.tokenCounts(docs, "text", "doc_id", model)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Bpe.tokenCounts(docs, "text", "doc_id", back)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("bpeTrain top-V election bounds the vocabulary and reports coverage") {
     val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     val model = Bpe.bpeTrain(docs, "text", nMerges = 1, maxVocab = 2)
