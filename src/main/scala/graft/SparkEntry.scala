@@ -1467,6 +1467,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Slice-divergence audit: hashed-feature distributions of src0 vs
+    // src1, per-bucket banked log-likelihood ratio, top-50 most
+    // shifted buckets — the ingest-drift monitor.
+    "q123_feature_shift" -> ((s, dir) => {
+      TextOps.featureShift(ld(s, dir, "documents"), "text",
+        isA = col("source") === "src0", isB = col("source") === "src1")
+    }),
+
+    // Cluster-size histogram over the q59 near-dup clusters — the
+    // dedup data-card stat (pair dups vs boilerplate blobs).
+    "q124_cluster_sizes" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = Dedup.embeddingPairs(e, "embedding", "vec_id",
+        dim = 64, threshold = 0.35, nPlanes = 8)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val members = e.select(col("vec_id"))
+        .join(clusters, col("vec_id") === clusters("id"), "left")
+        .select(coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      Dedup.clusterSizeProfile(members, "cluster_id")
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -3689,6 +3710,52 @@ object SparkEntry {
         |  -(per.lp_micro::DOUBLE) / (per.n_trigrams::DOUBLE * 1048576.0)
         |    AS h_nats
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // slice divergence: the dsirCtes bucket hash over the two-slice
+    // subset, conditional sums per bucket, banked LLR, abs-ranked
+    "q123_feature_shift" -> {
+      val bucket = s"((${DuckHash.mix(s"(${DuckHash.polyHash("w")})")}) " +
+        ">> 12) % 1024"
+      s"""WITH t AS (SELECT source = 'src0' AS a, source = 'src1' AS b,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         |      AS toks
+         |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0
+         |    AND source IN ('src0', 'src1')),
+         |f AS (SELECT a, b, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      bi -> toks[bi] || ' ' || toks[bi + 1])
+         |    ELSE CAST([] AS VARCHAR[]) END)) AS w FROM t),
+         |gb AS (SELECT ($bucket)::BIGINT AS bucket,
+         |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c_a,
+         |    sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS c_b
+         |  FROM f GROUP BY 1),
+         |tt AS (SELECT sum(c_a)::BIGINT AS ta, sum(c_b)::BIGINT AS tb
+         |  FROM gb),
+         |lr AS (SELECT bucket, c_a, c_b,
+         |    floor((ln((c_a::DOUBLE + 0.5) / (tt.ta::DOUBLE + 0.5 * 1024.0))
+         |      - ln((c_b::DOUBLE + 0.5) / (tt.tb::DOUBLE + 0.5 * 1024.0)))
+         |      * 1048576.0)::BIGINT AS llr_micro
+         |  FROM gb CROSS JOIN tt),
+         |rk AS (SELECT bucket, c_a, c_b, llr_micro, row_number() OVER (
+         |    ORDER BY abs(llr_micro) DESC, bucket ASC)::BIGINT AS rank
+         |  FROM lr)
+         |SELECT bucket, c_a, c_b, llr_micro, rank FROM rk
+         |WHERE rank <= 50""".stripMargin
+    },
+
+    // cluster-size histogram: the q59 recursive-CTE cluster replay,
+    // per-cluster sizes, size histogram
+    "q124_cluster_sizes" ->
+      s"""$clusterCtes,
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |a2 AS (SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id)
+         |      AS cid
+         |  FROM e LEFT JOIN cl ON cl.id = e.vec_id),
+         |sz AS (SELECT cid, count(*)::BIGINT AS cluster_size
+         |  FROM a2 GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+         |  (cluster_size * count(*))::BIGINT AS n_docs
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // perplexity band gate: milli-nat entropy through the q64/q75
     // log-bucket qhist replay, per-lang p10/p90 lower bounds, keep the

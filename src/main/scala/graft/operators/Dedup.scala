@@ -520,4 +520,24 @@ object Dedup {
     members.join(csplit, Seq("cluster_id"))
       .select(col("id"), col("cluster_id"), col("split"))
   }
+
+  /** Cluster-size histogram of a cluster assignment — the dedup
+    * data-card stat ("how much of the corpus sits in 2-member dup
+    * pairs vs 1000-member boilerplate blobs"). Input: any relation
+    * with one row per member and a cluster column (e.g.
+    * [[connectedComponents]] output with singletons coalesced in).
+    * Output: `(cluster_size, n_clusters, n_docs)`.
+    *
+    * Shape for scale: two keyed hash aggregations — members →
+    * per-cluster sizes (the relation that exists anyway wherever
+    * retention runs), sizes → the ≤max-size histogram.
+    */
+  def clusterSizeProfile(assignments: DataFrame,
+      clusterCol: String): DataFrame =
+    assignments.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
 }

@@ -1522,4 +1522,55 @@ object TextOps {
           .otherwise(col("logw_micro").cast("double") / lit(1048576.0))
           .as("logw_nats"))
   }
+
+  /** Slice-divergence audit — the ingest-drift monitor ("which feature
+    * mass moved between last week's crawl and this week's", or between
+    * two sources): hashed unigram+bigram feature distributions of
+    * slice A vs slice B, each bucket's add-α log-likelihood ratio
+    * banked `floor(Δln·2^20)` (the DSIR feature space and bank,
+    * surfaced as a symmetric report), and the `topK` most-shifted
+    * buckets by |llr|. Positive `llr_micro` = over-represented in A.
+    *
+    * Output: `(bucket, c_a, c_b, llr_micro, rank)`, ranked
+    * `(abs(llr_micro) desc, bucket asc)` — ≤ topK rows.
+    *
+    * Shape for scale: the gram explode aggregates straight to
+    * ≤`buckets` groups (map-side partial agg — the exchange carries ≤
+    * buckets rows per task, never gram strings); totals ride a 1-row
+    * broadcast crossJoin; the rank window runs after a
+    * `TakeOrderedAndProject` top-k cut of the ≤buckets relation.
+    */
+  def featureShift(df: DataFrame, textCol: String, isA: Column,
+      isB: Column, buckets: Int = 1024, alphaPerMille: Int = 500,
+      topK: Int = 50): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    require(alphaPerMille >= 1 && alphaPerMille <= 1000,
+      s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val alpha = lit(alphaPerMille.toDouble / 1000.0)
+    val base = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(isA.cast("boolean").as("_a"), isB.cast("boolean").as("_b"),
+        words(col(textCol)).as("_toks"))
+      .filter(col("_a") || col("_b"))
+    val gb = base.select(col("_a"), col("_b"),
+        explode(dsirBucketArray(col("_toks"), buckets)).as("_bk"))
+      .groupBy(col("_bk"))
+      .agg(sum(when(col("_a"), lit(1L)).otherwise(lit(0L))).as("c_a"),
+        sum(when(col("_b"), lit(1L)).otherwise(lit(0L))).as("c_b"))
+    val tot = gb.agg(sum(col("c_a")).as("_ta"), sum(col("c_b")).as("_tb"))
+    def lnp(c: Column, t: Column): Column =
+      log((c.cast("double") + alpha) /
+        (t.cast("double") + alpha * lit(buckets.toDouble)))
+    val lr = gb.crossJoin(broadcast(tot))
+      .select(col("_bk").as("bucket"), col("c_a"), col("c_b"),
+        floor((lnp(col("c_a"), col("_ta")) - lnp(col("c_b"), col("_tb"))) *
+          lit(1048576.0)).cast("long").as("llr_micro"))
+    lr.orderBy(abs(col("llr_micro")).desc, col("bucket").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("llr_micro")).desc, col("bucket").asc))
+        .cast("long"))
+  }
 }

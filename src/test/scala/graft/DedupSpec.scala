@@ -352,4 +352,15 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, String)].collect()
     assert(solo.length == 200 && solo.forall(r => r._1 == r._2))
   }
+
+  test("clusterSizeProfile histograms cluster sizes") {
+    val members = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),  // one 3-cluster
+      (4L, 20L), (5L, 20L),             // one 2-cluster
+      (6L, 30L), (7L, 40L)              // two singletons
+    ).toDF("id", "cluster_id")
+    val got = Dedup.clusterSizeProfile(members, "cluster_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 2L, 2L)))
+  }
 }

@@ -657,6 +657,38 @@ class TextOpsSpec extends SparkSpec {
     assert(g2(3L)._2 == "" && g2(3L)._4 == 0L)
   }
 
+  test("featureShift surfaces the direction and rank of slice drift") {
+    // A is all-alpha, B is all-beta, shared filler on both sides
+    val df = Seq(
+      (1L, "alpha alpha filler", "a"),
+      (2L, "alpha filler", "a"),
+      (3L, "beta beta filler", "b"),
+      (4L, "beta filler", "b"),
+      (5L, "neither at all", "c")  // outside both slices: ignored
+    ).toDF("doc_id", "text", "src")
+    val got = TextOps.featureShift(df, "text",
+        isA = col("src") === "a", isB = col("src") === "b",
+        buckets = 64, topK = 100)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every bucket row carries counts from the two slices only
+    assert(got.nonEmpty)
+    val byRank = got.sortBy(_._5)
+    assert(byRank.map(_._5).toSeq == (1L to got.length))
+    // ranks are ordered by |llr| descending
+    val absSeq = byRank.map(r => math.abs(r._4)).toSeq
+    assert(absSeq == absSeq.sorted.reverse)
+    // A-heavy buckets score positive, B-heavy negative: find the
+    // bucket holding "alpha" (c_a > 0, c_b == 0) and vice versa
+    assert(got.exists(r => r._2 > 0 && r._3 == 0 && r._4 > 0))
+    assert(got.exists(r => r._2 == 0 && r._3 > 0 && r._4 < 0))
+    // partitioning independence (banked integers)
+    val re = TextOps.featureShift(df.repartition(7), "text",
+        isA = col("src") === "a", isB = col("src") === "b",
+        buckets = 64, topK = 100)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(re.toSet == got.toSet)
+  }
+
   test("chunkDedupStats elects corpus-wide first occurrence per chunk") {
     val chunk1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val chunk2 = (51 to 100).map(i => s"w$i").mkString(" ")
