@@ -76,7 +76,13 @@ final class ControlHttp(cp: ControlPlane, port: Int = 0) {
   server.createContext("/api/v1/plans", (ex: HttpExchange) => guard(ex) {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val tail = path.stripPrefix("/api/v1/plans").stripPrefix("/")
-    (ex.getRequestMethod, tail.split("/").filter(_.nonEmpty).toList) match {
+    // the JDK server matches contexts by PREFIX: "/api/v1/plansgarbage"
+    // lands here too — only exact or slash-delimited paths are routes
+    val route =
+      if (path == "/api/v1/plans" || path.startsWith("/api/v1/plans/"))
+        tail.split("/").filter(_.nonEmpty).toList
+      else List("_", "_", "_") // unroutable: falls to the 404 arm
+    (ex.getRequestMethod, route) match {
       case ("GET", Nil) =>
         val items = cp.planIds.sorted.map { id =>
           s"""{"id":${jsonStr(id)},"enabled":${cp.isEnabled(id)},""" +
