@@ -165,6 +165,16 @@ object ScaleProbe {
           Seq("d13.example.com", "d42.example.com").toDF("domain")),
         "url", topK = 10)
     }
+    // the rebuild pays the stats tier's election PLUS word rows through
+    // the anti-join; exact-copy replication turns every non-first copy
+    // into a full-document removal — the worst case for covered-position
+    // explode AND the rebuild shuffle
+    time("substring_rebuild")(TextOps.substringDedupRebuild(docs, "text",
+      "doc_id", k = 8))
+    // ≤buckets-group aggregation however large the corpus: growth
+    // isolates the gram explode's map-side combine
+    time("feature_shift")(TextOps.featureShift(docs, "text",
+      isA = col("lang") === "en", isB = col("lang") =!= "en"))
     // integer-exact training (bounded ≤buckets collect per epoch) +
     // frozen scan-side scoring
     time("perceptron") {
