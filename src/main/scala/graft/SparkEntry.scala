@@ -1436,6 +1436,17 @@ object SparkEntry {
       Bpe.mergeTable(s, model)
     }),
 
+    // The real tokenization artifact: per-doc frozen-BPE token-ID
+    // sequences (chars numbered sorted-asc, merges in rank order) —
+    // the relation packing/training shards consume.
+    "q125_bpe_token_ids" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = Bpe.bpeTrain(docs, "text", nMerges = 6,
+        maxVocab = bpeMaxVocab)
+      Bpe.tokenIds(docs, "text", "doc_id", model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Domain audit (C4/RefinedWeb front gate): deterministic synthetic
     // URLs (the corpus has no url column — scheme/userinfo/port/path
     // variants by doc_id mod, replayed by BOTH engines), registrable-
@@ -3345,6 +3356,40 @@ object SparkEntry {
          |SELECT domain, n_docs, (n_docs * 1000 // t)::BIGINT
          |    AS share_permille, rank
          |FROM rk, tt WHERE rank <= 10""".stripMargin,
+
+    // token-ID replay: vocabulary numbering (distinct training chars
+    // sorted asc, then merge products rank-ordered, min id on a string
+    // tie), per-word token lists from the unrolled merge chain, global
+    // doc order via (word idx, within-word idx)
+    "q125_bpe_token_ids" ->
+      s"""${bpeCtes(6, bpeMaxVocab)},
+         |ch AS (SELECT DISTINCT cu AS tok FROM (
+         |    SELECT unnest(list_transform(range(1, length(wd) + 1),
+         |      ci -> wd[ci:ci])) AS cu
+         |    FROM wv WHERE intop)),
+         |chid AS (SELECT tok, row_number() OVER (ORDER BY tok ASC) - 1
+         |    AS tid FROM ch),
+         |mgid AS (SELECT tok, (SELECT count(*) FROM ch) + rank - 1 AS tid
+         |  FROM (${(1 to 6).map(k =>
+             s"SELECT $k AS rank, a || b AS tok FROM m$k")
+             .mkString("\nUNION ALL ")})),
+         |vid AS (SELECT tok, min(tid)::BIGINT AS tid FROM (
+         |    SELECT tok, tid FROM chid
+         |    UNION ALL SELECT tok, tid FROM mgid) GROUP BY 1),
+         |tdoc AS (SELECT doc_id, string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         |      AS ws
+         |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+         |dwo AS (SELECT doc_id, j AS widx, ws[j] AS wd
+         |  FROM tdoc, unnest(range(1, len(ws) + 1)) AS uw(j)),
+         |flat AS (SELECT d.doc_id, d.widx, ti AS iidx, w6.toks[ti] AS tok
+         |  FROM dwo d JOIN v6 w6 USING (wd),
+         |    unnest(range(1, len(w6.toks) + 1)) AS ut(ti))
+         |SELECT f.doc_id,
+         |  (row_number() OVER (PARTITION BY f.doc_id
+         |    ORDER BY f.widx, f.iidx) - 1)::BIGINT AS pos,
+         |  coalesce(v.tid, -1)::BIGINT AS token_id
+         |FROM flat f LEFT JOIN vid v ON v.tok = f.tok""".stripMargin,
 
     // BPE pair counts: word-frequency-weighted adjacent char pairs of
     // the distinct vocabulary, global top-50

@@ -223,6 +223,11 @@ object TextKernelExprs {
     GraftSqlBridge.column(
       BpeTokenCount(GraftSqlBridge.expression(toks), lefts, rights))
 
+  def bpeTokenIds(toks: Column, lefts: Array[String],
+      rights: Array[String], vocab: Array[String]): Column =
+    GraftSqlBridge.column(
+      BpeTokenIds(GraftSqlBridge.expression(toks), lefts, rights, vocab))
+
   def dsirBuckets(toks: Column, buckets: Int): Column =
     GraftSqlBridge.column(
       DsirBuckets(GraftSqlBridge.expression(toks), buckets))
@@ -358,6 +363,103 @@ final class BpeCounter(lefts: Array[String], rights: Array[String])
     }
     total
   }
+}
+
+/** The frozen-BPE word→token-ID kernel behind [[BpeTokenIds]]: encode
+  * a word (sequential merge passes), then map each surviving token
+  * string to its vocabulary id (first-occurrence/minimum id wins on a
+  * duplicate string; unknown tokens map to -1). Same per-thread capped
+  * memo discipline as [[BpeCounter]].
+  */
+final class BpeIdEncoder(lefts: Array[String], rights: Array[String],
+    vocab: Array[String]) extends Serializable {
+  @transient private lazy val idMap = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < vocab.length) {
+      m.putIfAbsent(vocab(i), java.lang.Long.valueOf(i.toLong))
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[Long]]()
+    }
+  private val MaxMemo = 1 << 16
+
+  private def encodeWord(w: String): Array[Long] = {
+    var toks = graft.operators.Bpe.charTokens(w)
+    var k = 0
+    while (k < lefts.length) {
+      toks = graft.operators.Bpe.applyMerge(toks, lefts(k), rights(k))
+      k += 1
+    }
+    toks.map { t =>
+      val id = idMap.get(t)
+      if (id == null) -1L else id.longValue()
+    }
+  }
+
+  private def idsOf(w: String): Array[Long] = {
+    val m = memo.get()
+    val hit = m.get(w)
+    if (hit != null) hit
+    else {
+      val ids = encodeWord(w)
+      if (m.size() >= MaxMemo) m.clear()
+      m.put(w, ids)
+      ids
+    }
+  }
+
+  def encodeDoc(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val parts = new Array[Array[Long]](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      parts(i) = idsOf(toks.getUTF8String(i).toString)
+      total += parts(i).length
+      i += 1
+    }
+    val out = new Array[Long](total)
+    var o = 0
+    i = 0
+    while (i < n) {
+      System.arraycopy(parts(i), 0, out, o, parts(i).length)
+      o += parts(i).length
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Codegen'd whole-document frozen-BPE token-ID encoder — the real
+  * tokenization artifact (what packing/training consume), flattened in
+  * document order.
+  */
+case class BpeTokenIds(child: Expression, lefts: Array[String],
+    rights: Array[String], vocab: Array[String]) extends UnaryExpression {
+  require(lefts.length == rights.length,
+    s"merge table halves differ: ${lefts.length} vs ${rights.length}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val encoder = new BpeIdEncoder(lefts, rights, vocab)
+  override def nullSafeEval(input: Any): Any =
+    encoder.encodeDoc(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eRef = ctx.addReferenceObj("bpeIdEncoder", encoder,
+      classOf[BpeIdEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$eRef.encodeDoc($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
 }
 
 /** Codegen'd whole-document frozen-BPE token counter — the merge table

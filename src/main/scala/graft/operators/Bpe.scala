@@ -44,12 +44,22 @@ object Bpe {
   final case class Merge(left: String, right: String, cnt: Long)
 
   /** A trained, frozen BPE model: the ranked merge list (rank = list
-    * order) plus the share of corpus word mass the training vocabulary
-    * covered (1000 = the top-`maxVocab` election dropped nothing).
+    * order), the share of corpus word mass the training vocabulary
+    * covered (1000 = the top-`maxVocab` election dropped nothing), and
+    * the base character inventory of the training vocabulary (sorted
+    * ascending — the id-numbering base for [[tokenIds]]; empty when
+    * rehydrated from a merge table, which doesn't carry it).
     */
-  final case class BpeModel(merges: Seq[Merge], coveragePerMille: Long) {
+  final case class BpeModel(merges: Seq[Merge], coveragePerMille: Long,
+      chars: Seq[String] = Nil) {
     def lefts: Array[String] = merges.map(_.left).toArray
     def rights: Array[String] = merges.map(_.right).toArray
+    /** The id-numbered vocabulary: chars (sorted) get 0..C-1, merge
+      * products C..C+N-1 in rank order. A duplicate string keeps its
+      * minimum id; tokens outside this set encode as -1.
+      */
+    def vocabTokens: Array[String] =
+      (chars ++ merges.map(m => m.left + m.right)).toArray
   }
 
   /** A word's initial token list: its code points (NOT UTF-16 units —
@@ -134,7 +144,9 @@ object Bpe {
     val totalMass = wc.agg(sum(col("c"))).collect()(0).getLong(0)
     val topMass = top.iterator.map(_._2).sum
     val cov = if (totalMass == 0L) 1000L else topMass * 1000L / totalMass
-    BpeModel(trainMerges(top, nMerges), cov)
+    val chars = top.iterator.flatMap { case (w, _) => charTokens(w) }
+      .toSeq.distinct.sorted
+    BpeModel(trainMerges(top, nMerges), cov, chars)
   }
 
   /** The learned merge table as a relation:
@@ -145,6 +157,33 @@ object Bpe {
     model.merges.zipWithIndex
       .map { case (m, i) => (i + 1L, m.left, m.right, m.left + m.right, m.cnt) }
       .toDF("rank", "pair_left", "pair_right", "merged", "cnt")
+  }
+
+  /** The real tokenization artifact: `(id, pos, token_id)` — each
+    * document's frozen-BPE token-ID sequence in order (`pos` is the
+    * 0-based global token index). Ids number the model's vocabulary:
+    * base characters (sorted) then merge products in rank order;
+    * tokens outside the vocabulary encode as -1 (the audit signal that
+    * the training charset missed something). Empty/whitespace-only
+    * docs emit no rows.
+    *
+    * A stateless scan-side projection (ONE codegen'd call per document
+    * + a posexplode) — stream-capable like [[tokenCounts]]; this is
+    * the relation sequence packing and training shards consume.
+    */
+  def tokenIds(df: DataFrame, textCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
+    require(model.chars.nonEmpty,
+      "model carries no charset (rehydrated from a merge table?) — " +
+        "train with bpeTrain to number a vocabulary")
+    df.filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextKernelExprs.bpeTokenIds(
+          TextOps.words(col(textCol)), model.lefts, model.rights,
+          model.vocabTokens).as("_ids"))
+      .select(col("id"), posexplode(col("_ids")).as(Seq("pos", "token_id")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("token_id"))
   }
 
   /** Rehydrate a [[BpeModel]] from a persisted [[mergeTable]] relation

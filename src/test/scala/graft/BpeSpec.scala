@@ -82,6 +82,30 @@ class BpeSpec extends SparkSpec {
     assert(again == tc.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("tokenIds numbers chars then merges; unknown chars encode -1") {
+    // chars sorted: d=0 e=1 i=2 l=3 n=4 o=5 r=6 s=7 t=8 w=9;
+    // merges: es=10 est=11 lo=12 low=13
+    val model = Bpe.BpeModel(Seq(
+      Bpe.Merge("e", "s", 9L), Bpe.Merge("es", "t", 9L),
+      Bpe.Merge("l", "o", 7L), Bpe.Merge("lo", "w", 7L)), 1000L,
+      chars = Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w"))
+    val docs = Seq((1L, "low lower zap"), (2L, " ")).toDF("doc_id", "text")
+    val got = Bpe.tokenIds(docs, "text", "doc_id", model)
+      .as[(Long, Long, Long)].collect().toSet
+    // low -> [low]=13; lower -> [low,e,r]=[13,1,6]; zap -> 3 unknowns
+    assert(got == Set(
+      (1L, 0L, 13L), (1L, 1L, 13L), (1L, 2L, 1L), (1L, 3L, 6L),
+      (1L, 4L, -1L), (1L, 5L, -1L), (1L, 6L, -1L)))
+    // a trained model carries the charset and encodes with no unknowns
+    val corpus = Seq((1L, "low lower newest widest")).toDF("doc_id", "text")
+    val trained = Bpe.bpeTrain(corpus, "text", nMerges = 4)
+    assert(trained.chars == Seq("d", "e", "i", "l", "n", "o", "r", "s",
+      "t", "w"))
+    val ids = Bpe.tokenIds(corpus, "text", "doc_id", trained)
+      .as[(Long, Long, Long)].collect()
+    assert(ids.forall(_._3 >= 0L))
+  }
+
   test("mergeTable round-trips through parquet into an identical model") {
     val docs = Seq((1L, "low low lower newest widest newest"))
       .toDF("doc_id", "text")
