@@ -1447,6 +1447,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Tokenizer fertility per language (tokens/word — the multilingual
+    // tokenizer-fairness audit): frozen-BPE counts grouped by lang.
+    "q126_bpe_fertility" -> ((s, dir) => {
+      val all = ld(s, dir, "documents")
+      // nonempty-only, mirroring the oracle's per-doc join domain — an
+      // empty doc would otherwise count into n_docs on one side only
+      val docs = all.filter(
+        coalesce(length(trim(col("text"))), lit(0)) > 0)
+      val model = Bpe.bpeTrain(all, "text", nMerges = 6,
+        maxVocab = bpeMaxVocab)
+      Bpe.tokenCounts(docs, "text", "doc_id", model)
+        .join(docs.select(col("doc_id").cast("long").as("id"),
+          col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"),
+          expr("(n_tokens * 1000) div n_words").as("fertility_milli"))
+    }),
+
     // Domain audit (C4/RefinedWeb front gate): deterministic synthetic
     // URLs (the corpus has no url column — scheme/userinfo/port/path
     // variants by doc_id mod, replayed by BOTH engines), registrable-
@@ -3390,6 +3411,26 @@ object SparkEntry {
          |    ORDER BY f.widx, f.iidx) - 1)::BIGINT AS pos,
          |  coalesce(v.tid, -1)::BIGINT AS token_id
          |FROM flat f LEFT JOIN vid v ON v.tok = f.tok""".stripMargin,
+
+    // fertility: the q117 per-doc token-count replay grouped by lang
+    "q126_bpe_fertility" ->
+      s"""${bpeCtes(6, bpeMaxVocab)},
+         |tl AS (SELECT wd, len(toks)::BIGINT AS ntok FROM v6),
+         |dw AS (SELECT doc_id, unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+         |      AS wd
+         |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+         |dc AS (SELECT doc_id, wd, count(*)::BIGINT AS c
+         |  FROM dw GROUP BY 1, 2),
+         |per AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_words,
+         |    sum(dc.c * tl.ntok)::BIGINT AS n_tokens
+         |  FROM dc JOIN tl USING (wd) GROUP BY 1)
+         |SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |  sum(per.n_words)::BIGINT AS n_words,
+         |  sum(per.n_tokens)::BIGINT AS n_tokens,
+         |  (sum(per.n_tokens) * 1000 // sum(per.n_words))::BIGINT
+         |    AS fertility_milli
+         |FROM per JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin,
 
     // BPE pair counts: word-frequency-weighted adjacent char pairs of
     // the distinct vocabulary, global top-50
