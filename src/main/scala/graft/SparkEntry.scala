@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, Multimodal, RangeJoin, Rollup, Similarity, TextOps, UrlOps, Windows}
+import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, HtmlOps, Multimodal, RangeJoin, Rollup, Similarity, TextOps, UrlOps, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -1520,6 +1520,19 @@ object SparkEntry {
       Dedup.clusterSizeProfile(members, "cluster_id")
     }),
 
+    // HTML boilerplate extraction (jusText class) — the web pipeline's
+    // step 0: the corpus has no HTML column, so the query first wraps
+    // each doc's text in a deterministic page (head/title/script/style,
+    // all-link nav, %5 docs a link-farm sidebar with entities, %7 docs
+    // a 2-word shout block, all-link footer) — BOTH engines replay the
+    // synthesis — then the operator segments blocks, gates on word
+    // count + link density, and rebuilds the main text in page order.
+    "q127_html_extract" -> ((s, dir) => {
+      HtmlOps.extractMainText(withHtml(ld(s, dir, "documents")), "html",
+          "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -2036,6 +2049,39 @@ object SparkEntry {
           lit(":8080/x?q="), col("doc_id").cast("string")))
       .otherwise(concat(site, lit("/plain#frag")))
     docs.withColumn("url", url)
+  }
+
+  /** Deterministic synthetic HTML page for q127 — the corpus has no
+    * HTML column, so both engines replay the same page construction:
+    * head with title/style/script, an all-link nav, a link-farm
+    * sidebar with an `&amp;` entity on `doc_id % 5`, the doc's words
+    * re-wrapped as 12-word `<p>` blocks, a 2-word shout `<div>` on
+    * `doc_id % 7`, and an all-link footer.
+    */
+  private def withHtml(docs: DataFrame): DataFrame = {
+    val d1 = docs.withColumn("_hws", TextOps.words(col("text")))
+      .withColumn("_hnp",
+        expr("greatest(cast((size(_hws) + 11) div 12 as int), 1)"))
+    val paras = expr("array_join(transform(sequence(0, _hnp - 1), " +
+      "i -> concat('<p>', array_join(slice(_hws, i * 12 + 1, 12), ' '), " +
+      "'</p>')), '')")
+    val head = concat(lit("<html><head><title>doc "),
+      col("doc_id").cast("string"),
+      lit("</title><style>p{margin:0;}</style>" +
+        "<script>var x=1;</script></head><body>"))
+    val nav = lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about" +
+      "</a> <a href=\"/contact\">contact</a></nav>")
+    val side = when(col("doc_id") % 5 === 0,
+      lit("<div class=\"s\"><a href=\"/a\">tips &amp; tricks</a> " +
+        "<a href=\"/b\">hot deals</a> <a href=\"/c\">win big</a> now</div>"))
+      .otherwise(lit(""))
+    val shout = when(col("doc_id") % 7 === 0, lit("<div>buy now</div>"))
+      .otherwise(lit(""))
+    val footer = lit("<footer><a href=\"/terms\">terms of use</a> " +
+      "<a href=\"/privacy\">privacy policy</a> sitemap</footer>" +
+      "</body></html>")
+    d1.withColumn("html", concat(head, nav, side, paras, shout, footer))
+      .drop("_hws", "_hnp")
   }
 
   /** The q118/q121 URL synthesis + host + registrable-domain replay:
@@ -3842,6 +3888,84 @@ object SparkEntry {
          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
          |  (cluster_size * count(*))::BIGINT AS n_docs
          |FROM sz GROUP BY 1""".stripMargin,
+
+    // HTML boilerplate extraction: the q127 page synthesis replayed
+    // verbatim (12-word <p> blocks + nav/sidebar/shout/footer), then
+    // script/style/comment strip, block split at closing block tags,
+    // per-block tag-strip + entity decode, word/anchor-word counts,
+    // the minWords=3 / link-density<=500permille gates, and the
+    // in-order string_agg rebuild
+    "q127_html_extract" ->
+      s"""WITH hw AS (SELECT doc_id, string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         |      AS ws
+         |  FROM documents),
+         |hp AS (SELECT doc_id, array_to_string(list_transform(
+         |      range(0, greatest((len(ws) + 11) // 12, 1)),
+         |      i -> '<p>' || array_to_string(ws[i*12+1 : i*12+12], ' ')
+         |        || '</p>'), '') AS pb
+         |  FROM hw),
+         |hsyn AS (SELECT doc_id,
+         |    '<html><head><title>doc ' || doc_id ||
+         |    '</title><style>p{margin:0;}</style>' ||
+         |    '<script>var x=1;</script></head><body>' ||
+         |    '<nav><a href="/">home</a> <a href="/about">about' ||
+         |    '</a> <a href="/contact">contact</a></nav>' ||
+         |    CASE WHEN doc_id % 5 = 0 THEN
+         |      '<div class="s"><a href="/a">tips &amp; tricks</a> ' ||
+         |      '<a href="/b">hot deals</a> <a href="/c">win big</a> ' ||
+         |      'now</div>' ELSE '' END ||
+         |    pb ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '<div>buy now</div>'
+         |      ELSE '' END ||
+         |    '<footer><a href="/terms">terms of use</a> ' ||
+         |    '<a href="/privacy">privacy policy</a> sitemap</footer>' ||
+         |    '</body></html>' AS html
+         |  FROM hp),
+         |hb AS (SELECT doc_id, string_split(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(
+         |        regexp_replace(html,
+         |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?i)</(?:${HtmlOps.blockTags.mkString("|")})>', e'\\n', 'g'),
+         |      '(?i)<(?:br|hr)\\s*/?>', e'\\n', 'g'), e'\\n') AS blks
+         |  FROM hsyn),
+         |bl AS (SELECT doc_id, j AS pos, blks[j] AS raw
+         |  FROM hb, unnest(range(1, len(blks) + 1)) AS ub(j)),
+         |bt AS (SELECT doc_id, pos,
+         |    regexp_replace(trim(replace(replace(replace(replace(replace(
+         |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+         |      '&quot;', '"'), '&amp;', '&')), '\\s+', ' ', 'g') AS txt,
+         |    regexp_replace(trim(replace(replace(replace(replace(replace(
+         |      regexp_replace(coalesce(array_to_string(regexp_extract_all(raw,
+         |        '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+         |      '&quot;', '"'), '&amp;', '&')), '\\s+', ' ', 'g') AS atxt
+         |  FROM bl),
+         |bc AS (SELECT doc_id, pos, txt,
+         |    CASE WHEN length(txt) = 0 THEN 0
+         |      ELSE len(string_split(txt, ' ')) END AS nw,
+         |    CASE WHEN length(atxt) = 0 THEN 0
+         |      ELSE len(string_split(atxt, ' ')) END AS naw
+         |  FROM bt),
+         |keptb AS (SELECT doc_id, pos, txt, nw FROM bc
+         |  WHERE nw >= 3 AND naw * 1000 <= nw * 500),
+         |agg AS (SELECT doc_id,
+         |    string_agg(txt, e'\\n' ORDER BY pos) AS main_text,
+         |    count(*)::BIGINT AS n_kept, sum(nw)::BIGINT AS n_words
+         |  FROM keptb GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_blocks FROM bc
+         |  WHERE nw > 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.main_text, '') AS main_text,
+         |  coalesce(t.n_blocks, 0)::BIGINT AS n_blocks,
+         |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(a.n_words, 0)::BIGINT AS n_words
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN tot t USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // perplexity band gate: milli-nat entropy through the q64/q75
     // log-bucket qhist replay, per-lang p10/p90 lower bounds, keep the

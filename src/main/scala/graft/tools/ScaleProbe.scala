@@ -175,6 +175,18 @@ object ScaleProbe {
     // isolates the gram explode's map-side combine
     time("feature_shift")(TextOps.featureShift(docs, "text",
       isA = col("lang") === "en", isB = col("lang") =!= "en"))
+    // scan-side segmentation + gates; only kept block text reaches the
+    // per-doc reassembly shuffle — boilerplate (the nav/footer here)
+    // costs a counter, never bandwidth
+    time("html_extract") {
+      val pages = docs.withColumn("html", concat(
+        lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+          "<a href=\"/b\">contact</a></nav><p>"),
+        col("text"),
+        lit("</p><footer><a href=\"/t\">terms of use</a> " +
+          "<a href=\"/p\">privacy policy</a> sitemap</footer>")))
+      graft.operators.HtmlOps.extractMainText(pages, "html", "doc_id")
+    }
     // integer-exact training (bounded ≤buckets collect per epoch) +
     // frozen scan-side scoring
     time("perceptron") {
