@@ -1416,12 +1416,14 @@ object SparkEntry {
     }),
 
     // Full BPE merge loop (beyond q111's first step): 6 iterative
-    // merges trained on the bounded top-V word-count election, then
-    // the frozen encoder's real per-doc token counts (upgrading q53's
-    // char-class proxies to tokenizer counts).
+    // merges trained on the bounded top-V pretoken-count election,
+    // then the frozen encoder's real per-doc token counts. BYTE-LEVEL
+    // since round 10 (the GPT-2 tokenizer family): regex pre-split
+    // with space-prefixed words, UTF-8-byte base decomposition over
+    // the fixed 256-symbol vocabulary — encoding is total, no -1.
     "q117_bpe_encode" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
-      val model = Bpe.bpeTrain(docs, "text", nMerges = 6,
+      val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 6,
         maxVocab = bpeMaxVocab)
       Bpe.tokenCounts(docs, "text", "doc_id", model)
         .withColumnRenamed("id", "doc_id")
@@ -1430,18 +1432,20 @@ object SparkEntry {
     // The learned BPE merge table itself: rank, pair, merged token,
     // election-time corpus count — each merge chosen AFTER the prior
     // merges rewrote the vocabulary (q111 can only rank step 1).
+    // Byte-level pretokens (see q117).
     "q120_bpe_merges" -> ((s, dir) => {
-      val model = Bpe.bpeTrain(ld(s, dir, "documents"), "text",
+      val model = Bpe.bpeTrainBytes(ld(s, dir, "documents"), "text",
         nMerges = 6, maxVocab = bpeMaxVocab)
       Bpe.mergeTable(s, model)
     }),
 
     // The real tokenization artifact: per-doc frozen-BPE token-ID
-    // sequences (chars numbered sorted-asc, merges in rank order) —
-    // the relation packing/training shards consume.
+    // sequences — the relation packing/training shards consume.
+    // Byte-level numbering (GPT-2 convention): ids 0..255 ARE byte
+    // values, merge products 256..255+N in rank order; -1 impossible.
     "q125_bpe_token_ids" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
-      val model = Bpe.bpeTrain(docs, "text", nMerges = 6,
+      val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 6,
         maxVocab = bpeMaxVocab)
       Bpe.tokenIds(docs, "text", "doc_id", model)
         .withColumnRenamed("id", "doc_id")
@@ -1455,7 +1459,7 @@ object SparkEntry {
       // empty doc would otherwise count into n_docs on one side only
       val docs = all.filter(
         coalesce(length(trim(col("text"))), lit(0)) > 0)
-      val model = Bpe.bpeTrain(all, "text", nMerges = 6,
+      val model = Bpe.bpeTrainBytes(all, "text", nMerges = 6,
         maxVocab = bpeMaxVocab)
       Bpe.tokenCounts(docs, "text", "doc_id", model)
         .join(docs.select(col("doc_id").cast("long").as("id"),
@@ -2170,10 +2174,13 @@ object SparkEntry {
     */
   private def bpeCtes(nMerges: Int, maxVocab: Int): String = {
     val sb = new StringBuilder
+    // byte-level pretokens (round 10): the GPT-2-class regex pre-split,
+    // identical under RE2 and Java regex (no lookahead); the corpus is
+    // pure ASCII, so per-CHAR slicing below replays the operator's
+    // per-UTF-8-BYTE decomposition exactly
     sb.append(
-      s"""WITH wraw AS (SELECT unnest(string_split(
-         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-         |      AS wd
+      s"""WITH wraw AS (SELECT unnest(regexp_extract_all(text,
+         |      '${Bpe.preTokenPattern}', 0)) AS wd
          |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
          |wc AS (SELECT wd, count(*)::BIGINT AS wcnt FROM wraw GROUP BY 1),
          |wv AS (SELECT wd, wcnt, (row_number() OVER (
@@ -3377,9 +3384,8 @@ object SparkEntry {
     "q117_bpe_encode" ->
       s"""${bpeCtes(6, bpeMaxVocab)},
          |tl AS (SELECT wd, len(toks)::BIGINT AS ntok FROM v6),
-         |dw AS (SELECT doc_id, unnest(string_split(
-         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-         |      AS wd
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |      '${Bpe.preTokenPattern}', 0)) AS wd
          |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
          |dc AS (SELECT doc_id, wd, count(*)::BIGINT AS c
          |  FROM dw GROUP BY 1, 2),
@@ -3424,28 +3430,20 @@ object SparkEntry {
          |    AS share_permille, rank
          |FROM rk, tt WHERE rank <= 10""".stripMargin,
 
-    // token-ID replay: vocabulary numbering (distinct training chars
-    // sorted asc, then merge products rank-ordered, min id on a string
-    // tie), per-word token lists from the unrolled merge chain, global
-    // doc order via (word idx, within-word idx)
+    // token-ID replay under BYTE-LEVEL numbering (GPT-2 convention):
+    // a single-char token's id IS its byte value (ascii() — the corpus
+    // is pure ASCII so code point = UTF-8 byte), merge products take
+    // 256 + rank - 1 (min id on a string tie); per-pretoken token
+    // lists from the unrolled merge chain, global doc order via
+    // (pretoken idx, within-pretoken idx)
     "q125_bpe_token_ids" ->
       s"""${bpeCtes(6, bpeMaxVocab)},
-         |ch AS (SELECT DISTINCT cu AS tok FROM (
-         |    SELECT unnest(list_transform(range(1, length(wd) + 1),
-         |      ci -> wd[ci:ci])) AS cu
-         |    FROM wv WHERE intop)),
-         |chid AS (SELECT tok, row_number() OVER (ORDER BY tok ASC) - 1
-         |    AS tid FROM ch),
-         |mgid AS (SELECT tok, (SELECT count(*) FROM ch) + rank - 1 AS tid
+         |mgid AS (SELECT tok, min(255 + rank)::BIGINT AS tid
          |  FROM (${(1 to 6).map(k =>
              s"SELECT $k AS rank, a || b AS tok FROM m$k")
-             .mkString("\nUNION ALL ")})),
-         |vid AS (SELECT tok, min(tid)::BIGINT AS tid FROM (
-         |    SELECT tok, tid FROM chid
-         |    UNION ALL SELECT tok, tid FROM mgid) GROUP BY 1),
-         |tdoc AS (SELECT doc_id, string_split(
-         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
-         |      AS ws
+             .mkString("\nUNION ALL ")}) GROUP BY 1),
+         |tdoc AS (SELECT doc_id, regexp_extract_all(text,
+         |      '${Bpe.preTokenPattern}', 0) AS ws
          |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
          |dwo AS (SELECT doc_id, j AS widx, ws[j] AS wd
          |  FROM tdoc, unnest(range(1, len(ws) + 1)) AS uw(j)),
@@ -3455,16 +3453,16 @@ object SparkEntry {
          |SELECT f.doc_id,
          |  (row_number() OVER (PARTITION BY f.doc_id
          |    ORDER BY f.widx, f.iidx) - 1)::BIGINT AS pos,
-         |  coalesce(v.tid, -1)::BIGINT AS token_id
-         |FROM flat f LEFT JOIN vid v ON v.tok = f.tok""".stripMargin,
+         |  coalesce(CASE WHEN length(f.tok) = 1 THEN ascii(f.tok)
+         |    ELSE v.tid END, -1)::BIGINT AS token_id
+         |FROM flat f LEFT JOIN mgid v ON v.tok = f.tok""".stripMargin,
 
     // fertility: the q117 per-doc token-count replay grouped by lang
     "q126_bpe_fertility" ->
       s"""${bpeCtes(6, bpeMaxVocab)},
          |tl AS (SELECT wd, len(toks)::BIGINT AS ntok FROM v6),
-         |dw AS (SELECT doc_id, unnest(string_split(
-         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-         |      AS wd
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |      '${Bpe.preTokenPattern}', 0)) AS wd
          |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
          |dc AS (SELECT doc_id, wd, count(*)::BIGINT AS c
          |  FROM dw GROUP BY 1, 2),

@@ -218,15 +218,18 @@ object TextKernelExprs {
     GraftSqlBridge.column(
       DsirScore(GraftSqlBridge.expression(toks), buckets, lr))
 
-  def bpeTokenCount(toks: Column, lefts: Array[String],
-      rights: Array[String]): Column =
+  def bpeTokenCount(toks: Column, lefts: Seq[String],
+      rights: Seq[String], byteLevel: Boolean = false): Column =
     GraftSqlBridge.column(
-      BpeTokenCount(GraftSqlBridge.expression(toks), lefts, rights))
+      BpeTokenCount(GraftSqlBridge.expression(toks), lefts, rights,
+        byteLevel))
 
-  def bpeTokenIds(toks: Column, lefts: Array[String],
-      rights: Array[String], vocab: Array[String]): Column =
+  def bpeTokenIds(toks: Column, lefts: Seq[String],
+      rights: Seq[String], vocab: Seq[String],
+      byteLevel: Boolean = false): Column =
     GraftSqlBridge.column(
-      BpeTokenIds(GraftSqlBridge.expression(toks), lefts, rights, vocab))
+      BpeTokenIds(GraftSqlBridge.expression(toks), lefts, rights, vocab,
+        byteLevel))
 
   def dsirBuckets(toks: Column, buckets: Int): Column =
     GraftSqlBridge.column(
@@ -322,8 +325,8 @@ case class DsirScore(child: Expression, buckets: Int, lr: Array[Long])
   * unbounded vocabulary degrades to cold encoding, never to memory
   * growth.
   */
-final class BpeCounter(lefts: Array[String], rights: Array[String])
-    extends Serializable {
+final class BpeCounter(lefts: Array[String], rights: Array[String],
+    byteLevel: Boolean = false) extends Serializable {
   @transient private lazy val memo =
     new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
       override def initialValue() =
@@ -332,7 +335,8 @@ final class BpeCounter(lefts: Array[String], rights: Array[String])
   private val MaxMemo = 1 << 16
 
   private def encodeLen(w: String): Long = {
-    var toks = graft.operators.Bpe.charTokens(w)
+    var toks = if (byteLevel) graft.operators.Bpe.byteTokens(w)
+      else graft.operators.Bpe.charTokens(w)
     var k = 0
     while (k < lefts.length) {
       toks = graft.operators.Bpe.applyMerge(toks, lefts(k), rights(k))
@@ -372,7 +376,7 @@ final class BpeCounter(lefts: Array[String], rights: Array[String])
   * memo discipline as [[BpeCounter]].
   */
 final class BpeIdEncoder(lefts: Array[String], rights: Array[String],
-    vocab: Array[String]) extends Serializable {
+    vocab: Array[String], byteLevel: Boolean = false) extends Serializable {
   @transient private lazy val idMap = {
     val m = new java.util.HashMap[String, java.lang.Long]()
     var i = 0
@@ -390,7 +394,8 @@ final class BpeIdEncoder(lefts: Array[String], rights: Array[String],
   private val MaxMemo = 1 << 16
 
   private def encodeWord(w: String): Array[Long] = {
-    var toks = graft.operators.Bpe.charTokens(w)
+    var toks = if (byteLevel) graft.operators.Bpe.byteTokens(w)
+      else graft.operators.Bpe.charTokens(w)
     var k = 0
     while (k < lefts.length) {
       toks = graft.operators.Bpe.applyMerge(toks, lefts(k), rights(k))
@@ -440,8 +445,12 @@ final class BpeIdEncoder(lefts: Array[String], rights: Array[String],
   * tokenization artifact (what packing/training consume), flattened in
   * document order.
   */
-case class BpeTokenIds(child: Expression, lefts: Array[String],
-    rights: Array[String], vocab: Array[String]) extends UnaryExpression {
+case class BpeTokenIds(child: Expression, lefts: Seq[String],
+    rights: Seq[String], vocab: Seq[String], byteLevel: Boolean = false)
+    extends UnaryExpression {
+  // Seq (not Array) constructor params: case-class equality on arrays
+  // is reference-based, which would defeat canonicalization/CSE for two
+  // expressions built from the same model
   require(lefts.length == rights.length,
     s"merge table halves differ: ${lefts.length} vs ${rights.length}")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -450,7 +459,8 @@ case class BpeTokenIds(child: Expression, lefts: Array[String],
       s"expected array<string> input, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private lazy val encoder = new BpeIdEncoder(lefts, rights, vocab)
+  private lazy val encoder = new BpeIdEncoder(lefts.toArray, rights.toArray,
+    vocab.toArray, byteLevel)
   override def nullSafeEval(input: Any): Any =
     encoder.encodeDoc(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -467,8 +477,10 @@ case class BpeTokenIds(child: Expression, lefts: Array[String],
   * (the DsirScore pattern), so the encode loop never leaves the JVM
   * method and the distinct-word memo amortizes repeated words.
   */
-case class BpeTokenCount(child: Expression, lefts: Array[String],
-    rights: Array[String]) extends UnaryExpression {
+case class BpeTokenCount(child: Expression, lefts: Seq[String],
+    rights: Seq[String], byteLevel: Boolean = false)
+    extends UnaryExpression {
+  // Seq (not Array) params — see BpeTokenIds
   require(lefts.length == rights.length,
     s"merge table halves differ: ${lefts.length} vs ${rights.length}")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -477,7 +489,8 @@ case class BpeTokenCount(child: Expression, lefts: Array[String],
       s"expected array<string> input, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
-  private lazy val counter = new BpeCounter(lefts, rights)
+  private lazy val counter = new BpeCounter(lefts.toArray, rights.toArray,
+    byteLevel)
   override def nullSafeEval(input: Any): Any =
     TextKernelExprs.bpeTokenCountEval(input.asInstanceOf[ArrayData], counter)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -49,17 +49,62 @@ object Bpe {
     * the base character inventory of the training vocabulary (sorted
     * ascending — the id-numbering base for [[tokenIds]]; empty when
     * rehydrated from a merge table, which doesn't carry it).
+    * `byteLevel` models (from [[bpeTrainBytes]]) decompose pretokens
+    * into UTF-8 BYTES over the fixed 256-symbol [[byteVocab]] base —
+    * ids 0..255 are byte values, so NO input can ever encode to -1.
     */
   final case class BpeModel(merges: Seq[Merge], coveragePerMille: Long,
-      chars: Seq[String] = Nil) {
-    def lefts: Array[String] = merges.map(_.left).toArray
-    def rights: Array[String] = merges.map(_.right).toArray
-    /** The id-numbered vocabulary: chars (sorted) get 0..C-1, merge
-      * products C..C+N-1 in rank order. A duplicate string keeps its
-      * minimum id; tokens outside this set encode as -1.
+      chars: Seq[String] = Nil, byteLevel: Boolean = false) {
+    def lefts: Seq[String] = merges.map(_.left)
+    def rights: Seq[String] = merges.map(_.right)
+    /** The id-numbered vocabulary: chars (sorted; the 256 byte symbols
+      * for a byteLevel model) get 0..C-1, merge products C..C+N-1 in
+      * rank order. A duplicate string keeps its minimum id; tokens
+      * outside this set encode as -1 (impossible when byteLevel).
       */
-    def vocabTokens: Array[String] =
-      (chars ++ merges.map(m => m.left + m.right)).toArray
+    def vocabTokens: Seq[String] = chars ++ merges.map(m => m.left + m.right)
+  }
+
+  /** GPT-2-class pretokenization pattern, restricted to the
+    * lookahead-free regex subset RE2 and Java share so external engines
+    * replay it verbatim: letter runs, digit runs and punctuation runs
+    * each claim one optional leading space; residual whitespace runs
+    * are their own pretokens. (The original GPT-2 pattern's
+    * `\\s+(?!\\S)` lookahead — which splits the LAST space of an
+    * interior multi-space run onto the following word — is the one
+    * construct dropped; contractions ('s, 'll, …) fold into the
+    * punctuation-run branch.)
+    */
+  val preTokenPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretoken array column: case-preserving, spaces attach to the
+    * following word (the byte-level BPE convention, vs
+    * [[TextOps.words]]' lowercase whitespace split).
+    */
+  def preTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(text, lit(preTokenPattern), lit(0))
+
+  /** The fixed byte-level base vocabulary: 256 single-char strings,
+    * index = byte value (chars 128-255 use the latin-1 code point, the
+    * standard byte⇄char embedding).
+    */
+  val byteVocab: Seq[String] = (0 until 256).map(b => String.valueOf(b.toChar))
+
+  /** A pretoken's initial token list under a byteLevel model: its
+    * UTF-8 bytes, each embedded as the single char with that code
+    * point — every input decomposes into [[byteVocab]], so byte-level
+    * encoding is total (no out-of-charset -1).
+    */
+  private[graft] def byteTokens(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(((bytes(i) & 0xff)).toChar)
+      i += 1
+    }
+    out
   }
 
   /** A word's initial token list: its code points (NOT UTF-16 units —
@@ -96,9 +141,10 @@ object Bpe {
     * remains (every word fused to one token).
     */
   private[graft] def trainMerges(vocab: Seq[(String, Long)],
-      nMerges: Int): Seq[Merge] = {
+      nMerges: Int,
+      decompose: String => Array[String] = charTokens): Seq[Merge] = {
     var ws: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (charTokens(w), c) }.toArray
+      vocab.map { case (w, c) => (decompose(w), c) }.toArray
     val merges = Seq.newBuilder[Merge]
     var k = 0
     var dry = false
@@ -149,6 +195,31 @@ object Bpe {
     BpeModel(trainMerges(top, nMerges), cov, chars)
   }
 
+  /** Byte-level training (the GPT-2-class tokenizer family): pretokens
+    * from the [[preTokenPattern]] regex pre-split (case-preserving,
+    * space-prefixed words), initial decomposition into UTF-8 bytes
+    * over the fixed 256-symbol [[byteVocab]] base. Same bounded
+    * election + driver merge loop as [[bpeTrain]]; the resulting model
+    * encodes EVERY input with no out-of-charset -1 (any char's UTF-8
+    * bytes are all in the base).
+    */
+  def bpeTrainBytes(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 20): BpeModel = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val wc = df
+      .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
+      .select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top = wc.orderBy(col("c").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val totalMass = wc.agg(sum(col("c"))).collect()(0).getLong(0)
+    val topMass = top.iterator.map(_._2).sum
+    val cov = if (totalMass == 0L) 1000L else topMass * 1000L / totalMass
+    BpeModel(trainMerges(top, nMerges, byteTokens), cov, byteVocab,
+      byteLevel = true)
+  }
+
   /** The learned merge table as a relation:
     * `(rank, pair_left, pair_right, merged, cnt)`.
     */
@@ -176,11 +247,13 @@ object Bpe {
     require(model.chars.nonEmpty,
       "model carries no charset (rehydrated from a merge table?) — " +
         "train with bpeTrain to number a vocabulary")
+    val toks = if (model.byteLevel) preTokens(col(textCol))
+      else TextOps.words(col(textCol))
     df.filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(col(idCol).cast("long").as("id"),
         graft.functions.TextKernelExprs.bpeTokenIds(
-          TextOps.words(col(textCol)), model.lefts, model.rights,
-          model.vocabTokens).as("_ids"))
+          toks, model.lefts, model.rights,
+          model.vocabTokens, model.byteLevel).as("_ids"))
       .select(col("id"), posexplode(col("_ids")).as(Seq("pos", "token_id")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         col("token_id"))
@@ -194,14 +267,19 @@ object Bpe {
     * part of the table (it describes the training corpus, not the
     * model) and rehydrates as 1000.
     */
-  def fromMergeTable(table: DataFrame): BpeModel = {
+  def fromMergeTable(table: DataFrame,
+      byteLevel: Boolean = false): BpeModel = {
     val merges = table.select(col("rank").cast("long"),
         col("pair_left"), col("pair_right"), col("cnt").cast("long"))
       .collect()
       .sortBy(_.getLong(0))
       .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
-    BpeModel(merges, 1000L)
+    // a byteLevel model's base inventory is the FIXED byte vocabulary,
+    // so rehydration recovers the full id numbering (the char-level
+    // charset, by contrast, describes the training corpus and is not
+    // part of the table)
+    BpeModel(merges, 1000L, if (byteLevel) byteVocab else Nil, byteLevel)
   }
 
   /** Frozen-encoder token counts: `(id, n_words, n_tokens)` — one row
@@ -213,12 +291,15 @@ object Bpe {
   def tokenCounts(df: DataFrame, textCol: String, idCol: String,
       model: BpeModel): DataFrame = {
     val nonEmpty = coalesce(length(trim(col(textCol))), lit(0)) > 0
-    val toks = when(nonEmpty, TextOps.words(col(textCol)))
+    val split = if (model.byteLevel) preTokens(col(textCol))
+      else TextOps.words(col(textCol))
+    val toks = when(nonEmpty, split)
       .otherwise(array().cast("array<string>"))
     df.select(col(idCol).cast("long").as("id"), toks.as("_toks"))
       .select(col("id"), size(col("_toks")).cast("long").as("n_words"),
         graft.functions.TextKernelExprs
-          .bpeTokenCount(col("_toks"), model.lefts, model.rights)
+          .bpeTokenCount(col("_toks"), model.lefts, model.rights,
+            model.byteLevel)
           .as("n_tokens"))
   }
 }

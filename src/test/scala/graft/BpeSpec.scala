@@ -122,6 +122,79 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("byteTokens round-trips UTF-8 bytes; preTokens is GPT-2-class") {
+    // ASCII: one byte per char
+    assert(Bpe.byteTokens("low").toSeq == Seq("l", "o", "w"))
+    assert(Bpe.byteTokens(" a").toSeq == Seq(" ", "a"))
+    // non-ASCII decomposes into its UTF-8 bytes, all in [0,255] —
+    // re-assembling the byte values reconstructs the original string
+    val s = "café 中"
+    val toks = Bpe.byteTokens(s)
+    assert(toks.forall(t => t.length == 1 && t.charAt(0) < 256))
+    val bytes = toks.map(t => t.charAt(0).toByte)
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == s)
+    // every byte token is in the fixed base vocabulary at its own index
+    assert(Bpe.byteVocab.length == 256)
+    assert(toks.forall(t => Bpe.byteVocab(t.charAt(0).toInt) == t))
+    // pretokens: space attaches to the following word, case preserved
+    val pt = Seq(("a", "Key agg  row 12 x!y"))
+      .toDF("id", "t")
+      .select(Bpe.preTokens(col("t"))).as[Seq[String]].head()
+    assert(pt == Seq("Key", " agg", "  ", "row", " 12", " x", "!", "y"))
+  }
+
+  test("bpeTrainBytes: byte ids 0..255, merges 256+, no -1 on any input") {
+    val docs = Seq((1L, "low low lower newest widest newest"),
+      (2L, "café domainée")).toDF("doc_id", "text")
+    val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 4)
+    assert(model.byteLevel && model.chars == Bpe.byteVocab)
+    val ids = Bpe.tokenIds(docs, "text", "doc_id", model)
+      .as[(Long, Long, Long)].collect()
+    // total encoding: no -1 even for the non-ASCII doc outside the
+    // training word mass
+    assert(ids.forall(_._3 >= 0L))
+    // single-byte tokens carry their byte value as the id: doc 1's
+    // first pretoken "low" cannot start with an id >= 256 unless it
+    // was merged; all ids < 256 equal a byte of the input
+    val maxBase = ids.map(_._3).filter(_ < 256L)
+    assert(maxBase.forall(id => id >= 0L && id <= 255L))
+    // byte-level token counts: doc 1 pretokenizes to "low" + 5 space-
+    // prefixed words; n_tokens >= n_pretokens and <= byte length
+    val tc = Bpe.tokenCounts(docs, "text", "doc_id", model)
+      .as[(Long, Long, Long)].collect()
+    assert(tc.exists(r => r._1 == 1L && r._2 == 6L))
+    assert(tc.forall(r => r._3 >= r._2))
+  }
+
+  test("bpeTrainBytes merges can cross the space boundary (GPT-2 shape)") {
+    // " the" dominates: expect a merge chain that includes the
+    // space-prefixed pair (' ', 't') — the signature byte-level merge
+    val docs = Seq((1L, "the the the the the the")).toDF("doc_id", "text")
+    val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 3)
+    // merges: (h,e)=6, (t,he)=6, then the space-crossing (' ', the)=5
+    assert(model.merges.map(m => (m.left, m.right, m.cnt)) == Seq(
+      ("h", "e", 6L), ("t", "he", 6L), (" ", "the", 5L)))
+    // the trained encoder reproduces a driver-side replay
+    val ids = Bpe.tokenIds(docs, "text", "doc_id", model)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(ids.forall(_._3 >= 0L))
+  }
+
+  test("byte-level mergeTable round-trip recovers the full id numbering") {
+    val docs = Seq((1L, "low low lower newest widest newest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpeb").toString
+    Bpe.mergeTable(spark, model).write.mode("overwrite").parquet(dir)
+    val back = Bpe.fromMergeTable(spark.read.parquet(dir), byteLevel = true)
+    assert(back.byteLevel && back.chars == Bpe.byteVocab)
+    val a = Bpe.tokenIds(docs, "text", "doc_id", model)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Bpe.tokenIds(docs, "text", "doc_id", back)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.forall(_._3 >= 0L))
+  }
+
   test("bpeTrain top-V election bounds the vocabulary and reports coverage") {
     val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     val model = Bpe.bpeTrain(docs, "text", nMerges = 1, maxVocab = 2)
