@@ -1537,6 +1537,30 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Image near-dup: 64-bit perceptual dHash (9×8 nearest-neighbor
+    // grid, horizontal gradient bits) over synthesized payloads —
+    // text payloads take the deterministic stub-decode tier, so BOTH
+    // engines replay raster dims + byte sampling + bit packing — then
+    // Hamming pairs via the simhash pigeonhole banding. Every %4 doc
+    // gets a one-byte-perturbed copy (same length → same raster dims,
+    // few flipped gradient bits) so near-dup pairs exist at EVERY
+    // scale, not just where the corpus happens to carry exact dups.
+    // maxBucket = 0 is oracle-parity; production sets a cap.
+    "q128_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = ld(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val copies = base.filter(col("id") % 4 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text"))
+      val bin = Multimodal.synthesize(base.unionByName(copies), "text")
+        .select(col("id"), col("payload")).as[Multimodal.BinAsset]
+      val hashed = Multimodal.dHashAssets(bin).toDF()
+        .filter(col("dhash").isNotNull)
+      Dedup.hammingPairs(hashed, "dhash", "id", maxHamming = 3,
+        pieces = 4, maxBucket = 0)
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -3964,6 +3988,43 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // image near-dup: stub-decode dHash replay — stub raster dims from
+    // byte length, nearest-neighbor 9×8 sampling of the byte "raster"
+    // ((sy*W + sx) mod n), horizontal gradient bits packed little-
+    // endian into a HUGEINT, 16-bit pigeonhole segments, popcount-of-
+    // xor Hamming over candidate pairs (min per pair)
+    "q128_image_neardup" ->
+      s"""WITH asrc AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000000, 'z' || text[2:]
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |dsrc AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+         |    (64 + length(text) % 192)::BIGINT AS w,
+         |    (64 + (length(text)::BIGINT * 7) % 192)::BIGINT AS h
+         |  FROM asrc WHERE coalesce(length(text), 0) > 0),
+         |dbit AS (SELECT doc_id, b,
+         |    CASE WHEN
+         |      ascii(text[((((b // 8) * h // 8) * w
+         |          + ((b % 8) * w // 9)) % n + 1)::INT
+         |        : ((((b // 8) * h // 8) * w
+         |          + ((b % 8) * w // 9)) % n + 1)::INT])
+         |      < ascii(text[((((b // 8) * h // 8) * w
+         |          + (((b % 8) + 1) * w // 9)) % n + 1)::INT
+         |        : ((((b // 8) * h // 8) * w
+         |          + (((b % 8) + 1) * w // 9)) % n + 1)::INT])
+         |      THEN 1::HUGEINT << b ELSE 0::HUGEINT END AS pw
+         |  FROM dsrc, unnest(range(0, 64)) AS ub(b)),
+         |hsh AS (SELECT doc_id, sum(pw)::HUGEINT AS uh FROM dbit
+         |  GROUP BY 1),
+         |hsg AS (SELECT doc_id, ${DuckHash.toSigned("uh")} AS sh,
+         |    p, ((uh >> (p * 16)::INT) % 65536)::BIGINT AS segval
+         |  FROM hsh, unnest(range(0, 4)) AS up(p)),
+         |hpr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.sh, b.sh))::INT AS hamming
+         |  FROM hsg a JOIN hsg b
+         |    ON a.p = b.p AND a.segval = b.segval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, min(hamming)::INT AS hamming FROM hpr
+         |WHERE hamming <= 3 GROUP BY 1, 2""".stripMargin,
 
     // perplexity band gate: milli-nat entropy through the q64/q75
     // log-bucket qhist replay, per-lang p10/p90 lower bounds, keep the

@@ -128,11 +128,27 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, pieces: Int = 4,
+      maxBucket: Int = 1000): DataFrame =
+    hammingPairs(df.select(col(idCol).as("id"),
+        Hashing.simhash(col(textCol)).as("sh")),
+      "sh", "id", maxHamming, pieces, maxBucket)
+
+  /** Near-dup pairs of ANY precomputed 64-bit hash column within a
+    * Hamming radius — the candidate engine behind [[simhashPairs]]
+    * (text) and the q128 image near-dup (perceptual dHash,
+    * [[Multimodal.dHashAssets]]). Pigeonhole banding: the hash splits
+    * into `pieces` segments, two hashes within `maxHamming < pieces`
+    * bits share at least one exact segment, so an equi-join on
+    * (segment index, segment value) finds every true pair; `maxBucket`
+    * caps degenerate buckets (0 = uncapped, oracle-parity only).
+    */
+  def hammingPairs(
+      df: DataFrame, hashCol: String, idCol: String,
+      maxHamming: Int = 3, pieces: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < pieces, "pigeonhole needs maxHamming < pieces")
     val bitsPer = 64 / pieces
-    val hashed = df.select(col(idCol).as("id"),
-      Hashing.simhash(col(textCol)).as("sh"))
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val segs = capBuckets(hashed.select(col("id"), col("sh"), explode(array(
       (0 until pieces).map { p =>
         struct(lit(p).as("seg"),

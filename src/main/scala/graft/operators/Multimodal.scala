@@ -316,6 +316,88 @@ object Multimodal {
     }
   }
 
+  /** [[dHashAssets]] output row: the 64-bit perceptual difference hash
+    * (None for null/empty payloads, which have no pixel content).
+    */
+  final case class HashedAsset(id: Long, dhash: Option[Long],
+      real_decode: Boolean)
+
+  /** dHash grid: 8 rows of 8 horizontal comparisons over 9 sample
+    * columns — the standard 64-bit difference hash.
+    */
+  private val DhW = 9
+  private val DhH = 8
+
+  /** 64-bit perceptual difference hash (dHash): nearest-neighbor-sample
+    * the image to a 9×8 grayscale grid (integer luma
+    * `(77R + 151G + 28B) >> 8` — no float rounding ambiguity), then
+    * bit `y*8 + x` = 1 iff `luma(x,y) < luma(x+1,y)`. Two visually
+    * near-identical images differ in few bits, so Hamming distance is
+    * the image near-dup metric — feed the result to
+    * [[Dedup.hammingPairs]] (the simhash banding) for the pair join.
+    *
+    * Non-image payloads take the deterministic stub tier (same
+    * fallback contract as [[decodeAssets]]): the "raster" is the stub
+    * metadata's W×H grid whose pixel (sx, sy) is payload byte
+    * `(sy*W + sx) mod n` — sampled with the SAME nearest-neighbor
+    * indexing, so the whole stub hash is externally replayable in SQL
+    * (the q128 oracle). Null/empty payloads hash to None.
+    */
+  def dHashAssets(ds: Dataset[BinAsset],
+      batchSize: Int = 64): Dataset[HashedAsset] = {
+    implicit val enc: Encoder[HashedAsset] = Encoders.product[HashedAsset]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          readImage(a.payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              def luma(x: Int, y: Int): Int = {
+                val v = img.getRGB((x.toLong * w / DhW).toInt,
+                  (y.toLong * h / DhH).toInt)
+                (77 * ((v >>> 16) & 0xff) + 151 * ((v >>> 8) & 0xff) +
+                  28 * (v & 0xff)) >> 8
+              }
+              var hash = 0L
+              var y = 0
+              while (y < DhH) {
+                var x = 0
+                while (x < DhW - 1) {
+                  if (luma(x, y) < luma(x + 1, y))
+                    hash |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              HashedAsset(a.id, Some(hash), real_decode = true)
+            case None if a.payload == null || a.payload.isEmpty =>
+              HashedAsset(a.id, None, real_decode = false)
+            case None =>
+              val n = a.payload.length
+              val (_, w, h, _) = stubMeta(n.toLong)
+              def luma(x: Int, y: Int): Int = {
+                val sx = (x.toLong * w / DhW).toInt
+                val sy = (y.toLong * h / DhH).toInt
+                a.payload(((sy.toLong * w + sx) % n).toInt) & 0xff
+              }
+              var hash = 0L
+              var y = 0
+              while (y < DhH) {
+                var x = 0
+                while (x < DhW - 1) {
+                  if (luma(x, y) < luma(x + 1, y))
+                    hash |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              HashedAsset(a.id, Some(hash), real_decode = false)
+          }
+        }
+      }
+    }
+  }
+
   /** Size-aware repartitioning for heavy payload columns: target a fixed
     * number of payload bytes per partition so one task never holds
     * multi-GB of binaries (row counts are meaningless when asset sizes

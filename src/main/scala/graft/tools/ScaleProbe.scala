@@ -187,6 +187,19 @@ object ScaleProbe {
           "<a href=\"/p\">privacy policy</a> sitemap</footer>")))
       graft.operators.HtmlOps.extractMainText(pages, "html", "doc_id")
     }
+    // exact-copy replication gives every asset N identical dHashes:
+    // every pigeonhole segment bucket holds N copies — the banding
+    // worst case (probe runs the capped production path)
+    time("image_neardup") {
+      import spark.implicits._
+      val bin = docs.select(col("doc_id").as("id"),
+        col("text").cast("binary").as("payload"))
+        .as[graft.operators.Multimodal.BinAsset]
+      val hashed = graft.operators.Multimodal.dHashAssets(bin).toDF()
+        .filter(col("dhash").isNotNull)
+      graft.operators.Dedup.hammingPairs(hashed, "dhash", "id",
+        maxHamming = 3, pieces = 4, maxBucket = 1000)
+    }
     // integer-exact training (bounded ≤buckets collect per epoch) +
     // frozen scan-side scoring
     time("perceptron") {

@@ -131,6 +131,78 @@ class MultimodalSpec extends SparkSpec {
     assert(viaKernel == viaColumn)
   }
 
+  test("dHashAssets: real-image gradient bits match a pixel-level replay") {
+    // horizontal ramp: luma strictly increases left-to-right on every
+    // row, so ALL 64 gradient bits are 1 (luma(x,y) < luma(x+1,y))
+    val w = 18; val h = 16
+    val ramp = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      ramp.setRGB(x, y, 0xFF000000 | (x * 14 << 16) | (x * 14 << 8) |
+        (x * 14))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ramp, "png", bos)
+    val rampPng = bos.toByteArray
+    val got = Multimodal.dHashAssets(Seq(BinAsset(1L, rampPng)).toDS())
+      .collect().head
+    assert(got.real_decode && got.dhash.contains(-1L)) // all 64 bits set
+
+    // independent pixel-level replay of the fixture PNG's hash
+    val png = fixturePng()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    var expect = 0L
+    def luma(x: Int, y: Int): Int = {
+      val v = img.getRGB(x.toLong.toInt * img.getWidth / 9,
+        y * img.getHeight / 8)
+      (77 * ((v >>> 16) & 0xff) + 151 * ((v >>> 8) & 0xff) +
+        28 * (v & 0xff)) >> 8
+    }
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (luma(x, y) < luma(x + 1, y)) expect |= 1L << (y * 8 + x)
+    val fx = Multimodal.dHashAssets(Seq(BinAsset(2L, png)).toDS())
+      .collect().head
+    assert(fx.real_decode && fx.dhash.contains(expect))
+  }
+
+  test("dHashAssets: a one-pixel change moves few bits (near-dup shape)") {
+    val png = fixturePng(32, 32)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    img.setRGB(0, 0, 0xFFFFFFFF) // flip one corner pixel to white
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val near = bos.toByteArray
+    val hs = Multimodal.dHashAssets(
+      Seq(BinAsset(1L, png), BinAsset(2L, near)).toDS())
+      .collect().map(a => a.id -> a.dhash.get).toMap
+    val hamming = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    assert(hamming >= 1 && hamming <= 4) // one sampled cell, ≤2 bits/row
+    // and the pair survives the pigeonhole banding join
+    val pairs = graft.operators.Dedup.hammingPairs(
+      Seq((1L, hs(1L)), (2L, hs(2L))).toDF("id", "h"), "h", "id",
+      maxHamming = 4, pieces = 8, maxBucket = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, hamming)))
+  }
+
+  test("dHashAssets stub tier replays byte sampling; empty/null hash None") {
+    val payload = "abcdefghij".getBytes("UTF-8")
+    val n = payload.length
+    val w = 64 + n % 192; val h = 64 + (n * 7) % 192
+    var expect = 0L
+    def luma(x: Int, y: Int): Int =
+      payload(((y * h / 8).toLong * w + (x * w / 9)).toInt % n) & 0xff
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (luma(x, y) < luma(x + 1, y)) expect |= 1L << (y * 8 + x)
+    val got = Multimodal.dHashAssets(Seq(
+      BinAsset(1L, payload), BinAsset(2L, Array.empty[Byte]),
+      BinAsset(3L, null)).toDS())
+      .collect().map(a => a.id -> a).toMap
+    assert(!got(1L).real_decode && got(1L).dhash.contains(expect))
+    assert(got(2L).dhash.isEmpty && got(3L).dhash.isEmpty)
+  }
+
   test("partitionForPayloads sizes partitions by bytes, not rows") {
     val df = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("id", "text")
     val parts = Multimodal.partitionForPayloads(df,
