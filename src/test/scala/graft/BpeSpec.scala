@@ -67,7 +67,7 @@ class BpeSpec extends SparkSpec {
       .select(explode(graft.operators.TextOps.words(col("text"))).as("w"))
       .groupBy("w").count()
       .as[(String, Long)].collect().toSeq
-    val ref = Bpe.trainMerges(
+    val ref = Bpe.trainMergesRescan(
       wc.sortBy { case (w, c) => (-c, w) }, 4)
     assert(model.merges == ref)
     // token counts: n_tokens <= chars, >= n_words; deterministic rerun
@@ -120,6 +120,32 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.tokenCounts(docs, "text", "doc_id", back)
       .as[(Long, Long, Long)].collect().toSet
     assert(a == b)
+  }
+
+  test("incremental trainMerges ≡ full-rescan reference, deep merge runs") {
+    // the real corpus vocabulary, driven until the pair space is nearly
+    // exhausted — every election, delta update and re-appearing pair
+    // path gets exercised; both char- and byte-level decompositions
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val wc = docs.filter(coalesce(length(trim(col("text"))), lit(0)) > 0)
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    for (n <- Seq(1, 7, 40, 200)) {
+      assert(Bpe.trainMerges(wc, n) == Bpe.trainMergesRescan(wc, n),
+        s"divergence at nMerges=$n (char-level)")
+      assert(Bpe.trainMerges(wc, n, Bpe.byteTokens) ==
+        Bpe.trainMergesRescan(wc, n, Bpe.byteTokens),
+        s"divergence at nMerges=$n (byte-level)")
+    }
+    // overlap-heavy degenerate vocab: equal-halves runs and pairs that
+    // vanish then re-appear as neighbors fuse
+    val runs = Seq(("aaaa", 5L), ("aaab", 4L), ("baaa", 3L), ("abab", 2L),
+      ("bbbb", 2L), ("ab", 9L))
+    for (n <- 1 to 12)
+      assert(Bpe.trainMerges(runs, n) == Bpe.trainMergesRescan(runs, n),
+        s"divergence at nMerges=$n (runs)")
   }
 
   test("byteTokens round-trips UTF-8 bytes; preTokens is GPT-2-class") {
