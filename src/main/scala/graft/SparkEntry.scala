@@ -3424,7 +3424,8 @@ object SparkEntry {
     // per-domain content-fingerprint dup rate + token mass
     "q118_domain_stats" ->
       s"""$urlCtes,
-         |df2 AS (SELECT domain, $fpOfNt AS fp, nw FROM (
+         |df2 AS (SELECT domain,
+         |    coalesce($fpOfNt, -9223372036854775808) AS fp, nw FROM (
          |    SELECT domain,
          |      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt,
          |      CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0

@@ -40,7 +40,22 @@ object Tables {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
-      case LongType => expr("ts div 1000")
+      case LongType =>
+        // a BIGINT-read ts is only nanos when the parquet carried a
+        // TIMESTAMP(NANOS) logical type under the legacy flag — but a
+        // future regeneration could write plain-BIGINT MICROS, which
+        // this branch would silently divide by 1000 again. Sanity-check
+        // the magnitude against plausible epoch ranges (one tiny
+        // column agg on the rare legacy path) and fail LOUDLY on any
+        // unrecognized shape instead of shipping shifted timestamps.
+        val row = raw.agg(max(abs(col("ts")))).head()
+        val m = if (row.isNullAt(0)) 0L else row.getLong(0)
+        if (m == 0L || m >= 100000000000000000L) expr("ts div 1000")
+        else if (m >= 10000000000000L) col("ts")
+        else throw new IllegalStateException(
+          s"events.ts read as BIGINT with max |ts| = $m — neither a " +
+            "nanosecond (>= 1e17) nor a microsecond (>= 1e13) epoch; " +
+            "refusing to guess the unit")
       case _: TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
       case _ => unix_micros(col("ts"))
     }

@@ -54,7 +54,11 @@ object CorpusWriter {
         col("pack_offset"))
     df.join(plan, col(idCol).cast("long") === col("_plan_id"))
       .drop("_plan_id")
-      .withColumn("shard", (col("pack_id") / lit(1L << 40)).cast("long"))
+      // integer shift, not a double divide: FP division is exact only
+      // while pack_id < 2^53 (~8192 shards at the full 2^40 pack
+      // index); beyond that rows would silently land in the wrong
+      // shard directory
+      .withColumn("shard", shiftright(col("pack_id"), 40))
       .repartition(col(stratumCol), col("shard"))
       .sortWithinPartitions(col(stratumCol), col("shard"), col("pack_id"),
         col("pack_offset"), col(idCol))

@@ -1248,25 +1248,34 @@ object TextOps {
     * (the semDedup lesson); N/V ride a broadcast 1-row crossJoin.
     */
   def trigramLmScore(df: DataFrame, textCol: String, idCol: String,
-      isTrain: Column, alphaPerMille: Int = 500): DataFrame = {
+      isTrain: Column, alphaPerMille: Int = 500,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(alphaPerMille >= 1 && alphaPerMille <= 1000,
       s"alphaPerMille must be in [1, 1000], got $alphaPerMille")
+    // the count tables materialize once and feed multiple join
+    // branches; localCheckpoint blocks die with their executor, so a
+    // real cluster run passes `checkpointDir` for RELIABLE checkpoints
+    // (the connectedComponents/kmeansAssign contract — bound through
+    // the shared global-slot guard)
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    def mat(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
     val alpha = lit(alphaPerMille.toDouble / 1000.0)
     val base = df
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(col(idCol).cast("long").as("id"),
         isTrain.cast("boolean").as("_t"), words(col(textCol)).as("_toks"))
     val trainToks = base.filter(col("_t")).select(col("_toks"))
-    val t1 = trainToks.select(explode(col("_toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("_c1"))
-      .localCheckpoint()
+    val t1 = mat(trainToks.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c1")))
     val t2 = trainToks.filter(size(col("_toks")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("_toks")) - 1),
         i => struct(element_at(col("_toks"), i).as("a"),
           element_at(col("_toks"), i + 1).as("b")))).as("_g"))
       .select(col("_g.a").as("a"), col("_g.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_c2"))
-      .localCheckpoint()
+    val t2m = mat(t2)
     def triples(src: DataFrame, extraCols: Seq[Column]): DataFrame =
       src.filter(size(col("_toks")) >= 3)
         .select(extraCols :+ explode(transform(
@@ -1279,10 +1288,9 @@ object TextOps {
     // one trigram explode serves BOTH relations: the per-doc scoring
     // counts and (re-aggregated from them — sums of per-doc counts ≡
     // direct counts) the train model table; materialized once
-    val d3x = triples(base, Seq(col("id"), col("_t")))
+    val d3x = mat(triples(base, Seq(col("id"), col("_t")))
       .groupBy(col("id"), col("_t"), col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("_c"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("_c")))
     val t3 = d3x.filter(col("_t"))
       .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("_c")).as("_c3"))
@@ -1291,9 +1299,9 @@ object TextOps {
     val d3 = d3x.drop("_t")
     val joined = d3
       .join(t3, Seq("w1", "w2", "w3"), "left")
-      .join(t2.select(col("a").as("w1"), col("b").as("w2"),
+      .join(t2m.select(col("a").as("w1"), col("b").as("w2"),
         col("_c2").as("_c2a")), Seq("w1", "w2"), "left")
-      .join(t2.select(col("a").as("w2"), col("b").as("w3"),
+      .join(t2m.select(col("a").as("w2"), col("b").as("w3"),
         col("_c2").as("_c2b")), Seq("w2", "w3"), "left")
       .join(t1.select(col("w").as("w2"), col("_c1").as("_c1b")),
         Seq("w2"), "left")

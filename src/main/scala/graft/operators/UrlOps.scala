@@ -75,8 +75,13 @@ object UrlOps {
   def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame = {
     val nw = when(coalesce(length(trim(col(textCol))), lit(0)) === 0, lit(0L))
       .otherwise(size(TextOps.words(col(textCol))).cast("long"))
+    // null-text docs fingerprint to a sentinel rather than NULL:
+    // countDistinct skips NULLs, so an all-null-text domain would
+    // otherwise report n_unique=0 / dup_permille=1000 despite holding
+    // no duplicates (null text is its own one content class)
     df.select(domainOf(col(urlCol)).as("domain"),
-        Text.fingerprint(col(textCol)).as("_fp"), nw.as("_nw"))
+        coalesce(Text.fingerprint(col(textCol)),
+          lit(Long.MinValue)).as("_fp"), nw.as("_nw"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("_fp")).as("n_unique"),

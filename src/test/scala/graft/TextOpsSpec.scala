@@ -50,6 +50,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == (4L, 0L, 0L, None))
   }
 
+  test("trigramLmScore with a reliable checkpoint dir: same scores") {
+    // the connectedComponents checkpoint-parity pattern: identical
+    // output under reliable checkpointing, and the checkpoint data
+    // actually lands in the given directory (a cluster run survives
+    // executor loss — localCheckpoint blocks would die with it)
+    val df = Seq(
+      (1L, "a b c a b c", 1), (2L, "a b c x", 0), (3L, "c c a", 0),
+      (4L, "x y", 0)).toDF("doc_id", "text", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    val base = TextOps.trigramLmScore(df, "text", "doc_id",
+        isTrain = col("t") === 1)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val ckpt = TextOps.trigramLmScore(df, "text", "doc_id",
+        isTrain = col("t") === 1, checkpointDir = Some(dir))
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(ckpt == base)
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data in $dir")
+  }
+
   test("bigramLmScore matches a hand model; short docs carry null h") {
     val df = Seq(
       (1L, "a b a b"),     // bigrams: ab, ba, ab

@@ -44,6 +44,19 @@ class UrlOpsSpec extends SparkSpec {
       ("two.org", 1L, 1L, 0L, 1L)))
   }
 
+  test("domainStats: null-text docs count as one distinct content class") {
+    val df = Seq(
+      ("https://a.nul.com/1", null.asInstanceOf[String]),
+      ("https://b.nul.com/2", null.asInstanceOf[String]),
+      ("https://c.nul.com/3", "real words here")
+    ).toDF("url", "text")
+    val got = UrlOps.domainStats(df, "url", "text")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // two null-text docs are dups of EACH OTHER (one content class),
+    // not vanished: n_unique = 2 (null-class + the real doc), not 1
+    assert(got == Set(("nul.com", 3L, 2L, 333L, 3L)))
+  }
+
   test("blocklistFilter drops blocked registrable domains via broadcast anti join") {
     val df = Seq(
       ("https://spam.bad.com/x", 1L),
