@@ -1561,6 +1561,20 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Incremental exact-substring dedup: the new batch (doc_id % 5)
+    // grams check against the fingerprint HISTORY (doc_id % 3) plus
+    // first-occurrence election within the batch — the q103/q109
+    // continuous-ingestion contract at the substring tier. History
+    // joins fingerprint-only; spans merge like q116.
+    "q129_incremental_substring" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val hist = TextOps.substringFingerprints(
+        docs.filter(col("doc_id") % 3 === 0), "text", k = 8)
+      TextOps.incrementalSubstring(docs.filter(col("doc_id") % 5 === 0),
+          hist, "text", "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // C4 line-level cleaning: the corpus has no line structure, so the
     // query first restructures text deterministically (8-word lines,
     // every 3rd unterminated; %11 docs get a "Lorem Ipsum" line, %7
@@ -3989,6 +4003,54 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // incremental substring dedup: the q116 fingerprint chain over the
+    // history∪batch slices, history = distinct %3-doc gram fps, batch
+    // offsets dup when fp ∈ history OR rn > 1 within the batch, then
+    // the gaps-and-islands span merge per batch doc
+    "q129_incremental_substring" ->
+      s"""WITH it AS (SELECT doc_id,
+         |    string_split(${DuckHash.norm("coalesce(text, '')")}, ' ')
+         |      AS ws
+         |  FROM documents WHERE doc_id % 3 = 0 OR doc_id % 5 = 0),
+         |iw AS (SELECT doc_id, ws,
+         |    list_transform(ws, wx -> ${DuckHash.polyHash("wx")}) AS whs
+         |  FROM it),
+         |ig AS (SELECT doc_id, whs,
+         |    unnest(range(1, greatest(len(whs) - 7, 0) + 1)) AS off
+         |  FROM iw),
+         |iff AS (SELECT doc_id, off,
+         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+         |      whs[off:off+7]),
+         |      (gh, gc) -> (31 * gh + gc) % ${DuckHash.uStr}) AS fp
+         |  FROM ig),
+         |ih AS (SELECT DISTINCT fp FROM iff WHERE doc_id % 3 = 0),
+         |ib AS (SELECT doc_id, off, fp FROM iff WHERE doc_id % 5 = 0),
+         |ie AS (SELECT doc_id, off, fp, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id, off) AS rn FROM ib),
+         |id2 AS (SELECT ie.doc_id, ie.off FROM ie
+         |  LEFT JOIN (SELECT fp, 1 AS seen FROM ih) hh ON hh.fp = ie.fp
+         |  WHERE ie.rn > 1 OR hh.seen IS NOT NULL),
+         |ii1 AS (SELECT doc_id, off, CASE WHEN off - lag(off) OVER (
+         |      PARTITION BY doc_id ORDER BY off) <= 8 THEN 0
+         |    ELSE 1 END AS brk FROM id2),
+         |ii2 AS (SELECT doc_id, off, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY off
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM ii1),
+         |isp AS (SELECT doc_id, isl, min(off) AS s, max(off) AS e0,
+         |    count(*) AS nd FROM ii2 GROUP BY 1, 2),
+         |iper AS (SELECT doc_id, sum(nd)::BIGINT AS n_dup_grams,
+         |    count(*)::BIGINT AS n_spans,
+         |    sum(e0 - s + 8)::BIGINT AS dup_words
+         |  FROM isp GROUP BY 1)
+         |SELECT b.doc_id,
+         |  greatest(len(b.ws) - 7, 0)::BIGINT AS n_grams,
+         |  coalesce(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+         |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(p.dup_words, 0)::BIGINT AS dup_words
+         |FROM (SELECT doc_id, ws FROM it WHERE doc_id % 5 = 0) b
+         |LEFT JOIN iper p USING (doc_id)""".stripMargin,
 
     // image near-dup: stub-decode dHash replay — stub raster dims from
     // byte length, nearest-neighbor 9×8 sampling of the byte "raster"

@@ -485,6 +485,83 @@ object TextOps {
         coalesce(col("dup_words"), lit(0L)).as("dup_words"))
   }
 
+  /** The exact-substring tier's persistable HISTORY artifact: the
+    * distinct every-offset k-gram fingerprints of a corpus slice —
+    * 8 bytes per distinct gram, no text. A continuous-ingestion
+    * pipeline appends these for every retained document so later
+    * batches can run [[incrementalSubstring]] against history without
+    * rescanning it (the [[Dedup.minhashSignatures]] contract for the
+    * substring tier).
+    */
+  def substringFingerprints(df: DataFrame, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    df.select(explode(graft.functions.TextKernelExprs.gramPolyHashes(
+        words(coalesce(col(textCol), lit(""))), k)).as("fp"))
+      .distinct()
+  }
+
+  /** Incremental exact-substring dedup — [[Dedup.incrementalExact]]'s
+    * substring-tier analogue: the NEW batch's every-offset k-gram
+    * fingerprints check against the accumulated fingerprint HISTORY
+    * (plus first-occurrence election within the batch itself). An
+    * offset is duplicated when its gram appears in history (history
+    * blocks ALL batch occurrences, including the batch's first) or
+    * earlier in the batch; duplicated offsets merge into maximal spans
+    * exactly like [[substringDupStats]]. Output shape matches the
+    * batch tier: `(id, n_grams, n_dup_grams, n_spans, dup_words)`.
+    *
+    * Shape for scale: history joins as a fingerprint-keyed hash
+    * equi-join (8-byte rows, never text, deliberately NOT broadcast —
+    * a 100 TB history's gram set is itself huge); the batch-internal
+    * election windows only over batch grams. Appending the kept
+    * batch's [[substringFingerprints]] to history preserves the
+    * cross-batch invariant.
+    */
+  def incrementalSubstring(batch: DataFrame, historyFp: DataFrame,
+      textCol: String, idCol: String, k: Int = 8,
+      fpCol: String = "fp"): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextKernelExprs.gramPolyHashes(
+        words(coalesce(col(textCol), lit(""))), k).as("_fps"))
+    val occ = base.select(col("id"),
+        posexplode(col("_fps")).as(Seq("_p", "_fp")))
+      .select(col("id"), (col("_p") + 1).cast("long").as("off"),
+        col("_fp"))
+    val hist = historyFp.select(col(fpCol).cast("long").as("_fp"))
+      .distinct().withColumn("_seen", lit(1))
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col("id"), col("off"))
+    val dup = occ.withColumn("_rn", row_number().over(wElect))
+      .join(hist, Seq("_fp"), "left")
+      .filter(col("_rn") > 1 || col("_seen").isNotNull)
+      .select(col("id"), col("off"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("off"))
+    val isl = dup
+      .withColumn("_brk",
+        when(col("off") - lag(col("off"), 1).over(wDoc) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val spans = isl.groupBy(col("id"), col("_isl"))
+      .agg(min(col("off")).as("_s"), max(col("off")).as("_e"),
+        count(lit(1)).as("_nd"))
+    val per = spans.groupBy(col("id"))
+      .agg(sum(col("_nd")).as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s") + k).as("dup_words"))
+    base.select(col("id"), size(col("_fps")).cast("long").as("n_grams"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+  }
+
   /** Execute the exact-substring dedup: rebuild each document with the
     * duplicated maximal spans REMOVED — every word position covered by
     * a duplicated k-gram span drops; the corpus-wide first occurrence

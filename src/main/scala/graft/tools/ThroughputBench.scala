@@ -162,6 +162,14 @@ object ThroughputBench {
     val bpeDps = driveDocs(in =>
       graft.operators.Bpe.tokenCounts(in.toDF(), "text", "doc_id", bpe))
 
+    // the token-ID artifact itself on a stream (byte-level model):
+    // stateless encode + posexplode — emits ~100 rows per doc, the
+    // heaviest output shape of the frozen scorers
+    val bpeBytes = graft.operators.Bpe.bpeTrainBytes(docsStatic, "text",
+      nMerges = 8)
+    val bpeIdsDps = driveDocs(in =>
+      graft.operators.Bpe.tokenIds(in.toDF(), "text", "doc_id", bpeBytes))
+
     println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
       s""""cores":$cpus,"n_events":${events.length},""" +
       s""""stateless":${statelessEps.round},""" +
@@ -175,7 +183,9 @@ object ThroughputBench {
       s""""sample_rates_docs":${ratesDps.round},""" +
       s""""sample_rates_docs_per_core":${(ratesDps / cpus).round},""" +
       s""""bpe_encode_docs":${bpeDps.round},""" +
-      s""""bpe_encode_docs_per_core":${(bpeDps / cpus).round}}""")
+      s""""bpe_encode_docs_per_core":${(bpeDps / cpus).round},""" +
+      s""""bpe_token_ids_docs":${bpeIdsDps.round},""" +
+      s""""bpe_token_ids_docs_per_core":${(bpeIdsDps / cpus).round}}""")
     ss.stop()
   }
 }

@@ -621,6 +621,44 @@ class TextOpsSpec extends SparkSpec {
       s"got ${sub(2L)}: expected one 35-word maximal span")
   }
 
+  test("incrementalSubstring: history blocks ALL batch occurrences") {
+    // history carries a 12-word block; batch doc 10 embeds it verbatim
+    // (its FIRST batch occurrence still flags — history blocks), batch
+    // doc 11 repeats doc 10's fresh tail (batch-internal election:
+    // first occurrence in doc 10 survives, doc 11's copy flags)
+    val histBlock = (1 to 12).map("h" + _).mkString(" ")
+    val freshTail = (1 to 10).map("f" + _).mkString(" ")
+    val hist = TextOps.substringFingerprints(
+      Seq((1L, histBlock)).toDF("doc_id", "text"), "text", k = 8)
+    val batch = Seq(
+      (10L, histBlock + " " + freshTail),
+      (11L, (1 to 9).map("x" + _).mkString(" ") + " " + freshTail)
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalSubstring(batch, hist, "text",
+        "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 10: 22 words -> 15 grams; grams fully inside the hist block
+    // = offsets 1..5 (5 grams) -> one span covering words 1..12
+    assert(got(10L) == ((10L, 15L, 5L, 1L, 12L)), s"got ${got(10L)}")
+    // doc 11: 19 words -> 12 grams; the freshTail 10-word run's grams
+    // (offsets 10..12, 3 grams over words 10..19) dup against doc 10's
+    // first occurrence -> one 10-word span
+    assert(got(11L) == ((11L, 12L, 3L, 1L, 10L)), s"got ${got(11L)}")
+    // append invariant: adding the batch's fingerprints to history and
+    // re-running the SAME batch flags every gram (everything seen)
+    val hist2 = hist.union(TextOps.substringFingerprints(batch, "text",
+      k = 8)).distinct()
+    val again = TextOps.incrementalSubstring(batch, hist2, "text",
+        "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.forall(r => r._3 == r._2), s"got ${again.toSeq}")
+    // partitioning independence
+    val re = TextOps.incrementalSubstring(batch.repartition(7), hist,
+        "text", "doc_id", k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
+
   test("substringDupStats merges abutting gram intervals; repeats within one doc count") {
     // doc 1 repeats its own 8-word block back-to-back: the second block
     // duplicates the first (within-document), and the two dup
