@@ -268,6 +268,31 @@ object TrainingDataPipeline {
     println(s"STAGE corpus_write    split_rows=$wrote " +
       s"packed_rows=$wrotePacked dir=$outRoot")
 
+    // 8. the DATA CARD: every audit relation this pipeline printed,
+    // shipped WITH the corpus as one section-partitioned parquet —
+    // the machine-readable provenance record a consumer diffs between
+    // corpus versions (audit-to-artifact, not just stdout)
+    val fertility = Bpe.tokenCounts(tempered, "text", "doc_id", bpeModel)
+      .join(tempered.select(col("doc_id").cast("long").as("id"),
+        col("lang")), Seq("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+    val clusterHist = Dedup.clusterSizeProfile(
+      members.select(col("cluster_id")), "cluster_id")
+    CorpusWriter.writeDataCard(Seq(
+      ("lang_profile", profile),
+      ("domain_stats", UrlOps.domainStats(withUrl, "url", "text")),
+      ("cluster_sizes", clusterHist),
+      ("tokenizer_fertility", fertility),
+      ("split_sizes", splits.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs")))),
+      s"$outRoot/data_card")
+    val cardSections = spark.read.parquet(s"$outRoot/data_card")
+      .select(col("section")).distinct().count()
+    val cardRows = spark.read.parquet(s"$outRoot/data_card").count()
+    println(s"STAGE data_card       sections=$cardSections rows=$cardRows")
+
     println("PIPELINE-DONE")
     spark.stop()
   }

@@ -65,4 +65,42 @@ object CorpusWriter {
       .write.partitionBy(stratumCol, "shard")
       .mode("overwrite").parquet(outDir)
   }
+
+  /** The machine-readable DATA CARD that ships with a curated corpus:
+    * every audit relation the pipeline produced (domain stats, cluster
+    * histograms, per-language fertility, sketch profiles, …)
+    * normalized into ONE long-format relation `(section, entity,
+    * metric, value)` and written as parquet partitioned by section —
+    * the audit-to-artifact last mile. Each section DataFrame
+    * contributes: `entity` = its first column as a string key, one row
+    * per remaining column with `metric` = the column name and `value`
+    * = the value rendered as a string (exact integer text for
+    * integrals — downstream diffs two cards textually).
+    *
+    * Scale shape: the melt is a scan-side explode of column literals;
+    * one shuffle keyed by section, task-local sort, one file per
+    * section dir (audit relations are aggregate-sized — a section is
+    * at most the cardinality of its group-by key).
+    */
+  def writeDataCard(sections: Seq[(String, DataFrame)],
+      outDir: String): Unit = {
+    require(sections.nonEmpty, "data card needs at least one section")
+    val long = sections.map { case (name, df) =>
+      val cols = df.columns
+      require(cols.length >= 2,
+        s"section '$name' needs a key column + at least one metric, " +
+          s"got ${cols.mkString(",")}")
+      df.select(lit(name).as("section"),
+          coalesce(col(cols.head).cast("string"), lit("")).as("entity"),
+          explode(array(cols.tail.map(c =>
+            struct(lit(c).as("m"),
+              col(c).cast("string").as("v"))): _*)).as("_mv"))
+        .select(col("section"), col("entity"),
+          col("_mv.m").as("metric"), col("_mv.v").as("value"))
+    }.reduce(_ unionByName _)
+    long.repartition(col("section"))
+      .sortWithinPartitions(col("section"), col("entity"), col("metric"))
+      .write.partitionBy("section")
+      .mode("overwrite").parquet(outDir)
+  }
 }

@@ -84,4 +84,34 @@ class CorpusWriterSpec extends SparkSpec {
         col("shard").cast("long")).count()
     assert(badShard == 0L)
   }
+
+  test("writeDataCard melts heterogeneous audits into section dirs") {
+    val out = tmpDir("card")
+    val langStats = Seq(("en", 10L, 950L), ("de", 4L, 380L))
+      .toDF("lang", "n_docs", "n_words")
+    val hist = Seq((1L, 90L), (2L, 5L)).toDF("cluster_size", "n_clusters")
+    CorpusWriter.writeDataCard(Seq(
+      ("lang_profile", langStats), ("cluster_sizes", hist)), out)
+    // on-disk evidence: one dir per section, exactly one parquet each
+    assert(subdirs(out) == Set("section=lang_profile",
+      "section=cluster_sizes"))
+    assert(parquetFiles(s"$out/section=lang_profile").size == 1)
+    // the melt: one row per (entity, non-key column), values as exact
+    // integer text, ordered (entity, metric) within the section file
+    val langRows = spark.read
+      .parquet(parquetFiles(s"$out/section=lang_profile").head)
+      .select("entity", "metric", "value")
+      .as[(String, String, String)].collect().toSeq
+    assert(langRows == Seq(
+      ("de", "n_docs", "4"), ("de", "n_words", "380"),
+      ("en", "n_docs", "10"), ("en", "n_words", "950")))
+    val all = spark.read.parquet(out)
+    assert(all.count() == 2 * 2 + 2 * 1)
+    // a single-column section has no metrics to melt: loud error
+    val e = intercept[IllegalArgumentException] {
+      CorpusWriter.writeDataCard(
+        Seq(("bad", Seq("x").toDF("only"))), tmpDir("card2"))
+    }
+    assert(e.getMessage.contains("needs a key column"))
+  }
 }
