@@ -1561,6 +1561,30 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // PII scrub (the privacy step every public-corpus pipeline runs):
+    // the corpus carries no PII, so the query first injects
+    // deterministic email/IP/phone/SSN snippets by doc_id mod — BOTH
+    // engines replay the injection — then the operator counts each
+    // category at its sequential redaction stage and rebuilds the
+    // redacted text. Zero shuffle: one codegen'd scan projection.
+    "q130_pii_scrub" -> ((s, dir) => {
+      val withPii = ld(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" server 10.2."),
+          (col("doc_id") % 200).cast("string"), lit(".7 up")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" call 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" today"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" id 123-45-6789 end"))
+          .otherwise(lit(""))))
+      graft.operators.Pii.scrub(withPii, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Incremental exact-substring dedup: the new batch (doc_id % 5)
     // grams check against the fingerprint HISTORY (doc_id % 3) plus
     // first-occurrence election within the batch — the q103/q109
@@ -4003,6 +4027,43 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // PII scrub: injection replay + the same four RE2/Java-common
+    // patterns applied sequentially (email -> ssn -> ipv4 -> phone),
+    // counts via regexp_extract_all at each stage's input
+    "q130_pii_scrub" ->
+      s"""WITH pps AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+         |      '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' server 10.2.' ||
+         |      (doc_id % 200) || '.7 up' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-010-' ||
+         |      lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789 end'
+         |      ELSE '' END AS t
+         |  FROM documents),
+         |ps1 AS (SELECT doc_id,
+         |    len(regexp_extract_all(t, '${graft.operators.Pii.emailRe}'))
+         |      ::BIGINT AS n_emails,
+         |    regexp_replace(t, '${graft.operators.Pii.emailRe}',
+         |      '<EMAIL>', 'g') AS r FROM pps),
+         |ps2 AS (SELECT doc_id, n_emails,
+         |    len(regexp_extract_all(r, '${graft.operators.Pii.ssnRe}'))
+         |      ::BIGINT AS n_ssns,
+         |    regexp_replace(r, '${graft.operators.Pii.ssnRe}',
+         |      '<SSN>', 'g') AS r FROM ps1),
+         |ps3 AS (SELECT doc_id, n_emails, n_ssns,
+         |    len(regexp_extract_all(r, '${graft.operators.Pii.ipv4Re}'))
+         |      ::BIGINT AS n_ips,
+         |    regexp_replace(r, '${graft.operators.Pii.ipv4Re}',
+         |      '<IP>', 'g') AS r FROM ps2)
+         |SELECT doc_id, n_emails, n_ssns, n_ips,
+         |  len(regexp_extract_all(r, '${graft.operators.Pii.phoneRe}'))
+         |    ::BIGINT AS n_phones,
+         |  regexp_replace(r, '${graft.operators.Pii.phoneRe}',
+         |    '<PHONE>', 'g') AS text_redacted
+         |FROM ps3""".stripMargin,
 
     // incremental substring dedup: the q116 fingerprint chain over the
     // history∪batch slices, history = distinct %3-doc gram fps, batch

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction — the privacy scrub every public-corpus
+  * curation pipeline runs before training (the C4/RefinedWeb class of
+  * regex-tier PII handling: emails, US-SSN-shaped ids, IPv4 addresses,
+  * phone numbers). Patterns stay inside the RE2/Java-common regex
+  * subset (no lookahead, ASCII `\b`/`\d`), so external engines replay
+  * detection AND redaction verbatim (the q130 oracle).
+  *
+  * Redaction is SEQUENTIAL — email → ssn → ipv4 → phone — and each
+  * category's count is taken against ITS stage's input, so a string
+  * never double-counts across categories (an IPv4's digit run would
+  * otherwise also match the phone pattern; redacting it first removes
+  * the ambiguity deterministically).
+  *
+  * Scale shape: one scan-side projection of chained
+  * `regexp_count`/`regexp_replace` — codegen'd, zero shuffle, stream-
+  * capable like every frozen scorer. At 100 TB this is a pure map over
+  * the corpus scan.
+  */
+object Pii {
+
+  /** RFC-loose email (the practical crawler pattern). */
+  val emailRe: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** US-SSN-shaped `ddd-dd-dddd` with word boundaries. */
+  val ssnRe: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Dotted-quad IPv4 (1-3 digit octets, boundary-guarded). */
+  val ipv4Re: String =
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Phone: 8-16 digits with optional single separators (space, dot,
+    * dash, parens) and an optional leading `+` — the lookahead-free
+    * digit-repetition form, so RE2 and Java agree.
+    */
+  val phoneRe: String =
+    "\\+?[0-9](?:[\\s().-]?[0-9]){7,15}"
+
+  val EmailTok = "<EMAIL>"
+  val SsnTok = "<SSN>"
+  val IpTok = "<IP>"
+  val PhoneTok = "<PHONE>"
+
+  /** Per-document scrub: `(id, n_emails, n_ssns, n_ips, n_phones,
+    * text_redacted)` — counts per category (at that category's
+    * redaction stage) and the fully redacted text. Null text yields
+    * zeros and `''`.
+    */
+  def scrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t0: Column = coalesce(col(textCol), lit(""))
+    val r1 = regexp_replace(t0, emailRe, EmailTok)
+    val r2 = regexp_replace(r1, ssnRe, SsnTok)
+    val r3 = regexp_replace(r2, ipv4Re, IpTok)
+    val r4 = regexp_replace(r3, phoneRe, PhoneTok)
+    df.select(col(idCol).cast("long").as("id"),
+      regexp_count(t0, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(r1, lit(ssnRe)).cast("long").as("n_ssns"),
+      regexp_count(r2, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(r3, lit(phoneRe)).cast("long").as("n_phones"),
+      r4.as("text_redacted"))
+  }
+
+  /** Corpus-level PII audit: total and affected-doc counts per
+    * category — the data-card row. One hash aggregation over the
+    * scrub projection.
+    */
+  def stats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    scrub(df, textCol, idCol)
+      .agg(sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ssns")).as("n_ssns"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_phones")).as("n_phones"),
+        count(when(col("n_emails") + col("n_ssns") + col("n_ips") +
+          col("n_phones") > 0, lit(1))).as("n_docs_with_pii"),
+        count(lit(1)).as("n_docs"))
+}
