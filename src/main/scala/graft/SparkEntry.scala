@@ -1561,6 +1561,19 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Classifier calibration: the integer-exact confusion table +
+    // per-mille precision/recall/F1 at each margin threshold for the
+    // q115 frozen perceptron — the table that picks a quality gate's
+    // operating point before it ships.
+    "q131_classifier_calibration" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = Classifier.perceptronTrain(docs, "text", "doc_id",
+        label = col("source") === "src0", buckets = 1024, epochs = 2)
+      Classifier.calibrationReport(docs, "text", "doc_id",
+        label = col("source") === "src0", model,
+        thresholds = Seq(-80000L, -60000L, -45000L, -30000L, -15000L, 0L))
+    }),
+
     // PII scrub (the privacy step every public-corpus pipeline runs):
     // the corpus carries no PII, so the query first injects
     // deterministic email/IP/phone/SSN snippets by doc_id mod — BOTH
@@ -2282,7 +2295,7 @@ object SparkEntry {
     sb.toString
   }
 
-  private lazy val perceptronOracle: String = {
+  private lazy val perceptronCtes: String = {
     val bucket = s"((${DuckHash.mix(s"(${DuckHash.polyHash("w")})")}) " +
       ">> 12) % 1024"
     s"""WITH t AS (SELECT doc_id,
@@ -2307,13 +2320,16 @@ object SparkEntry {
        |  FROM w1 LEFT JOIN g2 USING (bucket)),
        |sc AS (SELECT dc.doc_id, sum(dc.cnt)::BIGINT AS n_feats,
        |    sum(dc.cnt * w2.wt)::BIGINT AS margin
-       |  FROM dc JOIN w2 USING (bucket) GROUP BY 1)
+       |  FROM dc JOIN w2 USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val perceptronOracle: String =
+    s"""$perceptronCtes
        |SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
        |  coalesce(sc.margin, 0)::BIGINT AS margin,
        |  (CASE WHEN coalesce(sc.margin, 0) > 0 THEN 1 ELSE 0 END)::INT
        |    AS predicted
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
-  }
 
   private lazy val q74Oracle: String =
     s"""$kmeansCtes
@@ -4027,6 +4043,36 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // classifier calibration: the q115 training chain's margins + the
+    // src0 labels, cross-joined with the threshold list, integer
+    // confusion sums and per-mille cross-multiplied P/R/F1
+    "q131_classifier_calibration" ->
+      s"""$perceptronCtes,
+         |lab AS (SELECT d.doc_id,
+         |    (d.source = 'src0') AS y,
+         |    coalesce(sc.margin, 0)::BIGINT AS m
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |thr AS (SELECT unnest([-80000, -60000, -45000, -30000, -15000, 0])
+         |    ::BIGINT AS threshold),
+         |cf AS (SELECT t.threshold,
+         |    sum(CASE WHEN l.m > t.threshold AND l.y THEN 1
+         |      ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN l.m > t.threshold AND NOT l.y THEN 1
+         |      ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN l.m <= t.threshold AND l.y THEN 1
+         |      ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN l.m <= t.threshold AND NOT l.y THEN 1
+         |      ELSE 0 END)::BIGINT AS tn
+         |  FROM lab l CROSS JOIN thr t GROUP BY 1)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  (tp * 1000 // greatest(tp + fp, 1))::BIGINT
+         |    AS precision_permille,
+         |  (tp * 1000 // greatest(tp + fn, 1))::BIGINT
+         |    AS recall_permille,
+         |  (2 * tp * 1000 // greatest(2 * tp + fp + fn, 1))::BIGINT
+         |    AS f1_permille
+         |FROM cf""".stripMargin,
 
     // PII scrub: injection replay + the same four RE2/Java-common
     // patterns applied sequentially (email -> ssn -> ipv4 -> phone),

@@ -130,4 +130,48 @@ object Classifier {
       .select(col("id"), col("n_feats"), col("margin"),
         (col("margin") > 0).cast("int").as("predicted"))
   }
+
+  /** Calibration report for a frozen classifier: the integer-exact
+    * confusion table and derived per-mille precision/recall/F1 at each
+    * margin threshold — the table that picks the operating point
+    * before a quality gate ships (predicted positive = `margin >
+    * threshold`, matching [[perceptronScore]]'s `predicted` at
+    * threshold 0). Output: `(threshold, tp, fp, fn, tn,
+    * precision_permille, recall_permille, f1_permille)`, one row per
+    * threshold; empty-denominator cells report 0 (integer
+    * cross-multiply everywhere, no division by zero, no doubles).
+    *
+    * Shape for scale: one stateless scoring scan, a per-threshold
+    * explode of a literal array (≤ dozens of rows per doc), one hash
+    * aggregation to |thresholds| rows. No broadcast of anything
+    * corpus-sized.
+    */
+  def calibrationReport(df: DataFrame, textCol: String, idCol: String,
+      label: Column, model: PerceptronModel,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val scored = perceptronScore(df, textCol, idCol, model)
+      .join(df.select(col(idCol).cast("long").as("id"),
+        label.cast("boolean").as("_y")), Seq("id"))
+    scored.select(col("margin"), col("_y"),
+        explode(lit(thresholds.toArray)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        count(when(col("margin") > col("threshold") && col("_y"),
+          lit(1))).as("tp"),
+        count(when(col("margin") > col("threshold") && !col("_y"),
+          lit(1))).as("fp"),
+        count(when(col("margin") <= col("threshold") && col("_y"),
+          lit(1))).as("fn"),
+        count(when(col("margin") <= col("threshold") && !col("_y"),
+          lit(1))).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("(tp * 1000) div greatest(tp + fp, 1)")
+          .as("precision_permille"),
+        expr("(tp * 1000) div greatest(tp + fn, 1)")
+          .as("recall_permille"),
+        expr("(2 * tp * 1000) div greatest(2 * tp + fp + fn, 1)")
+          .as("f1_permille"))
+  }
 }

@@ -73,6 +73,41 @@ class ClassifierSpec extends SparkSpec {
     assert(fast(7L) === 0L && fast(8L) === 0L)
   }
 
+  test("calibrationReport: confusion identities, monotonicity, t=0 row") {
+    val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+      buckets = 32, epochs = 2)
+    val scored = Classifier.perceptronScore(corpus, "text", "id", m)
+    val margins = scored.collect().map(_.getLong(2))
+    val thresholds = Seq(margins.min - 1, -1L, 0L, margins.max)
+    val rep = Classifier.calibrationReport(corpus, "text", "id",
+        col("good"), m, thresholds)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val nPos = corpus.filter(col("good")).count()
+    val nAll = corpus.count()
+    // row identities: tp+fn = positives, fp+tn = negatives, every row
+    rep.foreach { case (_, tp, fp, fn, tn, _, _, _) =>
+      assert(tp + fn == nPos && fp + tn == nAll - nPos)
+    }
+    // below-min threshold: everything predicted positive
+    assert(rep.head._2 == nPos && rep.head._3 == nAll - nPos)
+    // at-max threshold: nothing predicted positive (margin > max fails)
+    assert(rep.last._2 == 0L && rep.last._3 == 0L)
+    // predicted-positive count is monotonically non-increasing
+    val pp = rep.map(r => r._2 + r._3)
+    assert(pp == pp.sorted.reverse)
+    // the t=0 row equals perceptronScore's own predicted column
+    val predPos = scored.filter(col("predicted") === 1)
+      .join(corpus.select(col("id"), col("good")), Seq("id"))
+    val t0 = rep.find(_._1 == 0L).get
+    assert(t0._2 == predPos.filter(col("good")).count())
+    assert(t0._3 == predPos.filter(!col("good")).count())
+    // per-mille math: cross-check one row's derived columns
+    val r0 = rep.head
+    assert(r0._6 == r0._2 * 1000 / math.max(r0._2 + r0._3, 1))
+    assert(r0._7 == 1000L) // full recall below the min margin
+  }
+
   test("n_feats is 2n-1 for n tokens") {
     val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
       buckets = 32, epochs = 1)
