@@ -141,6 +141,12 @@ object Dedup {
     * bits share at least one exact segment, so an equi-join on
     * (segment index, segment value) finds every true pair; `maxBucket`
     * caps degenerate buckets (0 = uncapped, oracle-parity only).
+    *
+    * Lineage note: the self-join evaluates the input's lineage once per
+    * side — when the hash derivation is expensive (real-image dHash
+    * decodes, not a text simhash), materialize it first
+    * (`localCheckpoint`/persist or a written artifact) so pixels decode
+    * once, not twice.
     */
   def hammingPairs(
       df: DataFrame, hashCol: String, idCol: String,
