@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Hll, Text}
-import graft.operators.{Bpe, CorpusWriter, Dedup, Similarity, TextOps, UrlOps}
+import graft.operators.{Bpe, CorpusWriter, Dedup, HtmlOps, Pii, Similarity, TextOps, UrlOps}
 
 /** The 100 TB training-data pipeline composed end-to-end from the
   * library's operators: exact dedup → quality filter → language filter
@@ -24,15 +24,57 @@ object TrainingDataPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    val docs = Tables.load(spark, sfDir, "documents")
-    println(s"STAGE ingest          n=${docs.count()}")
+    val raw = Tables.load(spark, sfDir, "documents")
+    println(s"STAGE ingest          n=${raw.count()}")
+
+    // 0. HTML boilerplate extraction — the web pipeline's step 0: the
+    // corpus is already clean text, so wrap each doc in a synthetic
+    // page (all-link nav + footer around the body) and extract the
+    // main text back out; at 100 TB this stage shrinks every
+    // downstream shuffle before any content work happens
+    val pages = raw.withColumn("html", concat(
+      lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+        "<a href=\"/b\">contact</a></nav><p>"), col("text"),
+      lit("</p><footer><a href=\"/t\">terms of use</a> " +
+        "<a href=\"/p\">privacy policy</a> sitemap</footer>")))
+    val extracted = HtmlOps.extractMainText(pages, "html", "doc_id")
+    val boiler = extracted.agg(
+      sum(col("n_blocks") - col("n_kept"))).collect()(0).getLong(0)
+    println(s"STAGE html_extract    n=${extracted.count()} " +
+      s"boilerplate_blocks_dropped=$boiler")
+
+    // 0a. PII scrub — redact before anything else touches or
+    // persists text (the privacy ordering rule); zero-shuffle scan
+    val scrubbed = Pii.scrub(raw, "text", "doc_id")
+    val piiDocs = scrubbed.filter(col("n_emails") + col("n_ssns") +
+      col("n_ips") + col("n_phones") > 0).count()
+    println(s"STAGE pii_scrub       n=${scrubbed.count()} " +
+      s"docs_with_pii=$piiDocs")
+    val docs = raw
+
+    // 0c. image-modality near-dup: the corpus's assets (synthesized
+    // here from text payloads) dHash once, MATERIALIZED so the
+    // banding self-join never decodes twice, then Hamming pairs →
+    // connected components → keep the smallest id per cluster
+    val bin = raw.select(col("doc_id").as("id"),
+      col("text").cast("binary").as("payload"))
+      .as[graft.operators.Multimodal.BinAsset]
+    val hashed = graft.operators.Multimodal.dHashAssets(bin).toDF()
+      .filter(col("dhash").isNotNull).localCheckpoint()
+    val imgPairs = Dedup.hammingPairs(hashed, "dhash", "id",
+      maxHamming = 3, pieces = 4, maxBucket = 1000)
+    val imgClusters = Dedup.connectedComponents(imgPairs, "id_a", "id_b")
+    val imgDupes = imgClusters.filter(col("id") =!= col("cluster_id"))
+      .count()
+    println(s"STAGE image_neardup   pairs=${imgPairs.count()} " +
+      s"dupes_droppable=$imgDupes")
 
     // 0b. domain front gate (C4/RefinedWeb order: before any content
     // work): synthesize provenance URLs (this corpus carries none),
     // drop blocklisted registrable domains via the broadcast anti
     // join, and report the surviving top-domain mixture
-    import spark.implicits._
     val withUrl = docs.withColumn("url", concat(lit("https://www."),
       col("source"), (col("doc_id") % 10).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string")))
@@ -280,7 +322,16 @@ object TrainingDataPipeline {
         sum(col("n_tokens")).as("n_tokens"))
     val clusterHist = Dedup.clusterSizeProfile(
       members.select(col("cluster_id")), "cluster_id")
+    val piiCard = scrubbed.select(explode(array(
+        struct(lit("emails").as("category"), col("n_emails").as("n")),
+        struct(lit("ssns").as("category"), col("n_ssns").as("n")),
+        struct(lit("ips").as("category"), col("n_ips").as("n")),
+        struct(lit("phones").as("category"), col("n_phones").as("n"))))
+        .as("x"))
+      .select(col("x.category").as("category"), col("x.n").as("n"))
+      .groupBy(col("category")).agg(sum(col("n")).as("n_total"))
     CorpusWriter.writeDataCard(Seq(
+      ("pii_stats", piiCard),
       ("lang_profile", profile),
       ("domain_stats", UrlOps.domainStats(withUrl, "url", "text")),
       ("cluster_sizes", clusterHist),
