@@ -170,6 +170,10 @@ object ThroughputBench {
     val bpeIdsDps = driveDocs(in =>
       graft.operators.Bpe.tokenIds(in.toDF(), "text", "doc_id", bpeBytes))
 
+    // PII scrub on a stream: chained regex projections, zero shuffle
+    val piiDps = driveDocs(in =>
+      graft.operators.Pii.scrub(in.toDF(), "text", "doc_id"))
+
     println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
       s""""cores":$cpus,"n_events":${events.length},""" +
       s""""stateless":${statelessEps.round},""" +
@@ -185,7 +189,9 @@ object ThroughputBench {
       s""""bpe_encode_docs":${bpeDps.round},""" +
       s""""bpe_encode_docs_per_core":${(bpeDps / cpus).round},""" +
       s""""bpe_token_ids_docs":${bpeIdsDps.round},""" +
-      s""""bpe_token_ids_docs_per_core":${(bpeIdsDps / cpus).round}}""")
+      s""""bpe_token_ids_docs_per_core":${(bpeIdsDps / cpus).round},""" +
+      s""""pii_scrub_docs":${piiDps.round},""" +
+      s""""pii_scrub_docs_per_core":${(piiDps / cpus).round}}""")
     ss.stop()
   }
 }

@@ -220,4 +220,57 @@ class StreamingParitySpec extends SparkSpec {
       assert(got.find(_._1 == 12L).get == (12L, 0L, 0L)) // empty doc
     } finally q.stop()
   }
+
+  test("PII scrub redacts a stream identically to batch") {
+    // the privacy gate is a stateless scan projection: the SAME
+    // operator call compiles onto a MemoryStream, no state, identical
+    // counts and redacted text
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pii
+    val incoming = Seq(
+      (1L, "mail a@b.io and call 555-010-4242"),
+      (2L, "host 10.0.0.1 ssn 123-45-6789"),
+      (3L, "clean text"), (4L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = Pii.scrub(input.toDF().toDF("id", "text"), "text", "id")
+      .writeStream.format("memory").queryName("par_pii")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_pii")
+        .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+      val exp = Pii.scrub(incoming.toDF("id", "text"), "text", "id")
+        .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+      assert(got == exp && got.size == 4)
+      assert(got.find(_._1 == 1L).get._6 ==
+        "mail <EMAIL> and call <PHONE>")
+    } finally q.stop()
+  }
+
+  test("byte-level BPE token ids flow on a stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val corpus = Seq((1L, "low low lower newest widest newest"))
+      .toDF("id", "text")
+    val model = Bpe.bpeTrainBytes(corpus, "text", nMerges = 4)
+    val incoming = Seq((10L, "low lower"), (11L, "unseen tokens"),
+      (12L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = Bpe.tokenIds(input.toDF().toDF("id", "text"), "text", "id",
+        model)
+      .writeStream.format("memory").queryName("par_bpe_ids")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_bpe_ids")
+        .as[(Long, Long, Long)].collect().toSet
+      val exp = Bpe.tokenIds(incoming.toDF("id", "text"), "text", "id",
+          model)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exp && got.nonEmpty)
+      assert(got.forall(_._3 >= 0L)) // byte fallback: total encoding
+    } finally q.stop()
+  }
 }
