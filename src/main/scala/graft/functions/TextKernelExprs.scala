@@ -164,6 +164,19 @@ object TextKernelExprs {
   def bpeTokenCountEval(toks: ArrayData, counter: BpeCounter): Long =
     counter.countDoc(toks)
 
+  /** One-pass-per-category PII scrub ([[PiiScrubber]]) → the
+    * `struct(n_0…n_k-1, redacted)` row [[PiiScrub]] projects.
+    */
+  def piiScrubEval(text: UTF8String,
+      scrubber: PiiScrubber): org.apache.spark.sql.catalyst.InternalRow = {
+    val (counts, redacted) = scrubber.scrub(text)
+    val out = new Array[Any](counts.length + 1)
+    var i = 0
+    while (i < counts.length) { out(i) = counts(i); i += 1 }
+    out(counts.length) = UTF8String.fromString(redacted)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   private def polyHashOfString(s: String): Long = {
     var h = 1125899906842597L // large prime
     var i = 0
