@@ -1561,6 +1561,26 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // PageRank over a deterministic synthetic link graph (the corpus
+    // has no links): each doc links to two arithmetic neighbors plus a
+    // hub (doc_id % 10), self-loops dropped; 5 integer-banked
+    // iterations — per-edge contributions are integer divisions, sums
+    // are order-free integer adds, so ranks are bit-identical under
+    // any partitioning and replay exactly in SQL.
+    "q132_pagerank" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % n).as("dst")))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 10).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.pageRank(e, "src", "dst", iters = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Classifier calibration: the integer-exact confusion table +
     // per-mille precision/recall/F1 at each margin threshold for the
     // q115 frozen perceptron — the table that picks a quality gate's
@@ -4043,6 +4063,34 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // pagerank: synthesized link graph + 5 unrolled integer-banked
+    // iterations (contribution = r // outdeg, damped sum // 1000)
+    "q132_pagerank" -> {
+      val stages = (1 to 5).map { k =>
+        s"""gr$k AS (SELECT v.id,
+           |    (150000 + coalesce(s.c, 0) * 850 // 1000)::BIGINT AS r
+           |  FROM gv v LEFT JOIN (SELECT e.dst AS id,
+           |      sum(r.r // e.od)::BIGINT AS c
+           |    FROM ge3 e JOIN gr${k - 1} r ON r.id = e.src
+           |    GROUP BY 1) s USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH gn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |ge AS (SELECT doc_id AS src,
+         |    (doc_id * 7 + 1) % (SELECT n FROM gn) AS dst FROM documents
+         |  UNION ALL SELECT doc_id,
+         |    (doc_id * 13 + 3) % (SELECT n FROM gn) FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 10 FROM documents),
+         |ge2 AS (SELECT src, dst FROM ge WHERE src <> dst),
+         |gv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ge2
+         |  UNION ALL SELECT dst FROM ge2)),
+         |god AS (SELECT src, count(*)::BIGINT AS od FROM ge2 GROUP BY 1),
+         |ge3 AS (SELECT e.src, e.dst, o.od FROM ge2 e JOIN god o
+         |  USING (src)),
+         |gr0 AS (SELECT id, 1000000::BIGINT AS r FROM gv),
+         |$stages
+         |SELECT id AS doc_id, r AS rank_micro FROM gr5""".stripMargin
+    },
 
     // classifier calibration: the q115 training chain's margins + the
     // src0 labels, cross-joined with the threshold list, integer
