@@ -200,6 +200,21 @@ object ScaleProbe {
       graft.operators.Dedup.hammingPairs(hashed, "dhash", "id",
         maxHamming = 3, pieces = 4, maxBucket = 1000)
     }
+    // zero-shuffle scan projection: growth is the pure regex cost
+    time("pii_scrub")(graft.operators.Pii.scrub(docs, "text", "doc_id"))
+    // replication multiplies nodes AND edges 10×: per-iteration joins
+    // and the dst-keyed aggregation scale with the graph; the hub
+    // nodes' in-degree grows 10× (skewed dst keys — the worst case
+    // for the rank-sum shuffle)
+    time("pagerank") {
+      val ids = docs.select(col("doc_id"))
+      val e = ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % 50000).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") % 10).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.pageRank(e, "src", "dst", iters = 5)
+    }
     // integer-exact training (bounded ≤buckets collect per epoch) +
     // frozen scan-side scoring
     time("perceptron") {
