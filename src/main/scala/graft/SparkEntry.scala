@@ -1561,6 +1561,25 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Outlink-domain audit: pages synthesized with two absolute
+    // anchors (varying site digit + TLD class incl. co.uk) and one
+    // relative anchor (excluded — stays on-site); href extraction,
+    // registrable-domain grouping, link/page counts.
+    "q133_outlink_domains" -> ((s, dir) => {
+      val site1 = concat(lit("out"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".com")
+          .when(col("doc_id") % 3 === 1, ".co.uk").otherwise(".net"))
+      val site2 = concat(lit("hub"), (col("doc_id") % 4).cast("string"),
+        lit(".org"))
+      val page = concat(lit("<p>"), col("text"),
+        lit("</p><div><a href=\"https://www."), site1,
+        lit("/x\">one</a> <a href='http://"), site2,
+        lit("/y'>two</a> <a href=\"/local\">here</a></div>"))
+      HtmlOps.outlinkDomains(
+        ld(s, dir, "documents").withColumn("html", page), "html",
+        "doc_id")
+    }),
+
     // PageRank over a deterministic synthetic link graph (the corpus
     // has no links): each doc links to two arithmetic neighbors plus a
     // hub (doc_id % 10), self-loops dropped; 5 integer-banked
@@ -4063,6 +4082,36 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // outlink-domain audit: page synthesis + loose href extraction +
+    // absolute-only filter + the q118 host/registrable-domain chain
+    "q133_outlink_domains" -> {
+      val suffixes = UrlOps.multiLabelSuffixes.map(x => s"'$x'")
+        .mkString(", ")
+      s"""WITH ol AS (SELECT doc_id,
+         |    '<p>' || text || '</p><div><a href="https://www.out' ||
+         |    (doc_id % 7) || (CASE doc_id % 3 WHEN 0 THEN '.com'
+         |      WHEN 1 THEN '.co.uk' ELSE '.net' END) ||
+         |    '/x">one</a> <a href=''http://hub' || (doc_id % 4) ||
+         |    '.org/y''>two</a> <a href="/local">here</a></div>' AS html
+         |  FROM documents),
+         |lx AS (SELECT doc_id, unnest(regexp_extract_all(html,
+         |    '(?is)<a[^>]*href\\s*=\\s*["'']?([^"''\\s>]+)', 1)) AS l
+         |  FROM ol),
+         |la AS (SELECT doc_id, l FROM lx WHERE contains(l, '://')),
+         |lh AS (SELECT doc_id, regexp_replace(lower(regexp_extract(l,
+         |    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)',
+         |    1)), '\\.$$', '') AS host FROM la),
+         |ld2 AS (SELECT doc_id, CASE WHEN len(p) <= 2 THEN host
+         |    WHEN array_to_string(p[len(p)-1:], '.') IN ($suffixes)
+         |      THEN array_to_string(p[len(p)-2:], '.')
+         |    ELSE array_to_string(p[len(p)-1:], '.') END AS domain
+         |  FROM (SELECT doc_id, host, string_split(host, '.') AS p
+         |    FROM lh))
+         |SELECT domain, count(*)::BIGINT AS n_links,
+         |  count(DISTINCT doc_id)::BIGINT AS n_pages
+         |FROM ld2 GROUP BY 1""".stripMargin
+    },
 
     // pagerank: synthesized link graph + 5 unrolled integer-banked
     // iterations (contribution = r // outdeg, damped sum // 1000)

@@ -82,6 +82,31 @@ object HtmlOps {
     normSpace(stripTags(array_join(
       regexp_extract_all(block, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")))
 
+  /** Every `href` target on the page, in document order (attribute
+    * quoting optional — the crawler-grade loose form; RE2/Java-common
+    * pattern, externally replayable).
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)"), lit(1))
+
+  /** Outlink-domain audit — the crawl-frontier side of the link graph
+    * ([[Graphs.pageRank]] ranks it, this measures it): absolute links
+    * (scheme present) per page, grouped by registrable target domain:
+    * `(domain, n_links, n_pages)`. Relative links stay on-site and are
+    * excluded. One scan-side extraction + one keyed aggregation; text
+    * never shuffles, links do.
+    */
+  def outlinkDomains(df: DataFrame, htmlCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(extractLinks(col(htmlCol))).as("_l"))
+      .filter(col("_l").contains("://"))
+      .select(col("id"), UrlOps.domainOf(col("_l")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("id")).as("n_pages"))
+
   /** Main-text extraction: `(id, main_text, n_blocks, n_kept,
     * n_words)`. A block survives when it has at least `minWords` words
     * AND its link density (anchor words per 1000 block words) is at

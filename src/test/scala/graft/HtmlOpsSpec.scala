@@ -73,6 +73,26 @@ class HtmlOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, "", 0L, 0L, 0L)))
   }
 
+  test("extractLinks: quote styles, unquoted hrefs, document order") {
+    val html = "<a href=\"/a\">1</a><A HREF='https://x.com/b'>2</A>" +
+      "<a class=\"z\" href=/bare>3</a><a>no href</a>"
+    val links = Seq((1L, html)).toDF("id", "html")
+      .select(HtmlOps.extractLinks(col("html"))).as[Seq[String]].head()
+    assert(links == Seq("/a", "https://x.com/b", "/bare"))
+  }
+
+  test("outlinkDomains: absolute links only, registrable grouping") {
+    val pages = Seq(
+      (1L, "<a href=\"https://www.a.shop.com/x\">s</a>" +
+        "<a href='http://b.shop.com/y'>t</a><a href=\"/rel\">r</a>"),
+      (2L, "<a href=\"https://news.co.uk/z\">u</a>" +
+        "<a href=\"https://deep.sub.shop.com/w\">v</a>"))
+      .toDF("doc_id", "html")
+    val got = HtmlOps.outlinkDomains(pages, "html", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("shop.com", 3L, 2L), ("news.co.uk", 1L, 1L)))
+  }
+
   test("uppercase tags and attributes segment the same") {
     val html = "<DIV>Upper case tags work fine here</DIV>" +
       "<NAV><A HREF='/'>x y z</A></NAV>"
