@@ -1561,6 +1561,22 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Unicode normalization (the ftfy-lite ingest cleanup): the corpus
+    // is clean ASCII, so the query injects deterministic mess — BOM +
+    // decomposed accents on %3, zero-width + a C0 control on %5, a
+    // combining ring on %7 — BOTH engines replay the injection; the
+    // operator NFC-composes, strips invisibles, and flags changed docs.
+    "q134_unicode_normalize" -> ((s, dir) => {
+      val messy = ld(s, dir, "documents").withColumn("text", concat(
+        when(col("doc_id") % 3 === 0, lit(uniBom)).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(uniZw), lit("\u0001")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(uniRing)).otherwise(lit(""))))
+      TextOps.normalizeText(messy, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Outlink-domain audit: pages synthesized with two absolute
     // anchors (varying site digit + TLD class incl. co.uk) and one
     // relative anchor (excluded — stays on-site); href extraction,
@@ -2201,6 +2217,14 @@ object SparkEntry {
     d1.withColumn("html", concat(head, nav, side, paras, shout, footer))
       .drop("_hws", "_hnp")
   }
+
+  /** q134 mess snippets, shared VERBATIM by the Spark synthesis and
+    * the SQL oracle: BOM + decomposed é, a zero-width space, a
+    * combining ring (A + U+030A → Å under NFC).
+    */
+  private val uniBom: String = "\ufeff" + "e\u0301clair "
+  private val uniZw: String = " zero\u200bwidth"
+  private val uniRing: String = " A\u030arhus"
 
   /** The q118/q121 URL synthesis + host + registrable-domain replay:
     * relation `dd` = (doc_id, text, domain). Same regex as
@@ -4082,6 +4106,27 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // unicode normalization: mess injection replay + nfc_normalize +
+    // control/invisible strips + space trim + changed flag
+    "q134_unicode_normalize" ->
+      s"""WITH um AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN '$uniBom' ELSE '' END) ||
+         |    text ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN '$uniZw' || chr(1)
+         |      ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN '$uniRing' ELSE '' END)
+         |      AS t
+         |  FROM documents),
+         |un AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |      nfc_normalize(t),
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+         |    ' ') AS text_norm, t
+         |  FROM um)
+         |SELECT doc_id, text_norm,
+         |  (CASE WHEN text_norm <> t THEN 1 ELSE 0 END)::INT AS changed
+         |FROM un""".stripMargin,
 
     // outlink-domain audit: page synthesis + loose href extraction +
     // absolute-only filter + the q118 host/registrable-domain chain

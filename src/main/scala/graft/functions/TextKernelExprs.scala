@@ -164,6 +164,31 @@ object TextKernelExprs {
   def bpeTokenCountEval(toks: ArrayData, counter: BpeCounter): Long =
     counter.countDoc(toks)
 
+  /** Unicode text normalization kernel ([[NormalizeText]]): NFC
+    * composition (JDK Normalizer ≡ ICU for the assigned repertoire),
+    * then one pass dropping C0 controls (except `\n`/`\t`), DEL, and
+    * the zero-width/BOM invisibles U+200B/C/D and U+FEFF, then a
+    * space-only trim (the engine-common `trim` semantics).
+    */
+  def normalizeTextEval(s: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      val drop = (c < 0x20 && c != '\n' && c != '\t') || c == 0x7f ||
+        c == 0x200b || c == 0x200c || c == 0x200d || c == 0xfeff
+      if (!drop) sb.append(c)
+      i += 1
+    }
+    var a = 0
+    var b = sb.length
+    while (a < b && sb.charAt(a) == ' ') a += 1
+    while (b > a && sb.charAt(b - 1) == ' ') b -= 1
+    UTF8String.fromString(sb.substring(a, b))
+  }
+
   /** One-pass-per-category PII scrub ([[PiiScrubber]]) → the
     * `struct(n_0…n_k-1, redacted)` row [[PiiScrub]] projects.
     */
@@ -251,6 +276,10 @@ object TextKernelExprs {
   def gramPolyHashes(toks: Column, k: Int): Column =
     GraftSqlBridge.column(
       GramPolyHashes(GraftSqlBridge.expression(toks), k))
+
+  def normalizeText(text: Column): Column =
+    GraftSqlBridge.column(
+      NormalizeText(GraftSqlBridge.expression(text)))
 
   def ngramDistinctCounts(text: Column, ns: Seq[Int]): Column =
     GraftSqlBridge.column(
@@ -513,6 +542,24 @@ case class BpeTokenCount(child: Expression, lefts: Seq[String],
       s"graft.functions.TextKernelExprs.bpeTokenCountEval($c, $cRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd whole-string Unicode normalization (see
+  * [[TextKernelExprs.normalizeTextEval]]).
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.normalizeTextEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.normalizeTextEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
 

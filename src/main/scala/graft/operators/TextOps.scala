@@ -485,6 +485,30 @@ object TextOps {
         coalesce(col("dup_words"), lit(0L)).as("dup_words"))
   }
 
+  /** Unicode text normalization — the ftfy-lite ingest cleanup every
+    * multilingual pipeline runs before fingerprinting (two byte-wise
+    * DIFFERENT encodings of the same accented word must dedup
+    * together): NFC composition, C0-control strip (`\n`/`\t` kept),
+    * DEL and zero-width/BOM invisibles dropped, space trim. Output:
+    * `(id, text_norm, changed)` — `changed` flags docs the cleanup
+    * actually touched (the ingest-health metric). Null text yields
+    * `''`.
+    *
+    * One codegen'd kernel call per document
+    * ([[graft.functions.TextKernelExprs.normalizeTextEval]]) — zero
+    * shuffle, stream-capable; externally replayable as
+    * `nfc_normalize` + character-class strips.
+    */
+  def normalizeText(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("_t"))
+      .select(col("id"),
+        graft.functions.TextKernelExprs.normalizeText(col("_t"))
+          .as("text_norm"), col("_t"))
+      .select(col("id"), col("text_norm"),
+        (col("text_norm") =!= col("_t")).cast("int").as("changed"))
+
   /** The exact-substring tier's persistable HISTORY artifact: the
     * distinct every-offset k-gram fingerprints of a corpus slice —
     * 8 bytes per distinct gram, no text. A continuous-ingestion

@@ -621,6 +621,28 @@ class TextOpsSpec extends SparkSpec {
       s"got ${sub(2L)}: expected one 35-word maximal span")
   }
 
+  test("normalizeText: NFC composes, invisibles drop, newlines survive") {
+    val rows = Seq(
+      (1L, "e\u0301clair"),                  // decomposed -> composed
+      (2L, "\ufeffbom zero\u200bwidth\u0001"), // BOM + ZWSP + C0 control
+      (3L, "  keep\nlines\tand tabs  "),      // trim spaces only
+      (4L, "A\u030arhus"),                    // combining ring -> composed
+      (5L, null.asInstanceOf[String]),
+      (6L, "already clean"))
+    val got = TextOps.normalizeText(rows.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "\u00e9clair", 1)))
+    assert(got(2L) == ((2L, "bom zerowidth", 1)))
+    assert(got(3L) == ((3L, "keep\nlines\tand tabs", 1)))
+    assert(got(4L) == ((4L, "\u00c5rhus", 1)))
+    assert(got(5L) == ((5L, "", 0)))
+    assert(got(6L) == ((6L, "already clean", 0)))
+    // the cleanup makes byte-different spellings fingerprint-equal:
+    // 7 code units in, 6 out
+    assert(got(1L)._2.length == 6)
+  }
+
   test("incrementalSubstring: history blocks ALL batch occurrences") {
     // history carries a 12-word block; batch doc 10 embeds it verbatim
     // (its FIRST batch occurrence still flags — history blocks), batch
