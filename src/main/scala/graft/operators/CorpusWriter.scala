@@ -66,6 +66,32 @@ object CorpusWriter {
       .mode("overwrite").parquet(outDir)
   }
 
+  /** JSONL export — the interchange format most training stacks
+    * ingest: one JSON object per line, one file per (split, file_idx)
+    * directory, rows ordered by the decorrelated `shuffle_key` exactly
+    * like [[writeSplits]]' parquet form (same plan: one shuffle keyed
+    * by the file unit, task-local sort, `partitionBy` fan-out — text
+    * sink instead of parquet). Column values serialize via Spark's
+    * `to_json` over the full row struct, so nested/array columns
+    * survive.
+    */
+  def writeJsonlSplits(df: DataFrame, idCol: String, outDir: String,
+      splits: Seq[(String, Int)], nFiles: Int = 1): Unit = {
+    val plan = TextOps.splitAssign(df, idCol, splits, nFiles)
+      .withColumnRenamed("id", "_plan_id")
+    val joined = df.join(plan, col(idCol).cast("long") === col("_plan_id"))
+      .drop("_plan_id")
+    val payloadCols = df.columns.map(col)
+    joined
+      .repartition(col("split"), col("file_idx"))
+      .sortWithinPartitions(col("split"), col("file_idx"),
+        col("shuffle_key"), col(idCol))
+      .select(col("split"), col("file_idx"),
+        to_json(struct(payloadCols: _*)).as("value"))
+      .write.partitionBy("split", "file_idx")
+      .mode("overwrite").text(outDir)
+  }
+
   /** The machine-readable DATA CARD that ships with a curated corpus:
     * every audit relation the pipeline produced (domain stats, cluster
     * histograms, per-language fertility, sketch profiles, …)

@@ -85,6 +85,38 @@ class CorpusWriterSpec extends SparkSpec {
     assert(badShard == 0L)
   }
 
+  test("writeJsonlSplits: same routing as parquet, valid JSON lines") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val out = tmpDir("jsonl")
+    val splits = Seq(("train", 900), ("val", 100))
+    CorpusWriter.writeJsonlSplits(docs, "doc_id", out, splits, nFiles = 2)
+    assert(subdirs(out) == Set("split=train", "split=val"))
+    // every line parses back; the union round-trips the corpus
+    val back = spark.read.json(spark.read.textFile(s"$out/*/*"))
+    assert(back.count() == docs.count())
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    val joined = back.join(docs.withColumnRenamed("text", "t2"),
+      Seq("doc_id"))
+    assert(joined.filter(col("text") =!= col("t2")).count() == 0)
+    // in-file order follows the same decorrelated shuffle_key as the
+    // parquet writer: line order within a file is the plan's order
+    val plan = graft.operators.TextOps.splitAssign(docs, "doc_id",
+      splits, nFiles = 2)
+    val f0 = Files.list(Paths.get(s"$out/split=train/file_idx=0"))
+      .iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .map(_.toString).filter(_.contains("part-")).toSeq
+    assert(f0.size == 1)
+    val lineIds = spark.read.json(spark.read.textFile(f0.head))
+      .select("doc_id").as[Long].collect().toSeq
+    val expIds = plan.filter(col("split") === "train" &&
+        col("file_idx") === 0)
+      .orderBy(col("shuffle_key"), col("id")).select("id")
+      .as[Long].collect().toSeq
+    assert(lineIds == expIds)
+  }
+
   test("writeDataCard melts heterogeneous audits into section dirs") {
     val out = tmpDir("card")
     val langStats = Seq(("en", 10L, 950L), ("de", 4L, 380L))
