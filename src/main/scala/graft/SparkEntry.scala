@@ -1561,6 +1561,17 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // EXECUTED substring decontamination: every word position covered
+    // by a benchmark k-gram (bench = doc_id % 50, the q71 convention)
+    // is excised — bench docs in the corpus wipe themselves; clean
+    // docs pass untouched. The removal form of the q63/q71 flags.
+    "q135_substring_decontaminate" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      TextOps.substringDecontaminate(docs,
+          docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Unicode normalization (the ftfy-lite ingest cleanup): the corpus
     // is clean ASCII, so the query injects deterministic mess — BOM +
     // decomposed accents on %3, zero-width + a C0 control on %5, a
@@ -4106,6 +4117,44 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // executed substring decontamination: the q116 fingerprint chain,
+    // bench fps (%50 docs) as the hit set, islands → spans → covered
+    // positions → anti-join → in-order rebuild (the q122 tail)
+    "q135_substring_decontaminate" ->
+      s"""$substringCtes,
+         |dbf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 50 = 0),
+         |dh AS (SELECT f.doc_id, f.off FROM f JOIN dbf USING (fp)),
+         |di1 AS (SELECT doc_id, off, CASE WHEN off - lag(off) OVER (
+         |      PARTITION BY doc_id ORDER BY off) <= 8 THEN 0
+         |    ELSE 1 END AS brk FROM dh),
+         |di2 AS (SELECT doc_id, off, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY off
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM di1),
+         |dsp AS (SELECT doc_id, isl, min(off) AS s, max(off) AS e0
+         |  FROM di2 GROUP BY 1, 2),
+         |dcov AS (SELECT doc_id, unnest(range(s, e0 + 8)) AS pos
+         |  FROM dsp),
+         |dwrd AS (SELECT doc_id, j AS pos, ws[j] AS w
+         |  FROM t, unnest(range(1, len(ws) + 1)) AS u9(j)),
+         |dkept AS (SELECT dwrd.doc_id, dwrd.pos, dwrd.w FROM dwrd
+         |  LEFT JOIN dcov ON dcov.doc_id = dwrd.doc_id
+         |    AND dcov.pos = dwrd.pos
+         |  WHERE dcov.pos IS NULL),
+         |dreb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos)
+         |      AS text_clean,
+         |    count(*)::BIGINT AS n_kept FROM dkept GROUP BY 1),
+         |dng AS (SELECT doc_id, greatest(len(ws) - 7, 0)::BIGINT
+         |      AS n_grams,
+         |    len(ws)::BIGINT AS nw FROM t)
+         |SELECT dng.doc_id,
+         |  coalesce(dreb.text_clean, '') AS text_clean,
+         |  coalesce(dreb.n_kept, 0)::BIGINT AS n_kept_words,
+         |  (CASE WHEN dng.n_grams = 0 THEN 0
+         |    ELSE dng.nw - coalesce(dreb.n_kept, 0) END)::BIGINT
+         |    AS n_removed_words
+         |FROM dng LEFT JOIN dreb USING (doc_id)""".stripMargin,
 
     // unicode normalization: mess injection replay + nfc_normalize +
     // control/invisible strips + space trim + changed flag

@@ -629,6 +629,74 @@ object TextOps {
           coalesce(col("n_kept_words"), lit(0L))).as("n_removed_words"))
   }
 
+  /** EXECUTED benchmark decontamination at the substring tier (the
+    * Lee et al. removal form of [[decontaminate]]'s boolean flag):
+    * every word position covered by a k-gram that appears ANYWHERE in
+    * the benchmark corpus drops — contiguous hits merge into maximal
+    * spans first, so a verbatim eval item embedded mid-document is
+    * excised as one block while the document's own prose survives.
+    * Bench docs present in the corpus wipe themselves (that is the
+    * point). Output: `(id, text_clean, n_kept_words,
+    * n_removed_words)`.
+    *
+    * Shape for scale: benchmark grams are eval-suite-sized — distinct
+    * fingerprints BROADCAST into the gram-level semi-match, so the
+    * corpus is touched in one exploded pass; spans/covered positions
+    * are fingerprint-and-integer rows; text shuffles once, as
+    * surviving words (the [[substringDedupRebuild]] rebuild).
+    */
+  def substringDecontaminate(df: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextKernelExprs.gramPolyHashes(
+        words(coalesce(col(textCol), lit(""))), k).as("_fps"))
+    val occ = base.select(col("id"),
+        posexplode(col("_fps")).as(Seq("_p", "_fp")))
+      .select(col("id"), (col("_p") + 1).cast("long").as("off"),
+        col("_fp"))
+    val bfp = bench.select(explode(
+        graft.functions.TextKernelExprs.gramPolyHashes(
+          words(coalesce(col(textCol), lit(""))), k)).as("_fp"))
+      .distinct()
+    val hit = occ.join(broadcast(bfp), Seq("_fp"))
+      .select(col("id"), col("off"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("off"))
+    val spans = hit
+      .withColumn("_brk",
+        when(col("off") - lag(col("off"), 1).over(wDoc) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("off")).as("_s"), max(col("off")).as("_e"))
+    val covered = spans.select(col("id"),
+      explode(sequence(col("_s"), col("_e") + lit(k - 1))).as("pos"))
+    val w = df.select(col(idCol).cast("long").as("id"),
+        posexplode(words(coalesce(col(textCol), lit(""))))
+          .as(Seq("_p", "_w")))
+      .select(col("id"), (col("_p") + 1).cast("long").as("pos"),
+        col("_w"))
+    val kept = w.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("_w")))),
+          s => s.getField("_w")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept_words"))
+    base.select(col("id"), size(col("_fps")).cast("long").as("_ng"))
+      .withColumn("_nw", col("_ng") + lit(k - 1))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
+        (when(col("_ng") === 0, coalesce(col("n_kept_words"), lit(0L)))
+          .otherwise(col("_nw")) -
+          coalesce(col("n_kept_words"), lit(0L))).as("n_removed_words"))
+  }
+
   def chunkDedupRebuild(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 50): DataFrame = {
     val chunks = chunkRelation(df, textCol, idCol, chunkWords, chunkWords)

@@ -643,6 +643,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2.length == 6)
   }
 
+  test("substringDecontaminate excises the bench span, keeps the prose") {
+    // a 12-word bench item embedded mid-document: the whole embedded
+    // block drops as one span; the doc's own prose survives; a clean
+    // doc passes untouched; the bench doc itself wipes completely
+    val item = (1 to 12).map("b" + _).mkString(" ")
+    val pre = (1 to 9).map("p" + _).mkString(" ")
+    val post = (1 to 9).map("q" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$pre $item $post"),
+      (2L, (1 to 15).map("c" + _).mkString(" ")),
+      (3L, item)).toDF("doc_id", "text")
+    val bench = Seq((100L, item)).toDF("doc_id", "text")
+    val got = TextOps.substringDecontaminate(docs, bench, "text",
+        "doc_id", k = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, s"$pre $post", 18L, 12L)), s"got ${got(1L)}")
+    assert(got(2L)._3 == 15L && got(2L)._4 == 0L)
+    assert(got(3L) == ((3L, "", 0L, 12L)))
+    // partitioning independence
+    val re = TextOps.substringDecontaminate(docs.repartition(5), bench,
+        "text", "doc_id", k = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
+
   test("incrementalSubstring: history blocks ALL batch occurrences") {
     // history carries a 12-word block; batch doc 10 embeds it verbatim
     // (its FIRST batch occurrence still flags — history blocks), batch
