@@ -77,6 +77,33 @@ object Sources {
       .json(path)
   }
 
+  /** CSV corpus — the other interchange format metadata tables arrive
+    * in (crawl indexes, blocklists, label sheets). Same contract as
+    * [[jsonl]]: explicit schema, PERMISSIVE malformed-row capture into
+    * `_corrupt_record` as the auditable reject relation (materialize
+    * the parse before a corrupt-only projection), or DROPMALFORMED.
+    * Header/sep configurable; quotes/escapes are Spark's RFC-4180
+    * defaults.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, sep: String = ",",
+      dropMalformed: Boolean = false): DataFrame = {
+    val withCorrupt =
+      if (dropMalformed) schema
+      else new StructType((schema.fields :+ org.apache.spark.sql.types
+        .StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, nullable = true)).toArray)
+    spark.read.schema(withCorrupt)
+      .option("header", header.toString)
+      .option("sep", sep)
+      // RFC-4180 doubled-quote escaping (Spark's default escape is the
+      // backslash, which no spreadsheet/exporter actually writes)
+      .option("escape", "\"")
+      .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
   /** Watermarked event-time edge: timestamp column + allowed lateness,
     * applied once at the source boundary (every downstream stateful op
     * inherits it).

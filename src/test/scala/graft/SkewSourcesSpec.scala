@@ -95,4 +95,41 @@ class SkewSourcesSpec extends SparkSpec {
     assert(!dropped.columns.contains("_corrupt_record"))
     assert(dropped.count() == 3)
   }
+
+  test("csv source: header, quoted fields, malformed-row capture") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv")
+    dir.toFile.deleteOnExit()
+    Files.writeString(dir.resolve("part0.csv"),
+      """doc_id,text,n
+        |1,"alpha, beta",10
+        |2,gamma,20
+        |3,delta,not_a_number
+        |4,"quoted ""inner"" text",40
+        |""".stripMargin)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("n", LongType)
+    val df = graft.sources.Sources.csv(spark, dir.toString, schema)
+      .cache()
+    assert(df.count() == 4)
+    // RFC-4180: the embedded comma and doubled quotes parse
+    val byId = df.filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "n").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, "alpha, beta", 10L)))
+    assert(byId(4L) == ((4L, "quoted \"inner\" text", 40L)))
+    // the unparseable numeric lands in the reject relation
+    val rejects = df.filter(col("_corrupt_record").isNotNull)
+    assert(rejects.count() == 1)
+    assert(rejects.select("_corrupt_record").as[String].head()
+      .contains("not_a_number"))
+    // dropMalformed path — NOTE: CSV column pruning means a bare
+    // count() parses no columns and drops nothing; the malformed test
+    // only fires for columns the plan actually reads
+    val dropped = graft.sources.Sources.csv(spark, dir.toString, schema,
+      dropMalformed = true)
+    assert(!dropped.columns.contains("_corrupt_record"))
+    assert(dropped.select("doc_id", "text", "n").collect().length == 3)
+  }
 }
