@@ -202,6 +202,11 @@ object ScaleProbe {
     }
     // zero-shuffle scan projection: growth is the pure regex cost
     time("pii_scrub")(graft.operators.Pii.scrub(docs, "text", "doc_id"))
+    // bench replicates with the corpus (1e9 % 50 = 0): 10× bench grams
+    // AND 10× corpus grams — every bench hit happens 10×, the
+    // broadcast-probe + span-merge worst case
+    time("substring_decon")(TextOps.substringDecontaminate(docs,
+      docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", k = 8))
     // replication multiplies nodes AND edges 10×: per-iteration joins
     // and the dst-keyed aggregation scale with the graph; the hub
     // nodes' in-degree grows 10× (skewed dst keys — the worst case
