@@ -124,36 +124,34 @@ object HtmlOps {
       s"maxLinkPermille must be in [0,1000], got $maxLinkPermille")
     // per-block regex chains run EXACTLY once: the inner transform does
     // the string work per block, the outer one only reads its struct
-    // fields to derive counts — no projection-collapse recompute, and
-    // the whole page→blocks derivation is one scan-side expression.
-    // split keeps a trailing '' piece, so every page yields >= 1 block
-    // row (null html coalesces to '') — no separate distinct-ids join
-    // is needed to keep empty pages in the output.
+    // fields to derive counts — no projection-collapse recompute.
+    // Blocks are already in page order inside the array, so gating and
+    // reassembly are array HOFs on the SAME row: the whole operator is
+    // one ZERO-SHUFFLE scan projection (stream-capable like the frozen
+    // scorers) — dropped boilerplate never leaves the row it was born
+    // in. split keeps a trailing '' piece, so null/empty pages still
+    // produce a row.
     val a1 = transform(
       split(blockSeparated(coalesce(col(htmlCol), lit(""))), "\n"),
-      (raw, i) => struct(i.as("pos"),
+      raw => struct(
         normSpace(stripTags(raw)).as("txt"),
         anchorText(raw).as("atxt")))
     val a2 = transform(a1, s => struct(
-      s.getField("pos").as("pos"), s.getField("txt").as("txt"),
+      s.getField("txt").as("txt"),
       wordCount(s.getField("txt")).as("nw"),
       wordCount(s.getField("atxt")).as("naw")))
-    val blocks = df.select(col(idCol).cast("long").as("id"),
-        explode(a2).as("_b"))
-      .select(col("id"), col("_b.pos").as("_pos"), col("_b.txt").as("_txt"),
-        col("_b.nw").as("_nw"), col("_b.naw").as("_naw"))
-    val gate = col("_nw") >= minWords &&
-      col("_naw") * 1000 <= col("_nw") * maxLinkPermille
-    // one hash aggregation keyed by doc: kept-block reassembly and the
-    // audit counters ride the same shuffle (conditional aggregates;
-    // collect_list drops the nulls of gated-out blocks)
-    blocks.groupBy(col("id"))
-      .agg(array_join(transform(
-          array_sort(collect_list(when(gate,
-            struct(col("_pos"), col("_txt"))))),
-          s => s.getField("_txt")), "\n").as("main_text"),
-        count(when(col("_nw") > 0, lit(1))).as("n_blocks"),
-        count(when(gate, lit(1))).as("n_kept"),
-        coalesce(sum(when(gate, col("_nw"))), lit(0L)).as("n_words"))
+    def gate(s: Column): Column = s.getField("nw") >= minWords &&
+      s.getField("naw") * 1000 <= s.getField("nw") * maxLinkPermille
+    df.select(col(idCol).cast("long").as("id"), a2.as("_bs"))
+      .select(col("id"), filter(col("_bs"), s => gate(s)).as("_kept"),
+        size(filter(col("_bs"), s => s.getField("nw") > 0))
+          .cast("long").as("n_blocks"))
+      .select(col("id"),
+        array_join(transform(col("_kept"), s => s.getField("txt")), "\n")
+          .as("main_text"),
+        col("n_blocks"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        aggregate(col("_kept"), lit(0L),
+          (acc, s) => acc + s.getField("nw")).as("n_words"))
   }
 }

@@ -248,6 +248,32 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HTML main-text extraction runs on a stream identically to batch") {
+    // since the zero-shuffle rewrite the whole operator is array HOFs
+    // on one row — it compiles onto a stream with no state
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.HtmlOps
+    val incoming = Seq(
+      (1L, "<nav><a href='/'>a b c</a></nav><p>real words live here</p>"),
+      (2L, "<p>short</p>"), (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = HtmlOps.extractMainText(input.toDF().toDF("id", "html"),
+        "html", "id")
+      .writeStream.format("memory").queryName("par_html")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_html")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val exp = HtmlOps.extractMainText(incoming.toDF("id", "html"),
+          "html", "id")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == exp && got.size == 3)
+      assert(got.find(_._1 == 1L).get._2 == "real words live here")
+    } finally q.stop()
+  }
+
   test("byte-level BPE token ids flow on a stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Bpe
