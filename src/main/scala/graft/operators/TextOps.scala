@@ -881,31 +881,28 @@ object TextOps {
       minWords: Int = 5, minLines: Int = 3): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     require(minLines >= 1, s"minLines must be >= 1, got $minLines")
-    val lines = df.select(col(idCol).cast("long").as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
-    val lt = trim(col("_line"))
-    val lineKept = lt.rlike("[.!?\"]$") &&
-      size(split(lt, "\\s+")) >= minWords
-    val kept = lines.filter(lineKept)
-      .groupBy(col("id"))
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("_pos"), col("_line")))),
-          s => s.getField("_line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = lines.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_lines"))
-    val pageGate = df.select(col(idCol).cast("long").as("id"),
-      (!col(textCol).contains("{") && !col(textCol).contains("}") &&
-        !lower(col(textCol)).contains("lorem ipsum")).as("_pg"))
-    pageGate.join(totals, Seq("id"), "left")
-      .join(kept, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (coalesce(col("_pg"), lit(false)) &&
-          coalesce(col("n_kept"), lit(0L)) >= minLines)
-          .cast("int").as("kept"))
+    // lines are already in document order inside the split array, so
+    // the line gates and the clean-text reassembly are array HOFs on
+    // the SAME row — ZERO shuffle (the q127 rewrite pattern; was an
+    // explode + two aggregations + two joins). Null text keeps the
+    // legacy all-zero row.
+    val t = col(textCol)
+    def trimmed(l: Column): Column = trim(l)
+    val lines = split(t, "\n")
+    val keptArr = filter(lines, l => trimmed(l).rlike("[.!?\"]$") &&
+      size(split(trimmed(l), "\\s+")) >= minWords)
+    val pg = !t.contains("{") && !t.contains("}") &&
+      !lower(t).contains("lorem ipsum")
+    val nKept = when(t.isNull, lit(0L))
+      .otherwise(size(keptArr).cast("long"))
+    df.select(col(idCol).cast("long").as("id"),
+      when(t.isNull, lit(""))
+        .otherwise(array_join(keptArr, "\n")).as("clean_text"),
+      when(t.isNull, lit(0L))
+        .otherwise(size(lines).cast("long")).as("n_lines"),
+      nKept.as("n_kept"),
+      (coalesce(pg, lit(false)) && nKept >= minLines)
+        .cast("int").as("kept"))
   }
 
   /** Sliding-window chunking (the RAG / embedding-input splitter):

@@ -274,6 +274,30 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("C4 line filter runs on a stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val incoming = Seq(
+      (1L, "A good long sentence with plenty of words here.\nno punct\n" +
+        "Another proper sentence of the required length appears!"),
+      (2L, "short.\nlines.\nonly."), (3L, "Lorem Ipsum is a page killer."))
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.c4LineFilter(input.toDF().toDF("id", "text"),
+        "text", "id")
+      .writeStream.format("memory").queryName("par_c4")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_c4")
+        .as[(Long, String, Long, Long, Int)].collect().toSet
+      val exp = TextOps.c4LineFilter(incoming.toDF("id", "text"),
+          "text", "id")
+        .as[(Long, String, Long, Long, Int)].collect().toSet
+      assert(got == exp && got.size == 3)
+    } finally q.stop()
+  }
+
   test("byte-level BPE token ids flow on a stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Bpe
