@@ -1561,6 +1561,13 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Reason-coded quality gate: keep/drop with the FIRST failing
+    // reason per doc — the data card reports WHY mass dropped.
+    "q136_quality_gate" -> ((s, dir) => {
+      TextOps.qualityGate(ld(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // EXECUTED substring decontamination: every word position covered
     // by a benchmark k-gram (bench = doc_id % 50, the q71 convention)
     // is excised — bench docs in the corpus wipe themselves; clean
@@ -4117,6 +4124,37 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // reason-coded quality gate: integer signals (token count,
+    // stopword membership count, max per-word occurrences), first-
+    // failing CASE chain
+    "q136_quality_gate" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH qw AS (SELECT doc_id, string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         |      AS ws,
+         |    CASE WHEN coalesce(len(trim(text)), 0) = 0 THEN 0
+         |      ELSE len(string_split(regexp_replace(lower(trim(text)),
+         |        '\\s+', ' ', 'g'), ' ')) END::BIGINT AS nt
+         |  FROM documents),
+         |qs AS (SELECT doc_id, nt,
+         |    CASE WHEN nt = 0 THEN 0 ELSE len(list_filter(ws,
+         |      w -> w IN ($stop))) END::BIGINT AS n_stop,
+         |    CASE WHEN nt = 0 THEN 0 ELSE list_max(list_transform(
+         |      list_distinct(ws), dw -> len(list_filter(ws,
+         |        xw -> xw = dw)))) END::BIGINT AS top_word_count
+         |  FROM qw),
+         |qr AS (SELECT doc_id, nt AS n_tokens, n_stop, top_word_count,
+         |    CASE WHEN nt < 30 THEN 'too_short'
+         |      WHEN nt > 100000 THEN 'too_long'
+         |      WHEN n_stop * 1000 < nt * 20 THEN 'low_stopword'
+         |      WHEN top_word_count * 1000 > nt * 150 THEN 'repetitive'
+         |      ELSE 'ok' END AS reason
+         |  FROM qs)
+         |SELECT doc_id, n_tokens, n_stop, top_word_count, reason,
+         |  (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::INT AS kept
+         |FROM qr""".stripMargin
+    },
 
     // executed substring decontamination: the q116 fingerprint chain,
     // bench fps (%50 docs) as the hit set, islands → spans → covered

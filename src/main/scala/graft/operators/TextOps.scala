@@ -485,6 +485,47 @@ object TextOps {
         coalesce(col("dup_words"), lit(0L)).as("dup_words"))
   }
 
+  /** Stopword list shared by the quality surface (the q21 English
+    * high-frequency set).
+    */
+  val stopwords: Seq[String] = Seq("the", "of", "and", "to", "in", "a",
+    "is", "that", "it", "was", "for", "on", "with", "as", "at", "by",
+    "be", "this", "are", "or")
+
+  /** Reason-coded quality gate — the production form of a filter
+    * cascade: every document gets a KEEP decision plus the FIRST
+    * failing reason (`too_short` → `too_long` → `low_stopword` →
+    * `repetitive` → `ok`), so the data card reports WHY mass was
+    * dropped, not just how much. Signals are integers: token count,
+    * stopword count, top-word occurrence count (all per-mille gates by
+    * integer cross-multiply).
+    *
+    * Shape for scale: everything is array HOFs on the row — ZERO
+    * shuffle, stream-capable. The top-word count is O(distinct·n) per
+    * doc — fine at document sizes; documents are not gigabytes.
+    */
+  def qualityGate(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      minStopPerMille: Int = 20, maxTopPerMille: Int = 150): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nt = when(coalesce(length(trim(t)), lit(0)) === 0, lit(0L))
+      .otherwise(size(ws).cast("long"))
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+    val top = when(nt === 0, lit(0L))
+      .otherwise(array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w)))).cast("long"))
+    val reason = when(nt < minTokens, "too_short")
+      .when(nt > maxTokens, "too_long")
+      .when(nStop * 1000 < nt * minStopPerMille, "low_stopword")
+      .when(top * 1000 > nt * maxTopPerMille, "repetitive")
+      .otherwise("ok")
+    df.select(col(idCol).cast("long").as("id"), nt.as("n_tokens"),
+        when(nt === 0, lit(0L)).otherwise(nStop).as("n_stop"),
+        top.as("top_word_count"), reason.as("reason"))
+      .withColumn("kept", (col("reason") === "ok").cast("int"))
+  }
+
   /** Unicode text normalization — the ftfy-lite ingest cleanup every
     * multilingual pipeline runs before fingerprinting (two byte-wise
     * DIFFERENT encodings of the same accented word must dedup

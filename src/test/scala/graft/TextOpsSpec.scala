@@ -643,6 +643,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2.length == 6)
   }
 
+  test("qualityGate: first-failing reason codes, integer gates") {
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "it runs off to the forest with its friends for a while longer " +
+      "because the day is warm and the path is clear").trim
+    val docs = Seq(
+      (1L, good),                                   // ok
+      (2L, "way too short"),                        // too_short
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")), // no stopwords
+      (4L, ("spam " * 35).trim + " the of and to in a is that"), // repetitive
+      (5L, ""), (6L, null.asInstanceOf[String])     // empty/null
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityGate(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5 == "ok" && got(1L)._6 == 1)
+    assert(got(2L)._5 == "too_short" && got(2L)._6 == 0)
+    assert(got(3L)._5 == "low_stopword")
+    // doc 4: 43 tokens, 8 stopwords (186 permille >= 20), top word
+    // "spam" ×35 = 813 permille > 150 -> repetitive
+    assert(got(4L) == ((4L, 43L, 8L, 35L, "repetitive", 0)))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, "too_short", 0)))
+    assert(got(6L) == ((6L, 0L, 0L, 0L, "too_short", 0)))
+    // ordering: a doc failing BOTH length and stopword gates reports
+    // the FIRST (too_short)
+    val both = Seq((9L, "x1 x2 x3")).toDF("doc_id", "text")
+    assert(TextOps.qualityGate(both, "text", "doc_id")
+      .select("reason").as[String].head() == "too_short")
+  }
+
   test("substringDecontaminate excises the bench span, keeps the prose") {
     // a 12-word bench item embedded mid-document: the whole embedded
     // block drops as one span; the doc's own prose survives; a clean
