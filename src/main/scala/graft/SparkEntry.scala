@@ -1561,6 +1561,24 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Tokenizer round-trip integrity: decode(tokenIds(text)) must
+    // reproduce the text EXACTLY for the byte-level model (the
+    // pretokenizer's segments partition the string; byte fallback is
+    // total) — the artifact-integrity gate a training pipeline runs
+    // before shipping token shards.
+    "q137_bpe_roundtrip" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 6,
+        maxVocab = bpeMaxVocab)
+      val ids = Bpe.tokenIds(docs, "text", "doc_id", model)
+      Bpe.decodeTokenIds(ids, model)
+        .join(docs.select(col("doc_id").cast("long").as("id"),
+          col("text")), Seq("id"))
+        .select(col("id").as("doc_id"),
+          length(col("text_decoded")).cast("long").as("n_chars_decoded"),
+          (col("text_decoded") === col("text")).cast("int").as("match"))
+    }),
+
     // Reason-coded quality gate: keep/drop with the FIRST failing
     // reason per doc — the data card reports WHY mass dropped.
     "q136_quality_gate" -> ((s, dir) => {
@@ -4124,6 +4142,24 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // tokenizer round-trip: the q125 token-string chain re-concatenated
+    // in (pretoken idx, within idx) order must equal the source text
+    "q137_bpe_roundtrip" ->
+      s"""${bpeCtes(6, bpeMaxVocab)},
+         |tdoc AS (SELECT doc_id, regexp_extract_all(text,
+         |      '${Bpe.preTokenPattern}', 0) AS ws
+         |  FROM documents WHERE coalesce(length(trim(text)), 0) > 0),
+         |dwo AS (SELECT doc_id, j AS widx, ws[j] AS wd
+         |  FROM tdoc, unnest(range(1, len(ws) + 1)) AS uw(j)),
+         |flat AS (SELECT d.doc_id, d.widx, ti AS iidx, w6.toks[ti] AS tok
+         |  FROM dwo d JOIN v6 w6 USING (wd),
+         |    unnest(range(1, len(w6.toks) + 1)) AS ut(ti)),
+         |rc AS (SELECT doc_id, string_agg(tok, '' ORDER BY widx, iidx)
+         |    AS dec FROM flat GROUP BY 1)
+         |SELECT d.doc_id, length(rc.dec)::BIGINT AS n_chars_decoded,
+         |  (CASE WHEN rc.dec = d.text THEN 1 ELSE 0 END)::INT AS match
+         |FROM documents d JOIN rc USING (doc_id)""".stripMargin,
 
     // reason-coded quality gate: integer signals (token count,
     // stopword membership count, max per-word occurrences), first-

@@ -164,6 +164,22 @@ object TextKernelExprs {
   def bpeTokenCountEval(toks: ArrayData, counter: BpeCounter): Long =
     counter.countDoc(toks)
 
+  /** Byte-embedding inverse ([[Bpe.decodeTokenIds]]): a string whose
+    * chars are byte values 0-255 (the latin-1 embedding byte-level BPE
+    * tokens use) re-decodes as UTF-8. Chars above 255 would indicate a
+    * non-byte-embedded input — they pass through the lossy JVM default
+    * replacement, surfacing as a mismatch in the round-trip gate
+    * rather than silently succeeding.
+    */
+  def latin1ToUtf8Eval(s: UTF8String): UTF8String = {
+    val t = s.toString
+    val bytes = new Array[Byte](t.length)
+    var i = 0
+    while (i < t.length) { bytes(i) = t.charAt(i).toByte; i += 1 }
+    UTF8String.fromString(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Unicode text normalization kernel ([[NormalizeText]]): NFC
     * composition (JDK Normalizer ≡ ICU for the assigned repertoire),
     * then one pass dropping C0 controls (except `\n`/`\t`), DEL, and
@@ -280,6 +296,10 @@ object TextKernelExprs {
   def normalizeText(text: Column): Column =
     GraftSqlBridge.column(
       NormalizeText(GraftSqlBridge.expression(text)))
+
+  def latin1ToUtf8(text: Column): Column =
+    GraftSqlBridge.column(
+      Latin1ToUtf8(GraftSqlBridge.expression(text)))
 
   def ngramDistinctCounts(text: Column, ns: Seq[Int]): Column =
     GraftSqlBridge.column(
@@ -542,6 +562,24 @@ case class BpeTokenCount(child: Expression, lefts: Seq[String],
       s"graft.functions.TextKernelExprs.bpeTokenCountEval($c, $cRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd byte-embedding inverse (see
+  * [[TextKernelExprs.latin1ToUtf8Eval]]).
+  */
+case class Latin1ToUtf8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.latin1ToUtf8Eval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.latin1ToUtf8Eval($c)")
+  override protected def withNewChildInternal(newChild: Expression): Latin1ToUtf8 =
     copy(child = newChild)
 }
 

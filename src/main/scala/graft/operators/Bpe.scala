@@ -333,6 +333,37 @@ object Bpe {
         col("token_id"))
   }
 
+  /** Decode a [[tokenIds]] relation back to text — the artifact
+    * INTEGRITY check (and the eval-time detokenizer): token ids map
+    * through the numbered vocabulary, concatenate in `(id, pos)`
+    * order, and the byte-embedded chars re-decode as UTF-8. Byte-level
+    * models round-trip EXACTLY (the pretokenizer's segments partition
+    * the string), so `decode(tokenIds(text)) == text` — the q137
+    * gate. Output: `(id, text_decoded)`.
+    *
+    * Shape for scale: the ≤(256+merges)-entry vocabulary rides as an
+    * array literal (one `element_at` per token), and the reassembly is
+    * one hash aggregation keyed by doc.
+    */
+  def decodeTokenIds(ids: DataFrame, model: BpeModel,
+      idCol: String = "id", posCol: String = "pos",
+      tokCol: String = "token_id"): DataFrame = {
+    require(model.byteLevel,
+      "decode requires a byteLevel model (char-level decoding cannot " +
+        "reconstruct inter-word whitespace)")
+    val vocab = model.vocabTokens.toArray
+    ids.select(col(idCol).cast("long").as("id"),
+        col(posCol).cast("long").as("_pos"),
+        element_at(lit(vocab), col(tokCol).cast("int") + 1).as("_t"))
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_t")))),
+          s => s.getField("_t")), "").as("_latin1"))
+      .select(col("id"),
+        graft.functions.TextKernelExprs.latin1ToUtf8(col("_latin1"))
+          .as("text_decoded"))
+  }
+
   /** Rehydrate a [[BpeModel]] from a persisted [[mergeTable]] relation
     * (e.g. `spark.read.parquet(...)` of an earlier training run) — the
     * train-once / score-many-jobs artifact cycle, like

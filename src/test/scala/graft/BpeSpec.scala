@@ -206,6 +206,26 @@ class BpeSpec extends SparkSpec {
     assert(ids.forall(_._3 >= 0L))
   }
 
+  test("decodeTokenIds round-trips text exactly, including non-ASCII") {
+    val docs = Seq(
+      (1L, "low lower newest widest"),
+      (2L, "café déjà vu 中文"), // multi-byte UTF-8
+      (3L, "punct! and, (nums) 123 end.")
+    ).toDF("doc_id", "text")
+    val model = Bpe.bpeTrainBytes(docs, "text", nMerges = 5)
+    val ids = Bpe.tokenIds(docs, "text", "doc_id", model)
+    val back = Bpe.decodeTokenIds(ids, model)
+      .as[(Long, String)].collect().toMap
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(back == orig, s"round-trip diverged: $back")
+    // char-level models cannot reconstruct whitespace: loud error
+    val charModel = Bpe.bpeTrain(docs, "text", nMerges = 2)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.decodeTokenIds(ids, charModel)
+    }
+    assert(e.getMessage.contains("byteLevel"))
+  }
+
   test("byte-level mergeTable round-trip recovers the full id numbering") {
     val docs = Seq((1L, "low low lower newest widest newest"))
       .toDF("doc_id", "text")
