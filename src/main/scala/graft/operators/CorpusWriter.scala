@@ -108,6 +108,26 @@ object CorpusWriter {
     * section dir (audit relations are aggregate-sized — a section is
     * at most the cardinality of its group-by key).
     */
+  /** Diff two [[writeDataCard]] relations — the corpus-version review
+    * artifact: `(section, entity, metric, value_a, value_b, status)`
+    * with `status` ∈ changed/added/removed/same (added/removed mean
+    * present only in B/only in A). A full-outer join on the card key;
+    * cards are aggregate-sized, so this is trivially cheap at any
+    * corpus scale.
+    */
+  def diffDataCards(a: DataFrame, b: DataFrame): DataFrame = {
+    val key = Seq("section", "entity", "metric")
+    a.select(key.map(col) :+ col("value").as("value_a"): _*)
+      .join(b.select(key.map(col) :+ col("value").as("value_b"): _*),
+        key, "full_outer")
+      .select(col("section"), col("entity"), col("metric"),
+        col("value_a"), col("value_b"),
+        when(col("value_a").isNull, "added")
+          .when(col("value_b").isNull, "removed")
+          .when(col("value_a") === col("value_b"), "same")
+          .otherwise("changed").as("status"))
+  }
+
   def writeDataCard(sections: Seq[(String, DataFrame)],
       outDir: String): Unit = {
     require(sections.nonEmpty, "data card needs at least one section")

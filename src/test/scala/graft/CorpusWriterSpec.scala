@@ -117,6 +117,25 @@ class CorpusWriterSpec extends SparkSpec {
     assert(lineIds == expIds)
   }
 
+  test("diffDataCards: changed/added/removed/same between versions") {
+    val out1 = tmpDir("cardA"); val out2 = tmpDir("cardB")
+    CorpusWriter.writeDataCard(Seq(("s",
+      Seq(("en", 10L), ("de", 4L)).toDF("lang", "n"))), out1)
+    CorpusWriter.writeDataCard(Seq(("s",
+      Seq(("en", 12L), ("fr", 2L)).toDF("lang", "n"))), out2)
+    val diff = CorpusWriter.diffDataCards(
+        spark.read.parquet(out1), spark.read.parquet(out2))
+      .as[(String, String, String, Option[String], Option[String], String)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(diff("en") == (("s", "en", "n", Some("10"), Some("12"),
+      "changed")))
+    assert(diff("de")._6 == "removed" && diff("fr")._6 == "added")
+    // identical cards diff to all-same
+    val same = CorpusWriter.diffDataCards(
+      spark.read.parquet(out1), spark.read.parquet(out1))
+    assert(same.filter(col("status") =!= "same").count() == 0)
+  }
+
   test("writeDataCard melts heterogeneous audits into section dirs") {
     val out = tmpDir("card")
     val langStats = Seq(("en", 10L, 950L), ("de", 4L, 380L))
