@@ -108,6 +108,37 @@ object CorpusWriter {
     * section dir (audit relations are aggregate-sized — a section is
     * at most the cardinality of its group-by key).
     */
+  /** On-disk layout audit of a written corpus tree: one row per leaf
+    * partition directory with its file count and byte size —
+    * `(dir, n_files, n_bytes)` — the shard-balance report that catches
+    * a skewed writer before a training job reads 1 fat shard at the
+    * pace of its slowest task. Uses the Hadoop FileSystem API, so it
+    * audits whatever scheme the corpus was written to; listing cost is
+    * O(files), driver-side — file counts are writer-scale, not
+    * corpus-scale.
+    */
+  def layoutStats(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    import scala.collection.mutable
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(p)
+      val (dirs, files) = entries.partition(_.isDirectory)
+      val data = files.filterNot(_.getPath.getName.startsWith("_"))
+        .filterNot(_.getPath.getName.startsWith("."))
+      if (data.nonEmpty)
+        rows += ((p.toUri.getPath.stripPrefix(
+            path.toUri.getPath).stripPrefix("/"),
+          data.length.toLong, data.map(_.getLen).sum))
+      dirs.foreach(d => walk(d.getPath))
+    }
+    walk(path)
+    import spark.implicits._
+    rows.toSeq.toDF("dir", "n_files", "n_bytes")
+  }
+
   /** Diff two [[writeDataCard]] relations — the corpus-version review
     * artifact: `(section, entity, metric, value_a, value_b, status)`
     * with `status` ∈ changed/added/removed/same (added/removed mean

@@ -117,6 +117,27 @@ class CorpusWriterSpec extends SparkSpec {
     assert(lineIds == expIds)
   }
 
+  test("layoutStats reports per-leaf-dir file counts and bytes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = tmpDir("stats")
+    CorpusWriter.writeSplits(docs, "doc_id", out,
+      Seq(("train", 900), ("val", 100)), nFiles = 2)
+    val stats = CorpusWriter.layoutStats(spark, out)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // one parquet file per (split, file_idx) leaf, nonzero bytes
+    val leaves = stats.keys.filter(_.contains("file_idx=")).toSeq
+    assert(leaves.size == 4, s"got dirs ${stats.keys}")
+    assert(stats.values.forall { case (nf, nb) => nf == 1L && nb > 0L })
+    // sizes reconcile with the filesystem
+    val onDisk = Files.walk(Paths.get(out)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .map(Files.size(_)).sum
+    assert(stats.values.map(_._2).sum == onDisk)
+  }
+
   test("diffDataCards: changed/added/removed/same between versions") {
     val out1 = tmpDir("cardA"); val out2 = tmpDir("cardB")
     CorpusWriter.writeDataCard(Seq(("s",
