@@ -1561,6 +1561,24 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Funnel report: signup → view → click → purchase per user,
+    // greedy-earliest matching, 7-day window anchored at signup —
+    // the conversion table CEP's per-match rows aggregate into.
+    "q138_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.report(evts(s, dir), "user_id",
+        "event_type", "ts_us",
+        Seq("signup", "view", "click", "purchase"),
+        withinUs = 604800000000L)
+    }),
+
+    // Cohort retention triangle: users cohort by first-seen integer
+    // day, (cohort_day, day_offset) activity counts — all-integer day
+    // arithmetic, exact under any engine.
+    "q139_cohort_retention" -> ((s, dir) => {
+      graft.operators.Funnel.cohortRetention(evts(s, dir), "user_id",
+        "ts_us")
+    }),
+
     // Tokenizer round-trip integrity: decode(tokenIds(text)) must
     // reproduce the text EXACTLY for the byte-level model (the
     // pretokenizer's segments partition the string; byte fallback is
@@ -4142,6 +4160,46 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // funnel: greedy-earliest stage chain unrolled (each stage's
+    // earliest qualifying event strictly after the previous match,
+    // window anchored at step 0), scalar-subquery counts
+    "q138_funnel" ->
+      """WITH fe AS (SELECT user_id AS u, event_type AS t,
+        |    epoch_us(ts)::BIGINT AS ts FROM events),
+        |f1 AS (SELECT u, min(ts) AS ts0, min(ts) AS tsi FROM fe
+        |  WHERE t = 'signup' GROUP BY 1),
+        |f2 AS (SELECT e.u, f1.ts0, min(e.ts) AS tsi FROM fe e
+        |  JOIN f1 ON f1.u = e.u
+        |  WHERE e.t = 'view' AND e.ts > f1.tsi
+        |    AND e.ts <= f1.ts0 + 604800000000 GROUP BY 1, 2),
+        |f3 AS (SELECT e.u, f2.ts0, min(e.ts) AS tsi FROM fe e
+        |  JOIN f2 ON f2.u = e.u
+        |  WHERE e.t = 'click' AND e.ts > f2.tsi
+        |    AND e.ts <= f2.ts0 + 604800000000 GROUP BY 1, 2),
+        |f4 AS (SELECT e.u, f3.ts0, min(e.ts) AS tsi FROM fe e
+        |  JOIN f3 ON f3.u = e.u
+        |  WHERE e.t = 'purchase' AND e.ts > f3.tsi
+        |    AND e.ts <= f3.ts0 + 604800000000 GROUP BY 1, 2)
+        |SELECT 1::INT AS step, 'signup' AS step_type,
+        |  (SELECT count(*) FROM f1)::BIGINT AS n_users
+        |UNION ALL SELECT 2::INT, 'view',
+        |  (SELECT count(*) FROM f2)::BIGINT
+        |UNION ALL SELECT 3::INT, 'click',
+        |  (SELECT count(*) FROM f3)::BIGINT
+        |UNION ALL SELECT 4::INT, 'purchase',
+        |  (SELECT count(*) FROM f4)::BIGINT""".stripMargin,
+
+    // cohort retention: distinct (user, integer day), first-day
+    // election, (cohort, offset) counts
+    "q139_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d FROM events),
+        |fd AS (SELECT u, min(d) AS d0 FROM ud GROUP BY 1)
+        |SELECT fd.d0::BIGINT AS cohort_day,
+        |  (ud.d - fd.d0)::BIGINT AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM ud JOIN fd USING (u) GROUP BY 1, 2""".stripMargin,
 
     // tokenizer round-trip: the q125 token-string chain re-concatenated
     // in (pretoken idx, within idx) order must equal the source text
