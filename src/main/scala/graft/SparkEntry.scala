@@ -1561,6 +1561,29 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Corpus-wide line-level dedup (the CCNet/RefinedWeb paragraph
+    // tier): pages synthesized with shared nav/banner/footer lines
+    // around the unique body — the first page (by doc_id) keeps the
+    // boilerplate, every later page sheds it; the short "ok" line is
+    // structure (< minChars) and always survives. Both engines replay
+    // the page synthesis.
+    "q140_line_dedup" -> ((s, dir) => {
+      val page = concat(
+        lit("Home About Contact Products News Archive\n"),
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("\nsubscribe to our newsletter for weekly updates today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nthis website uses cookies to improve your experience"))
+          .otherwise(lit("")),
+        lit("\nok\ncopyright 2024 example site all rights reserved"))
+      TextOps.lineDedup(
+          ld(s, dir, "documents").withColumn("text", page),
+          "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Funnel report: signup → view → click → purchase per user,
     // greedy-earliest matching, 7-day window anchored at signup —
     // the conversion table CEP's per-match rows aggregate into.
@@ -4160,6 +4183,43 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // line dedup: page synthesis replay + per-line first-occurrence
+    // election (partition by trimmed line, order by doc/pos) + loser
+    // anti-join + in-order reassembly
+    "q140_line_dedup" ->
+      """WITH pg AS (SELECT doc_id,
+        |    'Home About Contact Products News Archive' || chr(10) ||
+        |    coalesce(text, '') ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |      'subscribe to our newsletter for weekly updates today'
+        |      ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'this website uses cookies to improve your experience'
+        |      ELSE '' END) ||
+        |    chr(10) || 'ok' || chr(10) ||
+        |    'copyright 2024 example site all rights reserved' AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        |  FROM pg),
+        |c AS (SELECT doc_id, pos, trim(line) AS k FROM l
+        |  WHERE len(trim(line)) >= 10),
+        |r AS (SELECT doc_id, pos, row_number() OVER
+        |    (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM c),
+        |lo AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+        |sv AS (SELECT l.doc_id, l.pos, l.line FROM l
+        |  ANTI JOIN lo USING (doc_id, pos)),
+        |rb AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |    count(*) AS n_kept FROM sv GROUP BY doc_id),
+        |nl AS (SELECT doc_id,
+        |    len(string_split(t, chr(10)))::BIGINT AS n_lines FROM pg)
+        |SELECT nl.doc_id, coalesce(rb.text_dedup, '') AS text_dedup,
+        |  nl.n_lines,
+        |  (nl.n_lines - coalesce(rb.n_kept, 0))::BIGINT AS n_dropped
+        |FROM nl LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     // funnel: greedy-earliest stage chain unrolled (each stage's
     // earliest qualifying event strictly after the previous match,

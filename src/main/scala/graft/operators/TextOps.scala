@@ -760,6 +760,63 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Corpus-wide line-level dedup — the CCNet/RefinedWeb paragraph-hash
+    * tier (Wenzek et al. 2020 §3.1; Penedo et al. 2023 §4.2; reference
+    * scope: the curation step upstream of everything its CEP layer
+    * consumes). Every line whose trimmed form has ≥ `minChars`
+    * characters competes corpus-wide; the FIRST occurrence (smallest
+    * `(id, pos)`) survives and every later verbatim repeat is dropped —
+    * the boilerplate killer (nav bars, cookie banners, footers repeat
+    * across pages verbatim, and they dominate naive token counts).
+    * Lines shorter than `minChars` after trim are structure, not
+    * content: they always survive. Output: `(id, text_dedup, n_lines,
+    * n_dropped)` with surviving lines rejoined by newline in original
+    * order; docs with null text keep the all-empty row.
+    *
+    * Scale shape: lines explode scan-side with their position; the
+    * election shuffles ONLY `(fp, id, pos)` — ~20 bytes/line, never
+    * line text (the q116 fingerprint discipline). Losers come back as
+    * an `(id, pos)` anti-join and the survivors reassemble with the
+    * [[chunkDedupRebuild]] collect/array_sort pattern, so line text
+    * shuffles exactly once, as surviving lines keyed by doc. Election
+    * and loser join are plain hash equi-joins — no windows, no global
+    * sort, no driver state.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      minChars: Int = 10): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "_line")))
+    val competing = lines
+      .filter(length(trim(col("_line"))) >= minChars)
+      .select(col("id"), col("pos"),
+        graft.functions.TextKernelExprs.polyHash(trim(col("_line")))
+          .as("_fp"))
+    // first occurrence corpus-wide: min (id, pos) per fingerprint;
+    // every other competing occurrence is a loser
+    val winners = competing.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("_w"))
+      .select(col("_w.id").as("id"), col("_w.pos").as("pos"))
+    val losers = competing.select(col("id"), col("pos"))
+      .join(winners, Seq("id", "pos"), "left_anti")
+    val rebuilt = lines.join(losers, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("text_dedup"),
+        count(lit(1)).as("_n_kept"))
+    val nLines = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(split(col(textCol), "\n")).cast("long"))
+    df.select(col(idCol).cast("long").as("id"), nLines.as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** The offline half of [[temperatureSample]]: the per-stratum
     * keep-rates per million as a plain map (≤ strata entries — a
     * bounded driver collect), for [[applySampleRates]] to apply

@@ -21,6 +21,61 @@ class TextOpsSpec extends SparkSpec {
       (3L, 3L, 3L, 1L, 1L)))
   }
 
+  test("lineDedup keeps first occurrence corpus-wide, in order") {
+    val boiler = "this website uses cookies everywhere"
+    val df = Seq(
+      (2L, s"unique line for doc two\n$boiler\nsecond unique two"),
+      (1L, s"$boiler\nunique line for doc one"),
+      (3L, boiler)
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 has the smallest (id, pos) for the boilerplate: keeps it
+    assert(got(1L) == ((1L, s"$boiler\nunique line for doc one", 2L, 0L)))
+    assert(got(2L) ==
+      ((2L, "unique line for doc two\nsecond unique two", 3L, 1L)))
+    assert(got(3L) == ((3L, "", 1L, 1L)))
+  }
+
+  test("lineDedup drops later repeats inside the same doc") {
+    val df = Seq((7L, "a repeated content line\nmiddle text line one\n" +
+      "a repeated content line")).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().head
+    assert(got == ((7L,
+      "a repeated content line\nmiddle text line one", 3L, 1L)))
+  }
+
+  test("lineDedup: short lines are structure — duplicated yet kept") {
+    val df = Seq(
+      (1L, "ok\nfirst body line of text\nok"),
+      (2L, "ok\nsecond body line of text")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "text", "doc_id", minChars = 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "ok\nfirst body line of text\nok", 3L, 0L)))
+    assert(got(2L) == ((2L, "ok\nsecond body line of text", 2L, 0L)))
+  }
+
+  test("lineDedup matches on the trimmed line but keeps original text") {
+    val df = Seq(
+      (1L, "  padded boilerplate line  "),
+      (2L, "padded boilerplate line")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "  padded boilerplate line  ", 1L, 0L)))
+    assert(got(2L) == ((2L, "", 1L, 1L)))
+  }
+
+  test("lineDedup: null text keeps the all-empty row") {
+    val df = Seq((1L, Option("a real first line of text")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, "", 0L, 0L)))
+  }
+
   test("trigramLmScore backs off trigram -> bigram -> add-alpha unigram") {
     val df = Seq(
       (1L, "a b c a b c", 1), // the train slice
