@@ -1561,6 +1561,31 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Canonical-URL dedup (the crawl-frontier election): four messy
+    // URL shapes synthesized per doc — scheme/host case, www., default
+    // ports, tracking params, fragments, trailing slashes — variants
+    // %4∈{0,1} collapse to the same canonical form, http (%4=2) stays
+    // distinct, blog posts (%4=3) are unique but shed their utm param.
+    "q141_url_canonical" -> ((s, dir) => {
+      val k = (col("doc_id") % 25).cast("string")
+      val j = (col("doc_id") % 7).cast("string")
+      val d = col("doc_id").cast("string")
+      val u = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/Page"), j,
+            lit("/?utm_source=feed&utm_medium=rss")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://site"), k, lit(".com/Page"), j,
+            lit("?ref=homepage#section2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://www.site"), k, lit(".com:80/Page"), j,
+            lit("/")))
+        .otherwise(concat(lit("https://blog.site"), k, lit(".com/post/"),
+          d, lit("?id="), d, lit("&utm_campaign=x")))
+      UrlOps.urlDedup(ld(s, dir, "documents").withColumn("url", u),
+          "url", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Corpus-wide line-level dedup (the CCNet/RefinedWeb paragraph
     // tier): pages synthesized with shared nav/banner/footer lines
     // around the unique body — the first page (by doc_id) keeps the
@@ -4183,6 +4208,58 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // url canonical dedup: messy-URL synthesis replay + the full
+    // canonicalization chain (scheme/host lowering, www./default-port/
+    // fragment/trailing-slash strips, tracking-param filter) + window
+    // election per canonical form
+    "q141_url_canonical" ->
+      """WITH u AS (SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 25) ||
+        |      '.COM:443/Page' || (doc_id % 7) ||
+        |      '/?utm_source=feed&utm_medium=rss'
+        |    WHEN 1 THEN 'https://site' || (doc_id % 25) ||
+        |      '.com/Page' || (doc_id % 7) || '?ref=homepage#section2'
+        |    WHEN 2 THEN 'http://www.site' || (doc_id % 25) ||
+        |      '.com:80/Page' || (doc_id % 7) || '/'
+        |    ELSE 'https://blog.site' || (doc_id % 25) || '.com/post/' ||
+        |      doc_id || '?id=' || doc_id || '&utm_campaign=x'
+        |    END AS url FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sr,
+        |    regexp_extract(url,
+        |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#]+)',
+        |      1) AS hostport,
+        |    regexp_extract(url,
+        |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?[^/?#]*([^#]*)',
+        |      1) AS pathq
+        |  FROM u),
+        |c0 AS (SELECT doc_id,
+        |    CASE WHEN sr = '' THEN 'http' ELSE sr END AS scheme,
+        |    regexp_replace(regexp_replace(lower(
+        |      regexp_replace(hostport, ':[0-9]+$', '')), '\.$', ''),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(pathq, '\?(.*)$', 1) AS query
+        |  FROM p),
+        |c AS (SELECT doc_id, scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |      OR (scheme = 'https' AND port = '443') THEN ''
+        |      ELSE ':' || port END) || path ||
+        |    (CASE WHEN query = '' OR len(kp) = 0 THEN ''
+        |      ELSE '?' || array_to_string(kp, '&') END) AS canon_url
+        |  FROM (SELECT *, list_filter(string_split(query, '&'),
+        |      qp -> qp <> '' AND NOT regexp_matches(qp,
+        |        '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)'))
+        |      AS kp FROM c0))
+        |SELECT doc_id, canon_url,
+        |  (CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+        |    THEN 1 ELSE 0 END)::INT AS kept,
+        |  count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_aliases
+        |FROM c""".stripMargin,
 
     // line dedup: page synthesis replay + per-line first-occurrence
     // election (partition by trimmed line, order by doc/pos) + loser

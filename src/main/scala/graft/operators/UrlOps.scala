@@ -103,6 +103,70 @@ object UrlOps {
       broadcast(blocked.select(col(blockedCol).as("_blocked")).distinct()),
       domainOf(col(urlCol)) === col("_blocked"), "left_anti")
 
+  /** Canonical form of a URL — the crawl-frontier dedup key (the
+    * RFC 3986 §6 normalizations plus the tracking-parameter strip every
+    * production crawler applies): scheme and host lowercased, `www.`
+    * and trailing host dot dropped, default ports (`:80` http, `:443`
+    * https) removed, fragment removed, tracking query parameters
+    * (`utm_*`, `gclid`, `fbclid`, `ref`, `mc_cid`, `mc_eid`) filtered
+    * out with the remaining parameters kept in order, trailing path
+    * slashes stripped. Scheme-less inputs canonicalize as `http`.
+    * Pure regexp + array HOFs — codegen'd, zero shuffle, identical
+    * under RE2/Java regex; null in, null out.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val schemeRaw = lower(regexp_extract(url,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val scheme = when(schemeRaw === "", lit("http")).otherwise(schemeRaw)
+    val hostport = regexp_extract(url,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#]+)", 1)
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")),
+      "\\.$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    // path+query = everything after authority, fragment dropped
+    val pathq = regexp_extract(url,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?[^/?#]*([^#]*)", 1)
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val keptParams = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike(
+        "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"))
+    val queryPart = when(query === "" || size(keptParams) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(keptParams, "&")))
+    when(url.isNull, lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path,
+        queryPart))
+  }
+
+  /** Canonical-URL dedup: `(id, canon_url, kept, n_aliases)` — every
+    * row tagged with its canonical URL, `kept = 1` on the smallest id
+    * per canonical form (the crawl-frontier "have we fetched this
+    * already" election), `n_aliases` = rows sharing the canonical form.
+    *
+    * Scale shape: canonicalization is scan-side; the election groups by
+    * the canonical form's 64-bit fingerprint, so the aggregation and
+    * the join back to rows shuffle `(fp, id)` pairs, never URL strings
+    * (rows re-derive their canonical string scan-side on the probe
+    * side of a plain equi-join).
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val rows = df.select(col(idCol).cast("long").as("id"),
+        canonicalUrl(col(urlCol)).as("canon_url"))
+      .withColumn("_fp", Text.fingerprintOfNormalized(col("canon_url")))
+    val groups = rows.groupBy(col("_fp"))
+      .agg(min(col("id")).as("_keep_id"), count(lit(1)).as("n_aliases"))
+    rows.join(groups, Seq("_fp"))
+      .select(col("id"), col("canon_url"),
+        (col("id") === col("_keep_id")).cast("int").as("kept"),
+        col("n_aliases"))
+  }
+
   /** Top-`topK` domain mixture of the input: `(domain, n_docs,
     * share_permille, rank)` with shares against the full input count.
     * The rank window runs AFTER a `TakeOrderedAndProject` top-k cut,

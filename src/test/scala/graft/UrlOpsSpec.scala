@@ -13,6 +13,54 @@ class UrlOpsSpec extends SparkSpec {
   private def dom1(u: String): String =
     Seq(u).toDF("u").select(UrlOps.domainOf(col("u"))).as[String].head()
 
+  private def canon1(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.canonicalUrl(col("u"))).as[String].head()
+
+  test("canonicalUrl: case, www, default port, fragment, trailing slash") {
+    assert(canon1("HTTPS://WWW.Example.COM:443/Path/To/?x=1#frag") ==
+      "https://example.com/Path/To?x=1")
+    assert(canon1("http://www.site.org:80/") == "http://site.org")
+    assert(canon1("http://site.org:8080/a") == "http://site.org:8080/a")
+    // scheme-less input canonicalizes as http; path case is preserved
+    assert(canon1("Site.net/A/b/") == "http://site.net/A/b")
+  }
+
+  test("canonicalUrl filters tracking params, keeps the rest in order") {
+    assert(canon1("https://a.com/p?utm_source=x&id=3&fbclid=z&b=2") ==
+      "https://a.com/p?id=3&b=2")
+    assert(canon1("https://a.com/p?utm_campaign=only") ==
+      "https://a.com/p")
+    assert(canon1("https://a.com/p?ref=hp&gclid=1&mc_cid=2&mc_eid=3") ==
+      "https://a.com/p")
+    // 'referrer=x' is NOT a tracking key ('ref' must match whole key)
+    assert(canon1("https://a.com/p?referrer=x") ==
+      "https://a.com/p?referrer=x")
+  }
+
+  test("canonicalUrl: null in, null out; scheme distinguishes") {
+    val got = Seq(Option("http://a.com/x"), Option("https://a.com/x"),
+        None).toDF("u")
+      .select(UrlOps.canonicalUrl(col("u"))).as[Option[String]]
+      .collect().toSeq
+    assert(got == Seq(Some("http://a.com/x"), Some("https://a.com/x"),
+      None))
+  }
+
+  test("urlDedup elects the smallest id per canonical form") {
+    val df = Seq(
+      (5L, "https://WWW.a.com:443/p/?utm_source=x"),
+      (2L, "https://a.com/p"),
+      (9L, "https://a.com/p#sec"),
+      (7L, "https://b.com/q")
+    ).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(df, "url", "doc_id")
+      .as[(Long, String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, "https://a.com/p", 1, 3L)))
+    assert(got(5L) == ((5L, "https://a.com/p", 0, 3L)))
+    assert(got(9L) == ((9L, "https://a.com/p", 0, 3L)))
+    assert(got(7L) == ((7L, "https://b.com/q", 1, 1L)))
+  }
+
   test("hostOf strips scheme, userinfo, port, path, case, trailing dot") {
     assert(host1("https://www.Example.com/p/1") == "www.example.com")
     assert(host1("HTTP://user:pw@M.SITE.ORG:8080/x?q=1") == "m.site.org")
