@@ -1561,6 +1561,14 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Vocabulary growth curve (the Heaps'-law ingest-monitoring
+    // chart): cumulative docs/tokens/distinct-types at checkpoints
+    // every 100 doc ids — a type counts at its FIRST doc's bucket.
+    "q142_vocab_growth" -> ((s, dir) => {
+      TextOps.vocabGrowth(ld(s, dir, "documents"), "text", "doc_id",
+        stepDocs = 100L)
+    }),
+
     // Canonical-URL dedup (the crawl-frontier election): four messy
     // URL shapes synthesized per doc — scheme/host case, www., default
     // ports, tracking params, fragments, trailing slashes — variants
@@ -4208,6 +4216,30 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // vocab growth: q20 tokenization, per-token first-doc election,
+    // bucket aggregation + cumulative window over checkpoints
+    "q142_vocab_growth" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN coalesce(len(trim(text)), 0) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split(regexp_replace(lower(trim(text)),
+        |        '\s+', ' ', 'g'), ' ') END AS ws
+        |  FROM documents),
+        |bt AS (SELECT doc_id // 100 AS bucket, count(*)::BIGINT AS nd,
+        |    sum(len(ws))::BIGINT AS ntk FROM t GROUP BY 1),
+        |fo AS (SELECT tok, min(doc_id) AS fid FROM
+        |    (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM t)
+        |  GROUP BY 1),
+        |ty AS (SELECT fid // 100 AS bucket, count(*)::BIGINT AS nty
+        |  FROM fo GROUP BY 1)
+        |SELECT bt.bucket::BIGINT AS bucket,
+        |  sum(bt.nd) OVER w::BIGINT AS docs_upto,
+        |  sum(bt.ntk) OVER w::BIGINT AS tokens_upto,
+        |  sum(coalesce(ty.nty, 0)) OVER w::BIGINT AS types_upto
+        |FROM bt LEFT JOIN ty USING (bucket)
+        |WINDOW w AS (ORDER BY bt.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // url canonical dedup: messy-URL synthesis replay + the full
     // canonicalization chain (scheme/host lowering, www./default-port/

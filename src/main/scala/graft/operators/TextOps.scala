@@ -817,6 +817,48 @@ object TextOps {
           .as("n_dropped"))
   }
 
+  /** Vocabulary growth curve — the Heaps'-law audit (types vs tokens as
+    * the corpus grows; Heaps 1978): docs are bucketed by id into
+    * checkpoints every `stepDocs` ids, and each output row reports the
+    * corpus prefix up to that checkpoint: `(bucket, docs_upto,
+    * tokens_upto, types_upto)`. A corpus whose `types_upto` curve bends
+    * away from the expected power law is drifting (template flood ⇒
+    * too flat; encoding noise/OCR ⇒ too steep) — the standard
+    * ingest-monitoring chart for a growing training corpus.
+    *
+    * Scale shape: a type's checkpoint is its FIRST doc's bucket, so
+    * the election is one hash aggregation `min(id) per token` over
+    * per-doc-distinct tokens (map-side partial min; token strings
+    * shuffle once, counts never do). Both per-bucket relations are
+    * ≤ `corpus/stepDocs` rows; the cumulative window runs over that
+    * tiny relation only — pick `stepDocs` so checkpoints stay ≤ ~1e5
+    * rows and the window cost is noise at any corpus size.
+    */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+      stepDocs: Long = 1000L): DataFrame = {
+    require(stepDocs >= 1, s"stepDocs must be >= 1, got $stepDocs")
+    val t = col(textCol)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      when(coalesce(length(trim(t)), lit(0)) === 0,
+        array().cast("array<string>")).otherwise(words(t)).as("_ws"))
+    val bt = base
+      .groupBy(expr(s"id div $stepDocs").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("_nd"),
+        sum(size(col("_ws")).cast("long")).as("_ntk"))
+    val ty = base
+      .select(col("id"), explode(array_distinct(col("_ws"))).as("_tok"))
+      .groupBy(col("_tok")).agg(min(col("id")).as("_fid"))
+      .groupBy(expr(s"_fid div $stepDocs").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("_nty"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    bt.join(ty, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("_nd")).over(w).as("docs_upto"),
+        sum(col("_ntk")).over(w).as("tokens_upto"),
+        sum(coalesce(col("_nty"), lit(0L))).over(w).as("types_upto"))
+  }
+
   /** The offline half of [[temperatureSample]]: the per-stratum
     * keep-rates per million as a plain map (≤ strata entries — a
     * bounded driver collect), for [[applySampleRates]] to apply

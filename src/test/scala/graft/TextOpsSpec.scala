@@ -76,6 +76,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, "", 0L, 0L)))
   }
 
+  test("vocabGrowth: types count at their first doc's checkpoint") {
+    val df = Seq(
+      (0L, "alpha beta alpha"),     // bucket 0: 3 tokens, types alpha beta
+      (1L, "beta gamma"),           // bucket 0: gamma is new
+      (2L, "alpha delta"),          // bucket 1: delta is new
+      (3L, Option.empty[String].orNull), // bucket 1: null text, 0 tokens
+      (5L, "epsilon")               // bucket 2 (id 4 absent)
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(df, "text", "doc_id", stepDocs = 2L)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 5L, 3L),   // alpha beta gamma
+      (1L, 4L, 7L, 4L),   // + delta; null doc adds 0 tokens
+      (2L, 5L, 8L, 5L)))  // + epsilon
+  }
+
   test("trigramLmScore backs off trigram -> bigram -> add-alpha unigram") {
     val df = Seq(
       (1L, "a b c a b c", 1), // the train slice
