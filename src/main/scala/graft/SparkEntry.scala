@@ -1561,6 +1561,15 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Sliding-window rate anomaly: hourly per-type event counts scored
+    // against the trailing 24 buckets with the all-integer z-test
+    // (n·W − S)² > k²·(W·Q − S²) — dense grid, zero-filled gaps,
+    // warm-up buckets unscored.
+    "q143_rate_anomaly" -> ((s, dir) => {
+      graft.operators.Anomaly.rateAnomaly(evts(s, dir), "ts_us",
+        "event_type")
+    }),
+
     // Vocabulary growth curve (the Heaps'-law ingest-monitoring
     // chart): cumulative docs/tokens/distinct-types at checkpoints
     // every 100 doc ids — a type counts at its FIRST doc's bucket.
@@ -4216,6 +4225,34 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // rate anomaly: hourly bucket counts, dense type×bucket grid,
+    // trailing-24 sum/sumsq window, integer z² guard in HUGEINT
+    "q143_rate_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts)::BIGINT // 3600000000 AS b FROM events),
+        |cnt AS (SELECT event_type, b, count(*)::BIGINT AS n
+        |  FROM e GROUP BY 1, 2),
+        |rng AS (SELECT min(b) AS lo, max(b) AS hi FROM e),
+        |grid AS (SELECT t.event_type, gs.b
+        |  FROM (SELECT DISTINCT event_type FROM e) t,
+        |    (SELECT unnest(generate_series(lo, hi)) AS b FROM rng) gs),
+        |d AS (SELECT g.event_type, g.b,
+        |    coalesce(cnt.n, 0)::BIGINT AS n
+        |  FROM grid g LEFT JOIN cnt USING (event_type, b)),
+        |wn AS (SELECT event_type, b, n,
+        |    coalesce(sum(n) OVER w, 0)::BIGINT AS s,
+        |    coalesce(sum(n * n) OVER w, 0)::BIGINT AS q,
+        |    row_number() OVER
+        |      (PARTITION BY event_type ORDER BY b) AS rn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, b::BIGINT AS bucket, n,
+        |  s AS win_sum, q AS win_sumsq,
+        |  (CASE WHEN (n::HUGEINT * 24 - s) * (n::HUGEINT * 24 - s) >
+        |    9 * (24 * q::HUGEINT - s::HUGEINT * s) THEN 1 ELSE 0
+        |   END)::INT AS anomaly
+        |FROM wn WHERE rn > 24""".stripMargin,
 
     // vocab growth: q20 tokenization, per-token first-doc election,
     // bucket aggregation + cumulative window over checkpoints
