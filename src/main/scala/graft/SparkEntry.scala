@@ -1561,6 +1561,14 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Cross-split contamination audit: does val/test share any distinct
+    // 8-gram with train under the q78 hash split? Train's gram set is
+    // corpus-sized — fingerprint equi-join, nothing broadcasts.
+    "q144_split_contamination" -> ((s, dir) => {
+      TextOps.splitContamination(ld(s, dir, "documents"), "text",
+        "doc_id", Seq(("train", 900), ("val", 50), ("test", 50)), n = 8)
+    }),
+
     // Sliding-window rate anomaly: hourly per-type event counts scored
     // against the trailing 24 buckets with the all-integer z-test
     // (n·W − S)² > k²·(W·Q − S²) — dense grid, zero-filled gaps,
@@ -4225,6 +4233,36 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // split contamination: q78 split replay + distinct 8-gram relation
+    // + train-gram semi-join + per-split counts
+    "q144_split_contamination" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ((${DuckHash.mix("doc_id::HUGEINT")}) >> 12) % 1000 AS b
+         |  FROM documents)),
+         |t AS (SELECT doc_id, string_split(regexp_replace(
+         |    lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws) - 6),
+         |    gi -> array_to_string(ws[gi:gi+7], ' ')))) AS gr
+         |  FROM t WHERE len(ws) >= 8),
+         |tg AS (SELECT DISTINCT gr FROM g JOIN sp USING (doc_id)
+         |  WHERE sp.split = 'train'),
+         |hit AS (SELECT DISTINCT sp.split, g.doc_id FROM g
+         |  JOIN sp USING (doc_id) JOIN tg USING (gr)
+         |  WHERE sp.split <> 'train'),
+         |tot AS (SELECT split, count(*)::BIGINT AS n_docs FROM sp
+         |  WHERE split <> 'train' GROUP BY 1),
+         |h AS (SELECT split, count(*)::BIGINT AS nc FROM hit GROUP BY 1)
+         |SELECT tot.split, tot.n_docs,
+         |  coalesce(h.nc, 0)::BIGINT AS n_contaminated,
+         |  ((coalesce(h.nc, 0) * 1000) // tot.n_docs)::BIGINT
+         |    AS contaminated_permille
+         |FROM tot LEFT JOIN h USING (split)""".stripMargin,
 
     // rate anomaly: hourly bucket counts, dense type×bucket grid,
     // trailing-24 sum/sumsq window, integer z² guard in HUGEINT

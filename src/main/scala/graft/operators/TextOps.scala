@@ -1097,6 +1097,54 @@ object TextOps {
       (key2 % nFiles).as("file_idx"), key2.as("shuffle_key"))
   }
 
+  /** Cross-split contamination audit — did [[splitAssign]]'s held-out
+    * splits stay clean? A val/test doc is contaminated when it shares
+    * ANY distinct word `n`-gram with ANY train doc (the q63 criterion
+    * turned inward: train is the "benchmark" and eval splits are the
+    * corpus). Output: one row per non-train split — `(split, n_docs,
+    * n_contaminated, contaminated_permille)`. Hash-based splitting
+    * prevents doc-level leakage by construction but NOT near-dup
+    * leakage: two near-identical docs land in different splits and
+    * this report is what catches the overlap mass (the
+    * leakage-safe-split q102 fixes it; this measures it).
+    *
+    * Scale shape: train's gram set is corpus-sized — NOTHING
+    * broadcasts (the [[decontaminate]] broadcast is right for
+    * eval-suite-sized benchmarks only). Grams dedup per-doc scan-side
+    * (`array_distinct` inside the row), shuffle as 8-byte fingerprints
+    * for the global train-side distinct, and the eval-vs-train check
+    * is a fingerprint equi-join (AQE-skew-splittable) followed by two
+    * keyed counts. Text never shuffles.
+    */
+  def splitContamination(df: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Int)], trainSplit: String = "train",
+      n: Int = 8): DataFrame = {
+    require(splits.exists(_._1 == trainSplit),
+      s"trainSplit '$trainSplit' not among $splits")
+    val assigned = splitAssign(df, idCol, splits)
+      .select(col("id"), col("split"))
+    val docGrams = df
+      .select(col(idCol).cast("long").as("id"),
+        words(col(textCol)).as("_toks"))
+      .select(col("id"), explode(wordGrams(col("_toks"), n)).as("_g"))
+      .select(col("id"),
+        graft.functions.TextKernelExprs.polyHash(col("_g")).as("_gfp"))
+    val withSplit = docGrams.join(assigned, Seq("id"))
+    val trainG = withSplit.filter(col("split") === trainSplit)
+      .select(col("_gfp")).distinct()
+    val hits = withSplit.filter(col("split") =!= trainSplit)
+      .join(trainG, Seq("_gfp"), "left_semi")
+      .select(col("split"), col("id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("_n_cont"))
+    assigned.filter(col("split") =!= trainSplit)
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(hits, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("_n_cont"), lit(0L)).as("n_contaminated"),
+        expr("(coalesce(_n_cont, 0) * 1000) div n_docs")
+          .as("contaminated_permille"))
+  }
+
   /** Fractional-epoch upsampling — the data-recipe "repeat this source
     * 2.3 epochs" primitive (mixture weighting by repetition rather than
     * by dropping). Every row is emitted `floor(epochs)` times, plus one

@@ -76,6 +76,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, "", 0L, 0L)))
   }
 
+  test("splitContamination catches a planted train->val 8-gram copy") {
+    val splits = Seq(("train", 900), ("val", 50), ("test", 50))
+    val ids = (0L until 400L).toDF("doc_id")
+    val asg = TextOps.splitAssign(ids, "doc_id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val trainId = asg.collectFirst { case (i, "train") => i }.get
+    val valIds = asg.collect { case (i, "val") => i }.toSeq.sorted
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val df = (0L until 400L).map { i =>
+      val text =
+        if (i == trainId) s"$shared and some train only tail words"
+        else if (i == valIds.head) s"prefix words then $shared here"
+        else if (i == valIds(1)) "alpha bravo charlie" // <8 words: clean
+        else (0 until 8).map(j => s"u${i}w$j").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = TextOps.splitContamination(df, "text", "doc_id", splits)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val nVal = asg.values.count(_ == "val").toLong
+    val nTest = asg.values.count(_ == "test").toLong
+    assert(got("val") ==
+      (("val", nVal, 1L, 1000L / nVal)))
+    assert(got("test") == (("test", nTest, 0L, 0L)))
+  }
+
   test("vocabGrowth: types count at their first doc's checkpoint") {
     val df = Seq(
       (0L, "alpha beta alpha"),     // bucket 0: 3 tokens, types alpha beta
