@@ -1561,6 +1561,21 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Dimensional CUBE report: every subset of {event_type, day}
+    // rolled up in one Expand pass, integer measures + grouping-id.
+    "q145_cube_report" -> ((s, dir) => {
+      Rollup.cubeReport(evts(s, dir), "event_type", "ts_us", "user_id")
+    }),
+
+    // Max-gap sessionization report (30-min gap): per-session event
+    // count, span, distinct types, and purchase count — the batch
+    // gaps-and-islands complement to the streaming session window.
+    "q146_session_stats" -> ((s, dir) => {
+      graft.operators.Funnel.sessionStats(evts(s, dir), "user_id",
+        "ts_us", "event_type", gapUs = 1800000000L,
+        targetType = "purchase")
+    }),
+
     // Cross-split contamination audit: does val/test share any distinct
     // 8-gram with train under the q78 hash split? Train's gram set is
     // corpus-sized — fingerprint equi-join, nothing broadcasts.
@@ -4233,6 +4248,37 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // cube report: GROUP BY CUBE with the standard grouping-id bitmask
+    "q145_cube_report" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS day, user_id
+        |  FROM events)
+        |SELECT event_type, day, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  GROUPING(event_type, day)::BIGINT AS gid
+        |FROM e GROUP BY CUBE (event_type, day)""".stripMargin,
+
+    // session stats: lag boundary flag, running-sum session index
+    // (ROWS frame), (user, session) aggregation
+    "q146_session_stats" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS ts,
+        |    event_type AS t FROM events),
+        |f AS (SELECT u, ts, t,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |      WHEN ts - lag(ts) OVER w > 1800000000 THEN 1
+        |      ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts)),
+        |s AS (SELECT u, ts, t, sum(nf) OVER (PARTITION BY u ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx FROM f)
+        |SELECT u AS user_id, session_idx::BIGINT AS session_idx,
+        |  count(*)::BIGINT AS n_events,
+        |  (max(ts) - min(ts))::BIGINT AS span_us,
+        |  count(DISTINCT t)::BIGINT AS n_types,
+        |  sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_target
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // split contamination: q78 split replay + distinct 8-gram relation
     // + train-gram semi-join + per-split counts

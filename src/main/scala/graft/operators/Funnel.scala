@@ -57,6 +57,43 @@ object Funnel {
     }.reduce(_ unionByName _)
   }
 
+  /** Max-gap sessionization report — the gaps-and-islands batch
+    * complement to the streaming session window (SURVEY §2.B9): a new
+    * session starts at a user's first event and at every event more
+    * than `gapUs` after the previous one. Output: one row per session
+    * `(user_id, session_idx, n_events, span_us, n_types, n_target)`
+    * with `session_idx` 1-based per user in time order, `span_us` =
+    * last−first event, `n_types` = distinct event types, and
+    * `n_target` = events of `targetType` (the "did this session
+    * convert" column). All integers — engine- and partitioning-exact
+    * (equal-timestamp ties can't flip a boundary: their gap is 0).
+    *
+    * Shape for scale: two windows partitioned BY USER (lag → boundary
+    * flag, running sum → session index) and one (user, session) keyed
+    * aggregation — no global sort; the window carries (user, ts,
+    * type), never payloads.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, gapUs: Long, targetType: String): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("ts"))
+    val flagged = events.select(col(userCol).cast("long").as("u"),
+        col(tsUsCol).cast("long").as("ts"), col(typeCol).as("t"))
+      .withColumn("_new",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_new")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+          .orderBy(col("ts")).rowsBetween(Long.MinValue, 0)))
+    flagged.groupBy(col("u").as("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")) - min(col("ts"))).as("span_us"),
+        countDistinct(col("t")).as("n_types"),
+        sum(when(col("t") === targetType, 1L).otherwise(0L))
+          .as("n_target"))
+  }
+
   /** Cohort retention: users cohort by their FIRST-seen integer day
     * (`ts_us div 86400000000`), and every (user, active day) pair
     * lands in `(cohort_day, day_offset)`. Output: `(cohort_day,

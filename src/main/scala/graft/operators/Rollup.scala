@@ -36,6 +36,33 @@ object Rollup {
     levels.reduce(_.unionByName(_))
   }
 
+  /** Dimensional CUBE report — the OLAP dashboard feed next to
+    * [[cascade]]'s time cascade: every subset of {type, day} rolled up
+    * in ONE pass (`(type, day)`, `(type, *)`, `(*, day)`, `(*, *)`),
+    * with `gid` the standard grouping-id bitmask (bit set ⇔ that
+    * dimension is rolled up in the row). Measures are count and
+    * distinct users — all integers, engine-exact.
+    *
+    * Scale shape: Spark plans CUBE as a single Expand + one hash
+    * aggregation — the event scan runs once, the expand multiplies
+    * rows 4× map-side, and the aggregation stays keyed by the expanded
+    * grouping columns (no per-subset rescans, no driver loops). The
+    * distinct-user measure adds the standard two-level distinct
+    * expand, still fully keyed.
+    */
+  def cubeReport(events: DataFrame, typeCol: String, tsUsCol: String,
+      userCol: String, dayUs: Long = 86400000000L): DataFrame = {
+    require(dayUs >= 1, s"dayUs must be >= 1, got $dayUs")
+    events
+      .select(col(typeCol).as("event_type"),
+        expr(s"$tsUsCol div $dayUs").cast("long").as("day"),
+        col(userCol).as("_u"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("_u")).as("n_users"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   /** Siddhi's `from agg within <from>,<to> per '<granularity>'` read
     * surface: select one granularity (and optionally a bucket range)
     * out of a [[cascade]] result. The granularity filter prunes the

@@ -56,4 +56,34 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("sessionStats: gap boundary, span, types, target count") {
+    val ev = Seq(
+      // user 1: session 1 = events at 0, 50, 100 (gaps <= 100);
+      // session 2 starts at 250 (gap 150 > 100)
+      (1L, 0L, "view"), (1L, 50L, "click"), (1L, 100L, "view"),
+      (1L, 250L, "purchase"),
+      // user 2: single event = its own session
+      (2L, 10L, "view")
+    ).toDF("user_id", "ts_us", "event_type")
+    val got = Funnel.sessionStats(ev, "user_id", "ts_us", "event_type",
+        gapUs = 100L, targetType = "purchase")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 100L, 2L, 0L),
+      (1L, 2L, 1L, 0L, 1L, 1L),
+      (2L, 1L, 1L, 0L, 1L, 0L)))
+    // an exactly-gap-sized silence does NOT split (strictly greater)
+    val edge = Seq((3L, 0L, "view"), (3L, 100L, "view"))
+      .toDF("user_id", "ts_us", "event_type")
+    val g2 = Funnel.sessionStats(edge, "user_id", "ts_us", "event_type",
+        gapUs = 100L, targetType = "purchase")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(g2 == Set((3L, 1L, 2L, 100L, 1L, 0L)))
+    // partitioning independence
+    val re = Funnel.sessionStats(ev.repartition(5), "user_id", "ts_us",
+        "event_type", gapUs = 100L, targetType = "purchase")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }

@@ -26,6 +26,21 @@ class RollupSpec extends SparkSpec {
     assert(byLevel.values.toSet.size == 1)
   }
 
+  test("cubeReport: all four grouping subsets, consistent totals") {
+    val ev = Seq(
+      (1L, 0L, "view"), (2L, 0L, "view"), (1L, 86400000000L, "click"),
+      (1L, 86400000001L, "view")
+    ).toDF("user_id", "ts_us", "event_type")
+    val got = Rollup.cubeReport(ev, "event_type", "ts_us", "user_id")
+      .as[(Option[String], Option[Long], Long, Long, Long)]
+      .collect().toSet
+    assert(got.contains((Some("view"), Some(0L), 2L, 2L, 0L)))
+    assert(got.contains((Some("view"), None, 3L, 2L, 1L)))   // day rolled
+    assert(got.contains((None, Some(1L), 2L, 1L, 2L)))       // type rolled
+    assert(got.contains((None, None, 4L, 2L, 3L)))           // grand total
+    assert(got.size == 3 + 2 + 2 + 1) // (t,d) pairs + types + days + total
+  }
+
   test("at() slices one granularity with a bucket range") {
     val e = events()
     val cascaded = Rollup.cascade(e, col("ts"), col("value"), Seq("hour", "day"))
