@@ -220,6 +220,41 @@ object ScaleProbe {
         .filter(col("src") =!= col("dst"))
       graft.operators.Graphs.pageRank(e, "src", "dst", iters = 5)
     }
+    // exact-copy replication duplicates every competing line N×: the
+    // election sees N rows per fingerprint and every non-first copy
+    // drops — worst case for the loser anti-join AND the rebuild
+    time("line_dedup") {
+      val pages = docs.withColumn("text", concat_ws("\n",
+        lit("Home About Contact Products News Archive"), col("text"),
+        lit("copyright 2024 example site all rights reserved")))
+      TextOps.lineDedup(pages, "text", "doc_id")
+    }
+    // canonicalization is scan-side; replication multiplies alias-group
+    // sizes N× — the election aggregation's worst case
+    time("url_dedup")(graft.operators.UrlOps.urlDedup(withUrl(docs),
+      "url", "doc_id"))
+    // vocabulary stays fixed under replication: the first-doc election
+    // shuffles N× rows over the same token keys
+    time("vocab_growth")(TextOps.vocabGrowth(docs, "text", "doc_id",
+      stepDocs = 1000L))
+    // replication multiplies BOTH sides' gram rows: the train-gram
+    // distinct and the semi-join probe scale together
+    time("split_contamination")(TextOps.splitContamination(docs, "text",
+      "doc_id", Seq(("train", 900), ("val", 50), ("test", 50))))
+    val eventsTs = replicate(graft.Tables.eventsTsUs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us")), "user_id")
+    // user-shifted replication multiplies sessions N× — the
+    // user-partitioned windows stay per-user-sized
+    time("session_stats")(graft.operators.Funnel.sessionStats(eventsTs,
+      "user_id", "ts_us", "event_type", gapUs = 1800000000L,
+      targetType = "purchase"))
+    // the time range is fixed under replication: bucket counts grow N×
+    // but the grid (types × buckets) does not — growth isolates the
+    // count aggregation
+    time("rate_anomaly")(graft.operators.Anomaly.rateAnomaly(eventsTs,
+      "ts_us", "event_type"))
+    time("cube_report")(graft.operators.Rollup.cubeReport(eventsTs,
+      "event_type", "ts_us", "user_id"))
     // integer-exact training (bounded ≤buckets collect per epoch) +
     // frozen scan-side scoring
     time("perceptron") {
