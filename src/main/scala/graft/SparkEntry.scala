@@ -1561,6 +1561,19 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Per-domain quality prior: doc-level length+stopword gate
+    // aggregated into each registrable domain's keep rate; domains
+    // under 500 permille flag blocked (the farm detector). Site
+    // digit 3 is degraded to spam in BOTH engines so the corpus
+    // contains actual farms and the blocked branch is exercised.
+    "q147_domain_quality" -> ((s, dir) => {
+      val spam = when(col("doc_id") % 10 === 3,
+        lit("buy cheap pills now win big")).otherwise(col("text"))
+      UrlOps.domainQuality(
+        withUrls(ld(s, dir, "documents")).withColumn("text", spam),
+        "url", "text")
+    }),
+
     // Dimensional CUBE report: every subset of {event_type, day}
     // rolled up in one Expand pass, integer measures + grouping-id.
     "q145_cube_report" -> ((s, dir) => {
@@ -4248,6 +4261,31 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // domain quality: q118 url/domain chain + per-doc length/stopword
+    // gate + domain keep-rate aggregation
+    "q147_domain_quality" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""$urlCtes,
+         |dq AS (SELECT domain,
+         |    CASE WHEN nt >= 30 AND ns * 1000 >= nt * 20
+         |      THEN 1 ELSE 0 END AS k
+         |  FROM (SELECT domain,
+         |      CASE WHEN coalesce(len(trim(text)), 0) = 0 THEN 0
+         |        ELSE len(ws) END AS nt,
+         |      len(list_filter(ws, sw -> sw IN ($stop))) AS ns
+         |    FROM (SELECT domain, string_split(regexp_replace(
+         |        lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws, text
+         |      FROM (SELECT domain, CASE WHEN doc_id % 10 = 3
+         |          THEN 'buy cheap pills now win big' ELSE text END
+         |          AS text FROM dd))))
+         |SELECT domain, count(*)::BIGINT AS n_docs,
+         |  sum(k)::BIGINT AS n_kept,
+         |  ((sum(k) * 1000) // count(*))::BIGINT AS kept_permille,
+         |  (CASE WHEN (sum(k) * 1000) // count(*) < 500 THEN 1
+         |    ELSE 0 END)::INT AS blocked
+         |FROM dq GROUP BY 1""".stripMargin
+    },
 
     // cube report: GROUP BY CUBE with the standard grouping-id bitmask
     "q145_cube_report" ->

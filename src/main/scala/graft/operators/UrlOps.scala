@@ -103,6 +103,43 @@ object UrlOps {
       broadcast(blocked.select(col(blockedCol).as("_blocked")).distinct()),
       domainOf(col(urlCol)) === col("_blocked"), "left_anti")
 
+  /** Per-domain quality prior — the UT1/RefinedWeb "domain reputation"
+    * gate: a per-doc quality pass (length + stopword-mass, the two
+    * [[TextOps.qualityGate]] signals that transfer across docs)
+    * aggregates into each registrable domain's keep rate, and domains
+    * whose rate falls under `minKeptPerMille` get `blocked = 1` — the
+    * production move of gating cheap-signal QUALITY at the DOMAIN
+    * level (one bad page is noise; a domain that is 80% bad is a farm,
+    * and its remaining 20% is what leaks through doc-level gates).
+    * Output: `(domain, n_docs, n_kept, kept_permille, blocked)`;
+    * the blocked rows feed [[blocklistFilter]] directly.
+    *
+    * Scale shape: the doc gate is scan-side (array HOF over the
+    * in-row token array); one hash aggregation keyed by domain —
+    * text never shuffles.
+    */
+  def domainQuality(df: DataFrame, urlCol: String, textCol: String,
+      minKeptPerMille: Int = 500, minTokens: Int = 30,
+      minStopPerMille: Int = 20): DataFrame = {
+    require(minKeptPerMille >= 0 && minKeptPerMille <= 1000,
+      s"minKeptPerMille must be in [0, 1000], got $minKeptPerMille")
+    val t = col(textCol)
+    val ws = TextOps.words(t)
+    val nt = when(coalesce(length(trim(t)), lit(0)) === 0, lit(0L))
+      .otherwise(size(ws).cast("long"))
+    val nStop = size(filter(ws,
+      w => w.isin(TextOps.stopwords: _*))).cast("long")
+    val kept = (nt >= minTokens &&
+      nStop * 1000 >= nt * minStopPerMille).cast("long")
+    df.select(domainOf(col(urlCol)).as("domain"), kept.as("_k"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_k")).as("n_kept"))
+      .select(col("domain"), col("n_docs"), col("n_kept"),
+        expr("(n_kept * 1000) div n_docs").as("kept_permille"))
+      .withColumn("blocked",
+        (col("kept_permille") < minKeptPerMille).cast("int"))
+  }
+
   /** Canonical form of a URL — the crawl-frontier dedup key (the
     * RFC 3986 §6 normalizations plus the tracking-parameter strip every
     * production crawler applies): scheme and host lowercased, `www.`

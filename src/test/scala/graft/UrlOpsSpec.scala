@@ -61,6 +61,23 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(7L) == ((7L, "https://b.com/q", 1, 1L)))
   }
 
+  test("domainQuality aggregates the doc gate into domain keep rates") {
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "then it runs to the old barn in a field of green grass " +
+      "where the sun is warm and the day is long and the air is sweet")
+    val spam = "buy cheap pills win big"
+    val df = Seq(
+      ("https://a.com/1", good), ("https://www.a.com/2", good),
+      ("https://a.com/3", spam),
+      ("https://b.com/1", spam), ("https://b.com/2", spam)
+    ).toDF("url", "text")
+    val got = UrlOps.domainQuality(df, "url", "text")
+      .as[(String, Long, Long, Long, Int)].collect().map(r => r._1 -> r)
+      .toMap
+    assert(got("a.com") == (("a.com", 3L, 2L, 666L, 0)))
+    assert(got("b.com") == (("b.com", 2L, 0L, 0L, 1)))
+  }
+
   test("hostOf strips scheme, userinfo, port, path, case, trailing dot") {
     assert(host1("https://www.Example.com/p/1") == "www.example.com")
     assert(host1("HTTP://user:pw@M.SITE.ORG:8080/x?q=1") == "m.site.org")
