@@ -1561,6 +1561,24 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Template-cluster mining: %97=5 docs become an exact-dup
+    // boilerplate blob (is_template=0), %3=0 docs become one log
+    // template whose slots vary (is_template=1) — both engines replay
+    // the injection; digit runs collapse to '#' for the shape key.
+    "q148_template_clusters" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val synth = when(col("doc_id") % 97 === 5,
+          lit("copyright notice all rights reserved worldwide"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("user "), d, lit(" logged in from host10."),
+            (col("doc_id") % 7).cast("string"), lit(" at 2024-01-"),
+            (col("doc_id") % 28).cast("string")))
+        .otherwise(col("text"))
+      Dedup.templateClusters(
+        ld(s, dir, "documents").withColumn("text", synth),
+        "text", "doc_id")
+    }),
+
     // Per-domain quality prior: doc-level length+stopword gate
     // aggregated into each registrable domain's keep rate; domains
     // under 500 permille flag blocked (the farm detector). Site
@@ -4261,6 +4279,27 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // template clusters: injection replay + digit-collapse shape key +
+    // shape-grouped distinct-content counts
+    "q148_template_clusters" ->
+      """WITH tpl AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 5
+        |      THEN 'copyright notice all rights reserved worldwide'
+        |    WHEN doc_id % 3 = 0
+        |      THEN 'user ' || doc_id || ' logged in from host10.' ||
+        |        (doc_id % 7) || ' at 2024-01-' || (doc_id % 28)
+        |    ELSE text END AS text FROM documents),
+        |n AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ',
+        |      'g')) AS norm FROM tpl),
+        |k AS (SELECT doc_id, norm,
+        |    regexp_replace(norm, '[0-9]+', '#', 'g') AS shape FROM n)
+        |SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT norm)::BIGINT AS n_distinct,
+        |  (CASE WHEN count(DISTINCT norm) > 1 THEN 1 ELSE 0 END)::INT
+        |    AS is_template
+        |FROM k GROUP BY shape HAVING count(*) >= 2""".stripMargin,
 
     // domain quality: q118 url/domain chain + per-doc length/stopword
     // gate + domain keep-rate aggregation

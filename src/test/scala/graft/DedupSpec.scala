@@ -363,4 +363,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 2L, 2L)))
   }
+
+  test("templateClusters: slot variation vs exact dup vs singleton") {
+    val df = Seq(
+      (3L, "user 42 logged in from host7"),   // template, slots vary
+      (1L, "user 9 logged in from host12"),
+      (5L, "All  Rights\tReserved"),          // exact dups modulo
+      (6L, "all rights reserved"),            //   normalization
+      (9L, "a unique document body here")     // singleton: not reported
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateClusters(df, "text", "doc_id")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L, 1),   // shape 'user # logged in from host#'
+      (5L, 2L, 1L, 0)))  // same normalized content, no digits
+    // digit position matters: 'host7 x' vs 'host 7x' are NOT one shape
+    val df2 = Seq((1L, "host7 up"), (2L, "host 7up")).toDF("doc_id", "text")
+    assert(Dedup.templateClusters(df2, "text", "doc_id").count() == 0L)
+  }
 }
