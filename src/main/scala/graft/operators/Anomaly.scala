@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Rate-anomaly detection over event streams — the ops-monitoring
   * report next to [[Funnel]]'s product reports (reference scope: the
@@ -72,5 +73,90 @@ object Anomaly {
         col("win_sum"), col("win_sumsq"),
         (dev * dev > lit(kSigma.toLong * kSigma).cast("decimal(38,0)") *
           varTerm).cast("int").as("anomaly"))
+  }
+
+  /** One scored bucket from the streaming scorer — the exact
+    * [[rateAnomaly]] output row. */
+  case class AnomalyRow(event_type: String, bucket: Long, n: Long,
+    win_sum: Long, win_sumsq: Long, anomaly: Int)
+
+  /** Keyed scorer state: open-bucket partial counts, the trailing
+    * `window` finalized counts (newest first), and the next bucket to
+    * finalize (−1 until the first event arrives). Public: the kryo
+    * state encoder rejects non-public classes. */
+  case class AnomState(pending: Map[Long, Long],
+    ring: List[Long], next: Long)
+
+  /** Streaming [[rateAnomaly]]: the SAME integer z-test, scored as
+    * buckets FINALIZE under the event-time watermark (a bucket is
+    * final once the watermark passes its end — late events inside the
+    * allowed delay still land in their open bucket). Silent buckets
+    * between a type's observed buckets zero-fill exactly like the
+    * batch grid; the grid STARTS at each type's first observed bucket
+    * (a stream cannot retroactively know the global range — when every
+    * type is live in the first bucket, output is bit-identical to
+    * [[rateAnomaly]], which StreamingParitySpec asserts). A type's
+    * buckets finalize when its next event arrives (keyed state with no
+    * timers — the cron/timeout emission tier can wake silent keys if
+    * sub-bucket flag latency ever matters).
+    *
+    * Scale shape: state per type is the open-bucket map (bounded by
+    * the watermark delay / bucket width) plus `window` longs — O(1)
+    * per type; types scale out across executors on the groupByKey
+    * shuffle, the only exchange in the plan.
+    */
+  def rateAnomalyStream(events: DataFrame, tsCol: String,
+      typeCol: String, bucketUs: Long = 3600000000L, window: Int = 24,
+      kSigma: Int = 3, watermarkDelay: String = "0 seconds")
+      : Dataset[AnomalyRow] = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(kSigma >= 1, s"kSigma must be >= 1, got $kSigma")
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[AnomState] = Encoders.kryo[AnomState]
+    val w = window
+    val k2 = kSigma.toLong * kSigma
+    val src = events
+      .select(col(typeCol).as("t"), col(tsCol).cast("long").as("ts_us"),
+        timestamp_micros(col(tsCol).cast("long")).as("_ts"))
+      .withWatermark("_ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+    src.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+          state: GroupState[AnomState]) =>
+        var st = state.getOption.getOrElse(AnomState(Map.empty, Nil, -1L))
+        var pending = st.pending
+        it.foreach { e =>
+          val b = Math.floorDiv(e._2, bucketUs)
+          pending = pending.updated(b, pending.getOrElse(b, 0L) + 1L)
+        }
+        var next = if (st.next >= 0L) st.next
+          else if (pending.nonEmpty) pending.keys.min else -1L
+        var ring = st.ring // newest first, length <= window
+        val out = List.newBuilder[AnomalyRow]
+        if (next >= 0L) {
+          // watermark in ms; bucket b is final when (b+1)*bucketUs <= wmUs
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          while ((next + 1L) * bucketUs <= wmUs) {
+            val n = pending.getOrElse(next, 0L)
+            pending = pending - next
+            if (ring.length >= w) {
+              val trail = ring.take(w)
+              val s = trail.sum
+              val q = trail.map(x => x * x).sum
+              val dev = BigInt(n) * w - s
+              val vt = BigInt(w) * q - BigInt(s) * s
+              out += AnomalyRow(key, next, n, s, q,
+                if (dev * dev > BigInt(k2) * vt) 1 else 0)
+            }
+            ring = (n :: ring).take(w)
+            next += 1L
+          }
+        }
+        state.update(AnomState(pending, ring, next))
+        out.result().iterator
+    }
   }
 }

@@ -221,6 +221,75 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate anomaly scores finalized buckets like batch") {
+    // watermark-finalized keyed scorer vs the batch dense-grid window:
+    // both types are live in the global first bucket, so the streaming
+    // per-type grids equal the batch grid and rows match bit-for-bit
+    // over every bucket the watermark has finalized
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Anomaly
+    val B = 10000000L // 10s buckets (watermark works in ms)
+    def ev(t: String, b: Long, n: Int): Seq[(String, Long)] =
+      (0 until n).map(i => (t, b * B + i))
+    val base =
+      ev("a", 0, 2) ++ ev("a", 1, 2) ++ ev("a", 2, 2) ++ ev("a", 3, 2) ++
+      ev("a", 4, 2) ++ ev("a", 5, 9) ++
+      ev("b", 0, 1) ++ ev("b", 3, 1) ++ ev("b", 5, 2)
+    val flush1 = Seq(("a", 10 * B), ("b", 10 * B))
+    val flush2 = Seq(("a", 20 * B), ("b", 20 * B))
+    val input = MemoryStream[(String, Long)]
+    val q = Anomaly.rateAnomalyStream(input.toDF().toDF("t", "ts_us"),
+        "ts_us", "t", bucketUs = B, window = 4, kSigma = 2)
+      .writeStream.format("memory").queryName("par_anom")
+      .outputMode("append").start()
+    try {
+      input.addData(base); q.processAllAvailable()
+      input.addData(flush1); q.processAllAvailable()
+      input.addData(flush2); q.processAllAvailable()
+      val got = spark.table("par_anom")
+        .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+      // batch over the same rows (flushes included); the stream has
+      // finalized buckets <= 9 (watermark = flush1's 100s)
+      val all = (base ++ flush1 ++ flush2).toDF("t", "ts_us")
+      val exp = Anomaly.rateAnomaly(all, "ts_us", "t", bucketUs = B,
+          window = 4, kSigma = 2)
+        .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+        .filter(_._2 <= 9L)
+      assert(got == exp && got.nonEmpty)
+      // the spike bucket is flagged on the stream
+      assert(got.contains(("a", 5L, 9L, 8L, 16L, 1)))
+    } finally q.stop()
+  }
+
+  test("URL canonicalization runs on a stream identically to batch") {
+    // the crawl-frontier key is a stateless scan projection (the
+    // global ELECTION in urlDedup is batch-tier; a streaming frontier
+    // checks the canonical key against persisted history, the
+    // incrementalExact pattern) — canonicalUrl itself compiles onto a
+    // stream unchanged
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.UrlOps
+    val incoming = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=2#f"),
+      (2L, "http://site.org:8080/a"),
+      (3L, "Site.net/A/b/"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "url")
+      .select(col("id"), UrlOps.canonicalUrl(col("url")).as("canon"))
+      .writeStream.format("memory").queryName("par_canon")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_canon")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set(
+        (1L, "https://example.com/Path?id=2"),
+        (2L, "http://site.org:8080/a"),
+        (3L, "http://site.net/A/b")))
+    } finally q.stop()
+  }
+
   test("PII scrub redacts a stream identically to batch") {
     // the privacy gate is a stateless scan projection: the SAME
     // operator call compiles onto a MemoryStream, no state, identical
