@@ -110,6 +110,13 @@ object ThroughputBench {
         Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
           _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L)(build))
 
+    // watermark-finalized anomaly scorer: keyed state per type is an
+    // open-bucket map + 24 longs — measured as sustained events/s
+    val anomEps = drive[graft.operators.Anomaly.AnomalyRow](
+      memSink("tp_anomaly"), in =>
+        graft.operators.Anomaly.rateAnomalyStream(in.toDF(), "ts_us",
+          "event_type"))
+
     // frozen curation scorers on a DOCUMENT stream: models train once
     // in batch, scoring is the claimed stateless scan projection —
     // measured here as sustained docs/s (each doc ≈ 100 tokens)
@@ -179,6 +186,8 @@ object ThroughputBench {
       s""""stateless":${statelessEps.round},""" +
       s""""stateless_per_core":${(statelessEps / cpus).round},""" +
       s""""cep":${cepEps.round},"cep_per_core":${(cepEps / cpus).round},""" +
+      s""""rate_anomaly":${anomEps.round},""" +
+      s""""rate_anomaly_per_core":${(anomEps / cpus).round},""" +
       s""""n_docs":${docFeed.length},""" +
       s""""perceptron_docs":${perceptronDps.round},""" +
       s""""perceptron_docs_per_core":${(perceptronDps / cpus).round},""" +
