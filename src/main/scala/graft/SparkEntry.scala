@@ -1561,6 +1561,19 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // ANN recall audit: LSH top-3 vs brute-force ground truth per
+    // query — the eval harness for the approximate family; queries
+    // the index missed entirely report zeros.
+    "q149_ann_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 50)
+      val truth = Similarity.bruteForceTopK(e, queries, "embedding",
+        "vec_id", 3)
+      val approx = Similarity.lshTopK(e, queries, "embedding", "vec_id",
+        64, 3, nPlanes = 4)
+      Similarity.recallAudit(truth, approx)
+    }),
+
     // Template-cluster mining: %97=5 docs become an exact-dup
     // boilerplate blob (is_template=0), %3=0 docs become one log
     // template whose slots vary (is_template=1) — both engines replay
@@ -3264,6 +3277,61 @@ object SparkEntry {
        |      ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM s)
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** q149 oracle: the q27 brute-force chain as ground truth and the
+    * q28 LSH bucket chain as the approximate index, overlap-counted
+    * per query (zeros for queries the index missed).
+    */
+  private lazy val q149Oracle: String = {
+    val vals = Vectors.planes(dim = 64, nPlanes = 4).zipWithIndex.map {
+      case (pl, p) => s"($p, [${pl.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    def cosStr(qv: String, cv: String): String =
+      s"""list_sum(list_transform(range(1, len($qv) + 1),
+         |      i -> $qv[i]::DOUBLE * $cv[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(range(1, len($qv) + 1),
+         |      i -> $qv[i]::DOUBLE * $qv[i]::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(range(1, len($cv) + 1),
+         |      i -> $cv[i]::DOUBLE * $cv[i]::DOUBLE))))""".stripMargin
+    s"""WITH planes(p, pv) AS (VALUES $vals),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |tsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosStr("q.embedding", "c.embedding")} AS cos
+       |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+       |    neighbor_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank FROM tsc)
+       |  WHERE rank <= 3),
+       |b AS (SELECT e.vec_id,
+       |    sum(CASE WHEN list_sum(list_transform(
+       |        range(1, len(e.embedding) + 1),
+       |        i -> e.embedding[i]::DOUBLE * pl.pv[i])) >= 0
+       |      THEN 1 << pl.p ELSE 0 END)::BIGINT AS bucket
+       |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+       |asc1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosStr("eq.embedding", "ec.embedding")} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |    JOIN e eq ON eq.vec_id = q.vec_id
+       |    JOIN e ec ON ec.vec_id = c.vec_id
+       |  WHERE q.vec_id < 50),
+       |ar AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+       |    neighbor_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank FROM asc1)
+       |  WHERE rank <= 3),
+       |ov AS (SELECT tr.query_id, count(*)::BIGINT AS ov FROM tr
+       |  JOIN ar USING (query_id, neighbor_id) GROUP BY 1),
+       |tc AS (SELECT query_id, count(*)::BIGINT AS n_true FROM tr
+       |  GROUP BY 1),
+       |ac AS (SELECT query_id, count(*)::BIGINT AS n_approx FROM ar
+       |  GROUP BY 1)
+       |SELECT tc.query_id, tc.n_true,
+       |  coalesce(ac.n_approx, 0)::BIGINT AS n_approx,
+       |  coalesce(ov.ov, 0)::BIGINT AS n_overlap,
+       |  ((coalesce(ov.ov, 0) * 1000) // tc.n_true)::BIGINT
+       |    AS recall_permille
+       |FROM tc LEFT JOIN ac USING (query_id)
+       |LEFT JOIN ov USING (query_id)""".stripMargin
   }
 
   /** q70 oracle: the Count-Min counter/estimate math replayed in SQL —
@@ -5069,6 +5137,8 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin,
 
     "q28_similarity_lsh" -> q28Oracle,
+
+    "q149_ann_recall" -> q149Oracle,
 
     "q27_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

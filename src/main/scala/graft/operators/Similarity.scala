@@ -899,4 +899,37 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         ((col("_xv") - col("_m")) / col("_sd")).as("zval"))
   }
+
+  /** Recall audit — the eval harness for the approximate family: given
+    * a ground-truth neighbor relation (e.g. [[bruteForceTopK]]) and an
+    * approximate one (LSH/IVF/PQ, any of them), report per query
+    * `(query_id, n_true, n_approx, n_overlap, recall_permille)` where
+    * recall = overlap against the TRUE top-k. Queries the approximate
+    * index missed entirely (empty bucket) still report, with zeros —
+    * silent misses are the failure mode this audit exists to catch.
+    *
+    * Scale shape: one semi equi-join on (query, neighbor) plus three
+    * query-keyed counts — both inputs are top-k relations (≤ k rows
+    * per query), so everything here is k·|queries|-sized regardless of
+    * corpus size.
+    */
+  def recallAudit(truth: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id",
+      neighborCol: String = "neighbor_id"): DataFrame = {
+    val t = truth.select(col(queryCol).cast("long").as("query_id"),
+      col(neighborCol).cast("long").as("_n"))
+    val a = approx.select(col(queryCol).cast("long").as("query_id"),
+      col(neighborCol).cast("long").as("_n"))
+    val overlap = t.join(a, Seq("query_id", "_n"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_ov"))
+    t.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(a.groupBy(col("query_id")).agg(count(lit(1)).as("_na")),
+        Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("_na"), lit(0L)).as("n_approx"),
+        coalesce(col("_ov"), lit(0L)).as("n_overlap"),
+        expr("(coalesce(_ov, 0) * 1000) div n_true")
+          .as("recall_permille"))
+  }
 }

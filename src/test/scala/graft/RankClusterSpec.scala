@@ -503,4 +503,19 @@ class RankClusterSpec extends SparkSpec {
       .collect().toSet
     assert(kept == Set(2L, 4L))
   }
+
+  test("recallAudit counts overlap and reports silent misses as zeros") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (2L, 21L), (3L, 30L)).toDF("query_id", "neighbor_id")
+    // query 1: 2 of 3 found (one spurious extra); query 2: wrong
+    // neighbor only; query 3: missing from the index entirely
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 7L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAudit(truth, approx)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    assert(got(1L) == ((1L, 3L, 3L, 2L, 666L)))
+    assert(got(2L) == ((2L, 2L, 1L, 0L, 0L)))
+    assert(got(3L) == ((3L, 1L, 0L, 0L, 0L)))
+  }
 }
