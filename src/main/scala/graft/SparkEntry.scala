@@ -1561,6 +1561,29 @@ object SparkEntry {
         pieces = 4, maxBucket = 0)
     }),
 
+    // Incremental line dedup: even docs' pages are the ingested
+    // history (fingerprints only), odd docs arrive as the new batch —
+    // history blocks every batch occurrence of the shared boilerplate;
+    // batch-internal election handles the rest.
+    "q150_incremental_line_dedup" -> ((s, dir) => {
+      val page = concat(
+        lit("Home About Contact Products News Archive\n"),
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("\nsubscribe to our newsletter for weekly updates today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nthis website uses cookies to improve your experience"))
+          .otherwise(lit("")),
+        lit("\nok\ncopyright 2024 example site all rights reserved"))
+      val docs = ld(s, dir, "documents").withColumn("text", page)
+      val hist = TextOps.lineFingerprints(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      TextOps.incrementalLineDedup(docs.filter(col("doc_id") % 2 === 1),
+          hist, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ANN recall audit: LSH top-3 vs brute-force ground truth per
     // query — the eval harness for the approximate family; queries
     // the index missed entirely report zeros.
@@ -4347,6 +4370,48 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // incremental line dedup: q140 synthesis, even-doc history line
+    // set, batch election + history block + reassembly
+    "q150_incremental_line_dedup" ->
+      """WITH pg AS (SELECT doc_id,
+        |    'Home About Contact Products News Archive' || chr(10) ||
+        |    coalesce(text, '') ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |      'subscribe to our newsletter for weekly updates today'
+        |      ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'this website uses cookies to improve your experience'
+        |      ELSE '' END) ||
+        |    chr(10) || 'ok' || chr(10) ||
+        |    'copyright 2024 example site all rights reserved' AS t
+        |  FROM documents),
+        |hl AS (SELECT DISTINCT trim(line) AS k FROM
+        |    (SELECT unnest(string_split(t, chr(10))) AS line FROM pg
+        |      WHERE doc_id % 2 = 0)
+        |  WHERE len(trim(line)) >= 10),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        |  FROM pg WHERE doc_id % 2 = 1),
+        |c AS (SELECT doc_id, pos, trim(line) AS k FROM l
+        |  WHERE len(trim(line)) >= 10),
+        |r AS (SELECT doc_id, pos, k, row_number() OVER
+        |    (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM c),
+        |lo AS (SELECT r.doc_id, r.pos FROM r LEFT JOIN hl
+        |  ON r.k = hl.k WHERE r.rn > 1 OR hl.k IS NOT NULL),
+        |sv AS (SELECT l.doc_id, l.pos, l.line FROM l
+        |  ANTI JOIN lo USING (doc_id, pos)),
+        |rb AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |    count(*) AS n_kept FROM sv GROUP BY doc_id),
+        |nl AS (SELECT doc_id,
+        |    len(string_split(t, chr(10)))::BIGINT AS n_lines FROM pg
+        |  WHERE doc_id % 2 = 1)
+        |SELECT nl.doc_id, coalesce(rb.text_dedup, '') AS text_dedup,
+        |  nl.n_lines,
+        |  (nl.n_lines - coalesce(rb.n_kept, 0))::BIGINT AS n_dropped
+        |FROM nl LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     // template clusters: injection replay + digit-collapse shape key +
     // shape-grouped distinct-content counts

@@ -859,6 +859,75 @@ object TextOps {
         sum(coalesce(col("_nty"), lit(0L))).over(w).as("types_upto"))
   }
 
+  /** Line-fingerprint history artifact for [[incrementalLineDedup]]:
+    * the distinct 64-bit fingerprints of every COMPETING line (trimmed
+    * length ≥ `minChars`) — 8 bytes per distinct line, the persistable
+    * parquet relation a continuous ingest carries between batches.
+    */
+  def lineFingerprints(df: DataFrame, textCol: String,
+      minChars: Int = 10): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    df.select(explode(split(col(textCol), "\n")).as("_line"))
+      .filter(length(trim(col("_line"))) >= minChars)
+      .select(graft.functions.TextKernelExprs.polyHash(trim(col("_line")))
+        .as("fp"))
+      .distinct()
+  }
+
+  /** Incremental [[lineDedup]] — the continuous-ingestion contract at
+    * the line tier ([[Dedup.incrementalExact]] /
+    * [[incrementalSubstring]] pattern): the NEW batch's competing
+    * lines check against the accumulated fingerprint HISTORY plus the
+    * batch-internal first-occurrence election. A history hit drops ALL
+    * batch occurrences (the corpus-wide first lives in an earlier
+    * batch); otherwise the batch's smallest `(id, pos)` survives.
+    * Output matches the batch tier: `(id, text_dedup, n_lines,
+    * n_dropped)`. Appending the kept batch's [[lineFingerprints]] to
+    * history preserves the cross-batch invariant.
+    *
+    * Shape for scale: history joins as a fingerprint-keyed hash
+    * equi-join (8-byte rows, deliberately NOT broadcast — a 100 TB
+    * history's line set is itself huge); the election windows only
+    * over batch lines; surviving line text shuffles once into the
+    * in-order rebuild.
+    */
+  def incrementalLineDedup(batch: DataFrame, historyFp: DataFrame,
+      textCol: String, idCol: String, minChars: Int = 10,
+      fpCol: String = "fp"): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = batch
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "_line")))
+    val competing = lines
+      .filter(length(trim(col("_line"))) >= minChars)
+      .select(col("id"), col("pos"),
+        graft.functions.TextKernelExprs.polyHash(trim(col("_line")))
+          .as("_fp"))
+    val hist = historyFp.select(col(fpCol).cast("long").as("_fp"))
+      .distinct().withColumn("_seen", lit(1))
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col("id"), col("pos"))
+    val losers = competing.withColumn("_rn", row_number().over(wElect))
+      .join(hist, Seq("_fp"), "left")
+      .filter(col("_rn") > 1 || col("_seen").isNotNull)
+      .select(col("id"), col("pos"))
+    val rebuilt = lines.join(losers, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("text_dedup"),
+        count(lit(1)).as("_n_kept"))
+    val nLines = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(split(col(textCol), "\n")).cast("long"))
+    batch.select(col(idCol).cast("long").as("id"), nLines.as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** The offline half of [[temperatureSample]]: the per-stratum
     * keep-rates per million as a plain map (≤ strata entries — a
     * bounded driver collect), for [[applySampleRates]] to apply

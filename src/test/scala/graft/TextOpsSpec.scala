@@ -76,6 +76,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, "", 0L, 0L)))
   }
 
+  test("incrementalLineDedup: history blocks ALL batch occurrences") {
+    val boiler = "this website uses cookies everywhere"
+    val day1 = Seq((1L, s"$boiler\nday one unique body line"))
+      .toDF("doc_id", "text")
+    val hist = TextOps.lineFingerprints(day1, "text")
+    val day2 = Seq(
+      (10L, s"$boiler\nday two first unique body"),
+      (11L, s"fresh repeated line for day two\n$boiler"),
+      (12L, "fresh repeated line for day two"))
+      .toDF("doc_id", "text")
+    val got = TextOps.incrementalLineDedup(day2, hist, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // boiler is in history: even the batch's FIRST occurrence drops
+    assert(got(10L) == ((10L, "day two first unique body", 2L, 1L)))
+    // batch-internal election still applies to fresh lines
+    assert(got(11L) ==
+      ((11L, "fresh repeated line for day two", 2L, 1L)))
+    assert(got(12L) == ((12L, "", 1L, 1L)))
+    // append invariant: batch ∅ history == the batch lineDedup
+    val empty = hist.filter(col("fp").isNull)
+    val inc = TextOps.incrementalLineDedup(day2, empty, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batchTier = TextOps.lineDedup(day2, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(inc == batchTier)
+  }
+
   test("splitContamination catches a planted train->val 8-gram copy") {
     val splits = Seq(("train", 900), ("val", 50), ("test", 50))
     val ids = (0L until 400L).toDF("doc_id")
