@@ -1584,6 +1584,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Winnowing fingerprints (MOSS): in-row rightmost-min selection
+    // over every-offset 8-gram hashes, 4-gram windows; cross-doc
+    // shared-fingerprint counts.
+    "q151_winnow" -> ((s, dir) => {
+      TextOps.winnowStats(ld(s, dir, "documents"), "text", "doc_id",
+          k = 8, w = 4)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ANN recall audit: LSH top-3 vs brute-force ground truth per
     // query — the eval harness for the approximate family; queries
     // the index missed entirely report zeros.
@@ -3749,6 +3758,46 @@ object SparkEntry {
          |  coalesce(per.n_spans, 0)::BIGINT AS n_spans,
          |  coalesce(per.dup_words, 0)::BIGINT AS dup_words
          |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id""".stripMargin,
+
+    // winnowing: same per-offset gram-hash fold as q116, then the
+    // rightmost-min window selection replayed as a window MIN over the
+    // packed key fp*2^22 + (2^22 - off) (unsigned fp order, larger off
+    // wins ties because it shrinks the key), full windows only
+    "q151_winnow" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(${DuckHash.norm("coalesce(text, '')")}, ' ')
+         |      AS ws
+         |  FROM documents),
+         |wh AS (SELECT doc_id,
+         |    list_transform(ws, wx -> ${DuckHash.polyHash("wx")}) AS whs
+         |  FROM t),
+         |g AS (SELECT doc_id, whs,
+         |    unnest(range(1, greatest(len(whs) - 7, 0) + 1)) AS off
+         |  FROM wh),
+         |f AS (SELECT doc_id, off,
+         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+         |      whs[off:off+7]),
+         |      (gh, gc) -> (31 * gh + gc) % ${DuckHash.uStr}) AS fp
+         |  FROM g),
+         |mk AS (SELECT doc_id, off,
+         |    min(fp * 4194304 + (4194304 - off)) OVER (
+         |      PARTITION BY doc_id ORDER BY off
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
+         |  FROM f QUALIFY off >= 4),
+         |sel AS (SELECT DISTINCT doc_id, key FROM mk),
+         |df2 AS (SELECT DISTINCT doc_id, key // 4194304 AS fp FROM sel),
+         |fd AS (SELECT fp, count(*) AS nd FROM df2 GROUP BY 1),
+         |sh AS (SELECT df2.doc_id, count(*)::BIGINT AS n_shared_fp
+         |  FROM df2 JOIN fd USING (fp) WHERE fd.nd >= 2 GROUP BY 1),
+         |per AS (SELECT doc_id, count(*)::BIGINT AS n_winnowed
+         |  FROM sel GROUP BY 1),
+         |ng AS (SELECT doc_id, greatest(len(ws) - 7, 0)::BIGINT
+         |      AS n_grams FROM t)
+         |SELECT ng.doc_id, ng.n_grams,
+         |  coalesce(per.n_winnowed, 0)::BIGINT AS n_winnowed,
+         |  coalesce(sh.n_shared_fp, 0)::BIGINT AS n_shared_fp
+         |FROM ng LEFT JOIN per USING (doc_id)
+         |LEFT JOIN sh USING (doc_id)""".stripMargin,
 
     // the dedup EXECUTED: positions covered by the merged spans drop
     // (disjoint intervals by construction), survivors rebuild in order

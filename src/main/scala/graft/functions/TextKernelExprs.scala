@@ -153,6 +153,48 @@ object TextKernelExprs {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting scheme) over a per-offset gram-hash
+    * array: for every full window of `w` consecutive gram hashes,
+    * select the minimum hash (UNSIGNED 64-bit order), breaking ties by
+    * the RIGHTMOST occurrence; return the distinct selected offsets
+    * (1-based, ascending). Guarantees: at least one fingerprint per
+    * `w` grams (density `≤ 2/(w+1)` expected), and any shared
+    * substring of `w + k − 1` words shares a fingerprint. Documents
+    * with fewer than `w` grams have no full window and select nothing.
+    *
+    * O(n) via a monotonic deque: pop-from-back on `cmpUnsigned ≥ 0`
+    * (so an equal hash further right replaces its twin), pop-from-front
+    * on window expiry; the front is the window's rightmost minimum.
+    * Selection offsets are non-decreasing as the window slides, so
+    * distinctness is a last-emitted check, not a sort.
+    */
+  def winnowOffsetsEval(fps: ArrayData, w: Int): ArrayData = {
+    val m = fps.numElements()
+    if (m < w) return UnsafeArrayData.fromPrimitiveArray(new Array[Int](0))
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    val sel = new Array[Int](m - w + 1)
+    var nSel = 0
+    var e = 0
+    while (e < m) {
+      val fe = fps.getLong(e)
+      while (tail > head &&
+          java.lang.Long.compareUnsigned(fps.getLong(dq(tail - 1)), fe) >= 0)
+        tail -= 1
+      dq(tail) = e
+      tail += 1
+      if (dq(head) <= e - w) head += 1
+      if (e >= w - 1) {
+        val off = dq(head) + 1
+        if (nSel == 0 || sel(nSel - 1) != off) { sel(nSel) = off; nSel += 1 }
+      }
+      e += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sel, nSel))
+  }
+
   /** Whole-document BPE token count under a frozen merge table: each
     * word splits to code points, the N merges apply sequentially in
     * rank order (one left-to-right non-overlapping pass each — the
@@ -292,6 +334,10 @@ object TextKernelExprs {
   def gramPolyHashes(toks: Column, k: Int): Column =
     GraftSqlBridge.column(
       GramPolyHashes(GraftSqlBridge.expression(toks), k))
+
+  def winnowOffsets(fps: Column, w: Int): Column =
+    GraftSqlBridge.column(
+      WinnowOffsets(GraftSqlBridge.expression(fps), w))
 
   def normalizeText(text: Column): Column =
     GraftSqlBridge.column(
@@ -663,6 +709,27 @@ case class GramPolyHashes(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextKernelExprs.gramPolyHashesEval($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): GramPolyHashes =
+    copy(child = newChild)
+}
+
+/** Winnowed fingerprint offsets of a per-offset gram-hash array —
+  * [[TextKernelExprs.winnowOffsetsEval]], one codegen'd in-row call per
+  * document (no explode/window shuffle for the selection itself).
+  */
+case class WinnowOffsets(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.winnowOffsetsEval(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.winnowOffsetsEval($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowOffsets =
     copy(child = newChild)
 }
 

@@ -928,6 +928,57 @@ object TextOps {
           .as("n_dropped"))
   }
 
+  /** Winnowing fingerprint statistics (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): per document, every-offset
+    * word `k`-gram hashes winnow down to the rightmost-minimum of each
+    * `w`-gram window ([[graft.functions.TextKernelExprs.winnowOffsets]]
+    * — the deterministic rightmost-tie-break variant, so the selection
+    * replays exactly in any engine as a window-min over the packed key
+    * `fp·2^22 + (2^22 − off)`). Output per doc: `n_grams` (every-offset
+    * gram count), `n_winnowed` (selected fingerprints — the document's
+    * MOSS signature size, expected density `2/(w+1)`), and
+    * `n_shared_fp` (distinct selected fingerprints that at least one
+    * OTHER document also selected — the overlap signal MOSS ranks
+    * matches by). Any substring of `w + k − 1` words shared verbatim
+    * between two documents is guaranteed to surface in `n_shared_fp`.
+    *
+    * Shape for scale: selection is one codegen'd O(n) in-row kernel —
+    * no explode, no per-doc window shuffle; only the 8-byte selected
+    * fingerprints shuffle (≈ `2/(w+1)` of the gram count) for the
+    * cross-doc share count: distinct-per-doc fps → fp-keyed count →
+    * fp-keyed equi-join back (never broadcast — the corpus-wide
+    * fingerprint set scales with the data), then one id-keyed
+    * re-aggregation. A viral fingerprint (boilerplate selected by
+    * millions of docs) is one hot count group reduced map-side.
+    */
+  def winnowStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    require(w >= 1 && w <= 65536, s"w must be in [1, 65536], got $w")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextKernelExprs.gramPolyHashes(
+          words(coalesce(col(textCol), lit(""))), k).as("_g"))
+      .withColumn("_offs",
+        graft.functions.TextKernelExprs.winnowOffsets(col("_g"), w))
+    val stats = base.select(col("id"),
+      size(col("_g")).cast("long").as("n_grams"),
+      size(col("_offs")).cast("long").as("n_winnowed"),
+      col("_g"), col("_offs"))
+    // in-row distinct first: the explode carries each doc's distinct
+    // selected fps once, not one row per selection
+    val docFps = stats.select(col("id"),
+      explode(array_distinct(transform(col("_offs"),
+        o => element_at(col("_g"), o)))).as("_fp"))
+    val fpDocs = docFps.groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_nd"))
+    val shared = docFps.join(fpDocs.filter(col("_nd") >= 2), Seq("_fp"))
+      .groupBy(col("id")).agg(count(lit(1)).as("_nsh"))
+    stats.select(col("id"), col("n_grams"), col("n_winnowed"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_grams"), col("n_winnowed"),
+        coalesce(col("_nsh"), lit(0L)).as("n_shared_fp"))
+  }
+
   /** The offline half of [[temperatureSample]]: the per-stratum
     * keep-rates per million as a plain map (≤ strata entries — a
     * bounded driver collect), for [[applySampleRates]] to apply

@@ -103,6 +103,53 @@ class TextOpsSpec extends SparkSpec {
     assert(inc == batchTier)
   }
 
+  test("winnowOffsets matches brute-force rightmost-min on tie-heavy input") {
+    import graft.functions.TextKernelExprs
+    def brute(fps: Array[Long], w: Int): Seq[Int] = {
+      if (fps.length < w) Nil
+      else (w to fps.length).map { e =>
+        var best = e - w
+        var i = e - w + 1
+        while (i < e) {
+          if (java.lang.Long.compareUnsigned(fps(i), fps(best)) <= 0) best = i
+          i += 1
+        }
+        best + 1
+      }.distinct
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 60) {
+      val n = rnd.nextInt(30)
+      val w = 1 + rnd.nextInt(6)
+      // tiny value range forces ties; a few negatives exercise the
+      // unsigned order (negative longs are LARGE unsigned)
+      val fps = Array.fill(n)(rnd.nextInt(4).toLong - 1L)
+      val got = Seq(Tuple1(fps)).toDF("g")
+        .select(TextKernelExprs.winnowOffsets(col("g"), w).as("o"))
+        .as[Seq[Int]].head()
+      assert(got == brute(fps, w), s"trial=$trial n=$n w=$w fps=${fps.toSeq}")
+    }
+  }
+
+  test("winnowStats: shared 11-word substring guarantees a shared fp") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo" // w + k - 1 = 11 words
+    val docs = Seq(
+      (1L, s"one unique opening here for doc $shared closing words again ok"),
+      (2L, s"$shared totally different tail content that shares nothing else"),
+      (3L, "entirely distinct text with twelve words of its very own here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 >= 1L, s"doc 1 must share a fingerprint: $got")
+    assert(got(2L)._4 >= 1L, s"doc 2 must share a fingerprint: $got")
+    assert(got(3L)._4 == 0L, s"doc 3 shares nothing: $got")
+    // density guarantee: at least one selection per w grams
+    got.values.foreach { case (id, ng, nw, _) =>
+      if (ng >= 4) assert(nw >= ng / 4, s"doc $id under-selected: $got")
+    }
+  }
+
   test("splitContamination catches a planted train->val 8-gram copy") {
     val splits = Seq(("train", 900), ("val", 50), ("test", 50))
     val ids = (0L until 400L).toDF("doc_id")
