@@ -1584,6 +1584,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Dedup recall audit: MinHash-LSH candidate pairs vs brute-force
+    // exact-Jaccard ground truth on a bounded eval sample with planted
+    // suffix-mutated near-dups — the dedup family's eval harness.
+    "q152_dedup_recall" -> ((s, dir) => {
+      val base = ld(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"),
+            lit(" appended audit tail to plant a near duplicate"))
+            .as("text"))
+      Dedup.minhashRecallAudit(base.unionByName(variants), "text",
+        "doc_id", shingleK = 5, numHashes = 8, bands = 2,
+        threshold = 0.5, maxBucket = 0)
+    }),
+
     // Winnowing fingerprints (MOSS): in-row rightmost-min selection
     // over every-offset 8-gram hashes, 4-gram windows; cross-doc
     // shared-fingerprint counts.
@@ -3237,6 +3253,78 @@ object SparkEntry {
        |LEFT JOIN hb USING (doc_id) LEFT JOIN ib USING (doc_id)""".stripMargin
   }
 
+  /** q152 oracle: the dedup recall audit replayed — planted suffix
+    * variants, brute-force exact shingle-set Jaccard truth pairs, the
+    * q109-style 8-slot/2-band MinHash-LSH candidate replay, and the
+    * summary counts with integer permille rates.
+    */
+  private lazy val q152Oracle: String = {
+    def uns(s: String): String =
+      s"(CASE WHEN $s < 0 THEN $s::HUGEINT + ${DuckHash.uStr}" +
+        s" ELSE $s::HUGEINT END)"
+    def agree(a: String, b: String): String =
+      "(" + (0 until 8).map(i => s"($a.s$i = $b.s$i)::INT")
+        .mkString(" + ") + ")::DOUBLE / 8.0"
+    val allSlots = (0 until 8).map(i => s"s$i").mkString(", ")
+    def fold(prev: String, si: Int, alias: String): String =
+      s"(${DuckHash.mix(s"xor($prev, ${uns(s"s$si")})")}) AS $alias"
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 150),
+       |u AS (SELECT doc_id, text FROM base
+       |  UNION ALL SELECT doc_id + 100000,
+       |    text || ' appended audit tail to plant a near duplicate'
+       |  FROM base WHERE doc_id % 3 = 0),
+       |n AS (SELECT doc_id, ${DuckHash.norm("coalesce(text, '')")} AS nt
+       |  FROM u),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+       |         WHEN length(nt) < 5 THEN [nt]
+       |         ELSE list_distinct(list_transform(range(1, length(nt) - 3),
+       |           si -> nt[si:si+4]))
+       |    END AS sgs
+       |  FROM n),
+       |s AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(sgs, sg -> ${DuckHash.hashStr("sg")}) AS sh FROM g),
+       |tp AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+       |  WHERE (CASE
+       |    WHEN len(x.sh) = 0 AND len(y.sh) = 0 THEN 1.0
+       |    WHEN len(x.sh) = 0 OR len(y.sh) = 0 THEN 0.0
+       |    ELSE len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |      (len(x.sh) + len(y.sh)
+       |        - len(list_intersect(x.sh, y.sh)))::DOUBLE
+       |    END) >= 0.5),
+       |sl AS (SELECT doc_id,
+       |    ${(0 until 8).map(i =>
+              s"${DuckHash.minhashSlot(i)} AS s$i").mkString(",\n    ")}
+       |  FROM s),
+       |k1 AS (SELECT doc_id, $allSlots,
+       |    (${DuckHash.mix(uns("s0"))}) AS ka,
+       |    (${DuckHash.mix(s"xor(11400714819323198485::HUGEINT, ${uns("s4")})")}) AS kb
+       |  FROM sl),
+       |k2 AS (SELECT doc_id, $allSlots, ${fold("ka", 1, "ka")},
+       |    ${fold("kb", 5, "kb")} FROM k1),
+       |k3 AS (SELECT doc_id, $allSlots, ${fold("ka", 2, "ka")},
+       |    ${fold("kb", 6, "kb")} FROM k2),
+       |k4 AS (SELECT doc_id, $allSlots, ${fold("ka", 3, "ka")},
+       |    ${fold("kb", 7, "kb")} FROM k3),
+       |bnd AS MATERIALIZED (SELECT doc_id, $allSlots,
+       |    unnest([ka >> 8,
+       |      xor(72057594037927936::HUGEINT, kb >> 8)]) AS band
+       |  FROM k4),
+       |cp AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.doc_id < y.doc_id
+       |  WHERE ${agree("x", "y")} >= 0.5),
+       |hit AS (SELECT a, b FROM tp INTERSECT SELECT a, b FROM cp),
+       |c AS (SELECT (SELECT count(*) FROM tp)::BIGINT AS n_true,
+       |  (SELECT count(*) FROM cp)::BIGINT AS n_cand,
+       |  (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+       |SELECT n_true, n_cand, n_hit,
+       |  (n_hit * 1000) // greatest(n_true, 1) AS recall_permille,
+       |  (n_hit * 1000) // greatest(n_cand, 1) AS precision_permille
+       |FROM c""".stripMargin
+  }
+
   /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
     * sign of sum(±1) across word hashes (Hashing.simHash).
     */
@@ -3690,6 +3778,7 @@ object SparkEntry {
          |FROM rk WHERE sample_rank <= 100""".stripMargin,
 
     "q109_incremental_minhash" -> q109Oracle,
+    "q152_dedup_recall" -> q152Oracle,
 
     // lang consistency: the q22 detector replay grouped into the
     // (meta, detected) confusion matrix

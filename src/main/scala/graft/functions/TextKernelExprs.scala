@@ -28,6 +28,10 @@ object TextKernelExprs {
   def ngramEval(t: UTF8String, n: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.wordNgramHashes(t.toString, n))
 
+  def charShinglesEval(t: UTF8String, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.shingleHashes(t.toString, k))
+
   def polyHashEval(t: UTF8String): Long = polyHashOfString(t.toString)
 
   def bandKeysEval(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
@@ -306,6 +310,10 @@ object TextKernelExprs {
 
   def ngramHashes(text: Column, n: Int): Column =
     GraftSqlBridge.column(NgramHashes(GraftSqlBridge.expression(text), n))
+
+  def charShingleHashes(text: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      CharShingleHashes(GraftSqlBridge.expression(text), k))
 
   def polyHash(text: Column): Column =
     GraftSqlBridge.column(PolyHash64(GraftSqlBridge.expression(text)))
@@ -778,6 +786,26 @@ case class NgramHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernelExprs.ngramEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Sorted distinct char-`k`-shingle hash set of the normalized text —
+  * the exact universe [[MinhashSignature]] sketches, for ground-truth
+  * Jaccard in recall audits ([[Hashing.shingleHashes]]).
+  */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.charShinglesEval(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelExprs.charShinglesEval($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
     copy(child = newChild)
 }
 

@@ -579,6 +579,53 @@ object Dedup {
     * distinct-content count is the standard two-level expand, still
     * shape-keyed).
     */
+  /** Pair-level recall/precision audit of the MinHash-LSH near-dup
+    * detector ([[minhashPairs]]) against EXACT shingle-set Jaccard
+    * ground truth — the dedup family's eval harness (the
+    * [[Similarity.recallAudit]] pattern): did the banding/signature
+    * configuration actually catch the true near-duplicate pairs?
+    * Returns ONE summary row `(n_true, n_cand, n_hit, recall_permille,
+    * precision_permille)`: true pairs (exact Jaccard ≥ `threshold`),
+    * candidate pairs the LSH surfaced at the same estimated threshold,
+    * their overlap, and the derived rates. `recall_permille` < 1000
+    * means the band structure misses true near-dups (too few bands for
+    * the threshold); `precision_permille` < 1000 means the signature
+    * over-estimates (too few hashes).
+    *
+    * Ground truth is brute-force all-pairs over `df` — an EVAL SAMPLE
+    * the caller bounds (hundreds to low thousands of docs), exactly
+    * like [[Similarity.bruteForceTopK]]; the audited production
+    * operator stays banded. The sample side broadcasts; exact Jaccard
+    * runs on the same sorted-distinct shingle-hash sets the signatures
+    * sketch, via one codegen'd merge-intersection per pair.
+    */
+  def minhashRecallAudit(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, numHashes: Int = 8, bands: Int = 2,
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextKernelExprs.charShingleHashes(
+        coalesce(col(textCol), lit("")), shingleK).as("_sh"))
+    val truth = sh.select(col("id").as("id_a"), col("_sh").as("_sa"))
+      .crossJoin(broadcast(
+        sh.select(col("id").as("id_b"), col("_sh").as("_sb"))))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Hashing.jaccard(col("_sa"), col("_sb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val cand = minhashPairs(df, textCol, idCol, shingleK, numHashes,
+        bands, threshold, maxBucket)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("(n_hit * 1000) div greatest(n_true, 1)")
+          .as("recall_permille"),
+        expr("(n_hit * 1000) div greatest(n_cand, 1)")
+          .as("precision_permille"))
+  }
+
   def templateClusters(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val norm = lower(regexp_replace(trim(coalesce(col(textCol), lit(""))),

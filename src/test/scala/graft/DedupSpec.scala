@@ -364,6 +364,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 2L, 2L)))
   }
 
+  test("minhashRecallAudit: exact dups always recalled; rates consistent") {
+    val body = "the quick brown fox jumps over the lazy dog near the " +
+      "riverbank while autumn leaves drift slowly down onto the water"
+    val df = Seq(
+      (1L, body),
+      (2L, body), // exact dup of 1: jaccard 1, identical signature
+      (3L, body + " with a small appended tail of extra words"),
+      (4L, "a completely different document about spark physical " +
+        "plans, shuffles, broadcasts and adaptive query execution"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashRecallAudit(df, "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2, threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nTrue, nCand, nHit, recall, precision) = got
+    // (1,2) is a true pair AND an identical-signature candidate
+    assert(nTrue >= 1L, s"expected a true pair: $got")
+    assert(nHit >= 1L, s"exact dup must be recalled: $got")
+    assert(nHit <= nTrue && nHit <= nCand, s"overlap bound: $got")
+    assert(recall == (nHit * 1000) / math.max(nTrue, 1L), s"rate: $got")
+    assert(precision == (nHit * 1000) / math.max(nCand, 1L), s"rate: $got")
+  }
+
   test("templateClusters: slot variation vs exact dup vs singleton") {
     val df = Seq(
       (3L, "user 42 logged in from host7"),   // template, slots vary
