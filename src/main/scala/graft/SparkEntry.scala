@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.cep.{Absence, Cep, Logical, PatternDef, Step}
 import graft.functions.{Hashing, Text, Vectors}
-import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, HtmlOps, Multimodal, RangeJoin, Rollup, Similarity, TextOps, UrlOps, Windows}
+import graft.operators.{AsofJoin, Bpe, Classifier, Dedup, EventTable, HtmlOps, Multimodal, RangeJoin, Rollup, Similarity, TextOps, UrlOps, Validate, Windows}
 
 /** Typed event row used by the CEP queries (events table, ts in µs). */
 case class Evt(event_id: Long, ts_us: Long, user_id: Long,
@@ -1582,6 +1582,20 @@ object SparkEntry {
       TextOps.incrementalLineDedup(docs.filter(col("doc_id") % 2 === 1),
           hist, "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Data-quality constraint suite (Deequ pattern): scalar checks in
+    // one scan-side agg, uniqueness as per-column hash aggs; one
+    // verdict row per constraint with exact violation counts.
+    "q153_validate" -> ((s, dir) => {
+      import Validate._
+      Validate.check(ld(s, dir, "documents"), Seq(
+        NotNull("text"),
+        InRange("n_chars", 1L, 500L),
+        Matches("lang", "^[a-z]{2}$"),
+        Satisfies("len_eq_n_chars", "length(text) = n_chars"),
+        Unique("doc_id"),
+        Unique("text")))
     }),
 
     // Dedup recall audit: MinHash-LSH candidate pairs vs brute-force
@@ -3779,6 +3793,39 @@ object SparkEntry {
 
     "q109_incremental_minhash" -> q109Oracle,
     "q152_dedup_recall" -> q152Oracle,
+
+    // constraint suite: scalar violation sums + per-column dup-row
+    // counts, one verdict row per declared constraint
+    "q153_validate" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents),
+        |s AS (SELECT
+        |    sum((text IS NULL)::INT)::BIGINT AS v0,
+        |    sum((n_chars IS NULL OR n_chars < 1 OR n_chars > 500)::INT
+        |      )::BIGINT AS v1,
+        |    sum((lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')
+        |      )::INT)::BIGINT AS v2,
+        |    sum((NOT coalesce(length(text) = n_chars, false))::INT
+        |      )::BIGINT AS v3
+        |  FROM documents),
+        |u1 AS (SELECT coalesce(sum(c), 0)::BIGINT AS v FROM (
+        |  SELECT count(*) AS c FROM documents WHERE doc_id IS NOT NULL
+        |  GROUP BY doc_id HAVING count(*) > 1)),
+        |u2 AS (SELECT coalesce(sum(c), 0)::BIGINT AS v FROM (
+        |  SELECT count(*) AS c FROM documents WHERE text IS NOT NULL
+        |  GROUP BY text HAVING count(*) > 1)),
+        |r AS (
+        |  SELECT 'not_null' AS "constraint", 'text' AS "column",
+        |    n.n_rows, s.v0 AS n_violations FROM n, s
+        |  UNION ALL SELECT 'in_range[1,500]', 'n_chars', n.n_rows, s.v1
+        |    FROM n, s
+        |  UNION ALL SELECT 'matches[^[a-z]{2}$]', 'lang', n.n_rows, s.v2
+        |    FROM n, s
+        |  UNION ALL SELECT 'satisfies[len_eq_n_chars]', '*', n.n_rows,
+        |    s.v3 FROM n, s
+        |  UNION ALL SELECT 'unique', 'doc_id', n.n_rows, u1.v FROM n, u1
+        |  UNION ALL SELECT 'unique', 'text', n.n_rows, u2.v FROM n, u2)
+        |SELECT "constraint", "column", n_rows, n_violations,
+        |  (n_violations = 0)::INT AS pass FROM r""".stripMargin,
 
     // lang consistency: the q22 detector replay grouped into the
     // (meta, detected) confusion matrix

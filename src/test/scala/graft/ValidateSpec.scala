@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Validate
+import graft.operators.Validate._
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("check: exact violation counts per constraint kind") {
+    val df = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "en", 10L),
+      (2L, "de", 600L),   // out of range
+      (3L, null, 20L),    // null lang: not_null + matches violations
+      (3L, "fr", null),   // dup id + null n_chars (range violation)
+      (5L, "EN", 30L))    // pattern violation (uppercase)
+      .toDF("id", "lang", "n")
+    val got = Validate.check(df, Seq(
+        NotNull("lang"),
+        InRange("n", 1L, 500L),
+        Matches("lang", "^[a-z]{2}$"),
+        Satisfies("n_under_1k", "n < 1000"),
+        Unique("id")))
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("not_null", "lang")) ==
+      (("not_null", "lang", 5L, 1L, 0)))
+    assert(got(("in_range[1,500]", "n")) ==
+      (("in_range[1,500]", "n", 5L, 2L, 0))) // 600 + null
+    assert(got(("matches[^[a-z]{2}$]", "lang")) ==
+      (("matches[^[a-z]{2}$]", "lang", 5L, 2L, 0))) // null + "EN"
+    // null predicate result (n IS NULL) counts as a violation
+    assert(got(("satisfies[n_under_1k]", "*")) ==
+      (("satisfies[n_under_1k]", "*", 5L, 1L, 0)))
+    assert(got(("unique", "id")) ==
+      (("unique", "id", 5L, 2L, 0))) // both rows of the dup group
+  }
+
+  test("check: all-green suite and null-excluded uniqueness") {
+    val df = Seq((1L, "aa"), (2L, "bb")).toDF("id", "lang")
+    val got = Validate.check(df, Seq(NotNull("id"), Unique("id")))
+      .as[(String, String, Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      ("not_null", "id", 2L, 0L, 1),
+      ("unique", "id", 2L, 0L, 1)))
+    // null values don't participate in uniqueness (NotNull's job)
+    val withNulls = Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+      .toDF("id", "lang")
+    val u = Validate.check(withNulls, Seq(Unique("id")))
+      .as[(String, String, Long, Long, Int)].head()
+    assert(u == (("unique", "id", 2L, 0L, 1)))
+  }
+}
