@@ -1584,6 +1584,21 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Unicode script profile + mixing detector: per-script codepoint
+    // histogram (one codegen'd pass), dominant letter script, and the
+    // permille of letters outside it; foreign-script content is
+    // synthesized deterministically (the ASCII corpus has none).
+    "q154_script_profile" -> ((s, dir) => {
+      val aug = ld(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" привет мир данных"))
+            .when(col("doc_id") % 4 === 1, lit(" 数据处理系统"))
+            .when(col("doc_id") % 4 === 3, lit(" αβγ δεζ 12345"))
+            .otherwise(lit(""))))
+      TextOps.scriptProfile(aug, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Data-quality constraint suite (Deequ pattern): scalar checks in
     // one scan-side agg, uniqueness as per-column hash aggs; one
     // verdict row per constraint with exact violation counts.
@@ -3793,6 +3808,51 @@ object SparkEntry {
 
     "q109_incremental_minhash" -> q109Oracle,
     "q152_dedup_recall" -> q152Oracle,
+
+    // script profile: block-range regex class counts, integer argmax
+    // election (count*8 + alphabetical slot), permille mixing
+    "q154_script_profile" ->
+      """WITH u AS (SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 0 THEN ' привет мир данных'
+        |    WHEN 1 THEN ' 数据处理系统'
+        |    WHEN 3 THEN ' αβγ δεζ 12345' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, length(t)::BIGINT AS n_cp,
+        |    len(regexp_extract_all(t, '[ \t\n\r]'))::BIGINT AS n_ws,
+        |    len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]'))::BIGINT
+        |      AS n_arabic,
+        |    len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))::BIGINT
+        |      AS n_cyrillic,
+        |    len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]'))::BIGINT
+        |      AS n_greek,
+        |    len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))::BIGINT
+        |      AS n_han,
+        |    len(regexp_extract_all(t, '[\x{AC00}-\x{D7A3}]'))::BIGINT
+        |      AS n_hangul,
+        |    len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]'))::BIGINT
+        |      AS n_kana,
+        |    len(regexp_extract_all(t, '[A-Za-z\x{00C0}-\x{024F}]'))::BIGINT
+        |      AS n_latin,
+        |    len(regexp_extract_all(t, '[0-9]'))::BIGINT AS n_digit
+        |  FROM u),
+        |m AS (SELECT *,
+        |    (n_cp - n_ws - n_arabic - n_cyrillic - n_greek - n_han
+        |      - n_hangul - n_kana - n_latin - n_digit) AS n_other,
+        |    (n_arabic + n_cyrillic + n_greek + n_han + n_hangul
+        |      + n_kana + n_latin) AS lets,
+        |    greatest(n_arabic * 8 + 0, n_cyrillic * 8 + 1,
+        |      n_greek * 8 + 2, n_han * 8 + 3, n_hangul * 8 + 4,
+        |      n_kana * 8 + 5, n_latin * 8 + 6) AS mx
+        |  FROM c)
+        |SELECT doc_id, n_arabic, n_cyrillic, n_greek, n_han, n_hangul,
+        |  n_kana, n_latin, n_digit, n_other,
+        |  CASE WHEN lets = 0 THEN 'none' ELSE
+        |    ['arabic','cyrillic','greek','han','hangul','kana',
+        |     'latin'][(mx % 8) + 1] END AS main_script,
+        |  (CASE WHEN lets = 0 THEN 0
+        |    ELSE ((lets - mx // 8) * 1000) // lets END)::BIGINT
+        |    AS mix_permille
+        |FROM m""".stripMargin,
 
     // constraint suite: scalar violation sums + per-column dup-row
     // counts, one verdict row per declared constraint

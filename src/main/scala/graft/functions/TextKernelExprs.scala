@@ -32,6 +32,41 @@ object TextKernelExprs {
     UnsafeArrayData.fromPrimitiveArray(
       Hashing.shingleHashes(t.toString, k))
 
+  /** Unicode script-class histogram — one O(n) codepoint pass. Slots
+    * (alphabetical for the 7 letter scripts, so slot index doubles as
+    * the deterministic tie-break rank): 0 arabic [U+0600–U+06FF],
+    * 1 cyrillic [U+0400–U+04FF], 2 greek [U+0370–U+03FF], 3 han
+    * [U+4E00–U+9FFF], 4 hangul [U+AC00–U+D7A3], 5 kana [U+3040–
+    * U+30FF], 6 latin [A-Za-z, U+00C0–U+024F], 7 ascii digits,
+    * 8 other (excluding the whitespace set ` \t\n\r`). Block-range
+    * heuristic, deliberately regex-replayable (`[\x{0400}-\x{04FF}]`
+    * classes) rather than Character.UnicodeScript-complete.
+    */
+  def scriptCountsEval(t: UTF8String): ArrayData = {
+    val s = t.toString
+    val c = new Array[Long](9)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val k =
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= 0xC0 && cp <= 0x24F)) 6
+        else if (cp >= 0x0600 && cp <= 0x06FF) 0
+        else if (cp >= 0x0400 && cp <= 0x04FF) 1
+        else if (cp >= 0x0370 && cp <= 0x03FF) 2
+        else if (cp >= 0x4E00 && cp <= 0x9FFF) 3
+        else if (cp >= 0xAC00 && cp <= 0xD7A3) 4
+        else if (cp >= 0x3040 && cp <= 0x30FF) 5
+        else if (cp >= '0' && cp <= '9') 7
+        else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') -1
+        else 8
+      if (k >= 0) c(k) += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(c)
+  }
+
   def polyHashEval(t: UTF8String): Long = polyHashOfString(t.toString)
 
   def bandKeysEval(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
@@ -314,6 +349,10 @@ object TextKernelExprs {
   def charShingleHashes(text: Column, k: Int): Column =
     GraftSqlBridge.column(
       CharShingleHashes(GraftSqlBridge.expression(text), k))
+
+  def scriptCounts(text: Column): Column =
+    GraftSqlBridge.column(
+      ScriptCounts(GraftSqlBridge.expression(text)))
 
   def polyHash(text: Column): Column =
     GraftSqlBridge.column(PolyHash64(GraftSqlBridge.expression(text)))
@@ -786,6 +825,25 @@ case class NgramHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernelExprs.ngramEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Unicode script-class histogram of a string —
+  * [[TextKernelExprs.scriptCountsEval]]: 9 counts in one codepoint pass.
+  */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.scriptCountsEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelExprs.scriptCountsEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
     copy(child = newChild)
 }
 

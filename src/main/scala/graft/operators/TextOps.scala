@@ -979,6 +979,49 @@ object TextOps {
         coalesce(col("_nsh"), lit(0L)).as("n_shared_fp"))
   }
 
+  /** Per-document unicode script profile + mixing signal (the spoofing/
+    * encoding-corruption gate of Unicode TR#39 confusable detection,
+    * block-range tier): counts per script class from one codegen'd
+    * codepoint pass ([[graft.functions.TextKernelExprs.scriptCounts]]),
+    * the dominant letter script, and `mix_permille` — the per-mille of
+    * letters OUTSIDE the dominant script. High mix flags spam that
+    * interleaves confusable scripts (Latin/Cyrillic lookalikes),
+    * mojibake, and mislabeled-language pages; `main_script` feeds the
+    * same stratified gates `lang` metadata does, but content-derived.
+    *
+    * Dominant-script election is pure integer arithmetic — max over
+    * `count·8 + slot` with slots alphabetical — so ties break to the
+    * alphabetically-last script identically in any engine (no float,
+    * no struct comparison). Zero letters → `main_script = 'none'`,
+    * `mix_permille = 0`.
+    *
+    * Shape for scale: a stateless scan projection — no shuffle, no
+    * state; streams as-is.
+    */
+  def scriptProfile(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val names = Seq("arabic", "cyrillic", "greek", "han", "hangul",
+      "kana", "latin")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextKernelExprs.scriptCounts(
+        coalesce(col(textCol), lit(""))).as("_c"))
+    val cnt = (i: Int) => element_at(col("_c"), i + 1)
+    val letters = (0 until 7).map(cnt).reduce(_ + _)
+    val maxVal = greatest((0 until 7).map(i => cnt(i) * 8 + i): _*)
+    base.withColumn("_letters", letters).withColumn("_mx", maxVal)
+      .select(
+        col("id") +:
+          names.zipWithIndex.map { case (n, i) => cnt(i).as(s"n_$n") } :+
+          cnt(7).as("n_digit") :+ cnt(8).as("n_other") :+
+          when(col("_letters") === 0, lit("none"))
+            .otherwise(element_at(
+              array(names.map(lit): _*),
+              pmod(col("_mx"), lit(8)).cast("int") + 1)).as("main_script") :+
+          when(col("_letters") === 0, lit(0L))
+            .otherwise(expr("((_letters - _mx div 8) * 1000) div _letters"))
+            .as("mix_permille"): _*)
+  }
+
   /** The offline half of [[temperatureSample]]: the per-stratum
     * keep-rates per million as a plain map (≤ strata entries — a
     * bounded driver collect), for [[applySampleRates]] to apply

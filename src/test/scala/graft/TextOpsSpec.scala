@@ -150,6 +150,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("scriptProfile: counts, dominant election, mixing permille") {
+    val df = Seq(
+      (1L, "hello world"),                 // pure latin
+      (2L, "привет мир"),                  // pure cyrillic
+      (3L, "hello мир 42!"),               // latin 5, cyrillic 3, digit 2
+      (4L, "12345 !!!"),                   // no letters at all
+      (5L, "数据 data"))                    // han 2, latin 4
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(df, "text", "doc_id")
+      .select(col("id"), col("n_latin"), col("n_cyrillic"), col("n_han"),
+        col("n_digit"), col("n_other"), col("main_script"),
+        col("mix_permille"))
+      .as[(Long, Long, Long, Long, Long, Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, 0L, 0L, 0L, 0L, "latin", 0L)))
+    assert(got(2L) == ((2L, 0L, 9L, 0L, 0L, 0L, "cyrillic", 0L)))
+    // 3 of 8 letters outside latin -> 375 permille
+    assert(got(3L) == ((3L, 5L, 3L, 0L, 2L, 1L, "latin", 375L)))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 5L, 3L, "none", 0L)))
+    assert(got(5L) == ((5L, 4L, 0L, 2L, 0L, 0L, "latin", 333L)))
+    // tie-break: equal counts go to the alphabetically-LAST script
+    val tie = Seq((9L, "ab пр")).toDF("doc_id", "text")
+    val t = TextOps.scriptProfile(tie, "text", "doc_id")
+      .select(col("main_script"), col("mix_permille"))
+      .as[(String, Long)].head()
+    assert(t == (("latin", 500L)))
+  }
+
   test("splitContamination catches a planted train->val 8-gram copy") {
     val splits = Seq(("train", 900), ("val", 50), ("test", 50))
     val ids = (0L until 400L).toDF("doc_id")
