@@ -1584,6 +1584,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Greedy k-center (farthest-point) coreset selection: seed min id,
+    // then 3 farthest-point rounds, nearest-center assignment — the
+    // diverse-subset selector (Gonzalez / Sener-Savarese).
+    "q155_kcenter" -> ((s, dir) => {
+      Similarity.kCenterAssign(ld(s, dir, "embeddings"), "embedding",
+        "vec_id", k = 4)
+    }),
+
     // Unicode script profile + mixing detector: per-script codepoint
     // histogram (one codegen'd pass), dominant letter script, and the
     // permille of letters outside it; foreign-script content is
@@ -3354,6 +3362,50 @@ object SparkEntry {
        |FROM c""".stripMargin
   }
 
+  /** q155 oracle: greedy k-center unrolled — seed = min vec_id, three
+    * farthest-point rounds (`dmin` carried via `least`), then the
+    * nearest-center assignment with the (dist, cid) tie-break. Same
+    * fixed-order double arithmetic as [[kmeansRounds]].
+    */
+  private lazy val q155Oracle: String = {
+    def dot(a: String, bcol: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"di -> $a[di]::DOUBLE * $bcol[di]::DOUBLE))"
+    def dist(x: String, c: String) =
+      s"(${dot(x, x)}) - 2.0 * (${dot(x, c)}) + (${dot(c, c)})"
+    s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |c0 AS (SELECT vec_id AS cid, x AS cv FROM e
+       |  ORDER BY vec_id LIMIT 1),
+       |d0 AS (SELECT e.vec_id, e.x, ${dist("x", "cv")} AS dmin
+       |  FROM e CROSS JOIN c0),
+       |c1 AS (SELECT vec_id AS cid, x AS cv FROM d0
+       |  ORDER BY dmin DESC, vec_id LIMIT 1),
+       |d1 AS (SELECT d0.vec_id, d0.x,
+       |    least(d0.dmin, ${dist("x", "cv")}) AS dmin
+       |  FROM d0 CROSS JOIN c1),
+       |c2 AS (SELECT vec_id AS cid, x AS cv FROM d1
+       |  ORDER BY dmin DESC, vec_id LIMIT 1),
+       |d2 AS (SELECT d1.vec_id, d1.x,
+       |    least(d1.dmin, ${dist("x", "cv")}) AS dmin
+       |  FROM d1 CROSS JOIN c2),
+       |c3 AS (SELECT vec_id AS cid, x AS cv FROM d2
+       |  ORDER BY dmin DESC, vec_id LIMIT 1),
+       |cents AS (SELECT cid, cv FROM c0
+       |  UNION ALL SELECT cid, cv FROM c1
+       |  UNION ALL SELECT cid, cv FROM c2
+       |  UNION ALL SELECT cid, cv FROM c3),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cents.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e.x", "cents.cv")}, cents.cid) AS rn
+       |    FROM e CROSS JOIN cents) WHERE rn = 1)
+       |SELECT asg.vec_id, asg.cid AS center_id,
+       |  (CASE WHEN cc.cid IS NULL THEN 0 ELSE 1 END)::INT AS is_center
+       |FROM asg LEFT JOIN (SELECT cid FROM cents) cc
+       |  ON asg.vec_id = cc.cid""".stripMargin
+  }
+
   /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
     * sign of sum(±1) across word hashes (Hashing.simHash).
     */
@@ -3808,6 +3860,7 @@ object SparkEntry {
 
     "q109_incremental_minhash" -> q109Oracle,
     "q152_dedup_recall" -> q152Oracle,
+    "q155_kcenter" -> q155Oracle,
 
     // script profile: block-range regex class counts, integer argmax
     // election (count*8 + alphabetical slot), permille mixing

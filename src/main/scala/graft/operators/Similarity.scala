@@ -932,4 +932,67 @@ object Similarity {
         expr("(coalesce(_ov, 0) * 1000) div n_true")
           .as("recall_permille"))
   }
+
+  /** Greedy k-center (farthest-point) selection + assignment — the
+    * 2-approximation of Gonzalez (TCS 1985), the coreset/diverse-subset
+    * selector of Sener & Savarese (ICLR 2018): seed with the smallest
+    * id, then `k−1` times pick the point FARTHEST from its nearest
+    * already-chosen center (ties to smallest id), finally assign every
+    * point to its nearest center. Use it to pull a maximally-spread
+    * eval/labeling subset out of an embedded corpus — the opposite of
+    * [[semDedup]]'s redundancy removal. Output: `(vec_id, center_id,
+    * is_center)`, all integers (distances stay internal — float
+    * outputs don't gate).
+    *
+    * Shape for scale: ZERO shuffles. Each round is one broadcast-free
+    * scan — `_dmin` updates in place via `least(dmin, dist(x, newC))`
+    * with the new center inlined as a literal (k·dim doubles on the
+    * driver, bounded) — plus a `TakeOrderedAndProject(1)` reduction
+    * for the next center; the final assignment is the same map-side
+    * codegen'd argmin kernel k-means uses ([[NearestCentroid]] over a
+    * k-row broadcast codebook). Lineage grows one projection per
+    * round: fine for selection-sized k (≤ 64); reuse [[kmeansAssign]]
+    * when you want hundreds of cells instead of a spread subset.
+    * Distances are fixed-order double arithmetic (`dot(x,x) −
+    * 2·dot(x,c) + dot(c,c)`), so winners replay bit-exactly in any
+    * engine — the q155 oracle unrolls the rounds in DuckDB.
+    */
+  def kCenterAssign(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("x"))
+      .filter(col("x").isNotNull)
+    def distTo(cv: Seq[Double]): Column = {
+      val cl = typedLit(cv)
+      Vectors.dot(col("x"), col("x")) -
+        lit(2.0) * Vectors.dot(col("x"), cl) + lit(cv.map(v => v * v).sum)
+    }
+    val first = e.orderBy(col("vec_id")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("k-center needs >= 1 vector"))
+    var centers = List[(Long, Seq[Double])](
+      (first.getLong(0), first.getSeq[Double](1)))
+    var ds = e.withColumn("_dmin", distTo(centers.head._2))
+    var r = 1
+    while (r < k) {
+      val next = ds.orderBy(col("_dmin").desc, col("vec_id").asc)
+        .limit(1).select(col("vec_id"), col("x")).collect().head
+      centers = (next.getLong(0), next.getSeq[Double](1)) :: centers
+      ds = ds.withColumn("_dmin",
+        least(col("_dmin"), distTo(centers.head._2)))
+      r += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centers.reverse.toDF("cid", "cv")
+    val codebook = cents.agg(array_sort(
+      collect_list(struct(col("cid"), col("cv")))).as("_cl"))
+    val centerIds = centers.map(_._1)
+    e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"),
+        graft.functions.NearestCentroid.column(col("x"), col("_cl"))
+          .as("center_id"),
+        col("vec_id").isin(centerIds: _*).cast("int").as("is_center"))
+  }
 }

@@ -518,4 +518,27 @@ class RankClusterSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 1L, 0L, 0L)))
     assert(got(3L) == ((3L, 1L, 0L, 0L, 0L)))
   }
+
+  test("kCenterAssign: greedy farthest-point picks and assignment") {
+    val vecs = Seq(
+      (1L, Seq(0.0)), (2L, Seq(1.0)), (3L, Seq(10.0)),
+      (4L, Seq(11.0)), (5L, Seq(20.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterAssign(vecs, "embedding", "vec_id", 3)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // seed = id 1 ([0]); farthest = id 5 ([20], d=400);
+    // then id 3 ([10]: min(100,100)=100 beats [11]: min(121,81)=81)
+    assert(got(1L) == ((1L, 1L, 1)))
+    assert(got(2L) == ((2L, 1L, 0)))   // [1] -> [0]
+    assert(got(3L) == ((3L, 3L, 1)))
+    assert(got(4L) == ((4L, 3L, 0)))   // [11] -> [10]
+    assert(got(5L) == ((5L, 5L, 1)))
+    // equidistant farthest candidates tie to the SMALLEST id
+    val tie = Seq((1L, Seq(0.0)), (7L, Seq(5.0)), (4L, Seq(5.0)))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.kCenterAssign(tie, "embedding", "vec_id", 2)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(t(4L) == ((4L, 4L, 1)), s"tie must pick id 4: $t")
+    assert(t(7L)._2 == 4L) // identical vector assigns to center 4
+  }
 }
