@@ -1584,6 +1584,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Non-splitting pair packing: histogram two-pointer walk on the
+    // driver (O(distinct lengths)), two-level ranking + broadcast
+    // range-join assignment — every doc lands whole in one pack.
+    "q156_pack_pairs" -> ((s, dir) => {
+      TextOps.packPairs(ld(s, dir, "documents"), "text", "doc_id",
+          budget = 100)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Greedy k-center (farthest-point) coreset selection: seed min id,
     // then 3 farthest-point rounds, nearest-center assignment — the
     // diverse-subset selector (Gonzalez / Sener-Savarese).
@@ -3362,6 +3371,58 @@ object SparkEntry {
        |FROM c""".stripMargin
   }
 
+  /** q156 oracle: the two-pointer pair packing replayed from its
+    * PER-ITEM definition — `while i < j: pair (i, j) if fits else i
+    * alone` — as a single-row-state recursive CTE over the desc-rank
+    * position table. This is deliberately NOT the operator's run-batch
+    * histogram walk: the oracle checks the batched walk against the
+    * naive sequential semantics it claims to reproduce. Positions use
+    * the same two-level order (length desc, mix64 bucket, id).
+    * `r` MATERIALIZED is load-bearing: inlined, the rank window
+    * re-derives inside every recursion step (measured 3.6 s vs
+    * minutes at sf0.01).
+    */
+  private lazy val q156Oracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id,
+       |    CASE WHEN coalesce(len(trim(text)), 0) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |      END::BIGINT AS n_tokens,
+       |    ((${DuckHash.mix("doc_id::HUGEINT")}) % 1024) AS b
+       |  FROM documents),
+       |r AS MATERIALIZED (SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, b ASC, doc_id ASC
+       |      )::BIGINT AS pos
+       |  FROM t),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM r),
+       |walk AS (
+       |  SELECT 0::BIGINT AS i, 0::BIGINT AS p
+       |  UNION ALL
+       |  SELECT w.i + 1,
+       |    w.p + CASE WHEN rh.n_tokens + rt.n_tokens <= 100
+       |      THEN 1 ELSE 0 END
+       |  FROM walk w, nn, r rh, r rt
+       |  WHERE rh.pos = w.i + 1 AND rt.pos = nn.n - w.p
+       |    AND w.i + 1 < nn.n - w.p),
+       |wk AS (SELECT i, p, lag(p, 1, 0::BIGINT) OVER (ORDER BY i) AS pp
+       |  FROM walk WHERE i >= 1),
+       |mx AS (SELECT coalesce(max(p), 0)::BIGINT AS np,
+       |    coalesce(max(i), 0)::BIGINT AS li FROM wk),
+       |heads AS (SELECT i AS pos, p - 1 AS pack FROM wk WHERE p > pp),
+       |sing AS (SELECT i AS pos FROM wk WHERE p = pp
+       |  UNION ALL SELECT r.pos FROM r, mx, nn
+       |  WHERE r.pos > mx.li AND r.pos <= nn.n - mx.np),
+       |sidx AS (SELECT pos,
+       |    (row_number() OVER (ORDER BY pos) - 1)::BIGINT AS si
+       |  FROM sing),
+       |cls AS (SELECT pos, pack, 0 AS slot FROM heads
+       |  UNION ALL SELECT s.pos, m.np + s.si AS pack, 0 AS slot
+       |    FROM sidx s, mx m
+       |  UNION ALL SELECT r.pos, nn.n - r.pos AS pack, 1 AS slot
+       |    FROM r, nn, mx WHERE r.pos > nn.n - mx.np)
+       |SELECT r.doc_id, r.n_tokens, cls.pack::BIGINT AS pack_id,
+       |  cls.slot::INT AS slot
+       |FROM r JOIN cls USING (pos)""".stripMargin
+
   /** q155 oracle: greedy k-center unrolled — seed = min vec_id, three
     * farthest-point rounds (`dmin` carried via `least`), then the
     * nearest-center assignment with the (dist, cid) tie-break. Same
@@ -3861,6 +3922,7 @@ object SparkEntry {
     "q109_incremental_minhash" -> q109Oracle,
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
+    "q156_pack_pairs" -> q156Oracle,
 
     // script profile: block-range regex class counts, integer argmax
     // election (count*8 + alphabetical slot), permille mixing

@@ -1390,6 +1390,137 @@ object TextOps {
         pmod(col("_start"), lit(budget)).as("pack_offset"))
   }
 
+  /** The deterministic two-pointer pair walk over a DESC-sorted length
+    * histogram — the driver-side core of [[packPairs]]. Runs in
+    * O(distinct lengths): each iteration consumes a whole run batch
+    * (min of head/tail run remainders), exactly reproducing the
+    * per-item loop `while i < j: pair if fits else head advances
+    * alone`. Returns (pair-head segments `(lo, hi, packBase)`, single
+    * segments `(lo, hi, singleBase)`, nPairs) over GLOBAL positions
+    * 1..n; tail positions are always the last nPairs (consumed from
+    * `n` downward), so they need no segments — `pack = n − pos`.
+    */
+  private[operators] def pairWalk(hist: Array[(Long, Long)],
+      budget: Long): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)],
+        Long) = {
+    val len = hist.map(_._1)
+    val cnt = hist.map(_._2)
+    var hi = 0; var hoff = 0L
+    var ti = hist.length - 1; var toff = 0L
+    var headPos = 1L
+    var tailPos = cnt.sum
+    var pairs = 0L; var singles = 0L
+    val hs = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val ss = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var done = hist.isEmpty
+    while (!done && headPos <= tailPos) {
+      if (hi == ti) {
+        val m = cnt(hi) - hoff - toff
+        if (m > 0) {
+          if (2 * len(hi) <= budget) {
+            val p2 = m / 2
+            if (p2 > 0) { hs += ((headPos, headPos + p2 - 1, pairs)); pairs += p2 }
+            if (m % 2 == 1) { ss += ((headPos + p2, headPos + p2, singles)); singles += 1 }
+          } else { ss += ((headPos, tailPos, singles)); singles += m }
+        }
+        done = true
+      } else if (len(hi) + len(ti) <= budget) {
+        val c = math.min(cnt(hi) - hoff, cnt(ti) - toff)
+        hs += ((headPos, headPos + c - 1, pairs)); pairs += c
+        headPos += c; tailPos -= c
+        hoff += c; if (hoff == cnt(hi)) { hi += 1; hoff = 0 }
+        toff += c; if (toff == cnt(ti)) { ti -= 1; toff = 0 }
+      } else {
+        val c = cnt(hi) - hoff
+        ss += ((headPos, headPos + c - 1, singles)); singles += c
+        headPos += c; hi += 1; hoff = 0
+      }
+    }
+    (hs.toSeq, ss.toSeq, pairs)
+  }
+
+  /** NON-SPLITTING sequence packing, pack depth 2 — the
+    * largest-with-smallest two-pointer pairing (first-fit-decreasing
+    * pair tier; the depth-2 baseline of histogram packing à la Kosec
+    * et al., "Packing: Towards 2x NLP BERT Acceleration", 2021).
+    * Unlike [[packSequences]] (GPT-style greedy concat that SPLITS
+    * documents at pack boundaries), every document here lands whole in
+    * exactly one pack of token budget `budget`: lengths sort
+    * descending, the longest unpaired doc takes the shortest remaining
+    * doc iff they fit together, else it packs alone. Oversize docs
+    * (`n_tokens > budget`) pack alone by construction. Output:
+    * `(id, n_tokens, pack_id, slot)` — pair packs first (`slot` 0 =
+    * the long side, 1 = the short side), then singles; integers only.
+    *
+    * Shape for scale — histogram algorithm, distributive assignment:
+    * the ONLY driver state is the length histogram (bounded by
+    * distinct token counts, NOT corpus size) walked in O(distinct)
+    * run batches ([[pairWalk]]); documents never sort globally.
+    * Per-doc positions come from two-level ranking — `row_number`
+    * within `(length, mix64-bucket)` partitions (buckets bound every
+    * sort partition at 1/`buckets` of a length run — no hot partition
+    * for a viral length) plus driver/length-relation offsets — and
+    * packs attach via a broadcast range-join against the O(distinct)
+    * segment table. Two narrow-row shuffles total (count agg + rank),
+    * text never moves.
+    */
+  def packPairs(df: DataFrame, textCol: String, idCol: String,
+      budget: Long, buckets: Int = 1024): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val nTok = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
+      lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      nTok.as("n_tokens"),
+      pmod(graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")),
+        lit(buckets.toLong)).as("_b"))
+    // histogram: bounded by DISTINCT token counts (cap extreme doc
+    // lengths upstream if the corpus allows multi-million-token docs)
+    val hist = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("n_tokens").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    val (headSegs, singleSegs, nPairs) = pairWalk(hist, budget)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // run-start offsets per length (driver cumsum over the histogram)
+    val lenOff = {
+      var acc = 0L
+      hist.map { case (l, c) => val off = acc; acc += c; (l, off) }
+    }
+    val lenOffDf = lenOff.toSeq.toDF("n_tokens", "_lenoff")
+    // exclusive per-bucket offsets within each length (small relation)
+    val bCounts = base.groupBy(col("n_tokens"), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_tokens")).orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bOff = bCounts.withColumn("_boff",
+      coalesce(sum(col("_bc")).over(wB), lit(0L)))
+      .select(col("n_tokens"), col("_b"), col("_boff"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_tokens"), col("_b")).orderBy(col("id"))
+    val ranked = base
+      .join(broadcast(lenOffDf), Seq("n_tokens"))
+      .join(broadcast(bOff), Seq("n_tokens", "_b"))
+      .withColumn("_pos",
+        col("_lenoff") + col("_boff") + row_number().over(wR))
+    val segDf = (headSegs.map { case (lo, hi0, b) => (0, lo, hi0, b) } ++
+      singleSegs.map { case (lo, hi0, b) => (2, lo, hi0, b) })
+      .toDF("_kind", "_lo", "_hi", "_base")
+    ranked.join(broadcast(segDf),
+        col("_pos").between(col("_lo"), col("_hi")), "left")
+      .select(col("id"), col("n_tokens"),
+        when(col("_kind") === 0, col("_base") + (col("_pos") - col("_lo")))
+          .when(col("_kind") === 2,
+            lit(nPairs) + col("_base") + (col("_pos") - col("_lo")))
+          .otherwise(lit(n) - col("_pos")).as("pack_id"),
+        when(col("_kind").isNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("slot"))
+  }
+
   /** Chunk-level exact dedup statistics (CCNet-style): split each doc
     * into fixed `chunkWords`-word chunks, fingerprint each chunk, elect
     * the corpus-wide first occurrence (minimum `(id, chunk_idx)`) per

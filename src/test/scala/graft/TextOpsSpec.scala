@@ -178,6 +178,69 @@ class TextOpsSpec extends SparkSpec {
     assert(t == (("latin", 500L)))
   }
 
+  test("packPairs: hand fixture — longest pairs with shortest that fits") {
+    def doc(id: Long, len: Int) = (id, Seq.fill(len)("w").mkString(" "))
+    val df = Seq(doc(1, 9), doc(2, 7), doc(3, 5), doc(4, 3))
+      .toDF("doc_id", "text")
+    val got = TextOps.packPairs(df, "text", "doc_id", budget = 10,
+        buckets = 1)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // 9+3 > 10 -> 9 alone; 7+3 fits -> pair 0; 5 is the middle single
+    assert(got(2L) == ((2L, 7L, 0L, 0)))
+    assert(got(4L) == ((4L, 3L, 0L, 1)))
+    assert(got(1L) == ((1L, 9L, 1L, 0)))
+    assert(got(3L) == ((3L, 5L, 2L, 0)))
+  }
+
+  test("packPairs matches the per-item two-pointer reference") {
+    def refPack(lens: Seq[(Long, Long)], budget: Long)
+        : Map[Long, (Long, Long, Int)] = {
+      val sorted = lens.sortBy { case (id, l) => (-l, id) }.toArray
+      var i = 0; var j = sorted.length - 1
+      var pairs = 0L
+      val out = scala.collection.mutable.Map[Long, (Long, Long, Int)]()
+      val singles = scala.collection.mutable.ArrayBuffer[Int]()
+      while (i < j) {
+        if (sorted(i)._2 + sorted(j)._2 <= budget) {
+          out(sorted(i)._1) = (sorted(i)._2, pairs, 0)
+          out(sorted(j)._1) = (sorted(j)._2, pairs, 1)
+          pairs += 1; i += 1; j -= 1
+        } else { singles += i; i += 1 }
+      }
+      if (i == j && sorted.nonEmpty) singles += i
+      singles.zipWithIndex.foreach { case (p, k) =>
+        out(sorted(p)._1) = (sorted(p)._2, pairs + k, 0)
+      }
+      out.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 12) {
+      val n = 1 + rnd.nextInt(40)
+      val budget = 4 + rnd.nextInt(12)
+      val lens = (1L to n.toLong).map(id => (id, rnd.nextInt(13).toLong))
+      val df = lens.map { case (id, l) =>
+        (id, Seq.fill(l.toInt)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = TextOps.packPairs(df, "text", "doc_id", budget,
+          buckets = 1)
+        .as[(Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val exp = refPack(lens, budget)
+      assert(got == exp, s"trial=$trial n=$n budget=$budget lens=$lens")
+      // invariants: no non-oversize pack exceeds budget; pairs have
+      // slots {0,1}; every doc appears exactly once
+      val byPack = got.toSeq.groupBy(_._2._2)
+      byPack.foreach { case (pk, ms) =>
+        assert(ms.size <= 2)
+        if (ms.size == 2) {
+          assert(ms.map(_._2._3).toSet == Set(0, 1))
+          assert(ms.map(_._2._1).sum <= budget, s"pack $pk over budget")
+        }
+      }
+      assert(got.size == n)
+    }
+  }
+
   test("splitContamination catches a planted train->val 8-gram copy") {
     val splits = Seq(("train", 900), ("val", 50), ("test", 50))
     val ids = (0L until 400L).toDF("doc_id")
