@@ -263,6 +263,42 @@ object ScaleProbe {
         epochs = 2)
       graft.operators.Classifier.perceptronScore(docs, "text", "doc_id", m)
     }
+    // exact-copy replication: every selected fingerprint appears in N
+    // copies of its doc — the share-count aggregation's worst case
+    // (selection itself is in-row and scales linearly)
+    time("winnow")(TextOps.winnowStats(docs, "text", "doc_id"))
+    // replication multiplies every line fingerprint N× against a
+    // replicated history — every batch line is either history-blocked
+    // or election-deduped, the anti-join worst case
+    time("incr_line_dedup") {
+      val pages = docs.withColumn("text", concat_ws("\n",
+        lit("Home About Contact Products News Archive"), col("text"),
+        lit("copyright 2024 example site all rights reserved")))
+      TextOps.incrementalLineDedup(
+        pages.filter(col("doc_id") % 5 === 0),
+        TextOps.lineFingerprints(
+          pages.filter(col("doc_id") % 3 === 0), "text"),
+        "text", "doc_id")
+    }
+    // the histogram stays fixed-size under replication (same distinct
+    // lengths, counts ×N) — growth isolates the two-level ranking
+    // shuffle and the broadcast range-join
+    time("pack_pairs")(TextOps.packPairs(docs, "text", "doc_id",
+      budget = 100))
+    // stateless scan projection: growth is the pure codepoint-pass cost
+    time("script_profile")(TextOps.scriptProfile(docs, "text", "doc_id"))
+    // one scan agg + two uniqueness hash aggs; the dup-text groups grow
+    // N× under replication — the uniqueness re-aggregation worst case
+    time("validate") {
+      import graft.operators.Validate
+      Validate.check(docs, Seq(Validate.NotNull("text"),
+        Validate.Matches("lang", "^[a-z]{2}$"),
+        Validate.Unique("doc_id"), Validate.Unique("text")))
+    }
+    // k scans + k TakeOrdered(1) reductions; replication multiplies
+    // scan rows but the center set stays k — growth is pure scan cost
+    time("kcenter")(graft.operators.Similarity.kCenterAssign(
+      vecs, "embedding", "vec_id", k = 4))
     spark.stop()
   }
 }
