@@ -1584,6 +1584,20 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Referential-integrity suite over the TPC-H-ish tables: key-only
+    // anti-joins per foreign-key expectation; the filtered supplier
+    // reference plants real violations.
+    "q157_ref_integrity" -> ((s, dir) => {
+      import Validate._
+      Validate.check(ld(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        RefIntegrity("l_orderkey", ld(s, dir, "orders"), "o_orderkey"),
+        RefIntegrity("l_partkey", ld(s, dir, "part"), "p_partkey"),
+        RefIntegrity("l_suppkey",
+          ld(s, dir, "supplier").filter(col("s_suppkey") % 7 =!= 0),
+          "s_suppkey")))
+    }),
+
     // Non-splitting pair packing: histogram two-pointer walk on the
     // driver (O(distinct lengths)), two-level ranking + broadcast
     // range-join assignment — every doc lands whole in one pack.
@@ -3923,6 +3937,39 @@ object SparkEntry {
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
+
+    // referential integrity: key-only anti-join counts per expectation
+    "q157_ref_integrity" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem),
+        |s AS (SELECT sum((l_orderkey IS NULL)::INT)::BIGINT AS v0
+        |  FROM lineitem),
+        |r1 AS (SELECT count(*)::BIGINT AS v FROM
+        |  (SELECT l_orderkey AS k FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL) l
+        |  ANTI JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+        |  USING (k)),
+        |r2 AS (SELECT count(*)::BIGINT AS v FROM
+        |  (SELECT l_partkey AS k FROM lineitem
+        |    WHERE l_partkey IS NOT NULL) l
+        |  ANTI JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  USING (k)),
+        |r3 AS (SELECT count(*)::BIGINT AS v FROM
+        |  (SELECT l_suppkey AS k FROM lineitem
+        |    WHERE l_suppkey IS NOT NULL) l
+        |  ANTI JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier
+        |    WHERE s_suppkey % 7 <> 0) su
+        |  USING (k)),
+        |r AS (
+        |  SELECT 'not_null' AS "constraint", 'l_orderkey' AS "column",
+        |    n.n_rows, s.v0 AS n_violations FROM n, s
+        |  UNION ALL SELECT 'ref_integrity[o_orderkey]', 'l_orderkey',
+        |    n.n_rows, r1.v FROM n, r1
+        |  UNION ALL SELECT 'ref_integrity[p_partkey]', 'l_partkey',
+        |    n.n_rows, r2.v FROM n, r2
+        |  UNION ALL SELECT 'ref_integrity[s_suppkey]', 'l_suppkey',
+        |    n.n_rows, r3.v FROM n, r3)
+        |SELECT "constraint", "column", n_rows, n_violations,
+        |  (n_violations = 0)::INT AS pass FROM r""".stripMargin,
 
     // script profile: block-range regex class counts, integer argmax
     // election (count*8 + alphabetical slot), permille mixing

@@ -38,6 +38,13 @@ object Validate {
     */
   final case class Satisfies(name: String, predicate: String)
       extends Constraint
+  /** Referential integrity (the foreign-key expectation): every
+    * non-null value of `column` must exist in `ref`'s `refColumn`
+    * (null handling is [[NotNull]]'s job). One distinct-build +
+    * anti-join per constraint — both sides key-only, never wide rows.
+    */
+  final case class RefIntegrity(column: String, ref: DataFrame,
+      refColumn: String) extends Constraint
 
   private def labelOf(c: Constraint): (String, String, Option[Column]) =
     c match {
@@ -53,6 +60,8 @@ object Validate {
         (s"satisfies[$name]", "*",
           Some(!coalesce(expr(pred), lit(false))))
       case Unique(col0) => ("unique", col0, None)
+      case RefIntegrity(col0, _, refCol) =>
+        (s"ref_integrity[$refCol]", col0, None)
     }
 
   /** Run the suite: one row per constraint,
@@ -86,7 +95,16 @@ object Validate {
         .select(lit("unique").as("constraint"), lit(c).as("column"),
           col("n_rows"), col("n_violations"))
     }
-    (scalarRows.toSeq ++ uniqueRows)
+    val refRows = constraints.collect { case RefIntegrity(c, ref, rc) =>
+      df.select(col(c).as("_k")).filter(col("_k").isNotNull)
+        .join(ref.select(col(rc).as("_k")).distinct(), Seq("_k"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(one.select(col("_n").as("n_rows")))
+        .select(lit(s"ref_integrity[$rc]").as("constraint"),
+          lit(c).as("column"), col("n_rows"), col("n_violations"))
+    }
+    (scalarRows.toSeq ++ uniqueRows ++ refRows)
       .reduce(_ unionByName _)
       .select(col("constraint"), col("column"), col("n_rows"),
         col("n_violations"),

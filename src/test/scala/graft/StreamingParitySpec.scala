@@ -317,6 +317,29 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("script profile runs on a stream identically to batch") {
+    // one stateless codepoint-pass projection: the SAME operator call
+    // compiles onto a MemoryStream — the ingest-side confusable gate
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val incoming = Seq(
+      (1L, "plain latin text"), (2L, "привет spark мир"),
+      (3L, "数据 12345"), (4L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.scriptProfile(input.toDF().toDF("id", "text"),
+        "text", "id")
+      .writeStream.format("memory").queryName("par_script")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      val got = spark.table("par_script").collect().toSet
+      val exp = TextOps.scriptProfile(incoming.toDF("id", "text"),
+        "text", "id").collect().toSet
+      assert(got == exp && got.size == 4)
+    } finally q.stop()
+  }
+
   test("HTML main-text extraction runs on a stream identically to batch") {
     // since the zero-shuffle rewrite the whole operator is array HOFs
     // on one row — it compiles onto a stream with no state

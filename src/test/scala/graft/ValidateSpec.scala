@@ -36,6 +36,21 @@ class ValidateSpec extends SparkSpec {
       (("unique", "id", 5L, 2L, 0))) // both rows of the dup group
   }
 
+  test("check: referential integrity counts unmatched non-null keys") {
+    val fact = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (9L, "c"), (9L, "d"), (null, "e"))
+      .toDF("fk", "v")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Validate.check(fact, Seq(RefIntegrity("fk", dim, "pk")))
+      .as[(String, String, Long, Long, Int)].head()
+    // both fk=9 rows violate; the null fk does not (NotNull's job)
+    assert(got == (("ref_integrity[pk]", "fk", 5L, 2L, 0)))
+    val ok = Validate.check(fact.filter(col("fk") < 3),
+        Seq(RefIntegrity("fk", dim, "pk")))
+      .as[(String, String, Long, Long, Int)].head()
+    assert(ok == (("ref_integrity[pk]", "fk", 2L, 0L, 1)))
+  }
+
   test("check: all-green suite and null-excluded uniqueness") {
     val df = Seq((1L, "aa"), (2L, "bb")).toDF("id", "lang")
     val got = Validate.check(df, Seq(NotNull("id"), Unique("id")))
