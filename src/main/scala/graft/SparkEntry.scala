@@ -1584,6 +1584,42 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Nearest-direction as-of join with tolerance (the pandas
+    // merge_asof surface): closest view within ±60 s of each click,
+    // ties to backward, unmatched clicks kept with nulls.
+    "q158_asof_nearest" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_us"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_id"))
+      AsofJoin.asof(clicks, views, Seq("user_id"), "c_us", "ts_us",
+          Seq("view_id"), leftOuter = true, direction = "nearest",
+          tolerance = Some(60000000L))
+        .select(col("user_id"), col("click_id"),
+          col("asof_view_id").as("view_id"))
+    }),
+
+    // Interval-overlap join: click sessions ([ts, ts+2min]) against
+    // purchase windows ([ts-5min, ts]) across all users — bucketed to
+    // an exact equi-join with first-common-bucket dedup.
+    "q159_interval_overlap" -> ((s, dir) => {
+      val e = evts(s, dir)
+      val sessions = e.filter(col("event_type") === "click")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id").as("click_id"),
+          col("ts_us").as("a_lo"), (col("ts_us") + 120000000L).as("a_hi"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("ts_us") - 300000000L).as("b_lo"),
+          col("ts_us").as("b_hi"))
+      RangeJoin.intervalOverlap(sessions, windows, "a_lo", "a_hi",
+          "b_lo", "b_hi", bucketWidth = 300000000L)
+        .select(col("click_id"), col("purchase_id"))
+    }),
+
     // Referential-integrity suite over the TPC-H-ish tables: key-only
     // anti-joins per foreign-key expectation; the filtered supplier
     // reference plants real violations.
@@ -3937,6 +3973,36 @@ object SparkEntry {
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
+
+    // nearest as-of with tolerance: naive candidate join + rank by
+    // (distance, backward-first) — the independent O(pairs) definition
+    "q158_asof_nearest" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS v_us,
+        |    max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT c.user_id, c.click_id, v.view_id,
+        |    abs(v.v_us - c.c_us) AS d,
+        |    (CASE WHEN v.v_us > c.c_us THEN 1 ELSE 0 END) AS fwd
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |    AND abs(v.v_us - c.c_us) <= 60000000)
+        |SELECT user_id, click_id, view_id FROM j
+        |QUALIFY row_number() OVER (PARTITION BY user_id, click_id
+        |  ORDER BY d, fwd) = 1""".stripMargin,
+
+    // interval overlap: the naive nested-loop definition — the
+    // first-common-bucket dedup must reproduce it exactly
+    "q159_interval_overlap" ->
+      """WITH s AS (SELECT event_id AS click_id, epoch_us(ts) AS a_lo,
+        |    epoch_us(ts) + 120000000 AS a_hi
+        |  FROM events WHERE event_type = 'click' AND event_id % 7 = 0),
+        |w AS (SELECT event_id AS purchase_id,
+        |    epoch_us(ts) - 300000000 AS b_lo, epoch_us(ts) AS b_hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.click_id, w.purchase_id
+        |FROM s JOIN w ON s.a_lo <= w.b_hi AND w.b_lo <= s.a_hi""".stripMargin,
 
     // referential integrity: key-only anti-join counts per expectation
     "q157_ref_integrity" ->

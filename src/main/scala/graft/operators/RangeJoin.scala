@@ -33,4 +33,34 @@ object RangeJoin {
       .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop("_bk")
   }
+
+  /** Interval×interval OVERLAP join: every (left, right) pair whose
+    * closed intervals intersect (`aLo <= bHi AND bLo <= aHi`) — the
+    * sessions-vs-maintenance-windows / annotation-alignment join.
+    * Column names must not collide across the two inputs.
+    *
+    * Same bucketing idea as [[pointInInterval]], with the standard
+    * first-common-bucket trick replacing dedup: an overlapping pair
+    * shares every bucket its intersection covers, so the exact
+    * predicate additionally pins the pair to the FIRST bucket both
+    * intervals cover — `max(floor(aLo/W), floor(bLo/W))` — and each
+    * qualifying pair meets exactly once. One shuffle on the bucket
+    * key, no distinct, result identical to the naive nested loop.
+    * Replication factor per side is `span/bucketWidth + 1`; pick
+    * `bucketWidth` near the typical interval length.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val a = left.withColumn("_bk", explode(sequence(
+      floor(col(aLo) / bucketWidth), floor(col(aHi) / bucketWidth))))
+    val b = right.withColumn("_bk", explode(sequence(
+      floor(col(bLo) / bucketWidth), floor(col(bHi) / bucketWidth))))
+    a.join(b, Seq("_bk"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("_bk") === greatest(
+        floor(col(aLo) / bucketWidth), floor(col(bLo) / bucketWidth)))
+      .drop("_bk")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RangeJoin}
 
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +65,63 @@ class AsofJoinSpec extends SparkSpec {
       val bucketed = RangeJoin.pointInInterval(pts, ivs, "pt", "lo", "hi", w)
         .select("pid", "iid").as[(Long, Long)].collect().toSet
       assert(bucketed == naive, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("forward direction picks the earliest right row at or after") {
+    val got = AsofJoin.asof(trades, quotes, Seq("k"), "ts", "qts",
+        Seq("px"), direction = "forward")
+      .select("trade_id", "asof_px").as[(Long, Double)].collect().toMap
+    // trade@100 sees quote@100 (>= convention, forward side);
+    // trade@205 has NO later quote → dropped (inner)
+    assert(got == Map(10L -> 2.0))
+  }
+
+  test("nearest picks the closer side; exact ties go backward") {
+    val q = Seq((1L, 95L, 1.0), (1L, 102L, 2.0), (1L, 300L, 3.0))
+      .toDF("k", "qts", "px")
+    val got = AsofJoin.asof(trades, q, Seq("k"), "ts", "qts", Seq("px"),
+        direction = "nearest")
+      .select("trade_id", "asof_px").as[(Long, Double)].collect().toMap
+    // trade@100: backward d=5 (95) vs forward d=2 (102) → 2.0
+    // trade@205: backward d=103 (102) vs forward d=95 (300) → 3.0
+    assert(got == Map(10L -> 2.0, 11L -> 3.0))
+    val tie = Seq((1L, 95L, 1.0), (1L, 105L, 2.0)).toDF("k", "qts", "px")
+    val t = AsofJoin.asof(trades.filter($"trade_id" === 10L), tie,
+        Seq("k"), "ts", "qts", Seq("px"), direction = "nearest")
+      .select("asof_px").as[Double].head()
+    assert(t == 1.0, "equal distance must tie to backward")
+  }
+
+  test("tolerance drops matches farther than the bound") {
+    val got = AsofJoin.asof(trades, quotes, Seq("k"), "ts", "qts",
+        Seq("px"), leftOuter = true, direction = "backward",
+        tolerance = Some(4L))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    // trade@100 → quote@100 d=0 kept; trade@205 → quote@200 d=5 > 4 →
+    // null; k=2 unmatched
+    assert(got == Map(10L -> Some(2.0), 11L -> None, 20L -> None))
+  }
+
+  test("intervalOverlap equals the naive nested loop at any bucket width") {
+    val rnd = new scala.util.Random(11)
+    val as = (1L to 60L).map { i =>
+      val lo = rnd.nextInt(300).toLong; (i, lo, lo + rnd.nextInt(50))
+    }.toDF("aid", "a_lo", "a_hi")
+    val bs = (1L to 60L).map { i =>
+      val lo = rnd.nextInt(300).toLong; (i, lo, lo + rnd.nextInt(80))
+    }.toDF("bid", "b_lo", "b_hi")
+    val naive = as.join(bs, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(naive.length == naive.toSet.size)
+    for (w <- Seq(7L, 64L, 500L)) {
+      val bucketed = RangeJoin.intervalOverlap(as, bs, "a_lo", "a_hi",
+          "b_lo", "b_hi", w)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      // exactly-once: multiset equality, not just set equality
+      assert(bucketed.length == naive.length, s"w=$w duplicated pairs")
+      assert(bucketed.toSet == naive.toSet, s"w=$w diverged")
     }
   }
 }
