@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Hll, Text}
-import graft.operators.{Bpe, CorpusWriter, Dedup, HtmlOps, Pii, Similarity, TextOps, UrlOps}
+import graft.operators.{Bpe, CorpusWriter, Dedup, HtmlOps, Pii, Similarity, TextOps, UrlOps, Validate}
 
 /** The 100 TB training-data pipeline composed end-to-end from the
   * library's operators: exact dedup → quality filter → language filter
@@ -28,6 +28,29 @@ object TrainingDataPipeline {
 
     val raw = Tables.load(spark, sfDir, "documents")
     println(s"STAGE ingest          n=${raw.count()}")
+
+    // -1. ingest VALIDATION gate (Deequ pattern): the batch must pass
+    // its declared expectations before it touches the corpus — any
+    // pass=0 verdict on a hard constraint aborts the run here
+    val verdicts = Validate.check(raw, Seq(
+      Validate.NotNull("text"), Validate.NotNull("doc_id"),
+      Validate.Unique("doc_id"),
+      Validate.InRange("n_chars", 1L, 1000000L),
+      Validate.Satisfies("len_eq_n_chars", "length(text) = n_chars")))
+      .collect()
+    verdicts.foreach(v => println(
+      s"STAGE validate        ${v.getString(0)}(${v.getString(1)}) " +
+        s"violations=${v.getLong(3)} pass=${v.getInt(4)}"))
+    require(verdicts.forall(_.getInt(4) == 1),
+      "ingest batch failed its constraint suite — aborting")
+
+    // -0.5. script-mixing gate: content-derived script profile; docs
+    // whose letters mix scripts beyond 20% are confusable-spam or
+    // mojibake candidates (this synthetic corpus is clean — the gate
+    // drops nothing, which is itself the assertion)
+    val scripts = TextOps.scriptProfile(raw, "text", "doc_id")
+    val mixed = scripts.filter(col("mix_permille") > 200).count()
+    println(s"STAGE script_gate     mixed=$mixed of ${raw.count()}")
 
     // 0. HTML boilerplate extraction — the web pipeline's step 0: the
     // corpus is already clean text, so wrap each doc in a synthetic
@@ -295,6 +318,18 @@ object TrainingDataPipeline {
       "text", "uid", "lang", budget = 2048, shards = 4)
     println(s"STAGE materialize     train=${trainIds.count()} " +
       s"packs=${packs.select(col("pack_id")).distinct().count()}")
+
+    // 6.5. the EVAL split packs NON-SPLITTING (a val doc must land
+    // whole in one pack — truncating an eval prompt mid-document
+    // corrupts the benchmark): depth-2 histogram pairing
+    val valIds = splits.filter(col("split") === "val")
+      .select(col("id").cast("long").as("doc_id"))
+    val valPacks = TextOps.packPairs(
+      tempered.join(valIds, Seq("doc_id"), "left_semi"),
+      "text", "doc_id", budget = 2048)
+    val nValPacks = valPacks.select(col("pack_id")).distinct().count()
+    println(s"STAGE val_pack_pairs  docs=${valPacks.count()} " +
+      s"packs=$nValPacks")
 
     // 7. execute the layout: the split dirs and the packed train
     // stream land on disk as partitioned parquet (one shuffle each,

@@ -181,6 +181,11 @@ object ThroughputBench {
     val piiDps = driveDocs(in =>
       graft.operators.Pii.scrub(in.toDF(), "text", "doc_id"))
 
+    // script profile on a stream: one codepoint-pass kernel + integer
+    // election, zero shuffle — the ingest-side confusable gate
+    val scriptDps = driveDocs(in =>
+      graft.operators.TextOps.scriptProfile(in.toDF(), "text", "doc_id"))
+
     println(s"""{"metric":"streaming_throughput","unit":"events_per_sec",""" +
       s""""cores":$cpus,"n_events":${events.length},""" +
       s""""stateless":${statelessEps.round},""" +
@@ -200,7 +205,9 @@ object ThroughputBench {
       s""""bpe_token_ids_docs":${bpeIdsDps.round},""" +
       s""""bpe_token_ids_docs_per_core":${(bpeIdsDps / cpus).round},""" +
       s""""pii_scrub_docs":${piiDps.round},""" +
-      s""""pii_scrub_docs_per_core":${(piiDps / cpus).round}}""")
+      s""""pii_scrub_docs_per_core":${(piiDps / cpus).round},""" +
+      s""""script_profile_docs":${scriptDps.round},""" +
+      s""""script_profile_docs_per_core":${(scriptDps / cpus).round}}""")
     ss.stop()
   }
 }
