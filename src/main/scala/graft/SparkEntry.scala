@@ -1696,6 +1696,15 @@ object SparkEntry {
         threshold = 0.5, maxBucket = 0)
     }),
 
+    // MOSS overlap ranking: top doc pairs by shared winnowed
+    // fingerprints — fp-keyed self-join behind a bucket cap, ranked
+    // by overlap with full tie-break.
+    "q160_winnow_pairs" -> ((s, dir) => {
+      TextOps.winnowOverlapPairs(ld(s, dir, "documents"), "text",
+        "doc_id", k = 8, w = 4, minShared = 2, topK = 50,
+        maxBucket = 1000)
+    }),
+
     // Winnowing fingerprints (MOSS): in-row rightmost-min selection
     // over every-offset 8-gram hashes, 4-gram windows; cross-doc
     // shared-fingerprint counts.
@@ -4222,6 +4231,41 @@ object SparkEntry {
          |  coalesce(sh.n_shared_fp, 0)::BIGINT AS n_shared_fp
          |FROM ng LEFT JOIN per USING (doc_id)
          |LEFT JOIN sh USING (doc_id)""".stripMargin,
+
+    // MOSS pairs: q151's selection chain + bucket cap + fp self-join,
+    // ranked with the full (n_shared desc, id_a, id_b) tie-break
+    "q160_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(${DuckHash.norm("coalesce(text, '')")}, ' ')
+         |      AS ws
+         |  FROM documents),
+         |wh AS (SELECT doc_id,
+         |    list_transform(ws, wx -> ${DuckHash.polyHash("wx")}) AS whs
+         |  FROM t),
+         |g AS (SELECT doc_id, whs,
+         |    unnest(range(1, greatest(len(whs) - 7, 0) + 1)) AS off
+         |  FROM wh),
+         |f AS (SELECT doc_id, off,
+         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+         |      whs[off:off+7]),
+         |      (gh, gc) -> (31 * gh + gc) % ${DuckHash.uStr}) AS fp
+         |  FROM g),
+         |mk AS (SELECT doc_id, off,
+         |    min(fp * 4194304 + (4194304 - off)) OVER (
+         |      PARTITION BY doc_id ORDER BY off
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
+         |  FROM f QUALIFY off >= 4),
+         |sel AS (SELECT DISTINCT doc_id, key FROM mk),
+         |df2 AS (SELECT DISTINCT doc_id, key // 4194304 AS fp FROM sel),
+         |cap AS (SELECT fp FROM df2 GROUP BY fp
+         |  HAVING count(*) <= 1000),
+         |cf AS (SELECT df2.doc_id, df2.fp FROM df2 JOIN cap USING (fp)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT id_a, id_b, n_shared FROM pr
+         |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // the dedup EXECUTED: positions covered by the merged spans drop
     // (disjoint intervals by construction), survivors rebuild in order

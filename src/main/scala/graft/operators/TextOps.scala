@@ -1022,6 +1022,51 @@ object TextOps {
             .as("mix_permille"): _*)
   }
 
+  /** The MOSS ranking itself — top overlapping document pairs by
+    * shared WINNOWED fingerprints ([[winnowStats]]'s pair tier): docs
+    * sharing at least `minShared` selected fingerprints, ranked by
+    * overlap size, ties to `(id_a, id_b)`. This is the plagiarism /
+    * cross-source-copy report: `n_shared ≥ 2` with w=4, k=8 already
+    * implies substantial verbatim overlap (each shared fp witnesses an
+    * 8-word copy).
+    *
+    * Shape for scale: selection is the in-row kernel; the pair join is
+    * fingerprint-keyed with a `maxBucket` cap — a fingerprint selected
+    * by more than `maxBucket` docs (boilerplate that survived
+    * winnowing) is dropped before the self-join, bounding every
+    * bucket's pair contribution at maxBucket² exactly like the LSH
+    * banding caps. The final ranking is a `TakeOrderedAndProject`
+    * (per-task heap), never a full sort.
+    */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4, minShared: Long = 2, topK: Int = 100,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextKernelExprs.gramPolyHashes(
+          words(coalesce(col(textCol), lit(""))), k).as("_g"))
+      .withColumn("_offs",
+        graft.functions.TextKernelExprs.winnowOffsets(col("_g"), w))
+    val docFps = base.select(col("id"),
+      explode(array_distinct(transform(col("_offs"),
+        o => element_at(col("_g"), o)))).as("_fp"))
+    val capped =
+      if (maxBucket <= 0) docFps
+      else docFps.join(
+        docFps.groupBy(col("_fp")).agg(count(lit(1)).as("_nd"))
+          .filter(col("_nd") <= maxBucket).select(col("_fp")),
+        Seq("_fp"))
+    capped.select(col("_fp"), col("id").as("id_a"))
+      .join(capped.select(col("_fp"), col("id").as("id_b")), Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topK)
+  }
+
   /** The offline half of [[temperatureSample]]: the per-stratum
     * keep-rates per million as a plain map (≤ strata entries — a
     * bounded driver collect), for [[applySampleRates]] to apply

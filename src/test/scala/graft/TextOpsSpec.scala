@@ -241,6 +241,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowOverlapPairs ranks the heaviest verbatim copy first") {
+    val shared1 = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa"
+    val shared2 = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (1L, s"$shared1 tail a"),
+      (2L, s"head b $shared1"),        // big copy with 1
+      (3L, s"$shared2 closing c"),
+      (4L, s"opening d $shared2"),     // smaller copy with 3
+      (5L, "entirely unrelated words that overlap with nothing else"))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowOverlapPairs(docs, "text", "doc_id",
+        minShared = 1, topK = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.head._1 == 1L && got.head._2 == 2L,
+      s"16-word copy must rank first: ${got.toSeq}")
+    assert(got.map(p => (p._1, p._2)).contains((3L, 4L)),
+      s"11-word copy must appear: ${got.toSeq}")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // ranking is (n_shared desc): head pair shares at least as much
+    val byPair = got.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) >= byPair((3L, 4L)))
+  }
+
   test("splitContamination catches a planted train->val 8-gram copy") {
     val splits = Seq(("train", 900), ("val", 50), ("test", 50))
     val ids = (0L until 400L).toDF("doc_id")
