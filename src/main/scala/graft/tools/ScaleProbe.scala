@@ -299,6 +299,39 @@ object ScaleProbe {
     // scan rows but the center set stays k — growth is pure scan cost
     time("kcenter")(graft.operators.Similarity.kCenterAssign(
       vecs, "embedding", "vec_id", k = 4))
+    // exact-copy replication puts every winnowed fp in N copies of its
+    // doc: each fp bucket holds N× members — the capped self-join's
+    // worst case (pairs grow N² per bucket until the cap bites)
+    time("winnow_pairs")(TextOps.winnowOverlapPairs(docs, "text",
+      "doc_id", minShared = 2, topK = 100, maxBucket = 1000))
+    // nearest as-of: replication multiplies per-user rows on BOTH
+    // sides of the union — the window sort per key grows N×
+    time("asof_nearest") {
+      val clicks = eventsTs.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_us"))
+      val views = eventsTs.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.AsofJoin.asof(clicks, views, Seq("user_id"),
+        "c_us", "ts_us", Seq("n"), leftOuter = true,
+        direction = "nearest", tolerance = Some(60000000L))
+    }
+    // interval overlap: replication multiplies BOTH interval sides;
+    // overlapping-window density per bucket grows N² — the bucketed
+    // join's worst case (the exact predicate prunes after the join)
+    time("interval_overlap") {
+      val sessions = eventsTs.filter(col("event_type") === "click")
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id").as("a_id"), col("ts_us").as("a_lo"),
+          (col("ts_us") + 120000000L).as("a_hi"))
+      val windows = eventsTs.filter(col("event_type") === "purchase")
+        .filter(col("user_id") % 11 === 0)
+        .select(col("user_id").as("b_id"),
+          (col("ts_us") - 300000000L).as("b_lo"),
+          col("ts_us").as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(sessions, windows,
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 300000000L)
+    }
     spark.stop()
   }
 }
