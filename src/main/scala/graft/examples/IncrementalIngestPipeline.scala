@@ -43,6 +43,8 @@ object IncrementalIngestPipeline {
       .write.mode("overwrite").parquet(s"$histDir/sig")
     TextOps.substringFingerprints(batch1, "text", k = 8)
       .write.mode("overwrite").parquet(s"$histDir/gram")
+    TextOps.lineFingerprints(batch1, "text")
+      .write.mode("overwrite").parquet(s"$histDir/line")
     val histBytes = graft.operators.CorpusWriter
       .layoutStats(spark, histDir)
       .agg(sum(col("n_bytes"))).collect()(0).getLong(0)
@@ -61,8 +63,13 @@ object IncrementalIngestPipeline {
       spark.read.parquet(s"$histDir/gram"), "text", "doc_id", k = 8)
     val subDupGrams = sub.agg(sum(col("n_dup_grams")))
       .collect()(0).getLong(0)
+    val lines = TextOps.incrementalLineDedup(batch2,
+      spark.read.parquet(s"$histDir/line"), "text", "doc_id")
+    val droppedLines = lines.agg(sum(col("n_dropped")))
+      .collect()(0).getLong(0)
     println(s"STAGE day2_dedup      exact_dupes=$exactDupes " +
-      s"near_dupes=$nearDupes substring_dup_grams=$subDupGrams")
+      s"near_dupes=$nearDupes substring_dup_grams=$subDupGrams " +
+      s"dropped_lines=$droppedLines")
 
     // the kept slice appends its artifacts (append mode — history only
     // ever grows by new unique content)
@@ -73,6 +80,12 @@ object IncrementalIngestPipeline {
       .distinct().write.mode("append").parquet(s"$histDir/fp")
     TextOps.substringFingerprints(kept2, "text", k = 8)
       .write.mode("append").parquet(s"$histDir/gram")
+    // line tier appends the DEDUPED batch text's fingerprints (the
+    // surviving lines are what the corpus now contains)
+    TextOps.lineFingerprints(
+        lines.select(col("id").as("doc_id"),
+          col("text_dedup").as("text")), "text")
+      .write.mode("append").parquet(s"$histDir/line")
     println(s"STAGE day2_append     kept=${kept2.count()}")
 
     // invariant: re-running batch 2 against the APPENDED history flags
@@ -88,6 +101,21 @@ object IncrementalIngestPipeline {
       s"substring_unflagged=$unflagged")
     require(stillNew == 0, s"append invariant broken: $stillNew new")
     require(unflagged == 0, s"substring invariant broken: $unflagged")
+    // line-tier invariant: re-running the batch against the appended
+    // line history drops every competing line (only sub-minChars
+    // structural lines survive)
+    val lineRerun = TextOps.incrementalLineDedup(batch2,
+      spark.read.parquet(s"$histDir/line"), "text", "doc_id")
+    val competing = lineRerun.agg(sum(col("n_dropped")))
+      .collect()(0).getLong(0)
+    val survivors = TextOps.lineFingerprints(
+        lineRerun.select(col("id").as("doc_id"),
+          col("text_dedup").as("text")), "text")
+      .count()
+    println(s"STAGE line_invariant  redropped=$competing " +
+      s"surviving_competing_lines=$survivors")
+    require(survivors == 0,
+      s"line invariant broken: $survivors competing lines survived")
 
     println("PIPELINE-DONE")
     spark.stop()
