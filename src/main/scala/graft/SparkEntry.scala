@@ -1584,6 +1584,20 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Dataset-level metric expectations (Deequ aggregate checks): the
+    // whole corpus passes or violates each declared metric band; the
+    // max-chars cap is deliberately tight enough to fail.
+    "q161_validate_metrics" -> ((s, dir) => {
+      import Validate._
+      Validate.check(ld(s, dir, "documents"), Seq(
+        AggSatisfies("avg_chars_band", "avg(n_chars)",
+          "_metric BETWEEN 100 AND 400"),
+        AggSatisfies("lang_cardinality", "count(DISTINCT lang)",
+          "_metric = 5"),
+        AggSatisfies("max_chars_cap", "max(n_chars)", "_metric <= 500"),
+        NotNull("text")))
+    }),
+
     // Nearest-direction as-of join with tolerance (the pandas
     // merge_asof surface): closest view within ±60 s of each click,
     // ties to backward, unmatched clicks kept with nulls.
@@ -3982,6 +3996,29 @@ object SparkEntry {
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
+
+    // dataset-level metrics: one agg computes every metric; each
+    // predicate evaluates over its value, NULL = violation
+    "q161_validate_metrics" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents),
+        |m AS (SELECT avg(n_chars) AS m0,
+        |    count(DISTINCT lang) AS m1, max(n_chars) AS m2,
+        |    sum((text IS NULL)::INT)::BIGINT AS v0
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'not_null' AS "constraint", 'text' AS "column",
+        |    n.n_rows, m.v0 AS n_violations FROM n, m
+        |  UNION ALL SELECT 'agg[avg_chars_band]', '*', n.n_rows,
+        |    (CASE WHEN coalesce(m.m0 BETWEEN 100 AND 400, false)
+        |      THEN 0 ELSE 1 END)::BIGINT FROM n, m
+        |  UNION ALL SELECT 'agg[lang_cardinality]', '*', n.n_rows,
+        |    (CASE WHEN coalesce(m.m1 = 5, false)
+        |      THEN 0 ELSE 1 END)::BIGINT FROM n, m
+        |  UNION ALL SELECT 'agg[max_chars_cap]', '*', n.n_rows,
+        |    (CASE WHEN coalesce(m.m2 <= 500, false)
+        |      THEN 0 ELSE 1 END)::BIGINT FROM n, m)
+        |SELECT "constraint", "column", n_rows, n_violations,
+        |  (n_violations = 0)::INT AS pass FROM r""".stripMargin,
 
     // nearest as-of with tolerance: naive candidate join + rank by
     // (distance, backward-first) — the independent O(pairs) definition

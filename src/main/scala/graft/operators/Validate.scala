@@ -45,6 +45,17 @@ object Validate {
     */
   final case class RefIntegrity(column: String, ref: DataFrame,
       refColumn: String) extends Constraint
+  /** Dataset-level metric expectation (Deequ's aggregate checks):
+    * `metricExpr` is a SQL aggregate evaluated over the whole frame,
+    * `predicate` a SQL boolean over its value bound as `_metric`
+    * (e.g. `"avg(n_chars)"` with `"_metric BETWEEN 100 AND 400"`).
+    * The whole DATASET either passes or violates (`n_violations` is
+    * 0 or 1); a NULL metric or predicate counts as a violation. All
+    * metric constraints fold into the same single scan aggregation
+    * the scalar constraints use.
+    */
+  final case class AggSatisfies(name: String, metricExpr: String,
+      predicate: String) extends Constraint
 
   private def labelOf(c: Constraint): (String, String, Option[Column]) =
     c match {
@@ -62,6 +73,7 @@ object Validate {
       case Unique(col0) => ("unique", col0, None)
       case RefIntegrity(col0, _, refCol) =>
         (s"ref_integrity[$refCol]", col0, None)
+      case AggSatisfies(name, _, _) => (s"agg[$name]", "*", None)
     }
 
   /** Run the suite: one row per constraint,
@@ -71,13 +83,25 @@ object Validate {
     */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "constraint suite must be non-empty")
+    val spark = df.sparkSession
     val labeled = constraints.map(labelOf)
     val scalar = labeled.collect { case (l, c, Some(v)) => (l, c, v) }
+    val aggc = constraints.collect { case a: AggSatisfies => a }
     val aggs = count(lit(1)).cast("long").as("_n") +:
-      scalar.zipWithIndex.map { case ((_, _, v), i) =>
+      (scalar.zipWithIndex.map { case ((_, _, v), i) =>
         sum(v.cast("long")).as(s"_v$i")
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+      } ++ aggc.zipWithIndex.map { case (a, i) =>
+        expr(a.metricExpr).as(s"_m$i")
+      })
+    // ONE scan computes every scalar violation sum AND every metric;
+    // the single result row collects (bounded) and rebuilds as a
+    // literal frame, so the unique/ref branches below never re-run
+    // the base aggregation
+    val oneScan = df.agg(aggs.head, aggs.tail: _*)
+    val collected = oneScan.collect().head
+    val nRows = collected.getLong(0)
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(collected), oneScan.schema)
     val scalarRows =
       if (scalar.isEmpty) None
       else Some(one.select(explode(array(
@@ -86,25 +110,33 @@ object Validate {
             col("_n").as("n_rows"),
             coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
         }: _*)).as("_r")).select(col("_r.*")))
+    // each metric evaluates its predicate with the value bound as
+    // `_metric`; NULL metric or predicate = the dataset violates
+    val aggRows = aggc.zipWithIndex.map { case (a, i) =>
+      one.select(col(s"_m$i").as("_metric"))
+        .select(lit(s"agg[${a.name}]").as("constraint"),
+          lit("*").as("column"), lit(nRows).as("n_rows"),
+          when(coalesce(expr(a.predicate), lit(false)), lit(0L))
+            .otherwise(lit(1L)).as("n_violations"))
+    }
     val uniqueRows = labeled.collect { case ("unique", c, None) =>
       df.filter(col(c).isNotNull)
         .groupBy(col(c)).agg(count(lit(1)).as("_c"))
         .filter(col("_c") > 1)
         .agg(coalesce(sum(col("_c")), lit(0L)).as("n_violations"))
-        .crossJoin(one.select(col("_n").as("n_rows")))
         .select(lit("unique").as("constraint"), lit(c).as("column"),
-          col("n_rows"), col("n_violations"))
+          lit(nRows).as("n_rows"), col("n_violations"))
     }
     val refRows = constraints.collect { case RefIntegrity(c, ref, rc) =>
       df.select(col(c).as("_k")).filter(col("_k").isNotNull)
         .join(ref.select(col(rc).as("_k")).distinct(), Seq("_k"),
           "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-        .crossJoin(one.select(col("_n").as("n_rows")))
         .select(lit(s"ref_integrity[$rc]").as("constraint"),
-          lit(c).as("column"), col("n_rows"), col("n_violations"))
+          lit(c).as("column"), lit(nRows).as("n_rows"),
+          col("n_violations"))
     }
-    (scalarRows.toSeq ++ uniqueRows ++ refRows)
+    (scalarRows.toSeq ++ aggRows ++ uniqueRows ++ refRows)
       .reduce(_ unionByName _)
       .select(col("constraint"), col("column"), col("n_rows"),
         col("n_violations"),

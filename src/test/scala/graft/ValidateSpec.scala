@@ -51,6 +51,22 @@ class ValidateSpec extends SparkSpec {
     assert(ok == (("ref_integrity[pk]", "fk", 2L, 0L, 1)))
   }
 
+  test("check: dataset-level metric expectations pass and fail") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "n")
+    val got = Validate.check(df, Seq(
+        AggSatisfies("avg_band", "avg(n)", "_metric BETWEEN 15 AND 25"),
+        AggSatisfies("max_cap", "max(n)", "_metric <= 25"),
+        AggSatisfies("null_metric", "max(CASE WHEN n > 99 THEN n END)",
+          "_metric > 0")))
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("agg[avg_band]") == (("agg[avg_band]", "*", 3L, 0L, 1)))
+    assert(got("agg[max_cap]") == (("agg[max_cap]", "*", 3L, 1L, 0)))
+    // a NULL metric can never satisfy its predicate
+    assert(got("agg[null_metric]") ==
+      (("agg[null_metric]", "*", 3L, 1L, 0)))
+  }
+
   test("check: all-green suite and null-excluded uniqueness") {
     val df = Seq((1L, "aa"), (2L, "bb")).toDF("id", "lang")
     val got = Validate.check(df, Seq(NotNull("id"), Unique("id")))
