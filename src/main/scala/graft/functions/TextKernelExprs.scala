@@ -32,6 +32,39 @@ object TextKernelExprs {
     UnsafeArrayData.fromPrimitiveArray(
       Hashing.shingleHashes(t.toString, k))
 
+  /** Max exact-duplicate token count in one O(n) hashed pass — the
+    * `top_word_count` repetition signal without the O(distinct·n)
+    * nested-filter HOF (which evaluates INTERPRETED per element).
+    */
+  def topTokenCountEval(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    if (n == 0) return 0L
+    val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = m.merge(t, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  /** Count of tokens belonging to a reference set (stopword counting)
+    * in one O(n) pass against a memoized hash set.
+    */
+  def tokenSetCountEval(toks: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = toks.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (set.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Unicode script-class histogram — one O(n) codepoint pass. Slots
     * (alphabetical for the 7 letter scripts, so slot index doubles as
     * the deterministic tie-break rank): 0 arabic [U+0600–U+06FF],
@@ -353,6 +386,14 @@ object TextKernelExprs {
   def scriptCounts(text: Column): Column =
     GraftSqlBridge.column(
       ScriptCounts(GraftSqlBridge.expression(text)))
+
+  def topTokenCount(toks: Column): Column =
+    GraftSqlBridge.column(
+      TopTokenCount(GraftSqlBridge.expression(toks)))
+
+  def tokenSetCount(toks: Column, set: Seq[String]): Column =
+    GraftSqlBridge.column(
+      TokenSetCount(GraftSqlBridge.expression(toks), set))
 
   def polyHash(text: Column): Column =
     GraftSqlBridge.column(PolyHash64(GraftSqlBridge.expression(text)))
@@ -825,6 +866,56 @@ case class NgramHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernelExprs.ngramEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Max exact-duplicate token count —
+  * [[TextKernelExprs.topTokenCountEval]], one hashed pass per row.
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.topTokenCountEval(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.topTokenCountEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
+/** Count of tokens in a fixed reference set (stopword counter) —
+  * [[TextKernelExprs.tokenSetCountEval]]; the set memoizes once per
+  * expression instance and rides into codegen as a reference object.
+  * Seq (not Array) param for structural equality.
+  */
+case class TokenSetCount(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  private lazy val hashSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.length * 2)
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernelExprs.tokenSetCountEval(input.asInstanceOf[ArrayData], hashSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("tokenSet", hashSet,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernelExprs.tokenSetCountEval($c, $sRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
     copy(child = newChild)
 }
 

@@ -500,28 +500,32 @@ object TextOps {
     * stopword count, top-word occurrence count (all per-mille gates by
     * integer cross-multiply).
     *
-    * Shape for scale: everything is array HOFs on the row — ZERO
-    * shuffle, stream-capable. The top-word count is O(distinct·n) per
-    * doc — fine at document sizes; documents are not gigabytes.
+    * Shape for scale: one scan-side projection — ZERO shuffle,
+    * stream-capable. Tokens materialize ONCE per row (the split would
+    * otherwise re-run inside every consumer), and the top-word /
+    * stopword counts are codegen'd O(n) hashed kernels
+    * ([[graft.functions.TextKernelExprs.topTokenCount]] /
+    * `tokenSetCount`) — the original nested-filter HOF form evaluated
+    * INTERPRETED at O(distinct·n) per doc and cost 2.4× more end to
+    * end (matched sparse A/B on q136: 5.39 s → 2.29 s at sf0.1).
     */
   def qualityGate(df: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 30, maxTokens: Int = 100000,
       minStopPerMille: Int = 20, maxTopPerMille: Int = 150): DataFrame = {
     val t = col(textCol)
-    val ws = words(t)
-    val nt = when(coalesce(length(trim(t)), lit(0)) === 0, lit(0L))
-      .otherwise(size(ws).cast("long"))
-    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
-    val top = when(nt === 0, lit(0L))
-      .otherwise(array_max(transform(array_distinct(ws),
-        w => size(filter(ws, x => x === w)))).cast("long"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      when(coalesce(length(trim(t)), lit(0)) === 0,
+        array().cast("array<string>")).otherwise(words(t)).as("_ws"))
+    val nt = size(col("_ws")).cast("long")
+    val nStop = graft.functions.TextKernelExprs
+      .tokenSetCount(col("_ws"), stopwords)
+    val top = graft.functions.TextKernelExprs.topTokenCount(col("_ws"))
     val reason = when(nt < minTokens, "too_short")
       .when(nt > maxTokens, "too_long")
       .when(nStop * 1000 < nt * minStopPerMille, "low_stopword")
       .when(top * 1000 > nt * maxTopPerMille, "repetitive")
       .otherwise("ok")
-    df.select(col(idCol).cast("long").as("id"), nt.as("n_tokens"),
-        when(nt === 0, lit(0L)).otherwise(nStop).as("n_stop"),
+    base.select(col("id"), nt.as("n_tokens"), nStop.as("n_stop"),
         top.as("top_word_count"), reason.as("reason"))
       .withColumn("kept", (col("reason") === "ok").cast("int"))
   }
