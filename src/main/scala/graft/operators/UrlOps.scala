@@ -124,14 +124,18 @@ object UrlOps {
     require(minKeptPerMille >= 0 && minKeptPerMille <= 1000,
       s"minKeptPerMille must be in [0, 1000], got $minKeptPerMille")
     val t = col(textCol)
-    val ws = TextOps.words(t)
-    val nt = when(coalesce(length(trim(t)), lit(0)) === 0, lit(0L))
-      .otherwise(size(ws).cast("long"))
-    val nStop = size(filter(ws,
-      w => w.isin(TextOps.stopwords: _*))).cast("long")
+    // tokens materialize once; the stopword count is the codegen'd
+    // set-membership kernel, not an interpreted per-element isin HOF
+    val base = df.select(col(urlCol).as("_url"),
+      when(coalesce(length(trim(t)), lit(0)) === 0,
+        array().cast("array<string>"))
+        .otherwise(TextOps.words(t)).as("_ws"))
+    val nt = size(col("_ws")).cast("long")
+    val nStop = graft.functions.TextKernelExprs
+      .tokenSetCount(col("_ws"), TextOps.stopwords)
     val kept = (nt >= minTokens &&
       nStop * 1000 >= nt * minStopPerMille).cast("long")
-    df.select(domainOf(col(urlCol)).as("domain"), kept.as("_k"))
+    base.select(domainOf(col("_url")).as("domain"), kept.as("_k"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_k")).as("n_kept"))
       .select(col("domain"), col("n_docs"), col("n_kept"),
