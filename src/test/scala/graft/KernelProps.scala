@@ -138,4 +138,63 @@ object KernelProps extends Properties("Kernels") {
       TextKernelExprs.dsirBucketsEval(arr, b).toLongArray()
         .sorted.toSeq == grams.map(bucket).sorted
     }
+
+  private val genTokens: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee", "the", "of"))
+
+  property("topTokenCountEval equals the naive max duplicate count") =
+    forAll(genTokens) { toks =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(toks.map(utf8).toArray)
+      val expect =
+        if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      TextKernelExprs.topTokenCountEval(arr) == expect
+    }
+
+  property("tokenSetCountEval equals the naive membership count") =
+    forAll(genTokens) { toks =>
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      Seq("the", "of", "a").foreach(w => set.add(utf8(w)))
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(toks.map(utf8).toArray)
+      TextKernelExprs.tokenSetCountEval(arr, set) ==
+        toks.count(Set("the", "of", "a")).toLong
+    }
+
+  property("winnowOffsetsEval equals brute rightmost-min (tie-heavy)") =
+    forAll(Gen.listOf(Gen.choose(-2L, 2L)), Gen.choose(1, 6)) { (fps0, w) =>
+      val fps = fps0.toArray
+      val arr = UnsafeArrayData.fromPrimitiveArray(fps)
+      val got = TextKernelExprs.winnowOffsetsEval(arr, w)
+        .toIntArray().toSeq
+      val expect =
+        if (fps.length < w) Seq.empty[Int]
+        else (w to fps.length).map { e =>
+          var best = e - w
+          var i = e - w + 1
+          while (i < e) {
+            if (java.lang.Long.compareUnsigned(fps(i), fps(best)) <= 0)
+              best = i
+            i += 1
+          }
+          best + 1
+        }.distinct
+      got == expect
+    }
+
+  property("scriptCountsEval partitions every non-whitespace codepoint") =
+    forAll(Gen.listOf(Gen.oneOf(
+        Gen.alphaChar, Gen.numChar, Gen.const(' '),
+        Gen.choose('Ѐ', 'ӿ'), Gen.choose('一', '丯'),
+        Gen.const('!'), Gen.const('×')))) { chars =>
+      val s = chars.mkString
+      val c = TextKernelExprs.scriptCountsEval(utf8(s)).toLongArray()
+      val nonWs = s.count(ch => ch != ' ' && ch != '\t' && ch != '\n' &&
+        ch != '\r')
+      c.sum == nonWs &&
+        c(1) == s.count(ch => ch >= 'Ѐ' && ch <= 'ӿ') &&
+        c(3) == s.count(ch => ch >= '一' && ch <= '丯') &&
+        c(7) == s.count(_.isDigit)
+    }
 }
