@@ -299,6 +299,9 @@ object ScaleProbe {
     // scan rows but the center set stays k — growth is pure scan cost
     time("kcenter")(graft.operators.Similarity.kCenterAssign(
       vecs, "embedding", "vec_id", k = 4))
+    // stateless scan projection since the hashed-kernel rewrite:
+    // growth is the pure tokenize + O(n) counting cost
+    time("quality_gate")(TextOps.qualityGate(docs, "text", "doc_id"))
     // exact-copy replication puts every winnowed fp in N copies of its
     // doc: each fp bucket holds N× members — the capped self-join's
     // worst case (pairs grow N² per bucket until the cap bites)
