@@ -1584,6 +1584,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Exact numeric column profile (the Deequ profiler tier): one scan
+    // for nulls/min/max/sum, one hash agg per distinct count.
+    "q162_profile" -> ((s, dir) => {
+      Validate.profile(ld(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    }),
+
     // Dataset-level metric expectations (Deequ aggregate checks): the
     // whole corpus passes or violates each declared metric band; the
     // max-chars cap is deliberately tight enough to fail.
@@ -3996,6 +4003,28 @@ object SparkEntry {
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
+
+    // numeric column profile: per-column exact BIGINT stats
+    "q162_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+        |  sum((l_orderkey IS NULL)::INT)::BIGINT AS n_null,
+        |  count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+        |  min(l_orderkey)::BIGINT AS "min",
+        |  max(l_orderkey)::BIGINT AS "max",
+        |  sum(l_orderkey)::BIGINT AS "sum" FROM lineitem
+        |UNION ALL SELECT 'l_partkey', count(*)::BIGINT,
+        |  sum((l_partkey IS NULL)::INT)::BIGINT,
+        |  count(DISTINCT l_partkey)::BIGINT, min(l_partkey)::BIGINT,
+        |  max(l_partkey)::BIGINT, sum(l_partkey)::BIGINT FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', count(*)::BIGINT,
+        |  sum((l_suppkey IS NULL)::INT)::BIGINT,
+        |  count(DISTINCT l_suppkey)::BIGINT, min(l_suppkey)::BIGINT,
+        |  max(l_suppkey)::BIGINT, sum(l_suppkey)::BIGINT FROM lineitem
+        |UNION ALL SELECT 'l_linenumber', count(*)::BIGINT,
+        |  sum((l_linenumber IS NULL)::INT)::BIGINT,
+        |  count(DISTINCT l_linenumber)::BIGINT,
+        |  min(l_linenumber)::BIGINT, max(l_linenumber)::BIGINT,
+        |  sum(l_linenumber)::BIGINT FROM lineitem""".stripMargin,
 
     // dataset-level metrics: one agg computes every metric; each
     // predicate evaluates over its value, NULL = violation

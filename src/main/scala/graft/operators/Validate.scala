@@ -76,6 +76,40 @@ object Validate {
       case AggSatisfies(name, _, _) => (s"agg[$name]", "*", None)
     }
 
+  /** Exact numeric column profile (the Deequ profiler tier that feeds
+    * constraint suggestion): one row per column with
+    * `(column, n_rows, n_null, n_distinct, min, max, sum)` — every
+    * stat an exact BIGINT (columns cast to long; the gate never hashes
+    * floats). Null-only columns report NULL min/max/sum.
+    *
+    * Shape for scale: nulls/min/max/sum for ALL columns fold into ONE
+    * scan aggregation (collected as a single bounded row); each
+    * distinct count is its own hash aggregation on the narrow column —
+    * the same per-column shuffle [[Unique]] pays, map-side partials
+    * bounding the exchange by distinct values per partition.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).cast("long").as("_n") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(col(c).isNull.cast("long")).as(s"_nu$i"),
+        min(col(c).cast("long")).as(s"_mn$i"),
+        max(col(c).cast("long")).as(s"_mx$i"),
+        sum(col(c).cast("long")).as(s"_sm$i"))
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val nRows = row.getLong(0)
+    def litOpt(idx: Int): Column =
+      if (row.isNullAt(idx)) lit(null).cast("long") else lit(row.getLong(idx))
+    cols.zipWithIndex.map { case (c, i) =>
+      df.agg(countDistinct(col(c)).cast("long").as("n_distinct"))
+        .select(lit(c).as("column"), lit(nRows).as("n_rows"),
+          lit(row.getLong(1 + 4 * i)).as("n_null"), col("n_distinct"),
+          litOpt(2 + 4 * i).as("min"), litOpt(3 + 4 * i).as("max"),
+          litOpt(4 + 4 * i).as("sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Run the suite: one row per constraint,
     * `(constraint, column, n_rows, n_violations, pass)` — all counts
     * exact, `pass` an int flag. Constraints on missing columns fail at

@@ -67,6 +67,18 @@ class ValidateSpec extends SparkSpec {
       (("agg[null_metric]", "*", 3L, 1L, 0)))
   }
 
+  test("profile: exact per-column stats including null-only columns") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (2L, null), (2L, null))
+      .toDF("a", "b")
+    val got = Validate.profile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(got("a") ==
+      (("a", 3L, 0L, 2L, Some(1L), Some(2L), Some(5L))))
+    assert(got("b") == (("b", 3L, 3L, 0L, None, None, None)))
+  }
+
   test("check: all-green suite and null-excluded uniqueness") {
     val df = Seq((1L, "aa"), (2L, "bb")).toDF("id", "lang")
     val got = Validate.check(df, Seq(NotNull("id"), Unique("id")))
