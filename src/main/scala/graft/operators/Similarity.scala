@@ -956,6 +956,11 @@ object Similarity {
     * Distances are fixed-order double arithmetic (`dot(x,x) −
     * 2·dot(x,c) + dot(c,c)`), so winners replay bit-exactly in any
     * engine — the q155 oracle unrolls the rounds in DuckDB.
+    *
+    * Contract: `k` should not exceed the number of DISTINCT vectors —
+    * once every point is at distance 0 from a chosen center, further
+    * rounds re-pick an existing point and the center set stops
+    * growing meaningfully (deterministic, but not k distinct centers).
     */
   def kCenterAssign(df: DataFrame, vecCol: String, idCol: String,
       k: Int): DataFrame = {

@@ -1512,6 +1512,14 @@ object TextOps {
     * packs attach via a broadcast range-join against the O(distinct)
     * segment table. Two narrow-row shuffles total (count agg + rank),
     * text never moves.
+    *
+    * Contract: `idCol` must be unique (duplicate ids make the
+    * within-bucket ordinal — and therefore the assignment — ambiguous;
+    * same contract as [[graft.operators.Dedup.exact]]). Pack depth is
+    * deliberately 2: deeper first-fit packing needs O(#packs) driver
+    * state, which scales with the CORPUS — this tier's driver state is
+    * the histogram alone. For unbounded depth use [[packSequences]],
+    * which splits at pack boundaries instead.
     */
   def packPairs(df: DataFrame, textCol: String, idCol: String,
       budget: Long, buckets: Int = 1024): DataFrame = {
