@@ -19,6 +19,49 @@ class StreamDedupSpec extends SparkSpec {
   import spark.implicits._
   import StreamDedupSpec.{fpF, orderF}
 
+  test("incremental line dedup composes as a foreachBatch ingest loop") {
+    // the claimed streaming contract of TextOps.incrementalLineDedup:
+    // each micro-batch dedups against the ACCUMULATED line-fingerprint
+    // history, then the kept text's fingerprints append — boilerplate
+    // that arrived in an earlier batch never survives a later one
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "subscribe to our newsletter for weekly updates"
+    val input = MemoryStream[(Long, String)]
+    var hist = Seq.empty[Long].toDF("fp")
+    val results = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val deduped = TextOps.incrementalLineDedup(
+          batch, hist, "text", "doc_id")
+        results ++= deduped.select(col("id"), col("text_dedup"))
+          .as[(Long, String)].collect()
+        hist = hist.unionByName(TextOps.lineFingerprints(
+            deduped.select(col("id").as("doc_id"),
+              col("text_dedup").as("text")), "text"))
+          .distinct().localCheckpoint()
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, s"first batch unique body line\n$boiler")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (10L, s"$boiler\nsecond batch fresh content here"),
+        (11L, s"second batch fresh content here\nmore new words")))
+      q.processAllAvailable()
+      val got = results.toMap
+      // batch 1 keeps everything (empty history)
+      assert(got(1L) == s"first batch unique body line\n$boiler")
+      // batch 2: the boilerplate is history-blocked even for id 10's
+      // first occurrence; the fresh line repeated WITHIN the batch is
+      // kept once by the (id, pos) election (id 10) and dropped at 11
+      assert(got(10L) == "second batch fresh content here")
+      assert(got(11L) == "more new words")
+    } finally q.stop()
+  }
+
   test("first-seen dedup across micro-batches, min-id winner within one") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SDoc]
