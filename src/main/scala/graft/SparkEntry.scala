@@ -1655,6 +1655,15 @@ object SparkEntry {
           "s_suppkey")))
     }),
 
+    // Stratified pair packing: per-language histograms and walks,
+    // globally unique pack ids via cumulative stratum offsets — packs
+    // never mix languages.
+    "q163_pack_pairs_by" -> ((s, dir) => {
+      TextOps.packPairsBy(ld(s, dir, "documents"), "text", "doc_id",
+          "lang", budget = 100)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Non-splitting pair packing: histogram two-pointer walk on the
     // driver (O(distinct lengths)), two-level ranking + broadcast
     // range-join assignment — every doc lands whole in one pack.
@@ -3503,6 +3512,64 @@ object SparkEntry {
        |  cls.slot::INT AS slot
        |FROM r JOIN cls USING (pos)""".stripMargin
 
+  /** q163 oracle: q156's per-item two-pointer recursion run PER
+    * STRATUM — the walk state carries one row per language per
+    * iteration; strata finish independently (the WHERE stops
+    * producing their rows). Pack ids add the cumulative
+    * earlier-strata pack totals (`n_s − pairs_s` each, stratum ASC).
+    */
+  private lazy val q163Oracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, lang AS s,
+       |    CASE WHEN coalesce(len(trim(text)), 0) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |      END::BIGINT AS n_tokens,
+       |    ((${DuckHash.mix("doc_id::HUGEINT")}) % 1024) AS b
+       |  FROM documents),
+       |r AS MATERIALIZED (SELECT doc_id, s, n_tokens,
+       |    row_number() OVER (PARTITION BY s
+       |      ORDER BY n_tokens DESC, b ASC, doc_id ASC)::BIGINT AS pos
+       |  FROM t),
+       |nn AS MATERIALIZED (SELECT s, count(*)::BIGINT AS n
+       |  FROM r GROUP BY 1),
+       |walk AS (
+       |  SELECT s, 0::BIGINT AS i, 0::BIGINT AS p FROM nn
+       |  UNION ALL
+       |  SELECT w.s, w.i + 1,
+       |    w.p + CASE WHEN rh.n_tokens + rt.n_tokens <= 100
+       |      THEN 1 ELSE 0 END
+       |  FROM walk w
+       |  JOIN nn ON nn.s = w.s
+       |  JOIN r rh ON rh.s = w.s AND rh.pos = w.i + 1
+       |  JOIN r rt ON rt.s = w.s AND rt.pos = nn.n - w.p
+       |  WHERE w.i + 1 < nn.n - w.p),
+       |wk AS (SELECT s, i, p, lag(p, 1, 0::BIGINT) OVER (
+       |    PARTITION BY s ORDER BY i) AS pp
+       |  FROM walk WHERE i >= 1),
+       |mx AS (SELECT nn.s, coalesce(max(wk.p), 0)::BIGINT AS np,
+       |    coalesce(max(wk.i), 0)::BIGINT AS li
+       |  FROM nn LEFT JOIN wk ON wk.s = nn.s GROUP BY 1),
+       |off AS (SELECT mx.s, nn.n, mx.np, mx.li,
+       |    coalesce(sum(nn.n - mx.np) OVER (ORDER BY mx.s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS po
+       |  FROM mx JOIN nn USING (s)),
+       |heads AS (SELECT s, i AS pos, p - 1 AS pack FROM wk
+       |  WHERE p > pp),
+       |sing AS (SELECT s, i AS pos FROM wk WHERE p = pp
+       |  UNION ALL SELECT r.s, r.pos FROM r JOIN off USING (s)
+       |  WHERE r.pos > off.li AND r.pos <= off.n - off.np),
+       |sidx AS (SELECT s, pos, (row_number() OVER (
+       |    PARTITION BY s ORDER BY pos) - 1)::BIGINT AS si FROM sing),
+       |cls AS (SELECT h.s, h.pos, o.po + h.pack AS pack, 0 AS slot
+       |    FROM heads h JOIN off o USING (s)
+       |  UNION ALL SELECT x.s, x.pos, o.po + o.np + x.si, 0
+       |    FROM sidx x JOIN off o USING (s)
+       |  UNION ALL SELECT r.s, r.pos, o.po + (o.n - r.pos), 1
+       |    FROM r JOIN off o USING (s) WHERE r.pos > o.n - o.np)
+       |SELECT r.doc_id, r.s AS lang, r.n_tokens,
+       |  cls.pack::BIGINT AS pack_id, cls.slot::INT AS slot
+       |FROM r JOIN cls ON cls.s = r.s AND cls.pos = r.pos""".stripMargin
+
   /** q155 oracle: greedy k-center unrolled — seed = min vec_id, three
     * farthest-point rounds (`dmin` carried via `least`), then the
     * nearest-center assignment with the (dist, cid) tie-break. Same
@@ -4003,6 +4070,7 @@ object SparkEntry {
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
+    "q163_pack_pairs_by" -> q163Oracle,
 
     // numeric column profile: per-column exact BIGINT stats
     "q162_profile" ->

@@ -1578,6 +1578,89 @@ object TextOps {
           .cast("int").as("slot"))
   }
 
+  /** [[packPairs]] per stratum — the training norm (packs never mix
+    * languages/sources): each stratum runs its own two-pointer walk
+    * over its own length histogram, and pack ids offset by the
+    * cumulative pack counts of earlier strata (stratum STRING order),
+    * so ids stay globally unique. Output: `(id, <stratumCol>,
+    * n_tokens, pack_id, slot)`.
+    *
+    * Same scale shape as [[packPairs]] — driver state is now
+    * strata × distinct-lengths histograms (stratumCol must be
+    * low-cardinality: languages, sources; NOT user ids), positions
+    * rank within `(stratum, length, bucket)`, segments broadcast with
+    * a stratum key. Same unique-`idCol` contract; null strata are the
+    * caller's problem (coalesce first).
+    */
+  def packPairsBy(df: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, budget: Long, buckets: Int = 1024): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val nTok = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
+      lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(stratumCol).cast("string").as("_s"), nTok.as("n_tokens"),
+      pmod(graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")),
+        lit(buckets.toLong)).as("_b"))
+    val histAll = base.groupBy(col("_s"), col("n_tokens"))
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val strata = histAll.map(_._1).distinct.sorted
+    val lenOffRows = Seq.newBuilder[(String, Long, Long)]
+    val segRows = Seq.newBuilder[(String, Int, Long, Long, Long)]
+    val infoRows = Seq.newBuilder[(String, Long, Long, Long)]
+    var packOff = 0L
+    strata.foreach { s =>
+      val hist = histAll.filter(_._1 == s)
+        .map(t => (t._2, t._3)).sortBy(-_._1)
+      val n = hist.map(_._2).sum
+      var acc = 0L
+      hist.foreach { case (l, c) =>
+        lenOffRows += ((s, l, acc)); acc += c
+      }
+      val (hs, ss, nPairs) = pairWalk(hist, budget)
+      hs.foreach { case (lo, hi, b) => segRows += ((s, 0, lo, hi, b)) }
+      ss.foreach { case (lo, hi, b) => segRows += ((s, 2, lo, hi, b)) }
+      infoRows += ((s, n, nPairs, packOff))
+      packOff += n - nPairs // pairs + singles = n - nPairs packs
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lenOffDf = lenOffRows.result().toDF("_s", "n_tokens", "_lenoff")
+    val segDf = segRows.result().toDF("_s", "_kind", "_lo", "_hi", "_base")
+    val infoDf = infoRows.result().toDF("_s", "_ns", "_np", "_po")
+    val bCounts = base.groupBy(col("_s"), col("n_tokens"), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s"), col("n_tokens")).orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bOff = bCounts.withColumn("_boff",
+      coalesce(sum(col("_bc")).over(wB), lit(0L)))
+      .select(col("_s"), col("n_tokens"), col("_b"), col("_boff"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s"), col("n_tokens"), col("_b")).orderBy(col("id"))
+    val ranked = base
+      .join(broadcast(lenOffDf), Seq("_s", "n_tokens"))
+      .join(broadcast(bOff), Seq("_s", "n_tokens", "_b"))
+      .join(broadcast(infoDf), Seq("_s"))
+      .withColumn("_pos",
+        col("_lenoff") + col("_boff") + row_number().over(wR))
+    ranked.join(broadcast(segDf),
+        ranked("_s") === segDf("_s") &&
+          col("_pos").between(col("_lo"), col("_hi")), "left")
+      .select(ranked("id"), ranked("_s").as(stratumCol),
+        ranked("n_tokens"),
+        (col("_po") +
+          when(col("_kind") === 0, col("_base") + (col("_pos") - col("_lo")))
+            .when(col("_kind") === 2,
+              col("_np") + col("_base") + (col("_pos") - col("_lo")))
+            .otherwise(col("_ns") - col("_pos"))).as("pack_id"),
+        when(col("_kind").isNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("slot"))
+  }
+
   /** Chunk-level exact dedup statistics (CCNet-style): split each doc
     * into fixed `chunkWords`-word chunks, fingerprint each chunk, elect
     * the corpus-wide first occurrence (minimum `(id, chunk_idx)`) per

@@ -266,6 +266,38 @@ class TextOpsSpec extends SparkSpec {
     assert(byPair((1L, 2L)) >= byPair((3L, 4L)))
   }
 
+  test("packPairsBy: per-stratum packing, globally unique pack ids") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 60L).map { id =>
+      (id, if (id % 2 == 0) "en" else "de",
+        Seq.fill(1 + rnd.nextInt(9))("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = TextOps.packPairsBy(docs, "text", "doc_id", "lang",
+        budget = 10, buckets = 1)
+      .as[(Long, String, Long, Long, Int)].collect()
+    assert(got.length == 60)
+    // no pack mixes strata; pack ids are globally unique across strata
+    val byPack = got.groupBy(_._4)
+    byPack.values.foreach { ms =>
+      assert(ms.map(_._2).distinct.size == 1, s"mixed pack: ${ms.toSeq}")
+      assert(ms.size <= 2)
+      if (ms.size == 2) assert(ms.map(_._3).sum <= 10)
+    }
+    // each stratum's packing equals a standalone packPairs run on its
+    // slice, modulo the stratum pack-id offset
+    val offsets = got.groupBy(_._2).view
+      .mapValues(_.map(_._4).min).toMap
+    Seq("de", "en").foreach { s =>
+      val alone = TextOps.packPairs(docs.filter(col("lang") === s),
+          "text", "doc_id", budget = 10, buckets = 1)
+        .as[(Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val strat = got.filter(_._2 == s)
+        .map(r => r._1 -> ((r._3, r._4 - offsets(s), r._5))).toMap
+      assert(strat == alone, s"stratum $s diverged")
+    }
+  }
+
   test("splitContamination catches a planted train->val 8-gram copy") {
     val splits = Seq(("train", 900), ("val", 50), ("test", 50))
     val ids = (0L until 400L).toDF("doc_id")
