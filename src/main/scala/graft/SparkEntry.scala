@@ -1655,6 +1655,21 @@ object SparkEntry {
           "s_suppkey")))
     }),
 
+    // Right-to-be-forgotten history purge: deleted docs' fingerprints
+    // leave the history UNLESS surviving content still carries them;
+    // synthesized shared texts straddle the deleted/survivor boundary.
+    "q164_purge_history" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("shared page body number "), col("doc_id") % 7))
+          .otherwise(col("text")))
+      def fp(d: DataFrame) =
+        d.select(Text.fingerprint(col("text")).as("fp"))
+      Dedup.purgeHistory(fp(docs).distinct(),
+        fp(docs.filter(col("doc_id") % 10 === 0)),
+        fp(docs.filter(col("doc_id") % 10 =!= 0)))
+    }),
+
     // Stratified pair packing: per-language histograms and walks,
     // globally unique pack ids via cumulative stratum offsets — packs
     // never mix languages.
@@ -4071,6 +4086,22 @@ object SparkEntry {
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
     "q163_pack_pairs_by" -> q163Oracle,
+
+    // RTBF purge: fingerprint set algebra — history minus
+    // (deleted-exclusive fps)
+    "q164_purge_history" ->
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN 'shared page body number ' || (doc_id % 7)
+         |    ELSE text END AS text FROM documents),
+         |n AS (SELECT doc_id,
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM d),
+         |f AS (SELECT doc_id, $fpOfNt AS fp FROM n),
+         |hist AS (SELECT DISTINCT fp FROM f),
+         |del AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0),
+         |sur AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+         |rem AS (SELECT del.fp FROM del ANTI JOIN sur USING (fp))
+         |SELECT hist.fp FROM hist ANTI JOIN rem USING (fp)""".stripMargin,
 
     // numeric column profile: per-column exact BIGINT stats
     "q162_profile" ->

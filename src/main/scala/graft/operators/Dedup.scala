@@ -579,6 +579,38 @@ object Dedup {
     * distinct-content count is the standard two-level expand, still
     * shape-keyed).
     */
+  /** Right-to-be-forgotten history purge — the compliance operation a
+    * continuous-ingest corpus needs when documents must be DELETED:
+    * remove from the accumulated fingerprint history every fingerprint
+    * the deleted content contributed, EXCEPT those the surviving
+    * corpus still contains (a fingerprint shared with legitimate
+    * surviving content stays — dropping it would re-admit duplicates
+    * of text the corpus still holds). Works on any fingerprint-history
+    * tier ([[incrementalExact]]'s content fps,
+    * [[graft.operators.TextOps.lineFingerprints]],
+    * [[graft.operators.TextOps.substringFingerprints]]) — callers pass
+    * the already-fingerprinted relations.
+    *
+    * The RTBF invariant this creates: re-ingesting the deleted content
+    * against the purged history flags it NEW again (unless shared with
+    * survivors) — the forgotten text is genuinely forgotten, which the
+    * spec proves end-to-end through [[incrementalExact]].
+    *
+    * Shape for scale: three fingerprint-keyed set operations on 8-byte
+    * rows (distinct + two anti joins); computing the survivor
+    * fingerprint set is intrinsically a surviving-corpus scan — you
+    * cannot know a fingerprint is EXCLUSIVE to deleted content without
+    * consulting what survives.
+    */
+  def purgeHistory(historyFp: DataFrame, deletedFp: DataFrame,
+      survivorFp: DataFrame, fpCol: String = "fp"): DataFrame = {
+    val del = deletedFp.select(col(fpCol).as("fp")).distinct()
+    val sur = survivorFp.select(col(fpCol).as("fp")).distinct()
+    val removable = del.join(sur, Seq("fp"), "left_anti")
+    historyFp.select(col(fpCol).as("fp")).distinct()
+      .join(removable, Seq("fp"), "left_anti")
+  }
+
   /** Pair-level recall/precision audit of the MinHash-LSH near-dup
     * detector ([[minhashPairs]]) against EXACT shingle-set Jaccard
     * ground truth — the dedup family's eval harness (the

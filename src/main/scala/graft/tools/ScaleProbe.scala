@@ -287,6 +287,10 @@ object ScaleProbe {
       budget = 100))
     // stateless scan projection: growth is the pure codepoint-pass cost
     time("script_profile")(TextOps.scriptProfile(docs, "text", "doc_id"))
+    // per-stratum histograms stay fixed-size under replication — same
+    // histogram-bounded shape as pack_pairs, times the strata count
+    time("pack_pairs_by")(TextOps.packPairsBy(docs, "text", "doc_id",
+      "lang", budget = 100))
     // one scan agg + two uniqueness hash aggs; the dup-text groups grow
     // N× under replication — the uniqueness re-aggregation worst case
     time("validate") {

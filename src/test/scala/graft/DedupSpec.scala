@@ -364,6 +364,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 2L, 2L)))
   }
 
+  test("purgeHistory: forgotten text re-admits, shared fingerprints stay") {
+    import graft.functions.Text
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      d.select(Text.fingerprint(col("text")).as("fp"))
+    val corpus = Seq(
+      (1L, "unique deleted document body"),
+      (2L, "shared body both sides have"),
+      (3L, "shared body both sides have"), // survivor copy of 2
+      (4L, "unique surviving document"))
+      .toDF("doc_id", "text")
+    val deleted = corpus.filter(col("doc_id") <= 2)
+    val survivors = corpus.filter(col("doc_id") > 2)
+    val purged = Dedup.purgeHistory(fp(corpus).distinct(),
+      fp(deleted), fp(survivors))
+    // doc 1's fp is gone; the shared fp stays (doc 3 still holds it)
+    val kept = purged.as[Long].collect().toSet
+    val fpOf = (t: String) => fp(Seq((0L, t)).toDF("id", "text"))
+      .as[Long].head()
+    assert(!kept.contains(fpOf("unique deleted document body")))
+    assert(kept.contains(fpOf("shared body both sides have")))
+    assert(kept.contains(fpOf("unique surviving document")))
+    // the RTBF invariant through incrementalExact: re-ingesting the
+    // deleted docs against the PURGED history flags the unique one as
+    // NEW; the shared one is still known (survivors hold it)
+    val rerun = Dedup.incrementalExact(deleted, purged, "text", "doc_id")
+      .select(col("id"), col("is_new")).as[(Long, Int)].collect().toMap
+    assert(rerun(1L) == 1, s"forgotten text must be new again: $rerun")
+    assert(rerun(2L) == 0, s"shared text stays known: $rerun")
+  }
+
   test("minhashRecallAudit: exact dups always recalled; rates consistent") {
     val body = "the quick brown fox jumps over the lazy dog near the " +
       "riverbank while autumn leaves drift slowly down onto the water"
