@@ -110,6 +110,30 @@ object Validate {
     }.reduce(_ unionByName _)
   }
 
+  /** Constraint suggestion from a [[profile]] result (the Deequ
+    * suggestion tier): columns with zero nulls suggest [[NotNull]],
+    * columns where every non-null value is distinct suggest
+    * [[Unique]], and null-FREE columns suggest [[InRange]] over the
+    * observed `[min, max]` ([[InRange]] counts nulls as violations,
+    * so a nullable column's range would fail on its own data).
+    * Collects the profile (O(columns) rows — bounded); running
+    * [[check]] with the suggestions against the SAME data passes by
+    * construction — the value is gating FUTURE batches against the
+    * shape of a known-good one.
+    */
+  def suggest(profileDf: DataFrame): Seq[Constraint] =
+    profileDf.collect().toSeq.flatMap { r =>
+      val c = r.getString(0)
+      val nRows = r.getLong(1)
+      val nNull = r.getLong(2)
+      val nDistinct = r.getLong(3)
+      (if (nNull == 0) Seq(NotNull(c)) else Nil) ++
+        (if (nDistinct == nRows - nNull && nRows > nNull)
+          Seq(Unique(c)) else Nil) ++
+        (if (nNull == 0 && !r.isNullAt(4) && !r.isNullAt(5))
+          Seq(InRange(c, r.getLong(4), r.getLong(5))) else Nil)
+    }
+
   /** Run the suite: one row per constraint,
     * `(constraint, column, n_rows, n_violations, pass)` — all counts
     * exact, `pass` an int flag. Constraints on missing columns fail at

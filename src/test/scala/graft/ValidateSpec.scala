@@ -79,6 +79,30 @@ class ValidateSpec extends SparkSpec {
     assert(got("b") == (("b", 3L, 3L, 0L, None, None, None)))
   }
 
+  test("suggest: profile-derived constraints pass on the profiled data") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 5L), (2L, 5L), (3L, null))
+      .toDF("k", "v")
+    val sug = Validate.suggest(Validate.profile(df, Seq("k", "v")))
+    // k: no nulls + all distinct + range; v: has nulls, dup values
+    assert(sug.contains(NotNull("k")) && sug.contains(Unique("k")))
+    assert(sug.contains(InRange("k", 1L, 3L)))
+    assert(!sug.contains(NotNull("v")) && !sug.contains(Unique("v")))
+    // nullable columns get NO range suggestion — InRange counts nulls
+    // as violations and would fail on the very data that suggested it
+    assert(!sug.exists { case InRange("v", _, _) => true; case _ => false })
+    // the suggested suite is all-green on the data that produced it
+    val verdicts = Validate.check(df, sug)
+      .select(col("pass")).as[Int].collect()
+    assert(verdicts.nonEmpty && verdicts.forall(_ == 1))
+    // and catches a drifted future batch
+    val drifted = Seq[(java.lang.Long, java.lang.Long)]((9L, 99L))
+      .toDF("k", "v")
+    val bad = Validate.check(drifted, sug)
+      .filter(col("pass") === 0).count()
+    assert(bad >= 1) // k=9 is outside its suggested [1,3] range
+  }
+
   test("check: all-green suite and null-excluded uniqueness") {
     val df = Seq((1L, "aa"), (2L, "bb")).toDF("id", "lang")
     val got = Validate.check(df, Seq(NotNull("id"), Unique("id")))
