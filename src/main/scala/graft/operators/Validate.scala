@@ -90,6 +90,15 @@ object Validate {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // integral columns only — the long cast would TRUNCATE doubles
+    // silently and mis-profile them; fail loudly instead
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("long", "int", "integer", "short", "byte", "bigint")
+          .contains(dt.typeName),
+        s"profile column '$c' must be integral, got ${dt.catalogString}" +
+          " (scale floats to integer units upstream)")
+    }
     val aggs = count(lit(1)).cast("long").as("_n") +:
       cols.zipWithIndex.flatMap { case (c, i) => Seq(
         sum(col(c).isNull.cast("long")).as(s"_nu$i"),

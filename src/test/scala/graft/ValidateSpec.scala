@@ -67,6 +67,14 @@ class ValidateSpec extends SparkSpec {
       (("agg[null_metric]", "*", 3L, 1L, 0)))
   }
 
+  test("profile rejects non-integral columns instead of truncating") {
+    val df = Seq((1L, 1.5)).toDF("k", "d")
+    val e = intercept[IllegalArgumentException] {
+      Validate.profile(df, Seq("k", "d"))
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("profile: exact per-column stats including null-only columns") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, null), (2L, null), (2L, null))
