@@ -1522,17 +1522,27 @@ object TextOps {
     * which splits at pack boundaries instead.
     */
   def packPairs(df: DataFrame, textCol: String, idCol: String,
-      budget: Long, buckets: Int = 1024): DataFrame = {
+      budget: Long, buckets: Int = 1024,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     val nTok = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
       lit(0L))
       .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // the narrow (id, n_tokens, bucket) relation feeds THREE consumers
+    // (histogram collect, bucket counts, ranking) — materialize it once
+    // so the WIDE text column is scanned and tokenized a single time;
+    // cluster runs pass checkpointDir for reliable blocks (the
+    // trigramLmScore contract)
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    def mat(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
+    val base = mat(df.select(col(idCol).cast("long").as("id"),
       nTok.as("n_tokens"),
       pmod(graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")),
-        lit(buckets.toLong)).as("_b"))
+        lit(buckets.toLong)).as("_b")))
     // histogram: bounded by DISTINCT token counts (cap extreme doc
     // lengths upstream if the corpus allows multi-million-token docs)
     val hist = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("_c"))
@@ -1593,17 +1603,23 @@ object TextOps {
     * caller's problem (coalesce first).
     */
   def packPairsBy(df: DataFrame, textCol: String, idCol: String,
-      stratumCol: String, budget: Long, buckets: Int = 1024): DataFrame = {
+      stratumCol: String, budget: Long, buckets: Int = 1024,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     val nTok = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
       lit(0L))
       .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // same three-consumer materialization as packPairs
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    def mat(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
+    val base = mat(df.select(col(idCol).cast("long").as("id"),
       col(stratumCol).cast("string").as("_s"), nTok.as("n_tokens"),
       pmod(graft.functions.TextKernelExprs.mix64(col(idCol).cast("long")),
-        lit(buckets.toLong)).as("_b"))
+        lit(buckets.toLong)).as("_b")))
     val histAll = base.groupBy(col("_s"), col("n_tokens"))
       .agg(count(lit(1)).as("_c")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
