@@ -956,23 +956,28 @@ object TextOps {
     * millions of docs) is one hot count group reduced map-side.
     */
   def winnowStats(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
+      k: Int = 8, w: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
     require(w >= 1 && w <= 65536, s"w must be in [1, 65536], got $w")
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    def mat(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
     val base = df.select(col(idCol).cast("long").as("id"),
         graft.functions.TextKernelExprs.gramPolyHashes(
           words(coalesce(col(textCol), lit(""))), k).as("_g"))
       .withColumn("_offs",
         graft.functions.TextKernelExprs.winnowOffsets(col("_g"), w))
-    val stats = base.select(col("id"),
+    // the narrow per-doc stats + distinct selected fps materialize ONCE
+    // (the gram/winnow kernels and the text scan would otherwise re-run
+    // for every consumer below)
+    val stats = mat(base.select(col("id"),
       size(col("_g")).cast("long").as("n_grams"),
       size(col("_offs")).cast("long").as("n_winnowed"),
-      col("_g"), col("_offs"))
-    // in-row distinct first: the explode carries each doc's distinct
-    // selected fps once, not one row per selection
-    val docFps = stats.select(col("id"),
-      explode(array_distinct(transform(col("_offs"),
-        o => element_at(col("_g"), o)))).as("_fp"))
+      array_distinct(transform(col("_offs"),
+        o => element_at(col("_g"), o))).as("_fps")))
+    val docFps = stats.select(col("id"), explode(col("_fps")).as("_fp"))
     val fpDocs = docFps.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_nd"))
     val shared = docFps.join(fpDocs.filter(col("_nd") >= 2), Seq("_fp"))
@@ -1044,17 +1049,25 @@ object TextOps {
     */
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4, minShared: Long = 2, topK: Int = 100,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    def mat(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
     val base = df.select(col(idCol).cast("long").as("id"),
         graft.functions.TextKernelExprs.gramPolyHashes(
           words(coalesce(col(textCol), lit(""))), k).as("_g"))
       .withColumn("_offs",
         graft.functions.TextKernelExprs.winnowOffsets(col("_g"), w))
-    val docFps = base.select(col("id"),
+    // (id, fp) materializes ONCE — the cap counts, the cap join and the
+    // pair self-join would otherwise each re-run the text scan and the
+    // gram/winnow kernels (up to 4 evaluations of the full corpus DAG)
+    val docFps = mat(base.select(col("id"),
       explode(array_distinct(transform(col("_offs"),
-        o => element_at(col("_g"), o)))).as("_fp"))
+        o => element_at(col("_g"), o)))).as("_fp")))
     val capped =
       if (maxBucket <= 0) docFps
       else docFps.join(
