@@ -601,6 +601,10 @@ object Dedup {
     * fingerprint set is intrinsically a surviving-corpus scan — you
     * cannot know a fingerprint is EXCLUSIVE to deleted content without
     * consulting what survives.
+    *
+    * Per-DOC history tiers ([[minhashSignatures]] rows keyed by id)
+    * need no set algebra: purge those by filtering the deleted ids
+    * out — a signature row belongs to exactly one document.
     */
   def purgeHistory(historyFp: DataFrame, deletedFp: DataFrame,
       survivorFp: DataFrame, fpCol: String = "fp"): DataFrame = {
