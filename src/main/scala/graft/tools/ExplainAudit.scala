@@ -17,7 +17,8 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q10_join_stream_table", "q26_embedding_pairs", "q42_rollup_cascade")
+      "q10_join_stream_table", "q26_embedding_pairs", "q42_rollup_cascade",
+      "q151_winnow", "q156_pack_pairs", "q158_asof_nearest")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
