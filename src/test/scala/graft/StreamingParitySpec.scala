@@ -317,6 +317,34 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregates inside a watermarked streaming window") {
+    // the mergeable-sketch claim on a real streaming aggregation:
+    // distinct users per 10-second tumbling window, watermark-finalized
+    // — merge-order independence is what makes the custom
+    // TypedImperativeAggregate legal here
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Hll
+    val input = MemoryStream[(Long, Long)] // (ts_sec, user_id)
+    val q = input.toDF().toDF("ts_sec", "user_id")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(Hll.estimate(Hll.sketch(col("user_id"))).as("est"))
+      .select(col("window.start").cast("long").as("w"), col("est"))
+      .writeStream.format("memory").queryName("par_hll")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 40).map(i => (i.toLong % 10, i.toLong % 7)))
+      q.processAllAvailable()
+      // advance the watermark past the first window to finalize it
+      input.addData(Seq((25L, 999L)))
+      q.processAllAvailable()
+      val got = spark.table("par_hll").as[(Long, Long)].collect().toMap
+      // window [0,10) saw users 0..6 -> exact at this cardinality
+      assert(got.get(0L).contains(7L), s"got $got")
+    } finally q.stop()
+  }
+
   test("script profile runs on a stream identically to batch") {
     // one stateless codepoint-pass projection: the SAME operator call
     // compiles onto a MemoryStream — the ingest-side confusable gate
