@@ -1655,6 +1655,18 @@ object SparkEntry {
           "s_suppkey")))
     }),
 
+    // Constant-size-history incremental dedup: the history is ONE
+    // bloom row; false positives are deterministic and replayed
+    // bit-exactly by the oracle's position math.
+    "q165_incremental_bloom" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      Dedup.incrementalExactBloom(docs.filter(col("doc_id") % 5 === 0),
+          Dedup.bloomHistory(docs.filter(col("doc_id") % 3 === 0),
+            "text", mBits = 1 << 16, k = 3),
+          "text", "doc_id", k = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Right-to-be-forgotten history purge: deleted docs' fingerprints
     // leave the history UNLESS surviving content still carries them;
     // synthesized shared texts straddle the deleted/survivor boundary.
@@ -3629,6 +3641,47 @@ object SparkEntry {
        |  ON asg.vec_id = cc.cid""".stripMargin
   }
 
+  /** q165 oracle: the constant-size bloom history replayed — distinct
+    * history fingerprints fold to their k=3 bit positions (the q71
+    * position math over the UNSIGNED fingerprint), the batch probes
+    * with list_has_all, and the batch-internal election mirrors q103.
+    * Bloom false positives are deterministic and replay exactly.
+    */
+  private lazy val q165Oracle: String = {
+    val U = BigInt(1) << 64
+    val golden = BigInt("11400714819323198485")
+    def pos(i: Int): String = {
+      val seed = (BigInt(2 * i + 1) * golden) mod U
+      s"((${DuckHash.mix(s"xor(hu, ${seed}::HUGEINT)")}) >> 1) % 65536"
+    }
+    val fold = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(range(1, length(nt) + 1), " +
+      "ci -> unicode(nt[ci:ci])::HUGEINT)), " +
+      s"(h, c) -> (31 * h + c) % ${DuckHash.uStr})"
+    s"""WITH n AS (SELECT doc_id,
+       |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 3 = 0),
+       |fs AS (SELECT doc_id, hu, ${DuckHash.toSigned("hu")} AS fp
+       |  FROM (SELECT doc_id, $fold AS hu FROM n)),
+       |bp AS (SELECT DISTINCT pos FROM (
+       |    SELECT (${pos(0)}) AS pos FROM fs WHERE doc_id % 3 = 0
+       |    UNION SELECT ${pos(1)} FROM fs WHERE doc_id % 3 = 0
+       |    UNION SELECT ${pos(2)} FROM fs WHERE doc_id % 3 = 0) u),
+       |bl AS (SELECT list(pos) AS pl FROM bp),
+       |pr AS (SELECT doc_id, fp,
+       |    [${pos(0)}, ${pos(1)}, ${pos(2)}] AS ps
+       |  FROM fs WHERE doc_id % 5 = 0),
+       |m AS (SELECT fp, min(doc_id) AS mid FROM pr GROUP BY fp),
+       |hb AS (SELECT pr.doc_id, pr.fp, m.mid,
+       |    (CASE WHEN list_has_all(bl.pl, pr.ps) THEN 1 ELSE 0 END)
+       |      AS seen
+       |  FROM pr, bl, m WHERE m.fp = pr.fp)
+       |SELECT doc_id, fp, (1 - seen)::INT AS is_new,
+       |  (CASE WHEN seen = 0 AND doc_id = mid THEN 1 ELSE 0 END)::INT
+       |    AS kept
+       |FROM hb""".stripMargin
+  }
+
   /** q24 oracle: 64-bit SimHash over word-unigram hashes — per bit, the
     * sign of sum(±1) across word hashes (Hashing.simHash).
     */
@@ -4086,6 +4139,7 @@ object SparkEntry {
     "q155_kcenter" -> q155Oracle,
     "q156_pack_pairs" -> q156Oracle,
     "q163_pack_pairs_by" -> q163Oracle,
+    "q165_incremental_bloom" -> q165Oracle,
 
     // RTBF purge: fingerprint set algebra — history minus
     // (deleted-exclusive fps)

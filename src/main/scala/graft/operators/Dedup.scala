@@ -396,6 +396,48 @@ object Dedup {
           .cast("int").as("kept"))
   }
 
+  /** The history artifact for [[incrementalExactBloom]]: the batch's
+    * distinct content fingerprints OR-folded into ONE bloom row
+    * (`mBits` bits total, however many documents) — the constant-size
+    * alternative to the exact fingerprint set. Merge-order independent
+    * (bitwise OR), so histories from many batches combine by
+    * re-aggregating their blooms.
+    */
+  def bloomHistory(df: DataFrame, textCol: String,
+      mBits: Int = graft.functions.Bloom.DefaultBits,
+      k: Int = graft.functions.Bloom.DefaultK): DataFrame =
+    df.select(graft.functions.Text.fingerprint(col(textCol)).as("fp"))
+      .agg(graft.functions.Bloom.agg(col("fp"), mBits, k).as("bits"))
+
+  /** [[incrementalExact]] with a CONSTANT-SIZE history — the memory/
+    * exactness trade a 100 TB ingest can choose: the history is one
+    * [[bloomHistory]] row (KBs) instead of 8 bytes per distinct
+    * fingerprint (TB-scale corpora have billions). The cost is
+    * DETERMINISTIC false positives: a genuinely-new document whose
+    * fingerprint hits all `k` set bits flags as already-seen and drops
+    * (never the reverse — no false negatives, the dedup guarantee
+    * direction survives). Output matches [[incrementalExact]]:
+    * `(id, fp, is_new, kept)`.
+    *
+    * Shape for scale: the bloom broadcasts (one row); the probe is
+    * map-side; only the batch-internal winner election shuffles
+    * `(fp, id)`.
+    */
+  def incrementalExactBloom(batch: DataFrame, historyBloom: DataFrame,
+      textCol: String, idCol: String,
+      k: Int = graft.functions.Bloom.DefaultK): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as("id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("fp"))
+    val winners = b.groupBy(col("fp")).agg(min(col("id")).as("_mid"))
+    b.join(winners, Seq("fp"))
+      .crossJoin(broadcast(historyBloom.select(col("bits"))))
+      .select(col("id"), col("fp"),
+        (!graft.functions.Bloom.mightContain(col("bits"), col("fp"), k))
+          .cast("int").as("is_new"),
+        (!graft.functions.Bloom.mightContain(col("bits"), col("fp"), k) &&
+          col("id") === col("_mid")).cast("int").as("kept"))
+  }
+
   /** MinHash signatures as a persistable artifact: `(id, sig)` — the
     * 8·numHashes-byte row a continuous-ingestion pipeline appends for
     * every retained document, so future batches can near-dup against

@@ -364,6 +364,33 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 2L, 2L)))
   }
 
+  test("incrementalExactBloom: seen drops, new elects, no false negatives") {
+    val hist = Seq((1L, "known document body one"),
+      (2L, "known document body two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known document body one"),  // true bloom hit
+      (11L, "a brand new document"),
+      (12L, "a brand new document"),     // batch dup of 11
+      (13L, "another fresh one"))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.bloomHistory(hist, "text")
+    val got = Dedup.incrementalExactBloom(batch, bloom, "text", "doc_id")
+      .select(col("id"), col("is_new"), col("kept"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // the dedup guarantee direction: a truly-seen doc can NEVER be new
+    assert(got(10L) == ((10L, 0, 0)))
+    assert(got(11L) == ((11L, 1, 1)))
+    assert(got(12L) == ((12L, 1, 0))) // batch election: min id wins
+    assert(got(13L) == ((13L, 1, 1)))
+    // a saturated bloom (tiny mBits) turns everything into a false
+    // positive — deterministic over-dropping, never under-dropping
+    val tiny = Dedup.bloomHistory(hist, "text", mBits = 64, k = 3)
+    val sat = Dedup.incrementalExactBloom(batch, tiny, "text",
+        "doc_id")
+      .agg(sum(col("is_new"))).as[Long].head()
+    assert(sat <= 3, s"saturation can only reduce is_new: $sat")
+  }
+
   test("purgeHistory: forgotten text re-admits, shared fingerprints stay") {
     import graft.functions.Text
     def fp(d: org.apache.spark.sql.DataFrame) =
