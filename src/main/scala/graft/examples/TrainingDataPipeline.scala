@@ -365,7 +365,16 @@ object TrainingDataPipeline {
         .as("x"))
       .select(col("x.category").as("category"), col("x.n").as("n"))
       .groupBy(col("category")).agg(sum(col("n")).as("n_total"))
+    val validateCard = Validate.check(tempered, Seq(
+      Validate.NotNull("text"), Validate.Unique("doc_id"),
+      Validate.Satisfies("len_eq_n_chars", "length(text) = n_chars")))
+    val scriptCard = TextOps.scriptProfile(tempered, "text", "doc_id")
+      .groupBy(col("main_script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("mix_permille")).as("sum_mix_permille"))
     CorpusWriter.writeDataCard(Seq(
+      ("validate_verdicts", validateCard),
+      ("script_profile", scriptCard),
       ("pii_stats", piiCard),
       ("lang_profile", profile),
       ("domain_stats", UrlOps.domainStats(withUrl, "url", "text")),
