@@ -104,6 +104,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Map(10L -> Some(2.0), 11L -> None, 20L -> None))
   }
 
+  test("nearest equals the naive min-distance reference on random data") {
+    val rnd = new scala.util.Random(13)
+    val lt = (1L to 80L).map(i => (i % 4, i, rnd.nextInt(500).toLong))
+      .toDF("k", "lid", "lts")
+    // unique right ts per key (the documented contract)
+    val rt = (1L to 60L).map(i => (i % 4, i, i * 7 % 500))
+      .groupBy(t => (t._1, t._3)).map(_._2.head).toSeq
+      .toDF("k", "rid", "rts")
+    val got = AsofJoin.asof(lt, rt, Seq("k"), "lts", "rts", Seq("rid"),
+        leftOuter = true, direction = "nearest")
+      .select("lid", "asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    val rm = rt.as[(Long, Long, Long)].collect()
+    val exp = lt.as[(Long, Long, Long)].collect().map {
+      case (k, lid, lts) =>
+        val cands = rm.filter(_._1 == k)
+        lid -> (if (cands.isEmpty) None
+          else Some(cands.minBy(c =>
+            (math.abs(c._3 - lts), if (c._3 > lts) 1 else 0))._2))
+    }.toMap
+    assert(got == exp)
+  }
+
   test("intervalOverlap equals the naive nested loop at any bucket width") {
     val rnd = new scala.util.Random(11)
     val as = (1L to 60L).map { i =>

@@ -266,6 +266,40 @@ class TextOpsSpec extends SparkSpec {
     assert(byPair((1L, 2L)) >= byPair((3L, 4L)))
   }
 
+  test("packPairs edges: empty corpus, all-oversize, all-empty docs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.packPairs(empty, "text", "doc_id", 10).count() == 0L)
+    // oversize docs can never pair: every one packs alone
+    val big = Seq((1L, Seq.fill(20)("w").mkString(" ")),
+      (2L, Seq.fill(25)("w").mkString(" "))).toDF("doc_id", "text")
+    val g1 = TextOps.packPairs(big, "text", "doc_id", 10, buckets = 1)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(g1.map(_._3).distinct.length == 2 && g1.forall(_._4 == 0))
+    // zero-token docs pair with each other (0 + 0 <= budget)
+    val blank = Seq((1L, ""), (2L, "  "), (3L, null: String))
+      .toDF("doc_id", "text")
+    val g2 = TextOps.packPairs(blank, "text", "doc_id", 10, buckets = 1)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(g2.forall(_._2 == 0L))
+    assert(g2.map(_._3).distinct.length == 2) // one pair + one single
+  }
+
+  test("winnowOverlapPairs maxBucket cap drops viral fingerprints") {
+    // every doc shares the same 11-word boilerplate: with a cap below
+    // the doc count the shared fp's bucket is dropped and NO pairs
+    // survive; with a generous cap the pairs appear
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo"
+    val docs = (1L to 6L).map(i => (i, s"$boiler unique tail word$i"))
+      .toDF("doc_id", "text")
+    val capped = TextOps.winnowOverlapPairs(docs, "text", "doc_id",
+      minShared = 1, topK = 100, maxBucket = 3)
+    assert(capped.count() == 0L, "viral fp must be capped away")
+    val open = TextOps.winnowOverlapPairs(docs, "text", "doc_id",
+      minShared = 1, topK = 100, maxBucket = 1000)
+    assert(open.count() >= 15L, "all 15 pairs share the boilerplate fp")
+  }
+
   test("packPairsBy: per-stratum packing, globally unique pack ids") {
     val rnd = new scala.util.Random(5)
     val docs = (1L to 60L).map { id =>
