@@ -33,8 +33,10 @@ object Anomaly {
     * ≤ ~1e6 buckets per type — an explode of `sequence()`; a
     * multi-year-at-minutes grid wants a coarser bucket or a ranged
     * join). The sliding window partitions by type — no global sort.
-    * The quadratic guard terms compute in decimal(38,0), so counts up
-    * to ~1e9 per bucket stay exact.
+    * The quadratic guard terms — including the windowed sum of
+    * squares itself — compute in decimal(38,0), so counts up to ~1e9
+    * per bucket stay exact; only the BIGINT `win_sumsq` diagnostic
+    * column saturates (null, never silently wrong) past 2^63.
     */
   def rateAnomaly(events: DataFrame, tsCol: String, typeCol: String,
       bucketUs: Long = 3600000000L, window: Int = 24,
@@ -57,20 +59,29 @@ object Anomaly {
     val trail = Window.partitionBy(col("event_type")).orderBy(col("_b"))
       .rowsBetween(-window.toLong, -1L)
     val ord = Window.partitionBy(col("event_type")).orderBy(col("_b"))
+    // the sum of squares ACCUMULATES in decimal(38,0) — a LongType
+    // sum(n*n) over 24 buckets wraps around ~6e8 events per bucket,
+    // below the documented ~1e9 exactness bound; win_sum stays long
+    // (24·n wraps only past ~3.8e17 per bucket)
+    val nSq = col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
     val scored = dense.select(col("event_type"), col("_b").as("bucket"),
       col("n"),
       sum(col("n")).over(trail).as("win_sum"),
-      sum(col("n") * col("n")).over(trail).as("win_sumsq"),
+      sum(nSq).over(trail).as("_qD"),
       row_number().over(ord).as("_rn"))
     val wD = lit(window.toLong).cast("decimal(38,0)")
     val nD = col("n").cast("decimal(38,0)")
     val sD = col("win_sum").cast("decimal(38,0)")
-    val qD = col("win_sumsq").cast("decimal(38,0)")
+    val qD = col("_qD")
     val dev = nD * wD - sD
     val varTerm = wD * qD - sD * sD
     scored.filter(col("_rn") > window)
       .select(col("event_type"), col("bucket"), col("n"),
-        col("win_sum"), col("win_sumsq"),
+        col("win_sum"),
+        // the reported diagnostic column keeps its BIGINT schema; it
+        // can only misrepresent (null under non-ANSI) past 2^63 where
+        // the DECISION column is still exact
+        col("_qD").cast("long").as("win_sumsq"),
         (dev * dev > lit(kSigma.toLong * kSigma).cast("decimal(38,0)") *
           varTerm).cast("int").as("anomaly"))
   }
@@ -145,10 +156,13 @@ object Anomaly {
             if (ring.length >= w) {
               val trail = ring.take(w)
               val s = trail.sum
-              val q = trail.map(x => x * x).sum
+              // BigInt before squaring (the batch decimal(38,0)
+              // discipline): a Long x*x sum wraps around ~6e8 events
+              // per bucket, below the documented ~1e9 bound
+              val q = trail.map(x => BigInt(x) * x).sum
               val dev = BigInt(n) * w - s
               val vt = BigInt(w) * q - BigInt(s) * s
-              out += AnomalyRow(key, next, n, s, q,
+              out += AnomalyRow(key, next, n, s, q.longValue,
                 if (dev * dev > BigInt(k2) * vt) 1 else 0)
             }
             ring = (n :: ring).take(w)

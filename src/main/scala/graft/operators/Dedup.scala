@@ -605,22 +605,6 @@ object Dedup {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
-  /** Template-cluster mining — the dedup tier exact matching misses:
-    * machine-generated pages that differ ONLY in their slot values
-    * ("user 4711 logged in from host10.3"). The shape key is the
-    * normalized text with every digit run collapsed to `#`; docs
-    * sharing a shape form a cluster, and a cluster whose RAW contents
-    * differ is a live template (`is_template = 1` — slots vary),
-    * versus an exact-dup group that merely collapsed with its digits
-    * (`is_template = 0`). Output: one row per ≥2-member cluster —
-    * `(rep_id, n_docs, n_distinct, is_template)`, rep = smallest id.
-    *
-    * Scale shape: shape and content both reduce to 64-bit fingerprints
-    * scan-side — the aggregation shuffles (shape_fp, content_fp, id)
-    * triples, never text; one hash aggregation keyed by shape_fp (the
-    * distinct-content count is the standard two-level expand, still
-    * shape-keyed).
-    */
   /** Right-to-be-forgotten history purge — the compliance operation a
     * continuous-ingest corpus needs when documents must be DELETED:
     * remove from the accumulated fingerprint history every fingerprint
@@ -704,6 +688,22 @@ object Dedup {
           .as("precision_permille"))
   }
 
+  /** Template-cluster mining — the dedup tier exact matching misses:
+    * machine-generated pages that differ ONLY in their slot values
+    * ("user 4711 logged in from host10.3"). The shape key is the
+    * normalized text with every digit run collapsed to `#`; docs
+    * sharing a shape form a cluster, and a cluster whose RAW contents
+    * differ is a live template (`is_template = 1` — slots vary),
+    * versus an exact-dup group that merely collapsed with its digits
+    * (`is_template = 0`). Output: one row per ≥2-member cluster —
+    * `(rep_id, n_docs, n_distinct, is_template)`, rep = smallest id.
+    *
+    * Scale shape: shape and content both reduce to 64-bit fingerprints
+    * scan-side — the aggregation shuffles (shape_fp, content_fp, id)
+    * triples, never text; one hash aggregation keyed by shape_fp (the
+    * distinct-content count is the standard two-level expand, still
+    * shape-keyed).
+    */
   def templateClusters(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val norm = lower(regexp_replace(trim(coalesce(col(textCol), lit(""))),

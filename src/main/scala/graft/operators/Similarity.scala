@@ -950,9 +950,14 @@ object Similarity {
     * driver, bounded) — plus a `TakeOrderedAndProject(1)` reduction
     * for the next center; the final assignment is the same map-side
     * codegen'd argmin kernel k-means uses ([[NearestCentroid]] over a
-    * k-row broadcast codebook). Lineage grows one projection per
-    * round: fine for selection-sized k (≤ 64); reuse [[kmeansAssign]]
-    * when you want hundreds of cells instead of a spread subset.
+    * k-row broadcast codebook). The `(vec_id, x, _dmin)` relation is
+    * MATERIALIZED every round (the [[graft.operators.Dedup.connectedComponents]]
+    * pattern: `localCheckpoint` by default, reliable `checkpoint` when
+    * `checkpointDir` is given) so round r scans a flat one-projection
+    * plan over the previous round's blocks — total work is k·n·d, not
+    * the k²·n·d/2 an unmaterialized `withColumn` chain would
+    * re-evaluate, and analyzer/codegen cost stays flat instead of
+    * growing with a k-deep projection stack.
     * Distances are fixed-order double arithmetic (`dot(x,x) −
     * 2·dot(x,c) + dot(c,c)`), so winners replay bit-exactly in any
     * engine — the q155 oracle unrolls the rounds in DuckDB.
@@ -963,11 +968,19 @@ object Similarity {
     * growing meaningfully (deterministic, but not k distinct centers).
     */
   def kCenterAssign(df: DataFrame, vecCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
-    val e = df.select(col(idCol).cast("long").as("vec_id"),
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    val reliable = checkpointDir.isDefined
+    def mat(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint() else d.localCheckpoint()
+    // materialized ONCE: both the per-round scans and the final
+    // assignment pass read this relation; without it every round would
+    // re-run the upstream projection/filter over the source
+    val e = mat(df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
-      .filter(col("x").isNotNull)
+      .filter(col("x").isNotNull))
     def distTo(cv: Seq[Double]): Column = {
       val cl = typedLit(cv)
       Vectors.dot(col("x"), col("x")) -
@@ -978,14 +991,18 @@ object Similarity {
         throw new IllegalArgumentException("k-center needs >= 1 vector"))
     var centers = List[(Long, Seq[Double])](
       (first.getLong(0), first.getSeq[Double](1)))
-    var ds = e.withColumn("_dmin", distTo(centers.head._2))
+    // per-round materialization: round r's plan is ONE `least`
+    // projection over round r-1's checkpointed blocks — O(k) total
+    // scans and a flat plan, vs O(k²) recomputed distances and a
+    // k-deep projection stack if the withColumn lineage accumulated
+    var ds = mat(e.withColumn("_dmin", distTo(centers.head._2)))
     var r = 1
     while (r < k) {
       val next = ds.orderBy(col("_dmin").desc, col("vec_id").asc)
         .limit(1).select(col("vec_id"), col("x")).collect().head
       centers = (next.getLong(0), next.getSeq[Double](1)) :: centers
-      ds = ds.withColumn("_dmin",
-        least(col("_dmin"), distTo(centers.head._2)))
+      ds = mat(ds.withColumn("_dmin",
+        least(col("_dmin"), distTo(centers.head._2))))
       r += 1
     }
     val spark = df.sparkSession

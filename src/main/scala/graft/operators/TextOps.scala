@@ -938,7 +938,13 @@ object TextOps {
     * `w`-gram window ([[graft.functions.TextKernelExprs.winnowOffsets]]
     * — the deterministic rightmost-tie-break variant, so the selection
     * replays exactly in any engine as a window-min over the packed key
-    * `fp·2^22 + (2^22 − off)`). Output per doc: `n_grams` (every-offset
+    * `fp·2^22 + (2^22 − off)`; NOTE that the PACKED-KEY replay — the
+    * q151/q160 oracle formulation — is only faithful for documents
+    * under 2^22 ≈ 4.2M gram offsets, where the offset component stays
+    * non-negative. The kernel itself has no such limit: a longer
+    * document winnows correctly here and it is only the replay SQL
+    * that would need a wider offset radix). Output per doc: `n_grams`
+    * (every-offset
     * gram count), `n_winnowed` (selected fingerprints — the document's
     * MOSS signature size, expected density `2/(w+1)`), and
     * `n_shared_fp` (distinct selected fingerprints that at least one

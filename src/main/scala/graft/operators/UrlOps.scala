@@ -202,7 +202,11 @@ object UrlOps {
       .withColumn("_fp", Text.fingerprintOfNormalized(col("canon_url")))
     val groups = rows.groupBy(col("_fp"))
       .agg(min(col("id")).as("_keep_id"), count(lit(1)).as("n_aliases"))
-    rows.join(groups, Seq("_fp"))
+      .withColumnRenamed("_fp", "_gfp")
+    // null-safe join (the Dedup.exact convention): null URLs
+    // canonicalize to a null fingerprint, and a plain equi-join would
+    // silently drop those rows instead of electing among them
+    rows.join(groups, rows("_fp") <=> groups("_gfp"))
       .select(col("id"), col("canon_url"),
         (col("id") === col("_keep_id")).cast("int").as("kept"),
         col("n_aliases"))

@@ -94,8 +94,8 @@ object Validate {
     // silently and mis-profile them; fail loudly instead
     cols.foreach { c =>
       val dt = df.schema(c).dataType
-      require(Seq("long", "int", "integer", "short", "byte", "bigint")
-          .contains(dt.typeName),
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
         s"profile column '$c' must be integral, got ${dt.catalogString}" +
           " (scale floats to integer units upstream)")
     }

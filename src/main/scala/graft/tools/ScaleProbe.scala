@@ -303,6 +303,12 @@ object ScaleProbe {
     // scan rows but the center set stays k — growth is pure scan cost
     time("kcenter")(graft.operators.Similarity.kCenterAssign(
       vecs, "embedding", "vec_id", k = 4))
+    // per-round checkpointing makes each of the 64 rounds one flat
+    // scan over the previous round's blocks — growth must track the
+    // k=4 row's slope (pure scan cost), proving per-round cost is
+    // flat in k rather than the O(k²) an accumulated lineage gives
+    time("kcenter_k64")(graft.operators.Similarity.kCenterAssign(
+      vecs, "embedding", "vec_id", k = 64))
     // stateless scan projection since the hashed-kernel rewrite:
     // growth is the pure tokenize + O(n) counting cost
     time("quality_gate")(TextOps.qualityGate(docs, "text", "doc_id"))

@@ -6,6 +6,27 @@ import graft.operators.Bpe
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BpeTokenIds/Count built from equal models are equal expressions") {
+    import graft.functions.{BpeTokenIds, BpeTokenCount}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // Seq (not Array) constructor params: two expressions built from
+    // independently-constructed but equal model tables must compare
+    // equal, or canonicalization/CSE never dedups the kernel
+    val child = BoundReference(0, ArrayType(StringType), nullable = true)
+    def lefts = Seq("a", "ab").map(identity)
+    def rights = Seq("b", "c").map(identity)
+    def vocab = Seq("a", "b", "c", "ab", "abc").map(identity)
+    val i1 = BpeTokenIds(child, lefts, rights, vocab)
+    val i2 = BpeTokenIds(child, lefts, rights, vocab)
+    assert(i1 == i2 && i1.semanticEquals(i2) &&
+      i1.canonicalized == i2.canonicalized)
+    val c1 = BpeTokenCount(child, lefts, rights)
+    val c2 = BpeTokenCount(child, lefts, rights)
+    assert(c1 == c2 && c1.semanticEquals(c2))
+    assert(i1 != BpeTokenIds(child, lefts, rights, vocab.reverse))
+  }
+
   test("applyMerge is one left-to-right non-overlapping pass") {
     def am(toks: String*)(a: String, b: String): Seq[String] =
       Bpe.applyMerge(toks.toArray, a, b).toSeq

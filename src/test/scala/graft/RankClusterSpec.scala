@@ -541,4 +541,21 @@ class RankClusterSpec extends SparkSpec {
     assert(t(4L) == ((4L, 4L, 1)), s"tie must pick id 4: $t")
     assert(t(7L)._2 == 4L) // identical vector assigns to center 4
   }
+
+  test("kCenterAssign: reliable-checkpoint run matches localCheckpoint") {
+    // distances are fixed-order double arithmetic, so the greedy picks
+    // must replay bit-exactly whichever materialization backend runs
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq((i * 7 % 13).toDouble, (i * 3 % 11).toDouble)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("kcenter-ckpt").toString
+    val local = Similarity.kCenterAssign(vecs, "embedding", "vec_id", 6)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val reliable = Similarity.kCenterAssign(vecs, "embedding", "vec_id",
+      6, checkpointDir = Some(dir))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(local.sameElements(reliable))
+    assert(local.count(_._3 == 1) == 6)
+  }
 }

@@ -61,6 +61,19 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(7L) == ((7L, "https://b.com/q", 1, 1L)))
   }
 
+  test("urlDedup keeps null-URL rows as their own election group") {
+    // null URLs fingerprint to null — the null-safe join must elect
+    // among them instead of silently dropping the rows
+    val df = Seq((3L, null: String), (1L, "https://a.com/p"),
+      (8L, null: String)).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(df, "url", "doc_id")
+      .as[(Long, String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3, s"null-URL rows must survive: $got")
+    assert(got(3L) == ((3L, null, 1, 2L)))
+    assert(got(8L) == ((8L, null, 0, 2L)))
+    assert(got(1L)._3 == 1)
+  }
+
   test("domainQuality aggregates the doc gate into domain keep rates") {
     val good = ("the quick brown fox jumps over the lazy dog and " +
       "then it runs to the old barn in a field of green grass " +
