@@ -252,10 +252,14 @@ object Bpe {
       maxVocab: Int = 1 << 20): BpeModel = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // materialized ONCE: both the top-V election and the total-mass
+    // aggregation consume this relation — without it each would re-run
+    // the full tokenize+explode+count pass over the corpus
     val wc = df
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(explode(TextOps.words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // total mass + top-V mass in one bounded pass each; the top-V
     // election plans as TakeOrderedAndProject (per-task heap, one
     // exchange of ≤ maxVocab rows), never a global sort
@@ -281,10 +285,12 @@ object Bpe {
       maxVocab: Int = 1 << 20): BpeModel = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // materialized ONCE — same two-consumer shape as bpeTrain
     val wc = df
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(explode(preTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val top = wc.orderBy(col("c").desc, col("w").asc).limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val totalMass = wc.agg(sum(col("c"))).collect()(0).getLong(0)
