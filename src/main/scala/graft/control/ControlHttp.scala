@@ -92,16 +92,19 @@ final class ControlHttp(cp: ControlPlane, port: Int = 0) {
       case ("POST", Nil) =>
         val body = new String(ex.getRequestBody.readAllBytes(),
           StandardCharsets.UTF_8)
-        cp.handleJson(body) match {
-          case Right(_) => ok(ex)
-          case Left(err) => bad(ex, err)
-        }
+        // acked path: HTTP results land in the same ackLog the
+        // streaming channel feeds — one uniform control audit trail
+        val a = cp.handleJsonAcked(body)
+        if (a.ok) ok(ex) else bad(ex, a.error)
       case ("PUT", id :: "enable" :: Nil) =>
-        cp.handle(EnablePlan(id)); ok(ex)
+        val a = cp.handleAcked(EnablePlan(id))
+        if (a.ok) ok(ex) else bad(ex, a.error)
       case ("PUT", id :: "disable" :: Nil) =>
-        cp.handle(DisablePlan(id)); ok(ex)
+        val a = cp.handleAcked(DisablePlan(id))
+        if (a.ok) ok(ex) else bad(ex, a.error)
       case ("DELETE", id :: Nil) =>
-        cp.handle(RemovePlan(id)); ok(ex)
+        val a = cp.handleAcked(RemovePlan(id))
+        if (a.ok) ok(ex) else bad(ex, a.error)
       case (m, _) =>
         respond(ex, 404, s"""{"ok":false,"error":${jsonStr(
           s"no route for $m $path")}}""")

@@ -11,6 +11,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * JSON codec ControlEventSchema.java:29-41 `{type, payload}`).
   */
 sealed trait ControlEvent { def planId: String }
+
+/** One acknowledged control operation — the reference's declared (but
+  * never wired) AckEventListener/ControlEventListener intent
+  * (control/AckEventListener.java:22) made a real, queryable surface:
+  * every consumed control event yields exactly one ack row, success or
+  * failure, whether it arrived via [[ControlPlane.handleJson]], HTTP,
+  * or the streaming channel. `seq` is a strictly-increasing consumption
+  * order; `op`/`planId` are empty when the message didn't parse far
+  * enough to know them.
+  */
+final case class ControlAck(seq: Long, planId: String, op: String,
+    ok: Boolean, error: String)
 final case class AddPlan(planId: String, plan: String) extends ControlEvent
 final case class UpdatePlan(planId: String, plan: String) extends ControlEvent
 final case class RemovePlan(planId: String) extends ControlEvent
@@ -152,6 +164,75 @@ class ControlPlane(
   def handleJson(json: String): Either[String, Unit] =
     ControlEvent.fromJson(json).map(handle)
 
+  // ---- ack surface (A-gap closed round 11): one row per consumed event
+
+  /** Bounded ack ring — driver-side like the plan registry itself;
+    * callers wanting every ack durably should register a listener.
+    */
+  private val maxAcks = 4096
+  private val ackBuf = mutable.ArrayDeque[ControlAck]()
+  private val ackListeners = mutable.ArrayBuffer[ControlAck => Unit]()
+  private var ackSeq = 0L
+
+  private def record(planId: String, op: String, ok: Boolean,
+      error: String): ControlAck = synchronized {
+    ackSeq += 1
+    val a = ControlAck(ackSeq, planId, op, ok, error)
+    ackBuf.append(a)
+    if (ackBuf.length > maxAcks) ackBuf.removeHead()
+    // a throwing listener must not poison the control loop
+    ackListeners.foreach(l => try l(a) catch { case _: Exception => () })
+    a
+  }
+
+  /** Register an ack callback (the AckEventListener shape): invoked
+    * synchronously, in consumption order, for every subsequent ack.
+    */
+  def addAckListener(f: ControlAck => Unit): Unit =
+    synchronized { ackListeners += f }
+
+  /** The retained ack tail, oldest first (≤ 4096 rows). */
+  def acks: Seq[ControlAck] = synchronized(ackBuf.toSeq)
+
+  /** The ack tail as a relation `(seq, planId, op, ok, error)` — the
+    * caller-visible result table for stream-driven control, joinable /
+    * filterable like any DataFrame (e.g. `ackLog.filter(!col("ok"))`
+    * surfaces every rejected plan).
+    */
+  def ackLog: DataFrame = {
+    import spark.implicits._
+    acks.toDF()
+  }
+
+  private def opName(e: ControlEvent): String = e match {
+    case _: AddPlan     => "add"
+    case _: UpdatePlan  => "update"
+    case _: RemovePlan  => "remove"
+    case _: EnablePlan  => "enable"
+    case _: DisablePlan => "disable"
+  }
+
+  /** [[handleJson]] with an ack: parse + apply, always returning (and
+    * recording) exactly one [[ControlAck]] — never throws. The
+    * streaming channel consumes through this, so a rejected plan in
+    * stream-driven mode is observable from [[ackLog]]/listeners rather
+    * than only from driver logs.
+    */
+  def handleJsonAcked(json: String): ControlAck =
+    ControlEvent.fromJson(json) match {
+      case Left(err) => record("", "", ok = false, err)
+      case Right(e)  => handleAcked(e)
+    }
+
+  /** [[handle]] with an ack — never throws. */
+  def handleAcked(e: ControlEvent): ControlAck =
+    try { handle(e); record(e.planId, opName(e), ok = true, "") }
+    catch {
+      case ex: Exception =>
+        record(e.planId, opName(e), ok = false,
+          String.valueOf(ex.getMessage))
+    }
+
   def planIds: Seq[String] = synchronized(plans.keys.toSeq)
   def isEnabled(id: String): Boolean = synchronized(plans(id).enabled)
   def runningQuery(id: String): Option[StreamingQuery] =
@@ -168,17 +249,13 @@ class ControlPlane(
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.select("value").collect().foreach { row =>
           // a poison-pill message (bad JSON, duplicate planId, unknown
-          // plan) must not kill the control channel: log and continue,
-          // matching the reference's warn-and-drop policy
-          // (AbstractSiddhiOperator.java:402)
-          try {
-            handleJson(row.getString(0)).left.foreach(err =>
-              System.err.println(s"[graft-control] dropped message: $err"))
-          } catch {
-            case e: Exception =>
-              System.err.println(
-                s"[graft-control] dropped message: ${e.getMessage}")
-          }
+          // plan) must not kill the control channel: ack the failure
+          // and continue — the warn-and-drop policy of the reference
+          // (AbstractSiddhiOperator.java:402), with the rejection now
+          // observable from ackLog/listeners, not only driver logs
+          val a = handleJsonAcked(row.getString(0))
+          if (!a.ok)
+            System.err.println(s"[graft-control] dropped message: ${a.error}")
         }
       }
       .start()

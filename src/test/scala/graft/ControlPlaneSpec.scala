@@ -321,6 +321,46 @@ class ControlPlaneSpec extends SparkSpec {
     } finally { channel.stop(); cp.shutdown() }
   }
 
+  test("stream-driven control acks every event, accept and reject") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.range(2).toDF("x").createOrReplaceTempView("ack_src")
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      df.count(); None
+    })
+    val heard = scala.collection.mutable.ArrayBuffer[ControlAck]()
+    cp.addAckListener(heard += _)
+    val input = MemoryStream[String]
+    val channel = cp.attachControlStream(input.toDF())
+    try {
+      input.addData(
+        """{"type":"add","planId":"a1","plan":"SELECT x FROM ack_src"}""",
+        "not json at all",
+        """{"type":"add","planId":"a1","plan":"SELECT 1"}""",
+        """{"type":"update","planId":"nope","plan":"SELECT 1"}""",
+        """{"type":"remove","planId":"a1"}""")
+      channel.processAllAvailable()
+      val got = cp.acks
+      assert(got.map(_.seq) == (1L to 5L), s"one ack per event: $got")
+      assert(got.map(_.ok) == Seq(true, false, false, false, true))
+      // accepted ops carry op+planId and an empty error
+      assert(got.head == ControlAck(1L, "a1", "add", true, ""))
+      assert(got(4) == ControlAck(5L, "a1", "remove", true, ""))
+      // rejections say WHY: unparseable JSON has no op/planId; a
+      // duplicate add and an unknown update name the offending plan
+      assert(got(1).planId == "" && got(1).error.nonEmpty)
+      assert(got(2) == ControlAck(3L, "a1", "add", false,
+        "requirement failed: plan 'a1' already exists"))
+      assert(got(3).planId == "nope" && got(3).op == "update" &&
+        got(3).error.contains("not found"))
+      // the relation surface mirrors the buffer; listener heard all 5
+      val rej = cp.ackLog.filter(!col("ok"))
+        .select("seq").as[Long].collect().sorted
+      assert(rej.toSeq == Seq(2L, 3L, 4L))
+      assert(heard.toSeq == got)
+    } finally { channel.stop(); cp.shutdown() }
+  }
+
   test("disable→enable resumes from checkpoint, no loss/duplication (A14)") {
     import spark.implicits._
     spark.readStream.format("rate").option("rowsPerSecond", "100").load()
