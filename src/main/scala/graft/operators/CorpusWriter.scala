@@ -92,6 +92,140 @@ object CorpusWriter {
       .mode("overwrite").text(outDir)
   }
 
+  // ---- atomic publication (round 11): staging + manifest commit ----
+
+  /** Name of the commit marker a published corpus carries: a manifest
+    * listing every data file and its byte length, written LAST.
+    */
+  val ManifestFile = "_GRAFT_MANIFEST"
+  private val ManifestHeader = "GRAFT-MANIFEST v1"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val rootPath = root.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath)
+        else if (!n.startsWith("_") && !n.startsWith("."))
+          out += ((st.getPath.toUri.getPath.stripPrefix(rootPath)
+            .stripPrefix("/"), st.getLen))
+      }
+    }
+    walk(root)
+    out.sortBy(_._1).toSeq
+  }
+
+  /** Write the commit manifest for `dir`: one `len\trelpath` line per
+    * data file (ignoring `_`/`.` bookkeeping files), headed by a
+    * version line. Written last, via a single driver-side stream —
+    * manifest presence marks the directory COMMITTED.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val files = dataFiles(fs, root)
+    val body = (s"$ManifestHeader ${files.length}" +:
+      files.map { case (p, len) => s"$len\t$p" }).mkString("\n")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, ManifestFile), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Atomic publication: run `write` against a hidden staging sibling,
+    * manifest it, then swap staging into place — a mid-job failure
+    * (or a failure during the swap, before the final manifest exists)
+    * leaves `outDir` either untouched (previous committed corpus
+    * intact) or visibly UNCOMMITTED to [[readCommitted]]; a torn tree
+    * is never silently readable. On rename-atomic filesystems
+    * (HDFS/POSIX) the swap is two metadata ops; on copy-based object
+    * stores the manifest check still gates readers file-by-file, so a
+    * half-copied tree is refused rather than half-read.
+    */
+  def publish(spark: org.apache.spark.sql.SparkSession, outDir: String)(
+      write: String => Unit): Unit = {
+    val (fs, out) = fsOf(spark, outDir)
+    val parent = Option(out.getParent).getOrElse(
+      new org.apache.hadoop.fs.Path("/"))
+    val staging = new org.apache.hadoop.fs.Path(parent,
+      "." + out.getName + ".staging-" + java.util.UUID.randomUUID())
+    try {
+      write(staging.toString)
+      writeManifest(spark, staging.toString)
+      if (fs.exists(out)) fs.delete(out, true)
+      require(fs.rename(staging, out),
+        s"publish: rename $staging -> $out failed")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
+  /** Read a PUBLISHED corpus directory, refusing anything torn: the
+    * manifest must exist (else the write never committed) and every
+    * listed file must be present with its exact manifested length
+    * (else the tree was partially copied or later mutilated).
+    * `format` ∈ parquet/text matches the writer used.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, format: String = "parquet"): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val mPath = new org.apache.hadoop.fs.Path(root, ManifestFile)
+    if (!fs.exists(mPath))
+      throw new IllegalStateException(
+        s"readCommitted: $dir has no $ManifestFile — the corpus was " +
+          "never committed (torn or in-progress write); refusing to read")
+    val in = fs.open(mPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq
+    require(lines.headOption.exists(_.startsWith(ManifestHeader)),
+      s"readCommitted: unrecognized manifest header in $dir")
+    lines.drop(1).filter(_.nonEmpty).foreach { line =>
+      val Array(len, rel) = line.split("\t", 2)
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      val ok = fs.exists(p) && fs.getFileStatus(p).getLen == len.toLong
+      if (!ok) throw new IllegalStateException(
+        s"readCommitted: $dir is torn — manifested file '$rel' " +
+          s"(expected $len bytes) is missing or resized; refusing to read")
+    }
+    format match {
+      case "parquet" => spark.read.parquet(dir)
+      case "text"    => spark.read.text(dir)
+      case other => throw new IllegalArgumentException(
+        s"readCommitted: unsupported format '$other'")
+    }
+  }
+
+  /** [[writeSplits]] under [[publish]] — the form a production corpus
+    * release should use.
+    */
+  def publishSplits(df: DataFrame, idCol: String, outDir: String,
+      splits: Seq[(String, Int)], nFiles: Int = 1): Unit =
+    publish(df.sparkSession, outDir)(
+      writeSplits(df, idCol, _, splits, nFiles))
+
+  /** [[writePacked]] under [[publish]]. */
+  def publishPacked(df: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, budget: Long, outDir: String,
+      shards: Int = 1): Unit =
+    publish(df.sparkSession, outDir)(
+      writePacked(df, textCol, idCol, stratumCol, budget, _, shards))
+
+  /** [[writeJsonlSplits]] under [[publish]]. */
+  def publishJsonlSplits(df: DataFrame, idCol: String, outDir: String,
+      splits: Seq[(String, Int)], nFiles: Int = 1): Unit =
+    publish(df.sparkSession, outDir)(
+      writeJsonlSplits(df, idCol, _, splits, nFiles))
+
   /** The machine-readable DATA CARD that ships with a curated corpus:
     * every audit relation the pipeline produced (domain stats, cluster
     * histograms, per-language fertility, sketch profiles, …)

@@ -186,4 +186,70 @@ class CorpusWriterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("needs a key column"))
   }
+
+  test("publishSplits commits atomically; readCommitted round-trips") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(200).localCheckpoint()
+    val out = tmpDir("pub") + "/corpus"
+    CorpusWriter.publishSplits(docs, "doc_id", out,
+      Seq("train" -> 900, "val" -> 100), nFiles = 2)
+    // committed: manifest present, readCommitted returns the corpus
+    assert(Files.exists(Paths.get(out, CorpusWriter.ManifestFile)))
+    val back = CorpusWriter.readCommitted(spark, out)
+    assert(back.count() == docs.count())
+    // no staging dirs left behind
+    val parent = Paths.get(out).getParent
+    val leftovers = Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("staging")).toSeq
+    assert(leftovers.isEmpty, s"staging dirs left behind: $leftovers")
+    // an unmanifested dir (plain writer) is refused
+    val plain = tmpDir("plain")
+    CorpusWriter.writeSplits(docs, "doc_id", plain,
+      Seq("train" -> 1000), nFiles = 1)
+    val e1 = intercept[IllegalStateException] {
+      CorpusWriter.readCommitted(spark, plain)
+    }
+    assert(e1.getMessage.contains("never committed"))
+  }
+
+  test("a write killed mid-stream leaves the previous corpus intact " +
+      "and the partial output invisible") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(100).localCheckpoint()
+    val out = tmpDir("kill") + "/corpus"
+    CorpusWriter.publishSplits(docs, "doc_id", out,
+      Seq("train" -> 1000), nFiles = 1)
+    val before = CorpusWriter.readCommitted(spark, out).count()
+    // second publication dies AFTER writing real partial data
+    val boom = intercept[RuntimeException] {
+      CorpusWriter.publish(spark, out) { staging =>
+        CorpusWriter.writeSplits(docs.limit(10), "doc_id", staging,
+          Seq("train" -> 1000), nFiles = 1)
+        throw new RuntimeException("executor lost mid-write")
+      }
+    }
+    assert(boom.getMessage.contains("mid-write"))
+    // the OLD corpus is still the committed one, bit-for-bit readable
+    assert(CorpusWriter.readCommitted(spark, out).count() == before)
+    val parent = Paths.get(out).getParent
+    val leftovers = Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("staging")).toSeq
+    assert(leftovers.isEmpty, s"failed staging not cleaned: $leftovers")
+  }
+
+  test("readCommitted refuses a manifested tree with a mutilated file") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(50).localCheckpoint()
+    val out = tmpDir("torn") + "/corpus"
+    CorpusWriter.publishSplits(docs, "doc_id", out,
+      Seq("train" -> 1000), nFiles = 1)
+    // delete one manifested data file (a half-copied object-store tree)
+    val victim = Files.walk(Paths.get(out)).iterator().asScala
+      .find(p => p.toString.endsWith(".parquet")).get
+    Files.delete(victim)
+    val e = intercept[IllegalStateException] {
+      CorpusWriter.readCommitted(spark, out)
+    }
+    assert(e.getMessage.contains("torn"))
+  }
 }
