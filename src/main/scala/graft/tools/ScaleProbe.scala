@@ -104,6 +104,14 @@ object ScaleProbe {
     time("pq_rerank")(graft.operators.Similarity.pqRerank(
       vecs, vecs.filter(col("vec_id") % 2000 === 0), "embedding",
       "vec_id", dim = 64, m = 2, k = 4, topK = 3, rerankDepth = 10))
+    // the full q100 chain (three k-means trainings + ADC + exact
+    // refine) — the heaviest intrinsic-cost query; queries replicate
+    // with the corpus, so shortlist work grows N² while trainings
+    // grow N — the 100× decade run proves the bound holds
+    time("ivf_pq_rerank")(graft.operators.Similarity.ivfPqRerank(
+      vecs, vecs.filter(col("vec_id") % 2000 === 0), "embedding",
+      "vec_id", dim = 64, m = 2, k = 4, nCells = 8, nProbe = 2,
+      topK = 3, rerankDepth = 8))
     // replication multiplies every bigram type's count by N but adds no
     // new types: the model tables stay fixed-size while the probe join
     // fans out — the worst case for the gram-key shuffles
