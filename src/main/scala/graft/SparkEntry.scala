@@ -1667,6 +1667,48 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // SQL:2016 PERMUTE(a, b) — `(a b | b a)` — through the statement
+    // surface, compiled onto the both-in-either-order logical element:
+    // same match set as q33's programmatic AND pattern (shared oracle).
+    "q166_mr_permute" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_permute_q166")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_permute_q166 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (PERMUTE(a, b))
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'error',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // SQL:2016 quantified group `(a b){2,2}` — two full click→view
+    // iterations appending to shared variable slots; the oracle
+    // unrolls the deterministic skip-till-next chain (first view
+    // after the seed click, first click after that view, first view
+    // after that click) per seed.
+    "q167_mr_group" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_group_q167")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_group_q167 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1_id, LAST(a.event_id) AS a2_id,
+          |           FIRST(b.event_id) AS b1_id, LAST(b.event_id) AS b2_id
+          |  PATTERN ((a b){2,2})
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view'
+          |)""".stripMargin))
+    }),
+
     // Right-to-be-forgotten history purge: deleted docs' fingerprints
     // leave the history UNLESS surviving content still carries them;
     // synthesized shared texts straddle the deleted/survivor boundary.
@@ -2181,6 +2223,32 @@ object SparkEntry {
     * after the second click, within 2 h of the FIRST click. One match
     * per leading click (overlapping; no skip-past).
     */
+  /** The q33/q166 AND-pattern replay: each event of either type pairs
+    * with the first later event of the other type within 10 min — the
+    * Logical both-in-either-order element, whether reached through the
+    * programmatic API (q33) or SQL `PERMUTE(a, b)` (q166).
+    */
+  private lazy val q33Oracle: String =
+    """WITH er AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS e_us
+      |    FROM events WHERE event_type = 'error'),
+      |pu AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+      |    FROM events WHERE event_type = 'purchase'),
+      |d1 AS (SELECT er.user_id, er.e_id AS a_id, pu.p_id AS b_id,
+      |    row_number() OVER (PARTITION BY er.user_id, er.e_id
+      |      ORDER BY pu.p_us, pu.p_id) AS rn
+      |  FROM er JOIN pu ON er.user_id = pu.user_id
+      |    AND (pu.p_us > er.e_us OR (pu.p_us = er.e_us AND pu.p_id > er.e_id))
+      |    AND pu.p_us - er.e_us <= 600000000),
+      |d2 AS (SELECT pu.user_id, er.e_id AS a_id, pu.p_id AS b_id,
+      |    row_number() OVER (PARTITION BY pu.user_id, pu.p_id
+      |      ORDER BY er.e_us, er.e_id) AS rn
+      |  FROM pu JOIN er ON er.user_id = pu.user_id
+      |    AND (er.e_us > pu.p_us OR (er.e_us = pu.p_us AND er.e_id > pu.p_id))
+      |    AND er.e_us - pu.p_us <= 600000000)
+      |SELECT user_id, a_id, b_id FROM d1 WHERE rn = 1
+      |UNION ALL
+      |SELECT user_id, a_id, b_id FROM d2 WHERE rn = 1""".stripMargin
+
   private lazy val q34Oracle: String =
     """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us,
       |    lead(event_id) OVER w AS c2_id,
@@ -4137,6 +4205,43 @@ object SparkEntry {
     "q109_incremental_minhash" -> q109Oracle,
     "q152_dedup_recall" -> q152Oracle,
     "q155_kcenter" -> q155Oracle,
+
+    // SQL PERMUTE(a,b) == the q33 AND element — shared replay
+    "q166_mr_permute" -> q33Oracle,
+
+    // quantified group (a b){2,2}: the NFA's skip-till-next chain is
+    // deterministic per seed click — first view after the seed, first
+    // click after that view, first view after that click; every seed
+    // that completes the chain emits exactly one match
+    "q167_mr_group" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'view'),
+        |s1 AS (SELECT c.user_id, c.event_id AS a1, v.event_id AS b1,
+        |    v.us AS b1us,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY v.us, v.event_id) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND (v.us > c.us OR (v.us = c.us AND v.event_id > c.event_id))),
+        |f1 AS (SELECT user_id, a1, b1, b1us FROM s1 WHERE rn = 1),
+        |s2 AS (SELECT f1.user_id, f1.a1, f1.b1, c.event_id AS a2,
+        |    c.us AS a2us,
+        |    row_number() OVER (PARTITION BY f1.user_id, f1.a1
+        |      ORDER BY c.us, c.event_id) AS rn
+        |  FROM f1 JOIN c ON f1.user_id = c.user_id
+        |    AND (c.us > f1.b1us
+        |      OR (c.us = f1.b1us AND c.event_id > f1.b1))),
+        |f2 AS (SELECT user_id, a1, b1, a2, a2us FROM s2 WHERE rn = 1),
+        |s3 AS (SELECT f2.user_id, f2.a1, f2.b1, f2.a2, v.event_id AS b2,
+        |    row_number() OVER (PARTITION BY f2.user_id, f2.a1
+        |      ORDER BY v.us, v.event_id) AS rn
+        |  FROM f2 JOIN v ON f2.user_id = v.user_id
+        |    AND (v.us > f2.a2us
+        |      OR (v.us = f2.a2us AND v.event_id > f2.a2)))
+        |SELECT user_id, a1 AS a1_id, a2 AS a2_id, b1 AS b1_id,
+        |  b2 AS b2_id
+        |FROM s3 WHERE rn = 1""".stripMargin,
     "q156_pack_pairs" -> q156Oracle,
     "q163_pack_pairs_by" -> q163Oracle,
     "q165_incremental_bloom" -> q165Oracle,
@@ -6002,27 +6107,10 @@ object SparkEntry {
         |    AND epoch_us(p.ts) - epoch_us(a.ts) < 300000000)""".stripMargin,
 
     // error-and-purchase in either order: each event of either type pairs
-    // with the first later event of the other type within 10 min
-    "q33_pattern_and" ->
-      """WITH er AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS e_us
-        |    FROM events WHERE event_type = 'error'),
-        |pu AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
-        |    FROM events WHERE event_type = 'purchase'),
-        |d1 AS (SELECT er.user_id, er.e_id AS a_id, pu.p_id AS b_id,
-        |    row_number() OVER (PARTITION BY er.user_id, er.e_id
-        |      ORDER BY pu.p_us, pu.p_id) AS rn
-        |  FROM er JOIN pu ON er.user_id = pu.user_id
-        |    AND (pu.p_us > er.e_us OR (pu.p_us = er.e_us AND pu.p_id > er.e_id))
-        |    AND pu.p_us - er.e_us <= 600000000),
-        |d2 AS (SELECT pu.user_id, er.e_id AS a_id, pu.p_id AS b_id,
-        |    row_number() OVER (PARTITION BY pu.user_id, pu.p_id
-        |      ORDER BY er.e_us, er.e_id) AS rn
-        |  FROM pu JOIN er ON er.user_id = pu.user_id
-        |    AND (er.e_us > pu.p_us OR (er.e_us = pu.p_us AND er.e_id > pu.p_id))
-        |    AND er.e_us - pu.p_us <= 600000000)
-        |SELECT user_id, a_id, b_id FROM d1 WHERE rn = 1
-        |UNION ALL
-        |SELECT user_id, a_id, b_id FROM d2 WHERE rn = 1""".stripMargin,
+    // with the first later event of the other type within 10 min —
+    // shared with q166 (the same semantics through SQL PERMUTE(a,b))
+    "q33_pattern_and" -> q33Oracle,
+
 
     // click pair (each click + the next click) then the first purchase
     // after the second click, within 2 h of the FIRST click — shared

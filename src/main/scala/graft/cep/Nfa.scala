@@ -20,9 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   * external siddhi-core dependency — rebuilt here, not copied).
   *
   * Group layout: each element owns a contiguous range of "slots" in
-  * `Partial.groups` — a Step one slot, a Logical two (left, right), an
-  * Absence one (never filled). Slot→name mapping is static, so match
-  * output construction is a flat scan.
+  * `Partial.groups` — a Step one slot, a Logical two (left, right), a
+  * GroupSeq one per inner step, an Absence one (never filled).
+  * Slot→name mapping is static, so match output construction is a flat
+  * scan. A GroupSeq partial encodes its progress in `curCount` as
+  * `iterationsDone * innerLen + innerPos`.
   *
   * Scale: partial matches are bounded by `maxPartialMatches`; expired
   * partials are pruned on every event using `withinMs`, so per-key state
@@ -35,6 +37,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
   elems.head match {
     case s: Step[E] =>
       require(s.minCount >= 1, "first step must be non-optional")
+    case g: GroupSeq[E] =>
+      require(g.minRepeat >= 1, "first group must be non-optional")
     case _: Logical[E] => ()
     case _: Absence[E] =>
       throw new IllegalArgumentException(
@@ -83,6 +87,12 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
   /** Is the partial's current element satisfied (eligible to advance)? */
   private def complete(p: Partial[E]): Boolean = elems(p.stepIdx) match {
     case s: Step[E] => p.curCount >= s.minCount
+    case g: GroupSeq[E] =>
+      // curCount encodes (iterations, inner position) as
+      // repeats * len + pos — complete at an ITERATION BOUNDARY with
+      // at least minRepeat full iterations
+      p.curCount % g.steps.length == 0 &&
+        p.curCount / g.steps.length >= g.minRepeat
     case l: Logical[E] =>
       val b = slotBase(p.stepIdx)
       if (l.isAnd) slotFilled(p, b) && slotFilled(p, b + 1)
@@ -124,6 +134,9 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       next += np.copy(stepIdx = np.stepIdx + 1, curCount = 0, elemTs = t)
       val canGrow = elems(np.stepIdx) match {
         case s: Step[E] => np.curCount < s.maxCount
+        case g: GroupSeq[E] =>
+          // Long arithmetic: maxRepeat may be Int.MaxValue (`+`/`*`)
+          np.curCount.toLong < g.maxRepeat.toLong * g.steps.length
         case _ => false
       }
       if (canGrow) next += np
@@ -219,6 +232,23 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               moved = true
               if (p.curCount >= s.minCount) keepOriginal = true
             }
+          case g: GroupSeq[E] =>
+            // the group cycles its inner position: bind the event to
+            // the CURRENT inner step; extension from a complete state
+            // (iteration boundary, >= minRepeat) is a branch — the
+            // un-extended partial stays live to advance with fewer
+            // iterations (the Step at/after-minCount convention)
+            val len = g.steps.length
+            val pos = p.curCount % len
+            // Long arithmetic: maxRepeat may be Int.MaxValue (`+`/`*`)
+            if (p.curCount.toLong < g.maxRepeat.toLong * len &&
+                g.steps(pos).predicate(e)) {
+              val np = p.copy(curCount = p.curCount + 1,
+                groups = bound(p, slotBase(p.stepIdx) + pos, e))
+              if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+              moved = true
+              if (complete(p)) keepOriginal = true
+            }
           case l: Logical[E] =>
             val b = slotBase(p.stepIdx)
             val leftOpen = !slotFilled(p, b)
@@ -256,6 +286,14 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                   moved = true
                 }
                 if (sj.minCount == 0) j += 1 else scan = false
+              case gj: GroupSeq[E] =>
+                if (gj.maxRepeat >= 1 && gj.steps(0).predicate(e)) {
+                  val np = Partial(j, 1, p.startTs,
+                    bound(p, slotBase(j), e), elemTs = t)
+                  if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+                  moved = true
+                }
+                if (gj.minRepeat == 0) j += 1 else scan = false
               case lj: Logical[E] =>
                 val bj = slotBase(j)
                 val slot =
@@ -283,7 +321,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               (p.curCount < s.minCount && s.strict) ||
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
-            case _: Logical[E] =>
+            case _: Logical[E] | _: GroupSeq[E] =>
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Absence[E] => false
@@ -306,6 +344,11 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       elems.head match {
         case s: Step[E] =>
           if (s.predicate(e)) {
+            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
+            if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+          }
+        case g: GroupSeq[E] =>
+          if (g.steps(0).predicate(e)) {
             val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }

@@ -56,6 +56,31 @@ object Logical {
     Logical(left, right, isAnd = false)
 }
 
+/** Quantified concatenation group `(s1 s2 … sk){min,max}` — SQL:2016
+  * MATCH_RECOGNIZE's quantified group, under the engine's relaxed
+  * (skip-till-next-match) semantics: each iteration binds ONE event per
+  * inner step, in inner order; iteration r's events append to the same
+  * per-step slots, so `a` in `(a b)+` exposes every iteration's `a`
+  * events in bind order (the [[Step]] count-quantifier convention,
+  * generalized to a sequence). Completion follows the engine-wide
+  * greedy-min rule: the group is satisfied at `minRepeat` full
+  * iterations (emitting there when it is the last element) and may keep
+  * growing toward `maxRepeat` while the pattern continues.
+  *
+  * Inner steps are plain variables (no nested quantifier/strictness) —
+  * the SQL dialect fails fast on anything deeper, matching the subset
+  * the engines this mirrors (Flink CEP, Trino) support natively.
+  */
+final case class GroupSeq[E](steps: IndexedSeq[Step[E]], minRepeat: Int,
+    maxRepeat: Int) extends PatternElem[E] {
+  require(steps.nonEmpty, "group needs at least one inner step")
+  require(steps.forall(s => s.minCount == 1 && s.maxCount == 1 && !s.strict),
+    "group inner steps must be plain variables (no quantifier/strict)")
+  require(minRepeat >= 0 && maxRepeat >= math.max(minRepeat, 1),
+    s"bad group quantifier {$minRepeat,$maxRepeat}")
+  def names: IndexedSeq[String] = steps.map(_.name)
+}
+
 /** `not step for forMs` absence element: armed when the previous element
   * completes (at event time τ); a qualifying event with ts in
   * [τ, τ + forMs) kills the partial; once time reaches τ + forMs the

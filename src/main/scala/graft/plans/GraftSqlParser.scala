@@ -68,7 +68,9 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *            MATCH_START AS s, MATCH_END AS e
   *   AFTER MATCH SKIP PAST LAST ROW    -- optional (default: overlap)
   *   PATTERN (a b+ (c|d))              -- quantifiers: + * ? {m,n};
-  *                                     -- binary alternation (x|y)
+  *                                     -- binary alternation (x|y);
+  *                                     -- binary PERMUTE(x,y);
+  *                                     -- quantified groups (x y)+
   *   WITHIN 600000000                  -- optional, in ORDER BY units
   *   EVENTTIME ts                      -- streaming tables only: the
   *                                     -- watermarked timestamp column
@@ -98,12 +100,20 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * RUNNING is not supported), and MEASURES itself optional. Unmatched
   * rows are omitted (standard default, no WITH UNMATCHED ROWS).
   *
+  * `PERMUTE(x, y)` (SQL:2016 `(x y | y x)`) compiles to the operator's
+  * both-in-either-order logical element; quantified concatenation
+  * groups `(x y)+` / `(x y)*` / `(x y)?` / `(x y){m,n}` to the
+  * [[graft.cep.GroupSeq]] NFA element — each iteration binds one event
+  * per inner variable in order, iterations share the per-variable
+  * slots, and completion is greedy-min (the group is satisfied — and
+  * emits, when last — at `m` full iterations).
+  *
   * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
   * (same output schema, watermark-buffered NFA) and requires the
-  * EVENTTIME clause. Not supported (fail fast): nested/quantified
-  * PATTERN groups, DEFINE predicates referencing pattern variables,
-  * RUNNING measures, AFTER MATCH skip modes other than SKIP PAST
-  * LAST ROW.
+  * EVENTTIME clause. Not supported (fail fast): PERMUTE of 3+
+  * variables, quantified alternations, groups nested inside groups,
+  * DEFINE predicates referencing pattern variables, RUNNING measures,
+  * AFTER MATCH skip modes other than SKIP PAST LAST ROW.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -245,35 +255,66 @@ private[plans] object MatchRecognizeSql {
       "ORDER BY takes (event-time[, tie-break])")
     val (tsCol, tieCol) = (order.head, order.lift(1).getOrElse(order.head))
 
-    // PATTERN (a b+ c{2,3} (d|e)) — linear concatenation of quantified
-    // variables and binary alternation groups. An alternation group maps
-    // onto the operator's EOr element (first event matching either side
-    // completes it); nested or quantified groups fail fast.
+    // PATTERN (a b+ c{2,3} (d|e) PERMUTE(f,g) (h i)+) — linear
+    // concatenation of quantified variables, binary alternation groups,
+    // binary PERMUTE groups and quantified concatenation groups. An
+    // alternation maps onto the operator's EOr element (first event
+    // matching either side completes it); PERMUTE(x,y) — SQL:2016's
+    // (x y | y x) — onto EAnd (both bind, either arrival order);
+    // (v1 v2 …){m,n}/+/*/? onto EGroup (per-iteration sequence, shared
+    // slots across iterations). PERMUTE of 3+ variables, quantified
+    // alternations and deeper nesting fail fast.
     val patBody = need("pattern").trim
     require(patBody.startsWith("(") && patBody.endsWith(")"),
       "PATTERN needs parentheses")
+    // normalize "PERMUTE (" so the top-level space split keeps each
+    // PERMUTE group a single token
     val inner = patBody.substring(1, patBody.length - 1).trim
+      .replaceAll("""(?i)(?<!\w)permute\s*\(""", "permute(")
     sealed trait PatElem
     case class Single(name: String, min: Int, max: Int) extends PatElem
     case class Alt(leftName: String, rightName: String) extends PatElem
+    case class Perm(leftName: String, rightName: String) extends PatElem
+    case class Grp(names: Seq[String], min: Int, max: Int) extends PatElem
     val altRe = """\(\s*(\w+)\s*\|\s*(\w+)\s*\)""".r
+    val permRe = """(?i)permute\(([^()]*)\)""".r
+    val grpRe = """\(([^()|]*)\)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
+    def quantBounds(q: String, mn: String, mx: String): (Int, Int) =
+      q match {
+        case null => (1, 1)
+        case "+" => (1, Int.MaxValue)
+        case "*" => (0, Int.MaxValue)
+        case "?" => (0, 1)
+        case _ => (mn.toInt, mx.toInt)
+      }
     val patElems: Seq[PatElem] = splitTopLevel(inner, ' ').map {
+      case permRe(vars) =>
+        val vs = vars.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(vs.forall(_.matches("\\w+")),
+          s"bad PERMUTE variables: $vars")
+        require(vs.length == 2,
+          s"PERMUTE supports exactly 2 variables (got ${vs.length}: " +
+            s"$vars) — expand 3+ permutations manually")
+        Perm(vs(0), vs(1))
       case altRe(l, r) => Alt(l, r)
       case quantRe(name, q, mn, mx) =>
-        q match {
-          case null => Single(name, 1, 1)
-          case "+" => Single(name, 1, Int.MaxValue)
-          case "*" => Single(name, 0, Int.MaxValue)
-          case "?" => Single(name, 0, 1)
-          case _ => Single(name, mn.toInt, mx.toInt)
-        }
+        val (lo, hi) = quantBounds(q, mn, mx)
+        Single(name, lo, hi)
+      case grpRe(vars, q, mn, mx) if vars.trim.matches("""\w+(\s+\w+)+""") =>
+        val (lo, hi) = quantBounds(q, mn, mx)
+        require(hi >= 1, "group quantifier needs max >= 1")
+        Grp(vars.trim.split("\\s+").toSeq, lo, hi)
       case other => throw new IllegalArgumentException(
         s"bad PATTERN element: $other (variables may carry + * ? {m,n}; " +
-          "groups must be a binary alternation '(x|y)')")
+          "groups must be a binary alternation '(x|y)', a binary " +
+          "'PERMUTE(x,y)', or a quantified sequence '(x y)+/*/?/{m,n}' " +
+          "of plain variables)")
     }
     val varNames = patElems.flatMap {
       case Single(n, _, _) => Seq(n)
       case Alt(l, r) => Seq(l, r)
+      case Perm(l, r) => Seq(l, r)
+      case Grp(ns, _, _) => ns
     }
     require(varNames.distinct.length == varNames.length,
       "duplicate PATTERN variables")
@@ -306,6 +347,9 @@ private[plans] object MatchRecognizeSql {
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) => MatchRecognize.EStep(n, pred(n), mn, mx)
       case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
+      case Perm(l, r) => MatchRecognize.EAnd(l, pred(l), r, pred(r))
+      case Grp(ns, mn, mx) =>
+        MatchRecognize.EGroup(ns.map(n => n -> pred(n)), mn, mx)
     }
     val src = session.table(table)
     val matched =

@@ -27,6 +27,13 @@ final case class LogicalSpec(leftName: String, rightName: String,
 final case class AbsenceSpec(name: String, forTs: Long) extends MatchElemSpec {
   def names: Seq[String] = Seq(name); def arity = 1
 }
+/** Quantified concatenation group `(v1 v2 …){min,max}` — one predicate
+  * per inner variable, in order ([[graft.cep.GroupSeq]] semantics).
+  */
+final case class GroupSpec(groupNames: Seq[String], minRepeat: Int,
+    maxRepeat: Int) extends MatchElemSpec {
+  def names: Seq[String] = groupNames; def arity: Int = groupNames.length
+}
 
 /** MATCH_RECOGNIZE-style logical operator: per `keys` group, events
   * ordered by (`ts`, `tie`) run through the CEP NFA; each completed match
@@ -88,6 +95,13 @@ object MatchRecognize {
   /** `not pred for forTs`: absence window in `ts` units. */
   final case class ENotFor(name: String, pred: Column, forTs: Long)
       extends Elem
+  /** Quantified concatenation group `(v1 v2 …){min,max}` (SQL:2016
+    * `(a b)+` family): each iteration binds one event per inner
+    * variable in order; iterations append to the same per-variable
+    * slots ([[graft.cep.GroupSeq]] semantics — greedy-min completion).
+    */
+  final case class EGroup(steps: Seq[(String, Column)], minRepeat: Int,
+      maxRepeat: Int) extends Elem
 
   /** @param tsCol    event-time column (LongType, any unit — `withinTs` /
     *                 `ENotFor.forTs` are in the same unit)
@@ -129,6 +143,8 @@ object MatchRecognize {
         (LogicalSpec(ln, rn, isAnd = false), Seq(resolve(lp), resolve(rp)))
       case ENotFor(n, p, f) =>
         (AbsenceSpec(n, f), Seq(resolve(p)))
+      case EGroup(ss, mn, mx) =>
+        (GroupSpec(ss.map(_._1), mn, mx), ss.map(s => resolve(s._2)))
     }.unzip
 
     // step names share the output row with the partition keys and the
@@ -165,6 +181,7 @@ object MatchRecognize {
       case EAnd(l, _, r, _)     => Seq(l, r)
       case EOr(l, _, r, _)      => Seq(l, r)
       case ENotFor(n, _, _)     => Seq(n)
+      case EGroup(ss, _, _)     => ss.map(_._1)
     }
 
   /** ALL ROWS PER MATCH shaping: explode a one-row-per-match frame (the
@@ -250,7 +267,7 @@ object MatchRecognize {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, MapType, StructField, StructType}
-    import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, Step}
+    import graft.cep.{Absence, Cep, GroupSeq, Logical, PatternDef, PatternElem, Step}
     require(df.isStreaming, "streaming() needs a streaming DataFrame; " +
       "use MatchRecognize(...) for batch")
 
@@ -259,6 +276,7 @@ object MatchRecognize {
       case EAnd(_, lp, _, rp)   => Seq(lp, rp)
       case EOr(_, lp, _, rp)    => Seq(lp, rp)
       case ENotFor(_, p, _)     => Seq(p)
+      case EGroup(ss, _, _)     => ss.map(_._2)
     }
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
       lit(false))): _*)
@@ -287,6 +305,9 @@ object MatchRecognize {
           flagStep(rn, 1, 1, strict = false), isAnd = false)
       case ENotFor(n, _, f) =>
         Absence[Row](flagStep(n, 1, 1, strict = false), f)
+      case EGroup(ss, mn, mx) =>
+        GroupSeq[Row](ss.map(x =>
+          flagStep(x._1, 1, 1, strict = false)).toIndexedSeq, mn, mx)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow)
@@ -342,7 +363,7 @@ object MatchRecognize {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
-    import graft.cep.{Absence, Cep, Logical, PatternDef, PatternElem, Step}
+    import graft.cep.{Absence, Cep, GroupSeq, Logical, PatternDef, PatternElem, Step}
     require(df.isStreaming, "streamingFull() needs a streaming DataFrame; " +
       "use MatchRecognize(...) for batch")
 
@@ -351,6 +372,7 @@ object MatchRecognize {
       case EAnd(_, lp, _, rp)   => Seq(lp, rp)
       case EOr(_, lp, _, rp)    => Seq(lp, rp)
       case ENotFor(_, p, _)     => Seq(p)
+      case EGroup(ss, _, _)     => ss.map(_._2)
     }
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
       lit(false))): _*)
@@ -381,6 +403,9 @@ object MatchRecognize {
           flagStep(rn, 1, 1, strict = false), isAnd = false)
       case ENotFor(n, _, f) =>
         Absence[Row](flagStep(n, 1, 1, strict = false), f)
+      case EGroup(ss, mn, mx) =>
+        GroupSeq[Row](ss.map(x =>
+          flagStep(x._1, 1, 1, strict = false)).toIndexedSeq, mn, mx)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternMatch, Step}
+import graft.cep.{Absence, GroupSeq, Logical, Nfa, PatternDef, PatternMatch, Step}
 
 /** Planner strategy for [[MatchRecognizeNode]] — registered either via
   * `SparkSessionExtensions.injectPlannerStrategy` ([[GraftExtensions]])
@@ -106,6 +106,9 @@ case class MatchRecognizeExec(
             mkStep(rn, 1, 1, strict = false), isAnd)
         case AbsenceSpec(n, f) =>
           Absence(mkStep(n, 1, 1, strict = false), f)
+        case GroupSpec(ns, mn, mx) =>
+          GroupSeq(ns.map(n =>
+            mkStep(n, 1, 1, strict = false)).toIndexedSeq, mn, mx)
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)

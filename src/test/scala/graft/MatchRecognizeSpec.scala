@@ -661,4 +661,151 @@ class MatchRecognizeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 3L, 2L), (2L, 5L, 6L)))
   }
+
+  test("SQL PERMUTE(a,b) == programmatic EAnd (either-order binding)") {
+    val df = Seq(
+      (1L, 10L, 1L, "B"), (2L, 20L, 1L, "A"),   // user 1: b then a
+      (3L, 10L, 2L, "A"), (4L, 20L, 2L, "B"),   // user 2: a then b
+      (5L, 10L, 3L, "A"), (6L, 20L, 3L, "C"))   // user 3: never completes
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_permute_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val viaSql = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_permute_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (PERMUTE(a, b))
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSql == Set((1L, 2L, 1L), (2L, 3L, 4L)))
+    val viaApi = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EAnd("a", $"event_type" === "A", "b", $"event_type" === "B")))
+      .select($"user_id",
+        element_at($"a", 1).getField("event_id").as("a_id"),
+        element_at($"b", 1).getField("event_id").as("b_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSql == viaApi)
+    // 3+ variables fail fast with the documented message
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_permute_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (PERMUTE(a, b, c))
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("exactly 2"))
+  }
+
+  test("SQL quantified group (a b){2,2} == programmatic EGroup; " +
+      "measures aggregate across iterations") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
+      (4L, 40L, 1L, "B"),                       // user 1: two iterations
+      (5L, 10L, 2L, "A"), (6L, 20L, 2L, "B"))   // user 2: only one
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_group_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val viaSql = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_group_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first,
+          |           LAST(a.event_id) AS a_last,
+          |           COUNT(b.*) AS n_b
+          |  PATTERN ((a b){2,2})
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // only user 1 reaches two full iterations; a_first/a_last span them
+    assert(viaSql == Set((1L, 1L, 3L, 2)))
+    val viaApi = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(MatchRecognize.EGroup(Seq(
+          "a" -> ($"event_type" === "A"),
+          "b" -> ($"event_type" === "B")), 2, 2)))
+      .select($"user_id",
+        element_at($"a", 1).getField("event_id").as("a_first"),
+        element_at($"a", -1).getField("event_id").as("a_last"),
+        size($"b").as("n_b"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(viaSql == viaApi)
+  }
+
+  test("SQL (a b)+ emits greedy-min one-iteration matches; quantified " +
+      "alternation stays rejected") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 30L, 1L, "A"), (4L, 40L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_groupplus_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_groupplus_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN ((a b)+)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 3L, 4L)))
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_groupplus_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN ((a|b)+)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("bad PATTERN element"))
+  }
+
+  test("streaming SQL MATCH_RECOGNIZE accepts a quantified group") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[REv]
+    input.toDF()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+      .withWatermark("ets", "0 seconds")
+      .createOrReplaceTempView("mr_group_stream")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_group_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first, COUNT(b.*) AS n_b
+          |  PATTERN ((a b){2,2})
+          |  EVENTTIME ets
+          |  TSSCALE 1000
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+    val q = out.writeStream.format("memory")
+      .queryName("mr_group_stream_out").outputMode("append").start()
+    try {
+      input.addData(REv(1, 10000000L, 1, "A"), REv(2, 20000000L, 1, "B"),
+        REv(3, 30000000L, 1, "A"), REv(4, 40000000L, 1, "B"))
+      q.processAllAvailable()
+      input.addData(REv(9, 99000000L, 9, "Z")) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("mr_group_stream_out")
+        .select($"user_id", $"a_first", $"n_b")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(rows == Set((1L, 1L, 2)))
+    } finally q.stop()
+  }
 }

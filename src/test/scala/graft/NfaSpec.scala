@@ -233,4 +233,84 @@ class NfaSpec extends AnyFunSuite {
     assert(endTs == endTs.sorted, s"emissions out of deadline order: $endTs")
     assert(endTs.take(3) == Seq(41L, 188L, 188L))
   }
+
+  test("group (a b){2,3}: iterations append to shared slots, greedy-min " +
+      "emission at the iteration boundary") {
+    import graft.cep.GroupSeq
+    val pat = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B")), 2, 3)))
+    val evs = Seq(E(1, 10, "A"), E(2, 20, "B"), E(3, 30, "A"),
+      E(4, 40, "B"), E(5, 50, "A"), E(6, 60, "B"))
+    val ms = run(pat, evs)
+    // every A seeds a start; each start emits at exactly 2 full
+    // iterations (greedy-min, the a{2,3} Step convention); the start at
+    // 50 never reaches 2 iterations
+    assert(ms.map(m => (m.startTs, m.endTs, ids(m, "a"), ids(m, "b")))
+      .toSet == Set(
+        (10L, 40L, Seq(1L, 3L), Seq(2L, 4L)),
+        (30L, 60L, Seq(3L, 5L), Seq(4L, 6L))))
+  }
+
+  test("group (a b)+ as last element emits one-iteration matches " +
+      "(greedy-min), mid-iteration partials never emit") {
+    import graft.cep.GroupSeq
+    val pat = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B")),
+      1, Int.MaxValue)))
+    val evs = Seq(E(1, 10, "A"), E(2, 20, "B"), E(3, 30, "A"),
+      E(4, 40, "C"), E(5, 50, "B"))
+    val ms = run(pat, evs)
+    // starts at 10 and 30 each complete one iteration (the C at 40 is
+    // skipped — relaxed semantics); a lone A never emits
+    assert(ms.map(m => (ids(m, "a"), ids(m, "b"))).toSet ==
+      Set((Seq(1L), Seq(2L)), (Seq(3L), Seq(5L))))
+  }
+
+  test("group mid-pattern branches: both the min and the grown " +
+      "iteration counts advance into the tail") {
+    import graft.cep.GroupSeq
+    val pat = PatternDef[E](IndexedSeq(
+      GroupSeq[E](IndexedSeq(
+        Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B")), 1, 2),
+      Step[E]("c", _.typ == "C")))
+    val evs = Seq(E(1, 10, "A"), E(2, 20, "B"), E(3, 30, "A"),
+      E(4, 40, "B"), E(5, 50, "C"))
+    val ms = run(pat, evs)
+    assert(ms.map(m => (ids(m, "a"), ids(m, "b"), ids(m, "c"))).toSet ==
+      Set((Seq(1L, 3L), Seq(2L, 4L), Seq(5L)),  // 2-iteration branch
+        (Seq(1L), Seq(2L), Seq(5L)),            // 1-iteration branch
+        (Seq(3L), Seq(4L), Seq(5L))))           // every-seeded start
+  }
+
+  test("optional group (a b)* is skippable from the preceding element") {
+    import graft.cep.GroupSeq
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("x", _.typ == "X"),
+      GroupSeq[E](IndexedSeq(
+        Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B")),
+        0, Int.MaxValue),
+      Step[E]("c", _.typ == "C")))
+    // group skipped entirely
+    val ms1 = run(pat, Seq(E(1, 10, "X"), E(2, 20, "C")))
+    assert(ms1.map(m => (ids(m, "x"), m.get("a").map(_.id),
+      ids(m, "c"))) == Seq((Seq(1L), Seq(), Seq(2L))))
+    // an A arriving first COMMITS the partial into the group
+    // (skip-till-next-match: the first qualifying event advances —
+    // the same convention as an optional Step)
+    val ms2 = run(pat, Seq(E(1, 10, "X"), E(2, 20, "A"), E(3, 30, "B"),
+      E(4, 40, "C")))
+    assert(ms2.map(m => (ids(m, "x"), ids(m, "a"), ids(m, "b"),
+      ids(m, "c"))).toSet ==
+        Set((Seq(1L), Seq(2L), Seq(3L), Seq(4L))))
+  }
+
+  test("group head must be non-optional; inner steps must be plain") {
+    import graft.cep.GroupSeq
+    val bad = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B")),
+      0, Int.MaxValue)))
+    assertThrows[IllegalArgumentException](new Nfa[E](bad, _.ts))
+    assertThrows[IllegalArgumentException](GroupSeq[E](IndexedSeq(
+      Step[E]("a", _.typ == "A", minCount = 1, maxCount = 2)), 1, 2))
+  }
 }
