@@ -1687,6 +1687,30 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // N-ary PERMUTE(a, b, c) — one event per variable in ANY arrival
+    // order (the graft.cep.Permute element; binary PERMUTE rides the
+    // logical element instead). Oracle: the seed is the earliest
+    // member, so each match = seed + first later event of each other
+    // type inside the window, replayed per seed type.
+    "q168_mr_permute3" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_permute3_q168")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_permute3_q168 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (PERMUTE(a, b, c))
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'error',
+          |         b AS event_type = 'purchase',
+          |         c AS event_type = 'view'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 quantified group `(a b){2,2}` — two full click→view
     // iterations appending to shared variable slots; the oracle
     // unrolls the deterministic skip-till-next chain (first view
@@ -4208,6 +4232,68 @@ object SparkEntry {
 
     // SQL PERMUTE(a,b) == the q33 AND element — shared replay
     "q166_mr_permute" -> q33Oracle,
+
+    // n-ary PERMUTE: a match's seed is its earliest member (min ts,id
+    // of the triple), so every match = one seed event + the first
+    // later event of EACH other type, all within the window of the
+    // seed — three seed-type branches, two rn=1 elections each
+    "q168_mr_permute3" ->
+      """WITH er AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'error'),
+        |pu AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'purchase'),
+        |vw AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'view'),
+        |e_p AS (SELECT * FROM (SELECT e.user_id, e.id AS sid, p.id AS oid,
+        |    row_number() OVER (PARTITION BY e.user_id, e.id
+        |      ORDER BY p.us, p.id) AS rn
+        |  FROM er e JOIN pu p ON e.user_id = p.user_id
+        |    AND (p.us > e.us OR (p.us = e.us AND p.id > e.id))
+        |    AND p.us - e.us <= 7200000000) WHERE rn = 1),
+        |e_v AS (SELECT * FROM (SELECT e.user_id, e.id AS sid, v.id AS oid,
+        |    row_number() OVER (PARTITION BY e.user_id, e.id
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM er e JOIN vw v ON e.user_id = v.user_id
+        |    AND (v.us > e.us OR (v.us = e.us AND v.id > e.id))
+        |    AND v.us - e.us <= 7200000000) WHERE rn = 1),
+        |p_e AS (SELECT * FROM (SELECT p.user_id, p.id AS sid, e.id AS oid,
+        |    row_number() OVER (PARTITION BY p.user_id, p.id
+        |      ORDER BY e.us, e.id) AS rn
+        |  FROM pu p JOIN er e ON p.user_id = e.user_id
+        |    AND (e.us > p.us OR (e.us = p.us AND e.id > p.id))
+        |    AND e.us - p.us <= 7200000000) WHERE rn = 1),
+        |p_v AS (SELECT * FROM (SELECT p.user_id, p.id AS sid, v.id AS oid,
+        |    row_number() OVER (PARTITION BY p.user_id, p.id
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM pu p JOIN vw v ON p.user_id = v.user_id
+        |    AND (v.us > p.us OR (v.us = p.us AND v.id > p.id))
+        |    AND v.us - p.us <= 7200000000) WHERE rn = 1),
+        |v_e AS (SELECT * FROM (SELECT v.user_id, v.id AS sid, e.id AS oid,
+        |    row_number() OVER (PARTITION BY v.user_id, v.id
+        |      ORDER BY e.us, e.id) AS rn
+        |  FROM vw v JOIN er e ON v.user_id = e.user_id
+        |    AND (e.us > v.us OR (e.us = v.us AND e.id > v.id))
+        |    AND e.us - v.us <= 7200000000) WHERE rn = 1),
+        |v_p AS (SELECT * FROM (SELECT v.user_id, v.id AS sid, p.id AS oid,
+        |    row_number() OVER (PARTITION BY v.user_id, v.id
+        |      ORDER BY p.us, p.id) AS rn
+        |  FROM vw v JOIN pu p ON v.user_id = p.user_id
+        |    AND (p.us > v.us OR (p.us = v.us AND p.id > v.id))
+        |    AND p.us - v.us <= 7200000000) WHERE rn = 1)
+        |SELECT e_p.user_id, e_p.sid AS a_id, e_p.oid AS b_id,
+        |  e_v.oid AS c_id
+        |FROM e_p JOIN e_v ON e_p.user_id = e_v.user_id
+        |  AND e_p.sid = e_v.sid
+        |UNION ALL
+        |SELECT p_e.user_id, p_e.oid AS a_id, p_e.sid AS b_id,
+        |  p_v.oid AS c_id
+        |FROM p_e JOIN p_v ON p_e.user_id = p_v.user_id
+        |  AND p_e.sid = p_v.sid
+        |UNION ALL
+        |SELECT v_e.user_id, v_e.oid AS a_id, v_p.oid AS b_id,
+        |  v_e.sid AS c_id
+        |FROM v_e JOIN v_p ON v_e.user_id = v_p.user_id
+        |  AND v_e.sid = v_p.sid""".stripMargin,
 
     // quantified group (a b){2,2}: the NFA's skip-till-next chain is
     // deterministic per seed click — first view after the seed, first

@@ -21,7 +21,8 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Group layout: each element owns a contiguous range of "slots" in
   * `Partial.groups` — a Step one slot, a Logical two (left, right), a
-  * GroupSeq one per inner step, an Absence one (never filled).
+  * GroupSeq or Permute one per inner step, an Absence one (never
+  * filled).
   * Slot→name mapping is static, so match output construction is a flat
   * scan. A GroupSeq partial encodes its progress in `curCount` as
   * `iterationsDone * innerLen + innerPos`.
@@ -39,7 +40,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       require(s.minCount >= 1, "first step must be non-optional")
     case g: GroupSeq[E] =>
       require(g.minRepeat >= 1, "first group must be non-optional")
-    case _: Logical[E] => ()
+    case _: Logical[E] | _: Permute[E] => ()
     case _: Absence[E] =>
       throw new IllegalArgumentException(
         "pattern cannot start with an absence element")
@@ -97,6 +98,9 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       val b = slotBase(p.stepIdx)
       if (l.isAnd) slotFilled(p, b) && slotFilled(p, b + 1)
       else slotFilled(p, b) || slotFilled(p, b + 1)
+    case pm: Permute[E] =>
+      val b = slotBase(p.stepIdx)
+      pm.steps.indices.forall(i => slotFilled(p, b + i))
     case _: Absence[E] => false // only time completes an absence
   }
 
@@ -265,6 +269,18 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
               moved = true
             }
+          case pm: Permute[E] =>
+            // bind the FIRST declaration-order unbound step the event
+            // satisfies (the Logical left-priority rule, k sides)
+            val b = slotBase(p.stepIdx)
+            val i = pm.steps.indices.find(i =>
+              !slotFilled(p, b + i) && pm.steps(i).predicate(e))
+            i.foreach { slot =>
+              val np = p.copy(curCount = p.curCount + 1,
+                groups = bound(p, b + slot, e))
+              if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+              moved = true
+            }
           case a: Absence[E] =>
             // promote() already ran, so t is inside the window here: a
             // qualifying event violates the absence — the partial dies
@@ -307,6 +323,17 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                   moved = true
                 }
                 scan = false
+              case pj: Permute[E] =>
+                val bj = slotBase(j)
+                pj.steps.indices.find(i => pj.steps(i).predicate(e))
+                  .foreach { i =>
+                    val np = Partial(j, 1, p.startTs,
+                      bound(p, bj + i, e), elemTs = t)
+                    if (!emitIfComplete(np, evOut, t))
+                      addPartial(np, t, next)
+                    moved = true
+                  }
+                scan = false
               case _: Absence[E] =>
                 scan = false
             }
@@ -321,7 +348,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               (p.curCount < s.minCount && s.strict) ||
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
-            case _: Logical[E] | _: GroupSeq[E] =>
+            case _: Logical[E] | _: GroupSeq[E] | _: Permute[E] =>
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Absence[E] => false
@@ -363,6 +390,13 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             val np = Partial(0, 1, t, g, elemTs = t)
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
+        case pm: Permute[E] =>
+          pm.steps.indices.find(i => pm.steps(i).predicate(e))
+            .foreach { i =>
+              val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(e)
+              val np = Partial(0, 1, t, g, elemTs = t)
+              if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+            }
         case _: Absence[E] => () // unreachable (head require)
       }
     }

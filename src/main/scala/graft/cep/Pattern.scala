@@ -81,6 +81,20 @@ final case class GroupSeq[E](steps: IndexedSeq[Step[E]], minRepeat: Int,
   def names: IndexedSeq[String] = steps.map(_.name)
 }
 
+/** N-ary permutation element `PERMUTE(s1, …, sk)` — SQL:2016's
+  * all-orderings group under relaxed matching: binds EXACTLY ONE event
+  * per inner step, in ANY arrival order, completing when every step is
+  * bound. An event binds the FIRST (declaration-order) unbound step
+  * whose predicate it satisfies — the [[Logical]] left-priority rule
+  * generalized to k sides; [[Logical]]`.and` is the k = 2 case.
+  */
+final case class Permute[E](steps: IndexedSeq[Step[E]]) extends PatternElem[E] {
+  require(steps.length >= 2, "permute needs at least 2 inner steps")
+  require(steps.forall(s => s.minCount == 1 && s.maxCount == 1 && !s.strict),
+    "permute inner steps must be plain variables (no quantifier/strict)")
+  def names: IndexedSeq[String] = steps.map(_.name)
+}
+
 /** `not step for forMs` absence element: armed when the previous element
   * completes (at event time τ); a qualifying event with ts in
   * [τ, τ + forMs) kills the partial; once time reaches τ + forMs the

@@ -336,14 +336,19 @@ object TrainingDataPipeline {
     // one file per partition dir, deterministic in-file order)
     val outRoot = java.nio.file.Files
       .createTempDirectory("graft-corpus").toString
-    CorpusWriter.writeSplits(tempered, "doc_id", s"$outRoot/splits",
+    // atomically: staging write + manifest commit, so a mid-job crash
+    // can never leave a torn tree a trainer would half-read; reads go
+    // through readCommitted, which verifies the manifest
+    CorpusWriter.publishSplits(tempered, "doc_id", s"$outRoot/splits",
       Seq(("train", 900), ("val", 50), ("test", 50)), nFiles = 8)
-    CorpusWriter.writePacked(packInput, "text", "uid", "lang",
+    CorpusWriter.publishPacked(packInput, "text", "uid", "lang",
       budget = 2048, outDir = s"$outRoot/packed", shards = 4)
-    val wrote = spark.read.parquet(s"$outRoot/splits").count()
-    val wrotePacked = spark.read.parquet(s"$outRoot/packed").count()
+    val wrote = CorpusWriter.readCommitted(spark, s"$outRoot/splits")
+      .count()
+    val wrotePacked = CorpusWriter
+      .readCommitted(spark, s"$outRoot/packed").count()
     println(s"STAGE corpus_write    split_rows=$wrote " +
-      s"packed_rows=$wrotePacked dir=$outRoot")
+      s"packed_rows=$wrotePacked dir=$outRoot (manifest-committed)")
 
     // 8. the DATA CARD: every audit relation this pipeline printed,
     // shipped WITH the corpus as one section-partitioned parquet —

@@ -101,7 +101,10 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * rows are omitted (standard default, no WITH UNMATCHED ROWS).
   *
   * `PERMUTE(x, y)` (SQL:2016 `(x y | y x)`) compiles to the operator's
-  * both-in-either-order logical element; quantified concatenation
+  * both-in-either-order logical element, and `PERMUTE(x, y, z, …)` to
+  * the n-ary [[graft.cep.Permute]] element (one event per variable,
+  * any arrival order, declaration-order priority); quantified
+  * concatenation
   * groups `(x y)+` / `(x y)*` / `(x y)?` / `(x y){m,n}` to the
   * [[graft.cep.GroupSeq]] NFA element — each iteration binds one event
   * per inner variable in order, iterations share the per-variable
@@ -110,8 +113,8 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *
   * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
   * (same output schema, watermark-buffered NFA) and requires the
-  * EVENTTIME clause. Not supported (fail fast): PERMUTE of 3+
-  * variables, quantified alternations, groups nested inside groups,
+  * EVENTTIME clause. Not supported (fail fast): quantified
+  * alternations, quantified/grouped PERMUTE, groups nested in groups,
   * DEFINE predicates referencing pattern variables, RUNNING measures,
   * AFTER MATCH skip modes other than SKIP PAST LAST ROW.
   */
@@ -260,10 +263,10 @@ private[plans] object MatchRecognizeSql {
     // binary PERMUTE groups and quantified concatenation groups. An
     // alternation maps onto the operator's EOr element (first event
     // matching either side completes it); PERMUTE(x,y) — SQL:2016's
-    // (x y | y x) — onto EAnd (both bind, either arrival order);
-    // (v1 v2 …){m,n}/+/*/? onto EGroup (per-iteration sequence, shared
-    // slots across iterations). PERMUTE of 3+ variables, quantified
-    // alternations and deeper nesting fail fast.
+    // (x y | y x) — onto EAnd (both bind, either arrival order) and
+    // PERMUTE of 3+ onto the n-ary EPermute; (v1 v2 …){m,n}/+/*/? onto
+    // EGroup (per-iteration sequence, shared slots across iterations).
+    // Quantified alternations and deeper nesting fail fast.
     val patBody = need("pattern").trim
     require(patBody.startsWith("(") && patBody.endsWith(")"),
       "PATTERN needs parentheses")
@@ -275,6 +278,7 @@ private[plans] object MatchRecognizeSql {
     case class Single(name: String, min: Int, max: Int) extends PatElem
     case class Alt(leftName: String, rightName: String) extends PatElem
     case class Perm(leftName: String, rightName: String) extends PatElem
+    case class PermN(names: Seq[String]) extends PatElem
     case class Grp(names: Seq[String], min: Int, max: Int) extends PatElem
     val altRe = """\(\s*(\w+)\s*\|\s*(\w+)\s*\)""".r
     val permRe = """(?i)permute\(([^()]*)\)""".r
@@ -292,10 +296,11 @@ private[plans] object MatchRecognizeSql {
         val vs = vars.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(vs.forall(_.matches("\\w+")),
           s"bad PERMUTE variables: $vars")
-        require(vs.length == 2,
-          s"PERMUTE supports exactly 2 variables (got ${vs.length}: " +
-            s"$vars) — expand 3+ permutations manually")
-        Perm(vs(0), vs(1))
+        require(vs.length >= 2,
+          s"PERMUTE needs at least 2 variables (got ${vs.length}: $vars)")
+        // binary PERMUTE keeps riding the Logical element (q33/q166's
+        // proven path); 3+ variables compile to the n-ary Permute
+        if (vs.length == 2) Perm(vs(0), vs(1)) else PermN(vs)
       case altRe(l, r) => Alt(l, r)
       case quantRe(name, q, mn, mx) =>
         val (lo, hi) = quantBounds(q, mn, mx)
@@ -314,6 +319,7 @@ private[plans] object MatchRecognizeSql {
       case Single(n, _, _) => Seq(n)
       case Alt(l, r) => Seq(l, r)
       case Perm(l, r) => Seq(l, r)
+      case PermN(ns) => ns
       case Grp(ns, _, _) => ns
     }
     require(varNames.distinct.length == varNames.length,
@@ -348,6 +354,8 @@ private[plans] object MatchRecognizeSql {
       case Single(n, mn, mx) => MatchRecognize.EStep(n, pred(n), mn, mx)
       case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
       case Perm(l, r) => MatchRecognize.EAnd(l, pred(l), r, pred(r))
+      case PermN(ns) =>
+        MatchRecognize.EPermute(ns.map(n => n -> pred(n)))
       case Grp(ns, mn, mx) =>
         MatchRecognize.EGroup(ns.map(n => n -> pred(n)), mn, mx)
     }

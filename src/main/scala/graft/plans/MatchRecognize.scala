@@ -34,6 +34,12 @@ final case class GroupSpec(groupNames: Seq[String], minRepeat: Int,
     maxRepeat: Int) extends MatchElemSpec {
   def names: Seq[String] = groupNames; def arity: Int = groupNames.length
 }
+/** N-ary `PERMUTE(v1, …, vk)` — one predicate per inner variable, in
+  * declaration order ([[graft.cep.Permute]] semantics).
+  */
+final case class PermuteSpec(permNames: Seq[String]) extends MatchElemSpec {
+  def names: Seq[String] = permNames; def arity: Int = permNames.length
+}
 
 /** MATCH_RECOGNIZE-style logical operator: per `keys` group, events
   * ordered by (`ts`, `tie`) run through the CEP NFA; each completed match
@@ -102,6 +108,11 @@ object MatchRecognize {
     */
   final case class EGroup(steps: Seq[(String, Column)], minRepeat: Int,
       maxRepeat: Int) extends Elem
+  /** N-ary `PERMUTE(v1, …, vk)`: one event per variable, any arrival
+    * order, declaration-order priority ([[graft.cep.Permute]]);
+    * [[EAnd]] is the binary case.
+    */
+  final case class EPermute(steps: Seq[(String, Column)]) extends Elem
 
   /** @param tsCol    event-time column (LongType, any unit — `withinTs` /
     *                 `ENotFor.forTs` are in the same unit)
@@ -145,6 +156,8 @@ object MatchRecognize {
         (AbsenceSpec(n, f), Seq(resolve(p)))
       case EGroup(ss, mn, mx) =>
         (GroupSpec(ss.map(_._1), mn, mx), ss.map(s => resolve(s._2)))
+      case EPermute(ss) =>
+        (PermuteSpec(ss.map(_._1)), ss.map(s => resolve(s._2)))
     }.unzip
 
     // step names share the output row with the partition keys and the
@@ -182,6 +195,7 @@ object MatchRecognize {
       case EOr(l, _, r, _)      => Seq(l, r)
       case ENotFor(n, _, _)     => Seq(n)
       case EGroup(ss, _, _)     => ss.map(_._1)
+      case EPermute(ss)         => ss.map(_._1)
     }
 
   /** ALL ROWS PER MATCH shaping: explode a one-row-per-match frame (the
@@ -277,6 +291,7 @@ object MatchRecognize {
       case EOr(_, lp, _, rp)    => Seq(lp, rp)
       case ENotFor(_, p, _)     => Seq(p)
       case EGroup(ss, _, _)     => ss.map(_._2)
+      case EPermute(ss)         => ss.map(_._2)
     }
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
       lit(false))): _*)
@@ -308,6 +323,9 @@ object MatchRecognize {
       case EGroup(ss, mn, mx) =>
         GroupSeq[Row](ss.map(x =>
           flagStep(x._1, 1, 1, strict = false)).toIndexedSeq, mn, mx)
+      case EPermute(ss) =>
+        graft.cep.Permute[Row](ss.map(x =>
+          flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow)
@@ -373,6 +391,7 @@ object MatchRecognize {
       case EOr(_, lp, _, rp)    => Seq(lp, rp)
       case ENotFor(_, p, _)     => Seq(p)
       case EGroup(ss, _, _)     => ss.map(_._2)
+      case EPermute(ss)         => ss.map(_._2)
     }
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
       lit(false))): _*)
@@ -406,6 +425,9 @@ object MatchRecognize {
       case EGroup(ss, mn, mx) =>
         GroupSeq[Row](ss.map(x =>
           flagStep(x._1, 1, 1, strict = false)).toIndexedSeq, mn, mx)
+      case EPermute(ss) =>
+        graft.cep.Permute[Row](ss.map(x =>
+          flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow)

@@ -109,6 +109,9 @@ case class MatchRecognizeExec(
         case GroupSpec(ns, mn, mx) =>
           GroupSeq(ns.map(n =>
             mkStep(n, 1, 1, strict = false)).toIndexedSeq, mn, mx)
+        case PermuteSpec(ns) =>
+          graft.cep.Permute(ns.map(n =>
+            mkStep(n, 1, 1, strict = false)).toIndexedSeq)
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)

@@ -689,19 +689,45 @@ class MatchRecognizeSpec extends SparkSpec {
         element_at($"b", 1).getField("event_id").as("b_id"))
       .as[(Long, Long, Long)].collect().toSet
     assert(viaSql == viaApi)
-    // 3+ variables fail fast with the documented message
-    val e = intercept[IllegalArgumentException] {
+  }
+
+  test("SQL n-ary PERMUTE(a,b,c): one event per variable, any order") {
+    val df = Seq(
+      // user 1: C B A — fully reversed order still completes
+      (1L, 10L, 1L, "C"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
+      // user 2: A C B with noise between
+      (4L, 10L, 2L, "A"), (5L, 15L, 2L, "X"), (6L, 20L, 2L, "C"),
+      (7L, 30L, 2L, "B"),
+      // user 3: only two of the three types — never completes
+      (8L, 10L, 3L, "A"), (9L, 20L, 3L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_permute3_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
-        """SELECT * FROM mr_permute_view MATCH_RECOGNIZE (
+        """SELECT * FROM mr_permute3_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES a.event_id AS a_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
           |  PATTERN (PERMUTE(a, b, c))
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
           |         c AS event_type = 'C'
-          |)""".stripMargin)
-    }
-    assert(e.getMessage.contains("exactly 2"))
+          |)""".stripMargin))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 1L), (2L, 4L, 7L, 6L)))
+    // programmatic parity through EPermute
+    val viaApi = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(MatchRecognize.EPermute(Seq(
+          "a" -> ($"event_type" === "A"), "b" -> ($"event_type" === "B"),
+          "c" -> ($"event_type" === "C")))))
+      .select($"user_id",
+        element_at($"a", 1).getField("event_id").as("a_id"),
+        element_at($"b", 1).getField("event_id").as("b_id"),
+        element_at($"c", 1).getField("event_id").as("c_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == viaApi)
   }
 
   test("SQL quantified group (a b){2,2} == programmatic EGroup; " +

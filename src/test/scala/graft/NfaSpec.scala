@@ -304,6 +304,30 @@ class NfaSpec extends AnyFunSuite {
         Set((Seq(1L), Seq(2L), Seq(3L), Seq(4L))))
   }
 
+  test("n-ary permute: one event per step, any order, declaration " +
+      "priority, every-seeded overlaps") {
+    import graft.cep.Permute
+    val pat = PatternDef[E](IndexedSeq(Permute[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"), Step[E]("b", _.typ == "B"),
+      Step[E]("c", _.typ == "C")))))
+    // reversed arrival order completes; a second C is ignored (slot
+    // taken) but seeds its OWN partial (every), which never completes
+    val ms = run(pat, Seq(E(1, 10, "C"), E(2, 20, "C"), E(3, 30, "B"),
+      E(4, 40, "A")))
+    // seeds at C(1) and C(2): both bind B(3) then A(4) — overlapping
+    // matches differing in the c slot
+    assert(ms.map(m => (ids(m, "a"), ids(m, "b"), ids(m, "c"))).toSet ==
+      Set((Seq(4L), Seq(3L), Seq(1L)), (Seq(4L), Seq(3L), Seq(2L))))
+    // declaration priority: an event satisfying two unbound steps binds
+    // the FIRST declared one
+    val both = PatternDef[E](IndexedSeq(Permute[E](IndexedSeq(
+      Step[E]("x", _.id < 10), Step[E]("y", _.typ == "B")))))
+    val ms2 = run(both, Seq(E(1, 10, "B"), E(2, 20, "B")))
+    // B(1) satisfies both -> binds x; B(2) then binds y
+    assert(ms2.map(m => (ids(m, "x"), ids(m, "y"))).contains(
+      (Seq(1L), Seq(2L))))
+  }
+
   test("group head must be non-optional; inner steps must be plain") {
     import graft.cep.GroupSeq
     val bad = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
