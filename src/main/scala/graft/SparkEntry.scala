@@ -1711,6 +1711,26 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // WITHIN INTERVAL '10' MINUTE, converted through TSSCALE (ORDER BY
+    // units per ms) — same matches as q55's raw-microsecond WITHIN.
+    "q169_mr_within_interval" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_interval_q169")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_interval_q169 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN INTERVAL '10' MINUTE
+          |  TSSCALE 1000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 quantified group `(a b){2,2}` — two full click→view
     // iterations appending to shared variable slots; the oracle
     // unrolls the deterministic skip-till-next chain (first view
@@ -2272,6 +2292,23 @@ object SparkEntry {
       |SELECT user_id, a_id, b_id FROM d1 WHERE rn = 1
       |UNION ALL
       |SELECT user_id, a_id, b_id FROM d2 WHERE rn = 1""".stripMargin
+
+  /** The q55/q169 replay: first purchase within 10 min of each click —
+    * reached with a raw-microsecond WITHIN (q55) or the INTERVAL
+    * spelling converted through TSSCALE (q169).
+    */
+  private lazy val q55Oracle: String =
+    """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+      |    FROM events WHERE event_type = 'click'),
+      |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+      |    FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT a.user_id, a.a_id, b.b_id,
+      |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+      |      ORDER BY b.b_us, b.b_id) AS rn
+      |  FROM a JOIN b ON a.user_id = b.user_id
+      |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+      |    AND b.b_us - a.a_us <= 600000000)
+      |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin
 
   private lazy val q34Oracle: String =
     """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -6477,18 +6514,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // identical to q14/q45's oracle — the SQL surface must agree
-    "q55_match_recognize_sql" ->
-      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
-        |    FROM events WHERE event_type = 'click'),
-        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
-        |    FROM events WHERE event_type = 'purchase'),
-        |j AS (SELECT a.user_id, a.a_id, b.b_id,
-        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
-        |      ORDER BY b.b_us, b.b_id) AS rn
-        |  FROM a JOIN b ON a.user_id = b.user_id
-        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
-        |    AND b.b_us - a.a_us <= 600000000)
-        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
+    "q55_match_recognize_sql" -> q55Oracle,
+
+    // WITHIN INTERVAL '10' MINUTE through TSSCALE == q55's raw-us form
+    "q169_mr_within_interval" -> q55Oracle,
 
     "q54_multimodal_resize" ->
       """WITH d AS (SELECT doc_id, text,

@@ -71,7 +71,9 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *                                     -- binary alternation (x|y);
   *                                     -- binary PERMUTE(x,y);
   *                                     -- quantified groups (x y)+
-  *   WITHIN 600000000                  -- optional, in ORDER BY units
+  *   WITHIN 600000000                  -- optional: ORDER BY units, or
+  *                                     -- INTERVAL '10' MINUTE (needs
+  *                                     -- TSSCALE to convert)
   *   EVENTTIME ts                      -- streaming tables only: the
   *                                     -- watermarked timestamp column
   *   TSSCALE 1000                      -- ORDER BY units per ms (µs→1000)
@@ -342,11 +344,28 @@ private[plans] object MatchRecognizeSql {
         s"DEFINE predicates may not reference pattern variables " +
           s"(per-event predicates only): $d")
 
-    val within = sec.get("within").map(_.trim).map { w =>
-      require(w.matches("\\d+"),
-        s"WITHIN takes a raw long in ORDER BY units (got '$w'); " +
-          "interval syntax is not supported")
-      w.toLong
+    val tsScaleOpt = sec.get("tsscale").map(_.trim.toLong)
+    val ivRe = """(?i)interval\s+'(\d+)'\s+(second|minute|hour|day)s?""".r
+    val within = sec.get("within").map(_.trim).map {
+      case w if w.matches("\\d+") => w.toLong
+      case ivRe(n, unit) =>
+        // INTERVAL converts through TSSCALE (ORDER BY units per ms) —
+        // the ts column is a raw long of caller-chosen unit, so the
+        // engine cannot guess the conversion
+        val ms = unit.toLowerCase match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour"   => 3600000L
+          case "day"    => 86400000L
+        }
+        val scale = tsScaleOpt.getOrElse(
+          throw new IllegalArgumentException(
+            "WITHIN INTERVAL needs a TSSCALE clause (ORDER BY units " +
+              "per millisecond) to convert the interval"))
+        n.toLong * ms * scale
+      case w => throw new IllegalArgumentException(
+        s"WITHIN takes a raw long in ORDER BY units or " +
+          s"INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY (got '$w')")
     }
     def pred(n: String): Column =
       GraftSqlBridge.column(delegate.parseExpression(defs(n)))
@@ -370,8 +389,10 @@ private[plans] object MatchRecognizeSql {
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast)
       } else {
-        require(!sec.contains("eventtime") && !sec.contains("tsscale"),
-          "EVENTTIME/TSSCALE are only valid over streaming tables")
+        require(!sec.contains("eventtime"),
+          "EVENTTIME is only valid over streaming tables")
+        // TSSCALE is allowed on batch solely as the WITHIN INTERVAL
+        // conversion factor
         MatchRecognize(src, keys, tsCol, tieCol, elems, within,
           skipPastLastRow = skipPastLast)
       }

@@ -799,6 +799,38 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("bad PATTERN element"))
   }
 
+  test("WITHIN INTERVAL converts through TSSCALE; rejected without it") {
+    val df = Seq(
+      (1L, 10000000L, 1L, "click"), (2L, 500000000L, 1L, "purchase"),
+      (3L, 700000000L, 1L, "click"), (4L, 1400000000L, 1L, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_interval_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(within: String, tsscale: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_interval_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+           |  PATTERN (a b)
+           |  $within
+           |  $tsscale
+           |  DEFINE a AS event_type = 'click',
+           |         b AS event_type = 'purchase'
+           |)""".stripMargin))
+        .as[(Long, Long, Long)].collect().toSet
+    // 10 min = 600 s; pair (1,2) spans 490 s (in), (3,4) spans 700 s
+    // (out) — INTERVAL through TSSCALE 1000 equals the raw-µs form
+    val viaInterval = run("WITHIN INTERVAL '10' MINUTE", "TSSCALE 1000")
+    val viaRaw = run("WITHIN 600000000", "")
+    assert(viaInterval == Set((1L, 1L, 2L)) && viaInterval == viaRaw)
+    val e = intercept[IllegalArgumentException] {
+      run("WITHIN INTERVAL '10' MINUTE", "")
+    }
+    assert(e.getMessage.contains("TSSCALE"))
+  }
+
   test("streaming SQL MATCH_RECOGNIZE accepts a quantified group") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
