@@ -33,14 +33,20 @@ object ControlPlaneDemo {
     val cp = new ControlPlane(spark, (id: String, df: DataFrame) =>
       Some[StreamingQuery](df.writeStream.format("memory")
         .queryName("out_" + id).outputMode("append").start()))
-    cp.handleJson("""{"type":"add","planId":"alerts","plan":"SELECT value*10 AS v FROM live"}""")
+    cp.handleJsonAcked("""{"type":"add","planId":"alerts","plan":"SELECT value*10 AS v FROM live"}""")
     Thread.sleep(4000)
     println("CONTROL-ADD rows=" + spark.table("out_alerts").count() +
       " active=" + cp.runningQuery("alerts").exists(_.isActive))
-    cp.handleJson("""{"type":"disable","planId":"alerts"}""")
+    cp.handleJsonAcked("""{"type":"disable","planId":"alerts"}""")
     println("CONTROL-DISABLE running=" + cp.runningQuery("alerts").isDefined)
-    cp.handleJson("""{"type":"enable","planId":"alerts"}""")
+    cp.handleJsonAcked("""{"type":"enable","planId":"alerts"}""")
+    // a rejected event (duplicate add) lands in the same audit log
+    cp.handleJsonAcked("""{"type":"add","planId":"alerts","plan":"SELECT 1"}""")
     println("CONTROL-ENABLE active=" + cp.runningQuery("alerts").exists(_.isActive))
+    val acks = cp.acks.map(a => s"${a.op}:${a.ok}").mkString(",")
+    println("CONTROL-ACKS " + acks)
+    require(acks == "add:true,disable:true,enable:true,add:false",
+      s"unexpected ack log: $acks")
     cp.shutdown()
     println("DRIVE-DONE")
     spark.stop()
