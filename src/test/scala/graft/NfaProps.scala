@@ -186,4 +186,51 @@ object NfaProps extends Properties("Nfa") {
       doStep(Nil, Long.MaxValue / 2, hasWm = true)
       Prop(got.toList == expected) :| s"got=$got expected=$expected"
     }
+
+  private def runPat(pat: PatternDef[E], evs: List[E]) = {
+    val nfa = new Nfa[E](pat, _.ts)
+    (evs.sortBy(e => (e.ts, e.id)).flatMap(nfa.onEvent) ++ nfa.flush())
+      .map(m => (m.startTs, m.endTs,
+        m.groups.view.mapValues(_.map(_.id)).toMap))
+  }
+
+  /** A bounded quantified group `(a b){m,m}` must equal the UNROLLED
+    * linear pattern a1 b1 a2 b2 … (m copies, renamed steps) with the
+    * per-copy slots concatenated back — two independent code paths
+    * computing the same semantics.
+    */
+  property("group (a b){m,m} == unrolled renamed steps") =
+    forAll(genEvents, Gen.choose(1, 3), Gen.oneOf("A", "B", "C"),
+      Gen.oneOf("A", "B", "C")) { (evs, m, t1, t2) =>
+      import graft.cep.GroupSeq
+      val grouped = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
+        Step[E]("a", _.typ == t1), Step[E]("b", _.typ == t2)), m, m)))
+      val unrolled = PatternDef[E]((1 to m).flatMap(i => Seq(
+        Step[E](s"a$i", (e: E) => e.typ == t1),
+        Step[E](s"b$i", (e: E) => e.typ == t2))).toIndexedSeq)
+      def mergeUnrolled(g: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
+        Map(
+          "a" -> (1 to m).flatMap(i => g.getOrElse(s"a$i", Nil)),
+          "b" -> (1 to m).flatMap(i => g.getOrElse(s"b$i", Nil)))
+      val got = runPat(grouped, evs)
+      val exp = runPat(unrolled, evs)
+        .map { case (s, e, g) => (s, e, mergeUnrolled(g)) }
+      Prop(got == exp) :| s"group=$got unrolled=$exp"
+    }
+
+  /** Binary Permute must equal Logical.and modulo slot names — the
+    * n-ary element's k = 2 case collapses to the proven AND element.
+    */
+  property("permute of 2 == logical and") =
+    forAll(genEvents, Gen.oneOf("A", "B", "C"), Gen.oneOf("A", "B", "C"),
+      Gen.option(Gen.choose(5L, 60L))) { (evs, t1, t2, within) =>
+      import graft.cep.Permute
+      val perm = PatternDef[E](IndexedSeq(Permute[E](IndexedSeq(
+        Step[E]("a", _.typ == t1), Step[E]("b", _.typ == t2)))),
+        withinMs = within)
+      val land = PatternDef[E](IndexedSeq(Logical.and(
+        Step[E]("a", (e: E) => e.typ == t1),
+        Step[E]("b", (e: E) => e.typ == t2))), withinMs = within)
+      Prop(runPat(perm, evs) == runPat(land, evs)) :| "permute2 != and"
+    }
 }
