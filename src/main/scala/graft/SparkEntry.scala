@@ -794,6 +794,28 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 ALL ROWS PER MATCH WITH UNMATCHED ROWS — q58's event
+    // rows plus every input row bound into NO match, NULL classifier /
+    // bounds / measures (one left-anti join on the (keys, ts, tie)
+    // row identity).
+    "q170_mr_unmatched_rows" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_unmatched_q170")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_unmatched_q170 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |  PATTERN (a b)
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // LLM dedup: cluster resolution — connected components over the
     // q26 near-duplicate pair graph (min-label propagation with pointer
     // jumping, O(log n) shuffle rounds). Every vector gets its cluster's
@@ -6559,6 +6581,35 @@ object SparkEntry {
     // click row (classifier 'a') and its purchase row (classifier 'b');
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
+    // q58's matched-event rows + the complement with NULLs
+    "q170_mr_unmatched_rows" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000),
+        |p AS (SELECT user_id, a_id, a_us, b_id, b_us FROM j WHERE rn = 1)
+        |SELECT a_id AS event_id, a_us AS ts_us, user_id,
+        |    'click' AS event_type, 'a' AS classifier,
+        |    a_us AS match_start, b_us AS match_end, a_id
+        |  FROM p
+        |UNION ALL
+        |SELECT b_id, b_us, user_id, 'purchase', 'b', a_us, b_us, a_id
+        |  FROM p
+        |UNION ALL
+        |SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |    e.event_type, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+        |    NULL::BIGINT
+        |  FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = e.user_id
+        |      AND (p.a_id = e.event_id OR p.b_id = e.event_id))""".stripMargin,
+
     "q58_mr_all_rows" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
         |    FROM events WHERE event_type = 'click'),

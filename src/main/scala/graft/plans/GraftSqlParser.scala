@@ -100,7 +100,10 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * bound it) ++ `match_start`/`match_end` ++ measures — with FINAL
   * measure semantics (the whole-match value repeated on each row;
   * RUNNING is not supported), and MEASURES itself optional. Unmatched
-  * rows are omitted (standard default, no WITH UNMATCHED ROWS).
+  * rows are omitted by default; `ALL ROWS PER MATCH WITH UNMATCHED
+  * ROWS` (batch tables) appends the never-bound input rows with NULL
+  * classifier / match bounds / measures via one left-anti join on the
+  * `(keys, ts, tie)` row identity.
   *
   * `PERMUTE(x, y)` (SQL:2016 `(x y | y x)`) compiles to the operator's
   * both-in-either-order logical element, and `PERMUTE(x, y, z, …)` to
@@ -237,8 +240,13 @@ private[plans] object MatchRecognizeSql {
     // clauses carry no operands, so their slices must be empty
     sec.get("one row per match").foreach(s => require(s.isEmpty,
       s"unexpected text after ONE ROW PER MATCH: '$s'"))
-    sec.get("all rows per match").foreach(s => require(s.isEmpty,
-      s"unexpected text after ALL ROWS PER MATCH: '$s'"))
+    val allRowsSlice = sec.get("all rows per match")
+      .map(_.toLowerCase.replaceAll("\\s+", " ").trim)
+    allRowsSlice.foreach(s => require(
+      s.isEmpty || s == "with unmatched rows",
+      s"unexpected text after ALL ROWS PER MATCH: '$s' " +
+        "(only WITH UNMATCHED ROWS is recognized)"))
+    val unmatchedRows = allRowsSlice.contains("with unmatched rows")
     require(!(sec.contains("one row per match") &&
         sec.contains("all rows per match")),
       "MATCH_RECOGNIZE: ONE ROW PER MATCH and ALL ROWS PER MATCH " +
@@ -449,15 +457,21 @@ private[plans] object MatchRecognizeSql {
       }
       GraftSqlBridge.column(delegate.parseExpression(t)).as(alias) -> alias
     }
-    if (allRows)
+    if (allRows) {
       // ALL ROWS PER MATCH: input columns of each bound event ++
       // classifier ++ match_start/match_end ++ measures (FINAL
       // semantics — the whole-match value on every row; the SQL
       // standard's RUNNING semantics is not supported)
-      MatchRecognize.explodeAllRows(
+      val exploded = MatchRecognize.explodeAllRows(
         matched.select(org.apache.spark.sql.functions.col("*") +:
           measures.map(_._1): _*),
         src.columns.toIndexedSeq, varNames, measures.map(_._2))
-    else matched.select(keys.map(col) ++ measures.map(_._1): _*)
+      if (unmatchedRows) {
+        // stream-stream anti join would need its own watermark scheme
+        require(!src.isStreaming,
+          "WITH UNMATCHED ROWS is only supported over batch tables")
+        MatchRecognize.withUnmatched(exploded, src, keys, tsCol, tieCol)
+      } else exploded
+    } else matched.select(keys.map(col) ++ measures.map(_._1): _*)
   }
 }

@@ -239,6 +239,26 @@ object MatchRecognize {
         (col("_t.cls").as("classifier") +: keep.map(col)): _*)
   }
 
+  /** SQL:2016 `ALL ROWS PER MATCH WITH UNMATCHED ROWS`: append the
+    * input rows bound into NO match, with NULL classifier / match
+    * bounds / measures. Row identity is `(keys, ts, tie)` — the total
+    * order the operator already requires — so the complement is one
+    * left-anti join against the (match-sized, distinct) bound-event
+    * identities; Catalyst broadcasts it when matches are small.
+    */
+  private[graft] def withUnmatched(matched: DataFrame, input: DataFrame,
+      keys: Seq[String], tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idCols = keys :+ tsCol :+ tieCol
+    val unmatched = input.join(
+      matched.select(idCols.map(col): _*).distinct(), idCols, "left_anti")
+    val extras = matched.schema.fields
+      .filterNot(f => input.columns.contains(f.name))
+    val filled = extras.foldLeft(unmatched)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    matched.unionByName(filled.select(matched.columns.map(col): _*))
+  }
+
   /** Batch ALL ROWS PER MATCH: the [[apply]] operator followed by
     * [[explodeAllRows]] — one output row per event bound into a match.
     */

@@ -799,6 +799,52 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("bad PATTERN element"))
   }
 
+  test("ALL ROWS PER MATCH WITH UNMATCHED ROWS appends NULL-tagged " +
+      "complement rows; streaming rejects it") {
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "purchase"),
+      (3L, 30L, 1L, "view"),                    // unmatched
+      (4L, 10L, 2L, "view"), (5L, 20L, 2L, "view"))   // all unmatched
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_unmatched_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_unmatched_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+      .select($"event_id", $"classifier", $"match_start", $"a_id")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some("a"), Some(10L), Some(1L)),
+      (2L, Some("b"), Some(10L), Some(1L)),
+      (3L, None, None, None),
+      (4L, None, None, None),
+      (5L, None, None, None)))
+    // junk after ALL ROWS PER MATCH still rejected
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_unmatched_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  ALL ROWS PER MATCH WITH EXTRA NONSENSE
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("WITH UNMATCHED ROWS"))
+  }
+
   test("WITHIN INTERVAL converts through TSSCALE; rejected without it") {
     val df = Seq(
       (1L, 10000000L, 1L, "click"), (2L, 500000000L, 1L, "purchase"),
