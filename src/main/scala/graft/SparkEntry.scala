@@ -794,6 +794,29 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // RUNNING measures in ALL ROWS mode: per exploded row, aggregates
+    // over only the bindings at-or-before it in (ts, tie) order — the
+    // FINAL count repeats per match while run_nv/run_last grow.
+    "q171_mr_running" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_running_q171")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_running_q171 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(v.*) AS final_nv,
+          |           RUNNING COUNT(v.*) AS run_nv,
+          |           RUNNING LAST(v.event_id) AS run_last
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a v{2,2})
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         v AS event_type = 'view'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 ALL ROWS PER MATCH WITH UNMATCHED ROWS — q58's event
     // rows plus every input row bound into NO match, NULL classifier /
     // bounds / measures (one left-anti join on the (keys, ts, tie)
@@ -6581,6 +6604,41 @@ object SparkEntry {
     // click row (classifier 'a') and its purchase row (classifier 'b');
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
+    // click + its first two views within 10 min; three rows per match
+    // with growing running count/last and the repeated final count
+    "q171_mr_running" ->
+      """WITH c AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |vw AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'view'),
+        |s1 AS (SELECT * FROM (SELECT c.user_id, c.id AS a, c.us AS a_us,
+        |    v.id AS v1, v.us AS v1_us,
+        |    row_number() OVER (PARTITION BY c.user_id, c.id
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM c JOIN vw v ON c.user_id = v.user_id
+        |    AND (v.us > c.us OR (v.us = c.us AND v.id > c.id))
+        |    AND v.us - c.us <= 7200000000) WHERE rn = 1),
+        |m AS (SELECT * FROM (SELECT s1.user_id, s1.a, s1.a_us, s1.v1,
+        |    s1.v1_us, v.id AS v2, v.us AS v2_us,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.a
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM s1 JOIN vw v ON s1.user_id = v.user_id
+        |    AND (v.us > s1.v1_us OR (v.us = s1.v1_us AND v.id > s1.v1))
+        |    AND v.us - s1.a_us <= 7200000000) WHERE rn = 1)
+        |SELECT a AS event_id, a_us AS ts_us, user_id,
+        |    'click' AS event_type, 'a' AS classifier,
+        |    a_us AS match_start, v2_us AS match_end,
+        |    2::INT AS final_nv, 0::INT AS run_nv, NULL::BIGINT AS run_last
+        |  FROM m
+        |UNION ALL
+        |SELECT v1, v1_us, user_id, 'view', 'v', a_us, v2_us,
+        |    2::INT, 1::INT, v1
+        |  FROM m
+        |UNION ALL
+        |SELECT v2, v2_us, user_id, 'view', 'v', a_us, v2_us,
+        |    2::INT, 2::INT, v2
+        |  FROM m""".stripMargin,
+
     // q58's matched-event rows + the complement with NULLs
     "q170_mr_unmatched_rows" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us

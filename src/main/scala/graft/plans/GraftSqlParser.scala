@@ -97,9 +97,12 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *
   * ALL ROWS PER MATCH emits one row per MATCHED EVENT instead: the
   * input columns of the bound event ++ `classifier` (the variable that
-  * bound it) ++ `match_start`/`match_end` ++ measures — with FINAL
-  * measure semantics (the whole-match value repeated on each row;
-  * RUNNING is not supported), and MEASURES itself optional. Unmatched
+  * bound it) ++ `match_start`/`match_end` ++ measures — FINAL
+  * semantics by default (the whole-match value repeated on each row);
+  * an explicit `RUNNING f(v.col)` prefix aggregates only the events
+  * bound at-or-before the row in `(ts, tie)` order (running measures
+  * land after the final ones in the output). MEASURES itself is
+  * optional. Unmatched
   * rows are omitted by default; `ALL ROWS PER MATCH WITH UNMATCHED
   * ROWS` (batch tables) appends the never-bound input rows with NULL
   * classifier / match bounds / measures via one left-anti join on the
@@ -120,8 +123,9 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * (same output schema, watermark-buffered NFA) and requires the
   * EVENTTIME clause. Not supported (fail fast): quantified
   * alternations, quantified/grouped PERMUTE, groups nested in groups,
-  * DEFINE predicates referencing pattern variables, RUNNING measures,
-  * AFTER MATCH skip modes other than SKIP PAST LAST ROW.
+  * DEFINE predicates referencing pattern variables, RUNNING measures
+  * in ONE ROW PER MATCH mode (where every measure is FINAL by
+  * definition), AFTER MATCH skip modes other than SKIP PAST LAST ROW.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -417,14 +421,25 @@ private[plans] object MatchRecognizeSql {
     // carry the payload); required in one-row mode (it IS the output)
     val measureSrc =
       if (allRows) sec.get("measures") else Some(need("measures"))
-    val measures = measureSrc.toSeq.flatMap(splitTopLevel(_, ',')).map { mm =>
-      val asRe = """(?is)(.+)\s+as\s+(\w+)""".r
-      val (exprTxt, alias) = mm.trim match {
-        case asRe(e, a) => (e.trim, a)
-        case other => throw new IllegalArgumentException(
-          s"MEASURES entries need 'expr AS name': $other")
+    val runRe = """(?is)^running\s+(.+)$""".r
+    val parsedMeasures = measureSrc.toSeq.flatMap(splitTopLevel(_, ','))
+      .map { mm =>
+        val asRe = """(?is)(.+)\s+as\s+(\w+)""".r
+        val (exprTxt, alias) = mm.trim match {
+          case asRe(e, a) => (e.trim, a)
+          case other => throw new IllegalArgumentException(
+            s"MEASURES entries need 'expr AS name': $other")
+        }
+        exprTxt match {
+          case runRe(inner) => (alias, inner.trim, true)
+          case _ => (alias, exprTxt, false)
+        }
       }
-      val t = rewriteOutsideLiterals(exprTxt) { seg0 =>
+    require(allRows || parsedMeasures.forall(!_._3),
+      "RUNNING measures need ALL ROWS PER MATCH (in one-row mode every " +
+        "measure is FINAL by definition)")
+    val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
+      val t = rewriteOutsideLiterals(et) { seg0 =>
         var seg = seg0
         for (v <- varNames) {
           // aggregates over ALL events bound to the variable (numeric
@@ -457,21 +472,76 @@ private[plans] object MatchRecognizeSql {
       }
       GraftSqlBridge.column(delegate.parseExpression(t)).as(alias) -> alias
     }
+    // RUNNING measures: per exploded row, aggregate only the bound
+    // events at-or-before it in (ts, tie) order — the slot arrays are
+    // filtered against the row's own event-time identity, so the
+    // rewrite runs AFTER the explode, against kept slot columns
+    val runningMeasures = parsedMeasures.filter(_._3).map {
+      case (alias, et, _) =>
+        require(!src.columns.contains(alias) &&
+            !varNames.contains(alias) &&
+            !Seq("classifier", "match_start", "match_end")
+              .contains(alias.toLowerCase),
+          s"RUNNING measure alias '$alias' collides with an input " +
+            "column, pattern variable, or reserved output column")
+        def filt(v: String): String =
+          s"filter(`$v`, _mr_e -> _mr_e.`$tsCol` < `$tsCol` OR " +
+            s"(_mr_e.`$tsCol` = `$tsCol` AND " +
+            s"_mr_e.`$tieCol` <= `$tieCol`))"
+        val t = rewriteOutsideLiterals(et) { seg0 =>
+          var seg = seg0
+          for (v <- varNames) {
+            val f = java.util.regex.Matcher.quoteReplacement(filt(v))
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)", s"size($f)")
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)sum\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              s"if(size($f) = 0, cast(null as double), " +
+                s"aggregate($f, cast(0.0 as double), " +
+                s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`))")
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)avg\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              s"(aggregate($f, cast(0.0 as double), " +
+                s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) " +
+                s"/ nullif(size($f), 0))")
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              s"try_element_at($f, 1).`$$1`")
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              s"try_element_at($f, -1).`$$1`")
+            // bare var.col = RUNNING LAST (SQL-standard running
+            // resolution: the latest binding so far)
+            seg = seg.replaceAll(s"(?i)(?<!\\w)$v\\.(\\w+)",
+              s"try_element_at($f, -1).`$$1`")
+          }
+          seg
+        }
+        alias -> t
+    }
     if (allRows) {
       // ALL ROWS PER MATCH: input columns of each bound event ++
-      // classifier ++ match_start/match_end ++ measures (FINAL
-      // semantics — the whole-match value on every row; the SQL
-      // standard's RUNNING semantics is not supported)
+      // classifier ++ match_start/match_end ++ measures — FINAL
+      // semantics by default (the whole-match value on every row);
+      // explicit `RUNNING f(v.col)` measures aggregate only the
+      // bindings at-or-before the row
       val exploded = MatchRecognize.explodeAllRows(
         matched.select(org.apache.spark.sql.functions.col("*") +:
           measures.map(_._1): _*),
-        src.columns.toIndexedSeq, varNames, measures.map(_._2))
+        src.columns.toIndexedSeq, varNames, measures.map(_._2),
+        keepSlots = runningMeasures.nonEmpty)
+      val withRunning =
+        if (runningMeasures.isEmpty) exploded
+        else runningMeasures.foldLeft(exploded) { case (d, (alias, t)) =>
+          d.withColumn(alias,
+            GraftSqlBridge.column(delegate.parseExpression(t)))
+        }.drop(varNames: _*)
       if (unmatchedRows) {
         // stream-stream anti join would need its own watermark scheme
         require(!src.isStreaming,
           "WITH UNMATCHED ROWS is only supported over batch tables")
-        MatchRecognize.withUnmatched(exploded, src, keys, tsCol, tieCol)
-      } else exploded
+        MatchRecognize.withUnmatched(withRunning, src, keys, tsCol, tieCol)
+      } else withRunning
     } else matched.select(keys.map(col) ++ measures.map(_._1): _*)
   }
 }

@@ -214,7 +214,8 @@ object MatchRecognize {
     * pass over the raw input at any scale.
     */
   private[graft] def explodeAllRows(one: DataFrame, inputCols: Seq[String],
-      slots: Seq[String], carryCols: Seq[String] = Nil): DataFrame = {
+      slots: Seq[String], carryCols: Seq[String] = Nil,
+      keepSlots: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val reserved = Seq("classifier", "match_start", "match_end")
     val clash = inputCols.filter(c =>
@@ -233,7 +234,11 @@ object MatchRecognize {
         "variable name — rename the measure")
     val tagged = concat(slots.map(n =>
       transform(col(n), e => struct(e.as("ev"), lit(n).as("cls")))): _*)
-    val keep = Seq("match_start", "match_end") ++ carryCols
+    // keepSlots: RUNNING measures evaluate per exploded row against the
+    // whole-match slot arrays — the caller computes them in a follow-up
+    // projection and then drops the arrays
+    val keep = Seq("match_start", "match_end") ++ carryCols ++
+      (if (keepSlots) slots else Nil)
     one.select(keep.map(col) :+ explode(tagged).as("_t"): _*)
       .select(inputCols.map(c => col("_t.ev").getField(c).as(c)) ++
         (col("_t.cls").as("classifier") +: keep.map(col)): _*)

@@ -845,6 +845,54 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("WITH UNMATCHED ROWS"))
   }
 
+  test("RUNNING measures aggregate only the bindings at-or-before the " +
+      "row; rejected in one-row mode") {
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "view"),
+      (3L, 25L, 1L, "error"),           // skipped, relaxed match
+      (4L, 30L, 1L, "view"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_running_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_running_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(v.*) AS final_nv,
+          |           RUNNING COUNT(v.*) AS run_nv,
+          |           RUNNING SUM(v.ts_us) AS run_sum,
+          |           RUNNING LAST(v.event_id) AS run_last
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a v{2,2})
+          |  DEFINE a AS event_type = 'click',
+          |         v AS event_type = 'view'
+          |)""".stripMargin))
+      .select($"event_id", $"classifier", $"final_nv", $"run_nv",
+        $"run_sum", $"run_last")
+      .as[(Long, String, Int, Int, Option[Double], Option[Long])]
+      .collect().toSet
+    // one match: click(1) view(2) view(4); FINAL count repeats 2 on
+    // every row, RUNNING counts 0/1/2 and sums/lasts grow with the row
+    assert(got == Set(
+      (1L, "a", 2, 0, None, None),
+      (2L, "v", 2, 1, Some(20.0), Some(2L)),
+      (4L, "v", 2, 2, Some(50.0), Some(4L))))
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_running_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES RUNNING COUNT(v.*) AS run_nv
+          |  PATTERN (a v)
+          |  DEFINE a AS event_type = 'click',
+          |         v AS event_type = 'view'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("ALL ROWS PER MATCH"))
+  }
+
   test("WITHIN INTERVAL converts through TSSCALE; rejected without it") {
     val df = Seq(
       (1L, 10000000L, 1L, "click"), (2L, 500000000L, 1L, "purchase"),
