@@ -794,6 +794,29 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 PREV() navigation in DEFINE — the stock-ticker V-shape:
+    // any event, then the first later price-drop row, then the first
+    // later price-rise row, inside a 2 h window. PREV(value) compiles
+    // to a lag column over the operator's own (keys, ts, tie) order.
+    "q172_mr_prev_define" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_prev_q172")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_prev_q172 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+          |           up.event_id AS u_id
+          |  PATTERN (strt down up)
+          |  WITHIN 7200000000
+          |  DEFINE strt AS true,
+          |         down AS value < PREV(value),
+          |         up AS value > PREV(value)
+          |)""".stripMargin))
+    }),
+
     // RUNNING measures in ALL ROWS mode: per exploded row, aggregates
     // over only the bindings at-or-before it in (ts, tie) order — the
     // FINAL count repeats per match while run_nv/run_last grow.
@@ -6604,6 +6627,37 @@ object SparkEntry {
     // click row (classifier 'a') and its purchase row (classifier 'b');
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
+    // V-shape replay: per-user lag flags, then the seed-chained rn=1
+    // elections (first later drop, first later rise after it), both
+    // inside the window of the seed
+    "q172_mr_prev_define" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0
+        |      END AS dn,
+        |    CASE WHEN pv IS NOT NULL AND value > pv THEN 1 ELSE 0
+        |      END AS up
+        |  FROM o),
+        |s1 AS (SELECT * FROM (SELECT s.user_id, s.event_id AS s_id,
+        |    s.us AS s_us, d.event_id AS d_id, d.us AS d_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY d.us, d.event_id) AS rn
+        |  FROM f s JOIN f d ON s.user_id = d.user_id AND d.dn = 1
+        |    AND (d.us > s.us OR (d.us = s.us AND d.event_id > s.event_id))
+        |    AND d.us - s.us <= 7200000000) WHERE rn = 1),
+        |s2 AS (SELECT * FROM (SELECT s1.user_id, s1.s_id, s1.s_us,
+        |    s1.d_id, u.event_id AS u_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.s_id
+        |      ORDER BY u.us, u.event_id) AS rn
+        |  FROM s1 JOIN f u ON s1.user_id = u.user_id AND u.up = 1
+        |    AND (u.us > s1.d_us OR (u.us = s1.d_us
+        |      AND u.event_id > s1.d_id))
+        |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
+
     // click + its first two views within 10 min; three rows per match
     // with growing running count/last and the repeated final count
     "q171_mr_running" ->

@@ -82,6 +82,13 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * )
   * }}}
   *
+  * DEFINE predicates may navigate the INPUT rows with `PREV(col[, n])`
+  * / `NEXT(col[, n])` (SQL:2016 semantics: n rows before/after the
+  * current row in the partition, independent of the match — the
+  * stock-ticker `down AS price < PREV(price)` shape). They compile to
+  * lag/lead columns over the operator's own (keys, ts, tie) order, so
+  * the planner runs one shuffle+sort for both. Batch tables only.
+  *
   * Clauses must appear in the canonical order above (the SQL-standard
   * clause order) — identifiers that merely LOOK like clause keywords
   * (`... AS pattern`) never mis-split, because each clause is only
@@ -123,9 +130,10 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * (same output schema, watermark-buffered NFA) and requires the
   * EVENTTIME clause. Not supported (fail fast): quantified
   * alternations, quantified/grouped PERMUTE, groups nested in groups,
-  * DEFINE predicates referencing pattern variables, RUNNING measures
-  * in ONE ROW PER MATCH mode (where every measure is FINAL by
-  * definition), AFTER MATCH skip modes other than SKIP PAST LAST ROW.
+  * DEFINE predicates referencing pattern variables (PREV/NEXT input
+  * navigation IS supported, batch only), RUNNING measures in ONE ROW
+  * PER MATCH mode (where every measure is FINAL by definition), AFTER
+  * MATCH skip modes other than SKIP PAST LAST ROW.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -379,8 +387,42 @@ private[plans] object MatchRecognizeSql {
         s"WITHIN takes a raw long in ORDER BY units or " +
           s"INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY (got '$w')")
     }
+    val src = session.table(table)
+    // PREV/NEXT in DEFINE — SQL:2016 row-pattern navigation:
+    // `PREV(col[, n])` reads n rows BEFORE the current INPUT row in
+    // the partition (match-independent), so it precomputes as a
+    // lag/lead column over (keys, ts, tie) ahead of the operator. The
+    // window needs exactly the distribution/ordering the operator
+    // itself declares, so EnsureRequirements plans ONE shuffle+sort
+    // for both. Batch only (lag over an unbounded stream).
+    // textual rewrites skip string literals: the text splits on
+    // quotes, rewrites run on the OUTSIDE segments only
+    def rewriteOutsideLiterals(s: String)(f: String => String): String =
+      s.split("'", -1).zipWithIndex.map {
+        case (seg, i) => if (i % 2 == 0) f(seg) else seg
+      }.mkString("'")
+    val prevRe =
+      """(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    val lagSpecs =
+      scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
+    val defs2 = defs.map { case (n, d) =>
+      n -> rewriteOutsideLiterals(d) { seg =>
+        prevRe.replaceAllIn(seg, mm => {
+          val kind = mm.group(1).toLowerCase
+          val c = mm.group(2)
+          val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
+          require(src.columns.exists(
+              session.sessionState.analyzer.resolver(_, c)),
+            s"PREV/NEXT column '$c' not in " +
+              s"[${src.columns.mkString(", ")}]")
+          val alias = lagSpecs.getOrElseUpdate((kind, c, k),
+            s"_mr_${kind}_${c}_$k")
+          java.util.regex.Matcher.quoteReplacement(s"`$alias`")
+        })
+      }
+    }
     def pred(n: String): Column =
-      GraftSqlBridge.column(delegate.parseExpression(defs(n)))
+      GraftSqlBridge.column(delegate.parseExpression(defs2(n)))
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) => MatchRecognize.EStep(n, pred(n), mn, mx)
       case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
@@ -390,7 +432,21 @@ private[plans] object MatchRecognizeSql {
       case Grp(ns, mn, mx) =>
         MatchRecognize.EGroup(ns.map(n => n -> pred(n)), mn, mx)
     }
-    val src = session.table(table)
+    val srcM =
+      if (lagSpecs.isEmpty) src
+      else {
+        require(!src.isStreaming,
+          "PREV/NEXT in DEFINE are only supported over batch tables")
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{lag, lead}
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(tsCol), col(tieCol))
+        lagSpecs.foldLeft(src) { case (d, ((kind, c, k), alias)) =>
+          d.withColumn(alias,
+            if (kind == "prev") lag(col(c), k).over(w)
+            else lead(col(c), k).over(w))
+        }
+      }
     val matched =
       if (src.isStreaming) {
         val evc = sec.getOrElse("eventtime",
@@ -405,18 +461,13 @@ private[plans] object MatchRecognizeSql {
           "EVENTTIME is only valid over streaming tables")
         // TSSCALE is allowed on batch solely as the WITHIN INTERVAL
         // conversion factor
-        MatchRecognize(src, keys, tsCol, tieCol, elems, within,
+        MatchRecognize(srcM, keys, tsCol, tieCol, elems, within,
           skipPastLastRow = skipPastLast)
       }
 
     // MEASURES: textual rewrite of var.col / FIRST(var.col) / LAST(var.col)
     // to array accesses over the match columns, then parse as
-    // expressions. String literals are excluded from the rewrite: the
-    // text splits on quotes, rewrites run on the OUTSIDE segments only.
-    def rewriteOutsideLiterals(s: String)(f: String => String): String =
-      s.split("'", -1).zipWithIndex.map {
-        case (seg, i) => if (i % 2 == 0) f(seg) else seg
-      }.mkString("'")
+    // expressions (literals excluded via rewriteOutsideLiterals above).
     // MEASURES is optional in ALL ROWS mode (the exploded events already
     // carry the payload); required in one-row mode (it IS the output)
     val measureSrc =

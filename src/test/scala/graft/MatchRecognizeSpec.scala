@@ -845,6 +845,54 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("WITH UNMATCHED ROWS"))
   }
 
+  test("PREV/NEXT in DEFINE: the stock-ticker V-shape over input-row " +
+      "navigation; streaming rejects it; unknown column fails fast") {
+    // prices per ticker: 10 8 6 9 12 — strt at any row, down = price <
+    // PREV(price), up = price > PREV(price)
+    val df = Seq(
+      (1L, 10L, 1L, 10.0), (2L, 20L, 1L, 8.0), (3L, 30L, 1L, 6.0),
+      (4L, 40L, 1L, 9.0), (5L, 50L, 1L, 12.0),
+      (6L, 10L, 2L, 5.0), (7L, 20L, 2L, 7.0))   // rises only: no match
+      .toDF("event_id", "ts_us", "ticker", "price")
+    df.createOrReplaceTempView("mr_prev_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+          |           up.event_id AS u_id, up.price AS u_price
+          |  PATTERN (strt down up)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(price),
+          |         up AS price > PREV(price)
+          |)""".stripMargin))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // every row seeds (strt AS true): seeds 1 and 2 find down=3 (6<8)
+    // wait — row 2 (8<10) is ALSO a down; relaxed semantics bind the
+    // FIRST later down per seed, then the first later up
+    assert(got.nonEmpty && got.forall(_._1 == 1L))
+    // seed 1: first later down = row 2 (8 < 10), first later up after
+    // it = row 4 (9 > 6); seed 2: down = row 3, up = row 4; seeds 3/4:
+    // down = none later... row 4 is up not down; no match; seed 4:
+    // none. ticker 2 rises only: no down ever binds.
+    assert(got == Set((1L, 1L, 2L, 4L, 9.0), (1L, 2L, 3L, 4L, 9.0)))
+    // unknown PREV column fails fast at parse/compile time
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true, down AS price < PREV(nope)
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("not in"))
+  }
+
   test("RUNNING measures aggregate only the bindings at-or-before the " +
       "row; rejected in one-row mode") {
     val df = Seq(
