@@ -794,6 +794,27 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 SUBSET union variable: w = (a, b) interleaves both
+    // variables' events back into (ts, tie) order for the measures.
+    "q173_mr_subset" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_subset_q173")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_subset_q173 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(w.event_id) AS w_first,
+          |           LAST(w.event_id) AS w_last, COUNT(w.*) AS w_n
+          |  PATTERN (a b)
+          |  SUBSET w = (a, b)
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 PREV() navigation in DEFINE — the stock-ticker V-shape:
     // any event, then the first later price-drop row, then the first
     // later price-rise row, inside a 2 h window. PREV(value) compiles
@@ -6627,6 +6648,22 @@ object SparkEntry {
     // click row (classifier 'a') and its purchase row (classifier 'b');
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
+    // q55's click→purchase chain; the union's first/last are the two
+    // sides in event order
+    "q173_mr_subset" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000)
+        |SELECT user_id, a_id AS w_first, b_id AS w_last, 2::INT AS w_n
+        |FROM j WHERE rn = 1""".stripMargin,
+
     // V-shape replay: per-user lag flags, then the seed-chained rn=1
     // elections (first later drop, first later rise after it), both
     // inside the window of the seed

@@ -82,6 +82,11 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * )
   * }}}
   *
+  * `SUBSET w = (a, b)` (after PATTERN) declares union variables for
+  * MEASURES: `w`'s binding is the union of its members' events in
+  * `(ts, tie)` order, usable with the same `w.col` / FIRST / LAST /
+  * COUNT / SUM / AVG / RUNNING forms as a plain variable.
+  *
   * DEFINE predicates may navigate the INPUT rows with `PREV(col[, n])`
   * / `NEXT(col[, n])` (SQL:2016 semantics: n rows before/after the
   * current row in the partition, independent of the match — the
@@ -161,6 +166,8 @@ private[plans] object MatchRecognizeSql {
       None),
     ("after match", """(?i)(?<!\w)after\s+match(?!\w)""".r, None),
     ("pattern", """(?i)(?<!\w)pattern(?!\w)""".r, Some("""\s*\(""".r)),
+    ("subset", """(?i)(?<!\w)subset(?!\w)""".r,
+      Some("""\s*\w+\s*=""".r)),
     // the within lookahead admits INTERVAL too, so interval syntax
     // reaches the within parser's contextual "ORDER BY units" error
     // instead of corrupting the PATTERN slice
@@ -470,6 +477,44 @@ private[plans] object MatchRecognizeSql {
     // expressions (literals excluded via rewriteOutsideLiterals above).
     // MEASURES is optional in ALL ROWS mode (the exploded events already
     // carry the payload); required in one-row mode (it IS the output)
+    // SUBSET w = (a, b): SQL:2016 union variables — measure-only names
+    // whose binding is the union of their members' events in (ts, tie)
+    // order (an array_sort over the concatenated slot arrays; a
+    // single-member subset aliases the member directly)
+    val subsets: Seq[(String, Seq[String])] =
+      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ',')).map { e =>
+        val re = """(?s)\s*(\w+)\s*=\s*\(([\w\s,]*)\)\s*""".r
+        e match {
+          case re(n, ms) =>
+            val mem = ms.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(mem.nonEmpty, s"SUBSET $n needs at least one member")
+            val bad = mem.filterNot(varNames.contains)
+            require(bad.isEmpty, s"SUBSET $n references unknown pattern " +
+              s"variables: ${bad.mkString(", ")}")
+            require(!varNames.contains(n),
+              s"SUBSET name '$n' collides with a pattern variable")
+            n -> mem
+          case other => throw new IllegalArgumentException(
+            s"bad SUBSET entry: $other (want w = (a, b))")
+        }
+      }
+    require(subsets.map(_._1).distinct.length == subsets.length,
+      "duplicate SUBSET names")
+    def unionSql(members: Seq[String]): String =
+      if (members.length == 1) s"`${members.head}`"
+      else s"array_sort(concat(${members.map(m => s"`$m`").mkString(", ")})," +
+        s" (_mr_l, _mr_r) -> case" +
+        s" when _mr_l.`$tsCol` < _mr_r.`$tsCol` then -1" +
+        s" when _mr_l.`$tsCol` > _mr_r.`$tsCol` then 1" +
+        s" when _mr_l.`$tieCol` < _mr_r.`$tieCol` then -1" +
+        s" when _mr_l.`$tieCol` > _mr_r.`$tieCol` then 1 else 0 end)"
+    // measure-name bindings: subsets first (their names are disjoint
+    // from variables by construction), each mapping to the SQL text of
+    // its event array
+    val measureBindings: Seq[(String, String)] =
+      subsets.map { case (n, mem) => n -> unionSql(mem) } ++
+        varNames.map(v => v -> s"`$v`")
+
     val measureSrc =
       if (allRows) sec.get("measures") else Some(need("measures"))
     val runRe = """(?is)^running\s+(.+)$""".r
@@ -492,32 +537,34 @@ private[plans] object MatchRecognizeSql {
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
       val t = rewriteOutsideLiterals(et) { seg0 =>
         var seg = seg0
-        for (v <- varNames) {
-          // aggregates over ALL events bound to the variable (numeric
-          // aggregation runs in double, in bind order). SUM/AVG of an
-          // empty binding is NULL (SQL aggregate-of-no-rows semantics);
-          // the nullif guard keeps AVG from tripping ANSI DIVIDE_BY_ZERO
+        for ((v, arr) <- measureBindings) {
+          // aggregates over ALL events bound to the variable (or
+          // SUBSET union; numeric aggregation runs in double, in bind
+          // order). SUM/AVG of an empty binding is NULL (SQL
+          // aggregate-of-no-rows semantics); the nullif guard keeps
+          // AVG from tripping ANSI DIVIDE_BY_ZERO
+          val q = java.util.regex.Matcher.quoteReplacement(arr)
           seg = seg.replaceAll(s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)",
-            s"size(`$v`)")
+            s"size($q)")
           seg = seg.replaceAll(s"(?i)(?<!\\w)sum\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"if(size(`$v`) = 0, cast(null as double), " +
-              s"aggregate(`$v`, cast(0.0 as double), " +
+            s"if(size($q) = 0, cast(null as double), " +
+              s"aggregate($q, cast(0.0 as double), " +
               s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`))")
           seg = seg.replaceAll(s"(?i)(?<!\\w)avg\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"(aggregate(`$v`, cast(0.0 as double), " +
+            s"(aggregate($q, cast(0.0 as double), " +
               s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) " +
-              s"/ nullif(size(`$v`), 0))")
+              s"/ nullif(size($q), 0))")
           // try_element_at: a variable that bound zero events (`?`/`*`
           // quantifier, unchosen alternation side) yields SQL-standard
           // NULL instead of an ANSI INVALID_ARRAY_INDEX crash
           seg = seg.replaceAll(s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"try_element_at(`$v`, 1).`$$1`")
+            s"try_element_at($q, 1).`$$1`")
           seg = seg.replaceAll(s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            s"try_element_at(`$v`, -1).`$$1`")
+            s"try_element_at($q, -1).`$$1`")
           // bare var.col = LAST bound event (SQL-standard one-row-per-
           // match resolution)
           seg = seg.replaceAll(s"(?i)(?<!\\w)$v\\.(\\w+)",
-            s"try_element_at(`$v`, -1).`$$1`")
+            s"try_element_at($q, -1).`$$1`")
         }
         seg
       }
@@ -535,14 +582,14 @@ private[plans] object MatchRecognizeSql {
               .contains(alias.toLowerCase),
           s"RUNNING measure alias '$alias' collides with an input " +
             "column, pattern variable, or reserved output column")
-        def filt(v: String): String =
-          s"filter(`$v`, _mr_e -> _mr_e.`$tsCol` < `$tsCol` OR " +
+        def filt(arr: String): String =
+          s"filter($arr, _mr_e -> _mr_e.`$tsCol` < `$tsCol` OR " +
             s"(_mr_e.`$tsCol` = `$tsCol` AND " +
             s"_mr_e.`$tieCol` <= `$tieCol`))"
         val t = rewriteOutsideLiterals(et) { seg0 =>
           var seg = seg0
-          for (v <- varNames) {
-            val f = java.util.regex.Matcher.quoteReplacement(filt(v))
+          for ((v, arr) <- measureBindings) {
+            val f = java.util.regex.Matcher.quoteReplacement(filt(arr))
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)", s"size($f)")
             seg = seg.replaceAll(

@@ -845,6 +845,46 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("WITH UNMATCHED ROWS"))
   }
 
+  test("SUBSET union variables: measures over the merged (ts, tie)-" +
+      "ordered binding; bad members fail fast") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
+      (4L, 40L, 1L, "B"), (5L, 50L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_subset_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_subset_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(w.event_id) AS w_first,
+          |           LAST(w.event_id) AS w_last,
+          |           COUNT(w.*) AS w_n, w.event_id AS w_bare,
+          |           c.event_id AS c_id
+          |  PATTERN ((a b){2,2} c)
+          |  SUBSET w = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C'
+          |)""".stripMargin))
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toSet
+    // the union interleaves a=[1,3] and b=[2,4] back into event order
+    assert(got == Set((1L, 1L, 4L, 4, 4L, 5L)))
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_subset_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(w.*) AS n
+          |  PATTERN (a b)
+          |  SUBSET w = (a, nope)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown pattern"))
+  }
+
   test("PREV/NEXT in DEFINE: the stock-ticker V-shape over input-row " +
       "navigation; streaming rejects it; unknown column fails fast") {
     // prices per ticker: 10 8 6 9 12 — strt at any row, down = price <
