@@ -794,6 +794,26 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
+    // match and feeds the measure, but its row leaves ALL ROWS output.
+    "q174_mr_exclusion" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_excl_q174")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_excl_q174 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES LAST(b.event_id) AS b_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a {- b -})
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 SUBSET union variable: w = (a, b) interleaves both
     // variables' events back into (ts, tie) order for the measures.
     "q173_mr_subset" -> ((s, dir) => {
@@ -6648,6 +6668,23 @@ object SparkEntry {
     // click row (classifier 'a') and its purchase row (classifier 'b');
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
+    // q58's a-rows only: the b side suppressed, its measure retained
+    "q174_mr_exclusion" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000)
+        |SELECT a_id AS event_id, a_us AS ts_us, user_id,
+        |  'click' AS event_type, 'a' AS classifier,
+        |  a_us AS match_start, b_us AS match_end, b_id
+        |FROM j WHERE rn = 1""".stripMargin,
+
     // q55's click→purchase chain; the union's first/last are the two
     // sides in event order
     "q173_mr_subset" ->

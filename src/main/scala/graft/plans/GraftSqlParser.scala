@@ -114,7 +114,10 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * an explicit `RUNNING f(v.col)` prefix aggregates only the events
   * bound at-or-before the row in `(ts, tie)` order (running measures
   * land after the final ones in the output). MEASURES itself is
-  * optional. Unmatched
+  * optional. A PATTERN exclusion `{- b+ -}` suppresses the wrapped
+  * variables' rows from ALL ROWS output (they still match and still
+  * feed measures — SQL:2016 exclusion semantics; no effect in one-row
+  * mode, and suppressed rows are NOT re-added as unmatched). Unmatched
   * rows are omitted by default; `ALL ROWS PER MATCH WITH UNMATCHED
   * ROWS` (batch tables) appends the never-bound input rows with NULL
   * classifier / match bounds / measures via one left-anti join on the
@@ -301,8 +304,24 @@ private[plans] object MatchRecognizeSql {
       "PATTERN needs parentheses")
     // normalize "PERMUTE (" so the top-level space split keeps each
     // PERMUTE group a single token
-    val inner = patBody.substring(1, patBody.length - 1).trim
+    val inner0 = patBody.substring(1, patBody.length - 1).trim
       .replaceAll("""(?i)(?<!\w)permute\s*\(""", "permute(")
+    // SQL:2016 exclusion `{- b+ -}`: the wrapped variables still MATCH
+    // (they gate the pattern) but their rows are suppressed from ALL
+    // ROWS output. The braces strip here; the wrapped variable names
+    // are collected and filtered out of the exploded rows later.
+    val exclRe = """\{-\s*([^{}]*?)\s*-\}""".r
+    val excludedVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    val inner = exclRe.replaceAllIn(inner0, mm => {
+      val segment = mm.group(1)
+      splitTopLevel(segment, ' ').foreach {
+        case quantRe(name, _, _, _) => excludedVars += name
+        case other => throw new IllegalArgumentException(
+          s"exclusion {- … -} may wrap only quantified variables, " +
+            s"got: $other")
+      }
+      java.util.regex.Matcher.quoteReplacement(" " + segment + " ")
+    })
     sealed trait PatElem
     case class Single(name: String, min: Int, max: Int) extends PatElem
     case class Alt(leftName: String, rightName: String) extends PatElem
@@ -353,6 +372,9 @@ private[plans] object MatchRecognizeSql {
     }
     require(varNames.distinct.length == varNames.length,
       "duplicate PATTERN variables")
+    require(excludedVars.forall(varNames.contains),
+      s"excluded variable(s) ${excludedVars.filterNot(varNames.contains)
+        .mkString(", ")} not in the pattern")
 
     // DEFINE a AS <pred>, ... — predicates over plain input columns
     val defs = splitTopLevel(need("define"), ',').map { d =>
@@ -634,12 +656,19 @@ private[plans] object MatchRecognizeSql {
           d.withColumn(alias,
             GraftSqlBridge.column(delegate.parseExpression(t)))
         }.drop(varNames: _*)
+      // exclusion: the wrapped variables matched (and remain visible
+      // to measures) but their rows leave the ALL ROWS output
+      val withExcl =
+        if (excludedVars.isEmpty) withRunning
+        else withRunning.filter(!org.apache.spark.sql.functions
+          .col("classifier").isin(excludedVars.toSeq: _*))
       if (unmatchedRows) {
         // stream-stream anti join would need its own watermark scheme
         require(!src.isStreaming,
           "WITH UNMATCHED ROWS is only supported over batch tables")
-        MatchRecognize.withUnmatched(withRunning, src, keys, tsCol, tieCol)
-      } else withRunning
+        MatchRecognize.withUnmatched(withExcl, src, keys, tsCol, tieCol,
+          boundIdentity = Some(withRunning))
+      } else withExcl
     } else matched.select(keys.map(col) ++ measures.map(_._1): _*)
   }
 }

@@ -252,11 +252,16 @@ object MatchRecognize {
     * identities; Catalyst broadcasts it when matches are small.
     */
   private[graft] def withUnmatched(matched: DataFrame, input: DataFrame,
-      keys: Seq[String], tsCol: String, tieCol: String): DataFrame = {
+      keys: Seq[String], tsCol: String, tieCol: String,
+      boundIdentity: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val idCols = keys :+ tsCol :+ tieCol
+    // boundIdentity: with pattern exclusions, suppressed rows are
+    // matched-but-hidden, NOT unmatched — the complement computes
+    // against the pre-exclusion bound set
     val unmatched = input.join(
-      matched.select(idCols.map(col): _*).distinct(), idCols, "left_anti")
+      boundIdentity.getOrElse(matched)
+        .select(idCols.map(col): _*).distinct(), idCols, "left_anti")
     val extras = matched.schema.fields
       .filterNot(f => input.columns.contains(f.name))
     val filled = extras.foldLeft(unmatched)((d, f) =>

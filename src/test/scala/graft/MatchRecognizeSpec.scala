@@ -845,6 +845,49 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("WITH UNMATCHED ROWS"))
   }
 
+  test("pattern exclusion {- b -}: rows suppressed from ALL ROWS " +
+      "output but still matched, measured, and not 'unmatched'") {
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "purchase"),
+      (3L, 30L, 1L, "view"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_excl_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(extra: String) = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_excl_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES LAST(b.event_id) AS b_id
+           |  ALL ROWS PER MATCH $extra
+           |  PATTERN (a {- b -})
+           |  DEFINE a AS event_type = 'click',
+           |         b AS event_type = 'purchase'
+           |)""".stripMargin))
+      .select($"event_id", $"classifier", $"b_id")
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    // the b row (2) is suppressed but its measure survives on the a row
+    assert(run("") == Set((1L, Some("a"), Some(2L))))
+    // WITH UNMATCHED ROWS must NOT resurrect the suppressed b row as
+    // unmatched — only the view (3) is genuinely unmatched
+    assert(run("WITH UNMATCHED ROWS") == Set(
+      (1L, Some("a"), Some(2L)), (3L, None, None)))
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_excl_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a {- (b|c) -})
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase',
+          |         c AS event_type = 'view'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("exclusion"))
+  }
+
   test("SUBSET union variables: measures over the merged (ts, tie)-" +
       "ordered binding; bad members fail fast") {
     val df = Seq(
