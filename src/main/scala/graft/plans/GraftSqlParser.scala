@@ -66,7 +66,8 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *   ORDER BY ts_us, event_id          -- (event-time, tie-break)
   *   MEASURES a.event_id AS a_id, LAST(b.event_id) AS b_id,
   *            MATCH_START AS s, MATCH_END AS e
-  *   AFTER MATCH SKIP PAST LAST ROW    -- optional (default: overlap)
+  *   AFTER MATCH SKIP PAST LAST ROW    -- or SKIP TO NEXT ROW
+  *                                     -- (= the overlap default)
   *   PATTERN (a b+ (c|d))              -- quantifiers: + * ? {m,n};
   *                                     -- binary alternation (x|y);
   *                                     -- binary PERMUTE(x,y);
@@ -141,7 +142,7 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * DEFINE predicates referencing pattern variables (PREV/NEXT input
   * navigation IS supported, batch only), RUNNING measures in ONE ROW
   * PER MATCH mode (where every measure is FINAL by definition), AFTER
-  * MATCH skip modes other than SKIP PAST LAST ROW.
+  * MATCH SKIP TO [FIRST|LAST] <var> modes.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -275,13 +276,19 @@ private[plans] object MatchRecognizeSql {
         "are mutually exclusive")
     val allRows = sec.contains("all rows per match")
 
-    // AFTER MATCH: exactly SKIP PAST LAST ROW (the SQL-standard default
-    // skip mode); every other skip mode fails fast
+    // AFTER MATCH: SKIP PAST LAST ROW (greedy non-overlap) or SKIP TO
+    // NEXT ROW (the explicit spelling of the default overlap mode —
+    // every qualifying event may start a match); SKIP TO [FIRST|LAST]
+    // <var> fails fast
     val skipPastLast = sec.get("after match").map { am =>
       val norm = am.toLowerCase.replaceAll("\\s+", " ").trim
-      require(norm == "skip past last row",
-        s"AFTER MATCH supports only SKIP PAST LAST ROW (got '$am')")
-      true
+      norm match {
+        case "skip past last row" => true
+        case "skip to next row"   => false
+        case _ => throw new IllegalArgumentException(
+          "AFTER MATCH supports SKIP PAST LAST ROW and SKIP TO NEXT " +
+            s"ROW (got '$am')")
+      }
     }.getOrElse(false)
 
     val keys = splitTopLevel(need("partition by"), ',')
@@ -548,8 +555,12 @@ private[plans] object MatchRecognizeSql {
           case other => throw new IllegalArgumentException(
             s"MEASURES entries need 'expr AS name': $other")
         }
+        // the explicit FINAL prefix is the default semantics — accept
+        // and strip it (SQL:2016 spells FINAL LAST(...) etc.)
+        val finRe = """(?is)^final\s+(.+)$""".r
         exprTxt match {
           case runRe(inner) => (alias, inner.trim, true)
+          case finRe(inner) => (alias, inner.trim, false)
           case _ => (alias, exprTxt, false)
         }
       }

@@ -376,7 +376,12 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(run("AFTER MATCH SKIP PAST LAST ROW")
       .as[(Long, Long, Long)].collect().toSet ==
       Set((1L, 1L, 2L), (1L, 3L, 4L)))
-    assertThrows[IllegalArgumentException](run("AFTER MATCH SKIP TO NEXT ROW"))
+    // SKIP TO NEXT ROW is the explicit spelling of the overlap default
+    assert(run("AFTER MATCH SKIP TO NEXT ROW")
+      .as[(Long, Long, Long)].collect().toSet ==
+      run("").as[(Long, Long, Long)].collect().toSet)
+    assertThrows[IllegalArgumentException](
+      run("AFTER MATCH SKIP TO FIRST a"))
     // explicit ONE ROW PER MATCH (the only supported row mode) parses
     // and composes with the skip clause
     assert(run("ONE ROW PER MATCH\n  AFTER MATCH SKIP PAST LAST ROW")
