@@ -186,12 +186,13 @@ class ExtensionsSpec extends SparkSpec {
           | MEASURES a.event_id AS x PATTERN (a b)
           | DEFINE a AS true)""".stripMargin)
     // unsupported AFTER MATCH skip modes are rejected even split
-    // across lines (SKIP PAST LAST ROW itself is supported)
+    // across lines (SKIP PAST LAST ROW and SKIP TO NEXT ROW are the
+    // supported modes)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x
           | AFTER
-          |   MATCH SKIP TO NEXT ROW
+          |   MATCH SKIP TO FIRST a
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
     // ALL ROWS PER MATCH is supported (see MatchRecognizeSpec); naming
     // BOTH row modes at once stays rejected
