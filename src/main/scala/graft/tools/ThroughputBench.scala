@@ -110,6 +110,17 @@ object ThroughputBench {
         Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
           _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L)(build))
 
+    // the round-11 quantified-group element on the same workload —
+    // (click purchase){1,2} per user; per-event cost adds the group's
+    // inner-position bookkeeping to the Step baseline
+    val gpat = PatternDef[TpEvt](IndexedSeq(graft.cep.GroupSeq[TpEvt](
+      IndexedSeq(Step[TpEvt]("a", _.event_type == "click"),
+        Step[TpEvt]("b", _.event_type == "purchase")), 1, 2)),
+      withinMs = Some(600000000L))
+    val groupEps = drive[TpOut](memSink("tp_cep_group"), in =>
+      Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+        _.user_id, gpat, _.ts_us, _.event_id, tsScale = 1000L)(build))
+
     // watermark-finalized anomaly scorer: keyed state per type is an
     // open-bucket map + 24 longs — measured as sustained events/s
     val anomEps = drive[graft.operators.Anomaly.AnomalyRow](
@@ -191,6 +202,8 @@ object ThroughputBench {
       s""""stateless":${statelessEps.round},""" +
       s""""stateless_per_core":${(statelessEps / cpus).round},""" +
       s""""cep":${cepEps.round},"cep_per_core":${(cepEps / cpus).round},""" +
+      s""""cep_group":${groupEps.round},""" +
+      s""""cep_group_per_core":${(groupEps / cpus).round},""" +
       s""""rate_anomaly":${anomEps.round},""" +
       s""""rate_anomaly_per_core":${(anomEps / cpus).round},""" +
       s""""n_docs":${docFeed.length},""" +
