@@ -669,17 +669,21 @@ private[plans] object MatchRecognizeSql {
         }.drop(varNames: _*)
       // exclusion: the wrapped variables matched (and remain visible
       // to measures) but their rows leave the ALL ROWS output
-      val withExcl =
-        if (excludedVars.isEmpty) withRunning
-        else withRunning.filter(!org.apache.spark.sql.functions
+      def exclFilter(d: org.apache.spark.sql.DataFrame) =
+        if (excludedVars.isEmpty) d
+        else d.filter(!org.apache.spark.sql.functions
           .col("classifier").isin(excludedVars.toSeq: _*))
       if (unmatchedRows) {
         // stream-stream anti join would need its own watermark scheme
         require(!src.isStreaming,
           "WITH UNMATCHED ROWS is only supported over batch tables")
-        MatchRecognize.withUnmatched(withExcl, src, keys, tsCol, tieCol,
-          boundIdentity = Some(withRunning))
-      } else withExcl
+        // materialized ONCE: the visible rows AND the bound-identity
+        // complement both read this relation — without it the whole
+        // match operator executes twice (once per plan branch)
+        val bound = withRunning.localCheckpoint()
+        MatchRecognize.withUnmatched(exclFilter(bound), src, keys,
+          tsCol, tieCol, boundIdentity = Some(bound))
+      } else exclFilter(withRunning)
     } else matched.select(keys.map(col) ++ measures.map(_._1): _*)
   }
 }

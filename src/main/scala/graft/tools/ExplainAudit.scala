@@ -18,7 +18,12 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q10_join_stream_table", "q26_embedding_pairs", "q42_rollup_cascade",
-      "q151_winnow", "q156_pack_pairs", "q158_asof_nearest")
+      "q151_winnow", "q156_pack_pairs", "q158_asof_nearest",
+      // round 11: group/permute NFA elements (one shuffle + sort into
+      // MatchRecognize), the PREV lag precompute sharing that shuffle,
+      // and the unmatched-rows anti join
+      "q167_mr_group", "q168_mr_permute3", "q172_mr_prev_define",
+      "q170_mr_unmatched_rows")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
