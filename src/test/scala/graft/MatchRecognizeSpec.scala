@@ -1061,6 +1061,46 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("TSSCALE"))
   }
 
+  test("streaming MATCH_RECOGNIZE accepts an n-ary PERMUTE") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[REv]
+    input.toDF()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+      .withWatermark("ets", "0 seconds")
+      .createOrReplaceTempView("mr_permute_stream")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_permute_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (PERMUTE(a, b, c))
+          |  EVENTTIME ets
+          |  TSSCALE 1000
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C'
+          |)""".stripMargin))
+    val q = out.writeStream.format("memory")
+      .queryName("mr_permute_stream_out").outputMode("append").start()
+    try {
+      // reversed order across two micro-batches: C, then B and A
+      input.addData(REv(1, 10000000L, 1, "C"))
+      q.processAllAvailable()
+      input.addData(REv(2, 20000000L, 1, "B"), REv(3, 30000000L, 1, "A"))
+      q.processAllAvailable()
+      input.addData(REv(9, 99000000L, 9, "Z")) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("mr_permute_stream_out")
+        .select($"user_id", $"a_id", $"b_id", $"c_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 3L, 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming SQL MATCH_RECOGNIZE accepts a quantified group") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
