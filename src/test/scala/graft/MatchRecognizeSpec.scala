@@ -150,7 +150,8 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("randomized patterns: custom plan == in-memory NFA replay (8 seeds)") {
-    import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternElem, Step}
+    import graft.cep.{Absence, GroupSeq, Logical, Nfa, PatternDef, Permute, Step}
+    import graft.cep.PatternElem
     import graft.plans.MatchRecognize.Elem
 
     for (seed <- 0 until 8) {
@@ -159,7 +160,36 @@ class MatchRecognizeSpec extends SparkSpec {
       // parallel user-facing elems + kernel elems from one random spec
       val n = 1 + r.nextInt(3)
       val specs: IndexedSeq[(Elem, PatternElem[REv])] = (0 until n).map { i =>
-        r.nextInt(if (i == 0) 4 else 6) match {
+        // the head may not be a logical/absence element (original
+        // constraint) — remap head draws 4/5 onto the round-11
+        // group/permute elements, which ARE valid heads
+        val draw0 = r.nextInt(if (i == 0) 6 else 8)
+        val draw = if (i == 0 && draw0 >= 4) draw0 + 2 else draw0
+        draw match {
+          case 6 =>
+            // quantified group (x y){mn,mx} — round-11 element
+            val (t1, t2) = (typ(), typ())
+            val mn = 1 + r.nextInt(2)
+            val mx = mn + r.nextInt(2)
+            (MatchRecognize.EGroup(Seq(
+                s"s${i}x" -> ($"event_type" === t1),
+                s"s${i}y" -> ($"event_type" === t2)), mn, mx): Elem,
+              GroupSeq[REv](IndexedSeq(
+                Step[REv](s"s${i}x", _.event_type == t1),
+                Step[REv](s"s${i}y", _.event_type == t2)), mn, mx):
+                PatternElem[REv])
+          case 7 =>
+            // n-ary permute — round-11 element
+            val (t1, t2, t3) = (typ(), typ(), typ())
+            (MatchRecognize.EPermute(Seq(
+                s"s${i}p" -> ($"event_type" === t1),
+                s"s${i}q" -> ($"event_type" === t2),
+                s"s${i}r" -> ($"event_type" === t3))): Elem,
+              Permute[REv](IndexedSeq(
+                Step[REv](s"s${i}p", _.event_type == t1),
+                Step[REv](s"s${i}q", _.event_type == t2),
+                Step[REv](s"s${i}r", _.event_type == t3))):
+                PatternElem[REv])
           case 4 =>
             val (t1, t2, and) = (typ(), typ(), r.nextBoolean())
             val e: Elem =
