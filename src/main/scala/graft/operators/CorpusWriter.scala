@@ -226,6 +226,16 @@ object CorpusWriter {
     publish(df.sparkSession, outDir)(
       writeJsonlSplits(df, idCol, _, splits, nFiles))
 
+  /** [[writeDataCard]] under [[publish]] — a torn data card is as
+    * misleading as a torn corpus.
+    */
+  def publishDataCard(sections: Seq[(String, DataFrame)],
+      outDir: String): Unit = {
+    require(sections.nonEmpty, "data card needs at least one section")
+    publish(sections.head._2.sparkSession, outDir)(
+      writeDataCard(sections, _))
+  }
+
   /** The machine-readable DATA CARD that ships with a curated corpus:
     * every audit relation the pipeline produced (domain stats, cluster
     * histograms, per-language fertility, sketch profiles, …)

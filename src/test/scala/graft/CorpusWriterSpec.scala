@@ -237,6 +237,16 @@ class CorpusWriterSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"failed staging not cleaned: $leftovers")
   }
 
+  test("publishDataCard commits the card atomically") {
+    val out = tmpDir("pubcard") + "/card"
+    CorpusWriter.publishDataCard(Seq(
+      ("lang_profile", Seq(("en", 10L), ("de", 4L)).toDF("lang", "n_docs"))),
+      out)
+    val back = CorpusWriter.readCommitted(spark, out)
+    assert(back.count() == 2)
+    assert(Files.exists(Paths.get(out, CorpusWriter.ManifestFile)))
+  }
+
   test("readCommitted refuses a manifested tree with a mutilated file") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(50).localCheckpoint()

@@ -923,6 +923,44 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("exclusion"))
   }
 
+  test("README sampler: every SQL:2016 construct composed in one " +
+      "statement parses and runs") {
+    val df = Seq(
+      (1L, 10L, 1L, 10.0), (2L, 20L, 1L, 8.0), (3L, 30L, 1L, 6.0),
+      (4L, 40L, 1L, 9.0), (5L, 50L, 1L, 12.0))
+      .toDF("event_id", "ts_us", "ticker", "price")
+    df.createOrReplaceTempView("ticks")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan("""
+        SELECT * FROM ticks MATCH_RECOGNIZE (
+          PARTITION BY ticker
+          ORDER BY ts_us, event_id
+          MEASURES FIRST(w.price) AS top, RUNNING COUNT(down.*) AS n_down
+          ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (strt {- down+ -} up)
+          SUBSET w = (strt, up)
+          WITHIN INTERVAL '10' MINUTE
+          TSSCALE 1000
+          DEFINE strt AS true,
+                 down AS price < PREV(price),
+                 up   AS price > PREV(price)
+        )"""))
+      .select($"event_id", $"classifier", $"top", $"n_down")
+      .as[(Long, Option[String], Option[Double], Option[Int])]
+      .collect().toSet
+    // greedy leftmost non-overlap: strt=1, down+=(2,3) (suppressed),
+    // up=4; row 5 is outside the match → unmatched. RUNNING COUNT of
+    // the excluded down still measures (2 by the up row); top =
+    // FIRST of the (strt, up) union = strt's price.
+    assert(got == Set(
+      (1L, Some("strt"), Some(10.0), Some(0)),
+      (4L, Some("up"), Some(10.0), Some(2)),
+      (5L, None, None, None)))
+  }
+
   test("SUBSET union variables: measures over the merged (ts, tie)-" +
       "ordered binding; bad members fail fast") {
     val df = Seq(
