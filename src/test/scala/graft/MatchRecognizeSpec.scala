@@ -1169,6 +1169,43 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ALL ROWS supports RUNNING measures") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[REv]
+    input.toDF()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+      .withWatermark("ets", "0 seconds")
+      .createOrReplaceTempView("mr_run_stream")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_run_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES RUNNING COUNT(v.*) AS run_nv
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a v{2,2})
+          |  EVENTTIME ets
+          |  TSSCALE 1000
+          |  DEFINE a AS event_type = 'A', v AS event_type = 'V'
+          |)""".stripMargin))
+    val q = out.writeStream.format("memory")
+      .queryName("mr_run_stream_out").outputMode("append").start()
+    try {
+      input.addData(REv(1, 10000000L, 1, "A"), REv(2, 20000000L, 1, "V"),
+        REv(3, 30000000L, 1, "V"))
+      q.processAllAvailable()
+      input.addData(REv(9, 99000000L, 9, "Z"))
+      q.processAllAvailable()
+      val rows = spark.table("mr_run_stream_out")
+        .select($"event_id", $"run_nv")
+        .as[(Long, Int)].collect().toSet
+      assert(rows == Set((1L, 0), (2L, 1), (3L, 2)))
+    } finally q.stop()
+  }
+
   test("streaming SQL MATCH_RECOGNIZE accepts a quantified group") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
