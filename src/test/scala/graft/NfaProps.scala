@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
-import graft.cep.{Absence, Logical, Nfa, PatternDef, PatternElem, PatternMatch, Step}
+import graft.cep.{Absence, GroupSeq, Logical, Nfa, PatternDef, PatternElem, PatternMatch, Permute, Step}
 
 /** Property-based NFA invariants over random event streams and random
   * quantified patterns (scalacheck; SURVEY §5 item 4).
@@ -38,6 +38,18 @@ object NfaProps extends Properties("Nfa") {
   private case class SSpec(t: String, mn: Int, mx: Int, strict: Boolean) extends ESpec
   private case class LSpec(t1: String, t2: String, and: Boolean) extends ESpec
   private case class ASpec(t: String, d: Long) extends ESpec
+  private case class GSpec(t1: String, t2: String, mn: Int, mx: Int) extends ESpec
+  private case class PSpec(t1: String, t2: String, t3: String) extends ESpec
+
+  private val genGroup: Gen[ESpec] = for {
+    t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+    mn <- Gen.choose(1, 2); extra <- Gen.choose(0, 2)
+  } yield GSpec(t1, t2, mn, mn + extra)
+
+  private val genPermute: Gen[ESpec] = for {
+    t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+    t3 <- Gen.oneOf("A", "B", "C")
+  } yield PSpec(t1, t2, t3)
 
   private val genTail: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, st) => SSpec(t, mn, mx, st) },
@@ -47,17 +59,18 @@ object NfaProps extends Properties("Nfa") {
     } yield LSpec(t1, t2, and)),
     1 -> (for {
       t <- Gen.oneOf("A", "B", "C"); d <- Gen.choose(5L, 50L)
-    } yield ASpec(t, d)))
+    } yield ASpec(t, d)),
+    1 -> genGroup,
+    1 -> genPermute)
 
-  private val genPattern: Gen[PatternDef[E]] = for {
-    head <- genStep.map { case (t, mn, mx, _) => SSpec(t, mn, mx, strict = false) }
-    k <- Gen.choose(0, 2)
-    tail <- Gen.listOfN(k, genTail)
-    within <- Gen.option(Gen.choose(10L, 200L))
-    every <- Gen.oneOf(true, false)
-    skip <- Gen.oneOf(true, false)
-  } yield PatternDef[E](
-    (head :: tail).zipWithIndex.map {
+  private val genHead: Gen[ESpec] = Gen.frequency(
+    4 -> genStep.map { case (t, mn, mx, _) =>
+      SSpec(t, mn, mx, strict = false) },
+    1 -> genGroup,   // minRepeat >= 1: a valid head
+    1 -> genPermute)
+
+  private def buildElems(specs: List[ESpec]): IndexedSeq[PatternElem[E]] =
+    specs.zipWithIndex.map {
       case (SSpec(t, mn, mx, st), i) =>
         Step[E](s"s$i", _.typ == t, mn, mx, strict = st && i > 0)
       case (LSpec(t1, t2, and), i) =>
@@ -65,7 +78,23 @@ object NfaProps extends Properties("Nfa") {
           Step[E](s"s${i}r", _.typ == t2), and)
       case (ASpec(t, d), i) =>
         Absence[E](Step[E](s"s$i", _.typ == t), d)
-    }.toIndexedSeq: IndexedSeq[PatternElem[E]],
+      case (GSpec(t1, t2, mn, mx), i) =>
+        GroupSeq[E](IndexedSeq(Step[E](s"s${i}x", _.typ == t1),
+          Step[E](s"s${i}y", _.typ == t2)), mn, mx)
+      case (PSpec(t1, t2, t3), i) =>
+        Permute[E](IndexedSeq(Step[E](s"s${i}p", _.typ == t1),
+          Step[E](s"s${i}q", _.typ == t2),
+          Step[E](s"s${i}r2", _.typ == t3)))
+    }.toIndexedSeq
+
+  private val genPattern: Gen[PatternDef[E]] = for {
+    head <- genHead
+    k <- Gen.choose(0, 2)
+    tail <- Gen.listOfN(k, genTail)
+    within <- Gen.option(Gen.choose(10L, 200L))
+    every <- Gen.oneOf(true, false)
+    skip <- Gen.oneOf(true, false)
+  } yield PatternDef[E](buildElems(head :: tail),
     withinMs = within, every = every, skipPastLastRow = skip)
 
   private def run(pat: PatternDef[E], evs: List[E]): (Seq[PatternMatch[E]], Nfa[E]) = {
@@ -84,6 +113,16 @@ object NfaProps extends Properties("Nfa") {
             g.isEmpty || (g.size >= math.min(s.minCount, 1) && g.size <= s.maxCount)
           case l: Logical[E] =>
             m.get(l.left.name).size <= 1 && m.get(l.right.name).size <= 1
+          case g: GroupSeq[E] =>
+            // a participating group completes at an iteration boundary:
+            // every inner slot holds the same count, within the bounds
+            val sizes = g.steps.map(st => m.get(st.name).size)
+            sizes.forall(_ == 0) ||
+              (sizes.distinct.size == 1 && sizes.head >= g.minRepeat &&
+                sizes.head <= g.maxRepeat)
+          case p: Permute[E] =>
+            val sizes = p.steps.map(st => m.get(st.name).size)
+            sizes.forall(_ == 0) || sizes.forall(_ == 1)
           case a: Absence[E] =>
             m.get(a.step.name).isEmpty // absence never binds an event
         }
