@@ -87,9 +87,18 @@ object Anomaly {
   }
 
   /** One scored bucket from the streaming scorer — the exact
-    * [[rateAnomaly]] output row. */
+    * [[rateAnomaly]] output row. `win_sumsq` is None past 2^63 (the
+    * batch path's "null, never silently wrong" non-ANSI cast
+    * behavior); the anomaly DECISION stays exact either way. */
   case class AnomalyRow(event_type: String, bucket: Long, n: Long,
-    win_sum: Long, win_sumsq: Long, anomaly: Int)
+    win_sum: Long, win_sumsq: Option[Long], anomaly: Int)
+
+  /** The BIGINT `win_sumsq` diagnostic past 2^63: None (batch parity —
+    * the non-ANSI decimal→long cast yields null), never a silently
+    * wrapped low-64-bits value. The anomaly decision itself computes
+    * in BigInt and stays exact regardless. */
+  private[graft] def sumsqOrNone(q: BigInt): Option[Long] =
+    if (q.isValidLong) Some(q.longValue) else None
 
   /** Keyed scorer state: open-bucket partial counts, the trailing
     * `window` finalized counts (newest first), and the next bucket to
@@ -162,7 +171,7 @@ object Anomaly {
               val q = trail.map(x => BigInt(x) * x).sum
               val dev = BigInt(n) * w - s
               val vt = BigInt(w) * q - BigInt(s) * s
-              out += AnomalyRow(key, next, n, s, q.longValue,
+              out += AnomalyRow(key, next, n, s, sumsqOrNone(q),
                 if (dev * dev > BigInt(k2) * vt) 1 else 0)
             }
             ring = (n :: ring).take(w)

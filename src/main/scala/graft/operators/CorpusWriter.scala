@@ -161,9 +161,21 @@ object CorpusWriter {
     try {
       write(staging.toString)
       writeManifest(spark, staging.toString)
-      if (fs.exists(out)) fs.delete(out, true)
-      require(fs.rename(staging, out),
-        s"publish: rename $staging -> $out failed")
+      // rename the previous corpus ASIDE (not delete) before the swap:
+      // if the swap rename fails the old tree is restored, so a failed
+      // publish never destroys the previously committed corpus
+      val old = new org.apache.hadoop.fs.Path(parent,
+        "." + out.getName + ".old-" + java.util.UUID.randomUUID())
+      val hadOld = fs.exists(out)
+      if (hadOld) require(fs.rename(out, old),
+        s"publish: could not move previous corpus aside ($out -> $old)")
+      if (!fs.rename(staging, out)) {
+        if (hadOld) fs.rename(old, out)
+        throw new IllegalStateException(
+          s"publish: rename $staging -> $out failed" +
+            (if (hadOld) "; previous corpus restored" else ""))
+      }
+      if (hadOld) fs.delete(old, true)
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)
     }

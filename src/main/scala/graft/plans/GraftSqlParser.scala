@@ -317,7 +317,9 @@ private[plans] object MatchRecognizeSql {
     // (they gate the pattern) but their rows are suppressed from ALL
     // ROWS output. The braces strip here; the wrapped variable names
     // are collected and filtered out of the exploded rows later.
-    val exclRe = """\{-\s*([^{}]*?)\s*-\}""".r
+    // the inner alternative admits {m,n} brace quantifiers, so
+    // `{- b{1,2} -}` parses instead of leaving stray '{-' tokens
+    val exclRe = """\{-\s*((?:[^{}]|\{\d+,\d+\})*?)\s*-\}""".r
     val excludedVars = scala.collection.mutable.LinkedHashSet.empty[String]
     val inner = exclRe.replaceAllIn(inner0, mm => {
       val segment = mm.group(1)

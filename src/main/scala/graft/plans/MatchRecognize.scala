@@ -232,6 +232,17 @@ object MatchRecognize {
       s"ALL ROWS PER MATCH: measure alias(es) ${badCarry.mkString(", ")} " +
         "collide with classifier/match_start/match_end or a pattern " +
         "variable name — rename the measure")
+    // keepSlots re-selects the slot arrays alongside the input columns —
+    // an input column named like a pattern variable would then duplicate
+    // and the RUNNING-measure rewrite dies with an ambiguous-column
+    // AnalysisException; reject it with a clear message instead
+    if (keepSlots) {
+      val slotClash = inputCols.filter(slots.contains)
+      require(slotClash.isEmpty,
+        s"ALL ROWS PER MATCH: input column(s) ${slotClash.mkString(", ")} " +
+          "collide with a pattern variable name — rename the pattern " +
+          "variable")
+    }
     val tagged = concat(slots.map(n =>
       transform(col(n), e => struct(e.as("ev"), lit(n).as("cls")))): _*)
     // keepSlots: RUNNING measures evaluate per exploded row against the
@@ -259,9 +270,17 @@ object MatchRecognize {
     // boundIdentity: with pattern exclusions, suppressed rows are
     // matched-but-hidden, NOT unmatched — the complement computes
     // against the pre-exclusion bound set
-    val unmatched = input.join(
-      boundIdentity.getOrElse(matched)
-        .select(idCols.map(col): _*).distinct(), idCols, "left_anti")
+    // null-safe <=> identity: the NFA groups NULL partition keys and
+    // matches them normally, so a plain equi-anti-join (null = null is
+    // not true) would re-emit a null-keyed MATCHED row as unmatched too;
+    // aliases keep the self-join lineage unambiguous
+    val bound = boundIdentity.getOrElse(matched)
+      .select(idCols.map(col): _*).distinct().alias("_mrb")
+    val inA = input.alias("_mri")
+    val cond = idCols.map(c =>
+      col(s"_mri.$c") <=> col(s"_mrb.$c")).reduce(_ && _)
+    val unmatched = inA.join(bound, cond, "left_anti")
+      .select(input.columns.map(col).toIndexedSeq: _*)
     val extras = matched.schema.fields
       .filterNot(f => input.columns.contains(f.name))
     val filled = extras.foldLeft(unmatched)((d, f) =>

@@ -50,4 +50,17 @@ class AnomalySpec extends SparkSpec {
     // both types score buckets 4 and 5 on the same global grid
     assert(got.keySet == Set(("a", 4L), ("a", 5L), ("b", 4L), ("b", 5L)))
   }
+
+  test("streaming win_sumsq nulls (not wraps) past 2^63 — batch parity") {
+    import graft.operators.Anomaly
+    // in range: exact value
+    assert(Anomaly.sumsqOrNone(BigInt(Long.MaxValue)) ==
+      Some(Long.MaxValue))
+    assert(Anomaly.sumsqOrNone(BigInt(42)) == Some(42L))
+    // past 2^63: None, matching the batch non-ANSI decimal->long cast
+    // (null, never the truncated low 64 bits)
+    assert(Anomaly.sumsqOrNone(BigInt(Long.MaxValue) + 1) == None)
+    assert(Anomaly.sumsqOrNone(BigInt(3100000000L) * 3100000000L * 2)
+      == None)
+  }
 }

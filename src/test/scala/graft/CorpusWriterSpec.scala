@@ -235,6 +235,15 @@ class CorpusWriterSpec extends SparkSpec {
     val leftovers = Files.list(parent).iterator().asScala
       .map(_.getFileName.toString).filter(_.contains("staging")).toSeq
     assert(leftovers.isEmpty, s"failed staging not cleaned: $leftovers")
+    // a successful re-publish replaces the corpus and leaves no
+    // .old-* aside-dirs behind (the rename-aside swap cleans up)
+    CorpusWriter.publishSplits(docs.limit(25), "doc_id", out,
+      Seq("train" -> 1000), nFiles = 1)
+    assert(CorpusWriter.readCommitted(spark, out).count() == 25)
+    val olds = Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".old-") || n.contains("staging")).toSeq
+    assert(olds.isEmpty, s"aside dirs left behind: $olds")
   }
 
   test("publishDataCard commits the card atomically") {

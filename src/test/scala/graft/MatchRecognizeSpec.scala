@@ -1241,4 +1241,88 @@ class MatchRecognizeSpec extends SparkSpec {
       assert(rows == Set((1L, 1L, 2)))
     } finally q.stop()
   }
+
+  test("WITH UNMATCHED ROWS: a NULL partition key does not double-report " +
+      "its matched rows (null-safe identity join)") {
+    // the NFA groups NULL keys and matches them normally; the unmatched
+    // complement must use <=> identity or the null-keyed matched rows
+    // reappear as unmatched
+    val df = Seq(
+      (1L, 10L, Some(1L), "click"), (2L, 20L, Some(1L), "purchase"),
+      (3L, 10L, None, "click"), (4L, 20L, None, "purchase"),
+      (5L, 30L, None, "view")) // genuinely unmatched, null key
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_nullkey_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nullkey_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+      .select($"event_id", $"classifier")
+      .as[(Long, Option[String])].collect().toList.sorted
+    // exactly one row per input event; null-keyed matches keep their
+    // classifier, only event 5 is unmatched
+    assert(got == List(
+      (1L, Some("a")), (2L, Some("b")),
+      (3L, Some("a")), (4L, Some("b")),
+      (5L, None)))
+  }
+
+  test("pattern exclusion admits brace quantifiers: {- b{1,2} -}") {
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "purchase"),
+      (3L, 30L, 1L, "purchase"), (4L, 40L, 1L, "view"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_exclq_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_exclq_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(b.*) AS n_b
+          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a {- b{2,2} -} c)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase',
+          |         c AS event_type = 'view'
+          |)""".stripMargin))
+      .select($"event_id", $"classifier", $"n_b")
+      .as[(Long, String, Int)].collect().toSet
+    // both purchase rows bound to b (quantifier honored, measure sees
+    // them) but their rows are suppressed from ALL ROWS output
+    assert(got == Set((1L, "a", 2), (4L, "c", 2)))
+  }
+
+  test("keepSlots clash: input column named like a pattern variable " +
+      "fails fast with a rename message") {
+    val df = Seq((1L, 10L, 1L, "click", 5L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "a")
+    df.createOrReplaceTempView("mr_slotclash_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(
+          """SELECT * FROM mr_slotclash_view MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us, event_id
+            |  MEASURES RUNNING COUNT(a.*) AS n_run
+            |  ALL ROWS PER MATCH
+            |  PATTERN (a)
+            |  DEFINE a AS event_type = 'click'
+            |)""".stripMargin)).collect()
+    }
+    assert(e.getMessage.contains("rename the pattern variable"))
+  }
 }
