@@ -1693,8 +1693,9 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
-    // Exact numeric column profile (the Deequ profiler tier): one scan
-    // for nulls/min/max/sum, one hash agg per distinct count.
+    // Exact numeric column profile (the Deequ profiler tier): ONE scan
+    // for nulls/min/max/sum AND all distinct counts (multi-column
+    // count-distinct plans through a single Expand pass).
     "q162_profile" -> ((s, dir) => {
       Validate.profile(ld(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))

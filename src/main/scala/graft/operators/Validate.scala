@@ -82,11 +82,13 @@ object Validate {
     * stat an exact BIGINT (columns cast to long; the gate never hashes
     * floats). Null-only columns report NULL min/max/sum.
     *
-    * Shape for scale: nulls/min/max/sum for ALL columns fold into ONE
-    * scan aggregation (collected as a single bounded row); each
-    * distinct count is its own hash aggregation on the narrow column —
-    * the same per-column shuffle [[Unique]] pays, map-side partials
-    * bounding the exchange by distinct values per partition.
+    * Shape for scale: nulls/min/max/sum AND the exact distinct counts
+    * for ALL columns fold into ONE scan aggregation (Catalyst plans
+    * the multi-column count-distinct through a single Expand pass —
+    * map-side partials bound the exchange by distinct values per
+    * partition), collected as a single bounded row; the result is a
+    * driver-built O(columns) relation, so profiling a 100 TB table
+    * costs one scan regardless of how many columns are profiled.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -104,19 +106,19 @@ object Validate {
         sum(col(c).isNull.cast("long")).as(s"_nu$i"),
         min(col(c).cast("long")).as(s"_mn$i"),
         max(col(c).cast("long")).as(s"_mx$i"),
-        sum(col(c).cast("long")).as(s"_sm$i"))
+        sum(col(c).cast("long")).as(s"_sm$i"),
+        countDistinct(col(c)).cast("long").as(s"_nd$i"))
       }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val nRows = row.getLong(0)
-    def litOpt(idx: Int): Column =
-      if (row.isNullAt(idx)) lit(null).cast("long") else lit(row.getLong(idx))
+    def opt(idx: Int): Option[Long] =
+      if (row.isNullAt(idx)) None else Some(row.getLong(idx))
+    import df.sparkSession.implicits._
     cols.zipWithIndex.map { case (c, i) =>
-      df.agg(countDistinct(col(c)).cast("long").as("n_distinct"))
-        .select(lit(c).as("column"), lit(nRows).as("n_rows"),
-          lit(row.getLong(1 + 4 * i)).as("n_null"), col("n_distinct"),
-          litOpt(2 + 4 * i).as("min"), litOpt(3 + 4 * i).as("max"),
-          litOpt(4 + 4 * i).as("sum"))
-    }.reduce(_ unionByName _)
+      (c, nRows, row.getLong(1 + 5 * i), row.getLong(5 + 5 * i),
+        opt(2 + 5 * i), opt(3 + 5 * i), opt(4 + 5 * i))
+    }.toDF("column", "n_rows", "n_null", "n_distinct",
+      "min", "max", "sum")
   }
 
   /** Constraint suggestion from a [[profile]] result (the Deequ
