@@ -794,6 +794,31 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Cross-variable DEFINE predicates (SQL:2016 running semantics):
+    // the stock-ticker shape — any seed event, then the first later
+    // event priced BELOW the seed, then the first later event priced
+    // ABOVE the seed (recovery above the run's start), inside 2 h.
+    // strt.value in down/up's DEFINE reads the event bound to strt in
+    // the PARTIAL MATCH (the NFA's ctxPred path), not a lag column.
+    "q175_mr_crossvar_define" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_cv_q175")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_cv_q175 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+          |           up.event_id AS u_id
+          |  PATTERN (strt down up)
+          |  WITHIN 7200000000
+          |  DEFINE strt AS true,
+          |         down AS down.value < strt.value,
+          |         up AS up.value > strt.value
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -6664,6 +6689,33 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // seed-chained rn=1 elections against the SEED's price (not a lag
+    // column — the cross-variable comparison replays as correlated
+    // first-later-row joins): first later row below the seed, then
+    // first later row above the seed, both inside the seed's window
+    "q175_mr_crossvar_define" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events),
+        |s1 AS (SELECT * FROM (SELECT s.user_id, s.event_id AS s_id,
+        |    s.us AS s_us, s.value AS s_val, d.event_id AS d_id,
+        |    d.us AS d_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY d.us, d.event_id) AS rn
+        |  FROM o s JOIN o d ON s.user_id = d.user_id
+        |    AND d.value < s.value
+        |    AND (d.us > s.us OR (d.us = s.us AND d.event_id > s.event_id))
+        |    AND d.us - s.us <= 7200000000) WHERE rn = 1),
+        |s2 AS (SELECT * FROM (SELECT s1.user_id, s1.s_id, s1.d_id,
+        |    u.event_id AS u_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.s_id
+        |      ORDER BY u.us, u.event_id) AS rn
+        |  FROM s1 JOIN o u ON s1.user_id = u.user_id
+        |    AND u.value > s1.s_val
+        |    AND (u.us > s1.d_us OR (u.us = s1.d_us
+        |      AND u.event_id > s1.d_id))
+        |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

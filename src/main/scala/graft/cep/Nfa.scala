@@ -85,6 +85,29 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
   private def slotFilled(p: Partial[E], slot: Int): Boolean =
     slot < p.groups.length && p.groups(slot).nonEmpty
 
+  // --- cross-variable predicate support (Step.ctxPred) ---
+  private val nameToSlot: Map[String, Int] = slotNames.zipWithIndex.toMap
+  private val emptyCtx: String => IndexedSeq[E] = _ => IndexedSeq.empty
+  private def ctxOf(p: Partial[E]): String => IndexedSeq[E] = n =>
+    nameToSlot.get(n) match {
+      case Some(i) if i < p.groups.length => p.groups(i)
+      case _ => IndexedSeq.empty
+    }
+  /** Evaluate a step predicate against event `e` with the bindings of
+    * partial `p` as context (only consulted by [[Step.ctxPred]] steps).
+    */
+  private def evalPred(s: Step[E], e: E, p: Partial[E]): Boolean =
+    s.ctxPred match {
+      case Some(f) => f(e, ctxOf(p))
+      case None    => s.predicate(e)
+    }
+  /** Seed-time predicate (element 0, no partial yet): empty context. */
+  private def evalSeed(s: Step[E], e: E): Boolean =
+    s.ctxPred match {
+      case Some(f) => f(e, emptyCtx)
+      case None    => s.predicate(e)
+    }
+
   /** Is the partial's current element satisfied (eligible to advance)? */
   private def complete(p: Partial[E]): Boolean = elems(p.stepIdx) match {
     case s: Step[E] => p.curCount >= s.minCount
@@ -229,7 +252,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             // the un-extended partial stays live so it can still advance
             // on a later event (A<2:3> must match both the 2-long and
             // 3-long collections).
-            if (p.curCount < s.maxCount && s.predicate(e)) {
+            if (p.curCount < s.maxCount && evalPred(s, e, p)) {
               val np = p.copy(curCount = p.curCount + 1,
                 groups = bound(p, slotBase(p.stepIdx), e))
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -246,7 +269,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             val pos = p.curCount % len
             // Long arithmetic: maxRepeat may be Int.MaxValue (`+`/`*`)
             if (p.curCount.toLong < g.maxRepeat.toLong * len &&
-                g.steps(pos).predicate(e)) {
+                evalPred(g.steps(pos), e, p)) {
               val np = p.copy(curCount = p.curCount + 1,
                 groups = bound(p, slotBase(p.stepIdx) + pos, e))
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -259,9 +282,9 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             val rightOpen = !slotFilled(p, b + 1)
             // or: stop binding once one side matched (it is complete);
             // and: fill whichever side is open, left priority
-            val bindLeft = leftOpen && l.left.predicate(e) &&
+            val bindLeft = leftOpen && evalPred(l.left, e, p) &&
               (l.isAnd || rightOpen)
-            val bindRight = !bindLeft && rightOpen && l.right.predicate(e) &&
+            val bindRight = !bindLeft && rightOpen && evalPred(l.right, e, p) &&
               (l.isAnd || leftOpen)
             val slot = if (bindLeft) b else if (bindRight) b + 1 else -1
             if (slot >= 0) {
@@ -274,7 +297,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             // satisfies (the Logical left-priority rule, k sides)
             val b = slotBase(p.stepIdx)
             val i = pm.steps.indices.find(i =>
-              !slotFilled(p, b + i) && pm.steps(i).predicate(e))
+              !slotFilled(p, b + i) && evalPred(pm.steps(i), e, p))
             i.foreach { slot =>
               val np = p.copy(curCount = p.curCount + 1,
                 groups = bound(p, b + slot, e))
@@ -284,7 +307,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
           case a: Absence[E] =>
             // promote() already ran, so t is inside the window here: a
             // qualifying event violates the absence — the partial dies
-            if (a.step.predicate(e)) violated = true
+            if (evalPred(a.step, e, p)) violated = true
         }
 
         // (b) advance into a later element (skipping optional steps;
@@ -295,7 +318,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
           while (scan && j <= last) {
             elems(j) match {
               case sj: Step[E] =>
-                if (sj.maxCount >= 1 && sj.predicate(e)) {
+                if (sj.maxCount >= 1 && evalPred(sj, e, p)) {
                   val np = Partial(j, 1, p.startTs,
                     bound(p, slotBase(j), e), elemTs = t)
                   if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -303,7 +326,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                 }
                 if (sj.minCount == 0) j += 1 else scan = false
               case gj: GroupSeq[E] =>
-                if (gj.maxRepeat >= 1 && gj.steps(0).predicate(e)) {
+                if (gj.maxRepeat >= 1 && evalPred(gj.steps(0), e, p)) {
                   val np = Partial(j, 1, p.startTs,
                     bound(p, slotBase(j), e), elemTs = t)
                   if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -313,8 +336,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               case lj: Logical[E] =>
                 val bj = slotBase(j)
                 val slot =
-                  if (lj.left.predicate(e)) bj
-                  else if (lj.right.predicate(e)) bj + 1
+                  if (evalPred(lj.left, e, p)) bj
+                  else if (evalPred(lj.right, e, p)) bj + 1
                   else -1
                 if (slot >= 0) {
                   val np = Partial(j, 1, p.startTs,
@@ -325,7 +348,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                 scan = false
               case pj: Permute[E] =>
                 val bj = slotBase(j)
-                pj.steps.indices.find(i => pj.steps(i).predicate(e))
+                pj.steps.indices.find(i => evalPred(pj.steps(i), e, p))
                   .foreach { i =>
                     val np = Partial(j, 1, p.startTs,
                       bound(p, bj + i, e), elemTs = t)
@@ -370,19 +393,19 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     if (!terminated && (pattern.every || next.isEmpty)) {
       elems.head match {
         case s: Step[E] =>
-          if (s.predicate(e)) {
+          if (evalSeed(s, e)) {
             val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case g: GroupSeq[E] =>
-          if (g.steps(0).predicate(e)) {
+          if (evalSeed(g.steps(0), e)) {
             val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case l: Logical[E] =>
           val slot =
-            if (l.left.predicate(e)) 0
-            else if (l.right.predicate(e)) 1
+            if (evalSeed(l.left, e)) 0
+            else if (evalSeed(l.right, e)) 1
             else -1
           if (slot >= 0) {
             val g = if (slot == 0) Vector(Vector(e))
@@ -391,7 +414,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case pm: Permute[E] =>
-          pm.steps.indices.find(i => pm.steps(i).predicate(e))
+          pm.steps.indices.find(i => evalSeed(pm.steps(i), e))
             .foreach { i =>
               val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(e)
               val np = Partial(0, 1, t, g, elemTs = t)

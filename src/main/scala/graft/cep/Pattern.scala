@@ -35,7 +35,18 @@ final case class Step[E](
     predicate: E => Boolean,
     minCount: Int = 1,
     maxCount: Int = 1,
-    strict: Boolean = false) extends PatternElem[E] {
+    strict: Boolean = false,
+    /** Cross-variable predicate (SQL:2016 `B AS B.price > FIRST(A.price)`
+      * shape): when set, it REPLACES `predicate` and is evaluated with
+      * the partial match's bindings so far — the second argument maps a
+      * pattern-variable name to its already-bound events (in bind
+      * order, EXCLUDING the event under test; empty for variables not
+      * yet bound). Running semantics: for variables earlier in the
+      * pattern the bindings are complete, for the step's own variable
+      * they are the previous iterations of its quantifier.
+      */
+    ctxPred: Option[(E, String => IndexedSeq[E]) => Boolean] = None)
+    extends PatternElem[E] {
   require(minCount >= 0 && maxCount >= math.max(minCount, 1))
   def names: IndexedSeq[String] = IndexedSeq(name)
 }

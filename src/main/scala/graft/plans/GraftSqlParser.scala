@@ -95,6 +95,18 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * lag/lead columns over the operator's own (keys, ts, tie) order, so
   * the planner runs one shuffle+sort for both. Batch tables only.
   *
+  * DEFINE predicates may also reference OTHER pattern variables'
+  * bound events (SQL:2016 running semantics) — `up AS up.price >
+  * FIRST(down.price)`: `FIRST(v.col)` / `LAST(v.col)` / bare `v.col`
+  * (= LAST) read the first/most-recent event already bound to `v` in
+  * the partial match (NULL while `v` is unbound); references to the
+  * variable being defined resolve against the current row (`n.col` /
+  * `LAST(n.col)` = the current row, `FIRST(n.col)` = the variable's
+  * first binding, or the current row when it is the first). These
+  * compile to the operator's [[MatchRecognize.cvFirst]]/[[cvLast]]
+  * context markers, evaluated inside the NFA against the partial's
+  * bindings. Batch tables only.
+  *
   * Clauses must appear in the canonical order above (the SQL-standard
   * clause order) — identifiers that merely LOOK like clause keywords
   * (`... AS pattern`) never mis-split, because each clause is only
@@ -139,10 +151,10 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * (same output schema, watermark-buffered NFA) and requires the
   * EVENTTIME clause. Not supported (fail fast): quantified
   * alternations, quantified/grouped PERMUTE, groups nested in groups,
-  * DEFINE predicates referencing pattern variables (PREV/NEXT input
-  * navigation IS supported, batch only), RUNNING measures in ONE ROW
-  * PER MATCH mode (where every measure is FINAL by definition), AFTER
-  * MATCH SKIP TO [FIRST|LAST] <var> modes.
+  * RUNNING measures in ONE ROW PER MATCH mode (where every measure is
+  * FINAL by definition), AFTER MATCH SKIP TO [FIRST|LAST] <var>
+  * modes, and — in streaming mode only — PREV/NEXT and
+  * cross-variable DEFINE references (both batch-only).
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -397,10 +409,6 @@ private[plans] object MatchRecognizeSql {
     val missing = varNames.filterNot(defs.contains)
     require(missing.isEmpty,
       s"PATTERN variables without DEFINE: ${missing.mkString(", ")}")
-    for (d <- defs.values; v <- varNames)
-      require(!maskLiterals(d).matches(s"(?is).*(?<!\\w)$v\\s*\\..*"),
-        s"DEFINE predicates may not reference pattern variables " +
-          s"(per-event predicates only): $d")
 
     val tsScaleOpt = sec.get("tsscale").map(_.trim.toLong)
     val ivRe = """(?i)interval\s+'(\d+)'\s+(second|minute|hour|day)s?""".r
@@ -443,7 +451,54 @@ private[plans] object MatchRecognizeSql {
       """(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
     val lagSpecs =
       scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
-    val defs2 = defs.map { case (n, d) =>
+    // Cross-variable DEFINE references — SQL:2016 running semantics
+    // while the current row is tentatively mapped to the variable
+    // being defined (n):
+    //   FIRST(v.c) / LAST(v.c) / bare v.c with v != n → the
+    //     first/last event ALREADY bound to v in this partial match
+    //     (bare = LAST); NULL while v is unbound. Compiles to the
+    //     operator's cvFirst/cvLast context markers.
+    //   n.c / LAST(n.c) → the CURRENT row's c (the current row IS the
+    //     last row mapped to n while its predicate evaluates);
+    //   FIRST(n.c) → the first event already bound to n, or the
+    //     current row when none is (first binding of a quantifier).
+    def cvMark(fn: String, v: String, c: String): String = {
+      require(src.columns.exists(
+          session.sessionState.analyzer.resolver(_, c)),
+        s"cross-variable reference $fn($v.$c): column '$c' not in " +
+          s"[${src.columns.mkString(", ")}]")
+      s"`${MatchRecognize.CvMarker}`.`$fn`.`$v`.`$c`"
+    }
+    def rewriteCrossVar(n: String, d: String): String =
+      rewriteOutsideLiterals(d) { seg0 =>
+        var seg = seg0
+        for (v <- varNames) {
+          seg = seg.replaceAll(
+            s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            java.util.regex.Matcher.quoteReplacement("F:" + v + ":") +
+              "$1")
+          seg = seg.replaceAll(
+            s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            java.util.regex.Matcher.quoteReplacement("L:" + v + ":") +
+              "$1")
+          seg = seg.replaceAll(s"(?i)(?<!\\w)$v\\.(\\w+)",
+            java.util.regex.Matcher.quoteReplacement("L:" + v + ":") +
+              "$1")
+        }
+        // expand the placeholder tokens (two-phase so a replacement
+        // can never be re-matched as a variable reference)
+        """([FL]):(\w+):(\w+)""".r.replaceAllIn(seg, mm => {
+          val (fn, v, c) = (mm.group(1), mm.group(2), mm.group(3))
+          val out =
+            if (v == n && fn == "L") s"`$c`"
+            else if (v == n) s"coalesce(${cvMark("first", v, c)}, `$c`)"
+            else if (fn == "F") cvMark("first", v, c)
+            else cvMark("last", v, c)
+          java.util.regex.Matcher.quoteReplacement(out)
+        })
+      }
+    val defs2 = defs.map { case (n, d0) =>
+      val d = rewriteCrossVar(n, d0)
       n -> rewriteOutsideLiterals(d) { seg =>
         prevRe.replaceAllIn(seg, mm => {
           val kind = mm.group(1).toLowerCase
@@ -459,6 +514,8 @@ private[plans] object MatchRecognizeSql {
         })
       }
     }
+    val hasCrossVar = defs2.values.exists(
+      _.contains(MatchRecognize.CvMarker))
     def pred(n: String): Column =
       GraftSqlBridge.column(delegate.parseExpression(defs2(n)))
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
@@ -487,6 +544,11 @@ private[plans] object MatchRecognizeSql {
       }
     val matched =
       if (src.isStreaming) {
+        require(!hasCrossVar,
+          "cross-variable DEFINE predicates (FIRST/LAST(var.col) or " +
+            "var.col of another pattern variable) are only supported " +
+            "over batch tables — streaming predicates precompute as " +
+            "per-event flags")
         val evc = sec.getOrElse("eventtime",
           throw new IllegalArgumentException(
             "MATCH_RECOGNIZE over a STREAMING table needs an " +

@@ -41,6 +41,20 @@ final case class PermuteSpec(permNames: Seq[String]) extends MatchElemSpec {
   def names: Seq[String] = permNames; def arity: Int = permNames.length
 }
 
+/** One cross-variable reference inside a DEFINE predicate
+  * (`FIRST(a.price)` / `LAST(a.price)`): at evaluation time the value
+  * is read from the partial match's bound events of `varName` (column
+  * `ordinal` of the first/last bound row; NULL while unbound) and fed
+  * to the predicate through the synthetic attribute `attr`, which the
+  * predicate expression references and the executor appends to the
+  * child schema via a joined row.
+  */
+final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
+    dataType: org.apache.spark.sql.types.DataType,
+    attr: AttributeReference) extends Serializable {
+  require(fn == "first" || fn == "last", s"bad ctx ref fn: $fn")
+}
+
 /** MATCH_RECOGNIZE-style logical operator: per `keys` group, events
   * ordered by (`ts`, `tie`) run through the CEP NFA; each completed match
   * emits one row `keys ++ (match_start, match_end) ++ one array<struct>
@@ -68,7 +82,10 @@ case class MatchRecognizeNode(
     maxPartials: Int,
     skipPastLastRow: Boolean,
     outAttrs: Seq[Attribute],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    /** Per-predicate cross-variable references, aligned with
+      * `predicates` (empty inner seq = plain per-event predicate). */
+    ctxRefs: Seq[Seq[CtxRefSpec]] = Nil) extends UnaryNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -137,15 +154,32 @@ object MatchRecognize {
       child.output.find(a => spark.sessionState.analyzer.resolver(a.name, n))
         .getOrElse(throw new IllegalArgumentException(
           s"column '$n' not in [${child.output.map(_.name).mkString(", ")}]"))
-    def resolve(c: Column): Expression =
-      GraftSqlBridge.sessionExpression(spark, c).transformUp {
+    // cross-variable references ([[cvFirst]]/[[cvLast]] markers) lift
+    // into per-predicate CtxRefSpec lists; the marker becomes a
+    // synthetic attribute the executor feeds from the partial match
+    def resolve(c: Column): (Expression, Seq[CtxRefSpec]) = {
+      val refs = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String, String), CtxRefSpec]
+      val ex = GraftSqlBridge.sessionExpression(spark, c).transformUp {
+        case u: UnresolvedAttribute if u.nameParts.length == 4 &&
+            u.nameParts.head == CvMarker =>
+          val Seq(_, fn, v, cn) = u.nameParts
+          val base = attr(cn)
+          refs.getOrElseUpdate((fn, v, cn), {
+            val ord = child.output.indexWhere(_.exprId == base.exprId)
+            CtxRefSpec(fn, v, ord, base.dataType,
+              AttributeReference(s"_mr_cv_${fn}_${v}_$cn", base.dataType,
+                nullable = true)())
+          }).attr
         case u: UnresolvedAttribute => attr(u.name)
       }
+      (ex, refs.values.toSeq)
+    }
 
     val tsA = attr(tsCol)
     require(tsA.dataType == LongType,
       s"ts column '$tsCol' must be LongType, got ${tsA.dataType}")
-    val (specs, preds) = pattern.map {
+    val (specs, predRefs) = pattern.map {
       case EStep(n, p, mn, mx, st) =>
         (StepSpec(n, mn, mx, st), Seq(resolve(p)))
       case EAnd(ln, lp, rn, rp) =>
@@ -159,6 +193,15 @@ object MatchRecognize {
       case EPermute(ss) =>
         (PermuteSpec(ss.map(_._1)), ss.map(s => resolve(s._2)))
     }.unzip
+    val preds = predRefs.map(_.map(_._1))
+    val ctxRefs = predRefs.flatMap(_.map(_._2))
+    // every referenced variable must exist in the pattern (a typo'd
+    // name would otherwise evaluate to a silent permanent NULL)
+    val patVars = specs.flatMap(_.names).toSet
+    val badRefs = ctxRefs.flatten.map(_.varName).filterNot(patVars)
+    require(badRefs.isEmpty,
+      s"cross-variable reference(s) to unknown pattern variable(s): " +
+        badRefs.distinct.mkString(", "))
 
     // step names share the output row with the partition keys and the
     // match_start/match_end bounds — a collision would produce ambiguous
@@ -182,8 +225,47 @@ object MatchRecognize {
 
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, attr(tieCol), preds.flatten, specs,
-      withinTs, every, maxPartials, skipPastLastRow, outAttrs, child))
+      withinTs, every, maxPartials, skipPastLastRow, outAttrs, child,
+      ctxRefs))
   }
+
+  private[plans] val CvMarker = "_mr_cv"
+
+  /** Cross-variable DEFINE reference: the value of `column` on the
+    * FIRST event bound to pattern variable `variable` in the current
+    * partial match (NULL while unbound) — the SQL:2016
+    * `B AS B.price > FIRST(A.price)` shape, usable in any [[Elem]]
+    * predicate. Batch operator only (streaming predicates precompute
+    * as per-event flags and fail fast on these markers).
+    */
+  def cvFirst(variable: String, column: String): Column =
+    org.apache.spark.sql.functions.col(
+      s"$CvMarker.first.$variable.$column")
+
+  /** Cross-variable DEFINE reference to the LAST (most recent) event
+    * bound to `variable` so far — running semantics; see [[cvFirst]].
+    */
+  def cvLast(variable: String, column: String): Column =
+    org.apache.spark.sql.functions.col(
+      s"$CvMarker.last.$variable.$column")
+
+  import org.apache.spark.sql.SparkSession
+  /** Fail fast when a pattern's predicates carry [[cvFirst]]/[[cvLast]]
+    * markers in a context that cannot evaluate them (streaming flag
+    * precompute). */
+  private def requireNoCtxRefs(spark: SparkSession, preds: Seq[Column],
+      where: String): Unit =
+    preds.foreach { p =>
+      val has = GraftSqlBridge.sessionExpression(spark, p).exists {
+        case u: UnresolvedAttribute =>
+          u.nameParts.headOption.contains(CvMarker)
+        case _ => false
+      }
+      require(!has,
+        s"cross-variable DEFINE predicates (cvFirst/cvLast, " +
+          s"FIRST/LAST(var.col)) are only supported on the batch " +
+          s"operator — $where precomputes predicates as per-event flags")
+    }
 
   /** Pattern-element step names in declaration order (the output slot
     * order of the batch operator and [[streamingFull]]).
@@ -342,6 +424,7 @@ object MatchRecognize {
       case EGroup(ss, _, _)     => ss.map(_._2)
       case EPermute(ss)         => ss.map(_._2)
     }
+    requireNoCtxRefs(df.sparkSession, predCols, "streaming()")
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
       lit(false))): _*)
     // plain alias keeps the watermark metadata on the event-time column
@@ -442,6 +525,7 @@ object MatchRecognize {
       case EGroup(ss, _, _)     => ss.map(_._2)
       case EPermute(ss)         => ss.map(_._2)
     }
+    requireNoCtxRefs(df.sparkSession, predCols, "streamingFull()")
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
       lit(false))): _*)
     val rowType = df.schema

@@ -20,7 +20,7 @@ object MatchRecognizeStrategy extends SparkStrategy {
     case m: MatchRecognizeNode =>
       MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
         m.withinTs, m.every, m.maxPartials, m.skipPastLastRow, m.outAttrs,
-        planLater(m.child)) :: Nil
+        planLater(m.child), m.ctxRefs) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +49,8 @@ case class MatchRecognizeExec(
     maxPartials: Int,
     skipPastLastRow: Boolean,
     outAttrs: Seq[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    ctxRefs: Seq[Seq[CtxRefSpec]] = Nil) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
 
@@ -86,6 +87,7 @@ case class MatchRecognizeExec(
     val maxP = maxPartials
     val skipPLR = skipPastLastRow
     val outTypes = output.map(_.dataType).toArray
+    val ctxRefSpecs = ctxRefs
     val matchMetric = longMetric("numMatches")
     val groupMetric = longMetric("numGroups")
 
@@ -93,11 +95,46 @@ case class MatchRecognizeExec(
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val tsProj = UnsafeProjection.create(Seq(tsExpr), childOutput)
       val predIt = preds.iterator
+      val ctxIt = (if (ctxRefSpecs.isEmpty)
+        Iterator.continually(Seq.empty[CtxRefSpec])
+      else ctxRefSpecs.iterator)
       def mkStep(name: String, min: Int, max: Int,
           strict: Boolean): Step[InternalRow] = {
-        val p: BasePredicate = Predicate.create(predIt.next(), childOutput)
-        p.initialize(idx)
-        Step[InternalRow](name, r => p.eval(r), min, max, strict)
+        val refs = ctxIt.next()
+        if (refs.isEmpty) {
+          val p: BasePredicate = Predicate.create(predIt.next(), childOutput)
+          p.initialize(idx)
+          Step[InternalRow](name, r => p.eval(r), min, max, strict)
+        } else {
+          // cross-variable predicate: the expression references the
+          // synthetic ctx attributes appended after the child schema;
+          // each evaluation reads FIRST/LAST bound-event values from
+          // the partial's context and joins them to the event row
+          val p: BasePredicate = Predicate.create(predIt.next(),
+            childOutput ++ refs.map(_.attr))
+          p.initialize(idx)
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          val cv = (e: InternalRow,
+              ctx: String => IndexedSeq[InternalRow]) => {
+            val vals = new Array[Any](refs.length)
+            var i = 0
+            while (i < refs.length) {
+              val ref = refs(i)
+              val g = ctx(ref.varName)
+              vals(i) =
+                if (g.isEmpty) null
+                else {
+                  val row = if (ref.fn == "first") g.head else g.last
+                  if (row.isNullAt(ref.ordinal)) null
+                  else row.get(ref.ordinal, ref.dataType)
+                }
+              i += 1
+            }
+            p.eval(joined(e, new GenericInternalRow(vals)))
+          }
+          Step[InternalRow](name, r => cv(r, _ => IndexedSeq.empty),
+            min, max, strict, ctxPred = Some(cv))
+        }
       }
       val pelems = specs.map {
         case StepSpec(n, mn, mx, st) => mkStep(n, mn, mx, st)

@@ -1325,4 +1325,103 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rename the pattern variable"))
   }
+
+  test("cross-variable DEFINE predicates: programmatic cvLast/cvFirst " +
+      "bind against the partial match") {
+    // a (type A), b (type B with value below a's), c (type C with value
+    // above b's last) — e3 (B, 9) must NOT bind b (9 > 5), yet c still
+    // binds later (skip-till-next)
+    val df = Seq(
+      (1L, 10L, 1L, "A", 5.0), (2L, 20L, 1L, "B", 3.0),
+      (3L, 30L, 1L, "B", 9.0), (4L, 40L, 1L, "C", 6.0))
+      .toDF("event_id", "ts_us", "user_id", "typ", "value")
+    val got = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+      Seq(
+        EStep("a", $"typ" === "A"),
+        EStep("b", $"typ" === "B" &&
+          $"value" < MatchRecognize.cvLast("a", "value")),
+        EStep("c", $"typ" === "C" &&
+          $"value" > MatchRecognize.cvLast("b", "value"))))
+      .select(
+        element_at($"a", 1).getField("event_id").as("a_id"),
+        element_at($"b", 1).getField("event_id").as("b_id"),
+        element_at($"c", 1).getField("event_id").as("c_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 4L)))
+    // unknown variable in a marker fails fast
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"typ" === "A"),
+          EStep("b", $"value" < MatchRecognize.cvFirst("zz", "value"))))
+    }
+    assert(e.getMessage.contains("unknown pattern variable"))
+  }
+
+  test("SQL cross-variable DEFINE == programmatic; own-var FIRST " +
+      "coalesces to the current row on the first binding") {
+    val df = Seq(
+      (1L, 10L, 1L, "A", 5.0), (2L, 20L, 1L, "B", 3.0),
+      (3L, 30L, 1L, "B", 9.0), (4L, 40L, 1L, "C", 6.0),
+      // user 2: down-run then recovery above the run's start
+      (5L, 10L, 2L, "A", 8.0), (6L, 20L, 2L, "B", 7.0),
+      (7L, 30L, 2L, "B", 6.0), (8L, 40L, 2L, "C", 9.0))
+      .toDF("event_id", "ts_us", "user_id", "typ", "value")
+    df.createOrReplaceTempView("mr_cv_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cv_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, COUNT(b.*) AS n_b,
+          |           c.event_id AS c_id
+          |  PATTERN (a b+ c)
+          |  DEFINE a AS typ = 'A',
+          |         b AS typ = 'B' AND b.value < LAST(a.value)
+          |                       AND b.value <= FIRST(b.value),
+          |         c AS typ = 'C' AND c.value > FIRST(a.value)
+          |)""".stripMargin))
+      .select($"user_id", $"a_id", $"n_b", $"c_id")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // user 1: b binds only e2 (e3's 9.0 fails b.value < a's 5.0);
+    //   c needs value > 5.0 → e4 (6.0). user 2: b run is 7.0 then 6.0
+    //   (6.0 <= FIRST(b)=7.0 holds), c is 9.0 > 8.0.
+    assert(got.contains((2L, 5L, 2, 8L)))
+    assert(got.contains((1L, 1L, 1, 4L)))
+    // b+ branches also emit the shorter user-2 match (b = [e6] only)
+    assert(got == Set((1L, 1L, 1, 4L), (2L, 5L, 2, 8L), (2L, 5L, 1, 8L)))
+  }
+
+  test("cross-variable DEFINE rejected on streaming tables and by the " +
+      "streaming builders") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[REv]
+    val sdf = input.toDF()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+    sdf.createOrReplaceTempView("mr_cv_stream_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val e1 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_cv_stream_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  EVENTTIME ets
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND b.ts_us > FIRST(a.ts_us)
+          |)""".stripMargin)
+    }
+    assert(e1.getMessage.contains("only supported"))
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognize.streaming(sdf, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "A"),
+          EStep("b", $"ts_us" > MatchRecognize.cvFirst("a", "ts_us"))),
+        "ets")
+    }
+    assert(e2.getMessage.contains("batch operator"))
+  }
 }

@@ -272,4 +272,28 @@ object NfaProps extends Properties("Nfa") {
         Step[E]("b", (e: E) => e.typ == t2))), withinMs = within)
       Prop(runPat(perm, evs) == runPat(land, evs)) :| "permute2 != and"
     }
+
+  /** A cross-variable predicate evaluated IN the NFA must equal the
+    * unrestricted pattern post-filtered on the same condition, on
+    * strict pairs (a then immediately-next b): strictness makes the
+    * candidate set identical — each a's only candidate b is the next
+    * event, bound iff the predicate holds — so in-NFA filtering and
+    * post-filtering are two code paths for one semantics.
+    */
+  property("cross-var ctxPred on strict pairs == post-filtered " +
+      "unrestricted matches") =
+    forAll(genEvents, Gen.oneOf("A", "B", "C"), Gen.choose(1L, 15L)) {
+      (evs, t, gap) =>
+      val cvPat = PatternDef[E](IndexedSeq(
+        Step[E]("a", _.typ == t),
+        Step[E]("b", _ => true, strict = true,
+          ctxPred = Some((e, ctx) =>
+            ctx("a").headOption.exists(a => e.ts - a.ts >= gap)))))
+      val allPat = PatternDef[E](IndexedSeq(
+        Step[E]("a", (e: E) => e.typ == t),
+        Step[E]("b", (_: E) => true, strict = true)))
+      val got = runPat(cvPat, evs)
+      val exp = runPat(allPat, evs).filter { case (s, e, _) => e - s >= gap }
+      Prop(got == exp) :| s"cv=$got filtered=$exp"
+    }
 }
