@@ -794,6 +794,30 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // AFTER MATCH SKIP TO LAST <var> (SQL:2016's to-variable skip
+    // mode): after each match, scanning resumes AT the row bound to b
+    // — seeds between that row and the match end survive (unlike SKIP
+    // PAST LAST ROW), seeds before it are consumed (unlike the SKIP TO
+    // NEXT ROW overlap default). 876 matches vs 1722 overlap at sf0.01.
+    "q176_mr_skip_to_var" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_skipto_q176")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_skipto_q176 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  AFTER MATCH SKIP TO LAST b
+          |  PATTERN (a b c)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // Cross-variable DEFINE predicates (SQL:2016 running semantics):
     // the stock-ticker shape — any seed event, then the first later
     // event priced BELOW the seed, then the first later event priced
@@ -6689,6 +6713,46 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // the overlap match relation (per-seed rn=1 elections), then the
+    // skip-to chain as a recursive CTE: per user, emit the earliest
+    // match, resume at its b row (inclusive), take the next earliest
+    // match starting at-or-after it, repeat — the greedy chain the
+    // one-pass NFA computes
+    "q176_mr_skip_to_var" ->
+      """WITH RECURSIVE o AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS us, event_type FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, us AS a_us FROM o
+        |  WHERE event_type = 'click'),
+        |s1 AS (SELECT * FROM (SELECT a.user_id, a.a_id, a.a_us,
+        |    b.event_id AS b_id, b.us AS b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM a JOIN o b ON a.user_id = b.user_id
+        |    AND b.event_type = 'view'
+        |    AND (b.us > a.a_us OR (b.us = a.a_us
+        |      AND b.event_id > a.a_id))) WHERE rn = 1),
+        |m AS (SELECT * FROM (SELECT s1.user_id, s1.a_id, s1.a_us,
+        |    s1.b_id, s1.b_us, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.a_id
+        |      ORDER BY c.us, c.event_id) AS rn
+        |  FROM s1 JOIN o c ON s1.user_id = c.user_id
+        |    AND c.event_type = 'purchase'
+        |    AND (c.us > s1.b_us OR (c.us = s1.b_us
+        |      AND c.event_id > s1.b_id))) WHERE rn = 1),
+        |chain AS (
+        |  SELECT user_id, a_id, a_us, b_id, b_us, c_id FROM (
+        |    SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY a_us, a_id) AS rn2 FROM m) WHERE rn2 = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.a_id, n.a_us, n.b_id, n.b_us, n.c_id
+        |  FROM chain ch JOIN LATERAL (
+        |    SELECT * FROM m WHERE m.user_id = ch.user_id
+        |      AND (m.a_us > ch.b_us OR (m.a_us = ch.b_us
+        |        AND m.a_id >= ch.b_id))
+        |    ORDER BY m.a_us, m.a_id LIMIT 1) n ON true
+        |)
+        |SELECT user_id, a_id, b_id, c_id FROM chain""".stripMargin,
 
     // seed-chained rn=1 elections against the SEED's price (not a lag
     // column — the cross-variable comparison replays as correlated

@@ -31,10 +31,22 @@ import scala.collection.mutable.ArrayBuffer
   * partials are pruned on every event using `withinMs`, so per-key state
   * is O(live partials × pattern length), never O(stream).
   */
-final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
-    extends Serializable {
+final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
+    val tieOf: E => Long = null) extends Serializable {
   private val elems = pattern.steps
   require(elems.nonEmpty, "pattern needs at least one step")
+  pattern.skipToVar.foreach { case (v, _) =>
+    require(tieOf != null,
+      "AFTER MATCH SKIP TO FIRST/LAST <var> needs a tie-break " +
+        "function (row identity is (ts, tie)) — use an executor that " +
+        "provides one")
+    require(elems.forall(!_.isInstanceOf[Absence[E]]),
+      "AFTER MATCH SKIP TO FIRST/LAST <var> does not compose with " +
+        "absence elements")
+    require(pattern.every,
+      "AFTER MATCH SKIP TO FIRST/LAST <var> needs every = true (the " +
+        "skip mode itself governs which matches emit)")
+  }
   elems.head match {
     case s: Step[E] =>
       require(s.minCount >= 1, "first step must be non-optional")
@@ -61,6 +73,13 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     s"duplicate step names: ${slotNames.diff(slotNames.distinct).distinct.mkString(", ")}")
 
   private val skip = pattern.skipPastLastRow
+  private val skipTo = pattern.skipToVar
+  pattern.skipToVar.foreach { case (v, _) =>
+    require(slotNames.contains(v),
+      s"AFTER MATCH SKIP TO: unknown pattern variable '$v' " +
+        s"(have: ${slotNames.mkString(", ")})")
+    require(!skip, "skipPastLastRow and skipToVar are mutually exclusive")
+  }
 
   private var partials: List[Partial[E]] = Nil
   private var terminated: Boolean = false
@@ -101,6 +120,13 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       case Some(f) => f(e, ctxOf(p))
       case None    => s.predicate(e)
     }
+  // --- SKIP TO FIRST/LAST <var> row identity helpers ---
+  private def keyOf(e: E): (Long, Long) = (tsOf(e), tieOf(e))
+  private def startKeyOf(m: PatternMatch[E]): (Long, Long) =
+    m.groups.valuesIterator.flatten.map(keyOf).min
+  private def geKey(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)
+
   /** Seed-time predicate (element 0, no partial yet): empty context. */
   private def evalSeed(s: Step[E], e: E): Boolean =
     s.ctxPred match {
@@ -233,7 +259,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
     // skip-past-last-row defers event-path emissions to a side buffer:
     // all matches completing on THIS event are candidates, exactly one
     // (the earliest-starting — greedy leftmost) is emitted
-    val evOut = if (skip) ArrayBuffer.empty[PatternMatch[E]] else out
+    val evOut = if (skip || skipTo.isDefined)
+      ArrayBuffer.empty[PatternMatch[E]] else out
     val next = ArrayBuffer.empty[Partial[E]]
 
     partials.foreach { p =>
@@ -320,7 +347,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               case sj: Step[E] =>
                 if (sj.maxCount >= 1 && evalPred(sj, e, p)) {
                   val np = Partial(j, 1, p.startTs,
-                    bound(p, slotBase(j), e), elemTs = t)
+                    bound(p, slotBase(j), e), elemTs = t, startTie = p.startTie)
                   if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
                   moved = true
                 }
@@ -328,7 +355,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
               case gj: GroupSeq[E] =>
                 if (gj.maxRepeat >= 1 && evalPred(gj.steps(0), e, p)) {
                   val np = Partial(j, 1, p.startTs,
-                    bound(p, slotBase(j), e), elemTs = t)
+                    bound(p, slotBase(j), e), elemTs = t, startTie = p.startTie)
                   if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
                   moved = true
                 }
@@ -341,7 +368,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                   else -1
                 if (slot >= 0) {
                   val np = Partial(j, 1, p.startTs,
-                    bound(p, slot, e), elemTs = t)
+                    bound(p, slot, e), elemTs = t, startTie = p.startTie)
                   if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
                   moved = true
                 }
@@ -351,7 +378,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
                 pj.steps.indices.find(i => evalPred(pj.steps(i), e, p))
                   .foreach { i =>
                     val np = Partial(j, 1, p.startTs,
-                      bound(p, bj + i, e), elemTs = t)
+                      bound(p, bj + i, e), elemTs = t, startTie = p.startTie)
                     if (!emitIfComplete(np, evOut, t))
                       addPartial(np, t, next)
                     moved = true
@@ -394,12 +421,14 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       elems.head match {
         case s: Step[E] =>
           if (evalSeed(s, e)) {
-            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
+            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t,
+              startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case g: GroupSeq[E] =>
           if (evalSeed(g.steps(0), e)) {
-            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t)
+            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t,
+              startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case l: Logical[E] =>
@@ -410,14 +439,16 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
           if (slot >= 0) {
             val g = if (slot == 0) Vector(Vector(e))
               else Vector(Vector.empty[E], Vector(e))
-            val np = Partial(0, 1, t, g, elemTs = t)
+            val np = Partial(0, 1, t, g, elemTs = t,
+              startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case pm: Permute[E] =>
           pm.steps.indices.find(i => evalSeed(pm.steps(i), e))
             .foreach { i =>
               val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(e)
-              val np = Partial(0, 1, t, g, elemTs = t)
+              val np = Partial(0, 1, t, g, elemTs = t,
+                startTie = if (tieOf == null) 0L else tieOf(e))
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
             }
         case _: Absence[E] => () // unreachable (head require)
@@ -429,6 +460,34 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long)
       // rows at/before it — emit the leftmost candidate, drop the rest
       out += evOut.minBy(_.startTs)
       next.clear()
+    } else if (skipTo.isDefined && evOut.nonEmpty) {
+      // SKIP TO FIRST/LAST <var>: iterate candidates leftmost-first;
+      // each emission moves the resume point to its target row, and
+      // only candidates/partials starting at-or-after it survive —
+      // the one-pass equivalent of the standard's rescan-from-target
+      val (v, isFirst) = skipTo.get
+      val sorted = evOut.sortBy(startKeyOf)
+      var resume: Option[(Long, Long)] = None
+      sorted.foreach { m =>
+        val sk = startKeyOf(m)
+        if (resume.forall(r => geKey(sk, r))) {
+          val g = m.groups.getOrElse(v, IndexedSeq.empty)
+          if (g.isEmpty) throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
+              s"$v: the variable bound no rows in the match")
+          val tgt = keyOf(if (isFirst) g.head else g.last)
+          if (tgt == sk) throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
+              s"$v: the target row is the match's own first row " +
+              "(infinite loop)")
+          out += m
+          resume = Some(tgt)
+        }
+      }
+      resume.foreach { r =>
+        val kept = next.filter(p => geKey((p.startTs, p.startTie), r))
+        next.clear(); next ++= kept
+      }
     }
 
     partials =

@@ -130,7 +130,19 @@ final case class PatternDef[E](
       * `every` toggle covers the other two). When several partials
       * complete on the same event, the earliest-starting one wins.
       */
-    skipPastLastRow: Boolean = false)
+    skipPastLastRow: Boolean = false,
+    /** AFTER MATCH SKIP TO [FIRST|LAST] <var> (SQL:2016's remaining
+      * skip modes): `(varName, isFirst)`. When a match emits, scanning
+      * resumes AT the first/last row bound to `varName` — partial
+      * matches starting at-or-after that row survive, earlier ones are
+      * consumed (greedy leftmost, like SKIP PAST LAST ROW, but the
+      * resume point is inside the match). Runtime errors per the
+      * standard: the target variable bound no rows, or the target row
+      * IS the match's first row (a rescan engine would loop forever).
+      * Requires a `tieOf` on the [[Nfa]] (row identity is (ts, tie))
+      * and a pattern without absence elements.
+      */
+    skipToVar: Option[(String, Boolean)] = None)
 
 /** A live partial match inside the NFA (also the unit of checkpointed
   * streaming state): index of the element being collected, events
@@ -143,7 +155,12 @@ final case class Partial[E](
     curCount: Int,
     startTs: Long,
     groups: Vector[Vector[E]],
-    elemTs: Long = 0L)
+    elemTs: Long = 0L,
+    /** Tie-break of the partial's FIRST bound event — with `startTs`
+      * the total-order row identity of the match start (drives the
+      * SKIP TO FIRST/LAST <var> survivor test). 0 when the NFA has no
+      * `tieOf`. */
+    startTie: Long = 0L)
 
 /** A completed match: step name → the events bound to it, in order. */
 final case class PatternMatch[E](

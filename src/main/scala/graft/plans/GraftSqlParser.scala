@@ -288,20 +288,27 @@ private[plans] object MatchRecognizeSql {
         "are mutually exclusive")
     val allRows = sec.contains("all rows per match")
 
-    // AFTER MATCH: SKIP PAST LAST ROW (greedy non-overlap) or SKIP TO
+    // AFTER MATCH: SKIP PAST LAST ROW (greedy non-overlap), SKIP TO
     // NEXT ROW (the explicit spelling of the default overlap mode —
-    // every qualifying event may start a match); SKIP TO [FIRST|LAST]
-    // <var> fails fast
-    val skipPastLast = sec.get("after match").map { am =>
+    // every qualifying event may start a match), or SKIP TO
+    // [FIRST|LAST] <var> (resume scanning AT the first/last row bound
+    // to <var>; plain SKIP TO <var> = SKIP TO LAST <var> per the
+    // standard). The TO-variable modes error at runtime when the
+    // variable bound no rows or the target is the match's first row
+    // (the standard's infinite-loop guard).
+    val skipToRe = """skip to (?:(first|last) )?(\w+)""".r
+    val (skipPastLast, skipToVar) = sec.get("after match").map { am =>
       val norm = am.toLowerCase.replaceAll("\\s+", " ").trim
       norm match {
-        case "skip past last row" => true
-        case "skip to next row"   => false
+        case "skip past last row" => (true, None)
+        case "skip to next row"   => (false, None)
+        case skipToRe(fn, v) =>
+          (false, Some((v, fn == "first")))
         case _ => throw new IllegalArgumentException(
-          "AFTER MATCH supports SKIP PAST LAST ROW and SKIP TO NEXT " +
-            s"ROW (got '$am')")
+          "AFTER MATCH supports SKIP PAST LAST ROW, SKIP TO NEXT " +
+            s"ROW, and SKIP TO [FIRST|LAST] <variable> (got '$am')")
       }
-    }.getOrElse(false)
+    }.getOrElse((false, None: Option[(String, Boolean)]))
 
     val keys = splitTopLevel(need("partition by"), ',')
     val order = splitTopLevel(need("order by"), ',')
@@ -393,6 +400,11 @@ private[plans] object MatchRecognizeSql {
     }
     require(varNames.distinct.length == varNames.length,
       "duplicate PATTERN variables")
+    skipToVar.foreach { case (v, _) =>
+      require(varNames.contains(v),
+        s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable " +
+          s"(have: ${varNames.mkString(", ")})")
+    }
     require(excludedVars.forall(varNames.contains),
       s"excluded variable(s) ${excludedVars.filterNot(varNames.contains)
         .mkString(", ")} not in the pattern")
@@ -553,6 +565,9 @@ private[plans] object MatchRecognizeSql {
           throw new IllegalArgumentException(
             "MATCH_RECOGNIZE over a STREAMING table needs an " +
               "EVENTTIME <watermarked timestamp column> clause")).trim
+        require(skipToVar.isEmpty,
+          "AFTER MATCH SKIP TO [FIRST|LAST] <var> is only supported " +
+            "over batch tables")
         val tsScale = sec.get("tsscale").map(_.trim.toLong).getOrElse(1L)
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast)
@@ -562,7 +577,7 @@ private[plans] object MatchRecognizeSql {
         // TSSCALE is allowed on batch solely as the WITHIN INTERVAL
         // conversion factor
         MatchRecognize(srcM, keys, tsCol, tieCol, elems, within,
-          skipPastLastRow = skipPastLast)
+          skipPastLastRow = skipPastLast, skipToVar = skipToVar)
       }
 
     // MEASURES: textual rewrite of var.col / FIRST(var.col) / LAST(var.col)

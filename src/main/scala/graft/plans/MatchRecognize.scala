@@ -85,7 +85,9 @@ case class MatchRecognizeNode(
     child: LogicalPlan,
     /** Per-predicate cross-variable references, aligned with
       * `predicates` (empty inner seq = plain per-event predicate). */
-    ctxRefs: Seq[Seq[CtxRefSpec]] = Nil) extends UnaryNode {
+    ctxRefs: Seq[Seq[CtxRefSpec]] = Nil,
+    /** AFTER MATCH SKIP TO [FIRST|LAST] <var>: (varName, isFirst). */
+    skipToVar: Option[(String, Boolean)] = None) extends UnaryNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -138,7 +140,8 @@ object MatchRecognize {
   def apply(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
       tieCol: String, pattern: Seq[Elem], withinTs: Option[Long] = None,
       every: Boolean = true, maxPartials: Int = 1024,
-      skipPastLastRow: Boolean = false): DataFrame = {
+      skipPastLastRow: Boolean = false,
+      skipToVar: Option[(String, Boolean)] = None): DataFrame = {
     // a streaming frame would re-plan the exec per micro-batch with a
     // FRESH NFA — patterns straddling batches would silently never match
     require(!df.isStreaming,
@@ -223,10 +226,16 @@ object MatchRecognize {
         AttributeReference(n, ArrayType(rowType, containsNull = false),
           nullable = false)())
 
+    skipToVar.foreach { case (v, _) =>
+      require(specs.flatMap(_.names).contains(v),
+        s"AFTER MATCH SKIP TO: unknown pattern variable '$v'")
+      require(!skipPastLastRow,
+        "skipPastLastRow and skipToVar are mutually exclusive")
+    }
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, attr(tieCol), preds.flatten, specs,
       withinTs, every, maxPartials, skipPastLastRow, outAttrs, child,
-      ctxRefs))
+      ctxRefs, skipToVar))
   }
 
   private[plans] val CvMarker = "_mr_cv"

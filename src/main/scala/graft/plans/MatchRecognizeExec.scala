@@ -20,7 +20,7 @@ object MatchRecognizeStrategy extends SparkStrategy {
     case m: MatchRecognizeNode =>
       MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
         m.withinTs, m.every, m.maxPartials, m.skipPastLastRow, m.outAttrs,
-        planLater(m.child), m.ctxRefs) :: Nil
+        planLater(m.child), m.ctxRefs, m.skipToVar) :: Nil
     case _ => Nil
   }
 }
@@ -50,7 +50,8 @@ case class MatchRecognizeExec(
     skipPastLastRow: Boolean,
     outAttrs: Seq[Attribute],
     child: SparkPlan,
-    ctxRefs: Seq[Seq[CtxRefSpec]] = Nil) extends UnaryExecNode {
+    ctxRefs: Seq[Seq[CtxRefSpec]] = Nil,
+    skipToVar: Option[(String, Boolean)] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
 
@@ -88,6 +89,8 @@ case class MatchRecognizeExec(
     val skipPLR = skipPastLastRow
     val outTypes = output.map(_.dataType).toArray
     val ctxRefSpecs = ctxRefs
+    val skipTo = skipToVar
+    val tieExpr = tie
     val matchMetric = longMetric("numMatches")
     val groupMetric = longMetric("numGroups")
 
@@ -150,8 +153,12 @@ case class MatchRecognizeExec(
           graft.cep.Permute(ns.map(n =>
             mkStep(n, 1, 1, strict = false)).toIndexedSeq)
       }.toIndexedSeq
-      val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR)
+      val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR,
+        skipTo)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
+      val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
+      val tieOf: InternalRow => Long =
+        if (skipTo.isEmpty) null else (r: InternalRow) => tieProj(r).getLong(0)
       val toUnsafe = UnsafeProjection.create(outTypes)
 
       def emit(keyRow: UnsafeRow, m: PatternMatch[InternalRow]): InternalRow = {
@@ -188,7 +195,7 @@ case class MatchRecognizeExec(
                   else nfa.flush()
                 val prevKey = curKey
                 curKey = k.copy()
-                nfa = new Nfa(pat, tsOf)
+                nfa = new Nfa(pat, tsOf, tieOf)
                 val kk = curKey
                 val ms = nfa.onEvent(r.copy())
                 if (flushed.nonEmpty || ms.nonEmpty)

@@ -175,24 +175,24 @@ class ExtensionsSpec extends SparkSpec {
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x PATTERN (a | b)
           | DEFINE a AS true, b AS true)""".stripMargin)
-    // DEFINE referencing a pattern variable
+    // cross-variable DEFINE reference to a column not in the table
+    // (var.col itself IS supported now — MatchRecognizeSpec)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x PATTERN (a b)
-          | DEFINE a AS true, b AS value > a.value)""".stripMargin)
+          | DEFINE a AS true, b AS value > a.zz_missing)""".stripMargin)
     // missing DEFINE for a pattern variable
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x PATTERN (a b)
           | DEFINE a AS true)""".stripMargin)
-    // unsupported AFTER MATCH skip modes are rejected even split
-    // across lines (SKIP PAST LAST ROW and SKIP TO NEXT ROW are the
-    // supported modes)
+    // a SKIP TO naming a variable not in the PATTERN is rejected even
+    // split across lines (SKIP TO FIRST/LAST <var> itself is supported)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x
           | AFTER
-          |   MATCH SKIP TO FIRST a
+          |   MATCH SKIP TO FIRST zz
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
     // ALL ROWS PER MATCH is supported (see MatchRecognizeSpec); naming
     // BOTH row modes at once stays rejected

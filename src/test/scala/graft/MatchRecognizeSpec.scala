@@ -410,8 +410,19 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(run("AFTER MATCH SKIP TO NEXT ROW")
       .as[(Long, Long, Long)].collect().toSet ==
       run("").as[(Long, Long, Long)].collect().toSet)
+    // SKIP TO FIRST a now parses, but on (a b) the target IS the
+    // match's first row — the standard's infinite-loop guard fires at
+    // runtime (surfaced through Spark's task-failure wrapper)
+    val loop = intercept[Exception](
+      run("AFTER MATCH SKIP TO FIRST a").collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(loop).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("infinite loop")))
+    // a SKIP TO variable missing from the pattern fails at parse time
     assertThrows[IllegalArgumentException](
-      run("AFTER MATCH SKIP TO FIRST a"))
+      run("AFTER MATCH SKIP TO LAST zz"))
     // explicit ONE ROW PER MATCH (the only supported row mode) parses
     // and composes with the skip clause
     assert(run("ONE ROW PER MATCH\n  AFTER MATCH SKIP PAST LAST ROW")
@@ -1391,6 +1402,73 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(got.contains((1L, 1L, 1, 4L)))
     // b+ branches also emit the shorter user-2 match (b = [e6] only)
     assert(got == Set((1L, 1L, 1, 4L), (2L, 5L, 2, 8L), (2L, 5L, 1, 8L)))
+  }
+
+  test("AFTER MATCH SKIP TO LAST b: counts differ from both SKIP TO " +
+      "NEXT ROW and SKIP PAST LAST ROW on one fixture") {
+    // A1 A2 B3 A4 C5 B6 C7 (one user): overlap finds (1,3,5) (2,3,5)
+    // (4,6,7); skip-to-last-b resumes AT row 3 after emitting (1,3,5),
+    // so (2,3,5) is consumed but the a4 seed survives → 2 matches;
+    // skip-past-last-row clears everything past row 5 → 1 match
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "A"), (3L, 30L, 1L, "B"),
+      (4L, 40L, 1L, "A"), (5L, 50L, 1L, "C"), (6L, 60L, 1L, "B"),
+      (7L, 70L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_skipto_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(afterMatch: String) = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_skipto_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+           |           c.event_id AS c_id
+           |  $afterMatch
+           |  PATTERN (a b c)
+           |  DEFINE a AS event_type = 'A',
+           |         b AS event_type = 'B',
+           |         c AS event_type = 'C'
+           |)""".stripMargin))
+      .select($"a_id", $"b_id", $"c_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run("AFTER MATCH SKIP TO NEXT ROW") ==
+      Set((1L, 3L, 5L), (2L, 3L, 5L), (4L, 6L, 7L)))
+    assert(run("AFTER MATCH SKIP PAST LAST ROW") == Set((1L, 3L, 5L)))
+    assert(run("AFTER MATCH SKIP TO LAST b") ==
+      Set((1L, 3L, 5L), (4L, 6L, 7L)))
+    // SKIP TO b == SKIP TO LAST b (the standard's default)
+    assert(run("AFTER MATCH SKIP TO b") ==
+      run("AFTER MATCH SKIP TO LAST b"))
+    // FIRST and LAST agree when the variable binds once
+    assert(run("AFTER MATCH SKIP TO FIRST b") ==
+      run("AFTER MATCH SKIP TO LAST b"))
+  }
+
+  test("SKIP TO errors: unbound target variable is a runtime error; " +
+      "programmatic surface composes") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    // b? binds nothing: SKIP TO LAST b must error per the standard
+    val got = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+      Seq(EStep("a", $"event_type" === "A"),
+        EStep("b", $"event_type" === "B", min = 0, max = 1),
+        EStep("c", $"event_type" === "C")),
+      skipToVar = Some(("b", false)))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val e = intercept[Exception](got.collect())
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("bound no rows")))
+    // unknown variable rejected at build time
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"event_type" === "A")),
+        skipToVar = Some(("zz", true)))
+    }
+    assert(e2.getMessage.contains("unknown pattern variable"))
   }
 
   test("cross-variable DEFINE rejected on streaming tables and by the " +
