@@ -794,6 +794,28 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // MEASURES MIN/MAX over a quantified variable's bound events —
+    // selection over the slot array (exact parquet doubles, no
+    // arithmetic), alongside FIRST/LAST which pick different rows.
+    "q177_mr_min_max" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_minmax_q177")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_minmax_q177 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, MIN(v.value) AS min_vv,
+          |           MAX(v.value) AS max_vv, FIRST(v.value) AS first_vv,
+          |           LAST(v.value) AS last_vv
+          |  PATTERN (a v{2,2})
+          |  DEFINE a AS event_type = 'click',
+          |         v AS event_type = 'view'
+          |)""".stripMargin))
+    }),
+
     // AFTER MATCH SKIP TO LAST <var> (SQL:2016's to-variable skip
     // mode): after each match, scanning resumes AT the row bound to b
     // — seeds between that row and the match end survive (unlike SKIP
@@ -6713,6 +6735,31 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // q171's two chained rn=1 view elections per click, with
+    // LEAST/GREATEST and the positional values over the pair
+    "q177_mr_min_max" ->
+      """WITH c AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |vw AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us,
+        |    value FROM events WHERE event_type = 'view'),
+        |s1 AS (SELECT * FROM (SELECT c.user_id, c.id AS a_id,
+        |    c.us AS a_us, v.id AS v1, v.us AS v1_us, v.value AS val1,
+        |    row_number() OVER (PARTITION BY c.user_id, c.id
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM c JOIN vw v ON c.user_id = v.user_id
+        |    AND (v.us > c.us OR (v.us = c.us AND v.id > c.id)))
+        |  WHERE rn = 1),
+        |m AS (SELECT * FROM (SELECT s1.user_id, s1.a_id, s1.val1,
+        |    v.value AS val2,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.a_id
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM s1 JOIN vw v ON s1.user_id = v.user_id
+        |    AND (v.us > s1.v1_us OR (v.us = s1.v1_us AND v.id > s1.v1)))
+        |  WHERE rn = 1)
+        |SELECT user_id, a_id, least(val1, val2) AS min_vv,
+        |    greatest(val1, val2) AS max_vv, val1 AS first_vv,
+        |    val2 AS last_vv FROM m""".stripMargin,
 
     // the overlap match relation (per-seed rn=1 elections), then the
     // skip-to chain as a recursive CTE: per user, emit the earliest

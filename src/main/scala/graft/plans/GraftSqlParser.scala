@@ -86,7 +86,7 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * `SUBSET w = (a, b)` (after PATTERN) declares union variables for
   * MEASURES: `w`'s binding is the union of its members' events in
   * `(ts, tie)` order, usable with the same `w.col` / FIRST / LAST /
-  * COUNT / SUM / AVG / RUNNING forms as a plain variable.
+  * MIN / MAX / COUNT / SUM / AVG / RUNNING forms as a plain variable.
   *
   * DEFINE predicates may navigate the INPUT rows with `PREV(col[, n])`
   * / `NEXT(col[, n])` (SQL:2016 semantics: n rows before/after the
@@ -580,8 +580,9 @@ private[plans] object MatchRecognizeSql {
           skipPastLastRow = skipPastLast, skipToVar = skipToVar)
       }
 
-    // MEASURES: textual rewrite of var.col / FIRST(var.col) / LAST(var.col)
-    // to array accesses over the match columns, then parse as
+    // MEASURES: textual rewrite of var.col / FIRST/LAST/MIN/MAX
+    // (var.col) / COUNT/SUM/AVG aggregates to array accesses over the
+    // match columns, then parse as
     // expressions (literals excluded via rewriteOutsideLiterals above).
     // MEASURES is optional in ALL ROWS mode (the exploded events already
     // carry the payload); required in one-row mode (it IS the output)
@@ -666,6 +667,13 @@ private[plans] object MatchRecognizeSql {
             s"(aggregate($q, cast(0.0 as double), " +
               s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) " +
               s"/ nullif(size($q), 0))")
+          // MIN/MAX over the variable's bound rows: selection over
+          // the slot array (array_min/_max skip SQL NULLs; empty
+          // binding yields NULL — aggregate-of-no-rows semantics)
+          seg = seg.replaceAll(s"(?i)(?<!\\w)min\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            s"array_min(transform($q, _mr_mx -> _mr_mx.`$$1`))")
+          seg = seg.replaceAll(s"(?i)(?<!\\w)max\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+            s"array_max(transform($q, _mr_mx -> _mr_mx.`$$1`))")
           // try_element_at: a variable that bound zero events (`?`/`*`
           // quantifier, unchosen alternation side) yields SQL-standard
           // NULL instead of an ANSI INVALID_ARRAY_INDEX crash
@@ -714,6 +722,12 @@ private[plans] object MatchRecognizeSql {
               s"(aggregate($f, cast(0.0 as double), " +
                 s"(_mr_acc, _mr_x) -> _mr_acc + _mr_x.`$$1`) " +
                 s"/ nullif(size($f), 0))")
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)min\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              s"array_min(transform($f, _mr_mx -> _mr_mx.`$$1`))")
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)max\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              s"array_max(transform($f, _mr_mx -> _mr_mx.`$$1`))")
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
               s"try_element_at($f, 1).`$$1`")

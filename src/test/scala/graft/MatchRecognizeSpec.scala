@@ -1471,6 +1471,54 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown pattern variable"))
   }
 
+  test("MEASURES MIN/MAX over a quantified variable: FINAL and RUNNING " +
+      "forms; min != first != last on the fixture") {
+    // v binds values 7, 2, 9 → FIRST=7, LAST=9, MIN=2, MAX=9
+    val df = Seq(
+      (1L, 10L, 1L, "A", 5.0), (2L, 20L, 1L, "V", 7.0),
+      (3L, 30L, 1L, "V", 2.0), (4L, 40L, 1L, "V", 9.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    df.createOrReplaceTempView("mr_minmax_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val one = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_minmax_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES MIN(v.value) AS min_v, MAX(v.value) AS max_v,
+          |           FIRST(v.value) AS first_v, LAST(v.value) AS last_v
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a v{3,3})
+          |  DEFINE a AS event_type = 'A', v AS event_type = 'V'
+          |)""".stripMargin))
+      .select($"min_v", $"max_v", $"first_v", $"last_v")
+      .as[(Double, Double, Double, Double)].collect().toSet
+    assert(one == Set((2.0, 9.0, 7.0, 9.0)))
+    // RUNNING MIN/MAX grow row-by-row in ALL ROWS mode
+    val run = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_minmax_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES MIN(v.value) AS fin_min,
+          |           RUNNING MIN(v.value) AS run_min,
+          |           RUNNING MAX(v.value) AS run_max
+          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a v{3,3})
+          |  DEFINE a AS event_type = 'A', v AS event_type = 'V'
+          |)""".stripMargin))
+      .select($"event_id", $"fin_min", $"run_min", $"run_max")
+      .as[(Long, Double, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(run == Set(
+      (1L, 2.0, None, None),              // the a row: no v bound yet
+      (2L, 2.0, Some(7.0), Some(7.0)),
+      (3L, 2.0, Some(2.0), Some(7.0)),
+      (4L, 2.0, Some(2.0), Some(9.0))))
+  }
+
   test("cross-variable DEFINE rejected on streaming tables and by the " +
       "streaming builders") {
     implicit val sqlCtx = spark.sqlContext
