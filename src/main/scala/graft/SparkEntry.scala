@@ -794,6 +794,52 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Quantified alternation (a|b){2,2}: each iteration routes one
+    // click-or-view event to its side's slot; committed below the
+    // minimum, so the pair is the seed plus the immediately-next
+    // click-or-view, then the first later purchase.
+    "q178_mr_alt_quantified" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_altq_q178")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_altq_q178 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(a.*) AS n_a, COUNT(b.*) AS n_b,
+          |           FIRST(a.event_id) AS a1, FIRST(b.event_id) AS b1,
+          |           c.event_id AS c_id
+          |  PATTERN ((a|b){2,2} c)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // Quantified PERMUTE(a,b){2,2}: two any-order (click, view)
+    // iterations sharing the a/b slots — iteration 1 is the seed plus
+    // the first later opposite-type event, iteration 2 the next
+    // click-or-view plus the first later event of ITS opposite type.
+    "q179_mr_permute_quantified" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_permq_q179")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_permq_q179 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1, LAST(a.event_id) AS a2,
+          |           FIRST(b.event_id) AS b1, LAST(b.event_id) AS b2,
+          |           c.event_id AS c_id
+          |  PATTERN (PERMUTE(a, b){2,2} c)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // MEASURES MIN/MAX over a quantified variable's bound events —
     // selection over the slot array (exact parquet doubles, no
     // arithmetic), alongside FIRST/LAST which pick different rows.
@@ -6735,6 +6781,89 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // seed + immediately-next click-or-view + first later purchase;
+    // the side counts and first-per-side ids derive from the pair's
+    // types (a NULL side when both events share a type)
+    "q178_mr_alt_quantified" ->
+      """WITH ab AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us,
+        |    event_type AS t FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |pp AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT * FROM (SELECT s.user_id, s.id AS s_id,
+        |    s.us AS s_us, s.t AS s_t, x.id AS x_id, x.us AS x_us,
+        |    x.t AS x_t,
+        |    row_number() OVER (PARTITION BY s.user_id, s.id
+        |      ORDER BY x.us, x.id) AS rn
+        |  FROM ab s JOIN ab x ON s.user_id = x.user_id
+        |    AND (x.us > s.us OR (x.us = s.us AND x.id > s.id)))
+        |  WHERE rn = 1),
+        |m AS (SELECT * FROM (SELECT s1.user_id, s1.s_id, s1.s_t,
+        |    s1.x_id, s1.x_t, c.id AS c_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.s_id
+        |      ORDER BY c.us, c.id) AS rn2
+        |  FROM s1 JOIN pp c ON s1.user_id = c.user_id
+        |    AND (c.us > s1.x_us OR (c.us = s1.x_us AND c.id > s1.x_id)))
+        |  WHERE rn2 = 1)
+        |SELECT user_id,
+        |  (CASE WHEN s_t = 'click' THEN 1 ELSE 0 END +
+        |   CASE WHEN x_t = 'click' THEN 1 ELSE 0 END)::INT AS n_a,
+        |  (CASE WHEN s_t = 'view' THEN 1 ELSE 0 END +
+        |   CASE WHEN x_t = 'view' THEN 1 ELSE 0 END)::INT AS n_b,
+        |  CASE WHEN s_t = 'click' THEN s_id
+        |       WHEN x_t = 'click' THEN x_id END AS a1,
+        |  CASE WHEN s_t = 'view' THEN s_id
+        |       WHEN x_t = 'view' THEN x_id END AS b1,
+        |  c_id
+        |FROM m""".stripMargin,
+
+    // iteration 1 = seed + first later OPPOSITE-type event; iteration
+    // 2 = next click-or-view + first later event of ITS opposite
+    // type; then the first later purchase. Slot order: iter-1's
+    // click/view first, iter-2's second.
+    "q179_mr_permute_quantified" ->
+      """WITH ab AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us,
+        |    event_type AS t FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |pp AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT * FROM (SELECT s.user_id, s.id AS s_id,
+        |    s.us AS s_us, s.t AS s_t, x.id AS x_id, x.us AS x_us,
+        |    x.t AS x_t,
+        |    row_number() OVER (PARTITION BY s.user_id, s.id
+        |      ORDER BY x.us, x.id) AS rn
+        |  FROM ab s JOIN ab x ON s.user_id = x.user_id AND x.t <> s.t
+        |    AND (x.us > s.us OR (x.us = s.us AND x.id > s.id)))
+        |  WHERE rn = 1),
+        |s2 AS (SELECT * FROM (SELECT s1.user_id, s1.s_id, s1.s_t,
+        |    s1.x_id, s1.x_us, y.id AS y_id, y.us AS y_us, y.t AS y_t,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.s_id
+        |      ORDER BY y.us, y.id) AS rn2
+        |  FROM s1 JOIN ab y ON s1.user_id = y.user_id
+        |    AND (y.us > s1.x_us OR (y.us = s1.x_us AND y.id > s1.x_id)))
+        |  WHERE rn2 = 1),
+        |s3 AS (SELECT * FROM (SELECT s2.user_id, s2.s_id, s2.s_t,
+        |    s2.x_id, s2.y_id, s2.y_t, z.id AS z_id, z.us AS z_us,
+        |    row_number() OVER (PARTITION BY s2.user_id, s2.s_id
+        |      ORDER BY z.us, z.id) AS rn3
+        |  FROM s2 JOIN ab z ON s2.user_id = z.user_id AND z.t <> s2.y_t
+        |    AND (z.us > s2.y_us OR (z.us = s2.y_us AND z.id > s2.y_id)))
+        |  WHERE rn3 = 1),
+        |m AS (SELECT * FROM (SELECT s3.user_id, s3.s_id, s3.s_t,
+        |    s3.x_id, s3.y_id, s3.y_t, s3.z_id, c.id AS c_id,
+        |    row_number() OVER (PARTITION BY s3.user_id, s3.s_id
+        |      ORDER BY c.us, c.id) AS rn4
+        |  FROM s3 JOIN pp c ON s3.user_id = c.user_id
+        |    AND (c.us > s3.z_us OR (c.us = s3.z_us AND c.id > s3.z_id)))
+        |  WHERE rn4 = 1)
+        |SELECT user_id,
+        |  CASE WHEN s_t = 'click' THEN s_id ELSE x_id END AS a1,
+        |  CASE WHEN y_t = 'click' THEN y_id ELSE z_id END AS a2,
+        |  CASE WHEN s_t = 'view' THEN s_id ELSE x_id END AS b1,
+        |  CASE WHEN y_t = 'view' THEN y_id ELSE z_id END AS b2,
+        |  c_id
+        |FROM m""".stripMargin,
 
     // q171's two chained rn=1 view elections per click, with
     // LEAST/GREATEST and the positional values over the pair

@@ -52,6 +52,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       require(s.minCount >= 1, "first step must be non-optional")
     case g: GroupSeq[E] =>
       require(g.minRepeat >= 1, "first group must be non-optional")
+    case ps: PermSeq[E] =>
+      require(ps.minRepeat >= 1, "first permute must be non-optional")
+    case al: AltSeq[E] =>
+      require(al.minRepeat >= 1, "first alternation must be non-optional")
     case _: Logical[E] | _: Permute[E] => ()
     case _: Absence[E] =>
       throw new IllegalArgumentException(
@@ -150,6 +154,12 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
     case pm: Permute[E] =>
       val b = slotBase(p.stepIdx)
       pm.steps.indices.forall(i => slotFilled(p, b + i))
+    case ps: PermSeq[E] =>
+      // slot counts differ by <= 1 (bind rule), so curCount % k == 0
+      // IS the iteration boundary — the GroupSeq completion shape
+      p.curCount % ps.steps.length == 0 &&
+        p.curCount / ps.steps.length >= ps.minRepeat
+    case al: AltSeq[E] => p.curCount >= al.minRepeat
     case _: Absence[E] => false // only time completes an absence
   }
 
@@ -190,6 +200,9 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case g: GroupSeq[E] =>
           // Long arithmetic: maxRepeat may be Int.MaxValue (`+`/`*`)
           np.curCount.toLong < g.maxRepeat.toLong * g.steps.length
+        case ps: PermSeq[E] =>
+          np.curCount.toLong < ps.maxRepeat.toLong * ps.steps.length
+        case al: AltSeq[E] => np.curCount < al.maxRepeat
         case _ => false
       }
       if (canGrow) next += np
@@ -331,6 +344,45 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
               moved = true
             }
+          case ps: PermSeq[E] =>
+            // bind the first declaration-order step NOT yet bound in
+            // the CURRENT iteration (slot count == completed
+            // iterations) whose predicate the event satisfies;
+            // extension from a complete boundary is a branch
+            val k = ps.steps.length
+            val b = slotBase(p.stepIdx)
+            if (p.curCount.toLong < ps.maxRepeat.toLong * k) {
+              val iterDone = p.curCount / k
+              val i = ps.steps.indices.find { i =>
+                val cnt = if (b + i < p.groups.length) p.groups(b + i).length
+                  else 0
+                cnt == iterDone && evalPred(ps.steps(i), e, p)
+              }
+              i.foreach { slot =>
+                val np = p.copy(curCount = p.curCount + 1,
+                  groups = bound(p, b + slot, e))
+                if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+                moved = true
+                if (complete(p)) keepOriginal = true
+              }
+            }
+          case al: AltSeq[E] =>
+            // one event per iteration, left priority; extension from a
+            // complete count is a branch (the Step convention)
+            if (p.curCount < al.maxRepeat) {
+              val b = slotBase(p.stepIdx)
+              val slot =
+                if (evalPred(al.left, e, p)) b
+                else if (evalPred(al.right, e, p)) b + 1
+                else -1
+              if (slot >= 0) {
+                val np = p.copy(curCount = p.curCount + 1,
+                  groups = bound(p, slot, e))
+                if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+                moved = true
+                if (p.curCount >= al.minRepeat) keepOriginal = true
+              }
+            }
           case a: Absence[E] =>
             // promote() already ran, so t is inside the window here: a
             // qualifying event violates the absence — the partial dies
@@ -384,6 +436,37 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
                     moved = true
                   }
                 scan = false
+              case psj: PermSeq[E] =>
+                if (psj.maxRepeat >= 1) {
+                  val bj = slotBase(j)
+                  psj.steps.indices.find(i => evalPred(psj.steps(i), e, p))
+                    .foreach { i =>
+                      val np = Partial(j, 1, p.startTs,
+                        bound(p, bj + i, e), elemTs = t,
+                        startTie = p.startTie)
+                      if (!emitIfComplete(np, evOut, t))
+                        addPartial(np, t, next)
+                      moved = true
+                    }
+                }
+                if (psj.minRepeat == 0) j += 1 else scan = false
+              case alj: AltSeq[E] =>
+                if (alj.maxRepeat >= 1) {
+                  val bj = slotBase(j)
+                  val slot =
+                    if (evalPred(alj.left, e, p)) bj
+                    else if (evalPred(alj.right, e, p)) bj + 1
+                    else -1
+                  if (slot >= 0) {
+                    val np = Partial(j, 1, p.startTs,
+                      bound(p, slot, e), elemTs = t,
+                      startTie = p.startTie)
+                    if (!emitIfComplete(np, evOut, t))
+                      addPartial(np, t, next)
+                    moved = true
+                  }
+                }
+                if (alj.minRepeat == 0) j += 1 else scan = false
               case _: Absence[E] =>
                 scan = false
             }
@@ -398,7 +481,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
               (p.curCount < s.minCount && s.strict) ||
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
-            case _: Logical[E] | _: GroupSeq[E] | _: Permute[E] =>
+            case _: Logical[E] | _: GroupSeq[E] | _: Permute[E] |
+                 _: PermSeq[E] | _: AltSeq[E] =>
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Absence[E] => false
@@ -451,6 +535,26 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
                 startTie = if (tieOf == null) 0L else tieOf(e))
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
             }
+        case ps: PermSeq[E] =>
+          ps.steps.indices.find(i => evalSeed(ps.steps(i), e))
+            .foreach { i =>
+              val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(e)
+              val np = Partial(0, 1, t, g, elemTs = t,
+                startTie = if (tieOf == null) 0L else tieOf(e))
+              if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+            }
+        case al: AltSeq[E] =>
+          val slot =
+            if (evalSeed(al.left, e)) 0
+            else if (evalSeed(al.right, e)) 1
+            else -1
+          if (slot >= 0) {
+            val g = if (slot == 0) Vector(Vector(e))
+              else Vector(Vector.empty[E], Vector(e))
+            val np = Partial(0, 1, t, g, elemTs = t,
+              startTie = if (tieOf == null) 0L else tieOf(e))
+            if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+          }
         case _: Absence[E] => () // unreachable (head require)
       }
     }

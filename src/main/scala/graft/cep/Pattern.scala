@@ -106,6 +106,46 @@ final case class Permute[E](steps: IndexedSeq[Step[E]]) extends PatternElem[E] {
   def names: IndexedSeq[String] = steps.map(_.name)
 }
 
+/** Quantified n-ary permutation `PERMUTE(s1, …, sk){min,max}` —
+  * SQL:2016's quantified all-orderings group: each ITERATION binds one
+  * event per inner step in ANY arrival order (declaration-order
+  * priority among this iteration's unbound steps — the [[Permute]]
+  * rule); iterations run sequentially and append to the same
+  * per-variable slots (the [[GroupSeq]] slot convention). Completion
+  * is greedy-min at an iteration boundary with at least `minRepeat`
+  * full iterations. [[Permute]] is the {1,1} case.
+  *
+  * Invariant: within a partial, slot counts differ by at most one
+  * (an event may only bind a step not yet bound in the CURRENT
+  * iteration), so `curCount % k == 0` ⟺ iteration boundary.
+  */
+final case class PermSeq[E](steps: IndexedSeq[Step[E]], minRepeat: Int,
+    maxRepeat: Int) extends PatternElem[E] {
+  require(steps.length >= 2, "permute needs at least 2 inner steps")
+  require(steps.forall(s => s.minCount == 1 && s.maxCount == 1 && !s.strict),
+    "permute inner steps must be plain variables (no quantifier/strict)")
+  require(minRepeat >= 0 && maxRepeat >= math.max(minRepeat, 1),
+    s"bad permute quantifier {$minRepeat,$maxRepeat}")
+  def names: IndexedSeq[String] = steps.map(_.name)
+}
+
+/** Quantified binary alternation `(left | right){min,max}` — SQL:2016's
+  * quantified alternation: each iteration binds ONE event to whichever
+  * side's predicate it satisfies (left priority when both), appending
+  * to that side's slot; iterations accumulate toward `maxRepeat` with
+  * greedy-min completion at `minRepeat`. The un-quantified
+  * [[Logical]]`.or` is the {1,1} case.
+  */
+final case class AltSeq[E](left: Step[E], right: Step[E], minRepeat: Int,
+    maxRepeat: Int) extends PatternElem[E] {
+  require(Seq(left, right).forall(s =>
+      s.minCount == 1 && s.maxCount == 1 && !s.strict),
+    "alternation sides must be plain variables (no quantifier/strict)")
+  require(minRepeat >= 0 && maxRepeat >= math.max(minRepeat, 1),
+    s"bad alternation quantifier {$minRepeat,$maxRepeat}")
+  def names: IndexedSeq[String] = IndexedSeq(left.name, right.name)
+}
+
 /** `not step for forMs` absence element: armed when the previous element
   * completes (at event time τ); a qualifying event with ts in
   * [τ, τ + forMs) kills the partial; once time reaches τ + forMs the

@@ -139,7 +139,12 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * `PERMUTE(x, y)` (SQL:2016 `(x y | y x)`) compiles to the operator's
   * both-in-either-order logical element, and `PERMUTE(x, y, z, …)` to
   * the n-ary [[graft.cep.Permute]] element (one event per variable,
-  * any arrival order, declaration-order priority); quantified
+  * any arrival order, declaration-order priority). Quantified forms:
+  * `PERMUTE(x, …){m,n}`/`+`/`*`/`?` compiles to [[graft.cep.PermSeq]]
+  * (each iteration one event per variable in any order, iterations
+  * share the slots) and a quantified alternation `(x|y){m,n}` to
+  * [[graft.cep.AltSeq]] (one event per iteration to whichever side
+  * matches, left priority); quantified
   * concatenation
   * groups `(x y)+` / `(x y)*` / `(x y)?` / `(x y){m,n}` to the
   * [[graft.cep.GroupSeq]] NFA element — each iteration binds one event
@@ -149,12 +154,11 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *
   * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
   * (same output schema, watermark-buffered NFA) and requires the
-  * EVENTTIME clause. Not supported (fail fast): quantified
-  * alternations, quantified/grouped PERMUTE, groups nested in groups,
-  * RUNNING measures in ONE ROW PER MATCH mode (where every measure is
-  * FINAL by definition), AFTER MATCH SKIP TO [FIRST|LAST] <var>
-  * modes, and — in streaming mode only — PREV/NEXT and
-  * cross-variable DEFINE references (both batch-only).
+  * EVENTTIME clause. Not supported (fail fast): groups nested in
+  * groups, RUNNING measures in ONE ROW PER MATCH mode (where every
+  * measure is FINAL by definition), and — in streaming mode only —
+  * PREV/NEXT, cross-variable DEFINE references, and SKIP TO
+  * [FIRST|LAST] <var> (all batch-only).
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -353,11 +357,19 @@ private[plans] object MatchRecognizeSql {
     sealed trait PatElem
     case class Single(name: String, min: Int, max: Int) extends PatElem
     case class Alt(leftName: String, rightName: String) extends PatElem
+    case class AltQ(leftName: String, rightName: String, min: Int,
+      max: Int) extends PatElem
     case class Perm(leftName: String, rightName: String) extends PatElem
     case class PermN(names: Seq[String]) extends PatElem
+    case class PermQ(names: Seq[String], min: Int, max: Int)
+      extends PatElem
     case class Grp(names: Seq[String], min: Int, max: Int) extends PatElem
     val altRe = """\(\s*(\w+)\s*\|\s*(\w+)\s*\)""".r
+    val altQRe =
+      """\(\s*(\w+)\s*\|\s*(\w+)\s*\)(\+|\*|\?|\{(\d+),(\d+)\})""".r
     val permRe = """(?i)permute\(([^()]*)\)""".r
+    val permQRe =
+      """(?i)permute\(([^()]*)\)(\+|\*|\?|\{(\d+),(\d+)\})""".r
     val grpRe = """\(([^()|]*)\)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
     def quantBounds(q: String, mn: String, mx: String): (Int, Int) =
       q match {
@@ -367,13 +379,27 @@ private[plans] object MatchRecognizeSql {
         case "?" => (0, 1)
         case _ => (mn.toInt, mx.toInt)
       }
+    def permVars(vars: String): Seq[String] = {
+      val vs = vars.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(vs.forall(_.matches("\\w+")),
+        s"bad PERMUTE variables: $vars")
+      require(vs.length >= 2,
+        s"PERMUTE needs at least 2 variables (got ${vs.length}: $vars)")
+      vs
+    }
     val patElems: Seq[PatElem] = splitTopLevel(inner, ' ').map {
+      case permQRe(vars, q, mn, mx) =>
+        // quantified PERMUTE — each iteration binds one event per
+        // variable in any order (PermSeq element)
+        val (lo, hi) = quantBounds(q, mn, mx)
+        PermQ(permVars(vars), lo, hi)
+      case altQRe(l, r, q, mn, mx) =>
+        // quantified alternation — one event per iteration to
+        // whichever side matches (AltSeq element)
+        val (lo, hi) = quantBounds(q, mn, mx)
+        AltQ(l, r, lo, hi)
       case permRe(vars) =>
-        val vs = vars.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        require(vs.forall(_.matches("\\w+")),
-          s"bad PERMUTE variables: $vars")
-        require(vs.length >= 2,
-          s"PERMUTE needs at least 2 variables (got ${vs.length}: $vars)")
+        val vs = permVars(vars)
         // binary PERMUTE keeps riding the Logical element (q33/q166's
         // proven path); 3+ variables compile to the n-ary Permute
         if (vs.length == 2) Perm(vs(0), vs(1)) else PermN(vs)
@@ -387,15 +413,17 @@ private[plans] object MatchRecognizeSql {
         Grp(vars.trim.split("\\s+").toSeq, lo, hi)
       case other => throw new IllegalArgumentException(
         s"bad PATTERN element: $other (variables may carry + * ? {m,n}; " +
-          "groups must be a binary alternation '(x|y)', a binary " +
-          "'PERMUTE(x,y)', or a quantified sequence '(x y)+/*/?/{m,n}' " +
-          "of plain variables)")
+          "groups must be an alternation '(x|y)' or 'PERMUTE(x,…)' — " +
+          "each optionally quantified +/*/?/{m,n} — or a quantified " +
+          "sequence '(x y)+/*/?/{m,n}' of plain variables)")
     }
     val varNames = patElems.flatMap {
       case Single(n, _, _) => Seq(n)
       case Alt(l, r) => Seq(l, r)
+      case AltQ(l, r, _, _) => Seq(l, r)
       case Perm(l, r) => Seq(l, r)
       case PermN(ns) => ns
+      case PermQ(ns, _, _) => ns
       case Grp(ns, _, _) => ns
     }
     require(varNames.distinct.length == varNames.length,
@@ -536,6 +564,10 @@ private[plans] object MatchRecognizeSql {
       case Perm(l, r) => MatchRecognize.EAnd(l, pred(l), r, pred(r))
       case PermN(ns) =>
         MatchRecognize.EPermute(ns.map(n => n -> pred(n)))
+      case PermQ(ns, mn, mx) =>
+        MatchRecognize.EPermuteQ(ns.map(n => n -> pred(n)), mn, mx)
+      case AltQ(l, r, mn, mx) =>
+        MatchRecognize.EOrQ(l, pred(l), r, pred(r), mn, mx)
       case Grp(ns, mn, mx) =>
         MatchRecognize.EGroup(ns.map(n => n -> pred(n)), mn, mx)
     }

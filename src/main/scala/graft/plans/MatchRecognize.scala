@@ -41,6 +41,21 @@ final case class PermuteSpec(permNames: Seq[String]) extends MatchElemSpec {
   def names: Seq[String] = permNames; def arity: Int = permNames.length
 }
 
+/** Quantified n-ary `PERMUTE(v1, …, vk){m,n}` — one predicate per
+  * inner variable ([[graft.cep.PermSeq]] semantics).
+  */
+final case class PermSeqSpec(permNames: Seq[String], minRepeat: Int,
+    maxRepeat: Int) extends MatchElemSpec {
+  def names: Seq[String] = permNames; def arity: Int = permNames.length
+}
+/** Quantified binary alternation `(l | r){m,n}` — two predicates
+  * ([[graft.cep.AltSeq]] semantics).
+  */
+final case class AltSeqSpec(leftName: String, rightName: String,
+    minRepeat: Int, maxRepeat: Int) extends MatchElemSpec {
+  def names: Seq[String] = Seq(leftName, rightName); def arity = 2
+}
+
 /** One cross-variable reference inside a DEFINE predicate
   * (`FIRST(a.price)` / `LAST(a.price)`): at evaluation time the value
   * is read from the partial match's bound events of `varName` (column
@@ -132,6 +147,19 @@ object MatchRecognize {
     * [[EAnd]] is the binary case.
     */
   final case class EPermute(steps: Seq[(String, Column)]) extends Elem
+  /** Quantified `PERMUTE(v1, …, vk){m,n}`: each iteration binds one
+    * event per variable in any order; iterations share the slots
+    * ([[graft.cep.PermSeq]] — greedy-min completion).
+    */
+  final case class EPermuteQ(steps: Seq[(String, Column)],
+      minRepeat: Int, maxRepeat: Int) extends Elem
+  /** Quantified alternation `(l | r){m,n}`: each iteration binds one
+    * event to whichever side matches (left priority), accumulating in
+    * that side's slot ([[graft.cep.AltSeq]]).
+    */
+  final case class EOrQ(leftName: String, leftPred: Column,
+      rightName: String, rightPred: Column, minRepeat: Int,
+      maxRepeat: Int) extends Elem
 
   /** @param tsCol    event-time column (LongType, any unit — `withinTs` /
     *                 `ENotFor.forTs` are in the same unit)
@@ -195,6 +223,10 @@ object MatchRecognize {
         (GroupSpec(ss.map(_._1), mn, mx), ss.map(s => resolve(s._2)))
       case EPermute(ss) =>
         (PermuteSpec(ss.map(_._1)), ss.map(s => resolve(s._2)))
+      case EPermuteQ(ss, mn, mx) =>
+        (PermSeqSpec(ss.map(_._1), mn, mx), ss.map(s => resolve(s._2)))
+      case EOrQ(ln, lp, rn, rp, mn, mx) =>
+        (AltSeqSpec(ln, rn, mn, mx), Seq(resolve(lp), resolve(rp)))
     }.unzip
     val preds = predRefs.map(_.map(_._1))
     val ctxRefs = predRefs.flatMap(_.map(_._2))
@@ -287,6 +319,8 @@ object MatchRecognize {
       case ENotFor(n, _, _)     => Seq(n)
       case EGroup(ss, _, _)     => ss.map(_._1)
       case EPermute(ss)         => ss.map(_._1)
+      case EPermuteQ(ss, _, _)  => ss.map(_._1)
+      case EOrQ(l, _, r, _, _, _) => Seq(l, r)
     }
 
   /** ALL ROWS PER MATCH shaping: explode a one-row-per-match frame (the
@@ -432,6 +466,8 @@ object MatchRecognize {
       case ENotFor(_, p, _)     => Seq(p)
       case EGroup(ss, _, _)     => ss.map(_._2)
       case EPermute(ss)         => ss.map(_._2)
+      case EPermuteQ(ss, _, _)  => ss.map(_._2)
+      case EOrQ(_, lp, _, rp, _, _) => Seq(lp, rp)
     }
     requireNoCtxRefs(df.sparkSession, predCols, "streaming()")
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
@@ -467,6 +503,12 @@ object MatchRecognize {
       case EPermute(ss) =>
         graft.cep.Permute[Row](ss.map(x =>
           flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
+      case EPermuteQ(ss, mn, mx) =>
+        graft.cep.PermSeq[Row](ss.map(x =>
+          flagStep(x._1, 1, 1, strict = false)).toIndexedSeq, mn, mx)
+      case EOrQ(ln, _, rn, _, mn, mx) =>
+        graft.cep.AltSeq[Row](flagStep(ln, 1, 1, strict = false),
+          flagStep(rn, 1, 1, strict = false), mn, mx)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow)
@@ -533,6 +575,8 @@ object MatchRecognize {
       case ENotFor(_, p, _)     => Seq(p)
       case EGroup(ss, _, _)     => ss.map(_._2)
       case EPermute(ss)         => ss.map(_._2)
+      case EPermuteQ(ss, _, _)  => ss.map(_._2)
+      case EOrQ(_, lp, _, rp, _, _) => Seq(lp, rp)
     }
     requireNoCtxRefs(df.sparkSession, predCols, "streamingFull()")
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
@@ -570,6 +614,12 @@ object MatchRecognize {
       case EPermute(ss) =>
         graft.cep.Permute[Row](ss.map(x =>
           flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
+      case EPermuteQ(ss, mn, mx) =>
+        graft.cep.PermSeq[Row](ss.map(x =>
+          flagStep(x._1, 1, 1, strict = false)).toIndexedSeq, mn, mx)
+      case EOrQ(ln, _, rn, _, mn, mx) =>
+        graft.cep.AltSeq[Row](flagStep(ln, 1, 1, strict = false),
+          flagStep(rn, 1, 1, strict = false), mn, mx)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import graft.cep.{Absence, GroupSeq, Logical, Nfa, PatternDef, PatternMatch, Step}
+import graft.cep.{Absence, AltSeq, GroupSeq, Logical, Nfa, PatternDef, PatternMatch, PermSeq, Step}
 
 /** Planner strategy for [[MatchRecognizeNode]] — registered either via
   * `SparkSessionExtensions.injectPlannerStrategy` ([[GraftExtensions]])
@@ -152,6 +152,12 @@ case class MatchRecognizeExec(
         case PermuteSpec(ns) =>
           graft.cep.Permute(ns.map(n =>
             mkStep(n, 1, 1, strict = false)).toIndexedSeq)
+        case PermSeqSpec(ns, mn, mx) =>
+          graft.cep.PermSeq(ns.map(n =>
+            mkStep(n, 1, 1, strict = false)).toIndexedSeq, mn, mx)
+        case AltSeqSpec(ln, rn, mn, mx) =>
+          graft.cep.AltSeq(mkStep(ln, 1, 1, strict = false),
+            mkStep(rn, 1, 1, strict = false), mn, mx)
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR,
         skipTo)

@@ -202,12 +202,12 @@ class ExtensionsSpec extends SparkSpec {
           | ONE ROW PER MATCH
           | ALL ROWS PER MATCH
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
-    // nested / quantified PATTERN groups are rejected (only binary
-    // alternation groups are supported)
+    // groups nested in groups stay rejected (quantified alternations
+    // and PERMUTEs are supported now — MatchRecognizeSpec)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
-          | MEASURES a.event_id AS x PATTERN (a (b|c)+)
-          | DEFINE a AS true, b AS true, c AS true)""".stripMargin)
+          | MEASURES a.event_id AS x PATTERN (a ((b|c) d)+)
+          | DEFINE a AS true, b AS true, c AS true, d AS true)""".stripMargin)
     // interval syntax in WITHIN gets the contextual error
     val err = intercept[IllegalArgumentException](parser.parsePlan(
       """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (

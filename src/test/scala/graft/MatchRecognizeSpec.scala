@@ -812,8 +812,7 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
-  test("SQL (a b)+ emits greedy-min one-iteration matches; quantified " +
-      "alternation stays rejected") {
+  test("SQL (a b)+ emits greedy-min one-iteration matches") {
     val df = Seq(
       (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
       (3L, 30L, 1L, "A"), (4L, 40L, 1L, "B"))
@@ -832,17 +831,82 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 2L), (1L, 3L, 4L)))
-    val e = intercept[IllegalArgumentException] {
+  }
+
+  test("SQL quantified alternation (a|b){2,2} routes each iteration's " +
+      "event to its matching side; (a|b)+ greedy-min") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 30L, 1L, "B"), (4L, 40L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_altq_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(pat: String) = org.apache.spark.sql.GraftSqlBridge.ofRows(
+      spark, parser.parsePlan(
+        s"""SELECT * FROM mr_altq_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES COUNT(a.*) AS n_a, COUNT(b.*) AS n_b,
+           |           LAST(c.event_id) AS c_id
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN ($pat c)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+           |         c AS event_type = 'C'
+           |)""".stripMargin))
+      .select($"n_a", $"n_b", $"c_id")
+      .as[(Int, Int, Long)].collect().toSet
+    // {2,2}: exactly two iterations — e1 routes to a, e2 to b
+    // (e3 doesn't extend past max... {2,2} binds e1,e2; c = e4)
+    assert(run("(a|b){2,2}") == Set((1, 1, 4L)))
+    // {3,3}: e1→a, e2→b, e3→b
+    assert(run("(a|b){3,3}") == Set((1, 2, 4L)))
+    // +: greedy leftmost with skip-past-last emits the longest chain
+    // completing first — iterations 1..3 then c
+    assert(run("(a|b)+") == Set((1, 2, 4L)))
+  }
+
+  test("SQL quantified PERMUTE(a,b){2,2}: two any-order iterations " +
+      "sharing slots; programmatic EPermuteQ parity") {
+    // B A A B: iteration 1 binds (b=e1, a=e2), iteration 2 (a=e3, b=e4)
+    val df = Seq(
+      (1L, 10L, 1L, "B"), (2L, 20L, 1L, "A"),
+      (3L, 30L, 1L, "A"), (4L, 40L, 1L, "B"), (5L, 50L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_permq_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
-        """SELECT * FROM mr_groupplus_view MATCH_RECOGNIZE (
+        """SELECT * FROM mr_permq_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES a.event_id AS a_id
-          |  PATTERN ((a|b)+)
-          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
-          |)""".stripMargin)
-    }
-    assert(e.getMessage.contains("bad PATTERN element"))
+          |  MEASURES FIRST(a.event_id) AS a1, LAST(a.event_id) AS a2,
+          |           FIRST(b.event_id) AS b1, LAST(b.event_id) AS b2,
+          |           c.event_id AS c_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (PERMUTE(a, b){2,2} c)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C'
+          |)""".stripMargin))
+      .select($"a1", $"a2", $"b1", $"b2", $"c_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 3L, 1L, 4L, 5L)))
+    // programmatic surface builds the same match set
+    val prog = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+      Seq(MatchRecognize.EPermuteQ(Seq(
+          "a" -> ($"event_type" === "A"), "b" -> ($"event_type" === "B")),
+          2, 2),
+        EStep("c", $"event_type" === "C")),
+      skipPastLastRow = true)
+      .select(
+        element_at($"a", 1).getField("event_id").as("a1"),
+        element_at($"a", 2).getField("event_id").as("a2"),
+        element_at($"b", 1).getField("event_id").as("b1"),
+        element_at($"b", 2).getField("event_id").as("b2"),
+        element_at($"c", 1).getField("event_id").as("c_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(prog == out)
   }
 
   test("ALL ROWS PER MATCH WITH UNMATCHED ROWS appends NULL-tagged " +

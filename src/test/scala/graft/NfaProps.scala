@@ -273,6 +273,54 @@ object NfaProps extends Properties("Nfa") {
       Prop(runPat(perm, evs) == runPat(land, evs)) :| "permute2 != and"
     }
 
+  /** Quantified PERMUTE must equal the UNROLLED sequence of m plain
+    * Permute elements (renamed slots, per-copy slots concatenated) —
+    * the GroupSeq-unroll argument applied to the any-order iteration.
+    */
+  property("permseq PERMUTE(a,b){m,m} == unrolled renamed permutes") =
+    forAll(genEvents, Gen.choose(1, 3), Gen.oneOf("A", "B", "C"),
+      Gen.oneOf("A", "B", "C")) { (evs, m, t1, t2) =>
+      import graft.cep.{PermSeq, Permute}
+      val seq = PatternDef[E](IndexedSeq(PermSeq[E](IndexedSeq(
+        Step[E]("a", _.typ == t1), Step[E]("b", _.typ == t2)), m, m)))
+      val unrolled = PatternDef[E]((1 to m).map(i => Permute[E](IndexedSeq(
+        Step[E](s"a$i", (e: E) => e.typ == t1),
+        Step[E](s"b$i", (e: E) => e.typ == t2)))).toIndexedSeq)
+      def merge(g: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
+        Map(
+          "a" -> (1 to m).flatMap(i => g.getOrElse(s"a$i", Nil)),
+          "b" -> (1 to m).flatMap(i => g.getOrElse(s"b$i", Nil)))
+      val got = runPat(seq, evs)
+      val exp = runPat(unrolled, evs)
+        .map { case (s, e, g) => (s, e, merge(g)) }
+      Prop(got == exp) :| s"permseq=$got unrolled=$exp"
+    }
+
+  /** With disjoint side predicates, a quantified alternation must
+    * accept exactly what ONE quantified step with the OR'd predicate
+    * accepts — the alternation only ROUTES each iteration's event into
+    * its side's slot, so the slot union (arrival order) is the step's
+    * slot, match for match.
+    */
+  property("altseq (a|b){m,n} == quantified OR-step with routed slots") =
+    forAll(genEvents, Gen.choose(1, 3), Gen.choose(0, 2),
+      Gen.oneOf(("A", "B"), ("B", "C"), ("A", "C"))) {
+      (evs, mn, extra, ts) =>
+      import graft.cep.AltSeq
+      val (t1, t2) = ts
+      val mx = mn + extra
+      val alt = PatternDef[E](IndexedSeq(AltSeq[E](
+        Step[E]("a", _.typ == t1), Step[E]("b", _.typ == t2), mn, mx)))
+      val step = PatternDef[E](IndexedSeq(
+        Step[E]("s", (e: E) => e.typ == t1 || e.typ == t2, mn, mx)))
+      def merge(g: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
+        Map("s" -> (g.getOrElse("a", Nil) ++ g.getOrElse("b", Nil))
+          .sorted)
+      val got = runPat(alt, evs).map { case (s, e, g) => (s, e, merge(g)) }
+      val exp = runPat(step, evs)
+      Prop(got == exp) :| s"alt=$got step=$exp"
+    }
+
   /** A cross-variable predicate evaluated IN the NFA must equal the
     * unrestricted pattern post-filtered on the same condition, on
     * strict pairs (a then immediately-next b): strictness makes the
