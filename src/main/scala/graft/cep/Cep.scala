@@ -76,11 +76,35 @@ object Cep {
         * timestamp arriving in a later micro-batch is only late if it is
         * at/behind this (ts, tieBreak) point — same order the NFA feeds.
         */
-      lastReleasedTie: Long)
+      lastReleasedTie: Long,
+      /** [[Neighborhood]] bookkeeping: the last `maxPrev` events already
+        * fed to the NFA (PREV context for the next release)… */
+      recent: Vector[E] = Vector.empty,
+      /** …and watermark-released events withheld until their `maxNext`
+        * lookahead successors exist. Both empty when no neighborhood is
+        * configured. */
+      held: Vector[E] = Vector.empty)
 
   object CepState {
     def empty[E]: CepState[E] =
       CepState[E](Vector.empty, Nil, false, Long.MinValue, Long.MinValue)
+  }
+
+  /** SQL:2016 PREV/NEXT row navigation on a stream: a per-key release
+    * DECORATOR. Each watermark-released event is fed to the NFA only
+    * once its `maxNext` successors in the per-key `(ts, tie)` order are
+    * also released (the unavoidable lookahead buffer — a trailing event
+    * waits for its successors; `maxNext = 0` feeds immediately), and is
+    * rewritten by `decorate(event, prevs, nexts)` first — `prevs` the
+    * up-to-`maxPrev` events immediately before it (oldest first,
+    * SHORTER at the key's start, matching batch lag's NULL), `nexts`
+    * exactly `maxNext` successors. State cost: `maxPrev + maxNext`
+    * extra events per key — the minimum any lag/lead computation needs.
+    */
+  final case class Neighborhood[E](maxPrev: Int, maxNext: Int,
+      decorate: (E, IndexedSeq[E], IndexedSeq[E]) => E) {
+    require(maxPrev >= 0 && maxNext >= 0 && (maxPrev > 0 || maxNext > 0),
+      "neighborhood needs maxPrev or maxNext > 0")
   }
 
   /** One micro-batch step of the streaming executor, as a pure function
@@ -100,7 +124,8 @@ object Cep {
       hasWatermark: Boolean,
       pattern: PatternDef[E],
       tsOf: E => Long,
-      tieBreak: E => Long): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
+      tieBreak: E => Long,
+      neighborhood: Option[Neighborhood[E]] = None): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
     // ingest new events; drop anything at/behind what the NFA already
     // consumed (true late data — same policy as watermark semantics).
     // Comparison is on (ts, tieBreak) so a distinct same-timestamp
@@ -136,15 +161,41 @@ object Cep {
     val (release, keep) =
       if (!hasWatermark) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
 
-    val nfa = new Nfa(pattern, tsOf)
+    val nfa = new Nfa(pattern, tsOf, tieBreak)
     nfa.restore((prev.partials, prev.terminated))
-    val matches = release.flatMap(e => nfa.onEvent(e))
+    // neighborhood: prepend earlier withheld events, feed only those
+    // whose maxNext lookahead successors exist, decorated with their
+    // prev/next context; the tail stays held for future arrivals
+    val (fed, nRecent, nHeld) = neighborhood match {
+      case None => (release, prev.recent, prev.held)
+      case Some(nb) =>
+        val avail = prev.held ++ release
+        val feedN = math.max(0, avail.length - nb.maxNext)
+        val out = Vector.newBuilder[E]
+        var i = 0
+        while (i < feedN) {
+          val prevs =
+            if (i >= nb.maxPrev) avail.slice(i - nb.maxPrev, i)
+            else (prev.recent ++ avail.take(i)).takeRight(nb.maxPrev)
+          out += nb.decorate(avail(i), prevs,
+            avail.slice(i + 1, i + 1 + nb.maxNext))
+          i += 1
+        }
+        (out.result(),
+          (prev.recent ++ avail.take(feedN)).takeRight(nb.maxPrev),
+          avail.drop(feedN))
+    }
+    val matches = fed.flatMap(e => nfa.onEvent(e))
     // watermark advance resolves absence windows with no event needed
+    // (neighborhood mode excludes absence patterns — a withheld event
+    // could otherwise violate a window promote() already resolved)
     val timeMatches =
       if (!hasWatermark) Vector.empty else nfa.advanceTime(wm).toVector
 
     val (np, nt) = nfa.snapshot
-    if (keep.isEmpty && np.isEmpty && !nt) (None, matches ++ timeMatches, Nil)
+    if (keep.isEmpty && np.isEmpty && !nt && nHeld.isEmpty &&
+        neighborhood.isEmpty)
+      (None, matches ++ timeMatches, Nil)
     else {
       val (lastTs, lastTie) =
         if (release.nonEmpty) (tsOf(release.last), tieBreak(release.last))
@@ -153,7 +204,7 @@ object Cep {
         keep.headOption.map(tsOf).toList ++
           pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1)) ++
           nfa.pendingDeadlines
-      (Some(CepState(keep, np, nt, lastTs, lastTie)),
+      (Some(CepState(keep, np, nt, lastTs, lastTie, nRecent, nHeld)),
         matches ++ timeMatches, wake)
     }
   }
@@ -168,9 +219,15 @@ object Cep {
       pattern: PatternDef[E],
       tsOf: E => Long,
       tieBreak: E => Long,
-      tsScale: Long = 1L)(
+      tsScale: Long = 1L,
+      neighborhood: Option[Neighborhood[E]] = None)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
+    require(neighborhood.isEmpty ||
+        pattern.steps.forall(!_.isInstanceOf[Absence[E]]),
+      "PREV/NEXT navigation does not compose with absence elements " +
+        "on a stream (withheld events could violate an already-" +
+        "resolved window)")
 
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
       val prev = state.getOption.getOrElse(CepState.empty[E])
@@ -179,7 +236,7 @@ object Cep {
 
       val (next, matches, wake) = step(
         prev, it.toVector, wm, hasWatermark = wmMs > 0,
-        pattern, tsOf, tieBreak)
+        pattern, tsOf, tieBreak, neighborhood)
 
       next match {
         case None => state.remove()

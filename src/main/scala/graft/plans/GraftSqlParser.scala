@@ -91,9 +91,13 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * DEFINE predicates may navigate the INPUT rows with `PREV(col[, n])`
   * / `NEXT(col[, n])` (SQL:2016 semantics: n rows before/after the
   * current row in the partition, independent of the match — the
-  * stock-ticker `down AS price < PREV(price)` shape). They compile to
-  * lag/lead columns over the operator's own (keys, ts, tie) order, so
-  * the planner runs one shuffle+sort for both. Batch tables only.
+  * stock-ticker `down AS price < PREV(price)` shape). On batch tables
+  * they compile to lag/lead columns over the operator's own
+  * (keys, ts, tie) order, so the planner runs one shuffle+sort for
+  * both; on streaming tables they feed from the watermark buffer's
+  * per-key release order ([[graft.cep.Cep.Neighborhood]]) — PREV from
+  * the retained predecessors, NEXT by withholding each event until
+  * its successors are released (a trailing event waits for them).
   *
   * DEFINE predicates may also reference OTHER pattern variables'
   * bound events (SQL:2016 running semantics) — `up AS up.price >
@@ -157,8 +161,8 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * EVENTTIME clause. Not supported (fail fast): groups nested in
   * groups, RUNNING measures in ONE ROW PER MATCH mode (where every
   * measure is FINAL by definition), and — in streaming mode only —
-  * PREV/NEXT, cross-variable DEFINE references, and SKIP TO
-  * [FIRST|LAST] <var> (all batch-only).
+  * cross-variable DEFINE references and SKIP TO [FIRST|LAST] <var>
+  * (both batch-only).
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -571,11 +575,12 @@ private[plans] object MatchRecognizeSql {
       case Grp(ns, mn, mx) =>
         MatchRecognize.EGroup(ns.map(n => n -> pred(n)), mn, mx)
     }
+    // batch: PREV/NEXT precompute as lag/lead columns sharing the
+    // operator's shuffle+sort; streaming: they feed from the watermark
+    // buffer's release order (streamingFull's lagSpecs / Neighborhood)
     val srcM =
-      if (lagSpecs.isEmpty) src
+      if (lagSpecs.isEmpty || src.isStreaming) src
       else {
-        require(!src.isStreaming,
-          "PREV/NEXT in DEFINE are only supported over batch tables")
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{lag, lead}
         val w = Window.partitionBy(keys.map(col): _*)
@@ -602,7 +607,8 @@ private[plans] object MatchRecognizeSql {
             "over batch tables")
         val tsScale = sec.get("tsscale").map(_.trim.toLong).getOrElse(1L)
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
-          within, tsScale = tsScale, skipPastLastRow = skipPastLast)
+          within, tsScale = tsScale, skipPastLastRow = skipPastLast,
+          lagSpecs = lagSpecs.keys.toSeq)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")

@@ -554,19 +554,42 @@ object MatchRecognize {
     * Reference anchor: dynamic plans carry patterns over live streams
     * (router/AddRouteOperator.java:114-126).
     */
+  /** @param lagSpecs SQL:2016 PREV/NEXT navigation used by the DEFINE
+    *                  predicates: `(kind, column, n)` with kind
+    *                  "prev"/"next" — each becomes the synthetic
+    *                  predicate input `_mr_<kind>_<column>_<n>`, fed
+    *                  from the per-key release order inside the
+    *                  watermark buffer (a [[graft.cep.Cep.Neighborhood]]):
+    *                  PREV reads the retained `maxPrev` predecessors
+    *                  (NULL at the key's start, matching batch lag);
+    *                  NEXT withholds each event until its `n`
+    *                  successors are released. flatMapGroupsWithState
+    *                  executor only.
+    */
   def streamingFull(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
       tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
       withinTs: Option[Long] = None, every: Boolean = true,
       maxPartials: Int = 1024, tsScale: Long = 1L,
-      useTws: Boolean = false, skipPastLastRow: Boolean = false): DataFrame = {
+      useTws: Boolean = false, skipPastLastRow: Boolean = false,
+      lagSpecs: Seq[(String, String, Int)] = Nil): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, LongType, StructField, StructType}
     import graft.cep.{Absence, Cep, GroupSeq, Logical, PatternDef, PatternElem, Step}
     require(df.isStreaming, "streamingFull() needs a streaming DataFrame; " +
       "use MatchRecognize(...) for batch")
+    require(lagSpecs.isEmpty || !useTws,
+      "PREV/NEXT on a stream runs on the flatMapGroupsWithState " +
+        "executor (useTws = false)")
+    lagSpecs.foreach { case (kind, c, k) =>
+      require(kind == "prev" || kind == "next", s"bad lag kind: $kind")
+      require(k >= 1, s"PREV/NEXT offset must be >= 1, got $k")
+      require(df.columns.exists(
+          df.sparkSession.sessionState.analyzer.resolver(_, c)),
+        s"PREV/NEXT column '$c' not in [${df.columns.mkString(", ")}]")
+    }
 
     val predCols: Seq[Column] = pattern.flatMap {
       case EStep(_, p, _, _, _) => Seq(p)
@@ -579,9 +602,16 @@ object MatchRecognize {
       case EOrQ(_, lp, _, rp, _, _) => Seq(lp, rp)
     }
     requireNoCtxRefs(df.sparkSession, predCols, "streamingFull()")
-    val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
-      lit(false))): _*)
     val rowType = df.schema
+    // lag mode: flags cannot precompute statelessly (they read
+    // neighbors in the per-key release order) — a placeholder column
+    // keeps the env schema fixed and the Neighborhood decorator
+    // overwrites it at release time
+    val flags =
+      if (lagSpecs.isEmpty)
+        array(predCols.map(p => coalesce(p.cast("boolean"),
+          lit(false))): _*)
+      else lit(null).cast(ArrayType(BooleanType))
     // plain alias keeps the watermark metadata on the event-time column
     val env = df.select(
       struct(partitionKeys.map(col): _*).as("k"),
@@ -590,6 +620,38 @@ object MatchRecognize {
       flags.as("flags"),
       col(eventTimeCol).as("wmc"),
       struct(df.columns.map(col).toIndexedSeq: _*).as("ev"))
+    val neighborhood: Option[graft.cep.Cep.Neighborhood[Row]] =
+      if (lagSpecs.isEmpty) None
+      else {
+        val spark = df.sparkSession
+        val baseAttrs = df.queryExecution.analyzed.output
+        def baseAttr(n: String) = baseAttrs.find(a =>
+          spark.sessionState.analyzer.resolver(a.name, n)).get
+        val lagAttrs = lagSpecs.map { case (kind, c, k) =>
+          AttributeReference(s"_mr_${kind}_${c}_$k",
+            baseAttr(c).dataType, nullable = true)()
+        }
+        val all = baseAttrs ++ lagAttrs
+        def resolveExt(c: Column): Expression =
+          GraftSqlBridge.sessionExpression(spark, c).transformUp {
+            case u: UnresolvedAttribute => all.find(a =>
+              spark.sessionState.analyzer.resolver(a.name, u.name))
+              .getOrElse(throw new IllegalArgumentException(
+                s"column '${u.name}' not in " +
+                  s"[${all.map(_.name).mkString(", ")}]"))
+          }
+        val predExprs = predCols.map(resolveExt)
+        val specs = lagSpecs.map { case (kind, c, k) =>
+          (kind, rowType.fieldIndex(baseAttr(c).name), k,
+            baseAttr(c).dataType)
+        }
+        val maxPrev = lagSpecs.collect { case ("prev", _, k) => k }
+          .foldLeft(0)(math.max)
+        val maxNext = lagSpecs.collect { case ("next", _, k) => k }
+          .foldLeft(0)(math.max)
+        Some(graft.cep.Cep.Neighborhood[Row](maxPrev, maxNext,
+          new LagFlagDecorator(predExprs, all, rowType, specs)))
+      }
 
     var ci = -1
     def idx(): Int = { ci += 1; ci }
@@ -647,7 +709,71 @@ object MatchRecognize {
         tsScale)(build)(kEnc, oEnc)
       else Cep.streaming[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale)(build)(kEnc, oEnc)
+        tsScale, neighborhood)(build)(kEnc, oEnc)
     out.toDF()
+  }
+
+  /** The [[graft.cep.Cep.Neighborhood]] decorator behind streaming
+    * PREV/NEXT: per released event, read each navigation value from
+    * the neighboring env rows (NULL when the key has no row that far
+    * back — batch lag parity), join them to the event row, evaluate
+    * every DEFINE predicate, and overwrite the env row's placeholder
+    * flag array. Catalyst machinery (predicates, converters) builds
+    * lazily per deserialized task instance; `specs` =
+    * `(kind, ev-field ordinal, n, dataType)` per lag reference, in
+    * the same order as the trailing `attrs`.
+    */
+  private final class LagFlagDecorator(
+      preds: Seq[Expression],
+      attrs: Seq[Attribute],
+      evSchema: org.apache.spark.sql.types.StructType,
+      specs: Seq[(String, Int, Int, org.apache.spark.sql.types.DataType)])
+    extends ((org.apache.spark.sql.Row,
+        IndexedSeq[org.apache.spark.sql.Row],
+        IndexedSeq[org.apache.spark.sql.Row]) =>
+        org.apache.spark.sql.Row) with Serializable {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, GenericRowWithSchema, JoinedRow, Predicate}
+
+    @transient private lazy val basePreds = preds.map { e =>
+      val bp = Predicate.create(e, attrs)
+      bp.initialize(0)
+      bp
+    }
+    @transient private lazy val toCatalyst =
+      CatalystTypeConverters.createToCatalystConverter(evSchema)
+    @transient private lazy val joined = new JoinedRow
+
+    def apply(env: Row, prevs: IndexedSeq[Row],
+        nexts: IndexedSeq[Row]): Row = {
+      val evI = toCatalyst(env.getStruct(5)).asInstanceOf[InternalRow]
+      val lagVals = new Array[Any](specs.length)
+      var i = 0
+      while (i < specs.length) {
+        val (kind, ord, k, _) = specs(i)
+        val nb =
+          if (kind == "prev")
+            (if (prevs.length >= k) prevs(prevs.length - k) else null)
+          else
+            (if (nexts.length >= k) nexts(k - 1) else null)
+        lagVals(i) =
+          if (nb == null) null
+          else {
+            val nbI = toCatalyst(nb.getStruct(5)).asInstanceOf[InternalRow]
+            if (nbI.isNullAt(ord)) null
+            else nbI.get(ord, specs(i)._4)
+          }
+        i += 1
+      }
+      val lagRow = new GenericInternalRow(lagVals)
+      val flags = basePreds.map(p => p.eval(joined(evI, lagRow)))
+      val vals = new Array[Any](env.length)
+      var j = 0
+      while (j < env.length) { vals(j) = env.get(j); j += 1 }
+      vals(3) = flags.toIndexedSeq
+      new GenericRowWithSchema(vals,
+        env.schema): Row
+    }
   }
 }

@@ -1077,7 +1077,7 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("PREV/NEXT in DEFINE: the stock-ticker V-shape over input-row " +
-      "navigation; streaming rejects it; unknown column fails fast") {
+      "navigation; unknown column fails fast") {
     // prices per ticker: 10 8 6 9 12 — strt at any row, down = price <
     // PREV(price), up = price > PREV(price)
     val df = Seq(

@@ -527,4 +527,67 @@ class StreamingParitySpec extends SparkSpec {
     // earlier batches' appended signatures (some history hit > seed-only)
     assert(streamed.exists(_._4 == 0), "no dedup occurred — fixture weak")
   }
+
+  test("streaming PREV/NEXT in DEFINE == batch across micro-batch " +
+      "splits that separate a row from its PREV and NEXT") {
+    // the V-shape with both navigations: down needs its PREDECESSOR's
+    // price, up additionally its SUCCESSOR's. Rows are fed so that
+    // e3's PREV (e2) was released in an EARLIER watermark batch (the
+    // recent-ring path) and e4's NEXT (e5) arrives a batch LATER (the
+    // hold-back path) — batch lag/lead must agree exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq( // (event_id, ts_ms, ticker, price)
+      (1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 8.0),
+      (3L, 30000L, 1L, 6.0), (4L, 40000L, 1L, 9.0),
+      (5L, 65000L, 1L, 12.0))
+    val ticks = Seq((91L, 15000L, 9L, 0.0), (92L, 55000L, 9L, 0.0),
+      (93L, 90000L, 9L, 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY ticker
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+         |           up.event_id AS u_id
+         |  PATTERN (strt down up)
+         |  WITHIN 100000
+         |  $streamingClauses
+         |  DEFINE strt AS true,
+         |         down AS price < PREV(price),
+         |         up AS price > PREV(price) AND NEXT(price) > price
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "ticker", "price")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_lag_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_lag_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_lag_sink").start()
+    try {
+      // batch 1 releases e1,e2; batch 2 releases e3 and HOLDS e4 (its
+      // NEXT is unknown); batch 3 releases e5, which finalizes e4 with
+      // prev = e3 (recent ring) and next = e5 (hold-back) — every
+      // navigation edge crosses a micro-batch boundary
+      input.addData(t1.take(2) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(t1.slice(2, 4) :+ ticks(1): _*)
+      q.processAllAvailable()
+      input.addData(t1.drop(4) :+ ticks(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_lag_sink")
+        .select($"ticker", $"s_id", $"d_id", $"u_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      (t1 ++ ticks).toDF("event_id", "ts_ms", "ticker", "price")
+        .createOrReplaceTempView("mr_lag_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_lag_batch", "")))
+        .select($"ticker", $"s_id", $"d_id", $"u_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 1L, 2L, 4L), (1L, 2L, 3L, 4L)))
+    } finally q.stop()
+  }
 }
