@@ -83,7 +83,15 @@ object Cep {
       /** …and watermark-released events withheld until their `maxNext`
         * lookahead successors exist. Both empty when no neighborhood is
         * configured. */
-      held: Vector[E] = Vector.empty)
+      held: Vector[E] = Vector.empty,
+      /** WITH UNMATCHED ROWS bookkeeping: released events whose fate
+        * is undecided (some match containing an event at ts can still
+        * emit until the watermark passes ts + within)… */
+      undecided: Vector[E] = Vector.empty,
+      /** …and the (ts, tie) identities bound by emitted matches, kept
+        * until their event's decision horizon passes. Both empty when
+        * unmatched tracking is off. */
+      boundIds: Set[(Long, Long)] = Set.empty)
 
   object CepState {
     def empty[E]: CepState[E] =
@@ -107,6 +115,14 @@ object Cep {
       "neighborhood needs maxPrev or maxNext > 0")
   }
 
+  /** Reserved pseudo-slot name carrying an UNMATCHED input event out
+    * of [[step]] when `unmatchedWithin` is set: the event is returned
+    * as a degenerate one-event [[PatternMatch]] whose only group is
+    * this name — build functions discriminate on it. Pattern slot
+    * names may not collide with it (enforced in [[step]]).
+    */
+  val UnmatchedSlot = "__unmatched__"
+
   /** One micro-batch step of the streaming executor, as a pure function
     * — the watermark-ordered release buffer + NFA advance, factored out
     * of the Spark plumbing so chunking semantics are property-testable:
@@ -125,7 +141,24 @@ object Cep {
       pattern: PatternDef[E],
       tsOf: E => Long,
       tieBreak: E => Long,
-      neighborhood: Option[Neighborhood[E]] = None): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
+      neighborhood: Option[Neighborhood[E]] = None,
+      /** SQL:2016 WITH UNMATCHED ROWS: the pattern's `within` bound in
+        * event-time units. Every released event is tracked until the
+        * watermark passes its ts + within — by then every match that
+        * could bind it has emitted (matches span at most `within` and
+        * complete on a released event) — and, if no emitted match
+        * bound its (ts, tie), it is returned as a one-event
+        * pseudo-match under [[UnmatchedSlot]]. Tracking cost per key:
+        * the events inside one `within` horizon. Excludes
+        * `neighborhood` (a withheld event could bind after deciding).
+        */
+      unmatchedWithin: Option[Long] = None): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
+    require(unmatchedWithin.isEmpty || neighborhood.isEmpty,
+      "unmatched-row tracking does not compose with PREV/NEXT hold-back")
+    require(unmatchedWithin.isEmpty ||
+        pattern.steps.forall(!_.names.contains(UnmatchedSlot)),
+      s"pattern variable '$UnmatchedSlot' collides with the reserved " +
+        "unmatched pseudo-slot")
     // ingest new events; drop anything at/behind what the NFA already
     // consumed (true late data — same policy as watermark semantics).
     // Comparison is on (ts, tieBreak) so a distinct same-timestamp
@@ -193,9 +226,30 @@ object Cep {
       if (!hasWatermark) Vector.empty else nfa.advanceTime(wm).toVector
 
     val (np, nt) = nfa.snapshot
+    // unmatched tracking: decide events once the watermark passes
+    // their ts + within; undecided events and live bound identities
+    // ride the state until then
+    val (nUndecided, nBound, unmatchedOut) = unmatchedWithin match {
+      case None => (prev.undecided, prev.boundIds, Vector.empty[E])
+      case Some(w) =>
+        val bound = prev.boundIds ++
+          (matches ++ timeMatches).iterator
+            .flatMap(_.groups.valuesIterator.flatten)
+            .map(e => (tsOf(e), tieBreak(e)))
+        val undecided = prev.undecided ++ release
+        val (decide, stay) =
+          if (hasWatermark) undecided.partition(e => tsOf(e) + w < wm)
+          else (Vector.empty[E], undecided)
+        val un = decide.filterNot(e => bound((tsOf(e), tieBreak(e))))
+        val decIds = decide.iterator
+          .map(e => (tsOf(e), tieBreak(e))).toSet
+        (stay, bound -- decIds, un)
+    }
+    val unmatchedMatches = unmatchedOut.map(e =>
+      PatternMatch(tsOf(e), tsOf(e), Map(UnmatchedSlot -> Vector(e))))
     if (keep.isEmpty && np.isEmpty && !nt && nHeld.isEmpty &&
-        neighborhood.isEmpty)
-      (None, matches ++ timeMatches, Nil)
+        neighborhood.isEmpty && nUndecided.isEmpty && nBound.isEmpty)
+      (None, matches ++ timeMatches ++ unmatchedMatches, Nil)
     else {
       val (lastTs, lastTie) =
         if (release.nonEmpty) (tsOf(release.last), tieBreak(release.last))
@@ -203,9 +257,12 @@ object Cep {
       val wake =
         keep.headOption.map(tsOf).toList ++
           pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1)) ++
-          nfa.pendingDeadlines
-      (Some(CepState(keep, np, nt, lastTs, lastTie, nRecent, nHeld)),
-        matches ++ timeMatches, wake)
+          nfa.pendingDeadlines ++
+          unmatchedWithin.toList.flatMap(w =>
+            nUndecided.headOption.map(e => tsOf(e) + w + 1))
+      (Some(CepState(keep, np, nt, lastTs, lastTie, nRecent, nHeld,
+        nUndecided, nBound)),
+        matches ++ timeMatches ++ unmatchedMatches, wake)
     }
   }
 
@@ -220,7 +277,8 @@ object Cep {
       tsOf: E => Long,
       tieBreak: E => Long,
       tsScale: Long = 1L,
-      neighborhood: Option[Neighborhood[E]] = None)(
+      neighborhood: Option[Neighborhood[E]] = None,
+      unmatchedWithin: Option[Long] = None)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
     require(neighborhood.isEmpty ||
@@ -236,7 +294,7 @@ object Cep {
 
       val (next, matches, wake) = step(
         prev, it.toVector, wm, hasWatermark = wmMs > 0,
-        pattern, tsOf, tieBreak, neighborhood)
+        pattern, tsOf, tieBreak, neighborhood, unmatchedWithin)
 
       next match {
         case None => state.remove()

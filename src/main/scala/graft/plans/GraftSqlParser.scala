@@ -136,9 +136,11 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * feed measures — SQL:2016 exclusion semantics; no effect in one-row
   * mode, and suppressed rows are NOT re-added as unmatched). Unmatched
   * rows are omitted by default; `ALL ROWS PER MATCH WITH UNMATCHED
-  * ROWS` (batch tables) appends the never-bound input rows with NULL
-  * classifier / match bounds / measures via one left-anti join on the
-  * `(keys, ts, tie)` row identity.
+  * ROWS` appends the never-bound input rows with NULL classifier /
+  * match bounds / measures — on batch tables via one left-anti join
+  * on the `(keys, ts, tie)` row identity, on streaming tables (WITHIN
+  * required) emitted by the stateful operator itself once the
+  * watermark passes each row's ts + within decision horizon.
   *
   * `PERMUTE(x, y)` (SQL:2016 `(x y | y x)`) compiles to the operator's
   * both-in-either-order logical element, and `PERMUTE(x, y, z, …)` to
@@ -290,6 +292,12 @@ private[plans] object MatchRecognizeSql {
       s"unexpected text after ALL ROWS PER MATCH: '$s' " +
         "(only WITH UNMATCHED ROWS is recognized)"))
     val unmatchedRows = allRowsSlice.contains("with unmatched rows")
+    // streaming WITH UNMATCHED ROWS: the stateful operator emits the
+    // never-bound rows itself (NULL-bounds pseudo-rows); measures must
+    // then be NULLed on those rows (they would otherwise read 0-valued
+    // aggregates over the pseudo-row's empty slot arrays)
+    def streamUnmatchedOf(streaming: Boolean): Boolean =
+      unmatchedRows && streaming
     require(!(sec.contains("one row per match") &&
         sec.contains("all rows per match")),
       "MATCH_RECOGNIZE: ONE ROW PER MATCH and ALL ROWS PER MATCH " +
@@ -606,9 +614,14 @@ private[plans] object MatchRecognizeSql {
           "AFTER MATCH SKIP TO [FIRST|LAST] <var> is only supported " +
             "over batch tables")
         val tsScale = sec.get("tsscale").map(_.trim.toLong).getOrElse(1L)
+        if (unmatchedRows) require(within.isDefined,
+          "WITH UNMATCHED ROWS over a streaming table needs a WITHIN " +
+            "bound (the horizon after which a row can no longer join " +
+            "any match)")
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
-          lagSpecs = lagSpecs.keys.toSeq)
+          lagSpecs = lagSpecs.keys.toSeq,
+          withUnmatched = unmatchedRows)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")
@@ -726,7 +739,13 @@ private[plans] object MatchRecognizeSql {
         }
         seg
       }
-      GraftSqlBridge.column(delegate.parseExpression(t)).as(alias) -> alias
+      val raw = GraftSqlBridge.column(delegate.parseExpression(t))
+      val guarded =
+        if (streamUnmatchedOf(src.isStreaming))
+          org.apache.spark.sql.functions.when(
+            col("match_start").isNotNull, raw)
+        else raw
+      guarded.as(alias) -> alias
     }
     // RUNNING measures: per exploded row, aggregate only the bound
     // events at-or-before it in (ts, tie) order — the slot arrays are
@@ -791,23 +810,35 @@ private[plans] object MatchRecognizeSql {
         matched.select(org.apache.spark.sql.functions.col("*") +:
           measures.map(_._1): _*),
         src.columns.toIndexedSeq, varNames, measures.map(_._2),
-        keepSlots = runningMeasures.nonEmpty)
+        keepSlots = runningMeasures.nonEmpty,
+        unmatchedCol = if (streamUnmatchedOf(src.isStreaming))
+          Some("_mr_unmatched_ev") else None)
       val withRunning =
         if (runningMeasures.isEmpty) exploded
         else runningMeasures.foldLeft(exploded) { case (d, (alias, t)) =>
-          d.withColumn(alias,
-            GraftSqlBridge.column(delegate.parseExpression(t)))
+          // classifier is NULL only on streaming unmatched pseudo-rows
+          // (batch appends its unmatched rows AFTER this point) — a
+          // running aggregate there must be NULL, not a 0 over the
+          // pseudo-row's empty slots
+          d.withColumn(alias, org.apache.spark.sql.functions.when(
+            col("classifier").isNotNull,
+            GraftSqlBridge.column(delegate.parseExpression(t))))
         }.drop(varNames: _*)
       // exclusion: the wrapped variables matched (and remain visible
       // to measures) but their rows leave the ALL ROWS output
       def exclFilter(d: org.apache.spark.sql.DataFrame) =
         if (excludedVars.isEmpty) d
-        else d.filter(!org.apache.spark.sql.functions
-          .col("classifier").isin(excludedVars.toSeq: _*))
-      if (unmatchedRows) {
-        // stream-stream anti join would need its own watermark scheme
-        require(!src.isStreaming,
-          "WITH UNMATCHED ROWS is only supported over batch tables")
+        else d.filter(
+          org.apache.spark.sql.functions.col("classifier").isNull ||
+          !org.apache.spark.sql.functions
+            .col("classifier").isin(excludedVars.toSeq: _*))
+      if (unmatchedRows && src.isStreaming) {
+        // single stateful pass: the operator's NULL-bounds pseudo-rows
+        // exploded to NULL-classifier rows (unmatchedCol above) and
+        // survive the null-safe exclusion filter — no second plan
+        // branch re-executing the stateful subtree
+        exclFilter(withRunning)
+      } else if (unmatchedRows) {
         // materialized ONCE: the visible rows AND the bound-identity
         // complement both read this relation — without it the whole
         // match operator executes twice (once per plan branch)

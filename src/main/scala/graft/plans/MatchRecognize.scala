@@ -340,7 +340,12 @@ object MatchRecognize {
     */
   private[graft] def explodeAllRows(one: DataFrame, inputCols: Seq[String],
       slots: Seq[String], carryCols: Seq[String] = Nil,
-      keepSlots: Boolean = false): DataFrame = {
+      keepSlots: Boolean = false,
+      /** Streaming WITH UNMATCHED ROWS: the nullable struct column
+        * carrying a never-bound input row — such rows (NULL
+        * match_start) explode to ONE output row with NULL classifier
+        * instead of their (empty) slot arrays. */
+      unmatchedCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val reserved = Seq("classifier", "match_start", "match_end")
     val clash = inputCols.filter(c =>
@@ -368,8 +373,15 @@ object MatchRecognize {
           "collide with a pattern variable name — rename the pattern " +
           "variable")
     }
-    val tagged = concat(slots.map(n =>
+    val taggedM = concat(slots.map(n =>
       transform(col(n), e => struct(e.as("ev"), lit(n).as("cls")))): _*)
+    val tagged = unmatchedCol match {
+      case None => taggedM
+      case Some(uc) => when(col("match_start").isNull,
+          array(struct(col(uc).as("ev"),
+            lit(null).cast("string").as("cls"))))
+        .otherwise(taggedM)
+    }
     // keepSlots: RUNNING measures evaluate per exploded row against the
     // whole-match slot arrays — the caller computes them in a follow-up
     // projection and then drops the arrays
@@ -571,7 +583,13 @@ object MatchRecognize {
       withinTs: Option[Long] = None, every: Boolean = true,
       maxPartials: Int = 1024, tsScale: Long = 1L,
       useTws: Boolean = false, skipPastLastRow: Boolean = false,
-      lagSpecs: Seq[(String, String, Int)] = Nil): DataFrame = {
+      lagSpecs: Seq[(String, String, Int)] = Nil,
+      /** SQL:2016 WITH UNMATCHED ROWS on a stream (needs `withinTs` —
+        * the decision horizon). Adds a nullable `_mr_unmatched_ev`
+        * output column and makes the match bounds nullable: an
+        * unmatched input row emits as `(keys, NULL, NULL, empty
+        * slots…, ev)` once the watermark passes its ts + within. */
+      withUnmatched: Boolean = false): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -583,6 +601,12 @@ object MatchRecognize {
     require(lagSpecs.isEmpty || !useTws,
       "PREV/NEXT on a stream runs on the flatMapGroupsWithState " +
         "executor (useTws = false)")
+    require(!withUnmatched || withinTs.isDefined,
+      "WITH UNMATCHED ROWS on a stream needs a WITHIN bound (the " +
+        "horizon after which an event can no longer join any match)")
+    require(!withUnmatched || (lagSpecs.isEmpty && !useTws),
+      "WITH UNMATCHED ROWS on a stream composes with neither " +
+        "PREV/NEXT hold-back nor the transformWithState executor")
     lagSpecs.foreach { case (kind, c, k) =>
       require(kind == "prev" || kind == "next", s"bad lag kind: $kind")
       require(k >= 1, s"PREV/NEXT offset must be >= 1, got $k")
@@ -689,19 +713,33 @@ object MatchRecognize {
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
     val outSchema = StructType(keySchema.fields ++ Array(
-      StructField("match_start", LongType, nullable = false),
-      StructField("match_end", LongType, nullable = false)) ++
+      StructField("match_start", LongType, nullable = withUnmatched),
+      StructField("match_end", LongType, nullable = withUnmatched)) ++
       slotNames.map(n =>
         StructField(n, ArrayType(rowType, containsNull = false),
-          nullable = false)))
+          nullable = false)) ++
+      (if (withUnmatched)
+        Seq(StructField("_mr_unmatched_ev", rowType, nullable = true))
+      else Nil))
     val kEnc = Encoders.row(keySchema)
     val oEnc = Encoders.row(outSchema)
+    val unTail = if (withUnmatched) 1 else 0
     val build = (k: Row, m: graft.cep.PatternMatch[Row]) => {
-      val arrs = slotNames.map(n =>
-        m.groups.getOrElse(n, IndexedSeq.empty).map(_.getStruct(5)))
-      Iterator.single(new GenericRowWithSchema(
-        (k.toSeq ++ Seq(m.startTs, m.endTs) ++ arrs).toArray,
-        outSchema): Row)
+      val row: Row =
+        if (withUnmatched && m.groups.contains(Cep.UnmatchedSlot)) {
+          val ev = m.groups(Cep.UnmatchedSlot).head.getStruct(5)
+          new GenericRowWithSchema(
+            (k.toSeq ++ Seq(null, null) ++
+              slotNames.map(_ => IndexedSeq.empty[Row]) ++
+              Seq(ev)).toArray, outSchema)
+        } else {
+          val arrs = slotNames.map(n =>
+            m.groups.getOrElse(n, IndexedSeq.empty).map(_.getStruct(5)))
+          new GenericRowWithSchema(
+            (k.toSeq ++ Seq(m.startTs, m.endTs) ++ arrs ++
+              Seq.fill(unTail)(null)).toArray, outSchema)
+        }
+      Iterator.single(row)
     }
     val out =
       if (useTws) Cep.streamingTws[Row, Row, Row](
@@ -709,7 +747,8 @@ object MatchRecognize {
         tsScale)(build)(kEnc, oEnc)
       else Cep.streaming[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale, neighborhood)(build)(kEnc, oEnc)
+        tsScale, neighborhood,
+        if (withUnmatched) withinTs else None)(build)(kEnc, oEnc)
     out.toDF()
   }
 

@@ -528,6 +528,77 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.exists(_._4 == 0), "no dedup occurred — fixture weak")
   }
 
+  test("streaming exclusion {- b -} + SUBSET + WITH UNMATCHED ROWS == " +
+      "batch, split mid-span across micro-batches") {
+    // one statement composing the three round-11 constructs that only
+    // had batch oracles: the excluded b row is matched-but-hidden
+    // (never resurrected as unmatched), the SUBSET w measures span a
+    // and c, and never-bound rows emit with NULL classifier once the
+    // watermark passes their ts + WITHIN decision horizon. The
+    // micro-batch boundary falls INSIDE the match (between the
+    // excluded b and its c) and before the unmatched rows decide.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type)
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),   // batch 1
+      (3L, 3000L, 1L, "C"), (4L, 4000L, 1L, "X"),   // batch 2
+      (5L, 1500L, 2L, "A"))                          // batch 2, no c
+    val ticks = Seq((91L, 30000L, 9L, "X"), (92L, 60000L, 9L, "X"))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES LAST(b.event_id) AS b_id, COUNT(w.*) AS w_n
+         |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+         |  PATTERN (a {- b -} c)
+         |  SUBSET w = (a, c)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+         |         c AS event_type = 'C'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_uex_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_uex_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_uex_sink").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(ticks(1))
+      q.processAllAvailable()
+      // the trailing ticks' own rows are still undecided on the
+      // stream (no later watermark) — compare the real users only
+      val streamed = spark.table("mr_uex_sink")
+        .filter($"user_id" <= 2L)
+        .select($"event_id", $"classifier", $"b_id", $"w_n")
+        .as[(Long, Option[String], Option[Long], Option[Int])]
+        .collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id", "event_type")
+        .createOrReplaceTempView("mr_uex_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_uex_batch", "")))
+        .filter($"user_id" <= 2L)
+        .select($"event_id", $"classifier", $"b_id", $"w_n")
+        .as[(Long, Option[String], Option[Long], Option[Int])]
+        .collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (1L, Some("a"), Some(2L), Some(2)),   // match head
+        (3L, Some("c"), Some(2L), Some(2)),   // match tail
+        // e2 (the excluded b) appears NOWHERE: hidden, not unmatched
+        (4L, None, None, None),               // never-bound X
+        (5L, None, None, None)))              // a with no c in WITHIN
+    } finally q.stop()
+  }
+
   test("streaming PREV/NEXT in DEFINE == batch across micro-batch " +
       "splits that separate a row from its PREV and NEXT") {
     // the V-shape with both navigations: down needs its PREDECESSOR's
