@@ -109,7 +109,9 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * first binding, or the current row when it is the first). These
   * compile to the operator's [[MatchRecognize.cvFirst]]/[[cvLast]]
   * context markers, evaluated inside the NFA against the partial's
-  * bindings. Batch tables only.
+  * bindings — on batch tables through the codegen'd executor
+  * predicate, on streaming tables through an interpreted per-partial
+  * evaluator (not combinable with PREV/NEXT in one statement).
   *
   * Clauses must appear in the canonical order above (the SQL-standard
   * clause order) — identifiers that merely LOOK like clause keywords
@@ -162,9 +164,8 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * (same output schema, watermark-buffered NFA) and requires the
   * EVENTTIME clause. Not supported (fail fast): groups nested in
   * groups, RUNNING measures in ONE ROW PER MATCH mode (where every
-  * measure is FINAL by definition), and — in streaming mode only —
-  * cross-variable DEFINE references and SKIP TO [FIRST|LAST] <var>
-  * (both batch-only).
+  * measure is FINAL by definition), and combining cross-variable
+  * DEFINE references with PREV/NEXT in one STREAMING statement.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -566,8 +567,7 @@ private[plans] object MatchRecognizeSql {
         })
       }
     }
-    val hasCrossVar = defs2.values.exists(
-      _.contains(MatchRecognize.CvMarker))
+
     def pred(n: String): Column =
       GraftSqlBridge.column(delegate.parseExpression(defs2(n)))
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
@@ -601,18 +601,10 @@ private[plans] object MatchRecognizeSql {
       }
     val matched =
       if (src.isStreaming) {
-        require(!hasCrossVar,
-          "cross-variable DEFINE predicates (FIRST/LAST(var.col) or " +
-            "var.col of another pattern variable) are only supported " +
-            "over batch tables — streaming predicates precompute as " +
-            "per-event flags")
         val evc = sec.getOrElse("eventtime",
           throw new IllegalArgumentException(
             "MATCH_RECOGNIZE over a STREAMING table needs an " +
               "EVENTTIME <watermarked timestamp column> clause")).trim
-        require(skipToVar.isEmpty,
-          "AFTER MATCH SKIP TO [FIRST|LAST] <var> is only supported " +
-            "over batch tables")
         val tsScale = sec.get("tsscale").map(_.trim.toLong).getOrElse(1L)
         if (unmatchedRows) require(within.isDefined,
           "WITH UNMATCHED ROWS over a streaming table needs a WITHIN " +
@@ -620,7 +612,7 @@ private[plans] object MatchRecognizeSql {
             "any match)")
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
-          lagSpecs = lagSpecs.keys.toSeq,
+          lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
           withUnmatched = unmatchedRows)
       } else {
         require(!sec.contains("eventtime"),

@@ -188,24 +188,8 @@ object MatchRecognize {
     // cross-variable references ([[cvFirst]]/[[cvLast]] markers) lift
     // into per-predicate CtxRefSpec lists; the marker becomes a
     // synthetic attribute the executor feeds from the partial match
-    def resolve(c: Column): (Expression, Seq[CtxRefSpec]) = {
-      val refs = scala.collection.mutable.LinkedHashMap
-        .empty[(String, String, String), CtxRefSpec]
-      val ex = GraftSqlBridge.sessionExpression(spark, c).transformUp {
-        case u: UnresolvedAttribute if u.nameParts.length == 4 &&
-            u.nameParts.head == CvMarker =>
-          val Seq(_, fn, v, cn) = u.nameParts
-          val base = attr(cn)
-          refs.getOrElseUpdate((fn, v, cn), {
-            val ord = child.output.indexWhere(_.exprId == base.exprId)
-            CtxRefSpec(fn, v, ord, base.dataType,
-              AttributeReference(s"_mr_cv_${fn}_${v}_$cn", base.dataType,
-                nullable = true)())
-          }).attr
-        case u: UnresolvedAttribute => attr(u.name)
-      }
-      (ex, refs.values.toSeq)
-    }
+    def resolve(c: Column): (Expression, Seq[CtxRefSpec]) =
+      resolveWithCv(spark, child.output, c)
 
     val tsA = attr(tsCol)
     require(tsA.dataType == LongType,
@@ -271,6 +255,36 @@ object MatchRecognize {
   }
 
   private[plans] val CvMarker = "_mr_cv"
+
+  /** Resolve a predicate Column against `output`, lifting
+    * [[cvFirst]]/[[cvLast]] markers into [[CtxRefSpec]]s (the marker
+    * becomes a synthetic attribute fed from the partial match at
+    * evaluation time). Shared by the batch builder and the streaming
+    * cross-variable path.
+    */
+  private def resolveWithCv(spark: org.apache.spark.sql.SparkSession,
+      output: Seq[Attribute], c: Column): (Expression, Seq[CtxRefSpec]) = {
+    def attr(n: String): Attribute =
+      output.find(a => spark.sessionState.analyzer.resolver(a.name, n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$n' not in [${output.map(_.name).mkString(", ")}]"))
+    val refs = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String, String), CtxRefSpec]
+    val ex = GraftSqlBridge.sessionExpression(spark, c).transformUp {
+      case u: UnresolvedAttribute if u.nameParts.length == 4 &&
+          u.nameParts.head == CvMarker =>
+        val Seq(_, fn, v, cn) = u.nameParts
+        val base = attr(cn)
+        refs.getOrElseUpdate((fn, v, cn), {
+          val ord = output.indexWhere(_.exprId == base.exprId)
+          CtxRefSpec(fn, v, ord, base.dataType,
+            AttributeReference(s"_mr_cv_${fn}_${v}_$cn", base.dataType,
+              nullable = true)())
+        }).attr
+      case u: UnresolvedAttribute => attr(u.name)
+    }
+    (ex, refs.values.toSeq)
+  }
 
   /** Cross-variable DEFINE reference: the value of `column` on the
     * FIRST event bound to pattern variable `variable` in the current
@@ -461,7 +475,8 @@ object MatchRecognize {
       tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
       withinTs: Option[Long] = None, every: Boolean = true,
       maxPartials: Int = 1024, tsScale: Long = 1L,
-      useTws: Boolean = false, skipPastLastRow: Boolean = false): DataFrame = {
+      useTws: Boolean = false, skipPastLastRow: Boolean = false,
+      skipToVar: Option[(String, Boolean)] = None): DataFrame = {
     val everyMatch = every // functions._ would shadow the parameter
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -523,7 +538,7 @@ object MatchRecognize {
           flagStep(rn, 1, 1, strict = false), mn, mx)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
-      skipPastLastRow)
+      skipPastLastRow, skipToVar)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
     val outSchema = StructType(keySchema.fields ++ Array(
@@ -584,6 +599,12 @@ object MatchRecognize {
       maxPartials: Int = 1024, tsScale: Long = 1L,
       useTws: Boolean = false, skipPastLastRow: Boolean = false,
       lagSpecs: Seq[(String, String, Int)] = Nil,
+      /** AFTER MATCH SKIP TO [FIRST|LAST] <var> — the streaming NFA
+        * receives the (ts, tie) row identity, so the same greedy
+        * resume-at-target semantics as batch (including the
+        * standard's unbound-variable and infinite-loop runtime
+        * errors) apply per key. */
+      skipToVar: Option[(String, Boolean)] = None,
       /** SQL:2016 WITH UNMATCHED ROWS on a stream (needs `withinTs` —
         * the decision horizon). Adds a nullable `_mr_unmatched_ev`
         * output column and makes the match bounds nullable: an
@@ -625,16 +646,42 @@ object MatchRecognize {
       case EPermuteQ(ss, _, _)  => ss.map(_._2)
       case EOrQ(_, lp, _, rp, _, _) => Seq(lp, rp)
     }
-    requireNoCtxRefs(df.sparkSession, predCols, "streamingFull()")
     val rowType = df.schema
+    // cross-variable references (cvFirst/cvLast markers): resolved per
+    // predicate; ref-bearing predicates evaluate INSIDE the NFA (the
+    // Step.ctxPred path, interpreted against the partial's bindings),
+    // so their flag slots are dead lit(false) placeholders
+    val baseOut = df.queryExecution.analyzed.output
+    val hasCv = predCols.exists(p =>
+      GraftSqlBridge.sessionExpression(df.sparkSession, p).exists {
+        case u: UnresolvedAttribute =>
+          u.nameParts.headOption.contains(CvMarker)
+        case _ => false
+      })
+    require(!hasCv || lagSpecs.isEmpty,
+      "cross-variable DEFINE references and PREV/NEXT navigation " +
+        "cannot combine in one streaming MATCH_RECOGNIZE (the lag " +
+        "values are release-position state, the bindings are " +
+        "partial-match state)")
+    require(!hasCv || !useTws,
+      "cross-variable DEFINE on a stream runs on the " +
+        "flatMapGroupsWithState executor (useTws = false)")
+    // lag-mode predicates reference lag aliases resolved later by the
+    // LagFlagDecorator — cv resolution only runs in the plain path
+    val resolvedPreds: Seq[(Expression, Seq[CtxRefSpec])] =
+      if (lagSpecs.isEmpty)
+        predCols.map(c => resolveWithCv(df.sparkSession, baseOut, c))
+      else predCols.map(_ => (null: Expression, Nil))
     // lag mode: flags cannot precompute statelessly (they read
     // neighbors in the per-key release order) — a placeholder column
     // keeps the env schema fixed and the Neighborhood decorator
     // overwrites it at release time
     val flags =
       if (lagSpecs.isEmpty)
-        array(predCols.map(p => coalesce(p.cast("boolean"),
-          lit(false))): _*)
+        array(predCols.zip(resolvedPreds).map { case (p, (_, refs)) =>
+          if (refs.isEmpty) coalesce(p.cast("boolean"), lit(false))
+          else lit(false)
+        }: _*)
       else lit(null).cast(ArrayType(BooleanType))
     // plain alias keeps the watermark metadata on the event-time column
     val env = df.select(
@@ -682,7 +729,18 @@ object MatchRecognize {
     def flagStep(name: String, min: Int, max: Int,
         strict: Boolean): Step[Row] = {
       val i = idx()
-      Step[Row](name, _.getSeq[Boolean](3)(i), min, max, strict)
+      val (expr, refs) = resolvedPreds(i)
+      if (refs.isEmpty)
+        Step[Row](name, _.getSeq[Boolean](3)(i), min, max, strict)
+      else {
+        // cross-variable predicate: interpreted per (event, partial)
+        // against the bindings so far — same semantics as the batch
+        // executor's ctxPred
+        val ev = new CvStreamEvaluator(expr,
+          baseOut ++ refs.map(_.attr), rowType, refs)
+        Step[Row](name, r => ev(r, _ => IndexedSeq.empty), min, max,
+          strict, ctxPred = Some(ev))
+      }
     }
     val pElems: IndexedSeq[PatternElem[Row]] = pattern.map {
       case EStep(n, _, mn, mx, st) => flagStep(n, mn, mx, st)
@@ -707,8 +765,15 @@ object MatchRecognize {
         graft.cep.AltSeq[Row](flagStep(ln, 1, 1, strict = false),
           flagStep(rn, 1, 1, strict = false), mn, mx)
     }.toIndexedSeq
+    // referenced variables must exist in the pattern (typo guard —
+    // the batch builder enforces the same)
+    val cvVars = resolvedPreds.flatMap(_._2.map(_.varName))
+    val patVarsS = pElems.flatMap(_.names).toSet
+    require(cvVars.forall(patVarsS),
+      s"cross-variable reference(s) to unknown pattern variable(s): " +
+        cvVars.filterNot(patVarsS).distinct.mkString(", "))
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
-      skipPastLastRow)
+      skipPastLastRow, skipToVar)
     val slotNames = pElems.flatMap(_.names)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
@@ -750,6 +815,57 @@ object MatchRecognize {
         tsScale, neighborhood,
         if (withUnmatched) withinTs else None)(build)(kEnc, oEnc)
     out.toDF()
+  }
+
+  /** The streaming cross-variable predicate evaluator: per
+    * (event, partial) the referenced FIRST/LAST bindings are read
+    * from the partial's env rows (their `ev` payload struct), joined
+    * to the event row, and the resolved predicate evaluates
+    * interpreted. NULL while the variable is unbound — identical
+    * semantics to the batch executor's ctxPred path. Catalyst
+    * machinery builds lazily per deserialized task instance.
+    */
+  private final class CvStreamEvaluator(
+      pred: Expression,
+      attrs: Seq[Attribute],
+      evSchema: org.apache.spark.sql.types.StructType,
+      refs: Seq[CtxRefSpec])
+    extends ((org.apache.spark.sql.Row,
+        String => IndexedSeq[org.apache.spark.sql.Row]) => Boolean)
+    with Serializable {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, Predicate}
+
+    @transient private lazy val bp = {
+      val p = Predicate.create(pred, attrs)
+      p.initialize(0)
+      p
+    }
+    @transient private lazy val toCatalyst =
+      CatalystTypeConverters.createToCatalystConverter(evSchema)
+    @transient private lazy val joined = new JoinedRow
+
+    def apply(e: Row, ctx: String => IndexedSeq[Row]): Boolean = {
+      val evI = toCatalyst(e.getStruct(5)).asInstanceOf[InternalRow]
+      val vals = new Array[Any](refs.length)
+      var i = 0
+      while (i < refs.length) {
+        val r = refs(i)
+        val g = ctx(r.varName)
+        vals(i) =
+          if (g.isEmpty) null
+          else {
+            val row = if (r.fn == "first") g.head else g.last
+            val rI = toCatalyst(row.getStruct(5))
+              .asInstanceOf[InternalRow]
+            if (rI.isNullAt(r.ordinal)) null
+            else rI.get(r.ordinal, r.dataType)
+          }
+        i += 1
+      }
+      bp.eval(joined(evI, new GenericInternalRow(vals)))
+    }
   }
 
   /** The [[graft.cep.Cep.Neighborhood]] decorator behind streaming

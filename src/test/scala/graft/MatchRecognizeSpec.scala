@@ -1583,33 +1583,66 @@ class MatchRecognizeSpec extends SparkSpec {
       (4L, 2.0, Some(2.0), Some(9.0))))
   }
 
-  test("cross-variable DEFINE rejected on streaming tables and by the " +
-      "streaming builders") {
+  test("streaming cross-variable DEFINE == batch (interpreted " +
+      "per-partial evaluator); binds-only streaming() still rejects") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val input = MemoryStream[REv]
-    val sdf = input.toDF()
-      .withColumn("ets", timestamp_micros($"ts_us"))
-    sdf.createOrReplaceTempView("mr_cv_stream_view")
+    // prices per ticker: the down/up recovery shape of q175 — down
+    // below the seed's price, up above it, both via bindings, with
+    // the micro-batch boundary between the seed and its down row
+    val rows = Seq( // (event_id, ts_ms, user_id, price)
+      (1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 8.0),
+      (3L, 3000L, 1L, 12.0), (4L, 1500L, 2L, 5.0))
+    val ticks = Seq((91L, 30000L, 9L, 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+         |           up.event_id AS u_id
+         |  PATTERN (strt down up)
+         |  WITHIN 100000
+         |  $streamingClauses
+         |  DEFINE strt AS true,
+         |         down AS down.price < strt.price,
+         |         up AS up.price > strt.price
+         |)""".stripMargin
     val parser = new graft.plans.GraftSqlParser(
       spark.sessionState.sqlParser, spark)
-    val e1 = intercept[IllegalArgumentException] {
-      parser.parsePlan(
-        """SELECT * FROM mr_cv_stream_view MATCH_RECOGNIZE (
-          |  PARTITION BY user_id
-          |  ORDER BY ts_us, event_id
-          |  MEASURES a.event_id AS a_id
-          |  PATTERN (a b)
-          |  EVENTTIME ets
-          |  DEFINE a AS event_type = 'A',
-          |         b AS event_type = 'B' AND b.ts_us > FIRST(a.ts_us)
-          |)""".stripMargin)
-    }
-    assert(e1.getMessage.contains("only supported"))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "price")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_cv_stream_view")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_cv_stream_view", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_cv_stream_sink").start()
+    try {
+      input.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(1) ++ ticks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_cv_stream_sink")
+        .select($"user_id", $"s_id", $"d_id", $"u_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id", "price")
+        .createOrReplaceTempView("mr_cv_batch_view")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_cv_batch_view", "")))
+        .select($"user_id", $"s_id", $"d_id", $"u_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 1L, 2L, 3L)))
+    } finally q.stop()
+    // the binds-only streaming() surface cannot evaluate markers
+    val sdf2 = input.toDF()
+      .toDF("event_id", "ts_us", "user_id", "price")
+      .withColumn("ets", timestamp_micros($"ts_us"))
     val e2 = intercept[IllegalArgumentException] {
-      MatchRecognize.streaming(sdf, Seq("user_id"), "ts_us", "event_id",
-        Seq(EStep("a", $"event_type" === "A"),
-          EStep("b", $"ts_us" > MatchRecognize.cvFirst("a", "ts_us"))),
+      MatchRecognize.streaming(sdf2, Seq("user_id"), "ts_us", "event_id",
+        Seq(EStep("a", $"price" > 0),
+          EStep("b", $"price" > MatchRecognize.cvFirst("a", "price"))),
         "ets")
     }
     assert(e2.getMessage.contains("batch operator"))

@@ -599,6 +599,66 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming AFTER MATCH SKIP TO LAST b == batch (resume point " +
+      "inside the match, consumed seed straddles a micro-batch)") {
+    // the three-mode fixture (A A B A C B C): skip-to-last-b emits
+    // (1,3,5) then resumes AT row 3, consuming the a2 seed (which
+    // arrived in an EARLIER micro-batch than the match's completion)
+    // but keeping a4 alive for (4,6,7)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "A"),   // batch 1
+      (3L, 3000L, 1L, "B"), (4L, 4000L, 1L, "A"),   // batch 2
+      (5L, 5000L, 1L, "C"), (6L, 6000L, 1L, "B"),   // batch 3
+      (7L, 7000L, 1L, "C"))
+    val ticks = Seq((91L, 30000L, 9L, "X"))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+         |           c.event_id AS c_id
+         |  AFTER MATCH SKIP TO LAST b
+         |  PATTERN (a b c)
+         |  WITHIN 100000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+         |         c AS event_type = 'C'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_skipto_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_skipto_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_skipto_sink").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(2, 4): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(4) ++ ticks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_skipto_sink")
+        .select($"a_id", $"b_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id", "event_type")
+        .createOrReplaceTempView("mr_skipto_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_skipto_batch", "")))
+        .select($"a_id", $"b_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // the a2 seed is consumed (its (2,3,5) is start-before-target),
+      // a4 survives the resume-at-row-3 point
+      assert(streamed == Set((1L, 3L, 5L), (4L, 6L, 7L)))
+    } finally q.stop()
+  }
+
   test("streaming PREV/NEXT in DEFINE == batch across micro-batch " +
       "splits that separate a row from its PREV and NEXT") {
     // the V-shape with both navigations: down needs its PREDECESSOR's
