@@ -1012,28 +1012,33 @@ class MatchRecognizeSpec extends SparkSpec {
         SELECT * FROM ticks MATCH_RECOGNIZE (
           PARTITION BY ticker
           ORDER BY ts_us, event_id
-          MEASURES FIRST(w.price) AS top, RUNNING COUNT(down.*) AS n_down
+          MEASURES MIN(down.price) AS trough, FIRST(w.price) AS top,
+                   RUNNING COUNT(down.*) AS n_down
           ALL ROWS PER MATCH WITH UNMATCHED ROWS
-          AFTER MATCH SKIP PAST LAST ROW
+          AFTER MATCH SKIP TO LAST up
           PATTERN (strt {- down+ -} up)
           SUBSET w = (strt, up)
           WITHIN INTERVAL '10' MINUTE
           TSSCALE 1000
           DEFINE strt AS true,
                  down AS price < PREV(price),
-                 up   AS price > PREV(price)
+                 up   AS up.price > strt.price
         )"""))
-      .select($"event_id", $"classifier", $"top", $"n_down")
-      .as[(Long, Option[String], Option[Double], Option[Int])]
+      .select($"event_id", $"classifier", $"trough", $"top", $"n_down")
+      .as[(Long, Option[String], Option[Double], Option[Double],
+        Option[Int])]
       .collect().toSet
-    // greedy leftmost non-overlap: strt=1, down+=(2,3) (suppressed),
-    // up=4; row 5 is outside the match → unmatched. RUNNING COUNT of
-    // the excluded down still measures (2 by the up row); top =
-    // FIRST of the (strt, up) union = strt's price.
+    // the first completed match is strt=2 (price 8), down=(3)
+    // (suppressed), up=4 (9 > strt's 8 — the CROSS-VARIABLE
+    // comparison); SKIP TO LAST up resumes AT row 4, consuming the
+    // seed-1 partials; rows 1 and 5 end up in no emitted match →
+    // unmatched. MIN(down.price) is the FINAL trough (6) on both
+    // rows; RUNNING COUNT grows 0 → 1.
     assert(got == Set(
-      (1L, Some("strt"), Some(10.0), Some(0)),
-      (4L, Some("up"), Some(10.0), Some(2)),
-      (5L, None, None, None)))
+      (2L, Some("strt"), Some(6.0), Some(8.0), Some(0)),
+      (4L, Some("up"), Some(6.0), Some(8.0), Some(1)),
+      (1L, None, None, None, None),
+      (5L, None, None, None, None)))
   }
 
   test("SUBSET union variables: measures over the merged (ts, tie)-" +
