@@ -121,6 +121,38 @@ object ThroughputBench {
       Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
         _.user_id, gpat, _.ts_us, _.event_id, tsScale = 1000L)(build))
 
+    // round-12 elements on the same workload, null-safe output (an
+    // alternation iteration may leave one side's slot empty)
+    val buildSafe = (k: Long, m: graft.cep.PatternMatch[TpEvt]) =>
+      Iterator.single(TpOut(k,
+        m.get("a").headOption.map(_.event_id).getOrElse(-1L),
+        m.get("b").headOption.map(_.event_id).getOrElse(-1L)))
+    // quantified PERMUTE(click, purchase){1,2}: any-order iterations
+    val ppat = PatternDef[TpEvt](IndexedSeq(graft.cep.PermSeq[TpEvt](
+      IndexedSeq(Step[TpEvt]("a", _.event_type == "click"),
+        Step[TpEvt]("b", _.event_type == "purchase")), 1, 2)),
+      withinMs = Some(600000000L))
+    val permSeqEps = drive[TpOut](memSink("tp_cep_permseq"), in =>
+      Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+        _.user_id, ppat, _.ts_us, _.event_id, tsScale = 1000L)(buildSafe))
+    // quantified alternation (click|purchase){2,2}: routed iterations
+    val apat = PatternDef[TpEvt](IndexedSeq(graft.cep.AltSeq[TpEvt](
+      Step[TpEvt]("a", _.event_type == "click"),
+      Step[TpEvt]("b", _.event_type == "purchase"), 2, 2)),
+      withinMs = Some(600000000L))
+    val altSeqEps = drive[TpOut](memSink("tp_cep_altseq"), in =>
+      Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+        _.user_id, apat, _.ts_us, _.event_id, tsScale = 1000L)(buildSafe))
+    // AFTER MATCH SKIP TO LAST b on the two-step pattern: per-match
+    // candidate sort + survivor filter on the live partial set
+    val spat = PatternDef[TpEvt](IndexedSeq(
+      Step[TpEvt]("a", _.event_type == "click"),
+      Step[TpEvt]("b", _.event_type == "purchase")),
+      withinMs = Some(600000000L), skipToVar = Some(("b", false)))
+    val skipToEps = drive[TpOut](memSink("tp_cep_skipto"), in =>
+      Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+        _.user_id, spat, _.ts_us, _.event_id, tsScale = 1000L)(buildSafe))
+
     // watermark-finalized anomaly scorer: keyed state per type is an
     // open-bucket map + 24 longs — measured as sustained events/s
     val anomEps = drive[graft.operators.Anomaly.AnomalyRow](
@@ -204,6 +236,12 @@ object ThroughputBench {
       s""""cep":${cepEps.round},"cep_per_core":${(cepEps / cpus).round},""" +
       s""""cep_group":${groupEps.round},""" +
       s""""cep_group_per_core":${(groupEps / cpus).round},""" +
+      s""""cep_permseq":${permSeqEps.round},""" +
+      s""""cep_permseq_per_core":${(permSeqEps / cpus).round},""" +
+      s""""cep_altseq":${altSeqEps.round},""" +
+      s""""cep_altseq_per_core":${(altSeqEps / cpus).round},""" +
+      s""""cep_skipto":${skipToEps.round},""" +
+      s""""cep_skipto_per_core":${(skipToEps / cpus).round},""" +
       s""""rate_anomaly":${anomEps.round},""" +
       s""""rate_anomaly_per_core":${(anomEps / cpus).round},""" +
       s""""n_docs":${docFeed.length},""" +
