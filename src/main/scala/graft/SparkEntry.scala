@@ -794,6 +794,29 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Groups nested in groups: (a (b|c)){2,2} — each iteration is a
+    // click followed by one view-or-error routed to its side's slot;
+    // both iterations share the slots; then the first later purchase.
+    "q180_mr_nested_group" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_nested_q180")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_nested_q180 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1, LAST(a.event_id) AS a2,
+          |           COUNT(b.*) AS n_b, FIRST(b.event_id) AS b1,
+          |           FIRST(c.event_id) AS c1, d.event_id AS d_id
+          |  PATTERN ((a (b|c)){2,2} d)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'error',
+          |         d AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // Quantified alternation (a|b){2,2}: each iteration routes one
     // click-or-view event to its side's slot; committed below the
     // minimum, so the pair is the seed plus the immediately-next
@@ -6781,6 +6804,55 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // four chained rn=1 elections (click, view-or-error, click,
+    // view-or-error) then the first later purchase; the per-side
+    // measures derive from the two routed events' types
+    "q180_mr_nested_group" ->
+      """WITH cl AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |bc AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us,
+        |    event_type AS t FROM events
+        |  WHERE event_type IN ('view', 'error')),
+        |pp AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT * FROM (SELECT a.user_id, a.id AS a1,
+        |    a.us AS a1_us, x.id AS x1, x.us AS x1_us, x.t AS x1_t,
+        |    row_number() OVER (PARTITION BY a.user_id, a.id
+        |      ORDER BY x.us, x.id) AS rn
+        |  FROM cl a JOIN bc x ON a.user_id = x.user_id
+        |    AND (x.us > a.us OR (x.us = a.us AND x.id > a.id)))
+        |  WHERE rn = 1),
+        |s2 AS (SELECT * FROM (SELECT s1.user_id, s1.a1, s1.x1,
+        |    s1.x1_t, y.id AS a2, y.us AS a2_us,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.a1
+        |      ORDER BY y.us, y.id) AS rn2
+        |  FROM s1 JOIN cl y ON s1.user_id = y.user_id
+        |    AND (y.us > s1.x1_us OR (y.us = s1.x1_us
+        |      AND y.id > s1.x1))) WHERE rn2 = 1),
+        |s3 AS (SELECT * FROM (SELECT s2.user_id, s2.a1, s2.x1,
+        |    s2.x1_t, s2.a2, z.id AS x2, z.us AS x2_us, z.t AS x2_t,
+        |    row_number() OVER (PARTITION BY s2.user_id, s2.a1
+        |      ORDER BY z.us, z.id) AS rn3
+        |  FROM s2 JOIN bc z ON s2.user_id = z.user_id
+        |    AND (z.us > s2.a2_us OR (z.us = s2.a2_us
+        |      AND z.id > s2.a2))) WHERE rn3 = 1),
+        |m AS (SELECT * FROM (SELECT s3.user_id, s3.a1, s3.x1,
+        |    s3.x1_t, s3.a2, s3.x2, s3.x2_t, c.id AS d_id,
+        |    row_number() OVER (PARTITION BY s3.user_id, s3.a1
+        |      ORDER BY c.us, c.id) AS rn4
+        |  FROM s3 JOIN pp c ON s3.user_id = c.user_id
+        |    AND (c.us > s3.x2_us OR (c.us = s3.x2_us
+        |      AND c.id > s3.x2))) WHERE rn4 = 1)
+        |SELECT user_id, a1, a2,
+        |  (CASE WHEN x1_t = 'view' THEN 1 ELSE 0 END +
+        |   CASE WHEN x2_t = 'view' THEN 1 ELSE 0 END)::INT AS n_b,
+        |  CASE WHEN x1_t = 'view' THEN x1
+        |       WHEN x2_t = 'view' THEN x2 END AS b1,
+        |  CASE WHEN x1_t = 'error' THEN x1
+        |       WHEN x2_t = 'error' THEN x2 END AS c1,
+        |  d_id
+        |FROM m""".stripMargin,
 
     // seed + immediately-next click-or-view + first later purchase;
     // the side counts and first-per-side ids derive from the pair's

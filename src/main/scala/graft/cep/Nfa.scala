@@ -56,6 +56,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       require(ps.minRepeat >= 1, "first permute must be non-optional")
     case al: AltSeq[E] =>
       require(al.minRepeat >= 1, "first alternation must be non-optional")
+    case ng: NestedGroup[E] =>
+      require(ng.minRepeat >= 1, "first group must be non-optional")
     case _: Logical[E] | _: Permute[E] => ()
     case _: Absence[E] =>
       throw new IllegalArgumentException(
@@ -124,6 +126,32 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       case Some(f) => f(e, ctxOf(p))
       case None    => s.predicate(e)
     }
+  /** Slot offset (within a [[NestedGroup]]'s slot range) that event
+    * `e` binds at in-iteration position `pos`, or -1. `iterDone` =
+    * completed iterations (identifies unbound PERMUTE members);
+    * `base` = the element's first global slot (for reading counts).
+    */
+  private def ngBindSlot(ng: NestedGroup[E], pos: Int, iterDone: Int,
+      base: Int, p: Partial[E], e: E, seed: Boolean): Int = {
+    val (ii, _) = ng.posMap(pos)
+    val ib = ng.itemSlotBase(ii)
+    def ev(st: Step[E]): Boolean =
+      if (seed) evalSeed(st, e) else evalPred(st, e, p)
+    ng.items(ii) match {
+      case gv: GVar[E]  => if (ev(gv.step)) ib else -1
+      case ga: GAlt[E]  =>
+        if (ev(ga.left)) ib else if (ev(ga.right)) ib + 1 else -1
+      case gp: GPerm[E] =>
+        gp.steps.indices.find { i =>
+          val g = base + ib + i
+          val cnt =
+            if (p != null && g < p.groups.length) p.groups(g).length
+            else 0
+          cnt == iterDone && ev(gp.steps(i))
+        }.map(ib + _).getOrElse(-1)
+    }
+  }
+
   // --- SKIP TO FIRST/LAST <var> row identity helpers ---
   private def keyOf(e: E): (Long, Long) = (tsOf(e), tieOf(e))
   private def startKeyOf(m: PatternMatch[E]): (Long, Long) =
@@ -160,6 +188,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       p.curCount % ps.steps.length == 0 &&
         p.curCount / ps.steps.length >= ps.minRepeat
     case al: AltSeq[E] => p.curCount >= al.minRepeat
+    case ng: NestedGroup[E] =>
+      // an iteration binds exactly `arity` events (the per-item bind
+      // rules enforce it), so curCount % arity == 0 IS the boundary
+      p.curCount % ng.arity == 0 && p.curCount / ng.arity >= ng.minRepeat
     case _: Absence[E] => false // only time completes an absence
   }
 
@@ -203,6 +235,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case ps: PermSeq[E] =>
           np.curCount.toLong < ps.maxRepeat.toLong * ps.steps.length
         case al: AltSeq[E] => np.curCount < al.maxRepeat
+        case ng: NestedGroup[E] =>
+          np.curCount.toLong < ng.maxRepeat.toLong * ng.arity
         case _ => false
       }
       if (canGrow) next += np
@@ -383,6 +417,21 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
                 if (p.curCount >= al.minRepeat) keepOriginal = true
               }
             }
+          case ng: NestedGroup[E] =>
+            // walk the iteration's item sequence; extension from a
+            // complete boundary is a branch (the GroupSeq convention)
+            val L = ng.arity
+            if (p.curCount.toLong < ng.maxRepeat.toLong * L) {
+              val slot = ngBindSlot(ng, p.curCount % L, p.curCount / L,
+                slotBase(p.stepIdx), p, e, seed = false)
+              if (slot >= 0) {
+                val np = p.copy(curCount = p.curCount + 1,
+                  groups = bound(p, slotBase(p.stepIdx) + slot, e))
+                if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+                moved = true
+                if (complete(p)) keepOriginal = true
+              }
+            }
           case a: Absence[E] =>
             // promote() already ran, so t is inside the window here: a
             // qualifying event violates the absence — the partial dies
@@ -467,6 +516,20 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
                   }
                 }
                 if (alj.minRepeat == 0) j += 1 else scan = false
+              case ngj: NestedGroup[E] =>
+                if (ngj.maxRepeat >= 1) {
+                  val bj = slotBase(j)
+                  val slot = ngBindSlot(ngj, 0, 0, bj, p, e, seed = false)
+                  if (slot >= 0) {
+                    val np = Partial(j, 1, p.startTs,
+                      bound(p, bj + slot, e), elemTs = t,
+                      startTie = p.startTie)
+                    if (!emitIfComplete(np, evOut, t))
+                      addPartial(np, t, next)
+                    moved = true
+                  }
+                }
+                if (ngj.minRepeat == 0) j += 1 else scan = false
               case _: Absence[E] =>
                 scan = false
             }
@@ -482,7 +545,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Logical[E] | _: GroupSeq[E] | _: Permute[E] |
-                 _: PermSeq[E] | _: AltSeq[E] =>
+                 _: PermSeq[E] | _: AltSeq[E] | _: NestedGroup[E] =>
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Absence[E] => false
@@ -551,6 +614,14 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
           if (slot >= 0) {
             val g = if (slot == 0) Vector(Vector(e))
               else Vector(Vector.empty[E], Vector(e))
+            val np = Partial(0, 1, t, g, elemTs = t,
+              startTie = if (tieOf == null) 0L else tieOf(e))
+            if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+          }
+        case ng: NestedGroup[E] =>
+          val slot = ngBindSlot(ng, 0, 0, 0, null, e, seed = true)
+          if (slot >= 0) {
+            val g = Vector.fill(slot)(Vector.empty[E]) :+ Vector(e)
             val np = Partial(0, 1, t, g, elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)

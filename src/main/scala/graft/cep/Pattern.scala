@@ -106,6 +106,72 @@ final case class Permute[E](steps: IndexedSeq[Step[E]]) extends PatternElem[E] {
   def names: IndexedSeq[String] = steps.map(_.name)
 }
 
+/** One item of a [[NestedGroup]] iteration. */
+sealed trait GroupItem[E] extends Serializable {
+  def names: IndexedSeq[String]
+  /** Events this item binds per iteration. */
+  def arity: Int
+}
+/** A plain variable: one event matching its predicate. */
+final case class GVar[E](step: Step[E]) extends GroupItem[E] {
+  require(step.minCount == 1 && step.maxCount == 1 && !step.strict,
+    "nested-group items must be plain variables")
+  def names: IndexedSeq[String] = IndexedSeq(step.name); def arity = 1
+}
+/** A binary alternation `(x|y)`: one event to whichever side matches
+  * (left priority). */
+final case class GAlt[E](left: Step[E], right: Step[E])
+    extends GroupItem[E] {
+  require(Seq(left, right).forall(s =>
+      s.minCount == 1 && s.maxCount == 1 && !s.strict),
+    "nested-group alternation sides must be plain variables")
+  def names: IndexedSeq[String] = IndexedSeq(left.name, right.name)
+  def arity = 1
+}
+/** A k-ary `PERMUTE(x, …)`: one event per member, any order within
+  * the iteration (declaration-order priority among unbound members). */
+final case class GPerm[E](steps: IndexedSeq[Step[E]])
+    extends GroupItem[E] {
+  require(steps.length >= 2, "nested PERMUTE needs >= 2 members")
+  require(steps.forall(s =>
+      s.minCount == 1 && s.maxCount == 1 && !s.strict),
+    "nested-group PERMUTE members must be plain variables")
+  def names: IndexedSeq[String] = steps.map(_.name)
+  def arity: Int = steps.length
+}
+
+/** Quantified group whose iteration is a SEQUENCE of nested items —
+  * SQL:2016 `(a (b|c) PERMUTE(d,e)){m,n}`: each iteration walks the
+  * items in order (an alternation consumes one routed event, a
+  * PERMUTE its members in any arrival order), all iterations append
+  * to the same per-variable slots, completion is greedy-min at an
+  * iteration boundary with at least `minRepeat` full iterations.
+  * [[GroupSeq]] is the all-plain-variables special case.
+  *
+  * State encoding: `curCount` = total events bound; an iteration
+  * binds exactly `arity = Σ item.arity` events, so `curCount % arity`
+  * locates the active item (and, inside a PERMUTE segment, the
+  * member slots' counts vs completed iterations identify the
+  * unbound members) and `curCount % arity == 0` is the boundary.
+  */
+final case class NestedGroup[E](items: IndexedSeq[GroupItem[E]],
+    minRepeat: Int, maxRepeat: Int) extends PatternElem[E] {
+  require(items.nonEmpty, "nested group needs at least one item")
+  require(minRepeat >= 0 && maxRepeat >= math.max(minRepeat, 1),
+    s"bad group quantifier {$minRepeat,$maxRepeat}")
+  def names: IndexedSeq[String] = items.flatMap(_.names)
+  /** Events bound per full iteration. */
+  val arity: Int = items.map(_.arity).sum
+  /** (item index, offset inside the item) for each in-iteration
+    * position. */
+  val posMap: IndexedSeq[(Int, Int)] = items.zipWithIndex.flatMap {
+    case (it, i) => (0 until it.arity).map(o => (i, o))
+  }
+  /** First slot of each item (within this element's slot range). */
+  val itemSlotBase: IndexedSeq[Int] =
+    items.scanLeft(0)(_ + _.names.length).init
+}
+
 /** Quantified n-ary permutation `PERMUTE(s1, …, sk){min,max}` —
   * SQL:2016's quantified all-orderings group: each ITERATION binds one
   * event per inner step in ANY arrival order (declaration-order

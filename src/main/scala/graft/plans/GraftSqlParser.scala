@@ -162,10 +162,14 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *
   * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
   * (same output schema, watermark-buffered NFA) and requires the
-  * EVENTTIME clause. Not supported (fail fast): groups nested in
-  * groups, RUNNING measures in ONE ROW PER MATCH mode (where every
-  * measure is FINAL by definition), and combining cross-variable
-  * DEFINE references with PREV/NEXT in one STREAMING statement.
+  * EVENTTIME clause. Not supported (fail fast): more than one level
+  * of group nesting (a quantified group's items may be plain
+  * variables, binary alternations, or PERMUTEs — `(a (b|c)
+  * PERMUTE(d,e)){m,n}` works; `(((a b) c) d)+` does not), quantified
+  * items INSIDE a group, RUNNING measures in ONE ROW PER MATCH mode
+  * (where every measure is FINAL by definition), and combining
+  * cross-variable DEFINE references with PREV/NEXT in one STREAMING
+  * statement.
   */
 private[plans] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -377,6 +381,12 @@ private[plans] object MatchRecognizeSql {
     case class PermQ(names: Seq[String], min: Int, max: Int)
       extends PatElem
     case class Grp(names: Seq[String], min: Int, max: Int) extends PatElem
+    sealed trait NItem
+    case class NVar(name: String) extends NItem
+    case class NAlt(l: String, r: String) extends NItem
+    case class NPerm(names: Seq[String]) extends NItem
+    case class GrpN(items: Seq[NItem], min: Int, max: Int)
+      extends PatElem
     val altRe = """\(\s*(\w+)\s*\|\s*(\w+)\s*\)""".r
     val altQRe =
       """\(\s*(\w+)\s*\|\s*(\w+)\s*\)(\+|\*|\?|\{(\d+),(\d+)\})""".r
@@ -384,6 +394,11 @@ private[plans] object MatchRecognizeSql {
     val permQRe =
       """(?i)permute\(([^()]*)\)(\+|\*|\?|\{(\d+),(\d+)\})""".r
     val grpRe = """\(([^()|]*)\)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
+    // nested group: outer parens whose body may contain ONE level of
+    // inner parens (alternations / PERMUTEs); quantifier mandatory or
+    // absent like grpRe
+    val nestedRe =
+      """\(((?:[^()]|\([^()]*\))*)\)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
     def quantBounds(q: String, mn: String, mx: String): (Int, Int) =
       q match {
         case null => (1, 1)
@@ -424,11 +439,35 @@ private[plans] object MatchRecognizeSql {
         val (lo, hi) = quantBounds(q, mn, mx)
         require(hi >= 1, "group quantifier needs max >= 1")
         Grp(vars.trim.split("\\s+").toSeq, lo, hi)
+      case nestedRe(inner, q, mn, mx)
+          if inner.trim.nonEmpty =>
+        // groups nested in groups: the iteration sequence may mix
+        // plain variables, binary alternations and PERMUTEs — one
+        // nesting level (deeper nesting or quantified inner items
+        // stay rejected)
+        val (lo, hi) = quantBounds(q, mn, mx)
+        require(hi >= 1, "group quantifier needs max >= 1")
+        val items = splitTopLevel(inner.trim
+            .replaceAll("""(?i)(?<!\w)permute\s*\(""", "permute("), ' ')
+          .map {
+            case permRe(vars) => NPerm(permVars(vars))
+            case altRe(l, r) => NAlt(l, r)
+            case v if v.matches("\\w+") => NVar(v)
+            case other => throw new IllegalArgumentException(
+              s"bad nested-group item: $other (items must be plain " +
+                "variables, binary alternations '(x|y)', or " +
+                "'PERMUTE(x,…)' — no quantifiers, no deeper nesting)")
+          }
+        // all-plain-variable groups ride the proven GroupSeq element
+        if (items.forall(_.isInstanceOf[NVar]))
+          Grp(items.collect { case NVar(n) => n }, lo, hi)
+        else GrpN(items, lo, hi)
       case other => throw new IllegalArgumentException(
         s"bad PATTERN element: $other (variables may carry + * ? {m,n}; " +
-          "groups must be an alternation '(x|y)' or 'PERMUTE(x,…)' — " +
+          "groups: a binary alternation '(x|y)' or 'PERMUTE(x,…)' — " +
           "each optionally quantified +/*/?/{m,n} — or a quantified " +
-          "sequence '(x y)+/*/?/{m,n}' of plain variables)")
+          "sequence '(items…)+/*/?/{m,n}' whose items are plain " +
+          "variables, binary alternations, or PERMUTEs)")
     }
     val varNames = patElems.flatMap {
       case Single(n, _, _) => Seq(n)
@@ -438,6 +477,11 @@ private[plans] object MatchRecognizeSql {
       case PermN(ns) => ns
       case PermQ(ns, _, _) => ns
       case Grp(ns, _, _) => ns
+      case GrpN(items, _, _) => items.flatMap {
+        case NVar(n) => Seq(n)
+        case NAlt(l, r) => Seq(l, r)
+        case NPerm(ns) => ns
+      }
     }
     require(varNames.distinct.length == varNames.length,
       "duplicate PATTERN variables")
@@ -582,6 +626,13 @@ private[plans] object MatchRecognizeSql {
         MatchRecognize.EOrQ(l, pred(l), r, pred(r), mn, mx)
       case Grp(ns, mn, mx) =>
         MatchRecognize.EGroup(ns.map(n => n -> pred(n)), mn, mx)
+      case GrpN(items, mn, mx) =>
+        MatchRecognize.EGroupN(items.map {
+          case NVar(n) => MatchRecognize.EGStep(n, pred(n))
+          case NAlt(l, r) => MatchRecognize.EGAlt(l, pred(l), r, pred(r))
+          case NPerm(ns) =>
+            MatchRecognize.EGPerm(ns.map(n => n -> pred(n)))
+        }, mn, mx)
     }
     // batch: PREV/NEXT precompute as lag/lead columns sharing the
     // operator's shuffle+sort; streaming: they feed from the watermark

@@ -56,6 +56,27 @@ final case class AltSeqSpec(leftName: String, rightName: String,
   def names: Seq[String] = Seq(leftName, rightName); def arity = 2
 }
 
+/** Pure-data item shapes for [[NestedGroupSpec]]. Each consumes one
+  * predicate per NAME, in order. */
+sealed trait NgItemSpec extends Serializable { def names: Seq[String] }
+final case class NgVarSpec(name: String) extends NgItemSpec {
+  def names: Seq[String] = Seq(name)
+}
+final case class NgAltSpec(leftName: String, rightName: String)
+    extends NgItemSpec {
+  def names: Seq[String] = Seq(leftName, rightName)
+}
+final case class NgPermSpec(permNames: Seq[String]) extends NgItemSpec {
+  def names: Seq[String] = permNames
+}
+/** Quantified group of heterogeneous items `(a (b|c) PERMUTE(d,e))
+  * {m,n}` — [[graft.cep.NestedGroup]] semantics. */
+final case class NestedGroupSpec(items: Seq[NgItemSpec], minRepeat: Int,
+    maxRepeat: Int) extends MatchElemSpec {
+  def names: Seq[String] = items.flatMap(_.names)
+  def arity: Int = names.length
+}
+
 /** One cross-variable reference inside a DEFINE predicate
   * (`FIRST(a.price)` / `LAST(a.price)`): at evaluation time the value
   * is read from the partial match's bound events of `varName` (column
@@ -160,6 +181,19 @@ object MatchRecognize {
   final case class EOrQ(leftName: String, leftPred: Column,
       rightName: String, rightPred: Column, minRepeat: Int,
       maxRepeat: Int) extends Elem
+  /** One item of an [[EGroupN]] iteration. */
+  sealed trait EGItem
+  final case class EGStep(name: String, pred: Column) extends EGItem
+  final case class EGAlt(leftName: String, leftPred: Column,
+      rightName: String, rightPred: Column) extends EGItem
+  final case class EGPerm(steps: Seq[(String, Column)]) extends EGItem
+  /** Quantified group of heterogeneous items — SQL:2016 groups nested
+    * in groups, `(a (b|c) PERMUTE(d,e)){m,n}`: each iteration walks
+    * the items in order, iterations share the per-variable slots
+    * ([[graft.cep.NestedGroup]] — greedy-min completion).
+    */
+  final case class EGroupN(items: Seq[EGItem], minRepeat: Int,
+      maxRepeat: Int) extends Elem
 
   /** @param tsCol    event-time column (LongType, any unit — `withinTs` /
     *                 `ENotFor.forTs` are in the same unit)
@@ -211,6 +245,17 @@ object MatchRecognize {
         (PermSeqSpec(ss.map(_._1), mn, mx), ss.map(s => resolve(s._2)))
       case EOrQ(ln, lp, rn, rp, mn, mx) =>
         (AltSeqSpec(ln, rn, mn, mx), Seq(resolve(lp), resolve(rp)))
+      case EGroupN(items, mn, mx) =>
+        (NestedGroupSpec(items.map {
+          case EGStep(n, _) => NgVarSpec(n)
+          case EGAlt(l, _, r, _) => NgAltSpec(l, r)
+          case EGPerm(ss) => NgPermSpec(ss.map(_._1))
+        }, mn, mx),
+          items.flatMap {
+            case EGStep(_, pc) => Seq(resolve(pc))
+            case EGAlt(_, lp, _, rp) => Seq(resolve(lp), resolve(rp))
+            case EGPerm(ss) => ss.map(x => resolve(x._2))
+          })
     }.unzip
     val preds = predRefs.map(_.map(_._1))
     val ctxRefs = predRefs.flatMap(_.map(_._2))
@@ -335,6 +380,11 @@ object MatchRecognize {
       case EPermute(ss)         => ss.map(_._1)
       case EPermuteQ(ss, _, _)  => ss.map(_._1)
       case EOrQ(l, _, r, _, _, _) => Seq(l, r)
+      case EGroupN(items, _, _) => items.flatMap {
+        case EGStep(n, _) => Seq(n)
+        case EGAlt(l, _, r, _) => Seq(l, r)
+        case EGPerm(ss) => ss.map(_._1)
+      }
     }
 
   /** ALL ROWS PER MATCH shaping: explode a one-row-per-match frame (the
@@ -495,6 +545,11 @@ object MatchRecognize {
       case EPermute(ss)         => ss.map(_._2)
       case EPermuteQ(ss, _, _)  => ss.map(_._2)
       case EOrQ(_, lp, _, rp, _, _) => Seq(lp, rp)
+      case EGroupN(items, _, _) => items.flatMap {
+        case EGStep(_, pc) => Seq(pc)
+        case EGAlt(_, lp, _, rp) => Seq(lp, rp)
+        case EGPerm(ss) => ss.map(_._2)
+      }
     }
     requireNoCtxRefs(df.sparkSession, predCols, "streaming()")
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
@@ -536,6 +591,17 @@ object MatchRecognize {
       case EOrQ(ln, _, rn, _, mn, mx) =>
         graft.cep.AltSeq[Row](flagStep(ln, 1, 1, strict = false),
           flagStep(rn, 1, 1, strict = false), mn, mx)
+      case EGroupN(items, mn, mx) =>
+        graft.cep.NestedGroup[Row](items.map {
+          case EGStep(n, _) =>
+            graft.cep.GVar[Row](flagStep(n, 1, 1, strict = false))
+          case EGAlt(l, _, r, _) =>
+            graft.cep.GAlt[Row](flagStep(l, 1, 1, strict = false),
+              flagStep(r, 1, 1, strict = false))
+          case EGPerm(ss) =>
+            graft.cep.GPerm[Row](ss.map(x =>
+              flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
+        }.toIndexedSeq, mn, mx)
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow, skipToVar)
@@ -645,6 +711,11 @@ object MatchRecognize {
       case EPermute(ss)         => ss.map(_._2)
       case EPermuteQ(ss, _, _)  => ss.map(_._2)
       case EOrQ(_, lp, _, rp, _, _) => Seq(lp, rp)
+      case EGroupN(items, _, _) => items.flatMap {
+        case EGStep(_, pc) => Seq(pc)
+        case EGAlt(_, lp, _, rp) => Seq(lp, rp)
+        case EGPerm(ss) => ss.map(_._2)
+      }
     }
     val rowType = df.schema
     // cross-variable references (cvFirst/cvLast markers): resolved per
@@ -764,6 +835,17 @@ object MatchRecognize {
       case EOrQ(ln, _, rn, _, mn, mx) =>
         graft.cep.AltSeq[Row](flagStep(ln, 1, 1, strict = false),
           flagStep(rn, 1, 1, strict = false), mn, mx)
+      case EGroupN(items, mn, mx) =>
+        graft.cep.NestedGroup[Row](items.map {
+          case EGStep(n, _) =>
+            graft.cep.GVar[Row](flagStep(n, 1, 1, strict = false))
+          case EGAlt(l, _, r, _) =>
+            graft.cep.GAlt[Row](flagStep(l, 1, 1, strict = false),
+              flagStep(r, 1, 1, strict = false))
+          case EGPerm(ss) =>
+            graft.cep.GPerm[Row](ss.map(x =>
+              flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
+        }.toIndexedSeq, mn, mx)
     }.toIndexedSeq
     // referenced variables must exist in the pattern (typo guard —
     // the batch builder enforces the same)

@@ -158,6 +158,17 @@ case class MatchRecognizeExec(
         case AltSeqSpec(ln, rn, mn, mx) =>
           graft.cep.AltSeq(mkStep(ln, 1, 1, strict = false),
             mkStep(rn, 1, 1, strict = false), mn, mx)
+        case NestedGroupSpec(items, mn, mx) =>
+          graft.cep.NestedGroup(items.map {
+            case NgVarSpec(n) =>
+              graft.cep.GVar(mkStep(n, 1, 1, strict = false))
+            case NgAltSpec(l, r) =>
+              graft.cep.GAlt(mkStep(l, 1, 1, strict = false),
+                mkStep(r, 1, 1, strict = false))
+            case NgPermSpec(ns) =>
+              graft.cep.GPerm(ns.map(n =>
+                mkStep(n, 1, 1, strict = false)).toIndexedSeq)
+          }.toIndexedSeq, mn, mx)
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR,
         skipTo)

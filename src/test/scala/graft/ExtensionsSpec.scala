@@ -202,12 +202,12 @@ class ExtensionsSpec extends SparkSpec {
           | ONE ROW PER MATCH
           | ALL ROWS PER MATCH
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
-    // groups nested in groups stay rejected (quantified alternations
-    // and PERMUTEs are supported now — MatchRecognizeSpec)
+    // one nesting level is supported now; TWO levels stay rejected
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
-          | MEASURES a.event_id AS x PATTERN (a ((b|c) d)+)
-          | DEFINE a AS true, b AS true, c AS true, d AS true)""".stripMargin)
+          | MEASURES a.event_id AS x PATTERN (a (((b|c) d) e)+)
+          | DEFINE a AS true, b AS true, c AS true, d AS true,
+          |        e AS true)""".stripMargin)
     // interval syntax in WITHIN gets the contextual error
     val err = intercept[IllegalArgumentException](parser.parsePlan(
       """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (

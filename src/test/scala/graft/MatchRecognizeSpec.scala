@@ -1588,6 +1588,94 @@ class MatchRecognizeSpec extends SparkSpec {
       (4L, 2.0, Some(2.0), Some(9.0))))
   }
 
+  test("SQL nested groups: (a (b|c)){2,2} and (a PERMUTE(d,e)){2,2} " +
+      "iterate heterogeneous items; streaming accepts them") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 30L, 1L, "A"), (4L, 40L, 1L, "C"), (5L, 50L, 1L, "D"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_nested_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nested_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(a.*) AS n_a, FIRST(b.event_id) AS b_id,
+          |           FIRST(c.event_id) AS c_id, d.event_id AS d_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((a (b|c)){2,2} d)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin))
+      .select($"n_a", $"b_id", $"c_id", $"d_id")
+      .as[(Int, Option[Long], Option[Long], Long)].collect().toSet
+    // iter 1 routes B to b, iter 2 routes C to c; both iterations
+    // share a's slot
+    assert(got == Set((2, Some(2L), Some(4L), 5L)))
+
+    val df2 = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "E"), (3L, 30L, 1L, "D"),
+      (4L, 40L, 1L, "A"), (5L, 50L, 1L, "D"), (6L, 60L, 1L, "E"),
+      (7L, 70L, 1L, "F"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df2.createOrReplaceTempView("mr_nested2_view")
+    val got2 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nested2_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1, LAST(a.event_id) AS a2,
+          |           FIRST(d.event_id) AS d1, LAST(d.event_id) AS d2,
+          |           FIRST(e.event_id) AS e1, LAST(e.event_id) AS e2,
+          |           f.event_id AS f_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((a PERMUTE(d, e)){2,2} f)
+          |  DEFINE a AS event_type = 'A', d AS event_type = 'D',
+          |         e AS event_type = 'E', f AS event_type = 'F'
+          |)""".stripMargin))
+      .select($"a1", $"a2", $"d1", $"d2", $"e1", $"e2", $"f_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // iter 1: a=1 then (e=2, d=3) any order; iter 2: a=4, d=5, e=6
+    assert(got2 == Set((1L, 4L, 3L, 5L, 2L, 6L, 7L)))
+
+    // the same nested statement compiles onto the streaming executor
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_nested_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nested_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES COUNT(a.*) AS n_a, FIRST(b.event_id) AS b_id,
+          |           FIRST(c.event_id) AS c_id, d.event_id AS d_id
+          |  PATTERN ((a (b|c)){2,2} d)
+          |  WITHIN 100000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_nested_sink").start()
+    try {
+      input.addData((1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"))
+      q.processAllAvailable()
+      input.addData((3L, 3000L, 1L, "A"), (4L, 4000L, 1L, "C"),
+        (5L, 5000L, 1L, "D"), (91L, 60000L, 9L, "X"))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_nested_sink")
+        .select($"n_a", $"b_id", $"c_id", $"d_id")
+        .as[(Int, Option[Long], Option[Long], Long)].collect().toSet
+      assert(streamed == Set((2, Some(2L), Some(4L), 5L)))
+    } finally q.stop()
+  }
+
   test("streaming cross-variable DEFINE == batch (interpreted " +
       "per-partial evaluator); binds-only streaming() still rejects") {
     implicit val sqlCtx = spark.sqlContext

@@ -321,6 +321,46 @@ object NfaProps extends Properties("Nfa") {
       Prop(got == exp) :| s"alt=$got step=$exp"
     }
 
+  /** A nested group `(a (b|c) PERMUTE(d,e)){m,m}` must equal the
+    * UNROLLED linear pattern of m renamed copies of its items (Step,
+    * Logical.or, Permute — each a proven element) with per-copy slots
+    * concatenated — the GroupSeq-unroll argument generalized to
+    * heterogeneous iteration items.
+    */
+  property("nested group (a (b|c) PERMUTE(d,e)){m,m} == unrolled " +
+      "renamed element sequence") =
+    forAll(genEvents, Gen.choose(1, 2), Gen.oneOf("A", "B", "C"),
+      Gen.oneOf(("A", "B"), ("B", "C"), ("A", "C")),
+      Gen.oneOf(("A", "B"), ("B", "C"), ("A", "C"))) {
+      (evs, m, tv, altTs, permTs) =>
+      import graft.cep.{GAlt, GPerm, GVar, NestedGroup, Permute}
+      val (ta1, ta2) = altTs
+      val (tp1, tp2) = permTs
+      val nested = PatternDef[E](IndexedSeq(NestedGroup[E](IndexedSeq(
+        GVar(Step[E]("v", _.typ == tv)),
+        GAlt(Step[E]("x", _.typ == ta1), Step[E]("y", _.typ == ta2)),
+        GPerm(IndexedSeq(Step[E]("p", _.typ == tp1),
+          Step[E]("q", _.typ == tp2)))), m, m)))
+      val unrolled = PatternDef[E]((1 to m).flatMap(i =>
+        Seq[PatternElem[E]](
+          Step[E](s"v$i", (e: E) => e.typ == tv),
+          Logical.or(Step[E](s"x$i", (e: E) => e.typ == ta1),
+            Step[E](s"y$i", (e: E) => e.typ == ta2)),
+          Permute[E](IndexedSeq(
+            Step[E](s"p$i", (e: E) => e.typ == tp1),
+            Step[E](s"q$i", (e: E) => e.typ == tp2))))).toIndexedSeq)
+      def merge(g: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
+        Seq("v", "x", "y", "p", "q").map(n =>
+          n -> (1 to m).flatMap(i => g.getOrElse(s"$n$i", Nil))).toMap
+      val got = runPat(nested, evs)
+        .map { case (s, e, g) =>
+          (s, e, Seq("v", "x", "y", "p", "q").map(n =>
+            n -> g.getOrElse(n, Nil)).toMap) }
+      val exp = runPat(unrolled, evs)
+        .map { case (s, e, g) => (s, e, merge(g)) }
+      Prop(got == exp) :| s"nested=$got unrolled=$exp"
+    }
+
   /** A cross-variable predicate evaluated IN the NFA must equal the
     * unrestricted pattern post-filtered on the same condition, on
     * strict pairs (a then immediately-next b): strictness makes the
