@@ -58,7 +58,7 @@ object Cep {
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
       val evs = it.toVector.sortBy(e => (tsOf(e), tieBreak(e)))
-      val nfa = new Nfa(pattern, tsOf)
+      val nfa = new Nfa(pattern, tsOf, tieBreak)
       evs.iterator.flatMap(e => nfa.onEvent(e).iterator.flatMap(build(k, _))) ++
         nfa.flush().iterator.flatMap(build(k, _))
     }
