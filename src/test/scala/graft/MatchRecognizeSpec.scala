@@ -150,7 +150,7 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("randomized patterns: custom plan == in-memory NFA replay (8 seeds)") {
-    import graft.cep.{Absence, GroupSeq, Logical, Nfa, PatternDef, Permute, Step}
+    import graft.cep.{Absence, AltSeq, GAlt, GPerm, GroupSeq, GVar, Logical, NestedGroup, Nfa, PatternDef, Permute, PermSeq, Step}
     import graft.cep.PatternElem
     import graft.plans.MatchRecognize.Elem
 
@@ -161,11 +161,48 @@ class MatchRecognizeSpec extends SparkSpec {
       val n = 1 + r.nextInt(3)
       val specs: IndexedSeq[(Elem, PatternElem[REv])] = (0 until n).map { i =>
         // the head may not be a logical/absence element (original
-        // constraint) — remap head draws 4/5 onto the round-11
-        // group/permute elements, which ARE valid heads
-        val draw0 = r.nextInt(if (i == 0) 6 else 8)
+        // constraint) — remap head draws 4..8 onto the round-11/12
+        // group/permute/alternation elements, which ARE valid heads
+        // (their generators keep minRepeat >= 1)
+        val draw0 = r.nextInt(if (i == 0) 9 else 11)
         val draw = if (i == 0 && draw0 >= 4) draw0 + 2 else draw0
         draw match {
+          case 8 =>
+            // quantified PERMUTE — round-12 element
+            val (t1, t2) = (typ(), typ())
+            val mn = 1 + r.nextInt(2)
+            val mx = mn + r.nextInt(2)
+            (MatchRecognize.EPermuteQ(Seq(
+                s"s${i}p" -> ($"event_type" === t1),
+                s"s${i}q" -> ($"event_type" === t2)), mn, mx): Elem,
+              PermSeq[REv](IndexedSeq(
+                Step[REv](s"s${i}p", _.event_type == t1),
+                Step[REv](s"s${i}q", _.event_type == t2)), mn, mx):
+                PatternElem[REv])
+          case 9 =>
+            // quantified alternation — round-12 element
+            val (t1, t2) = (typ(), typ())
+            val mn = 1 + r.nextInt(2)
+            val mx = mn + r.nextInt(3)
+            (MatchRecognize.EOrQ(s"s${i}l", $"event_type" === t1,
+                s"s${i}r", $"event_type" === t2, mn, mx): Elem,
+              AltSeq[REv](Step[REv](s"s${i}l", _.event_type == t1),
+                Step[REv](s"s${i}r", _.event_type == t2), mn, mx):
+                PatternElem[REv])
+          case 10 =>
+            // nested group (v (x|y)){mn,mx} — round-12 element
+            val (tv, t1, t2) = (typ(), typ(), typ())
+            val mn = 1 + r.nextInt(2)
+            val mx = mn + r.nextInt(2)
+            (MatchRecognize.EGroupN(Seq(
+                MatchRecognize.EGStep(s"s${i}v", $"event_type" === tv),
+                MatchRecognize.EGAlt(s"s${i}x", $"event_type" === t1,
+                  s"s${i}y", $"event_type" === t2)), mn, mx): Elem,
+              NestedGroup[REv](IndexedSeq(
+                GVar(Step[REv](s"s${i}v", _.event_type == tv)),
+                GAlt(Step[REv](s"s${i}x", _.event_type == t1),
+                  Step[REv](s"s${i}y", _.event_type == t2))), mn, mx):
+                PatternElem[REv])
           case 6 =>
             // quantified group (x y){mn,mx} — round-11 element
             val (t1, t2) = (typ(), typ())
