@@ -90,7 +90,16 @@ object Validate {
     * driver-built O(columns) relation, so profiling a 100 TB table
     * costs one scan regardless of how many columns are profiled.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** @param approxDistinct use `approx_count_distinct` (HLL++, ~2%
+    *                        default error) instead of the exact
+    *                        multi-column distinct: drops the Expand
+    *                        pass entirely, the cheapest single-scan
+    *                        shape for very wide profiles of huge
+    *                        tables. [[suggest]]'s Unique inference
+    *                        compares n_distinct to the row count, so
+    *                        feed it EXACT profiles. */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     // integral columns only — the long cast would TRUNCATE doubles
     // silently and mis-profile them; fail loudly instead
@@ -107,7 +116,8 @@ object Validate {
         min(col(c).cast("long")).as(s"_mn$i"),
         max(col(c).cast("long")).as(s"_mx$i"),
         sum(col(c).cast("long")).as(s"_sm$i"),
-        countDistinct(col(c)).cast("long").as(s"_nd$i"))
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).cast("long").as(s"_nd$i"))
       }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val nRows = row.getLong(0)

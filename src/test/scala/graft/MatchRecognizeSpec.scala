@@ -385,6 +385,52 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("round-12 elements on the transformWithState executor: nested " +
+      "group and skip-to-var match the fMGWS executor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = Seq(
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),
+      (3L, 3000L, 1L, "A"), (4L, 4000L, 1L, "C"), (5L, 5000L, 1L, "D"))
+    def run(useTws: Boolean): Set[(Long, Int, Long)] = {
+      val input = MemoryStream[(Long, Long, Long, String)]
+      val df = input.toDF().toDF("event_id", "ts_ms", "user", "typ")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(MatchRecognize.EGroupN(Seq(
+            MatchRecognize.EGStep("a", $"typ" === "A"),
+            MatchRecognize.EGAlt("b", $"typ" === "B",
+              "c", $"typ" === "C")), 2, 2),
+          EStep("d", $"typ" === "D")),
+        eventTimeCol = "etc", withinTs = Some(100000L), useTws = useTws,
+        skipToVar = Some(("d", false)))
+      val name = s"mr_tws12_$useTws"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(rows.take(2): _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(2) :+ ((9L, 60000L, 9L, "X")): _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .select($"user", size($"a").as("n_a"),
+            element_at($"d", 1).getField("event_id").as("d_id"))
+          .as[(Long, Int, Long)].collect().toSet
+      } finally q.stop()
+    }
+    try {
+      val tws = run(useTws = true)
+      val fm = run(useTws = false)
+      assert(tws == fm)
+      assert(tws == Set((1L, 2, 5L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("AFTER MATCH SKIP PAST LAST ROW: non-overlapping greedy matches") {
     // clicks at 10, 20; purchase 30; click 40; purchases 50, 60
     val df = Seq(

@@ -87,6 +87,23 @@ class ValidateSpec extends SparkSpec {
     assert(got("b") == (("b", 3L, 3L, 0L, None, None, None)))
   }
 
+  test("profile approxDistinct: same shape, HLL-approximate counts") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("k", "v")
+    val exact = Validate.profile(df, Seq("k", "v"))
+      .orderBy("column").collect()
+    val approx = Validate.profile(df, Seq("k", "v"),
+      approxDistinct = true).orderBy("column").collect()
+    assert(approx.map(_.getString(0)).toSeq == Seq("k", "v"))
+    // identical schema and non-distinct stats; distinct within HLL error
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
+      assert(e.getLong(4) == a.getLong(4) && e.getLong(5) == a.getLong(5))
+      val (ed, ad) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(ed - ad) <= math.max(2L, (ed * 0.05).toLong),
+        s"approx distinct $ad too far from exact $ed")
+    }
+  }
+
   test("suggest: profile-derived constraints pass on the profiled data") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 5L), (2L, 5L), (3L, null))
