@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
-import graft.cep.{Absence, GroupSeq, Logical, Nfa, PatternDef, PatternElem, PatternMatch, Permute, Step}
+import graft.cep.{Absence, AltSeq, GAlt, GPerm, GroupSeq, GVar, Logical, NestedGroup, Nfa, PatternDef, PatternElem, PatternMatch, PermSeq, Permute, Step}
 
 /** Property-based NFA invariants over random event streams and random
   * quantified patterns (scalacheck; SURVEY §5 item 4).
@@ -40,6 +40,10 @@ object NfaProps extends Properties("Nfa") {
   private case class ASpec(t: String, d: Long) extends ESpec
   private case class GSpec(t1: String, t2: String, mn: Int, mx: Int) extends ESpec
   private case class PSpec(t1: String, t2: String, t3: String) extends ESpec
+  private case class PQSpec(t1: String, t2: String, mn: Int, mx: Int) extends ESpec
+  private case class AQSpec(t1: String, t2: String, mn: Int, mx: Int) extends ESpec
+  private case class NGSpec(tv: String, t1: String, t2: String,
+    mn: Int, mx: Int) extends ESpec
 
   private val genGroup: Gen[ESpec] = for {
     t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
@@ -51,6 +55,22 @@ object NfaProps extends Properties("Nfa") {
     t3 <- Gen.oneOf("A", "B", "C")
   } yield PSpec(t1, t2, t3)
 
+  private val genPermSeq: Gen[ESpec] = for {
+    t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+    mn <- Gen.choose(1, 2); extra <- Gen.choose(0, 1)
+  } yield PQSpec(t1, t2, mn, mn + extra)
+
+  private val genAltSeq: Gen[ESpec] = for {
+    t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+    mn <- Gen.choose(1, 2); extra <- Gen.choose(0, 2)
+  } yield AQSpec(t1, t2, mn, mn + extra)
+
+  private val genNested: Gen[ESpec] = for {
+    tv <- Gen.oneOf("A", "B", "C")
+    t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+    mn <- Gen.choose(1, 2); extra <- Gen.choose(0, 1)
+  } yield NGSpec(tv, t1, t2, mn, mn + extra)
+
   private val genTail: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, st) => SSpec(t, mn, mx, st) },
     1 -> (for {
@@ -61,13 +81,19 @@ object NfaProps extends Properties("Nfa") {
       t <- Gen.oneOf("A", "B", "C"); d <- Gen.choose(5L, 50L)
     } yield ASpec(t, d)),
     1 -> genGroup,
-    1 -> genPermute)
+    1 -> genPermute,
+    1 -> genPermSeq,
+    1 -> genAltSeq,
+    1 -> genNested)
 
   private val genHead: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, _) =>
       SSpec(t, mn, mx, strict = false) },
     1 -> genGroup,   // minRepeat >= 1: a valid head
-    1 -> genPermute)
+    1 -> genPermute,
+    1 -> genPermSeq,
+    1 -> genAltSeq,
+    1 -> genNested)
 
   private def buildElems(specs: List[ESpec]): IndexedSeq[PatternElem[E]] =
     specs.zipWithIndex.map {
@@ -85,6 +111,17 @@ object NfaProps extends Properties("Nfa") {
         Permute[E](IndexedSeq(Step[E](s"s${i}p", _.typ == t1),
           Step[E](s"s${i}q", _.typ == t2),
           Step[E](s"s${i}r2", _.typ == t3)))
+      case (PQSpec(t1, t2, mn, mx), i) =>
+        PermSeq[E](IndexedSeq(Step[E](s"s${i}pq1", _.typ == t1),
+          Step[E](s"s${i}pq2", _.typ == t2)), mn, mx)
+      case (AQSpec(t1, t2, mn, mx), i) =>
+        AltSeq[E](Step[E](s"s${i}aq1", _.typ == t1),
+          Step[E](s"s${i}aq2", _.typ == t2), mn, mx)
+      case (NGSpec(tv, t1, t2, mn, mx), i) =>
+        NestedGroup[E](IndexedSeq(
+          GVar(Step[E](s"s${i}nv", _.typ == tv)),
+          GAlt(Step[E](s"s${i}nx", _.typ == t1),
+            Step[E](s"s${i}ny", _.typ == t2))), mn, mx)
     }.toIndexedSeq
 
   private val genPattern: Gen[PatternDef[E]] = for {
@@ -123,6 +160,22 @@ object NfaProps extends Properties("Nfa") {
           case p: Permute[E] =>
             val sizes = p.steps.map(st => m.get(st.name).size)
             sizes.forall(_ == 0) || sizes.forall(_ == 1)
+          case ps: PermSeq[E] =>
+            // every member binds once per iteration
+            val sizes = ps.steps.map(st => m.get(st.name).size)
+            sizes.forall(_ == 0) ||
+              (sizes.distinct.size == 1 && sizes.head >= ps.minRepeat &&
+                sizes.head <= ps.maxRepeat)
+          case al: AltSeq[E] =>
+            // one routed event per iteration, split across the sides
+            val tot = m.get(al.left.name).size + m.get(al.right.name).size
+            tot == 0 || (tot >= al.minRepeat && tot <= al.maxRepeat)
+          case ng: NestedGroup[E] =>
+            // each iteration binds `arity` events across the items
+            val tot = ng.names.map(n => m.get(n).size).sum
+            tot == 0 || (tot % ng.arity == 0 &&
+              tot / ng.arity >= ng.minRepeat &&
+              tot / ng.arity <= ng.maxRepeat)
           case a: Absence[E] =>
             m.get(a.step.name).isEmpty // absence never binds an event
         }
