@@ -168,9 +168,11 @@ final class StreamQuery private[graft] (env: GraftCEP, private var df: DataFrame
   def matchRecognize(partitionKeys: Seq[String], tsCol: String, tieCol: String,
       pattern: Seq[graft.plans.MatchRecognize.Elem],
       withinTs: Option[Long] = None,
-      skipPastLastRow: Boolean = false): StreamQuery = {
+      skipPastLastRow: Boolean = false,
+      skipToVar: Option[(String, Boolean)] = None): StreamQuery = {
     df = graft.plans.MatchRecognize(df, partitionKeys, tsCol, tieCol,
-      pattern, withinTs, skipPastLastRow = skipPastLastRow)
+      pattern, withinTs, skipPastLastRow = skipPastLastRow,
+      skipToVar = skipToVar)
     this
   }
 

@@ -1759,6 +1759,53 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-variable DEFINE inside a quantified variable: the run " +
+      "keeps climbing above the seed (ctxPred on a b+ step)") {
+    // v+ collects values strictly above the seed a's — e3 (4.0 < 5.0)
+    // breaks nothing but never binds; SQL and programmatic agree
+    val df = Seq(
+      (1L, 10L, 1L, "A", 5.0), (2L, 20L, 1L, "V", 7.0),
+      (3L, 30L, 1L, "V", 4.0), (4L, 40L, 1L, "V", 9.0),
+      (5L, 50L, 1L, "Z", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "typ", "value")
+    df.createOrReplaceTempView("mr_cvq_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cvq_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(v.*) AS n_v, MIN(v.value) AS min_v
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a v+ z)
+          |  DEFINE a AS typ = 'A',
+          |         v AS typ = 'V' AND v.value > a.value,
+          |         z AS typ = 'Z'
+          |)""".stripMargin))
+      .select($"n_v", $"min_v")
+      .as[(Int, Double)].collect().toSet
+    // v binds e2 (7 > 5) and e4 (9 > 5); e3 is skipped (4 < 5)
+    assert(got == Set((2, 7.0)))
+    // a quantified GROUP's inner variable referencing another variable
+    val got2 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cvq_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(v.*) AS n_v
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((v){2,2} z)
+          |  DEFINE v AS typ = 'V' AND v.value >= FIRST(v.value),
+          |         z AS typ = 'Z'
+          |)""".stripMargin))
+      .select($"n_v").as[Int].collect().toSet
+    // own-var FIRST coalesces to the current row on the first binding
+    // (7 >= 7 admits it); the second must reach 7 → e4 (9), e3 (4)
+    // skipped
+    assert(got2 == Set(2))
+  }
+
   test("streaming cross-variable DEFINE == batch (interpreted " +
       "per-partial evaluator); binds-only streaming() still rejects") {
     implicit val sqlCtx = spark.sqlContext
