@@ -43,7 +43,8 @@ object NfaProps extends Properties("Nfa") {
   private case class PQSpec(t1: String, t2: String, mn: Int, mx: Int) extends ESpec
   private case class AQSpec(t1: String, t2: String, mn: Int, mx: Int) extends ESpec
   private case class NGSpec(tv: String, t1: String, t2: String,
-    mn: Int, mx: Int) extends ESpec
+    mn: Int, mx: Int, withPerm: Boolean, tp1: String, tp2: String)
+    extends ESpec
 
   private val genGroup: Gen[ESpec] = for {
     t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
@@ -69,7 +70,9 @@ object NfaProps extends Properties("Nfa") {
     tv <- Gen.oneOf("A", "B", "C")
     t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
     mn <- Gen.choose(1, 2); extra <- Gen.choose(0, 1)
-  } yield NGSpec(tv, t1, t2, mn, mn + extra)
+    withPerm <- Gen.oneOf(true, false)
+    tp1 <- Gen.oneOf("A", "B", "C"); tp2 <- Gen.oneOf("A", "B", "C")
+  } yield NGSpec(tv, t1, t2, mn, mn + extra, withPerm, tp1, tp2)
 
   private val genTail: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, st) => SSpec(t, mn, mx, st) },
@@ -117,11 +120,15 @@ object NfaProps extends Properties("Nfa") {
       case (AQSpec(t1, t2, mn, mx), i) =>
         AltSeq[E](Step[E](s"s${i}aq1", _.typ == t1),
           Step[E](s"s${i}aq2", _.typ == t2), mn, mx)
-      case (NGSpec(tv, t1, t2, mn, mx), i) =>
-        NestedGroup[E](IndexedSeq(
+      case (NGSpec(tv, t1, t2, mn, mx, withPerm, tp1, tp2), i) =>
+        NestedGroup[E](IndexedSeq[graft.cep.GroupItem[E]](
           GVar(Step[E](s"s${i}nv", _.typ == tv)),
           GAlt(Step[E](s"s${i}nx", _.typ == t1),
-            Step[E](s"s${i}ny", _.typ == t2))), mn, mx)
+            Step[E](s"s${i}ny", _.typ == t2))) ++
+          (if (withPerm) IndexedSeq[graft.cep.GroupItem[E]](
+            GPerm(IndexedSeq(Step[E](s"s${i}np1", _.typ == tp1),
+              Step[E](s"s${i}np2", _.typ == tp2))))
+          else IndexedSeq.empty[graft.cep.GroupItem[E]]), mn, mx)
     }.toIndexedSeq
 
   private val genPattern: Gen[PatternDef[E]] = for {
