@@ -67,9 +67,23 @@ object PlanCompiler {
     val t = text.trim
     val lower = t.toLowerCase
     if (lower.startsWith("pattern:")) compilePattern(spark, t.drop(8))
-    else if (lower.startsWith("sql:")) spark.sql(t.drop(4))
-    else spark.sql(t)
+    else if (lower.startsWith("sql:")) sqlOrMatchRecognize(spark,
+      t.drop(4))
+    else sqlOrMatchRecognize(spark, t)
   }
+
+  /** `sql:` statements that are standard MATCH_RECOGNIZE compile onto
+    * the custom operator DIRECTLY — a control-plane tenant gets the
+    * full SQL:2016 pattern surface whether or not the session was
+    * built with the parser extension installed.
+    */
+  private def sqlOrMatchRecognize(spark: SparkSession,
+      text: String): DataFrame =
+    if (graft.plans.MatchRecognizeSql.statementRe.pattern
+        .matcher(text).matches())
+      graft.plans.MatchRecognizeSql.compile(spark,
+        spark.sessionState.sqlParser, text)
+    else spark.sql(text)
 
   /** Parsed pattern elements; `condIdx` indexes the per-event flag
     * array (one precomputed boolean per distinct predicate).

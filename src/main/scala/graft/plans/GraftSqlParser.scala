@@ -171,7 +171,7 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * cross-variable DEFINE references with PREV/NEXT in one STREAMING
   * statement.
   */
-private[plans] object MatchRecognizeSql {
+private[graft] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
   import org.apache.spark.sql.functions.col
 

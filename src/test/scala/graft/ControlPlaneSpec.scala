@@ -114,6 +114,34 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("dynamic SQL MATCH_RECOGNIZE plan: the full SQL:2016 surface " +
+      "through the control plane, no parser extension needed") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
+        (4L, 40L, 1L, "C"), (5L, 50L, 1L, "D"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("cp_mr_events")
+    var got: Array[(Long, Int, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      got = df.selectExpr("user_id", "n_a", "d_id")
+        .as[(Long, Int, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("mrplan",
+        """sql: SELECT * FROM cp_mr_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(a.*) AS n_a, d.event_id AS d_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((a (b|c)){2,2} d)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin))
+      assert(got.toSet == Set((1L, 2, 5L)))
+    } finally cp.shutdown()
+  }
+
   test("dialect: notfor absence and either/or logical plans (B20)") {
     import spark.implicits._
     Seq((1L, 10L, 1L, "C"), (2L, 5000L, 1L, "P"),   // user 1: C then P → no alert
