@@ -89,6 +89,15 @@ object ScaleProbe {
     // intra-cell pair join is the SemDeDup worst case by construction
     time("semdedup")(graft.operators.Similarity.semDedup(
       vecs, "embedding", "vec_id", k = 8, threshold = 0.3))
+    // the q102 chain: LSH-banded near-dup pairs (replication puts N
+    // near-identical copies in every plane bucket — the pair worst
+    // case) → checkpointed connected components → split election
+    time("leakage_split") {
+      val pairs = Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+        dim = 64, threshold = 0.35, nPlanes = 8)
+      Dedup.leakageSafeSplit(vecs, "vec_id", pairs, "id_a", "id_b",
+        Seq(("train", 900), ("val", 50), ("test", 50)))
+    }
     time("pq_codes")(graft.operators.Similarity.pqCodes(
       vecs, "embedding", "vec_id", dim = 64, m = 2, k = 4))
     // queries replicate with the corpus (1e9 shift % 2000 = 0 picks the
