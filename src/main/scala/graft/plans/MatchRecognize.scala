@@ -927,9 +927,18 @@ object MatchRecognize {
     @transient private lazy val toCatalyst =
       CatalystTypeConverters.createToCatalystConverter(evSchema)
     @transient private lazy val joined = new JoinedRow
+    // one event is evaluated against EVERY live partial consecutively
+    // — a one-entry identity cache makes the Catalyst conversion
+    // per-event instead of per-(event, partial)
+    @transient private var lastEv: Row = _
+    @transient private var lastEvI: InternalRow = _
 
     def apply(e: Row, ctx: String => IndexedSeq[Row]): Boolean = {
-      val evI = toCatalyst(e.getStruct(5)).asInstanceOf[InternalRow]
+      if (e ne lastEv) {
+        lastEvI = toCatalyst(e.getStruct(5)).asInstanceOf[InternalRow]
+        lastEv = e
+      }
+      val evI = lastEvI
       val vals = new Array[Any](refs.length)
       var i = 0
       while (i < refs.length) {
