@@ -301,6 +301,30 @@ object MatchRecognize {
 
   private[plans] val CvMarker = "_mr_cv"
 
+  /** Finish resolving an expression whose ATTRIBUTES are already bound
+    * but whose operators may still be unresolved function nodes (the
+    * Column-DSL conversion leaves `'=`/`'>` etc. for the analyzer,
+    * which only runs over plan trees): analyze a dummy Filter over a
+    * LocalRelation of the attributes, then cast to boolean. Needed by
+    * the streaming evaluators, which feed `Predicate.create` directly
+    * instead of embedding the expression in an analyzed plan.
+    */
+  private def finishResolve(spark: org.apache.spark.sql.SparkSession,
+      ex: Expression, attrs: Seq[Attribute]): Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.BooleanType
+    val base =
+      if (ex.resolved) ex
+      else spark.sessionState.analyzer.execute(
+        Filter(ex, LocalRelation(attrs))) match {
+        case f: Filter => f.condition
+        case other => throw new IllegalStateException(
+          s"predicate resolution produced ${other.getClass}")
+      }
+    if (base.dataType == BooleanType) base else Cast(base, BooleanType)
+  }
+
   /** Resolve a predicate Column against `output`, lifting
     * [[cvFirst]]/[[cvLast]] markers into [[CtxRefSpec]]s (the marker
     * becomes a synthetic attribute fed from the partial match at
@@ -782,7 +806,8 @@ object MatchRecognize {
                 s"column '${u.name}' not in " +
                   s"[${all.map(_.name).mkString(", ")}]"))
           }
-        val predExprs = predCols.map(resolveExt)
+        val predExprs = predCols.map(c =>
+          finishResolve(spark, resolveExt(c), all))
         val specs = lagSpecs.map { case (kind, c, k) =>
           (kind, rowType.fieldIndex(baseAttr(c).name), k,
             baseAttr(c).dataType)
@@ -807,8 +832,10 @@ object MatchRecognize {
         // cross-variable predicate: interpreted per (event, partial)
         // against the bindings so far — same semantics as the batch
         // executor's ctxPred
-        val ev = new CvStreamEvaluator(expr,
-          baseOut ++ refs.map(_.attr), rowType, refs)
+        val allAttrs = baseOut ++ refs.map(_.attr)
+        val ev = new CvStreamEvaluator(
+          finishResolve(df.sparkSession, expr, allAttrs),
+          allAttrs, rowType, refs)
         Step[Row](name, r => ev(r, _ => IndexedSeq.empty), min, max,
           strict, ctxPred = Some(ev))
       }

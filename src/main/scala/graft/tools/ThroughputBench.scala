@@ -153,6 +153,25 @@ object ThroughputBench {
       Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
         _.user_id, spat, _.ts_us, _.event_id, tsScale = 1000L)(buildSafe))
 
+    // streaming cross-variable DEFINE (the interpreted per-partial
+    // evaluator on the full-row streamingFull envelope): purchase
+    // priced above its click — the q175 comparison shape
+    val cvEps = drive[org.apache.spark.sql.Row](
+      memSink("tp_cep_crossvar"), in => {
+        val df = in.toDS().toDF()
+          .withColumn("etc", timestamp_micros($"ts_us"))
+          .withWatermark("etc", "1 second")
+        graft.plans.MatchRecognize.streamingFull(df, Seq("user_id"),
+          "ts_us", "event_id",
+          Seq(graft.plans.MatchRecognize.EStep("a",
+              $"event_type" === "click"),
+            graft.plans.MatchRecognize.EStep("b",
+              ($"event_type" === "purchase") && ($"value" >
+                graft.plans.MatchRecognize.cvLast("a", "value")))),
+          eventTimeCol = "etc", withinTs = Some(600000000L),
+          tsScale = 1000L)
+      })
+
     // watermark-finalized anomaly scorer: keyed state per type is an
     // open-bucket map + 24 longs — measured as sustained events/s
     val anomEps = drive[graft.operators.Anomaly.AnomalyRow](
@@ -242,6 +261,8 @@ object ThroughputBench {
       s""""cep_altseq_per_core":${(altSeqEps / cpus).round},""" +
       s""""cep_skipto":${skipToEps.round},""" +
       s""""cep_skipto_per_core":${(skipToEps / cpus).round},""" +
+      s""""cep_crossvar":${cvEps.round},""" +
+      s""""cep_crossvar_per_core":${(cvEps / cpus).round},""" +
       s""""rate_anomaly":${anomEps.round},""" +
       s""""rate_anomaly_per_core":${(anomEps / cpus).round},""" +
       s""""n_docs":${docFeed.length},""" +
