@@ -74,6 +74,19 @@ object NfaProps extends Properties("Nfa") {
     tp1 <- Gen.oneOf("A", "B", "C"); tp2 <- Gen.oneOf("A", "B", "C")
   } yield NGSpec(tv, t1, t2, mn, mn + extra, withPerm, tp1, tp2)
 
+  // tails may carry min-0 quantifiers (`*`/`?` — optional elements the
+  // advance scan skips over); heads must stay non-optional
+  private def optionalize(g: Gen[ESpec]): Gen[ESpec] = for {
+    e <- g
+    zero <- Gen.frequency(3 -> false, 1 -> true)
+  } yield if (!zero) e else e match {
+    case q: PQSpec => q.copy(mn = 0)
+    case q: AQSpec => q.copy(mn = 0)
+    case q: NGSpec => q.copy(mn = 0)
+    case q: GSpec => q.copy(mn = 0)
+    case other => other
+  }
+
   private val genTail: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, st) => SSpec(t, mn, mx, st) },
     1 -> (for {
@@ -83,11 +96,11 @@ object NfaProps extends Properties("Nfa") {
     1 -> (for {
       t <- Gen.oneOf("A", "B", "C"); d <- Gen.choose(5L, 50L)
     } yield ASpec(t, d)),
-    1 -> genGroup,
+    1 -> optionalize(genGroup),
     1 -> genPermute,
-    1 -> genPermSeq,
-    1 -> genAltSeq,
-    1 -> genNested)
+    1 -> optionalize(genPermSeq),
+    1 -> optionalize(genAltSeq),
+    1 -> optionalize(genNested))
 
   private val genHead: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, _) =>
