@@ -30,16 +30,20 @@ object Cep {
 
   /** @param sortCols columns ordering each group (event time + tie-break)
     *                  — sorted by the shuffle, streamed, never collected.
+    * @param tieOf    optional total-order tie-break (must agree with
+    *                 `sortCols`' secondary order) — required by the
+    *                 SKIP TO FIRST/LAST <var> skip mode's row identity.
     */
   def batch[E, K: Encoder, O: Encoder](
       ds: Dataset[E],
       key: E => K,
       pattern: PatternDef[E],
       tsOf: E => Long,
-      sortCols: Seq[Column])(
+      sortCols: Seq[Column],
+      tieOf: E => Long = null)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     ds.groupByKey(key).flatMapSortedGroups(sortCols: _*) { (k: K, it: Iterator[E]) =>
-      val nfa = new Nfa(pattern, tsOf)
+      val nfa = new Nfa(pattern, tsOf, tieOf)
       it.flatMap(e => nfa.onEvent(e).iterator.flatMap(build(k, _))) ++
         nfa.flush().iterator.flatMap(build(k, _))
     }
