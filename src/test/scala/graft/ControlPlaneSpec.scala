@@ -226,6 +226,47 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("dynamic SQL MATCH_RECOGNIZE plan over a STREAMING view: the " +
+      "control plane hosts the streamingFull dispatch end to end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEvt]
+    input.toDS()
+      .withColumn("tsc", timestamp_millis($"ts_ms"))
+      .withWatermark("tsc", "5 seconds")
+      .createOrReplaceTempView("cp_mr_stream")
+    val cp = new ControlPlane(spark,
+      (id: String, df: DataFrame) => Some(
+        df.writeStream.format("memory").queryName(s"cpmr_$id")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("cpmr_ck").toString)
+          .start()))
+    try {
+      cp.handle(AddPlan("smr1",
+        """sql: SELECT * FROM cp_mr_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user
+          |  ORDER BY ts_ms, id
+          |  MEASURES a.id AS a_id, LAST(b.id) AS b_id, COUNT(b.*) AS n_b
+          |  PATTERN (a b+)
+          |  WITHIN 60000
+          |  EVENTTIME tsc
+          |  DEFINE a AS typ = 'A', b AS typ = 'B'
+          |)""".stripMargin))
+      input.addData(TEvt(1, 1000, 1, "A"), TEvt(2, 2000, 1, "B"),
+        TEvt(3, 3000, 1, "B"))
+      cp.runningQuery("smr1").get.processAllAvailable()
+      input.addData(TEvt(9, 200000L, 9, "X")) // advance the watermark
+      cp.runningQuery("smr1").get.processAllAvailable()
+      val got = spark.table("cpmr_smr1")
+        .selectExpr("user", "a_id", "b_id", "n_b")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      // a trailing open quantifier emits at its greedy-min completion
+      // (the engine-wide convention): one match per seed, b = [2]
+      assert(got == Set((1L, 1L, 2L, 1)))
+    } finally cp.shutdown()
+  }
+
   test("dialect: output first|last every n rate-limits matches per key") {
     import spark.implicits._
     // user 1 fires the single-step pattern 5 times (ids 1..5); user 2
