@@ -87,7 +87,7 @@ object CorpusWriter {
       .sortWithinPartitions(col("split"), col("file_idx"),
         col("shuffle_key"), col(idCol))
       .select(col("split"), col("file_idx"),
-        to_json(struct(payloadCols: _*)).as("value"))
+        to_json(struct(payloadCols.toIndexedSeq: _*)).as("value"))
       .write.partitionBy("split", "file_idx")
       .mode("overwrite").text(outDir)
   }
@@ -327,7 +327,8 @@ object CorpusWriter {
           coalesce(col(cols.head).cast("string"), lit("")).as("entity"),
           explode(array(cols.tail.map(c =>
             struct(lit(c).as("m"),
-              col(c).cast("string").as("v"))): _*)).as("_mv"))
+              col(c).cast("string").as("v"))).toIndexedSeq: _*))
+            .as("_mv"))
         .select(col("section"), col("entity"),
           col("_mv.m").as("metric"), col("_mv.v").as("value"))
     }.reduce(_ unionByName _)

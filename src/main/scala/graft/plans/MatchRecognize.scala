@@ -510,7 +510,8 @@ object MatchRecognize {
       .filterNot(f => input.columns.contains(f.name))
     val filled = extras.foldLeft(unmatched)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
-    matched.unionByName(filled.select(matched.columns.map(col): _*))
+    matched.unionByName(
+      filled.select(matched.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Batch ALL ROWS PER MATCH: the [[apply]] operator followed by
