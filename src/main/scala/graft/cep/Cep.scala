@@ -341,8 +341,15 @@ object Cep {
       pattern: PatternDef[E],
       tsOf: E => Long,
       tieBreak: E => Long,
-      tsScale: Long = 1L)(
+      tsScale: Long = 1L,
+      neighborhood: Option[Neighborhood[E]] = None,
+      unmatchedWithin: Option[Long] = None)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
+    require(neighborhood.isEmpty ||
+        pattern.steps.forall(!_.isInstanceOf[Absence[E]]),
+      "PREV/NEXT navigation does not compose with absence elements " +
+        "on a stream (withheld events could violate an already-" +
+        "resolved window)")
 
     class CepProcessor extends StatefulProcessor[K, E, O] {
       @transient private var st: ValueState[CepState[E]] = _
@@ -357,7 +364,7 @@ object Cep {
         val prev = if (st.exists()) st.get() else CepState.empty[E]
         val (next, matches, wake) = step(
           prev, incoming, wmMs * tsScale, hasWatermark = wmMs > 0,
-          pattern, tsOf, tieBreak)
+          pattern, tsOf, tieBreak, neighborhood, unmatchedWithin)
         next match {
           case None => st.clear()
           case Some(ns) =>

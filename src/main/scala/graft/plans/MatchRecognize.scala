@@ -681,8 +681,9 @@ object MatchRecognize {
     *                  PREV reads the retained `maxPrev` predecessors
     *                  (NULL at the key's start, matching batch lag);
     *                  NEXT withholds each event until its `n`
-    *                  successors are released. flatMapGroupsWithState
-    *                  executor only.
+    *                  successors are released. Both streaming
+    *                  executors (the decorator rides the shared step
+    *                  kernel).
     */
   def streamingFull(df: DataFrame, partitionKeys: Seq[String], tsCol: String,
       tieCol: String, pattern: Seq[Elem], eventTimeCol: String,
@@ -697,10 +698,11 @@ object MatchRecognize {
         * errors) apply per key. */
       skipToVar: Option[(String, Boolean)] = None,
       /** SQL:2016 WITH UNMATCHED ROWS on a stream (needs `withinTs` —
-        * the decision horizon). Adds a nullable `_mr_unmatched_ev`
-        * output column and makes the match bounds nullable: an
-        * unmatched input row emits as `(keys, NULL, NULL, empty
-        * slots…, ev)` once the watermark passes its ts + within. */
+        * the decision horizon; both executors). Adds a nullable
+        * `_mr_unmatched_ev` output column and makes the match bounds
+        * nullable: an unmatched input row emits as `(keys, NULL,
+        * NULL, empty slots…, ev)` once the watermark passes its
+        * ts + within. */
       withUnmatched: Boolean = false): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
@@ -710,15 +712,13 @@ object MatchRecognize {
     import graft.cep.{Absence, Cep, GroupSeq, Logical, PatternDef, PatternElem, Step}
     require(df.isStreaming, "streamingFull() needs a streaming DataFrame; " +
       "use MatchRecognize(...) for batch")
-    require(lagSpecs.isEmpty || !useTws,
-      "PREV/NEXT on a stream runs on the flatMapGroupsWithState " +
-        "executor (useTws = false)")
     require(!withUnmatched || withinTs.isDefined,
       "WITH UNMATCHED ROWS on a stream needs a WITHIN bound (the " +
         "horizon after which an event can no longer join any match)")
-    require(!withUnmatched || (lagSpecs.isEmpty && !useTws),
-      "WITH UNMATCHED ROWS on a stream composes with neither " +
-        "PREV/NEXT hold-back nor the transformWithState executor")
+    require(!withUnmatched || lagSpecs.isEmpty,
+      "WITH UNMATCHED ROWS on a stream does not compose with " +
+        "PREV/NEXT hold-back (a withheld event could bind after its " +
+        "decision horizon)")
     lagSpecs.foreach { case (kind, c, k) =>
       require(kind == "prev" || kind == "next", s"bad lag kind: $kind")
       require(k >= 1, s"PREV/NEXT offset must be >= 1, got $k")
@@ -759,9 +759,7 @@ object MatchRecognize {
         "cannot combine in one streaming MATCH_RECOGNIZE (the lag " +
         "values are release-position state, the bindings are " +
         "partial-match state)")
-    require(!hasCv || !useTws,
-      "cross-variable DEFINE on a stream runs on the " +
-        "flatMapGroupsWithState executor (useTws = false)")
+
     // lag-mode predicates reference lag aliases resolved later by the
     // LagFlagDecorator — cv resolution only runs in the plain path
     val resolvedPreds: Seq[(Expression, Seq[CtxRefSpec])] =
@@ -916,14 +914,14 @@ object MatchRecognize {
         }
       Iterator.single(row)
     }
+    val unWithin = if (withUnmatched) withinTs else None
     val out =
       if (useTws) Cep.streamingTws[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale)(build)(kEnc, oEnc)
+        tsScale, neighborhood, unWithin)(build)(kEnc, oEnc)
       else Cep.streaming[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale, neighborhood,
-        if (withUnmatched) withinTs else None)(build)(kEnc, oEnc)
+        tsScale, neighborhood, unWithin)(build)(kEnc, oEnc)
     out.toDF()
   }
 

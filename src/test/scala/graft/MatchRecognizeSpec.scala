@@ -422,11 +422,46 @@ class MatchRecognizeSpec extends SparkSpec {
           .as[(Long, Int, Long)].collect().toSet
       } finally q.stop()
     }
+    def runUn(useTws: Boolean): Set[(Long, Option[Long], Long)] = {
+      val input = MemoryStream[(Long, Long, Long, String)]
+      val df = input.toDF().toDF("event_id", "ts_ms", "user", "typ")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      // cross-variable predicate + WITH UNMATCHED ROWS, both lifted
+      // onto the transformWithState executor this round
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(EStep("a", $"typ" === "A"),
+          EStep("b", ($"typ" === "B") &&
+            ($"event_id" > MatchRecognize.cvFirst("a", "event_id")))),
+        eventTimeCol = "etc", withinTs = Some(10000L), useTws = useTws,
+        withUnmatched = true)
+      val name = s"mr_twsun_$useTws"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData((1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),
+          (3L, 3000L, 1L, "X"))
+        q.processAllAvailable()
+        input.addData((9L, 60000L, 9L, "Z"))
+        q.processAllAvailable()
+        spark.table(name).filter($"user" === 1L)
+          .select($"user", $"match_start",
+            coalesce(try_element_at($"b", lit(1)).getField("event_id"),
+              $"_mr_unmatched_ev.event_id").as("which"))
+          .as[(Long, Option[Long], Long)].collect().toSet
+      } finally q.stop()
+    }
     try {
       val tws = run(useTws = true)
       val fm = run(useTws = false)
       assert(tws == fm)
       assert(tws == Set((1L, 2, 5L)))
+      val twsU = runUn(useTws = true)
+      val fmU = runUn(useTws = false)
+      assert(twsU == fmU)
+      // matched pair (a=1, b=2) plus the never-bound X row
+      assert(twsU == Set((1L, Some(1000L), 2L), (1L, None, 3L)))
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
