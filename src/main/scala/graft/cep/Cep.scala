@@ -95,7 +95,11 @@ object Cep {
       /** …and the (ts, tie) identities bound by emitted matches, kept
         * until their event's decision horizon passes. Both empty when
         * unmatched tracking is off. */
-      boundIds: Set[(Long, Long)] = Set.empty)
+      boundIds: Set[(Long, Long)] = Set.empty,
+      /** Completed skip-mode candidates awaiting leftmost confirmation
+        * (cross-variable DEFINE + AFTER MATCH SKIP modes — see
+        * [[Nfa.snapshot]]); empty otherwise. */
+      pendingCands: List[PatternMatch[E]] = Nil)
 
   object CepState {
     def empty[E]: CepState[E] =
@@ -163,6 +167,13 @@ object Cep {
         pattern.steps.forall(!_.names.contains(UnmatchedSlot)),
       s"pattern variable '$UnmatchedSlot' collides with the reserved " +
         "unmatched pseudo-slot")
+    // the decision horizon must cover every match that could still bind
+    // a tracked row: a horizon shorter than the pattern window lets a
+    // row be decided unmatched and later also bound by an emitted match
+    require(unmatchedWithin.forall(w => pattern.withinMs.exists(_ <= w)),
+      "unmatchedWithin must be at least the pattern's withinMs (and the " +
+        "pattern needs a within bound) — a shorter decision horizon " +
+        "could declare a row unmatched that a later match still binds")
     // ingest new events; drop anything at/behind what the NFA already
     // consumed (true late data — same policy as watermark semantics).
     // Comparison is on (ts, tieBreak) so a distinct same-timestamp
@@ -199,7 +210,7 @@ object Cep {
       if (!hasWatermark) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
 
     val nfa = new Nfa(pattern, tsOf, tieBreak)
-    nfa.restore((prev.partials, prev.terminated))
+    nfa.restore((prev.partials, prev.terminated, prev.pendingCands))
     // neighborhood: prepend earlier withheld events, feed only those
     // whose maxNext lookahead successors exist, decorated with their
     // prev/next context; the tail stays held for future arrivals
@@ -229,7 +240,7 @@ object Cep {
     val timeMatches =
       if (!hasWatermark) Vector.empty else nfa.advanceTime(wm).toVector
 
-    val (np, nt) = nfa.snapshot
+    val (np, nt, npend) = nfa.snapshot
     // unmatched tracking: decide events once the watermark passes
     // their ts + within; undecided events and live bound identities
     // ride the state until then
@@ -252,7 +263,8 @@ object Cep {
     val unmatchedMatches = unmatchedOut.map(e =>
       PatternMatch(tsOf(e), tsOf(e), Map(UnmatchedSlot -> Vector(e))))
     if (keep.isEmpty && np.isEmpty && !nt && nHeld.isEmpty &&
-        neighborhood.isEmpty && nUndecided.isEmpty && nBound.isEmpty)
+        neighborhood.isEmpty && nUndecided.isEmpty && nBound.isEmpty &&
+        npend.isEmpty)
       (None, matches ++ timeMatches ++ unmatchedMatches, Nil)
     else {
       val (lastTs, lastTie) =
@@ -265,7 +277,7 @@ object Cep {
           unmatchedWithin.toList.flatMap(w =>
             nUndecided.headOption.map(e => tsOf(e) + w + 1))
       (Some(CepState(keep, np, nt, lastTs, lastTie, nRecent, nHeld,
-        nUndecided, nBound)),
+        nUndecided, nBound, npend)),
         matches ++ timeMatches ++ unmatchedMatches, wake)
     }
   }

@@ -87,13 +87,51 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
     require(!skip, "skipPastLastRow and skipToVar are mutually exclusive")
   }
 
+  /** Do any steps carry seed-dependent (cross-variable) predicates? With
+    * them, partials are no longer in lockstep: a later-starting partial
+    * can complete on an EARLIER event than a still-in-flight
+    * earlier-starting one, so skip-mode emission must wait until no live
+    * partial with a smaller (ts, tie) start key can still complete —
+    * otherwise the emitted match consumes rows the standard's leftmost
+    * rescan gives to the earlier start.
+    */
+  private val hasCtx: Boolean = {
+    def sc(s: Step[E]): Boolean = s.ctxPred.isDefined
+    elems.exists {
+      case s: Step[E] => sc(s)
+      case l: Logical[E] => sc(l.left) || sc(l.right)
+      case g: GroupSeq[E] => g.steps.exists(sc)
+      case pm: Permute[E] => pm.steps.exists(sc)
+      case ps: PermSeq[E] => ps.steps.exists(sc)
+      case al: AltSeq[E] => sc(al.left) || sc(al.right)
+      case ng: NestedGroup[E] => ng.items.exists {
+        case GVar(s) => sc(s)
+        case GAlt(l, r) => sc(l) || sc(r)
+        case GPerm(ss) => ss.exists(sc)
+      }
+      case a: Absence[E] => sc(a.step)
+    }
+  }
+  /** Defer skip-mode emission through [[pendingCands]] (see [[hasCtx]]).
+    * Lockstep patterns (event-only predicates) keep the immediate-emit
+    * path: whenever a later-start partial completes, some branch of
+    * every earlier-start partial completes on the same event, so the
+    * leftmost election at the completing event IS the standard's
+    * leftmost match and deferral would change nothing but latency.
+    */
+  private val deferSkip: Boolean = hasCtx && (skip || skipTo.isDefined)
+
   private var partials: List[Partial[E]] = Nil
   private var terminated: Boolean = false
+  /** Completed skip-mode candidates awaiting leftmost confirmation
+    * (only ever non-empty when [[deferSkip]]). */
+  private var pendingCands: List[PatternMatch[E]] = Nil
 
   /** Serializable snapshot for checkpointed streaming state. */
-  def snapshot: (List[Partial[E]], Boolean) = (partials, terminated)
-  def restore(s: (List[Partial[E]], Boolean)): Unit = {
-    partials = s._1; terminated = s._2
+  def snapshot: (List[Partial[E]], Boolean, List[PatternMatch[E]]) =
+    (partials, terminated, pendingCands)
+  def restore(s: (List[Partial[E]], Boolean, List[PatternMatch[E]])): Unit = {
+    partials = s._1; terminated = s._2; pendingCands = s._3
   }
 
   private def grown(g: Vector[Vector[E]], upTo: Int): Vector[Vector[E]] = {
@@ -154,10 +192,25 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
 
   // --- SKIP TO FIRST/LAST <var> row identity helpers ---
   private def keyOf(e: E): (Long, Long) = (tsOf(e), tieOf(e))
+  /** Row key that degrades to (ts, 0) when no tie-break is configured —
+    * matches [[Partial.startTie]]'s convention. */
+  private def safeKey(e: E): (Long, Long) =
+    (tsOf(e), if (tieOf == null) 0L else tieOf(e))
   private def startKeyOf(m: PatternMatch[E]): (Long, Long) =
-    m.groups.valuesIterator.flatten.map(keyOf).min
+    m.groups.valuesIterator.flatten.map(safeKey).min
+  /** Key of the match's LAST row; when the match ended on elapsed time
+    * (absence deadline past the last bound row) every same-ts row is
+    * consumed, hence the MaxValue tie. */
+  private def endKeyOf(m: PatternMatch[E]): (Long, Long) = {
+    val mx = m.groups.valuesIterator.flatten.map(safeKey)
+      .foldLeft((Long.MinValue, Long.MinValue))((a, b) =>
+        if (geKey(b, a)) b else a)
+    if (m.endTs > mx._1) (m.endTs, Long.MaxValue) else mx
+  }
   private def geKey(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)
+  private def ltKey(a: (Long, Long), b: (Long, Long)): Boolean = !geKey(a, b)
+  private def gtKey(a: (Long, Long), b: (Long, Long)): Boolean = ltKey(b, a)
 
   /** Seed-time predicate (element 0, no partial yet): empty context. */
   private def evalSeed(s: Step[E], e: E): Boolean =
@@ -201,14 +254,65 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       case _ => false
     }
 
-  private def emitMatch(p: Partial[E], endTs: Long,
-      out: ArrayBuffer[PatternMatch[E]]): Unit = {
+  private def buildMatch(p: Partial[E], endTs: Long): PatternMatch[E] = {
     val groups = slotNames.indices.flatMap { i =>
       val g = if (i < p.groups.length) p.groups(i) else Vector.empty[E]
       if (g.nonEmpty) Some(slotNames(i) -> (g: IndexedSeq[E])) else None
     }.toMap
-    out += PatternMatch(p.startTs, endTs, groups)
-    if (!pattern.every) terminated = true
+    PatternMatch(p.startTs, endTs, groups)
+  }
+
+  private def emitMatch(p: Partial[E], endTs: Long,
+      out: ArrayBuffer[PatternMatch[E]]): Unit = {
+    out += buildMatch(p, endTs)
+    // deferred skip mode: `out` here is a CANDIDATE buffer — non-every
+    // termination is decided at actual emission (drainPending)
+    if (!pattern.every && !deferSkip) terminated = true
+  }
+
+  /** Deferred skip-mode emission: a pending candidate emits only once no
+    * live partial with a strictly smaller (ts, tie) start key remains —
+    * by then the standard's leftmost rescan provably elects it. Each
+    * emission applies the skip mode's consumption to the remaining
+    * candidates AND the live partials. `ignoreLive` (end-of-input
+    * flush) treats every live partial as unable to complete.
+    */
+  private def drainPending(out: ArrayBuffer[PatternMatch[E]],
+      ignoreLive: Boolean = false): Unit = {
+    if (pendingCands.isEmpty) return
+    var live = partials
+    var pend = pendingCands.sortBy(startKeyOf)
+    var go = true
+    while (go && pend.nonEmpty && !terminated) {
+      val c = pend.head
+      val ck = startKeyOf(c)
+      if (!ignoreLive &&
+          live.exists(p => ltKey((p.startTs, p.startTie), ck))) go = false
+      else {
+        out += c
+        if (!pattern.every) { terminated = true; pend = Nil; live = Nil }
+        else if (skip) {
+          val e = endKeyOf(c)
+          pend = pend.tail.filter(m => gtKey(startKeyOf(m), e))
+          live = live.filter(p => gtKey((p.startTs, p.startTie), e))
+        } else {
+          val (v, isFirst) = skipTo.get
+          val g = c.groups.getOrElse(v, IndexedSeq.empty)
+          if (g.isEmpty) throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
+              s"$v: the variable bound no rows in the match")
+          val tgt = keyOf(if (isFirst) g.head else g.last)
+          if (tgt == ck) throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
+              s"$v: the target row is the match's own first row " +
+              "(infinite loop)")
+          pend = pend.tail.filter(m => geKey(startKeyOf(m), tgt))
+          live = live.filter(p => geKey((p.startTs, p.startTie), tgt))
+        }
+      }
+    }
+    pendingCands = pend
+    partials = live
   }
 
   private def emitIfComplete(p: Partial[E], out: ArrayBuffer[PatternMatch[E]],
@@ -277,6 +381,16 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         }
       }
       if (alive) res += p
+    }
+    if (deferSkip) {
+      // seed-dependent predicates: deadline-resolved matches join the
+      // pending candidates and emit in leftmost order once no earlier-
+      // starting live partial remains (see drainPending)
+      partials = res.result()
+      pendingCands = pendingCands ++
+        resolved.map { case (deadline, p) => buildMatch(p, deadline) }
+      drainPending(out)
+      return
     }
     if (skip) resolved.sortInPlaceBy(t => (t._1, t._2.startTs))
     else resolved.sortInPlaceBy(_._1)
@@ -630,10 +744,16 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       }
     }
 
-    if (skip && evOut.nonEmpty) {
+    if (deferSkip) {
+      // candidates wait for leftmost confirmation (drainPending below,
+      // after the live set is installed)
+      pendingCands = pendingCands ++ evOut
+    } else if (skip && evOut.nonEmpty) {
       // the match consumes this event and every live partial overlaps
       // rows at/before it — emit the leftmost candidate, drop the rest
-      out += evOut.minBy(_.startTs)
+      // (startKeyOf: deterministic (ts, tie) election when a tie-break
+      // is configured; plain startTs otherwise)
+      out += evOut.minBy(startKeyOf)
       next.clear()
     } else if (skipTo.isDefined && evOut.nonEmpty) {
       // SKIP TO FIRST/LAST <var>: iterate candidates leftmost-first;
@@ -669,6 +789,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       if (next.length > pattern.maxPartialMatches)
         next.take(pattern.maxPartialMatches).toList
       else next.toList
+    if (deferSkip) drainPending(out)
     out.toIndexedSeq
   }
 
@@ -680,11 +801,21 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
     val out = ArrayBuffer.empty[PatternMatch[E]]
     promote(wm, out)
     pruneExpired(wm)
+    // pruning may have freed a pending candidate's earlier-start blocker
+    if (deferSkip) drainPending(out)
     out.toIndexedSeq
   }
 
-  /** End-of-input flush (batch): every armed absence window elapses. */
-  def flush(): IndexedSeq[PatternMatch[E]] = advanceTime(Long.MaxValue)
+  /** End-of-input flush (batch): every armed absence window elapses and
+    * no live partial can complete, so deferred skip-mode candidates
+    * drain unconditionally. */
+  def flush(): IndexedSeq[PatternMatch[E]] = {
+    val out = ArrayBuffer.empty[PatternMatch[E]]
+    promote(Long.MaxValue, out)
+    pruneExpired(Long.MaxValue)
+    if (deferSkip) drainPending(out, ignoreLive = true)
+    out.toIndexedSeq
+  }
 
   /** Drop partials that can no longer complete at watermark `wm`. */
   def pruneExpired(wm: Long): Unit =

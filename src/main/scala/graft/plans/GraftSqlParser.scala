@@ -546,6 +546,19 @@ private[graft] object MatchRecognizeSql {
       }.mkString("'")
     val prevRe =
       """(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    // a var-qualified argument inside PREV/NEXT would otherwise be
+    // consumed by the cross-variable rewrite first and die later with
+    // an unrelated unresolved-column error (or silently lose the
+    // qualifier) — reject it up front with the actual reason
+    val prevVarRe = """(?i)(?<!\w)(prev|next)\s*\(\s*\w+\s*\.""".r
+    defs.foreach { case (n, d) =>
+      if (prevVarRe.findFirstIn(maskLiterals(d)).isDefined)
+        throw new IllegalArgumentException(
+          s"DEFINE $n: PREV/NEXT take a plain input column — " +
+            "PREV(var.col) is not supported (SQL:2016 PREV/NEXT " +
+            "navigate the input partition independent of pattern-" +
+            "variable bindings, so write PREV(col) instead)")
+    }
     val lagSpecs =
       scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
     // Cross-variable DEFINE references — SQL:2016 running semantics

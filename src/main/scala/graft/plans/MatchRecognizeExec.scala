@@ -174,8 +174,11 @@ case class MatchRecognizeExec(
         skipTo)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
       val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
-      val tieOf: InternalRow => Long =
-        if (skipTo.isEmpty) null else (r: InternalRow) => tieProj(r).getLong(0)
+      // always provided: skip-mode election and the deferred-emission
+      // key comparisons are deterministic on the full (ts, tie) row
+      // identity instead of iteration order among same-ts candidates
+      val tieOf: InternalRow => Long = (r: InternalRow) =>
+        tieProj(r).getLong(0)
       val toUnsafe = UnsafeProjection.create(outTypes)
 
       def emit(keyRow: UnsafeRow, m: PatternMatch[InternalRow]): InternalRow = {

@@ -1146,17 +1146,19 @@ class MatchRecognizeSpec extends SparkSpec {
       .as[(Long, Option[String], Option[Double], Option[Double],
         Option[Int])]
       .collect().toSet
-    // the first completed match is strt=2 (price 8), down=(3)
-    // (suppressed), up=4 (9 > strt's 8 — the CROSS-VARIABLE
-    // comparison); SKIP TO LAST up resumes AT row 4, consuming the
-    // seed-1 partials; rows 1 and 5 end up in no emitted match →
-    // unmatched. MIN(down.price) is the FINAL trough (6) on both
-    // rows; RUNNING COUNT grows 0 → 1.
+    // SQL:2016 leftmost semantics (deferred skip-mode emission with
+    // cross-variable DEFINE): the match STARTING EARLIEST wins even
+    // though the start-2 partial completes first — strt=1 (price 10),
+    // down=(2,3) (suppressed), up=5 (12 > strt's 10, the
+    // CROSS-VARIABLE comparison; the start-2 candidate completing at
+    // row 4 is consumed). SKIP TO LAST up resumes AT row 5; nothing
+    // follows, so only row 4 is unmatched. MIN(down.price) is the
+    // FINAL trough (6); FIRST(w.price) the union's head (10);
+    // RUNNING COUNT grows 0 → 2.
     assert(got == Set(
-      (2L, Some("strt"), Some(6.0), Some(8.0), Some(0)),
-      (4L, Some("up"), Some(6.0), Some(8.0), Some(1)),
-      (1L, None, None, None, None),
-      (5L, None, None, None, None)))
+      (1L, Some("strt"), Some(6.0), Some(10.0), Some(0)),
+      (5L, Some("up"), Some(6.0), Some(10.0), Some(2)),
+      (4L, None, None, None, None)))
   }
 
   test("SUBSET union variables: measures over the merged (ts, tie)-" +
@@ -1245,6 +1247,20 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("not in"))
+    // a pattern-variable-qualified argument inside PREV/NEXT is
+    // rejected with the actual reason (it would otherwise be eaten by
+    // the cross-variable rewrite and die with an unrelated error)
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true, down AS price < PREV(strt.price)
+          |)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("PREV(var.col) is not supported"))
   }
 
   test("RUNNING measures aggregate only the bindings at-or-before the " +

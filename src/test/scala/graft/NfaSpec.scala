@@ -328,6 +328,74 @@ class NfaSpec extends AnyFunSuite {
       (Seq(1L), Seq(2L))))
   }
 
+  test("skip + cross-variable DEFINE: leftmost-starting match wins even " +
+      "when a later-starting partial completes first (deferred emission)") {
+    // probe from SQL:2016 leftmost-rescan semantics: with seed-dependent
+    // predicates the start-2 partial completes at ts=40, while the
+    // start-1 partial only completes at ts=50; the standard's leftmost
+    // rescan emits the start-1 match and the start-2 one is consumed
+    case class V(id: Long, ts: Long, typ: String, v: Long)
+    def ctx(f: (V, String => IndexedSeq[V]) => Boolean) = Some(f)
+    val pat = PatternDef[V](IndexedSeq(
+      Step[V]("a", _.typ == "A"),
+      Step[V]("b", _ => true, ctxPred = ctx((e, c) =>
+        c("a").headOption.exists(a => e.v < a.v))),
+      Step[V]("c", _ => true, ctxPred = ctx((e, c) =>
+        c("a").headOption.exists(a => e.v > a.v)))),
+      skipPastLastRow = true)
+    val evs = Seq(V(1, 10, "A", 10), V(2, 20, "A", 3), V(3, 30, "X", 2),
+      V(4, 40, "X", 5), V(5, 50, "X", 20))
+    val nfa = new Nfa[V](pat, _.ts, _.id)
+    val ms = evs.flatMap(nfa.onEvent) ++ nfa.flush()
+    assert(ms.map(_.startTs) == Seq(10L))
+    assert(ms.head.groups("a").map(_.id) == Seq(1L))
+    assert(ms.head.groups("c").map(_.id) == Seq(5L))
+  }
+
+  test("skip-to + cross-variable DEFINE: matches emit in leftmost order " +
+      "and the resume target keeps the overlapping later match") {
+    case class V(id: Long, ts: Long, typ: String, v: Long)
+    def ctx(f: (V, String => IndexedSeq[V]) => Boolean) = Some(f)
+    val pat = PatternDef[V](IndexedSeq(
+      Step[V]("a", _.typ == "A"),
+      Step[V]("b", _ => true, ctxPred = ctx((e, c) =>
+        c("a").headOption.exists(a => e.v < a.v))),
+      Step[V]("c", _ => true, ctxPred = ctx((e, c) =>
+        c("a").headOption.exists(a => e.v > a.v)))),
+      skipToVar = Some(("b", false)))
+    val evs = Seq(V(1, 10, "A", 10), V(2, 20, "A", 3), V(3, 30, "X", 2),
+      V(4, 40, "X", 5), V(5, 50, "X", 20))
+    val nfa = new Nfa[V](pat, _.ts, _.id)
+    val ms = evs.flatMap(nfa.onEvent) ++ nfa.flush()
+    // start-1 match (b bound row 2, resume AT row 2) emits first; the
+    // start-2 match starts exactly at the resume target and survives
+    assert(ms.map(_.startTs) == Seq(10L, 20L))
+  }
+
+  test("skip past last row elects deterministically by (ts, tie) among " +
+      "same-timestamp candidates") {
+    val pat = AB.copy(skipPastLastRow = true)
+    val nfa = new Nfa[E](pat, _.ts, _.id)
+    val ms = Seq(E(2, 10, "A"), E(1, 10, "A"), E(3, 20, "B"))
+      .flatMap(nfa.onEvent)
+    assert(ms.size == 1)
+    assert(ids(ms.head, "a") == Seq(1L)) // lower tie wins the election
+  }
+
+  test("Cep.step rejects an unmatched horizon shorter than the pattern " +
+      "window") {
+    import graft.cep.Cep
+    assertThrows[IllegalArgumentException] {
+      Cep.step[E](Cep.CepState.empty[E], Nil, 0L, hasWatermark = false,
+        AB.copy(withinMs = Some(100L)), _.ts, _.id,
+        unmatchedWithin = Some(50L))
+    }
+    assertThrows[IllegalArgumentException] {
+      Cep.step[E](Cep.CepState.empty[E], Nil, 0L, hasWatermark = false,
+        AB, _.ts, _.id, unmatchedWithin = Some(50L))
+    }
+  }
+
   test("group head must be non-optional; inner steps must be plain") {
     import graft.cep.GroupSeq
     val bad = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
