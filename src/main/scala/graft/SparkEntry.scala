@@ -934,6 +934,31 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 MATCH_NUMBER(): 1-based sequential match number within
+    // the partition, leftmost-first — a post-operator row_number window
+    // over the match relation (already hash-partitioned on user_id, so
+    // only a local sort is added). Same greedy non-overlapping match
+    // set as q56; the oracle numbers the same chain by match start.
+    "q181_mr_match_number" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_mn_q181")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_mn_q181 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           MATCH_NUMBER() AS mn
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          col("mn").cast("long").as("mn"))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -6804,6 +6829,28 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // the q56 greedy non-overlapping chain, numbered per user by
+    // match start (skip-past matches strictly advance in time, so
+    // (a_us, a_id) order IS the engine's (match_start, match_end))
+    "q181_mr_match_number" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |np AS (SELECT a.user_id, a.a_id, a.a_us, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))),
+        |f AS (SELECT user_id, a_id, b_id, a_us,
+        |    row_number() OVER (PARTITION BY user_id, b_id
+        |      ORDER BY a_us, a_id) AS rk
+        |  FROM np WHERE rn = 1)
+        |SELECT user_id, a_id, b_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY a_us, a_id)
+        |    AS mn
+        |FROM f WHERE rk = 1""".stripMargin,
 
     // four chained rn=1 elections (click, view-or-error, click,
     // view-or-error) then the first later purchase; the per-side

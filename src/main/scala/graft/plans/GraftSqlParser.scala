@@ -166,10 +166,18 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * of group nesting (a quantified group's items may be plain
   * variables, binary alternations, or PERMUTEs — `(a (b|c)
   * PERMUTE(d,e)){m,n}` works; `(((a b) c) d)+` does not), quantified
-  * items INSIDE a group, RUNNING measures in ONE ROW PER MATCH mode
-  * (where every measure is FINAL by definition), and combining
-  * cross-variable DEFINE references with PREV/NEXT in one STREAMING
-  * statement.
+  * items INSIDE a group, and combining cross-variable DEFINE
+  * references with PREV/NEXT in one STREAMING statement.
+  *
+  * `MATCH_NUMBER()` (the last SQL:2016 measure function, after
+  * CLASSIFIER): the 1-based sequential number of the match within its
+  * partition, leftmost-first — computed as a post-operator
+  * `row_number()` window over the match relation (no extra shuffle:
+  * the operator's output is already hash-partitioned on the keys).
+  * Batch only; constant across a match, so `RUNNING MATCH_NUMBER()`
+  * is rejected. A RUNNING prefix in ONE ROW PER MATCH mode is
+  * accepted as an alias for FINAL (the standard: the single output
+  * row is the final row, where RUNNING and FINAL coincide).
   */
 private[graft] object MatchRecognizeSql {
   import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
@@ -743,20 +751,48 @@ private[graft] object MatchRecognizeSql {
             s"MEASURES entries need 'expr AS name': $other")
         }
         // the explicit FINAL prefix is the default semantics — accept
-        // and strip it (SQL:2016 spells FINAL LAST(...) etc.)
+        // and strip it (SQL:2016 spells FINAL LAST(...) etc.); a
+        // RUNNING prefix in ONE ROW PER MATCH mode is likewise an
+        // alias for FINAL (the standard: the one output row IS the
+        // final row, where RUNNING and FINAL coincide)
         val finRe = """(?is)^final\s+(.+)$""".r
         exprTxt match {
-          case runRe(inner) => (alias, inner.trim, true)
+          case runRe(inner) => (alias, inner.trim, allRows)
           case finRe(inner) => (alias, inner.trim, false)
           case _ => (alias, exprTxt, false)
         }
       }
-    require(allRows || parsedMeasures.forall(!_._3),
-      "RUNNING measures need ALL ROWS PER MATCH (in one-row mode every " +
-        "measure is FINAL by definition)")
+    // MATCH_NUMBER(): sequential number of the match within its
+    // partition (1-based, leftmost-first — ties on equal (start, end)
+    // keep a deterministic but arbitrary order). A post-operator
+    // window over the match relation: the operator's output is already
+    // hash-partitioned on the keys, so the planner adds only a local
+    // sort, no extra shuffle. Batch only — a per-partition sequential
+    // counter over an unbounded stream is unbounded state by
+    // definition — and FINAL by nature (constant across the match), so
+    // a RUNNING MATCH_NUMBER is rejected with the reason.
+    val mnRe = """(?i)(?<!\w)match_number\s*\(\s*\)""".r
+    val usesMn = parsedMeasures.exists(pm =>
+      mnRe.findFirstIn(maskLiterals(pm._2)).isDefined)
+    if (usesMn) {
+      require(!src.isStreaming,
+        "MATCH_NUMBER() is only supported on batch tables (numbering " +
+          "every match a partition will ever produce is unbounded " +
+          "state on a stream)")
+      parsedMeasures.filter(_._3).foreach(pm => require(
+        mnRe.findFirstIn(maskLiterals(pm._2)).isEmpty,
+        s"measure '${pm._1}': MATCH_NUMBER() is FINAL by nature (one " +
+          "number per match) — drop the RUNNING prefix"))
+    }
+    val mnSql = s"row_number() over (partition by " +
+      s"${keys.map(k => s"`$k`").mkString(", ")} " +
+      "order by `match_start`, `match_end`)"
+    def rewriteMn(seg: String): String =
+      mnRe.replaceAllIn(seg,
+        java.util.regex.Matcher.quoteReplacement(mnSql))
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
       val t = rewriteOutsideLiterals(et) { seg0 =>
-        var seg = seg0
+        var seg = rewriteMn(seg0)
         for ((v, arr) <- measureBindings) {
           // aggregates over ALL events bound to the variable (or
           // SUBSET union; numeric aggregation runs in double, in bind

@@ -1264,7 +1264,7 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("RUNNING measures aggregate only the bindings at-or-before the " +
-      "row; rejected in one-row mode") {
+      "row; equal FINAL in one-row mode") {
     val df = Seq(
       (1L, 10L, 1L, "click"), (2L, 20L, 1L, "view"),
       (3L, 25L, 1L, "error"),           // skipped, relaxed match
@@ -1297,18 +1297,73 @@ class MatchRecognizeSpec extends SparkSpec {
       (1L, "a", 2, 0, None, None),
       (2L, "v", 2, 1, Some(20.0), Some(2L)),
       (4L, "v", 2, 2, Some(50.0), Some(4L))))
-    val e = intercept[IllegalArgumentException] {
+    // one-row mode: RUNNING is an alias for FINAL (the standard — the
+    // single output row IS the final row, where the two coincide)
+    val oneRow = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_running_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES RUNNING COUNT(v.*) AS run_nv
-          |  PATTERN (a v)
+          |  MEASURES RUNNING COUNT(v.*) AS run_nv, COUNT(v.*) AS fin_nv
+          |  PATTERN (a v{2,2})
           |  DEFINE a AS event_type = 'click',
           |         v AS event_type = 'view'
+          |)""".stripMargin))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(oneRow == Set((1L, 2, 2)))
+  }
+
+  test("MATCH_NUMBER() numbers matches sequentially per partition; " +
+      "FINAL by nature; batch only") {
+    val df = Seq(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "view"),
+      (3L, 30L, 1L, "click"), (4L, 40L, 1L, "view"),
+      (5L, 15L, 2L, "click"), (6L, 25L, 2L, "view"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_mn_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_mn_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, MATCH_NUMBER() AS mn
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view'
+          |)""".stripMargin))
+      .as[(Long, Long, Int)].collect().toSet
+    // user 1 has two non-overlapping matches numbered 1, 2 in start
+    // order; user 2's numbering restarts at 1
+    assert(got == Set((1L, 1L, 1), (1L, 3L, 2), (2L, 5L, 1)))
+    // ALL ROWS: the number repeats on every row of its match
+    val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_mn_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES MATCH_NUMBER() AS mn
+          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view'
+          |)""".stripMargin))
+      .select($"event_id", $"mn").as[(Long, Int)].collect().toSet
+    assert(all == Set((1L, 1), (2L, 1), (3L, 2), (4L, 2),
+      (5L, 1), (6L, 1)))
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_mn_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES RUNNING MATCH_NUMBER() AS mn
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view'
           |)""".stripMargin)
     }
-    assert(e.getMessage.contains("ALL ROWS PER MATCH"))
+    assert(e.getMessage.contains("FINAL by nature"))
   }
 
   test("WITHIN INTERVAL converts through TSSCALE; rejected without it") {
