@@ -959,6 +959,77 @@ object SparkEntry {
           col("mn").cast("long").as("mn"))
     }),
 
+    // Quantified item INSIDE a group — (a+ b){2,2} on the recursive
+    // Rx element (counter-augmented Thompson NFA): each iteration
+    // collects every click up to the next purchase; two full
+    // iterations emit. Deterministic per seed (disjoint predicates →
+    // single automaton path), so the oracle chains rn=1 elections.
+    "q182_mr_rx_quant_inner" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_rx_q182")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_rx_q182 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first, COUNT(a.*) AS n_a,
+          |           LAST(b.event_id) AS b_last
+          |  PATTERN ((a+ b){2,2})
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // Depth-2 PATTERN nesting — ((a b) c){2,2} d on the Rx element:
+    // groups inside a quantified group, then a tail variable. With
+    // {2,2} no intermediate boundary can advance early, so the whole
+    // chain is six deterministic first-later elections (q180's oracle
+    // pattern, two more links).
+    "q183_mr_rx_depth2" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_rx_q183")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_rx_q183 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first,
+          |           LAST(a.event_id) AS a_last,
+          |           LAST(c.event_id) AS c_last, d.event_id AS d_id
+          |  PATTERN (((a b) c){2,2} d)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase',
+          |         d AS event_type = 'error'
+          |)""".stripMargin))
+    }),
+
+    // Reluctant quantifier a+? under SKIP PAST LAST ROW: the lazy
+    // form elects the SHORTEST same-start candidate — a binds only
+    // the segment's first click (greedy a+ would bind them all), so
+    // ALL ROWS emits exactly two rows per match. The match CHAIN
+    // equals q56's greedy non-overlapping pairs (consumption depends
+    // only on the match's start/end rows, which laziness preserves).
+    "q184_mr_reluctant" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_rx_q184")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_rx_q184 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first
+          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a+? b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -6829,6 +6900,127 @@ object SparkEntry {
         |      ORDER BY a_us, a_id) AS rk
         |  FROM np WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM f WHERE rk = 1""".stripMargin,
+
+    // (a+ b){2,2}: per seed click the automaton path is deterministic
+    // (disjoint predicates): a collects every click to the 1st
+    // purchase, b = that purchase, then clicks to the next purchase
+    // AFTER the first post-p1 click, b = that purchase — three chained
+    // rn=1 elections + two correlated range counts
+    "q182_mr_rx_quant_inner" ->
+      """WITH cl AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |pp AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'purchase'),
+        |p1 AS (SELECT * FROM (SELECT s.user_id, s.id AS s_id,
+        |    s.us AS s_us, p.id AS p1_id, p.us AS p1_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.id
+        |      ORDER BY p.us, p.id) AS rn
+        |  FROM cl s JOIN pp p ON s.user_id = p.user_id
+        |    AND (p.us > s.us OR (p.us = s.us AND p.id > s.id)))
+        |  WHERE rn = 1),
+        |c2 AS (SELECT * FROM (SELECT p1.*, c.id AS c2_id, c.us AS c2_us,
+        |    row_number() OVER (PARTITION BY p1.user_id, p1.s_id
+        |      ORDER BY c.us, c.id) AS rn2
+        |  FROM p1 JOIN cl c ON p1.user_id = c.user_id
+        |    AND (c.us > p1.p1_us OR (c.us = p1.p1_us
+        |      AND c.id > p1.p1_id))) WHERE rn2 = 1),
+        |p2 AS (SELECT * FROM (SELECT c2.*, p.id AS p2_id, p.us AS p2_us,
+        |    row_number() OVER (PARTITION BY c2.user_id, c2.s_id
+        |      ORDER BY p.us, p.id) AS rn3
+        |  FROM c2 JOIN pp p ON c2.user_id = p.user_id
+        |    AND (p.us > c2.c2_us OR (p.us = c2.c2_us
+        |      AND p.id > c2.c2_id))) WHERE rn3 = 1)
+        |SELECT m.user_id, m.s_id AS a_first,
+        |  (SELECT count(*) FROM cl c WHERE c.user_id = m.user_id
+        |     AND (c.us > m.s_us OR (c.us = m.s_us AND c.id >= m.s_id))
+        |     AND (c.us < m.p1_us OR (c.us = m.p1_us AND c.id < m.p1_id)))
+        |  + (SELECT count(*) FROM cl c WHERE c.user_id = m.user_id
+        |     AND (c.us > m.p1_us OR (c.us = m.p1_us AND c.id > m.p1_id))
+        |     AND (c.us < m.p2_us OR (c.us = m.p2_us AND c.id < m.p2_id)))
+        |  AS n_a,
+        |  m.p2_id AS b_last
+        |FROM p2 m""".stripMargin,
+
+    // ((a b) c){2,2} d: with {2,2} no early boundary can advance, so
+    // the whole chain is six deterministic first-later elections —
+    // the q180 oracle pattern, two more links
+    "q183_mr_rx_depth2" ->
+      """WITH cl AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |vw AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'view'),
+        |pp AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'purchase'),
+        |er AS (SELECT user_id, event_id AS id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'error'),
+        |l1 AS (SELECT * FROM (SELECT s.user_id, s.id AS s_id,
+        |    s.us AS s_us, v.id AS v1, v.us AS v1_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.id
+        |      ORDER BY v.us, v.id) AS rn
+        |  FROM cl s JOIN vw v ON s.user_id = v.user_id
+        |    AND (v.us > s.us OR (v.us = s.us AND v.id > s.id)))
+        |  WHERE rn = 1),
+        |l2 AS (SELECT * FROM (SELECT l1.*, p.id AS c1, p.us AS c1_us,
+        |    row_number() OVER (PARTITION BY l1.user_id, l1.s_id
+        |      ORDER BY p.us, p.id) AS rn2
+        |  FROM l1 JOIN pp p ON l1.user_id = p.user_id
+        |    AND (p.us > l1.v1_us OR (p.us = l1.v1_us AND p.id > l1.v1)))
+        |  WHERE rn2 = 1),
+        |l3 AS (SELECT * FROM (SELECT l2.*, c.id AS a2, c.us AS a2_us,
+        |    row_number() OVER (PARTITION BY l2.user_id, l2.s_id
+        |      ORDER BY c.us, c.id) AS rn3
+        |  FROM l2 JOIN cl c ON l2.user_id = c.user_id
+        |    AND (c.us > l2.c1_us OR (c.us = l2.c1_us AND c.id > l2.c1)))
+        |  WHERE rn3 = 1),
+        |l4 AS (SELECT * FROM (SELECT l3.*, v.id AS v2, v.us AS v2_us,
+        |    row_number() OVER (PARTITION BY l3.user_id, l3.s_id
+        |      ORDER BY v.us, v.id) AS rn4
+        |  FROM l3 JOIN vw v ON l3.user_id = v.user_id
+        |    AND (v.us > l3.a2_us OR (v.us = l3.a2_us AND v.id > l3.a2)))
+        |  WHERE rn4 = 1),
+        |l5 AS (SELECT * FROM (SELECT l4.*, p.id AS c2, p.us AS c2_us,
+        |    row_number() OVER (PARTITION BY l4.user_id, l4.s_id
+        |      ORDER BY p.us, p.id) AS rn5
+        |  FROM l4 JOIN pp p ON l4.user_id = p.user_id
+        |    AND (p.us > l4.v2_us OR (p.us = l4.v2_us AND p.id > l4.v2)))
+        |  WHERE rn5 = 1),
+        |l6 AS (SELECT * FROM (SELECT l5.*, e.id AS d_id,
+        |    row_number() OVER (PARTITION BY l5.user_id, l5.s_id
+        |      ORDER BY e.us, e.id) AS rn6
+        |  FROM l5 JOIN er e ON l5.user_id = e.user_id
+        |    AND (e.us > l5.c2_us OR (e.us = l5.c2_us AND e.id > l5.c2)))
+        |  WHERE rn6 = 1)
+        |SELECT user_id, s_id AS a_first, a2 AS a_last, c2 AS c_last,
+        |  d_id
+        |FROM l6""".stripMargin,
+
+    // reluctant a+? under SKIP PAST LAST ROW: the match chain equals
+    // q56's greedy non-overlapping pairs; the lazy form binds only
+    // the segment's first click, so ALL ROWS = exactly two rows per
+    // match (the a row and the b row)
+    "q184_mr_reluctant" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |np AS (SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))),
+        |f AS (SELECT user_id, a_id, a_us, b_id, b_us,
+        |    row_number() OVER (PARTITION BY user_id, b_id
+        |      ORDER BY a_us, a_id) AS rk
+        |  FROM np WHERE rn = 1)
+        |SELECT user_id, a_id AS event_id, a_us AS ts_us,
+        |  'click' AS event_type, 'a' AS classifier,
+        |  a_us AS match_start, b_us AS match_end, a_id AS a_first
+        |FROM f WHERE rk = 1
+        |UNION ALL
+        |SELECT user_id, b_id AS event_id, b_us AS ts_us,
+        |  'purchase' AS event_type, 'b' AS classifier,
+        |  a_us AS match_start, b_us AS match_end, a_id AS a_first
+        |FROM f WHERE rk = 1""".stripMargin,
 
     // the q56 greedy non-overlapping chain, numbered per user by
     // match start (skip-past matches strictly advance in time, so

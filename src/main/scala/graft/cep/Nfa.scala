@@ -58,6 +58,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       require(al.minRepeat >= 1, "first alternation must be non-optional")
     case ng: NestedGroup[E] =>
       require(ng.minRepeat >= 1, "first group must be non-optional")
+    case rx: RxElem[E] =>
+      require(!rx.matchesEmpty, "first element must be non-optional")
     case _: Logical[E] | _: Permute[E] => ()
     case _: Absence[E] =>
       throw new IllegalArgumentException(
@@ -110,6 +112,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case GPerm(ss) => ss.exists(sc)
       }
       case a: Absence[E] => sc(a.step)
+      case rx: RxElem[E] => rx.allSteps.exists(sc)
     }
   }
   /** Defer skip-mode emission through [[pendingCands]] (see [[hasCtx]]).
@@ -212,6 +215,34 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
   private def ltKey(a: (Long, Long), b: (Long, Long)): Boolean = !geKey(a, b)
   private def gtKey(a: (Long, Long), b: (Long, Long)): Boolean = ltKey(b, a)
 
+  // --- skip-mode candidate election order ---
+  private val slotReluctant: Array[Boolean] =
+    slotNames.map(pattern.reluctantSlots.contains).toArray
+  /** Candidate preferment: leftmost start first; among equal starts,
+    * walk the slots in declaration order — a greedy slot prefers MORE
+    * bound events, a reluctant (lazy-quantified) slot FEWER; the
+    * first count difference decides (the SQL:2016 preferment
+    * approximated at slot granularity). Final tie on endTs. */
+  private val candOrder: Ordering[PatternMatch[E]] =
+    new Ordering[PatternMatch[E]] {
+      def compare(a: PatternMatch[E], b: PatternMatch[E]): Int = {
+        val ka = startKeyOf(a); val kb = startKeyOf(b)
+        var c = java.lang.Long.compare(ka._1, kb._1)
+        if (c != 0) return c
+        c = java.lang.Long.compare(ka._2, kb._2)
+        if (c != 0) return c
+        var i = 0
+        while (i < slotNames.length) {
+          val ca = a.groups.get(slotNames(i)).map(_.size).getOrElse(0)
+          val cb = b.groups.get(slotNames(i)).map(_.size).getOrElse(0)
+          if (ca != cb)
+            return if (slotReluctant(i)) ca - cb else cb - ca
+          i += 1
+        }
+        java.lang.Long.compare(a.endTs, b.endTs)
+      }
+    }
+
   /** Seed-time predicate (element 0, no partial yet): empty context. */
   private def evalSeed(s: Step[E], e: E): Boolean =
     s.ctxPred match {
@@ -245,6 +276,9 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       // an iteration binds exactly `arity` events (the per-item bind
       // rules enforce it), so curCount % arity == 0 IS the boundary
       p.curCount % ng.arity == 0 && p.curCount / ng.arity >= ng.minRepeat
+    case rx: RxElem[E] =>
+      // configuration (state, counters) can ε-reach the accept state
+      rx.complete(p.curCount, p.rxCnt)
     case _: Absence[E] => false // only time completes an absence
   }
 
@@ -281,7 +315,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       ignoreLive: Boolean = false): Unit = {
     if (pendingCands.isEmpty) return
     var live = partials
-    var pend = pendingCands.sortBy(startKeyOf)
+    var pend = pendingCands.sorted(candOrder)
     var go = true
     while (go && pend.nonEmpty && !terminated) {
       val c = pend.head
@@ -341,6 +375,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case al: AltSeq[E] => np.curCount < al.maxRepeat
         case ng: NestedGroup[E] =>
           np.curCount.toLong < ng.maxRepeat.toLong * ng.arity
+        case rx: RxElem[E] => rx.canConsume(np.curCount, np.rxCnt)
         case _ => false
       }
       if (canGrow) next += np
@@ -546,6 +581,22 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
                 if (complete(p)) keepOriginal = true
               }
             }
+          case rx: RxElem[E] =>
+            // one branch per distinct automaton transition the event
+            // fires from the configuration's ε-closure; the original
+            // stays live only when the element is already complete
+            // (the GroupSeq boundary convention)
+            val branches = rx.eventBranches(p.curCount, p.rxCnt, e,
+              s => evalPred(s, e, p))
+            if (branches.nonEmpty) {
+              branches.foreach { case (st2, c2, off) =>
+                val np = p.copy(curCount = st2, rxCnt = c2,
+                  groups = bound(p, slotBase(p.stepIdx) + off, e))
+                if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+              }
+              moved = true
+              if (complete(p)) keepOriginal = true
+            }
           case a: Absence[E] =>
             // promote() already ran, so t is inside the window here: a
             // qualifying event violates the absence — the partial dies
@@ -644,6 +695,19 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
                   }
                 }
                 if (ngj.minRepeat == 0) j += 1 else scan = false
+              case rxj: RxElem[E] =>
+                val bj = slotBase(j)
+                val branches = rxj.eventBranches(rxj.initState,
+                  rxj.initCnt, e, s => evalPred(s, e, p))
+                branches.foreach { case (st2, c2, off) =>
+                  val np = Partial(j, st2, p.startTs,
+                    bound(p, bj + off, e), elemTs = t,
+                    startTie = p.startTie, rxCnt = c2)
+                  if (!emitIfComplete(np, evOut, t))
+                    addPartial(np, t, next)
+                }
+                if (branches.nonEmpty) moved = true
+                if (rxj.matchesEmpty) j += 1 else scan = false
               case _: Absence[E] =>
                 scan = false
             }
@@ -659,7 +723,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Logical[E] | _: GroupSeq[E] | _: Permute[E] |
-                 _: PermSeq[E] | _: AltSeq[E] | _: NestedGroup[E] =>
+                 _: PermSeq[E] | _: AltSeq[E] | _: NestedGroup[E] |
+                 _: RxElem[E] =>
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Absence[E] => false
@@ -740,6 +805,14 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
+        case rx: RxElem[E] =>
+          rx.eventBranches(rx.initState, rx.initCnt, e,
+            s => evalSeed(s, e)).foreach { case (st2, c2, off) =>
+            val g = Vector.fill(off)(Vector.empty[E]) :+ Vector(e)
+            val np = Partial(0, st2, t, g, elemTs = t,
+              startTie = if (tieOf == null) 0L else tieOf(e), rxCnt = c2)
+            if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
+          }
         case _: Absence[E] => () // unreachable (head require)
       }
     }
@@ -750,10 +823,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       pendingCands = pendingCands ++ evOut
     } else if (skip && evOut.nonEmpty) {
       // the match consumes this event and every live partial overlaps
-      // rows at/before it — emit the leftmost candidate, drop the rest
-      // (startKeyOf: deterministic (ts, tie) election when a tie-break
-      // is configured; plain startTs otherwise)
-      out += evOut.minBy(startKeyOf)
+      // rows at/before it — emit the preferred leftmost candidate,
+      // drop the rest (candOrder: deterministic (ts, tie) start, then
+      // greedy/reluctant slot preferment)
+      out += evOut.min(candOrder)
       next.clear()
     } else if (skipTo.isDefined && evOut.nonEmpty) {
       // SKIP TO FIRST/LAST <var>: iterate candidates leftmost-first;
@@ -761,7 +834,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       // only candidates/partials starting at-or-after it survive —
       // the one-pass equivalent of the standard's rescan-from-target
       val (v, isFirst) = skipTo.get
-      val sorted = evOut.sortBy(startKeyOf)
+      val sorted = evOut.sorted(candOrder)
       var resume: Option[(Long, Long)] = None
       sorted.foreach { m =>
         val sk = startKeyOf(m)

@@ -212,6 +212,212 @@ final case class AltSeq[E](left: Step[E], right: Step[E], minRepeat: Int,
   def names: IndexedSeq[String] = IndexedSeq(left.name, right.name)
 }
 
+/** Regex AST for [[RxElem]] — the fully recursive pattern element that
+  * lifts the structured elements' shape limits: arbitrary nesting
+  * depth, quantified items inside groups, and alternation of
+  * sequences. Leaves are plain one-event [[Step]]s (a quantified leaf
+  * is [[RxVar]] with its own bounds); the same variable name may occur
+  * at several leaves (all occurrences bind into one shared slot).
+  */
+sealed trait RxNode[E] extends Serializable
+/** A variable occurrence consuming `min..max` consecutive qualifying
+  * events (the [[Step]] count-quantifier convention). */
+final case class RxVar[E](step: Step[E], min: Int = 1, max: Int = 1)
+    extends RxNode[E] {
+  require(step.minCount == 1 && step.maxCount == 1 && !step.strict,
+    "Rx leaves must be plain one-event steps (quantify via RxVar)")
+  require(min >= 0 && max >= math.max(min, 1), s"bad rx quantifier {$min,$max}")
+}
+/** Concatenation — items match in order. */
+final case class RxSeq[E](items: IndexedSeq[RxNode[E]]) extends RxNode[E] {
+  require(items.nonEmpty, "rx sequence needs at least one item")
+}
+/** Alternation — exactly one branch matches. */
+final case class RxAlt[E](alts: IndexedSeq[RxNode[E]]) extends RxNode[E] {
+  require(alts.length >= 2, "rx alternation needs at least two branches")
+}
+/** Quantified group — `min..max` sequential iterations of `body`; all
+  * iterations append to the same per-variable slots. */
+final case class RxRep[E](body: RxNode[E], min: Int, max: Int)
+    extends RxNode[E] {
+  require(min >= 0 && max >= math.max(min, 1), s"bad rx quantifier {$min,$max}")
+}
+
+/** Fully recursive pattern element: a counter-augmented Thompson NFA
+  * over [[RxNode]]. One engine [[Partial]] holds ONE automaton
+  * configuration (`curCount` = state id, `rxCnt` = repeat counters);
+  * an event may fire several transitions from the configuration's
+  * ε-closure — each becomes its own branch partial, the engine-wide
+  * convention for exploring match alternatives. Counters saturate at
+  * their relevant bound, so the configuration space (and with it
+  * ε-closure computation) is finite even for unbounded `+`/`*`.
+  *
+  * This subsumes [[GroupSeq]]/[[AltSeq]]/[[PermSeq]]/[[NestedGroup]]
+  * shapes; those stay as cheaper special cases — the SQL compiler
+  * routes a pattern item here only when its shape needs recursion
+  * (nesting depth > 1, quantified inner items, alternation of
+  * sequences).
+  */
+final case class RxElem[E](root: RxNode[E]) extends PatternElem[E] {
+
+  /** Variable occurrences in AST order — one predicate evaluation site
+    * each; several occurrences may share a name (and then a slot). */
+  val occurrences: IndexedSeq[Step[E]] = {
+    val b = Vector.newBuilder[Step[E]]
+    def walk(n: RxNode[E]): Unit = n match {
+      case v: RxVar[E] => b += v.step
+      case s: RxSeq[E] => s.items.foreach(walk)
+      case a: RxAlt[E] => a.alts.foreach(walk)
+      case r: RxRep[E] => walk(r.body)
+    }
+    walk(root)
+    b.result()
+  }
+  def allSteps: Seq[Step[E]] = occurrences
+
+  /** Distinct variable names in first-occurrence order — the element's
+    * slot layout. */
+  val names: IndexedSeq[String] = occurrences.map(_.name).distinct
+
+  /** Slot offset (within this element) of each occurrence. */
+  private val occSlot: Array[Int] =
+    occurrences.map(s => names.indexOf(s.name)).toArray
+
+  // --- compiled automaton ---
+  // ε-edge kinds: FREE plain; RESET c:=0 (entering a repeat); ENTER
+  // guarded c < max (starting an iteration); INC c:=sat(c+1) (an
+  // iteration completed); EXIT guarded c >= min, c:=0 (leaving the
+  // repeat — the reset normalizes configurations for dedup)
+  private final val FREE = 0; private final val RESET = 1
+  private final val ENTER = 2; private final val INC = 3
+  private final val EXIT = 4
+  private val (epsEdges, evEdges, cMin, cMax, initState0, accept) = {
+    val eps = scala.collection.mutable.ArrayBuffer.empty[
+      scala.collection.mutable.ListBuffer[(Int, Int, Int)]]
+    val evs = scala.collection.mutable.ArrayBuffer.empty[
+      scala.collection.mutable.ListBuffer[(Int, Int)]]
+    def newState(): Int = {
+      eps += scala.collection.mutable.ListBuffer.empty
+      evs += scala.collection.mutable.ListBuffer.empty
+      eps.length - 1
+    }
+    val mins = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var occIdx = -1
+    def build(n: RxNode[E], entry: Int, exit: Int): Unit = n match {
+      case v: RxVar[E] =>
+        occIdx += 1
+        val myOcc = occIdx
+        if (v.min == 1 && v.max == 1) evs(entry) += ((myOcc, exit))
+        else {
+          // counted self-loop: entry -RESET-> L; L -ENTER-> mid
+          // -consume-> back -INC-> L; L -EXIT-> exit
+          val c = mins.length; mins += v.min; maxs += v.max
+          val l = newState(); val mid = newState(); val back = newState()
+          eps(entry) += ((RESET, c, l))
+          eps(l) += ((ENTER, c, mid))
+          evs(mid) += ((myOcc, back))
+          eps(back) += ((INC, c, l))
+          eps(l) += ((EXIT, c, exit))
+        }
+      case s: RxSeq[E] =>
+        var cur = entry
+        s.items.zipWithIndex.foreach { case (it, i) =>
+          val nxt = if (i == s.items.length - 1) exit else newState()
+          build(it, cur, nxt)
+          cur = nxt
+        }
+      case a: RxAlt[E] =>
+        a.alts.foreach { alt =>
+          val ae = newState(); val ax = newState()
+          eps(entry) += ((FREE, -1, ae))
+          build(alt, ae, ax)
+          eps(ax) += ((FREE, -1, exit))
+        }
+      case r: RxRep[E] =>
+        val c = mins.length; mins += r.min; maxs += r.max
+        val l = newState()
+        eps(entry) += ((RESET, c, l))
+        val be = newState(); val bx = newState()
+        eps(l) += ((ENTER, c, be))
+        build(r.body, be, bx)
+        eps(bx) += ((INC, c, l))
+        eps(l) += ((EXIT, c, exit))
+    }
+    val st = newState(); val acc = newState()
+    build(root, st, acc)
+    (eps.map(_.toList).toArray, evs.map(_.toList).toArray,
+      mins.toArray, maxs.toArray, st, acc)
+  }
+  val initState: Int = initState0
+  private val cCap: Array[Int] = cMin.indices.map(i =>
+    if (cMax(i) == Int.MaxValue) cMin(i) else cMax(i)).toArray
+
+  val initCnt: IndexedSeq[Int] = Vector.fill(cMin.length)(0)
+
+  /** All configurations ε-reachable from (st, cnt), itself included.
+    * A short/empty counter vector normalizes to [[initCnt]]: partials
+    * enter this element from a generic engine path (absence
+    * promotion) with `curCount = 0` — which IS [[initState]] by
+    * construction — and the default empty `rxCnt`. */
+  private def closure(st: Int, cnt0: IndexedSeq[Int]): List[(Int, IndexedSeq[Int])] = {
+    val cnt = if (cnt0.length == cMin.length) cnt0 else initCnt
+    val seen = scala.collection.mutable.HashSet.empty[(Int, IndexedSeq[Int])]
+    var stack: List[(Int, IndexedSeq[Int])] = (st, cnt) :: Nil
+    var out: List[(Int, IndexedSeq[Int])] = Nil
+    while (stack.nonEmpty) {
+      val cfg = stack.head; stack = stack.tail
+      if (seen.add(cfg)) {
+        out = cfg :: out
+        val (s, c) = cfg
+        epsEdges(s).foreach { case (kind, ci, to) =>
+          kind match {
+            case FREE  => stack = (to, c) :: stack
+            case RESET => stack = (to, c.updated(ci, 0)) :: stack
+            case ENTER => if (c(ci) < cMax(ci)) stack = (to, c) :: stack
+            case INC   =>
+              stack = (to, c.updated(ci,
+                math.min(c(ci) + 1, cCap(ci)))) :: stack
+            case EXIT  =>
+              if (c(ci) >= cMin(ci)) stack = (to, c.updated(ci, 0)) :: stack
+          }
+        }
+      }
+    }
+    out
+  }
+
+  def complete(st: Int, cnt: IndexedSeq[Int]): Boolean =
+    closure(st, cnt).exists(_._1 == accept)
+
+  /** Can the whole element match zero events? */
+  val matchesEmpty: Boolean = complete(initState, initCnt)
+
+  /** Any consuming transition reachable (the element can still grow)? */
+  def canConsume(st: Int, cnt: IndexedSeq[Int]): Boolean =
+    closure(st, cnt).exists(cfg => evEdges(cfg._1).nonEmpty)
+
+  /** Fire event `e` from configuration (st, cnt): one branch per
+    * distinct (state', counters', slot) whose occurrence predicate
+    * accepts the event — `eval` supplies the evaluation (seed or
+    * partial-context). */
+  def eventBranches(st: Int, cnt: IndexedSeq[Int], e: E,
+      eval: Step[E] => Boolean): List[(Int, IndexedSeq[Int], Int)] = {
+    val seen = scala.collection.mutable.HashSet.empty[(Int, IndexedSeq[Int], Int)]
+    var out: List[(Int, IndexedSeq[Int], Int)] = Nil
+    closure(st, cnt).foreach { case (s, c) =>
+      evEdges(s).foreach { case (occ, to) =>
+        val key = (to, c, occSlot(occ))
+        if (!seen(key) && eval(occurrences(occ))) {
+          seen += key
+          out = key :: out
+        }
+      }
+    }
+    out.reverse
+  }
+}
+
 /** `not step for forMs` absence element: armed when the previous element
   * completes (at event time τ); a qualifying event with ts in
   * [τ, τ + forMs) kills the partial; once time reaches τ + forMs the
@@ -248,7 +454,16 @@ final case class PatternDef[E](
       * Requires a `tieOf` on the [[Nfa]] (row identity is (ts, tie))
       * and a pattern without absence elements.
       */
-    skipToVar: Option[(String, Boolean)] = None)
+    skipToVar: Option[(String, Boolean)] = None,
+    /** Variables under a reluctant (lazy) quantifier (`+?` `*?` `??`
+      * `{m,n}?`). In the engine's every-overlap mode all match
+      * alternatives emit, so laziness has no effect there; under the
+      * one-candidate skip modes it flips the same-start election
+      * preference — a reluctant variable's slot prefers FEWER bound
+      * events, a greedy one MORE (declaration-order lexicographic,
+      * the SQL:2016 preferment approximation).
+      */
+    reluctantSlots: Set[String] = Set.empty)
 
 /** A live partial match inside the NFA (also the unit of checkpointed
   * streaming state): index of the element being collected, events
@@ -266,7 +481,11 @@ final case class Partial[E](
       * the total-order row identity of the match start (drives the
       * SKIP TO FIRST/LAST <var> survivor test). 0 when the NFA has no
       * `tieOf`. */
-    startTie: Long = 0L)
+    startTie: Long = 0L,
+    /** Repeat counters when the current element is an [[RxElem]]
+      * (`curCount` then holds the automaton state id); empty
+      * otherwise. */
+    rxCnt: IndexedSeq[Int] = Vector.empty)
 
 /** A completed match: step name → the events bound to it, in order. */
 final case class PatternMatch[E](

@@ -162,12 +162,28 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *
   * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
   * (same output schema, watermark-buffered NFA) and requires the
-  * EVENTTIME clause. Not supported (fail fast): more than one level
-  * of group nesting (a quantified group's items may be plain
-  * variables, binary alternations, or PERMUTEs — `(a (b|c)
-  * PERMUTE(d,e)){m,n}` works; `(((a b) c) d)+` does not), quantified
-  * items INSIDE a group, and combining cross-variable DEFINE
-  * references with PREV/NEXT in one STREAMING statement.
+  * EVENTTIME clause. Not supported (fail fast): combining
+  * cross-variable DEFINE references with PREV/NEXT in one STREAMING
+  * statement, and PERMUTE of more than 4 composite (non-variable)
+  * items (k! ordering expansion).
+  *
+  * PATTERN is parsed by a recursive-descent grammar: arbitrary
+  * nesting depth, quantified items inside groups, alternation of
+  * sequences (`(a b | c d)`), top-level alternation, a variable
+  * occurring at several places (`(a b a)` — occurrences share the
+  * binding slot), and reluctant (lazy) quantifiers `+?` `*?` `??`
+  * `{m,n}?`. Shapes the dedicated structured NFA elements cover
+  * compile to them unchanged (quantified variables, binary
+  * alternations, PERMUTEs, depth-1 groups); anything deeper compiles
+  * to the recursive counter-automaton element
+  * ([[graft.cep.RxElem]]). Inside that element a fireable event
+  * commits (the GroupSeq inner-item convention): alternatives come
+  * from genuinely distinct automaton transitions, not from the
+  * per-step skip-after-min branching of top-level quantifiers.
+  * Reluctant quantifiers bind exactly `min` events (optional growth
+  * is never forced under relaxed row matching, where the tail can
+  * always bind a later row) and prefer the shortest same-start
+  * candidate in the skip modes' election.
   *
   * `MATCH_NUMBER()` (the last SQL:2016 measure function, after
   * CLASSIFIER): the 1-based sequential number of the match within its
@@ -379,6 +395,117 @@ private[graft] object MatchRecognizeSql {
       }
       java.util.regex.Matcher.quoteReplacement(" " + segment + " ")
     })
+    // --- recursive-descent PATTERN parser ---
+    // grammar: alt := seq ('|' seq)* ; seq := item+ ;
+    //          item := primary quant? ; primary := var | '(' alt ')' |
+    //          PERMUTE '(' alt (',' alt)* ')' ;
+    //          quant := (+ | * | ? | {m,n}) '?'?   (trailing ? = lazy)
+    sealed trait PNode
+    case class PVar(name: String) extends PNode
+    case class PPermute(items: Seq[PNode]) extends PNode
+    case class PSeqN(items: Seq[PNode]) extends PNode
+    case class PAltN(alts: Seq[PNode]) extends PNode
+    case class PQuant(body: PNode, min: Int, max: Int,
+      reluctant: Boolean) extends PNode
+    def parsePatternAst(src: String): PNode = {
+      var i = 0
+      val len = src.length
+      def ws(): Unit = while (i < len && src(i).isWhitespace) i += 1
+      def peek: Char = { ws(); if (i < len) src(i) else ' ' }
+      def fail(msg: String): Nothing = throw new IllegalArgumentException(
+        s"bad PATTERN: $msg (at '…${src.substring(math.min(i, len))}')")
+      def ident(): String = {
+        ws(); val s = i
+        while (i < len && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        if (i == s) fail("expected a variable name")
+        src.substring(s, i)
+      }
+      def number(): Int = {
+        ws(); val s = i
+        while (i < len && src(i).isDigit) i += 1
+        if (i == s) fail("expected a number")
+        src.substring(s, i).toInt
+      }
+      def quant(body: PNode): PNode = {
+        val bounds: Option[(Int, Int)] = peek match {
+          case '+' => i += 1; Some((1, Int.MaxValue))
+          case '*' => i += 1; Some((0, Int.MaxValue))
+          case '?' => i += 1; Some((0, 1))
+          case '{' =>
+            i += 1
+            val mn = number()
+            if (peek != ',') fail("expected ',' in {m,n}")
+            i += 1
+            val mx = number()
+            if (peek != '}') fail("expected '}' in {m,n}")
+            i += 1
+            require(mx >= math.max(mn, 1), s"bad quantifier {$mn,$mx}")
+            Some((mn, mx))
+          case _ => None
+        }
+        bounds match {
+          case None => body
+          case Some((mn, mx)) =>
+            // trailing '?' = reluctant (lazy) form
+            val rel = peek == '?' && { i += 1; true }
+            PQuant(body, mn, mx, rel)
+        }
+      }
+      def primary(): PNode = peek match {
+        case '(' =>
+          i += 1
+          val a = alt()
+          if (peek != ')') fail("expected ')'")
+          i += 1
+          a
+        case c if c.isLetter || c == '_' =>
+          val id = ident()
+          if (id.equalsIgnoreCase("permute") && peek == '(') {
+            i += 1
+            val items = scala.collection.mutable.ArrayBuffer(alt())
+            while (peek == ',') { i += 1; items += alt() }
+            if (peek != ')') fail("expected ')' closing PERMUTE")
+            i += 1
+            require(items.length >= 2,
+              s"PERMUTE needs at least 2 items (got ${items.length})")
+            PPermute(items.toSeq)
+          } else PVar(id)
+        case _ => fail("expected a variable, '(' or PERMUTE(")
+      }
+      def atEnd: Boolean = { ws(); i >= len }
+      def seqStop: Boolean =
+        atEnd || peek == '|' || peek == ')' || peek == ','
+      def seq(): PNode = {
+        val items = scala.collection.mutable.ArrayBuffer.empty[PNode]
+        while (!seqStop) items += quant(primary())
+        if (items.isEmpty) fail("empty pattern sequence")
+        if (items.length == 1) items.head else PSeqN(items.toSeq)
+      }
+      def alt(): PNode = {
+        val alts = scala.collection.mutable.ArrayBuffer(seq())
+        while (peek == '|') { i += 1; alts += seq() }
+        if (alts.length == 1) alts.head else PAltN(alts.toSeq)
+      }
+      val root = alt()
+      if (!atEnd) fail("trailing input")
+      root
+    }
+    def pnVars(n: PNode): Seq[String] = n match {
+      case PVar(v) => Seq(v)
+      case PPermute(is) => is.flatMap(pnVars)
+      case PSeqN(is) => is.flatMap(pnVars)
+      case PAltN(as) => as.flatMap(pnVars)
+      case PQuant(b, _, _, _) => pnVars(b)
+    }
+    def pnReluctant(n: PNode): Seq[String] = n match {
+      case PQuant(b, _, _, rel) =>
+        (if (rel) pnVars(b) else Nil) ++ pnReluctant(b)
+      case PPermute(is) => is.flatMap(pnReluctant)
+      case PSeqN(is) => is.flatMap(pnReluctant)
+      case PAltN(as) => as.flatMap(pnReluctant)
+      case _: PVar => Nil
+    }
+
     sealed trait PatElem
     case class Single(name: String, min: Int, max: Int) extends PatElem
     case class Alt(leftName: String, rightName: String) extends PatElem
@@ -395,89 +522,74 @@ private[graft] object MatchRecognizeSql {
     case class NPerm(names: Seq[String]) extends NItem
     case class GrpN(items: Seq[NItem], min: Int, max: Int)
       extends PatElem
-    val altRe = """\(\s*(\w+)\s*\|\s*(\w+)\s*\)""".r
-    val altQRe =
-      """\(\s*(\w+)\s*\|\s*(\w+)\s*\)(\+|\*|\?|\{(\d+),(\d+)\})""".r
-    val permRe = """(?i)permute\(([^()]*)\)""".r
-    val permQRe =
-      """(?i)permute\(([^()]*)\)(\+|\*|\?|\{(\d+),(\d+)\})""".r
-    val grpRe = """\(([^()|]*)\)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
-    // nested group: outer parens whose body may contain ONE level of
-    // inner parens (alternations / PERMUTEs); quantifier mandatory or
-    // absent like grpRe
-    val nestedRe =
-      """\(((?:[^()]|\([^()]*\))*)\)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
-    def quantBounds(q: String, mn: String, mx: String): (Int, Int) =
-      q match {
-        case null => (1, 1)
-        case "+" => (1, Int.MaxValue)
-        case "*" => (0, Int.MaxValue)
-        case "?" => (0, 1)
-        case _ => (mn.toInt, mx.toInt)
+    /** Anything beyond the structured shapes — compiled to the
+      * recursive [[MatchRecognize.ERx]] element. */
+    case class RxP(node: PNode) extends PatElem
+
+    // classification: the proven structured elements for the shapes
+    // they cover (identical behavior to prior rounds), the recursive
+    // Rx element for everything else (deeper nesting, quantified
+    // items inside groups, alternation of sequences, reluctant inner
+    // quantifiers)
+    def asPlainVar(n: PNode): Option[String] = n match {
+      case PVar(v) => Some(v)
+      case _ => None
+    }
+    def allPlain(ns: Seq[PNode]): Option[Seq[String]] = {
+      val vs = ns.map(asPlainVar)
+      if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+    }
+    def asNItem(n: PNode): Option[NItem] = n match {
+      case PVar(v) => Some(NVar(v))
+      case PAltN(Seq(PVar(l), PVar(r))) => Some(NAlt(l, r))
+      case PPermute(is) => allPlain(is).map(NPerm(_))
+      case _ => None
+    }
+    // reluctant (lazy) quantifier semantics under the engine's relaxed
+    // (skip-till-next-match) matching: optional growth is NEVER forced
+    // (the tail can always bind a later event), so the lazy form binds
+    // exactly `min` events (min 0 → at most one, with the skip-mode
+    // election preferring the zero-width variant). This also bounds
+    // state: the greedy form's branch-per-extension exploration never
+    // starts.
+    def lazyMax(mn: Int, mx: Int, rel: Boolean): Int =
+      if (rel) math.max(mn, 1) else mx
+    def classify(item: PNode): PatElem = item match {
+      case PVar(n) => Single(n, 1, 1)
+      case PQuant(PVar(n), mn, mx, rel) =>
+        Single(n, mn, lazyMax(mn, mx, rel))
+      case PPermute(is) => allPlain(is) match {
+        case Some(vs) if vs.length == 2 => Perm(vs(0), vs(1))
+        case Some(vs) => PermN(vs)
+        case None => RxP(item)
       }
-    def permVars(vars: String): Seq[String] = {
-      val vs = vars.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(vs.forall(_.matches("\\w+")),
-        s"bad PERMUTE variables: $vars")
-      require(vs.length >= 2,
-        s"PERMUTE needs at least 2 variables (got ${vs.length}: $vars)")
-      vs
+      case PQuant(p @ PPermute(is), mn, mx, rel) => allPlain(is) match {
+        case Some(vs) => PermQ(vs, mn, lazyMax(mn, mx, rel))
+        case None => RxP(item)
+      }
+      case PAltN(Seq(PVar(l), PVar(r))) => Alt(l, r)
+      case PQuant(PAltN(Seq(PVar(l), PVar(r))), mn, mx, rel) =>
+        AltQ(l, r, mn, lazyMax(mn, mx, rel))
+      case PSeqN(is) => classify(PQuant(PSeqN(is), 1, 1, false))
+      case PQuant(PSeqN(is), mn, mx, rel) =>
+        allPlain(is) match {
+          case Some(vs) => Grp(vs, mn, lazyMax(mn, mx, rel))
+          case None =>
+            val nitems = is.map(asNItem)
+            if (nitems.forall(_.isDefined))
+              GrpN(nitems.flatten, mn, lazyMax(mn, mx, rel))
+            else RxP(item)
+        }
+      case _ => RxP(item)
     }
-    val patElems: Seq[PatElem] = splitTopLevel(inner, ' ').map {
-      case permQRe(vars, q, mn, mx) =>
-        // quantified PERMUTE — each iteration binds one event per
-        // variable in any order (PermSeq element)
-        val (lo, hi) = quantBounds(q, mn, mx)
-        PermQ(permVars(vars), lo, hi)
-      case altQRe(l, r, q, mn, mx) =>
-        // quantified alternation — one event per iteration to
-        // whichever side matches (AltSeq element)
-        val (lo, hi) = quantBounds(q, mn, mx)
-        AltQ(l, r, lo, hi)
-      case permRe(vars) =>
-        val vs = permVars(vars)
-        // binary PERMUTE keeps riding the Logical element (q33/q166's
-        // proven path); 3+ variables compile to the n-ary Permute
-        if (vs.length == 2) Perm(vs(0), vs(1)) else PermN(vs)
-      case altRe(l, r) => Alt(l, r)
-      case quantRe(name, q, mn, mx) =>
-        val (lo, hi) = quantBounds(q, mn, mx)
-        Single(name, lo, hi)
-      case grpRe(vars, q, mn, mx) if vars.trim.matches("""\w+(\s+\w+)+""") =>
-        val (lo, hi) = quantBounds(q, mn, mx)
-        require(hi >= 1, "group quantifier needs max >= 1")
-        Grp(vars.trim.split("\\s+").toSeq, lo, hi)
-      case nestedRe(inner, q, mn, mx)
-          if inner.trim.nonEmpty =>
-        // groups nested in groups: the iteration sequence may mix
-        // plain variables, binary alternations and PERMUTEs — one
-        // nesting level (deeper nesting or quantified inner items
-        // stay rejected)
-        val (lo, hi) = quantBounds(q, mn, mx)
-        require(hi >= 1, "group quantifier needs max >= 1")
-        val items = splitTopLevel(inner.trim
-            .replaceAll("""(?i)(?<!\w)permute\s*\(""", "permute("), ' ')
-          .map {
-            case permRe(vars) => NPerm(permVars(vars))
-            case altRe(l, r) => NAlt(l, r)
-            case v if v.matches("\\w+") => NVar(v)
-            case other => throw new IllegalArgumentException(
-              s"bad nested-group item: $other (items must be plain " +
-                "variables, binary alternations '(x|y)', or " +
-                "'PERMUTE(x,…)' — no quantifiers, no deeper nesting)")
-          }
-        // all-plain-variable groups ride the proven GroupSeq element
-        if (items.forall(_.isInstanceOf[NVar]))
-          Grp(items.collect { case NVar(n) => n }, lo, hi)
-        else GrpN(items, lo, hi)
-      case other => throw new IllegalArgumentException(
-        s"bad PATTERN element: $other (variables may carry + * ? {m,n}; " +
-          "groups: a binary alternation '(x|y)' or 'PERMUTE(x,…)' — " +
-          "each optionally quantified +/*/?/{m,n} — or a quantified " +
-          "sequence '(items…)+/*/?/{m,n}' whose items are plain " +
-          "variables, binary alternations, or PERMUTEs)")
+    val patAst = parsePatternAst(inner)
+    val reluctantVars: Set[String] = pnReluctant(patAst).toSet
+    val topItems: Seq[PNode] = patAst match {
+      case PSeqN(is) => is
+      case single => Seq(single)
     }
-    val varNames = patElems.flatMap {
+    val patElems0: Seq[PatElem] = topItems.map(classify)
+    def elemNames(e: PatElem): Seq[String] = e match {
       case Single(n, _, _) => Seq(n)
       case Alt(l, r) => Seq(l, r)
       case AltQ(l, r, _, _) => Seq(l, r)
@@ -490,9 +602,17 @@ private[graft] object MatchRecognizeSql {
         case NAlt(l, r) => Seq(l, r)
         case NPerm(ns) => ns
       }
+      case RxP(node) => pnVars(node).distinct
     }
-    require(varNames.distinct.length == varNames.length,
-      "duplicate PATTERN variables")
+    // a variable occurring in several top-level elements (SQL:2016
+    // allows e.g. `(a b a)`) cannot ride the structured elements'
+    // one-slot-per-element layout — compile the WHOLE pattern as one
+    // recursive element instead
+    val patElems: Seq[PatElem] =
+      if (patElems0.flatMap(elemNames).distinct.length ==
+          patElems0.flatMap(elemNames).length) patElems0
+      else Seq(RxP(patAst))
+    val varNames = patElems.flatMap(elemNames).distinct
     skipToVar.foreach { case (v, _) =>
       require(varNames.contains(v),
         s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable " +
@@ -635,6 +755,24 @@ private[graft] object MatchRecognizeSql {
 
     def pred(n: String): Column =
       GraftSqlBridge.column(delegate.parseExpression(defs2(n)))
+    def toERx(n: PNode): MatchRecognize.ERxNode = n match {
+      case PVar(v) => MatchRecognize.ERxVar(v, pred(v), 1, 1)
+      case PQuant(PVar(v), mn, mx, rel) =>
+        MatchRecognize.ERxVar(v, pred(v), mn, lazyMax(mn, mx, rel))
+      case PQuant(b, mn, mx, rel) =>
+        MatchRecognize.ERxRep(toERx(b), mn, lazyMax(mn, mx, rel))
+      case PSeqN(is) => MatchRecognize.ERxSeq(is.map(toERx))
+      case PAltN(as) => MatchRecognize.ERxAlt(as.map(toERx))
+      case PPermute(is) =>
+        // PERMUTE of non-plain items: k! ordering expansion over
+        // shared slots — bounded to keep the automaton small (plain
+        // PERMUTEs ride the dedicated n-ary elements instead)
+        require(is.length <= 4,
+          s"PERMUTE of composite items supports at most 4 members " +
+            s"(k! ordering expansion), got ${is.length}")
+        MatchRecognize.ERxAlt(is.permutations.map(p =>
+          MatchRecognize.ERxSeq(p.map(toERx))).toSeq)
+    }
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) => MatchRecognize.EStep(n, pred(n), mn, mx)
       case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
@@ -654,6 +792,7 @@ private[graft] object MatchRecognizeSql {
           case NPerm(ns) =>
             MatchRecognize.EGPerm(ns.map(n => n -> pred(n)))
         }, mn, mx)
+      case RxP(node) => MatchRecognize.ERx(toERx(node))
     }
     // batch: PREV/NEXT precompute as lag/lead columns sharing the
     // operator's shuffle+sort; streaming: they feed from the watermark
@@ -685,14 +824,15 @@ private[graft] object MatchRecognizeSql {
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
-          withUnmatched = unmatchedRows)
+          withUnmatched = unmatchedRows, reluctantVars = reluctantVars)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")
         // TSSCALE is allowed on batch solely as the WITHIN INTERVAL
         // conversion factor
         MatchRecognize(srcM, keys, tsCol, tieCol, elems, within,
-          skipPastLastRow = skipPastLast, skipToVar = skipToVar)
+          skipPastLastRow = skipPastLast, skipToVar = skipToVar,
+          reluctantVars = reluctantVars)
       }
 
     // MEASURES: textual rewrite of var.col / FIRST/LAST/MIN/MAX

@@ -77,6 +77,33 @@ final case class NestedGroupSpec(items: Seq[NgItemSpec], minRepeat: Int,
   def arity: Int = names.length
 }
 
+/** Pure-data regex AST for [[RxSpec]] — the plan-layer mirror of
+  * [[graft.cep.RxNode]]; leaves are variable occurrences, each
+  * consuming one predicate from the node's flat list in AST order
+  * (the same name may occur at several leaves — shared slot). */
+sealed trait RxSpecNode extends Serializable
+final case class RxVarSpec(name: String, min: Int = 1, max: Int = 1)
+    extends RxSpecNode
+final case class RxSeqSpec(items: Seq[RxSpecNode]) extends RxSpecNode
+final case class RxAltSpec(alts: Seq[RxSpecNode]) extends RxSpecNode
+final case class RxRepSpec(body: RxSpecNode, min: Int, max: Int)
+    extends RxSpecNode
+/** Fully recursive pattern element ([[graft.cep.RxElem]] semantics):
+  * arbitrary nesting depth, quantified inner items, alternation of
+  * sequences. */
+final case class RxSpec(root: RxSpecNode) extends MatchElemSpec {
+  private def occs(n: RxSpecNode): Seq[String] = n match {
+    case RxVarSpec(nm, _, _) => Seq(nm)
+    case RxSeqSpec(is) => is.flatMap(occs)
+    case RxAltSpec(as) => as.flatMap(occs)
+    case RxRepSpec(b, _, _) => occs(b)
+  }
+  /** Distinct names in first-occurrence order (slot layout). */
+  def names: Seq[String] = occs(root).distinct
+  /** Predicates consumed = variable OCCURRENCES (not distinct names). */
+  def arity: Int = occs(root).length
+}
+
 /** One cross-variable reference inside a DEFINE predicate
   * (`FIRST(a.price)` / `LAST(a.price)`): at evaluation time the value
   * is read from the partial match's bound events of `varName` (column
@@ -123,7 +150,10 @@ case class MatchRecognizeNode(
       * `predicates` (empty inner seq = plain per-event predicate). */
     ctxRefs: Seq[Seq[CtxRefSpec]] = Nil,
     /** AFTER MATCH SKIP TO [FIRST|LAST] <var>: (varName, isFirst). */
-    skipToVar: Option[(String, Boolean)] = None) extends UnaryNode {
+    skipToVar: Option[(String, Boolean)] = None,
+    /** Variables under reluctant (lazy) quantifiers — flips the
+      * skip-mode same-start election preference for their slots. */
+    reluctantVars: Seq[String] = Nil) extends UnaryNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -194,6 +224,43 @@ object MatchRecognize {
     */
   final case class EGroupN(items: Seq[EGItem], minRepeat: Int,
       maxRepeat: Int) extends Elem
+  /** Recursive regex element leaves/combinators — arbitrary nesting
+    * depth, quantified inner items, alternation of sequences
+    * ([[graft.cep.RxElem]] semantics). A variable may occur at several
+    * leaves (e.g. a PERMUTE expansion); occurrences share the slot,
+    * each with its own predicate evaluation site. */
+  sealed trait ERxNode
+  final case class ERxVar(name: String, pred: Column, min: Int = 1,
+      max: Int = 1) extends ERxNode
+  final case class ERxSeq(items: Seq[ERxNode]) extends ERxNode
+  final case class ERxAlt(alts: Seq[ERxNode]) extends ERxNode
+  final case class ERxRep(body: ERxNode, min: Int, max: Int)
+      extends ERxNode
+  final case class ERx(root: ERxNode) extends Elem
+
+  private def erxOccs(n: ERxNode): Seq[(String, Column)] = n match {
+    case ERxVar(nm, p, _, _) => Seq(nm -> p)
+    case ERxSeq(is) => is.flatMap(erxOccs)
+    case ERxAlt(as) => as.flatMap(erxOccs)
+    case ERxRep(b, _, _) => erxOccs(b)
+  }
+  private def erxSpec(n: ERxNode): RxSpecNode = n match {
+    case ERxVar(nm, _, mn, mx) => RxVarSpec(nm, mn, mx)
+    case ERxSeq(is) => RxSeqSpec(is.map(erxSpec))
+    case ERxAlt(as) => RxAltSpec(as.map(erxSpec))
+    case ERxRep(b, mn, mx) => RxRepSpec(erxSpec(b), mn, mx)
+  }
+  /** Build the cep-side [[graft.cep.RxNode]] from a spec, drawing one
+    * step per occurrence from `mk` in AST order. */
+  private[plans] def rxFromSpec[T](n: RxSpecNode,
+      mk: String => graft.cep.Step[T]): graft.cep.RxNode[T] = n match {
+    case RxVarSpec(nm, mn, mx) => graft.cep.RxVar(mk(nm), mn, mx)
+    case RxSeqSpec(is) =>
+      graft.cep.RxSeq(is.map(rxFromSpec(_, mk)).toIndexedSeq)
+    case RxAltSpec(as) =>
+      graft.cep.RxAlt(as.map(rxFromSpec(_, mk)).toIndexedSeq)
+    case RxRepSpec(b, mn, mx) => graft.cep.RxRep(rxFromSpec(b, mk), mn, mx)
+  }
 
   /** @param tsCol    event-time column (LongType, any unit — `withinTs` /
     *                 `ENotFor.forTs` are in the same unit)
@@ -203,7 +270,8 @@ object MatchRecognize {
       tieCol: String, pattern: Seq[Elem], withinTs: Option[Long] = None,
       every: Boolean = true, maxPartials: Int = 1024,
       skipPastLastRow: Boolean = false,
-      skipToVar: Option[(String, Boolean)] = None): DataFrame = {
+      skipToVar: Option[(String, Boolean)] = None,
+      reluctantVars: Set[String] = Set.empty): DataFrame = {
     // a streaming frame would re-plan the exec per micro-batch with a
     // FRESH NFA — patterns straddling batches would silently never match
     require(!df.isStreaming,
@@ -256,6 +324,8 @@ object MatchRecognize {
             case EGAlt(_, lp, _, rp) => Seq(resolve(lp), resolve(rp))
             case EGPerm(ss) => ss.map(x => resolve(x._2))
           })
+      case ERx(root) =>
+        (RxSpec(erxSpec(root)), erxOccs(root).map(o => resolve(o._2)))
     }.unzip
     val preds = predRefs.map(_.map(_._1))
     val ctxRefs = predRefs.flatMap(_.map(_._2))
@@ -296,7 +366,7 @@ object MatchRecognize {
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, attr(tieCol), preds.flatten, specs,
       withinTs, every, maxPartials, skipPastLastRow, outAttrs, child,
-      ctxRefs, skipToVar))
+      ctxRefs, skipToVar, reluctantVars.toSeq.sorted))
   }
 
   private[plans] val CvMarker = "_mr_cv"
@@ -409,6 +479,7 @@ object MatchRecognize {
         case EGAlt(l, _, r, _) => Seq(l, r)
         case EGPerm(ss) => ss.map(_._1)
       }
+      case ERx(root) => erxOccs(root).map(_._1).distinct
     }
 
   /** ALL ROWS PER MATCH shaping: explode a one-row-per-match frame (the
@@ -575,6 +646,7 @@ object MatchRecognize {
         case EGAlt(_, lp, _, rp) => Seq(lp, rp)
         case EGPerm(ss) => ss.map(_._2)
       }
+      case ERx(root) => erxOccs(root).map(_._2)
     }
     requireNoCtxRefs(df.sparkSession, predCols, "streaming()")
     val flags = array(predCols.map(p => coalesce(p.cast("boolean"),
@@ -627,6 +699,11 @@ object MatchRecognize {
             graft.cep.GPerm[Row](ss.map(x =>
               flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
         }.toIndexedSeq, mn, mx)
+      case ERx(root) =>
+        // occurrence order == predCols order, so each flagStep call
+        // consumes the matching flag slot
+        graft.cep.RxElem[Row](rxFromSpec[Row](erxSpec(root),
+          nm => flagStep(nm, 1, 1, strict = false)))
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow, skipToVar)
@@ -703,7 +780,10 @@ object MatchRecognize {
         * nullable: an unmatched input row emits as `(keys, NULL,
         * NULL, empty slots…, ev)` once the watermark passes its
         * ts + within. */
-      withUnmatched: Boolean = false): DataFrame = {
+      withUnmatched: Boolean = false,
+      /** Variables under reluctant (lazy) quantifiers — flips the
+        * skip-mode same-start election preference for their slots. */
+      reluctantVars: Set[String] = Set.empty): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -741,6 +821,7 @@ object MatchRecognize {
         case EGAlt(_, lp, _, rp) => Seq(lp, rp)
         case EGPerm(ss) => ss.map(_._2)
       }
+      case ERx(root) => erxOccs(root).map(_._2)
     }
     val rowType = df.schema
     // cross-variable references (cvFirst/cvLast markers): resolved per
@@ -872,6 +953,11 @@ object MatchRecognize {
             graft.cep.GPerm[Row](ss.map(x =>
               flagStep(x._1, 1, 1, strict = false)).toIndexedSeq)
         }.toIndexedSeq, mn, mx)
+      case ERx(root) =>
+        // occurrence order == predCols order, so each flagStep call
+        // consumes the matching flag slot
+        graft.cep.RxElem[Row](rxFromSpec[Row](erxSpec(root),
+          nm => flagStep(nm, 1, 1, strict = false)))
     }.toIndexedSeq
     // referenced variables must exist in the pattern (typo guard —
     // the batch builder enforces the same)
@@ -881,7 +967,7 @@ object MatchRecognize {
       s"cross-variable reference(s) to unknown pattern variable(s): " +
         cvVars.filterNot(patVarsS).distinct.mkString(", "))
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
-      skipPastLastRow, skipToVar)
+      skipPastLastRow, skipToVar, reluctantVars)
     val slotNames = pElems.flatMap(_.names)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]

@@ -20,7 +20,7 @@ object MatchRecognizeStrategy extends SparkStrategy {
     case m: MatchRecognizeNode =>
       MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
         m.withinTs, m.every, m.maxPartials, m.skipPastLastRow, m.outAttrs,
-        planLater(m.child), m.ctxRefs, m.skipToVar) :: Nil
+        planLater(m.child), m.ctxRefs, m.skipToVar, m.reluctantVars) :: Nil
     case _ => Nil
   }
 }
@@ -51,7 +51,8 @@ case class MatchRecognizeExec(
     outAttrs: Seq[Attribute],
     child: SparkPlan,
     ctxRefs: Seq[Seq[CtxRefSpec]] = Nil,
-    skipToVar: Option[(String, Boolean)] = None) extends UnaryExecNode {
+    skipToVar: Option[(String, Boolean)] = None,
+    reluctantVars: Seq[String] = Nil) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
 
@@ -90,6 +91,7 @@ case class MatchRecognizeExec(
     val outTypes = output.map(_.dataType).toArray
     val ctxRefSpecs = ctxRefs
     val skipTo = skipToVar
+    val reluctant = reluctantVars.toSet
     val tieExpr = tie
     val matchMetric = longMetric("numMatches")
     val groupMetric = longMetric("numGroups")
@@ -169,9 +171,14 @@ case class MatchRecognizeExec(
               graft.cep.GPerm(ns.map(n =>
                 mkStep(n, 1, 1, strict = false)).toIndexedSeq)
           }.toIndexedSeq, mn, mx)
+        case RxSpec(root) =>
+          // occurrence order == predicates order (mkStep consumes one
+          // predicate per call)
+          graft.cep.RxElem(MatchRecognize.rxFromSpec[InternalRow](root,
+            nm => mkStep(nm, 1, 1, strict = false)))
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR,
-        skipTo)
+        skipTo, reluctant)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
       val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
       // always provided: skip-mode election and the deferred-emission

@@ -170,10 +170,16 @@ class ExtensionsSpec extends SparkSpec {
     val parser = new GraftSqlParser(spark.sessionState.sqlParser, spark)
     def bad(stmt: String): Unit =
       assertThrows[IllegalArgumentException](parser.parsePlan(stmt))
-    // alternation in PATTERN
+    // stray token in PATTERN (top-level alternation `a | b` is
+    // SUPPORTED since the recursive pattern parser — MatchRecognizeSpec)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
-          | MEASURES a.event_id AS x PATTERN (a | b)
+          | MEASURES a.event_id AS x PATTERN (a !)
+          | DEFINE a AS true, b AS true)""".stripMargin)
+    // inverted {m,n} quantifier bounds
+    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+          | PARTITION BY user_id ORDER BY ts_us
+          | MEASURES a.event_id AS x PATTERN (a{3,2} b)
           | DEFINE a AS true, b AS true)""".stripMargin)
     // cross-variable DEFINE reference to a column not in the table
     // (var.col itself IS supported now — MatchRecognizeSpec)
@@ -202,12 +208,16 @@ class ExtensionsSpec extends SparkSpec {
           | ONE ROW PER MATCH
           | ALL ROWS PER MATCH
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
-    // one nesting level is supported now; TWO levels stay rejected
+    // arbitrary nesting depth is supported now (recursive Rx element,
+    // MatchRecognizeSpec); a PERMUTE of >4 composite items stays
+    // rejected (k! ordering expansion bound)
     bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
-          | MEASURES a.event_id AS x PATTERN (a (((b|c) d) e)+)
+          | MEASURES a.event_id AS x
+          | PATTERN (PERMUTE((a b), (c d), (e f), (g h), (i j)))
           | DEFINE a AS true, b AS true, c AS true, d AS true,
-          |        e AS true)""".stripMargin)
+          |        e AS true, f AS true, g AS true, h AS true,
+          |        i AS true, j AS true)""".stripMargin)
     // interval syntax in WITHIN gets the contextual error
     val err = intercept[IllegalArgumentException](parser.parsePlan(
       """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (

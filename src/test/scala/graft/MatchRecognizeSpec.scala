@@ -164,9 +164,25 @@ class MatchRecognizeSpec extends SparkSpec {
         // constraint) — remap head draws 4..8 onto the round-11/12
         // group/permute/alternation elements, which ARE valid heads
         // (their generators keep minRepeat >= 1)
-        val draw0 = r.nextInt(if (i == 0) 9 else 11)
+        val draw0 = r.nextInt(if (i == 0) 10 else 12)
         val draw = if (i == 0 && draw0 >= 4) draw0 + 2 else draw0
         draw match {
+          case 11 =>
+            // recursive Rx element (v1{im,ix} v2){gm,gx} — round-13
+            import graft.cep.{RxElem, RxRep, RxSeq, RxVar}
+            val (t1, t2) = (typ(), typ())
+            val im = 1 + r.nextInt(2); val ix = im + r.nextInt(2)
+            val gm = 1 + r.nextInt(2); val gx = gm + r.nextInt(2)
+            (MatchRecognize.ERx(MatchRecognize.ERxRep(
+                MatchRecognize.ERxSeq(Seq(
+                  MatchRecognize.ERxVar(s"s${i}ra",
+                    $"event_type" === t1, im, ix),
+                  MatchRecognize.ERxVar(s"s${i}rb",
+                    $"event_type" === t2))), gm, gx)): Elem,
+              RxElem[REv](RxRep(RxSeq(IndexedSeq[graft.cep.RxNode[REv]](
+                RxVar(Step[REv](s"s${i}ra", _.event_type == t1), im, ix),
+                RxVar(Step[REv](s"s${i}rb", _.event_type == t2)))),
+                gm, gx)): PatternElem[REv])
           case 8 =>
             // quantified PERMUTE — round-12 element
             val (t1, t2) = (typ(), typ())
@@ -1508,6 +1524,171 @@ class MatchRecognizeSpec extends SparkSpec {
         .select($"user_id", $"a_first", $"n_b")
         .as[(Long, Long, Int)].collect().toSet
       assert(rows == Set((1L, 1L, 2)))
+    } finally q.stop()
+  }
+
+  test("SQL pattern: quantified item inside a group — (a+ b){2,2}") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "A"), (3L, 30L, 1L, "B"),
+      (4L, 40L, 1L, "A"), (5L, 50L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_rx_qinner_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_rx_qinner_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first, COUNT(a.*) AS n_a,
+          |           COUNT(b.*) AS n_b
+          |  PATTERN ((a+ b){2,2})
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // seeds 1 and 2 complete two full iterations at B(5)
+    assert(got == Set((1L, 1L, 3, 2), (1L, 2L, 2, 2)))
+  }
+
+  test("SQL pattern: depth-2 nesting — ((a b) c){1,2} d") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"),
+      (4L, 40L, 1L, "A"), (5L, 50L, 1L, "B"), (6L, 60L, 1L, "C"),
+      (7L, 70L, 1L, "D"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_rx_deep_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_rx_deep_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first, COUNT(c.*) AS n_c,
+          |           d.event_id AS d_id
+          |  PATTERN (((a b) c){1,2} d)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin))
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // seed 1: the 1-iteration and 2-iteration boundaries both advance
+    // into d; seed 4: one iteration
+    assert(got == Set((1L, 1L, 1, 7L), (1L, 1L, 2, 7L), (1L, 4L, 1, 7L)))
+  }
+
+  test("SQL pattern: alternation of sequences — (a b | c d)") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "C"), (3L, 30L, 1L, "D"),
+      (4L, 40L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_rx_altseq_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_rx_altseq_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id, d.event_id AS d_id
+          |  PATTERN ((a b | c d))
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some(1L), Some(4L), None, None),
+      (1L, None, None, Some(2L), Some(3L))))
+  }
+
+  test("SQL pattern: a variable occurring twice — (a b a) compiles " +
+      "whole-pattern recursive with a shared slot") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_rx_dupvar_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_rx_dupvar_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first,
+          |           LAST(a.event_id) AS a_last, b.event_id AS b_id
+          |  PATTERN (a b a)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L, 2L)))
+  }
+
+  test("SQL pattern: reluctant a+? elects the shortest same-start " +
+      "candidate under SKIP PAST LAST ROW (greedy elects longest)") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "A"), (3L, 30L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    df.createOrReplaceTempView("mr_rx_rel_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(q: String): Set[(Long, String)] =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_rx_rel_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES FIRST(a.event_id) AS a_first
+           |  ALL ROWS PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN ($q b)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+           |)""".stripMargin))
+        .select($"event_id", $"classifier")
+        .as[(Long, String)].collect().toSet
+    // greedy: one 3-row match (a=[1,2], b=3); reluctant: the 2-row
+    // match (a=[1], b=3) is elected — different ALL ROWS row counts
+    assert(run("a+") == Set((1L, "a"), (2L, "a"), (3L, "b")))
+    assert(run("a+?") == Set((1L, "a"), (3L, "b")))
+  }
+
+  test("streaming SQL pattern: quantified item inside a group matches " +
+      "batch — (a+ b){2,2}") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[REv]
+    input.toDF()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+      .withWatermark("ets", "0 seconds")
+      .createOrReplaceTempView("mr_rx_stream")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_rx_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first, COUNT(a.*) AS n_a,
+          |           COUNT(b.*) AS n_b
+          |  PATTERN ((a+ b){2,2})
+          |  EVENTTIME ets
+          |  TSSCALE 1000
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+    val q = out.writeStream.format("memory")
+      .queryName("mr_rx_stream_out").outputMode("append").start()
+    try {
+      input.addData(REv(1, 10000000L, 1, "A"), REv(2, 20000000L, 1, "A"),
+        REv(3, 30000000L, 1, "B"))
+      q.processAllAvailable()
+      input.addData(REv(4, 40000000L, 1, "A"), REv(5, 50000000L, 1, "B"))
+      q.processAllAvailable()
+      input.addData(REv(9, 99000000L, 9, "Z")) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("mr_rx_stream_out")
+        .select($"a_first", $"n_a", $"n_b")
+        .as[(Long, Int, Int)].collect().toSet
+      // the batch test's result set, straddling micro-batches
+      assert(rows == Set((1L, 3, 2), (2L, 2, 2)))
     } finally q.stop()
   }
 

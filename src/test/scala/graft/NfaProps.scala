@@ -45,6 +45,10 @@ object NfaProps extends Properties("Nfa") {
   private case class NGSpec(tv: String, t1: String, t2: String,
     mn: Int, mx: Int, withPerm: Boolean, tp1: String, tp2: String)
     extends ESpec
+  /** Recursive Rx element: (v1{im,ix} v2){gm,gx} — quantified item
+    * inside a quantified group. */
+  private case class RXSpec(t1: String, t2: String, im: Int, ix: Int,
+    gm: Int, gx: Int) extends ESpec
 
   private val genGroup: Gen[ESpec] = for {
     t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
@@ -65,6 +69,12 @@ object NfaProps extends Properties("Nfa") {
     t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
     mn <- Gen.choose(1, 2); extra <- Gen.choose(0, 2)
   } yield AQSpec(t1, t2, mn, mn + extra)
+
+  private val genRx: Gen[ESpec] = for {
+    t1 <- Gen.oneOf("A", "B", "C"); t2 <- Gen.oneOf("A", "B", "C")
+    im <- Gen.choose(1, 2); ie <- Gen.choose(0, 1)
+    gm <- Gen.choose(1, 2); ge <- Gen.choose(0, 1)
+  } yield RXSpec(t1, t2, im, im + ie, gm, gm + ge)
 
   private val genNested: Gen[ESpec] = for {
     tv <- Gen.oneOf("A", "B", "C")
@@ -100,7 +110,8 @@ object NfaProps extends Properties("Nfa") {
     1 -> genPermute,
     1 -> optionalize(genPermSeq),
     1 -> optionalize(genAltSeq),
-    1 -> optionalize(genNested))
+    1 -> optionalize(genNested),
+    1 -> genRx)
 
   private val genHead: Gen[ESpec] = Gen.frequency(
     4 -> genStep.map { case (t, mn, mx, _) =>
@@ -109,7 +120,8 @@ object NfaProps extends Properties("Nfa") {
     1 -> genPermute,
     1 -> genPermSeq,
     1 -> genAltSeq,
-    1 -> genNested)
+    1 -> genNested,
+    1 -> genRx)
 
   private def buildElems(specs: List[ESpec]): IndexedSeq[PatternElem[E]] =
     specs.zipWithIndex.map {
@@ -142,6 +154,11 @@ object NfaProps extends Properties("Nfa") {
             GPerm(IndexedSeq(Step[E](s"s${i}np1", _.typ == tp1),
               Step[E](s"s${i}np2", _.typ == tp2))))
           else IndexedSeq.empty[graft.cep.GroupItem[E]]), mn, mx)
+      case (RXSpec(t1, t2, im, ix, gm, gx), i) =>
+        import graft.cep.{RxElem, RxRep, RxSeq, RxVar}
+        RxElem[E](RxRep(RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+          RxVar(Step[E](s"s${i}rx1", _.typ == t1), im, ix),
+          RxVar(Step[E](s"s${i}rx2", _.typ == t2)))), gm, gx))
     }.toIndexedSeq
 
   private val genPattern: Gen[PatternDef[E]] = for {
@@ -196,6 +213,12 @@ object NfaProps extends Properties("Nfa") {
             tot == 0 || (tot % ng.arity == 0 &&
               tot / ng.arity >= ng.minRepeat &&
               tot / ng.arity <= ng.maxRepeat)
+          case rx: graft.cep.RxElem[E] =>
+            // the generated shape is (v1{im,ix} v2){gm,gx}: per full
+            // iteration v2 binds once and v1 im..ix times — detailed
+            // structure is pinned by the dedicated rx equivalence
+            // properties below; here totals must stay plausible
+            rx.names.forall(n => m.get(n).size <= 60)
           case a: Absence[E] =>
             m.get(a.step.name).isEmpty // absence never binds an event
         }
@@ -432,6 +455,71 @@ object NfaProps extends Properties("Nfa") {
       val exp = runPat(unrolled, evs)
         .map { case (s, e, g) => (s, e, merge(g)) }
       Prop(got == exp) :| s"nested=$got unrolled=$exp"
+    }
+
+  /** The recursive Rx element compiling a GroupSeq-shaped pattern must
+    * equal the dedicated GroupSeq element — two independent engines
+    * (counter automaton vs position arithmetic) for one semantics.
+    */
+  property("rx (a b){m,n} == GroupSeq (a b){m,n}") =
+    forAll(genEvents, Gen.choose(1, 2), Gen.choose(0, 2),
+      Gen.oneOf("A", "B", "C"), Gen.oneOf("A", "B", "C")) {
+      (evs, m, extra, t1, t2) =>
+      import graft.cep.{GroupSeq, RxElem, RxRep, RxSeq, RxVar}
+      val mx = m + extra
+      val g = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
+        Step[E]("a", _.typ == t1), Step[E]("b", _.typ == t2)), m, mx)))
+      val rx = PatternDef[E](IndexedSeq(RxElem[E](RxRep(RxSeq(
+        IndexedSeq[graft.cep.RxNode[E]](
+          RxVar(Step[E]("a", _.typ == t1)),
+          RxVar(Step[E]("b", _.typ == t2)))), m, mx))))
+      val got = runPat(rx, evs)
+      val exp = runPat(g, evs)
+      Prop(got == exp) :| s"rx=$got groupseq=$exp"
+    }
+
+  /** A sole quantified Rx variable must equal the dedicated Step count
+    * quantifier (single-element patterns align the two engines'
+    * keep-original conventions). */
+  property("rx sole var {m,n} == Step {m,n}") =
+    forAll(genEvents, Gen.choose(1, 3), Gen.choose(0, 2),
+      Gen.oneOf("A", "B", "C")) { (evs, m, extra, t) =>
+      import graft.cep.{RxElem, RxVar}
+      val mx = m + extra
+      val st = PatternDef[E](IndexedSeq(Step[E]("a", _.typ == t, m, mx)))
+      val rx = PatternDef[E](IndexedSeq(RxElem[E](
+        RxVar(Step[E]("a", _.typ == t), m, mx))))
+      val got = runPat(rx, evs)
+      val exp = runPat(st, evs)
+      Prop(got == exp) :| s"rx=$got step=$exp"
+    }
+
+  /** An Rx alternation of two sequences with distinct variable names
+    * must emit exactly the union of the two sequences' own matches —
+    * the branches evolve independently. Compared as multisets (the
+    * union interleaves completion order). */
+  property("rx (a b | c d) == union of the two sequence patterns") =
+    forAll(genEvents, Gen.oneOf("A", "B", "C"), Gen.oneOf("A", "B", "C"),
+      Gen.oneOf("A", "B", "C"), Gen.oneOf("A", "B", "C")) {
+      (evs, t1, t2, t3, t4) =>
+      import graft.cep.{RxAlt, RxElem, RxSeq, RxVar}
+      val rx = PatternDef[E](IndexedSeq(RxElem[E](RxAlt(IndexedSeq(
+        RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+          RxVar(Step[E]("a", _.typ == t1)),
+          RxVar(Step[E]("b", _.typ == t2)))),
+        RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+          RxVar(Step[E]("c", _.typ == t3)),
+          RxVar(Step[E]("d", _.typ == t4)))))))))
+      val ab = PatternDef[E](IndexedSeq(
+        Step[E]("a", (e: E) => e.typ == t1),
+        Step[E]("b", (e: E) => e.typ == t2)))
+      val cd = PatternDef[E](IndexedSeq(
+        Step[E]("c", (e: E) => e.typ == t3),
+        Step[E]("d", (e: E) => e.typ == t4)))
+      val got = runPat(rx, evs).groupBy(identity).view.mapValues(_.size).toMap
+      val exp = (runPat(ab, evs) ++ runPat(cd, evs))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      Prop(got == exp) :| s"rx=$got union=$exp"
     }
 
   /** A cross-variable predicate evaluated IN the NFA must equal the

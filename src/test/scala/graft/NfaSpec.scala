@@ -396,6 +396,97 @@ class NfaSpec extends AnyFunSuite {
     }
   }
 
+  test("rx: quantified item inside a group — (a+ b){2} iterations " +
+      "share slots") {
+    import graft.cep.{RxElem, RxRep, RxSeq, RxVar}
+    val pat = PatternDef[E](IndexedSeq(RxElem[E](RxRep(RxSeq(IndexedSeq(
+      RxVar(Step[E]("a", _.typ == "A"), 1, Int.MaxValue),
+      RxVar(Step[E]("b", _.typ == "B")))), 2, 2))))
+    val ms = run(pat, Seq(E(1, 10, "A"), E(2, 20, "A"), E(3, 30, "B"),
+      E(4, 40, "A"), E(5, 50, "B")))
+    assert(ms.map(m => (ids(m, "a"), ids(m, "b"))).toSet == Set(
+      (Seq(1L, 2L, 4L), Seq(3L, 5L)),
+      (Seq(2L, 4L), Seq(3L, 5L))))
+  }
+
+  test("rx: depth-2 nesting — ((a b) c){1,2} then d") {
+    import graft.cep.{RxElem, RxRep, RxSeq, RxVar}
+    val grp = RxRep(RxSeq(IndexedSeq(
+      RxRep(RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+        RxVar(Step[E]("a", _.typ == "A")),
+        RxVar(Step[E]("b", _.typ == "B")))), 1, 1),
+      RxVar(Step[E]("c", _.typ == "C")))), 1, 2)
+    val pat = PatternDef[E](IndexedSeq(
+      RxElem[E](grp), Step[E]("d", _.typ == "D")))
+    // two full iterations then d: slots accumulate across iterations
+    val ms = run(pat, Seq(E(1, 10, "A"), E(2, 20, "B"), E(3, 30, "C"),
+      E(4, 40, "A"), E(5, 50, "B"), E(6, 60, "C"), E(7, 70, "D")))
+    val got = ms.map(m =>
+      (ids(m, "a"), ids(m, "b"), ids(m, "c"), ids(m, "d"))).toSet
+    // 2-iteration group from seed 1, 1-iteration group from seeds 1
+    // and 4 (greedy-min growth: both the 1- and 2-iteration boundary
+    // advance into d)
+    assert(got.contains((Seq(1L, 4L), Seq(2L, 5L), Seq(3L, 6L), Seq(7L))))
+    assert(got.contains((Seq(1L), Seq(2L), Seq(3L), Seq(7L))))
+    assert(got.contains((Seq(4L), Seq(5L), Seq(6L), Seq(7L))))
+  }
+
+  test("rx: alternation of sequences — (a b | c d)") {
+    import graft.cep.{RxAlt, RxElem, RxSeq, RxVar}
+    val alt = RxAlt[E](IndexedSeq(
+      RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+        RxVar(Step[E]("a", _.typ == "A")),
+        RxVar(Step[E]("b", _.typ == "B")))),
+      RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+        RxVar(Step[E]("c", _.typ == "C")),
+        RxVar(Step[E]("d", _.typ == "D"))))))
+    val pat = PatternDef[E](IndexedSeq(RxElem[E](alt)))
+    val ms = run(pat, Seq(E(1, 10, "A"), E(2, 20, "C"), E(3, 30, "D"),
+      E(4, 40, "B")))
+    // seed A(1) completes via the a-b branch at B(4); seed C(2)
+    // completes via c-d at D(3) — the unchosen side binds nothing
+    assert(ms.map(m => (ids(m, "a"), ids(m, "b"), ids(m, "c"),
+      ids(m, "d"))).toSet == Set(
+      (Seq(1L), Seq(4L), Seq(), Seq()),
+      (Seq(), Seq(), Seq(2L), Seq(3L))))
+  }
+
+  test("rx: shared slot across alternation branches (same variable " +
+      "twice in the pattern)") {
+    import graft.cep.{RxAlt, RxElem, RxSeq, RxVar}
+    // (x y | y x) — the PERMUTE(x, y) expansion shape: both branches
+    // bind the SAME x/y slots
+    val alt = RxAlt[E](IndexedSeq(
+      RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+        RxVar(Step[E]("x", _.typ == "A")),
+        RxVar(Step[E]("y", _.typ == "B")))),
+      RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+        RxVar(Step[E]("y", _.typ == "B")),
+        RxVar(Step[E]("x", _.typ == "A"))))))
+    val pat = PatternDef[E](IndexedSeq(RxElem[E](alt)))
+    val ms = run(pat, Seq(E(1, 10, "B"), E(2, 20, "A")))
+    assert(ms.map(m => (ids(m, "x"), ids(m, "y"))).toSet ==
+      Set((Seq(2L), Seq(1L))))
+  }
+
+  test("rx: optional group mid-pattern is skippable; optional head is " +
+      "rejected") {
+    import graft.cep.{RxElem, RxRep, RxSeq, RxVar}
+    val opt = RxElem[E](RxRep(RxSeq(IndexedSeq[graft.cep.RxNode[E]](
+      RxVar(Step[E]("b", _.typ == "B")),
+      RxVar(Step[E]("c", _.typ == "C")))), 0, 1))
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"), opt, Step[E]("d", _.typ == "D")))
+    val ms = run(pat, Seq(E(1, 10, "A"), E(2, 20, "D"),
+      E(3, 30, "A"), E(4, 40, "B"), E(5, 50, "C"), E(6, 60, "D")))
+    val got = ms.map(m => (ids(m, "a"), ids(m, "b"), ids(m, "c"),
+      ids(m, "d"))).toSet
+    assert(got.contains((Seq(1L), Seq(), Seq(), Seq(2L)))) // skipped
+    assert(got.contains((Seq(3L), Seq(4L), Seq(5L), Seq(6L))))
+    assertThrows[IllegalArgumentException](
+      new Nfa[E](PatternDef[E](IndexedSeq(opt)), _.ts))
+  }
+
   test("group head must be non-optional; inner steps must be plain") {
     import graft.cep.GroupSeq
     val bad = PatternDef[E](IndexedSeq(GroupSeq[E](IndexedSeq(
