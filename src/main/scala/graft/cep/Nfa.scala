@@ -445,6 +445,34 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       else res.result()
   }
 
+  /** Fast-path probe for executors: true iff this event provably
+    * cannot change NFA state or emit — no live partials, no pending
+    * skip-mode candidates, and either the key is terminated or the
+    * head element cannot seed on the event. Lets the batch executor
+    * skip the defensive row copy (and the full onEvent walk) on
+    * sparse-match workloads; [[onEvent]] on a quick-rejected event
+    * would be a no-op by construction (the seed conditions below are
+    * exactly [[onEvent]]'s element-0 seeding tests).
+    */
+  def quickReject(e: E): Boolean =
+    partials.isEmpty && pendingCands.isEmpty &&
+      (terminated || !headCanSeed(e))
+
+  private def headCanSeed(e: E): Boolean = elems.head match {
+    case s: Step[E] => evalSeed(s, e)
+    case g: GroupSeq[E] => evalSeed(g.steps(0), e)
+    case l: Logical[E] => evalSeed(l.left, e) || evalSeed(l.right, e)
+    case pm: Permute[E] => pm.steps.exists(evalSeed(_, e))
+    case ps: PermSeq[E] => ps.steps.exists(evalSeed(_, e))
+    case al: AltSeq[E] => evalSeed(al.left, e) || evalSeed(al.right, e)
+    case ng: NestedGroup[E] =>
+      ngBindSlot(ng, 0, 0, 0, null, e, seed = true) >= 0
+    case rx: RxElem[E] =>
+      rx.eventBranches(rx.initState, rx.initCnt, e,
+        s => evalSeed(s, e)).nonEmpty
+    case _: Absence[E] => false // unreachable (head require)
+  }
+
   /** Process one event (must be fed in non-decreasing ts order). */
   def onEvent(e: E): IndexedSeq[PatternMatch[E]] = {
     val t = tsOf(e)

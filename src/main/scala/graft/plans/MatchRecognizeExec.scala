@@ -224,13 +224,25 @@ case class MatchRecognizeExec(
                 curKey = k.copy()
                 nfa = new Nfa(pat, tsOf, tieOf)
                 val kk = curKey
-                val ms = nfa.onEvent(r.copy())
+                // quickReject: a row no live partial can bind and that
+                // cannot seed skips BOTH the defensive copy (rows are
+                // retained inside partial state, so bound rows must be
+                // copied out of the iterator's reused buffer) and the
+                // full NFA walk — the dominant row population on
+                // sparse-match workloads
+                val ms =
+                  if (nfa.quickReject(r))
+                    IndexedSeq.empty[PatternMatch[InternalRow]]
+                  else nfa.onEvent(r.copy())
                 if (flushed.nonEmpty || ms.nonEmpty)
                   pending = flushed.iterator.map(m => emit(prevKey, m)) ++
                     ms.iterator.map(m => emit(kk, m))
               } else {
                 val kk = curKey
-                val ms = nfa.onEvent(r.copy())
+                val ms =
+                  if (nfa.quickReject(r))
+                    IndexedSeq.empty[PatternMatch[InternalRow]]
+                  else nfa.onEvent(r.copy())
                 if (ms.nonEmpty) pending = ms.iterator.map(m => emit(kk, m))
               }
             } else {
