@@ -157,12 +157,16 @@ object Cep {
         * complete on a released event) — and, if no emitted match
         * bound its (ts, tie), it is returned as a one-event
         * pseudo-match under [[UnmatchedSlot]]. Tracking cost per key:
-        * the events inside one `within` horizon. Excludes
-        * `neighborhood` (a withheld event could bind after deciding).
+        * the events inside one `within` horizon. Composes with
+        * `neighborhood`: a NEXT-withheld event is released but not yet
+        * fed, so a row's fate is decided only once every event inside
+        * its horizon has actually been FED to the NFA — the decision
+        * additionally waits for the held-buffer frontier to pass
+        * ts + within (at most `maxNext` events deep; a trailing row the
+        * stream never extends stays undecided, exactly as NEXT itself
+        * stays NULL-starved there).
         */
       unmatchedWithin: Option[Long] = None): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
-    require(unmatchedWithin.isEmpty || neighborhood.isEmpty,
-      "unmatched-row tracking does not compose with PREV/NEXT hold-back")
     require(unmatchedWithin.isEmpty ||
         pattern.steps.forall(!_.names.contains(UnmatchedSlot)),
       s"pattern variable '$UnmatchedSlot' collides with the reserved " +
@@ -236,9 +240,16 @@ object Cep {
     val matches = fed.flatMap(e => nfa.onEvent(e))
     // watermark advance resolves absence windows with no event needed
     // (neighborhood mode excludes absence patterns — a withheld event
-    // could otherwise violate a window promote() already resolved)
+    // could otherwise violate a window promote() already resolved).
+    // A NEXT hold-back caps the advance at the held frontier: a held
+    // event keeps its original (smaller) ts when it finally feeds, so
+    // advancing past it would prune partials it can still legally
+    // extend (prune is strict `t - startTs > within`, so advancing TO
+    // the frontier itself is safe)
+    val advTo =
+      if (nHeld.isEmpty) wm else math.min(wm, tsOf(nHeld.head))
     val timeMatches =
-      if (!hasWatermark) Vector.empty else nfa.advanceTime(wm).toVector
+      if (!hasWatermark) Vector.empty else nfa.advanceTime(advTo).toVector
 
     val (np, nt, npend) = nfa.snapshot
     // unmatched tracking: decide events once the watermark passes
@@ -252,8 +263,16 @@ object Cep {
             .flatMap(_.groups.valuesIterator.flatten)
             .map(e => (tsOf(e), tieBreak(e)))
         val undecided = prev.undecided ++ release
+        // a NEXT hold-back means released-but-not-yet-fed events exist
+        // (nHeld); a match binding e completes on an event at ts <=
+        // tsOf(e) + w, so e's fate is only decidable once every such
+        // event has been fed — i.e. the held frontier (min held ts,
+        // held is sorted) has strictly passed the horizon too
+        val heldFrontier =
+          nHeld.headOption.map(tsOf).getOrElse(Long.MaxValue)
         val (decide, stay) =
-          if (hasWatermark) undecided.partition(e => tsOf(e) + w < wm)
+          if (hasWatermark) undecided.partition(e =>
+            tsOf(e) + w < wm && tsOf(e) + w < heldFrontier)
           else (Vector.empty[E], undecided)
         val un = decide.filterNot(e => bound((tsOf(e), tieBreak(e))))
         val decIds = decide.iterator

@@ -795,10 +795,6 @@ object MatchRecognize {
     require(!withUnmatched || withinTs.isDefined,
       "WITH UNMATCHED ROWS on a stream needs a WITHIN bound (the " +
         "horizon after which an event can no longer join any match)")
-    require(!withUnmatched || lagSpecs.isEmpty,
-      "WITH UNMATCHED ROWS on a stream does not compose with " +
-        "PREV/NEXT hold-back (a withheld event could bind after its " +
-        "decision horizon)")
     lagSpecs.foreach { case (kind, c, k) =>
       require(kind == "prev" || kind == "next", s"bad lag kind: $kind")
       require(k >= 1, s"PREV/NEXT offset must be >= 1, got $k")

@@ -721,4 +721,80 @@ class StreamingParitySpec extends SparkSpec {
       assert(streamed == Set((1L, 1L, 2L, 4L), (1L, 2L, 3L, 4L)))
     } finally q.stop()
   }
+
+  test("streaming WITH UNMATCHED ROWS + NEXT in DEFINE == batch (a " +
+      "row's horizon passes while its match's NEXT is still withheld)") {
+    // the round-13 composition: e2 (the b of the only match) is
+    // NEXT-withheld across a micro-batch boundary while the global
+    // watermark sails past e1's ts + WITHIN decision horizon. A naive
+    // horizon-only decision would emit e1 as unmatched and then ALSO
+    // bind it when e3 arrives and e2 finally feeds (double fate); the
+    // held-frontier gate defers the decision instead. e3 then
+    // exercises defer-then-unmatched: held behind e4 when its horizon
+    // passes, decided (correctly unmatched) only once e4 releases it.
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq( // (event_id, ts_ms, ticker, event_type, price)
+      (1L, 1000L, 1L, "A", 5.0), (2L, 2000L, 1L, "B", 5.0),
+      (3L, 30000L, 1L, "X", 5.0), (4L, 75000L, 1L, "X", 5.0))
+    val ticks = Seq((91L, 35000L, 9L, "X", 0.0),
+      (92L, 80000L, 9L, "X", 0.0), (93L, 110000L, 9L, "X", 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY ticker
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES FIRST(a.event_id) AS a_id
+         |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+         |  PATTERN (a b)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A',
+         |         b AS event_type = 'B' AND NEXT(price) > 0
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "ticker", "event_type", "price")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_unlag_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_unlag_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_unlag_sink").start()
+    try {
+      // batch 1: e1 fed, e2 WITHHELD (no successor), tick91 pushes the
+      // watermark to 25000 — past e1's horizon (11000) while the only
+      // match that can bind e1 is still incomplete
+      input.addData(t1.take(2) :+ ticks(0): _*)
+      q.processAllAvailable()
+      // batch 2: e3 arrives → e2 feeds with NEXT = e3, the (e1, e2)
+      // match emits, e1/e2 decide BOUND; e3 now held behind nothing
+      // yet (horizon 40000 < wm 70000 but frontier = 30000 defers it)
+      input.addData(Seq(t1(2), ticks(1)): _*)
+      q.processAllAvailable()
+      // batch 3: e4 (ahead of the 70000 watermark, so not dropped as
+      // late) buffers, then tick93's watermark releases it — e3 feeds
+      // (no match) and decides UNMATCHED; e4 itself stays withheld
+      // forever (excluded from the compare)
+      input.addData(Seq(t1(3), ticks(2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_unlag_sink")
+        .filter($"ticker" === 1L && $"event_id" <= 3L)
+        .select($"event_id", $"classifier", $"a_id")
+        .as[(Long, Option[String], Option[Long])].collect().toSet
+      (t1 ++ ticks).toDF("event_id", "ts_ms", "ticker", "event_type",
+          "price")
+        .createOrReplaceTempView("mr_unlag_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_unlag_batch", "")))
+        .filter($"ticker" === 1L && $"event_id" <= 3L)
+        .select($"event_id", $"classifier", $"a_id")
+        .as[(Long, Option[String], Option[Long])].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (1L, Some("a"), Some(1L)),   // deferred past its horizon, BOUND
+        (2L, Some("b"), Some(1L)),
+        (3L, None, None)))           // deferred, then truly unmatched
+    } finally q.stop()
+  }
 }
