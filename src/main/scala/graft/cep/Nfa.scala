@@ -42,7 +42,13 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         "provides one")
     require(elems.forall(!_.isInstanceOf[Absence[E]]),
       "AFTER MATCH SKIP TO FIRST/LAST <var> does not compose with " +
-        "absence elements")
+        "absence (not-for) elements: an absence window resolves at " +
+        "its deadline (a watermark/flush instant, not an event), " +
+        "outside the event-ordered candidate election that computes " +
+        "the skip resume point, and the absence variable itself " +
+        "binds no row — no (ts, tie) identity exists to resume at. " +
+        "SKIP PAST LAST ROW composes with absence and covers the " +
+        "non-overlap use case")
     require(pattern.every,
       "AFTER MATCH SKIP TO FIRST/LAST <var> needs every = true (the " +
         "skip mode itself governs which matches emit)")

@@ -189,6 +189,20 @@ class NfaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new Nfa[E](pat, _.ts) }
   }
 
+  test("SKIP TO <var> + absence is rejected with the rationale (a " +
+      "deadline-resolved match has no event-ordered resume point)") {
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Absence[E](Step[E]("b", _.typ == "B"), 20L)),
+      skipToVar = Some(("a", false)))
+    val err = intercept[IllegalArgumentException] {
+      new Nfa[E](pat, _.ts, _.id)
+    }
+    assert(err.getMessage.contains("absence"))
+    assert(err.getMessage.contains("deadline"))
+    assert(err.getMessage.contains("SKIP PAST LAST ROW"))
+  }
+
   test("partial-match cap bounds state") {
     val pat = AB.copy(maxPartialMatches = 5)
     val nfa = new Nfa[E](pat, _.ts)
