@@ -172,6 +172,42 @@ object ThroughputBench {
           tsScale = 1000L)
       })
 
+    // round-13 TWS rows (measured under SPARK_GRAFT_TP_TWS=1, RocksDB
+    // provider set above): the transformWithState executor on the two
+    // late-lifted paths — WITH UNMATCHED ROWS tracking (every
+    // non-click/purchase event rides the undecided buffer and emits a
+    // pseudo-row at its horizon — the output-heaviest CEP shape) and
+    // the interpreted cross-variable evaluator on the full-row
+    // streamingFull envelope. Both ride the same Cep.step kernel.
+    val buildUn = (k: Long, m: graft.cep.PatternMatch[TpEvt]) =>
+      Iterator.single(
+        if (m.groups.contains(Cep.UnmatchedSlot))
+          TpOut(k, -1L, m.head(Cep.UnmatchedSlot).event_id)
+        else TpOut(k, m.head("a").event_id, m.head("b").event_id))
+    val twsUnmatchedEps =
+      if (!useTws) 0.0
+      else drive[TpOut](memSink("tp_tws_unmatched"), in =>
+        Cep.streamingTws[TpEvt, Long, TpOut](cepInput(in),
+          _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L,
+          unmatchedWithin = Some(600000000L))(buildUn))
+    val twsCvEps =
+      if (!useTws) 0.0
+      else drive[org.apache.spark.sql.Row](
+        memSink("tp_tws_crossvar"), in => {
+          val df = in.toDS().toDF()
+            .withColumn("etc", timestamp_micros($"ts_us"))
+            .withWatermark("etc", "1 second")
+          graft.plans.MatchRecognize.streamingFull(df, Seq("user_id"),
+            "ts_us", "event_id",
+            Seq(graft.plans.MatchRecognize.EStep("a",
+                $"event_type" === "click"),
+              graft.plans.MatchRecognize.EStep("b",
+                ($"event_type" === "purchase") && ($"value" >
+                  graft.plans.MatchRecognize.cvLast("a", "value")))),
+            eventTimeCol = "etc", withinTs = Some(600000000L),
+            tsScale = 1000L, useTws = true)
+        })
+
     // watermark-finalized anomaly scorer: keyed state per type is an
     // open-bucket map + 24 longs — measured as sustained events/s
     val anomEps = drive[graft.operators.Anomaly.AnomalyRow](
@@ -263,6 +299,10 @@ object ThroughputBench {
       s""""cep_skipto_per_core":${(skipToEps / cpus).round},""" +
       s""""cep_crossvar":${cvEps.round},""" +
       s""""cep_crossvar_per_core":${(cvEps / cpus).round},""" +
+      s""""tws_unmatched":${twsUnmatchedEps.round},""" +
+      s""""tws_unmatched_per_core":${(twsUnmatchedEps / cpus).round},""" +
+      s""""tws_crossvar":${twsCvEps.round},""" +
+      s""""tws_crossvar_per_core":${(twsCvEps / cpus).round},""" +
       s""""rate_anomaly":${anomEps.round},""" +
       s""""rate_anomaly_per_core":${(anomEps / cpus).round},""" +
       s""""n_docs":${docFeed.length},""" +
