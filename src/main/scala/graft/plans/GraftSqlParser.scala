@@ -111,7 +111,8 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   * context markers, evaluated inside the NFA against the partial's
   * bindings — on batch tables through the codegen'd executor
   * predicate, on streaming tables through an interpreted per-partial
-  * evaluator (not combinable with PREV/NEXT in one statement).
+  * evaluator (PREV/NEXT in the same statement compose via
+  * decorator-embedded lag values in the event payload).
   *
   * Clauses must appear in the canonical order above (the SQL-standard
   * clause order) — identifiers that merely LOOK like clause keywords
@@ -162,10 +163,12 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
   *
   * A STREAMING table dispatches to [[MatchRecognize.streamingFull]]
   * (same output schema, watermark-buffered NFA) and requires the
-  * EVENTTIME clause. Not supported (fail fast): combining
-  * cross-variable DEFINE references with PREV/NEXT in one STREAMING
-  * statement, and PERMUTE of more than 4 composite (non-variable)
-  * items (k! ordering expansion).
+  * EVENTTIME clause. Cross-variable DEFINE references compose with
+  * PREV/NEXT in one STREAMING statement (the release decorator embeds
+  * the lag values into the event payload so the per-partial ctxPred
+  * evaluator can read both). Not supported (fail fast): PERMUTE of
+  * more than 4 composite (non-variable) items (k! ordering
+  * expansion).
   *
   * PATTERN is parsed by a recursive-descent grammar: arbitrary
   * nesting depth, quantified items inside groups, alternation of

@@ -443,6 +443,18 @@ object MatchRecognize {
     org.apache.spark.sql.functions.col(
       s"$CvMarker.last.$variable.$column")
 
+  /** PREV/NEXT navigation reference for direct-API DEFINE predicates:
+    * the synthetic lag alias a `lagSpecs` entry `(kind, column, k)`
+    * resolves to (the SQL dialect's `PREV(col, k)` / `NEXT(col, k)`
+    * compile to the same attribute). Composable with [[cvFirst]]/
+    * [[cvLast]] in one predicate — on a stream the release decorator
+    * embeds the lag values into the event payload.
+    */
+  def lagCol(kind: String, column: String, k: Int = 1): Column = {
+    require(kind == "prev" || kind == "next", s"bad lag kind: $kind")
+    org.apache.spark.sql.functions.col(s"_mr_${kind}_${column}_$k")
+  }
+
   import org.apache.spark.sql.SparkSession
   /** Fail fast when a pattern's predicates carry [[cvFirst]]/[[cvLast]]
     * markers in a context that cannot evaluate them (streaming flag
@@ -831,17 +843,34 @@ object MatchRecognize {
           u.nameParts.headOption.contains(CvMarker)
         case _ => false
       })
-    require(!hasCv || lagSpecs.isEmpty,
-      "cross-variable DEFINE references and PREV/NEXT navigation " +
-        "cannot combine in one streaming MATCH_RECOGNIZE (the lag " +
-        "values are release-position state, the bindings are " +
-        "partial-match state)")
-
-    // lag-mode predicates reference lag aliases resolved later by the
-    // LagFlagDecorator — cv resolution only runs in the plain path
+    // lag attribute surface (shared by the decorator, the cv resolver
+    // and the env payload): one synthetic `_mr_<kind>_<col>_<k>`
+    // attribute per navigation, typed as its base column
+    def baseAttrOf(n: String): Attribute = baseOut.find(a =>
+      df.sparkSession.sessionState.analyzer.resolver(a.name, n)).get
+    val lagAttrs = lagSpecs.map { case (kind, c, k) =>
+      AttributeReference(s"_mr_${kind}_${c}_$k",
+        baseAttrOf(c).dataType, nullable = true)()
+    }
+    // cross-variable references composed WITH PREV/NEXT: the lag
+    // values are release-position state, the bindings partial-match
+    // state — they meet by embedding the lag VALUES into the event
+    // payload at release time (the decorator fills the extended `ev`
+    // struct), so the per-partial ctxPred evaluator later reads both
+    // the event's columns and its navigation neighbors from one row
+    val extendCv = hasCv && lagSpecs.nonEmpty
+    val extAttrs = baseOut ++ lagAttrs
+    val evSchemaExt = StructType(rowType.fields ++ lagAttrs.map(a =>
+      StructField(a.name, a.dataType, nullable = true)))
+    val evSchemaUsed = if (extendCv) evSchemaExt else rowType
+    // lag-only-mode predicates reference lag aliases resolved later by
+    // the LagFlagDecorator; with cv refs present they resolve here
+    // against the extended surface
     val resolvedPreds: Seq[(Expression, Seq[CtxRefSpec])] =
       if (lagSpecs.isEmpty)
         predCols.map(c => resolveWithCv(df.sparkSession, baseOut, c))
+      else if (extendCv)
+        predCols.map(c => resolveWithCv(df.sparkSession, extAttrs, c))
       else predCols.map(_ => (null: Expression, Nil))
     // lag mode: flags cannot precompute statelessly (they read
     // neighbors in the per-key release order) — a placeholder column
@@ -855,45 +884,50 @@ object MatchRecognize {
         }: _*)
       else lit(null).cast(ArrayType(BooleanType))
     // plain alias keeps the watermark metadata on the event-time column
+    val evPayloadCols: Seq[Column] =
+      df.columns.map(col).toIndexedSeq ++
+        (if (extendCv) lagAttrs.map(a =>
+          lit(null).cast(a.dataType).as(a.name)) else Nil)
     val env = df.select(
       struct(partitionKeys.map(col): _*).as("k"),
       col(tsCol).cast("long").as("ts"),
       col(tieCol).cast("long").as("tie"),
       flags.as("flags"),
       col(eventTimeCol).as("wmc"),
-      struct(df.columns.map(col).toIndexedSeq: _*).as("ev"))
+      struct(evPayloadCols: _*).as("ev"))
     val neighborhood: Option[graft.cep.Cep.Neighborhood[Row]] =
       if (lagSpecs.isEmpty) None
       else {
         val spark = df.sparkSession
-        val baseAttrs = df.queryExecution.analyzed.output
-        def baseAttr(n: String) = baseAttrs.find(a =>
-          spark.sessionState.analyzer.resolver(a.name, n)).get
-        val lagAttrs = lagSpecs.map { case (kind, c, k) =>
-          AttributeReference(s"_mr_${kind}_${c}_$k",
-            baseAttr(c).dataType, nullable = true)()
-        }
-        val all = baseAttrs ++ lagAttrs
         def resolveExt(c: Column): Expression =
           GraftSqlBridge.sessionExpression(spark, c).transformUp {
-            case u: UnresolvedAttribute => all.find(a =>
+            case u: UnresolvedAttribute => extAttrs.find(a =>
               spark.sessionState.analyzer.resolver(a.name, u.name))
               .getOrElse(throw new IllegalArgumentException(
                 s"column '${u.name}' not in " +
-                  s"[${all.map(_.name).mkString(", ")}]"))
+                  s"[${extAttrs.map(_.name).mkString(", ")}]"))
           }
-        val predExprs = predCols.map(c =>
-          finishResolve(spark, resolveExt(c), all))
+        // cv-bearing predicates evaluate per partial inside the NFA
+        // (ctxPred) — their decorator flag slots are dead placeholders
+        val predExprs =
+          if (extendCv) resolvedPreds.map { case (ex, refs) =>
+            if (refs.nonEmpty)
+              org.apache.spark.sql.catalyst.expressions.Literal(false)
+            else finishResolve(spark, ex, extAttrs)
+          }
+          else predCols.map(c =>
+            finishResolve(spark, resolveExt(c), extAttrs))
         val specs = lagSpecs.map { case (kind, c, k) =>
-          (kind, rowType.fieldIndex(baseAttr(c).name), k,
-            baseAttr(c).dataType)
+          (kind, rowType.fieldIndex(baseAttrOf(c).name), k,
+            baseAttrOf(c).dataType)
         }
         val maxPrev = lagSpecs.collect { case ("prev", _, k) => k }
           .foldLeft(0)(math.max)
         val maxNext = lagSpecs.collect { case ("next", _, k) => k }
           .foldLeft(0)(math.max)
         Some(graft.cep.Cep.Neighborhood[Row](maxPrev, maxNext,
-          new LagFlagDecorator(predExprs, all, rowType, specs)))
+          new LagFlagDecorator(predExprs, extAttrs, rowType, specs,
+            if (extendCv) evSchemaExt else null)))
       }
 
     var ci = -1
@@ -907,11 +941,14 @@ object MatchRecognize {
       else {
         // cross-variable predicate: interpreted per (event, partial)
         // against the bindings so far — same semantics as the batch
-        // executor's ctxPred
-        val allAttrs = baseOut ++ refs.map(_.attr)
+        // executor's ctxPred. With PREV/NEXT in the statement the
+        // event payload is extended with the decorator-filled lag
+        // values, so the predicate may read both.
+        val allAttrs = (if (extendCv) extAttrs else baseOut) ++
+          refs.map(_.attr)
         val ev = new CvStreamEvaluator(
           finishResolve(df.sparkSession, expr, allAttrs),
-          allAttrs, rowType, refs)
+          allAttrs, evSchemaUsed, refs)
         Step[Row](name, r => ev(r, _ => IndexedSeq.empty), min, max,
           strict, ctxPred = Some(ev))
       }
@@ -979,17 +1016,27 @@ object MatchRecognize {
     val kEnc = Encoders.row(keySchema)
     val oEnc = Encoders.row(outSchema)
     val unTail = if (withUnmatched) 1 else 0
+    val nBaseCols = rowType.length
+    // extended payloads carry decorator-filled lag values; the output
+    // contract stays the INPUT row shape, so strip them on emission
+    val payloadOf: Row => Row =
+      if (!extendCv) _.getStruct(5)
+      else { r =>
+        val s = r.getStruct(5)
+        new GenericRowWithSchema(
+          Array.tabulate[Any](nBaseCols)(s.get), rowType)
+      }
     val build = (k: Row, m: graft.cep.PatternMatch[Row]) => {
       val row: Row =
         if (withUnmatched && m.groups.contains(Cep.UnmatchedSlot)) {
-          val ev = m.groups(Cep.UnmatchedSlot).head.getStruct(5)
+          val ev = payloadOf(m.groups(Cep.UnmatchedSlot).head)
           new GenericRowWithSchema(
             (k.toSeq ++ Seq(null, null) ++
               slotNames.map(_ => IndexedSeq.empty[Row]) ++
               Seq(ev)).toArray, outSchema)
         } else {
           val arrs = slotNames.map(n =>
-            m.groups.getOrElse(n, IndexedSeq.empty).map(_.getStruct(5)))
+            m.groups.getOrElse(n, IndexedSeq.empty).map(payloadOf))
           new GenericRowWithSchema(
             (k.toSeq ++ Seq(m.startTs, m.endTs) ++ arrs ++
               Seq.fill(unTail)(null)).toArray, outSchema)
@@ -1081,7 +1128,13 @@ object MatchRecognize {
       preds: Seq[Expression],
       attrs: Seq[Attribute],
       evSchema: org.apache.spark.sql.types.StructType,
-      specs: Seq[(String, Int, Int, org.apache.spark.sql.types.DataType)])
+      specs: Seq[(String, Int, Int, org.apache.spark.sql.types.DataType)],
+      /** Non-null when cross-variable refs share the statement: the
+        * EXTENDED payload schema (base columns + lag aliases). The
+        * decorator then also WRITES the lag values into the payload
+        * so the per-partial ctxPred evaluators can read them later
+        * (the navigation context no longer exists at NFA time). */
+      extSchema: org.apache.spark.sql.types.StructType = null)
     extends ((org.apache.spark.sql.Row,
         IndexedSeq[org.apache.spark.sql.Row],
         IndexedSeq[org.apache.spark.sql.Row]) =>
@@ -1097,35 +1150,72 @@ object MatchRecognize {
     }
     @transient private lazy val toCatalyst =
       CatalystTypeConverters.createToCatalystConverter(evSchema)
+    @transient private lazy val toCatalystExt =
+      CatalystTypeConverters.createToCatalystConverter(extSchema)
     @transient private lazy val joined = new JoinedRow
+    private val nBase = evSchema.length
 
     def apply(env: Row, prevs: IndexedSeq[Row],
         nexts: IndexedSeq[Row]): Row = {
-      val evI = toCatalyst(env.getStruct(5)).asInstanceOf[InternalRow]
-      val lagVals = new Array[Any](specs.length)
-      var i = 0
-      while (i < specs.length) {
-        val (kind, ord, k, _) = specs(i)
-        val nb =
-          if (kind == "prev")
-            (if (prevs.length >= k) prevs(prevs.length - k) else null)
-          else
-            (if (nexts.length >= k) nexts(k - 1) else null)
-        lagVals(i) =
-          if (nb == null) null
-          else {
-            val nbI = toCatalyst(nb.getStruct(5)).asInstanceOf[InternalRow]
-            if (nbI.isNullAt(ord)) null
-            else nbI.get(ord, specs(i)._4)
-          }
-        i += 1
+      // neighbor payloads may themselves be extended (their own lag
+      // fields are still null at this point — neighbors enter the
+      // ring/hold-back RAW) — base-column ordinals are unaffected,
+      // lag aliases append after them
+      def neighbor(i: Int): Row = {
+        val (kind, _, k, _) = specs(i)
+        if (kind == "prev")
+          (if (prevs.length >= k) prevs(prevs.length - k) else null)
+        else
+          (if (nexts.length >= k) nexts(k - 1) else null)
       }
-      val lagRow = new GenericInternalRow(lagVals)
-      val flags = basePreds.map(p => p.eval(joined(evI, lagRow)))
       val vals = new Array[Any](env.length)
       var j = 0
       while (j < env.length) { vals(j) = env.get(j); j += 1 }
-      vals(3) = flags.toIndexedSeq
+      if (extSchema == null) {
+        val lagVals = new Array[Any](specs.length)
+        var i = 0
+        while (i < specs.length) {
+          val nb = neighbor(i)
+          lagVals(i) =
+            if (nb == null) null
+            else {
+              val ord = specs(i)._2
+              val nbI = toCatalyst(nb.getStruct(5))
+                .asInstanceOf[InternalRow]
+              if (nbI.isNullAt(ord)) null
+              else nbI.get(ord, specs(i)._4)
+            }
+          i += 1
+        }
+        val evI = toCatalyst(env.getStruct(5)).asInstanceOf[InternalRow]
+        val lagRow = new GenericInternalRow(lagVals)
+        val flags = basePreds.map(p => p.eval(joined(evI, lagRow)))
+        vals(3) = flags.toIndexedSeq
+      } else {
+        val lagValsExternal = new Array[Any](specs.length)
+        var i = 0
+        while (i < specs.length) {
+          val nb = neighbor(i)
+          lagValsExternal(i) =
+            if (nb == null) null else nb.getStruct(5).get(specs(i)._2)
+          i += 1
+        }
+        // extended payload: fill the lag fields, evaluate the flag
+        // predicates against the single extended row, and carry the
+        // filled payload forward for the ctxPred evaluators
+        val s = env.getStruct(5)
+        val extVals = new Array[Any](nBase + specs.length)
+        var b = 0
+        while (b < nBase) { extVals(b) = s.get(b); b += 1 }
+        System.arraycopy(lagValsExternal, 0, extVals, nBase,
+          specs.length)
+        val extRow =
+          new GenericRowWithSchema(extVals, extSchema)
+        val extI = toCatalystExt(extRow).asInstanceOf[InternalRow]
+        val flags = basePreds.map(p => p.eval(extI))
+        vals(3) = flags.toIndexedSeq
+        vals(5) = extRow
+      }
       new GenericRowWithSchema(vals,
         env.schema): Row
     }

@@ -482,6 +482,96 @@ class MatchRecognizeSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("round-13 compositions on the transformWithState executor: " +
+      "cv+PREV/NEXT and unmatched+NEXT match the fMGWS executor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // cv ref + PREV in one predicate: b must beat both its immediate
+    // predecessor AND the seed's value — (1,4) wins, (1,2) fails cv
+    def runCvLag(useTws: Boolean): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Long, Long, Double, String)]
+      val df = input.toDF()
+        .toDF("event_id", "ts_ms", "user", "v", "typ")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(EStep("a", $"typ" === "A"),
+          EStep("b", ($"typ" === "B") &&
+            ($"v" > graft.plans.MatchRecognize.lagCol("prev", "v", 1)) &&
+            ($"v" > graft.plans.MatchRecognize.cvFirst("a", "v")))),
+        eventTimeCol = "etc", withinTs = Some(100000L), useTws = useTws,
+        lagSpecs = Seq(("prev", "v", 1)))
+      val name = s"mr_tws13cv_$useTws"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // a=1 (v=5); b candidates: e2 (v=4>prev 5? no), e3 (v=3),
+        // e4 (v=9 > prev 3 and > seed 5) — only e4 binds
+        input.addData((1L, 1000L, 1L, 5.0, "A"), (2L, 2000L, 1L, 4.0, "B"))
+        q.processAllAvailable()
+        input.addData((3L, 3000L, 1L, 3.0, "B"), (4L, 4000L, 1L, 9.0, "B"))
+        q.processAllAvailable()
+        input.addData((9L, 60000L, 9L, 0.0, "Z"))
+        q.processAllAvailable()
+        spark.table(name)
+          .select($"user",
+            element_at($"b", 1).getField("event_id").as("b_id"))
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    // unmatched + NEXT hold-back on TWS: same hazard as the fMGWS
+    // parity spec — the b row is withheld while the watermark passes
+    // the a row's horizon
+    def runUnLag(useTws: Boolean): Set[(Long, Option[Long], Long)] = {
+      val input = MemoryStream[(Long, Long, Long, Double, String)]
+      val df = input.toDF()
+        .toDF("event_id", "ts_ms", "user", "v", "typ")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(EStep("a", $"typ" === "A"),
+          EStep("b", ($"typ" === "B") &&
+            (graft.plans.MatchRecognize.lagCol("next", "v", 1) > 0))),
+        eventTimeCol = "etc", withinTs = Some(10000L), useTws = useTws,
+        lagSpecs = Seq(("next", "v", 1)), withUnmatched = true)
+      val name = s"mr_tws13un_$useTws"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData((1L, 1000L, 1L, 5.0, "A"), (2L, 2000L, 1L, 4.0, "B"),
+          (91L, 35000L, 9L, 0.0, "Z"))
+        q.processAllAvailable()
+        input.addData((3L, 30000L, 1L, 2.0, "X"), (92L, 80000L, 9L, 0.0, "Z"))
+        q.processAllAvailable()
+        input.addData((4L, 75000L, 1L, 1.0, "X"), (93L, 120000L, 9L, 0.0, "Z"))
+        q.processAllAvailable()
+        spark.table(name).filter($"user" === 1L)
+          .select($"user", $"match_start",
+            coalesce(try_element_at($"b", lit(1)).getField("event_id"),
+              $"_mr_unmatched_ev.event_id").as("which"))
+          .as[(Long, Option[Long], Long)].collect().toSet
+      } finally q.stop()
+    }
+    try {
+      val twsCv = runCvLag(useTws = true)
+      val fmCv = runCvLag(useTws = false)
+      assert(twsCv == fmCv)
+      assert(twsCv == Set((1L, 4L)))
+      val twsU = runUnLag(useTws = true)
+      val fmU = runUnLag(useTws = false)
+      assert(twsU == fmU)
+      // the (1,2) match emits despite the watermark passing row 1's
+      // horizon while row 2 was withheld; row 3 decides unmatched
+      // (row 4 stays withheld forever — no successor)
+      assert(twsU == Set((1L, Some(1000L), 2L), (1L, None, 3L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("AFTER MATCH SKIP PAST LAST ROW: non-overlapping greedy matches") {
     // clicks at 10, 20; purchase 30; click 40; purchases 50, 60
     val df = Seq(

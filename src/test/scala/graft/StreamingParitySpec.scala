@@ -722,6 +722,75 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cross-variable DEFINE + PREV/NEXT in one statement " +
+      "== batch (cv ref and both navigations in the SAME predicate)") {
+    // the round-13 composition: `down` is a pure-lag predicate
+    // (decorator-computed flag), `up` mixes PREV, NEXT and a
+    // cross-variable FIRST(strt.price) in one predicate — it must
+    // evaluate per partial (ctxPred) against decorator-embedded lag
+    // values. The cv condition provably bites: without it the V-shape
+    // emits (1,2,4); with it seed-1's up must ALSO clear strt's price
+    // (10.0), pushing the match out to e5.
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq( // (event_id, ts_ms, ticker, price)
+      (1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 8.0),
+      (3L, 30000L, 1L, 6.0), (4L, 40000L, 1L, 9.0),
+      (5L, 65000L, 1L, 12.0), (6L, 70000L, 1L, 1.0))
+    val ticks = Seq((91L, 15000L, 9L, 0.0), (92L, 55000L, 9L, 0.0),
+      (93L, 78000L, 9L, 0.0), (94L, 120000L, 9L, 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY ticker
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+         |           up.event_id AS u_id
+         |  PATTERN (strt down up)
+         |  WITHIN 100000
+         |  $streamingClauses
+         |  DEFINE strt AS true,
+         |         down AS price < PREV(price),
+         |         up AS price > PREV(price) AND NEXT(price) > 0
+         |                AND price > FIRST(strt.price)
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "ticker", "price")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_cvlag_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_cvlag_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_cvlag_sink").start()
+    try {
+      // every navigation edge crosses a micro-batch boundary: e4's
+      // NEXT (e5) and e5's NEXT (e6) each arrive a batch later than
+      // the row whose predicate reads them
+      input.addData(t1.take(2) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(t1.slice(2, 4) :+ ticks(1): _*)
+      q.processAllAvailable()
+      input.addData(Seq(t1(4), ticks(2)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(t1(5), ticks(3)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_cvlag_sink")
+        .filter($"ticker" === 1L)
+        .select($"ticker", $"s_id", $"d_id", $"u_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      (t1 ++ ticks).toDF("event_id", "ts_ms", "ticker", "price")
+        .createOrReplaceTempView("mr_cvlag_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_cvlag_batch", "")))
+        .filter($"ticker" === 1L)
+        .select($"ticker", $"s_id", $"d_id", $"u_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 1L, 2L, 5L), (1L, 2L, 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming WITH UNMATCHED ROWS + NEXT in DEFINE == batch (a " +
       "row's horizon passes while its match's NEXT is still withheld)") {
     // the round-13 composition: e2 (the b of the only match) is
