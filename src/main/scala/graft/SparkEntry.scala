@@ -1030,6 +1030,77 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Round-13 composition: PREV navigation and a cross-variable
+    // reference in ONE DEFINE — `up` must beat both its immediate
+    // input predecessor (lag state) and the seed's value (binding
+    // state). The q175 V-shape with the navigation condition added;
+    // the oracle precomputes lag per user and adds the pv predicates.
+    "q185_mr_cv_lag" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_cvlag_q185")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_cvlag_q185 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+          |           up.event_id AS u_id
+          |  PATTERN (strt down up)
+          |  WITHIN 7200000000
+          |  DEFINE strt AS true,
+          |         down AS down.value < PREV(value),
+          |         up AS up.value > PREV(value)
+          |                AND up.value > strt.value
+          |)""".stripMargin))
+    }),
+
+    // Alternation of SEQUENCES (a b | c d) — the recursive grammar
+    // beyond single-variable alternation: two disjoint two-step
+    // chains share one pattern, the unmatched branch's measures are
+    // NULL. Oracle: the union of the two q55-style first-successor
+    // chains.
+    "q186_mr_alt_seq" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_altseq_q186")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_altseq_q186 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_id, LAST(b.event_id) AS b_id,
+          |           FIRST(c.event_id) AS c_id, LAST(d.event_id) AS d_id
+          |  PATTERN ((a b | c d))
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase',
+          |         d AS event_type = 'error'
+          |)""".stripMargin))
+    }),
+
+    // Duplicate variable occurrences (a b a): both click rows share
+    // ONE binding slot — FIRST(a)/LAST(a) span the two occurrences.
+    // Oracle: the click→purchase→click first-successor chain.
+    "q187_mr_dup_var" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_dupvar_q187")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_dupvar_q187 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_first,
+          |           LAST(a.event_id) AS a_last, b.event_id AS b_id
+          |  PATTERN (a b a)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7267,6 +7338,89 @@ object SparkEntry {
         |      AND u.event_id > s1.d_id))
         |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
+
+    // the q175 chain with the PREV conditions added: lag(value) per
+    // user in (ts, event_id) order is the navigation input; the first
+    // event of a user has NULL pv so its comparison is false, exactly
+    // the engine's NULL-lag semantics
+    "q185_mr_cv_lag" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |s1 AS (SELECT * FROM (SELECT s.user_id, s.event_id AS s_id,
+        |    s.us AS s_us, s.value AS s_val, d.event_id AS d_id,
+        |    d.us AS d_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY d.us, d.event_id) AS rn
+        |  FROM o s JOIN o d ON s.user_id = d.user_id
+        |    AND d.value < d.pv
+        |    AND (d.us > s.us OR (d.us = s.us AND d.event_id > s.event_id))
+        |    AND d.us - s.us <= 7200000000) WHERE rn = 1),
+        |s2 AS (SELECT * FROM (SELECT s1.user_id, s1.s_id, s1.d_id,
+        |    u.event_id AS u_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.s_id
+        |      ORDER BY u.us, u.event_id) AS rn
+        |  FROM s1 JOIN o u ON s1.user_id = u.user_id
+        |    AND u.value > u.pv AND u.value > s1.s_val
+        |    AND (u.us > s1.d_us OR (u.us = s1.d_us
+        |      AND u.event_id > s1.d_id))
+        |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
+
+    // union of the two disjoint first-successor chains; the branch
+    // not taken contributes NULL measures
+    "q186_mr_alt_seq" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_us
+        |    FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, event_id AS d_id, epoch_us(ts) AS d_us
+        |    FROM events WHERE event_type = 'error'),
+        |j1 AS (SELECT * FROM (SELECT a.user_id, a.a_id, b.b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.b_us, b.b_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.b_us > a.a_us OR (b.b_us = a.a_us AND b.b_id > a.a_id))
+        |    AND b.b_us - a.a_us <= 600000000) WHERE rn = 1),
+        |j2 AS (SELECT * FROM (SELECT c.user_id, c.c_id, d.d_id,
+        |    row_number() OVER (PARTITION BY c.user_id, c.c_id
+        |      ORDER BY d.d_us, d.d_id) AS rn
+        |  FROM c JOIN d ON c.user_id = d.user_id
+        |    AND (d.d_us > c.c_us OR (d.d_us = c.c_us AND d.d_id > c.c_id))
+        |    AND d.d_us - c.c_us <= 600000000) WHERE rn = 1)
+        |SELECT user_id, a_id, b_id, NULL::BIGINT AS c_id,
+        |  NULL::BIGINT AS d_id FROM j1
+        |UNION ALL
+        |SELECT user_id, NULL::BIGINT, NULL::BIGINT, c_id, d_id
+        |FROM j2""".stripMargin,
+
+    // click -> first purchase -> first later click, WITHIN from the
+    // FIRST click; both clicks land in slot a
+    "q187_mr_dup_var" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |j1 AS (SELECT * FROM (SELECT a.user_id, a.event_id AS a1,
+        |    a.us AS a1_us, b.event_id AS bid, b.us AS b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM o a JOIN o b ON a.user_id = b.user_id
+        |    AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 7200000000) WHERE rn = 1),
+        |j2 AS (SELECT * FROM (SELECT j1.user_id, j1.a1, j1.bid,
+        |    c.event_id AS a2,
+        |    row_number() OVER (PARTITION BY j1.user_id, j1.a1
+        |      ORDER BY c.us, c.event_id) AS rn
+        |  FROM j1 JOIN o c ON j1.user_id = c.user_id
+        |    AND c.event_type = 'click'
+        |    AND (c.us > j1.b_us OR (c.us = j1.b_us
+        |      AND c.event_id > j1.bid))
+        |    AND c.us - j1.a1_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, a1 AS a_first, a2 AS a_last, bid AS b_id
+        |FROM j2""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');
