@@ -322,6 +322,72 @@ object NfaProps extends Properties("Nfa") {
       Prop(got.toList == expected) :| s"got=$got expected=$expected"
     }
 
+  /** Round-13 composition: unmatched-row tracking must compose with a
+    * NEXT hold-back for ANY chunking. Matches equal the ordered replay
+    * over the FED prefix (everything except the trailing `maxNext`
+    * events, which never gain successors), and an event decides
+    * unmatched iff its ts + within horizon lies strictly before the
+    * held frontier and no emitted match bound it — held events
+    * themselves stay undecided forever.
+    */
+  property("chunked steps with NEXT hold-back + unmatched tracking == " +
+      "prefix replay + horizon-decided complement") =
+    forAll(genPattern, genChunked, Gen.choose(1, 3), Gen.choose(0L, 25L)) {
+      case (pat0, (evs, cuts), maxNext, wmLag) =>
+      import graft.cep.Cep
+      // neighborhood excludes absence elements; unmatched tracking
+      // needs a within bound covering the decision horizon
+      if (pat0.steps.exists(_.isInstanceOf[Absence[E]])) Prop(true)
+      else {
+        val pat = pat0.copy(withinMs = Some(pat0.withinMs.getOrElse(60L)))
+        val w = pat.withinMs.get
+        val sorted = evs.sortBy(e => (e.ts, e.id))
+        val fedN = math.max(0, sorted.size - maxNext)
+        val fed = sorted.take(fedN)
+        val frontierTs = sorted.drop(fedN).headOption
+          .map(_.ts).getOrElse(Long.MaxValue)
+        val nfa = new Nfa[E](pat, _.ts, _.id)
+        val expMs = (fed.flatMap(nfa.onEvent) ++
+          nfa.advanceTime(Long.MaxValue / 2))
+          .map(m => (m.startTs, m.endTs,
+            m.groups.view.mapValues(_.map(_.id)).toMap))
+        val boundIds = expMs.iterator
+          .flatMap(_._3.valuesIterator.flatten).toSet
+        val expUn = fed.filter(e =>
+          e.ts + w < frontierTs && !boundIds(e.id)).map(_.id).toSet
+        val nb = Cep.Neighborhood[E](0, maxNext, (e, _, _) => e)
+        val bounds = (cuts.map(c => math.min(c, sorted.size)) :+
+          sorted.size).distinct.sorted
+        val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
+          case List(a, b) if b > a => sorted.slice(a, b)
+        }.toList
+        val rnd = new scala.util.Random(97)
+        var st = Cep.CepState.empty[E]
+        val gotMs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Map[String, Seq[Long]])]
+        val gotUn = scala.collection.mutable.Set.empty[Long]
+        def doStep(chunk: Seq[E], wm: Long): Unit = {
+          val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWatermark = true,
+            pat, _.ts, _.id, Some(nb), Some(w))
+          ms.foreach { m =>
+            if (m.groups.contains(Cep.UnmatchedSlot))
+              gotUn += m.groups(Cep.UnmatchedSlot).head.id
+            else gotMs += ((m.startTs, m.endTs,
+              m.groups.view.mapValues(_.map(_.id)).toMap))
+          }
+          st = ns.getOrElse(Cep.CepState.empty[E])
+        }
+        chunks.foreach { chunk =>
+          doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag)
+        }
+        doStep(Nil, Long.MaxValue / 2)
+        (Prop(gotMs.toList == expMs) :|
+          s"matches: got=$gotMs expected=$expMs") &&
+          (Prop(gotUn.toSet == expUn) :|
+            s"unmatched: got=$gotUn expected=$expUn")
+      }
+    }
+
   private def runPat(pat: PatternDef[E], evs: List[E]) = {
     val nfa = new Nfa[E](pat, _.ts)
     (evs.sortBy(e => (e.ts, e.id)).flatMap(nfa.onEvent) ++ nfa.flush())
