@@ -270,6 +270,38 @@ object ScaleProbe {
     // count aggregation
     time("rate_anomaly")(graft.operators.Anomaly.rateAnomaly(eventsTs,
       "ts_us", "event_type"))
+
+    // the batch MATCH_RECOGNIZE operator: user-shifted replication
+    // multiplies KEYS N× while per-key event density stays constant —
+    // the partitioned-NFA scale model (one hash shuffle + per-key
+    // sorted scan, O(live partials) memory per key), so growth must
+    // be the shuffle+sort's row-linear cost with a flat NFA term
+    val eventsCep = {
+      val base = graft.Tables.eventsTsUs(spark, sfDir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+      (0 until copies).map(i =>
+        base.withColumn("user_id",
+            col("user_id") + lit(i.toLong * 1000000000L))
+          .withColumn("event_id",
+            col("event_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+    }
+    import graft.plans.MatchRecognize
+    import graft.plans.MatchRecognize.EStep
+    time("mr_cep")(MatchRecognize(eventsCep, Seq("user_id"), "ts_us",
+      "event_id",
+      Seq(EStep("a", col("event_type") === "click"),
+        EStep("b", col("event_type") === "purchase")),
+      withinTs = Some(600000000L)))
+    // the interpreted ctxPred path (cross-variable DEFINE): per-event
+    // cost adds the per-partial predicate evaluation; still key-local
+    time("mr_cep_crossvar")(MatchRecognize(eventsCep, Seq("user_id"),
+      "ts_us", "event_id",
+      Seq(EStep("strt", lit(true)),
+        EStep("down", col("value") < MatchRecognize.cvFirst("strt", "value")),
+        EStep("up", col("value") > MatchRecognize.cvFirst("strt", "value"))),
+      withinTs = Some(7200000000L)))
     time("cube_report")(graft.operators.Rollup.cubeReport(eventsTs,
       "event_type", "ts_us", "user_id"))
     // integer-exact training (bounded ≤buckets collect per epoch) +
