@@ -214,6 +214,15 @@ object Cep {
       if (!hasWatermark) (Vector.empty[E], all) else all.partition(tsOf(_) <= wm)
 
     val nfa = new Nfa(pattern, tsOf, tieBreak)
+    // deferred skip-mode emission (cross-variable DEFINE + a skip mode)
+    // holds completed candidates until no earlier-starting live partial
+    // remains; without a within bound a partial that can neither
+    // complete nor die blocks them forever (unbounded pendingCands)
+    require(!nfa.deferredSkip || pattern.withinMs.isDefined,
+      "cross-variable predicates with AFTER MATCH SKIP PAST LAST ROW / " +
+        "SKIP TO <var> on a stream need a WITHIN bound: deferred " +
+        "leftmost election can only release a pending match once every " +
+        "earlier-starting partial has completed or expired")
     nfa.restore((prev.partials, prev.terminated, prev.pendingCands))
     // neighborhood: prepend earlier withheld events, feed only those
     // whose maxNext lookahead successors exist, decorated with their

@@ -459,10 +459,27 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
     * sparse-match workloads; [[onEvent]] on a quick-rejected event
     * would be a no-op by construction (the seed conditions below are
     * exactly [[onEvent]]'s element-0 seeding tests).
+    *
+    * Cost bound: a row that DOES seed from empty state pays the head
+    * seed predicates twice (here and in [[onEvent]]'s seeding block) —
+    * but any live partial short-circuits on the first check with no
+    * predicate eval at all, and a seeding row leaves a live partial
+    * behind, so the double eval is confined to the first seeding row
+    * after each state drain, not to match-dense runs.
     */
   def quickReject(e: E): Boolean =
     partials.isEmpty && pendingCands.isEmpty &&
       (terminated || !headCanSeed(e))
+
+  /** True when skip-mode emission is deferred through [[pendingCands]]
+    * (cross-variable DEFINE + a skip mode). On an unbounded stream this
+    * mode needs a `within` bound: a live partial that can neither
+    * complete nor die (e.g. a non-strict step whose predicate never
+    * fires, or an open quantifier that keeps extending) blocks every
+    * later-starting pending candidate forever, and only expiry
+    * ([[pruneExpired]]) clears such a blocker. Streaming entry points
+    * must reject deferredSkip patterns without `withinMs`. */
+  def deferredSkip: Boolean = deferSkip
 
   private def headCanSeed(e: E): Boolean = elems.head match {
     case s: Step[E] => evalSeed(s, e)

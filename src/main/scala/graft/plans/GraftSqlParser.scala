@@ -611,10 +611,11 @@ private[graft] object MatchRecognizeSql {
     // allows e.g. `(a b a)`) cannot ride the structured elements'
     // one-slot-per-element layout — compile the WHOLE pattern as one
     // recursive element instead
-    val patElems: Seq[PatElem] =
-      if (patElems0.flatMap(elemNames).distinct.length ==
-          patElems0.flatMap(elemNames).length) patElems0
+    val patElems: Seq[PatElem] = {
+      val ns = patElems0.flatMap(elemNames)
+      if (ns.distinct.length == ns.length) patElems0
       else Seq(RxP(patAst))
+    }
     val varNames = patElems.flatMap(elemNames).distinct
     skipToVar.foreach { case (v, _) =>
       require(varNames.contains(v),

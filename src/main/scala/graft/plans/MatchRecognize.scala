@@ -363,8 +363,21 @@ object MatchRecognize {
       require(!skipPastLastRow,
         "skipPastLastRow and skipToVar are mutually exclusive")
     }
+    // the executor reads the tie as a raw long slot (skip-mode election
+    // and deferred-emission ordering key with ts) — widen narrower
+    // integrals, reject anything non-integral instead of reading garbage
+    val tieA = attr(tieCol)
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val tieE: Expression = tieA.dataType match {
+      case LongType => tieA
+      case ByteType | ShortType | IntegerType => Cast(tieA, LongType)
+      case dt => throw new IllegalArgumentException(
+        s"tie-break column '$tieCol' must be an integral type " +
+          s"(tinyint/smallint/int/bigint), got $dt")
+    }
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
-      partitionKeys.map(attr), tsA, attr(tieCol), preds.flatten, specs,
+      partitionKeys.map(attr), tsA, tieE, preds.flatten, specs,
       withinTs, every, maxPartials, skipPastLastRow, outAttrs, child,
       ctxRefs, skipToVar, reluctantVars.toSeq.sorted))
   }
@@ -1001,6 +1014,15 @@ object MatchRecognize {
         cvVars.filterNot(patVarsS).distinct.mkString(", "))
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow, skipToVar, reluctantVars)
+    // driver-side mirror of Cep.step's deferred-skip require: fail at
+    // plan build time, not inside the first micro-batch on an executor
+    require(!new graft.cep.Nfa[Row](pat, _ => 0L, _ => 0L).deferredSkip ||
+        withinTs.isDefined,
+      "cross-variable DEFINE with AFTER MATCH SKIP PAST LAST ROW / " +
+        "SKIP TO <var> on a stream needs a WITHIN bound: leftmost " +
+        "election defers each completed match until every " +
+        "earlier-starting partial has completed or expired, and only " +
+        "WITHIN bounds that wait")
     val slotNames = pElems.flatMap(_.names)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]

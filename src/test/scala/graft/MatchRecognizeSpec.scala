@@ -315,6 +315,47 @@ class MatchRecognizeSpec extends SparkSpec {
         Seq(EStep("a", $"event_type" === "A"))))
   }
 
+  test("integer tie-break column: same-ts election widens negatives " +
+      "correctly; non-integral tie fails fast") {
+    // event_id is IntegerType with a NEGATIVE value: the executor reads
+    // the tie as a raw long slot, so without the builder's widening
+    // Cast a zero-extended 32-bit read would order -2 AFTER 1 and the
+    // skip election would crown the wrong leftmost candidate
+    val df = Seq((-2, 10L, 1L, "A"), (1, 10L, 1L, "A"), (5, 20L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = MatchRecognize(df, Seq("user_id"), "ts_us", "event_id",
+      Seq(EStep("a", $"event_type" === "A"),
+        EStep("b", $"event_type" === "B")),
+      skipPastLastRow = true)
+      .select(element_at($"a", 1).getField("event_id").as("a_id"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(-2))
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(df, Seq("user_id"), "ts_us", "event_type",
+        Seq(EStep("a", $"event_type" === "A")))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("streaming deferred skip mode (cross-variable DEFINE + skip) " +
+      "fails fast at plan build without WITHIN") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("event_id", "ts_ms", "user", "typ")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(EStep("a", $"typ" === "A"),
+          EStep("b", ($"typ" === "B") &&
+            ($"event_id" > MatchRecognize.cvFirst("a", "event_id")))),
+        eventTimeCol = "etc", withinTs = None, skipPastLastRow = true)
+    }
+    assert(e.getMessage.contains("WITHIN"))
+  }
+
   test("fluent env surface: from(...).matchRecognize(...) composes") {
     val env = new GraftCEP(spark)
     env.registerStream("mr_ev", Seq(

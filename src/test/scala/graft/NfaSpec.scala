@@ -396,6 +396,31 @@ class NfaSpec extends AnyFunSuite {
     assert(ids(ms.head, "a") == Seq(1L)) // lower tie wins the election
   }
 
+  test("Cep.step rejects deferred skip mode (cross-variable DEFINE + " +
+      "skip) without a within bound") {
+    import graft.cep.Cep
+    def ctx(f: (E, String => IndexedSeq[E]) => Boolean) = Some(f)
+    val cvSkip = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Step[E]("b", _ => true, ctxPred = ctx((e, c) =>
+        c("a").headOption.exists(a => e.id > a.id)))),
+      skipPastLastRow = true)
+    // without withinMs a blocked pendingCands can never drain: a live
+    // earlier-start partial that neither completes nor dies is only
+    // ever cleared by pruneExpired
+    val ex = intercept[IllegalArgumentException] {
+      Cep.step[E](Cep.CepState.empty[E], Nil, 0L, hasWatermark = false,
+        cvSkip, _.ts, _.id)
+    }
+    assert(ex.getMessage.contains("WITHIN"))
+    // the same pattern WITH a bound is accepted
+    Cep.step[E](Cep.CepState.empty[E], Nil, 0L, hasWatermark = false,
+      cvSkip.copy(withinMs = Some(100L)), _.ts, _.id)
+    // and so is the cv pattern without any skip mode
+    Cep.step[E](Cep.CepState.empty[E], Nil, 0L, hasWatermark = false,
+      cvSkip.copy(skipPastLastRow = false), _.ts, _.id)
+  }
+
   test("Cep.step rejects an unmatched horizon shorter than the pattern " +
       "window") {
     import graft.cep.Cep
