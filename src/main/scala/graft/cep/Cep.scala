@@ -247,14 +247,18 @@ object Cep {
           avail.drop(feedN))
     }
     val matches = fed.flatMap(e => nfa.onEvent(e))
-    // watermark advance resolves absence windows with no event needed
-    // (neighborhood mode excludes absence patterns — a withheld event
-    // could otherwise violate a window promote() already resolved).
+    // watermark advance resolves absence windows with no event needed.
     // A NEXT hold-back caps the advance at the held frontier: a held
     // event keeps its original (smaller) ts when it finally feeds, so
     // advancing past it would prune partials it can still legally
-    // extend (prune is strict `t - startTs > within`, so advancing TO
-    // the frontier itself is safe)
+    // extend AND resolve absence windows a held event could still
+    // violate (prune is strict `t - startTs > within` and an event AT
+    // a window's deadline cannot violate it, so advancing TO the
+    // frontier itself is safe). The cap is what lets absence elements
+    // compose with PREV/NEXT: a window whose deadline lies past the
+    // frontier stays armed until the held event either feeds (and can
+    // violate it) or the hold-back drains — the same data-arrival
+    // latency NEXT itself has on a trailing row.
     val advTo =
       if (nHeld.isEmpty) wm else math.min(wm, tsOf(nHeld.head))
     val timeMatches =
@@ -325,11 +329,9 @@ object Cep {
       unmatchedWithin: Option[Long] = None)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
-    require(neighborhood.isEmpty ||
-        pattern.steps.forall(!_.isInstanceOf[Absence[E]]),
-      "PREV/NEXT navigation does not compose with absence elements " +
-        "on a stream (withheld events could violate an already-" +
-        "resolved window)")
+    // PREV/NEXT composes with absence elements: step() caps the
+    // watermark advance at the NEXT hold-back frontier, so no absence
+    // window resolves while a withheld event could still violate it
 
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
       val prev = state.getOption.getOrElse(CepState.empty[E])
@@ -385,11 +387,8 @@ object Cep {
       neighborhood: Option[Neighborhood[E]] = None,
       unmatchedWithin: Option[Long] = None)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
-    require(neighborhood.isEmpty ||
-        pattern.steps.forall(!_.isInstanceOf[Absence[E]]),
-      "PREV/NEXT navigation does not compose with absence elements " +
-        "on a stream (withheld events could violate an already-" +
-        "resolved window)")
+    // PREV/NEXT composes with absence elements: step() caps the
+    // watermark advance at the NEXT hold-back frontier (see streaming)
 
     class CepProcessor extends StatefulProcessor[K, E, O] {
       @transient private var st: ValueState[CepState[E]] = _

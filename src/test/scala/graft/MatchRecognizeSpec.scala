@@ -523,6 +523,65 @@ class MatchRecognizeSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("absence composes with NEXT on a stream: a held violator blocks " +
+      "window resolution until it feeds (both executors)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // PATTERN: a (typ=A, NEXT(v) > 0) then NOT typ=B FOR 5000 ms.
+    // window1 [1000, 6000] has a HELD violator (B at 5000): the
+    // watermark passes the deadline while the B is withheld for its
+    // NEXT successor — the frontier cap must keep the window armed so
+    // the B still violates it when it finally feeds. window2
+    // [7000, 12000] resolves legitimately once the frontier passes it.
+    def runAbs(useTws: Boolean): Seq[Long] = {
+      val input = MemoryStream[(Long, Long, Long, Double, String)]
+      val df = input.toDF()
+        .toDF("event_id", "ts_ms", "user", "v", "typ")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(EStep("a", ($"typ" === "A") &&
+            (graft.plans.MatchRecognize.lagCol("next", "v", 1) > 0)),
+          ENotFor("nb", $"typ" === "B", 5000L)),
+        eventTimeCol = "etc", withinTs = Some(100000L), useTws = useTws,
+        lagSpecs = Seq(("next", "v", 1)))
+      val name = s"mr_absnext_$useTws"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      def user1 = spark.table(name).filter($"user" === 1L)
+        .select(element_at($"a", 1).getField("event_id")).as[Long]
+      try {
+        // every user-1 event arrives AHEAD of the watermark (Spark drops
+        // stateful-operator input older than the watermark). Batch 1
+        // leaves wm=7000: past window1's deadline 6000 but the violator
+        // (B at 5000) is still HELD for its NEXT successor — the
+        // frontier cap must keep the window armed instead of emitting
+        input.addData((1L, 1000L, 1L, 1.0, "A"), (2L, 2000L, 1L, 1.0, "C"),
+          (3L, 5000L, 1L, 1.0, "B"), (90L, 17000L, 9L, 1.0, "Z"))
+        q.processAllAvailable()
+        assert(user1.collect().isEmpty) // cap: no false a=1 match
+        // batch 2 (wm 7000 -> 17000): e4/e5 release in the follow-up
+        // trigger; feeding the B violates window1; e4 arms window2
+        // [9000, 14000]; e5 becomes the new held frontier (10000)
+        input.addData((4L, 9000L, 1L, 1.0, "A"), (5L, 10000L, 1L, 1.0, "C"),
+          (91L, 27000L, 9L, 1.0, "Z"))
+        q.processAllAvailable()
+        assert(user1.collect().isEmpty) // frontier 10000 < deadline 14000
+        // batch 3 (wm -> 30000): e6 feeds e5, frontier 18000 passes
+        // window2's deadline — it resolves
+        input.addData((6L, 18000L, 1L, 1.0, "C"),
+          (92L, 40000L, 9L, 1.0, "Z"))
+        q.processAllAvailable()
+        user1.collect().toSeq
+      } finally q.stop()
+    }
+    assert(runAbs(false) == Seq(4L)) // e1's window violated, e4's resolves
+    assert(runAbs(true) == Seq(4L))
+  }
+
   test("round-13 compositions on the transformWithState executor: " +
       "cv+PREV/NEXT and unmatched+NEXT match the fMGWS executor") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

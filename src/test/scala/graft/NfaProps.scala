@@ -388,6 +388,53 @@ object NfaProps extends Properties("Nfa") {
       }
     }
 
+  /** Round-13 lift: absence elements compose with a NEXT hold-back.
+    * The streaming executor caps every watermark advance at the held
+    * frontier, so for ANY chunking the emitted matches equal a single
+    * ordered replay of the fed prefix followed by one advanceTime to
+    * min(final watermark, frontier) — absence windows whose deadline
+    * lies past the frontier stay armed (a held event could still
+    * violate them when it feeds).
+    */
+  property("chunked steps with NEXT hold-back (incl. absence elements) " +
+      "== frontier-capped prefix replay") =
+    forAll(genPattern, genChunked, Gen.choose(1, 3), Gen.choose(0L, 25L)) {
+      case (pat, (evs, cuts), maxNext, wmLag) =>
+      import graft.cep.Cep
+      val sorted = evs.sortBy(e => (e.ts, e.id))
+      val fedN = math.max(0, sorted.size - maxNext)
+      val fed = sorted.take(fedN)
+      val finalWm = Long.MaxValue / 2
+      val advTo = sorted.drop(fedN).headOption
+        .map(h => math.min(h.ts, finalWm)).getOrElse(finalWm)
+      val nfa = new Nfa[E](pat, _.ts, _.id)
+      val expMs = (fed.flatMap(nfa.onEvent) ++ nfa.advanceTime(advTo))
+        .map(m => (m.startTs, m.endTs,
+          m.groups.view.mapValues(_.map(_.id)).toMap))
+      val nb = Cep.Neighborhood[E](0, maxNext, (e, _, _) => e)
+      val bounds = (cuts.map(c => math.min(c, sorted.size)) :+
+        sorted.size).distinct.sorted
+      val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
+        case List(a, b) if b > a => sorted.slice(a, b)
+      }.toList
+      val rnd = new scala.util.Random(131)
+      var st = Cep.CepState.empty[E]
+      val gotMs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Map[String, Seq[Long]])]
+      def doStep(chunk: Seq[E], wm: Long): Unit = {
+        val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWatermark = true,
+          pat, _.ts, _.id, Some(nb))
+        gotMs ++= ms.map(m => (m.startTs, m.endTs,
+          m.groups.view.mapValues(_.map(_.id)).toMap))
+        st = ns.getOrElse(Cep.CepState.empty[E])
+      }
+      chunks.foreach { chunk =>
+        doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag)
+      }
+      doStep(Nil, finalWm)
+      Prop(gotMs.toList == expMs) :| s"got=$gotMs expected=$expMs"
+    }
+
   private def runPat(pat: PatternDef[E], evs: List[E]) = {
     val nfa = new Nfa[E](pat, _.ts)
     (evs.sortBy(e => (e.ts, e.id)).flatMap(nfa.onEvent) ++ nfa.flush())
