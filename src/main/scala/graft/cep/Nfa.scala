@@ -40,15 +40,12 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       "AFTER MATCH SKIP TO FIRST/LAST <var> needs a tie-break " +
         "function (row identity is (ts, tie)) — use an executor that " +
         "provides one")
-    require(elems.forall(!_.isInstanceOf[Absence[E]]),
-      "AFTER MATCH SKIP TO FIRST/LAST <var> does not compose with " +
-        "absence (not-for) elements: an absence window resolves at " +
-        "its deadline (a watermark/flush instant, not an event), " +
-        "outside the event-ordered candidate election that computes " +
-        "the skip resume point, and the absence variable itself " +
-        "binds no row — no (ts, tie) identity exists to resume at. " +
-        "SKIP PAST LAST ROW composes with absence and covers the " +
-        "non-overlap use case")
+    // composes with absence (not-for) elements: deadline-resolved
+    // matches elect in (deadline, start-key) order inside promote()
+    // with the same resume-at-target consumption as the event path —
+    // the target variable's bound rows carry the (ts, tie) identity;
+    // naming the absence variable itself hits the standard's
+    // unbound-variable runtime error
     require(pattern.every,
       "AFTER MATCH SKIP TO FIRST/LAST <var> needs every = true (the " +
         "skip mode itself governs which matches emit)")
@@ -431,6 +428,40 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       pendingCands = pendingCands ++
         resolved.map { case (deadline, p) => buildMatch(p, deadline) }
       drainPending(out)
+      return
+    }
+    if (skipTo.isDefined) {
+      // SKIP TO FIRST/LAST <var> for deadline-resolved matches: the
+      // resume target's (ts, tie) identity comes from the emitted
+      // match's bound rows (the absence slot binds none, but the
+      // standard's unbound-variable error covers naming it), so the
+      // event path's one-pass resume-at-target consumption applies
+      // here too, with (deadline, start-key) election order
+      resolved.sortInPlaceBy { case (d, p) => (d, p.startTs, p.startTie) }
+      val (v, isFirst) = skipTo.get
+      var live = res.result()
+      var resume: Option[(Long, Long)] = None
+      resolved.foreach { case (deadline, p) =>
+        val sk = (p.startTs, p.startTie)
+        if (resume.forall(r => geKey(sk, r))) {
+          val m = buildMatch(p, deadline)
+          val g = m.groups.getOrElse(v, IndexedSeq.empty)
+          if (g.isEmpty) throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
+              s"$v: the variable bound no rows in the match")
+          val tgt = keyOf(if (isFirst) g.head else g.last)
+          if (tgt == sk) throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
+              s"$v: the target row is the match's own first row " +
+              "(infinite loop)")
+          out += m
+          resume = Some(tgt)
+        }
+      }
+      resume.foreach { r =>
+        live = live.filter(p => geKey((p.startTs, p.startTie), r))
+      }
+      partials = live
       return
     }
     if (skip) resolved.sortInPlaceBy(t => (t._1, t._2.startTs))

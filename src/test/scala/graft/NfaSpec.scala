@@ -189,18 +189,19 @@ class NfaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new Nfa[E](pat, _.ts) }
   }
 
-  test("SKIP TO <var> + absence is rejected with the rationale (a " +
-      "deadline-resolved match has no event-ordered resume point)") {
+  test("SKIP TO <var> + absence: resuming at the match's own first row " +
+      "raises the standard's infinite-loop error at resolution") {
+    // (a NOT-b) with SKIP TO LAST a: the only bound row IS the match's
+    // first row, so the deadline-resolved emission must raise the same
+    // runtime error the event path raises
     val pat = PatternDef[E](IndexedSeq(
       Step[E]("a", _.typ == "A"),
       Absence[E](Step[E]("b", _.typ == "B"), 20L)),
       skipToVar = Some(("a", false)))
-    val err = intercept[IllegalArgumentException] {
-      new Nfa[E](pat, _.ts, _.id)
-    }
-    assert(err.getMessage.contains("absence"))
-    assert(err.getMessage.contains("deadline"))
-    assert(err.getMessage.contains("SKIP PAST LAST ROW"))
+    val nfa = new Nfa[E](pat, _.ts, _.id)
+    nfa.onEvent(E(1, 10, "A"))
+    val err = intercept[IllegalStateException] { nfa.flush() }
+    assert(err.getMessage.contains("infinite loop"))
   }
 
   test("partial-match cap bounds state") {
@@ -394,6 +395,76 @@ class NfaSpec extends AnyFunSuite {
       .flatMap(nfa.onEvent)
     assert(ms.size == 1)
     assert(ids(ms.head, "a") == Seq(1L)) // lower tie wins the election
+  }
+
+  test("SKIP TO <var> composes with absence: deadline-resolved matches " +
+      "elect leftmost and consume by resume target") {
+    // a(A) b(C) then NOT B FOR 100, SKIP TO LAST b. Both partials arm
+    // the absence on the same C row: the leftmost start emits and its
+    // resume target (the shared b row) consumes the later start.
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Step[E]("b", _.typ == "C"),
+      Absence[E](Step[E]("nb", _.typ == "B"), 100L)),
+      skipToVar = Some(("b", false)))
+    val nfa = new Nfa[E](pat, _.ts, _.id)
+    val ms = Seq(E(1, 10, "A"), E(2, 20, "A"), E(3, 30, "C"))
+      .flatMap(nfa.onEvent) ++ nfa.flush()
+    assert(ms.map(m => ids(m, "a")) == Seq(Seq(1L)))
+
+    // distinct b rows: the second match starts after the first's
+    // target, so both survive the consumption
+    val nfa2 = new Nfa[E](pat, _.ts, _.id)
+    val ms2 = Seq(E(1, 10, "A"), E(2, 20, "C"), E(3, 25, "A"),
+      E(4, 40, "C")).flatMap(nfa2.onEvent) ++ nfa2.flush()
+    assert(ms2.map(m => (ids(m, "a"), ids(m, "b"))) ==
+      Seq((Seq(1L), Seq(2L)), (Seq(3L), Seq(4L))))
+
+    // a B inside the window still violates it — nothing emits
+    val nfa3 = new Nfa[E](pat, _.ts, _.id)
+    val ms3 = Seq(E(1, 10, "A"), E(2, 20, "C"), E(3, 60, "B"))
+      .flatMap(nfa3.onEvent) ++ nfa3.flush()
+    assert(ms3.isEmpty)
+
+    // naming the absence variable as the target: the standard's
+    // unbound-variable runtime error (it binds no rows)
+    val nfa4 = new Nfa[E](pat.copy(skipToVar = Some(("nb", true))),
+      _.ts, _.id)
+    val ex = intercept[IllegalStateException] {
+      Seq(E(1, 10, "A"), E(2, 20, "C")).flatMap(nfa4.onEvent) ++
+        nfa4.flush()
+    }
+    assert(ex.getMessage.contains("bound no rows"))
+  }
+
+  test("SKIP TO <var> + absence on the streaming kernel: chunked " +
+      "Cep.step == batch replay") {
+    import graft.cep.Cep
+    val pat = PatternDef[E](IndexedSeq(
+      Step[E]("a", _.typ == "A"),
+      Step[E]("b", _.typ == "C"),
+      Absence[E](Step[E]("nb", _.typ == "B"), 100L)),
+      skipToVar = Some(("b", false)))
+    val evs = Seq(E(1, 10, "A"), E(2, 20, "C"), E(3, 25, "A"),
+      E(4, 40, "C"))
+    val expect = {
+      val nfa = new Nfa[E](pat, _.ts, _.id)
+      (evs.flatMap(nfa.onEvent) ++ nfa.flush())
+        .map(m => (ids(m, "a"), ids(m, "b")))
+    }
+    var st = Cep.CepState.empty[E]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Long], Seq[Long])]
+    def doStep(chunk: Seq[E], wm: Long): Unit = {
+      val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWatermark = true,
+        pat, _.ts, _.id)
+      got ++= ms.map(m => (ids(m, "a"), ids(m, "b")))
+      st = ns.getOrElse(Cep.CepState.empty[E])
+    }
+    doStep(evs.take(2), 15L)   // releases e1 only
+    doStep(evs.drop(2), 45L)   // releases the rest; windows still open
+    doStep(Nil, 500L)          // deadlines pass — both resolve
+    assert(got.toList == expect)
   }
 
   test("Cep.step rejects deferred skip mode (cross-variable DEFINE + " +
