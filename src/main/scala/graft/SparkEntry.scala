@@ -1101,6 +1101,48 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 running aggregates in DEFINE (round 13): x gates on the
+    // AVG over another variable's full binding — evaluated inside the
+    // NFA per partial (Step.ctxPred), not precomputable as a flag.
+    "q188_mr_define_agg" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_dagg_q188")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_dagg_q188 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(w.event_id) AS w1, LAST(w.event_id) AS w3,
+          |           x.event_id AS x_id
+          |  PATTERN (w{3,3} x)
+          |  WITHIN 86400000000
+          |  DEFINE w AS true,
+          |         x AS x.value > AVG(w.value)
+          |)""".stripMargin))
+    }),
+
+    // Running aggregate over the variable's OWN binding: s keeps
+    // binding while its cumulative value stays under the cap (the
+    // current row folds into the prior-binding sum marker).
+    "q189_mr_define_own_sum" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_dsum_q189")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_dsum_q189 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(s.event_id) AS s1, LAST(s.event_id) AS s2,
+          |           e1.event_id AS e_id
+          |  PATTERN (s{2,2} e1)
+          |  WITHIN 86400000000
+          |  DEFINE s AS SUM(s.value) <= 60.0,
+          |         e1 AS true
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7421,6 +7463,58 @@ object SparkEntry {
         |    AND c.us - j1.a1_us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, a1 AS a_first, a2 AS a_last, bid AS b_id
         |FROM j2""".stripMargin,
+
+    // every event seeds w{3,3} (pred true -> three consecutive rows);
+    // x = first later event beating the trio's mean, all inside the
+    // 24 h window
+    "q188_mr_define_agg" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |w AS (SELECT a.user_id, a.event_id AS w1, a.us AS w1_us,
+        |    c.event_id AS w3, c.us AS w3_us,
+        |    (a.value + b.value + c.value) / 3.0 AS wavg
+        |  FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |    JOIN o c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        |  WHERE c.us - a.us <= 86400000000),
+        |x AS (SELECT * FROM (SELECT w.user_id, w.w1, w.w3,
+        |    e.event_id AS x_id,
+        |    row_number() OVER (PARTITION BY w.user_id, w.w1
+        |      ORDER BY e.us, e.event_id) AS rnk
+        |  FROM w JOIN o e ON w.user_id = e.user_id
+        |    AND e.value > w.wavg
+        |    AND (e.us > w.w3_us OR (e.us = w.w3_us
+        |      AND e.event_id > w.w3))
+        |    AND e.us - w.w1_us <= 86400000000) WHERE rnk = 1)
+        |SELECT user_id, w1, w3, x_id FROM x""".stripMargin,
+
+    // running own-variable SUM: seed rows with value <= cap, the
+    // second s is the FIRST later row keeping the sum under the cap
+    // (skip-till-next), then any next row completes
+    "q189_mr_define_own_sum" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events),
+        |c1 AS (SELECT user_id, event_id AS s1_id, us AS s1_us,
+        |    value AS v1 FROM o WHERE value <= 60.0),
+        |c2 AS (SELECT * FROM (SELECT c1.user_id, c1.s1_id, c1.s1_us,
+        |    b.event_id AS s2_id, b.us AS s2_us,
+        |    row_number() OVER (PARTITION BY c1.user_id, c1.s1_id
+        |      ORDER BY b.us, b.event_id) AS rnk
+        |  FROM c1 JOIN o b ON c1.user_id = b.user_id
+        |    AND (b.us > c1.s1_us OR (b.us = c1.s1_us
+        |      AND b.event_id > c1.s1_id))
+        |    AND c1.v1 + b.value <= 60.0
+        |    AND b.us - c1.s1_us <= 86400000000) WHERE rnk = 1),
+        |c3 AS (SELECT * FROM (SELECT c2.user_id, c2.s1_id AS s1,
+        |    c2.s2_id AS s2, c.event_id AS e_id,
+        |    row_number() OVER (PARTITION BY c2.user_id, c2.s1_id
+        |      ORDER BY c.us, c.event_id) AS rnk
+        |  FROM c2 JOIN o c ON c2.user_id = c.user_id
+        |    AND (c.us > c2.s2_us OR (c.us = c2.s2_us
+        |      AND c.event_id > c2.s2_id))
+        |    AND c.us - c2.s1_us <= 86400000000) WHERE rnk = 1)
+        |SELECT user_id, s1, s2, e_id FROM c3""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

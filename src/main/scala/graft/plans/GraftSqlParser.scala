@@ -711,31 +711,57 @@ private[graft] object MatchRecognizeSql {
           s"[${src.columns.mkString(", ")}]")
       s"`${MatchRecognize.CvMarker}`.`$fn`.`$v`.`$c`"
     }
+    // running aggregates over a variable's binding (SQL:2016 DEFINE
+    // aggregate semantics) ride the same marker machinery: one
+    // single-letter token per function, expanded below
+    val cvFns = Seq("first" -> "F", "last" -> "L", "sum" -> "S",
+      "avg" -> "A", "count" -> "C", "min" -> "M", "max" -> "X")
     def rewriteCrossVar(n: String, d: String): String =
       rewriteOutsideLiterals(d) { seg0 =>
         var seg = seg0
         for (v <- varNames) {
-          seg = seg.replaceAll(
-            s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            java.util.regex.Matcher.quoteReplacement("F:" + v + ":") +
-              "$1")
-          seg = seg.replaceAll(
-            s"(?i)(?<!\\w)last\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
-            java.util.regex.Matcher.quoteReplacement("L:" + v + ":") +
-              "$1")
+          for ((fn, tok) <- cvFns)
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)$fn\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
+              java.util.regex.Matcher.quoteReplacement("" + tok +
+                ":" + v + ":") + "$1")
           seg = seg.replaceAll(s"(?i)(?<!\\w)$v\\.(\\w+)",
             java.util.regex.Matcher.quoteReplacement("L:" + v + ":") +
               "$1")
         }
         // expand the placeholder tokens (two-phase so a replacement
-        // can never be re-matched as a variable reference)
-        """([FL]):(\w+):(\w+)""".r.replaceAllIn(seg, mm => {
+        // can never be re-matched as a variable reference). For the
+        // variable being defined (v == n) the current row is
+        // tentatively its LAST binding, so running aggregates fold
+        // the current row's value into the prior-binding marker.
+        """([FLSACMX]):(\w+):(\w+)""".r.replaceAllIn(seg, mm => {
           val (fn, v, c) = (mm.group(1), mm.group(2), mm.group(3))
-          val out =
-            if (v == n && fn == "L") s"`$c`"
-            else if (v == n) s"coalesce(${cvMark("first", v, c)}, `$c`)"
-            else if (fn == "F") cvMark("first", v, c)
-            else cvMark("last", v, c)
+          val own = v == n
+          def sumOwn =
+            s"(case when ${cvMark("sum", v, c)} is null then `$c` " +
+              s"when `$c` is null then ${cvMark("sum", v, c)} " +
+              s"else ${cvMark("sum", v, c)} + `$c` end)"
+          def countOwn =
+            s"(${cvMark("count", v, c)} + " +
+              s"(case when `$c` is null then 0 else 1 end))"
+          val out = fn match {
+            case "L" => if (own) s"`$c`" else cvMark("last", v, c)
+            case "F" =>
+              if (own) s"coalesce(${cvMark("first", v, c)}, `$c`)"
+              else cvMark("first", v, c)
+            case "S" => if (own) sumOwn else cvMark("sum", v, c)
+            case "C" => if (own) countOwn else cvMark("count", v, c)
+            case "M" =>
+              if (own) s"least(${cvMark("min", v, c)}, `$c`)"
+              else cvMark("min", v, c)
+            case "X" =>
+              if (own) s"greatest(${cvMark("max", v, c)}, `$c`)"
+              else cvMark("max", v, c)
+            case _ =>
+              if (own)
+                s"(cast($sumOwn as double) / nullif($countOwn, 0))"
+              else cvMark("avg", v, c)
+          }
           java.util.regex.Matcher.quoteReplacement(out)
         })
       }

@@ -105,17 +105,95 @@ final case class RxSpec(root: RxSpecNode) extends MatchElemSpec {
 }
 
 /** One cross-variable reference inside a DEFINE predicate
-  * (`FIRST(a.price)` / `LAST(a.price)`): at evaluation time the value
-  * is read from the partial match's bound events of `varName` (column
-  * `ordinal` of the first/last bound row; NULL while unbound) and fed
-  * to the predicate through the synthetic attribute `attr`, which the
+  * (`FIRST(a.price)`, `LAST(a.price)`, or a running aggregate
+  * `SUM/AVG/COUNT/MIN/MAX(a.price)`): at evaluation time the value is
+  * computed from the partial match's bound events of `varName` (column
+  * `ordinal`; NULL while unbound, except COUNT which is 0) and fed to
+  * the predicate through the synthetic attribute `attr`, which the
   * predicate expression references and the executor appends to the
-  * child schema via a joined row.
+  * child schema via a joined row. `dataType` is the RESULT type
+  * (LongType for COUNT and integral SUM, DoubleType for AVG and
+  * fractional SUM, the column type otherwise); `baseType` the source
+  * column's type.
   */
 final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
     dataType: org.apache.spark.sql.types.DataType,
-    attr: AttributeReference) extends Serializable {
-  require(fn == "first" || fn == "last", s"bad ctx ref fn: $fn")
+    attr: AttributeReference,
+    baseType: org.apache.spark.sql.types.DataType = null) extends Serializable {
+  import org.apache.spark.sql.types._
+  require(CtxRefSpec.fns(fn), s"bad ctx ref fn: $fn")
+  private def bt: DataType = if (baseType == null) dataType else baseType
+  private val integralSum = bt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Evaluate over the `n` rows currently bound to the variable;
+    * `rowAt` yields each row in Catalyst representation (callers
+    * convert lazily, so FIRST/LAST touch a single row).
+    */
+  def eval(n: Int, rowAt: Int => org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (n == 0) return if (fn == "count") 0L else null
+    fn match {
+      case "first" | "last" =>
+        val r = rowAt(if (fn == "first") 0 else n - 1)
+        if (r.isNullAt(ordinal)) null else r.get(ordinal, bt)
+      case "count" =>
+        var c = 0L
+        var i = 0
+        while (i < n) {
+          if (!rowAt(i).isNullAt(ordinal)) c += 1
+          i += 1
+        }
+        c
+      case "sum" | "avg" =>
+        var cnt = 0L
+        var l = 0L
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val r = rowAt(i)
+          if (!r.isNullAt(ordinal)) {
+            cnt += 1
+            bt match {
+              case ByteType => l += r.getByte(ordinal)
+              case ShortType => l += r.getShort(ordinal)
+              case IntegerType => l += r.getInt(ordinal)
+              case LongType => l += r.getLong(ordinal)
+              case FloatType => d += r.getFloat(ordinal)
+              case DoubleType => d += r.getDouble(ordinal)
+              case dt => throw new IllegalStateException(
+                s"$fn over $dt") // resolveWithCv rejects these up front
+            }
+          }
+          i += 1
+        }
+        if (cnt == 0L) null
+        else if (fn == "sum") { if (integralSum) l else d }
+        else (if (integralSum) l.toDouble else d) / cnt
+      case "min" | "max" =>
+        var best: Any = null
+        var i = 0
+        while (i < n) {
+          val r = rowAt(i)
+          if (!r.isNullAt(ordinal)) {
+            val v = r.get(ordinal, bt)
+            if (best == null) best = v
+            else {
+              val c = v.asInstanceOf[Comparable[Any]].compareTo(best)
+              if (if (fn == "min") c < 0 else c > 0) best = v
+            }
+          }
+          i += 1
+        }
+        best
+    }
+  }
+}
+
+object CtxRefSpec {
+  val fns: Set[String] =
+    Set("first", "last", "count", "sum", "avg", "min", "max")
 }
 
 /** MATCH_RECOGNIZE-style logical operator: per `keys` group, events
@@ -429,13 +507,53 @@ object MatchRecognize {
         val base = attr(cn)
         refs.getOrElseUpdate((fn, v, cn), {
           val ord = output.indexWhere(_.exprId == base.exprId)
-          CtxRefSpec(fn, v, ord, base.dataType,
-            AttributeReference(s"_mr_cv_${fn}_${v}_$cn", base.dataType,
-              nullable = true)())
+          val resultType = cvResultType(fn, cn, base.dataType)
+          CtxRefSpec(fn, v, ord, resultType,
+            AttributeReference(s"_mr_cv_${fn}_${v}_$cn", resultType,
+              nullable = true)(), baseType = base.dataType)
         }).attr
       case u: UnresolvedAttribute => attr(u.name)
     }
     (ex, refs.values.toSeq)
+  }
+
+  /** Result type of a cross-variable reference function over a column
+    * of type `dt`; rejects combinations the running evaluator cannot
+    * aggregate (SUM/AVG over non-numeric or Decimal, MIN/MAX over
+    * complex types). */
+  private def cvResultType(fn: String, cn: String,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def numeric = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => true
+      case _ => false
+    }
+    fn match {
+      case "first" | "last" => dt
+      case "count" => LongType
+      case "sum" =>
+        require(numeric, s"SUM($cn) in DEFINE: column type $dt is not " +
+          "a supported numeric (tinyint..bigint, float, double)")
+        dt match {
+          case FloatType | DoubleType => DoubleType
+          case _ => LongType
+        }
+      case "avg" =>
+        require(numeric, s"AVG($cn) in DEFINE: column type $dt is not " +
+          "a supported numeric (tinyint..bigint, float, double)")
+        DoubleType
+      case "min" | "max" =>
+        require(dt match {
+          case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+            false
+          case _ => true
+        }, s"${fn.toUpperCase}($cn) in DEFINE: column type $dt is not " +
+          "orderable here")
+        dt
+      case other => throw new IllegalArgumentException(
+        s"unknown cross-variable reference function '$other'")
+    }
   }
 
   /** Cross-variable DEFINE reference: the value of `column` on the
@@ -455,6 +573,19 @@ object MatchRecognize {
   def cvLast(variable: String, column: String): Column =
     org.apache.spark.sql.functions.col(
       s"$CvMarker.last.$variable.$column")
+
+  /** Running aggregate over the events bound to `variable` so far —
+    * the SQL:2016 `B AS B.price > AVG(A.price)` DEFINE shape. `fn` is
+    * one of sum, avg, count, min, max; NULL while the variable is
+    * unbound (COUNT is 0). Same evaluation contexts as [[cvFirst]].
+    */
+  def cvAgg(fn: String, variable: String, column: String): Column = {
+    val f = fn.toLowerCase
+    require(Set("sum", "avg", "count", "min", "max")(f),
+      s"cvAgg fn must be sum|avg|count|min|max, got '$fn'")
+    org.apache.spark.sql.functions.col(
+      s"$CvMarker.$f.$variable.$column")
+  }
 
   /** PREV/NEXT navigation reference for direct-API DEFINE predicates:
     * the synthetic lag alias a `lagSpecs` entry `(kind, column, k)`
@@ -1121,15 +1252,10 @@ object MatchRecognize {
       while (i < refs.length) {
         val r = refs(i)
         val g = ctx(r.varName)
-        vals(i) =
-          if (g.isEmpty) null
-          else {
-            val row = if (r.fn == "first") g.head else g.last
-            val rI = toCatalyst(row.getStruct(5))
-              .asInstanceOf[InternalRow]
-            if (rI.isNullAt(r.ordinal)) null
-            else rI.get(r.ordinal, r.dataType)
-          }
+        // rows convert lazily per access: FIRST/LAST touch one row,
+        // running aggregates walk the binding
+        vals(i) = r.eval(g.length, j =>
+          toCatalyst(g(j).getStruct(5)).asInstanceOf[InternalRow])
         i += 1
       }
       bp.eval(joined(evI, new GenericInternalRow(vals)))

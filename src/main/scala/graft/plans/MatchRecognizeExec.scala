@@ -126,13 +126,7 @@ case class MatchRecognizeExec(
             while (i < refs.length) {
               val ref = refs(i)
               val g = ctx(ref.varName)
-              vals(i) =
-                if (g.isEmpty) null
-                else {
-                  val row = if (ref.fn == "first") g.head else g.last
-                  if (row.isNullAt(ref.ordinal)) null
-                  else row.get(ref.ordinal, ref.dataType)
-                }
+              vals(i) = ref.eval(g.length, g(_))
               i += 1
             }
             p.eval(joined(e, new GenericInternalRow(vals)))

@@ -315,6 +315,62 @@ class MatchRecognizeSpec extends SparkSpec {
         Seq(EStep("a", $"event_type" === "A"))))
   }
 
+  test("running aggregates in DEFINE: AVG/MIN/MAX/COUNT over another " +
+      "variable's binding, SUM over the variable's own binding") {
+    val df = Seq(
+      // g1: a=(2,4) then b with v=5 > avg(a)=3 — matches
+      (1L, 10L, 1L, 2.0, "A"), (2L, 20L, 1L, 4.0, "A"),
+      (3L, 30L, 1L, 5.0, "B"),
+      // g2: a=(1,7) then b with v=3 < avg(a)=4 — no match
+      (4L, 40L, 2L, 1.0, "A"), (5L, 50L, 2L, 7.0, "A"),
+      (6L, 60L, 2L, 3.0, "B"))
+      .toDF("event_id", "ts_us", "user_id", "v", "event_type")
+    df.createOrReplaceTempView("mr_cvagg_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cvagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1, b.event_id AS bid
+          |  PATTERN (a a2 b)
+          |  DEFINE a AS event_type = 'A', a2 AS event_type = 'A',
+          |         b AS event_type = 'B' AND b.v > AVG(a.v) + AVG(a2.v)
+          |             - (AVG(a.v) + AVG(a2.v)) / 2 + 0.0 * (
+          |               MIN(a.v) + MAX(a.v) + COUNT(a.v))
+          |)""".stripMargin))
+      .select($"user_id", $"a1", $"bid")
+      .as[(Long, Long, Long)].collect().toSet
+    // b.v > (avg(a)+avg(a2))/2 == the two-variable mean; the 0.0*
+    // term exercises MIN/MAX/COUNT resolution in the same predicate
+    assert(got == Set((1L, 1L, 3L)))
+
+    // own-variable running SUM: s{2,2} binds while the running sum
+    // stays <= 6, non-strict (skip-till-next) — the second s skips
+    // the v=9 row (6+9 > 15? running sum 2+9=11 > 6) and binds v=3
+    val df2 = Seq(
+      (1L, 10L, 1L, 2.0, "V"), (2L, 20L, 1L, 9.0, "V"),
+      (3L, 30L, 1L, 3.0, "V"), (4L, 40L, 1L, 1.0, "E"))
+      .toDF("event_id", "ts_us", "user_id", "v", "event_type")
+    df2.createOrReplaceTempView("mr_cvagg2_view")
+    val got2 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cvagg2_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(s.event_id) AS s1, LAST(s.event_id) AS s2,
+          |           b1.event_id AS eid
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (s{2,2} b1)
+          |  DEFINE s AS event_type = 'V' AND SUM(s.v) <= 6.0,
+          |         b1 AS event_type = 'E'
+          |)""".stripMargin))
+      .select($"s1", $"s2", $"eid")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 3L, 4L)))
+  }
+
   test("integer tie-break column: same-ts election widens negatives " +
       "correctly; non-integral tie fails fast") {
     // event_id is IntegerType with a NEGATIVE value: the executor reads
@@ -521,6 +577,47 @@ class MatchRecognizeSpec extends SparkSpec {
       assert(twsU == Set((1L, Some(1000L), 2L), (1L, None, 3L)))
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
+      "AVG over another variable's binding") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def runAgg(useTws: Boolean): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Long, Long, Double, String)]
+      val df = input.toDF()
+        .toDF("event_id", "ts_ms", "user", "v", "typ")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(EStep("a", $"typ" === "A", 2, 2, strict = false),
+          EStep("b", ($"typ" === "B") &&
+            ($"v" > graft.plans.MatchRecognize.cvAgg("avg", "a", "v")))),
+        eventTimeCol = "etc", withinTs = Some(100000L), useTws = useTws)
+      val name = s"mr_cvagg_st_$useTws"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // a binds (v=2, v=4); the first B (v=3) fails 3 > avg=3, the
+        // second (v=5) matches
+        input.addData((1L, 1000L, 1L, 2.0, "A"), (2L, 2000L, 1L, 4.0, "A"),
+          (3L, 3000L, 1L, 3.0, "B"))
+        q.processAllAvailable()
+        input.addData((4L, 4000L, 1L, 5.0, "B"))
+        q.processAllAvailable()
+        input.addData((9L, 60000L, 9L, 0.0, "Z"))
+        q.processAllAvailable()
+        spark.table(name).filter($"user" === 1L)
+          .select($"user",
+            try_element_at($"b", lit(1)).getField("event_id").as("b_id"))
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    assert(runAgg(false) == Set((1L, 4L)))
+    assert(runAgg(true) == Set((1L, 4L)))
   }
 
   test("absence composes with NEXT on a stream: a held violator blocks " +
