@@ -1143,6 +1143,47 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 '^' start anchor (round 13): compiles to
+    // PREV(ts,1) IS NULL on the head variable, sharing the operator's
+    // window precompute — matches only start at the partition's first
+    // row.
+    "q190_mr_anchor_start" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_anc_q190")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_anc_q190 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (^ a b)
+          |  WITHIN 86400000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // '$' end anchor: NEXT(ts,1) IS NULL on the tail variable — every
+    // click within the window of the partition's FINAL row, when that
+    // row is a purchase (relaxed matching pairs each such click).
+    "q191_mr_anchor_end" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_anc_q191")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_anc_q191 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b $)
+          |  WITHIN 86400000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7515,6 +7556,45 @@ object SparkEntry {
         |      AND c.event_id > c2.s2_id))
         |    AND c.us - c2.s1_us <= 86400000000) WHERE rnk = 1)
         |SELECT user_id, s1, s2, e_id FROM c3""".stripMargin,
+
+    // first row per user must be the click; then first purchase after
+    // it inside the window
+    "q190_mr_anchor_start" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, us AS a_us FROM o
+        |  WHERE rn = 1 AND event_type = 'click'),
+        |b AS (SELECT * FROM (SELECT a.user_id, a.a_id,
+        |    e.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY a.user_id
+        |      ORDER BY e.us, e.event_id) AS rnk
+        |  FROM a JOIN o e ON a.user_id = e.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND (e.us > a.a_us OR (e.us = a.a_us
+        |      AND e.event_id > a.a_id))
+        |    AND e.us - a.a_us <= 86400000000) WHERE rnk = 1)
+        |SELECT user_id, a_id, b_id FROM b""".stripMargin,
+
+    // last row per user must be the purchase; every click inside its
+    // window pairs with it (relaxed matching)
+    "q191_mr_anchor_end" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnd
+        |  FROM events),
+        |lastp AS (SELECT user_id, event_id AS b_id, us AS b_us FROM o
+        |  WHERE rnd = 1 AND event_type = 'purchase'),
+        |m AS (SELECT l.user_id, c.event_id AS a_id, l.b_id
+        |  FROM lastp l JOIN o c ON l.user_id = c.user_id
+        |    AND c.event_type = 'click'
+        |    AND (c.us < l.b_us OR (c.us = l.b_us
+        |      AND c.event_id < l.b_id))
+        |    AND l.b_us - c.us <= 86400000000)
+        |SELECT user_id, a_id, b_id FROM m""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

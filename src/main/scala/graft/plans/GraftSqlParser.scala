@@ -585,7 +585,23 @@ private[graft] object MatchRecognizeSql {
         }
       case _ => RxP(item)
     }
-    val patAst = parsePatternAst(inner)
+    // SQL:2016 pattern anchors: '^' (match starts at the partition's
+    // first row) / '$' (match ends at its last row). They compile to
+    // partition-boundary predicates ANDed onto the edge variables —
+    // PREV(ts,1) IS NULL / NEXT(ts,1) IS NULL — riding the existing
+    // lag precompute (batch window sharing the operator's shuffle+sort;
+    // streaming release decorator), so they compose with every other
+    // feature. Only supported at the pattern's very ends.
+    val innerT = inner.trim
+    val anchorStart = innerT.startsWith("^")
+    val afterStart = if (anchorStart) innerT.drop(1).trim else innerT
+    val anchorEnd = afterStart.endsWith("$")
+    val innerPat = if (anchorEnd) afterStart.dropRight(1).trim
+      else afterStart
+    require(!innerPat.exists(c => c == '^' || c == '$'),
+      "pattern anchors '^'/'$' are only supported at the very " +
+        "start/end of PATTERN")
+    val patAst = parsePatternAst(innerPat)
     val reluctantVars: Set[String] = pnReluctant(patAst).toSet
     val topItems: Seq[PNode] = patAst match {
       case PSeqN(is) => is
@@ -625,6 +641,23 @@ private[graft] object MatchRecognizeSql {
     require(excludedVars.forall(varNames.contains),
       s"excluded variable(s) ${excludedVars.filterNot(varNames.contains)
         .mkString(", ")} not in the pattern")
+
+    // anchor edges must be plain unquantified variables: the boundary
+    // predicate ANDs onto the variable's DEFINE, so a quantified edge
+    // would constrain EVERY binding of it, not just the edge one
+    def anchorVar(sym: String, e: PatElem, where: String): String =
+      e match {
+        case Single(n, 1, 1) => n
+        case _ => throw new IllegalArgumentException(
+          s"'$sym' anchor: the pattern must $where with a plain " +
+            "unquantified variable (split a quantified edge into a " +
+            "distinct edge variable, e.g. '^ a a_more*')")
+      }
+    val anchorHeadVar =
+      if (anchorStart) Some(anchorVar("^", patElems.head, "start"))
+      else None
+    val anchorTailVar =
+      if (anchorEnd) Some(anchorVar("$", patElems.last, "end")) else None
 
     // DEFINE a AS <pred>, ... — predicates over plain input columns
     val defs = splitTopLevel(need("define"), ',').map { d =>
@@ -782,9 +815,29 @@ private[graft] object MatchRecognizeSql {
         })
       }
     }
+    // anchors: AND the partition-boundary predicate onto the edge
+    // variable's DEFINE via the lag machinery — PREV(ts,1) IS NULL is
+    // the first row per key, NEXT(ts,1) IS NULL the last
+    val defs3 = {
+      var m = defs2
+      anchorHeadVar.foreach { v =>
+        val alias = lagSpecs.getOrElseUpdate(("prev", tsCol, 1),
+          s"_mr_prev_${tsCol}_1")
+        m = m.updated(v, s"(${m(v)}) AND `$alias` IS NULL")
+      }
+      anchorTailVar.foreach { v =>
+        require(!src.isStreaming,
+          "'$' end anchor needs a bounded (batch) input: a stream's " +
+            "partition has no last row")
+        val alias = lagSpecs.getOrElseUpdate(("next", tsCol, 1),
+          s"_mr_next_${tsCol}_1")
+        m = m.updated(v, s"(${m(v)}) AND `$alias` IS NULL")
+      }
+      m
+    }
 
     def pred(n: String): Column =
-      GraftSqlBridge.column(delegate.parseExpression(defs2(n)))
+      GraftSqlBridge.column(delegate.parseExpression(defs3(n)))
     def toERx(n: PNode): MatchRecognize.ERxNode = n match {
       case PVar(v) => MatchRecognize.ERxVar(v, pred(v), 1, 1)
       case PQuant(PVar(v), mn, mx, rel) =>

@@ -579,6 +579,107 @@ class MatchRecognizeSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("pattern anchors ^ and $: partition-boundary predicates on the " +
+      "edge variables; '$' rejected on streams; quantified edges fail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 30L, 1L, "A"), (4L, 40L, 1L, "B"),
+      (5L, 10L, 2L, "B"), (6L, 20L, 2L, "A"), (7L, 30L, 2L, "B"))
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_anchor_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(pattern: String): Set[(Long, Long, Long)] =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_anchor_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+           |  PATTERN ($pattern)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+           |)""".stripMargin))
+        .select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+    // unanchored: every A pairs with its next B; user 2's A at row 6
+    assert(run("a b") ==
+      Set((1L, 1L, 2L), (1L, 3L, 4L), (2L, 6L, 7L)))
+    // ^: only matches starting at the partition's first row (user 2's
+    // first row is a B, so user 2 drops out entirely)
+    assert(run("^ a b") == Set((1L, 1L, 2L)))
+    // $: the b must be the partition's last row (relaxed matching, so
+    // BOTH user-1 As pair with the final B)
+    assert(run("a b $") ==
+      Set((1L, 1L, 4L), (1L, 3L, 4L), (2L, 6L, 7L)))
+    // both: full-span anchoring
+    assert(run("^ a b $") == Set((1L, 1L, 4L)))
+    // quantified edge: fail fast with guidance
+    val e1 = intercept[IllegalArgumentException] { run("^ a+ b") }
+    assert(e1.getMessage.contains("plain unquantified"))
+    // mid-pattern anchor: rejected
+    val e2 = intercept[IllegalArgumentException] { run("a ^ b") }
+    assert(e2.getMessage.contains("start/end"))
+    // '$' on a stream: no last row — fail fast at plan build
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_anchor_stream")
+    val e3 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_anchor_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b $)
+          |  WITHIN 10000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("bounded"))
+  }
+
+  test("streaming ^ anchor: first released row per key, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_anchor_stream2")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_anchor_stream2 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (^ a b)
+          |  WITHIN 10000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_anchor_sink").start()
+    try {
+      // user 1 starts with A (anchored match); user 2 starts with B
+      // (no match ever, even though an A-B pair follows)
+      input.addData((1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),
+        (3L, 3000L, 1L, "A"), (4L, 4000L, 1L, "B"),
+        (5L, 1000L, 2L, "B"), (6L, 2000L, 2L, "A"), (7L, 3000L, 2L, "B"))
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "X"))
+      q.processAllAvailable()
+      val got = spark.table("mr_anchor_sink")
+        .select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
       "AVG over another variable's binding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
