@@ -1184,6 +1184,55 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 FIRST/LAST logical offsets in MEASURES (round 13): the
+    // (1+n)-th binding from either end of the variable's slot array;
+    // out of range yields NULL (q86's two-click chain, offset reads).
+    "q192_mr_nav_offsets" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_nav_q192")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_nav_q192 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a0_id,
+          |           FIRST(a.event_id, 1) AS a1_id,
+          |           LAST(a.event_id, 1) AS a1b_id,
+          |           LAST(a.event_id, 3) AS oob_id,
+          |           b.event_id AS b_id
+          |  PATTERN (a{2,2} b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // SQL:2016 PREV/NEXT navigation in MEASURES (round 13): lag/lead
+    // columns registered ahead of the operator and read off the bound
+    // row — PREV(a.event_id) is the input row before the click in the
+    // user's FULL timeline (bound or not), NEXT(FIRST(a.event_id))
+    // the row after it, NEXT(b.event_id) the row after the purchase.
+    "q193_mr_nav_prev_next" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_nav_q193")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_nav_q193 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           PREV(a.event_id) AS pa_id,
+          |           NEXT(FIRST(a.event_id)) AS na_id,
+          |           NEXT(b.event_id) AS nb_id
+          |  PATTERN (a b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7595,6 +7644,34 @@ object SparkEntry {
         |      AND c.event_id < l.b_id))
         |    AND l.b_us - c.us <= 86400000000)
         |SELECT user_id, a_id, b_id FROM m""".stripMargin,
+
+    // the q34 two-click chain with offset reads: a1b = the
+    // second-from-last of two bindings = a0; LAST(a, 3) out of range
+    "q192_mr_nav_offsets" -> q34Oracle.replace(
+      "SELECT user_id, a0_id, a1_id, b_id FROM j WHERE rn = 1",
+      "SELECT user_id, a0_id, a1_id, a0_id AS a1b_id, " +
+        "CAST(NULL AS BIGINT) AS oob_id, b_id FROM j WHERE rn = 1"),
+
+    // every click pairs with the first purchase after it inside the
+    // window; PREV/NEXT read the user's FULL timeline via lag/lead
+    "q193_mr_nav_prev_next" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, lag(event_id) OVER w AS prev_id,
+        |    lead(event_id) OVER w AS next_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id)),
+        |a AS (SELECT * FROM o WHERE event_type = 'click'),
+        |b AS (SELECT * FROM o WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |    a.prev_id AS pa_id, a.next_id AS na_id, b.next_id AS nb_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 7200000000)
+        |SELECT user_id, a_id, b_id, pa_id, na_id, nb_id FROM j
+        |WHERE rn = 1""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

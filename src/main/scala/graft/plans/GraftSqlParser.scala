@@ -724,6 +724,17 @@ private[graft] object MatchRecognizeSql {
             "navigate the input partition independent of pattern-" +
             "variable bindings, so write PREV(col) instead)")
     }
+    // FIRST/LAST logical offsets (FIRST(v.col, n)) would otherwise
+    // slip past the cross-variable rewrite (its regex is offset-less)
+    // and die later as a misparsed aggregate — reject with the reason
+    val cvOffRe =
+      """(?i)(?<!\w)(first|last)\s*\(\s*\w+\s*\.\s*\w+\s*,""".r
+    defs.foreach { case (n, d) =>
+      if (cvOffRe.findFirstIn(maskLiterals(d)).isDefined)
+        throw new IllegalArgumentException(
+          s"DEFINE $n: FIRST/LAST with a logical offset " +
+            "(FIRST(var.col, n)) are supported in MEASURES only")
+    }
     val lagSpecs =
       scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
     // Cross-variable DEFINE references — SQL:2016 running semantics
@@ -834,6 +845,60 @@ private[graft] object MatchRecognizeSql {
         m = m.updated(v, s"(${m(v)}) AND `$alias` IS NULL")
       }
       m
+    }
+
+    // SQL:2016 PREV/NEXT navigation in MEASURES: `PREV(v.col[, n])` is
+    // the value n input rows BEFORE the row v resolves to (its last
+    // binding; RUNNING: last-so-far) in the FULL partition — not just
+    // bound rows. The lag/lead columns register HERE, before the
+    // operator assembles, so the binding structs (full child rows)
+    // carry them and MEASURES read them off the bound row. Batch only:
+    // the streaming release path embeds lag values in the payload only
+    // for DEFINE-driven navigation.
+    val subsetNamesLight: Set[String] =
+      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ','))
+        .flatMap("""\s*(\w+)\s*=""".r.findFirstMatchIn(_)
+          .map(_.group(1))).toSet
+    // nested form PREV(FIRST(v.col)[, n]) navigates from the FIRST
+    // (or explicitly LAST) bound row instead of the default last one
+    val measNavNestedRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*(first|last)\s*\(\s*(\w+)""" +
+        """\s*\.\s*(\w+)\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r
+    val measNavRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
+        """(?:,\s*(\d+)\s*)?\)""").r
+    sec.get("measures").foreach { mtxt =>
+      val masked = maskLiterals(mtxt)
+      val navs = measNavNestedRe.findAllMatchIn(masked)
+        .map(mm => (mm.group(1), mm.group(3), mm.group(4),
+          Option(mm.group(5)))).toList ++
+        measNavRe.findAllMatchIn(masked)
+          .map(mm => (mm.group(1), mm.group(2), mm.group(3),
+            Option(mm.group(4)))).toList
+      if ("""(?i)(?<!\w)(prev|next)\s*\(""".r
+          .findAllMatchIn(masked).size > navs.length)
+        throw new IllegalArgumentException(
+          "PREV/NEXT in MEASURES take 'PREV(var.col[, n])' or " +
+            "'PREV(FIRST|LAST(var.col)[, n])' with a literal offset " +
+            "— navigation starts at the pattern variable's bound " +
+            "row, so the column must be var-qualified")
+      if (navs.nonEmpty) require(!src.isStreaming,
+        "PREV/NEXT in MEASURES need a bounded (batch) input (the " +
+          "streaming release path carries navigation values only " +
+          "through DEFINE predicates)")
+      navs.foreach { case (kind0, v, c, kOpt) =>
+        require(varNames.contains(v) || subsetNamesLight.contains(v),
+          s"PREV/NEXT in MEASURES: '$v' is not a pattern variable " +
+            "or SUBSET name")
+        require(src.columns.exists(
+            session.sessionState.analyzer.resolver(_, c)),
+          s"PREV/NEXT column '$c' not in " +
+            s"[${src.columns.mkString(", ")}]")
+        val kind = kind0.toLowerCase
+        val k = kOpt.map(_.toInt).getOrElse(1)
+        if (k > 0)
+          lagSpecs.getOrElseUpdate((kind, c, k), s"_mr_${kind}_${c}_$k")
+      }
     }
 
     def pred(n: String): Column =
@@ -1023,6 +1088,44 @@ private[graft] object MatchRecognizeSql {
           // aggregate-of-no-rows semantics); the nullif guard keeps
           // AVG from tripping ANSI DIVIDE_BY_ZERO
           val q = java.util.regex.Matcher.quoteReplacement(arr)
+          // SQL:2016 navigation — these run BEFORE the plain
+          // FIRST/LAST and bare var.col rules so the inner var.col is
+          // never consumed by them:
+          //   PREV/NEXT(v.col[, n]) → the registered lag/lead column
+          //     read off v's resolved (last-bound) row; n = 0 is the
+          //     row itself
+          //   FIRST/LAST(v.col, n) → the (1+n)-th binding from either
+          //     end; out of range → NULL (try_element_at)
+          seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*(first|last)" +
+            s"\\s*\\(\\s*$v\\s*\\.\\s*" +
+            """(\w+)\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg,
+            mm => {
+              val c = mm.group(3)
+              val k = Option(mm.group(4)).map(_.toInt).getOrElse(1)
+              val fld = if (k == 0) s"`$c`"
+                else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
+              val at =
+                if (mm.group(2).equalsIgnoreCase("first")) 1 else -1
+              java.util.regex.Matcher.quoteReplacement(
+                s"try_element_at($arr, $at).$fld")
+            })
+          seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*$v\\s*\\.\\s*" +
+            """(\w+)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg, mm => {
+            val c = mm.group(2)
+            val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
+            val fld = if (k == 0) s"`$c`"
+              else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
+            java.util.regex.Matcher.quoteReplacement(
+              s"try_element_at($arr, -1).$fld")
+          })
+          seg = (s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$v\\s*\\.\\s*" +
+            """(\w+)\s*,\s*(\d+)\s*\)""").r.replaceAllIn(seg, mm => {
+            val idx = 1 + mm.group(3).toInt
+            val signed =
+              if (mm.group(1).equalsIgnoreCase("first")) idx else -idx
+            java.util.regex.Matcher.quoteReplacement(
+              s"try_element_at($arr, $signed).`${mm.group(2)}`")
+          })
           seg = seg.replaceAll(s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)",
             s"size($q)")
           seg = seg.replaceAll(s"(?i)(?<!\\w)sum\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
@@ -1082,6 +1185,41 @@ private[graft] object MatchRecognizeSql {
           var seg = seg0
           for ((v, arr) <- measureBindings) {
             val f = java.util.regex.Matcher.quoteReplacement(filt(arr))
+            // navigation under RUNNING semantics: v resolves to its
+            // last binding at-or-before the current row (the filtered
+            // array's tail); offsets count within that running prefix
+            seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*(first|last)" +
+              s"\\s*\\(\\s*$v\\s*\\.\\s*" +
+              """(\w+)\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg,
+              mm => {
+                val c = mm.group(3)
+                val k = Option(mm.group(4)).map(_.toInt).getOrElse(1)
+                val fld = if (k == 0) s"`$c`"
+                  else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
+                val at =
+                  if (mm.group(2).equalsIgnoreCase("first")) 1 else -1
+                java.util.regex.Matcher.quoteReplacement(
+                  s"try_element_at(${filt(arr)}, $at).$fld")
+              })
+            seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*$v\\s*\\.\\s*" +
+              """(\w+)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg,
+              mm => {
+                val c = mm.group(2)
+                val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
+                val fld = if (k == 0) s"`$c`"
+                  else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
+                java.util.regex.Matcher.quoteReplacement(
+                  s"try_element_at(${filt(arr)}, -1).$fld")
+              })
+            seg = (s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$v\\s*\\.\\s*" +
+              """(\w+)\s*,\s*(\d+)\s*\)""").r.replaceAllIn(seg, mm => {
+              val idx = 1 + mm.group(3).toInt
+              val signed =
+                if (mm.group(1).equalsIgnoreCase("first")) idx else -idx
+              java.util.regex.Matcher.quoteReplacement(
+                s"try_element_at(${filt(arr)}, $signed)" +
+                  s".`${mm.group(2)}`")
+            })
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)", s"size($f)")
             seg = seg.replaceAll(

@@ -680,6 +680,114 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MEASURES navigation: FIRST/LAST offsets, PREV/NEXT from a " +
+      "bound row (full-partition), nested PREV(FIRST(...)), SUBSET " +
+      "offsets, and the fail-fasts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // user 1: A(v=1) X(v=99) A(v=2) B(v=3) X(v=7) — the X rows are
+    // UNBOUND, so PREV/NEXT reading them proves navigation runs over
+    // the full partition, not just the match's rows
+    Seq((1L, 10L, 1L, "A", 1L), (2L, 20L, 1L, "X", 99L),
+      (3L, 30L, 1L, "A", 2L), (4L, 40L, 1L, "B", 3L),
+      (5L, 50L, 1L, "X", 7L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_nav_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val row = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.v, 1) AS f1, LAST(a.v, 1) AS l1,
+          |           LAST(a.v, 3) AS oob,
+          |           PREV(a.v) AS pa, PREV(FIRST(a.v)) AS pfa,
+          |           NEXT(FIRST(a.v)) AS nfa, NEXT(b.v) AS nb,
+          |           PREV(a.v, 0) AS pz, NEXT(b.v, 2) AS nb2,
+          |           LAST(s.v, 1) AS sl1
+          |  PATTERN (a{2,2} b)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"f1", $"l1", $"oob", $"pa", $"pfa", $"nfa", $"nb",
+        $"pz", $"nb2", $"sl1").collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(0) == 2L)            // FIRST(a.v, 1): 2nd binding
+    assert(r.getLong(1) == 1L)            // LAST(a.v, 1): 2nd-from-last
+    assert(r.isNullAt(2))                 // LAST(a.v, 3): out of range
+    assert(r.getLong(3) == 99L)           // PREV(a.v): row before a's
+                                          // LAST binding = unbound X
+    assert(r.isNullAt(4))                 // PREV(FIRST): partition edge
+    assert(r.getLong(5) == 99L)           // NEXT(FIRST(a.v)): the X row
+    assert(r.getLong(6) == 7L)            // NEXT(b.v): trailing X
+    assert(r.getLong(7) == 2L)            // PREV(a.v, 0): the row itself
+    assert(r.isNullAt(8))                 // NEXT(b.v, 2): past the end
+    assert(r.getLong(9) == 2L)            // LAST(s.v, 1) over union
+                                          // [1,2,3]: middle element
+    // ALL ROWS + RUNNING PREV: v resolves per output row to its
+    // last-so-far binding
+    val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES RUNNING PREV(a.v) AS rpa
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a{2,2} b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"event_id", $"rpa").collect()
+      .map(r0 => r0.getLong(0) -> (if (r0.isNullAt(1)) None
+        else Some(r0.getLong(1)))).toMap
+    assert(all == Map(1L -> None, 3L -> Some(99L), 4L -> Some(99L)))
+    // DEFINE with a FIRST/LAST offset: fail fast with the reason
+    val e1 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.v AS av
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS v > FIRST(a.v, 1)
+          |)""".stripMargin)
+    }
+    assert(e1.getMessage.contains("MEASURES only"))
+    // unqualified PREV in MEASURES: clear error, not a misparse
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES PREV(v) AS pv
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("var-qualified"))
+    // PREV/NEXT in MEASURES over a stream: batch-only fail-fast
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_nav_stream")
+    val e3 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES PREV(a.event_id) AS pa
+          |  PATTERN (a b)
+          |  WITHIN 10000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("batch"))
+  }
+
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
       "AVG over another variable's binding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
