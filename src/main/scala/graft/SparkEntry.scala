@@ -1233,6 +1233,51 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // MATCH_RECOGNIZE as a TABLE FACTOR (round 13, SQL:2016 7.6):
+    // aggregate straight over the match relation — GROUP BY composes
+    // through the factor-rewrite without a manual intermediate view.
+    "q194_mr_factor_agg" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_f_q194")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT user_id, count(*) AS n_matches, min(a_id) AS first_a
+          |FROM mr_f_q194 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)
+          |GROUP BY user_id""".stripMargin))
+    }),
+
+    // Table factor + alias + JOIN: the match relation joins a derived
+    // per-user aggregate of the SAME input in one statement.
+    "q195_mr_factor_join" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_f_q195")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT m.user_id, m.a_id, m.b_id, u.n_ev
+          |FROM mr_f_q195 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |) AS m
+          |JOIN (SELECT user_id, count(*) AS n_ev
+          |      FROM mr_f_q195 GROUP BY user_id) u
+          |  ON m.user_id = u.user_id""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7672,6 +7717,37 @@ object SparkEntry {
         |    AND b.us - a.us <= 7200000000)
         |SELECT user_id, a_id, b_id, pa_id, na_id, nb_id FROM j
         |WHERE rn = 1""".stripMargin,
+
+    // the q193 pair derivation grouped per user
+    "q194_mr_factor_agg" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |a AS (SELECT * FROM o WHERE event_type = 'click'),
+        |b AS (SELECT * FROM o WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.event_id AS a_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 7200000000)
+        |SELECT user_id, count(*) AS n_matches, min(a_id) AS first_a
+        |FROM j WHERE rn = 1 GROUP BY user_id""".stripMargin,
+
+    // the q193 pairs joined to the per-user event count
+    "q195_mr_factor_join" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |a AS (SELECT * FROM o WHERE event_type = 'click'),
+        |b AS (SELECT * FROM o WHERE event_type = 'purchase'),
+        |j AS (SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 7200000000),
+        |u AS (SELECT user_id, count(*) AS n_ev FROM o GROUP BY user_id)
+        |SELECT j.user_id, j.a_id, j.b_id, u.n_ev
+        |FROM j JOIN u ON j.user_id = u.user_id WHERE j.rn = 1""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

@@ -35,11 +35,21 @@ class GraftSqlParser(delegate: ParserInterface, session: SparkSession)
     else if (isMatchRecognize(sqlText))
       MatchRecognizeSql.compile(session, delegate, sqlText)
         .queryExecution.logical
-    else delegate.parsePlan(sqlText)
+    else
+      // MATCH_RECOGNIZE as a table factor inside a larger statement:
+      // compile + substitute each factor, delegate the rest
+      MatchRecognizeSql.rewriteFactors(session, delegate, sqlText) match {
+        case Some(rewritten) => delegate.parsePlan(rewritten)
+        case None => delegate.parsePlan(sqlText)
+      }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     if (isPattern(sqlText) || isMatchRecognize(sqlText)) parsePlan(sqlText)
-    else delegate.parseQuery(sqlText)
+    else
+      MatchRecognizeSql.rewriteFactors(session, delegate, sqlText) match {
+        case Some(rewritten) => delegate.parseQuery(rewritten)
+        case None => delegate.parseQuery(sqlText)
+      }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -205,6 +215,54 @@ private[graft] object MatchRecognizeSql {
   val statementRe =
     ("""(?is)\s*select\s+\*\s+from\s+([\w.]+)\s+match_recognize\s*""" +
       """\((.*)\)\s*;?\s*""").r
+
+  /** `<table> MATCH_RECOGNIZE (...)` as a TABLE FACTOR inside a larger
+    * statement (SQL:2016 7.6: the match relation is a table primary, so
+    * projections, WHERE, GROUP BY, JOINs, and subqueries all compose
+    * over it). Each factor compiles through [[compile]] and registers
+    * as a deterministic temp view (name = hash of table + body, so
+    * re-parsing the same statement reuses the registration); the factor
+    * text is replaced by the view name and the remaining statement
+    * delegates to Spark's parser untouched — aliases (`AS m`) and all
+    * outer SQL stay native.
+    */
+  private[plans] val factorRe =
+    """(?is)(?<![\w.])([\w.]+)\s+match_recognize\s*\(""".r
+
+  private[plans] def rewriteFactors(session: SparkSession,
+      delegate: ParserInterface, sqlText: String): Option[String] = {
+    val masked = maskLiterals(sqlText)
+    val ms = factorRe.findAllMatchIn(masked).toList
+    if (ms.isEmpty) None
+    else {
+      val sb = new StringBuilder(sqlText)
+      // right-to-left so earlier spans' indices stay valid (factor
+      // bodies cannot themselves contain table factors, so spans
+      // never nest)
+      ms.reverse.foreach { mm =>
+        val open = mm.end - 1
+        var depth = 0
+        var i = open
+        while (i < masked.length && {
+          if (masked(i) == '(') depth += 1
+          else if (masked(i) == ')') depth -= 1
+          depth != 0
+        }) i += 1
+        require(i < masked.length,
+          "MATCH_RECOGNIZE: unbalanced parentheses")
+        val table = mm.group(1)
+        val body = sqlText.substring(open + 1, i)
+        val df = compile(session, delegate,
+          s"SELECT * FROM $table MATCH_RECOGNIZE ($body)")
+        val view = "_mr_factor_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(
+            table + " " + body))
+        df.createOrReplaceTempView(view)
+        sb.replace(mm.start, i + 1, view)
+      }
+      Some(sb.toString)
+    }
+  }
 
   /** Canonical clause order: key, keyword regex (two-word keywords
     * tolerate any whitespace; `(?<!\w)`/`(?!\w)` boundaries treat `_` as

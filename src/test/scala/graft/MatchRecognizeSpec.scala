@@ -788,6 +788,45 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e3.getMessage.contains("batch"))
   }
 
+  test("MATCH_RECOGNIZE as a table factor: alias, JOIN, WHERE, and " +
+      "GROUP BY over the match relation") {
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 30L, 1L, "A"), (4L, 40L, 1L, "B"),
+      (5L, 10L, 2L, "B"), (6L, 20L, 2L, "A"), (7L, 30L, 2L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_factor_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val mr = """MATCH_RECOGNIZE (
+               |  PARTITION BY user_id
+               |  ORDER BY ts_us, event_id
+               |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+               |  PATTERN (a b)
+               |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+               |)""".stripMargin
+    // aggregate over the match relation
+    val agg = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        s"""SELECT user_id, count(*) AS n
+           |FROM mr_factor_view $mr
+           |GROUP BY user_id""".stripMargin))
+      .as[(Long, Long)].collect().toSet
+    assert(agg == Set((1L, 2L), (2L, 1L)))
+    // alias + JOIN with a derived table + WHERE
+    val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        s"""SELECT m.user_id, u.n_ev, m.a_id, m.b_id
+           |FROM mr_factor_view $mr AS m
+           |JOIN (SELECT user_id, count(*) AS n_ev
+           |      FROM mr_factor_view GROUP BY user_id) u
+           |  ON m.user_id = u.user_id
+           |WHERE m.a_id >= 3 OR m.user_id = 2""".stripMargin))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(joined == Set((1L, 4L, 3L, 4L), (2L, 3L, 6L, 7L)))
+    // plain statements still delegate untouched
+    assert(parser.parsePlan("SELECT 1 AS one") != null)
+  }
+
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
       "AVG over another variable's binding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
