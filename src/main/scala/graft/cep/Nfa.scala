@@ -308,11 +308,16 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
   }
 
   /** Deferred skip-mode emission: a pending candidate emits only once no
-    * live partial with a strictly smaller (ts, tie) start key remains —
-    * by then the standard's leftmost rescan provably elects it. Each
-    * emission applies the skip mode's consumption to the remaining
-    * candidates AND the live partials. `ignoreLive` (end-of-input
-    * flush) treats every live partial as unable to complete.
+    * live partial with a (ts, tie) start key AT OR BEFORE its own
+    * remains — an earlier-starting live partial could still complete a
+    * leftmost-preferred match, and a SAME-start live partial (e.g. the
+    * open-quantifier sibling branch of the candidate itself) could
+    * complete a preferment-preferred one ([[candOrder]]'s greedy slot
+    * walk); only once both are impossible does the standard's leftmost
+    * rescan provably elect the head candidate. Each emission applies
+    * the skip mode's consumption to the remaining candidates AND the
+    * live partials. `ignoreLive` (end-of-input flush) treats every
+    * live partial as unable to complete.
     */
   private def drainPending(out: ArrayBuffer[PatternMatch[E]],
       ignoreLive: Boolean = false): Unit = {
@@ -324,7 +329,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       val c = pend.head
       val ck = startKeyOf(c)
       if (!ignoreLive &&
-          live.exists(p => ltKey((p.startTs, p.startTie), ck))) go = false
+          live.exists(p => geKey(ck, (p.startTs, p.startTie)))) go = false
       else {
         out += c
         if (!pattern.every) { terminated = true; pend = Nil; live = Nil }

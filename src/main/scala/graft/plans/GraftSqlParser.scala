@@ -224,14 +224,53 @@ private[graft] object MatchRecognizeSql {
     * re-parsing the same statement reuses the registration); the factor
     * text is replaced by the view name and the remaining statement
     * delegates to Spark's parser untouched — aliases (`AS m`) and all
-    * outer SQL stay native.
+    * outer SQL stay native. The view registry is session-scoped and
+    * bounded by the number of DISTINCT factor texts the session ever
+    * parses (hash-named registrations overwrite, never accumulate per
+    * re-parse); it dies with the session.
     */
   private[plans] val factorRe =
     """(?is)(?<![\w.])([\w.]+)\s+match_recognize\s*\(""".r
 
+  /** Length-preserving mask of everything the factor scan must not
+    * look inside: single- AND double-quoted literals (Spark treats
+    * `"…"` as a string by default), backquoted identifiers, `--`
+    * line comments, and bracketed comments. [[maskLiterals]] handles
+    * only `'…'` — enough for the MATCH_RECOGNIZE body, but the factor
+    * rewrite runs over ARBITRARY statements on the session parse path,
+    * where a commented-out or quoted `match_recognize(` must not fire.
+    */
+  private[plans] def maskSql(s: String): String = {
+    val b = s.toCharArray
+    var i = 0
+    while (i < b.length) {
+      b(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < b.length && b(i) != q) { b(i) = ' '; i += 1 }
+          i += 1
+        case '-' if i + 1 < b.length && b(i + 1) == '-' =>
+          while (i < b.length && b(i) != '\n') { b(i) = ' '; i += 1 }
+        case '/' if i + 1 < b.length && b(i + 1) == '*' =>
+          b(i) = ' '; b(i + 1) = ' '; i += 2
+          while (i < b.length &&
+              !(b(i) == '*' && i + 1 < b.length && b(i + 1) == '/')) {
+            b(i) = ' '; i += 1
+          }
+          if (i + 1 < b.length) { b(i) = ' '; b(i + 1) = ' ' }
+          i += 2
+        case _ => i += 1
+      }
+    }
+    new String(b)
+  }
+
   private[plans] def rewriteFactors(session: SparkSession,
       delegate: ParserInterface, sqlText: String): Option[String] = {
-    val masked = maskLiterals(sqlText)
+    // cheap pre-check: ~every statement on the session parse path
+    // lacks the keyword — skip the masking copy and regex scan
+    if (!sqlText.toLowerCase.contains("match_recognize")) return None
+    val masked = maskSql(sqlText)
     val ms = factorRe.findAllMatchIn(masked).toList
     if (ms.isEmpty) None
     else {
@@ -360,6 +399,54 @@ private[graft] object MatchRecognizeSql {
 
   private val quantRe = """(\w+)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
 
+  /** Shared MEASURES-navigation rewrite for one variable `v` over one
+    * binding-array SQL expression `arrSql` (FINAL path: the slot
+    * array / SUBSET union; RUNNING path: its at-or-before filter) —
+    * in order, so an inner `v.col` is never consumed by a later rule:
+    *   PREV/NEXT(FIRST|LAST(v.col)[, n]) → lag/lead column off the
+    *     first/last bound row;
+    *   PREV/NEXT(v.col[, n]) → off the last bound row (n = 0 is the
+    *     row itself);
+    *   FIRST/LAST(v.col, n) → the (1+n)-th binding from either end
+    *     (out of range → NULL via try_element_at).
+    */
+  private def rewriteNav(seg0: String, v: String, arrSql: String,
+      lagSpecs: scala.collection.mutable.LinkedHashMap[
+        (String, String, Int), String]): String = {
+    def intLit(s: String): Int =
+      try s.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"MEASURES navigation offset out of range: $s")
+      }
+    def navFld(kind: String, c: String, k: Int): String =
+      if (k == 0) s"`$c`" else s"`${lagSpecs((kind, c, k))}`"
+    def quoted(s: String): String =
+      java.util.regex.Matcher.quoteReplacement(s)
+    var seg = seg0
+    seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*(first|last)" +
+      s"\\s*\\(\\s*$v\\s*\\.\\s*" +
+      """(\w+)\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg, mm => {
+      val k = Option(mm.group(4)).map(intLit).getOrElse(1)
+      val at = if (mm.group(2).equalsIgnoreCase("first")) 1 else -1
+      quoted(s"try_element_at($arrSql, $at)." +
+        navFld(mm.group(1).toLowerCase, mm.group(3), k))
+    })
+    seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*$v\\s*\\.\\s*" +
+      """(\w+)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg, mm => {
+      val k = Option(mm.group(3)).map(intLit).getOrElse(1)
+      quoted(s"try_element_at($arrSql, -1)." +
+        navFld(mm.group(1).toLowerCase, mm.group(2), k))
+    })
+    seg = (s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$v\\s*\\.\\s*" +
+      """(\w+)\s*,\s*(\d+)\s*\)""").r.replaceAllIn(seg, mm => {
+      val idx = 1 + intLit(mm.group(3))
+      val signed =
+        if (mm.group(1).equalsIgnoreCase("first")) idx else -idx
+      quoted(s"try_element_at($arrSql, $signed).`${mm.group(2)}`")
+    })
+    seg
+  }
+
   def compile(session: SparkSession, delegate: ParserInterface,
       sqlText: String): DataFrame = {
     val m = statementRe.findFirstMatchIn(sqlText).getOrElse(
@@ -485,7 +572,10 @@ private[graft] object MatchRecognizeSql {
         ws(); val s = i
         while (i < len && src(i).isDigit) i += 1
         if (i == s) fail("expected a number")
-        src.substring(s, i).toInt
+        try src.substring(s, i).toInt
+        catch { case _: NumberFormatException =>
+          fail(s"quantifier bound out of range: ${src.substring(s, i)}")
+        }
       }
       def quant(body: PNode): PNode = {
         val bounds: Option[(Int, Int)] = peek match {
@@ -1146,44 +1236,9 @@ private[graft] object MatchRecognizeSql {
           // aggregate-of-no-rows semantics); the nullif guard keeps
           // AVG from tripping ANSI DIVIDE_BY_ZERO
           val q = java.util.regex.Matcher.quoteReplacement(arr)
-          // SQL:2016 navigation — these run BEFORE the plain
-          // FIRST/LAST and bare var.col rules so the inner var.col is
-          // never consumed by them:
-          //   PREV/NEXT(v.col[, n]) → the registered lag/lead column
-          //     read off v's resolved (last-bound) row; n = 0 is the
-          //     row itself
-          //   FIRST/LAST(v.col, n) → the (1+n)-th binding from either
-          //     end; out of range → NULL (try_element_at)
-          seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*(first|last)" +
-            s"\\s*\\(\\s*$v\\s*\\.\\s*" +
-            """(\w+)\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg,
-            mm => {
-              val c = mm.group(3)
-              val k = Option(mm.group(4)).map(_.toInt).getOrElse(1)
-              val fld = if (k == 0) s"`$c`"
-                else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
-              val at =
-                if (mm.group(2).equalsIgnoreCase("first")) 1 else -1
-              java.util.regex.Matcher.quoteReplacement(
-                s"try_element_at($arr, $at).$fld")
-            })
-          seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*$v\\s*\\.\\s*" +
-            """(\w+)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg, mm => {
-            val c = mm.group(2)
-            val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
-            val fld = if (k == 0) s"`$c`"
-              else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
-            java.util.regex.Matcher.quoteReplacement(
-              s"try_element_at($arr, -1).$fld")
-          })
-          seg = (s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$v\\s*\\.\\s*" +
-            """(\w+)\s*,\s*(\d+)\s*\)""").r.replaceAllIn(seg, mm => {
-            val idx = 1 + mm.group(3).toInt
-            val signed =
-              if (mm.group(1).equalsIgnoreCase("first")) idx else -idx
-            java.util.regex.Matcher.quoteReplacement(
-              s"try_element_at($arr, $signed).`${mm.group(2)}`")
-          })
+          // SQL:2016 navigation runs BEFORE the plain FIRST/LAST and
+          // bare var.col rules so the inner var.col is never consumed
+          seg = rewriteNav(seg, v, arr, lagSpecs)
           seg = seg.replaceAll(s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)",
             s"size($q)")
           seg = seg.replaceAll(s"(?i)(?<!\\w)sum\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
@@ -1246,38 +1301,7 @@ private[graft] object MatchRecognizeSql {
             // navigation under RUNNING semantics: v resolves to its
             // last binding at-or-before the current row (the filtered
             // array's tail); offsets count within that running prefix
-            seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*(first|last)" +
-              s"\\s*\\(\\s*$v\\s*\\.\\s*" +
-              """(\w+)\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg,
-              mm => {
-                val c = mm.group(3)
-                val k = Option(mm.group(4)).map(_.toInt).getOrElse(1)
-                val fld = if (k == 0) s"`$c`"
-                  else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
-                val at =
-                  if (mm.group(2).equalsIgnoreCase("first")) 1 else -1
-                java.util.regex.Matcher.quoteReplacement(
-                  s"try_element_at(${filt(arr)}, $at).$fld")
-              })
-            seg = (s"(?i)(?<!\\w)(prev|next)\\s*\\(\\s*$v\\s*\\.\\s*" +
-              """(\w+)\s*(?:,\s*(\d+)\s*)?\)""").r.replaceAllIn(seg,
-              mm => {
-                val c = mm.group(2)
-                val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
-                val fld = if (k == 0) s"`$c`"
-                  else s"`${lagSpecs((mm.group(1).toLowerCase, c, k))}`"
-                java.util.regex.Matcher.quoteReplacement(
-                  s"try_element_at(${filt(arr)}, -1).$fld")
-              })
-            seg = (s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$v\\s*\\.\\s*" +
-              """(\w+)\s*,\s*(\d+)\s*\)""").r.replaceAllIn(seg, mm => {
-              val idx = 1 + mm.group(3).toInt
-              val signed =
-                if (mm.group(1).equalsIgnoreCase("first")) idx else -idx
-              java.util.regex.Matcher.quoteReplacement(
-                s"try_element_at(${filt(arr)}, $signed)" +
-                  s".`${mm.group(2)}`")
-            })
+            seg = rewriteNav(seg, v, filt(arr), lagSpecs)
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)count\\s*\\(\\s*$v\\.\\*\\s*\\)", s"size($f)")
             seg = seg.replaceAll(

@@ -441,18 +441,31 @@ object MatchRecognize {
       require(!skipPastLastRow,
         "skipPastLastRow and skipToVar are mutually exclusive")
     }
-    // the executor reads the tie as a raw long slot (skip-mode election
-    // and deferred-emission ordering key with ts) — widen narrower
-    // integrals, reject anything non-integral instead of reading garbage
+    // the executor reads the tie as a raw long slot only when
+    // skip-mode election, deferred emission, reluctant preferment, or
+    // SKIP TO row identity consume the (ts, tie) key — widen anything
+    // long-castable order-preservingly (a negative int tie read as a
+    // raw long slot would be zero-extended and invert the leftmost
+    // election); otherwise the raw column still drives the per-group
+    // sort and the long identity slot is simply not provided (the
+    // executor passes a null tieOf, which Nfa tolerates in every-match
+    // mode)
     val tieA = attr(tieCol)
     import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      ShortType, TimestampNTZType, TimestampType}
+    val tieNeeded = skipPastLastRow || skipToVar.nonEmpty ||
+      reluctantVars.nonEmpty || ctxRefs.exists(_.nonEmpty)
     val tieE: Expression = tieA.dataType match {
       case LongType => tieA
-      case ByteType | ShortType | IntegerType => Cast(tieA, LongType)
+      case ByteType | ShortType | IntegerType | DateType |
+          TimestampType | TimestampNTZType => Cast(tieA, LongType)
+      case _ if !tieNeeded => tieA
       case dt => throw new IllegalArgumentException(
-        s"tie-break column '$tieCol' must be an integral type " +
-          s"(tinyint/smallint/int/bigint), got $dt")
+        s"tie-break column '$tieCol' must be an integral, date, or " +
+          "timestamp type when a skip mode, reluctant quantifier, or " +
+          "cross-variable predicate reads the (ts, tie) row identity " +
+          s"(got $dt)")
     }
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, tieE, preds.flatten, specs,

@@ -175,11 +175,17 @@ case class MatchRecognizeExec(
         skipTo, reluctant)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
       val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
-      // always provided: skip-mode election and the deferred-emission
-      // key comparisons are deterministic on the full (ts, tie) row
-      // identity instead of iteration order among same-ts candidates
-      val tieOf: InternalRow => Long = (r: InternalRow) =>
-        tieProj(r).getLong(0)
+      // provided whenever the tie is a long slot (the builder widens
+      // every long-castable type): skip-mode election and the
+      // deferred-emission key comparisons are then deterministic on
+      // the full (ts, tie) row identity instead of iteration order
+      // among same-ts candidates. A non-long tie (allowed only in
+      // plain every-match mode) still drives the per-group sort; the
+      // identity slot is absent.
+      val tieOf: InternalRow => Long =
+        if (tieExpr.dataType == org.apache.spark.sql.types.LongType)
+          (r: InternalRow) => tieProj(r).getLong(0)
+        else null
       val toUnsafe = UnsafeProjection.create(outTypes)
 
       def emit(keyRow: UnsafeRow, m: PatternMatch[InternalRow]): InternalRow = {

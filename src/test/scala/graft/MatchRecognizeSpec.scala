@@ -386,9 +386,13 @@ class MatchRecognizeSpec extends SparkSpec {
       .select(element_at($"a", 1).getField("event_id").as("a_id"))
       .as[Int].collect().toSeq
     assert(out == Seq(-2))
+    // non-integral tie fails fast only when the (ts, tie) identity is
+    // consumed (skip modes / reluctant / cross-var); plain every-match
+    // mode keeps the raw column as the sort tie (see the dedicated
+    // non-integral-tie test)
     val e = intercept[IllegalArgumentException] {
       MatchRecognize(df, Seq("user_id"), "ts_us", "event_type",
-        Seq(EStep("a", $"event_type" === "A")))
+        Seq(EStep("a", $"event_type" === "A")), skipPastLastRow = true)
     }
     assert(e.getMessage.contains("integral"))
   }
@@ -825,6 +829,64 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(joined == Set((1L, 4L, 3L, 4L), (2L, 3L, 6L, 7L)))
     // plain statements still delegate untouched
     assert(parser.parsePlan("SELECT 1 AS one") != null)
+  }
+
+  test("factor rewrite ignores MATCH_RECOGNIZE text inside string " +
+      "literals and comments; oversized quantifier bounds fail with " +
+      "pattern context") {
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def one(sql: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(sql)).collect().head
+    // double-quoted string literal
+    assert(one("SELECT \"demo: t match_recognize(x)\" AS s")
+      .getString(0).contains("match_recognize"))
+    // line comment and bracketed comment
+    assert(one("SELECT 1 AS one -- t match_recognize(x)\n").getInt(0) == 1)
+    assert(one("SELECT 2 AS two /* t match_recognize(x) */").getInt(0) == 2)
+    // single-quoted literal
+    assert(one("SELECT 't match_recognize(x)' AS s")
+      .getString(0).contains("match_recognize"))
+    // oversized {m,n} bound: dialect error, not NumberFormatException
+    Seq((1L, 10L, 1L, "A")).toDF("event_id", "ts_us", "user_id",
+      "event_type").createOrReplaceTempView("mr_guard_view")
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_guard_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a{99999999999,99999999999})
+          |  DEFINE a AS event_type = 'A'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("bad PATTERN"))
+  }
+
+  test("non-integral tie-break: allowed in plain every-match mode " +
+      "(sort-only), timestamp ties widen, skip modes reject with " +
+      "guidance") {
+    val df = Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"),
+      (3L, 30L, 1L, "A"), (4L, 40L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("tie_s", concat(lit("k"), $"event_id"))
+      .withColumn("tie_t", timestamp_millis($"event_id"))
+    def pat = Seq(
+      MatchRecognize.EStep("a", $"event_type" === "A"),
+      MatchRecognize.EStep("b", $"event_type" === "B"))
+    // string tie, no skip mode: the sort still uses it, plan builds
+    assert(MatchRecognize(df, Seq("user_id"), "ts_us", "tie_s", pat)
+      .count() == 2)
+    // timestamp tie widens to long — works even WITH a skip mode
+    assert(MatchRecognize(df, Seq("user_id"), "ts_us", "tie_t", pat,
+      skipPastLastRow = true).count() == 2)
+    // string tie + skip mode: the election reads the long identity
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(df, Seq("user_id"), "ts_us", "tie_s", pat,
+        skipPastLastRow = true)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +

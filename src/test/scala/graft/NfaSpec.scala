@@ -387,6 +387,36 @@ class NfaSpec extends AnyFunSuite {
     assert(ms.map(_.startTs) == Seq(10L, 20L))
   }
 
+  test("deferred skip emission waits for SAME-start live partials: the " +
+      "preferment-preferred longer branch beats an earlier-completing " +
+      "short one") {
+    case class V(id: Long, ts: Long, typ: String, v: Long)
+    def ctx(f: (V, String => IndexedSeq[V]) => Boolean) = Some(f)
+    // a b{1,3} c where c's predicate reads SUM(b.v) (deferred skip
+    // mode): the quantifier branches into a b=1 and a b=2 partial with
+    // the SAME start; the b=1 branch completes at ts=30 (5 > 3) while
+    // the b=2 branch fails there (5 > 8 is false) and only completes
+    // at ts=50 — candOrder's greedy slot preferment elects the longer
+    // one, so mid-stream emission must not leak the short candidate
+    // while a same-start partial is still in flight (its consumption
+    // would kill the preferred branch)
+    val pat = PatternDef[V](IndexedSeq(
+      Step[V]("a", _.typ == "A"),
+      Step[V]("b", _.typ == "B", minCount = 1, maxCount = 3,
+        ctxPred = ctx((e, c) => e.typ == "B" &&
+          c("a").headOption.exists(a => e.v < a.v))),
+      Step[V]("c", _.typ == "C", ctxPred = ctx((e, c) =>
+        e.typ == "C" && e.v > c("b").map(_.v).sum))),
+      skipPastLastRow = true)
+    val evs = Seq(V(1, 10, "A", 10), V(2, 20, "B", 3), V(3, 25, "B", 5),
+      V(4, 30, "C", 5), V(5, 50, "C", 100))
+    val nfa = new Nfa[V](pat, _.ts, _.id)
+    val ms = evs.flatMap(nfa.onEvent) ++ nfa.flush()
+    assert(ms.size == 1)
+    assert(ms.head.groups("b").map(_.id) == Seq(2L, 3L))
+    assert(ms.head.groups("c").map(_.id) == Seq(5L))
+  }
+
   test("skip past last row elects deterministically by (ts, tie) among " +
       "same-timestamp candidates") {
     val pat = AB.copy(skipPastLastRow = true)
