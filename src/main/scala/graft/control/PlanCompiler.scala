@@ -83,7 +83,16 @@ object PlanCompiler {
         .matcher(text).matches())
       graft.plans.MatchRecognizeSql.compile(spark,
         spark.sessionState.sqlParser, text)
-    else spark.sql(text)
+    else
+      // MATCH_RECOGNIZE as a table factor inside a larger statement:
+      // compile + substitute each factor, hand the rest to spark.sql
+      // (idempotent when the session parser extension is installed —
+      // the factor views are deterministic createOrReplace)
+      graft.plans.MatchRecognizeSql.rewriteFactors(spark,
+          spark.sessionState.sqlParser, text) match {
+        case Some(rewritten) => spark.sql(rewritten)
+        case None => spark.sql(text)
+      }
 
   /** Parsed pattern elements; `condIdx` indexes the per-event flag
     * array (one precomputed boolean per distinct predicate).

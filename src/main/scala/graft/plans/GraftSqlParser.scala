@@ -265,7 +265,7 @@ private[graft] object MatchRecognizeSql {
     new String(b)
   }
 
-  private[plans] def rewriteFactors(session: SparkSession,
+  private[graft] def rewriteFactors(session: SparkSession,
       delegate: ParserInterface, sqlText: String): Option[String] = {
     // cheap pre-check: ~every statement on the session parse path
     // lacks the keyword — skip the masking copy and regex scan

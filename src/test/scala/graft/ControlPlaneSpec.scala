@@ -142,6 +142,33 @@ class ControlPlaneSpec extends SparkSpec {
     } finally cp.shutdown()
   }
 
+  test("dynamic SQL plan with MATCH_RECOGNIZE as a table factor: " +
+      "GROUP BY over the match relation, no parser extension needed") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"),
+        (4L, 40L, 1L, "B"), (5L, 10L, 2L, "A"), (6L, 20L, 2L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("cp_mrf_events")
+    var got: Array[(Long, Long)] = Array.empty
+    val cp = new ControlPlane(spark, (_: String, df: DataFrame) => {
+      got = df.selectExpr("user_id", "n").as[(Long, Long)].collect()
+      None
+    })
+    try {
+      cp.handle(AddPlan("mrfactor",
+        """sql: SELECT user_id, count(*) AS n
+          |FROM cp_mrf_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)
+          |GROUP BY user_id""".stripMargin))
+      assert(got.toSet == Set((1L, 2L), (2L, 1L)))
+    } finally cp.shutdown()
+  }
+
   test("dialect: notfor absence and either/or logical plans (B20)") {
     import spark.implicits._
     Seq((1L, 10L, 1L, "C"), (2L, 5000L, 1L, "P"),   // user 1: C then P → no alert
