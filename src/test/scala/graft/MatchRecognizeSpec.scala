@@ -889,6 +889,54 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("streaming ^ anchor parity: the partition-boundary lag " +
+      "predicate agrees across both stateful executors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val rows = Seq(
+        (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),
+        (3L, 3000L, 1L, "A"), (4L, 4000L, 1L, "B"),
+        (5L, 1000L, 2L, "B"), (6L, 2000L, 2L, "A"), (7L, 3000L, 2L, "B"))
+      def run(useTws: Boolean): Set[(Long, Long, Long)] = {
+        val input = MemoryStream[(Long, Long, Long, String)]
+        val df = input.toDF().toDF("event_id", "ts_ms", "user", "typ")
+          .withColumn("etc", timestamp_millis($"ts_ms"))
+          .withWatermark("etc", "10 seconds")
+        val out = MatchRecognize.streamingFull(df, Seq("user"),
+          "ts_ms", "event_id",
+          Seq(EStep("a", ($"typ" === "A") &&
+              col("_mr_prev_ts_ms_1").isNull),
+            EStep("b", $"typ" === "B")),
+          eventTimeCol = "etc", withinTs = Some(10000L),
+          useTws = useTws, lagSpecs = Seq(("prev", "ts_ms", 1)))
+        val name = s"mr_anchor_tws_$useTws"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          input.addData((9L, 300000L, 9L, "X"))
+          q.processAllAvailable()
+          spark.table(name)
+            .select($"user",
+              element_at($"a", 1).getField("event_id").as("a_id"),
+              element_at($"b", 1).getField("event_id").as("b_id"))
+            .as[(Long, Long, Long)].collect().toSet
+        } finally q.stop()
+      }
+      val base = run(useTws = false)
+      // user 1 starts with A → anchored match; user 2 starts with B →
+      // none even though an A-B pair follows
+      assert(base == Set((1L, 1L, 2L)))
+      assert(run(useTws = true) == base)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
       "AVG over another variable's binding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
