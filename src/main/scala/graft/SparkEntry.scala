@@ -1200,7 +1200,7 @@ object SparkEntry {
           |           FIRST(a.event_id, 1) AS a1_id,
           |           LAST(a.event_id, 1) AS a1b_id,
           |           LAST(a.event_id, 3) AS oob_id,
-          |           b.event_id AS b_id
+          |           b.event_id AS b_id, COUNT(*) AS n_rows
           |  PATTERN (a{2,2} b)
           |  WITHIN 7200000000
           |  DEFINE a AS event_type = 'click',
@@ -7695,7 +7695,8 @@ object SparkEntry {
     "q192_mr_nav_offsets" -> q34Oracle.replace(
       "SELECT user_id, a0_id, a1_id, b_id FROM j WHERE rn = 1",
       "SELECT user_id, a0_id, a1_id, a0_id AS a1b_id, " +
-        "CAST(NULL AS BIGINT) AS oob_id, b_id FROM j WHERE rn = 1"),
+        "CAST(NULL AS BIGINT) AS oob_id, b_id, " +
+        "CAST(3 AS INT) AS n_rows FROM j WHERE rn = 1"),
 
     // every click pairs with the first purchase after it inside the
     // window; PREV/NEXT read the user's FULL timeline via lag/lead

@@ -1226,9 +1226,22 @@ private[graft] object MatchRecognizeSql {
     def rewriteMn(seg: String): String =
       mnRe.replaceAllIn(seg,
         java.util.regex.Matcher.quoteReplacement(mnSql))
+    // SQL:2016 COUNT(*) in MEASURES: rows mapped to the match (incl.
+    // exclusion-suppressed ones — exclusion is output-only). FINAL =
+    // the summed slot sizes; RUNNING = only bindings at-or-before the
+    // current row. Rewritten before the per-variable rules (it
+    // references no variable, so they'd leave it to die as a real
+    // aggregate in a non-grouped projection).
+    val allSlotsArr =
+      if (varNames.length == 1) s"`${varNames.head}`"
+      else s"concat(${varNames.map(v => s"`$v`").mkString(", ")})"
+    val countStarRe = """(?i)(?<!\w)count\s*\(\s*\*\s*\)""".r
+    def rewriteCountStar(seg: String, arrSql: String): String =
+      countStarRe.replaceAllIn(seg,
+        java.util.regex.Matcher.quoteReplacement(s"size($arrSql)"))
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
       val t = rewriteOutsideLiterals(et) { seg0 =>
-        var seg = rewriteMn(seg0)
+        var seg = rewriteCountStar(rewriteMn(seg0), allSlotsArr)
         for ((v, arr) <- measureBindings) {
           // aggregates over ALL events bound to the variable (or
           // SUBSET union; numeric aggregation runs in double, in bind
@@ -1295,7 +1308,7 @@ private[graft] object MatchRecognizeSql {
             s"(_mr_e.`$tsCol` = `$tsCol` AND " +
             s"_mr_e.`$tieCol` <= `$tieCol`))"
         val t = rewriteOutsideLiterals(et) { seg0 =>
-          var seg = seg0
+          var seg = rewriteCountStar(seg0, filt(allSlotsArr))
           for ((v, arr) <- measureBindings) {
             val f = java.util.regex.Matcher.quoteReplacement(filt(arr))
             // navigation under RUNNING semantics: v resolves to its

@@ -708,13 +708,13 @@ class MatchRecognizeSpec extends SparkSpec {
           |           PREV(a.v) AS pa, PREV(FIRST(a.v)) AS pfa,
           |           NEXT(FIRST(a.v)) AS nfa, NEXT(b.v) AS nb,
           |           PREV(a.v, 0) AS pz, NEXT(b.v, 2) AS nb2,
-          |           LAST(s.v, 1) AS sl1
+          |           LAST(s.v, 1) AS sl1, COUNT(*) AS n_rows
           |  PATTERN (a{2,2} b)
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
           |)""".stripMargin))
       .select($"f1", $"l1", $"oob", $"pa", $"pfa", $"nfa", $"nb",
-        $"pz", $"nb2", $"sl1").collect()
+        $"pz", $"nb2", $"sl1", $"n_rows").collect()
     assert(row.length == 1)
     val r = row.head
     assert(r.getLong(0) == 2L)            // FIRST(a.v, 1): 2nd binding
@@ -729,22 +729,25 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(r.isNullAt(8))                 // NEXT(b.v, 2): past the end
     assert(r.getLong(9) == 2L)            // LAST(s.v, 1) over union
                                           // [1,2,3]: middle element
-    // ALL ROWS + RUNNING PREV: v resolves per output row to its
-    // last-so-far binding
+    assert(r.getInt(10) == 3)             // COUNT(*): rows in the match
+    // ALL ROWS + RUNNING PREV / RUNNING COUNT(*): per output row, the
+    // last-so-far binding / the rows mapped so far
     val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES RUNNING PREV(a.v) AS rpa
+          |  MEASURES RUNNING PREV(a.v) AS rpa,
+          |           RUNNING COUNT(*) AS rn_rows
           |  ALL ROWS PER MATCH
           |  PATTERN (a{2,2} b)
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
           |)""".stripMargin))
-      .select($"event_id", $"rpa").collect()
-      .map(r0 => r0.getLong(0) -> (if (r0.isNullAt(1)) None
-        else Some(r0.getLong(1)))).toMap
-    assert(all == Map(1L -> None, 3L -> Some(99L), 4L -> Some(99L)))
+      .select($"event_id", $"rpa", $"rn_rows").collect()
+      .map(r0 => r0.getLong(0) -> ((if (r0.isNullAt(1)) None
+        else Some(r0.getLong(1))), r0.getInt(2))).toMap
+    assert(all == Map(1L -> (None, 1), 3L -> (Some(99L), 2),
+      4L -> (Some(99L), 3)))
     // DEFINE with a FIRST/LAST offset: fail fast with the reason
     val e1 = intercept[IllegalArgumentException] {
       parser.parsePlan(
