@@ -1278,6 +1278,30 @@ object SparkEntry {
           |  ON m.user_id = u.user_id""".stripMargin))
     }),
 
+    // Cross-variable DEFINE with a SQL:2016 logical offset (round 13):
+    // the purchase gates on the SECOND click's timestamp —
+    // FIRST(a.ts_us, 1) indexes into a's settled binding inside the
+    // NFA (CtxRefSpec nav offset, batch codegen'd + streaming shared).
+    "q196_mr_define_offset" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_cvo_q196")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_cvo_q196 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a0_id,
+          |           FIRST(a.event_id, 1) AS a1_id,
+          |           b.event_id AS b_id
+          |  PATTERN (a{2,2} b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |           AND ts_us - FIRST(a.ts_us, 1) <= 600000000
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7749,6 +7773,15 @@ object SparkEntry {
         |u AS (SELECT user_id, count(*) AS n_ev FROM o GROUP BY user_id)
         |SELECT j.user_id, j.a_id, j.b_id, u.n_ev
         |FROM j JOIN u ON j.user_id = u.user_id WHERE j.rn = 1""".stripMargin,
+
+    // the q34 chain with the extra second-click window: the first
+    // purchase must fall within BOTH 2h of the first click and 10min
+    // of the second (the DEFINE offset gate); prefix-closed in time,
+    // so the rn=1 election over the gated candidates matches the NFA
+    "q196_mr_define_offset" -> q34Oracle.replace(
+      "AND p.p_us - c.us <= 7200000000",
+      "AND p.p_us - c.us <= 7200000000 " +
+        "AND p.p_us - c.c2_us <= 600000000"),
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

@@ -872,17 +872,6 @@ private[graft] object MatchRecognizeSql {
             "navigate the input partition independent of pattern-" +
             "variable bindings, so write PREV(col) instead)")
     }
-    // FIRST/LAST logical offsets (FIRST(v.col, n)) would otherwise
-    // slip past the cross-variable rewrite (its regex is offset-less)
-    // and die later as a misparsed aggregate — reject with the reason
-    val cvOffRe =
-      """(?i)(?<!\w)(first|last)\s*\(\s*\w+\s*\.\s*\w+\s*,""".r
-    defs.foreach { case (n, d) =>
-      if (cvOffRe.findFirstIn(maskLiterals(d)).isDefined)
-        throw new IllegalArgumentException(
-          s"DEFINE $n: FIRST/LAST with a logical offset " +
-            "(FIRST(var.col, n)) are supported in MEASURES only")
-    }
     val lagSpecs =
       scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
     // Cross-variable DEFINE references — SQL:2016 running semantics
@@ -912,6 +901,15 @@ private[graft] object MatchRecognizeSql {
       rewriteOutsideLiterals(d) { seg0 =>
         var seg = seg0
         for (v <- varNames) {
+          // SQL:2016 logical offsets FIRST/LAST(v.c, k): the token
+          // carries the offset digits; rewritten BEFORE the plain and
+          // bare-var rules so the inner v.c is never consumed by them
+          for ((fn, tok) <- Seq("first" -> "F", "last" -> "L"))
+            seg = seg.replaceAll(
+              s"(?i)(?<!\\w)$fn\\s*\\(\\s*$v\\.(\\w+)\\s*,\\s*" +
+                """(\d+)\s*\)""",
+              java.util.regex.Matcher.quoteReplacement("" + tok) +
+                "$2:" + v + ":$1")
           for ((fn, tok) <- cvFns)
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)$fn\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
@@ -926,8 +924,9 @@ private[graft] object MatchRecognizeSql {
         // variable being defined (v == n) the current row is
         // tentatively its LAST binding, so running aggregates fold
         // the current row's value into the prior-binding marker.
-        """([FLSACMX]):(\w+):(\w+)""".r.replaceAllIn(seg, mm => {
-          val (fn, v, c) = (mm.group(1), mm.group(2), mm.group(3))
+        """([FLSACMX])(\d*):(\w+):(\w+)""".r.replaceAllIn(seg, mm => {
+          val (fn, off, v, c) =
+            (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
           val own = v == n
           def sumOwn =
             s"(case when ${cvMark("sum", v, c)} is null then `$c` " +
@@ -936,7 +935,19 @@ private[graft] object MatchRecognizeSql {
           def countOwn =
             s"(${cvMark("count", v, c)} + " +
               s"(case when `$c` is null then 0 else 1 end))"
-          val out = fn match {
+          // navigation offsets: supported on OTHER variables (their
+          // bindings are settled rows); on the variable being defined
+          // the current row is tentatively its last binding and the
+          // marker only sees prior rows, so indexing would be
+          // off-by-one-ambiguous under NULL columns — fail fast
+          if (off.nonEmpty) require(!own,
+            s"DEFINE $n: FIRST/LAST($v.$c, $off) — a logical offset " +
+              "on the variable BEING DEFINED is not supported (the " +
+              "current row is tentatively its last binding); offsets " +
+              "work on other pattern variables")
+          val out = if (off.nonEmpty)
+            cvMark((if (fn == "F") "first" else "last") + off, v, c)
+          else fn match {
             case "L" => if (own) s"`$c`" else cvMark("last", v, c)
             case "F" =>
               if (own) s"coalesce(${cvMark("first", v, c)}, `$c`)"

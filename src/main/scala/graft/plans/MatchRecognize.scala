@@ -121,7 +121,14 @@ final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
     attr: AttributeReference,
     baseType: org.apache.spark.sql.types.DataType = null) extends Serializable {
   import org.apache.spark.sql.types._
-  require(CtxRefSpec.fns(fn), s"bad ctx ref fn: $fn")
+  /** `first`/`last` may carry a SQL:2016 logical offset suffix
+    * (`first2` = the 3rd binding, `last1` = the second-from-last);
+    * out-of-range navigation yields NULL. */
+  private val (navBase: String, navOff: Int) = fn match {
+    case CtxRefSpec.NavOffRe(b, k) => (b, k.toInt)
+    case other => (other, 0)
+  }
+  require(CtxRefSpec.fns(navBase), s"bad ctx ref fn: $fn")
   private def bt: DataType = if (baseType == null) dataType else baseType
   private val integralSum = bt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -134,9 +141,10 @@ final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
     */
   def eval(n: Int, rowAt: Int => org.apache.spark.sql.catalyst.InternalRow): Any = {
     if (n == 0) return if (fn == "count") 0L else null
-    fn match {
+    navBase match {
       case "first" | "last" =>
-        val r = rowAt(if (fn == "first") 0 else n - 1)
+        if (navOff >= n) return null
+        val r = rowAt(if (navBase == "first") navOff else n - 1 - navOff)
         if (r.isNullAt(ordinal)) null else r.get(ordinal, bt)
       case "count" =>
         var c = 0L
@@ -194,6 +202,8 @@ final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
 object CtxRefSpec {
   val fns: Set[String] =
     Set("first", "last", "count", "sum", "avg", "min", "max")
+  /** `first<k>` / `last<k>` — navigation with a logical offset. */
+  val NavOffRe = "(first|last)(\\d+)".r
 }
 
 /** MATCH_RECOGNIZE-style logical operator: per `keys` group, events
@@ -543,7 +553,7 @@ object MatchRecognize {
       case _ => false
     }
     fn match {
-      case "first" | "last" => dt
+      case "first" | "last" | CtxRefSpec.NavOffRe(_, _) => dt
       case "count" => LongType
       case "sum" =>
         require(numeric, s"SUM($cn) in DEFINE: column type $dt is not " +
@@ -580,12 +590,29 @@ object MatchRecognize {
     org.apache.spark.sql.functions.col(
       s"$CvMarker.first.$variable.$column")
 
+  /** [[cvFirst]] with a SQL:2016 logical offset: the (1+offset)-th
+    * event bound to `variable` so far; NULL when out of range. */
+  def cvFirst(variable: String, column: String, offset: Int): Column = {
+    require(offset >= 0, s"cvFirst offset must be >= 0, got $offset")
+    org.apache.spark.sql.functions.col(
+      s"$CvMarker.first$offset.$variable.$column")
+  }
+
   /** Cross-variable DEFINE reference to the LAST (most recent) event
     * bound to `variable` so far — running semantics; see [[cvFirst]].
     */
   def cvLast(variable: String, column: String): Column =
     org.apache.spark.sql.functions.col(
       s"$CvMarker.last.$variable.$column")
+
+  /** [[cvLast]] with a SQL:2016 logical offset: the (1+offset)-th
+    * event from the end of `variable`'s binding so far; NULL when out
+    * of range. */
+  def cvLast(variable: String, column: String, offset: Int): Column = {
+    require(offset >= 0, s"cvLast offset must be >= 0, got $offset")
+    org.apache.spark.sql.functions.col(
+      s"$CvMarker.last$offset.$variable.$column")
+  }
 
   /** Running aggregate over the events bound to `variable` so far —
     * the SQL:2016 `B AS B.price > AVG(A.price)` DEFINE shape. `fn` is

@@ -748,7 +748,21 @@ class MatchRecognizeSpec extends SparkSpec {
         else Some(r0.getLong(1))), r0.getInt(2))).toMap
     assert(all == Map(1L -> (None, 1), 3L -> (Some(99L), 2),
       4L -> (Some(99L), 3)))
-    // DEFINE with a FIRST/LAST offset: fail fast with the reason
+    // DEFINE with a cross-variable FIRST/LAST offset: b gates on the
+    // SECOND binding of a (FIRST(a.v, 1) = 2; the B row's v=3 > 2)
+    val cvOff = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES b.v AS bv, FIRST(a.v, 1) AS a1v
+          |  PATTERN (a{2,2} b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v > FIRST(a.v, 1)
+          |)""".stripMargin))
+      .select($"bv", $"a1v").as[(Long, Long)].collect().toSet
+    assert(cvOff == Set((3L, 2L)))
+    // ... but an offset on the variable BEING DEFINED fails fast
     val e1 = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
@@ -757,10 +771,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |  MEASURES a.v AS av
           |  PATTERN (a b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS v > FIRST(a.v, 1)
+          |         b AS v > LAST(b.v, 1)
           |)""".stripMargin)
     }
-    assert(e1.getMessage.contains("MEASURES only"))
+    assert(e1.getMessage.contains("other pattern variables"))
     // unqualified PREV in MEASURES: clear error, not a misparse
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(
@@ -938,6 +952,48 @@ class MatchRecognizeSpec extends SparkSpec {
       assert(run(useTws = true) == base)
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming cross-variable DEFINE offset: FIRST(a.v, 1) through " +
+      "the SQL path on the stateful executor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Long)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "v")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_cvoff_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cvoff_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES b.v AS bv, FIRST(a.v, 1) AS a1v
+          |  PATTERN (a{2,2} b)
+          |  WITHIN 10000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v > FIRST(a.v, 1)
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_cvoff_sink").start()
+    try {
+      // user 1: a=[v1, v2], b v=3 > FIRST(a.v,1)=2 → match;
+      // user 2: a=[v5, v9], b v=7 NOT > 9 → no match
+      input.addData((1L, 1000L, 1L, "A", 1L), (2L, 2000L, 1L, "A", 2L),
+        (3L, 3000L, 1L, "B", 3L),
+        (4L, 1000L, 2L, "A", 5L), (5L, 2000L, 2L, "A", 9L),
+        (6L, 3000L, 2L, "B", 7L))
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "X", 0L))
+      q.processAllAvailable()
+      val got = spark.table("mr_cvoff_sink")
+        .select($"user_id", $"bv", $"a1v")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L, 2L)))
+    } finally q.stop()
   }
 
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
