@@ -1,0 +1,99 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL:2016 MATCH_RECOGNIZE surface end-to-end on the sf0.001
+  * events table — one statement per round-13 dialect capability, each
+  * printed with its row count so a human (or the round driver) can eye
+  * the output shape:
+  *
+  *  1. a table FACTOR with an outer GROUP BY (the match relation joins
+  *     and aggregates like any table),
+  *  2. pattern ANCHORS `^`/`$` (partition-boundary matches),
+  *  3. MEASURES NAVIGATION — FIRST/LAST logical offsets, PREV/NEXT off
+  *     a bound row, COUNT(*),
+  *  4. cross-variable DEFINE with a logical offset (the purchase gates
+  *     on the SECOND click),
+  *  5. a recursive PATTERN with a reluctant quantifier + MATCH_NUMBER.
+  *
+  * The session installs [[graft.plans.GraftExtensions]], so every
+  * statement below runs through plain `spark.sql(...)` — exactly what a
+  * library user would type.
+  *
+  * Run: `sbt "runMain graft.examples.SqlPatternShowcase"` — prints
+  * SHOWCASE-DONE on success.
+  */
+object SqlPatternShowcase {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    graft.Tables.eventsTsUs(spark, sf)
+      .select("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("events")
+
+    def show(title: String, sql: String): Unit = {
+      val df = spark.sql(sql)
+      val n = df.count()
+      println(s"== $title: $n rows ==")
+      df.show(3, truncate = false)
+    }
+
+    show("factor + GROUP BY",
+      """SELECT user_id, count(*) AS n_pairs
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+        |  PATTERN (a b) WITHIN 7200000000
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'purchase'
+        |) GROUP BY user_id""".stripMargin)
+
+    show("anchored ^ start (users whose FIRST event is a signup)",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS first_event
+        |  PATTERN (^ a)
+        |  DEFINE a AS event_type = 'signup'
+        |)""".stripMargin)
+
+    show("measures navigation + COUNT(*)",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES FIRST(a.event_id) AS a0, FIRST(a.event_id, 1) AS a1,
+        |           PREV(b.event_id) AS before_b, COUNT(*) AS n_rows
+        |  PATTERN (a{2,2} b) WITHIN 7200000000
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'purchase'
+        |)""".stripMargin)
+
+    show("cross-variable DEFINE offset",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES FIRST(a.event_id, 1) AS second_click,
+        |           b.event_id AS b_id
+        |  PATTERN (a{2,2} b) WITHIN 7200000000
+        |  DEFINE a AS event_type = 'click',
+        |         b AS event_type = 'purchase'
+        |           AND ts_us - FIRST(a.ts_us, 1) <= 600000000
+        |)""".stripMargin)
+
+    show("recursive pattern + reluctant + MATCH_NUMBER",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES MATCH_NUMBER() AS mn, FIRST(a.event_id) AS a_id,
+        |           c.event_id AS c_id
+        |  PATTERN ((a b?)+? c) WITHIN 7200000000
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+        |         c AS event_type = 'purchase'
+        |)""".stripMargin)
+
+    println("SHOWCASE-DONE")
+    spark.stop()
+  }
+}
