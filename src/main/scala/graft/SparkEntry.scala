@@ -1302,6 +1302,29 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // PREV over an EXPRESSION in DEFINE (round 13): the purchase gates
+    // on the previous input row's doubled value — the expression
+    // materializes as a derived column and rides the shared lag
+    // window (one shuffle with the operator).
+    "q197_mr_prev_expr" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_px_q197")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_px_q197 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |           AND value < PREV(value * 2)
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7782,6 +7805,27 @@ object SparkEntry {
       "AND p.p_us - c.us <= 7200000000",
       "AND p.p_us - c.us <= 7200000000 " +
         "AND p.p_us - c.c2_us <= 600000000"),
+
+    // every click pairs with the first LATER purchase whose value is
+    // under double the purchase's OWN previous row's value (lag over
+    // the full per-user timeline — the derived-column PREV expression)
+    "q197_mr_prev_expr" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, value,
+        |    lag(value * 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv2
+        |  FROM events),
+        |a AS (SELECT user_id, event_id, us FROM o
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, us FROM o
+        |  WHERE event_type = 'purchase' AND value < pv2),
+        |j AS (SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 7200000000)
+        |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

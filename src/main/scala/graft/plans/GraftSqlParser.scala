@@ -843,7 +843,7 @@ private[graft] object MatchRecognizeSql {
         s"WITHIN takes a raw long in ORDER BY units or " +
           s"INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY (got '$w')")
     }
-    val src = session.table(table)
+    val srcTbl = session.table(table)
     // PREV/NEXT in DEFINE — SQL:2016 row-pattern navigation:
     // `PREV(col[, n])` reads n rows BEFORE the current INPUT row in
     // the partition (match-independent), so it precomputes as a
@@ -872,6 +872,40 @@ private[graft] object MatchRecognizeSql {
             "navigate the input partition independent of pattern-" +
             "variable bindings, so write PREV(col) instead)")
     }
+    // SQL:2016 PREV/NEXT over an EXPRESSION (comma/paren-free
+    // arithmetic over input columns, e.g. PREV(price * 2, 3)): the
+    // expression materializes as a derived input column ahead of the
+    // operator and the navigation rides the plain-column lag/lead
+    // machinery (batch window; streaming release decorator) — batch
+    // AND streaming. The derived columns never reach the output: the
+    // ALL ROWS explode carries srcTbl's original column list.
+    val navExprAliases =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val navExprRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)""" +
+        """\s*(?:,\s*(\d+)\s*)?\)""").r
+    def normNavExpr(owner: String, text: String): String =
+      rewriteOutsideLiterals(text) { seg =>
+        navExprRe.replaceAllIn(seg, mm => {
+          val inner = mm.group(2).trim
+          require(!inner.matches("""(?s).*\w\s*\.\s*\w.*"""),
+            s"DEFINE $owner: PREV/NEXT expressions take plain input " +
+              "columns — a var-qualified reference inside the " +
+              "expression is not supported (navigation is " +
+              "match-independent)")
+          val alias = navExprAliases.getOrElseUpdate(inner,
+            s"_mr_navx_${navExprAliases.size}")
+          val off = Option(mm.group(3)).map(o => s", $o").getOrElse("")
+          java.util.regex.Matcher.quoteReplacement(
+            s"${mm.group(1)}($alias$off)")
+        })
+      }
+    val defsE = defs.map { case (n, d) => n -> normNavExpr(n, d) }
+    val src =
+      if (navExprAliases.isEmpty) srcTbl
+      else navExprAliases.foldLeft(srcTbl) { case (d, (ex, al)) =>
+        d.withColumn(al, org.apache.spark.sql.functions.expr(ex))
+      }
     val lagSpecs =
       scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
     // Cross-variable DEFINE references — SQL:2016 running semantics
@@ -968,7 +1002,7 @@ private[graft] object MatchRecognizeSql {
           java.util.regex.Matcher.quoteReplacement(out)
         })
       }
-    val defs2 = defs.map { case (n, d0) =>
+    val defs2 = defsE.map { case (n, d0) =>
       val d = rewriteCrossVar(n, d0)
       n -> rewriteOutsideLiterals(d) { seg =>
         prevRe.replaceAllIn(seg, mm => {
@@ -1368,7 +1402,7 @@ private[graft] object MatchRecognizeSql {
       val exploded = MatchRecognize.explodeAllRows(
         matched.select(org.apache.spark.sql.functions.col("*") +:
           measures.map(_._1): _*),
-        src.columns.toIndexedSeq, varNames, measures.map(_._2),
+        srcTbl.columns.toIndexedSeq, varNames, measures.map(_._2),
         keepSlots = runningMeasures.nonEmpty,
         unmatchedCol = if (streamUnmatchedOf(src.isStreaming))
           Some("_mr_unmatched_ev") else None)

@@ -996,6 +996,90 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PREV/NEXT over an expression in DEFINE: derived-column " +
+      "materialization on batch and streaming; var-qualified inner " +
+      "rejected; no column leak in ALL ROWS") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    Seq((1L, 10L, 1L, "A", 5L), (2L, 20L, 1L, "B", 9L),
+      (3L, 30L, 1L, "A", 4L), (4L, 40L, 1L, "B", 20L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_navx_view")
+    // PREV(v * 2): the previous INPUT row's doubled v — row 2 passes
+    // (9 < 10), row 4 fails (20 < 8), so only the first pair matches
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v < PREV(v * 2)
+          |)""".stripMargin))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+    // ALL ROWS: the derived _mr_navx_* column must not leak
+    val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v < PREV(v * 2)
+          |)""".stripMargin))
+    assert(!all.columns.exists(_.startsWith("_mr_navx")))
+    assert(all.select($"event_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // var-qualified reference inside the expression: clear rejection
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS v < PREV(v + a.v)
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("match-independent"))
+    // streaming: same expression through the release decorator
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Long)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "v")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_navx_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 10000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v < PREV(v * 2)
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_navx_sink").start()
+    try {
+      input.addData((1L, 1000L, 1L, "A", 5L), (2L, 2000L, 1L, "B", 9L),
+        (3L, 3000L, 1L, "A", 4L), (4L, 4000L, 1L, "B", 20L))
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "X", 0L))
+      q.processAllAvailable()
+      val sgot = spark.table("mr_navx_sink")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(sgot == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
       "AVG over another variable's binding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
