@@ -7743,7 +7743,7 @@ object SparkEntry {
       "SELECT user_id, a0_id, a1_id, b_id FROM j WHERE rn = 1",
       "SELECT user_id, a0_id, a1_id, a0_id AS a1b_id, " +
         "CAST(NULL AS BIGINT) AS oob_id, b_id, " +
-        "CAST(3 AS INT) AS n_rows FROM j WHERE rn = 1"),
+        "CAST(3 AS BIGINT) AS n_rows FROM j WHERE rn = 1"),
 
     // every click pairs with the first purchase after it inside the
     // window; PREV/NEXT read the user's FULL timeline via lag/lead

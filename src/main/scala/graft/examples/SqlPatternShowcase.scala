@@ -40,10 +40,10 @@ object SqlPatternShowcase {
       .createOrReplaceTempView("events")
 
     def show(title: String, sql: String): Unit = {
-      val df = spark.sql(sql)
-      val n = df.count()
-      println(s"== $title: $n rows ==")
-      df.show(3, truncate = false)
+      // one job per statement: collect once, print count + a sample
+      val rows = spark.sql(sql).collect()
+      println(s"== $title: ${rows.length} rows ==")
+      rows.take(3).foreach(r => println(s"   $r"))
     }
 
     show("factor + GROUP BY",

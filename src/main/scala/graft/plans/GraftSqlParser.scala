@@ -888,7 +888,8 @@ private[graft] object MatchRecognizeSql {
       rewriteOutsideLiterals(text) { seg =>
         navExprRe.replaceAllIn(seg, mm => {
           val inner = mm.group(2).trim
-          require(!inner.matches("""(?s).*\w\s*\.\s*\w.*"""),
+          require(!inner.matches(
+              """(?s).*[A-Za-z_]\w*\s*\.\s*[A-Za-z_].*"""),
             s"DEFINE $owner: PREV/NEXT expressions take plain input " +
               "columns — a var-qualified reference inside the " +
               "expression is not supported (navigation is " +
@@ -1018,6 +1019,20 @@ private[graft] object MatchRecognizeSql {
           java.util.regex.Matcher.quoteReplacement(s"`$alias`")
         })
       }
+    }
+    // a FIRST/LAST offset whose qualifier survived the cross-var
+    // rewrite is not a pattern variable (e.g. a SUBSET union name) —
+    // without this check it would reach Spark's parser as the
+    // two-argument first(expr, ignoreNulls) aggregate and die with an
+    // unrelated analysis error
+    val leftoverOffRe =
+      """(?i)(?<!\w)(first|last)\s*\(\s*\w+\s*\.\s*\w+\s*,""".r
+    defs2.foreach { case (n, d) =>
+      if (leftoverOffRe.findFirstIn(maskLiterals(d)).isDefined)
+        throw new IllegalArgumentException(
+          s"DEFINE $n: FIRST/LAST offsets in DEFINE work on pattern " +
+            "variables only (SUBSET union variables are supported in " +
+            "MEASURES)")
     }
     // anchors: AND the partition-boundary predicate onto the edge
     // variable's DEFINE via the lag machinery — PREV(ts,1) IS NULL is
@@ -1283,7 +1298,8 @@ private[graft] object MatchRecognizeSql {
     val countStarRe = """(?i)(?<!\w)count\s*\(\s*\*\s*\)""".r
     def rewriteCountStar(seg: String, arrSql: String): String =
       countStarRe.replaceAllIn(seg,
-        java.util.regex.Matcher.quoteReplacement(s"size($arrSql)"))
+        java.util.regex.Matcher.quoteReplacement(
+          s"cast(size($arrSql) as bigint)"))
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
       val t = rewriteOutsideLiterals(et) { seg0 =>
         var seg = rewriteCountStar(rewriteMn(seg0), allSlotsArr)

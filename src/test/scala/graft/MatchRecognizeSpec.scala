@@ -729,7 +729,7 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(r.isNullAt(8))                 // NEXT(b.v, 2): past the end
     assert(r.getLong(9) == 2L)            // LAST(s.v, 1) over union
                                           // [1,2,3]: middle element
-    assert(r.getInt(10) == 3)             // COUNT(*): rows in the match
+    assert(r.getLong(10) == 3L)           // COUNT(*): rows in the match
     // ALL ROWS + RUNNING PREV / RUNNING COUNT(*): per output row, the
     // last-so-far binding / the rows mapped so far
     val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -745,9 +745,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"event_id", $"rpa", $"rn_rows").collect()
       .map(r0 => r0.getLong(0) -> ((if (r0.isNullAt(1)) None
-        else Some(r0.getLong(1))), r0.getInt(2))).toMap
-    assert(all == Map(1L -> (None, 1), 3L -> (Some(99L), 2),
-      4L -> (Some(99L), 3)))
+        else Some(r0.getLong(1))), r0.getLong(2))).toMap
+    assert(all == Map(1L -> (None, 1L), 3L -> (Some(99L), 2L),
+      4L -> (Some(99L), 3L)))
     // DEFINE with a cross-variable FIRST/LAST offset: b gates on the
     // SECOND binding of a (FIRST(a.v, 1) = 2; the B row's v=3 > 2)
     val cvOff = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -1034,6 +1034,20 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(!all.columns.exists(_.startsWith("_mr_navx")))
     assert(all.select($"event_id").as[Long].collect().toSet ==
       Set(1L, 2L))
+    // decimal literals inside the expression are NOT var-qualified
+    // references (the dot is a fraction point)
+    val dec = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v < PREV(v * 2.5)
+          |)""".stripMargin))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(dec == Set((1L, 2L)))
     // var-qualified reference inside the expression: clear rejection
     val e = intercept[IllegalArgumentException] {
       parser.parsePlan(
@@ -1047,6 +1061,21 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("match-independent"))
+    // FIRST/LAST offset on a SUBSET name in DEFINE: targeted error,
+    // not a misparsed two-argument aggregate
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS v > FIRST(s.v, 1)
+          |)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("pattern variables only"))
     // streaming: same expression through the release decorator
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String, Long)]
