@@ -1325,6 +1325,30 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SUBSET union variable in DEFINE (round 13): the purchase gates
+    // on MAX over the union of the click's and view's values — the
+    // aggregate expands to per-member markers inside the NFA.
+    "q198_mr_subset_define" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_sub_q198")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_sub_q198 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND value > MAX(s.value)
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7826,6 +7850,32 @@ object SparkEntry {
         |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
         |    AND b.us - a.us <= 7200000000)
         |SELECT user_id, a_id, b_id FROM j WHERE rn = 1""".stripMargin,
+
+    // click → first view after it → first purchase after the view
+    // whose value tops BOTH (= MAX over the s = (a, b) union)
+    "q198_mr_subset_define" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events),
+        |a AS (SELECT * FROM o WHERE event_type = 'click'),
+        |b0 AS (SELECT a.user_id, a.event_id AS a_id, a.us AS a_us,
+        |    a.value AS a_v, v.event_id AS b_id, v.us AS b_us,
+        |    v.value AS b_v,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY v.us, v.event_id) AS rn
+        |  FROM a JOIN o v ON v.user_id = a.user_id
+        |    AND v.event_type = 'view'
+        |    AND (v.us > a.us OR (v.us = a.us
+        |      AND v.event_id > a.event_id))),
+        |b AS (SELECT * FROM b0 WHERE rn = 1),
+        |c0 AS (SELECT b.user_id, b.a_id, b.b_id, p.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY b.user_id, b.a_id
+        |      ORDER BY p.us, p.event_id) AS rnc
+        |  FROM b JOIN o p ON p.user_id = b.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND (p.us > b.b_us OR (p.us = b.b_us
+        |      AND p.event_id > b.b_id))
+        |    AND p.value > greatest(b.a_v, b.b_v))
+        |SELECT user_id, a_id, b_id, c_id FROM c0 WHERE rnc = 1""".stripMargin,
 
     // the q55 pair derivation, unpivoted: each match contributes its
     // click row (classifier 'a') and its purchase row (classifier 'b');

@@ -820,6 +820,29 @@ private[graft] object MatchRecognizeSql {
     require(missing.isEmpty,
       s"PATTERN variables without DEFINE: ${missing.mkString(", ")}")
 
+    // SUBSET w = (a, b): SQL:2016 union variables — parsed HERE so
+    // DEFINE aggregates can compose over them; the measures stage
+    // reuses the same parse for its binding arrays
+    val subsets: Seq[(String, Seq[String])] =
+      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ',')).map { e =>
+        val re = """(?s)\s*(\w+)\s*=\s*\(([\w\s,]*)\)\s*""".r
+        e match {
+          case re(n, ms) =>
+            val mem = ms.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(mem.nonEmpty, s"SUBSET $n needs at least one member")
+            val bad = mem.filterNot(varNames.contains)
+            require(bad.isEmpty, s"SUBSET $n references unknown pattern " +
+              s"variables: ${bad.mkString(", ")}")
+            require(!varNames.contains(n),
+              s"SUBSET name '$n' collides with a pattern variable")
+            n -> mem
+          case other => throw new IllegalArgumentException(
+            s"bad SUBSET entry: $other (want w = (a, b))")
+        }
+      }
+    require(subsets.map(_._1).distinct.length == subsets.length,
+      "duplicate SUBSET names")
+
     val tsScaleOpt = sec.get("tsscale").map(_.trim.toLong)
     val ivRe = """(?i)interval\s+'(\d+)'\s+(second|minute|hour|day)s?""".r
     val within = sec.get("within").map(_.trim).map {
@@ -1003,8 +1026,68 @@ private[graft] object MatchRecognizeSql {
           java.util.regex.Matcher.quoteReplacement(out)
         })
       }
+    // SQL:2016 SUBSET union variables in DEFINE: an aggregate over a
+    // union variable expands textually into per-member aggregates
+    // (disjoint slots, so SUM = sum of sums, COUNT = count of counts,
+    // MIN/MAX = least/greatest with SQL null-skip, AVG = composite
+    // sum over composite count) — each member reference then goes
+    // through the normal cross-var rewrite, including the own-variable
+    // current-row folding when the defined variable is a member.
+    // FIRST/LAST/bare over a subset would need a (ts, tie) merge of
+    // settled bindings inside the NFA — fail fast with the reason.
+    def expandSubsetDefine(n: String, d: String): String =
+      if (subsets.isEmpty) d
+      else rewriteOutsideLiterals(d) { seg0 =>
+        var seg = seg0
+        for ((sn, mem) <- subsets) {
+          def per(fn: String, c: String): Seq[String] =
+            mem.map(m => s"$fn($m.$c)")
+          def cnt(c: String): String =
+            per("COUNT", c).mkString("(", " + ", ")")
+          seg = (s"(?i)(?<!\\w)(\\w+)\\s*\\(\\s*$sn\\s*\\.\\s*" +
+            """(\w+)\s*\)""").r.replaceAllIn(seg, mm => {
+            val c = mm.group(2)
+            val out = mm.group(1).toLowerCase match {
+              case "count" => cnt(c)
+              case "sum" =>
+                s"(CASE WHEN ${cnt(c)} = 0 THEN NULL ELSE " +
+                  per("SUM", c).map(x => s"coalesce($x, 0)")
+                    .mkString("", " + ", " END)")
+              case "min" => per("MIN", c).mkString("least(", ", ", ")")
+              case "max" =>
+                per("MAX", c).mkString("greatest(", ", ", ")")
+              case "avg" =>
+                s"(CASE WHEN ${cnt(c)} = 0 THEN NULL ELSE cast(" +
+                  per("SUM", c).map(x => s"coalesce($x, 0)")
+                    .mkString("", " + ", "") +
+                  s" AS DOUBLE) / ${cnt(c)} END)"
+              case other => throw new IllegalArgumentException(
+                s"DEFINE $n: $other($sn.$c) — only the aggregates " +
+                  "SUM/AVG/COUNT/MIN/MAX compose over a SUBSET union " +
+                  "variable in DEFINE (FIRST/LAST need a merged " +
+                  "binding order; use MEASURES)")
+            }
+            java.util.regex.Matcher.quoteReplacement(out)
+          })
+          // an offset form over a subset gets the targeted message
+          if ((s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$sn\\s*\\." +
+              """\s*\w+\s*,""").r.findFirstIn(seg).isDefined)
+            throw new IllegalArgumentException(
+              s"DEFINE $n: FIRST/LAST offsets in DEFINE work on " +
+                "pattern variables only (SUBSET union variables are " +
+                "supported in MEASURES)")
+          // bare subset reference (= LAST): same limitation
+          if ((s"(?i)(?<!\\w)$sn\\.").r.findFirstIn(seg).isDefined)
+            throw new IllegalArgumentException(
+              s"DEFINE $n: bare $sn.<col> (= LAST) over a SUBSET " +
+                "union variable is not supported in DEFINE — " +
+                "aggregates SUM/AVG/COUNT/MIN/MAX are (or use " +
+                "MEASURES)")
+        }
+        seg
+      }
     val defs2 = defsE.map { case (n, d0) =>
-      val d = rewriteCrossVar(n, d0)
+      val d = rewriteCrossVar(n, expandSubsetDefine(n, d0))
       n -> rewriteOutsideLiterals(d) { seg =>
         prevRe.replaceAllIn(seg, mm => {
           val kind = mm.group(1).toLowerCase
@@ -1063,10 +1146,7 @@ private[graft] object MatchRecognizeSql {
     // carry them and MEASURES read them off the bound row. Batch only:
     // the streaming release path embeds lag values in the payload only
     // for DEFINE-driven navigation.
-    val subsetNamesLight: Set[String] =
-      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ','))
-        .flatMap("""\s*(\w+)\s*=""".r.findFirstMatchIn(_)
-          .map(_.group(1))).toSet
+    val subsetNamesLight: Set[String] = subsets.map(_._1).toSet
     // nested form PREV(FIRST(v.col)[, n]) navigates from the FIRST
     // (or explicitly LAST) bound row instead of the default last one
     val measNavNestedRe =
@@ -1201,25 +1281,6 @@ private[graft] object MatchRecognizeSql {
     // whose binding is the union of their members' events in (ts, tie)
     // order (an array_sort over the concatenated slot arrays; a
     // single-member subset aliases the member directly)
-    val subsets: Seq[(String, Seq[String])] =
-      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ',')).map { e =>
-        val re = """(?s)\s*(\w+)\s*=\s*\(([\w\s,]*)\)\s*""".r
-        e match {
-          case re(n, ms) =>
-            val mem = ms.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            require(mem.nonEmpty, s"SUBSET $n needs at least one member")
-            val bad = mem.filterNot(varNames.contains)
-            require(bad.isEmpty, s"SUBSET $n references unknown pattern " +
-              s"variables: ${bad.mkString(", ")}")
-            require(!varNames.contains(n),
-              s"SUBSET name '$n' collides with a pattern variable")
-            n -> mem
-          case other => throw new IllegalArgumentException(
-            s"bad SUBSET entry: $other (want w = (a, b))")
-        }
-      }
-    require(subsets.map(_._1).distinct.length == subsets.length,
-      "duplicate SUBSET names")
     def unionSql(members: Seq[String]): String =
       if (members.length == 1) s"`${members.head}`"
       else s"array_sort(concat(${members.map(m => s"`$m`").mkString(", ")})," +

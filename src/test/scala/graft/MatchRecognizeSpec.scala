@@ -1109,6 +1109,78 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SUBSET union variables in DEFINE: SUM/AVG/COUNT/MIN/MAX " +
+      "compose over the members; FIRST/LAST and bare refs fail fast") {
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    Seq((1L, 10L, 1L, "A", 3L), (2L, 20L, 1L, "B", 4L),
+      (3L, 30L, 1L, "X", 6L), (4L, 40L, 1L, "X", 8L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_subdef_view")
+    // c gates on aggregates over s = (a, b): needs v > SUM (7), v >
+    // MAX (4), v > COUNT (2), v > AVG (3.5), v > MIN (3) — the X row
+    // at v=6 fails the SUM gate, the one at v=8 passes everything
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id, c.v AS cv
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS v > SUM(s.v) AND v > MAX(s.v)
+          |           AND v > COUNT(s.v) AND v > AVG(s.v)
+          |           AND v > MIN(s.v)
+          |)""".stripMargin))
+      .select($"c_id", $"cv").as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 8L)))
+    // a subset containing the DEFINED variable folds the current row
+    // (member own-var semantics): v * 2 > SUM(s2.v) with s2 = (a, c)
+    // at the v=6 row is 12 > 3 + 6 = 9 — first qualifying row wins
+    val own = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a c)
+          |  SUBSET s2 = (a, c)
+          |  DEFINE a AS event_type = 'A',
+          |         c AS event_type = 'X' AND v * 2 > SUM(s2.v)
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(own == Set(3L))
+    // FIRST over a subset in DEFINE: merged binding order unavailable
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS v > FIRST(s.v)
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("SUM/AVG/COUNT/MIN/MAX"))
+    // bare subset reference (= LAST): same reason
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS v > s.v
+          |)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("bare"))
+  }
+
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
       "AVG over another variable's binding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
