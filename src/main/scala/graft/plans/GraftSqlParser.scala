@@ -782,9 +782,18 @@ private[graft] object MatchRecognizeSql {
     }
     val varNames = patElems.flatMap(elemNames).distinct
     skipToVar.foreach { case (v, _) =>
-      require(varNames.contains(v),
-        s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable " +
-          s"(have: ${varNames.mkString(", ")})")
+      require(varNames.contains(v), {
+        val isSubset = sec.get("subset").exists(t =>
+          s"(?i)(?<!\\w)$v\\s*=".r
+            .findFirstIn(maskLiterals(t)).isDefined)
+        if (isSubset)
+          s"AFTER MATCH SKIP TO: '$v' is a SUBSET union variable — " +
+            "skip-mode resume needs a single variable's settled row " +
+            "identity; skip to a member variable instead"
+        else
+          s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable " +
+            s"(have: ${varNames.mkString(", ")})"
+      })
     }
     require(excludedVars.forall(varNames.contains),
       s"excluded variable(s) ${excludedVars.filterNot(varNames.contains)

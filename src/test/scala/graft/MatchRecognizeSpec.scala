@@ -1165,6 +1165,21 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("SUM/AVG/COUNT/MIN/MAX"))
+    // SKIP TO a subset name: the targeted reason, not "unknown var"
+    val e3 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  AFTER MATCH SKIP TO s
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'X'
+          |)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("member variable"))
     // bare subset reference (= LAST): same reason
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(
