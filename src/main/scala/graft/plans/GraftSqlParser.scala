@@ -490,7 +490,7 @@ private[graft] object MatchRecognizeSql {
     // variable bound no rows or the target is the match's first row
     // (the standard's infinite-loop guard).
     val skipToRe = """skip to (?:(first|last) )?(\w+)""".r
-    val (skipPastLast, skipToVar) = sec.get("after match").map { am =>
+    val (skipPastLast, skipToVar0) = sec.get("after match").map { am =>
       val norm = am.toLowerCase.replaceAll("\\s+", " ").trim
       norm match {
         case "skip past last row" => (true, None)
@@ -781,19 +781,44 @@ private[graft] object MatchRecognizeSql {
       else Seq(RxP(patAst))
     }
     val varNames = patElems.flatMap(elemNames).distinct
-    skipToVar.foreach { case (v, _) =>
-      require(varNames.contains(v), {
-        val isSubset = sec.get("subset").exists(t =>
-          s"(?i)(?<!\\w)$v\\s*=".r
-            .findFirstIn(maskLiterals(t)).isDefined)
-        if (isSubset)
-          s"AFTER MATCH SKIP TO: '$v' is a SUBSET union variable — " +
-            "skip-mode resume needs a single variable's settled row " +
-            "identity; skip to a member variable instead"
-        else
+    // SUBSET w = (a, b): SQL:2016 union variables — parsed HERE so
+    // DEFINE aggregates can compose over them; the measures stage
+    // reuses the same parse for its binding arrays
+    val subsets: Seq[(String, Seq[String])] =
+      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ',')).map { e =>
+        val re = """(?s)\s*(\w+)\s*=\s*\(([\w\s,]*)\)\s*""".r
+        e match {
+          case re(n, ms) =>
+            val mem = ms.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(mem.nonEmpty, s"SUBSET $n needs at least one member")
+            val bad = mem.filterNot(varNames.contains)
+            require(bad.isEmpty, s"SUBSET $n references unknown pattern " +
+              s"variables: ${bad.mkString(", ")}")
+            require(!varNames.contains(n),
+              s"SUBSET name '$n' collides with a pattern variable")
+            n -> mem
+          case other => throw new IllegalArgumentException(
+            s"bad SUBSET entry: $other (want w = (a, b))")
+        }
+      }
+    require(subsets.map(_._1).distinct.length == subsets.length,
+      "duplicate SUBSET names")
+    // the AFTER MATCH slice is case-normalized before matching, so
+    // resolve the skip target against the case-preserved PATTERN
+    // variables case-insensitively and carry the canonical name (the
+    // NFA's slot lookup is exact)
+    val skipToVar: Option[(String, Boolean)] = skipToVar0.map {
+      case (v, f) => varNames.find(_.equalsIgnoreCase(v)) match {
+        case Some(canon) => (canon, f)
+        case None if subsets.exists(_._1.equalsIgnoreCase(v)) =>
+          throw new IllegalArgumentException(
+            s"AFTER MATCH SKIP TO: '$v' is a SUBSET union variable — " +
+              "skip-mode resume needs a single variable's settled row " +
+              "identity; skip to a member variable instead")
+        case None => throw new IllegalArgumentException(
           s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable " +
-            s"(have: ${varNames.mkString(", ")})"
-      })
+            s"(have: ${varNames.mkString(", ")})")
+      }
     }
     require(excludedVars.forall(varNames.contains),
       s"excluded variable(s) ${excludedVars.filterNot(varNames.contains)
@@ -829,28 +854,6 @@ private[graft] object MatchRecognizeSql {
     require(missing.isEmpty,
       s"PATTERN variables without DEFINE: ${missing.mkString(", ")}")
 
-    // SUBSET w = (a, b): SQL:2016 union variables — parsed HERE so
-    // DEFINE aggregates can compose over them; the measures stage
-    // reuses the same parse for its binding arrays
-    val subsets: Seq[(String, Seq[String])] =
-      sec.get("subset").toSeq.flatMap(splitTopLevel(_, ',')).map { e =>
-        val re = """(?s)\s*(\w+)\s*=\s*\(([\w\s,]*)\)\s*""".r
-        e match {
-          case re(n, ms) =>
-            val mem = ms.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            require(mem.nonEmpty, s"SUBSET $n needs at least one member")
-            val bad = mem.filterNot(varNames.contains)
-            require(bad.isEmpty, s"SUBSET $n references unknown pattern " +
-              s"variables: ${bad.mkString(", ")}")
-            require(!varNames.contains(n),
-              s"SUBSET name '$n' collides with a pattern variable")
-            n -> mem
-          case other => throw new IllegalArgumentException(
-            s"bad SUBSET entry: $other (want w = (a, b))")
-        }
-      }
-    require(subsets.map(_._1).distinct.length == subsets.length,
-      "duplicate SUBSET names")
 
     val tsScaleOpt = sec.get("tsscale").map(_.trim.toLong)
     val ivRe = """(?i)interval\s+'(\d+)'\s+(second|minute|hour|day)s?""".r

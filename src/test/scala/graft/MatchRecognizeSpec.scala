@@ -2081,6 +2081,48 @@ class MatchRecognizeSpec extends SparkSpec {
       (4L, None, None, None, None)))
   }
 
+  test("AFTER MATCH SKIP TO resolves pattern variables case-" +
+      "insensitively; subset targets keep the targeted error") {
+    val df = Seq(
+      (1L, 10L, 1L, 10.0), (2L, 20L, 1L, 8.0), (3L, 30L, 1L, 12.0),
+      (4L, 40L, 1L, 9.0), (5L, 50L, 1L, 14.0))
+      .toDF("event_id", "ts_us", "ticker", "price")
+    df.createOrReplaceTempView("mr_ci_ticks")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // PATTERN declares Dn/Up mixed-case; the AFTER MATCH slice is
+    // case-normalized before matching, so SKIP TO LAST UP must still
+    // resolve to the canonical spelling the NFA's slot lookup uses
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan("""
+        SELECT * FROM mr_ci_ticks MATCH_RECOGNIZE (
+          PARTITION BY ticker
+          ORDER BY ts_us, event_id
+          MEASURES FIRST(Dn.event_id) AS d_id, Up.event_id AS u_id
+          AFTER MATCH SKIP TO LAST UP
+          PATTERN (Dn Up)
+          DEFINE Dn AS price < 10,
+                 Up AS price > PREV(price)
+        )"""))
+      .select($"d_id", $"u_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L), (4L, 5L)))
+    // subset target in a different case: still the targeted reason
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan("""
+        SELECT * FROM mr_ci_ticks MATCH_RECOGNIZE (
+          PARTITION BY ticker
+          ORDER BY ts_us, event_id
+          MEASURES Up.event_id AS u_id
+          AFTER MATCH SKIP TO LAST W
+          PATTERN (Dn Up)
+          SUBSET w = (Dn, Up)
+          DEFINE Dn AS price < 10,
+                 Up AS price > PREV(price)
+        )""")
+    }
+    assert(e.getMessage.contains("member variable"))
+  }
+
   test("SUBSET union variables: measures over the merged (ts, tie)-" +
       "ordered binding; bad members fail fast") {
     val df = Seq(
