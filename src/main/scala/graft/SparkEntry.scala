@@ -1349,6 +1349,28 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 exclusion over an arbitrary sub-pattern: {- (b|c) -}
+    // suppresses whichever alternation branch matched; the a row keeps
+    // the branch's measures (the other branch's stays NULL).
+    "q199_mr_excl_alt" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_excl_q199")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_excl_q199 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES LAST(b.event_id) AS b_id, LAST(c.event_id) AS c_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a {- (b | c) -})
+          |  WITHIN 600000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase',
+          |         c AS event_type = 'view'
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 pattern exclusion {- b -}: the purchase still gates the
     // match and feeds the measure, but its row leaves ALL ROWS output.
     "q174_mr_exclusion" -> ((s, dir) => {
@@ -7882,6 +7904,27 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // first later purchase-or-view inside the window per click; the
+    // winning branch's id fills its measure, the other stays NULL
+    "q199_mr_excl_alt" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |x AS (SELECT user_id, event_id AS x_id, epoch_us(ts) AS x_us,
+        |    event_type AS x_type
+        |    FROM events WHERE event_type IN ('purchase', 'view')),
+        |j AS (SELECT a.user_id, a.a_id, a.a_us, x.x_id, x.x_us, x.x_type,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY x.x_us, x.x_id) AS rn
+        |  FROM a JOIN x ON a.user_id = x.user_id
+        |    AND (x.x_us > a.a_us OR (x.x_us = a.a_us AND x.x_id > a.a_id))
+        |    AND x.x_us - a.a_us <= 600000000)
+        |SELECT a_id AS event_id, a_us AS ts_us, user_id,
+        |  'click' AS event_type, 'a' AS classifier,
+        |  a_us AS match_start, x_us AS match_end,
+        |  CASE WHEN x_type = 'purchase' THEN x_id END AS b_id,
+        |  CASE WHEN x_type = 'view' THEN x_id END AS c_id
+        |FROM j WHERE rn = 1""".stripMargin,
+
     "q174_mr_exclusion" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
         |    FROM events WHERE event_type = 'click'),

@@ -397,8 +397,6 @@ private[graft] object MatchRecognizeSql {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private val quantRe = """(\w+)(\+|\*|\?|\{(\d+),(\d+)\})?""".r
-
   /** Shared MEASURES-navigation rewrite for one variable `v` over one
     * binding-array SQL expression `arrSql` (FINAL path: the slot
     * array / SUBSET union; RUNNING path: its at-or-before filter) —
@@ -525,22 +523,20 @@ private[graft] object MatchRecognizeSql {
     // PERMUTE group a single token
     val inner0 = patBody.substring(1, patBody.length - 1).trim
       .replaceAll("""(?i)(?<!\w)permute\s*\(""", "permute(")
-    // SQL:2016 exclusion `{- b+ -}`: the wrapped variables still MATCH
-    // (they gate the pattern) but their rows are suppressed from ALL
-    // ROWS output. The braces strip here; the wrapped variable names
-    // are collected and filtered out of the exploded rows later.
+    // SQL:2016 exclusion `{- … -}`: the wrapped sub-pattern still
+    // MATCHES (it gates the pattern) but its rows are suppressed from
+    // ALL ROWS output. The braces strip here; the wrapped segments are
+    // re-parsed below (once the recursive pattern parser exists) to
+    // collect the variables whose rows the explode stage filters out —
+    // any sub-pattern works: groups, alternations, PERMUTE, nesting.
     // the inner alternative admits {m,n} brace quantifiers, so
     // `{- b{1,2} -}` parses instead of leaving stray '{-' tokens
     val exclRe = """\{-\s*((?:[^{}]|\{\d+,\d+\})*?)\s*-\}""".r
-    val excludedVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    val exclSegments = scala.collection.mutable.ArrayBuffer.empty[String]
     val inner = exclRe.replaceAllIn(inner0, mm => {
       val segment = mm.group(1)
-      splitTopLevel(segment, ' ').foreach {
-        case quantRe(name, _, _, _) => excludedVars += name
-        case other => throw new IllegalArgumentException(
-          s"exclusion {- … -} may wrap only quantified variables, " +
-            s"got: $other")
-      }
+      require(segment.trim.nonEmpty, "empty exclusion {- -}")
+      exclSegments += segment
       java.util.regex.Matcher.quoteReplacement(" " + segment + " ")
     })
     // --- recursive-descent PATTERN parser ---
@@ -750,6 +746,30 @@ private[graft] object MatchRecognizeSql {
       "pattern anchors '^'/'$' are only supported at the very " +
         "start/end of PATTERN")
     val patAst = parsePatternAst(innerPat)
+    // exclusion variables: each {- … -} segment parses with the same
+    // grammar, and every variable inside it is suppressed from ALL
+    // ROWS output. Suppression is name-based (a classifier filter on
+    // the exploded rows), so a variable bound both inside AND outside
+    // an exclusion would have its non-excluded rows wrongly
+    // suppressed — fail fast with the fix instead of silently
+    // returning nonstandard output.
+    val excludedVars: Seq[String] = {
+      def occ(ns: Seq[String]): Map[String, Int] =
+        ns.groupBy(identity).map { case (k, v) => k -> v.length }
+      val inExcl =
+        exclSegments.toSeq.flatMap(s => pnVars(parsePatternAst(s)))
+      val exclCounts = occ(inExcl)
+      val allCounts = occ(pnVars(patAst))
+      val alsoOutside = exclCounts.keys.filter(v =>
+        allCounts.getOrElse(v, 0) > exclCounts(v)).toSeq.sorted
+      require(alsoOutside.isEmpty,
+        s"exclusion {- … -}: variable(s) ${alsoOutside.mkString(", ")} " +
+          "appear both inside and outside an exclusion; row " +
+          "suppression is per-variable, so give the occurrence " +
+          "outside the exclusion its own variable name (same DEFINE " +
+          "predicate) to keep its rows in the output")
+      inExcl.distinct
+    }
     val reluctantVars: Set[String] = pnReluctant(patAst).toSet
     val topItems: Seq[PNode] = patAst match {
       case PSeqN(is) => is

@@ -2021,19 +2021,42 @@ class MatchRecognizeSpec extends SparkSpec {
     // unmatched — only the view (3) is genuinely unmatched
     assert(run("WITH UNMATCHED ROWS") == Set(
       (1L, Some("a"), Some(2L)), (3L, None, None)))
+    // exclusion over an arbitrary sub-pattern: alternation — the
+    // branch that matched (b on the purchase row) is suppressed
+    def runSub(pat: String, measure: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_excl_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES $measure AS m_id
+           |  ALL ROWS PER MATCH
+           |  PATTERN ($pat)
+           |  DEFINE a AS event_type = 'click',
+           |         b AS event_type = 'purchase',
+           |         c AS event_type = 'view'
+           |)""".stripMargin))
+        .select($"event_id", $"classifier", $"m_id")
+        .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(runSub("a {- (b|c) -}", "LAST(b.event_id)") ==
+      Set((1L, Some("a"), Some(2L))))
+    // exclusion over a group: both bound rows suppressed, measures
+    // still see them
+    assert(runSub("a {- (b c) -}", "LAST(c.event_id)") ==
+      Set((1L, Some("a"), Some(3L))))
+    // a variable both inside and outside an exclusion: suppression is
+    // name-based, so this fails fast with the rename hint
     val e = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_excl_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
           |  MEASURES a.event_id AS a_id
-          |  PATTERN (a {- (b|c) -})
+          |  PATTERN (a {- b -} b)
           |  DEFINE a AS event_type = 'click',
-          |         b AS event_type = 'purchase',
-          |         c AS event_type = 'view'
+          |         b AS event_type = 'purchase'
           |)""".stripMargin)
     }
-    assert(e.getMessage.contains("exclusion"))
+    assert(e.getMessage.contains("inside and outside"))
   }
 
   test("README sampler: every SQL:2016 construct composed in one " +
