@@ -99,7 +99,16 @@ object Cep {
       /** Completed skip-mode candidates awaiting leftmost confirmation
         * (cross-variable DEFINE + AFTER MATCH SKIP modes — see
         * [[Nfa.snapshot]]); empty otherwise. */
-      pendingCands: List[PatternMatch[E]] = Nil)
+      pendingCands: List[PatternMatch[E]] = Nil,
+      /** MATCH_NUMBER() bookkeeping (only when `numberMatches`):
+        * completed matches held until no earlier-starting live work
+        * remains, so numbers follow the batch `(start, end)` order… */
+      heldMatches: Vector[PatternMatch[E]] = Vector.empty,
+      /** …and the count of numbers already assigned for this key. The
+        * counter outlives quiescence by design: numbering is defined
+        * over the key's whole lifetime, so a numbered key retains a
+        * minimal state entry. */
+      matchSeq: Long = 0L)
 
   object CepState {
     def empty[E]: CepState[E] =
@@ -166,7 +175,16 @@ object Cep {
         * stream never extends stays undecided, exactly as NEXT itself
         * stays NULL-starved there).
         */
-      unmatchedWithin: Option[Long] = None): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
+      unmatchedWithin: Option[Long] = None,
+      /** SQL:2016 MATCH_NUMBER(): stamp each emitted match's [[PatternMatch.seq]]
+        * with its 1-based per-key number in the batch operator's
+        * `(match_start, match_end)` order. A completed match is held in
+        * state until no live partial or pending candidate with an
+        * earlier start key remains (such work could still complete a
+        * match that sorts first), so a WITHIN bound is required — it is
+        * what guarantees every blocker eventually completes or expires.
+        */
+      numberMatches: Boolean = false): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
     require(unmatchedWithin.isEmpty ||
         pattern.steps.forall(!_.names.contains(UnmatchedSlot)),
       s"pattern variable '$UnmatchedSlot' collides with the reserved " +
@@ -294,10 +312,51 @@ object Cep {
     }
     val unmatchedMatches = unmatchedOut.map(e =>
       PatternMatch(tsOf(e), tsOf(e), Map(UnmatchedSlot -> Vector(e))))
+    // MATCH_NUMBER(): completed matches join the held set; the sorted
+    // prefix whose start keys precede every live partial's and pending
+    // candidate's start key is released and stamped from the counter —
+    // an earlier-starting blocker could still complete a match that
+    // sorts first (any future completion of a SAME-start blocker ends
+    // strictly later, so it sorts after and does not block).
+    val (realOut, heldOut, nSeq) =
+      if (!numberMatches)
+        (matches ++ timeMatches, prev.heldMatches, prev.matchSeq)
+      else {
+        require(pattern.withinMs.isDefined,
+          "MATCH_NUMBER() on a stream needs a WITHIN bound: numbering " +
+            "follows (match_start, match_end) order, so each completed " +
+            "match waits for every earlier-starting partial to " +
+            "complete or expire, and only WITHIN bounds that wait")
+        def mKeys(m: PatternMatch[E]): ((Long, Long), (Long, Long)) = {
+          val ks = m.groups.valuesIterator.flatten
+            .map(e => (tsOf(e), tieBreak(e))).toVector
+          if (ks.isEmpty) ((m.startTs, Long.MinValue),
+            (m.endTs, Long.MinValue))
+          else (ks.min, ks.max)
+        }
+        val held = (prev.heldMatches ++ matches ++ timeMatches)
+          .sortBy(mKeys)
+        val blockers =
+          if (nt) Nil
+          else np.map(p => (p.startTs, p.startTie)) ++
+            npend.map(c => mKeys(c)._1)
+        val (emit, stay) = blockers match {
+          case Nil => (held, Vector.empty[PatternMatch[E]])
+          case bs =>
+            val b = bs.min
+            held.partition(m => {
+              val k = mKeys(m)._1
+              k._1 < b._1 || (k._1 == b._1 && k._2 < b._2)
+            })
+        }
+        (emit.zipWithIndex.map { case (m, i) =>
+          m.copy(seq = prev.matchSeq + 1 + i)
+        }, stay, prev.matchSeq + emit.length)
+      }
     if (keep.isEmpty && np.isEmpty && !nt && nHeld.isEmpty &&
         neighborhood.isEmpty && nUndecided.isEmpty && nBound.isEmpty &&
-        npend.isEmpty)
-      (None, matches ++ timeMatches ++ unmatchedMatches, Nil)
+        npend.isEmpty && heldOut.isEmpty && nSeq == 0L)
+      (None, realOut ++ unmatchedMatches, Nil)
     else {
       val (lastTs, lastTie) =
         if (release.nonEmpty) (tsOf(release.last), tieBreak(release.last))
@@ -309,8 +368,8 @@ object Cep {
           unmatchedWithin.toList.flatMap(w =>
             nUndecided.headOption.map(e => tsOf(e) + w + 1))
       (Some(CepState(keep, np, nt, lastTs, lastTie, nRecent, nHeld,
-        nUndecided, nBound, npend)),
-        matches ++ timeMatches ++ unmatchedMatches, wake)
+        nUndecided, nBound, npend, heldOut, nSeq)),
+        realOut ++ unmatchedMatches, wake)
     }
   }
 
@@ -326,7 +385,8 @@ object Cep {
       tieBreak: E => Long,
       tsScale: Long = 1L,
       neighborhood: Option[Neighborhood[E]] = None,
-      unmatchedWithin: Option[Long] = None)(
+      unmatchedWithin: Option[Long] = None,
+      numberMatches: Boolean = false)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
     // PREV/NEXT composes with absence elements: step() caps the
@@ -340,7 +400,8 @@ object Cep {
 
       val (next, matches, wake) = step(
         prev, it.toVector, wm, hasWatermark = wmMs > 0,
-        pattern, tsOf, tieBreak, neighborhood, unmatchedWithin)
+        pattern, tsOf, tieBreak, neighborhood, unmatchedWithin,
+        numberMatches)
 
       next match {
         case None => state.remove()
@@ -385,7 +446,8 @@ object Cep {
       tieBreak: E => Long,
       tsScale: Long = 1L,
       neighborhood: Option[Neighborhood[E]] = None,
-      unmatchedWithin: Option[Long] = None)(
+      unmatchedWithin: Option[Long] = None,
+      numberMatches: Boolean = false)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     // PREV/NEXT composes with absence elements: step() caps the
     // watermark advance at the NEXT hold-back frontier (see streaming)
@@ -403,7 +465,8 @@ object Cep {
         val prev = if (st.exists()) st.get() else CepState.empty[E]
         val (next, matches, wake) = step(
           prev, incoming, wmMs * tsScale, hasWatermark = wmMs > 0,
-          pattern, tsOf, tieBreak, neighborhood, unmatchedWithin)
+          pattern, tsOf, tieBreak, neighborhood, unmatchedWithin,
+          numberMatches)
         next match {
           case None => st.clear()
           case Some(ns) =>

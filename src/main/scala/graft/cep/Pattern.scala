@@ -491,7 +491,12 @@ final case class Partial[E](
 final case class PatternMatch[E](
     startTs: Long,
     endTs: Long,
-    groups: Map[String, IndexedSeq[E]]) {
+    groups: Map[String, IndexedSeq[E]],
+    /** SQL:2016 MATCH_NUMBER(): the match's 1-based sequential number
+      * within its key, in the batch operator's `(match_start,
+      * match_end)` order. Stamped by [[Cep.step]] only when numbering
+      * is requested (`numberMatches`); 0 otherwise. */
+    seq: Long = 0L) {
   def head(step: String): E = groups(step).head
   def apply(step: String, i: Int): E = groups(step)(i)
   def get(step: String): IndexedSeq[E] =

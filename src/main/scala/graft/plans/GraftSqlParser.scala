@@ -1278,6 +1278,13 @@ private[graft] object MatchRecognizeSql {
             else lead(col(c), k).over(w))
         }
       }
+    // MATCH_NUMBER() detection runs before the operator dispatch: the
+    // streaming operator must be asked to number matches (a stamped
+    // `match_seq` output column), while batch numbers post-operator
+    // with a window function.
+    val mnRe = """(?i)(?<!\w)match_number\s*\(\s*\)""".r
+    val usesMn = sec.get("measures").exists(t =>
+      mnRe.findFirstIn(maskLiterals(t)).isDefined)
     val matched =
       if (src.isStreaming) {
         val evc = sec.getOrElse("eventtime",
@@ -1289,10 +1296,17 @@ private[graft] object MatchRecognizeSql {
           "WITH UNMATCHED ROWS over a streaming table needs a WITHIN " +
             "bound (the horizon after which a row can no longer join " +
             "any match)")
+        if (usesMn) require(within.isDefined,
+          "MATCH_NUMBER() over a streaming table needs a WITHIN " +
+            "bound: numbering follows (match_start, match_end) order, " +
+            "so each completed match waits for every earlier-starting " +
+            "partial to complete or expire, and only WITHIN bounds " +
+            "that wait")
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
-          withUnmatched = unmatchedRows, reluctantVars = reluctantVars)
+          withUnmatched = unmatchedRows, reluctantVars = reluctantVars,
+          withMatchSeq = usesMn)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")
@@ -1353,29 +1367,27 @@ private[graft] object MatchRecognizeSql {
       }
     // MATCH_NUMBER(): sequential number of the match within its
     // partition (1-based, leftmost-first — ties on equal (start, end)
-    // keep a deterministic but arbitrary order). A post-operator
-    // window over the match relation: the operator's output is already
-    // hash-partitioned on the keys, so the planner adds only a local
-    // sort, no extra shuffle. Batch only — a per-partition sequential
-    // counter over an unbounded stream is unbounded state by
-    // definition — and FINAL by nature (constant across the match), so
-    // a RUNNING MATCH_NUMBER is rejected with the reason.
-    val mnRe = """(?i)(?<!\w)match_number\s*\(\s*\)""".r
-    val usesMn = parsedMeasures.exists(pm =>
-      mnRe.findFirstIn(maskLiterals(pm._2)).isDefined)
+    // keep a deterministic but arbitrary order). Batch: a
+    // post-operator window over the match relation (the operator's
+    // output is already hash-partitioned on the keys, so the planner
+    // adds only a local sort, no extra shuffle). Streaming: the
+    // operator stamps a `match_seq` column — [[Cep.step]] holds each
+    // completed match until no earlier-starting live work remains, so
+    // the numbers equal the batch order at the cost of bounded added
+    // latency (the WITHIN horizon) and a permanent per-key counter.
+    // FINAL by nature (constant across the match), so a RUNNING
+    // MATCH_NUMBER is rejected with the reason.
     if (usesMn) {
-      require(!src.isStreaming,
-        "MATCH_NUMBER() is only supported on batch tables (numbering " +
-          "every match a partition will ever produce is unbounded " +
-          "state on a stream)")
       parsedMeasures.filter(_._3).foreach(pm => require(
         mnRe.findFirstIn(maskLiterals(pm._2)).isEmpty,
         s"measure '${pm._1}': MATCH_NUMBER() is FINAL by nature (one " +
           "number per match) — drop the RUNNING prefix"))
     }
-    val mnSql = s"row_number() over (partition by " +
-      s"${keys.map(k => s"`$k`").mkString(", ")} " +
-      "order by `match_start`, `match_end`)"
+    val mnSql =
+      if (src.isStreaming) "`match_seq`"
+      else s"row_number() over (partition by " +
+        s"${keys.map(k => s"`$k`").mkString(", ")} " +
+        "order by `match_start`, `match_end`)"
     def rewriteMn(seg: String): String =
       mnRe.replaceAllIn(seg,
         java.util.regex.Matcher.quoteReplacement(mnSql))

@@ -979,7 +979,16 @@ object MatchRecognize {
       withUnmatched: Boolean = false,
       /** Variables under reluctant (lazy) quantifiers — flips the
         * skip-mode same-start election preference for their slots. */
-      reluctantVars: Set[String] = Set.empty): DataFrame = {
+      reluctantVars: Set[String] = Set.empty,
+      /** SQL:2016 MATCH_NUMBER() (needs `withinTs`): adds a
+        * `match_seq` LONG output column — the match's 1-based per-key
+        * number in the batch operator's (match_start, match_end)
+        * order. [[graft.cep.Cep.step]] holds each completed match
+        * until no earlier-starting live work remains, so numbering is
+        * exactly the batch order at the cost of bounded added latency
+        * (the WITHIN horizon) and a permanent per-key counter. NULL on
+        * unmatched rows. */
+      withMatchSeq: Boolean = false): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -991,6 +1000,15 @@ object MatchRecognize {
     require(!withUnmatched || withinTs.isDefined,
       "WITH UNMATCHED ROWS on a stream needs a WITHIN bound (the " +
         "horizon after which an event can no longer join any match)")
+    require(!withMatchSeq || withinTs.isDefined,
+      "MATCH_NUMBER() on a stream needs a WITHIN bound: numbering " +
+        "follows (match_start, match_end) order, so each completed " +
+        "match waits for every earlier-starting partial to complete " +
+        "or expire, and only WITHIN bounds that wait")
+    require(!withMatchSeq ||
+        !partitionKeys.exists(_.equalsIgnoreCase("match_seq")),
+      "MATCH_NUMBER(): partition key 'match_seq' collides with the " +
+        "reserved match_seq output column — rename the key")
     lagSpecs.foreach { case (kind, c, k) =>
       require(kind == "prev" || kind == "next", s"bad lag kind: $kind")
       require(k >= 1, s"PREV/NEXT offset must be >= 1, got $k")
@@ -1200,6 +1218,9 @@ object MatchRecognize {
     val outSchema = StructType(keySchema.fields ++ Array(
       StructField("match_start", LongType, nullable = withUnmatched),
       StructField("match_end", LongType, nullable = withUnmatched)) ++
+      (if (withMatchSeq)
+        Seq(StructField("match_seq", LongType, nullable = withUnmatched))
+      else Nil) ++
       slotNames.map(n =>
         StructField(n, ArrayType(rowType, containsNull = false),
           nullable = false)) ++
@@ -1225,13 +1246,15 @@ object MatchRecognize {
           val ev = payloadOf(m.groups(Cep.UnmatchedSlot).head)
           new GenericRowWithSchema(
             (k.toSeq ++ Seq(null, null) ++
+              (if (withMatchSeq) Seq(null) else Nil) ++
               slotNames.map(_ => IndexedSeq.empty[Row]) ++
               Seq(ev)).toArray, outSchema)
         } else {
           val arrs = slotNames.map(n =>
             m.groups.getOrElse(n, IndexedSeq.empty).map(payloadOf))
           new GenericRowWithSchema(
-            (k.toSeq ++ Seq(m.startTs, m.endTs) ++ arrs ++
+            (k.toSeq ++ Seq(m.startTs, m.endTs) ++
+              (if (withMatchSeq) Seq(m.seq) else Nil) ++ arrs ++
               Seq.fill(unTail)(null)).toArray, outSchema)
         }
       Iterator.single(row)
@@ -1240,10 +1263,10 @@ object MatchRecognize {
     val out =
       if (useTws) Cep.streamingTws[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale, neighborhood, unWithin)(build)(kEnc, oEnc)
+        tsScale, neighborhood, unWithin, withMatchSeq)(build)(kEnc, oEnc)
       else Cep.streaming[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale, neighborhood, unWithin)(build)(kEnc, oEnc)
+        tsScale, neighborhood, unWithin, withMatchSeq)(build)(kEnc, oEnc)
     out.toDF()
   }
 

@@ -866,4 +866,112 @@ class StreamingParitySpec extends SparkSpec {
         (3L, None, None)))           // deferred, then truly unmatched
     } finally q.stop()
   }
+
+  test("streaming MATCH_NUMBER() == batch (start/end-inverted " +
+      "overlapping matches held until numbering is final; both " +
+      "executors)") {
+    // the inversion fixture: a(v=10)@1s a(v=1)@2s X(5)@3s X(20)@4s
+    // with c AS value > FIRST(a.value). The start-2 match completes
+    // FIRST (at e3) but the standard numbers by (start, end): the
+    // start-1 match (completing later, at e4) is #1. The stream holds
+    // the early-completing match in state until the e1 partial
+    // resolves — across a micro-batch boundary here.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, value)
+      (1L, 1000L, 1L, "A", 10.0), (2L, 2000L, 1L, "A", 1.0),
+      (3L, 3000L, 1L, "X", 5.0),                     // batch 1
+      (5L, 1500L, 2L, "A", 1.0), (6L, 2500L, 2L, "X", 9.0), // batch 1
+      (4L, 4000L, 1L, "X", 20.0))                    // batch 2
+    // tick 1's watermark (3500) releases e1-e3 WITHOUT e4: the start-2
+    // match completes and must sit HELD in checkpointed state across
+    // the batch boundary while the start-1 partial is still live
+    val ticks = Seq((91L, 13500L, 9L, "Z", 0.0),
+      (92L, 30000L, 9L, "Z", 0.0), (93L, 60000L, 9L, "Z", 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES MATCH_NUMBER() AS mn, FIRST(a.event_id) AS a_id,
+         |           LAST(c.event_id) AS c_id
+         |  PATTERN (a c)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A',
+         |         c AS event_type = 'X' AND value > FIRST(a.value)
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type",
+        "value")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_mn_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_mn_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_mn_sink").start()
+    try {
+      input.addData(rows.take(5) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(rows(5), ticks(1))
+      q.processAllAvailable()
+      input.addData(ticks(2))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_mn_sink")
+        .select($"user_id", $"mn", $"a_id", $"c_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "value")
+        .createOrReplaceTempView("mr_mn_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_mn_batch", "")))
+        .select($"user_id", $"mn", $"a_id", $"c_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (1L, 1L, 1L, 4L),   // starts first, completes LAST: still #1
+        (1L, 2L, 2L, 3L),   // completed first, numbered second
+        (2L, 1L, 5L, 6L)))  // numbering is per key
+    } finally q.stop()
+
+    // the transformWithState executor drives the same step kernel —
+    // same held-match numbering through RocksDB state
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    def runTws(useTws: Boolean): Set[(Long, Long, Long)] = {
+      val in2 = MemoryStream[(Long, Long, Long, String, Double)]
+      val df = in2.toDF().toDF("event_id", "ts_ms", "user", "typ", "v")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+      val out = graft.plans.MatchRecognize.streamingFull(df, Seq("user"),
+        "ts_ms", "event_id",
+        Seq(graft.plans.MatchRecognize.EStep("a", $"typ" === "A"),
+          graft.plans.MatchRecognize.EStep("c", ($"typ" === "X") &&
+            ($"v" > graft.plans.MatchRecognize.cvFirst("a", "v")))),
+        eventTimeCol = "etc", withinTs = Some(10000L), useTws = useTws,
+        withMatchSeq = true)
+      val name = s"mr_mn_tws_$useTws"
+      val q2 = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in2.addData(rows.take(5) :+ ticks(0): _*)
+        q2.processAllAvailable()
+        in2.addData((rows.drop(5) ++ ticks.drop(1)): _*)
+        q2.processAllAvailable()
+        spark.table(name).filter($"user" <= 2L)
+          .select($"user", $"match_seq",
+            element_at($"c", 1).getField("event_id"))
+          .as[(Long, Long, Long)].collect().toSet
+      } finally q2.stop()
+    }
+    try {
+      val tws = runTws(useTws = true)
+      val fm = runTws(useTws = false)
+      assert(tws == fm)
+      assert(tws == Set((1L, 1L, 4L), (1L, 2L, 3L), (2L, 1L, 6L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
