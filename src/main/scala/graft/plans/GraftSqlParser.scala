@@ -1175,10 +1175,12 @@ private[graft] object MatchRecognizeSql {
     // binding; RUNNING: last-so-far) in the FULL partition — not just
     // bound rows. The lag/lead columns register HERE, before the
     // operator assembles, so the binding structs (full child rows)
-    // carry them and MEASURES read them off the bound row. Batch only:
-    // the streaming release path embeds lag values in the payload only
-    // for DEFINE-driven navigation.
+    // carry them and MEASURES read them off the bound row. Streaming:
+    // the release decorator embeds the same lag values in the event
+    // payload and the operator keeps them in the emitted slot structs
+    // (streamingFull's exposeLags), so one rewrite serves both.
     val subsetNamesLight: Set[String] = subsets.map(_._1).toSet
+    var hasMeasNav = false
     // nested form PREV(FIRST(v.col)[, n]) navigates from the FIRST
     // (or explicitly LAST) bound row instead of the default last one
     val measNavNestedRe =
@@ -1202,10 +1204,7 @@ private[graft] object MatchRecognizeSql {
             "'PREV(FIRST|LAST(var.col)[, n])' with a literal offset " +
             "— navigation starts at the pattern variable's bound " +
             "row, so the column must be var-qualified")
-      if (navs.nonEmpty) require(!src.isStreaming,
-        "PREV/NEXT in MEASURES need a bounded (batch) input (the " +
-          "streaming release path carries navigation values only " +
-          "through DEFINE predicates)")
+      hasMeasNav = navs.nonEmpty
       navs.foreach { case (kind0, v, c, kOpt) =>
         require(varNames.contains(v) || subsetNamesLight.contains(v),
           s"PREV/NEXT in MEASURES: '$v' is not a pattern variable " +
@@ -1306,7 +1305,7 @@ private[graft] object MatchRecognizeSql {
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
           withUnmatched = unmatchedRows, reluctantVars = reluctantVars,
-          withMatchSeq = usesMn)
+          withMatchSeq = usesMn, exposeLags = hasMeasNav)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")

@@ -988,7 +988,14 @@ object MatchRecognize {
         * exactly the batch order at the cost of bounded added latency
         * (the WITHIN horizon) and a permanent per-key counter. NULL on
         * unmatched rows. */
-      withMatchSeq: Boolean = false): DataFrame = {
+      withMatchSeq: Boolean = false,
+      /** MEASURES-side PREV/NEXT navigation: keep the decorator-filled
+        * `_mr_<kind>_<col>_<k>` lag values in the emitted slot structs
+        * (instead of stripping them back to the input row shape), so
+        * post-operator measure expressions can read a bound row's
+        * partition-order neighbors — the streaming equivalent of the
+        * batch path's pre-operator lag/lead columns. */
+      exposeLags: Boolean = false): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -1061,10 +1068,14 @@ object MatchRecognize {
     // struct), so the per-partial ctxPred evaluator later reads both
     // the event's columns and its navigation neighbors from one row
     val extendCv = hasCv && lagSpecs.nonEmpty
+    // the payload is extended with lag fields when EITHER consumer
+    // needs them past release time: per-partial ctxPred evaluators
+    // (extendCv) or post-operator MEASURES navigation (exposeLags)
+    val extendPayload = extendCv || (exposeLags && lagSpecs.nonEmpty)
     val extAttrs = baseOut ++ lagAttrs
     val evSchemaExt = StructType(rowType.fields ++ lagAttrs.map(a =>
       StructField(a.name, a.dataType, nullable = true)))
-    val evSchemaUsed = if (extendCv) evSchemaExt else rowType
+    val evSchemaUsed = if (extendPayload) evSchemaExt else rowType
     // lag-only-mode predicates reference lag aliases resolved later by
     // the LagFlagDecorator; with cv refs present they resolve here
     // against the extended surface
@@ -1088,7 +1099,7 @@ object MatchRecognize {
     // plain alias keeps the watermark metadata on the event-time column
     val evPayloadCols: Seq[Column] =
       df.columns.map(col).toIndexedSeq ++
-        (if (extendCv) lagAttrs.map(a =>
+        (if (extendPayload) lagAttrs.map(a =>
           lit(null).cast(a.dataType).as(a.name)) else Nil)
     val env = df.select(
       struct(partitionKeys.map(col): _*).as("k"),
@@ -1129,7 +1140,7 @@ object MatchRecognize {
           .foldLeft(0)(math.max)
         Some(graft.cep.Cep.Neighborhood[Row](maxPrev, maxNext,
           new LagFlagDecorator(predExprs, extAttrs, rowType, specs,
-            if (extendCv) evSchemaExt else null)))
+            if (extendPayload) evSchemaExt else null)))
       }
 
     var ci = -1
@@ -1215,6 +1226,12 @@ object MatchRecognize {
     val slotNames = pElems.flatMap(_.names)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
+    // exposeLags widens the emitted slot structs to the extended
+    // payload shape (base columns ++ lag aliases); the explode stage
+    // selects input columns by NAME, so the extras never leak past the
+    // ALL ROWS shaping, and measure rewrites read them off the arrays
+    val slotRowType = if (exposeLags && lagSpecs.nonEmpty) evSchemaExt
+      else rowType
     val outSchema = StructType(keySchema.fields ++ Array(
       StructField("match_start", LongType, nullable = withUnmatched),
       StructField("match_end", LongType, nullable = withUnmatched)) ++
@@ -1222,19 +1239,31 @@ object MatchRecognize {
         Seq(StructField("match_seq", LongType, nullable = withUnmatched))
       else Nil) ++
       slotNames.map(n =>
-        StructField(n, ArrayType(rowType, containsNull = false),
+        StructField(n, ArrayType(slotRowType, containsNull = false),
           nullable = false)) ++
       (if (withUnmatched)
-        Seq(StructField("_mr_unmatched_ev", rowType, nullable = true))
+        Seq(StructField("_mr_unmatched_ev", slotRowType, nullable = true))
       else Nil))
     val kEnc = Encoders.row(keySchema)
     val oEnc = Encoders.row(outSchema)
     val unTail = if (withUnmatched) 1 else 0
     val nBaseCols = rowType.length
-    // extended payloads carry decorator-filled lag values; the output
-    // contract stays the INPUT row shape, so strip them on emission
+    // extended payloads carry decorator-filled lag values; unless
+    // exposeLags keeps them for MEASURES navigation, the output
+    // contract stays the INPUT row shape, so strip them on emission.
+    // Unmatched events enter tracking BEFORE decoration, so under
+    // exposeLags their raw payloads are padded to the extended shape
+    // (all-NULL lag fields — navigation measures are NULL on
+    // unmatched rows anyway).
     val payloadOf: Row => Row =
-      if (!extendCv) _.getStruct(5)
+      if (!extendPayload) _.getStruct(5)
+      else if (exposeLags) { r =>
+        val s = r.getStruct(5)
+        if (s.length == slotRowType.length) s
+        else new GenericRowWithSchema(
+          Array.tabulate[Any](slotRowType.length)(i =>
+            if (i < s.length) s.get(i) else null), slotRowType)
+      }
       else { r =>
         val s = r.getStruct(5)
         new GenericRowWithSchema(

@@ -787,14 +787,16 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e2.getMessage.contains("var-qualified"))
-    // PREV/NEXT in MEASURES over a stream: batch-only fail-fast
+    // PREV/NEXT in MEASURES over a stream: compiles to a streaming
+    // plan (exposeLags keeps the decorator-filled lag values in the
+    // emitted slot structs; full parity in StreamingParitySpec)
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String)]
     input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
       .withColumn("etc", timestamp_millis($"ts_ms"))
       .withWatermark("etc", "10 seconds")
       .createOrReplaceTempView("mr_nav_stream")
-    val e3 = intercept[IllegalArgumentException] {
+    val navStream = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_nav_stream MATCH_RECOGNIZE (
           |  PARTITION BY user_id
@@ -804,9 +806,8 @@ class MatchRecognizeSpec extends SparkSpec {
           |  WITHIN 10000
           |  EVENTTIME etc
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
-          |)""".stripMargin)
-    }
-    assert(e3.getMessage.contains("batch"))
+          |)""".stripMargin))
+    assert(navStream.isStreaming && navStream.columns.contains("pa"))
   }
 
   test("MATCH_RECOGNIZE as a table factor: alias, JOIN, WHERE, and " +

@@ -974,4 +974,68 @@ class StreamingParitySpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming PREV/NEXT in MEASURES == batch (lag values ride the " +
+      "emitted slot structs; NEXT spans a micro-batch boundary)") {
+    // MEASURES navigation reads a bound row's PARTITION-order
+    // neighbors — rows the match never bound. On a stream the release
+    // decorator fills the lag fields and exposeLags keeps them in the
+    // output slots. user 1: the X before a and the Y after b are both
+    // outside the match; user 2: a IS the partition head (PREV NULL).
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, value)
+      (1L, 500L, 1L, "X", 7.0), (2L, 1000L, 1L, "A", 1.0),
+      (3L, 2000L, 1L, "B", 2.0),                    // batch 1
+      (4L, 3000L, 1L, "Y", 9.0),                    // batch 2 (the NEXT)
+      (5L, 1000L, 2L, "A", 3.0), (6L, 2000L, 2L, "B", 4.0),
+      (7L, 3000L, 2L, "Z", 0.0))
+    val ticks = Seq((91L, 30000L, 9L, "T", 0.0), (92L, 60000L, 9L, "T", 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES a.event_id AS a_id, PREV(a.value) AS pv,
+         |           NEXT(b.value) AS nv, PREV(FIRST(a.value)) AS pf
+         |  PATTERN (a b)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type",
+        "value")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_mnav_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_mnav_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_mnav_sink").start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(ticks(1))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_mnav_sink")
+        .select($"user_id", $"a_id", $"pv", $"nv", $"pf")
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "value")
+        .createOrReplaceTempView("mr_mnav_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_mnav_batch", "")))
+        .select($"user_id", $"a_id", $"pv", $"nv", $"pf")
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (1L, 2L, Some(7.0), Some(9.0), Some(7.0)),
+        (2L, 5L, None, Some(0.0), None)))  // partition head: PREV NULL
+    } finally q.stop()
+  }
 }
