@@ -1349,6 +1349,31 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 logical offsets on the variable BEING DEFINED:
+    // LAST(b.value, 1) is the previous b binding (the current row is
+    // tentatively the last), so b{2,2} chains two purchases with
+    // strictly ascending values after each click.
+    "q200_mr_own_offset" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_own_q200")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_own_q200 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, FIRST(b.event_id) AS b1,
+          |           LAST(b.event_id) AS b2, LAST(b.value, 1) AS b1_v
+          |  PATTERN (a b{2,2})
+          |  WITHIN 86400000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |           AND (LAST(b.value, 1) IS NULL
+          |             OR value > LAST(b.value, 1))
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 exclusion over an arbitrary sub-pattern: {- (b|c) -}
     // suppresses whichever alternation branch matched; the a row keeps
     // the branch's measures (the other branch's stays NULL).
@@ -7904,6 +7929,34 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // greedy two-step chain per click: the first later purchase, then
+    // the first purchase after it with a strictly greater value, both
+    // inside the 24 h window of the click
+    "q200_mr_own_offset" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+        |    value AS p_v
+        |    FROM events WHERE event_type = 'purchase'),
+        |c1 AS (SELECT * FROM (SELECT a.user_id, a.a_id, a.a_us,
+        |    p.p_id AS b1_id, p.p_us AS b1_us, p.p_v AS b1_v,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY p.p_us, p.p_id) AS rn
+        |  FROM a JOIN p ON a.user_id = p.user_id
+        |    AND (p.p_us > a.a_us OR (p.p_us = a.a_us AND p.p_id > a.a_id))
+        |    AND p.p_us - a.a_us <= 86400000000) WHERE rn = 1),
+        |c2 AS (SELECT * FROM (SELECT c1.user_id, c1.a_id,
+        |    c1.b1_id, c1.b1_v, p.p_id AS b2_id,
+        |    row_number() OVER (PARTITION BY c1.user_id, c1.a_id
+        |      ORDER BY p.p_us, p.p_id) AS rn
+        |  FROM c1 JOIN p ON c1.user_id = p.user_id
+        |    AND (p.p_us > c1.b1_us OR (p.p_us = c1.b1_us
+        |      AND p.p_id > c1.b1_id))
+        |    AND p.p_v > c1.b1_v
+        |    AND p.p_us - c1.a_us <= 86400000000) WHERE rn = 1)
+        |SELECT user_id, a_id, b1_id AS b1, b2_id AS b2, b1_v
+        |FROM c2""".stripMargin,
+
     // first later purchase-or-view inside the window per click; the
     // winning branch's id fills its measure, the other stays NULL
     "q199_mr_excl_alt" ->

@@ -1025,17 +1025,29 @@ private[graft] object MatchRecognizeSql {
           def countOwn =
             s"(${cvMark("count", v, c)} + " +
               s"(case when `$c` is null then 0 else 1 end))"
-          // navigation offsets: supported on OTHER variables (their
-          // bindings are settled rows); on the variable being defined
-          // the current row is tentatively its last binding and the
-          // marker only sees prior rows, so indexing would be
-          // off-by-one-ambiguous under NULL columns — fail fast
-          if (off.nonEmpty) require(!own,
-            s"DEFINE $n: FIRST/LAST($v.$c, $off) — a logical offset " +
-              "on the variable BEING DEFINED is not supported (the " +
-              "current row is tentatively its last binding); offsets " +
-              "work on other pattern variables")
-          val out = if (off.nonEmpty)
+          // navigation offsets. On OTHER variables the bindings are
+          // settled rows and the marker indexes them directly. On the
+          // variable BEING DEFINED the current row is tentatively its
+          // last binding (SQL:2016 RUNNING semantics), so LAST(n.c, k)
+          // shifts to the prior bindings' last(k-1) and LAST(n.c, 0)
+          // is the current row itself; FIRST(n.c, k) is the prior
+          // k-th binding when it exists, the current row when the
+          // offset lands exactly on it (binding count == k, via the
+          // `size` context fn), NULL past it.
+          val out = if (off.nonEmpty && own) {
+            val k = try off.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"DEFINE $n: navigation offset out of range: $off")
+            }
+            if (fn == "L") {
+              if (k == 0) s"`$c`"
+              else cvMark("last" + (k - 1), v, c)
+            } else
+              s"coalesce(${cvMark("first" + off, v, c)}, " +
+                s"(case when ${cvMark("size", v, c)} = $k " +
+                s"then `$c` end))"
+          } else if (off.nonEmpty)
             cvMark((if (fn == "F") "first" else "last") + off, v, c)
           else fn match {
             case "L" => if (own) s"`$c`" else cvMark("last", v, c)

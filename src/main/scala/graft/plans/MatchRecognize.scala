@@ -140,8 +140,9 @@ final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
     * convert lazily, so FIRST/LAST touch a single row).
     */
   def eval(n: Int, rowAt: Int => org.apache.spark.sql.catalyst.InternalRow): Any = {
-    if (n == 0) return if (fn == "count") 0L else null
+    if (n == 0) return if (fn == "count" || fn == "size") 0L else null
     navBase match {
+      case "size" => n.toLong
       case "first" | "last" =>
         if (navOff >= n) return null
         val r = rowAt(if (navBase == "first") navOff else n - 1 - navOff)
@@ -201,7 +202,10 @@ final case class CtxRefSpec(fn: String, varName: String, ordinal: Int,
 
 object CtxRefSpec {
   val fns: Set[String] =
-    Set("first", "last", "count", "sum", "avg", "min", "max")
+    Set("first", "last", "count", "sum", "avg", "min", "max",
+      // binding-row count (COUNT counts non-null column values;
+      // own-variable FIRST offsets need the raw position)
+      "size")
   /** `first<k>` / `last<k>` — navigation with a logical offset. */
   val NavOffRe = "(first|last)(\\d+)".r
 }
@@ -554,7 +558,7 @@ object MatchRecognize {
     }
     fn match {
       case "first" | "last" | CtxRefSpec.NavOffRe(_, _) => dt
-      case "count" => LongType
+      case "count" | "size" => LongType
       case "sum" =>
         require(numeric, s"SUM($cn) in DEFINE: column type $dt is not " +
           "a supported numeric (tinyint..bigint, float, double)")

@@ -762,19 +762,44 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"bv", $"a1v").as[(Long, Long)].collect().toSet
     assert(cvOff == Set((3L, 2L)))
-    // ... but an offset on the variable BEING DEFINED fails fast
-    val e1 = intercept[IllegalArgumentException] {
+    // offsets on the variable BEING DEFINED (SQL:2016 RUNNING
+    // semantics: the current row is tentatively the variable's last
+    // binding). LAST(b.v, 1) = the PREVIOUS binding — the ascending-
+    // run predicate: only (s=A@30, b=[B@40, X@50]) survives, the
+    // start-1 chain dies on 3 > 99
+    val ownLast = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES a.v AS av
-          |  PATTERN (a b)
-          |  DEFINE a AS event_type = 'A',
-          |         b AS v > LAST(b.v, 1)
-          |)""".stripMargin)
-    }
-    assert(e1.getMessage.contains("other pattern variables"))
+          |  MEASURES s.event_id AS s_id, FIRST(b.event_id) AS b1,
+          |           LAST(b.event_id) AS b2, LAST(b.v, 1) AS prev_v
+          |  PATTERN (s b{2,2})
+          |  DEFINE s AS event_type = 'A',
+          |         b AS event_type IN ('B', 'X')
+          |           AND v > coalesce(LAST(b.v, 1), 0)
+          |)""".stripMargin))
+      .select($"s_id", $"b1", $"b2", $"prev_v")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ownLast == Set((3L, 4L, 5L, 3L)))
+    // FIRST(b.v, 1) while defining b's 2nd binding IS the current row
+    // (binding count == offset): v >= itself holds, so both starts
+    // complete with their first two B/X rows
+    val ownFirst = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nav_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES s.event_id AS s_id, FIRST(b.event_id) AS b1,
+          |           LAST(b.event_id) AS b2
+          |  PATTERN (s b{2,2})
+          |  DEFINE s AS event_type = 'A',
+          |         b AS event_type IN ('B', 'X')
+          |           AND v >= coalesce(FIRST(b.v, 1), v)
+          |)""".stripMargin))
+      .select($"s_id", $"b1", $"b2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ownFirst == Set((1L, 2L, 4L), (3L, 4L, 5L)))
     // unqualified PREV in MEASURES: clear error, not a misparse
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(

@@ -1038,4 +1038,58 @@ class StreamingParitySpec extends SparkSpec {
         (2L, 5L, None, Some(0.0), None)))  // partition head: PREV NULL
     } finally q.stop()
   }
+
+  test("streaming own-variable DEFINE offsets (LAST(b.v,1) ascending " +
+      "run) == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, v)
+      (1L, 1000L, 1L, "A", 1L), (2L, 2000L, 1L, "X", 99L),
+      (3L, 3000L, 1L, "A", 2L), (4L, 4000L, 1L, "B", 3L),
+      (5L, 5000L, 1L, "X", 7L))
+    val ticks = Seq((91L, 30000L, 9L, "T", 0L), (92L, 60000L, 9L, "T", 0L))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES s.event_id AS s_id, FIRST(b.event_id) AS b1,
+         |           LAST(b.event_id) AS b2
+         |  PATTERN (s b{2,2})
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE s AS event_type = 'A',
+         |         b AS event_type IN ('B', 'X')
+         |           AND v > coalesce(LAST(b.v, 1), 0)
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Long)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "v")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_own_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_own_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_own_sink").start()
+    try {
+      input.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(4) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(ticks(1))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_own_sink")
+        .select($"s_id", $"b1", $"b2")
+        .as[(Long, Long, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "v")
+        .createOrReplaceTempView("mr_own_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_own_batch", "")))
+        .select($"s_id", $"b1", $"b2")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((3L, 4L, 5L)))
+    } finally q.stop()
+  }
 }
