@@ -1349,6 +1349,32 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // SQL:2016 FIRST/bare(=LAST) over a SUBSET union in DEFINE: the
+    // merged (ts, tie) binding order folds as a least/greatest over
+    // per-member (ts, tie, value) structs — c gates on BOTH extremes
+    // of s = (a, b) in one predicate.
+    "q201_mr_subset_nav" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_sub_q201")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_sub_q201 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND value > s.value
+          |           AND value + FIRST(s.value) > 2 * s.value
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 logical offsets on the variable BEING DEFINED:
     // LAST(b.value, 1) is the previous b binding (the current row is
     // tentatively the last), so b{2,2} chains two purchases with
@@ -7900,6 +7926,34 @@ object SparkEntry {
 
     // click → first view after it → first purchase after the view
     // whose value tops BOTH (= MAX over the s = (a, b) union)
+    // q198's chain with the union-extreme gates: LAST(s.value) is the
+    // view's value (it binds after the click), FIRST(s.value) the
+    // click's
+    "q201_mr_subset_nav" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events),
+        |a AS (SELECT * FROM o WHERE event_type = 'click'),
+        |b0 AS (SELECT a.user_id, a.event_id AS a_id, a.us AS a_us,
+        |    a.value AS a_v, v.event_id AS b_id, v.us AS b_us,
+        |    v.value AS b_v,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY v.us, v.event_id) AS rn
+        |  FROM a JOIN o v ON v.user_id = a.user_id
+        |    AND v.event_type = 'view'
+        |    AND (v.us > a.us OR (v.us = a.us
+        |      AND v.event_id > a.event_id))),
+        |b AS (SELECT * FROM b0 WHERE rn = 1),
+        |c0 AS (SELECT b.user_id, b.a_id, b.b_id, p.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY b.user_id, b.a_id
+        |      ORDER BY p.us, p.event_id) AS rnc
+        |  FROM b JOIN o p ON p.user_id = b.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND (p.us > b.b_us OR (p.us = b.b_us
+        |      AND p.event_id > b.b_id))
+        |    AND p.value > b.b_v
+        |    AND p.value + b.a_v > 2 * b.b_v)
+        |SELECT user_id, a_id, b_id, c_id FROM c0 WHERE rnc = 1""".stripMargin,
+
     "q198_mr_subset_define" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
         |    event_type, value FROM events),

@@ -1077,17 +1077,54 @@ private[graft] object MatchRecognizeSql {
     // sum over composite count) — each member reference then goes
     // through the normal cross-var rewrite, including the own-variable
     // current-row folding when the defined variable is a member.
-    // FIRST/LAST/bare over a subset would need a (ts, tie) merge of
-    // settled bindings inside the NFA — fail fast with the reason.
+    // FIRST/LAST/bare fold the merged (ts, tie) binding order as a
+    // least/greatest over per-member (ts, tie, value) structs —
+    // unbound members coalesce to the losing infinity, so the
+    // earliest/latest SETTLED binding's value wins (NULL when the
+    // whole union is unbound). Offset forms still fail fast (a global
+    // merged index needs the interleaving, not just the extremes).
     def expandSubsetDefine(n: String, d: String): String =
       if (subsets.isEmpty) d
       else rewriteOutsideLiterals(d) { seg0 =>
+        def orderColIntegral(cn: String): Boolean =
+          src.schema.fields.find(f =>
+            session.sessionState.analyzer.resolver(f.name, cn))
+            .map(_.dataType).exists {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }
         var seg = seg0
         for ((sn, mem) <- subsets) {
           def per(fn: String, c: String): Seq[String] =
             mem.map(m => s"$fn($m.$c)")
           def cnt(c: String): String =
             per("COUNT", c).mkString("(", " + ", ")")
+          def navUnion(isF: Boolean, c: String): String = {
+            require(orderColIntegral(tsCol) && orderColIntegral(tieCol),
+              s"DEFINE $n: FIRST/LAST($sn.$c) over a SUBSET union " +
+                s"needs integral ORDER BY columns (the merged binding " +
+                s"order folds as a (ts, tie) least/greatest; " +
+                s"$tsCol/$tieCol are not)")
+            val cmp = if (isF) "least" else "greatest"
+            val inf = if (isF) "9223372036854775807"
+              else "-9223372036854775808"
+            val fn = if (isF) "FIRST" else "LAST"
+            val parts = mem.map(m =>
+              s"named_struct('t', coalesce(cast($fn($m.$tsCol) as " +
+                s"bigint), $inf), 'e', coalesce(cast($fn($m.$tieCol) " +
+                s"as bigint), $inf), 'v', $fn($m.$c))")
+            s"$cmp(${parts.mkString(", ")}).`v`"
+          }
+          // offset forms first: a targeted message, not a misparse
+          if ((s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$sn\\s*\\." +
+              """\s*\w+\s*,""").r.findFirstIn(seg).isDefined)
+            throw new IllegalArgumentException(
+              s"DEFINE $n: FIRST/LAST offsets in DEFINE work on " +
+                "pattern variables only (SUBSET union variables are " +
+                "supported in MEASURES)")
           seg = (s"(?i)(?<!\\w)(\\w+)\\s*\\(\\s*$sn\\s*\\.\\s*" +
             """(\w+)\s*\)""").r.replaceAllIn(seg, mm => {
             val c = mm.group(2)
@@ -1105,28 +1142,19 @@ private[graft] object MatchRecognizeSql {
                   per("SUM", c).map(x => s"coalesce($x, 0)")
                     .mkString("", " + ", "") +
                   s" AS DOUBLE) / ${cnt(c)} END)"
+              case "first" => navUnion(isF = true, c)
+              case "last" => navUnion(isF = false, c)
               case other => throw new IllegalArgumentException(
                 s"DEFINE $n: $other($sn.$c) — only the aggregates " +
-                  "SUM/AVG/COUNT/MIN/MAX compose over a SUBSET union " +
-                  "variable in DEFINE (FIRST/LAST need a merged " +
-                  "binding order; use MEASURES)")
+                  "SUM/AVG/COUNT/MIN/MAX and FIRST/LAST compose over " +
+                  "a SUBSET union variable in DEFINE")
             }
             java.util.regex.Matcher.quoteReplacement(out)
           })
-          // an offset form over a subset gets the targeted message
-          if ((s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$sn\\s*\\." +
-              """\s*\w+\s*,""").r.findFirstIn(seg).isDefined)
-            throw new IllegalArgumentException(
-              s"DEFINE $n: FIRST/LAST offsets in DEFINE work on " +
-                "pattern variables only (SUBSET union variables are " +
-                "supported in MEASURES)")
-          // bare subset reference (= LAST): same limitation
-          if ((s"(?i)(?<!\\w)$sn\\.").r.findFirstIn(seg).isDefined)
-            throw new IllegalArgumentException(
-              s"DEFINE $n: bare $sn.<col> (= LAST) over a SUBSET " +
-                "union variable is not supported in DEFINE — " +
-                "aggregates SUM/AVG/COUNT/MIN/MAX are (or use " +
-                "MEASURES)")
+          // bare subset reference = RUNNING LAST over the union
+          seg = (s"(?i)(?<!\\w)$sn\\.(\\w+)").r.replaceAllIn(seg, mm =>
+            java.util.regex.Matcher.quoteReplacement(
+              navUnion(isF = false, mm.group(1))))
         }
         seg
       }

@@ -1136,7 +1136,8 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("SUBSET union variables in DEFINE: SUM/AVG/COUNT/MIN/MAX " +
-      "compose over the members; FIRST/LAST and bare refs fail fast") {
+      "compose over the members; FIRST/LAST and bare refs fold the " +
+      "merged (ts, tie) order") {
     val parser = new graft.plans.GraftSqlParser(
       spark.sessionState.sqlParser, spark)
     Seq((1L, 10L, 1L, "A", 3L), (2L, 20L, 1L, "B", 4L),
@@ -1177,8 +1178,11 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"c_id").as[Long].collect().toSet
     assert(own == Set(3L))
-    // FIRST over a subset in DEFINE: merged binding order unavailable
-    val e = intercept[IllegalArgumentException] {
+    // FIRST over a subset in DEFINE: the merged (ts, tie) order folds
+    // as a least() over per-member (ts, tie, value) structs — the
+    // union's earliest binding is a (v=3), so c is the first X with
+    // v > 3 (the v=6 row)
+    val fgot = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
@@ -1188,9 +1192,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
           |         c AS v > FIRST(s.v)
-          |)""".stripMargin)
-    }
-    assert(e.getMessage.contains("SUM/AVG/COUNT/MIN/MAX"))
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(fgot == Set(3L))
     // SKIP TO a subset name: the targeted reason, not "unknown var"
     val e3 = intercept[IllegalArgumentException] {
       parser.parsePlan(
@@ -1206,8 +1210,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e3.getMessage.contains("member variable"))
-    // bare subset reference (= LAST): same reason
-    val e2 = intercept[IllegalArgumentException] {
+    // bare subset reference = RUNNING LAST over the union: the latest
+    // binding is b (v=4), so c is again the first X with v > 4
+    val bgot = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
@@ -1217,9 +1222,23 @@ class MatchRecognizeSpec extends SparkSpec {
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
           |         c AS v > s.v
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(bgot == Set(3L))
+    // an offset over a subset in DEFINE keeps the targeted error
+    val eOff = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS v > LAST(s.v, 1)
           |)""".stripMargin)
     }
-    assert(e2.getMessage.contains("bare"))
+    assert(eOff.getMessage.contains("pattern variables only"))
   }
 
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
