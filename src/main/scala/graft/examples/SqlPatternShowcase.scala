@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   *     a bound row, COUNT(*),
   *  4. cross-variable DEFINE with a logical offset (the purchase gates
   *     on the SECOND click),
-  *  5. a recursive PATTERN with a reluctant quantifier + MATCH_NUMBER.
+  *  5. a recursive PATTERN with a reluctant quantifier + MATCH_NUMBER,
+  *  6. exclusion over a SUB-PATTERN plus an own-variable logical
+  *     offset (ascending-value purchase chains),
+  *  7. FIRST/bare(=LAST) over a SUBSET union in DEFINE.
   *
   * The session installs [[graft.plans.GraftExtensions]], so every
   * statement below runs through plain `spark.sql(...)` — exactly what a
@@ -36,7 +39,7 @@ object SqlPatternShowcase {
     spark.sparkContext.setLogLevel("ERROR")
 
     graft.Tables.eventsTsUs(spark, sf)
-      .select("event_id", "ts_us", "user_id", "event_type")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
       .createOrReplaceTempView("events")
 
     def show(title: String, sql: String): Unit = {
@@ -91,6 +94,33 @@ object SqlPatternShowcase {
         |  PATTERN ((a b?)+? c) WITHIN 7200000000
         |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
         |         c AS event_type = 'purchase'
+        |)""".stripMargin)
+
+    show("exclusion sub-pattern + own-variable offset",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, FIRST(b.event_id) AS b1,
+        |           LAST(b.event_id) AS b2
+        |  ALL ROWS PER MATCH
+        |  PATTERN (a {- b{2,2} -}) WITHIN 86400000000
+        |  DEFINE a AS event_type = 'click',
+        |         b AS event_type = 'purchase'
+        |           AND (LAST(b.value, 1) IS NULL
+        |             OR value > LAST(b.value, 1))
+        |)""".stripMargin)
+
+    show("SUBSET union extremes in DEFINE",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+        |           c.event_id AS c_id
+        |  PATTERN (a b c)
+        |  SUBSET s = (a, b)
+        |  WITHIN 86400000000
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+        |         c AS event_type = 'purchase'
+        |           AND value > s.value
+        |           AND value + FIRST(s.value) > 2 * s.value
         |)""".stripMargin)
 
     println("SHOWCASE-DONE")

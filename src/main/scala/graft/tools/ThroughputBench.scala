@@ -153,6 +153,17 @@ object ThroughputBench {
       Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
         _.user_id, spat, _.ts_us, _.event_id, tsScale = 1000L)(buildSafe))
 
+    // MATCH_NUMBER() numbering on the two-step pattern: each
+    // completed match rides the held buffer until no earlier-starting
+    // partial remains, then releases stamped from the per-key counter
+    // — measures the deferral + numbering cost over the plain path
+    val buildNum = (k: Long, m: graft.cep.PatternMatch[TpEvt]) =>
+      Iterator.single(TpOut(k, m.seq, m.head("b").event_id))
+    val mnEps = drive[TpOut](memSink("tp_cep_matchnum"), in =>
+      Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+        _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L,
+        numberMatches = true)(buildNum))
+
     // streaming cross-variable DEFINE (the interpreted per-partial
     // evaluator on the full-row streamingFull envelope): purchase
     // priced above its click — the q175 comparison shape
@@ -297,6 +308,8 @@ object ThroughputBench {
       s""""cep_altseq_per_core":${(altSeqEps / cpus).round},""" +
       s""""cep_skipto":${skipToEps.round},""" +
       s""""cep_skipto_per_core":${(skipToEps / cpus).round},""" +
+      s""""cep_matchnum":${mnEps.round},""" +
+      s""""cep_matchnum_per_core":${(mnEps / cpus).round},""" +
       s""""cep_crossvar":${cvEps.round},""" +
       s""""cep_crossvar_per_core":${(cvEps / cpus).round},""" +
       s""""tws_unmatched":${twsUnmatchedEps.round},""" +
