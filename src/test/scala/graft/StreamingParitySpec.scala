@@ -1092,4 +1092,73 @@ class StreamingParitySpec extends SparkSpec {
       assert(streamed == Set((3L, 4L, 5L)))
     } finally q.stop()
   }
+
+  test("streaming WITH UNMATCHED ROWS + PREV/NEXT in MEASURES == " +
+      "batch (unmatched pseudo-rows carry the widened slot schema)") {
+    // exposeLags widens the emitted slot structs with lag fields; the
+    // unmatched pseudo-row path must carry the same shape. Matched
+    // rows repeat the FINAL navigation values; unmatched rows are all
+    // NULL.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, value)
+      (1L, 500L, 1L, "X", 7.0), (2L, 1000L, 1L, "A", 1.0),
+      (3L, 2000L, 1L, "B", 2.0), (4L, 3000L, 1L, "Y", 9.0),
+      // per-key trailing filler: the NEXT hold-back withholds a key's
+      // LAST row forever, so rows 5-6 advance user 1's held frontier
+      // past every earlier row's decision horizon (and stay undecided
+      // themselves — excluded from the compare)
+      (5L, 20000L, 1L, "T", 0.0), (6L, 25000L, 1L, "T", 0.0))
+    val ticks = Seq((91L, 40000L, 9L, "T", 0.0), (92L, 80000L, 9L, "T", 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES PREV(a.value) AS pv, NEXT(b.value) AS nv
+         |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+         |  PATTERN (a b)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type",
+        "value")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_unnav_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_unnav_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_unnav_sink").start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(ticks(1))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_unnav_sink")
+        .filter($"user_id" === 1L && $"event_id" <= 4L)
+        .select($"event_id", $"classifier", $"pv", $"nv")
+        .as[(Long, Option[String], Option[Double], Option[Double])]
+        .collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "value")
+        .createOrReplaceTempView("mr_unnav_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_unnav_batch", "")))
+        .filter($"user_id" === 1L && $"event_id" <= 4L)
+        .select($"event_id", $"classifier", $"pv", $"nv")
+        .as[(Long, Option[String], Option[Double], Option[Double])]
+        .collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (2L, Some("a"), Some(7.0), Some(9.0)),
+        (3L, Some("b"), Some(7.0), Some(9.0)),
+        (1L, None, None, None),
+        (4L, None, None, None)))
+    } finally q.stop()
+  }
 }
