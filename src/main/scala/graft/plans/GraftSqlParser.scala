@@ -529,9 +529,11 @@ private[graft] object MatchRecognizeSql {
     // re-parsed below (once the recursive pattern parser exists) to
     // collect the variables whose rows the explode stage filters out —
     // any sub-pattern works: groups, alternations, PERMUTE, nesting.
-    // the inner alternative admits {m,n} brace quantifiers, so
-    // `{- b{1,2} -}` parses instead of leaving stray '{-' tokens
-    val exclRe = """\{-\s*((?:[^{}]|\{\d+,\d+\})*?)\s*-\}""".r
+    // the inner alternative admits brace quantifiers ({m,n}, {n},
+    // {n,}, {,n}), so `{- b{1,2} -}` parses instead of leaving stray
+    // '{-' tokens
+    val exclRe =
+      """\{-\s*((?:[^{}]|\{(?:\d+(?:,\d*)?|,\d+)\})*?)\s*-\}""".r
     val exclSegments = scala.collection.mutable.ArrayBuffer.empty[String]
     val inner = exclRe.replaceAllIn(inner0, mm => {
       val segment = mm.group(1)
@@ -580,14 +582,18 @@ private[graft] object MatchRecognizeSql {
           case '?' => i += 1; Some((0, 1))
           case '{' =>
             i += 1
-            val mn = number()
-            if (peek != ',') fail("expected ',' in {m,n}")
+            // SQL:2016 brace forms: {m,n} range, {n} exact, {n,}
+            // unbounded above, {,n} = {0,n}
+            val mn = if (peek == ',') 0 else number()
+            val (lo, mx) =
+              if (peek == ',') {
+                i += 1
+                (mn, if (peek == '}') Int.MaxValue else number())
+              } else (mn, mn)
+            if (peek != '}') fail("expected '}' closing the quantifier")
             i += 1
-            val mx = number()
-            if (peek != '}') fail("expected '}' in {m,n}")
-            i += 1
-            require(mx >= math.max(mn, 1), s"bad quantifier {$mn,$mx}")
-            Some((mn, mx))
+            require(mx >= math.max(lo, 1), s"bad quantifier {$lo,$mx}")
+            Some((lo, mx))
           case _ => None
         }
         bounds match {

@@ -3171,4 +3171,66 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("batch operator"))
   }
+
+  test("SQL:2016 brace quantifier forms: {n} exact, {n,} unbounded, " +
+      "{,n} zero-floor — each equals its explicit {m,n} spelling") {
+    // reuses mr_nav_view: A(1) X(99) A(2) B(3) X(7)
+    Seq((1L, 10L, 1L, "A", 1L), (2L, 20L, 1L, "X", 99L),
+      (3L, 30L, 1L, "A", 2L), (4L, 40L, 1L, "B", 3L),
+      (5L, 50L, 1L, "X", 7L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_brace_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(q: String): Set[(Long, Long, Long)] =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_brace_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES FIRST(a.event_id) AS a0, LAST(a.event_id) AS a1,
+           |           b.event_id AS b_id
+           |  PATTERN (a$q b)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+           |)""".stripMargin))
+        .select($"a0", $"a1", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(run("{2}") == run("{2,2}"))
+    assert(run("{2}") == Set((1L, 3L, 4L)))
+    assert(run("{2,}") == run("{2,2}"))   // only two A rows exist
+    // {,n} (zero floor) is only legal past the first element — the
+    // engine rejects a zero-width match start
+    def run2(q: String): Set[(Long, Option[Long], Long)] =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_brace_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, LAST(b.event_id) AS b1,
+           |           x.event_id AS x_id
+           |  PATTERN (a b$q x)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+           |         x AS event_type = 'X'
+           |)""".stripMargin))
+        .select($"a_id", $"b1", $"x_id")
+        .as[(Long, Option[Long], Long)].collect().toSet
+    assert(run2("{,2}") == run2("{0,2}"))
+    assert(run2("{,2}").nonEmpty)
+    // reluctant composes: {2}? == {2,2}? (exact bound, lazy no-op)
+    assert(run("{2}?") == run("{2,2}?"))
+    // exclusion admits the new forms
+    val excl = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_brace_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES LAST(a.event_id) AS a1
+          |  ALL ROWS PER MATCH
+          |  PATTERN ({- a{2} -} b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"event_id", $"a1").as[(Long, Long)].collect().toSet
+    assert(excl == Set((4L, 3L)))
+    // {0} stays rejected
+    val e = intercept[IllegalArgumentException](run("{0}"))
+    assert(e.getMessage.contains("bad quantifier"))
+  }
 }
