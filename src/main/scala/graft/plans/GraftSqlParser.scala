@@ -462,10 +462,22 @@ private[graft] object MatchRecognizeSql {
       s"unexpected text after ONE ROW PER MATCH: '$s'"))
     val allRowsSlice = sec.get("all rows per match")
       .map(_.toLowerCase.replaceAll("\\s+", " ").trim)
+    // SQL:2016 empty-match modifiers: this engine's matches always
+    // bind at least one row (a zero-width match start is rejected at
+    // pattern build), so OMIT EMPTY MATCHES — the mode that DROPS
+    // empty matches — is accepted as the engine's standing behavior,
+    // and SHOW EMPTY MATCHES is rejected with the reason rather than
+    // silently showing nothing.
     allRowsSlice.foreach(s => require(
-      s.isEmpty || s == "with unmatched rows",
-      s"unexpected text after ALL ROWS PER MATCH: '$s' " +
-        "(only WITH UNMATCHED ROWS is recognized)"))
+      s.isEmpty || s == "with unmatched rows" ||
+        s == "omit empty matches",
+      if (s == "show empty matches")
+        "ALL ROWS PER MATCH SHOW EMPTY MATCHES: this engine rejects " +
+          "zero-width match starts (the first pattern element is " +
+          "non-optional), so empty matches cannot occur — OMIT EMPTY " +
+          "MATCHES (the standing behavior) parses"
+      else s"unexpected text after ALL ROWS PER MATCH: '$s' (OMIT " +
+        "EMPTY MATCHES and WITH UNMATCHED ROWS are recognized)"))
     val unmatchedRows = allRowsSlice.contains("with unmatched rows")
     // streaming WITH UNMATCHED ROWS: the stateful operator emits the
     // never-bound rows itself (NULL-bounds pseudo-rows); measures must

@@ -3233,4 +3233,29 @@ class MatchRecognizeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](run("{0}"))
     assert(e.getMessage.contains("bad quantifier"))
   }
+
+  test("ALL ROWS PER MATCH OMIT EMPTY MATCHES parses (the standing " +
+      "behavior); SHOW EMPTY MATCHES gets the targeted error") {
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_empty_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(mode: String) = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_empty_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id
+           |  ALL ROWS PER MATCH $mode
+           |  PATTERN (a b)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+           |)""".stripMargin))
+      .select($"event_id", $"classifier")
+      .as[(Long, String)].collect().toSet
+    assert(run("OMIT EMPTY MATCHES") == run(""))
+    assert(run("") == Set((1L, "a"), (2L, "b")))
+    val e = intercept[IllegalArgumentException](run("SHOW EMPTY MATCHES"))
+    assert(e.getMessage.contains("OMIT EMPTY"))
+  }
 }
