@@ -658,4 +658,62 @@ object NfaProps extends Properties("Nfa") {
       val exp = runPat(allPat, evs).filter { case (s, e, _) => e - s >= gap }
       Prop(got == exp) :| s"cv=$got filtered=$exp"
     }
+
+  /** MATCH_NUMBER chunking: for ANY chunking with shuffled intra-chunk
+    * order, the numbered stream (held-match deferral + per-key counter)
+    * must emit exactly the ordered-replay matches, stamped 1..n in the
+    * batch (startKey, endKey) order, and in nondecreasing number order
+    * across steps.
+    */
+  property("chunked numbered steps == batch-order MATCH_NUMBER") =
+    forAll(genPattern, genChunked, Gen.choose(0L, 25L)) {
+      case (pat0, (evs, cuts), wmLag) =>
+      import graft.cep.Cep
+      val pat = pat0.copy(withinMs = Some(pat0.withinMs.getOrElse(60L)))
+      val sorted = evs.sortBy(e => (e.ts, e.id))
+      def ident(m: graft.cep.PatternMatch[E]) =
+        (m.startTs, m.endTs, m.groups.view.mapValues(_.map(_.id)).toMap)
+      def mKey(m: graft.cep.PatternMatch[E]): ((Long, Long), (Long, Long)) = {
+        val ks = m.groups.valuesIterator.flatten
+          .map(e => (e.ts, e.id)).toVector
+        if (ks.isEmpty) ((m.startTs, Long.MinValue),
+          (m.endTs, Long.MinValue))
+        else (ks.min, ks.max)
+      }
+      val expected = {
+        val nfa = new Nfa[E](pat, _.ts, _.id)
+        (sorted.flatMap(nfa.onEvent) ++ nfa.flush())
+      }
+      val expectedKeys = expected.map(mKey).sorted
+      val bounds = (cuts.map(c => math.min(c, sorted.size)) :+ sorted.size)
+        .distinct.sorted
+      val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
+        case List(a, b) if b > a => sorted.slice(a, b)
+      }.toList
+      val rnd = new scala.util.Random(7)
+      var st = Cep.CepState.empty[E]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[graft.cep.PatternMatch[E]]
+      def doStep(chunk: Seq[E], wm: Long): Unit = {
+        val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWatermark = true,
+          pat, _.ts, _.id, numberMatches = true)
+        got ++= ms
+        st = ns.getOrElse(Cep.CepState.empty[E])
+      }
+      chunks.foreach { chunk =>
+        doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag)
+      }
+      doStep(Nil, Long.MaxValue / 2)
+      val seqs = got.map(_.seq).toList
+      val sameSet =
+        got.map(ident).toSet == expected.map(ident).toSet &&
+          got.size == expected.size
+      val numbered = seqs.sorted == (1L to expected.size.toLong).toList
+      val inOrder = seqs == seqs.sorted
+      val keysMatch =
+        got.sortBy(_.seq).map(mKey).toList == expectedKeys.toList
+      Prop(sameSet && numbered && inOrder && keysMatch) :|
+        s"got=${got.map(m => (m.seq, ident(m)))} expected=${
+          expected.map(ident)} expectedKeys=$expectedKeys"
+    }
 }
