@@ -1421,6 +1421,45 @@ private[graft] object MatchRecognizeSql {
           case finRe(inner) => (alias, inner.trim, false)
           case _ => (alias, exprTxt, false)
         }
+      }.map { case (alias, t, running) =>
+        // CLASSIFIER(): the variable that bound the row. ALL ROWS: the
+        // per-row value — rides the post-explode (running) stage where
+        // the exploded `classifier` column exists. ONE ROW: the
+        // variable binding the match's LAST row — a greatest() fold
+        // over per-variable (last ts, last tie, name) structs, the
+        // same trick the SUBSET union extremes use.
+        val clRe = """(?i)(?<!\w)classifier\s*\(\s*\)""".r
+        if (clRe.findFirstIn(maskLiterals(t)).isEmpty) (alias, t, running)
+        else if (allRows)
+          (alias, clRe.replaceAllIn(t, "`classifier`"), true)
+        else {
+          def integralCol(cn: String): Boolean =
+            src.schema.fields.find(f =>
+              session.sessionState.analyzer.resolver(f.name, cn))
+              .map(_.dataType).exists {
+                case org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType => true
+                case _ => false
+              }
+          require(varNames.length == 1 ||
+              (integralCol(tsCol) && integralCol(tieCol)),
+            s"measure '$alias': CLASSIFIER() in ONE ROW PER MATCH " +
+              "folds the last-row election over integral ORDER BY " +
+              s"columns; $tsCol/$tieCol are not")
+          val parts = varNames.map(v =>
+            s"named_struct('t', coalesce(cast(try_element_at(`$v`, -1)" +
+              s".`$tsCol` as bigint), -9223372036854775808), " +
+              s"'e', coalesce(cast(try_element_at(`$v`, -1)" +
+              s".`$tieCol` as bigint), -9223372036854775808), " +
+              s"'c', '$v')")
+          val cls =
+            if (varNames.length == 1) s"'${varNames.head}'"
+            else s"greatest(${parts.mkString(", ")}).`c`"
+          (alias, clRe.replaceAllIn(t,
+            java.util.regex.Matcher.quoteReplacement(cls)), running)
+        }
       }
     // MATCH_NUMBER(): sequential number of the match within its
     // partition (1-based, leftmost-first — ties on equal (start, end)

@@ -3258,4 +3258,39 @@ class MatchRecognizeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](run("SHOW EMPTY MATCHES"))
     assert(e.getMessage.contains("OMIT EMPTY"))
   }
+
+  test("CLASSIFIER() in MEASURES: per-row in ALL ROWS mode, the " +
+      "last-bound variable in ONE ROW mode") {
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "A"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_cls_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // ONE ROW: the match's last row binds b — CLASSIFIER() = 'b'
+    val one = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cls_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, CLASSIFIER() AS cls
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"a_id", $"cls").as[(Long, String)].collect().toSet
+    assert(one == Set((1L, "b")))
+    // ALL ROWS: per-row variable, same value as the classifier column
+    val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_cls_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES CLASSIFIER() AS cls
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"event_id", $"cls", $"classifier")
+      .as[(Long, String, String)].collect().toSet
+    assert(all == Set((1L, "a", "a"), (2L, "b", "b")))
+  }
 }
