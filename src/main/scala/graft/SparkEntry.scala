@@ -1349,6 +1349,32 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Aggregates over EXPRESSIONS of one variable's row in MEASURES
+    // (SUM(b.value * 2), AVG(b.value + 1), COUNT(b.value)) — HOF
+    // folds over the slot array with SQL null-skip.
+    "q202_mr_expr_agg" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_exagg_q202")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_exagg_q202 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, FIRST(b.event_id) AS b1,
+          |           LAST(b.event_id) AS b2,
+          |           SUM(b.value * 2) AS sv, AVG(b.value + 1) AS av,
+          |           COUNT(b.value) AS nv
+          |  PATTERN (a b{2,2})
+          |  WITHIN 86400000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |           AND (LAST(b.value, 1) IS NULL
+          |             OR value > LAST(b.value, 1))
+          |)""".stripMargin))
+    }),
+
     // SQL:2016 FIRST/bare(=LAST) over a SUBSET union in DEFINE: the
     // merged (ts, tie) binding order folds as a least/greatest over
     // per-member (ts, tie, value) structs — c gates on BOTH extremes
@@ -7983,6 +8009,38 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // the q200 ascending chain with expression aggregates over the
+    // two purchase bindings
+    "q202_mr_expr_agg" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+        |    value AS p_v
+        |    FROM events WHERE event_type = 'purchase'),
+        |c1 AS (SELECT * FROM (SELECT a.user_id, a.a_id, a.a_us,
+        |    p.p_id AS b1_id, p.p_us AS b1_us, p.p_v AS b1_v,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY p.p_us, p.p_id) AS rn
+        |  FROM a JOIN p ON a.user_id = p.user_id
+        |    AND (p.p_us > a.a_us OR (p.p_us = a.a_us AND p.p_id > a.a_id))
+        |    AND p.p_us - a.a_us <= 86400000000) WHERE rn = 1),
+        |c2 AS (SELECT * FROM (SELECT c1.user_id, c1.a_id,
+        |    c1.b1_id, c1.b1_v, p.p_id AS b2_id, p.p_v AS b2_v,
+        |    row_number() OVER (PARTITION BY c1.user_id, c1.a_id
+        |      ORDER BY p.p_us, p.p_id) AS rn
+        |  FROM c1 JOIN p ON c1.user_id = p.user_id
+        |    AND (p.p_us > c1.b1_us OR (p.p_us = c1.b1_us
+        |      AND p.p_id > c1.b1_id))
+        |    AND p.p_v > c1.b1_v
+        |    AND p.p_us - c1.a_us <= 86400000000) WHERE rn = 1)
+        |SELECT user_id, a_id, b1_id AS b1, b2_id AS b2,
+        |  -- mirror the Spark HOF fold's FP order exactly:
+        |  -- (0.0 + b1*2) + b2*2 and ((b1+1) + (b2+1)) / 2
+        |  (b1_v * 2 + b2_v * 2) AS sv,
+        |  ((b1_v + 1) + (b2_v + 1)) / 2 AS av,
+        |  2::BIGINT AS nv
+        |FROM c2""".stripMargin,
+
     // greedy two-step chain per click: the first later purchase, then
     // the first purchase after it with a strictly greater value, both
     // inside the 24 h window of the click

@@ -445,6 +445,49 @@ private[graft] object MatchRecognizeSql {
     seg
   }
 
+  /** Aggregates over an EXPRESSION of ONE variable's row in MEASURES
+    * — `SUM(v.price * 2)`, `MAX(v.x - v.y)`, `COUNT(v.col)`:
+    * comma/paren-free arithmetic with every `v.col` bound to the HOF
+    * lambda row. SQL null-skip via a filter; empty-or-all-null yields
+    * NULL (COUNT yields 0). Runs AFTER the plain single-column rules
+    * (those keep their typed forms) and BEFORE bare-var resolution,
+    * which would otherwise silently collapse the references to the
+    * LAST binding. References to a second variable inside one
+    * aggregate are rejected (zip semantics across two bindings are
+    * undefined).
+    */
+  private def rewriteExprAgg(seg0: String, v: String, arrSql: String,
+      allBindingNames: Seq[String]): String =
+    (s"(?i)(?<!\\w)(sum|avg|min|max|count)\\s*\\(\\s*" +
+      s"([^(),]*?$v\\s*\\.\\s*\\w+[^(),]*?)\\s*\\)").r
+      .replaceAllIn(seg0, mm => {
+        val fn = mm.group(1).toLowerCase
+        val raw = mm.group(2).trim
+        val inner = raw.replaceAll(s"(?i)(?<!\\w)$v\\s*\\.\\s*(\\w+)",
+          "_mr_ex.`$1`")
+        allBindingNames.filterNot(_.equalsIgnoreCase(v)).foreach { o =>
+          require(s"(?i)(?<!\\w)$o\\s*\\.\\s*\\w+".r
+              .findFirstIn(inner).isEmpty,
+            s"$fn($raw): an aggregate argument may reference ONE " +
+              "pattern variable (zip semantics across two bindings " +
+              "are undefined) — aggregate each variable separately")
+        }
+        val nn = s"filter(transform($arrSql, _mr_ex -> $inner), " +
+          "_mr_nn -> _mr_nn is not null)"
+        val out = fn match {
+          case "count" => s"cast(size($nn) as bigint)"
+          case "sum" => s"if(size($nn) = 0, cast(null as double), " +
+            s"aggregate($nn, cast(0.0 as double), " +
+            "(_mr_acc, _mr_x) -> _mr_acc + _mr_x))"
+          case "avg" => s"(aggregate($nn, cast(0.0 as double), " +
+            "(_mr_acc, _mr_x) -> _mr_acc + _mr_x) " +
+            s"/ nullif(size($nn), 0))"
+          case "min" => s"array_min($nn)"
+          case _ => s"array_max($nn)"
+        }
+        java.util.regex.Matcher.quoteReplacement(s"($out)")
+      })
+
   def compile(session: SparkSession, delegate: ParserInterface,
       sqlText: String): DataFrame = {
     val m = statementRe.findFirstMatchIn(sqlText).getOrElse(
@@ -1531,6 +1574,9 @@ private[graft] object MatchRecognizeSql {
             s"array_min(transform($q, _mr_mx -> _mr_mx.`$$1`))")
           seg = seg.replaceAll(s"(?i)(?<!\\w)max\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
             s"array_max(transform($q, _mr_mx -> _mr_mx.`$$1`))")
+          // aggregates over an expression of v's row (plus the plain
+          // COUNT(v.col) the dedicated rules above leave behind)
+          seg = rewriteExprAgg(seg, v, arr, measureBindings.map(_._1))
           // try_element_at: a variable that bound zero events (`?`/`*`
           // quantifier, unchosen alternation side) yields SQL-standard
           // NULL instead of an ANSI INVALID_ARRAY_INDEX crash
@@ -1595,6 +1641,8 @@ private[graft] object MatchRecognizeSql {
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)max\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
               s"array_max(transform($f, _mr_mx -> _mr_mx.`$$1`))")
+            seg = rewriteExprAgg(seg, v, filt(arr),
+              measureBindings.map(_._1))
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
               s"try_element_at($f, 1).`$$1`")

@@ -3293,4 +3293,53 @@ class MatchRecognizeSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(all == Set((1L, "a", "a"), (2L, "b", "b")))
   }
+
+  test("aggregates over expressions in MEASURES: SUM(v.col * 2), " +
+      "COUNT(v.col), RUNNING forms; two-variable arguments rejected") {
+    Seq((1L, 10L, 1L, "A", 1L), (2L, 20L, 1L, "X", 99L),
+      (3L, 30L, 1L, "A", 2L), (4L, 40L, 1L, "B", 3L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_exagg_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val one = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_exagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES SUM(a.v * 2) AS s2, COUNT(a.v) AS nc,
+          |           MAX(a.v - 1) AS mx, AVG(2 * a.v) AS av
+          |  PATTERN (a{2,2} b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"s2", $"nc", $"mx", $"av")
+      .as[(Double, Long, Long, Double)].collect().toSet
+    assert(one == Set((6.0, 2L, 1L, 3.0)))
+    // RUNNING SUM over an expression: so-far semantics per output row
+    val run = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_exagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES RUNNING SUM(a.v * 2) AS rs
+          |  ALL ROWS PER MATCH
+          |  PATTERN (a{2,2} b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"event_id", $"rs")
+      .as[(Long, Double)].collect().toSet
+    assert(run == Set((1L, 2.0), (3L, 6.0), (4L, 6.0)))
+    // one aggregate argument, one variable
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_exagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES SUM(a.v + b.v) AS bad
+          |  PATTERN (a{2,2} b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("ONE"))
+  }
 }
