@@ -1219,6 +1219,33 @@ private[graft] object MatchRecognizeSql {
         }
         seg
       }
+    // aggregate arguments in DEFINE take a single column (the running
+    // markers are keyed per (fn, var, col)); an EXPRESSION argument
+    // would silently collapse to the last binding via the bare-var
+    // rule and then die as an aggregate in a flag projection — reject
+    // it with the actual reason (MEASURES supports the expression
+    // forms)
+    locally {
+      val aggExprRe =
+        ("""(?i)(?<!\w)(sum|avg|min|max|count)\s*\(\s*""" +
+          """([^()]*?\w+\s*\.\s*\w+[^()]*?)\s*\)""").r
+      val bindNames = (varNames ++ subsets.map(_._1)).map(_.toLowerCase)
+        .toSet
+      defsE.foreach { case (n, d) =>
+        aggExprRe.findAllMatchIn(maskLiterals(d)).foreach { mm =>
+          val arg = mm.group(2).trim
+          val qualRe = """(?i)(\w+)\s*\.\s*\w+""".r
+          val refsBound = qualRe.findAllMatchIn(arg)
+            .exists(q => bindNames(q.group(1).toLowerCase))
+          val plain = arg.matches("""(?is)\w+\s*\.\s*\w+""")
+          require(!refsBound || plain,
+            s"DEFINE $n: ${mm.group(1)}($arg) — aggregate arguments " +
+              "in DEFINE take a single column (the running markers " +
+              "are per-column); expression arguments are supported " +
+              "in MEASURES")
+        }
+      }
+    }
     val defs2 = defsE.map { case (n, d0) =>
       val d = rewriteCrossVar(n, expandSubsetDefine(n, d0))
       n -> rewriteOutsideLiterals(d) { seg =>

@@ -3341,5 +3341,19 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("ONE"))
+    // in DEFINE the running markers are per-column — expression
+    // arguments get the targeted error, not an analysis crash
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_exagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES b.event_id AS b_id
+          |  PATTERN (a{2,2} b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v > SUM(a.v * 2)
+          |)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("single column"))
   }
 }
