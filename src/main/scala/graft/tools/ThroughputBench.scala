@@ -160,9 +160,14 @@ object ThroughputBench {
     val buildNum = (k: Long, m: graft.cep.PatternMatch[TpEvt]) =>
       Iterator.single(TpOut(k, m.seq, m.head("b").event_id))
     val mnEps = drive[TpOut](memSink("tp_cep_matchnum"), in =>
-      Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
-        _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L,
-        numberMatches = true)(buildNum))
+      if (useTws)
+        Cep.streamingTws[TpEvt, Long, TpOut](cepInput(in),
+          _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L,
+          numberMatches = true)(buildNum)
+      else
+        Cep.streaming[TpEvt, Long, TpOut](cepInput(in),
+          _.user_id, pat, _.ts_us, _.event_id, tsScale = 1000L,
+          numberMatches = true)(buildNum))
 
     // streaming cross-variable DEFINE (the interpreted per-partial
     // evaluator on the full-row streamingFull envelope): purchase
