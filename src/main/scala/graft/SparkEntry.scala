@@ -1349,6 +1349,27 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // MODE STRICT: ISO SQL:2016 contiguous matching — the purchase
+    // must be the IMMEDIATELY next event after the click, any
+    // intervening row fails the attempt (the relaxed default would
+    // skip it).
+    "q203_mr_strict_mode" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_strict_q203")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_strict_q203 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // Aggregates over EXPRESSIONS of one variable's row in MEASURES
     // (SUM(b.value * 2), AVG(b.value + 1), COUNT(b.value)) — HOF
     // folds over the slot array with SQL null-skip.
@@ -8009,6 +8030,18 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // adjacent (click, purchase) pairs: the next row in (ts, id)
+    // order within the user must be the purchase
+    "q203_mr_strict_mode" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nid,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nt
+        |  FROM events)
+        |SELECT user_id, event_id AS a_id, nid AS b_id FROM o
+        |WHERE event_type = 'click' AND nt = 'purchase'""".stripMargin,
+
     // the q200 ascending chain with expression aggregates over the
     // two purchase bindings
     "q202_mr_expr_agg" ->

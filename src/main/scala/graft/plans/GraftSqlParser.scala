@@ -330,6 +330,10 @@ private[graft] object MatchRecognizeSql {
       Some("""(?i)\s*(\d|interval(?!\w))""".r)),
     ("eventtime", """(?i)(?<!\w)eventtime(?!\w)""".r, Some("""\s*\w""".r)),
     ("tsscale", """(?i)(?<!\w)tsscale(?!\w)""".r, Some("""\s*\d""".r)),
+    // dialect extension: MODE STRICT = ISO SQL:2016 contiguous
+    // matching (relaxed skip-till-next-match is the default)
+    ("mode", """(?i)(?<!\w)mode(?!\w)""".r,
+      Some("""(?i)\s*(strict|relaxed)(?!\w)""".r)),
     ("define", """(?i)(?<!\w)define(?!\w)""".r, None))
 
   /** The body with single-quoted literal CONTENTS blanked out (same
@@ -1368,8 +1372,30 @@ private[graft] object MatchRecognizeSql {
         MatchRecognize.ERxAlt(is.permutations.map(p =>
           MatchRecognize.ERxSeq(p.map(toERx))).toSeq)
     }
+    // MODE STRICT: ISO SQL:2016 contiguous matching — every step
+    // demands the immediately-next event, so a non-matching row fails
+    // the attempt instead of being skipped. Wired for linear patterns
+    // of (quantified) variables (the Step elements carry the strict
+    // flag end-to-end, batch and streaming); composite elements keep
+    // the relaxed default and fail fast under STRICT.
+    val strictMode = sec.get("mode").map(_.trim.toLowerCase) match {
+      case None => false
+      case Some("strict") => true
+      case Some("relaxed") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"MODE takes STRICT or RELAXED, got: $other")
+    }
+    if (strictMode) patElems.foreach {
+      case _: Single => ()
+      case other => throw new IllegalArgumentException(
+        "MODE STRICT supports linear patterns of (quantified) " +
+          "variables; groups, alternations, PERMUTE, and exclusions " +
+          "keep the relaxed default (drop MODE STRICT or linearize " +
+          "the pattern)")
+    }
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
-      case Single(n, mn, mx) => MatchRecognize.EStep(n, pred(n), mn, mx)
+      case Single(n, mn, mx) =>
+        MatchRecognize.EStep(n, pred(n), mn, mx, strict = strictMode)
       case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
       case Perm(l, r) => MatchRecognize.EAnd(l, pred(l), r, pred(r))
       case PermN(ns) =>

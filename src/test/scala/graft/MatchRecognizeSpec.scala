@@ -3356,4 +3356,84 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("single column"))
   }
+
+  test("MODE STRICT: ISO contiguous matching — intervening rows fail " +
+      "the attempt; relaxed default skips them; streaming agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "X"), (3L, 30L, 1L, "B"),
+      (4L, 10L, 2L, "A"), (5L, 20L, 2L, "B"),
+      (6L, 10L, 3L, "A"), (7L, 20L, 3L, "A"), (8L, 30L, 3L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_strict_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(pat: String, mode: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_strict_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES FIRST(a.event_id) AS a_id, b.event_id AS b_id
+           |  PATTERN ($pat)
+           |  $mode
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+           |)""".stripMargin))
+        .select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+    // relaxed: user 1's X is skipped; strict: the attempt fails on it
+    assert(run("a b", "") ==
+      Set((1L, 1L, 3L), (2L, 4L, 5L), (3L, 6L, 8L), (3L, 7L, 8L)))
+    assert(run("a b", "MODE STRICT") ==
+      Set((2L, 4L, 5L), (3L, 7L, 8L)))
+    assert(run("a b", "MODE RELAXED") == run("a b", ""))
+    // strict quantifier: both A rows must be adjacent, then B
+    assert(run("a{2,2} b", "MODE STRICT") == Set((3L, 6L, 8L)))
+    // composite elements keep the relaxed default under STRICT
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_strict_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a (b|c))
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'X'
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("linear patterns"))
+    // streaming parity for the strict two-step
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_strict_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_strict_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES FIRST(a.event_id) AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 10000
+          |  EVENTTIME etc
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_strict_sink").start()
+    try {
+      input.addData((1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "X"))
+      q.processAllAvailable()
+      input.addData((3L, 3000L, 1L, "B"), (4L, 1000L, 2L, "A"),
+        (5L, 2000L, 2L, "B"), (9L, 60000L, 9L, "Z"))
+      q.processAllAvailable()
+      input.addData((10L, 120000L, 9L, "Z"))
+      q.processAllAvailable()
+      val got = spark.table("mr_strict_sink")
+        .select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((2L, 4L, 5L)))   // user 1's X breaks the run
+    } finally q.stop()
+  }
 }
