@@ -467,29 +467,37 @@ private[graft] object MatchRecognizeSql {
       .replaceAllIn(seg0, mm => {
         val fn = mm.group(1).toLowerCase
         val raw = mm.group(2).trim
-        val inner = raw.replaceAll(s"(?i)(?<!\\w)$v\\s*\\.\\s*(\\w+)",
-          "_mr_ex.`$1`")
-        allBindingNames.filterNot(_.equalsIgnoreCase(v)).foreach { o =>
-          require(s"(?i)(?<!\\w)$o\\s*\\.\\s*\\w+".r
-              .findFirstIn(inner).isEmpty,
-            s"$fn($raw): an aggregate argument may reference ONE " +
-              "pattern variable (zip semantics across two bindings " +
-              "are undefined) — aggregate each variable separately")
+        // the arg regex can anchor on $v as a SUFFIX of a longer
+        // binding name (v=b inside `ab.v`); only a boundary-guarded
+        // reference makes this v's pass responsible — otherwise leave
+        // the text for the owning variable's pass
+        if (s"(?i)(?<![\\w.])$v\\s*\\.".r.findFirstIn(raw).isEmpty)
+          java.util.regex.Matcher.quoteReplacement(mm.matched)
+        else {
+          val inner = raw.replaceAll(s"(?i)(?<!\\w)$v\\s*\\.\\s*(\\w+)",
+            "_mr_ex.`$1`")
+          allBindingNames.filterNot(_.equalsIgnoreCase(v)).foreach { o =>
+            require(s"(?i)(?<!\\w)$o\\s*\\.\\s*\\w+".r
+                .findFirstIn(inner).isEmpty,
+              s"$fn($raw): an aggregate argument may reference ONE " +
+                "pattern variable (zip semantics across two bindings " +
+                "are undefined) — aggregate each variable separately")
+          }
+          val nn = s"filter(transform($arrSql, _mr_ex -> $inner), " +
+            "_mr_nn -> _mr_nn is not null)"
+          val out = fn match {
+            case "count" => s"cast(size($nn) as bigint)"
+            case "sum" => s"if(size($nn) = 0, cast(null as double), " +
+              s"aggregate($nn, cast(0.0 as double), " +
+              "(_mr_acc, _mr_x) -> _mr_acc + _mr_x))"
+            case "avg" => s"(aggregate($nn, cast(0.0 as double), " +
+              "(_mr_acc, _mr_x) -> _mr_acc + _mr_x) " +
+              s"/ nullif(size($nn), 0))"
+            case "min" => s"array_min($nn)"
+            case _ => s"array_max($nn)"
+          }
+          java.util.regex.Matcher.quoteReplacement(s"($out)")
         }
-        val nn = s"filter(transform($arrSql, _mr_ex -> $inner), " +
-          "_mr_nn -> _mr_nn is not null)"
-        val out = fn match {
-          case "count" => s"cast(size($nn) as bigint)"
-          case "sum" => s"if(size($nn) = 0, cast(null as double), " +
-            s"aggregate($nn, cast(0.0 as double), " +
-            "(_mr_acc, _mr_x) -> _mr_acc + _mr_x))"
-          case "avg" => s"(aggregate($nn, cast(0.0 as double), " +
-            "(_mr_acc, _mr_x) -> _mr_acc + _mr_x) " +
-            s"/ nullif(size($nn), 0))"
-          case "min" => s"array_min($nn)"
-          case _ => s"array_max($nn)"
-        }
-        java.util.regex.Matcher.quoteReplacement(s"($out)")
       })
 
   def compile(session: SparkSession, delegate: ParserInterface,

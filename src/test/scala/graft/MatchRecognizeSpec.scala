@@ -3341,6 +3341,20 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("ONE"))
+    // a variable name that is a SUFFIX of another (b / ab) must not
+    // anchor the other's references — each expression aggregate is
+    // handled by its owning variable's pass
+    val sfx = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_exagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES SUM(ab.v * 2) AS sab, SUM(b.v * 2) AS sb
+          |  PATTERN (b{2,2} ab)
+          |  DEFINE b AS event_type = 'A', ab AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"sab", $"sb").as[(Double, Double)].collect().toSet
+    assert(sfx == Set((6.0, 6.0)))
     // in DEFINE the running markers are per-column — expression
     // arguments get the targeted error, not an analysis crash
     val e2 = intercept[IllegalArgumentException] {
