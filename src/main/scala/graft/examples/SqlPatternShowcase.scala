@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *  5. a recursive PATTERN with a reluctant quantifier + MATCH_NUMBER,
   *  6. exclusion over a SUB-PATTERN plus an own-variable logical
   *     offset (ascending-value purchase chains),
-  *  7. FIRST/bare(=LAST) over a SUBSET union in DEFINE.
+  *  7. FIRST/bare(=LAST) over a SUBSET union in DEFINE,
+  *  8. MODE STRICT (ISO-contiguous matching) with an expression
+  *     aggregate and CLASSIFIER() as a measure function.
   *
   * The session installs [[graft.plans.GraftExtensions]], so every
   * statement below runs through plain `spark.sql(...)` — exactly what a
@@ -121,6 +123,17 @@ object SqlPatternShowcase {
         |         c AS event_type = 'purchase'
         |           AND value > s.value
         |           AND value + FIRST(s.value) > 2 * s.value
+        |)""".stripMargin)
+
+    show("MODE STRICT (ISO contiguous) + expression aggregate + " +
+        "CLASSIFIER()",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+        |           SUM(b.value * 2) AS twice, CLASSIFIER() AS cls
+        |  PATTERN (a b)
+        |  MODE STRICT
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'purchase'
         |)""".stripMargin)
 
     println("SHOWCASE-DONE")
