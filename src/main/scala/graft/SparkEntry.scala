@@ -1349,6 +1349,28 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // MODE STRICT over a composite pattern: the alternation must bind
+    // the IMMEDIATELY next row after the click (strictAll is one
+    // NFA-level flag, so every pattern shape composes).
+    "q204_mr_strict_alt" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_strict_q204")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_strict_q204 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, LAST(b.event_id) AS b_id,
+          |           LAST(c.event_id) AS c_id
+          |  PATTERN (a (b | c))
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase',
+          |         c AS event_type = 'view'
+          |)""".stripMargin))
+    }),
+
     // MODE STRICT: ISO SQL:2016 contiguous matching — the purchase
     // must be the IMMEDIATELY next event after the click, any
     // intervening row fails the attempt (the relaxed default would
@@ -8030,6 +8052,21 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // adjacent click→(purchase|view) pairs: the winning branch fills
+    // its measure, the other stays NULL
+    "q204_mr_strict_alt" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nid,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nt
+        |  FROM events)
+        |SELECT user_id, event_id AS a_id,
+        |  CASE WHEN nt = 'purchase' THEN nid END AS b_id,
+        |  CASE WHEN nt = 'view' THEN nid END AS c_id
+        |FROM o
+        |WHERE event_type = 'click' AND nt IN ('purchase', 'view')""".stripMargin,
+
     // adjacent (click, purchase) pairs: the next row in (ts, id)
     // order within the user must be the purchase
     "q203_mr_strict_mode" ->

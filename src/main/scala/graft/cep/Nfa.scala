@@ -50,6 +50,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       "AFTER MATCH SKIP TO FIRST/LAST <var> needs every = true (the " +
         "skip mode itself governs which matches emit)")
   }
+  require(!pattern.strictAll ||
+      elems.forall(!_.isInstanceOf[Absence[E]]),
+    "strictAll (ISO contiguous matching) excludes absence (not-for) " +
+      "elements — absence has no ISO counterpart and binds no rows")
   elems.head match {
     case s: Step[E] =>
       require(s.minCount >= 1, "first step must be non-optional")
@@ -803,7 +807,10 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
 
         if (violated) () // dropped
         else if (!moved) {
-          val mustDie = elems(p.stepIdx) match {
+          // strictAll (ISO contiguous matching): a live partial that
+          // did not consume this event dies — no element type may
+          // wait out an intervening row
+          val mustDie = pattern.strictAll || (elems(p.stepIdx) match {
             case s: Step[E] =>
               // strict contiguity: the immediately-next event had to qualify
               (p.curCount < s.minCount && s.strict) ||
@@ -815,9 +822,11 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
               (complete(p) && p.stepIdx < last && strictNext(p)) ||
               (complete(p) && p.stepIdx == last)
             case _: Absence[E] => false
-          }
+          })
           if (!mustDie) next += p
-        } else if (keepOriginal) {
+        } else if (keepOriginal && !pattern.strictAll) {
+          // under strictAll the un-advanced original did not consume
+          // the event either — the fork that did carries the match on
           next += p
         }
       }

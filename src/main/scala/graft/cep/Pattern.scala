@@ -463,7 +463,15 @@ final case class PatternDef[E](
       * events, a greedy one MORE (declaration-order lexicographic,
       * the SQL:2016 preferment approximation).
       */
-    reluctantSlots: Set[String] = Set.empty)
+    reluctantSlots: Set[String] = Set.empty,
+    /** ISO SQL:2016 CONTIGUOUS matching: a live partial that neither
+      * extends its current element nor binds a later one on an event
+      * DIES (and quantifier branches that decline the event die with
+      * it), so matched rows are gap-free. The default (false) is the
+      * dialect's relaxed skip-till-next-match model. Excludes
+      * [[Absence]] elements (no ISO counterpart; enforced by [[Nfa]]).
+      */
+    strictAll: Boolean = false)
 
 /** A live partial match inside the NFA (also the unit of checkpointed
   * streaming state): index of the element being collected, events

@@ -1380,12 +1380,13 @@ private[graft] object MatchRecognizeSql {
         MatchRecognize.ERxAlt(is.permutations.map(p =>
           MatchRecognize.ERxSeq(p.map(toERx))).toSeq)
     }
-    // MODE STRICT: ISO SQL:2016 contiguous matching — every step
-    // demands the immediately-next event, so a non-matching row fails
-    // the attempt instead of being skipped. Wired for linear patterns
-    // of (quantified) variables (the Step elements carry the strict
-    // flag end-to-end, batch and streaming); composite elements keep
-    // the relaxed default and fail fast under STRICT.
+    // MODE STRICT: ISO SQL:2016 contiguous matching — a live partial
+    // that does not consume an event dies (and the quantifier branch
+    // that declined it dies with it), so matched rows are gap-free.
+    // One pattern-level NFA flag (PatternDef.strictAll), so EVERY
+    // pattern shape composes: groups, alternations, PERMUTE,
+    // exclusions, recursive nesting — batch and both streaming
+    // executors through the shared step kernel.
     val strictMode = sec.get("mode").map(_.trim.toLowerCase) match {
       case None => false
       case Some("strict") => true
@@ -1393,17 +1394,9 @@ private[graft] object MatchRecognizeSql {
       case Some(other) => throw new IllegalArgumentException(
         s"MODE takes STRICT or RELAXED, got: $other")
     }
-    if (strictMode) patElems.foreach {
-      case _: Single => ()
-      case other => throw new IllegalArgumentException(
-        "MODE STRICT supports linear patterns of (quantified) " +
-          "variables; groups, alternations, PERMUTE, and exclusions " +
-          "keep the relaxed default (drop MODE STRICT or linearize " +
-          "the pattern)")
-    }
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) =>
-        MatchRecognize.EStep(n, pred(n), mn, mx, strict = strictMode)
+        MatchRecognize.EStep(n, pred(n), mn, mx)
       case Alt(l, r) => MatchRecognize.EOr(l, pred(l), r, pred(r))
       case Perm(l, r) => MatchRecognize.EAnd(l, pred(l), r, pred(r))
       case PermN(ns) =>
@@ -1467,7 +1460,8 @@ private[graft] object MatchRecognizeSql {
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
           withUnmatched = unmatchedRows, reluctantVars = reluctantVars,
-          withMatchSeq = usesMn, exposeLags = hasMeasNav)
+          withMatchSeq = usesMn, exposeLags = hasMeasNav,
+          strictAll = strictMode)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")
@@ -1475,7 +1469,7 @@ private[graft] object MatchRecognizeSql {
         // conversion factor
         MatchRecognize(srcM, keys, tsCol, tieCol, elems, within,
           skipPastLastRow = skipPastLast, skipToVar = skipToVar,
-          reluctantVars = reluctantVars)
+          reluctantVars = reluctantVars, strictAll = strictMode)
       }
 
     // MEASURES: textual rewrite of var.col / FIRST/LAST/MIN/MAX

@@ -245,7 +245,10 @@ case class MatchRecognizeNode(
     skipToVar: Option[(String, Boolean)] = None,
     /** Variables under reluctant (lazy) quantifiers — flips the
       * skip-mode same-start election preference for their slots. */
-    reluctantVars: Seq[String] = Nil) extends UnaryNode {
+    reluctantVars: Seq[String] = Nil,
+    /** ISO contiguous matching (MODE STRICT): a partial that does not
+      * consume an event dies — see [[graft.cep.PatternDef.strictAll]]. */
+    strictAll: Boolean = false) extends UnaryNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -363,7 +366,8 @@ object MatchRecognize {
       every: Boolean = true, maxPartials: Int = 1024,
       skipPastLastRow: Boolean = false,
       skipToVar: Option[(String, Boolean)] = None,
-      reluctantVars: Set[String] = Set.empty): DataFrame = {
+      reluctantVars: Set[String] = Set.empty,
+      strictAll: Boolean = false): DataFrame = {
     // a streaming frame would re-plan the exec per micro-batch with a
     // FRESH NFA — patterns straddling batches would silently never match
     require(!df.isStreaming,
@@ -484,7 +488,7 @@ object MatchRecognize {
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, tieE, preds.flatten, specs,
       withinTs, every, maxPartials, skipPastLastRow, outAttrs, child,
-      ctxRefs, skipToVar, reluctantVars.toSeq.sorted))
+      ctxRefs, skipToVar, reluctantVars.toSeq.sorted, strictAll))
   }
 
   private[plans] val CvMarker = "_mr_cv"
@@ -993,6 +997,10 @@ object MatchRecognize {
         * (the WITHIN horizon) and a permanent per-key counter. NULL on
         * unmatched rows. */
       withMatchSeq: Boolean = false,
+      /** ISO contiguous matching (MODE STRICT) — see
+        * [[graft.cep.PatternDef.strictAll]]; the same flag drives both
+        * executors through the shared step kernel. */
+      strictAll: Boolean = false,
       /** MEASURES-side PREV/NEXT navigation: keep the decorator-filled
         * `_mr_<kind>_<col>_<k>` lag values in the emitted slot structs
         * (instead of stripping them back to the input row shape), so
@@ -1217,7 +1225,7 @@ object MatchRecognize {
       s"cross-variable reference(s) to unknown pattern variable(s): " +
         cvVars.filterNot(patVarsS).distinct.mkString(", "))
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
-      skipPastLastRow, skipToVar, reluctantVars)
+      skipPastLastRow, skipToVar, reluctantVars, strictAll = strictAll)
     // driver-side mirror of Cep.step's deferred-skip require: fail at
     // plan build time, not inside the first micro-batch on an executor
     require(!new graft.cep.Nfa[Row](pat, _ => 0L, _ => 0L).deferredSkip ||

@@ -20,7 +20,8 @@ object MatchRecognizeStrategy extends SparkStrategy {
     case m: MatchRecognizeNode =>
       MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
         m.withinTs, m.every, m.maxPartials, m.skipPastLastRow, m.outAttrs,
-        planLater(m.child), m.ctxRefs, m.skipToVar, m.reluctantVars) :: Nil
+        planLater(m.child), m.ctxRefs, m.skipToVar, m.reluctantVars,
+        m.strictAll) :: Nil
     case _ => Nil
   }
 }
@@ -52,7 +53,8 @@ case class MatchRecognizeExec(
     child: SparkPlan,
     ctxRefs: Seq[Seq[CtxRefSpec]] = Nil,
     skipToVar: Option[(String, Boolean)] = None,
-    reluctantVars: Seq[String] = Nil) extends UnaryExecNode {
+    reluctantVars: Seq[String] = Nil,
+    strictAll: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
 
@@ -92,6 +94,7 @@ case class MatchRecognizeExec(
     val ctxRefSpecs = ctxRefs
     val skipTo = skipToVar
     val reluctant = reluctantVars.toSet
+    val strict = strictAll
     val tieExpr = tie
     val matchMetric = longMetric("numMatches")
     val groupMetric = longMetric("numGroups")
@@ -172,7 +175,7 @@ case class MatchRecognizeExec(
             nm => mkStep(nm, 1, 1, strict = false)))
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR,
-        skipTo, reluctant)
+        skipTo, reluctant, strictAll = strict)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
       val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
       // provided whenever the tie is a long slot (the builder widens

@@ -3401,20 +3401,27 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(run("a b", "MODE RELAXED") == run("a b", ""))
     // strict quantifier: both A rows must be adjacent, then B
     assert(run("a{2,2} b", "MODE STRICT") == Set((3L, 6L, 8L)))
-    // composite elements keep the relaxed default under STRICT
-    val e = intercept[IllegalArgumentException] {
+    // composite elements compose under STRICT too (the one NFA-level
+    // flag covers every pattern shape): the alternation must bind the
+    // IMMEDIATELY next row — user 3's first A dies on the adjacent A
+    val alt = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_strict_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES a.event_id AS a_id
+          |  MEASURES a.event_id AS a_id, LAST(b.event_id) AS b_id,
+          |           LAST(c.event_id) AS c_id
           |  PATTERN (a (b|c))
           |  MODE STRICT
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
           |         c AS event_type = 'X'
-          |)""".stripMargin)
-    }
-    assert(e.getMessage.contains("linear patterns"))
+          |)""".stripMargin))
+      .select($"user_id", $"a_id", $"b_id", $"c_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(alt == Set(
+      (1L, 1L, None, Some(2L)),    // the X right after A binds c
+      (2L, 4L, Some(5L), None),
+      (3L, 7L, Some(8L), None)))   // A@6 died on the adjacent A@7
     // streaming parity for the strict two-step
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String)]

@@ -716,4 +716,47 @@ object NfaProps extends Properties("Nfa") {
         s"got=${got.map(m => (m.seq, ident(m)))} expected=${
           expected.map(ident)} expectedKeys=$expectedKeys"
     }
+
+  /** strictAll (ISO contiguous matching) is a pure kernel flag: for
+    * ANY chunking, the chunked stream must equal the ordered batch
+    * replay under the same flag (absence patterns are outside
+    * strictAll's domain by construction).
+    */
+  property("chunked strictAll steps == ordered strictAll batch replay") =
+    forAll(genPattern, genChunked, Gen.choose(0L, 25L)) {
+      case (pat0, (evs, cuts), wmLag) =>
+      import graft.cep.Cep
+      if (pat0.steps.exists(_.isInstanceOf[Absence[E]])) Prop(true)
+      else {
+        val pat = pat0.copy(strictAll = true)
+        val sorted = evs.sortBy(e => (e.ts, e.id))
+        val expected = {
+          val nfa = new Nfa[E](pat, _.ts, _.id)
+          (sorted.flatMap(nfa.onEvent) ++ nfa.flush())
+            .map(m => (m.startTs, m.endTs,
+              m.groups.view.mapValues(_.map(_.id)).toMap))
+        }
+        val bounds = (cuts.map(c => math.min(c, sorted.size)) :+
+          sorted.size).distinct.sorted
+        val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
+          case List(a, b) if b > a => sorted.slice(a, b)
+        }.toList
+        val rnd = new scala.util.Random(11)
+        var st = Cep.CepState.empty[E]
+        val got = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Map[String, Seq[Long]])]
+        def doStep(chunk: Seq[E], wm: Long): Unit = {
+          val (ns, ms, _) = Cep.step[E](st, chunk, wm,
+            hasWatermark = true, pat, _.ts, _.id)
+          got ++= ms.map(m => (m.startTs, m.endTs,
+            m.groups.view.mapValues(_.map(_.id)).toMap))
+          st = ns.getOrElse(Cep.CepState.empty[E])
+        }
+        chunks.foreach { chunk =>
+          doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag)
+        }
+        doStep(Nil, Long.MaxValue / 2)
+        Prop(got.toList == expected) :| s"got=$got expected=$expected"
+      }
+    }
 }
