@@ -1161,4 +1161,63 @@ class StreamingParitySpec extends SparkSpec {
         (4L, None, None, None)))
     } finally q.stop()
   }
+
+  test("one streaming statement composing MATCH_NUMBER() + PREV " +
+      "navigation + CLASSIFIER() == batch (withMatchSeq and exposeLags " +
+      "share the operator schema)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, value)
+      (1L, 500L, 1L, "X", 7.0), (2L, 1000L, 1L, "A", 1.0),
+      (3L, 2000L, 1L, "B", 2.0), (4L, 3000L, 1L, "A", 3.0),
+      (5L, 4000L, 1L, "B", 4.0), (6L, 5000L, 1L, "Z", 0.0))
+    val ticks = Seq((91L, 30000L, 9L, "T", 0.0), (92L, 60000L, 9L, "T", 0.0))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES MATCH_NUMBER() AS mn, PREV(a.value) AS pv,
+         |           CLASSIFIER() AS cls, a.event_id AS a_id
+         |  PATTERN (a b)
+         |  WITHIN 10000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type",
+        "value")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_mix_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_mix_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_mix_sink").start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3) :+ ticks(0): _*)
+      q.processAllAvailable()
+      input.addData(ticks(1))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_mix_sink")
+        .select($"mn", $"pv", $"cls", $"a_id")
+        .as[(Long, Option[Double], String, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "value")
+        .createOrReplaceTempView("mr_mix_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_mix_batch", "")))
+        .select($"mn", $"pv", $"cls", $"a_id")
+        .as[(Long, Option[Double], String, Long)].collect().toSet
+      assert(streamed == batch)
+      // PREV(a.value): the row before each a in PARTITION order (the
+      // X before a1, the b of the first match before a2); CLASSIFIER
+      // in ONE ROW mode = the last-bound variable (b)
+      assert(streamed == Set(
+        (1L, Some(7.0), "b", 2L),
+        (2L, Some(2.0), "b", 4L)))
+    } finally q.stop()
+  }
 }
