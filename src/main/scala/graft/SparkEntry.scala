@@ -1349,6 +1349,26 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // MODE STRICT + quantifier: three CONSECUTIVE purchases (the
+    // classic contiguous-streak query) — overlap default, so every
+    // window of three adjacent purchase rows matches.
+    "q205_mr_strict_streak" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_strict_q205")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_strict_q205 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(p.event_id) AS p1, FIRST(p.event_id, 1) AS p2,
+          |           LAST(p.event_id) AS p3
+          |  PATTERN (p{3,3})
+          |  MODE STRICT
+          |  DEFINE p AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
     // MODE STRICT over a composite pattern: the alternation must bind
     // the IMMEDIATELY next row after the click (strictAll is one
     // NFA-level flag, so every pattern shape composes).
@@ -8052,6 +8072,20 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // three adjacent purchase rows per user (overlapping windows)
+    "q205_mr_strict_streak" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lead(event_id, 1) OVER w AS n1id,
+        |    lead(event_type, 1) OVER w AS n1t,
+        |    lead(event_id, 2) OVER w AS n2id,
+        |    lead(event_type, 2) OVER w AS n2t
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id AS p1, n1id AS p2, n2id AS p3 FROM o
+        |WHERE event_type = 'purchase' AND n1t = 'purchase'
+        |  AND n2t = 'purchase'""".stripMargin,
+
     // adjacent click→(purchase|view) pairs: the winning branch fills
     // its measure, the other stays NULL
     "q204_mr_strict_alt" ->
