@@ -691,8 +691,10 @@ object MatchRecognize {
     * hold FULL input rows) back to one row per MATCHED EVENT — the SQL
     * standard's other row mode. Output = the input columns of the bound
     * event ++ `classifier` (the pattern variable that bound it) ++
-    * `match_start`/`match_end` (the match's identity — two matches never
-    * share (keys, match_start, match_end)) ++ `carryCols` (measure
+    * `match_start`/`match_end` (the match's span — distinct matches
+    * share a span only when overlap mode emits same-span ALTERNATIVES
+    * of one attempt, e.g. a trailing optional whose event also fits
+    * the prior quantifier) ++ `carryCols` (measure
     * columns already computed on `one`, FINAL semantics: the whole-match
     * value repeated on every row of the match).
     *

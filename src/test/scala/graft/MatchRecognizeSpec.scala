@@ -3457,4 +3457,109 @@ class MatchRecognizeSpec extends SparkSpec {
       assert(got == Set((2L, 4L, 5L)))   // user 1's X breaks the run
     } finally q.stop()
   }
+
+  test("seeded statement fuzz: ONE ROW and ALL ROWS describe the " +
+      "same match spans, across random patterns, quantifier forms, " +
+      "and MODE STRICT") {
+    // one invariant that must hold for ANY statement: both row modes
+    // describe the SAME matches, so the set of (user_id, match_start,
+    // match_end) spans must be identical between them (counts can
+    // differ legitimately: overlap mode emits same-span ALTERNATIVES
+    // as separate ONE ROW rows — see DIALECT.md). Statements draw
+    // from the dialect surface: brace forms, alternations, reluctant
+    // quantifiers, strict mode.
+    val rnd = new scala.util.Random(20260815L)
+    val types = Vector("A", "B", "X")
+    val rows = (1L to 60L).map { i =>
+      (i, i * 10L, 1L + (i % 3), types(rnd.nextInt(3)),
+        rnd.nextInt(20).toDouble)
+    }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mr_fuzz_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val quants = Vector("", "+", "?", "{1,2}", "{2}", "{1,}", "{,2}",
+      "+?", "{1,3}?")
+    def q(allowZero: Boolean): String = {
+      val s = quants(rnd.nextInt(quants.length))
+      if (!allowZero && (s == "?" || s == "{,2}")) "" else s
+    }
+    var checked = 0
+    for (trial <- 1 to 25) {
+      val nVars = 1 + rnd.nextInt(3)
+      val vars = (0 until nVars).map(i => s"v$i")
+      val items = vars.zipWithIndex.map { case (v, i) =>
+        val base =
+          if (i > 0 && rnd.nextBoolean() && i + 1 < nVars) null // skip
+          else v + q(allowZero = i > 0)
+        base
+      }.filter(_ != null)
+      val pat =
+        if (items.length >= 2 && rnd.nextBoolean())
+          s"${items.head} (${items(1)}${
+            if (items.length > 2) " | " + items(2) else ""})" +
+            (if (items.length > 2) "" else "")
+        else items.mkString(" ")
+      val usedVars = vars.filter(v => pat.contains(v))
+      if (usedVars.nonEmpty) {
+        val defs = usedVars.map(v =>
+          s"$v AS event_type = '${types(rnd.nextInt(3))}'")
+          .mkString(", ")
+        val mode = rnd.nextInt(3) match {
+          case 0 => "MODE STRICT"
+          case 1 => "MODE RELAXED"
+          case _ => ""
+        }
+        val within =
+          if (rnd.nextBoolean()) s"WITHIN ${100 + rnd.nextInt(400)}"
+          else ""
+        // span fingerprint via measures (ONE ROW output has no
+        // match_start/match_end columns): the head variable binds the
+        // match's first row; the last bound row is the max LAST ts
+        // across variables (unbound optionals coalesce to the losing
+        // -1)
+        val eTs =
+          if (usedVars.length == 1)
+            s"coalesce(LAST(${usedVars.head}.ts_us), -1)"
+          else usedVars.map(v => s"coalesce(LAST($v.ts_us), -1)")
+            .mkString("greatest(", ", ", ")")
+        def stmt(rowMode: String) =
+          s"""SELECT * FROM mr_fuzz_view MATCH_RECOGNIZE (
+             |  PARTITION BY user_id
+             |  ORDER BY ts_us, event_id
+             |  MEASURES FIRST(${usedVars.head}.ts_us) AS s_ts,
+             |           $eTs AS e_ts
+             |  $rowMode
+             |  PATTERN ($pat)
+             |  $within
+             |  $mode
+             |  DEFINE $defs
+             |)""".stripMargin
+        try {
+          val one = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+            parser.parsePlan(stmt("ONE ROW PER MATCH")))
+            .select($"user_id", $"s_ts", $"e_ts")
+            .as[(Long, Long, Long)].collect()
+          val all = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+            parser.parsePlan(stmt("ALL ROWS PER MATCH")))
+            .select($"user_id", $"match_start", $"match_end")
+            .as[(Long, Long, Long)].collect()
+          assert(one.toSet == all.toSet,
+            s"trial $trial: ONE ROW spans ${one.toSet.size} != ALL " +
+              s"ROWS spans ${all.toSet.size} for PATTERN ($pat) " +
+              s"$mode $within")
+          // and every span appears at least as often as its ONE ROW
+          // multiplicity claims matches exist
+          assert(one.nonEmpty || all.isEmpty)
+          checked += 1
+        } catch {
+          // statements the dialect legitimately rejects (zero-width
+          // first element etc.) must fail with ITS error type, not
+          // a misparse deeper in Spark
+          case _: IllegalArgumentException => ()
+        }
+      }
+    }
+    assert(checked >= 10, s"only $checked fuzz statements ran")
+  }
 }
