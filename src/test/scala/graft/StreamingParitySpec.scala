@@ -1220,4 +1220,85 @@ class StreamingParitySpec extends SparkSpec {
         (2L, Some(2.0), "b", 4L)))
     } finally q.stop()
   }
+
+  test("seeded streaming parity fuzz: random statements produce " +
+      "identical ALL ROWS output on the streaming executor") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(424242L)
+    val types = Vector("A", "B", "X")
+    val rows = (1L to 36L).map { i =>
+      (i, i * 1000L, 1L + (i % 2), types(rnd.nextInt(3)))
+    }
+    val ticks = Seq((91L, 300000L, 9L, "T"), (92L, 600000L, 9L, "T"))
+    (rows ++ ticks).toDF("event_id", "ts_ms", "user_id", "event_type")
+      .createOrReplaceTempView("mr_sfuzz_batch")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // distinct per-variable types keep the live-partial count far
+    // below maxPartials (an unbounded same-predicate `v0+ v1+`
+    // explodes into 2^k subsequence alternatives, and beyond the cap
+    // the engine drops alternatives best-effort — see DIALECT.md)
+    val quants = Vector("", "+", "{1,2}", "{2}", "{1,3}?", "+?")
+    var checked = 0
+    for (trial <- 1 to 8) {
+      val nVars = 1 + rnd.nextInt(2)
+      val pat = (0 until nVars).map(i =>
+        s"v$i${quants(rnd.nextInt(quants.length))}").mkString(" ")
+      val shuffledTypes = rnd.shuffle(types)
+      val defs = (0 until nVars).map(i =>
+        s"v$i AS event_type = '${shuffledTypes(i)}'")
+        .mkString(", ")
+      val mode = if (rnd.nextBoolean()) "MODE STRICT" else ""
+      // drawn ONCE outside the statement builder: the builder runs
+      // for both sides (and lazily in assert messages), and a draw
+      // inside it would compare two DIFFERENT statements — the
+      // harness bug this fuzz's first version shipped with
+      val within = 5000 + rnd.nextInt(20000)
+      val stmt = (table: String, streamingClauses: String) =>
+        s"""SELECT * FROM $table MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_ms, event_id
+           |  MEASURES FIRST(v0.event_id) AS f_id
+           |  ALL ROWS PER MATCH
+           |  PATTERN ($pat)
+           |  WITHIN $within
+           |  $streamingClauses
+           |  $mode
+           |  DEFINE $defs
+           |)""".stripMargin
+      val input = MemoryStream[(Long, Long, Long, String)]
+      input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+        .withColumn("etc", timestamp_millis($"ts_ms"))
+        .withWatermark("etc", "10 seconds")
+        .createOrReplaceTempView("mr_sfuzz_stream")
+      val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_sfuzz_stream", "EVENTTIME etc")))
+      val name = s"mr_sfuzz_sink_$trial"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        val cut = 10 + rnd.nextInt(20)
+        input.addData(rows.take(cut): _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(cut) :+ ticks(0): _*)
+        q.processAllAvailable()
+        input.addData(ticks(1))
+        q.processAllAvailable()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.filter($"user_id" <= 2L)
+            .select($"event_id", $"classifier", $"match_start",
+              $"match_end", $"f_id")
+            .as[(Long, String, Long, Long, Long)]
+            .collect().sortBy(r => (r._1, r._3, r._4, r._2)).toSeq
+        val streamed = canon(spark.table(name))
+        val batch = canon(org.apache.spark.sql.GraftSqlBridge.ofRows(
+          spark, parser.parsePlan(stmt("mr_sfuzz_batch", ""))))
+        assert(streamed == batch,
+          s"trial $trial diverged for ${stmt("mr_sfuzz_batch", "")}: " +
+            s"stream=${streamed.size} batch=${batch.size}")
+        checked += 1
+      } finally q.stop()
+    }
+    assert(checked == 8)
+  }
 }
