@@ -3460,7 +3460,7 @@ class MatchRecognizeSpec extends SparkSpec {
 
   test("seeded statement fuzz: ONE ROW and ALL ROWS describe the " +
       "same match spans, across random patterns, quantifier forms, " +
-      "and MODE STRICT") {
+      "anchors, skip modes, and MODE STRICT") {
     // one invariant that must hold for ANY statement: both row modes
     // describe the SAME matches, so the set of (user_id, match_start,
     // match_end) spans must be identical between them (counts can
@@ -3513,6 +3513,12 @@ class MatchRecognizeSpec extends SparkSpec {
         val within =
           if (rnd.nextBoolean()) s"WITHIN ${100 + rnd.nextInt(400)}"
           else ""
+        val skipClause = rnd.nextInt(4) match {
+          case 0 => "AFTER MATCH SKIP PAST LAST ROW"
+          case 1 => "AFTER MATCH SKIP TO NEXT ROW"
+          case _ => ""
+        }
+        val anchored = if (rnd.nextInt(5) == 0) s"^ $pat" else pat
         // span fingerprint via measures (ONE ROW output has no
         // match_start/match_end columns): the head variable binds the
         // match's first row; the last bound row is the max LAST ts
@@ -3530,7 +3536,8 @@ class MatchRecognizeSpec extends SparkSpec {
              |  MEASURES FIRST(${usedVars.head}.ts_us) AS s_ts,
              |           $eTs AS e_ts
              |  $rowMode
-             |  PATTERN ($pat)
+             |  $skipClause
+             |  PATTERN ($anchored)
              |  $within
              |  $mode
              |  DEFINE $defs
