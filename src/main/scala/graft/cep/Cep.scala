@@ -108,11 +108,44 @@ object Cep {
         * counter outlives quiescence by design: numbering is defined
         * over the key's whole lifetime, so a numbered key retains a
         * minimal state entry. */
-      matchSeq: Long = 0L)
+      matchSeq: Long = 0L,
+      /** Serialized-state schema version ([[CepState.VERSION]]).
+        * Kryo state is not self-describing: restoring a checkpoint
+        * written by an older field layout would throw deep inside
+        * kryo or misdecode silently. [[Cep.restored]] checks this tag
+        * and rejects foreign state with a clear error instead. */
+      version: Int = CepState.VERSION)
 
   object CepState {
+    /** Bump whenever [[CepState]]'s field set/order or any state-held
+      * type changes shape. History: 1 = through round 11; 2 = round 12
+      * (pendingCands + 3-tuple Nfa.snapshot); 3 = round 13
+      * (heldMatches/matchSeq for MATCH_NUMBER). Restores across a bump
+      * require a fresh checkpointLocation (documented in DIALECT.md). */
+    val VERSION = 3
     def empty[E]: CepState[E] =
       CepState[E](Vector.empty, Nil, false, Long.MinValue, Long.MinValue)
+  }
+
+  /** Restore-time guard for kryo-serialized streaming state: a
+    * checkpoint written by an older [[CepState]] shape either throws
+    * inside kryo or decodes into a wrong-version object — both
+    * surface here as one actionable error (fresh checkpointLocation)
+    * instead of silent state corruption mid-stream. */
+  private[graft] def restored[E](read: => Option[CepState[E]]): CepState[E] = {
+    def incompat(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        "CEP streaming-state restore: the checkpoint was written by an " +
+          "incompatible (older) graft CepState schema; kryo state has " +
+          "no migration path. Restart the query with a fresh " +
+          "checkpointLocation to rebuild state from the source.", cause)
+    val got = try read catch { case e: Exception => incompat(e) }
+    got match {
+      case None => CepState.empty[E]
+      case Some(st) =>
+        if (st.version != CepState.VERSION) incompat(null)
+        st
+    }
   }
 
   /** SQL:2016 PREV/NEXT row navigation on a stream: a per-key release
@@ -394,7 +427,7 @@ object Cep {
     // window resolves while a withheld event could still violate it
 
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
-      val prev = state.getOption.getOrElse(CepState.empty[E])
+      val prev = restored(state.getOption)
       val wmMs = state.getCurrentWatermarkMs()
       val wm = wmMs * tsScale // watermark in event-time units
 
@@ -462,7 +495,7 @@ object Cep {
       private def run(k: K, incoming: Seq[E],
           timers: TimerValues): Iterator[O] = {
         val wmMs = timers.getCurrentWatermarkInMs()
-        val prev = if (st.exists()) st.get() else CepState.empty[E]
+        val prev = restored(if (st.exists()) Some(st.get()) else None)
         val (next, matches, wake) = step(
           prev, incoming, wmMs * tsScale, hasWatermark = wmMs > 0,
           pattern, tsOf, tieBreak, neighborhood, unmatchedWithin,

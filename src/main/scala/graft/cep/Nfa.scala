@@ -32,7 +32,14 @@ import scala.collection.mutable.ArrayBuffer
   * is O(live partials × pattern length), never O(stream).
   */
 final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
-    val tieOf: E => Long = null) extends Serializable {
+    val tieOf: E => Long = null,
+    /** Bind-time materializer: when the caller feeds events from a
+      * REUSED buffer (the batch operator's scan iterator), this copies
+      * an event out of it — lazily, the first time THIS event is
+      * actually retained by a partial, so rows no live partial binds
+      * (the dominant population on sparse-match scans) are never
+      * copied. null = events are already owned (streaming, tests). */
+    val materialize: E => E = null) extends Serializable {
   private val elems = pattern.steps
   require(elems.nonEmpty, "pattern needs at least one step")
   pattern.skipToVar.foreach { case (v, _) =>
@@ -150,9 +157,19 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
     v
   }
 
+  // per-onEvent cache: every retention of one event materializes once
+  private var matValid = false
+  private var matVal: E = _
+  @inline private def mat(e: E): E =
+    if (materialize == null) e
+    else {
+      if (!matValid) { matVal = materialize(e); matValid = true }
+      matVal
+    }
+
   private def bound(p: Partial[E], slot: Int, e: E): Vector[Vector[E]] = {
     val g = grown(p.groups, slot)
-    g.updated(slot, g(slot) :+ e)
+    g.updated(slot, g(slot) :+ mat(e))
   }
 
   private def slotFilled(p: Partial[E], slot: Int): Boolean =
@@ -538,6 +555,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
 
   /** Process one event (must be fed in non-decreasing ts order). */
   def onEvent(e: E): IndexedSeq[PatternMatch[E]] = {
+    matValid = false // new event: invalidate the bind-time copy cache
     val t = tsOf(e)
     val out = ArrayBuffer.empty[PatternMatch[E]]
     // time passes: absence windows ending at or before t resolve first,
@@ -843,13 +861,13 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       elems.head match {
         case s: Step[E] =>
           if (evalSeed(s, e)) {
-            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t,
+            val np = Partial(0, 1, t, Vector(Vector(mat(e))), elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
         case g: GroupSeq[E] =>
           if (evalSeed(g.steps(0), e)) {
-            val np = Partial(0, 1, t, Vector(Vector(e)), elemTs = t,
+            val np = Partial(0, 1, t, Vector(Vector(mat(e))), elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
           }
@@ -859,8 +877,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
             else if (evalSeed(l.right, e)) 1
             else -1
           if (slot >= 0) {
-            val g = if (slot == 0) Vector(Vector(e))
-              else Vector(Vector.empty[E], Vector(e))
+            val g = if (slot == 0) Vector(Vector(mat(e)))
+              else Vector(Vector.empty[E], Vector(mat(e)))
             val np = Partial(0, 1, t, g, elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -868,7 +886,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case pm: Permute[E] =>
           pm.steps.indices.find(i => evalSeed(pm.steps(i), e))
             .foreach { i =>
-              val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(e)
+              val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(mat(e))
               val np = Partial(0, 1, t, g, elemTs = t,
                 startTie = if (tieOf == null) 0L else tieOf(e))
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -876,7 +894,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case ps: PermSeq[E] =>
           ps.steps.indices.find(i => evalSeed(ps.steps(i), e))
             .foreach { i =>
-              val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(e)
+              val g = Vector.fill(i)(Vector.empty[E]) :+ Vector(mat(e))
               val np = Partial(0, 1, t, g, elemTs = t,
                 startTie = if (tieOf == null) 0L else tieOf(e))
               if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -887,8 +905,8 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
             else if (evalSeed(al.right, e)) 1
             else -1
           if (slot >= 0) {
-            val g = if (slot == 0) Vector(Vector(e))
-              else Vector(Vector.empty[E], Vector(e))
+            val g = if (slot == 0) Vector(Vector(mat(e)))
+              else Vector(Vector.empty[E], Vector(mat(e)))
             val np = Partial(0, 1, t, g, elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -896,7 +914,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case ng: NestedGroup[E] =>
           val slot = ngBindSlot(ng, 0, 0, 0, null, e, seed = true)
           if (slot >= 0) {
-            val g = Vector.fill(slot)(Vector.empty[E]) :+ Vector(e)
+            val g = Vector.fill(slot)(Vector.empty[E]) :+ Vector(mat(e))
             val np = Partial(0, 1, t, g, elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e))
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)
@@ -904,7 +922,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         case rx: RxElem[E] =>
           rx.eventBranches(rx.initState, rx.initCnt, e,
             s => evalSeed(s, e)).foreach { case (st2, c2, off) =>
-            val g = Vector.fill(off)(Vector.empty[E]) :+ Vector(e)
+            val g = Vector.fill(off)(Vector.empty[E]) :+ Vector(mat(e))
             val np = Partial(0, st2, t, g, elemTs = t,
               startTie = if (tieOf == null) 0L else tieOf(e), rxCnt = c2)
             if (!emitIfComplete(np, evOut, t)) addPartial(np, t, next)

@@ -239,15 +239,29 @@ private[graft] object MatchRecognizeSql {
     * only `'…'` — enough for the MATCH_RECOGNIZE body, but the factor
     * rewrite runs over ARBITRARY statements on the session parse path,
     * where a commented-out or quoted `match_recognize(` must not fire.
+    *
+    * `backslashEscapes` mirrors Spark's lexer: by default (when
+    * `spark.sql.parser.escapedStringLiterals` is false) a backslash
+    * inside a '…' or "…" literal escapes the next character, so
+    * `'don\'t'` is ONE literal — the mask must skip the escaped quote
+    * or it desynchronizes and the factor scan can fire inside a
+    * string. Backquoted identifiers never use backslash escapes
+    * (doubling is the escape there, which the plain loop already
+    * handles position-safely).
     */
-  private[plans] def maskSql(s: String): String = {
+  private[plans] def maskSql(s: String,
+      backslashEscapes: Boolean = true): String = {
     val b = s.toCharArray
     var i = 0
     while (i < b.length) {
       b(i) match {
         case q @ ('\'' | '"' | '`') =>
           i += 1
-          while (i < b.length && b(i) != q) { b(i) = ' '; i += 1 }
+          while (i < b.length && b(i) != q) {
+            if (backslashEscapes && q != '`' && b(i) == '\\' &&
+                i + 1 < b.length) { b(i) = ' '; i += 1 }
+            b(i) = ' '; i += 1
+          }
           i += 1
         case '-' if i + 1 < b.length && b(i + 1) == '-' =>
           while (i < b.length && b(i) != '\n') { b(i) = ' '; i += 1 }
@@ -270,7 +284,11 @@ private[graft] object MatchRecognizeSql {
     // cheap pre-check: ~every statement on the session parse path
     // lacks the keyword — skip the masking copy and regex scan
     if (!sqlText.toLowerCase.contains("match_recognize")) return None
-    val masked = maskSql(sqlText)
+    // legacy escapedStringLiterals=true turns OFF backslash escaping
+    // in Spark's lexer; mirror it so the mask tracks the real lexer
+    val masked = maskSql(sqlText,
+      backslashEscapes = !session.sessionState.conf.getConfString(
+        "spark.sql.parser.escapedStringLiterals", "false").toBoolean)
     val ms = factorRe.findAllMatchIn(masked).toList
     if (ms.isEmpty) None
     else {
@@ -293,9 +311,16 @@ private[graft] object MatchRecognizeSql {
         val body = sqlText.substring(open + 1, i)
         val df = compile(session, delegate,
           s"SELECT * FROM $table MATCH_RECOGNIZE ($body)")
+        // two independent 32-bit murmur seeds + the body length:
+        // a silent collision between distinct factors in one session
+        // would bind both substitutions to one view, so the name is
+        // made collision-proof (~96 bits of discrimination)
+        val keyed = table + " " + body
         val view = "_mr_factor_" + java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(
-            table + " " + body))
+            scala.util.hashing.MurmurHash3.stringHash(keyed)) +
+          "_" + java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(keyed, 0x9e3779b9)) +
+          "_" + java.lang.Integer.toHexString(body.length)
         df.createOrReplaceTempView(view)
         sb.replace(mm.start, i + 1, view)
       }
@@ -345,7 +370,15 @@ private[graft] object MatchRecognizeSql {
     var in = false
     var i = 0
     while (i < b.length) {
-      if (b(i) == '\'') in = !in
+      if (in && b(i) == '\\' && i + 1 < b.length) {
+        // Spark's default lexer: backslash escapes the next char
+        // inside a literal ('don\'t' is ONE literal) — mask both or
+        // the scan desynchronizes at the escaped quote. (Under the
+        // legacy escapedStringLiterals=true conf backslashes are
+        // literal; the dialect documents default-lexing here.)
+        b(i) = ' '; i += 1; b(i) = ' '
+      }
+      else if (b(i) == '\'') in = !in
       else if (in) b(i) = ' '
       i += 1
     }
@@ -389,13 +422,21 @@ private[graft] object MatchRecognizeSql {
     val cur = new StringBuilder
     var depth = 0
     var inQuote = false
-    s.foreach { c =>
-      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote && c == '\\' && i + 1 < s.length) {
+        // Spark's default lexer: backslash escapes the next char
+        // inside a literal — 'don\'t' must not toggle the quote state
+        cur.append(c).append(s.charAt(i + 1)); i += 1
+      }
+      else if (c == '\'') { inQuote = !inQuote; cur.append(c) }
       else if (!inQuote && c == '(') { depth += 1; cur.append(c) }
       else if (!inQuote && c == ')') { depth -= 1; cur.append(c) }
       else if (!inQuote && depth == 0 && c == sep) {
         out += cur.toString; cur.clear()
       } else cur.append(c)
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -765,15 +806,33 @@ private[graft] object MatchRecognizeSql {
       case PPermute(is) => allPlain(is).map(NPerm(_))
       case _ => None
     }
+    // MODE STRICT: ISO SQL:2016 contiguous matching — a live partial
+    // that does not consume an event dies (and the quantifier branch
+    // that declined it dies with it), so matched rows are gap-free.
+    // One pattern-level NFA flag (PatternDef.strictAll), so EVERY
+    // pattern shape composes: groups, alternations, PERMUTE,
+    // exclusions, recursive nesting — batch and both streaming
+    // executors through the shared step kernel.
+    val strictMode = sec.get("mode").map(_.trim.toLowerCase) match {
+      case None => false
+      case Some("strict") => true
+      case Some("relaxed") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"MODE takes STRICT or RELAXED, got: $other")
+    }
     // reluctant (lazy) quantifier semantics under the engine's relaxed
     // (skip-till-next-match) matching: optional growth is NEVER forced
     // (the tail can always bind a later event), so the lazy form binds
     // exactly `min` events (min 0 → at most one, with the skip-mode
     // election preferring the zero-width variant). This also bounds
     // state: the greedy form's branch-per-extension exploration never
-    // starts.
+    // starts. Under MODE STRICT that rationale fails — contiguity can
+    // FORCE growth (PATTERN (a b*? c) over rows a,b,c needs b to bind
+    // once) — so strict keeps the TRUE max and ISO reluctance comes
+    // from the election's fewer-rows preferment for reluctant slots
+    // ([[graft.cep.Nfa]] candOrder), a preference rather than a cap.
     def lazyMax(mn: Int, mx: Int, rel: Boolean): Int =
-      if (rel) math.max(mn, 1) else mx
+      if (rel && !strictMode) math.max(mn, 1) else mx
     def classify(item: PNode): PatElem = item match {
       case PVar(n) => Single(n, 1, 1)
       case PQuant(PVar(n), mn, mx, rel) =>
@@ -981,10 +1040,30 @@ private[graft] object MatchRecognizeSql {
     // for both. Batch only (lag over an unbounded stream).
     // textual rewrites skip string literals: the text splits on
     // quotes, rewrites run on the OUTSIDE segments only
-    def rewriteOutsideLiterals(s: String)(f: String => String): String =
-      s.split("'", -1).zipWithIndex.map {
-        case (seg, i) => if (i % 2 == 0) f(seg) else seg
-      }.mkString("'")
+    // escape-aware: a backslash-escaped quote inside a literal
+    // ('don\'t') must not flip the inside/outside alternation
+    def rewriteOutsideLiterals(s: String)(f: String => String): String = {
+      val sb = new StringBuilder
+      val chunk = new StringBuilder
+      var in = false
+      def flush(): Unit = {
+        sb.append(if (in) chunk.toString else f(chunk.toString))
+        chunk.clear()
+      }
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (in && c == '\\' && i + 1 < s.length) {
+          chunk.append(c).append(s.charAt(i + 1)); i += 1
+        } else if (c == '\'') {
+          if (!in) { flush(); in = true; chunk.append(c) }
+          else { chunk.append(c); flush(); in = false }
+        } else chunk.append(c)
+        i += 1
+      }
+      flush()
+      sb.toString
+    }
     val prevRe =
       """(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
     // a var-qualified argument inside PREV/NEXT would otherwise be
@@ -1380,20 +1459,6 @@ private[graft] object MatchRecognizeSql {
         MatchRecognize.ERxAlt(is.permutations.map(p =>
           MatchRecognize.ERxSeq(p.map(toERx))).toSeq)
     }
-    // MODE STRICT: ISO SQL:2016 contiguous matching — a live partial
-    // that does not consume an event dies (and the quantifier branch
-    // that declined it dies with it), so matched rows are gap-free.
-    // One pattern-level NFA flag (PatternDef.strictAll), so EVERY
-    // pattern shape composes: groups, alternations, PERMUTE,
-    // exclusions, recursive nesting — batch and both streaming
-    // executors through the shared step kernel.
-    val strictMode = sec.get("mode").map(_.trim.toLowerCase) match {
-      case None => false
-      case Some("strict") => true
-      case Some("relaxed") => false
-      case Some(other) => throw new IllegalArgumentException(
-        s"MODE takes STRICT or RELAXED, got: $other")
-    }
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) =>
         MatchRecognize.EStep(n, pred(n), mn, mx)
@@ -1560,8 +1625,14 @@ private[graft] object MatchRecognizeSql {
         }
       }
     // MATCH_NUMBER(): sequential number of the match within its
-    // partition (1-based, leftmost-first — ties on equal (start, end)
-    // keep a deterministic but arbitrary order). Batch: a
+    // partition (1-based, leftmost-first). Same-span alternatives of
+    // one attempt (every-mode emission) tie on (start, end), so the
+    // order adds each slot's binding count (declaration order,
+    // fewer-first) as tiebreakers — span + count profile pins every
+    // shape the batch fuzz emits; the residual tie (equal span AND
+    // equal per-slot counts, e.g. two PERMUTE orders over the same
+    // rows) keeps an unspecified stable-partition order, documented
+    // in DIALECT.md. Batch: a
     // post-operator window over the match relation (the operator's
     // output is already hash-partitioned on the keys, so the planner
     // adds only a local sort, no extra shuffle). Streaming: the
@@ -1581,7 +1652,8 @@ private[graft] object MatchRecognizeSql {
       if (src.isStreaming) "`match_seq`"
       else s"row_number() over (partition by " +
         s"${keys.map(k => s"`$k`").mkString(", ")} " +
-        "order by `match_start`, `match_end`)"
+        "order by `match_start`, `match_end`" +
+        varNames.map(v => s", size(`$v`)").mkString + ")"
     def rewriteMn(seg: String): String =
       mnRe.replaceAllIn(seg,
         java.util.regex.Matcher.quoteReplacement(mnSql))

@@ -225,18 +225,22 @@ case class MatchRecognizeExec(
                   else nfa.flush()
                 val prevKey = curKey
                 curKey = k.copy()
-                nfa = new Nfa(pat, tsOf, tieOf)
+                // bind-time materializer: rows live in the scan
+                // iterator's reused buffer, so the NFA copies a row
+                // out lazily the first time a partial actually binds
+                // it — rows that are walked but never retained (all of
+                // them, on a matchless stretch with a live partial)
+                // are never copied
+                nfa = new Nfa(pat, tsOf, tieOf,
+                  materialize = (r: InternalRow) => r.copy())
                 val kk = curKey
                 // quickReject: a row no live partial can bind and that
-                // cannot seed skips BOTH the defensive copy (rows are
-                // retained inside partial state, so bound rows must be
-                // copied out of the iterator's reused buffer) and the
-                // full NFA walk — the dominant row population on
-                // sparse-match workloads
+                // cannot seed also skips the full NFA walk — the
+                // dominant row population on sparse-match workloads
                 val ms =
                   if (nfa.quickReject(r))
                     IndexedSeq.empty[PatternMatch[InternalRow]]
-                  else nfa.onEvent(r.copy())
+                  else nfa.onEvent(r)
                 if (flushed.nonEmpty || ms.nonEmpty)
                   pending = flushed.iterator.map(m => emit(prevKey, m)) ++
                     ms.iterator.map(m => emit(kk, m))
@@ -245,7 +249,7 @@ case class MatchRecognizeExec(
                 val ms =
                   if (nfa.quickReject(r))
                     IndexedSeq.empty[PatternMatch[InternalRow]]
-                  else nfa.onEvent(r.copy())
+                  else nfa.onEvent(r)
                 if (ms.nonEmpty) pending = ms.iterator.map(m => emit(kk, m))
               }
             } else {

@@ -3569,4 +3569,154 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(checked >= 10, s"only $checked fuzz statements ran")
   }
+
+  test("maskSql tracks backslash-escaped quotes: the factor scan never " +
+      "fires inside a literal, and a real factor beside one still " +
+      "rewrites") {
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def one(sql: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(sql)).collect().head
+    // without the escape-aware mask, the scan desynchronizes at \' and
+    // the (unmasked) trailing text fires the factor rewrite
+    assert(one("SELECT 'don\\'t t match_recognize(x)' AS s")
+      .getString(0) == "don't t match_recognize(x)")
+    // the same literal + a REAL factor in one statement: the literal
+    // stays masked, the factor still rewrites
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_esc_view")
+    val r = one(
+      """SELECT 'don\'t match_recognize(y)' AS s, m.a_id
+        |FROM mr_esc_view MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+        |) AS m""".stripMargin)
+    assert(r.getString(0) == "don't match_recognize(y)" && r.getLong(1) == 1L)
+    // maskLiterals (the body clause scan) follows the same lexing: an
+    // escaped quote inside a DEFINE literal must not swallow the rest
+    // of the body
+    val esc = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_esc_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A' AND event_type != 'don\'t',
+          |         b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(esc == Set((1L, 2L)))
+  }
+
+  test("reluctant quantifiers under MODE STRICT keep the true max: " +
+      "contiguity can force growth, election still prefers fewer") {
+    // user 1 needs b+? to grow to TWO rows for contiguity — under the
+    // old bind-exactly-min compile (max forced to 1) the strict
+    // attempt died at the second B and user 1 had NO match. Relaxed
+    // keeps the capped lazy form: b binds once, the second B is
+    // skipped (growth is never forced when gaps are allowed).
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "B"),
+      (4L, 40L, 1L, "C"),
+      (5L, 10L, 2L, "A"), (6L, 20L, 2L, "B"), (7L, 30L, 2L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_rel_strict_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(mode: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_rel_strict_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES FIRST(a.event_id) AS a_id,
+           |           count(b.event_id) AS n_b,
+           |           c.event_id AS c_id
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN (a b+? c)
+           |  $mode
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+           |         c AS event_type = 'C'
+           |)""".stripMargin))
+        .select($"user_id", $"a_id", $"n_b", $"c_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run("MODE STRICT") ==
+      Set((1L, 1L, 2L, 4L), (2L, 5L, 1L, 7L)))
+    assert(run("") == Set((1L, 1L, 1L, 4L), (2L, 5L, 1L, 7L)))
+    // leftmost-start still outranks reluctance (ISO preferment order):
+    // over b,b,c both (b@10 b@20 c) and (b@20 c) complete on c — the
+    // earlier START wins even though it binds MORE reluctant rows.
+    // (The old bind-exactly-min compile killed the start-10 attempt
+    // outright and could only ever emit the later start.)
+    Seq((1L, 10L, 1L, "B"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_rel_strict2_view")
+    val short = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_rel_strict2_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES count(b.event_id) AS n_b, c.event_id AS c_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (b+? c)
+          |  MODE STRICT
+          |  DEFINE b AS event_type = 'B', c AS event_type = 'C'
+          |)""".stripMargin))
+      .select($"n_b", $"c_id").as[(Long, Long)].collect().toSet
+    assert(short == Set((2L, 3L)))
+  }
+
+  test("MATCH_NUMBER() numbers same-span every-mode alternatives by " +
+      "slot-count tiebreakers, deterministically across runs") {
+    // the X row satisfies BOTH a+ (extension, which keeps the
+    // original branch live) and b — so the attempt at A@10 emits two
+    // SAME-SPAN (10,30) alternatives, a=[10,20] vs a=[10], exactly
+    // the every-mode tie the slot-count tiebreaker must order
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "X"), (3L, 30L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_mn_tie_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run() =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        """SELECT * FROM mr_mn_tie_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES MATCH_NUMBER() AS mn, count(a.event_id) AS n_a,
+          |           count(b.event_id) AS n_b
+          |  PATTERN (a+ b)
+          |  DEFINE a AS event_type IN ('A', 'X'),
+          |         b AS event_type IN ('X', 'B')
+          |)""".stripMargin))
+        .select($"mn", $"n_a", $"n_b").as[(Long, Long, Long)]
+        .collect().toSet
+    val first = run()
+    // spans in order: (10,20) → mn 1; the same-span (10,30) pair by
+    // size(a) fewer-first: a=1 → mn 2, a=2 → mn 3; (20,30) → mn 4
+    assert(first == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L),
+      (4L, 1L, 1L)))
+    (1 to 3).foreach(_ => assert(run() == first))
+  }
+
+  test("streaming-state restore guard: wrong-version or undecodable " +
+      "CepState is rejected with the fresh-checkpoint error") {
+    import graft.cep.Cep
+    val ok = Cep.restored[Evt](Some(Cep.CepState.empty[Evt]))
+    assert(ok.version == Cep.CepState.VERSION)
+    assert(Cep.restored[Evt](None).version == Cep.CepState.VERSION)
+    val stale = Cep.CepState.empty[Evt].copy(version = 1)
+    val e1 = intercept[IllegalStateException] {
+      Cep.restored[Evt](Some(stale))
+    }
+    assert(e1.getMessage.contains("checkpointLocation"))
+    val e2 = intercept[IllegalStateException] {
+      Cep.restored[Evt](throw new RuntimeException("kryo boom"))
+    }
+    assert(e2.getMessage.contains("checkpointLocation") &&
+      e2.getCause.getMessage == "kryo boom")
+  }
 }
