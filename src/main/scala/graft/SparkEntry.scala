@@ -1369,6 +1369,81 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // AFTER MATCH SKIP TO LAST <subset> (round-15 lift of the old
+    // member-variable-only restriction): the resume row is the union's
+    // merged-last bound member row. Over PATTERN (a b c) with
+    // w = (a, b) that row is always the b row, so the match chain
+    // equals q176's SKIP TO LAST b — resolved through the SUBSET
+    // machinery end-to-end.
+    "q206_mr_skip_to_subset" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_skipsub_q206")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_skipsub_q206 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  AFTER MATCH SKIP TO LAST w
+          |  PATTERN (a b c)
+          |  SUBSET w = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |)""".stripMargin))
+    }),
+
+    // Composite-item PERMUTE with FIVE members (round-15 cap lift
+    // 4 -> 5; the quantified first item forces the k!-expansion path
+    // rather than the dedicated plain n-ary element): under MODE
+    // STRICT a match is five CONSECUTIVE rows carrying all five event
+    // types in any order. 366 matches at sf0.01.
+    "q208_mr_permute5" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type")).createOrReplaceTempView("mr_perm5_q208")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_perm5_q208 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id, d.event_id AS d_id,
+          |           e.event_id AS e_id
+          |  PATTERN (PERMUTE(a{1,1}, b, c, d, e))
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+          |         c AS event_type = 'purchase',
+          |         d AS event_type = 'signup', e AS event_type = 'error'
+          |)""".stripMargin))
+    }),
+
+    // Aggregate over an EXPRESSION argument in DEFINE (round-15 lift
+    // of the single-column restriction): `MAX(a.value * 2)` compiles
+    // to a derived input column + the existing running-marker
+    // machinery — each click's first subsequent purchase priced above
+    // TWICE the click's value, inside 2 h.
+    "q207_mr_define_expr_agg" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_xagg_q207")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_xagg_q207 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |           AND value > MAX(a.value * 2)
+          |)""".stripMargin))
+    }),
+
     // MODE STRICT over a composite pattern: the alternation must bind
     // the IMMEDIATELY next row after the click (strictAll is one
     // NFA-level flag, so every pattern shape composes).
@@ -8072,6 +8147,88 @@ object SparkEntry {
     // match_start/match_end are the pair's timestamps, a_id the FINAL
     // measure repeated on both rows
     // q58's a-rows only: the b side suppressed, its measure retained
+    // five consecutive rows per user carrying all five types in any
+    // order (overlapping windows; each var id picked by its type)
+    "q208_mr_permute5" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lead(event_type,1) OVER w AS t1, lead(event_type,2) OVER w AS t2,
+        |    lead(event_type,3) OVER w AS t3, lead(event_type,4) OVER w AS t4,
+        |    lead(event_id,1) OVER w AS i1, lead(event_id,2) OVER w AS i2,
+        |    lead(event_id,3) OVER w AS i3, lead(event_id,4) OVER w AS i4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |m AS (SELECT * FROM o WHERE t4 IS NOT NULL AND
+        |  list_sort([event_type, t1, t2, t3, t4]) =
+        |  ['click','error','purchase','signup','view'])
+        |SELECT user_id,
+        |  CASE WHEN event_type='click' THEN event_id WHEN t1='click' THEN i1
+        |    WHEN t2='click' THEN i2 WHEN t3='click' THEN i3 ELSE i4 END AS a_id,
+        |  CASE WHEN event_type='view' THEN event_id WHEN t1='view' THEN i1
+        |    WHEN t2='view' THEN i2 WHEN t3='view' THEN i3 ELSE i4 END AS b_id,
+        |  CASE WHEN event_type='purchase' THEN event_id WHEN t1='purchase' THEN i1
+        |    WHEN t2='purchase' THEN i2 WHEN t3='purchase' THEN i3 ELSE i4 END AS c_id,
+        |  CASE WHEN event_type='signup' THEN event_id WHEN t1='signup' THEN i1
+        |    WHEN t2='signup' THEN i2 WHEN t3='signup' THEN i3 ELSE i4 END AS d_id,
+        |  CASE WHEN event_type='error' THEN event_id WHEN t1='error' THEN i1
+        |    WHEN t2='error' THEN i2 WHEN t3='error' THEN i3 ELSE i4 END AS e_id
+        |FROM m""".stripMargin,
+
+    // each click's first later purchase with value above twice the
+    // click's value inside the 2 h window (the MAX over a single
+    // settled binding = 2 * the click value; the rn=1 election mirrors
+    // the engine's first-qualifying-row bind)
+    "q207_mr_define_expr_agg" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type FROM events),
+        |s1 AS (SELECT * FROM (SELECT a.user_id, a.event_id AS a_id,
+        |    b.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM o a JOIN o b ON a.user_id = b.user_id
+        |    AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND b.value > a.value * 2
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, a_id, b_id FROM s1""".stripMargin,
+
+    // same greedy chain as q176: w = (a, b)'s merged-last member row
+    // over PATTERN (a b c) is always the b row, so the recursive-CTE
+    // resume-at-b oracle transfers verbatim
+    "q206_mr_skip_to_subset" ->
+      """WITH RECURSIVE o AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS us, event_type FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, us AS a_us FROM o
+        |  WHERE event_type = 'click'),
+        |s1 AS (SELECT * FROM (SELECT a.user_id, a.a_id, a.a_us,
+        |    b.event_id AS b_id, b.us AS b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM a JOIN o b ON a.user_id = b.user_id
+        |    AND b.event_type = 'view'
+        |    AND (b.us > a.a_us OR (b.us = a.a_us
+        |      AND b.event_id > a.a_id))) WHERE rn = 1),
+        |m AS (SELECT * FROM (SELECT s1.user_id, s1.a_id, s1.a_us,
+        |    s1.b_id, s1.b_us, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.a_id
+        |      ORDER BY c.us, c.event_id) AS rn
+        |  FROM s1 JOIN o c ON s1.user_id = c.user_id
+        |    AND c.event_type = 'purchase'
+        |    AND (c.us > s1.b_us OR (c.us = s1.b_us
+        |      AND c.event_id > s1.b_id))) WHERE rn = 1),
+        |chain AS (
+        |  SELECT user_id, a_id, a_us, b_id, b_us, c_id FROM (
+        |    SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY a_us, a_id) AS rn2 FROM m) WHERE rn2 = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.a_id, n.a_us, n.b_id, n.b_us, n.c_id
+        |  FROM chain ch JOIN LATERAL (
+        |    SELECT * FROM m WHERE m.user_id = ch.user_id
+        |      AND (m.a_us > ch.b_us OR (m.a_us = ch.b_us
+        |        AND m.a_id >= ch.b_id))
+        |    ORDER BY m.a_us, m.a_id LIMIT 1) n ON true
+        |)
+        |SELECT user_id, a_id, b_id, c_id FROM chain""".stripMargin,
+
     // three adjacent purchase rows per user (overlapping windows)
     "q205_mr_strict_streak" ->
       """WITH o AS (SELECT user_id, event_id, event_type,

@@ -101,8 +101,9 @@ object Cep {
         * [[Nfa.snapshot]]); empty otherwise. */
       pendingCands: List[PatternMatch[E]] = Nil,
       /** MATCH_NUMBER() bookkeeping (only when `numberMatches`):
-        * completed matches held until no earlier-starting live work
-        * remains, so numbers follow the batch `(start, end)` order… */
+        * completed matches held until no at-or-before-starting live
+        * work remains and the watermark passes their start ts, so
+        * numbers follow the batch `(start, end, slot sizes)` order… */
       heldMatches: Vector[PatternMatch[E]] = Vector.empty,
       /** …and the count of numbers already assigned for this key. The
         * counter outlives quiescence by design: numbering is defined
@@ -120,9 +121,12 @@ object Cep {
     /** Bump whenever [[CepState]]'s field set/order or any state-held
       * type changes shape. History: 1 = through round 11; 2 = round 12
       * (pendingCands + 3-tuple Nfa.snapshot); 3 = round 13
-      * (heldMatches/matchSeq for MATCH_NUMBER). Restores across a bump
-      * require a fresh checkpointLocation (documented in DIALECT.md). */
-    val VERSION = 3
+      * (heldMatches/matchSeq for MATCH_NUMBER); 4 = round 14 (the
+      * `version` tag field itself — adding it changed the kryo field
+      * layout, so pre-tag checkpoints are incompatible too). Restores
+      * across a bump require a fresh checkpointLocation (documented in
+      * DIALECT.md). */
+    val VERSION = 4
     def empty[E]: CepState[E] =
       CepState[E](Vector.empty, Nil, false, Long.MinValue, Long.MinValue)
   }
@@ -131,7 +135,17 @@ object Cep {
     * checkpoint written by an older [[CepState]] shape either throws
     * inside kryo or decodes into a wrong-version object — both
     * surface here as one actionable error (fresh checkpointLocation)
-    * instead of silent state corruption mid-stream. */
+    * instead of silent state corruption mid-stream.
+    *
+    * Coverage caveat (documented in DIALECT.md): the decode-failure arm
+    * is guaranteed only on the transformWithState executor, whose state
+    * reads are lazy (`st.get()` runs inside this guard). On
+    * flatMapGroupsWithState Spark's stateManager deserializes the kryo
+    * blob EAGERLY before the user function is invoked, so a
+    * layout-incompatible checkpoint throws raw kryo there and never
+    * reaches this try — best-effort on that executor; the
+    * version-mismatch arm (structurally decodable foreign state) is
+    * guarded on both. */
   private[graft] def restored[E](read: => Option[CepState[E]]): CepState[E] = {
     def incompat(cause: Throwable): Nothing =
       throw new IllegalStateException(
@@ -211,11 +225,13 @@ object Cep {
       unmatchedWithin: Option[Long] = None,
       /** SQL:2016 MATCH_NUMBER(): stamp each emitted match's [[PatternMatch.seq]]
         * with its 1-based per-key number in the batch operator's
-        * `(match_start, match_end)` order. A completed match is held in
-        * state until no live partial or pending candidate with an
-        * earlier start key remains (such work could still complete a
-        * match that sorts first), so a WITHIN bound is required — it is
-        * what guarantees every blocker eventually completes or expires.
+        * `(match_start, match_end, size(v1), …)` order. A completed
+        * match is held in state until no live partial or pending
+        * candidate starting at-or-before its start ts remains AND the
+        * watermark has strictly passed that ts (either could still
+        * produce a match that sorts first under the batch key), so a
+        * WITHIN bound is required — it is what guarantees every blocker
+        * eventually completes or expires.
         */
       numberMatches: Boolean = false): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
     require(unmatchedWithin.isEmpty ||
@@ -345,12 +361,22 @@ object Cep {
     }
     val unmatchedMatches = unmatchedOut.map(e =>
       PatternMatch(tsOf(e), tsOf(e), Map(UnmatchedSlot -> Vector(e))))
-    // MATCH_NUMBER(): completed matches join the held set; the sorted
-    // prefix whose start keys precede every live partial's and pending
-    // candidate's start key is released and stamped from the counter —
-    // an earlier-starting blocker could still complete a match that
-    // sorts first (any future completion of a SAME-start blocker ends
-    // strictly later, so it sorts after and does not block).
+    // MATCH_NUMBER(): completed matches join the held set, sorted by the
+    // BATCH numbering key — `(match_start, match_end, size(v1), …)` in
+    // declaration order, exactly the batch operator's row_number window
+    // (ties beyond that key keep the deterministic (ts, tie) bound-event
+    // identities; batch leaves them unspecified, documented in
+    // DIALECT.md). A match is released and stamped only once nothing can
+    // still produce a match that sorts BEFORE it under that key:
+    //   - no live partial or pending candidate starts at-or-before its
+    //     start ts (a same-START-TS blocker could complete with a
+    //     smaller end or smaller slot counts — the batch key drops the
+    //     tie, so same-ts-different-tie work must block too), and
+    //   - the watermark has STRICTLY passed its start ts (a same-ts
+    //     higher-tie event arriving in a later micro-batch could
+    //     otherwise seed a new earlier-sorting match).
+    // Both fences resolve: blockers complete or expire under the
+    // required WITHIN, and the watermark advances past any fixed ts.
     val (realOut, heldOut, nSeq) =
       if (!numberMatches)
         (matches ++ timeMatches, prev.heldMatches, prev.matchSeq)
@@ -360,28 +386,30 @@ object Cep {
             "follows (match_start, match_end) order, so each completed " +
             "match waits for every earlier-starting partial to " +
             "complete or expire, and only WITHIN bounds that wait")
-        def mKeys(m: PatternMatch[E]): ((Long, Long), (Long, Long)) = {
+        val slotOrder = pattern.steps.flatMap(_.names)
+        def tieKeys(m: PatternMatch[E]): ((Long, Long), (Long, Long)) = {
           val ks = m.groups.valuesIterator.flatten
             .map(e => (tsOf(e), tieBreak(e))).toVector
           if (ks.isEmpty) ((m.startTs, Long.MinValue),
             (m.endTs, Long.MinValue))
           else (ks.min, ks.max)
         }
+        def batchKey(m: PatternMatch[E]) =
+          (m.startTs, m.endTs, slotOrder.map(n =>
+            m.groups.getOrElse(n, Vector.empty).length).toVector, tieKeys(m))
+        import scala.math.Ordering.Implicits.seqOrdering
         val held = (prev.heldMatches ++ matches ++ timeMatches)
-          .sortBy(mKeys)
-        val blockers =
-          if (nt) Nil
-          else np.map(p => (p.startTs, p.startTie)) ++
-            npend.map(c => mKeys(c)._1)
-        val (emit, stay) = blockers match {
-          case Nil => (held, Vector.empty[PatternMatch[E]])
-          case bs =>
-            val b = bs.min
-            held.partition(m => {
-              val k = mKeys(m)._1
-              k._1 < b._1 || (k._1 == b._1 && k._2 < b._2)
-            })
-        }
+          .sortBy(batchKey)
+        val blockerTs =
+          if (nt) None
+          else (np.map(_.startTs) ++ npend.map(_.startTs)).minOption
+        // the predicate depends only on startTs, and the sort's first
+        // component is startTs — the emitted set is a sorted PREFIX, so
+        // numbers assigned across release rounds stay monotone in the
+        // batch key
+        val (emit, stay) = held.partition(m =>
+          (nt || (hasWatermark && wm > m.startTs)) &&
+            blockerTs.forall(_ > m.startTs))
         (emit.zipWithIndex.map { case (m, i) =>
           m.copy(seq = prev.matchSeq + 1 + i)
         }, stay, prev.matchSeq + emit.length)
@@ -399,7 +427,12 @@ object Cep {
           pattern.withinMs.toList.flatMap(w => np.map(_.startTs + w + 1)) ++
           nfa.pendingDeadlines ++
           unmatchedWithin.toList.flatMap(w =>
-            nUndecided.headOption.map(e => tsOf(e) + w + 1))
+            nUndecided.headOption.map(e => tsOf(e) + w + 1)) ++
+          // a held numbered match waiting only on the watermark fence
+          // (wm > startTs) needs a timer — no event may ever arrive for
+          // this key again
+          (if (heldOut.isEmpty) Nil
+           else List(heldOut.iterator.map(_.startTs).min + 1))
       (Some(CepState(keep, np, nt, lastTs, lastTie, nRecent, nHeld,
         nUndecided, nBound, npend, heldOut, nSeq)),
         realOut ++ unmatchedMatches, wake)

@@ -96,12 +96,31 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
 
   private val skip = pattern.skipPastLastRow
   private val skipTo = pattern.skipToVar
+  /** Slots whose rows form the SKIP TO target: one slot for a plain
+    * variable, the member slots for a SUBSET union variable. */
+  private val skipSlots: IndexedSeq[String] =
+    pattern.skipToMembers.getOrElse(
+      skipTo.map(v => IndexedSeq(v._1)).getOrElse(IndexedSeq.empty))
   pattern.skipToVar.foreach { case (v, _) =>
-    require(slotNames.contains(v),
-      s"AFTER MATCH SKIP TO: unknown pattern variable '$v' " +
-        s"(have: ${slotNames.mkString(", ")})")
+    require(skipSlots.nonEmpty && skipSlots.forall(slotNames.contains),
+      s"AFTER MATCH SKIP TO: unknown pattern variable(s) '${
+        skipSlots.filterNot(slotNames.contains).mkString(", ")}' " +
+        s"(target '$v'; have: ${slotNames.mkString(", ")})")
     require(!skip, "skipPastLastRow and skipToVar are mutually exclusive")
   }
+
+  /** The SKIP TO target rows of an emitted match: the named slot's
+    * rows, or — for a SUBSET union — the members' merged `(ts, tie)`
+    * order (SQL:2016: a union variable's bound rows are the union of
+    * its members' rows, so FIRST/LAST read the merged extremes). */
+  private def skipRows(m: PatternMatch[E]): IndexedSeq[E] =
+    if (skipSlots.length == 1)
+      m.groups.getOrElse(skipSlots.head, IndexedSeq.empty)
+    else {
+      val merged = skipSlots.flatMap(s =>
+        m.groups.getOrElse(s, IndexedSeq.empty))
+      if (merged.length <= 1) merged else merged.sortBy(keyOf)
+    }
 
   /** Do any steps carry seed-dependent (cross-variable) predicates? With
     * them, partials are no longer in lockstep: a later-starting partial
@@ -360,7 +379,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
           live = live.filter(p => gtKey((p.startTs, p.startTie), e))
         } else {
           val (v, isFirst) = skipTo.get
-          val g = c.groups.getOrElse(v, IndexedSeq.empty)
+          val g = skipRows(c)
           if (g.isEmpty) throw new IllegalStateException(
             s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
               s"$v: the variable bound no rows in the match")
@@ -471,7 +490,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
         val sk = (p.startTs, p.startTie)
         if (resume.forall(r => geKey(sk, r))) {
           val m = buildMatch(p, deadline)
-          val g = m.groups.getOrElse(v, IndexedSeq.empty)
+          val g = skipRows(m)
           if (g.isEmpty) throw new IllegalStateException(
             s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
               s"$v: the variable bound no rows in the match")
@@ -953,7 +972,7 @@ final class Nfa[E](val pattern: PatternDef[E], val tsOf: E => Long,
       sorted.foreach { m =>
         val sk = startKeyOf(m)
         if (resume.forall(r => geKey(sk, r))) {
-          val g = m.groups.getOrElse(v, IndexedSeq.empty)
+          val g = skipRows(m)
           if (g.isEmpty) throw new IllegalStateException(
             s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} " +
               s"$v: the variable bound no rows in the match")

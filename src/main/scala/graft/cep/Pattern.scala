@@ -455,6 +455,13 @@ final case class PatternDef[E](
       * and a pattern without absence elements.
       */
     skipToVar: Option[(String, Boolean)] = None,
+    /** When `skipToVar` names a SUBSET union variable: the union's
+      * member slot names. The resume row is then the first/last row in
+      * the members' merged `(ts, tie)` order — SQL:2016's skip-to-union
+      * semantics (the union's bound rows are the union of its members'
+      * rows). None = `skipToVar` is a plain member variable.
+      */
+    skipToMembers: Option[IndexedSeq[String]] = None,
     /** Variables under a reluctant (lazy) quantifier (`+?` `*?` `??`
       * `{m,n}?`). In the engine's every-overlap mode all match
       * alternatives emit, so laziness has no effect there; under the

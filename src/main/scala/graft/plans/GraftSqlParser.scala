@@ -240,17 +240,19 @@ private[graft] object MatchRecognizeSql {
     * rewrite runs over ARBITRARY statements on the session parse path,
     * where a commented-out or quoted `match_recognize(` must not fire.
     *
-    * `backslashEscapes` mirrors Spark's lexer: by default (when
-    * `spark.sql.parser.escapedStringLiterals` is false) a backslash
-    * inside a '…' or "…" literal escapes the next character, so
-    * `'don\'t'` is ONE literal — the mask must skip the escaped quote
-    * or it desynchronizes and the factor scan can fire inside a
-    * string. Backquoted identifiers never use backslash escapes
-    * (doubling is the escape there, which the plain loop already
-    * handles position-safely).
+    * Backslash handling mirrors Spark's LEXER, which ALWAYS consumes
+    * `\<char>` inside a '…' or "…" literal as one escape pair when
+    * pairing quotes — `'don\'t'` is ONE literal under BOTH settings of
+    * `spark.sql.parser.escapedStringLiterals` (the legacy conf changes
+    * only value UNESCAPING — the backslash stays in the string value —
+    * never where a literal ends; verified against Spark 4.1). So the
+    * mask unconditionally skips the escaped character, or it
+    * desynchronizes and the factor scan can fire inside a string.
+    * Backquoted identifiers never use backslash escapes (doubling is
+    * the escape there, which the plain loop already handles
+    * position-safely).
     */
-  private[plans] def maskSql(s: String,
-      backslashEscapes: Boolean = true): String = {
+  private[plans] def maskSql(s: String): String = {
     val b = s.toCharArray
     var i = 0
     while (i < b.length) {
@@ -258,7 +260,7 @@ private[graft] object MatchRecognizeSql {
         case q @ ('\'' | '"' | '`') =>
           i += 1
           while (i < b.length && b(i) != q) {
-            if (backslashEscapes && q != '`' && b(i) == '\\' &&
+            if (q != '`' && b(i) == '\\' &&
                 i + 1 < b.length) { b(i) = ' '; i += 1 }
             b(i) = ' '; i += 1
           }
@@ -284,11 +286,10 @@ private[graft] object MatchRecognizeSql {
     // cheap pre-check: ~every statement on the session parse path
     // lacks the keyword — skip the masking copy and regex scan
     if (!sqlText.toLowerCase.contains("match_recognize")) return None
-    // legacy escapedStringLiterals=true turns OFF backslash escaping
-    // in Spark's lexer; mirror it so the mask tracks the real lexer
-    val masked = maskSql(sqlText,
-      backslashEscapes = !session.sessionState.conf.getConfString(
-        "spark.sql.parser.escapedStringLiterals", "false").toBoolean)
+    // NOTE: no conf dependence — Spark's lexer pairs quotes identically
+    // under the legacy escapedStringLiterals conf (it changes value
+    // unescaping only), so the escape-aware mask is always correct
+    val masked = maskSql(sqlText)
     val ms = factorRe.findAllMatchIn(masked).toList
     if (ms.isEmpty) None
     else {
@@ -371,11 +372,11 @@ private[graft] object MatchRecognizeSql {
     var i = 0
     while (i < b.length) {
       if (in && b(i) == '\\' && i + 1 < b.length) {
-        // Spark's default lexer: backslash escapes the next char
-        // inside a literal ('don\'t' is ONE literal) — mask both or
-        // the scan desynchronizes at the escaped quote. (Under the
-        // legacy escapedStringLiterals=true conf backslashes are
-        // literal; the dialect documents default-lexing here.)
+        // Spark's lexer: backslash escapes the next char inside a
+        // literal when pairing quotes ('don\'t' is ONE literal) under
+        // BOTH settings of the legacy escapedStringLiterals conf (it
+        // changes value unescaping only) — mask both or the scan
+        // desynchronizes at the escaped quote.
         b(i) = ' '; i += 1; b(i) = ' '
       }
       else if (b(i) == '\'') in = !in
@@ -959,17 +960,23 @@ private[graft] object MatchRecognizeSql {
     // resolve the skip target against the case-preserved PATTERN
     // variables case-insensitively and carry the canonical name (the
     // NFA's slot lookup is exact)
-    val skipToVar: Option[(String, Boolean)] = skipToVar0.map {
-      case (v, f) => varNames.find(_.equalsIgnoreCase(v)) match {
-        case Some(canon) => (canon, f)
-        case None if subsets.exists(_._1.equalsIgnoreCase(v)) =>
-          throw new IllegalArgumentException(
-            s"AFTER MATCH SKIP TO: '$v' is a SUBSET union variable — " +
-              "skip-mode resume needs a single variable's settled row " +
-              "identity; skip to a member variable instead")
-        case None => throw new IllegalArgumentException(
-          s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable " +
-            s"(have: ${varNames.mkString(", ")})")
+    // the target may also be a SUBSET union variable (SQL:2016): the
+    // resume row is then the first/last row in the members' merged
+    // (ts, tie) order — the engine receives the member slot list
+    val (skipToVar, skipToMembers): (Option[(String, Boolean)],
+        Option[Seq[String]]) = skipToVar0 match {
+      case None => (None, None)
+      case Some((v, f)) => varNames.find(_.equalsIgnoreCase(v)) match {
+        case Some(canon) => (Some((canon, f)), None)
+        case None => subsets.find(_._1.equalsIgnoreCase(v)) match {
+          case Some((sn, mem)) => (Some((sn, f)), Some(mem))
+          case None => throw new IllegalArgumentException(
+            s"AFTER MATCH SKIP TO: '$v' is not a PATTERN variable or " +
+              s"SUBSET union (have: ${varNames.mkString(", ")}${
+                if (subsets.nonEmpty)
+                  s"; subsets: ${subsets.map(_._1).mkString(", ")}"
+                else ""})")
+        }
       }
     }
     require(excludedVars.forall(varNames.contains),
@@ -1108,11 +1115,57 @@ private[graft] object MatchRecognizeSql {
             s"${mm.group(1)}($alias$off)")
         })
       }
-    val defsE = defs.map { case (n, d) => n -> normNavExpr(n, d) }
+    // Aggregate-over-EXPRESSION arguments in DEFINE (round-15 lift):
+    // `SUM(b.x * b.y) < k` — comma/paren-free arithmetic of ONE
+    // pattern variable's row. Same trick as PREV/NEXT expressions: the
+    // expression materializes as a derived input column (a codegen'd
+    // per-row projection, batch AND streaming) and the aggregate rides
+    // the existing single-column running-marker machinery untouched —
+    // `SUM(b._mr_xagg_0)`. Unqualified columns inside the argument
+    // read the SAME row as the qualified ones (b.x * qty ≡ b.x * b.qty).
+    // SUBSET-qualified or multi-variable arguments fall through to the
+    // targeted rejection below.
+    val aggExprAliases =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val defAggExprRe =
+      ("""(?i)(?<!\w)(sum|avg|min|max|count)\s*\(\s*""" +
+        """([^()]*?\w+\s*\.\s*\w+[^()]*?)\s*\)""").r
+    val patVarSet = varNames.map(_.toLowerCase).toSet
+    val subsetSet = subsets.map(_._1.toLowerCase).toSet
+    def normAggExpr(owner: String, text: String): String =
+      rewriteOutsideLiterals(text) { seg =>
+        defAggExprRe.replaceAllIn(seg, mm => {
+          val fn = mm.group(1)
+          val arg = mm.group(2).trim
+          val quals = """(?i)(?<![\w.])(\w+)\s*\.\s*\w+""".r
+            .findAllMatchIn(arg).map(_.group(1).toLowerCase).toSeq
+          val boundQuals = quals.filter(q =>
+            patVarSet(q) || subsetSet(q)).distinct
+          val plain = arg.matches("""(?is)\w+\s*\.\s*\w+""")
+          if (plain || boundQuals.isEmpty ||
+              boundQuals.exists(subsetSet) || boundQuals.length > 1)
+            // plain single column (the marker fast path), a subset
+            // union, or multi-variable: leave for the dedicated
+            // machinery / targeted rejection
+            java.util.regex.Matcher.quoteReplacement(mm.matched)
+          else {
+            val v = boundQuals.head
+            val canon = varNames.find(_.toLowerCase == v).get
+            val inner = (s"(?i)(?<![\\w.])$v\\s*\\.\\s*(\\w+)").r
+              .replaceAllIn(arg, "`$1`")
+            val alias = aggExprAliases.getOrElseUpdate(inner,
+              s"_mr_xagg_${aggExprAliases.size}")
+            java.util.regex.Matcher.quoteReplacement(
+              s"$fn($canon.$alias)")
+          }
+        })
+      }
+    val defsE = defs.map { case (n, d) =>
+      n -> normAggExpr(n, normNavExpr(n, d)) }
     val src =
-      if (navExprAliases.isEmpty) srcTbl
-      else navExprAliases.foldLeft(srcTbl) { case (d, (ex, al)) =>
-        d.withColumn(al, org.apache.spark.sql.functions.expr(ex))
+      (navExprAliases ++ aggExprAliases).foldLeft(srcTbl) {
+        case (d, (ex, al)) =>
+          d.withColumn(al, org.apache.spark.sql.functions.expr(ex))
       }
     val lagSpecs =
       scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), String]
@@ -1310,12 +1363,12 @@ private[graft] object MatchRecognizeSql {
         }
         seg
       }
-    // aggregate arguments in DEFINE take a single column (the running
-    // markers are keyed per (fn, var, col)); an EXPRESSION argument
-    // would silently collapse to the last binding via the bare-var
-    // rule and then die as an aggregate in a flag projection — reject
-    // it with the actual reason (MEASURES supports the expression
-    // forms)
+    // expression aggregates of ONE pattern variable were already
+    // rewritten to derived single columns (normAggExpr); what remains
+    // here is the unsupported residue — a SUBSET-qualified expression
+    // argument (the union aggregates take a single column) or an
+    // argument mixing several variables (zip semantics across two
+    // bindings are undefined) — reject with the actual reason
     locally {
       val aggExprRe =
         ("""(?i)(?<!\w)(sum|avg|min|max|count)\s*\(\s*""" +
@@ -1330,10 +1383,12 @@ private[graft] object MatchRecognizeSql {
             .exists(q => bindNames(q.group(1).toLowerCase))
           val plain = arg.matches("""(?is)\w+\s*\.\s*\w+""")
           require(!refsBound || plain,
-            s"DEFINE $n: ${mm.group(1)}($arg) — aggregate arguments " +
-              "in DEFINE take a single column (the running markers " +
-              "are per-column); expression arguments are supported " +
-              "in MEASURES")
+            s"DEFINE $n: ${mm.group(1)}($arg) — an aggregate " +
+              "argument in DEFINE may be an expression of ONE " +
+              "pattern variable's row (SUM(b.x * b.y)); aggregates " +
+              "over a SUBSET union take a single column, and mixing " +
+              "variables in one argument is undefined (aggregate " +
+              "each variable separately)")
         }
       }
     }
@@ -1452,10 +1507,13 @@ private[graft] object MatchRecognizeSql {
       case PPermute(is) =>
         // PERMUTE of non-plain items: k! ordering expansion over
         // shared slots — bounded to keep the automaton small (plain
-        // PERMUTEs ride the dedicated n-ary elements instead)
-        require(is.length <= 4,
-          s"PERMUTE of composite items supports at most 4 members " +
-            s"(k! ordering expansion), got ${is.length}")
+        // PERMUTEs ride the dedicated n-ary elements instead).
+        // 5! = 120 ordering branches still sits well under the
+        // maxPartials live-alternative cap; 6! = 720 does not.
+        require(is.length <= 5,
+          s"PERMUTE of composite items supports at most 5 members " +
+            s"(k! ordering expansion; 6! = 720 branches would " +
+            s"dominate the maxPartials budget), got ${is.length}")
         MatchRecognize.ERxAlt(is.permutations.map(p =>
           MatchRecognize.ERxSeq(p.map(toERx))).toSeq)
     }
@@ -1524,6 +1582,7 @@ private[graft] object MatchRecognizeSql {
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
+          skipToMembers = skipToMembers,
           withUnmatched = unmatchedRows, reluctantVars = reluctantVars,
           withMatchSeq = usesMn, exposeLags = hasMeasNav,
           strictAll = strictMode)
@@ -1534,6 +1593,7 @@ private[graft] object MatchRecognizeSql {
         // conversion factor
         MatchRecognize(srcM, keys, tsCol, tieCol, elems, within,
           skipPastLastRow = skipPastLast, skipToVar = skipToVar,
+          skipToMembers = skipToMembers,
           reluctantVars = reluctantVars, strictAll = strictMode)
       }
 

@@ -248,7 +248,10 @@ case class MatchRecognizeNode(
     reluctantVars: Seq[String] = Nil,
     /** ISO contiguous matching (MODE STRICT): a partial that does not
       * consume an event dies — see [[graft.cep.PatternDef.strictAll]]. */
-    strictAll: Boolean = false) extends UnaryNode {
+    strictAll: Boolean = false,
+    /** When `skipToVar` names a SUBSET union: its member slot names
+      * (the resume row is the members' merged (ts, tie) first/last). */
+    skipToMembers: Option[Seq[String]] = None) extends UnaryNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -367,7 +370,10 @@ object MatchRecognize {
       skipPastLastRow: Boolean = false,
       skipToVar: Option[(String, Boolean)] = None,
       reluctantVars: Set[String] = Set.empty,
-      strictAll: Boolean = false): DataFrame = {
+      strictAll: Boolean = false,
+      /** When `skipToVar` names a SUBSET union: its member variables
+        * (the resume row is the members' merged (ts, tie) first/last). */
+      skipToMembers: Option[Seq[String]] = None): DataFrame = {
     // a streaming frame would re-plan the exec per micro-batch with a
     // FRESH NFA — patterns straddling batches would silently never match
     require(!df.isStreaming,
@@ -454,10 +460,17 @@ object MatchRecognize {
           nullable = false)())
 
     skipToVar.foreach { case (v, _) =>
-      require(specs.flatMap(_.names).contains(v),
+      require(skipToMembers.isDefined ||
+          specs.flatMap(_.names).contains(v),
         s"AFTER MATCH SKIP TO: unknown pattern variable '$v'")
       require(!skipPastLastRow,
         "skipPastLastRow and skipToVar are mutually exclusive")
+    }
+    skipToMembers.foreach { mem =>
+      val have = specs.flatMap(_.names).toSet
+      require(mem.nonEmpty && mem.forall(have),
+        s"AFTER MATCH SKIP TO subset: member variable(s) ${
+          mem.filterNot(have).mkString(", ")} not in the pattern")
     }
     // the executor reads the tie as a raw long slot only when
     // skip-mode election, deferred emission, reluctant preferment, or
@@ -488,7 +501,8 @@ object MatchRecognize {
     GraftSqlBridge.ofRows(spark, MatchRecognizeNode(
       partitionKeys.map(attr), tsA, tieE, preds.flatten, specs,
       withinTs, every, maxPartials, skipPastLastRow, outAttrs, child,
-      ctxRefs, skipToVar, reluctantVars.toSeq.sorted, strictAll))
+      ctxRefs, skipToVar, reluctantVars.toSeq.sorted, strictAll,
+      skipToMembers))
   }
 
   private[plans] val CvMarker = "_mr_cv"
@@ -913,6 +927,8 @@ object MatchRecognize {
     }.toIndexedSeq
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
       skipPastLastRow, skipToVar)
+    // (binds-only streaming() keeps the plain-variable skip modes; the
+    // SUBSET-target form rides streamingFull, which the SQL dialect uses)
 
     val keySchema = env.schema("k").dataType.asInstanceOf[StructType]
     val outSchema = StructType(keySchema.fields ++ Array(
@@ -980,6 +996,9 @@ object MatchRecognize {
         * standard's unbound-variable and infinite-loop runtime
         * errors) apply per key. */
       skipToVar: Option[(String, Boolean)] = None,
+      /** When `skipToVar` names a SUBSET union: its member variables
+        * (resume row = the members' merged (ts, tie) first/last). */
+      skipToMembers: Option[Seq[String]] = None,
       /** SQL:2016 WITH UNMATCHED ROWS on a stream (needs `withinTs` —
         * the decision horizon; both executors). Adds a nullable
         * `_mr_unmatched_ev` output column and makes the match bounds
@@ -1227,7 +1246,8 @@ object MatchRecognize {
       s"cross-variable reference(s) to unknown pattern variable(s): " +
         cvVars.filterNot(patVarsS).distinct.mkString(", "))
     val pat = PatternDef[Row](pElems, withinTs, everyMatch, maxPartials,
-      skipPastLastRow, skipToVar, reluctantVars, strictAll = strictAll)
+      skipPastLastRow, skipToVar, skipToMembers.map(_.toIndexedSeq),
+      reluctantVars, strictAll = strictAll)
     // driver-side mirror of Cep.step's deferred-skip require: fail at
     // plan build time, not inside the first micro-batch on an executor
     require(!new graft.cep.Nfa[Row](pat, _ => 0L, _ => 0L).deferredSkip ||

@@ -21,7 +21,7 @@ object MatchRecognizeStrategy extends SparkStrategy {
       MatchRecognizeExec(m.keys, m.ts, m.tie, m.predicates, m.elems,
         m.withinTs, m.every, m.maxPartials, m.skipPastLastRow, m.outAttrs,
         planLater(m.child), m.ctxRefs, m.skipToVar, m.reluctantVars,
-        m.strictAll) :: Nil
+        m.strictAll, m.skipToMembers) :: Nil
     case _ => Nil
   }
 }
@@ -54,7 +54,8 @@ case class MatchRecognizeExec(
     ctxRefs: Seq[Seq[CtxRefSpec]] = Nil,
     skipToVar: Option[(String, Boolean)] = None,
     reluctantVars: Seq[String] = Nil,
-    strictAll: Boolean = false) extends UnaryExecNode {
+    strictAll: Boolean = false,
+    skipToMembers: Option[Seq[String]] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = keys ++ outAttrs
 
@@ -93,6 +94,7 @@ case class MatchRecognizeExec(
     val outTypes = output.map(_.dataType).toArray
     val ctxRefSpecs = ctxRefs
     val skipTo = skipToVar
+    val skipMembers = skipToMembers
     val reluctant = reluctantVars.toSet
     val strict = strictAll
     val tieExpr = tie
@@ -175,7 +177,8 @@ case class MatchRecognizeExec(
             nm => mkStep(nm, 1, 1, strict = false)))
       }.toIndexedSeq
       val pat = PatternDef[InternalRow](pelems, within, ev, maxP, skipPLR,
-        skipTo, reluctant, strictAll = strict)
+        skipTo, skipMembers.map(_.toIndexedSeq), reluctant,
+        strictAll = strict)
       val tsOf = (r: InternalRow) => tsProj(r).getLong(0)
       val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
       // provided whenever the tie is a long slot (the builder widens

@@ -1195,8 +1195,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"c_id").as[Long].collect().toSet
     assert(fgot == Set(3L))
-    // SKIP TO a subset name: the targeted reason, not "unknown var"
-    val e3 = intercept[IllegalArgumentException] {
+    // SKIP TO a subset name parses and runs (round-15 lift): plain
+    // SKIP TO s = SKIP TO LAST s; s = (a, b)'s merged-last row is the
+    // b row here, so the statement compiles and produces rows
+    val sgot = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
@@ -1207,9 +1209,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
           |         c AS event_type = 'X'
-          |)""".stripMargin)
-    }
-    assert(e3.getMessage.contains("member variable"))
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(sgot.nonEmpty)
     // bare subset reference = RUNNING LAST over the union: the latest
     // binding is b (v=4), so c is again the first X with v > 4
     val bgot = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -2150,7 +2152,7 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("AFTER MATCH SKIP TO resolves pattern variables case-" +
-      "insensitively; subset targets keep the targeted error") {
+      "insensitively; subset targets resolve to the union") {
     val df = Seq(
       (1L, 10L, 1L, 10.0), (2L, 20L, 1L, 8.0), (3L, 30L, 1L, 12.0),
       (4L, 40L, 1L, 9.0), (5L, 50L, 1L, 14.0))
@@ -2174,21 +2176,39 @@ class MatchRecognizeSpec extends SparkSpec {
         )"""))
       .select($"d_id", $"u_id").as[(Long, Long)].collect().toSet
     assert(got == Set((2L, 3L), (4L, 5L)))
-    // subset target in a different case: still the targeted reason
+    // subset target in a different case: resolves case-insensitively
+    // to the union (round 15 lifted the old member-variable-only
+    // restriction) — w = (Dn, Up)'s merged-last row is the Up row, so
+    // the result equals SKIP TO LAST UP above
+    val viaSubset = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan("""
+        SELECT * FROM mr_ci_ticks MATCH_RECOGNIZE (
+          PARTITION BY ticker
+          ORDER BY ts_us, event_id
+          MEASURES FIRST(Dn.event_id) AS d_id, Up.event_id AS u_id
+          AFTER MATCH SKIP TO LAST W
+          PATTERN (Dn Up)
+          SUBSET w = (Dn, Up)
+          DEFINE Dn AS price < 10,
+                 Up AS price > PREV(price)
+        )"""))
+      .select($"d_id", $"u_id").as[(Long, Long)].collect().toSet
+    assert(viaSubset == got)
+    // a target that is neither a variable nor a subset: targeted error
     val e = intercept[IllegalArgumentException] {
       parser.parsePlan("""
         SELECT * FROM mr_ci_ticks MATCH_RECOGNIZE (
           PARTITION BY ticker
           ORDER BY ts_us, event_id
           MEASURES Up.event_id AS u_id
-          AFTER MATCH SKIP TO LAST W
+          AFTER MATCH SKIP TO LAST nosuch
           PATTERN (Dn Up)
           SUBSET w = (Dn, Up)
           DEFINE Dn AS price < 10,
                  Up AS price > PREV(price)
         )""")
     }
-    assert(e.getMessage.contains("member variable"))
+    assert(e.getMessage.contains("not a PATTERN variable or SUBSET"))
   }
 
   test("SUBSET union variables: measures over the merged (ts, tie)-" +
@@ -3355,9 +3375,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"sab", $"sb").as[(Double, Double)].collect().toSet
     assert(sfx == Set((6.0, 6.0)))
-    // in DEFINE the running markers are per-column — expression
-    // arguments get the targeted error, not an analysis crash
-    val e2 = intercept[IllegalArgumentException] {
+    // round-15 lift: expression aggregates also work in DEFINE (the
+    // derived-column + running-marker path) — min(a.v * 2) over the
+    // two settled a bindings is 2, so b (v=3) completes
+    val dagg = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_exagg_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
@@ -3365,10 +3386,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |  MEASURES b.event_id AS b_id
           |  PATTERN (a{2,2} b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS event_type = 'B' AND v > SUM(a.v * 2)
-          |)""".stripMargin)
-    }
-    assert(e2.getMessage.contains("single column"))
+          |         b AS event_type = 'B' AND v > MIN(a.v * 2)
+          |)""".stripMargin))
+      .select($"b_id").as[Long].collect().toSet
+    assert(dagg == Set(4L))
   }
 
   test("MODE STRICT: ISO contiguous matching — intervening rows fail " +
@@ -3570,6 +3591,79 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(checked >= 10, s"only $checked fuzz statements ran")
   }
 
+  test("seeded PERMUTE residual-tie fuzz: same-span equal-slot-count " +
+      "alternatives keep a stable row set across runs, with per-user " +
+      "1..n numbering and contiguous numbers inside each tie group") {
+    // DIALECT.md documents the MATCH_NUMBER residual tie (equal span
+    // AND equal per-slot counts — exactly what two PERMUTE orderings
+    // over the same rows produce) as unspecified RELATIVE order. This
+    // fuzz pins what IS specified: the match row set (numbers
+    // dropped) is identical across runs, numbers are a 1..n
+    // permutation per user, and tied alternatives occupy CONSECUTIVE
+    // numbers (they are adjacent in the (start, end, counts) sort).
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val rnd = new scala.util.Random(424215L)
+    var tieGroupsSeen = 0
+    for (trial <- 1 to 6) {
+      // every row satisfies BOTH x and y, so each composite-PERMUTE
+      // attempt (the {1,1} forces the k!-alternation expansion, the
+      // path where both orderings are distinct automaton branches)
+      // completes with both orderings — guaranteed residual ties;
+      // duplicated timestamps stress the tie-break path too
+      val rows = (1L to 14L).map { i =>
+        (i, (i - (i % 2)) * 10L + trial, 1L + (i % 2),
+          if (rnd.nextBoolean()) "A" else "B")
+      }
+      rows.toDF("event_id", "ts_us", "user_id", "event_type")
+        .createOrReplaceTempView(s"mr_permtie_$trial")
+      def run() = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(
+          s"""SELECT * FROM mr_permtie_$trial MATCH_RECOGNIZE (
+             |  PARTITION BY user_id
+             |  ORDER BY ts_us, event_id
+             |  MEASURES MATCH_NUMBER() AS mn, x.event_id AS x_id,
+             |           y.event_id AS y_id, FIRST(x.ts_us) AS x_ts,
+             |           FIRST(y.ts_us) AS y_ts
+             |  PATTERN (PERMUTE(x{1,1}, y))
+             |  WITHIN 200
+             |  DEFINE x AS event_type IN ('A', 'B'),
+             |         y AS event_type IN ('A', 'B')
+             |)""".stripMargin))
+        .select($"user_id", $"mn", $"x_id", $"y_id", $"x_ts", $"y_ts")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      val a = run()
+      val b = run()
+      def noMn(r: (Long, Long, Long, Long, Long, Long)) =
+        (r._1, r._3, r._4, r._5, r._6)
+      // (1) row set stable across runs, numbers dropped
+      assert(a.map(noMn).toSet == b.map(noMn).toSet,
+        s"trial $trial: match row set drifted between runs")
+      assert(a.length == b.length)
+      for (res <- Seq(a, b)) {
+        res.groupBy(_._1).foreach { case (u, ms) =>
+          // (2) numbering is a 1..n permutation per user
+          assert(ms.map(_._2).sorted.toSeq == (1L to ms.length).toSeq,
+            s"trial $trial user $u: numbering not 1..n")
+          // (3) same-span tie groups get consecutive numbers; the two
+          // orderings bind the same row PAIR (span identity = the
+          // unordered id pair)
+          ms.groupBy(m => Set(m._3, m._4)).foreach { case (_, g) =>
+            if (g.length > 1) {
+              tieGroupsSeen += 1
+              val mns = g.map(_._2).sorted
+              assert(mns.last - mns.head == mns.length - 1,
+                s"trial $trial user $u: tie group numbers $mns not " +
+                  "contiguous")
+            }
+          }
+        }
+      }
+    }
+    assert(tieGroupsSeen >= 6,
+      s"fixture weak: only $tieGroupsSeen residual tie groups drawn")
+  }
+
   test("maskSql tracks backslash-escaped quotes: the factor scan never " +
       "fires inside a literal, and a real factor beside one still " +
       "rewrites") {
@@ -3612,6 +3706,46 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(esc == Set((1L, 2L)))
+  }
+
+  test("legacy escapedStringLiterals=true: scanners keep tracking the " +
+      "lexer — quote PAIRING is conf-independent in Spark") {
+    // Spark's lexer consumes \<char> as an escape pair when pairing
+    // quotes under BOTH settings of the legacy conf (the conf changes
+    // only value unescaping: the backslash stays in the string). A
+    // conf-dependent mask (round 14's) desynchronized here and fired
+    // the factor rewrite INSIDE the literal.
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_legacy_esc_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      // factor path: the quoted match_recognize( must NOT fire, and the
+      // legacy VALUE keeps the raw backslash
+      val s = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(
+          """SELECT 'don\'t x match_recognize(y)' AS s"""))
+        .collect().head.getString(0)
+      assert(s == """don\'t x match_recognize(y)""")
+      // body-clause path: the escaped quote inside a DEFINE literal must
+      // not swallow the comma split; the predicate compares against the
+      // legacy raw value
+      val r = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(
+          """SELECT * FROM mr_legacy_esc_view MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us, event_id
+            |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+            |  PATTERN (a b)
+            |  DEFINE a AS event_type = 'A' AND event_type != 'don\'t',
+            |         b AS event_type = 'B'
+            |)""".stripMargin))
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(r == Set((1L, 2L)))
+    } finally
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
   }
 
   test("reluctant quantifiers under MODE STRICT keep the true max: " +
@@ -3668,6 +3802,174 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"n_b", $"c_id").as[(Long, Long)].collect().toSet
     assert(short == Set((2L, 3L)))
+  }
+
+  test("aggregate-over-expression in DEFINE: running fold over the " +
+      "variable's own bindings and settled folds over other variables") {
+    // t+ grows while the RUNNING sum of x*y (current row folded in)
+    // stays under 10: products 4, 5, 3 -> running 4, 9, 12, so t binds
+    // exactly the first two T rows; the trailing u settles the greedy
+    // growth before the match completes
+    Seq((1L, 10L, 1L, "S", 0L, 0L), (2L, 20L, 1L, "T", 2L, 2L),
+      (3L, 30L, 1L, "T", 1L, 5L), (4L, 40L, 1L, "T", 1L, 3L),
+      (5L, 50L, 1L, "U", 0L, 0L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "x", "y")
+      .createOrReplaceTempView("mr_xagg_own_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val own = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_xagg_own_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES s.event_id AS s_id, COUNT(t.*) AS n_t,
+          |           LAST(t.event_id) AS t_last
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (s t+ u)
+          |  DEFINE s AS event_type = 'S',
+          |         t AS event_type = 'T' AND SUM(t.x * t.y) < 10,
+          |         u AS event_type = 'U'
+          |)""".stripMargin))
+      .select($"s_id", $"n_t", $"t_last")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(own == Set((1L, 2L, 3L)))
+    // settled fold over ANOTHER variable, discriminating binding
+    // counts: avg(a.x + a.y) is 3 over a=[1] and 4.5 over a=[1,2], so
+    // x=4 completes ONLY the two-binding alternative
+    Seq((1L, 10L, 1L, "A", 1L, 2L), (2L, 20L, 1L, "A", 2L, 4L),
+      (3L, 30L, 1L, "B", 4L, 0L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "x", "y")
+      .createOrReplaceTempView("mr_xagg_other_view")
+    val other = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_xagg_other_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES COUNT(a.*) AS n_a, b.event_id AS b_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a+ b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND x < AVG(a.x + a.y)
+          |)""".stripMargin))
+      .select($"n_a", $"b_id").as[(Long, Long)].collect().toSet
+    assert(other == Set((2L, 3L)))
+    // mixing two variables in one argument: the targeted error
+    val e1 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_xagg_other_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES b.event_id AS b_id
+          |  PATTERN (a b c)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS SUM(a.x + b.y) > 0
+          |)""".stripMargin)
+    }
+    assert(e1.getMessage.contains("ONE"))
+    // SUBSET-qualified expression argument: still single-column only
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_xagg_other_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES b.event_id AS b_id
+          |  PATTERN (a b c)
+          |  SUBSET w = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS SUM(w.x * 2) > 0
+          |)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("SUBSET"))
+  }
+
+  test("AFTER MATCH SKIP TO LAST <subset>: the resume row is the " +
+      "members' merged-last bound row, whichever member bound it") {
+    // pattern (a (b|d) c), SUBSET w = (b, d): match 1 binds the b
+    // branch, match 2 the d branch — the resume row must track the
+    // BOUND member each time. The A@25 seed lies between match 1's w
+    // row (ts 20) and its end (ts 30): SKIP PAST LAST ROW would
+    // consume it; SKIP TO LAST w keeps it alive to seed match 2.
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"),
+      (4L, 25L, 1L, "A"), (5L, 35L, 1L, "D"), (6L, 40L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_skipsub_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val r = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_skipsub_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           d.event_id AS d_id, c.event_id AS c_id
+          |  AFTER MATCH SKIP TO LAST w
+          |  PATTERN (a (b | d) c)
+          |  SUBSET w = (b, d)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin))
+      .select($"a_id", $"b_id", $"d_id", $"c_id")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSet
+    assert(r == Set(
+      (1L, Some(2L), None, 3L),
+      (4L, None, Some(5L), 6L)))
+  }
+
+  test("SKIP TO FIRST vs LAST <subset> resume at different merged rows " +
+      "when several members bind") {
+    // pattern (a b d c), w = (b, d): FIRST w = the b row (ts 20),
+    // LAST w = the d row (ts 30). The A@25 seed sits between them —
+    // alive under FIRST, consumed under LAST.
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "D"),
+      (4L, 40L, 1L, "C"), (5L, 25L, 1L, "A"), (6L, 45L, 1L, "A"),
+      (7L, 50L, 1L, "B"), (8L, 60L, 1L, "D"), (9L, 70L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_skipsub_fl_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(mode: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_skipsub_fl_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+           |           d.event_id AS d_id, c.event_id AS c_id
+           |  AFTER MATCH SKIP TO $mode w
+           |  PATTERN (a b d c)
+           |  SUBSET w = (b, d)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+           |         c AS event_type = 'C', d AS event_type = 'D'
+           |)""".stripMargin))
+        .select($"a_id", $"b_id", $"d_id", $"c_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run("FIRST") == Set((1L, 2L, 3L, 4L), (5L, 7L, 8L, 9L)))
+    assert(run("LAST") == Set((1L, 2L, 3L, 4L), (6L, 7L, 8L, 9L)))
+  }
+
+  test("SKIP TO <subset> whose members bound no rows hits the " +
+      "standard's unbound-variable runtime error") {
+    Seq((1L, 10L, 1L, "A"), (2L, 30L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_skipsub_ub_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val e = intercept[Exception] {
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        """SELECT * FROM mr_skipsub_ub_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, c.event_id AS c_id
+          |  AFTER MATCH SKIP TO LAST w
+          |  PATTERN (a (b | d){0,1} c)
+          |  SUBSET w = (b, d)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C', d AS event_type = 'D'
+          |)""".stripMargin)).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("bound no rows")))
   }
 
   test("MATCH_NUMBER() numbers same-span every-mode alternatives by " +
