@@ -3506,26 +3506,35 @@ class MatchRecognizeSpec extends SparkSpec {
       if (!allowZero && (s == "?" || s == "{,2}")) "" else s
     }
     var checked = 0
+    var subsetSkips = 0
+    var exprAggs = 0
     for (trial <- 1 to 25) {
       val nVars = 1 + rnd.nextInt(3)
       val vars = (0 until nVars).map(i => s"v$i")
-      val items = vars.zipWithIndex.map { case (v, i) =>
-        val base =
-          if (i > 0 && rnd.nextBoolean() && i + 1 < nVars) null // skip
-          else v + q(allowZero = i > 0)
-        base
-      }.filter(_ != null)
+      val itemPairs = vars.zipWithIndex.flatMap { case (v, i) =>
+        if (i > 0 && rnd.nextBoolean() && i + 1 < nVars) None // skip
+        else Some((v, q(allowZero = i > 0)))
+      }
+      val items = itemPairs.map { case (v, s) => v + s }
+      val usedAlt = items.length >= 2 && rnd.nextBoolean()
       val pat =
-        if (items.length >= 2 && rnd.nextBoolean())
+        if (usedAlt)
           s"${items.head} (${items(1)}${
             if (items.length > 2) " | " + items(2) else ""})" +
             (if (items.length > 2) "" else "")
         else items.mkString(" ")
       val usedVars = vars.filter(v => pat.contains(v))
       if (usedVars.nonEmpty) {
-        val defs = usedVars.map(v =>
-          s"$v AS event_type = '${types(rnd.nextInt(3))}'")
-          .mkString(", ")
+        // round-15 draw: a DEFINE predicate may carry an
+        // expression-aggregate conjunct (running on the variable's own
+        // slot) — the span invariant must survive it like any predicate
+        val defs = usedVars.map { v =>
+          val base = s"$v AS event_type = '${types(rnd.nextInt(3))}'"
+          if (rnd.nextInt(4) == 0) {
+            exprAggs += 1
+            s"$base AND SUM($v.value * 2) < ${20 + rnd.nextInt(60)}"
+          } else base
+        }.mkString(", ")
         val mode = rnd.nextInt(3) match {
           case 0 => "MODE STRICT"
           case 1 => "MODE RELAXED"
@@ -3534,10 +3543,22 @@ class MatchRecognizeSpec extends SparkSpec {
         val within =
           if (rnd.nextBoolean()) s"WITHIN ${100 + rnd.nextInt(400)}"
           else ""
-        val skipClause = rnd.nextInt(4) match {
-          case 0 => "AFTER MATCH SKIP PAST LAST ROW"
-          case 1 => "AFTER MATCH SKIP TO NEXT ROW"
-          case _ => ""
+        // round-15 draw: SKIP TO LAST over a SUBSET union — only when
+        // two always-bound (non-zero-min, non-alternation) variables
+        // exist, so the resume row can never be the match's first row
+        // (the standard's infinite-loop runtime error) or unbound
+        val boundVars =
+          if (usedAlt) itemPairs.take(1).map(_._1)
+          else itemPairs.collect {
+            case (v, s) if s != "?" && s != "{,2}" => v }
+        val (skipClause, subsetClause) = rnd.nextInt(5) match {
+          case 0 => ("AFTER MATCH SKIP PAST LAST ROW", "")
+          case 1 => ("AFTER MATCH SKIP TO NEXT ROW", "")
+          case 2 if boundVars.length >= 2 =>
+            subsetSkips += 1
+            ("AFTER MATCH SKIP TO LAST wfz",
+              s"SUBSET wfz = (${boundVars.take(2).mkString(", ")})")
+          case _ => ("", "")
         }
         val anchored = if (rnd.nextInt(5) == 0) s"^ $pat" else pat
         // span fingerprint via measures (ONE ROW output has no
@@ -3559,6 +3580,7 @@ class MatchRecognizeSpec extends SparkSpec {
              |  $rowMode
              |  $skipClause
              |  PATTERN ($anchored)
+             |  $subsetClause
              |  $within
              |  $mode
              |  DEFINE $defs
@@ -3589,6 +3611,9 @@ class MatchRecognizeSpec extends SparkSpec {
       }
     }
     assert(checked >= 10, s"only $checked fuzz statements ran")
+    assert(exprAggs >= 3 && subsetSkips >= 1,
+      s"fixture weak: $exprAggs expression-aggregate draws, " +
+        s"$subsetSkips subset-skip draws")
   }
 
   test("seeded PERMUTE residual-tie fuzz: same-span equal-slot-count " +

@@ -1431,14 +1431,30 @@ class StreamingParitySpec extends SparkSpec {
     // the engine drops alternatives best-effort — see DIALECT.md)
     val quants = Vector("", "+", "{1,2}", "{2}", "{1,3}?", "+?")
     var checked = 0
+    var exprAggs = 0
+    var subsetSkips = 0
     for (trial <- 1 to 8) {
       val nVars = 1 + rnd.nextInt(2)
       val pat = (0 until nVars).map(i =>
         s"v$i${quants(rnd.nextInt(quants.length))}").mkString(" ")
       val shuffledTypes = rnd.shuffle(types)
-      val defs = (0 until nVars).map(i =>
-        s"v$i AS event_type = '${shuffledTypes(i)}'")
-        .mkString(", ")
+      // round-15 draws: an expression-aggregate DEFINE conjunct
+      // (running SUM over the variable's own bindings) and — when two
+      // variables exist (all quants here are min>=1, so both always
+      // bind, and v1's last row is never the match's first row) —
+      // AFTER MATCH SKIP TO LAST over a SUBSET union
+      val defs = (0 until nVars).map { i =>
+        val base = s"v$i AS event_type = '${shuffledTypes(i)}'"
+        if (rnd.nextInt(3) == 0) {
+          exprAggs += 1
+          s"$base AND SUM(v$i.event_id * 2) < ${40 + rnd.nextInt(120)}"
+        } else base
+      }.mkString(", ")
+      val (skipClause, subsetClause) =
+        if (nVars == 2 && rnd.nextBoolean()) {
+          subsetSkips += 1
+          ("AFTER MATCH SKIP TO LAST wfz", "SUBSET wfz = (v0, v1)")
+        } else ("", "")
       val mode = if (rnd.nextBoolean()) "MODE STRICT" else ""
       // drawn ONCE outside the statement builder: the builder runs
       // for both sides (and lazily in assert messages), and a draw
@@ -1451,7 +1467,9 @@ class StreamingParitySpec extends SparkSpec {
            |  ORDER BY ts_ms, event_id
            |  MEASURES FIRST(v0.event_id) AS f_id
            |  ALL ROWS PER MATCH
+           |  $skipClause
            |  PATTERN ($pat)
+           |  $subsetClause
            |  WITHIN $within
            |  $streamingClauses
            |  $mode
@@ -1491,5 +1509,8 @@ class StreamingParitySpec extends SparkSpec {
       } finally q.stop()
     }
     assert(checked == 8)
+    assert(exprAggs >= 2 && subsetSkips >= 1,
+      s"fixture weak: $exprAggs expression-aggregate draws, " +
+        s"$subsetSkips subset-skip draws")
   }
 }
