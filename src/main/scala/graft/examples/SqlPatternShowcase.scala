@@ -19,7 +19,9 @@ import org.apache.spark.sql.SparkSession
   *     offset (ascending-value purchase chains),
   *  7. FIRST/bare(=LAST) over a SUBSET union in DEFINE,
   *  8. MODE STRICT (ISO-contiguous matching) with an expression
-  *     aggregate and CLASSIFIER() as a measure function.
+  *     aggregate and CLASSIFIER() as a measure function,
+  *  9. (round 15) AFTER MATCH SKIP TO LAST over a SUBSET union plus an
+  *     expression-aggregate DEFINE predicate in one statement.
   *
   * The session installs [[graft.plans.GraftExtensions]], so every
   * statement below runs through plain `spark.sql(...)` — exactly what a
@@ -134,6 +136,21 @@ object SqlPatternShowcase {
         |  PATTERN (a b)
         |  MODE STRICT
         |  DEFINE a AS event_type = 'click', b AS event_type = 'purchase'
+        |)""".stripMargin)
+
+    show("SKIP TO a SUBSET union + expression aggregate in DEFINE",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+        |           c.event_id AS c_id
+        |  AFTER MATCH SKIP TO LAST w
+        |  PATTERN (a b c)
+        |  SUBSET w = (a, b)
+        |  WITHIN 86400000000
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+        |         c AS event_type = 'purchase'
+        |           AND value > MIN(w.value)
+        |           AND value >= AVG(a.value * 1)
         |)""".stripMargin)
 
     println("SHOWCASE-DONE")

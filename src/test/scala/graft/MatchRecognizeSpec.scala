@@ -2123,7 +2123,7 @@ class MatchRecognizeSpec extends SparkSpec {
           MEASURES MIN(down.price) AS trough, FIRST(w.price) AS top,
                    RUNNING COUNT(down.*) AS n_down
           ALL ROWS PER MATCH WITH UNMATCHED ROWS
-          AFTER MATCH SKIP TO LAST up
+          AFTER MATCH SKIP TO LAST w
           PATTERN (strt {- down+ -} up)
           SUBSET w = (strt, up)
           WITHIN INTERVAL '10' MINUTE
