@@ -1508,14 +1508,26 @@ private[graft] object MatchRecognizeSql {
         // PERMUTE of non-plain items: k! ordering expansion over
         // shared slots — bounded to keep the automaton small (plain
         // PERMUTEs ride the dedicated n-ary elements instead).
-        // 5! = 120 ordering branches still sits well under the
-        // maxPartials live-alternative cap; 6! = 720 does not.
+        // 5! = 120 orderings still sits well under the maxPartials
+        // live-alternative cap; 6! = 720 does not. The expansion is
+        // RECURSIVE (pick one member, then PERMUTE the rest) rather
+        // than a flat 120-way alternation: orderings sharing a prefix
+        // then share automaton states, so a live partial forks only at
+        // its NEXT-member choice (≤ k branches) instead of carrying
+        // every compatible full ordering — ~k!/k fewer live partials
+        // per seed on the all-orderings-viable worst case. Branch
+        // order stays lexicographic by member index, the same
+        // preference order `is.permutations` produced.
         require(is.length <= 5,
           s"PERMUTE of composite items supports at most 5 members " +
             s"(k! ordering expansion; 6! = 720 branches would " +
             s"dominate the maxPartials budget), got ${is.length}")
-        MatchRecognize.ERxAlt(is.permutations.map(p =>
-          MatchRecognize.ERxSeq(p.map(toERx))).toSeq)
+        def perm(rem: Seq[PNode]): MatchRecognize.ERxNode =
+          if (rem.length == 1) toERx(rem.head)
+          else MatchRecognize.ERxAlt(rem.indices.map(i =>
+            MatchRecognize.ERxSeq(Seq(toERx(rem(i)),
+              perm(rem.patch(i, Nil, 1))))))
+        perm(is)
     }
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) =>
