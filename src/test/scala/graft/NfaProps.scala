@@ -616,68 +616,6 @@ object NfaProps extends Properties("Nfa") {
       Prop(got == exp) :| s"cv=$got filtered=$exp"
     }
 
-  /** MATCH_NUMBER chunking: for ANY chunking with shuffled intra-chunk
-    * order, the numbered stream (held-match deferral + per-key counter)
-    * must emit exactly the ordered-replay matches, stamped 1..n in the
-    * batch `(match_start, match_end, size(v1), …)` window order (the
-    * batch operator's row_number key), and in nondecreasing number
-    * order across steps.
-    */
-  property("chunked numbered steps == batch-order MATCH_NUMBER") =
-    forAll(genPattern, genChunked, Gen.choose(0L, 25L)) {
-      case (pat0, (evs, cuts), wmLag) =>
-      import graft.cep.Cep
-      import scala.math.Ordering.Implicits.seqOrdering
-      val pat = pat0.copy(withinMs = Some(pat0.withinMs.getOrElse(60L)))
-      val slotOrder = pat.steps.flatMap(_.names)
-      val sorted = evs.sortBy(e => (e.ts, e.id))
-      def ident(m: graft.cep.PatternMatch[E]) =
-        (m.startTs, m.endTs, m.groups.view.mapValues(_.map(_.id)).toMap)
-      def mKey(m: graft.cep.PatternMatch[E]) = {
-        val ks = m.groups.valuesIterator.flatten
-          .map(e => (e.ts, e.id)).toVector
-        val tie = if (ks.isEmpty) ((m.startTs, Long.MinValue),
-          (m.endTs, Long.MinValue)) else (ks.min, ks.max)
-        (m.startTs, m.endTs, slotOrder.map(n =>
-          m.groups.getOrElse(n, Vector.empty).length).toVector, tie)
-      }
-      val expected = {
-        val nfa = new Nfa[E](pat, _.ts, _.id)
-        (sorted.flatMap(nfa.onEvent) ++ nfa.flush())
-      }
-      val expectedKeys = expected.map(mKey).sorted
-      val bounds = (cuts.map(c => math.min(c, sorted.size)) :+ sorted.size)
-        .distinct.sorted
-      val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
-        case List(a, b) if b > a => sorted.slice(a, b)
-      }.toList
-      val rnd = new scala.util.Random(7)
-      var st = Cep.CepState.empty[E]
-      val got = scala.collection.mutable.ArrayBuffer
-        .empty[graft.cep.PatternMatch[E]]
-      def doStep(chunk: Seq[E], wm: Long): Unit = {
-        val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWatermark = true,
-          pat, _.ts, _.id, numberMatches = true)
-        got ++= ms
-        st = ns.getOrElse(Cep.CepState.empty[E])
-      }
-      chunks.foreach { chunk =>
-        doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag)
-      }
-      doStep(Nil, Long.MaxValue / 2)
-      val seqs = got.map(_.seq).toList
-      val sameSet =
-        got.map(ident).toSet == expected.map(ident).toSet &&
-          got.size == expected.size
-      val numbered = seqs.sorted == (1L to expected.size.toLong).toList
-      val inOrder = seqs == seqs.sorted
-      val keysMatch =
-        got.sortBy(_.seq).map(mKey).toList == expectedKeys.toList
-      Prop(sameSet && numbered && inOrder && keysMatch) :|
-        s"got=${got.map(m => (m.seq, ident(m)))} expected=${
-          expected.map(ident)} expectedKeys=$expectedKeys"
-    }
-
   /** strictAll (ISO contiguous matching) is a pure kernel flag: for
     * ANY chunking, the chunked stream must equal the ordered batch
     * replay under the same flag (absence patterns are outside
@@ -785,6 +723,68 @@ object NfaParityProps extends Properties("NfaParity") {
       // final watermark advance: everything releasable, absences flush
       doStep(Nil, Long.MaxValue / 2)
       Prop(got.toList == expected) :| s"got=$got expected=$expected"
+    }
+
+  /** MATCH_NUMBER chunking: for ANY chunking with shuffled intra-chunk
+    * order, the numbered stream (held-match deferral + per-key counter)
+    * must emit exactly the ordered-replay matches, stamped 1..n in the
+    * batch `(match_start, match_end, size(v1), …)` window order (the
+    * batch operator's row_number key), and in nondecreasing number
+    * order across steps.
+    */
+  property("chunked numbered steps == batch-order MATCH_NUMBER") =
+    forAll(genPattern, genChunked, Gen.choose(0L, 25L)) {
+      case (pat0, (evs, cuts), wmLag) =>
+      import graft.cep.Cep
+      import scala.math.Ordering.Implicits.seqOrdering
+      val pat = pat0.copy(withinMs = Some(pat0.withinMs.getOrElse(60L)))
+      val slotOrder = pat.steps.flatMap(_.names)
+      val sorted = evs.sortBy(e => (e.ts, e.id))
+      def ident(m: graft.cep.PatternMatch[E]) =
+        (m.startTs, m.endTs, m.groups.view.mapValues(_.map(_.id)).toMap)
+      def mKey(m: graft.cep.PatternMatch[E]) = {
+        val ks = m.groups.valuesIterator.flatten
+          .map(e => (e.ts, e.id)).toVector
+        val tie = if (ks.isEmpty) ((m.startTs, Long.MinValue),
+          (m.endTs, Long.MinValue)) else (ks.min, ks.max)
+        (m.startTs, m.endTs, slotOrder.map(n =>
+          m.groups.getOrElse(n, Vector.empty).length).toVector, tie)
+      }
+      val expected = {
+        val nfa = new Nfa[E](pat, _.ts, _.id)
+        (sorted.flatMap(nfa.onEvent) ++ nfa.flush())
+      }
+      val expectedKeys = expected.map(mKey).sorted
+      val bounds = (cuts.map(c => math.min(c, sorted.size)) :+ sorted.size)
+        .distinct.sorted
+      val chunks = (0 :: bounds).distinct.sorted.sliding(2).collect {
+        case List(a, b) if b > a => sorted.slice(a, b)
+      }.toList
+      val rnd = new scala.util.Random(7)
+      var st = Cep.CepState.empty[E]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[graft.cep.PatternMatch[E]]
+      def doStep(chunk: Seq[E], wm: Long): Unit = {
+        val (ns, ms, _) = Cep.step[E](st, chunk, wm, hasWatermark = true,
+          pat, _.ts, _.id, numberMatches = true)
+        got ++= ms
+        st = ns.getOrElse(Cep.CepState.empty[E])
+      }
+      chunks.foreach { chunk =>
+        doStep(rnd.shuffle(chunk), chunk.map(_.ts).max - wmLag)
+      }
+      doStep(Nil, Long.MaxValue / 2)
+      val seqs = got.map(_.seq).toList
+      val sameSet =
+        got.map(ident).toSet == expected.map(ident).toSet &&
+          got.size == expected.size
+      val numbered = seqs.sorted == (1L to expected.size.toLong).toList
+      val inOrder = seqs == seqs.sorted
+      val keysMatch =
+        got.sortBy(_.seq).map(mKey).toList == expectedKeys.toList
+      Prop(sameSet && numbered && inOrder && keysMatch) :|
+        s"got=${got.map(m => (m.seq, ident(m)))} expected=${
+          expected.map(ident)} expectedKeys=$expectedKeys"
     }
 
   /** Pinned regression: the round-14 judge counterexample (seed
