@@ -1412,6 +1412,60 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MATCH_NUMBER watermark fence: a match completing AT " +
+      "the watermark emits via its wake timer once wm strictly passes") {
+    // both rows share ts 5000; the tick advances the watermark to
+    // EXACTLY 5000, so the match completes but is HELD (a same-ts
+    // higher-tie event could still arrive and seed an earlier-sorting
+    // match). The key then goes SILENT — only the registered
+    // event-time wake timer (startTs + 1) can release it when a later
+    // tick moves the watermark to 6000. Without the timer the number
+    // would never emit.
+    implicit val sqlCtx = spark.sqlContext
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES MATCH_NUMBER() AS mn, s.event_id AS s_id,
+         |           t.event_id AS t_id
+         |  PATTERN (s t)
+         |  WITHIN 30000
+         |  $streamingClauses
+         |  DEFINE s AS event_type = 'S', t AS event_type = 'T'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_wmfence_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_wmfence_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_wmfence_sink").start()
+    try {
+      input.addData((1L, 5000L, 1L, "S"), (2L, 5000L, 1L, "T"),
+        (91L, 15000L, 9L, "X"))
+      q.processAllAvailable()
+      // wm is now exactly 5000: the match is complete but held
+      val held = spark.table("mr_wmfence_sink")
+        .filter($"user_id" === 1L).count()
+      assert(held == 0L, "match emitted before the fence cleared")
+      // no user-1 data ever again — only the timer can release
+      input.addData((92L, 16000L, 9L, "X"))
+      q.processAllAvailable()
+      input.addData((93L, 17000L, 9L, "X"))
+      q.processAllAvailable()
+      val got = spark.table("mr_wmfence_sink")
+        .filter($"user_id" === 1L)
+        .select($"mn", $"s_id", $"t_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 2L)),
+        s"held match never released by the wake timer: $got")
+    } finally q.stop()
+  }
+
   test("seeded streaming parity fuzz: random statements produce " +
       "identical ALL ROWS output on the streaming executor") {
     implicit val sqlCtx = spark.sqlContext
