@@ -1055,6 +1055,31 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // The ISO SQL:2016 textbook ticker spelling VERBATIM (round-15
+    // lift): var-qualified navigation in DEFINE — PREV(down.value)
+    // navigates from down's bound row (for the variable being defined
+    // the current row, so this equals q185's plain-PREV form and its
+    // oracle transfers verbatim).
+    "q209_mr_nav_var_qualified" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_vqnav_q209")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_vqnav_q209 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+          |           up.event_id AS u_id
+          |  PATTERN (strt down up)
+          |  WITHIN 7200000000
+          |  DEFINE strt AS true,
+          |         down AS down.value < PREV(down.value),
+          |         up AS up.value > PREV(up.value)
+          |                AND up.value > strt.value
+          |)""".stripMargin))
+    }),
+
     // Alternation of SEQUENCES (a b | c d) — the recursive grammar
     // beyond single-variable alternation: two disjoint two-step
     // chains share one pattern, the unmatched branch's measures are
@@ -7828,7 +7853,34 @@ object SparkEntry {
     // user in (ts, event_id) order is the navigation input; the first
     // event of a user has NULL pv so its comparison is false, exactly
     // the engine's NULL-lag semantics
-    "q185_mr_cv_lag" ->
+        // identical to q185 (own-variable qualified navigation degenerates
+    // to the plain form)
+    "q209_mr_nav_var_qualified" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |s1 AS (SELECT * FROM (SELECT s.user_id, s.event_id AS s_id,
+        |    s.us AS s_us, s.value AS s_val, d.event_id AS d_id,
+        |    d.us AS d_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY d.us, d.event_id) AS rn
+        |  FROM o s JOIN o d ON s.user_id = d.user_id
+        |    AND d.value < d.pv
+        |    AND (d.us > s.us OR (d.us = s.us AND d.event_id > s.event_id))
+        |    AND d.us - s.us <= 7200000000) WHERE rn = 1),
+        |s2 AS (SELECT * FROM (SELECT s1.user_id, s1.s_id, s1.d_id,
+        |    u.event_id AS u_id,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.s_id
+        |      ORDER BY u.us, u.event_id) AS rn
+        |  FROM s1 JOIN o u ON s1.user_id = u.user_id
+        |    AND u.value > u.pv AND u.value > s1.s_val
+        |    AND (u.us > s1.d_us OR (u.us = s1.d_us
+        |      AND u.event_id > s1.d_id))
+        |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
+
+"q185_mr_cv_lag" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
         |    lag(value) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts), event_id) AS pv

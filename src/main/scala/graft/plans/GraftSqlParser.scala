@@ -1073,19 +1073,23 @@ private[graft] object MatchRecognizeSql {
     }
     val prevRe =
       """(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
-    // a var-qualified argument inside PREV/NEXT would otherwise be
-    // consumed by the cross-variable rewrite first and die later with
-    // an unrelated unresolved-column error (or silently lose the
-    // qualifier) — reject it up front with the actual reason
-    val prevVarRe = """(?i)(?<!\w)(prev|next)\s*\(\s*\w+\s*\.""".r
-    defs.foreach { case (n, d) =>
-      if (prevVarRe.findFirstIn(maskLiterals(d)).isDefined)
-        throw new IllegalArgumentException(
-          s"DEFINE $n: PREV/NEXT take a plain input column — " +
-            "PREV(var.col) is not supported (SQL:2016 PREV/NEXT " +
-            "navigate the input partition independent of pattern-" +
-            "variable bindings, so write PREV(col) instead)")
-    }
+    // var-qualified PREV/NEXT in DEFINE (round-15 lift): per SQL:2016
+    // `PREV(v.col, k)` reads the partition row k before the row v is
+    // mapped to (its LAST binding under running semantics). It
+    // compiles to the existing pieces: the lag value materializes as
+    // a `_mr_prev_col_k` input column (batch window / streaming
+    // release decorator) and the var resolution rides the
+    // cross-variable LAST marker — `v.<lag alias>`. On the variable
+    // BEING DEFINED the current row is its last binding, so the form
+    // degenerates to plain `PREV(col, k)`, exactly the standard's
+    // ticker-query spelling `down.price < PREV(down.price)`. The
+    // nested MEASURES-only form (PREV(FIRST(v.col))) and SUBSET
+    // qualifiers stay excluded with targeted errors.
+    val prevVarRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
+        """(?:,\s*(\d+)\s*)?\)""").r
+    val prevNestedVarRe =
+      """(?i)(?<!\w)(prev|next)\s*\(\s*(?:first|last)\s*\(\s*\w+\s*\.""".r
     // SQL:2016 PREV/NEXT over an EXPRESSION (comma/paren-free
     // arithmetic over input columns, e.g. PREV(price * 2, 3)): the
     // expression materializes as a derived input column ahead of the
@@ -1102,17 +1106,26 @@ private[graft] object MatchRecognizeSql {
       rewriteOutsideLiterals(text) { seg =>
         navExprRe.replaceAllIn(seg, mm => {
           val inner = mm.group(2).trim
-          require(!inner.matches(
-              """(?s).*[A-Za-z_]\w*\s*\.\s*[A-Za-z_].*"""),
-            s"DEFINE $owner: PREV/NEXT expressions take plain input " +
-              "columns — a var-qualified reference inside the " +
-              "expression is not supported (navigation is " +
-              "match-independent)")
-          val alias = navExprAliases.getOrElseUpdate(inner,
-            s"_mr_navx_${navExprAliases.size}")
-          val off = Option(mm.group(3)).map(o => s", $o").getOrElse("")
-          java.util.regex.Matcher.quoteReplacement(
-            s"${mm.group(1)}($alias$off)")
+          // the pure var.col form is NOT an expression — it is the
+          // SQL:2016 var-qualified navigation, handled by the
+          // dedicated defs2 pre-pass (lag alias + cross-var marker);
+          // leave it for that pass
+          if (inner.matches("""(?s)\w+\s*\.\s*\w+"""))
+            java.util.regex.Matcher.quoteReplacement(mm.matched)
+          else {
+            require(!inner.matches(
+                """(?s).*[A-Za-z_]\w*\s*\.\s*[A-Za-z_].*"""),
+              s"DEFINE $owner: PREV/NEXT expressions take plain input " +
+                "columns — a var-qualified reference inside the " +
+                "expression is not supported (navigation is " +
+                "match-independent); the simple PREV(var.col[, k]) " +
+                "form IS supported")
+            val alias = navExprAliases.getOrElseUpdate(inner,
+              s"_mr_navx_${navExprAliases.size}")
+            val off = Option(mm.group(3)).map(o => s", $o").getOrElse("")
+            java.util.regex.Matcher.quoteReplacement(
+              s"${mm.group(1)}($alias$off)")
+          }
         })
       }
     // Aggregate-over-EXPRESSION arguments in DEFINE (round-15 lift):
@@ -1181,8 +1194,12 @@ private[graft] object MatchRecognizeSql {
     //   FIRST(n.c) → the first event already bound to n, or the
     //     current row when none is (first binding of a quantifier).
     def cvMark(fn: String, v: String, c: String): String = {
+      // registered lag aliases are legal too: var-qualified PREV/NEXT
+      // compiles to a cross-var marker over the materialized lag
+      // column (added to the source ahead of the operator)
       require(src.columns.exists(
-          session.sessionState.analyzer.resolver(_, c)),
+          session.sessionState.analyzer.resolver(_, c)) ||
+          lagSpecs.valuesIterator.contains(c),
         s"cross-variable reference $fn($v.$c): column '$c' not in " +
           s"[${src.columns.mkString(", ")}]")
       s"`${MatchRecognize.CvMarker}`.`$fn`.`$v`.`$c`"
@@ -1392,19 +1409,48 @@ private[graft] object MatchRecognizeSql {
         }
       }
     }
+    def lagAliasOf(n: String, kind: String, c: String, k: Int): String = {
+      require(src.columns.exists(
+          session.sessionState.analyzer.resolver(_, c)),
+        s"PREV/NEXT column '$c' not in " +
+          s"[${src.columns.mkString(", ")}]")
+      lagSpecs.getOrElseUpdate((kind, c, k), s"_mr_${kind}_${c}_$k")
+    }
     val defs2 = defsE.map { case (n, d0) =>
-      val d = rewriteCrossVar(n, expandSubsetDefine(n, d0))
+      // var-qualified navigation FIRST (before the cross-variable
+      // rewrite would consume the qualifier): PREV(v.col, k) becomes
+      // the bare cross-var reference v.<lag alias> (= LAST; on the
+      // variable being defined, the current row)
+      val dNav = rewriteOutsideLiterals(d0) { seg =>
+        if (prevNestedVarRe.findFirstIn(seg).isDefined)
+          throw new IllegalArgumentException(
+            s"DEFINE $n: nested navigation PREV/NEXT(FIRST|LAST(" +
+              "var.col)) is MEASURES-only — in DEFINE navigate the " +
+              "simple form PREV(var.col[, k])")
+        prevVarRe.replaceAllIn(seg, mm => {
+          val kind = mm.group(1).toLowerCase
+          val v = mm.group(2)
+          val c = mm.group(3)
+          val k = Option(mm.group(4)).map(_.toInt).getOrElse(1)
+          val canon = varNames.find(_.equalsIgnoreCase(v)).getOrElse(
+            throw new IllegalArgumentException(
+              if (subsets.exists(_._1.equalsIgnoreCase(v)))
+                s"DEFINE $n: $kind($v.$c) — navigation from a SUBSET " +
+                  "union is not supported; navigate a member variable"
+              else
+                s"DEFINE $n: $kind($v.$c) — '$v' is not a PATTERN " +
+                  s"variable (have: ${varNames.mkString(", ")})"))
+          val alias = lagAliasOf(n, kind, c, k)
+          java.util.regex.Matcher.quoteReplacement(s"$canon.$alias")
+        })
+      }
+      val d = rewriteCrossVar(n, expandSubsetDefine(n, dNav))
       n -> rewriteOutsideLiterals(d) { seg =>
         prevRe.replaceAllIn(seg, mm => {
           val kind = mm.group(1).toLowerCase
           val c = mm.group(2)
           val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
-          require(src.columns.exists(
-              session.sessionState.analyzer.resolver(_, c)),
-            s"PREV/NEXT column '$c' not in " +
-              s"[${src.columns.mkString(", ")}]")
-          val alias = lagSpecs.getOrElseUpdate((kind, c, k),
-            s"_mr_${kind}_${c}_$k")
+          val alias = lagAliasOf(n, kind, c, k)
           java.util.regex.Matcher.quoteReplacement(s"`$alias`")
         })
       }

@@ -2297,20 +2297,65 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("not in"))
-    // a pattern-variable-qualified argument inside PREV/NEXT is
-    // rejected with the actual reason (it would otherwise be eaten by
-    // the cross-variable rewrite and die with an unrelated error)
-    val e2 = intercept[IllegalArgumentException] {
+    // var-qualified navigation in DEFINE (round-15 lift): PREV(
+    // strt.price) = the partition row before strt's bound row. Only
+    // the seed at row 2 (PREV = 10) finds a later cheaper row (row 3,
+    // price 6 < 10); seeds 1 (PREV null), 3 (PREV 8), 4 (PREV 6) and
+    // ticker 2 never do
+    val vq = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true, down AS price < PREV(strt.price)
+          |)""".stripMargin))
+      .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
+    assert(vq == Set((2L, 3L)))
+    // the ISO textbook ticker query VERBATIM (own-variable qualified
+    // navigation — down.price < PREV(down.price) ≡ price < PREV(price)
+    // since the current row is down's last binding): same V-shapes as
+    // the plain-spelling run above
+    val iso = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id,
+          |           up.event_id AS u_id, up.price AS u_price
+          |  PATTERN (strt down up)
+          |  DEFINE strt AS true,
+          |         down AS down.price < PREV(down.price),
+          |         up AS up.price > PREV(up.price)
+          |)""".stripMargin))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(iso == got)
+    // nested navigation and SUBSET qualifiers keep targeted errors
+    val en = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
           |  PARTITION BY ticker
           |  ORDER BY ts_us, event_id
           |  MEASURES strt.event_id AS s_id
           |  PATTERN (strt down)
-          |  DEFINE strt AS true, down AS price < PREV(strt.price)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(FIRST(strt.price))
           |)""".stripMargin)
     }
-    assert(e2.getMessage.contains("PREV(var.col) is not supported"))
+    assert(en.getMessage.contains("MEASURES-only"))
+    val es = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id
+          |  PATTERN (strt down)
+          |  SUBSET w = (strt, down)
+          |  DEFINE strt AS true, down AS price < PREV(w.price)
+          |)""".stripMargin)
+    }
+    assert(es.getMessage.contains("SUBSET"))
   }
 
   test("RUNNING measures aggregate only the bindings at-or-before the " +

@@ -1412,6 +1412,66 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming var-qualified PREV in DEFINE == batch (navigation " +
+      "from ANOTHER variable's bound row, lag straddles a batch cut)") {
+    // PREV(a.price) = the partition row before a's bound row — on the
+    // stream the lag value rides the release decorator's extended
+    // payload and the cross-var marker reads it off a's binding. The
+    // row CARRYING a's lag arrives a micro-batch before a itself.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, price)
+      (1L, 1000L, 1L, "X", 10.0),                     // batch 1 (the lag row)
+      (2L, 2000L, 1L, "A", 8.0),                      // batch 2 (a)
+      (3L, 3000L, 1L, "B", 9.0), (4L, 4000L, 1L, "B", 11.0)) // batch 3
+    val ticks = Seq((91L, 60000L, 9L, "X", 0.0))
+    // b must beat the row BEFORE a (price 10), not a itself (8):
+    // row 3 (9.0) fails, row 4 (11.0) completes — the distinction
+    // between PREV(a.price) and a.price
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (a b)
+         |  WITHIN 30000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A',
+         |         b AS event_type = 'B' AND price > PREV(a.price)
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type",
+        "price")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_vqnav_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_vqnav_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_vqnav_sink").start()
+    try {
+      input.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(1, 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2) ++ ticks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_vqnav_sink")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "price")
+        .createOrReplaceTempView("mr_vqnav_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_vqnav_batch", "")))
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"var-qualified nav diverged: streaming=$streamed batch=$batch")
+      assert(streamed == Set((2L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming MATCH_NUMBER watermark fence: a match completing AT " +
       "the watermark emits via its wake timer once wm strictly passes") {
     // both rows share ts 5000; the tick advances the watermark to
