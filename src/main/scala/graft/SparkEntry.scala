@@ -1055,6 +1055,32 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // FIRST/LAST offsets over a SUBSET union in DEFINE (round-15
+    // lift): the merged (ts, tie) order of s = (a, b) over a{2,2} b
+    // is [a1, a2, b], so FIRST(s.value, 1) is the SECOND click's
+    // value — purchases gate on it.
+    "q210_mr_subset_offset" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_suboff_q210")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_suboff_q210 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1_id,
+          |           LAST(a.event_id) AS a2_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a{2,2} b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND value > FIRST(s.value, 1)
+          |)""".stripMargin))
+    }),
+
     // The ISO SQL:2016 textbook ticker spelling VERBATIM (round-15
     // lift): var-qualified navigation in DEFINE — PREV(down.value)
     // navigates from down's bound row (for the variable being defined
@@ -7853,7 +7879,40 @@ object SparkEntry {
     // user in (ts, event_id) order is the navigation input; the first
     // event of a user has NULL pv so its comparison is false, exactly
     // the engine's NULL-lag semantics
-        // identical to q185 (own-variable qualified navigation degenerates
+        // the first-two-clicks chain, then the first later view, then the
+    // first later purchase priced above the SECOND click (the merged
+    // [a1, a2, b] order's element 1); no WITHIN — 2 h chains of this
+    // depth are vacuously rare at sf0.01
+    "q210_mr_subset_offset" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type FROM events),
+        |p1 AS (SELECT * FROM (SELECT a1.user_id, a1.event_id AS a1_id,
+        |    a1.us AS a1_us, a2.event_id AS a2_id, a2.us AS a2_us,
+        |    a2.value AS a2_val,
+        |    row_number() OVER (PARTITION BY a1.user_id, a1.event_id
+        |      ORDER BY a2.us, a2.event_id) AS rn
+        |  FROM o a1 JOIN o a2 ON a1.user_id = a2.user_id
+        |    AND a1.event_type = 'click' AND a2.event_type = 'click'
+        |    AND (a2.us > a1.us OR (a2.us = a1.us
+        |      AND a2.event_id > a1.event_id))) WHERE rn = 1),
+        |p2 AS (SELECT * FROM (SELECT p1.*, b.event_id AS b_id,
+        |    b.us AS b_us,
+        |    row_number() OVER (PARTITION BY p1.user_id, p1.a1_id
+        |      ORDER BY b.us, b.event_id) AS rn2
+        |  FROM p1 JOIN o b ON p1.user_id = b.user_id
+        |    AND b.event_type = 'view'
+        |    AND (b.us > p1.a2_us OR (b.us = p1.a2_us
+        |      AND b.event_id > p1.a2_id))) WHERE rn2 = 1),
+        |p3 AS (SELECT * FROM (SELECT p2.*, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p2.user_id, p2.a1_id
+        |      ORDER BY c.us, c.event_id) AS rn3
+        |  FROM p2 JOIN o c ON p2.user_id = c.user_id
+        |    AND c.event_type = 'purchase' AND c.value > p2.a2_val
+        |    AND (c.us > p2.b_us OR (c.us = p2.b_us
+        |      AND c.event_id > p2.b_id))) WHERE rn3 = 1)
+        |SELECT user_id, a1_id, a2_id, b_id, c_id FROM p3""".stripMargin,
+
+    // identical to q185 (own-variable qualified navigation degenerates
     // to the plain form)
     "q209_mr_nav_var_qualified" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,

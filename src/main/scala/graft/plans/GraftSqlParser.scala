@@ -1340,13 +1340,44 @@ private[graft] object MatchRecognizeSql {
                 s"as bigint), $inf), 'v', $fn($m.$c))")
             s"$cmp(${parts.mkString(", ")}).`v`"
           }
-          // offset forms first: a targeted message, not a misparse
-          if ((s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$sn\\s*\\." +
-              """\s*\w+\s*,""").r.findFirstIn(seg).isDefined)
-            throw new IllegalArgumentException(
-              s"DEFINE $n: FIRST/LAST offsets in DEFINE work on " +
-                "pattern variables only (SUBSET union variables are " +
-                "supported in MEASURES)")
+          // FIRST/LAST(sn.c, k) — the k-th element of the members'
+          // MERGED (ts, tie) order (round-15 lift of the extremes-only
+          // restriction). Classic bounded two-list selection: the
+          // merged k-th smallest lies among each member's first k+1
+          // bindings, so the candidates are (k+1)×members per-member
+          // offset structs; out-of-range member offsets coalesce to a
+          // sentinel that sorts past (FIRST) / before (LAST) every
+          // real entry, and a sentinel landing at the selected
+          // position yields the standard's out-of-range NULL.
+          def navUnionOff(isF: Boolean, c: String, k: Int): String = {
+            require(orderColIntegral(tsCol) && orderColIntegral(tieCol),
+              s"DEFINE $n: FIRST/LAST($sn.$c, $k) over a SUBSET " +
+                "union needs integral ORDER BY columns (the merged " +
+                s"binding order sorts (ts, tie) structs; " +
+                s"$tsCol/$tieCol are not)")
+            require(k <= 9,
+              s"DEFINE $n: FIRST/LAST($sn.$c, $k) — union offsets " +
+                "are supported up to 9 (the selection expands " +
+                "(offset+1) x members running markers)")
+            val inf = if (isF) "9223372036854775807"
+              else "-9223372036854775808"
+            val fn = if (isF) "FIRST" else "LAST"
+            val parts = for (m <- mem; i <- 0 to k) yield
+              s"named_struct('t', coalesce(cast($fn($m.$tsCol, $i) " +
+                s"as bigint), $inf), 'e', coalesce(cast(" +
+                s"$fn($m.$tieCol, $i) as bigint), $inf), " +
+                s"'v', $fn($m.$c, $i))"
+            val arr = s"array_sort(array(${parts.mkString(", ")}))"
+            val pos = if (isF) (k + 1).toString
+              else (mem.length * (k + 1) - k).toString
+            s"element_at($arr, $pos).`v`"
+          }
+          seg = (s"(?i)(?<!\\w)(first|last)\\s*\\(\\s*$sn\\s*\\.\\s*" +
+            """(\w+)\s*,\s*(\d+)\s*\)""").r.replaceAllIn(seg, mm => {
+            java.util.regex.Matcher.quoteReplacement(navUnionOff(
+              mm.group(1).equalsIgnoreCase("first"), mm.group(2),
+              mm.group(3).toInt))
+          })
           seg = (s"(?i)(?<!\\w)(\\w+)\\s*\\(\\s*$sn\\s*\\.\\s*" +
             """(\w+)\s*\)""").r.replaceAllIn(seg, mm => {
             val c = mm.group(2)
@@ -1409,7 +1440,7 @@ private[graft] object MatchRecognizeSql {
         }
       }
     }
-    def lagAliasOf(n: String, kind: String, c: String, k: Int): String = {
+    def lagAliasOf(kind: String, c: String, k: Int): String = {
       require(src.columns.exists(
           session.sessionState.analyzer.resolver(_, c)),
         s"PREV/NEXT column '$c' not in " +
@@ -1440,7 +1471,7 @@ private[graft] object MatchRecognizeSql {
               else
                 s"DEFINE $n: $kind($v.$c) — '$v' is not a PATTERN " +
                   s"variable (have: ${varNames.mkString(", ")})"))
-          val alias = lagAliasOf(n, kind, c, k)
+          val alias = lagAliasOf(kind, c, k)
           java.util.regex.Matcher.quoteReplacement(s"$canon.$alias")
         })
       }
@@ -1450,7 +1481,7 @@ private[graft] object MatchRecognizeSql {
           val kind = mm.group(1).toLowerCase
           val c = mm.group(2)
           val k = Option(mm.group(3)).map(_.toInt).getOrElse(1)
-          val alias = lagAliasOf(n, kind, c, k)
+          val alias = lagAliasOf(kind, c, k)
           java.util.regex.Matcher.quoteReplacement(s"`$alias`")
         })
       }

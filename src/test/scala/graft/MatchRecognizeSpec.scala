@@ -1087,8 +1087,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("match-independent"))
-    // FIRST/LAST offset on a SUBSET name in DEFINE: targeted error,
-    // not a misparsed two-argument aggregate
+    // FIRST/LAST offset on a SUBSET name in DEFINE: supported as of
+    // round 15 (bounded merged-order selection); the offset cap keeps
+    // its targeted error
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
@@ -1098,10 +1099,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |  PATTERN (a b)
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS v > FIRST(s.v, 1)
+          |         b AS v > FIRST(s.v, 12)
           |)""".stripMargin)
     }
-    assert(e2.getMessage.contains("pattern variables only"))
+    assert(e2.getMessage.contains("up to 9"))
     // streaming: same expression through the release decorator
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String, Long)]
@@ -1227,8 +1228,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"c_id").as[Long].collect().toSet
     assert(bgot == Set(3L))
-    // an offset over a subset in DEFINE keeps the targeted error
-    val eOff = intercept[IllegalArgumentException] {
+    // an offset over a subset in DEFINE (round-15 lift): with one
+    // binding per member the merged order is [a, b], so LAST(s.v, 1)
+    // is a's value — the same gate as FIRST(s.v) above
+    val off = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_subdef_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
@@ -1238,9 +1241,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
           |         c AS v > LAST(s.v, 1)
-          |)""".stripMargin)
-    }
-    assert(eOff.getMessage.contains("pattern variables only"))
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(off == fgot)
   }
 
   test("streaming DEFINE aggregates (cvAgg) on both executors: running " +
@@ -3872,6 +3875,51 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"n_b", $"c_id").as[(Long, Long)].collect().toSet
     assert(short == Set((2L, 3L)))
+  }
+
+  test("FIRST/LAST offsets over a SUBSET union in DEFINE select the " +
+      "k-th element of the members' merged (ts, tie) order") {
+    // merged order of s = (a, b) over a{2,2} b{2,2}: a1(v=10) a2(v=20)
+    // b1(v=30) b2(v=40). FIRST(s.v, 2) = 30 (the first b), LAST(s.v,
+    // 1) = 30 (second from the end); out-of-range offsets are NULL.
+    Seq((1L, 10L, 1L, "A", 10L), (2L, 20L, 1L, "A", 20L),
+      (3L, 30L, 1L, "B", 30L), (4L, 40L, 1L, "B", 40L),
+      (5L, 50L, 1L, "C", 30L), (6L, 60L, 1L, "C", 99L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_suboff_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // c gates on BOTH the merged 3rd element (FIRST offset 2 = 30)
+    // and the merged second-from-last (LAST offset 1 = 30): only the
+    // v=30 C row completes
+    val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_suboff_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a{2,2} b{2,2} c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C' AND v = FIRST(s.v, 2)
+          |           AND v = LAST(s.v, 1)
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(got == Set(5L))
+    // out-of-range union offset is NULL (the comparison never holds)
+    val oob = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_suboff_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a{2,2} b{2,2} c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C' AND v = FIRST(s.v, 7)
+          |)""".stripMargin))
+      .count()
+    assert(oob == 0L)
   }
 
   test("aggregate-over-expression in DEFINE: running fold over the " +

@@ -1472,6 +1472,65 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SUBSET-union offset in DEFINE == batch (merged k-th " +
+      "selection over member markers, split across micro-batches)") {
+    // merged order of s = (a, b) over a{2,2} b is [a1, a2, b]:
+    // FIRST(s.v, 1) = a2's v (20). Only the C row with v > 20
+    // completes; the micro-batch cut separates the two a's.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts_ms, user_id, event_type, v)
+      (1L, 1000L, 1L, "A", 10L),                      // batch 1
+      (2L, 2000L, 1L, "A", 20L), (3L, 3000L, 1L, "B", 5L), // batch 2
+      (4L, 4000L, 1L, "C", 15L), (5L, 5000L, 1L, "C", 25L)) // batch 3
+    val ticks = Seq((91L, 60000L, 9L, "X", 0L))
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES LAST(a.event_id) AS a2_id, b.event_id AS b_id,
+         |           c.event_id AS c_id
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (a{2,2} b c)
+         |  SUBSET s = (a, b)
+         |  WITHIN 30000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+         |         c AS event_type = 'C' AND v > FIRST(s.v, 1)
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String, Long)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "v")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_suboff_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_suboff_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_suboff_sink").start()
+    try {
+      input.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(1, 3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3) ++ ticks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mr_suboff_sink")
+        .select($"a2_id", $"b_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      (rows ++ ticks).toDF("event_id", "ts_ms", "user_id",
+          "event_type", "v")
+        .createOrReplaceTempView("mr_suboff_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_suboff_batch", "")))
+        .select($"a2_id", $"b_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"union-offset diverged: streaming=$streamed batch=$batch")
+      assert(streamed == Set((2L, 3L, 5L)))
+    } finally q.stop()
+  }
+
   test("streaming MATCH_NUMBER watermark fence: a match completing AT " +
       "the watermark emits via its wake timer once wm strictly passes") {
     // both rows share ts 5000; the tick advances the watermark to
