@@ -139,6 +139,30 @@ class ControlPlaneSpec extends SparkSpec {
           |         c AS event_type = 'C', d AS event_type = 'D'
           |)""".stripMargin))
       assert(got.toSet == Set((1L, 2, 5L)))
+      // round-15 dialect lifts reach the control plane through the
+      // same parser: SKIP TO a SUBSET union + a DEFINE expression
+      // aggregate in one dynamic plan
+      var got2: Array[(Long, Long)] = Array.empty
+      val cp2 = new ControlPlane(spark, (_: String, df: DataFrame) => {
+        got2 = df.selectExpr("b_id", "d_id")
+          .as[(Long, Long)].collect()
+        None
+      })
+      try {
+        cp2.handle(AddPlan("mrplan15",
+          """sql: SELECT * FROM cp_mr_events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us, event_id
+            |  MEASURES b.event_id AS b_id, d.event_id AS d_id
+            |  AFTER MATCH SKIP TO LAST w
+            |  PATTERN (b d)
+            |  SUBSET w = (b, d)
+            |  DEFINE b AS event_type = 'B',
+            |         d AS event_type = 'D'
+            |           AND SUM(d.event_id * 1) > 0
+            |)""".stripMargin))
+        assert(got2.toSet == Set((2L, 5L)))
+      } finally cp2.shutdown()
     } finally cp.shutdown()
   }
 
