@@ -7875,11 +7875,7 @@ object SparkEntry {
         |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
 
-    // the q175 chain with the PREV conditions added: lag(value) per
-    // user in (ts, event_id) order is the navigation input; the first
-    // event of a user has NULL pv so its comparison is false, exactly
-    // the engine's NULL-lag semantics
-        // the first-two-clicks chain, then the first later view, then the
+    // the first-two-clicks chain, then the first later view, then the
     // first later purchase priced above the SECOND click (the merged
     // [a1, a2, b] order's element 1); no WITHIN — 2 h chains of this
     // depth are vacuously rare at sf0.01
@@ -7939,7 +7935,11 @@ object SparkEntry {
         |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
 
-"q185_mr_cv_lag" ->
+    // the q175 chain with the PREV conditions added: lag(value) per
+    // user in (ts, event_id) order is the navigation input; the first
+    // event of a user has NULL pv so its comparison is false, exactly
+    // the engine's NULL-lag semantics
+    "q185_mr_cv_lag" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
         |    lag(value) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts), event_id) AS pv

@@ -402,7 +402,14 @@ object Cep {
           .sortBy(batchKey)
         val blockerTs =
           if (nt) None
-          else (np.map(_.startTs) ++ npend.map(_.startTs)).minOption
+          else (np.map(_.startTs) ++ npend.map(_.startTs) ++
+            // a NEXT-withheld event (ts <= wm, awaiting its lookahead
+            // successor) is neither a partial nor pending, yet once fed
+            // it can complete a match with the SAME start ts that sorts
+            // before a held one (equal span, fewer slot bindings) — the
+            // hold-back frontier blocks release exactly like live work,
+            // mirroring heldFrontier in the unmatched-rows decision
+            nHeld.headOption.map(tsOf)).minOption
         // the predicate depends only on startTs, and the sort's first
         // component is startTs — the emitted set is a sorted PREFIX, so
         // numbers assigned across release rounds stay monotone in the

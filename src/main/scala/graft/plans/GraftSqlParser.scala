@@ -1088,8 +1088,16 @@ private[graft] object MatchRecognizeSql {
     val prevVarRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
         """(?:,\s*(\d+)\s*)?\)""").r
+    // nested var-qualified navigation in DEFINE (round-16 lift):
+    // PREV(FIRST|LAST(v.col [, j]), k) navigates k input rows before
+    // the FIRST/LAST(-offset-j) bound row instead of the default last
+    // one — the same lag column the simple form materializes, read off
+    // the selected binding via the FIRST/LAST cross-var markers
     val prevNestedVarRe =
-      """(?i)(?<!\w)(prev|next)\s*\(\s*(?:first|last)\s*\(\s*\w+\s*\.""".r
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*(first|last)\s*\(\s*(\w+)""" +
+        """\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)\s*(?:,\s*(\d+)\s*)?\)""").r
+    val prevNestedDetectRe =
+      """(?i)(?<!\w)(prev|next)\s*\(\s*(?:first|last)\s*\(""".r
     // SQL:2016 PREV/NEXT over an EXPRESSION (comma/paren-free
     // arithmetic over input columns, e.g. PREV(price * 2, 3)): the
     // expression materializes as a derived input column ahead of the
@@ -1113,18 +1121,47 @@ private[graft] object MatchRecognizeSql {
           if (inner.matches("""(?s)\w+\s*\.\s*\w+"""))
             java.util.regex.Matcher.quoteReplacement(mm.matched)
           else {
-            require(!inner.matches(
-                """(?s).*[A-Za-z_]\w*\s*\.\s*[A-Za-z_].*"""),
-              s"DEFINE $owner: PREV/NEXT expressions take plain input " +
-                "columns — a var-qualified reference inside the " +
-                "expression is not supported (navigation is " +
-                "match-independent); the simple PREV(var.col[, k]) " +
-                "form IS supported")
-            val alias = navExprAliases.getOrElseUpdate(inner,
+            // var-qualified references inside the expression form
+            // (round-16 lift): the expression of ONE pattern
+            // variable's row materializes as a derived input column
+            // (qualified and unqualified columns read the SAME row)
+            // and the navigation rides the var-qualified simple form
+            // — the lag of the derived column read off that
+            // variable's bound row
+            val quals = """(?i)(?<![\w.])(\w+)\s*\.\s*(?=\w)""".r
+              .findAllMatchIn(inner).map(_.group(1)).toSeq
+            val bad = quals.filterNot(q =>
+              patVarSet(q.toLowerCase) || subsetSet(q.toLowerCase))
+            require(bad.isEmpty,
+              s"DEFINE $owner: ${mm.group(1)}($inner) — " +
+                s"'${bad.head}' is not a PATTERN variable (have: " +
+                s"${varNames.mkString(", ")})")
+            val vars = quals.map(_.toLowerCase).distinct
+            require(!vars.exists(subsetSet),
+              s"DEFINE $owner: ${mm.group(1)}($inner) — navigating " +
+                "an expression over a SUBSET union is not supported; " +
+                "qualify a member variable")
+            require(vars.length <= 1,
+              s"DEFINE $owner: ${mm.group(1)}($inner) — a PREV/NEXT " +
+                "expression may reference ONE pattern variable " +
+                "(navigation anchors at that variable's bound row); " +
+                "mixing variables is undefined")
+            val stripped = vars.headOption match {
+              case Some(v) =>
+                (s"(?i)(?<![\\w.])$v\\s*\\.\\s*(\\w+)").r
+                  .replaceAllIn(inner, "`$1`")
+              case None => inner
+            }
+            val alias = navExprAliases.getOrElseUpdate(stripped,
               s"_mr_navx_${navExprAliases.size}")
             val off = Option(mm.group(3)).map(o => s", $o").getOrElse("")
+            val target = vars.headOption match {
+              case Some(v) =>
+                s"${varNames.find(_.toLowerCase == v).get}.$alias"
+              case None => alias
+            }
             java.util.regex.Matcher.quoteReplacement(
-              s"${mm.group(1)}($alias$off)")
+              s"${mm.group(1)}($target$off)")
           }
         })
       }
@@ -1155,15 +1192,21 @@ private[graft] object MatchRecognizeSql {
           val boundQuals = quals.filter(q =>
             patVarSet(q) || subsetSet(q)).distinct
           val plain = arg.matches("""(?is)\w+\s*\.\s*\w+""")
-          if (plain || boundQuals.isEmpty ||
-              boundQuals.exists(subsetSet) || boundQuals.length > 1)
-            // plain single column (the marker fast path), a subset
-            // union, or multi-variable: leave for the dedicated
-            // machinery / targeted rejection
+          if (plain || boundQuals.isEmpty || boundQuals.length > 1)
+            // plain single column (the marker fast path) or
+            // multi-variable (targeted rejection below): leave for
+            // the dedicated machinery
             java.util.regex.Matcher.quoteReplacement(mm.matched)
           else {
+            // ONE pattern variable — or ONE SUBSET union (round-16
+            // lift): the expression materializes as a derived input
+            // column either way; a subset-qualified result then rides
+            // the per-member expansion untouched (SUM(s.x*s.y) =
+            // sum of per-member SUMs over the SAME derived column,
+            // since the members' slots are disjoint)
             val v = boundQuals.head
-            val canon = varNames.find(_.toLowerCase == v).get
+            val canon = varNames.find(_.toLowerCase == v)
+              .orElse(subsets.map(_._1).find(_.toLowerCase == v)).get
             val inner = (s"(?i)(?<![\\w.])$v\\s*\\.\\s*(\\w+)").r
               .replaceAllIn(arg, "`$1`")
             val alias = aggExprAliases.getOrElseUpdate(inner,
@@ -1433,10 +1476,10 @@ private[graft] object MatchRecognizeSql {
           require(!refsBound || plain,
             s"DEFINE $n: ${mm.group(1)}($arg) — an aggregate " +
               "argument in DEFINE may be an expression of ONE " +
-              "pattern variable's row (SUM(b.x * b.y)); aggregates " +
-              "over a SUBSET union take a single column, and mixing " +
-              "variables in one argument is undefined (aggregate " +
-              "each variable separately)")
+              "pattern variable's or ONE SUBSET union's row " +
+              "(SUM(b.x * b.y), SUM(s.x * s.y)); mixing variables " +
+              "in one argument is undefined (aggregate each " +
+              "variable separately)")
         }
       }
     }
@@ -1452,12 +1495,35 @@ private[graft] object MatchRecognizeSql {
       // rewrite would consume the qualifier): PREV(v.col, k) becomes
       // the bare cross-var reference v.<lag alias> (= LAST; on the
       // variable being defined, the current row)
-      val dNav = rewriteOutsideLiterals(d0) { seg =>
-        if (prevNestedVarRe.findFirstIn(seg).isDefined)
+      val dNav = rewriteOutsideLiterals(d0) { seg0 =>
+        val seg = prevNestedVarRe.replaceAllIn(seg0, mm => {
+          val kind = mm.group(1).toLowerCase
+          val sel = mm.group(2).toLowerCase
+          val v = mm.group(3)
+          val c = mm.group(4)
+          val j = Option(mm.group(5))
+          val k = Option(mm.group(6)).map(_.toInt).getOrElse(1)
+          val canon = varNames.find(_.equalsIgnoreCase(v)).getOrElse(
+            throw new IllegalArgumentException(
+              if (subsets.exists(_._1.equalsIgnoreCase(v)))
+                s"DEFINE $n: $kind($sel($v.$c)) — navigation from a " +
+                  "SUBSET union is not supported; navigate a member " +
+                  "variable"
+              else
+                s"DEFINE $n: $kind($sel($v.$c)) — '$v' is not a " +
+                  s"PATTERN variable (have: ${varNames.mkString(", ")})"))
+          // k = 0 is the selected bound row itself — no lag column
+          val navCol = if (k == 0) c else lagAliasOf(kind, c, k)
+          val jOff = j.map(o => s", $o").getOrElse("")
+          java.util.regex.Matcher.quoteReplacement(
+            s"$sel($canon.$navCol$jOff)")
+        })
+        if (prevNestedDetectRe.findFirstIn(seg).isDefined)
           throw new IllegalArgumentException(
-            s"DEFINE $n: nested navigation PREV/NEXT(FIRST|LAST(" +
-              "var.col)) is MEASURES-only — in DEFINE navigate the " +
-              "simple form PREV(var.col[, k])")
+            s"DEFINE $n: nested navigation takes " +
+              "PREV(FIRST|LAST(var.col[, j])[, k]) with literal " +
+              "offsets — expression arguments inside the nested form " +
+              "are not supported")
         prevVarRe.replaceAllIn(seg, mm => {
           val kind = mm.group(1).toLowerCase
           val v = mm.group(2)

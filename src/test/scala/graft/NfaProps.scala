@@ -820,4 +820,49 @@ object NfaParityProps extends Properties("NfaParity") {
         Map("s0aq2" -> Vector(12L), "s1" -> Vector(14L))))) :|
         s"election drifted: $batch")
   }
+
+  /** Pinned regression (round-16 advisor finding): the MATCH_NUMBER
+    * release fence must also block on the NEXT hold-back buffer. Two
+    * same-ts events seed DIFFERENT alternation branches; the lower-tie
+    * one (p, slot sizes [1,0]) feeds and completes, while the higher-tie
+    * one (q, sizes [0,1] — sorts FIRST under the batch key) is withheld
+    * by the Neighborhood decorator awaiting its lookahead successor. A
+    * watermark-only step then has wm > startTs with no live partial or
+    * pending candidate — without the hold-back frontier in the blocker
+    * set the p-match is released as #1, and the q-match, completing when
+    * its successor finally arrives, gets #2 despite sorting before it.
+    */
+  property("regression r16: NEXT hold-back blocks MATCH_NUMBER release") = {
+    import graft.cep.Cep
+    val pat = PatternDef[E](IndexedSeq(
+      AltSeq[E](Step[E]("p", _.typ == "A"),
+        Step[E]("q", _.typ == "B"), 1, 1)),
+      withinMs = Some(50L), every = true)
+    val nb = Cep.Neighborhood[E](0, 1, (e, _, _) => e)
+    var st = Cep.CepState.empty[E]
+    val got = scala.collection.mutable.ArrayBuffer.empty[PatternMatch[E]]
+    def doStep(evs: Seq[E], wm: Long): Unit = {
+      val (ns, ms, _) = Cep.step[E](st, evs, wm, hasWatermark = true,
+        pat, _.ts, _.id, neighborhood = Some(nb), numberMatches = true)
+      got ++= ms
+      st = ns.getOrElse(Cep.CepState.empty[E])
+    }
+    // batch 1: e1 feeds (decorated with next=e2) and completes the
+    // p-match; e2 stays withheld (its own successor hasn't arrived)
+    doStep(List(E(1, 100, "A"), E(2, 100, "B")), 100L)
+    // watermark-only step: wm strictly passes startTs 100 while e2 is
+    // still withheld — the fence under test
+    doStep(Nil, 150L)
+    // e2's successor arrives: e2 feeds and completes the q-match
+    doStep(List(E(3, 150, "C")), 150L)
+    doStep(Nil, Long.MaxValue / 2)
+    val bySeq = got.sortBy(_.seq).toList
+    val slots = bySeq.map(_.groups.keySet)
+    (Prop(got.size == 2) :| s"want 2 matches, got=$got") &&
+      (Prop(slots == List(Set("q"), Set("p"))) :|
+        s"batch-key order violated: seq->slots=$slots " +
+          s"(q sorts first: sizes [0,1] < [1,0])") &&
+      (Prop(bySeq.map(_.seq) == List(1L, 2L)) :|
+        s"seqs=${bySeq.map(_.seq)}")
+  }
 }
