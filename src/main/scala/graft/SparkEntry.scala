@@ -1106,6 +1106,79 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Aggregates over SUBSET-union EXPRESSION arguments in DEFINE
+    // (round-16 lift): SUM(s.value * s.value) with s = (a, b) derives
+    // one input column (value²) and expands per member — the purchase
+    // completes only when the chain's sum of squares clears the gate
+    // (the gate is independent of c's row, so it factors out of the
+    // first-later-purchase election).
+    "q211_mr_subset_expr_agg" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_sxagg_q211")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_sxagg_q211 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1_id,
+          |           LAST(a.event_id) AS a2_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a{2,2} b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND SUM(s.value * s.value) >= 5000
+          |)""".stripMargin))
+    }),
+
+    // Nested var-qualified navigation in DEFINE (round-16 lift):
+    // PREV(FIRST(a.value)) anchors at a's FIRST binding — `up` gates
+    // on the value of the row BEFORE the pair (the q209 lag machinery
+    // read off the FIRST-selected binding instead of the last).
+    "q212_mr_nested_nav" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_nnav_q212")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_nnav_q212 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1_id,
+          |           LAST(a.event_id) AS a2_id, up.event_id AS u_id
+          |  PATTERN (a{2,2} up)
+          |  WITHIN 7200000000
+          |  DEFINE a AS true,
+          |         up AS value > PREV(FIRST(a.value))
+          |)""".stripMargin))
+    }),
+
+    // Var-qualified references inside PREV(<expr>) in DEFINE
+    // (round-16 lift): PREV(a.value * 2) = the doubled value of the
+    // row before a's bound row — the derived column (value * 2)
+    // lagged off a's binding via the q209 cross-var marker.
+    "q213_mr_navx_var" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_navxv_q213")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_navxv_q213 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  WITHIN 7200000000
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view'
+          |           AND value > PREV(a.value * 2)
+          |)""".stripMargin))
+    }),
+
     // Alternation of SEQUENCES (a b | c d) — the recursive grammar
     // beyond single-variable alternation: two disjoint two-step
     // chains share one pattern, the unmatched branch's measures are
@@ -7934,6 +8007,88 @@ object SparkEntry {
         |      AND u.event_id > s1.d_id))
         |    AND u.us - s1.s_us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, s_id, d_id, u_id FROM s2""".stripMargin,
+
+    // the q210 chain with the c-row-independent sum-of-squares gate
+    // factored out of the first-later-purchase election; the FP
+    // addition order mirrors the engine's per-member expansion
+    // ((a1² + a2²) + b²)
+    "q211_mr_subset_expr_agg" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type FROM events),
+        |p1 AS (SELECT * FROM (SELECT a1.user_id, a1.event_id AS a1_id,
+        |    a1.us AS a1_us, a1.value AS a1v, a2.event_id AS a2_id,
+        |    a2.us AS a2_us, a2.value AS a2v,
+        |    row_number() OVER (PARTITION BY a1.user_id, a1.event_id
+        |      ORDER BY a2.us, a2.event_id) AS rn
+        |  FROM o a1 JOIN o a2 ON a1.user_id = a2.user_id
+        |    AND a1.event_type = 'click' AND a2.event_type = 'click'
+        |    AND (a2.us > a1.us OR (a2.us = a1.us
+        |      AND a2.event_id > a1.event_id))) WHERE rn = 1),
+        |p2 AS (SELECT * FROM (SELECT p1.*, b.event_id AS b_id,
+        |    b.us AS b_us, b.value AS bv,
+        |    row_number() OVER (PARTITION BY p1.user_id, p1.a1_id
+        |      ORDER BY b.us, b.event_id) AS rn2
+        |  FROM p1 JOIN o b ON p1.user_id = b.user_id
+        |    AND b.event_type = 'view'
+        |    AND (b.us > p1.a2_us OR (b.us = p1.a2_us
+        |      AND b.event_id > p1.a2_id))) WHERE rn2 = 1),
+        |p3 AS (SELECT * FROM (SELECT p2.*, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p2.user_id, p2.a1_id
+        |      ORDER BY c.us, c.event_id) AS rn3
+        |  FROM p2 JOIN o c ON p2.user_id = c.user_id
+        |    AND c.event_type = 'purchase'
+        |    AND (c.us > p2.b_us OR (c.us = p2.b_us
+        |      AND c.event_id > p2.b_id))) WHERE rn3 = 1)
+        |SELECT user_id, a1_id, a2_id, b_id, c_id FROM p3
+        |WHERE (a1v*a1v + a2v*a2v) + bv*bv >= 5000""".stripMargin,
+
+    // every row seeds (a AS true): the second a binds the immediate
+    // next row; up = the first later row whose value exceeds the
+    // lag at a's FIRST binding (NULL lag on a user's first row never
+    // compares true, the engine's NULL-lag semantics)
+    "q212_mr_nested_nav" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |a2 AS (SELECT * FROM (SELECT s.user_id, s.event_id AS a1_id,
+        |    s.us AS a1_us, s.pv AS apv, n.event_id AS a2_id,
+        |    n.us AS a2_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY n.us, n.event_id) AS rn
+        |  FROM o s JOIN o n ON s.user_id = n.user_id
+        |    AND (n.us > s.us OR (n.us = s.us AND n.event_id > s.event_id))
+        |    AND n.us - s.us <= 7200000000) WHERE rn = 1),
+        |u AS (SELECT * FROM (SELECT a2.user_id, a2.a1_id, a2.a2_id,
+        |    x.event_id AS u_id,
+        |    row_number() OVER (PARTITION BY a2.user_id, a2.a1_id
+        |      ORDER BY x.us, x.event_id) AS rn
+        |  FROM a2 JOIN o x ON a2.user_id = x.user_id
+        |    AND x.value > a2.apv
+        |    AND (x.us > a2.a2_us OR (x.us = a2.a2_us
+        |      AND x.event_id > a2.a2_id))
+        |    AND x.us - a2.a1_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, a1_id, a2_id, u_id FROM u""".stripMargin,
+
+    // click then the first later view whose value exceeds TWICE the
+    // lag at the click's row — PREV(a.value * 2) is the derived
+    // doubled column lagged off a's binding
+    "q213_mr_navx_var" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |sel AS (SELECT * FROM (SELECT s.user_id, s.event_id AS a_id,
+        |    b.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM o s JOIN o b ON s.user_id = b.user_id
+        |    AND s.event_type = 'click' AND b.event_type = 'view'
+        |    AND b.value > 2 * s.pv
+        |    AND (b.us > s.us OR (b.us = s.us AND b.event_id > s.event_id))
+        |    AND b.us - s.us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, a_id, b_id FROM sel""".stripMargin,
 
     // the q175 chain with the PREV conditions added: lag(value) per
     // user in (ts, event_id) order is the navigation input; the first

@@ -1085,6 +1085,8 @@ private[graft] object MatchRecognizeSql {
     // ticker-query spelling `down.price < PREV(down.price)`. The
     // nested MEASURES-only form (PREV(FIRST(v.col))) and SUBSET
     // qualifiers stay excluded with targeted errors.
+    val patVarSet = varNames.map(_.toLowerCase).toSet
+    val subsetSet = subsets.map(_._1.toLowerCase).toSet
     val prevVarRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
         """(?:,\s*(\d+)\s*)?\)""").r
@@ -1128,8 +1130,11 @@ private[graft] object MatchRecognizeSql {
             // and the navigation rides the var-qualified simple form
             // — the lag of the derived column read off that
             // variable's bound row
-            val quals = """(?i)(?<![\w.])(\w+)\s*\.\s*(?=\w)""".r
-              .findAllMatchIn(inner).map(_.group(1)).toSeq
+            // identifier-qualified only: a decimal literal's dot
+            // (2.5) is a fraction point, not a qualifier
+            val quals =
+              """(?i)(?<![\w.])([A-Za-z_]\w*)\s*\.\s*(?=[A-Za-z_])""".r
+                .findAllMatchIn(inner).map(_.group(1)).toSeq
             val bad = quals.filterNot(q =>
               patVarSet(q.toLowerCase) || subsetSet(q.toLowerCase))
             require(bad.isEmpty,
@@ -1180,8 +1185,6 @@ private[graft] object MatchRecognizeSql {
     val defAggExprRe =
       ("""(?i)(?<!\w)(sum|avg|min|max|count)\s*\(\s*""" +
         """([^()]*?\w+\s*\.\s*\w+[^()]*?)\s*\)""").r
-    val patVarSet = varNames.map(_.toLowerCase).toSet
-    val subsetSet = subsets.map(_._1.toLowerCase).toSet
     def normAggExpr(owner: String, text: String): String =
       rewriteOutsideLiterals(text) { seg =>
         defAggExprRe.replaceAllIn(seg, mm => {

@@ -1074,7 +1074,26 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(dec == Set((1L, 2L)))
-    // var-qualified reference inside the expression: clear rejection
+    // var-qualified references inside the expression (round-16 lift):
+    // PREV(v + a.v) = the derived column v + v lagged off a's bound
+    // row. Unqualified and qualified columns read the SAME row, so the
+    // anchor values are 2v at the row before a's binding: seed a=id1
+    // has a NULL lag (no match); seed a=id3 anchors 2·9 = 18, and
+    // id4's v = 20 > 18 completes
+    val vqx = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND v > PREV(v + a.v)
+          |)""".stripMargin))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(vqx == Set((3L, 4L)))
+    // mixing two pattern variables in one expression stays rejected,
+    // as does navigating an expression over a SUBSET union
     val e = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
@@ -1083,10 +1102,23 @@ class MatchRecognizeSpec extends SparkSpec {
           |  MEASURES a.event_id AS a_id
           |  PATTERN (a b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS v < PREV(v + a.v)
+          |         b AS v < PREV(a.v + b.v)
           |)""".stripMargin)
     }
-    assert(e.getMessage.contains("match-independent"))
+    assert(e.getMessage.contains("ONE pattern variable"))
+    val es2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS v < PREV(s.v * 2 + 1)
+          |)""".stripMargin)
+    }
+    assert(es2.getMessage.contains("SUBSET"))
     // FIRST/LAST offset on a SUBSET name in DEFINE: supported as of
     // round 15 (bounded merged-order selection); the offset cap keeps
     // its targeted error
@@ -2334,7 +2366,23 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(iso == got)
-    // nested navigation and SUBSET qualifiers keep targeted errors
+    // nested navigation in DEFINE (round-16 lift): strt binds ONE row
+    // here, so PREV(FIRST(strt.price)) ≡ PREV(strt.price) — the nested
+    // spelling must agree with the simple vq run above
+    val nested = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(FIRST(strt.price))
+          |)""".stripMargin))
+      .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
+    assert(nested == vq)
+    // nested navigation over a SUBSET union and expression arguments
+    // inside the nested form keep targeted errors
     val en = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
@@ -2342,11 +2390,24 @@ class MatchRecognizeSpec extends SparkSpec {
           |  ORDER BY ts_us, event_id
           |  MEASURES strt.event_id AS s_id
           |  PATTERN (strt down)
+          |  SUBSET w = (strt, down)
           |  DEFINE strt AS true,
-          |         down AS price < PREV(FIRST(strt.price))
+          |         down AS price < PREV(FIRST(w.price))
           |)""".stripMargin)
     }
-    assert(en.getMessage.contains("MEASURES-only"))
+    assert(en.getMessage.contains("SUBSET"))
+    val ex = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(FIRST(strt.price * 2))
+          |)""".stripMargin)
+    }
+    assert(ex.getMessage.contains("expression arguments inside"))
     val es = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
@@ -3440,6 +3501,177 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(dagg == Set(4L))
   }
 
+  test("nested var-qualified navigation in DEFINE: PREV(FIRST|LAST(" +
+      "a.col)[, j], k) anchors at the selected binding; streaming " +
+      "agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    Seq((1L, 10L, 1L, 10.0), (2L, 20L, 1L, 8.0), (3L, 30L, 1L, 6.0),
+      (4L, 40L, 1L, 9.0), (5L, 50L, 1L, 12.0))
+      .toDF("event_id", "ts_us", "ticker", "price")
+      .createOrReplaceTempView("mr_nnav_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(cond: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_nnav_view MATCH_RECOGNIZE (
+           |  PARTITION BY ticker
+           |  ORDER BY ts_us, event_id
+           |  MEASURES FIRST(a.event_id) AS a_id, b.event_id AS b_id
+           |  PATTERN (a{2,2} b)
+           |  DEFINE a AS true, b AS $cond
+           |)""".stripMargin))
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // LAST anchor (≡ the simple form): lag off a's SECOND binding —
+    // seed a=[1,2] anchors price@1 = 10, so b = row 3 (6 < 10)
+    assert(run("price < PREV(LAST(a.price))") == Set((1L, 3L)))
+    assert(run("price < PREV(a.price)") == Set((1L, 3L)))
+    // FIRST anchor: lag off a's FIRST binding — seed a=[2,3] anchors
+    // price@1 = 10, so b = row 4 (9 < 10); seed [1,2] has a NULL lag
+    assert(run("price < PREV(FIRST(a.price))") == Set((2L, 4L)))
+    // inner offset: LAST(a.price, 1) is the binding before the last —
+    // the first of two, so the spelling agrees with the FIRST anchor
+    assert(run("price < PREV(LAST(a.price, 1))") == Set((2L, 4L)))
+    // outer offset: two rows before a's first binding — seed a=[3,4]
+    // anchors price@1 = 10 and row 5 (12 > 10) completes
+    assert(run("price > PREV(FIRST(a.price), 2)") == Set((3L, 5L)))
+    // streaming parity for the FIRST anchor
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    input.toDF().toDF("event_id", "ts_ms", "ticker", "price")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_nnav_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nnav_stream MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES FIRST(a.event_id) AS a_id, b.event_id AS b_id
+          |  PATTERN (a{2,2} b)
+          |  WITHIN 60000
+          |  EVENTTIME etc
+          |  DEFINE a AS true, b AS price < PREV(FIRST(a.price))
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_nnav_sink").start()
+    try {
+      input.addData((1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 8.0))
+      q.processAllAvailable()
+      input.addData((3L, 3000L, 1L, 6.0), (4L, 4000L, 1L, 9.0),
+        (5L, 5000L, 1L, 12.0))
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("mr_nnav_sink")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 4L)))
+    } finally q.stop()
+  }
+
+  test("aggregates over SUBSET-union expression arguments in DEFINE: " +
+      "SUM(s.v * s.w) expands per member over one derived column; " +
+      "streaming agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    Seq((1L, 10L, 1L, "A", 2L, 3L), (2L, 20L, 1L, "A", 1L, 4L),
+      (3L, 30L, 1L, "B", 5L, 2L), (4L, 40L, 1L, "C", 0L, 0L),
+      (5L, 10L, 2L, "A", 1L, 1L), (6L, 20L, 2L, "A", 1L, 1L),
+      (7L, 30L, 2L, "B", 1L, 1L), (8L, 40L, 2L, "C", 0L, 0L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v", "w")
+      .createOrReplaceTempView("mr_sxagg_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // user 1: sum over s = a[6, 4] + b[10] = 20 → c completes;
+    // user 2: 1 + 1 + 1 = 3 → no match. The condition CHANGES the
+    // match set (both users match with the guard dropped).
+    def run(cond: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_sxagg_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES FIRST(a.event_id) AS a_id, c.event_id AS c_id
+           |  PATTERN (a{2,2} b c)
+           |  SUBSET s = (a, b)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+           |         c AS event_type = 'C' AND $cond
+           |)""".stripMargin))
+        .select($"user_id", $"a_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(run("true") == Set((1L, 1L, 4L), (2L, 5L, 8L)))
+    assert(run("SUM(s.v * s.w) >= 20") == Set((1L, 1L, 4L)))
+    // own-member folding: b is IN s, so its running predicate folds
+    // the current row's v*w (10) into a's settled 10 — user 1 passes
+    val own = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_sxagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a_id, b.event_id AS b_id
+          |  PATTERN (a{2,2} b)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND SUM(s.v * s.w) >= 20
+          |)""".stripMargin))
+      .select($"user_id", $"a_id", $"b_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(own == Set((1L, 1L, 3L)))
+    // AVG/COUNT/MIN/MAX compose through the same expansion
+    val more = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_sxagg_view MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a{2,2} b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C'
+          |           AND COUNT(s.v + s.w) = 3
+          |           AND MAX(s.v * s.w) = 10 AND MIN(s.w - s.v) = -3
+          |           AND AVG(s.v * s.w) > 6.5
+          |)""".stripMargin))
+      .select($"user_id", $"c_id").as[(Long, Long)].collect().toSet
+    assert(more == Set((1L, 4L)))
+    // streaming parity for the settled-members guard
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Long, Long)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type",
+        "v", "w")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_sxagg_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_sxagg_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES FIRST(a.event_id) AS a_id, c.event_id AS c_id
+          |  PATTERN (a{2,2} b c)
+          |  SUBSET s = (a, b)
+          |  WITHIN 60000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C' AND SUM(s.v * s.w) >= 20
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_sxagg_sink").start()
+    try {
+      input.addData((1L, 1000L, 1L, "A", 2L, 3L),
+        (2L, 2000L, 1L, "A", 1L, 4L))
+      q.processAllAvailable()
+      input.addData((3L, 3000L, 1L, "B", 5L, 2L),
+        (4L, 4000L, 1L, "C", 0L, 0L),
+        (5L, 1000L, 2L, "A", 1L, 1L), (6L, 2000L, 2L, "A", 1L, 1L),
+        (7L, 3000L, 2L, "B", 1L, 1L), (8L, 4000L, 2L, "C", 0L, 0L))
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "Z", 0L, 0L))
+      q.processAllAvailable()
+      val got = spark.table("mr_sxagg_sink")
+        .select($"user_id", $"a_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 4L)))
+    } finally q.stop()
+  }
+
   test("MODE STRICT: ISO contiguous matching — intervening rows fail " +
       "the attempt; relaxed default skips them; streaming agrees") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -3984,20 +4216,24 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e1.getMessage.contains("ONE"))
-    // SUBSET-qualified expression argument: still single-column only
-    val e2 = intercept[IllegalArgumentException] {
+    // SUBSET-qualified expression argument (round-16 lift): the
+    // derived column 2x expands per member with b's own row folded
+    // in — 2 + 4 over a=[1,2] plus 8 for b clears the >= 14 gate,
+    // the one-binding alternative (2 + 8) does not
+    val sub = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_xagg_other_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES b.event_id AS b_id
-          |  PATTERN (a b c)
+          |  MEASURES COUNT(a.*) AS n_a, b.event_id AS b_id
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a+ b)
           |  SUBSET w = (a, b)
-          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
-          |         c AS SUM(w.x * 2) > 0
-          |)""".stripMargin)
-    }
-    assert(e2.getMessage.contains("SUBSET"))
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B' AND SUM(w.x * 2) >= 14
+          |)""".stripMargin))
+      .select($"n_a", $"b_id").as[(Long, Long)].collect().toSet
+    assert(sub == Set((2L, 3L)))
   }
 
   test("AFTER MATCH SKIP TO LAST <subset>: the resume row is the " +
