@@ -302,6 +302,29 @@ object ScaleProbe {
         EStep("down", col("value") < MatchRecognize.cvFirst("strt", "value")),
         EStep("up", col("value") > MatchRecognize.cvFirst("strt", "value"))),
       withinTs = Some(7200000000L)))
+    // the recursive composite-PERMUTE expansion (q208's shape):
+    // 5! = 120 ordering branches sharing prefixes, MODE STRICT — the
+    // k!-expansion NFA's decade model is the same partitioned-NFA
+    // shape (keys multiply, per-key density constant), so growth must
+    // stay row-linear with the branch seeding a flat per-key term
+    time("mr_cep_permute5") {
+      eventsCep.createOrReplaceTempView("probe_perm5")
+      val parser = new graft.plans.GraftSqlParser(
+        spark.sessionState.sqlParser, spark)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        """SELECT * FROM probe_perm5 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id, d.event_id AS d_id,
+          |           e.event_id AS e_id
+          |  PATTERN (PERMUTE(a{1,1}, b, c, d, e))
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+          |         c AS event_type = 'purchase',
+          |         d AS event_type = 'signup', e AS event_type = 'error'
+          |)""".stripMargin))
+    }
     time("cube_report")(graft.operators.Rollup.cubeReport(eventsTs,
       "event_type", "ts_us", "user_id"))
     // integer-exact training (bounded ≤buckets collect per epoch) +

@@ -3788,7 +3788,15 @@ class MatchRecognizeSpec extends SparkSpec {
     var checked = 0
     var subsetSkips = 0
     var exprAggs = 0
-    for (trial <- 1 to 25) {
+    var varNavs = 0
+    var nestedNavs = 0
+    var navExprs = 0
+    var subsetOffsets = 0
+    var subsetExprAggs = 0
+    // in-suite default 25; the soak harness raises it via env
+    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
+      .getOrElse(25)
+    for (trial <- 1 to nTrials) {
       val nVars = 1 + rnd.nextInt(3)
       val vars = (0 until nVars).map(i => s"v$i")
       val itemPairs = vars.zipWithIndex.flatMap { case (v, i) =>
@@ -3805,15 +3813,55 @@ class MatchRecognizeSpec extends SparkSpec {
         else items.mkString(" ")
       val usedVars = vars.filter(v => pat.contains(v))
       if (usedVars.nonEmpty) {
-        // round-15 draw: a DEFINE predicate may carry an
-        // expression-aggregate conjunct (running on the variable's own
-        // slot) — the span invariant must survive it like any predicate
+        // SKIP TO LAST over a SUBSET union (round-15 draw) needs two
+        // always-bound (non-zero-min, non-alternation) variables, so
+        // the resume row can never be the match's first row (the
+        // standard's infinite-loop runtime error) or unbound
+        val boundVars =
+          if (usedAlt) itemPairs.take(1).map(_._1)
+          else itemPairs.collect {
+            case (v, s) if s != "?" && s != "{,2}" => v }
+        // a subset for the DEFINE-side draws (offsets / expression
+        // aggregates over the union) — declared whenever two variables
+        // exist; unbound members coalesce inside the draws
+        val defSubset =
+          if (usedVars.length >= 2) Some("sfz") else None
+        // DEFINE-conjunct draws across the dialect surface — the span
+        // invariant must survive each like any predicate: expression
+        // aggregates (round 15), var-qualified / nested / expression
+        // PREV-NEXT navigation and SUBSET offset / expression
+        // aggregates (rounds 15-16)
         val defs = usedVars.map { v =>
           val base = s"$v AS event_type = '${types(rnd.nextInt(3))}'"
-          if (rnd.nextInt(4) == 0) {
-            exprAggs += 1
-            s"$base AND SUM($v.value * 2) < ${20 + rnd.nextInt(60)}"
-          } else base
+          def anchor = usedVars(rnd.nextInt(usedVars.length))
+          def kind = if (rnd.nextBoolean()) "PREV" else "NEXT"
+          rnd.nextInt(8) match {
+            case 0 =>
+              exprAggs += 1
+              s"$base AND SUM($v.value * 2) < ${20 + rnd.nextInt(60)}"
+            case 1 =>
+              varNavs += 1
+              s"$base AND coalesce($kind($anchor.value), 0) < " +
+                s"${5 + rnd.nextInt(20)}"
+            case 2 =>
+              nestedNavs += 1
+              val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+              s"$base AND coalesce($kind($sel($anchor.value), " +
+                s"${1 + rnd.nextInt(2)}), 0) < ${5 + rnd.nextInt(20)}"
+            case 3 =>
+              navExprs += 1
+              s"$base AND coalesce($kind($anchor.value + value), 0) " +
+                s"< ${10 + rnd.nextInt(40)}"
+            case 4 | 5 if defSubset.nonEmpty =>
+              subsetOffsets += 1
+              val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+              s"$base AND coalesce($sel(sfz.value, ${rnd.nextInt(3)})" +
+                s", 0) < ${5 + rnd.nextInt(20)}"
+            case 6 | 7 if defSubset.nonEmpty =>
+              subsetExprAggs += 1
+              s"$base AND SUM(sfz.value * 2) < ${20 + rnd.nextInt(80)}"
+            case _ => base
+          }
         }.mkString(", ")
         val mode = rnd.nextInt(3) match {
           case 0 => "MODE STRICT"
@@ -3823,23 +3871,25 @@ class MatchRecognizeSpec extends SparkSpec {
         val within =
           if (rnd.nextBoolean()) s"WITHIN ${100 + rnd.nextInt(400)}"
           else ""
-        // round-15 draw: SKIP TO LAST over a SUBSET union — only when
-        // two always-bound (non-zero-min, non-alternation) variables
-        // exist, so the resume row can never be the match's first row
-        // (the standard's infinite-loop runtime error) or unbound
-        val boundVars =
-          if (usedAlt) itemPairs.take(1).map(_._1)
-          else itemPairs.collect {
-            case (v, s) if s != "?" && s != "{,2}" => v }
-        val (skipClause, subsetClause) = rnd.nextInt(5) match {
-          case 0 => ("AFTER MATCH SKIP PAST LAST ROW", "")
-          case 1 => ("AFTER MATCH SKIP TO NEXT ROW", "")
-          case 2 if boundVars.length >= 2 =>
+        // deterministic rotation over the skip modes (a pure random
+        // draw can starve the two-bound-vars-gated subset case on an
+        // unlucky stream); everything else in the statement stays
+        // randomly drawn
+        val (skipClause, skipSubsetDecl) = trial % 5 match {
+          case 0 => ("AFTER MATCH SKIP PAST LAST ROW", None)
+          case 1 => ("AFTER MATCH SKIP TO NEXT ROW", None)
+          case 2 | 3 if boundVars.length >= 2 =>
             subsetSkips += 1
             ("AFTER MATCH SKIP TO LAST wfz",
-              s"SUBSET wfz = (${boundVars.take(2).mkString(", ")})")
-          case _ => ("", "")
+              Some(s"wfz = (${boundVars.take(2).mkString(", ")})"))
+          case _ => ("", None)
         }
+        val subsetDecls =
+          defSubset.map(n => s"$n = (${usedVars.take(2).mkString(", ")})")
+            .toList ++ skipSubsetDecl.toList
+        val subsetClause =
+          if (subsetDecls.isEmpty) ""
+          else "SUBSET " + subsetDecls.mkString(", ")
         val anchored = if (rnd.nextInt(5) == 0) s"^ $pat" else pat
         // span fingerprint via measures (ONE ROW output has no
         // match_start/match_end columns): the head variable binds the
@@ -3890,10 +3940,13 @@ class MatchRecognizeSpec extends SparkSpec {
         }
       }
     }
-    assert(checked >= 10, s"only $checked fuzz statements ran")
-    assert(exprAggs >= 3 && subsetSkips >= 1,
-      s"fixture weak: $exprAggs expression-aggregate draws, " +
-        s"$subsetSkips subset-skip draws")
+    assert(checked >= nTrials * 2 / 5,
+      s"only $checked of $nTrials fuzz statements ran")
+    val draws = Map("exprAgg" -> exprAggs, "subsetSkip" -> subsetSkips,
+      "varNav" -> varNavs, "nestedNav" -> nestedNavs,
+      "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
+      "subsetExprAgg" -> subsetExprAggs)
+    assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
   }
 
   test("seeded PERMUTE residual-tie fuzz: same-span equal-slot-count " +

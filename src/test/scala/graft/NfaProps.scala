@@ -677,10 +677,11 @@ object NfaParityProps extends Properties("NfaParity") {
   import graft.cep.Cep
 
   // the judge falsified the old form at gen-count 200 only after many
-  // runs' seed luck — fuzz this one at 1000
+  // runs' seed luck — fuzz this one at 1000 (soaks raise it via env)
   override def overrideParameters(
       p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(1000)
+    p.withMinSuccessfulTests(
+      sys.env.get("GRAFT_PARITY_GENS").map(_.toInt).getOrElse(1000))
 
   /** The streaming micro-batch executor (Cep.step: watermark buffer +
     * incremental NFA) must emit exactly the ordered-replay matches, for

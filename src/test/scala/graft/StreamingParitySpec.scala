@@ -1606,28 +1606,73 @@ class StreamingParitySpec extends SparkSpec {
     var checked = 0
     var exprAggs = 0
     var subsetSkips = 0
-    for (trial <- 1 to 8) {
+    var varNavs = 0
+    var nestedNavs = 0
+    var navExprs = 0
+    var subsetOffsets = 0
+    var subsetExprAggs = 0
+    // in-suite default 12; the soak harness raises it via env
+    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
+      .getOrElse(12)
+    for (trial <- 1 to nTrials) {
       val nVars = 1 + rnd.nextInt(2)
       val pat = (0 until nVars).map(i =>
         s"v$i${quants(rnd.nextInt(quants.length))}").mkString(" ")
       val shuffledTypes = rnd.shuffle(types)
-      // round-15 draws: an expression-aggregate DEFINE conjunct
-      // (running SUM over the variable's own bindings) and — when two
-      // variables exist (all quants here are min>=1, so both always
-      // bind, and v1's last row is never the match's first row) —
-      // AFTER MATCH SKIP TO LAST over a SUBSET union
+      // a subset for the DEFINE-side draws whenever two variables
+      // exist (all quants here are min >= 1, so both always bind)
+      val defSubset = if (nVars == 2) Some("sfz") else None
+      // DEFINE-conjunct draws across the dialect surface (rounds
+      // 15-16): expression aggregates, var-qualified / nested /
+      // expression PREV navigation, SUBSET offsets and SUBSET
+      // expression aggregates. PREV only — a NEXT draw would need
+      // per-key trailing filler (the hold-back withholds a partition's
+      // final rows, the documented data-arrival latency).
       val defs = (0 until nVars).map { i =>
         val base = s"v$i AS event_type = '${shuffledTypes(i)}'"
-        if (rnd.nextInt(3) == 0) {
-          exprAggs += 1
-          s"$base AND SUM(v$i.event_id * 2) < ${40 + rnd.nextInt(120)}"
-        } else base
+        def anchor = s"v${rnd.nextInt(nVars)}"
+        rnd.nextInt(8) match {
+          case 0 =>
+            exprAggs += 1
+            s"$base AND SUM(v$i.event_id * 2) < ${40 + rnd.nextInt(120)}"
+          case 1 =>
+            varNavs += 1
+            s"$base AND coalesce(PREV($anchor.event_id), 0) < " +
+              s"${10 + rnd.nextInt(30)}"
+          case 2 =>
+            nestedNavs += 1
+            val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+            s"$base AND coalesce(PREV($sel($anchor.event_id), " +
+              s"${1 + rnd.nextInt(2)}), 0) < ${10 + rnd.nextInt(30)}"
+          case 3 =>
+            navExprs += 1
+            s"$base AND coalesce(PREV($anchor.event_id + event_id)" +
+              s", 0) < ${20 + rnd.nextInt(60)}"
+          case 4 | 5 if defSubset.nonEmpty =>
+            subsetOffsets += 1
+            val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+            s"$base AND coalesce($sel(sfz.event_id, " +
+              s"${rnd.nextInt(3)}), 0) < ${10 + rnd.nextInt(30)}"
+          case 6 | 7 if defSubset.nonEmpty =>
+            subsetExprAggs += 1
+            s"$base AND SUM(sfz.event_id * 2) < ${40 + rnd.nextInt(120)}"
+          case _ => base
+        }
       }.mkString(", ")
-      val (skipClause, subsetClause) =
-        if (nVars == 2 && rnd.nextBoolean()) {
+      // deterministic rotation for the two-vars-gated skip draw (a
+      // pure random draw can starve it on an unlucky stream); v1's
+      // last row is never the match's first row, so SKIP TO LAST over
+      // the union is always legal here
+      val (skipClause, skipSubsetDecl) =
+        if (nVars == 2 && trial % 2 == 0) {
           subsetSkips += 1
-          ("AFTER MATCH SKIP TO LAST wfz", "SUBSET wfz = (v0, v1)")
-        } else ("", "")
+          ("AFTER MATCH SKIP TO LAST wfz", Some("wfz = (v0, v1)"))
+        } else ("", None)
+      val subsetDecls = defSubset.map(n => s"$n = (v0, v1)").toList ++
+        skipSubsetDecl.toList
+      val subsetClause =
+        if (subsetDecls.isEmpty) ""
+        else "SUBSET " + subsetDecls.mkString(", ")
       val mode = if (rnd.nextBoolean()) "MODE STRICT" else ""
       // drawn ONCE outside the statement builder: the builder runs
       // for both sides (and lazily in assert messages), and a draw
@@ -1681,9 +1726,12 @@ class StreamingParitySpec extends SparkSpec {
         checked += 1
       } finally q.stop()
     }
-    assert(checked == 8)
-    assert(exprAggs >= 2 && subsetSkips >= 1,
-      s"fixture weak: $exprAggs expression-aggregate draws, " +
-        s"$subsetSkips subset-skip draws")
+    assert(checked == nTrials,
+      s"only $checked of $nTrials fuzz statements ran")
+    val draws = Map("exprAgg" -> exprAggs, "subsetSkip" -> subsetSkips,
+      "varNav" -> varNavs, "nestedNav" -> nestedNavs,
+      "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
+      "subsetExprAgg" -> subsetExprAggs)
+    assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
   }
 }
