@@ -1401,9 +1401,9 @@ private[graft] object MatchRecognizeSql {
                 "union needs integral ORDER BY columns (the merged " +
                 s"binding order sorts (ts, tie) structs; " +
                 s"$tsCol/$tieCol are not)")
-            require(k <= 9,
+            require(k <= 19,
               s"DEFINE $n: FIRST/LAST($sn.$c, $k) — union offsets " +
-                "are supported up to 9 (the selection expands " +
+                "are supported up to 19 (the selection expands " +
                 "(offset+1) x members running markers)")
             val inf = if (isF) "9223372036854775807"
               else "-9223372036854775808"

@@ -1120,8 +1120,9 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(es2.getMessage.contains("SUBSET"))
     // FIRST/LAST offset on a SUBSET name in DEFINE: supported as of
-    // round 15 (bounded merged-order selection); the offset cap keeps
-    // its targeted error
+    // round 15 (bounded merged-order selection, cap raised to 19 in
+    // round 16 — the probe showed the selection flat in k); the cap
+    // keeps its targeted error
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
@@ -1131,10 +1132,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |  PATTERN (a b)
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS v > FIRST(s.v, 12)
+          |         b AS v > FIRST(s.v, 20)
           |)""".stripMargin)
     }
-    assert(e2.getMessage.contains("up to 9"))
+    assert(e2.getMessage.contains("up to 19"))
     // streaming: same expression through the release decorator
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String, Long)]
@@ -4205,6 +4206,29 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .count()
     assert(oob == 0L)
+    // deep offsets (cap raised to 19 in round 16): 10 A's then 10 B's
+    // merge as a1..a10 b1..b10, so FIRST(s.v, 19) is the 20th value
+    // (20), FIRST(s.v, 12) the 13th (13), LAST(s.v, 19) the 1st (1)
+    val deepRows =
+      (1L to 10L).map(i => (i, i * 10L, 1L, "A", i)) ++
+        (11L to 20L).map(i => (i, i * 10L, 1L, "B", i)) ++
+        Seq((21L, 210L, 1L, "C", 99L))
+    deepRows.toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_suboff_deep")
+    val deep = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_suboff_deep MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES c.event_id AS c_id
+          |  PATTERN (a{10,10} b{10,10} c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C' AND FIRST(s.v, 19) = 20
+          |           AND FIRST(s.v, 12) = 13 AND LAST(s.v, 19) = 1
+          |)""".stripMargin))
+      .select($"c_id").as[Long].collect().toSet
+    assert(deep == Set(21L))
   }
 
   test("aggregate-over-expression in DEFINE: running fold over the " +
