@@ -1179,6 +1179,54 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Navigation from a SUBSET union in DEFINE (round-16 lift):
+    // PREV(s.value) anchors at the union's merged-LAST bound row —
+    // the view here — so each purchase gates on the value of the row
+    // BEFORE the chain's view (the same lag column q209 materializes,
+    // folded through the union FIRST/LAST expansion).
+    "q214_mr_subset_nav" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_subnav_q214")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_subnav_q214 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND value > PREV(s.value)
+          |)""".stripMargin))
+    }),
+
+    // Expression arguments inside the NESTED navigation form
+    // (round-16 lift): PREV(FIRST(a.value * 2)) — the derived doubled
+    // column lagged off a's FIRST binding (the q212 chain with a
+    // doubled anchor).
+    "q215_mr_nested_navx" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("value")).createOrReplaceTempView("mr_nnavx_q215")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_nnavx_q215 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1_id,
+          |           LAST(a.event_id) AS a2_id, up.event_id AS u_id
+          |  PATTERN (a{2,2} up)
+          |  WITHIN 7200000000
+          |  DEFINE a AS true,
+          |         up AS value > PREV(FIRST(a.value * 2))
+          |)""".stripMargin))
+    }),
+
     // Alternation of SEQUENCES (a b | c d) — the recursive grammar
     // beyond single-variable alternation: two disjoint two-step
     // chains share one pattern, the unmatched branch's measures are
@@ -8089,6 +8137,59 @@ object SparkEntry {
         |    AND (b.us > s.us OR (b.us = s.us AND b.event_id > s.event_id))
         |    AND b.us - s.us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, a_id, b_id FROM sel""".stripMargin,
+
+    // click, first later view, first later purchase priced above the
+    // lag AT THE VIEW's row (the union's merged-last bound row); no
+    // WITHIN — depth-3 2 h chains are vacuously rare at sf0.01
+    "q214_mr_subset_nav" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |p1 AS (SELECT * FROM (SELECT a.user_id, a.event_id AS a_id,
+        |    b.event_id AS b_id, b.us AS b_us, b.pv AS b_pv,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.us, b.event_id) AS rn
+        |  FROM o a JOIN o b ON a.user_id = b.user_id
+        |    AND a.event_type = 'click' AND b.event_type = 'view'
+        |    AND (b.us > a.us OR (b.us = a.us
+        |      AND b.event_id > a.event_id))) WHERE rn = 1),
+        |p2 AS (SELECT * FROM (SELECT p1.user_id, p1.a_id, p1.b_id,
+        |    c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p1.user_id, p1.a_id
+        |      ORDER BY c.us, c.event_id) AS rn2
+        |  FROM p1 JOIN o c ON p1.user_id = c.user_id
+        |    AND c.event_type = 'purchase' AND c.value > p1.b_pv
+        |    AND (c.us > p1.b_us OR (c.us = p1.b_us
+        |      AND c.event_id > p1.b_id))) WHERE rn2 = 1)
+        |SELECT user_id, a_id, b_id, c_id FROM p2""".stripMargin,
+
+    // the q212 chain with the anchor doubled: up = the first later
+    // row whose value exceeds TWICE the lag at a's FIRST binding
+    "q215_mr_nested_navx" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |a2 AS (SELECT * FROM (SELECT s.user_id, s.event_id AS a1_id,
+        |    s.us AS a1_us, s.pv AS apv, n.event_id AS a2_id,
+        |    n.us AS a2_us,
+        |    row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |      ORDER BY n.us, n.event_id) AS rn
+        |  FROM o s JOIN o n ON s.user_id = n.user_id
+        |    AND (n.us > s.us OR (n.us = s.us AND n.event_id > s.event_id))
+        |    AND n.us - s.us <= 7200000000) WHERE rn = 1),
+        |u AS (SELECT * FROM (SELECT a2.user_id, a2.a1_id, a2.a2_id,
+        |    x.event_id AS u_id,
+        |    row_number() OVER (PARTITION BY a2.user_id, a2.a1_id
+        |      ORDER BY x.us, x.event_id) AS rn
+        |  FROM a2 JOIN o x ON a2.user_id = x.user_id
+        |    AND x.value > 2 * a2.apv
+        |    AND (x.us > a2.a2_us OR (x.us = a2.a2_us
+        |      AND x.event_id > a2.a2_id))
+        |    AND x.us - a2.a1_us <= 7200000000) WHERE rn = 1)
+        |SELECT user_id, a1_id, a2_id, u_id FROM u""".stripMargin,
 
     // the q175 chain with the PREV conditions added: lag(value) per
     // user in (ts, event_id) order is the navigation input; the first

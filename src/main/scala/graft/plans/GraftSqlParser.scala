@@ -1112,61 +1112,93 @@ private[graft] object MatchRecognizeSql {
     val navExprRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)""" +
         """\s*(?:,\s*(\d+)\s*)?\)""").r
+    // the nested form with an EXPRESSION argument —
+    // PREV(FIRST(a.price * 2)[, k]) — derives the same input column
+    // and rides the nested var-qualified pre-pass
+    val navNestedExprRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*(first|last)\s*\(\s*""" +
+        """([^(),]+?)\s*(?:,\s*(\d+)\s*)?\)\s*(?:,\s*(\d+)\s*)?\)""").r
+    // Classify a navigation expression argument: None = the pure
+    // var.col form (NOT an expression — leave it for the defs2
+    // var-qualified pre-pass); Some(target) = the derived-column
+    // target, qualifier-prefixed when the expression references ONE
+    // pattern variable or ONE SUBSET union (qualified and unqualified
+    // columns read the SAME row). A qualifier that is neither, or a
+    // mix of two, is rejected with the actual reason. Identifier
+    // qualifiers only — a decimal literal's dot (2.5) is a fraction
+    // point.
+    def navExprTarget(owner: String, fn: String,
+        inner: String): Option[String] = {
+      if (inner.matches("""(?s)\w+\s*\.\s*\w+""")) None
+      else {
+        val quals =
+          """(?i)(?<![\w.])([A-Za-z_]\w*)\s*\.\s*(?=[A-Za-z_])""".r
+            .findAllMatchIn(inner).map(_.group(1)).toSeq
+        val bad = quals.filterNot(q =>
+          patVarSet(q.toLowerCase) || subsetSet(q.toLowerCase))
+        require(bad.isEmpty,
+          s"DEFINE $owner: $fn($inner) — '${bad.head}' is not a " +
+            s"PATTERN variable (have: ${varNames.mkString(", ")})")
+        val vars = quals.map(_.toLowerCase).distinct
+        require(vars.length <= 1,
+          s"DEFINE $owner: $fn($inner) — a PREV/NEXT expression may " +
+            "reference ONE pattern variable or ONE SUBSET union " +
+            "(navigation anchors at that qualifier's bound row); " +
+            "mixing variables is undefined")
+        val stripped = vars.headOption match {
+          case Some(v) =>
+            (s"(?i)(?<![\\w.])$v\\s*\\.\\s*(\\w+)").r
+              .replaceAllIn(inner, "`$1`")
+          case None => inner
+        }
+        val alias = navExprAliases.getOrElseUpdate(stripped,
+          s"_mr_navx_${navExprAliases.size}")
+        Some(vars.headOption match {
+          case Some(v) =>
+            val canon = varNames.find(_.toLowerCase == v)
+              .orElse(subsets.map(_._1).find(_.toLowerCase == v)).get
+            s"$canon.$alias"
+          case None => alias
+        })
+      }
+    }
     def normNavExpr(owner: String, text: String): String =
-      rewriteOutsideLiterals(text) { seg =>
+      rewriteOutsideLiterals(text) { seg0 =>
+        val seg = navNestedExprRe.replaceAllIn(seg0, mm => {
+          val inner = mm.group(3).trim
+          // an unqualified expression has no binding to anchor the
+          // FIRST/LAST selection at — leave it for the targeted
+          // nested-form error below
+          val hasQual =
+            """(?i)(?<![\w.])[A-Za-z_]\w*\s*\.\s*[A-Za-z_]""".r
+              .findFirstIn(inner).isDefined
+          if (!hasQual)
+            java.util.regex.Matcher.quoteReplacement(mm.matched)
+          else navExprTarget(owner,
+              s"${mm.group(1)}(${mm.group(2)}(...))", inner) match {
+            case None =>
+              java.util.regex.Matcher.quoteReplacement(mm.matched)
+            case Some(target) =>
+              val jOff = Option(mm.group(4)).map(o => s", $o")
+                .getOrElse("")
+              val kOff = Option(mm.group(5)).map(o => s", $o")
+                .getOrElse("")
+              java.util.regex.Matcher.quoteReplacement(
+                s"${mm.group(1)}(${mm.group(2)}($target$jOff)$kOff)")
+          }
+        })
         navExprRe.replaceAllIn(seg, mm => {
           val inner = mm.group(2).trim
-          // the pure var.col form is NOT an expression — it is the
-          // SQL:2016 var-qualified navigation, handled by the
-          // dedicated defs2 pre-pass (lag alias + cross-var marker);
-          // leave it for that pass
-          if (inner.matches("""(?s)\w+\s*\.\s*\w+"""))
-            java.util.regex.Matcher.quoteReplacement(mm.matched)
-          else {
-            // var-qualified references inside the expression form
-            // (round-16 lift): the expression of ONE pattern
-            // variable's row materializes as a derived input column
-            // (qualified and unqualified columns read the SAME row)
-            // and the navigation rides the var-qualified simple form
-            // — the lag of the derived column read off that
-            // variable's bound row
-            // identifier-qualified only: a decimal literal's dot
-            // (2.5) is a fraction point, not a qualifier
-            val quals =
-              """(?i)(?<![\w.])([A-Za-z_]\w*)\s*\.\s*(?=[A-Za-z_])""".r
-                .findAllMatchIn(inner).map(_.group(1)).toSeq
-            val bad = quals.filterNot(q =>
-              patVarSet(q.toLowerCase) || subsetSet(q.toLowerCase))
-            require(bad.isEmpty,
-              s"DEFINE $owner: ${mm.group(1)}($inner) — " +
-                s"'${bad.head}' is not a PATTERN variable (have: " +
-                s"${varNames.mkString(", ")})")
-            val vars = quals.map(_.toLowerCase).distinct
-            require(!vars.exists(subsetSet),
-              s"DEFINE $owner: ${mm.group(1)}($inner) — navigating " +
-                "an expression over a SUBSET union is not supported; " +
-                "qualify a member variable")
-            require(vars.length <= 1,
-              s"DEFINE $owner: ${mm.group(1)}($inner) — a PREV/NEXT " +
-                "expression may reference ONE pattern variable " +
-                "(navigation anchors at that variable's bound row); " +
-                "mixing variables is undefined")
-            val stripped = vars.headOption match {
-              case Some(v) =>
-                (s"(?i)(?<![\\w.])$v\\s*\\.\\s*(\\w+)").r
-                  .replaceAllIn(inner, "`$1`")
-              case None => inner
-            }
-            val alias = navExprAliases.getOrElseUpdate(stripped,
-              s"_mr_navx_${navExprAliases.size}")
-            val off = Option(mm.group(3)).map(o => s", $o").getOrElse("")
-            val target = vars.headOption match {
-              case Some(v) =>
-                s"${varNames.find(_.toLowerCase == v).get}.$alias"
-              case None => alias
-            }
-            java.util.regex.Matcher.quoteReplacement(
-              s"${mm.group(1)}($target$off)")
+          navExprTarget(owner, mm.group(1), inner) match {
+            case None =>
+              // the pure var.col form is the SQL:2016 var-qualified
+              // navigation, handled by the defs2 pre-pass
+              java.util.regex.Matcher.quoteReplacement(mm.matched)
+            case Some(target) =>
+              val off = Option(mm.group(3)).map(o => s", $o")
+                .getOrElse("")
+              java.util.regex.Matcher.quoteReplacement(
+                s"${mm.group(1)}($target$off)")
           }
         })
       }
@@ -1499,6 +1531,22 @@ private[graft] object MatchRecognizeSql {
       // the bare cross-var reference v.<lag alias> (= LAST; on the
       // variable being defined, the current row)
       val dNav = rewriteOutsideLiterals(d0) { seg0 =>
+        // the qualifier may also be a SUBSET union (round-16 lift):
+        // PREV(s.col, k) navigates from the union's merged-LAST bound
+        // row, PREV(FIRST(s.col), k) from the merged-first — the same
+        // lag column, folded through the union FIRST/LAST expansion
+        // (expandSubsetDefine's (ts, tie, value)-struct election)
+        def canonOf(v: String, what: => String): Either[String, String] =
+          varNames.find(_.equalsIgnoreCase(v)).map(Left(_)).getOrElse(
+            subsets.map(_._1).find(_.equalsIgnoreCase(v))
+              .map(Right(_)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"DEFINE $n: $what — '$v' is not a PATTERN " +
+                    s"variable or SUBSET union (have: ${
+                      varNames.mkString(", ")}${
+                      if (subsets.nonEmpty)
+                        s"; subsets: ${subsets.map(_._1).mkString(", ")}"
+                      else ""})")))
         val seg = prevNestedVarRe.replaceAllIn(seg0, mm => {
           val kind = mm.group(1).toLowerCase
           val sel = mm.group(2).toLowerCase
@@ -1506,15 +1554,7 @@ private[graft] object MatchRecognizeSql {
           val c = mm.group(4)
           val j = Option(mm.group(5))
           val k = Option(mm.group(6)).map(_.toInt).getOrElse(1)
-          val canon = varNames.find(_.equalsIgnoreCase(v)).getOrElse(
-            throw new IllegalArgumentException(
-              if (subsets.exists(_._1.equalsIgnoreCase(v)))
-                s"DEFINE $n: $kind($sel($v.$c)) — navigation from a " +
-                  "SUBSET union is not supported; navigate a member " +
-                  "variable"
-              else
-                s"DEFINE $n: $kind($sel($v.$c)) — '$v' is not a " +
-                  s"PATTERN variable (have: ${varNames.mkString(", ")})"))
+          val canon = canonOf(v, s"$kind($sel($v.$c))").merge
           // k = 0 is the selected bound row itself — no lag column
           val navCol = if (k == 0) c else lagAliasOf(kind, c, k)
           val jOff = j.map(o => s", $o").getOrElse("")
@@ -1524,24 +1564,25 @@ private[graft] object MatchRecognizeSql {
         if (prevNestedDetectRe.findFirstIn(seg).isDefined)
           throw new IllegalArgumentException(
             s"DEFINE $n: nested navigation takes " +
-              "PREV(FIRST|LAST(var.col[, j])[, k]) with literal " +
-              "offsets — expression arguments inside the nested form " +
-              "are not supported")
+              "PREV(FIRST|LAST(qual.col[, j])[, k]) with literal " +
+              "offsets and a var- or SUBSET-qualified column (an " +
+              "expression argument must qualify ONE variable or " +
+              "union)")
         prevVarRe.replaceAllIn(seg, mm => {
           val kind = mm.group(1).toLowerCase
           val v = mm.group(2)
           val c = mm.group(3)
           val k = Option(mm.group(4)).map(_.toInt).getOrElse(1)
-          val canon = varNames.find(_.equalsIgnoreCase(v)).getOrElse(
-            throw new IllegalArgumentException(
-              if (subsets.exists(_._1.equalsIgnoreCase(v)))
-                s"DEFINE $n: $kind($v.$c) — navigation from a SUBSET " +
-                  "union is not supported; navigate a member variable"
-              else
-                s"DEFINE $n: $kind($v.$c) — '$v' is not a PATTERN " +
-                  s"variable (have: ${varNames.mkString(", ")})"))
           val alias = lagAliasOf(kind, c, k)
-          java.util.regex.Matcher.quoteReplacement(s"$canon.$alias")
+          canonOf(v, s"$kind($v.$c)") match {
+            case Left(varCanon) =>
+              java.util.regex.Matcher.quoteReplacement(
+                s"$varCanon.$alias")
+            case Right(subCanon) =>
+              // bare subset reference = RUNNING LAST over the union
+              java.util.regex.Matcher.quoteReplacement(
+                s"$subCanon.$alias")
+          }
         })
       }
       val d = rewriteCrossVar(n, expandSubsetDefine(n, dNav))
@@ -1565,9 +1606,8 @@ private[graft] object MatchRecognizeSql {
     defs2.foreach { case (n, d) =>
       if (leftoverOffRe.findFirstIn(maskLiterals(d)).isDefined)
         throw new IllegalArgumentException(
-          s"DEFINE $n: FIRST/LAST offsets in DEFINE work on pattern " +
-            "variables only (SUBSET union variables are supported in " +
-            "MEASURES)")
+          s"DEFINE $n: FIRST/LAST offsets in DEFINE take a PATTERN " +
+            "variable or SUBSET union qualifier")
     }
     // anchors: AND the partition-boundary predicate onto the edge
     // variable's DEFINE via the lag machinery — PREV(ts,1) IS NULL is

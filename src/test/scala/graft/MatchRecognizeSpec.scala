@@ -1092,8 +1092,7 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(vqx == Set((3L, 4L)))
-    // mixing two pattern variables in one expression stays rejected,
-    // as does navigating an expression over a SUBSET union
+    // mixing two pattern variables in one expression stays rejected
     val e = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
@@ -1106,19 +1105,23 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin)
     }
     assert(e.getMessage.contains("ONE pattern variable"))
-    val es2 = intercept[IllegalArgumentException] {
+    // navigating an expression over a SUBSET union (round-16 lift):
+    // b is a MEMBER of s, so the merged-last bound row is the current
+    // row and PREV(s.v * 2 + 1) is the previous input row's 2v + 1 —
+    // anchors 11/19/9 at ids 2/3/4; only id2 (9 < 11) completes
+    val es2 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES a.event_id AS a_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
           |  PATTERN (a b)
           |  SUBSET s = (a, b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS v < PREV(s.v * 2 + 1)
-          |)""".stripMargin)
-    }
-    assert(es2.getMessage.contains("SUBSET"))
+          |         b AS event_type = 'B' AND v < PREV(s.v * 2 + 1)
+          |)""".stripMargin))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(es2 == Set((1L, 2L)))
     // FIRST/LAST offset on a SUBSET name in DEFINE: supported as of
     // round 15 (bounded merged-order selection, cap raised to 19 in
     // round 16 — the probe showed the selection flat in k); the cap
@@ -2382,22 +2385,59 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
     assert(nested == vq)
-    // nested navigation over a SUBSET union and expression arguments
-    // inside the nested form keep targeted errors
-    val en = intercept[IllegalArgumentException] {
+    // nested navigation over a SUBSET union (round-16 lift): the
+    // union's merged-FIRST bound row is strt's row here, so the
+    // spelling agrees with PREV(strt.price)
+    val en = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
           |  PARTITION BY ticker
           |  ORDER BY ts_us, event_id
-          |  MEASURES strt.event_id AS s_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id
           |  PATTERN (strt down)
           |  SUBSET w = (strt, down)
           |  DEFINE strt AS true,
           |         down AS price < PREV(FIRST(w.price))
-          |)""".stripMargin)
-    }
-    assert(en.getMessage.contains("SUBSET"))
-    val ex = intercept[IllegalArgumentException] {
+          |)""".stripMargin))
+      .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
+    assert(en == vq)
+    // flat navigation from the union: down is a MEMBER of w, so the
+    // merged-LAST bound row is the current row under running
+    // semantics and PREV(w.price) degenerates to plain PREV(price) —
+    // the V-shape's down legs: rows 2 (8 < 10) and 3 (6 < 8)
+    val ef = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id
+          |  PATTERN (strt down)
+          |  SUBSET w = (strt, down)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(w.price)
+          |)""".stripMargin))
+      .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
+    assert(ef == Set((1L, 2L), (2L, 3L)))
+    // expression argument inside the nested form (round-16 lift):
+    // PREV(FIRST(strt.price * 2)) = the doubled value of the row
+    // before strt's binding — seeds 2 (anchor 20) and 3 (anchor 16)
+    // find cheaper rows, seed 4 (anchor 12) does not (12 < 12 fails)
+    val ex = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(FIRST(strt.price * 2))
+          |)""".stripMargin))
+      .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
+    assert(ex == Set((2L, 3L), (3L, 4L)))
+    // fail-fasts that remain: an unqualified expression inside the
+    // nested form (no binding anchors the selection), and an unknown
+    // qualifier
+    val enq = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
           |  PARTITION BY ticker
@@ -2405,22 +2445,21 @@ class MatchRecognizeSpec extends SparkSpec {
           |  MEASURES strt.event_id AS s_id
           |  PATTERN (strt down)
           |  DEFINE strt AS true,
-          |         down AS price < PREV(FIRST(strt.price * 2))
+          |         down AS price < PREV(FIRST(price * 2))
           |)""".stripMargin)
     }
-    assert(ex.getMessage.contains("expression arguments inside"))
-    val es = intercept[IllegalArgumentException] {
+    assert(enq.getMessage.contains("nested navigation takes"))
+    val euq = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
           |  PARTITION BY ticker
           |  ORDER BY ts_us, event_id
           |  MEASURES strt.event_id AS s_id
           |  PATTERN (strt down)
-          |  SUBSET w = (strt, down)
-          |  DEFINE strt AS true, down AS price < PREV(w.price)
+          |  DEFINE strt AS true, down AS price < PREV(t.price)
           |)""".stripMargin)
     }
-    assert(es.getMessage.contains("SUBSET"))
+    assert(euq.getMessage.contains("not a PATTERN variable"))
   }
 
   test("RUNNING measures aggregate only the bindings at-or-before the " +
@@ -4229,6 +4268,82 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"c_id").as[Long].collect().toSet
     assert(deep == Set(21L))
+  }
+
+  test("navigation from a SUBSET union in DEFINE: PREV(s.col) anchors " +
+      "at the merged-LAST bound row, nested FIRST/offset forms at the " +
+      "selected merged element; streaming agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // a@1 b@2, an X row between b and c: the lag anchors at the BOUND
+    // rows (lag@2 = 5, lag@1 = NULL), never at c's own row
+    Seq((1L, 10L, 1L, "A", 5L), (2L, 20L, 1L, "B", 7L),
+      (3L, 30L, 1L, "X", 100L), (4L, 40L, 1L, "C", 9L),
+      (5L, 10L, 2L, "A", 50L), (6L, 20L, 2L, "B", 7L),
+      (7L, 30L, 2L, "C", 9L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "v")
+      .createOrReplaceTempView("mr_subnav_view")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def run(cond: String) =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        s"""SELECT * FROM mr_subnav_view MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id, c.event_id AS c_id
+           |  PATTERN (a b c)
+           |  SUBSET s = (a, b)
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+           |         c AS event_type = 'C' AND $cond
+           |)""".stripMargin))
+        .select($"user_id", $"a_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+    // merged-LAST of s = b's row: lag@b is a's v (5 and 50) — user 1
+    // passes (9 > 5), user 2 does not (9 > 50 fails)
+    assert(run("v > PREV(s.v)") == Set((1L, 1L, 4L)))
+    // lag 2 at b's row is NULL (b is each user's second row)
+    assert(run("v > PREV(s.v, 2)") == Set.empty)
+    // nested FIRST: the merged-first bound row is a's — lag@a is NULL
+    assert(run("PREV(FIRST(s.v)) IS NULL") ==
+      Set((1L, 1L, 4L), (2L, 5L, 7L)))
+    // inner offset: merged element 1 (0-based) is b's row — same
+    // anchor as the flat merged-LAST spelling
+    assert(run("v > PREV(FIRST(s.v, 1), 1)") == Set((1L, 1L, 4L)))
+    // streaming parity for the flat merged-LAST anchor
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Long)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "v")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_subnav_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_subnav_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES a.event_id AS a_id, c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  WITHIN 60000
+          |  EVENTTIME etc
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B',
+          |         c AS event_type = 'C' AND v > PREV(s.v)
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_subnav_sink").start()
+    try {
+      input.addData((1L, 1000L, 1L, "A", 5L), (2L, 2000L, 1L, "B", 7L))
+      q.processAllAvailable()
+      input.addData((3L, 3000L, 1L, "X", 100L), (4L, 4000L, 1L, "C", 9L),
+        (5L, 1000L, 2L, "A", 50L), (6L, 2000L, 2L, "B", 7L),
+        (7L, 3000L, 2L, "C", 9L))
+      q.processAllAvailable()
+      input.addData((9L, 300000L, 9L, "Z", 0L))
+      q.processAllAvailable()
+      val got = spark.table("mr_subnav_sink")
+        .select($"user_id", $"a_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 4L)))
+    } finally q.stop()
   }
 
   test("aggregate-over-expression in DEFINE: running fold over the " +
