@@ -163,6 +163,33 @@ class ControlPlaneSpec extends SparkSpec {
             |)""".stripMargin))
         assert(got2.toSet == Set((2L, 5L)))
       } finally cp2.shutdown()
+      // round-16 dialect lifts through the same path: navigation from
+      // a SUBSET union (merged-last = the current row for member b,
+      // so PREV(s.event_id) is the previous input row's id) and an
+      // expression argument inside the nested form (NULL lag on the
+      // partition's first row coalesces)
+      var got3: Array[(Long, Long)] = Array.empty
+      val cp3 = new ControlPlane(spark, (_: String, df: DataFrame) => {
+        got3 = df.selectExpr("a_id", "b_id")
+          .as[(Long, Long)].collect()
+        None
+      })
+      try {
+        cp3.handle(AddPlan("mrplan16",
+          """sql: SELECT * FROM cp_mr_events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us, event_id
+            |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+            |  PATTERN (a b)
+            |  SUBSET s = (a, b)
+            |  DEFINE a AS event_type = 'A',
+            |         b AS event_type = 'B'
+            |           AND event_id > PREV(s.event_id)
+            |           AND coalesce(PREV(FIRST(a.event_id * 2)), -1)
+            |               < 100
+            |)""".stripMargin))
+        assert(got3.toSet == Set((1L, 2L)))
+      } finally cp3.shutdown()
     } finally cp.shutdown()
   }
 

@@ -3833,6 +3833,8 @@ class MatchRecognizeSpec extends SparkSpec {
     var navExprs = 0
     var subsetOffsets = 0
     var subsetExprAggs = 0
+    var subsetNavs = 0
+    var nestedNavExprs = 0
     // in-suite default 25; the soak harness raises it via env
     val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
       .getOrElse(25)
@@ -3892,14 +3894,23 @@ class MatchRecognizeSpec extends SparkSpec {
               navExprs += 1
               s"$base AND coalesce($kind($anchor.value + value), 0) " +
                 s"< ${10 + rnd.nextInt(40)}"
-            case 4 | 5 if defSubset.nonEmpty =>
+            case 4 if defSubset.nonEmpty =>
               subsetOffsets += 1
               val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
               s"$base AND coalesce($sel(sfz.value, ${rnd.nextInt(3)})" +
                 s", 0) < ${5 + rnd.nextInt(20)}"
-            case 6 | 7 if defSubset.nonEmpty =>
+            case 5 if defSubset.nonEmpty =>
               subsetExprAggs += 1
               s"$base AND SUM(sfz.value * 2) < ${20 + rnd.nextInt(80)}"
+            case 6 if defSubset.nonEmpty =>
+              subsetNavs += 1
+              s"$base AND coalesce($kind(sfz.value), 0) < " +
+                s"${5 + rnd.nextInt(20)}"
+            case 7 =>
+              nestedNavExprs += 1
+              val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+              s"$base AND coalesce($kind($sel($anchor.value + value))" +
+                s", 0) < ${10 + rnd.nextInt(40)}"
             case _ => base
           }
         }.mkString(", ")
@@ -3985,7 +3996,8 @@ class MatchRecognizeSpec extends SparkSpec {
     val draws = Map("exprAgg" -> exprAggs, "subsetSkip" -> subsetSkips,
       "varNav" -> varNavs, "nestedNav" -> nestedNavs,
       "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
-      "subsetExprAgg" -> subsetExprAggs)
+      "subsetExprAgg" -> subsetExprAggs, "subsetNav" -> subsetNavs,
+      "nestedNavExpr" -> nestedNavExprs)
     assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
   }
 

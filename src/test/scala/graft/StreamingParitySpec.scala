@@ -1611,6 +1611,8 @@ class StreamingParitySpec extends SparkSpec {
     var navExprs = 0
     var subsetOffsets = 0
     var subsetExprAggs = 0
+    var subsetNavs = 0
+    var nestedNavExprs = 0
     // in-suite default 12; the soak harness raises it via env
     val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
       .getOrElse(12)
@@ -1648,14 +1650,23 @@ class StreamingParitySpec extends SparkSpec {
             navExprs += 1
             s"$base AND coalesce(PREV($anchor.event_id + event_id)" +
               s", 0) < ${20 + rnd.nextInt(60)}"
-          case 4 | 5 if defSubset.nonEmpty =>
+          case 4 if defSubset.nonEmpty =>
             subsetOffsets += 1
             val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
             s"$base AND coalesce($sel(sfz.event_id, " +
               s"${rnd.nextInt(3)}), 0) < ${10 + rnd.nextInt(30)}"
-          case 6 | 7 if defSubset.nonEmpty =>
+          case 5 if defSubset.nonEmpty =>
             subsetExprAggs += 1
             s"$base AND SUM(sfz.event_id * 2) < ${40 + rnd.nextInt(120)}"
+          case 6 if defSubset.nonEmpty =>
+            subsetNavs += 1
+            s"$base AND coalesce(PREV(sfz.event_id), 0) < " +
+              s"${10 + rnd.nextInt(30)}"
+          case 7 =>
+            nestedNavExprs += 1
+            val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+            s"$base AND coalesce(PREV($sel($anchor.event_id + " +
+              s"event_id)), 0) < ${20 + rnd.nextInt(60)}"
           case _ => base
         }
       }.mkString(", ")
@@ -1731,7 +1742,8 @@ class StreamingParitySpec extends SparkSpec {
     val draws = Map("exprAgg" -> exprAggs, "subsetSkip" -> subsetSkips,
       "varNav" -> varNavs, "nestedNav" -> nestedNavs,
       "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
-      "subsetExprAgg" -> subsetExprAggs)
+      "subsetExprAgg" -> subsetExprAggs, "subsetNav" -> subsetNavs,
+      "nestedNavExpr" -> nestedNavExprs)
     assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
   }
 }
