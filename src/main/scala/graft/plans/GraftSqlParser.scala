@@ -411,6 +411,49 @@ private[graft] object MatchRecognizeSql {
           pos = mm.end
         }
     }
+    // out-of-order diagnosis: a clause the ordered scan missed whose
+    // keyword + lookahead DOES match at depth 0 later in the body sits
+    // after a canonically-later clause — without this check its text
+    // gloms into the preceding section and the failure surfaces as an
+    // unrelated error (e.g. SUBSET after EVENTTIME used to die with
+    // "PATTERN needs parentheses"). Only lookahead-signed clauses are
+    // diagnosed: their signatures carry the same confidence as the
+    // ordered scan itself, so clause-content words can't false-fire.
+    val foundKeys = found.map(_._3).toSet
+    val canonIdx = sections.map(_._1).zipWithIndex.toMap
+    for ((key, re, Some(lookahead)) <- sections if !foundKeys(key)) {
+      re.findAllMatchIn(masked)
+        .find { mm =>
+          val prefix = masked.substring(0, mm.start)
+          prefix.count(_ == '(') == prefix.count(_ == ')') &&
+            lookahead.pattern.matcher(masked.substring(mm.end))
+              .lookingAt()
+        }
+        .foreach { mm =>
+          // disorder evidence in either direction: a found clause
+          // that should come AFTER this one starts before its match,
+          // or one that should come BEFORE starts after it
+          val canonOrder = "PARTITION BY, ORDER BY, MEASURES, " +
+            "<rows mode>, AFTER MATCH, PATTERN, SUBSET, WITHIN, " +
+            "EVENTTIME, TSSCALE, MODE, DEFINE"
+          val earlyLater = found.filter(f =>
+            f._1 < mm.start && canonIdx(f._3) > canonIdx(key))
+          val lateEarlier = found.filter(f =>
+            f._1 > mm.start && canonIdx(f._3) < canonIdx(key))
+          if (earlyLater.nonEmpty)
+            throw new IllegalArgumentException(
+              "MATCH_RECOGNIZE clauses must appear in canonical " +
+                s"order ($canonOrder) — found ${key.toUpperCase} " +
+                s"after ${earlyLater.maxBy(f => canonIdx(f._3))._3
+                  .toUpperCase}")
+          if (lateEarlier.nonEmpty)
+            throw new IllegalArgumentException(
+              "MATCH_RECOGNIZE clauses must appear in canonical " +
+                s"order ($canonOrder) — found ${key.toUpperCase} " +
+                s"before ${lateEarlier.minBy(f => canonIdx(f._3))._3
+                  .toUpperCase}")
+        }
+    }
     val sorted = found.sortBy(_._1).toSeq
     sorted.zipWithIndex.map { case ((_, end, key), j) =>
       val next = if (j + 1 < sorted.length) sorted(j + 1)._1 else body.length

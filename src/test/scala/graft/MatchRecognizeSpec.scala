@@ -1697,6 +1697,24 @@ class MatchRecognizeSpec extends SparkSpec {
       .select($"user_id", $"order", $"pattern")
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 10L, 2L)))
+    // a clause placed out of canonical order names ITSELF in the
+    // error instead of surfacing as an unrelated downstream failure
+    // (SUBSET after EVENTTIME used to die with "PATTERN needs
+    // parentheses" — the subset text glommed into the PATTERN slice)
+    val eo = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_kw_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  WITHIN 60000
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(eo.getMessage.contains("canonical order") &&
+      eo.getMessage.contains("WITHIN before SUBSET"))
   }
 
   test("step names colliding with keys or match bounds fail fast") {
