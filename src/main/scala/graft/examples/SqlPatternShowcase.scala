@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   *  8. MODE STRICT (ISO-contiguous matching) with an expression
   *     aggregate and CLASSIFIER() as a measure function,
   *  9. (round 15) AFTER MATCH SKIP TO LAST over a SUBSET union plus an
-  *     expression-aggregate DEFINE predicate in one statement.
+  *     expression-aggregate DEFINE predicate in one statement,
+  * 10. (round 16) the closed DEFINE navigation surface in one
+  *     statement — a SUBSET-union anchor (PREV(s.value)), a nested
+  *     selection over an expression argument (PREV(FIRST(a.value*2))),
+  *     and a SUBSET expression aggregate (SUM(s.value*1)).
   *
   * The session installs [[graft.plans.GraftExtensions]], so every
   * statement below runs through plain `spark.sql(...)` — exactly what a
@@ -151,6 +155,22 @@ object SqlPatternShowcase {
         |         c AS event_type = 'purchase'
         |           AND value > MIN(w.value)
         |           AND value >= AVG(a.value * 1)
+        |)""".stripMargin)
+
+    show("(round 16) the closed navigation surface in one statement: " +
+      "SUBSET-union anchor, nested selection, expression arguments, " +
+      "and a SUBSET expression aggregate",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+        |           c.event_id AS c_id
+        |  PATTERN (a b c)
+        |  SUBSET s = (a, b)
+        |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+        |         c AS event_type = 'purchase'
+        |           AND value > PREV(s.value)
+        |           AND coalesce(PREV(FIRST(a.value * 2)), 0) < 1000
+        |           AND SUM(s.value * 1) > 0
         |)""".stripMargin)
 
     println("SHOWCASE-DONE")
