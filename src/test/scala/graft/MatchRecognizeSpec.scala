@@ -3827,7 +3827,11 @@ class MatchRecognizeSpec extends SparkSpec {
     // as separate ONE ROW rows — see DIALECT.md). Statements draw
     // from the dialect surface: brace forms, alternations, reluctant
     // quantifiers, strict mode.
-    val rnd = new scala.util.Random(20260815L)
+    // fixed in-suite seed; soaks diversify via env (the per-feature
+    // counter floor is only asserted on the default seed — an
+    // arbitrary seed can legitimately starve a gated draw)
+    val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+    val rnd = new scala.util.Random(fuzzSeed.getOrElse(20260815L))
     val types = Vector("A", "B", "X")
     val rows = (1L to 60L).map { i =>
       (i, i * 10L, 1L + (i % 3), types(rnd.nextInt(3)),
@@ -4016,7 +4020,9 @@ class MatchRecognizeSpec extends SparkSpec {
       "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
       "subsetExprAgg" -> subsetExprAggs, "subsetNav" -> subsetNavs,
       "nestedNavExpr" -> nestedNavExprs)
-    assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
+    if (fuzzSeed.isEmpty)
+      assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
+    else println(s"[fuzz] seed=${fuzzSeed.get} draws=$draws")
   }
 
   test("seeded PERMUTE residual-tie fuzz: same-span equal-slot-count " +

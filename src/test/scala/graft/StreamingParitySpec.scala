@@ -1588,7 +1588,10 @@ class StreamingParitySpec extends SparkSpec {
   test("seeded streaming parity fuzz: random statements produce " +
       "identical ALL ROWS output on the streaming executor") {
     implicit val sqlCtx = spark.sqlContext
-    val rnd = new scala.util.Random(424242L)
+    // fixed in-suite seed; soaks diversify via env (the per-feature
+    // counter floor is only asserted on the default seed)
+    val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+    val rnd = new scala.util.Random(fuzzSeed.getOrElse(424242L))
     val types = Vector("A", "B", "X")
     val rows = (1L to 36L).map { i =>
       (i, i * 1000L, 1L + (i % 2), types(rnd.nextInt(3)))
@@ -1744,6 +1747,8 @@ class StreamingParitySpec extends SparkSpec {
       "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
       "subsetExprAgg" -> subsetExprAggs, "subsetNav" -> subsetNavs,
       "nestedNavExpr" -> nestedNavExprs)
-    assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
+    if (fuzzSeed.isEmpty)
+      assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
+    else println(s"[fuzz] seed=${fuzzSeed.get} draws=$draws")
   }
 }
