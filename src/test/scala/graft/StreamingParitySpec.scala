@@ -1585,6 +1585,73 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MATCH_NUMBER + NEXT hold-back: a withheld same-ts " +
+      "event blocks release until it feeds, keeping batch-key order") {
+    // p (A, carrying a NEXT lookahead) and q (B) are same-ts
+    // alternation branches; q's slot-size vector [0, 1] sorts BEFORE
+    // p's [1, 0] at the equal span. The A feeds immediately (its
+    // lookahead successor is the B), but the B is WITHHELD by the
+    // NEXT decorator awaiting ITS successor. A tick then pushes the
+    // watermark far past their ts — without the hold-back frontier in
+    // the release fence the p-match would emit as #1, and the
+    // q-match, completing when the successor finally arrives, would
+    // get #2 despite sorting first (the round-16 advisor finding, at
+    // engine level).
+    implicit val sqlCtx = spark.sqlContext
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_nnfence_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_nnfence_stream MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_ms, event_id
+          |  MEASURES MATCH_NUMBER() AS mn, p.event_id AS p_id,
+          |           q.event_id AS q_id
+          |  PATTERN ((p | q))
+          |  WITHIN 30000
+          |  EVENTTIME etc
+          |  DEFINE p AS event_type = 'A'
+          |           AND coalesce(NEXT(event_id), -1) <> -2,
+          |         q AS event_type = 'B'
+          |)""".stripMargin))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_nnfence_sink").start()
+    try {
+      input.addData((1L, 5000L, 1L, "A"), (2L, 5000L, 1L, "B"))
+      q.processAllAvailable()
+      // the tick pushes wm to 60000, far past the matches' ts 5000 —
+      // but the withheld B must keep BOTH matches unnumbered
+      input.addData((91L, 70000L, 9L, "X"))
+      q.processAllAvailable()
+      val held = spark.table("mr_nnfence_sink")
+        .filter($"user_id" === 1L).count()
+      assert(held == 0L,
+        "a match was numbered while a same-ts event sat in the NEXT " +
+          "hold-back")
+      // the B's successor arrives (it must itself pass the watermark
+      // buffer, so two more ticks advance wm beyond it): the q-match
+      // completes and numbers FIRST (batch-key order), the p-match
+      // second
+      input.addData((3L, 65000L, 1L, "C"))
+      q.processAllAvailable()
+      input.addData((92L, 90000L, 9L, "X"))
+      q.processAllAvailable()
+      input.addData((93L, 91000L, 9L, "X"))
+      q.processAllAvailable()
+      val got = spark.table("mr_nnfence_sink")
+        .filter($"user_id" === 1L)
+        .select($"mn", $"p_id", $"q_id")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == Set((1L, None, Some(2L)), (2L, Some(1L), None)),
+        s"numbering violated the batch key: $got")
+    } finally q.stop()
+  }
+
   test("seeded streaming parity fuzz: random statements produce " +
       "identical ALL ROWS output on the streaming executor") {
     implicit val sqlCtx = spark.sqlContext
