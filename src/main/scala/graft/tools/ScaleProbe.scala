@@ -325,6 +325,28 @@ object ScaleProbe {
           |         d AS event_type = 'signup', e AS event_type = 'error'
           |)""".stripMargin))
     }
+    // the lag-window + SUBSET-union-fold shape (q214's statement
+    // verbatim): the PREV materialization is a Window sharing the
+    // operator's exchange and sort, so growth must match the plain
+    // mr_cep rows plus a row-linear lag term
+    time("mr_cep_subset_nav") {
+      eventsCep.createOrReplaceTempView("probe_subnav")
+      val parser = new graft.plans.GraftSqlParser(
+        spark.sessionState.sqlParser, spark)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        """SELECT * FROM probe_subnav MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id
+          |  PATTERN (a b c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND value > PREV(s.value)
+          |)""".stripMargin))
+    }
     time("cube_report")(graft.operators.Rollup.cubeReport(eventsTs,
       "event_type", "ts_us", "user_id"))
     // integer-exact training (bounded ≤buckets collect per epoch) +
