@@ -10,9 +10,11 @@ import graft.cep.{Absence, AltSeq, GAlt, GPerm, GroupSeq, GVar, Logical, NestedG
 object NfaProps extends Properties("Nfa") {
 
   // pure-JVM properties are cheap — fuzz harder than the default 100
+  // (soaks raise it via env)
   override def overrideParameters(
       p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(200)
+    p.withMinSuccessfulTests(
+      sys.env.get("GRAFT_NFA_GENS").map(_.toInt).getOrElse(200))
 
   case class E(id: Long, ts: Long, typ: String)
 
