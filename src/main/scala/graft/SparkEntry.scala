@@ -1227,6 +1227,35 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Merged-order offsets BEYOND the first under the oracle gate
+    // (q210 gates offset 1; the unit suite covers the deep forms):
+    // over a{2,2} b{2,2} the merged order is [a1 a2 b1 b2], so
+    // FIRST(s.value, 2) is the first view's value and LAST(s.value, 2)
+    // the second click's — the purchase gates on BOTH selections.
+    "q216_mr_subset_offset_deep" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_suboff2_q216")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_suboff2_q216 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES FIRST(a.event_id) AS a1_id,
+          |           LAST(a.event_id) AS a2_id,
+          |           FIRST(b.event_id) AS b1_id,
+          |           LAST(b.event_id) AS b2_id, c.event_id AS c_id
+          |  PATTERN (a{2,2} b{2,2} c)
+          |  SUBSET s = (a, b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view',
+          |         c AS event_type = 'purchase'
+          |           AND value > FIRST(s.value, 2)
+          |           AND value > LAST(s.value, 2)
+          |)""".stripMargin))
+    }),
+
     // Alternation of SEQUENCES (a b | c d) — the recursive grammar
     // beyond single-variable alternation: two disjoint two-step
     // chains share one pattern, the unmatched branch's measures are
@@ -8190,6 +8219,49 @@ object SparkEntry {
         |      AND x.event_id > a2.a2_id))
         |    AND x.us - a2.a1_us <= 7200000000) WHERE rn = 1)
         |SELECT user_id, a1_id, a2_id, u_id FROM u""".stripMargin,
+
+    // the two-click two-view chain, then the first later purchase
+    // priced above BOTH the first view (merged element 2) and the
+    // second click (merged second-from-last); no WITHIN — depth-5 2 h
+    // chains are vacuously rare at sf0.01
+    "q216_mr_subset_offset_deep" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type FROM events),
+        |p1 AS (SELECT * FROM (SELECT a1.user_id, a1.event_id AS a1_id,
+        |    a2.event_id AS a2_id, a2.us AS a2_us, a2.value AS a2v,
+        |    row_number() OVER (PARTITION BY a1.user_id, a1.event_id
+        |      ORDER BY a2.us, a2.event_id) AS rn
+        |  FROM o a1 JOIN o a2 ON a1.user_id = a2.user_id
+        |    AND a1.event_type = 'click' AND a2.event_type = 'click'
+        |    AND (a2.us > a1.us OR (a2.us = a1.us
+        |      AND a2.event_id > a1.event_id))) WHERE rn = 1),
+        |p2 AS (SELECT * FROM (SELECT p1.*, b1.event_id AS b1_id,
+        |    b1.us AS b1_us, b1.value AS b1v,
+        |    row_number() OVER (PARTITION BY p1.user_id, p1.a1_id
+        |      ORDER BY b1.us, b1.event_id) AS rn2
+        |  FROM p1 JOIN o b1 ON p1.user_id = b1.user_id
+        |    AND b1.event_type = 'view'
+        |    AND (b1.us > p1.a2_us OR (b1.us = p1.a2_us
+        |      AND b1.event_id > p1.a2_id))) WHERE rn2 = 1),
+        |p3 AS (SELECT * FROM (SELECT p2.*, b2.event_id AS b2_id,
+        |    b2.us AS b2_us,
+        |    row_number() OVER (PARTITION BY p2.user_id, p2.a1_id
+        |      ORDER BY b2.us, b2.event_id) AS rn3
+        |  FROM p2 JOIN o b2 ON p2.user_id = b2.user_id
+        |    AND b2.event_type = 'view'
+        |    AND (b2.us > p2.b1_us OR (b2.us = p2.b1_us
+        |      AND b2.event_id > p2.b1_id))) WHERE rn3 = 1),
+        |p4 AS (SELECT * FROM (SELECT p3.user_id, p3.a1_id, p3.a2_id,
+        |    p3.b1_id, p3.b2_id, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p3.user_id, p3.a1_id
+        |      ORDER BY c.us, c.event_id) AS rn4
+        |  FROM p3 JOIN o c ON p3.user_id = c.user_id
+        |    AND c.event_type = 'purchase'
+        |    AND c.value > p3.b1v AND c.value > p3.a2v
+        |    AND (c.us > p3.b2_us OR (c.us = p3.b2_us
+        |      AND c.event_id > p3.b2_id))) WHERE rn4 = 1)
+        |SELECT user_id, a1_id, a2_id, b1_id, b2_id, c_id
+        |FROM p4""".stripMargin,
 
     // the q175 chain with the PREV conditions added: lag(value) per
     // user in (ts, event_id) order is the navigation input; the first
