@@ -354,7 +354,13 @@ private[graft] object MatchRecognizeSql {
     // instead of corrupting the PATTERN slice
     ("within", """(?i)(?<!\w)within(?!\w)""".r,
       Some("""(?i)\s*(\d|interval(?!\w))""".r)),
-    ("eventtime", """(?i)(?<!\w)eventtime(?!\w)""".r, Some("""\s*\w""".r)),
+    // the eventtime lookahead rejects expression continuations (AS/IS/
+    // AND/OR/...) so a source COLUMN named `eventtime` used bare in an
+    // expression (`DEFINE a AS eventtime IS NOT NULL`) is never taken
+    // for the clause — only `EVENTTIME <identifier>` fires
+    ("eventtime", """(?i)(?<!\w)eventtime(?!\w)""".r,
+      Some(("""(?i)\s*(?!(?:as|is|and|or|in|not|like|between|when|then""" +
+        """|else|end|from|where|group|order|limit)(?!\w))\w""").r)),
     ("tsscale", """(?i)(?<!\w)tsscale(?!\w)""".r, Some("""\s*\d""".r)),
     // dialect extension: MODE STRICT = ISO SQL:2016 contiguous
     // matching (relaxed skip-till-next-match is the default)
@@ -395,12 +401,21 @@ private[graft] object MatchRecognizeSql {
     */
   private def splitSections(body: String): Map[String, String] = {
     val masked = maskLiterals(body)
+    // a clause keyword is never the tail of a qualified reference: the
+    // `(?<!\w)` boundary admits a preceding '.', so `a.eventtime` would
+    // otherwise satisfy the EVENTTIME scan/diagnosis — reject any
+    // candidate whose preceding non-space character is '.'
+    def unqualified(start: Int): Boolean = {
+      var i = start - 1
+      while (i >= 0 && Character.isWhitespace(masked(i))) i -= 1
+      i < 0 || masked(i) != '.'
+    }
     val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
     var pos = 0
     for ((key, re, lookahead) <- sections) {
       re.findAllMatchIn(masked)
         .find { mm =>
-          mm.start >= pos && {
+          mm.start >= pos && unqualified(mm.start) && {
             val prefix = masked.substring(0, mm.start)
             prefix.count(_ == '(') == prefix.count(_ == ')')
           } && lookahead.forall(
@@ -416,18 +431,29 @@ private[graft] object MatchRecognizeSql {
     // after a canonically-later clause — without this check its text
     // gloms into the preceding section and the failure surfaces as an
     // unrelated error (e.g. SUBSET after EVENTTIME used to die with
-    // "PATTERN needs parentheses"). Only lookahead-signed clauses are
-    // diagnosed: their signatures carry the same confidence as the
-    // ordered scan itself, so clause-content words can't false-fire.
+    // "PATTERN needs parentheses"). EVERY clause kind is diagnosed:
+    // lookahead-signed ones carry the ordered scan's own confidence;
+    // the two-word keywords (PARTITION BY / ORDER BY / AFTER MATCH /
+    // rows modes) cannot collide with depth-0 content; the mandatory
+    // DEFINE fails the statement regardless, so naming the displacing
+    // clause only improves an already-certain error. The one
+    // content-collision hazard is the bare word MEASURES used as a
+    // SUBSET name or DEFINE variable — both sit in definition position
+    // (followed by AS or =), which a real MEASURES clause head never is.
     val foundKeys = found.map(_._3).toSet
     val canonIdx = sections.map(_._1).zipWithIndex.toMap
-    for ((key, re, Some(lookahead)) <- sections if !foundKeys(key)) {
+    val contentGuard: Map[String, scala.util.matching.Regex] =
+      Map("measures" -> """(?i)\s*(as(?!\w)|=)""".r)
+    for ((key, re, la) <- sections if !foundKeys(key)) {
       re.findAllMatchIn(masked)
         .find { mm =>
-          val prefix = masked.substring(0, mm.start)
-          prefix.count(_ == '(') == prefix.count(_ == ')') &&
-            lookahead.pattern.matcher(masked.substring(mm.end))
-              .lookingAt()
+          unqualified(mm.start) && {
+            val prefix = masked.substring(0, mm.start)
+            prefix.count(_ == '(') == prefix.count(_ == ')')
+          } && la.forall(
+            _.pattern.matcher(masked.substring(mm.end)).lookingAt()) &&
+            !contentGuard.get(key).exists(
+              _.pattern.matcher(masked.substring(mm.end)).lookingAt())
         }
         .foreach { mm =>
           // disorder evidence in either direction: a found clause

@@ -1717,6 +1717,143 @@ class MatchRecognizeSpec extends SparkSpec {
       eo.getMessage.contains("WITHIN before SUBSET"))
   }
 
+  test("a source column named eventtime never triggers the clause " +
+      "scan or the order diagnosis") {
+    // r17 ADVICE: `a.eventtime` (qualified) satisfied the EVENTTIME
+    // keyword regex — `(?<!\w)` admits a preceding '.' — and its loose
+    // `\s*\w` lookahead matched ` AS`, so the diagnosis pass threw a
+    // spurious "found EVENTTIME before PATTERN" on a perfectly valid
+    // batch query
+    val df = Seq((1L, 10L, 1L, "A", 100L), (2L, 20L, 1L, "B", 200L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "eventtime")
+    df.createOrReplaceTempView("mr_evtcol_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // qualified ref in MEASURES
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_evtcol_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.eventtime AS evt, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"user_id", $"evt", $"b_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L, 2L)))
+    // bare ref followed by an expression continuation (IS NOT NULL)
+    // inside DEFINE: the tightened lookahead must not take it for the
+    // clause (the old `\s*\w` matched ` IS` and consumed the DEFINE
+    // body into a bogus EVENTTIME section)
+    val out2 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_evtcol_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A' AND eventtime IS NOT NULL,
+          |         b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"user_id", $"a_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out2 == Set((1L, 1L)))
+  }
+
+  test("a displaced mandatory clause is diagnosed by name, not by a " +
+      "downstream misparse") {
+    // r17 ADVICE: SUBSET written after DEFINE — the ordered scan CONSUMED
+    // the misplaced SUBSET (it has a lookahead signature), DEFINE went
+    // unfound, and the failure surfaced as an unrelated error; now the
+    // unfound mandatory DEFINE is itself diagnosed against the found set
+    Seq((1L, 10L, 1L, "A")).toDF("event_id", "ts_us", "user_id",
+      "event_type").createOrReplaceTempView("mr_disp_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val eo = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_disp_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+          |  SUBSET s = (a, b)
+          |)""".stripMargin)
+    }
+    assert(eo.getMessage.contains("canonical order") &&
+      eo.getMessage.contains("DEFINE before SUBSET"), eo.getMessage)
+  }
+
+  test("clause-permutation fuzz: every shuffled clause order either " +
+      "parses canonically or raises the targeted order error") {
+    // r17 VERDICT task 6: random permutations of valid clause subsets
+    // must never surface as a misparse or a wrong-clause error — the
+    // splitSections diagnosis must name the displaced clause for EVERY
+    // clause kind (incl. the no-lookahead MEASURES / AFTER MATCH /
+    // rows-mode / two-word keywords)
+    Seq((1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_perm_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    // canonical clause list (indices = canonical rank); mandatory core
+    // always present so the canonical draw is a valid statement
+    val canonical = Vector(
+      "PARTITION BY user_id",
+      "ORDER BY ts_us, event_id",
+      "MEASURES a.event_id AS a_id, b.event_id AS b_id",
+      "ONE ROW PER MATCH",
+      "AFTER MATCH SKIP PAST LAST ROW",
+      "PATTERN (a b)",
+      "SUBSET s = (a, b)",
+      "WITHIN 60000",
+      "MODE RELAXED",
+      "DEFINE a AS event_type = 'A', b AS event_type = 'B'")
+    // PARTITION BY / ORDER BY / MEASURES / PATTERN / DEFINE are all
+    // required by the compiler; the rows mode, AFTER MATCH, SUBSET,
+    // WITHIN and MODE are the optional draws
+    val mandatory = Set(0, 1, 2, 5, 9)
+    def stmt(order: Seq[Int]): String =
+      s"""SELECT * FROM mr_perm_sql MATCH_RECOGNIZE (
+         |  ${order.map(canonical).mkString("\n  ")}
+         |)""".stripMargin
+    // the canonical order itself must parse and match
+    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt(canonical.indices)))
+      .select($"user_id", $"a_id", $"b_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(base == Set((1L, 1L, 2L)))
+    val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+    val rnd = new scala.util.Random(fuzzSeed.getOrElse(20260817L))
+    val trials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt * 5)
+      .getOrElse(120)
+    var diagnosed = 0
+    var parsedCanonical = 0
+    for (_ <- 0 until trials) {
+      val chosen = canonical.indices.filter(i =>
+        mandatory(i) || rnd.nextBoolean())
+      val perm = rnd.shuffle(chosen.toVector)
+      if (perm == perm.sorted) {
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(stmt(perm))).collect()
+        parsedCanonical += 1
+      } else {
+        val eo = intercept[Exception](parser.parsePlan(stmt(perm)))
+        assert(eo.getMessage != null &&
+          eo.getMessage.contains("canonical order"),
+          s"perm=$perm raised a non-order error:\n${eo.getMessage}\n" +
+            s"statement:\n${stmt(perm)}")
+        diagnosed += 1
+      }
+    }
+    // with ≥3 mandatory + random optionals, nearly every shuffle is
+    // non-canonical — the property is about those
+    assert(diagnosed >= trials / 2,
+      s"fuzz starved: $diagnosed diagnosed / $trials trials")
+  }
+
   test("step names colliding with keys or match bounds fail fast") {
     val df = Seq((1L, 10L, 1L, "A")).toDF("event_id", "ts_us", "user_id",
       "event_type")
