@@ -1854,6 +1854,83 @@ class MatchRecognizeSpec extends SparkSpec {
       s"fuzz starved: $diagnosed diagnosed / $trials trials")
   }
 
+  test("DIALECT navigation matrix: every qualifier x selector x " +
+      "argument cell compiles and runs, or fails with its documented " +
+      "reason") {
+    // r17 VERDICT task 7 — the executable form of DIALECT.md's closure
+    // claim (DIALECT.md 'Documented exclusions' 1/2/7 + the DEFINE
+    // section): var- and SUBSET-qualified navigation over
+    // bare/FIRST/LAST(+offset)/PREV(flat & nested)/aggregates with
+    // column and expression arguments all compose; the only rejected
+    // cells are two-variable mixes, unqualified nested expressions,
+    // and union offsets > 19. A future parser change that silently
+    // reopens a cell fails this test by name.
+    Seq((1L, 10L, 1L, "A", 2.0), (2L, 20L, 1L, "A", 3.0),
+        (3L, 30L, 1L, "B", 5.0), (4L, 10L, 2L, "A", 7.0),
+        (5L, 20L, 2L, "B", 11.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mr_matrix_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def stmt(pred: String): String =
+      s"""SELECT * FROM mr_matrix_sql MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES b.event_id AS b_id
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (a+ b)
+         |  SUBSET s = (a, b)
+         |  DEFINE a AS event_type = 'A',
+         |         b AS event_type = 'B' AND ($pred)
+         |)""".stripMargin
+    // supported cells: scalar expression per (qualifier, selector,
+    // argument); wrapped in a null-tolerant always-true comparison so
+    // execution (not just parsing) is exercised in every cell
+    val cells = for {
+      q <- Seq("a", "s")
+      (sel, argKind) <- Seq(
+        // selector          // argument template (c = qualified col)
+        ("%s",                "col"), ("%s",                "expr"),
+        ("FIRST(%s)",         "col"), ("LAST(%s)",          "col"),
+        ("FIRST(%s, 2)",      "col"), ("LAST(%s, 2)",       "col"),
+        ("PREV(%s)",          "col"), ("PREV(%s, 2)",       "col"),
+        ("PREV(%s)",          "expr"),
+        ("PREV(FIRST(%s))",   "col"), ("PREV(LAST(%s, 1), 2)", "col"),
+        ("PREV(FIRST(%s))",   "expr"),
+        ("SUM(%s)",           "col"), ("SUM(%s)",           "expr"))
+    } yield {
+      val arg = if (argKind == "col") s"$q.value"
+        else if (sel.startsWith("SUM")) s"$q.value * $q.value"
+        else s"$q.value * 2 + 1"
+      (s"$q/$sel/$argKind", sel.format(arg))
+    }
+    cells.foreach { case (cell, expr) =>
+      val out = try {
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(
+            stmt(s"COALESCE($expr >= -99999999, TRUE)")))
+          .collect()
+      } catch {
+        case e: Exception => fail(s"cell $cell [$expr] failed: " +
+          e.getMessage)
+      }
+      assert(out.length == 2, s"cell $cell [$expr]: ${out.length} rows")
+    }
+    // documented rejections (DIALECT.md exclusions 1, 2, 7): exact
+    // reason strings, cited from the parser's fail-fast requires
+    val rejected = Seq(
+      ("PREV(a.value + b.value) > 0", "mixing variables is undefined"),
+      ("SUM(a.value * b.value) > 0",
+        "mixing variables in one argument is undefined"),
+      ("PREV(FIRST(value * 2)) > 0", "nested navigation takes"),
+      ("FIRST(s.value, 20) > 0", "supported up to 19"))
+    rejected.foreach { case (pred, reason) =>
+      val eo = intercept[Exception](parser.parsePlan(stmt(pred)))
+      assert(eo.getMessage != null && eo.getMessage.contains(reason),
+        s"[$pred] expected reason '$reason', got:\n${eo.getMessage}")
+    }
+  }
+
   test("step names colliding with keys or match bounds fail fast") {
     val df = Seq((1L, 10L, 1L, "A")).toDF("event_id", "ts_us", "user_id",
       "event_type")
