@@ -1596,6 +1596,37 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Composite-item PERMUTE with SIX members — beyond the old
+    // 5-member k!-expansion cap, running on round 17's members-seen
+    // bitmask automaton (the quantified first item forces the
+    // composite Rx path rather than the dedicated plain n-ary
+    // element). The sixth member splits 'error' by value so the six
+    // predicates stay disjoint; under MODE STRICT a match is six
+    // CONSECUTIVE rows carrying all six classes in any order.
+    // 104 matches at sf0.01, 1010 at sf0.1.
+    "q217_mr_permute6" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_perm6_q217")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_perm6_q217 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id, d.event_id AS d_id,
+          |           e.event_id AS e_id, f.event_id AS f_id
+          |  PATTERN (PERMUTE(a{1,1}, b, c, d, e, f))
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+          |         c AS event_type = 'purchase',
+          |         d AS event_type = 'signup',
+          |         e AS event_type = 'error' AND value <= 50,
+          |         f AS event_type = 'error' AND value > 50
+          |)""".stripMargin))
+    }),
+
     // Composite-item PERMUTE with FIVE members (round-15 cap lift
     // 4 -> 5; the quantified first item forces the k!-expansion path
     // rather than the dedicated plain n-ary element): under MODE
@@ -8588,6 +8619,50 @@ object SparkEntry {
     // q58's a-rows only: the b side suppressed, its measure retained
     // five consecutive rows per user carrying all five types in any
     // order (overlapping windows; each var id picked by its type)
+    // six consecutive rows carrying all six classes (the error rows
+    // split by value) — the class CASE mirrors the disjoint DEFINEs,
+    // and each class's event_id is read off whichever of the six
+    // window positions carries it
+    "q217_mr_permute6" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type='click' THEN 'a'
+        |      WHEN event_type='view' THEN 'b'
+        |      WHEN event_type='purchase' THEN 'c'
+        |      WHEN event_type='signup' THEN 'd'
+        |      WHEN event_type='error' AND value <= 50 THEN 'e'
+        |      ELSE 'f' END AS cls
+        |  FROM events),
+        |o AS (SELECT user_id, event_id, cls,
+        |    lead(cls,1) OVER w AS t1, lead(cls,2) OVER w AS t2,
+        |    lead(cls,3) OVER w AS t3, lead(cls,4) OVER w AS t4,
+        |    lead(cls,5) OVER w AS t5,
+        |    lead(event_id,1) OVER w AS i1, lead(event_id,2) OVER w AS i2,
+        |    lead(event_id,3) OVER w AS i3, lead(event_id,4) OVER w AS i4,
+        |    lead(event_id,5) OVER w AS i5
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |m AS (SELECT * FROM o WHERE t5 IS NOT NULL AND
+        |  list_sort([cls,t1,t2,t3,t4,t5]) = ['a','b','c','d','e','f'])
+        |SELECT user_id,
+        |  CASE WHEN cls='a' THEN event_id WHEN t1='a' THEN i1
+        |    WHEN t2='a' THEN i2 WHEN t3='a' THEN i3
+        |    WHEN t4='a' THEN i4 ELSE i5 END AS a_id,
+        |  CASE WHEN cls='b' THEN event_id WHEN t1='b' THEN i1
+        |    WHEN t2='b' THEN i2 WHEN t3='b' THEN i3
+        |    WHEN t4='b' THEN i4 ELSE i5 END AS b_id,
+        |  CASE WHEN cls='c' THEN event_id WHEN t1='c' THEN i1
+        |    WHEN t2='c' THEN i2 WHEN t3='c' THEN i3
+        |    WHEN t4='c' THEN i4 ELSE i5 END AS c_id,
+        |  CASE WHEN cls='d' THEN event_id WHEN t1='d' THEN i1
+        |    WHEN t2='d' THEN i2 WHEN t3='d' THEN i3
+        |    WHEN t4='d' THEN i4 ELSE i5 END AS d_id,
+        |  CASE WHEN cls='e' THEN event_id WHEN t1='e' THEN i1
+        |    WHEN t2='e' THEN i2 WHEN t3='e' THEN i3
+        |    WHEN t4='e' THEN i4 ELSE i5 END AS e_id,
+        |  CASE WHEN cls='f' THEN event_id WHEN t1='f' THEN i1
+        |    WHEN t2='f' THEN i2 WHEN t3='f' THEN i3
+        |    WHEN t4='f' THEN i4 ELSE i5 END AS f_id
+        |FROM m""".stripMargin,
+
     "q208_mr_permute5" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
         |    lead(event_type,1) OVER w AS t1, lead(event_type,2) OVER w AS t2,

@@ -242,6 +242,28 @@ final case class RxRep[E](body: RxNode[E], min: Int, max: Int)
     extends RxNode[E] {
   require(min >= 0 && max >= math.max(min, 1), s"bad rx quantifier {$min,$max}")
 }
+/** SQL:2016 `PERMUTE(m1, …, mk)` over arbitrary sub-patterns — each
+  * member matches exactly once, in any order. Compiled as a
+  * members-seen BITMASK register (one counter holding a 2^k-value
+  * mask) around ONE shared sub-automaton per member: a central hub
+  * admits member i only while bit i is clear (ε-guard), sets bit i
+  * when the member's sub-automaton exits, and accepts when the mask is
+  * full. Automaton size is Σ|member| + O(k) states — NOT the k!
+  * ordering expansion — so high-arity PERMUTE of composite items stays
+  * tractable; a live partial still forks only at its next-member
+  * choice (≤ k branches), the same exploration the recursive
+  * prefix-sharing expansion produced, and the mask rides the existing
+  * `rxCnt` counter vector so checkpointed streaming state needs no new
+  * layout.
+  */
+final case class RxPermute[E](members: IndexedSeq[RxNode[E]])
+    extends RxNode[E] {
+  require(members.length >= 2, "rx permute needs at least two members")
+  require(members.length <= 16,
+    s"rx permute supports at most 16 members (got ${members.length}): " +
+      "the members-seen bitmask explores up to C(k, k/2) interleaving " +
+      "classes per seed, which dwarfs any maxPartials budget beyond 16")
+}
 
 /** Fully recursive pattern element: a counter-augmented Thompson NFA
   * over [[RxNode]]. One engine [[Partial]] holds ONE automaton
@@ -269,6 +291,7 @@ final case class RxElem[E](root: RxNode[E]) extends PatternElem[E] {
       case s: RxSeq[E] => s.items.foreach(walk)
       case a: RxAlt[E] => a.alts.foreach(walk)
       case r: RxRep[E] => walk(r.body)
+      case p: RxPermute[E] => p.members.foreach(walk)
     }
     walk(root)
     b.result()
@@ -287,10 +310,17 @@ final case class RxElem[E](root: RxNode[E]) extends PatternElem[E] {
   // ε-edge kinds: FREE plain; RESET c:=0 (entering a repeat); ENTER
   // guarded c < max (starting an iteration); INC c:=sat(c+1) (an
   // iteration completed); EXIT guarded c >= min, c:=0 (leaving the
-  // repeat — the reset normalizes configurations for dedup)
+  // repeat — the reset normalizes configurations for dedup).
+  // PERMUTE bitmask kinds carry (counter, bit-or-arity) packed as
+  // `ci << 8 | b` in the payload slot: BGUARD admits member b while
+  // bit b of counter ci is clear; BSET sets bit b on member exit;
+  // BFULL accepts when the mask equals (1 << b) - 1 (b = arity) and
+  // resets it to 0, normalizing configurations for dedup and repeats.
   private final val FREE = 0; private final val RESET = 1
   private final val ENTER = 2; private final val INC = 3
   private final val EXIT = 4
+  private final val BGUARD = 5; private final val BSET = 6
+  private final val BFULL = 7
   private val (epsEdges, evEdges, cMin, cMax, initState0, accept) = {
     val eps = scala.collection.mutable.ArrayBuffer.empty[
       scala.collection.mutable.ListBuffer[(Int, Int, Int)]]
@@ -343,6 +373,21 @@ final case class RxElem[E](root: RxNode[E]) extends PatternElem[E] {
         build(r.body, be, bx)
         eps(bx) += ((INC, c, l))
         eps(l) += ((EXIT, c, exit))
+      case p: RxPermute[E] =>
+        // members-seen bitmask around one shared sub-automaton per
+        // member; the mask counter's bounds are only bookkeeping (the
+        // bit kinds guard on individual bits, never on min/max)
+        val k = p.members.length
+        val c = mins.length; mins += 0; maxs += ((1 << k) - 1)
+        val hub = newState()
+        eps(entry) += ((RESET, c, hub))
+        p.members.zipWithIndex.foreach { case (m, i) =>
+          val me = newState(); val mx = newState()
+          eps(hub) += ((BGUARD, c << 8 | i, me))
+          build(m, me, mx)
+          eps(mx) += ((BSET, c << 8 | i, hub))
+        }
+        eps(hub) += ((BFULL, c << 8 | k, exit))
     }
     val st = newState(); val acc = newState()
     build(root, st, acc)
@@ -380,6 +425,15 @@ final case class RxElem[E](root: RxNode[E]) extends PatternElem[E] {
                 math.min(c(ci) + 1, cCap(ci)))) :: stack
             case EXIT  =>
               if (c(ci) >= cMin(ci)) stack = (to, c.updated(ci, 0)) :: stack
+            case BGUARD =>
+              if ((c(ci >> 8) & (1 << (ci & 0xff))) == 0)
+                stack = (to, c) :: stack
+            case BSET =>
+              stack = (to, c.updated(ci >> 8,
+                c(ci >> 8) | (1 << (ci & 0xff)))) :: stack
+            case BFULL =>
+              if (c(ci >> 8) == (1 << (ci & 0xff)) - 1)
+                stack = (to, c.updated(ci >> 8, 0)) :: stack
           }
         }
       }

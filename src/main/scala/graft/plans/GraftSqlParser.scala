@@ -1760,29 +1760,24 @@ private[graft] object MatchRecognizeSql {
       case PSeqN(is) => MatchRecognize.ERxSeq(is.map(toERx))
       case PAltN(as) => MatchRecognize.ERxAlt(as.map(toERx))
       case PPermute(is) =>
-        // PERMUTE of non-plain items: k! ordering expansion over
-        // shared slots — bounded to keep the automaton small (plain
-        // PERMUTEs ride the dedicated n-ary elements instead).
-        // 5! = 120 orderings still sits well under the maxPartials
-        // live-alternative cap; 6! = 720 does not. The expansion is
-        // RECURSIVE (pick one member, then PERMUTE the rest) rather
-        // than a flat 120-way alternation: orderings sharing a prefix
-        // then share automaton states, so a live partial forks only at
-        // its NEXT-member choice (≤ k branches) instead of carrying
-        // every compatible full ordering — ~k!/k fewer live partials
-        // per seed on the all-orderings-viable worst case. Branch
-        // order stays lexicographic by member index, the same
-        // preference order `is.permutations` produced.
-        require(is.length <= 5,
-          s"PERMUTE of composite items supports at most 5 members " +
-            s"(k! ordering expansion; 6! = 720 branches would " +
-            s"dominate the maxPartials budget), got ${is.length}")
-        def perm(rem: Seq[PNode]): MatchRecognize.ERxNode =
-          if (rem.length == 1) toERx(rem.head)
-          else MatchRecognize.ERxAlt(rem.indices.map(i =>
-            MatchRecognize.ERxSeq(Seq(toERx(rem(i)),
-              perm(rem.patch(i, Nil, 1))))))
-        perm(is)
+        // PERMUTE of non-plain items: the members-seen BITMASK
+        // automaton ([[graft.cep.RxPermute]]) — one shared
+        // sub-automaton per member plus a hub whose mask register
+        // (2^k values in one rxCnt counter) tracks which members have
+        // completed. Replaces rounds ≤16's recursive k!-ordering
+        // expansion (which capped arity at 5: 6! = 720 branch states);
+        // automaton size is now Σ|member| + O(k), and a live partial
+        // still forks only at its next-member choice (≤ k branches),
+        // so matching semantics and per-seed exploration are
+        // UNCHANGED (pinned by the bitmask-vs-expansion parity
+        // property in MatchRecognizeSpec). The arity bound left is
+        // the cep layer's own ≤ 16 (C(k, k/2) interleaving classes
+        // per seed outgrow any maxPartials budget beyond that).
+        require(is.length <= 16,
+          s"PERMUTE of composite items supports at most 16 members " +
+            s"(the members-seen bitmask explores up to C(k, k/2) " +
+            s"interleaving classes per seed), got ${is.length}")
+        MatchRecognize.ERxPermute(is.map(toERx))
     }
     val elems: Seq[MatchRecognize.Elem] = patElems.map {
       case Single(n, mn, mx) =>

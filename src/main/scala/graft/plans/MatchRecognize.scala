@@ -88,6 +88,11 @@ final case class RxSeqSpec(items: Seq[RxSpecNode]) extends RxSpecNode
 final case class RxAltSpec(alts: Seq[RxSpecNode]) extends RxSpecNode
 final case class RxRepSpec(body: RxSpecNode, min: Int, max: Int)
     extends RxSpecNode
+/** `PERMUTE(m1, …, mk)` of arbitrary sub-patterns — compiles to the
+  * cep layer's members-seen bitmask automaton ([[graft.cep.RxPermute]]:
+  * Σ|member| states, not the k! ordering expansion). */
+final case class RxPermuteSpec(members: Seq[RxSpecNode])
+    extends RxSpecNode
 /** Fully recursive pattern element ([[graft.cep.RxElem]] semantics):
   * arbitrary nesting depth, quantified inner items, alternation of
   * sequences. */
@@ -97,6 +102,7 @@ final case class RxSpec(root: RxSpecNode) extends MatchElemSpec {
     case RxSeqSpec(is) => is.flatMap(occs)
     case RxAltSpec(as) => as.flatMap(occs)
     case RxRepSpec(b, _, _) => occs(b)
+    case RxPermuteSpec(ms) => ms.flatMap(occs)
   }
   /** Distinct names in first-occurrence order (slot layout). */
   def names: Seq[String] = occs(root).distinct
@@ -334,6 +340,7 @@ object MatchRecognize {
   final case class ERxAlt(alts: Seq[ERxNode]) extends ERxNode
   final case class ERxRep(body: ERxNode, min: Int, max: Int)
       extends ERxNode
+  final case class ERxPermute(members: Seq[ERxNode]) extends ERxNode
   final case class ERx(root: ERxNode) extends Elem
 
   private def erxOccs(n: ERxNode): Seq[(String, Column)] = n match {
@@ -341,12 +348,14 @@ object MatchRecognize {
     case ERxSeq(is) => is.flatMap(erxOccs)
     case ERxAlt(as) => as.flatMap(erxOccs)
     case ERxRep(b, _, _) => erxOccs(b)
+    case ERxPermute(ms) => ms.flatMap(erxOccs)
   }
   private def erxSpec(n: ERxNode): RxSpecNode = n match {
     case ERxVar(nm, _, mn, mx) => RxVarSpec(nm, mn, mx)
     case ERxSeq(is) => RxSeqSpec(is.map(erxSpec))
     case ERxAlt(as) => RxAltSpec(as.map(erxSpec))
     case ERxRep(b, mn, mx) => RxRepSpec(erxSpec(b), mn, mx)
+    case ERxPermute(ms) => RxPermuteSpec(ms.map(erxSpec))
   }
   /** Build the cep-side [[graft.cep.RxNode]] from a spec, drawing one
     * step per occurrence from `mk` in AST order. */
@@ -358,6 +367,8 @@ object MatchRecognize {
     case RxAltSpec(as) =>
       graft.cep.RxAlt(as.map(rxFromSpec(_, mk)).toIndexedSeq)
     case RxRepSpec(b, mn, mx) => graft.cep.RxRep(rxFromSpec(b, mk), mn, mx)
+    case RxPermuteSpec(ms) =>
+      graft.cep.RxPermute(ms.map(rxFromSpec(_, mk)).toIndexedSeq)
   }
 
   /** @param tsCol    event-time column (LongType, any unit — `withinTs` /

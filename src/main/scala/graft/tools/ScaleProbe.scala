@@ -325,6 +325,30 @@ object ScaleProbe {
           |         d AS event_type = 'signup', e AS event_type = 'error'
           |)""".stripMargin))
     }
+    // round 17's members-seen bitmask automaton at SIX members
+    // (q217's shape — beyond the old k!-expansion cap): same
+    // partitioned-NFA decade model; the mask register replaces branch
+    // seeding, so growth must stay row-linear with a flat per-key term
+    time("mr_cep_permute6") {
+      eventsCep.createOrReplaceTempView("probe_perm6")
+      val parser = new graft.plans.GraftSqlParser(
+        spark.sessionState.sqlParser, spark)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        """SELECT * FROM probe_perm6 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           c.event_id AS c_id, d.event_id AS d_id,
+          |           e.event_id AS e_id, f.event_id AS f_id
+          |  PATTERN (PERMUTE(a{1,1}, b, c, d, e, f))
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click', b AS event_type = 'view',
+          |         c AS event_type = 'purchase',
+          |         d AS event_type = 'signup',
+          |         e AS event_type = 'error' AND value <= 50,
+          |         f AS event_type = 'error' AND value > 50
+          |)""".stripMargin))
+    }
     // the lag-window + SUBSET-union-fold shape (q214's statement
     // verbatim): the PREV materialization is a Window sharing the
     // operator's exchange and sort, so growth must match the plain

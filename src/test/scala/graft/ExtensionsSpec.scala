@@ -209,15 +209,15 @@ class ExtensionsSpec extends SparkSpec {
           | ALL ROWS PER MATCH
           | PATTERN (a) DEFINE a AS true)""".stripMargin)
     // arbitrary nesting depth is supported now (recursive Rx element,
-    // MatchRecognizeSpec); a PERMUTE of >5 composite items stays
-    // rejected (k! ordering expansion bound — round 15 lifted 4 -> 5)
-    bad("""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
+    // MatchRecognizeSpec), and composite PERMUTE up to 16 members
+    // (round 17's members-seen bitmask automaton lifted the k!
+    // expansion's 5-member cap); 17+ members stay rejected (the
+    // bitmask explores up to C(k, k/2) interleaving classes per seed)
+    bad(s"""SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (
           | PARTITION BY user_id ORDER BY ts_us
           | MEASURES a.event_id AS x
-          | PATTERN (PERMUTE((a b), (c d), (e f), (g h), (i j), (k l)))
-          | DEFINE a AS true, b AS true, c AS true, d AS true,
-          |        e AS true, f AS true, g AS true, h AS true,
-          |        i AS true, j AS true, k AS true, l AS true)""".stripMargin)
+          | PATTERN (PERMUTE(${Seq.fill(17)("(a b)").mkString(", ")}))
+          | DEFINE a AS true, b AS true)""".stripMargin)
     // interval syntax in WITHIN gets the contextual error
     val err = intercept[IllegalArgumentException](parser.parsePlan(
       """SELECT * FROM mr_sql_ev MATCH_RECOGNIZE (

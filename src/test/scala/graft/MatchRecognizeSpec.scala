@@ -2869,6 +2869,73 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming 6-member composite PERMUTE (bitmask automaton) " +
+      "matches the batch statement across micro-batch splits") {
+    // r17: the bitmask mask register rides rxCnt, so the lifted arity
+    // flows through the streaming executor's checkpointed state
+    // unchanged — pin batch/streaming parity on a 6-member composite
+    // PERMUTE split across micro-batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES COUNT(a1.*) AS n_a1, COUNT(a2.*) AS n_a2,
+         |           COUNT(b.*) AS n_b, COUNT(c1.*) AS n_c1,
+         |           COUNT(c2.*) AS n_c2, COUNT(d1.*) AS n_d1,
+         |           COUNT(d2.*) AS n_d2, COUNT(e.*) AS n_e,
+         |           COUNT(f1.*) AS n_f1, COUNT(f2.*) AS n_f2
+         |  PATTERN (PERMUTE((a1 a2), b, (c1 c2?), (d1 | d2), e,
+         |                   (f1 f2)))
+         |  $streamingClauses
+         |  DEFINE a1 AS event_type = 'A', a2 AS event_type = 'B',
+         |         b AS event_type = 'B', c1 AS event_type = 'C',
+         |         c2 AS event_type = 'A', d1 AS event_type = 'D',
+         |         d2 AS event_type = 'B', e AS event_type = 'E',
+         |         f1 AS event_type = 'F', f2 AS event_type = 'A'
+         |)""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val u1 = Seq("A", "B", "B", "C", "A", "D", "E", "F", "A")
+    val u2 = Seq("E", "F", "A", "D", "C", "A", "A", "B", "B")
+    val evs = (u1.map((1L, _)) ++ u2.map((2L, _))).zipWithIndex.map {
+      case ((u, t), i) =>
+        REv(i.toLong, (i + 1).toLong * 10000000L, u, t)
+    }
+    evs.map(e => (e.event_id, e.ts_us, e.user_id, e.event_type))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_perm6b_sql")
+    val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_perm6b_sql", "")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty, "batch fixture found no matches")
+    val input = MemoryStream[REv]
+    input.toDF()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+      .withWatermark("ets", "0 seconds")
+      .createOrReplaceTempView("mr_perm6s_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_perm6s_stream",
+        "EVENTTIME ets\n  TSSCALE 1000")))
+    val q = out.writeStream.format("memory")
+      .queryName("mr_perm6s_out").outputMode("append").start()
+    try {
+      // three uneven micro-batches so live bitmask partials cross
+      // batch boundaries mid-permutation
+      evs.grouped(7).foreach { g =>
+        input.addData(g: _*); q.processAllAvailable()
+      }
+      input.addData(REv(99, 990000000L, 9, "Z"))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_perm6s_out")
+        .drop("ets").collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"streaming(${streamed.length}) != batch(${batch.length})\n" +
+          s"streaming=${streamed.take(6)}\nbatch=${batch.take(6)}")
+    } finally q.stop()
+  }
+
   test("streaming ALL ROWS supports RUNNING measures") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -4310,6 +4377,180 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(tieGroupsSeen >= 6,
       s"fixture weak: only $tieGroupsSeen residual tie groups drawn")
+  }
+
+  test("composite PERMUTE bitmask parity: PERMUTE(m1..mk) == the " +
+      "recursive ordering expansion under relaxed matching, == the " +
+      "flat k! alternation under MODE STRICT, across random member " +
+      "shapes and streams") {
+    // r17 VERDICT task 1 evidence. The members-seen bitmask automaton
+    // (cep.RxPermute) replaced rounds 15-16's RECURSIVE prefix-sharing
+    // expansion — its semantic twin (both merge the next-member choice
+    // into one state, so a relaxed-mode partial takes any event that
+    // extends SOME remaining member: skip-till-NEXT-match has no
+    // deferral). The oracle here is therefore that recursive
+    // expansion, written out in SQL — identical MULTISETS pin the
+    // lift as behavior-preserving. The flat k!-way alternation
+    // additionally explores ordering-committed DEFERRAL (a branch
+    // whose next member ignores an event another member could take)
+    // and legitimately finds a superset under relaxed matching — see
+    // DIALECT.md "PERMUTE and ordering commitment"; under MODE STRICT
+    // a deferring partial dies on the skipped event, so ALL THREE
+    // forms must coincide exactly, and both properties are asserted.
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+    val rnd = new scala.util.Random(fuzzSeed.getOrElse(20260818L))
+    val trials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
+      .getOrElse(14)
+    val alphabet = Vector("A", "B", "C", "D")
+    // the round-<=16 recursive prefix-sharing expansion, in SQL form
+    def recur(rem: Vector[String]): String =
+      if (rem.length == 1) rem.head
+      else rem.indices.map(i =>
+        s"(${rem(i)} ${recur(rem.patch(i, Vector(), 1))})")
+        .mkString("(", " | ", ")")
+    var compositeDrawn = 0
+    var overlapDrawn = 0
+    var strictNonEmpty = 0
+    var relaxedNonEmpty = 0
+    for (trial <- 0 until trials) {
+      val k = 2 + rnd.nextInt(3) // 2..4 members (alternation ≤ 24-way)
+      var vi = 0
+      def newVar(): String = { vi += 1; s"v$vi" }
+      // member shapes: plain var / two-var sequence / optional tail /
+      // two-var alternation — at least one member composite so the
+      // PERMUTE routes to the Rx path (plain sets ride EPermute)
+      val members = (0 until k).map { i =>
+        rnd.nextInt(4) match {
+          case 0 if i > 0 => newVar()
+          case 1 => s"(${newVar()} ${newVar()})"
+          case 2 => s"(${newVar()} ${newVar()}?)"
+          case _ => s"(${newVar()} | ${newVar()})"
+        }
+      }.toVector
+      if (members.exists(_.startsWith("("))) compositeDrawn += 1
+      val vars = (1 to vi).map(i => s"v$i")
+      // overlapping predicates (several vars share a type) stress
+      // ordering ambiguity — exactly where the automata could diverge
+      val types = vars.map(_ => alphabet(rnd.nextInt(alphabet.length)))
+      if (types.distinct.length < types.length) overlapDrawn += 1
+      val typeOf = vars.zip(types).toMap
+      val defines = vars.zip(types).map { case (v, t) =>
+        s"$v AS event_type = '$t'" }.mkString(",\n  ")
+      val measures = vars.map(v => s"COUNT($v.*) AS n_$v")
+        .mkString(", ")
+      // random stream, with a planted contiguous full permutation in
+      // half the trials so MODE STRICT draws are not vacuous
+      val planted: Seq[String] =
+        if (rnd.nextBoolean()) Vector.empty
+        else rnd.shuffle(members).flatMap { m =>
+          """v\d+""".r.findAllIn(m).toSeq
+            .filterNot(v => m.contains(s"$v?") && rnd.nextBoolean())
+            .map(typeOf)
+        }
+      val noise = (1 to 12).map(_ => alphabet(rnd.nextInt(4)))
+      val stream = rnd.shuffle((noise ++ Seq("PLANT")).toVector)
+        .flatMap(t => if (t == "PLANT") planted else Seq(t))
+      val rows = stream.zipWithIndex.map { case (t, i) =>
+        ((i + 1).toLong, (i + 1).toLong * 10L, 1L, t) }
+      rows.toDF("event_id", "ts_us", "user_id", "event_type")
+        .createOrReplaceTempView("mr_permpar_sql")
+      def run(pattern: String, mode: String): Seq[String] =
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(
+            s"""SELECT * FROM mr_permpar_sql MATCH_RECOGNIZE (
+               |  PARTITION BY user_id
+               |  ORDER BY ts_us, event_id
+               |  MEASURES $measures
+               |  PATTERN ($pattern)
+               |  WITHIN 400
+               |  $mode
+               |  DEFINE $defines
+               |)""".stripMargin))
+          .collect().map(_.toString).sorted.toSeq
+      val permuteP = s"PERMUTE(${members.mkString(", ")})"
+      val flatP = members.permutations.map(_.mkString(" "))
+        .mkString(" | ")
+      // relaxed: bitmask == recursive expansion (multisets)
+      val bm = run(permuteP, "")
+      val rec = run(recur(members), "")
+      if (bm.nonEmpty) relaxedNonEmpty += 1
+      assert(bm == rec,
+        s"trial $trial k=$k members=${members.mkString(", ")} " +
+          s"types=${types.mkString(",")} stream=${stream.mkString(",")}" +
+          s":\nbitmask(${bm.length})  =${bm.take(8)}\n" +
+          s"recursive(${rec.length})=${rec.take(8)}")
+      // strict: all three coincide
+      val bmS = run(permuteP, "MODE STRICT")
+      val recS = run(recur(members), "MODE STRICT")
+      val flatS = run(flatP, "MODE STRICT")
+      if (bmS.nonEmpty) strictNonEmpty += 1
+      assert(bmS == recS && bmS == flatS,
+        s"trial $trial STRICT diverged: bm(${bmS.length}) " +
+          s"rec(${recS.length}) flat(${flatS.length}) " +
+          s"members=${members.mkString(", ")} " +
+          s"types=${types.mkString(",")} stream=${stream.mkString(",")}")
+    }
+    assert(compositeDrawn >= trials / 2 && overlapDrawn >= 2 &&
+      relaxedNonEmpty >= trials / 3 && strictNonEmpty >= 2,
+      s"fuzz starved: composite=$compositeDrawn overlap=$overlapDrawn " +
+        s"relaxedNonEmpty=$relaxedNonEmpty strictNonEmpty=$strictNonEmpty")
+  }
+
+  test("6-member composite PERMUTE (beyond the old 5 cap) == the " +
+      "720-way ordering alternation") {
+    // the lift itself: 6 composite members compile (old cap: k! = 720
+    // branches rejected) and match BOTH expansion forms — on this
+    // fixture (one clean permutation per user) the recursive and flat
+    // expansions coincide, so all three are asserted equal
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def recur(rem: Vector[String]): String =
+      if (rem.length == 1) rem.head
+      else rem.indices.map(i =>
+        s"(${rem(i)} ${recur(rem.patch(i, Vector(), 1))})")
+        .mkString("(", " | ", ")")
+    val members = Vector("(a1 a2)", "b", "(c1 c2?)", "(d1 | d2)", "e",
+      "(f1 f2)")
+    val vars = Seq("a1", "a2", "b", "c1", "c2", "d1", "d2", "e",
+      "f1", "f2")
+    val typeOf = Map("a1" -> "A", "a2" -> "B", "b" -> "B", "c1" -> "C",
+      "c2" -> "A", "d1" -> "D", "d2" -> "B", "e" -> "E", "f1" -> "F",
+      "f2" -> "A")
+    val defines = vars.map(v =>
+      s"$v AS event_type = '${typeOf(v)}'").mkString(",\n  ")
+    val measures = vars.map(v => s"COUNT($v.*) AS n_$v").mkString(", ")
+    // one clean full permutation per user, scrambled differently, plus
+    // noise rows that extend no member
+    val u1 = Seq("A", "B", "B", "C", "A", "D", "E", "F", "A")
+    val u2 = Seq("E", "F", "A", "D", "C", "A", "A", "B", "B")
+    val rows = (u1.map(("u", _)) ++ u2.map(("w", _))).zipWithIndex.map {
+      case ((u, t), i) => (i.toLong, i.toLong * 10L,
+        if (u == "u") 1L else 2L, t)
+    }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .createOrReplaceTempView("mr_perm6_sql")
+    def run(pattern: String): Seq[String] =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(
+          s"""SELECT * FROM mr_perm6_sql MATCH_RECOGNIZE (
+             |  PARTITION BY user_id
+             |  ORDER BY ts_us, event_id
+             |  MEASURES $measures
+             |  PATTERN ($pattern)
+             |  DEFINE $defines
+             |)""".stripMargin))
+        .collect().map(_.toString).sorted.toSeq
+    val bitmask = run(s"PERMUTE(${members.mkString(", ")})")
+    val expansion = run(members.permutations
+      .map(_.mkString(" ")).mkString(" | "))
+    val recursive = run(recur(members))
+    assert(bitmask.nonEmpty, "6-member PERMUTE found no matches")
+    assert(bitmask == expansion,
+      s"bitmask(${bitmask.length}) != flat(${expansion.length})")
+    assert(bitmask == recursive,
+      s"bitmask(${bitmask.length}) != recursive(${recursive.length})")
   }
 
   test("maskSql tracks backslash-escaped quotes: the factor scan never " +
