@@ -6,6 +6,7 @@ import graft.cep.{Absence, Cep, PatternDef, Step}
 
 case class TEvt(id: Long, ts_ms: Long, user: Long, typ: String)
 case class TOut(user: Long, a_id: Long, b_id: Long)
+case class SeqOut(user: Long, seq: Long, slot: String, id: Long)
 
 /** Batch and streaming CEP executors must agree (one-kernel parity). */
 class CepSparkSpec extends SparkSpec {
@@ -231,5 +232,107 @@ class CepSparkSpec extends SparkSpec {
       val got = spark.table("cep_out").as[TOut].collect().toSet
       assert(got == expected)
     } finally q.stop()
+  }
+
+  test("tws/RocksDB checkpoint restart MID-HOLD (NEXT hold-back + " +
+      "MATCH_NUMBER fence populated) replays the identical numbered " +
+      "sequence") {
+    // r17 VERDICT task 3 — the most state-shape-sensitive path after
+    // the round-16 fence fix: `held` (a NEXT-withheld event awaiting
+    // its lookahead successor) and `heldMatches` (a completed match
+    // the MATCH_NUMBER fence is blocking on that very frontier) are
+    // both CepState fields; kill the query while BOTH are populated,
+    // restart from the RocksDB checkpoint, and the restored run must
+    // emit exactly what an uninterrupted run emits — numbers included.
+    // Fixture = the NfaProps r16 regression shape: p completes first
+    // but q's match (sorting FIRST in batch-key order) is still locked
+    // inside the hold-back, so releasing anything pre-restart would
+    // already be the bug.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cep.AltSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val pat = PatternDef[TEvt](IndexedSeq(
+      AltSeq[TEvt](Step[TEvt]("p", _.typ == "A"),
+        Step[TEvt]("q", _.typ == "B"), 1, 1)),
+      withinMs = Some(50000L), every = true)
+    val nb = Cep.Neighborhood[TEvt](0, 1, (e, _, _) => e)
+    def build(k: Long, m: graft.cep.PatternMatch[TEvt]) =
+      m.groups.iterator.filter(_._2.nonEmpty).map { case (s, evs) =>
+        SeqOut(k, m.seq, s, evs.head.id) }
+    val feed1 = Seq(TEvt(1, 100000L, 1, "A"), TEvt(2, 100000L, 1, "B"))
+    val feed2 = Seq(TEvt(90, 150000L, 9, "X")) // watermark past startTs
+    val feed3 = Seq(TEvt(3, 150000L, 1, "C"))  // e2's successor
+    val feed4 = Seq(TEvt(91, 10000000L, 9, "X")) // full flush
+    def runStages(stages: Seq[(Seq[TEvt], Boolean)]): Seq[SeqOut] = {
+      import scala.jdk.CollectionConverters._
+      val ck = java.nio.file.Files
+        .createTempDirectory("cep_hold_ck").toString
+      val input = MemoryStream[TEvt]
+      // the memory sink refuses checkpoint recovery; foreachBatch is
+      // the recoverable collection path (batch-id keyed so an
+      // at-least-once replay of the last batch overwrites, not dupes)
+      val sink = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, Seq[SeqOut]]()
+      def startQuery() = {
+        val withTs = input.toDS()
+          .withColumn("ts", timestamp_millis($"ts_ms"))
+          .withWatermark("ts", "2 seconds")
+          .as[TEvt]
+        Cep.streamingTws[TEvt, Long, SeqOut](
+          withTs, _.user, pat, _.ts_ms, _.id,
+          neighborhood = Some(nb), numberMatches = true)(build)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch((b: org.apache.spark.sql.Dataset[SeqOut],
+              id: Long) => {
+            sink.put(id, b.collect().toSeq); ()
+          })
+          .start()
+      }
+      var q = startQuery()
+      var emittedAtRestart = -1
+      try {
+        for ((evs, restartAfter) <- stages) {
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          if (restartAfter) {
+            emittedAtRestart = sink.values().iterator().asScala
+              .map(_.size).sum
+            q.stop()
+            q = startQuery() // resume from the RocksDB checkpoint
+          }
+        }
+      } finally q.stop()
+      if (emittedAtRestart >= 0)
+        assert(emittedAtRestart == 0,
+          s"fixture not mid-hold: $emittedAtRestart rows emitted " +
+            "before the restart point")
+      sink.asScala.toSeq.sortBy(_._1).flatMap(_._2)
+    }
+    try {
+      // uninterrupted control run
+      val control = runStages(Seq(feed1 -> false, feed2 -> false,
+        feed3 -> false, feed4 -> false))
+      // the control itself pins the fence semantics: q (held back
+      // longest) numbers FIRST, p second
+      assert(control.sortBy(_.seq) == Seq(SeqOut(1, 1, "q", 2),
+        SeqOut(1, 2, "p", 1)), s"control=$control")
+      // kill mid-hold: after feed2 the p-match sits in heldMatches and
+      // e2 sits in the NEXT hold-back — nothing may have been emitted
+      val restarted = runStages(Seq(feed1 -> false, feed2 -> true,
+        feed3 -> false, feed4 -> false))
+      assert(restarted.sortBy(_.seq) == control.sortBy(_.seq),
+        s"restart diverged: restarted=$restarted control=$control")
+      // and a second cut point: restart immediately after the
+      // successor feed (heldMatches carries BOTH matches)
+      val restarted2 = runStages(Seq(feed1 -> false, feed2 -> false,
+        feed3 -> true, feed4 -> false))
+      assert(restarted2.sortBy(_.seq) == control.sortBy(_.seq),
+        s"restart-2 diverged: restarted=$restarted2 control=$control")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }
