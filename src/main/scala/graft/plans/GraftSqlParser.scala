@@ -1841,13 +1841,19 @@ private[graft] object MatchRecognizeSql {
             "so each completed match waits for every earlier-starting " +
             "partial to complete or expire, and only WITHIN bounds " +
             "that wait")
+        // executor selection: the default flatMapGroupsWithState, or
+        // transformWithState/RocksDB (real event-time timers, state
+        // offloaded to local disk — the 100 TB provider) via session
+        // conf. Both drive the same pure Cep.step kernel.
+        val useTws = session.conf
+          .get("spark.graft.matchRecognize.useTws", "false").toBoolean
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
           skipToMembers = skipToMembers,
           withUnmatched = unmatchedRows, reluctantVars = reluctantVars,
           withMatchSeq = usesMn, exposeLags = hasMeasNav,
-          strictAll = strictMode)
+          strictAll = strictMode, useTws = useTws)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")
