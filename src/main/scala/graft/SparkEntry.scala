@@ -8620,9 +8620,14 @@ object SparkEntry {
     // five consecutive rows per user carrying all five types in any
     // order (overlapping windows; each var id picked by its type)
     // six consecutive rows carrying all six classes (the error rows
-    // split by value) — the class CASE mirrors the disjoint DEFINEs,
-    // and each class's event_id is read off whichever of the six
-    // window positions carries it
+    // split by value) — the class CASE mirrors the disjoint DEFINEs
+    // ARM FOR ARM (r18 ADVICE: the 'f' arm is explicit, not ELSE, so a
+    // future domain change — a new event_type, a NULL value — yields
+    // cls NULL; such a row stays IN the window, where it breaks the
+    // MODE STRICT contiguity exactly as it would on the graft side
+    // instead of silently classifying as 'f'), and each class's
+    // event_id is read off whichever of the six window positions
+    // carries it
     "q217_mr_permute6" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us,
         |    CASE WHEN event_type='click' THEN 'a'
@@ -8630,7 +8635,8 @@ object SparkEntry {
         |      WHEN event_type='purchase' THEN 'c'
         |      WHEN event_type='signup' THEN 'd'
         |      WHEN event_type='error' AND value <= 50 THEN 'e'
-        |      ELSE 'f' END AS cls
+        |      WHEN event_type='error' AND value > 50 THEN 'f'
+        |      ELSE NULL END AS cls
         |  FROM events),
         |o AS (SELECT user_id, event_id, cls,
         |    lead(cls,1) OVER w AS t1, lead(cls,2) OVER w AS t2,

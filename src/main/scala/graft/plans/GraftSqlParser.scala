@@ -340,7 +340,16 @@ private[graft] object MatchRecognizeSql {
       Option[scala.util.matching.Regex])] = Seq(
     ("partition by", """(?i)(?<!\w)partition\s+by(?!\w)""".r, None),
     ("order by", """(?i)(?<!\w)order\s+by(?!\w)""".r, None),
-    ("measures", """(?i)(?<!\w)measures(?!\w)""".r, None),
+    // the measures lookahead requires a measures-list head — a paren
+    // group, a literal, or `[RUNNING|FINAL] ident` followed by `.` or
+    // `(` (var-qualified ref, navigation/aggregate call) — so a source
+    // COLUMN named `measures` in expression position (`DEFINE a AS
+    // x > measures`) is never taken for the clause, and a statement
+    // genuinely missing MEASURES fails with the missing-clause error
+    // instead of a bogus canonical-order diagnosis
+    ("measures", """(?i)(?<!\w)measures(?!\w)""".r,
+      Some(("""(?i)\s*(?:['(\d]|(?:(?:running|final)\s+)?""" +
+        """\w+\s*[.(])""").r)),
     ("one row per match", """(?i)(?<!\w)one\s+row\s+per\s+match(?!\w)""".r,
       None),
     ("all rows per match", """(?i)(?<!\w)all\s+rows\s+per\s+match(?!\w)""".r,
@@ -360,7 +369,8 @@ private[graft] object MatchRecognizeSql {
     // for the clause — only `EVENTTIME <identifier>` fires
     ("eventtime", """(?i)(?<!\w)eventtime(?!\w)""".r,
       Some(("""(?i)\s*(?!(?:as|is|and|or|in|not|like|between|when|then""" +
-        """|else|end|from|where|group|order|limit)(?!\w))\w""").r)),
+        """|else|end|from|where|group|order|limit""" +
+        """|rlike|ilike|regexp|div|sounds|escape)(?!\w))\w""").r)),
     ("tsscale", """(?i)(?<!\w)tsscale(?!\w)""".r, Some("""\s*\d""".r)),
     // dialect extension: MODE STRICT = ISO SQL:2016 contiguous
     // matching (relaxed skip-till-next-match is the default)
@@ -437,13 +447,13 @@ private[graft] object MatchRecognizeSql {
     // rows modes) cannot collide with depth-0 content; the mandatory
     // DEFINE fails the statement regardless, so naming the displacing
     // clause only improves an already-certain error. The one
-    // content-collision hazard is the bare word MEASURES used as a
-    // SUBSET name or DEFINE variable — both sit in definition position
-    // (followed by AS or =), which a real MEASURES clause head never is.
+    // content-collision hazard — the bare word MEASURES used as a
+    // SUBSET name, DEFINE variable or expression operand — is handled
+    // by the MEASURES lookahead itself (a genuine clause head opens a
+    // measures list; definition positions are followed by AS/=), so
+    // both scan passes share one guard.
     val foundKeys = found.map(_._3).toSet
     val canonIdx = sections.map(_._1).zipWithIndex.toMap
-    val contentGuard: Map[String, scala.util.matching.Regex] =
-      Map("measures" -> """(?i)\s*(as(?!\w)|=)""".r)
     for ((key, re, la) <- sections if !foundKeys(key)) {
       re.findAllMatchIn(masked)
         .find { mm =>
@@ -451,9 +461,7 @@ private[graft] object MatchRecognizeSql {
             val prefix = masked.substring(0, mm.start)
             prefix.count(_ == '(') == prefix.count(_ == ')')
           } && la.forall(
-            _.pattern.matcher(masked.substring(mm.end)).lookingAt()) &&
-            !contentGuard.get(key).exists(
-              _.pattern.matcher(masked.substring(mm.end)).lookingAt())
+            _.pattern.matcher(masked.substring(mm.end)).lookingAt())
         }
         .foreach { mm =>
           // disorder evidence in either direction: a found clause

@@ -1759,6 +1759,68 @@ class MatchRecognizeSpec extends SparkSpec {
       .select($"user_id", $"a_id")
       .as[(Long, Long)].collect().toSet
     assert(out2 == Set((1L, 1L)))
+    // r18 ADVICE: infix continuations the old exclusion list missed
+    // (RLIKE / DIV) — a bare `eventtime` column followed by them must
+    // not hijack the clause scan either
+    for (cont <- Seq("CAST(eventtime AS STRING) RLIKE '1'",
+        "eventtime DIV 2 = 50", "eventtime ILIKE '%'")) {
+      val sql =
+        s"""SELECT * FROM mr_evtcol_sql MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES a.event_id AS a_id
+           |  PATTERN (a b)
+           |  DEFINE a AS event_type = 'A' AND $cont,
+           |         b AS event_type = 'B'
+           |)""".stripMargin
+      val outc = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(sql))
+        .select($"user_id", $"a_id")
+        .as[(Long, Long)].collect().toSet
+      assert(outc == Set((1L, 1L)), s"continuation '$cont':\n$sql")
+    }
+  }
+
+  test("a missing mandatory MEASURES clause is reported as missing " +
+      "even when a column named measures appears in expression " +
+      "position") {
+    // r18 ADVICE: `DEFINE a AS x > measures` at depth 0 used to be
+    // captured by the ordered scan as the MEASURES boundary (lookahead
+    // was None), so the statement died with a bogus "found PATTERN
+    // before MEASURES" canonical-order diagnosis instead of the real
+    // missing-clause error; the head lookahead now rejects it
+    Seq((1L, 10L, 1L, "A", 5L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "measures")
+      .createOrReplaceTempView("mr_meascol_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val eo = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        """SELECT * FROM mr_meascol_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_id > measures,
+          |         b AS event_type = 'B'
+          |)""".stripMargin)
+    }
+    assert(eo.getMessage.contains("needs a MEASURES clause") &&
+      !eo.getMessage.contains("canonical order"), eo.getMessage)
+    // and a VALID statement whose DEFINE uses the measures column in
+    // operand position still parses and runs — the real clause head
+    // (a.event_id: ident-dot) wins the scan
+    val ok = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_meascol_sql MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id
+          |  PATTERN (a)
+          |  DEFINE a AS event_id < measures
+          |)""".stripMargin))
+      .select($"user_id", $"a_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ok == Set((1L, 1L)))
   }
 
   test("a displaced mandatory clause is diagnosed by name, not by a " +
