@@ -110,6 +110,15 @@ object Cep {
         * over the key's whole lifetime, so a numbered key retains a
         * minimal state entry. */
       matchSeq: Long = 0L,
+      /** Compiled-automaton layout fingerprint
+        * ([[PatternDef.layoutFp]]) of the pattern this state was
+        * written under. `Partial.curCount`/`rxCnt` hold state ids and
+        * counters of THAT compiled layout; a checkpoint restored under
+        * a build whose compilation differs (e.g. round 17's
+        * k!-expansion → bitmask rewrite) would silently reinterpret
+        * them — `closure` even normalizes a wrong-length counter
+        * vector to initCnt — so [[Cep.restored]] rejects a mismatch. */
+      layoutFp: Long = 0L,
       /** Serialized-state schema version ([[CepState.VERSION]]).
         * Kryo state is not self-describing: restoring a checkpoint
         * written by an older field layout would throw deep inside
@@ -123,10 +132,11 @@ object Cep {
       * (pendingCands + 3-tuple Nfa.snapshot); 3 = round 13
       * (heldMatches/matchSeq for MATCH_NUMBER); 4 = round 14 (the
       * `version` tag field itself — adding it changed the kryo field
-      * layout, so pre-tag checkpoints are incompatible too). Restores
-      * across a bump require a fresh checkpointLocation (documented in
-      * DIALECT.md). */
-    val VERSION = 4
+      * layout, so pre-tag checkpoints are incompatible too); 5 = round
+      * 18 (`layoutFp` — the automaton-layout-guarded restore).
+      * Restores across a bump require a fresh checkpointLocation
+      * (documented in DIALECT.md). */
+    val VERSION = 5
     def empty[E]: CepState[E] =
       CepState[E](Vector.empty, Nil, false, Long.MinValue, Long.MinValue)
   }
@@ -146,7 +156,8 @@ object Cep {
     * reaches this try — best-effort on that executor; the
     * version-mismatch arm (structurally decodable foreign state) is
     * guarded on both. */
-  private[graft] def restored[E](read: => Option[CepState[E]]): CepState[E] = {
+  private[graft] def restored[E](expectFp: Long)(
+      read: => Option[CepState[E]]): CepState[E] = {
     def incompat(cause: Throwable): Nothing =
       throw new IllegalStateException(
         "CEP streaming-state restore: the checkpoint was written by an " +
@@ -158,6 +169,21 @@ object Cep {
       case None => CepState.empty[E]
       case Some(st) =>
         if (st.version != CepState.VERSION) incompat(null)
+        // r18 ADVICE: same schema, different compiled-automaton layout
+        // (a build that changed pattern compilation, or a DIFFERENT
+        // query pointed at this checkpointLocation) — partials' state
+        // ids/counters would be silently reinterpreted, so fail the
+        // restore with its own actionable error
+        if (st.layoutFp != expectFp)
+          throw new IllegalStateException(
+            "CEP streaming-state restore: the checkpoint's compiled " +
+              "automaton layout (fingerprint " +
+              s"${java.lang.Long.toHexString(st.layoutFp)}) differs " +
+              "from this query's (" +
+              s"${java.lang.Long.toHexString(expectFp)}) — the pattern " +
+              "or this build's pattern compilation changed. In-flight " +
+              "partial matches cannot be migrated; restart the query " +
+              "with a fresh checkpointLocation.")
         st
     }
   }
@@ -466,8 +492,12 @@ object Cep {
     // watermark advance at the NEXT hold-back frontier, so no absence
     // window resolves while a withheld event could still violate it
 
+    // computed once on the driver; the closure captures the Long, so
+    // executors and every restart of the query agree on the stored tag
+    val layoutFp = pattern.layoutFp
+
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
-      val prev = restored(state.getOption)
+      val prev = restored(layoutFp)(state.getOption)
       val wmMs = state.getCurrentWatermarkMs()
       val wm = wmMs * tsScale // watermark in event-time units
 
@@ -479,7 +509,7 @@ object Cep {
       next match {
         case None => state.remove()
         case Some(ns) =>
-          state.update(ns)
+          state.update(ns.copy(layoutFp = layoutFp))
           // wake this key when its earliest pending work becomes
           // releasable: the oldest buffered event, the earliest partial
           // expiry, or the earliest armed absence deadline
@@ -525,6 +555,8 @@ object Cep {
     // PREV/NEXT composes with absence elements: step() caps the
     // watermark advance at the NEXT hold-back frontier (see streaming)
 
+    val layoutFp = pattern.layoutFp
+
     class CepProcessor extends StatefulProcessor[K, E, O] {
       @transient private var st: ValueState[CepState[E]] = _
 
@@ -535,7 +567,8 @@ object Cep {
       private def run(k: K, incoming: Seq[E],
           timers: TimerValues): Iterator[O] = {
         val wmMs = timers.getCurrentWatermarkInMs()
-        val prev = restored(if (st.exists()) Some(st.get()) else None)
+        val prev = restored(layoutFp)(
+          if (st.exists()) Some(st.get()) else None)
         val (next, matches, wake) = step(
           prev, incoming, wmMs * tsScale, hasWatermark = wmMs > 0,
           pattern, tsOf, tieBreak, neighborhood, unmatchedWithin,
@@ -543,7 +576,7 @@ object Cep {
         next match {
           case None => st.clear()
           case Some(ns) =>
-            st.update(ns)
+            st.update(ns.copy(layoutFp = layoutFp))
             // one timer per distinct future instant; stale timers fire
             // harmless no-op steps (step(Nil) is idempotent at a given
             // watermark), so no delete bookkeeping is needed

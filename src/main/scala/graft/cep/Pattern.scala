@@ -400,6 +400,33 @@ final case class RxElem[E](root: RxNode[E]) extends PatternElem[E] {
 
   val initCnt: IndexedSeq[Int] = Vector.fill(cMin.length)(0)
 
+  /** Canonical description of the COMPILED automaton — slot layout,
+    * init/accept ids, counter bounds, and the full ε/event edge
+    * tables. [[PatternDef.layoutFp]] folds this per element into the
+    * fingerprint stored with checkpointed streaming state: a partial's
+    * `curCount` holds a state ID of THIS table and `rxCnt` indexes
+    * THESE counters, so any compilation change (e.g. round 17's
+    * k!-expansion → bitmask-hub rewrite) makes old ids meaningless —
+    * restore must fail loudly instead of reinterpreting them. */
+  private[cep] def layoutSig: String = {
+    val sb = new StringBuilder("rx[")
+    sb.append(names.mkString(",")).append(';')
+    sb.append(occSlot.mkString(",")).append(';')
+    sb.append(initState0).append('>').append(accept).append(';')
+    sb.append(cMin.mkString(",")).append('/')
+    sb.append(cMax.mkString(",")).append(';')
+    epsEdges.indices.foreach { i =>
+      sb.append(i).append('{')
+      epsEdges(i).foreach { case (k, c, t) =>
+        sb.append(k).append(':').append(c).append(':').append(t)
+          .append(' ') }
+      sb.append('}')
+      evEdges(i).foreach { case (o, t) =>
+        sb.append(o).append('@').append(t).append(' ') }
+    }
+    sb.append(']').toString
+  }
+
   /** All configurations ε-reachable from (st, cnt), itself included.
     * A short/empty counter vector normalizes to [[initCnt]]: partials
     * enter this element from a generic engine path (absence
@@ -532,7 +559,77 @@ final case class PatternDef[E](
       * dialect's relaxed skip-till-next-match model. Excludes
       * [[Absence]] elements (no ISO counterpart; enforced by [[Nfa]]).
       */
-    strictAll: Boolean = false)
+    strictAll: Boolean = false) {
+
+  /** 64-bit structural fingerprint of the pattern's STATE LAYOUT — the
+    * element list (kinds, slot names/order, quantifier bounds) plus,
+    * for [[RxElem]], the full compiled automaton tables
+    * ([[RxElem.layoutSig]]). Checkpointed streaming state interprets
+    * `Partial.stepIdx`/`curCount`/`groups`/`rxCnt` against this layout,
+    * so [[Cep.restored]] stores the fingerprint with the state and
+    * fails a restore whose compiled layout differs (a new build that
+    * changed compilation, or a different query pointed at the same
+    * checkpointLocation) instead of silently reinterpreting state ids
+    * — the k!-expansion → bitmask rewrite of round 17 is exactly the
+    * upgrade class this guards. Behavior-only knobs (predicates, skip
+    * modes, `every`, `withinMs`, partial caps) are deliberately
+    * EXCLUDED: they change which partials exist, not how state decodes.
+    */
+  lazy val layoutFp: Long = {
+    val sb = new StringBuilder
+    def stp(s: Step[E]): Unit =
+      sb.append(s.name).append('{').append(s.minCount).append(',')
+        .append(s.maxCount).append('}')
+    def rx(n: RxNode[E]): Unit = n match {
+      case v: RxVar[E] =>
+        sb.append("v("); stp(v.step)
+        sb.append(v.min).append(',').append(v.max).append(')')
+      case s: RxSeq[E] => sb.append("q("); s.items.foreach(rx); sb.append(')')
+      case a: RxAlt[E] => sb.append("a("); a.alts.foreach(rx); sb.append(')')
+      case r: RxRep[E] =>
+        sb.append("r("); rx(r.body)
+        sb.append(r.min).append(',').append(r.max).append(')')
+      case p: RxPermute[E] =>
+        sb.append("p("); p.members.foreach(rx); sb.append(')')
+    }
+    steps.foreach {
+      case s: Step[E] => sb.append("S:"); stp(s)
+      case l: Logical[E] =>
+        sb.append(if (l.isAnd) "L&:" else "L|:"); stp(l.left); stp(l.right)
+      case g: GroupSeq[E] =>
+        sb.append("G:"); g.steps.foreach(stp)
+        sb.append('{').append(g.minRepeat).append(',')
+          .append(g.maxRepeat).append('}')
+      case p: Permute[E] => sb.append("P:"); p.steps.foreach(stp)
+      case n: NestedGroup[E] =>
+        sb.append("N:")
+        n.items.foreach {
+          case GVar(s) => stp(s)
+          case GAlt(l, r) => sb.append("alt("); stp(l); stp(r); sb.append(')')
+          case GPerm(ss) => sb.append("perm("); ss.foreach(stp); sb.append(')')
+        }
+        sb.append('{').append(n.minRepeat).append(',')
+          .append(n.maxRepeat).append('}')
+      case p: PermSeq[E] =>
+        sb.append("PS:"); p.steps.foreach(stp)
+        sb.append('{').append(p.minRepeat).append(',')
+          .append(p.maxRepeat).append('}')
+      case a: AltSeq[E] =>
+        sb.append("A:"); stp(a.left); stp(a.right)
+        sb.append('{').append(a.minRepeat).append(',')
+          .append(a.maxRepeat).append('}')
+      case r: RxElem[E] => sb.append(r.layoutSig)
+      case a: Absence[E] => sb.append("!:"); stp(a.step)
+    }
+    // FNV-1a 64 over the canonical description: stable across JVM runs
+    // (no collection hashCode involved), so executors, the driver and a
+    // restarted query all agree on the stored value
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < sb.length) { h ^= sb.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+}
 
 /** A live partial match inside the NFA (also the unit of checkpointed
   * streaming state): index of the element being collected, events

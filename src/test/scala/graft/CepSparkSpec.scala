@@ -335,4 +335,63 @@ class CepSparkSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("a checkpoint restored under a different compiled-automaton " +
+      "layout fails with the layout error instead of reinterpreting " +
+      "state ids") {
+    // r18 ADVICE: CepState is kryo-encoded, so a checkpoint written
+    // under one compiled layout DECODES cleanly under another (same
+    // schema version) — the partial's state ids/counters would be
+    // silently reinterpreted (closure even normalizes a wrong-length
+    // rxCnt to initCnt). The stored PatternDef.layoutFp must fail the
+    // restore loudly.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    def pat(bMax: Int) = PatternDef[TEvt](IndexedSeq(
+      Step[TEvt]("a", _.typ == "A"),
+      Step[TEvt]("b", _.typ == "B", maxCount = bMax)),
+      withinMs = Some(50000L))
+    def build(k: Long, m: graft.cep.PatternMatch[TEvt]) =
+      m.groups.iterator.filter(_._2.nonEmpty).map { case (s, evs) =>
+        SeqOut(k, 0L, s, evs.head.id) }
+    val ck = java.nio.file.Files
+      .createTempDirectory("cep_layout_ck").toString
+    val input = MemoryStream[TEvt]
+    def startQuery(p: PatternDef[TEvt]) = {
+      val withTs = input.toDS()
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+        .withWatermark("ts", "2 seconds")
+        .as[TEvt]
+      Cep.streamingTws[TEvt, Long, SeqOut](
+        withTs, _.user, p, _.ts_ms, _.id)(build)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[SeqOut],
+            _: Long) => { b.collect(); () })
+        .start()
+    }
+    try {
+      // write state: the 'a' event leaves a live partial for key 1
+      val q1 = startQuery(pat(1))
+      input.addData(TEvt(1, 100000L, 1, "A"))
+      q1.processAllAvailable()
+      q1.stop()
+      // restart the SAME checkpoint with a structurally different
+      // pattern ({1,1} -> {1,2} changes the quantifier layout): the
+      // first touch of key 1's state must surface the layout error
+      val q2 = startQuery(pat(2))
+      input.addData(TEvt(2, 110000L, 1, "B"))
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+          t.getMessage.contains("automaton layout")),
+        s"expected the layout-restore error, got:\n$ex")
+      q2.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

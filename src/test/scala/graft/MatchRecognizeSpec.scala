@@ -5103,21 +5103,56 @@ class MatchRecognizeSpec extends SparkSpec {
     (1 to 3).foreach(_ => assert(run() == first))
   }
 
-  test("streaming-state restore guard: wrong-version or undecodable " +
-      "CepState is rejected with the fresh-checkpoint error") {
+  test("streaming-state restore guard: wrong-version, undecodable or " +
+      "layout-mismatched CepState is rejected with the " +
+      "fresh-checkpoint error") {
     import graft.cep.Cep
-    val ok = Cep.restored[Evt](Some(Cep.CepState.empty[Evt]))
+    val ok = Cep.restored[Evt](0L)(Some(Cep.CepState.empty[Evt]))
     assert(ok.version == Cep.CepState.VERSION)
-    assert(Cep.restored[Evt](None).version == Cep.CepState.VERSION)
+    assert(Cep.restored[Evt](0L)(None).version == Cep.CepState.VERSION)
     val stale = Cep.CepState.empty[Evt].copy(version = 1)
     val e1 = intercept[IllegalStateException] {
-      Cep.restored[Evt](Some(stale))
+      Cep.restored[Evt](0L)(Some(stale))
     }
     assert(e1.getMessage.contains("checkpointLocation"))
     val e2 = intercept[IllegalStateException] {
-      Cep.restored[Evt](throw new RuntimeException("kryo boom"))
+      Cep.restored[Evt](0L)(throw new RuntimeException("kryo boom"))
     }
     assert(e2.getMessage.contains("checkpointLocation") &&
       e2.getCause.getMessage == "kryo boom")
+    // r18 ADVICE: same schema version, different compiled-automaton
+    // layout — the state's ids would be silently reinterpreted, so
+    // the restore must fail with the layout-specific error
+    val foreign = Cep.CepState.empty[Evt].copy(layoutFp = 0x1234L)
+    val e3 = intercept[IllegalStateException] {
+      Cep.restored[Evt](0x9999L)(Some(foreign))
+    }
+    assert(e3.getMessage.contains("automaton layout") &&
+      e3.getMessage.contains("checkpointLocation"), e3.getMessage)
+  }
+
+  test("PatternDef.layoutFp: stable across instances, blind to " +
+      "behavior knobs, sensitive to structure") {
+    import graft.cep._
+    def stepOf(t: String) = Step[Evt](t.toLowerCase,
+      (e: Evt) => e.event_type == t)
+    def perm(k: Int) = PatternDef[Evt](IndexedSeq(RxElem(RxPermute(
+      (0 until k).map(i => RxSeq(IndexedSeq(
+        RxVar(stepOf(('A' + i).toChar.toString)),
+        RxVar(stepOf(('A' + i).toChar.toString), 0, 1))))))))
+    // deterministic: a fresh structurally-identical pattern (different
+    // predicate lambda INSTANCES) fingerprints identically
+    assert(perm(3).layoutFp == perm(3).layoutFp)
+    assert(perm(3).layoutFp == perm(3).copy(withinMs = Some(99L),
+      every = false, skipPastLastRow = true).layoutFp,
+      "behavior knobs must not move the layout fingerprint")
+    // structure moves it: arity, quantifier bounds, element kind
+    assert(perm(3).layoutFp != perm(4).layoutFp)
+    val seq = PatternDef[Evt](IndexedSeq(stepOf("A"), stepOf("B")))
+    val seqQ = PatternDef[Evt](IndexedSeq(
+      stepOf("A").copy(maxCount = 3), stepOf("B")))
+    assert(seq.layoutFp != seqQ.layoutFp)
+    assert(seq.layoutFp != PatternDef[Evt](
+      IndexedSeq(Logical.and(stepOf("A"), stepOf("B")))).layoutFp)
   }
 }
