@@ -21,6 +21,21 @@ object Bench {
     // the driver sets no filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // system 1-minute load average — /proc/loadavg on Linux (all the
+    // machines this runs on), MXBean otherwise. Sampled per query so a
+    // loaded run is distinguishable FROM THE ARTIFACT: three rounds of
+    // driver bench runs read 2-14x slow on contiguous query windows and
+    // each needed a judge re-run to adjudicate as ambient load.
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage }
+    val runStart = System.currentTimeMillis()
+    val loadAtStart = load1()
+    val bench0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
@@ -33,7 +48,8 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, (System.nanoTime() - t0) / 1e9, err,
+        (t0 - bench0) / 1e9, load1())
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -45,12 +61,12 @@ object Bench {
     // a failed query's elapsed time is truncated garbage — emit null for
     // it and keep it out of the total, so partial failure can never
     // masquerade as a fast run even to a consumer ignoring "errors"
-    val qs = results.map { case (k, v, err) =>
+    val qs = results.map { case (k, v, err, _, _) =>
       s"\"" + k + "\":" + (if (err.isDefined) "null" else v.toString)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val errs = results.collect { case (k, _, Some(e), _, _) =>
+      s"\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None, _, _) => v }.sum
     // Field set must stay EXACTLY {metric,value,unit,queries,errors,sf}:
     // round 5 added a "failed" count and the driver's parser returned
     // null for the whole line (BENCH_r05.json "parsed": null) — the
@@ -65,6 +81,25 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_FULL.json"))
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    // The driver's parser needs the stdout line's field set to stay
+    // EXACTLY as-is (see above), so the self-identification metadata —
+    // 1-min loadavg at start/end and per query, plus per-query start
+    // offsets — goes to a SIBLING file. A contiguous window of slow
+    // queries with elevated load samples = ambient contamination; flat
+    // load ≈ cpus in use by this run = trustworthy numbers.
+    try {
+      val metaQs = results.map { case (k, _, _, start, l) =>
+        "\"" + k + "\":{\"start_s\":" + f"$start%.1f" +
+          ",\"load1\":" + f"$l%.2f" + "}"
+      }.mkString("{", ",", "}")
+      val meta = s"""{"run_start_epoch_ms":$runStart,""" +
+        s""""load1_at_start":$loadAtStart,"load1_at_end":${load1()},""" +
+        s""""cpus":$cpus,"sf":"$sfDir","queries":$metaQs}"""
+      val metaOut = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_META_FILE", "BENCH_META.json"))
+      java.nio.file.Files.write(metaOut,
+        (meta + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()
