@@ -1652,6 +1652,122 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The per-feature draw-counter keys asserted ≥1 on the default seed
+    * (the fixture-strength floor shared by the fMGWS and tws fuzz legs).
+    */
+  private val fuzzDrawKeys = Seq("exprAgg", "subsetSkip", "varNav",
+    "nestedNav", "navExpr", "subsetOffset", "subsetExprAgg", "subsetNav",
+    "nestedNavExpr")
+
+  /** One random MATCH_RECOGNIZE statement for the streaming parity
+    * fuzzes — shared by the flatMapGroupsWithState leg and the
+    * conf-routed tws/RocksDB leg below so both executors face the SAME
+    * dialect surface (and, on the default seed, the SAME statements).
+    * Returns the statement builder plus this trial's per-feature draw
+    * counts; rnd consumption order is part of the contract (the callers
+    * replay identical seeds).
+    *
+    * Distinct per-variable types keep the live-partial count far below
+    * maxPartials (an unbounded same-predicate `v0+ v1+` explodes into
+    * 2^k subsequence alternatives, and beyond the cap the engine drops
+    * alternatives best-effort — see DIALECT.md).
+    */
+  private def drawFuzzStatement(rnd: scala.util.Random, trial: Int)
+      : ((String, String) => String, Map[String, Int]) = {
+    val types = Vector("A", "B", "X")
+    val quants = Vector("", "+", "{1,2}", "{2}", "{1,3}?", "+?")
+    var draws = Map.empty[String, Int].withDefaultValue(0)
+    def bump(k: String): Unit = draws = draws.updated(k, draws(k) + 1)
+    val nVars = 1 + rnd.nextInt(2)
+    val pat = (0 until nVars).map(i =>
+      s"v$i${quants(rnd.nextInt(quants.length))}").mkString(" ")
+    val shuffledTypes = rnd.shuffle(types)
+    // a subset for the DEFINE-side draws whenever two variables
+    // exist (all quants here are min >= 1, so both always bind)
+    val defSubset = if (nVars == 2) Some("sfz") else None
+    // DEFINE-conjunct draws across the dialect surface (rounds
+    // 15-16): expression aggregates, var-qualified / nested /
+    // expression PREV navigation, SUBSET offsets and SUBSET
+    // expression aggregates. PREV only — a NEXT draw would need
+    // per-key trailing filler (the hold-back withholds a partition's
+    // final rows, the documented data-arrival latency).
+    val defs = (0 until nVars).map { i =>
+      val base = s"v$i AS event_type = '${shuffledTypes(i)}'"
+      def anchor = s"v${rnd.nextInt(nVars)}"
+      rnd.nextInt(8) match {
+        case 0 =>
+          bump("exprAgg")
+          s"$base AND SUM(v$i.event_id * 2) < ${40 + rnd.nextInt(120)}"
+        case 1 =>
+          bump("varNav")
+          s"$base AND coalesce(PREV($anchor.event_id), 0) < " +
+            s"${10 + rnd.nextInt(30)}"
+        case 2 =>
+          bump("nestedNav")
+          val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+          s"$base AND coalesce(PREV($sel($anchor.event_id), " +
+            s"${1 + rnd.nextInt(2)}), 0) < ${10 + rnd.nextInt(30)}"
+        case 3 =>
+          bump("navExpr")
+          s"$base AND coalesce(PREV($anchor.event_id + event_id)" +
+            s", 0) < ${20 + rnd.nextInt(60)}"
+        case 4 if defSubset.nonEmpty =>
+          bump("subsetOffset")
+          val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+          s"$base AND coalesce($sel(sfz.event_id, " +
+            s"${rnd.nextInt(3)}), 0) < ${10 + rnd.nextInt(30)}"
+        case 5 if defSubset.nonEmpty =>
+          bump("subsetExprAgg")
+          s"$base AND SUM(sfz.event_id * 2) < ${40 + rnd.nextInt(120)}"
+        case 6 if defSubset.nonEmpty =>
+          bump("subsetNav")
+          s"$base AND coalesce(PREV(sfz.event_id), 0) < " +
+            s"${10 + rnd.nextInt(30)}"
+        case 7 =>
+          bump("nestedNavExpr")
+          val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
+          s"$base AND coalesce(PREV($sel($anchor.event_id + " +
+            s"event_id)), 0) < ${20 + rnd.nextInt(60)}"
+        case _ => base
+      }
+    }.mkString(", ")
+    // deterministic rotation for the two-vars-gated skip draw (a
+    // pure random draw can starve it on an unlucky stream); v1's
+    // last row is never the match's first row, so SKIP TO LAST over
+    // the union is always legal here
+    val (skipClause, skipSubsetDecl) =
+      if (nVars == 2 && trial % 2 == 0) {
+        bump("subsetSkip")
+        ("AFTER MATCH SKIP TO LAST wfz", Some("wfz = (v0, v1)"))
+      } else ("", None)
+    val subsetDecls = defSubset.map(n => s"$n = (v0, v1)").toList ++
+      skipSubsetDecl.toList
+    val subsetClause =
+      if (subsetDecls.isEmpty) ""
+      else "SUBSET " + subsetDecls.mkString(", ")
+    val mode = if (rnd.nextBoolean()) "MODE STRICT" else ""
+    // drawn ONCE outside the statement builder: the builder runs
+    // for both sides (and lazily in assert messages), and a draw
+    // inside it would compare two DIFFERENT statements — the
+    // harness bug this fuzz's first version shipped with
+    val within = 5000 + rnd.nextInt(20000)
+    val stmt = (table: String, streamingClauses: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES FIRST(v0.event_id) AS f_id
+         |  ALL ROWS PER MATCH
+         |  $skipClause
+         |  PATTERN ($pat)
+         |  $subsetClause
+         |  WITHIN $within
+         |  $streamingClauses
+         |  $mode
+         |  DEFINE $defs
+         |)""".stripMargin
+    (stmt, draws)
+  }
+
   test("seeded streaming parity fuzz: random statements produce " +
       "identical ALL ROWS output on the streaming executor") {
     implicit val sqlCtx = spark.sqlContext
@@ -1668,112 +1784,14 @@ class StreamingParitySpec extends SparkSpec {
       .createOrReplaceTempView("mr_sfuzz_batch")
     val parser = new graft.plans.GraftSqlParser(
       spark.sessionState.sqlParser, spark)
-    // distinct per-variable types keep the live-partial count far
-    // below maxPartials (an unbounded same-predicate `v0+ v1+`
-    // explodes into 2^k subsequence alternatives, and beyond the cap
-    // the engine drops alternatives best-effort — see DIALECT.md)
-    val quants = Vector("", "+", "{1,2}", "{2}", "{1,3}?", "+?")
     var checked = 0
-    var exprAggs = 0
-    var subsetSkips = 0
-    var varNavs = 0
-    var nestedNavs = 0
-    var navExprs = 0
-    var subsetOffsets = 0
-    var subsetExprAggs = 0
-    var subsetNavs = 0
-    var nestedNavExprs = 0
+    var totals = Map.empty[String, Int].withDefaultValue(0)
     // in-suite default 12; the soak harness raises it via env
     val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
       .getOrElse(12)
     for (trial <- 1 to nTrials) {
-      val nVars = 1 + rnd.nextInt(2)
-      val pat = (0 until nVars).map(i =>
-        s"v$i${quants(rnd.nextInt(quants.length))}").mkString(" ")
-      val shuffledTypes = rnd.shuffle(types)
-      // a subset for the DEFINE-side draws whenever two variables
-      // exist (all quants here are min >= 1, so both always bind)
-      val defSubset = if (nVars == 2) Some("sfz") else None
-      // DEFINE-conjunct draws across the dialect surface (rounds
-      // 15-16): expression aggregates, var-qualified / nested /
-      // expression PREV navigation, SUBSET offsets and SUBSET
-      // expression aggregates. PREV only — a NEXT draw would need
-      // per-key trailing filler (the hold-back withholds a partition's
-      // final rows, the documented data-arrival latency).
-      val defs = (0 until nVars).map { i =>
-        val base = s"v$i AS event_type = '${shuffledTypes(i)}'"
-        def anchor = s"v${rnd.nextInt(nVars)}"
-        rnd.nextInt(8) match {
-          case 0 =>
-            exprAggs += 1
-            s"$base AND SUM(v$i.event_id * 2) < ${40 + rnd.nextInt(120)}"
-          case 1 =>
-            varNavs += 1
-            s"$base AND coalesce(PREV($anchor.event_id), 0) < " +
-              s"${10 + rnd.nextInt(30)}"
-          case 2 =>
-            nestedNavs += 1
-            val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
-            s"$base AND coalesce(PREV($sel($anchor.event_id), " +
-              s"${1 + rnd.nextInt(2)}), 0) < ${10 + rnd.nextInt(30)}"
-          case 3 =>
-            navExprs += 1
-            s"$base AND coalesce(PREV($anchor.event_id + event_id)" +
-              s", 0) < ${20 + rnd.nextInt(60)}"
-          case 4 if defSubset.nonEmpty =>
-            subsetOffsets += 1
-            val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
-            s"$base AND coalesce($sel(sfz.event_id, " +
-              s"${rnd.nextInt(3)}), 0) < ${10 + rnd.nextInt(30)}"
-          case 5 if defSubset.nonEmpty =>
-            subsetExprAggs += 1
-            s"$base AND SUM(sfz.event_id * 2) < ${40 + rnd.nextInt(120)}"
-          case 6 if defSubset.nonEmpty =>
-            subsetNavs += 1
-            s"$base AND coalesce(PREV(sfz.event_id), 0) < " +
-              s"${10 + rnd.nextInt(30)}"
-          case 7 =>
-            nestedNavExprs += 1
-            val sel = if (rnd.nextBoolean()) "FIRST" else "LAST"
-            s"$base AND coalesce(PREV($sel($anchor.event_id + " +
-              s"event_id)), 0) < ${20 + rnd.nextInt(60)}"
-          case _ => base
-        }
-      }.mkString(", ")
-      // deterministic rotation for the two-vars-gated skip draw (a
-      // pure random draw can starve it on an unlucky stream); v1's
-      // last row is never the match's first row, so SKIP TO LAST over
-      // the union is always legal here
-      val (skipClause, skipSubsetDecl) =
-        if (nVars == 2 && trial % 2 == 0) {
-          subsetSkips += 1
-          ("AFTER MATCH SKIP TO LAST wfz", Some("wfz = (v0, v1)"))
-        } else ("", None)
-      val subsetDecls = defSubset.map(n => s"$n = (v0, v1)").toList ++
-        skipSubsetDecl.toList
-      val subsetClause =
-        if (subsetDecls.isEmpty) ""
-        else "SUBSET " + subsetDecls.mkString(", ")
-      val mode = if (rnd.nextBoolean()) "MODE STRICT" else ""
-      // drawn ONCE outside the statement builder: the builder runs
-      // for both sides (and lazily in assert messages), and a draw
-      // inside it would compare two DIFFERENT statements — the
-      // harness bug this fuzz's first version shipped with
-      val within = 5000 + rnd.nextInt(20000)
-      val stmt = (table: String, streamingClauses: String) =>
-        s"""SELECT * FROM $table MATCH_RECOGNIZE (
-           |  PARTITION BY user_id
-           |  ORDER BY ts_ms, event_id
-           |  MEASURES FIRST(v0.event_id) AS f_id
-           |  ALL ROWS PER MATCH
-           |  $skipClause
-           |  PATTERN ($pat)
-           |  $subsetClause
-           |  WITHIN $within
-           |  $streamingClauses
-           |  $mode
-           |  DEFINE $defs
-           |)""".stripMargin
+      val (stmt, draws) = drawFuzzStatement(rnd, trial)
+      draws.foreach { case (k, v) => totals = totals.updated(k, totals(k) + v) }
       val input = MemoryStream[(Long, Long, Long, String)]
       input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
         .withColumn("etc", timestamp_millis($"ts_ms"))
@@ -1809,13 +1827,96 @@ class StreamingParitySpec extends SparkSpec {
     }
     assert(checked == nTrials,
       s"only $checked of $nTrials fuzz statements ran")
-    val draws = Map("exprAgg" -> exprAggs, "subsetSkip" -> subsetSkips,
-      "varNav" -> varNavs, "nestedNav" -> nestedNavs,
-      "navExpr" -> navExprs, "subsetOffset" -> subsetOffsets,
-      "subsetExprAgg" -> subsetExprAggs, "subsetNav" -> subsetNavs,
-      "nestedNavExpr" -> nestedNavExprs)
     if (fuzzSeed.isEmpty)
-      assert(draws.values.forall(_ >= 1), s"fixture weak: $draws")
-    else println(s"[fuzz] seed=${fuzzSeed.get} draws=$draws")
+      assert(fuzzDrawKeys.forall(totals(_) >= 1), s"fixture weak: $totals")
+    else println(s"[fuzz] seed=${fuzzSeed.get} draws=$totals")
+  }
+
+  test("seeded tws statement fuzz: the same random statements routed " +
+      "through transformWithState/RocksDB via the session conf match " +
+      "batch") {
+    // r17 VERDICT task 4 (carried from r16): the fuzz above exercises
+    // the default flatMapGroupsWithState executor; this leg replays the
+    // SAME seeded statement stream end-to-end through SQL with
+    // spark.graft.matchRecognize.useTws=true — the session conf at
+    // GraftSqlParser's executor dispatch, previously untested at the
+    // conf level — under the RocksDB state store, and asserts from the
+    // query progress that every trial actually ran on
+    // transformWithStateExec (a silently ignored conf fails here).
+    implicit val sqlCtx = spark.sqlContext
+    val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+    val rnd = new scala.util.Random(fuzzSeed.getOrElse(424242L))
+    val types = Vector("A", "B", "X")
+    val rows = (1L to 36L).map { i =>
+      (i, i * 1000L, 1L + (i % 2), types(rnd.nextInt(3)))
+    }
+    val ticks = Seq((91L, 300000L, 9L, "T"), (92L, 600000L, 9L, "T"))
+    (rows ++ ticks).toDF("event_id", "ts_ms", "user_id", "event_type")
+      .createOrReplaceTempView("mr_twsfuzz_batch")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    var checked = 0
+    var totals = Map.empty[String, Int].withDefaultValue(0)
+    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
+      .getOrElse(12)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set("spark.graft.matchRecognize.useTws", "true")
+    try {
+      for (trial <- 1 to nTrials) {
+        val (stmt, draws) = drawFuzzStatement(rnd, trial)
+        draws.foreach { case (k, v) =>
+          totals = totals.updated(k, totals(k) + v) }
+        val input = MemoryStream[(Long, Long, Long, String)]
+        input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+          .withColumn("etc", timestamp_millis($"ts_ms"))
+          .withWatermark("etc", "10 seconds")
+          .createOrReplaceTempView("mr_twsfuzz_stream")
+        val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(stmt("mr_twsfuzz_stream", "EVENTTIME etc")))
+        val name = s"mr_twsfuzz_sink_$trial"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          val cut = 10 + rnd.nextInt(20)
+          input.addData(rows.take(cut): _*)
+          q.processAllAvailable()
+          input.addData(rows.drop(cut) :+ ticks(0): _*)
+          q.processAllAvailable()
+          input.addData(ticks(1))
+          q.processAllAvailable()
+          // the conf-routing assertion: the stateful operator in the
+          // executed streaming plan must be tws, not fMGWS
+          val ops = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.map(_.operatorName)).distinct
+          assert(ops == Seq("transformWithStateExec"),
+            s"trial $trial not conf-routed to tws: $ops")
+          def canon(df: org.apache.spark.sql.DataFrame) =
+            df.filter($"user_id" <= 2L)
+              .select($"event_id", $"classifier", $"match_start",
+                $"match_end", $"f_id")
+              .as[(Long, String, Long, Long, Long)]
+              .collect().sortBy(r => (r._1, r._3, r._4, r._2)).toSeq
+          val streamed = canon(spark.table(name))
+          // the batch dispatch never reads the conf, so parsing the
+          // comparison side with it still set is the production shape
+          val batch = canon(org.apache.spark.sql.GraftSqlBridge.ofRows(
+            spark, parser.parsePlan(stmt("mr_twsfuzz_batch", ""))))
+          assert(streamed == batch,
+            s"trial $trial diverged for ${stmt("mr_twsfuzz_batch", "")}: " +
+              s"stream=${streamed.size} batch=${batch.size}")
+          checked += 1
+        } finally q.stop()
+      }
+    } finally {
+      spark.conf.unset("spark.graft.matchRecognize.useTws")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    assert(checked == nTrials,
+      s"only $checked of $nTrials tws fuzz statements ran")
+    if (fuzzSeed.isEmpty)
+      assert(fuzzDrawKeys.forall(totals(_) >= 1), s"fixture weak: $totals")
+    else println(s"[tws-fuzz] seed=${fuzzSeed.get} draws=$totals")
   }
 }
