@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.SortExec
 import graft.cep.{Cep, PatternDef, Step}
@@ -1917,8 +1918,8 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("DIALECT navigation matrix: every qualifier x selector x " +
-      "argument cell compiles and runs, or fails with its documented " +
-      "reason") {
+      "argument cell compiles and runs ON BOTH EXECUTORS, or fails " +
+      "with its documented reason") {
     // r17 VERDICT task 7 — the executable form of DIALECT.md's closure
     // claim (DIALECT.md 'Documented exclusions' 1/2/7 + the DEFINE
     // section): var- and SUBSET-qualified navigation over
@@ -1927,24 +1928,70 @@ class MatchRecognizeSpec extends SparkSpec {
     // cells are two-variable mixes, unqualified nested expressions,
     // and union offsets > 19. A future parser change that silently
     // reopens a cell fails this test by name.
-    Seq((1L, 10L, 1L, "A", 2.0), (2L, 20L, 1L, "A", 3.0),
-        (3L, 30L, 1L, "B", 5.0), (4L, 10L, 2L, "A", 7.0),
-        (5L, 20L, 2L, "B", 11.0))
-      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    //
+    // r18 (r17 VERDICT task 6): the matrix is parameterized over BOTH
+    // modes — every supported cell also runs end-to-end on the
+    // streaming executor (MemoryStream + EVENTTIME + watermark flush)
+    // and must produce the same two match rows; the documented
+    // rejections fire identically against the streaming view, and the
+    // streaming-ONLY exclusions ('$' end anchor, MATCH_NUMBER /
+    // UNMATCHED ROWS without WITHIN, EVENTTIME on batch) are pinned
+    // with their own reason strings.
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq((1L, 10L, 1L, "A", 2.0), (2L, 20L, 1L, "A", 3.0),
+      (3L, 30L, 1L, "B", 5.0), (4L, 10L, 2L, "A", 7.0),
+      (5L, 20L, 2L, "B", 11.0))
+    data.toDF("event_id", "ts_us", "user_id", "event_type", "value")
       .createOrReplaceTempView("mr_matrix_sql")
     val parser = new graft.plans.GraftSqlParser(
       spark.sessionState.sqlParser, spark)
-    def stmt(pred: String): String =
-      s"""SELECT * FROM mr_matrix_sql MATCH_RECOGNIZE (
+    // WITHIN is carried in both modes: on a stream, cross-variable
+    // DEFINE under SKIP PAST LAST ROW requires it (deferred leftmost
+    // election — the no-WITHIN rejection is pinned below), and the
+    // batch statement stays textually identical
+    def stmt(table: String, streamingClauses: String, pred: String,
+        within: String = "WITHIN 60000"): String =
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
          |  PARTITION BY user_id
          |  ORDER BY ts_us, event_id
          |  MEASURES b.event_id AS b_id
          |  AFTER MATCH SKIP PAST LAST ROW
          |  PATTERN (a+ b)
          |  SUBSET s = (a, b)
+         |  $within
+         |  $streamingClauses
          |  DEFINE a AS event_type = 'A',
          |         b AS event_type = 'B' AND ($pred)
          |)""".stripMargin
+    def runBatch(pred: String): Set[Long] =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(stmt("mr_matrix_sql", "", pred)))
+        .select($"b_id").as[Long].collect().toSet
+    // the streaming leg: same statement over a watermarked MemoryStream
+    // (the ts_us values double as millis for the EVENTTIME column — the
+    // release fence only needs the flush tick to outrun them)
+    var streamRuns = 0
+    def runStream(pred: String): Set[Long] = {
+      val input = MemoryStream[(Long, Long, Long, String, Double)]
+      input.toDF()
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .withColumn("etc", timestamp_millis($"ts_us"))
+        .withWatermark("etc", "10 seconds")
+        .createOrReplaceTempView("mr_matrix_stream")
+      val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_matrix_stream", "EVENTTIME etc", pred)))
+      streamRuns += 1
+      val name = s"mr_matrix_sink_$streamRuns"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(data: _*)
+        q.processAllAvailable()
+        input.addData((99L, 1000000000L, 9L, "T", 0.0))
+        q.processAllAvailable()
+        spark.table(name).select($"b_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
     // supported cells: scalar expression per (qualifier, selector,
     // argument); wrapped in a null-tolerant always-true comparison so
     // execution (not just parsing) is exercised in every cell
@@ -1966,20 +2013,25 @@ class MatchRecognizeSpec extends SparkSpec {
         else s"$q.value * 2 + 1"
       (s"$q/$sel/$argKind", sel.format(arg))
     }
+    val expected = Set(3L, 5L) // user 1's and user 2's b rows
     cells.foreach { case (cell, expr) =>
-      val out = try {
-        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-          parser.parsePlan(
-            stmt(s"COALESCE($expr >= -99999999, TRUE)")))
-          .collect()
-      } catch {
-        case e: Exception => fail(s"cell $cell [$expr] failed: " +
-          e.getMessage)
+      val pred = s"COALESCE($expr >= -99999999, TRUE)"
+      val batch = try runBatch(pred) catch {
+        case e: Exception =>
+          fail(s"cell $cell [$expr] failed on batch: ${e.getMessage}")
       }
-      assert(out.length == 2, s"cell $cell [$expr]: ${out.length} rows")
+      assert(batch == expected, s"cell $cell [$expr] batch: $batch")
+      val streamed = try runStream(pred) catch {
+        case e: Exception =>
+          fail(s"cell $cell [$expr] failed on streaming: ${e.getMessage}")
+      }
+      assert(streamed == expected,
+        s"cell $cell [$expr] streaming: $streamed")
     }
     // documented rejections (DIALECT.md exclusions 1, 2, 7): exact
-    // reason strings, cited from the parser's fail-fast requires
+    // reason strings, cited from the parser's fail-fast requires —
+    // asserted against BOTH the batch and the streaming view (the
+    // navigation surface is mode-independent)
     val rejected = Seq(
       ("PREV(a.value + b.value) > 0", "mixing variables is undefined"),
       ("SUM(a.value * b.value) > 0",
@@ -1987,10 +2039,65 @@ class MatchRecognizeSpec extends SparkSpec {
       ("PREV(FIRST(value * 2)) > 0", "nested navigation takes"),
       ("FIRST(s.value, 20) > 0", "supported up to 19"))
     rejected.foreach { case (pred, reason) =>
-      val eo = intercept[Exception](parser.parsePlan(stmt(pred)))
-      assert(eo.getMessage != null && eo.getMessage.contains(reason),
-        s"[$pred] expected reason '$reason', got:\n${eo.getMessage}")
+      val eb = intercept[Exception](
+        parser.parsePlan(stmt("mr_matrix_sql", "", pred)))
+      assert(eb.getMessage != null && eb.getMessage.contains(reason),
+        s"[$pred] batch: expected '$reason', got:\n${eb.getMessage}")
+      val es = intercept[Exception](
+        parser.parsePlan(stmt("mr_matrix_stream", "EVENTTIME etc", pred)))
+      assert(es.getMessage != null && es.getMessage.contains(reason),
+        s"[$pred] streaming: expected '$reason', got:\n${es.getMessage}")
     }
+    // streaming-specific exclusions (DIALECT.md exclusions 3 and 6 +
+    // the EVENTTIME clause contract), each with its documented reason;
+    // the true predicate keeps the DEFINE surface out of the picture
+    def mnStmt(table: String, streamingClauses: String,
+        measures: String, rows: String, pattern: String): String = {
+      val define =
+        if (pattern.contains("a")) "a AS event_type = 'A', " else ""
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES $measures
+         |  $rows
+         |  PATTERN ($pattern)
+         |  $streamingClauses
+         |  DEFINE ${define}b AS event_type = 'B'
+         |)""".stripMargin
+    }
+    val streamingRejected = Seq(
+      (mnStmt("mr_matrix_stream", "EVENTTIME etc", "b.event_id AS b_id",
+        "", "b $"),
+        "'$' end anchor needs a bounded (batch) input"),
+      (mnStmt("mr_matrix_stream", "EVENTTIME etc",
+        "MATCH_NUMBER() AS mn", "", "b"),
+        "MATCH_NUMBER() over a streaming table needs a WITHIN bound"),
+      (mnStmt("mr_matrix_stream", "EVENTTIME etc", "b.event_id AS b_id",
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS", "b"),
+        "WITH UNMATCHED ROWS over a streaming table needs a WITHIN"),
+      (mnStmt("mr_matrix_stream", "", "b.event_id AS b_id", "", "b"),
+        "needs an EVENTTIME"),
+      (mnStmt("mr_matrix_sql", "EVENTTIME ts_us", "b.event_id AS b_id",
+        "", "b"),
+        "EVENTTIME is only valid over streaming tables"),
+      // a supported cell's statement minus its WITHIN: deferred
+      // leftmost election under cross-variable DEFINE is unbounded
+      (stmt("mr_matrix_stream", "EVENTTIME etc",
+        "COALESCE(a.value >= -99999999, TRUE)", within = ""),
+        "needs a WITHIN bound"))
+    streamingRejected.foreach { case (sql, reason) =>
+      val eo = intercept[Exception](parser.parsePlan(sql))
+      assert(eo.getMessage != null && eo.getMessage.contains(reason),
+        s"expected '$reason', got:\n${eo.getMessage}\nfor:\n$sql")
+    }
+    // and the '$' cell on BATCH is a supported cell (the streaming
+    // rejection above is executor-specific, not a parser gap): b is
+    // each partition's last row here, so both matches survive
+    val dollarBatch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(mnStmt("mr_matrix_sql", "",
+          "b.event_id AS b_id", "", "a+ b $")))
+      .select($"b_id").as[Long].collect().toSet
+    assert(dollarBatch == expected, s"batch \\$$ anchor: $dollarBatch")
   }
 
   test("step names colliding with keys or match bounds fail fast") {
