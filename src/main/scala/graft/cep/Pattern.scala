@@ -259,6 +259,16 @@ final case class RxRep[E](body: RxNode[E], min: Int, max: Int)
 final case class RxPermute[E](members: IndexedSeq[RxNode[E]])
     extends RxNode[E] {
   require(members.length >= 2, "rx permute needs at least two members")
+  // The 16 bound is validated empirically through k=10 (BASELINE.md
+  // round 18, ScaleProbe mr_cep_permute8/10 + the *_adv adversarial
+  // rows): real-events k=8/k=10 run sub-linearly per data decade, and
+  // the constructed worst case — all classes interleaved with every
+  // 3rd event a wildcard satisfying EVERY member, forcing the full
+  // C(k, k/2) mask-branching — stays bounded by maxPartialMatches'
+  // best-effort drop and ALSO scales sub-linearly in keys (6.6→19.8 s
+  // k=8, 22.2→59.0 s k=10 at 10× keys). Beyond 16 the interleaving
+  // classes (C(16,8) = 12870 per seed) dwarf any realistic partial
+  // budget, so admission stops there by intent.
   require(members.length <= 16,
     s"rx permute supports at most 16 members (got ${members.length}): " +
       "the members-seen bitmask explores up to C(k, k/2) interleaving " +

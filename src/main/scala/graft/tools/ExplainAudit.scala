@@ -23,7 +23,11 @@ object ExplainAudit {
       // MatchRecognize), the PREV lag precompute sharing that shuffle,
       // and the unmatched-rows anti join
       "q167_mr_group", "q168_mr_permute3", "q172_mr_prev_define",
-      "q170_mr_unmatched_rows")
+      "q170_mr_unmatched_rows",
+      // round 18: the recursive composite-PERMUTE routes (k!-expansion
+      // q208, bitmask-hub q217) — both must stay the one-exchange
+      // `Exchange → Sort → MatchRecognize` shape
+      "q208_mr_permute5", "q217_mr_permute6")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -349,6 +349,74 @@ object ScaleProbe {
           |         f AS event_type = 'error' AND value > 50
           |)""".stripMargin))
     }
+    // round-18 PERMUTE arity stress (the cap-16 evidence beyond k=6):
+    // one shared statement builder — {1,1} on the first member forces
+    // the composite/RxPermute route (the bitmask automaton), matching
+    // the permute5/6 probes above
+    def permuteStmt(view: String, members: Seq[(String, String)]): String = {
+      val names = members.map(_._1)
+      s"""SELECT * FROM $view MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES ${names.map(n => s"$n.event_id AS ${n}_id")
+                       .mkString(", ")}
+         |  PATTERN (PERMUTE(${names.head}{1,1}, ${names.tail
+                       .mkString(", ")}))
+         |  MODE STRICT
+         |  DEFINE ${members.map { case (n, p) => s"$n AS $p" }
+                       .mkString(", ")}
+         |)""".stripMargin
+    }
+    def runPermute(tag: String, view: String, df: DataFrame,
+        members: Seq[(String, String)]): Unit =
+      time(tag) {
+        df.createOrReplaceTempView(view)
+        val parser = new graft.plans.GraftSqlParser(
+          spark.sessionState.sqlParser, spark)
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(permuteStmt(view, members)))
+      }
+    // k=8 over the REAL events table (4 types x 2 value bands; signup
+    // rows are STRICT-contiguity breakers): the user-shifted decade
+    // model again — keys multiply, per-key density constant
+    def band(t: String): Seq[(String, String)] = Seq(
+      (s"${t.head}l", s"event_type = '$t' AND value <= 150"),
+      (s"${t.head}h", s"event_type = '$t' AND value > 150"))
+    runPermute("mr_cep_permute8", "probe_perm8", eventsCep,
+      Seq("click", "view", "purchase", "error").flatMap(band))
+    // k=10: full type coverage x 2 bands — every event is SOME member
+    runPermute("mr_cep_permute10", "probe_perm10", eventsCep,
+      Seq("click", "view", "purchase", "signup", "error").flatMap(band))
+    // ADVERSARIAL interleaving: per key the classes rotate t0..t(k-1)
+    // and every 3rd event is a WILDCARD 'w' satisfying EVERY member —
+    // each wildcard forks a live partial per unseen member, the
+    // C(k, k/2) mask-branching worst case the cap's comment cites
+    // (Pattern.scala RxPermute). Under MODE STRICT a partial lives at
+    // most k events, so live partials per key are bounded by the
+    // branch tree over the last k events (and, above that, by
+    // maxPartialMatches' documented best-effort drop). Keys scale
+    // with `copies`: the decade model is keys x fixed per-key work.
+    def advEvents(k: Int): DataFrame = {
+      val nKeys = 100L * copies
+      val perKey = 600L
+      spark.range(nKeys * perKey).select(
+        (col("id") / perKey).cast("long").as("user_id"),
+        (col("id") % perKey).as("seq"))
+        .select(col("user_id"),
+          (col("seq") * 1000L).as("ts_us"),
+          (col("user_id") * 1000000L + col("seq")).as("event_id"),
+          when(col("seq") % 3 === 2, lit("w"))
+            .otherwise(concat(lit("t"), pmod(col("seq"), lit(k))))
+            .as("event_type"))
+    }
+    def wildMembers(k: Int): Seq[(String, String)] =
+      (0 until k).map(i =>
+        (s"m$i", s"(event_type = 't$i' OR event_type = 'w')"))
+    runPermute("mr_cep_permute8_adv", "probe_perm8adv",
+      advEvents(8), wildMembers(8))
+    runPermute("mr_cep_permute10_adv", "probe_perm10adv",
+      advEvents(10), wildMembers(10))
+
     // the lag-window + SUBSET-union-fold shape (q214's statement
     // verbatim): the PREV materialization is a Window sharing the
     // operator's exchange and sort, so growth must match the plain
