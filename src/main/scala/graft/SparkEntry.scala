@@ -1627,6 +1627,37 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Mixed-variable navigation (round-19 lift of DIALECT exclusion
+    // 1's mixed half): LAST(b.value - a.value) and
+    // PREV(a.value + b.value) DISTRIBUTE per qualifier — each
+    // reference anchors at its own variable's binding, the offsets at
+    // its own anchor (the reference's `s1.x, s2.y` cross-attribute
+    // select generalized with SQL:2016 selectors). Exercised in BOTH
+    // DEFINE (the cross-variable comparison the standard's ticker
+    // query needs) and MEASURES; under MODE STRICT a match is an
+    // adjacent (click, view) pair with the view pricier than the
+    // click, so the oracle is a lag/lead window.
+    "q218_mr_mixed_nav" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_mixed_q218")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_mixed_q218 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           LAST(b.value - a.value) AS delta,
+          |           PREV(a.value + b.value) AS psum
+          |  PATTERN (a b)
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view'
+          |           AND LAST(b.value - a.value) > 0
+          |)""".stripMargin))
+    }),
+
     // Composite-item PERMUTE with FIVE members (round-15 cap lift
     // 4 -> 5; the quantified first item forces the k!-expansion path
     // rather than the dedicated plain n-ary element): under MODE
@@ -8668,6 +8699,25 @@ object SparkEntry {
         |    WHEN t2='f' THEN i2 WHEN t3='f' THEN i3
         |    WHEN t4='f' THEN i4 ELSE i5 END AS f_id
         |FROM m""".stripMargin,
+
+    // adjacent (click, view) pairs with the view pricier (MODE STRICT
+    // pattern (a b)); delta = LAST(b.value) - LAST(a.value) (each
+    // navigation anchored at its own variable's one bound row), psum =
+    // PREV-of-a + PREV-of-b where b's predecessor IS a and a's is its
+    // lag (NULL on a partition-first a, which NULLs the sum)
+    "q218_mr_mixed_nav" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS us,
+        |    lag(value) OVER w AS pv,
+        |    lead(event_type) OVER w AS nt,
+        |    lead(event_id) OVER w AS ni,
+        |    lead(value) OVER w AS nv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS a_id, ni AS b_id,
+        |  nv - value AS delta, pv + value AS psum
+        |FROM o
+        |WHERE event_type = 'click' AND nt = 'view' AND nv > value""".stripMargin,
 
     "q208_mr_permute5" ->
       """WITH o AS (SELECT user_id, event_id, event_type,

@@ -156,7 +156,7 @@ object Cep {
     * reaches this try — best-effort on that executor; the
     * version-mismatch arm (structurally decodable foreign state) is
     * guarded on both. */
-  private[graft] def restored[E](expectFp: Long)(
+  private[graft] def restored[E](expectFp: Long, strict: Boolean = false)(
       read: => Option[CepState[E]]): CepState[E] = {
     def incompat(cause: Throwable): Nothing =
       throw new IllegalStateException(
@@ -181,12 +181,36 @@ object Cep {
               s"${java.lang.Long.toHexString(st.layoutFp)}) differs " +
               "from this query's (" +
               s"${java.lang.Long.toHexString(expectFp)}) — the pattern " +
-              "or this build's pattern compilation changed. In-flight " +
-              "partial matches cannot be migrated; restart the query " +
-              "with a fresh checkpointLocation.")
+              "or this build's pattern compilation changed" +
+              (if (strict)
+                ", or (strict restore is on) the statement's DEFINE " +
+                  "predicates, skip mode, or WITHIN bound changed"
+              else "") +
+              ". In-flight partial matches cannot be migrated; " +
+              "restart the query with a fresh checkpointLocation.")
         st
     }
   }
+
+  /** Fingerprint stored with (and checked against) streaming state: the
+    * compiled-automaton layout alone by default; under strict restore
+    * ([[graft.plans.MatchRecognize]]'s
+    * `spark.graft.matchRecognize.strictRestore`, or any non-zero
+    * `restoreSalt` on the programmatic surface) the caller's salt — a
+    * hash of the normalized DEFINE predicate sources, skip mode and
+    * WITHIN — folds in, so a DIFFERENT query with the same compiled
+    * shape pointed at the same checkpointLocation is rejected too
+    * instead of silently adopting the old partials (the default keeps
+    * Structured Streaming's usual query-evolution semantics; both
+    * documented in DIALECT.md).
+    */
+  private[graft] def storedFp(layoutFp: Long, restoreSalt: Long): Long =
+    if (restoreSalt == 0L) layoutFp
+    else {
+      var h = layoutFp ^ 0x9e3779b97f4a7c15L
+      h ^= restoreSalt; h *= 0x100000001b3L
+      h ^ (h >>> 29)
+    }
 
   /** SQL:2016 PREV/NEXT row navigation on a stream: a per-key release
     * DECORATOR. Each watermark-released event is fed to the NFA only
@@ -259,7 +283,20 @@ object Cep {
         * WITHIN bound is required — it is what guarantees every blocker
         * eventually completes or expires.
         */
-      numberMatches: Boolean = false): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
+      numberMatches: Boolean = false,
+      /** '$' end anchor on a stream (round 19): the quiescence horizon
+        * in event-time units (the statement's WITHIN bound). A
+        * NEXT-withheld event whose ts + horizon the watermark has
+        * passed is force-fed with however many successors exist —
+        * missing ones read NULL, so the batch lead-IS-NULL anchor
+        * predicate holds exactly when the key has been quiet past the
+        * horizon (for matching purposes, the partition has ended
+        * there). Applies to every NEXT navigation in the statement:
+        * past the quiescence horizon a lookahead that never arrived IS
+        * NULL — only '$'-anchored statements opt in (the parser sets
+        * this), so plain NEXT statements keep their wait-for-arrival
+        * semantics. */
+      nextFlushHorizon: Option[Long] = None): (Option[CepState[E]], Vector[PatternMatch[E]], List[Long]) = {
     require(unmatchedWithin.isEmpty ||
         pattern.steps.forall(!_.names.contains(UnmatchedSlot)),
       s"pattern variable '$UnmatchedSlot' collides with the reserved " +
@@ -324,7 +361,18 @@ object Cep {
       case None => (release, prev.recent, prev.held)
       case Some(nb) =>
         val avail = prev.held ++ release
-        val feedN = math.max(0, avail.length - nb.maxNext)
+        val feedN0 = math.max(0, avail.length - nb.maxNext)
+        // quiescence fence ('$' under WITHIN): feed events the
+        // watermark has carried past their horizon even without the
+        // full lookahead — avail is (ts, tie)-sorted, so the fed set
+        // stays an order-preserving prefix
+        val feedN = nextFlushHorizon match {
+          case Some(h) if hasWatermark =>
+            var n = feedN0
+            while (n < avail.length && tsOf(avail(n)) + h < wm) n += 1
+            n
+          case _ => feedN0
+        }
         val out = Vector.newBuilder[E]
         var i = 0
         while (i < feedN) {
@@ -461,6 +509,10 @@ object Cep {
           nfa.pendingDeadlines ++
           unmatchedWithin.toList.flatMap(w =>
             nUndecided.headOption.map(e => tsOf(e) + w + 1)) ++
+          // a NEXT-withheld event the quiescence fence will force-feed
+          // needs a timer — the key may never see another row
+          nextFlushHorizon.toList.flatMap(h =>
+            nHeld.headOption.map(e => tsOf(e) + h + 1)) ++
           // a held numbered match waiting only on the watermark fence
           // (wm > startTs) needs a timer — no event may ever arrive for
           // this key again
@@ -485,7 +537,9 @@ object Cep {
       tsScale: Long = 1L,
       neighborhood: Option[Neighborhood[E]] = None,
       unmatchedWithin: Option[Long] = None,
-      numberMatches: Boolean = false)(
+      numberMatches: Boolean = false,
+      nextFlushHorizon: Option[Long] = None,
+      restoreSalt: Long = 0L)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     implicit val stateEnc: Encoder[CepState[E]] = Encoders.kryo[CepState[E]]
     // PREV/NEXT composes with absence elements: step() caps the
@@ -494,17 +548,18 @@ object Cep {
 
     // computed once on the driver; the closure captures the Long, so
     // executors and every restart of the query agree on the stored tag
-    val layoutFp = pattern.layoutFp
+    val layoutFp = storedFp(pattern.layoutFp, restoreSalt)
+    val strictG = restoreSalt != 0L
 
     val fn = (k: K, it: Iterator[E], state: GroupState[CepState[E]]) => {
-      val prev = restored(layoutFp)(state.getOption)
+      val prev = restored(layoutFp, strictG)(state.getOption)
       val wmMs = state.getCurrentWatermarkMs()
       val wm = wmMs * tsScale // watermark in event-time units
 
       val (next, matches, wake) = step(
         prev, it.toVector, wm, hasWatermark = wmMs > 0,
         pattern, tsOf, tieBreak, neighborhood, unmatchedWithin,
-        numberMatches)
+        numberMatches, nextFlushHorizon)
 
       next match {
         case None => state.remove()
@@ -550,12 +605,15 @@ object Cep {
       tsScale: Long = 1L,
       neighborhood: Option[Neighborhood[E]] = None,
       unmatchedWithin: Option[Long] = None,
-      numberMatches: Boolean = false)(
+      numberMatches: Boolean = false,
+      nextFlushHorizon: Option[Long] = None,
+      restoreSalt: Long = 0L)(
       build: (K, PatternMatch[E]) => IterableOnce[O]): Dataset[O] = {
     // PREV/NEXT composes with absence elements: step() caps the
     // watermark advance at the NEXT hold-back frontier (see streaming)
 
-    val layoutFp = pattern.layoutFp
+    val layoutFp = storedFp(pattern.layoutFp, restoreSalt)
+    val strictG = restoreSalt != 0L
 
     class CepProcessor extends StatefulProcessor[K, E, O] {
       @transient private var st: ValueState[CepState[E]] = _
@@ -567,12 +625,12 @@ object Cep {
       private def run(k: K, incoming: Seq[E],
           timers: TimerValues): Iterator[O] = {
         val wmMs = timers.getCurrentWatermarkInMs()
-        val prev = restored(layoutFp)(
+        val prev = restored(layoutFp, strictG)(
           if (st.exists()) Some(st.get()) else None)
         val (next, matches, wake) = step(
           prev, incoming, wmMs * tsScale, hasWatermark = wmMs > 0,
           pattern, tsOf, tieBreak, neighborhood, unmatchedWithin,
-          numberMatches)
+          numberMatches, nextFlushHorizon)
         next match {
           case None => st.clear()
           case Some(ns) =>

@@ -329,6 +329,143 @@ private[graft] object MatchRecognizeSql {
     }
   }
 
+  /** Textual distribution of navigation over MIXED-variable expression
+    * arguments (see the round-19 comment at the use site in
+    * [[compile]]): `LAST(a.x - b.y[, k])` → `(LAST(a.x[, k]) -
+    * LAST(b.y[, k]))`, `PREV(a.x + b.y[, k])` → `(PREV(a.x[, k]) +
+    * PREV(b.y[, k]))`, `PREV(FIRST(a.x - b.y[, j])[, k])` →
+    * `(PREV(FIRST(a.x[, j])[, k]) - PREV(FIRST(b.y[, j])[, k]))`.
+    * Emits only the already-supported single-qualifier forms, so the
+    * downstream machinery (cross-variable markers, lag columns, SUBSET
+    * union folds, MEASURES array accesses) is untouched. Arguments are
+    * comma/paren-free arithmetic, like every expression-argument form
+    * here. Flat PREV/NEXT over ONE variable (or none) is left for the
+    * derived-column machinery, which also supports unqualified
+    * same-row references; FIRST/LAST over any true expression with at
+    * least one qualifier distributes (there was no single-variable
+    * expression path for selectors before).
+    */
+  private final class NavMixedRewriter(varNames: Seq[String],
+      subsetNames: Seq[String]) {
+    private val bound =
+      (varNames ++ subsetNames).map(_.toLowerCase).toSet
+    private val qualRefRe =
+      """(?i)(?<![\w.])([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)""".r
+    // word-shaped tokens that are legal in a comma/paren-free scalar
+    // expression without naming a column
+    private val wordOps = Set("and", "or", "not", "is", "null", "true",
+      "false", "case", "when", "then", "else", "end", "div", "mod")
+    private val nestedRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*(first|last)\s*\(\s*""" +
+        """([^(),]+?)\s*(?:,\s*(\d+)\s*)?\)\s*(?:,\s*(\d+)\s*)?\)""").r
+    private val flatPrevRe =
+      ("""(?i)(?<!\w)(prev|next)\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)""" +
+        """\s*(?:,\s*(\d+)\s*)?\)""").r
+    private val flatSelRe =
+      ("""(?i)(?<!(?:prev|next)\s{0,9}\(\s{0,9})(?<!\w)(first|last)""" +
+        """\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)\s*(?:,\s*(\d+)\s*)?\)""").r
+    private def quals(inner: String): Seq[String] =
+      qualRefRe.findAllMatchIn(inner).map(_.group(1).toLowerCase)
+        .filter(bound).toSeq.distinct
+    private def pureRef(inner: String): Boolean =
+      inner.matches("""(?is)\w+\s*\.\s*\w+""")
+    private def canonOf(v: String): String =
+      varNames.find(_.equalsIgnoreCase(v))
+        .orElse(subsetNames.find(_.equalsIgnoreCase(v))).get
+    private def keep(mm: scala.util.matching.Regex.Match): String =
+      java.util.regex.Matcher.quoteReplacement(mm.matched)
+    private def distribute(owner: String, what: String, inner: String,
+        wrap: String => String): String = {
+      val badQ = qualRefRe.findAllMatchIn(inner).map(_.group(1))
+        .filterNot(q => bound(q.toLowerCase)).toSeq.distinct
+      require(badQ.isEmpty,
+        s"$owner: $what — '${badQ.head}' is not a PATTERN variable " +
+          s"or SUBSET union (have: ${varNames.mkString(", ")}${
+            if (subsetNames.nonEmpty)
+              s"; subsets: ${subsetNames.mkString(", ")}"
+            else ""})")
+      // strip the qualified refs, then any identifier left that is not
+      // a function call or an operator word is a bare column — with
+      // two anchors in play it has no row to read from
+      val residue = qualRefRe.replaceAllIn(inner, " ")
+      val un = """(?i)(?<![\w.])([A-Za-z_]\w*)(?!\s*[.(])(?!\w)""".r
+        .findAllMatchIn(residue).map(_.group(1))
+        .filterNot(t => wordOps(t.toLowerCase)).toSeq.distinct
+      require(un.isEmpty,
+        s"$owner: $what — a navigation argument mixing pattern " +
+          "variables distributes per qualifier, so EVERY column " +
+          "reference must be qualified (bare: " + un.mkString(", ") +
+          ")")
+      "(" + qualRefRe.replaceAllIn(inner, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          wrap(s"${canonOf(mm.group(1))}.${mm.group(2)}"))) + ")"
+    }
+    def rewrite(owner: String, seg0: String): String = {
+      var seg = nestedRe.replaceAllIn(seg0, mm => {
+        val inner = mm.group(3).trim
+        if (pureRef(inner) || quals(inner).length < 2) keep(mm)
+        else {
+          val j = Option(mm.group(4)).map(o => s", $o").getOrElse("")
+          val k = Option(mm.group(5)).map(o => s", $o").getOrElse("")
+          val kind = mm.group(1); val sel = mm.group(2)
+          java.util.regex.Matcher.quoteReplacement(
+            distribute(owner, s"$kind($sel($inner))", inner,
+              r => s"$kind($sel($r$j)$k)"))
+        }
+      })
+      seg = flatPrevRe.replaceAllIn(seg, mm => {
+        val inner = mm.group(2).trim
+        if (pureRef(inner) || quals(inner).length < 2) keep(mm)
+        else {
+          val k = Option(mm.group(3)).map(o => s", $o").getOrElse("")
+          val kind = mm.group(1)
+          java.util.regex.Matcher.quoteReplacement(
+            distribute(owner, s"$kind($inner)", inner,
+              r => s"$kind($r$k)"))
+        }
+      })
+      flatSelRe.replaceAllIn(seg, mm => {
+        val inner = mm.group(2).trim
+        if (pureRef(inner) || quals(inner).isEmpty) keep(mm)
+        else {
+          val k = Option(mm.group(3)).map(o => s", $o").getOrElse("")
+          val sel = mm.group(1)
+          java.util.regex.Matcher.quoteReplacement(
+            distribute(owner, s"$sel($inner)", inner,
+              r => s"$sel($r$k)"))
+        }
+      })
+    }
+  }
+
+  /** Every SQL keyword Spark's lexer knows, as one regex alternation —
+    * read off the generated ANTLR vocabulary (the literal token names
+    * `'SELECT'`, `'QUALIFY'`, …), so the set tracks the installed Spark
+    * version instead of a hand-maintained list. Operators and
+    * punctuation literals are excluded by the word-shape filter.
+    * Longest-first so the alternation never stops at a proper prefix
+    * of a longer keyword (`IN` before `INTERVAL` would, under a
+    * right-context-free use; cheap insurance either way).
+    */
+  private lazy val sqlKeywordAlt: String = {
+    val v = org.apache.spark.sql.catalyst.parser.SqlBaseLexer.VOCABULARY
+    (1 to v.getMaxTokenType).iterator
+      .flatMap(i => Option(v.getLiteralName(i)))
+      .map(_.stripPrefix("'").stripSuffix("'"))
+      .filter(_.matches("(?i)[a-z_][a-z_0-9]*"))
+      .toSeq.sortBy(-_.length)
+      .mkString("|")
+  }
+
+  /** Test hook for the keyword-continuation fuzz: does `EVENTTIME
+    * <tail>` satisfy the clause lookahead? The whitelist's property —
+    * NO keyword continuation may fire, EVERY plain identifier must —
+    * is asserted over random draws from the same lexer vocabulary.
+    */
+  private[graft] def eventtimeLookaheadFires(tail: String): Boolean =
+    sections.find(_._1 == "eventtime").get._3.get
+      .pattern.matcher(tail).lookingAt()
+
   /** Canonical clause order: key, keyword regex (two-word keywords
     * tolerate any whitespace; `(?<!\w)`/`(?!\w)` boundaries treat `_` as
     * a word char, so `pattern_id` never matches `pattern`), and an
@@ -363,14 +500,19 @@ private[graft] object MatchRecognizeSql {
     // instead of corrupting the PATTERN slice
     ("within", """(?i)(?<!\w)within(?!\w)""".r,
       Some("""(?i)\s*(\d|interval(?!\w))""".r)),
-    // the eventtime lookahead rejects expression continuations (AS/IS/
-    // AND/OR/...) so a source COLUMN named `eventtime` used bare in an
-    // expression (`DEFINE a AS eventtime IS NOT NULL`) is never taken
-    // for the clause — only `EVENTTIME <identifier>` fires
+    // the eventtime lookahead requires the next token to be a plain
+    // identifier that is NOT any SQL keyword (whitelist inverted from
+    // rounds ≤18's expression-continuation blacklist, which chased
+    // stragglers — QUALIFY, SEMI, ANTI, … — one round at a time): a
+    // source COLUMN named `eventtime` used bare in an expression
+    // (`DEFINE a AS eventtime IS NOT NULL`, `eventtime QUALIFY …`) is
+    // never taken for the clause — only `EVENTTIME <identifier>` fires.
+    // Consequence (documented in DIALECT.md): an event-time column
+    // NAMED like a SQL keyword (`timestamp`, `current_date`) must be
+    // aliased to a non-keyword name before MATCH_RECOGNIZE.
     ("eventtime", """(?i)(?<!\w)eventtime(?!\w)""".r,
-      Some(("""(?i)\s*(?!(?:as|is|and|or|in|not|like|between|when|then""" +
-        """|else|end|from|where|group|order|limit""" +
-        """|rlike|ilike|regexp|div|sounds|escape)(?!\w))\w""").r)),
+      Some(("""(?i)\s*(?!(?:""" + sqlKeywordAlt +
+        """)(?!\w))[a-z_]\w*""").r)),
     ("tsscale", """(?i)(?<!\w)tsscale(?!\w)""".r, Some("""\s*\d""".r)),
     // dialect extension: MODE STRICT = ISO SQL:2016 contiguous
     // matching (relaxed skip-till-next-match is the default)
@@ -1164,6 +1306,32 @@ private[graft] object MatchRecognizeSql {
     // qualifiers stay excluded with targeted errors.
     val patVarSet = varNames.map(_.toLowerCase).toSet
     val subsetSet = subsets.map(_._1.toLowerCase).toSet
+    // Round-19 lift of DIALECT exclusion 1's mixed-variable half:
+    // navigation over an expression MIXING pattern variables (or SUBSET
+    // unions) — `LAST(a.price - b.price)`, `PREV(a.x + b.y, k)`,
+    // `PREV(FIRST(a.x - b.y), k)` — DISTRIBUTES over the variable
+    // references: each var-qualified column anchors at ITS OWN
+    // variable's selected binding, with the selector and offsets
+    // applied per anchor (`LAST(a.x - b.x, k)` ≡ `LAST(a.x, k) -
+    // LAST(b.x, k)`). Navigation selects a ROW per qualifier, so the
+    // distribution is exact — the same semantics as the reference's
+    // cross-attribute pattern selects (README.md:87-89, `s1.x, s2.y`
+    // each resolving to its own bound event), extended with SQL:2016
+    // selectors. The rewrite runs FIRST (on DEFINE bodies and on the
+    // MEASURES text), emitting only already-supported single-qualifier
+    // forms, so one textual pass serves batch AND streaming, MEASURES
+    // AND DEFINE. Every column reference inside a distributed argument
+    // must be qualified: with two anchors in play an unqualified
+    // column has no row to read from (single-variable expression
+    // arguments keep their same-row unqualified semantics via the
+    // untouched derived-column machinery). FIRST/LAST over a
+    // SINGLE-variable expression distributes too (all refs anchor at
+    // the one selected row) — new in round 19 for DEFINE and MEASURES,
+    // where only PREV/NEXT and the SUM-family took expression
+    // arguments before.
+    val navMixed = new NavMixedRewriter(varNames, subsets.map(_._1))
+    def distributeNavMixed(owner: String, text: String): String =
+      rewriteOutsideLiterals(text)(navMixed.rewrite(owner, _))
     val prevVarRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
         """(?:,\s*(\d+)\s*)?\)""").r
@@ -1329,7 +1497,8 @@ private[graft] object MatchRecognizeSql {
         })
       }
     val defsE = defs.map { case (n, d) =>
-      n -> normAggExpr(n, normNavExpr(n, d)) }
+      n -> normAggExpr(n, normNavExpr(n,
+        distributeNavMixed(s"DEFINE $n", d))) }
     val src =
       (navExprAliases ++ aggExprAliases).foldLeft(srcTbl) {
         case (d, (ex, al)) =>
@@ -1697,9 +1866,23 @@ private[graft] object MatchRecognizeSql {
         m = m.updated(v, s"(${m(v)}) AND `$alias` IS NULL")
       }
       anchorTailVar.foreach { v =>
-        require(!src.isStreaming,
-          "'$' end anchor needs a bounded (batch) input: a stream's " +
-            "partition has no last row")
+        // round-19 lift: on a stream the '$' anchor is decidable at
+        // the key's QUIESCENCE horizon — once the watermark passes a
+        // row's ts + WITHIN, no successor inside any match window that
+        // could end at the row has appeared, so for matching purposes
+        // the partition has ended there (the step kernel force-feeds
+        // the NEXT hold-back at that fence and missing successors read
+        // NULL — the same lead-IS-NULL predicate as batch). Without
+        // WITHIN there is no fence, so the anchor stays rejected.
+        // Documented divergence (DIALECT.md): a successor arriving
+        // MORE than WITHIN past the row starts a new epoch — batch
+        // over the same finite data would reject the earlier row.
+        if (src.isStreaming) require(within.isDefined,
+          "'$' end anchor over a streaming table needs a WITHIN " +
+            "bound: the anchor resolves at the key's quiescence " +
+            "horizon (no successor row by ts + WITHIN, decided when " +
+            "the watermark passes it); a plain stream's partition " +
+            "has no last row")
         val alias = lagSpecs.getOrElseUpdate(("next", tsCol, 1),
           s"_mr_next_${tsCol}_1")
         m = m.updated(v, s"(${m(v)}) AND `$alias` IS NULL")
@@ -1717,6 +1900,11 @@ private[graft] object MatchRecognizeSql {
     // payload and the operator keeps them in the emitted slot structs
     // (streamingFull's exposeLags), so one rewrite serves both.
     val subsetNamesLight: Set[String] = subsets.map(_._1).toSet
+    // mixed-variable navigation in MEASURES distributes FIRST (round
+    // 19), so the nav scan below and every per-variable rewrite see
+    // only single-qualifier forms
+    val measuresTxt: Option[String] =
+      sec.get("measures").map(distributeNavMixed("MEASURES", _))
     var hasMeasNav = false
     // nested form PREV(FIRST(v.col)[, n]) navigates from the FIRST
     // (or explicitly LAST) bound row instead of the default last one
@@ -1726,7 +1914,7 @@ private[graft] object MatchRecognizeSql {
     val measNavRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
         """(?:,\s*(\d+)\s*)?\)""").r
-    sec.get("measures").foreach { mtxt =>
+    measuresTxt.foreach { mtxt =>
       val masked = maskLiterals(mtxt)
       val navs = measNavNestedRe.findAllMatchIn(masked)
         .map(mm => (mm.group(1), mm.group(3), mm.group(4),
@@ -1830,7 +2018,7 @@ private[graft] object MatchRecognizeSql {
     // `match_seq` output column), while batch numbers post-operator
     // with a window function.
     val mnRe = """(?i)(?<!\w)match_number\s*\(\s*\)""".r
-    val usesMn = sec.get("measures").exists(t =>
+    val usesMn = measuresTxt.exists(t =>
       mnRe.findFirstIn(maskLiterals(t)).isDefined)
     val matched =
       if (src.isStreaming) {
@@ -1855,13 +2043,48 @@ private[graft] object MatchRecognizeSql {
         // conf. Both drive the same pure Cep.step kernel.
         val useTws = session.conf
           .get("spark.graft.matchRecognize.useTws", "false").toBoolean
+        // opt-in STRICT checkpoint guard (round 19, r18 VERDICT item
+        // 3): fold the normalized DEFINE predicate sources, skip mode,
+        // WITHIN and matching mode into the stored state fingerprint,
+        // so a DIFFERENT query with the same compiled automaton shape
+        // pointed at the same checkpointLocation fails the restore
+        // instead of silently adopting the old partials. Off by
+        // default: behavior-only knobs changing under one
+        // checkpointLocation keeps Structured Streaming's standard
+        // query-evolution semantics (documented in DIALECT.md).
+        val strictRestore = session.conf
+          .get("spark.graft.matchRecognize.strictRestore", "false")
+          .toBoolean
+        val restoreSalt =
+          if (!strictRestore) 0L
+          else {
+            val norm = new StringBuilder
+            defs3.toSeq.sortBy(_._1).foreach { case (dn, dt) =>
+              norm.append(dn.toLowerCase).append('=')
+                .append(dt.toLowerCase.replaceAll("\\s+", " ").trim)
+                .append(';')
+            }
+            norm.append("skipPast=").append(skipPastLast)
+              .append(";skipTo=").append(skipToVar)
+              .append(";within=").append(within)
+              .append(";mode=").append(strictMode)
+            var h = 0xcbf29ce484222325L
+            var i = 0
+            while (i < norm.length) {
+              h ^= norm.charAt(i); h *= 0x100000001b3L; i += 1
+            }
+            if (h == 0L) 1L else h
+          }
         MatchRecognize.streamingFull(src, keys, tsCol, tieCol, elems, evc,
           within, tsScale = tsScale, skipPastLastRow = skipPastLast,
           lagSpecs = lagSpecs.keys.toSeq, skipToVar = skipToVar,
           skipToMembers = skipToMembers,
           withUnmatched = unmatchedRows, reluctantVars = reluctantVars,
           withMatchSeq = usesMn, exposeLags = hasMeasNav,
-          strictAll = strictMode, useTws = useTws)
+          strictAll = strictMode, useTws = useTws,
+          nextFlushWithin =
+            if (anchorTailVar.isDefined) within else None,
+          restoreSalt = restoreSalt)
       } else {
         require(!sec.contains("eventtime"),
           "EVENTTIME is only valid over streaming tables")
@@ -1899,7 +2122,9 @@ private[graft] object MatchRecognizeSql {
         varNames.map(v => v -> s"`$v`")
 
     val measureSrc =
-      if (allRows) sec.get("measures") else Some(need("measures"))
+      if (allRows) measuresTxt
+      else Some(measuresTxt.getOrElse(throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE needs a MEASURES clause")))
     val runRe = """(?is)^running\s+(.+)$""".r
     val parsedMeasures = measureSrc.toSeq.flatMap(splitTopLevel(_, ','))
       .map { mm =>

@@ -1039,7 +1039,17 @@ object MatchRecognize {
         * post-operator measure expressions can read a bound row's
         * partition-order neighbors — the streaming equivalent of the
         * batch path's pre-operator lag/lead columns. */
-      exposeLags: Boolean = false): DataFrame = {
+      exposeLags: Boolean = false,
+      /** '$' end anchor on a stream: the quiescence horizon in ORDER
+        * BY units (the statement's WITHIN — set by the SQL parser for
+        * '$'-anchored streaming statements only). The step kernel
+        * force-feeds the NEXT hold-back once the watermark passes a
+        * row's ts + horizon; missing successors read NULL, so the
+        * batch lead-IS-NULL anchor predicate decides there. */
+      nextFlushWithin: Option[Long] = None,
+      /** Non-zero folds into the checkpoint fingerprint (strict
+        * restore — see [[graft.cep.Cep.storedFp]]). */
+      restoreSalt: Long = 0L): DataFrame = {
     val everyMatch = every
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -1337,10 +1347,12 @@ object MatchRecognize {
     val out =
       if (useTws) Cep.streamingTws[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale, neighborhood, unWithin, withMatchSeq)(build)(kEnc, oEnc)
+        tsScale, neighborhood, unWithin, withMatchSeq,
+        nextFlushWithin, restoreSalt)(build)(kEnc, oEnc)
       else Cep.streaming[Row, Row, Row](
         env, _.getStruct(0), pat, _.getLong(1), _.getLong(2),
-        tsScale, neighborhood, unWithin, withMatchSeq)(build)(kEnc, oEnc)
+        tsScale, neighborhood, unWithin, withMatchSeq,
+        nextFlushWithin, restoreSalt)(build)(kEnc, oEnc)
     out.toDF()
   }
 

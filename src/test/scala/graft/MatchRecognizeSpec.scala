@@ -624,7 +624,10 @@ class MatchRecognizeSpec extends SparkSpec {
     // mid-pattern anchor: rejected
     val e2 = intercept[IllegalArgumentException] { run("a ^ b") }
     assert(e2.getMessage.contains("start/end"))
-    // '$' on a stream: no last row — fail fast at plan build
+    // '$' on a stream WITHOUT WITHIN: no quiescence fence — fail fast
+    // at plan build (round 19 lifted the anchor itself UNDER WITHIN;
+    // the green streaming cell + batch parity live in the navigation
+    // matrix test)
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String)]
     input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
@@ -638,12 +641,11 @@ class MatchRecognizeSpec extends SparkSpec {
           |  ORDER BY ts_ms, event_id
           |  MEASURES a.event_id AS a_id, b.event_id AS b_id
           |  PATTERN (a b $)
-          |  WITHIN 10000
           |  EVENTTIME etc
           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
           |)""".stripMargin)
     }
-    assert(e3.getMessage.contains("bounded"))
+    assert(e3.getMessage.contains("quiescence"))
   }
 
   test("streaming ^ anchor: first released row per key, matches batch") {
@@ -1093,7 +1095,9 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(vqx == Set((3L, 4L)))
-    // mixing two pattern variables in one expression stays rejected
+    // mixing two pattern variables now DISTRIBUTES (round 19) — what
+    // stays rejected is a BARE column inside a mixed expression (two
+    // anchors in play, no row for it to read from)
     val e = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_navx_view MATCH_RECOGNIZE (
@@ -1102,10 +1106,10 @@ class MatchRecognizeSpec extends SparkSpec {
           |  MEASURES a.event_id AS a_id
           |  PATTERN (a b)
           |  DEFINE a AS event_type = 'A',
-          |         b AS v < PREV(a.v + b.v)
+          |         b AS v < PREV(a.v + b.v + v)
           |)""".stripMargin)
     }
-    assert(e.getMessage.contains("ONE pattern variable"))
+    assert(e.getMessage.contains("EVERY column reference"))
     // navigating an expression over a SUBSET union (round-16 lift):
     // b is a MEMBER of s, so the merged-last bound row is the current
     // row and PREV(s.v * 2 + 1) is the previous input row's 2v + 1 —
@@ -1891,7 +1895,7 @@ class MatchRecognizeSpec extends SparkSpec {
     val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
     val rnd = new scala.util.Random(fuzzSeed.getOrElse(20260817L))
     val trials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt * 5)
-      .getOrElse(120)
+      .getOrElse(if (Soak.on) 600 else 120)
     var diagnosed = 0
     var parsedCanonical = 0
     for (_ <- 0 until trials) {
@@ -1915,6 +1919,28 @@ class MatchRecognizeSpec extends SparkSpec {
     // non-canonical — the property is about those
     assert(diagnosed >= trials / 2,
       s"fuzz starved: $diagnosed diagnosed / $trials trials")
+    // r18 VERDICT item 5: the EVENTTIME lookahead is a keyword
+    // WHITELIST now (inverted from the round-by-round continuation
+    // blacklist). Draw random keywords from the same lexer vocabulary
+    // the parser reads — none may fire the clause — and random
+    // non-keyword identifiers of the same shape — all must fire.
+    val vocab = {
+      val v = org.apache.spark.sql.catalyst.parser.SqlBaseLexer.VOCABULARY
+      (1 to v.getMaxTokenType).flatMap(i => Option(v.getLiteralName(i)))
+        .map(_.stripPrefix("'").stripSuffix("'"))
+        .filter(_.matches("(?i)[a-z_][a-z_0-9]*"))
+    }
+    assert(vocab.size > 200, s"lexer vocabulary suspiciously small: " +
+      s"${vocab.size} word keywords")
+    for (_ <- 0 until 80) {
+      val kw = vocab(rnd.nextInt(vocab.size))
+      assert(!graft.plans.MatchRecognizeSql
+          .eventtimeLookaheadFires(s" $kw IS NOT NULL"),
+        s"EVENTTIME lookahead fired on keyword continuation '$kw'")
+      assert(graft.plans.MatchRecognizeSql
+          .eventtimeLookaheadFires(s" c_${kw}_x"),
+        s"EVENTTIME lookahead must fire on identifier 'c_${kw}_x'")
+    }
   }
 
   test("DIALECT navigation matrix: every qualifier x selector x " +
@@ -1995,7 +2021,7 @@ class MatchRecognizeSpec extends SparkSpec {
     // supported cells: scalar expression per (qualifier, selector,
     // argument); wrapped in a null-tolerant always-true comparison so
     // execution (not just parsing) is exercised in every cell
-    val cells = for {
+    val cells = (for {
       q <- Seq("a", "s")
       (sel, argKind) <- Seq(
         // selector          // argument template (c = qualified col)
@@ -2012,7 +2038,22 @@ class MatchRecognizeSpec extends SparkSpec {
         else if (sel.startsWith("SUM")) s"$q.value * $q.value"
         else s"$q.value * 2 + 1"
       (s"$q/$sel/$argKind", sel.format(arg))
-    }
+    }) ++ Seq(
+      // round-19 lift (DIALECT exclusion 1's mixed-variable half):
+      // navigation over an expression MIXING variables distributes per
+      // qualifier — each reference anchors at its own variable's
+      // selected binding, offsets applied per anchor
+      ("mixed/PREV",          "PREV(a.value + b.value)"),
+      ("mixed/PREV(,2)",      "PREV(a.value + b.value, 2)"),
+      ("mixed/LAST",          "LAST(b.value - a.value)"),
+      ("mixed/LAST(,1)",      "LAST(a.value - b.value, 1)"),
+      ("mixed/FIRST",         "FIRST(a.value * 2 - b.value)"),
+      ("mixed/PREV(FIRST)",   "PREV(FIRST(a.value + b.value))"),
+      ("mixed/subset",        "LAST(s.value + a.value)"),
+      // single-variable selector-over-expression (new in round 19:
+      // FIRST/LAST had no expression-argument path before the
+      // distribution pass)
+      ("a/LAST/expr",         "LAST(a.value * 2 + 1)"))
     val expected = Set(3L, 5L) // user 1's and user 2's b rows
     cells.foreach { case (cell, expr) =>
       val pred = s"COALESCE($expr >= -99999999, TRUE)"
@@ -2031,9 +2072,17 @@ class MatchRecognizeSpec extends SparkSpec {
     // documented rejections (DIALECT.md exclusions 1, 2, 7): exact
     // reason strings, cited from the parser's fail-fast requires —
     // asserted against BOTH the batch and the streaming view (the
-    // navigation surface is mode-independent)
+    // navigation surface is mode-independent). Round 19 flipped the
+    // mixed-variable NAVIGATION cells to supported (above); what stays
+    // rejected is a mixed AGGREGATE argument (zip semantics across two
+    // bindings are genuinely undefined) and a bare column inside a
+    // mixed navigation argument (two anchors in play — no row for it
+    // to read from)
     val rejected = Seq(
-      ("PREV(a.value + b.value) > 0", "mixing variables is undefined"),
+      ("PREV(a.value + b.value + value) > 0",
+        "EVERY column reference must be qualified"),
+      ("LAST(a.value - value) > 0",
+        "EVERY column reference must be qualified"),
       ("SUM(a.value * b.value) > 0",
         "mixing variables in one argument is undefined"),
       ("PREV(FIRST(value * 2)) > 0", "nested navigation takes"),
@@ -2066,9 +2115,12 @@ class MatchRecognizeSpec extends SparkSpec {
          |)""".stripMargin
     }
     val streamingRejected = Seq(
+      // round 19 narrowed this rejection: '$' now lifts on a stream
+      // UNDER WITHIN (the quiescence horizon — green cell below);
+      // without WITHIN there is no fence and it stays rejected
       (mnStmt("mr_matrix_stream", "EVENTTIME etc", "b.event_id AS b_id",
         "", "b $"),
-        "'$' end anchor needs a bounded (batch) input"),
+        "'$' end anchor over a streaming table needs a WITHIN bound"),
       (mnStmt("mr_matrix_stream", "EVENTTIME etc",
         "MATCH_NUMBER() AS mn", "", "b"),
         "MATCH_NUMBER() over a streaming table needs a WITHIN bound"),
@@ -2098,6 +2150,217 @@ class MatchRecognizeSpec extends SparkSpec {
           "b.event_id AS b_id", "", "a+ b $")))
       .select($"b_id").as[Long].collect().toSet
     assert(dollarBatch == expected, s"batch \\$$ anchor: $dollarBatch")
+    // r18 ADVICE: every supported cell above carries WITHIN on the
+    // batch leg too — keep the no-WITHIN batch navigation path pinned
+    // with one representative cell
+    val noWithinBatch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_matrix_sql", "",
+          "COALESCE(PREV(FIRST(a.value)) >= -99999999, TRUE)",
+          within = "")))
+      .select($"b_id").as[Long].collect().toSet
+    assert(noWithinBatch == expected, s"no-WITHIN batch: $noWithinBatch")
+    // round-19 lift (DIALECT exclusion 3, streaming half): '$' UNDER
+    // WITHIN runs on the streaming executor — the anchor decides at
+    // the key's quiescence horizon (watermark past ts + WITHIN with no
+    // successor), so a finite replay whose successors all arrive
+    // within the bound matches batch exactly
+    val dollarStreamStmt = (table: String, streaming: String) =>
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES b.event_id AS b_id
+         |  PATTERN (a+ b $$)
+         |  WITHIN 60000
+         |  $streaming
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val dollarBatchW = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(dollarStreamStmt("mr_matrix_sql", "")))
+      .select($"b_id").as[Long].collect().toSet
+    locally {
+      val input = MemoryStream[(Long, Long, Long, String, Double)]
+      input.toDF()
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .withColumn("etc", timestamp_millis($"ts_us"))
+        .withWatermark("etc", "10 seconds")
+        .createOrReplaceTempView("mr_matrix_dollar_stream")
+      val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(
+          dollarStreamStmt("mr_matrix_dollar_stream", "EVENTTIME etc")))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("mr_matrix_dollar_sink").start()
+      try {
+        input.addData(data: _*)
+        q.processAllAvailable()
+        input.addData((99L, 1000000000L, 9L, "T", 0.0))
+        q.processAllAvailable()
+        val streamed = spark.table("mr_matrix_dollar_sink")
+          .select($"b_id").as[Long].collect().toSet
+        assert(streamed == dollarBatchW && streamed == expected,
+          s"streaming \\$$ under WITHIN: $streamed vs batch $dollarBatchW")
+      } finally q.stop()
+    }
+  }
+
+  test("mixed-variable navigation in MEASURES distributes per " +
+      "qualifier, batch and streaming") {
+    // round-19 lift: LAST(b.value - a.value) ≡ LAST(b.value) -
+    // LAST(a.value) (each reference anchors at its own variable's
+    // binding — the reference's `s1.x, s2.y` cross-attribute select
+    // generalized with SQL:2016 selectors); PREV distributes with the
+    // offset applied per anchor
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq((1L, 10L, 1L, "A", 2.0), (2L, 20L, 1L, "A", 3.0),
+      (3L, 30L, 1L, "B", 5.0), (4L, 10L, 2L, "A", 7.0),
+      (5L, 20L, 2L, "B", 11.0))
+    data.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mr_mixed_meas_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def stmt(table: String, streamingClauses: String): String =
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES b.event_id AS b_id,
+         |           LAST(b.value - a.value) AS delta,
+         |           FIRST(a.value + b.value) AS tot,
+         |           PREV(a.value + b.value) AS psum
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (a+ b)
+         |  WITHIN 60000
+         |  $streamingClauses
+         |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+         |)""".stripMargin
+    val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        parser.parsePlan(stmt("mr_mixed_meas_sql", "")))
+      .select($"b_id", $"delta", $"tot", $"psum")
+      .as[(Long, Double, Double, Option[Double])].collect().toSet
+    // user 1: a = [e1(2.0), e2(3.0)], b = e3(5.0):
+    //   delta = 5 - 3 = 2; tot = FIRST(a)=2 + FIRST(b)=5 = 7;
+    //   psum = PREV(last a = e2) + PREV(last b = e3) = 2.0 + 3.0
+    // user 2: a = [e4(7.0)], b = e5(11.0):
+    //   delta = 4; tot = 18; psum = PREV(e4) + PREV(e5) = NULL + 7
+    assert(batch == Set((3L, 2.0, 7.0, Some(5.0)),
+      (5L, 4.0, 18.0, None)), s"batch: $batch")
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("etc", timestamp_millis($"ts_us"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_mixed_meas_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_mixed_meas_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_mixed_meas_sink").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData((99L, 1000000000L, 9L, "T", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("mr_mixed_meas_sink")
+        .select($"b_id", $"delta", $"tot", $"psum")
+        .as[(Long, Double, Double, Option[Double])].collect().toSet
+      assert(streamed == batch, s"streaming: $streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("strict checkpoint guard: same compiled shape, different DEFINE " +
+      "predicate — rejected under strictRestore, adopted (documented) " +
+      "under the default") {
+    // r18 VERDICT item 3: PatternDef.layoutFp deliberately excludes
+    // DEFINE predicates (they change which partials exist, not how
+    // state decodes), so a DIFFERENT query with the same compiled
+    // shape pointed at the same checkpointLocation passes the default
+    // guard — Structured Streaming's standard query-evolution
+    // semantics. spark.graft.matchRecognize.strictRestore folds the
+    // normalized predicate sources (and skip mode/WITHIN/mode) into
+    // the stored fingerprint and rejects that restore too.
+    implicit val sqlCtx = spark.sqlContext
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def stmt(table: String, cut: Int): String =
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES b.event_id AS b_id
+         |  PATTERN (a b)
+         |  WITHIN 60000
+         |  EVENTTIME etc
+         |  DEFINE a AS event_type = 'A',
+         |         b AS event_type = 'B' AND value > $cut
+         |)""".stripMargin
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set("spark.graft.matchRecognize.useTws", "true")
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    def runLeg(strict: Boolean): Unit = {
+      spark.conf.set("spark.graft.matchRecognize.strictRestore",
+        strict.toString)
+      val ck = java.nio.file.Files
+        .createTempDirectory(s"mr_strict_ck_$strict").toString
+      try {
+        // memory sink refuses checkpoint recovery; foreachBatch keyed
+        // by batch id is the recoverable path. ONE MemoryStream serves
+        // both starts — the checkpoint's source offsets belong to it
+        val sink = new java.util.concurrent.ConcurrentHashMap[
+          java.lang.Long, Seq[Long]]()
+        val input = MemoryStream[(Long, Long, Long, String, Double)]
+        def start(cut: Int) = {
+          input.toDF()
+            .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+            .withColumn("etc", timestamp_millis($"ts_us"))
+            .withWatermark("etc", "2 seconds")
+            .createOrReplaceTempView(s"mr_strict_view_$strict")
+          val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+            parser.parsePlan(stmt(s"mr_strict_view_$strict", cut)))
+          out.writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => {
+              sink.put(id, b.select($"b_id").as[Long].collect().toSeq)
+              ()
+            })
+            .start()
+        }
+        // leg 1: the 'a' event leaves live state for key 1
+        val q1 = start(cut = 0)
+        input.addData((1L, 100000L, 1L, "A", 5.0))
+        q1.processAllAvailable()
+        q1.stop()
+        // leg 2: SAME checkpoint, same shape, predicate cut 0 -> 1
+        val q2 = start(cut = 1)
+        input.addData((2L, 110000L, 1L, "B", 5.0))
+        if (strict) {
+          val ex = intercept[Exception] { q2.processAllAvailable() }
+          assert(chain(ex).exists(t => t.getMessage != null &&
+              t.getMessage.contains("strict restore is on")),
+            s"expected the strict-restore error, got:\n$ex")
+          q2.stop()
+        } else {
+          // default: the old state is ADOPTED (the documented
+          // query-evolution semantics) — the match completes
+          q2.processAllAvailable()
+          input.addData((99L, 100000000L, 9L, "T", 0.0))
+          q2.processAllAvailable()
+          q2.stop()
+          import scala.jdk.CollectionConverters._
+          val got = sink.asScala.values.flatten.toSet
+          assert(got == Set(2L), s"default-adoption leg: $got")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(ck)); ()
+      }
+    }
+    try {
+      runLeg(strict = true)
+      runLeg(strict = false)
+    } finally {
+      spark.conf.unset("spark.graft.matchRecognize.strictRestore")
+      spark.conf.unset("spark.graft.matchRecognize.useTws")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("step names colliding with keys or match bounds fail fast") {
@@ -4307,9 +4570,8 @@ class MatchRecognizeSpec extends SparkSpec {
     var subsetExprAggs = 0
     var subsetNavs = 0
     var nestedNavExprs = 0
-    // in-suite default 25; the soak harness raises it via env
-    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
-      .getOrElse(25)
+    // in-suite default 25; GRAFT_SOAK=1 raises to the off-suite 120
+    val nTrials = Soak.knob("GRAFT_FUZZ_TRIALS", 25, 120)
     for (trial <- 1 to nTrials) {
       val nVars = 1 + rnd.nextInt(3)
       val vars = (0 until nVars).map(i => s"v$i")
@@ -4570,8 +4832,7 @@ class MatchRecognizeSpec extends SparkSpec {
       spark.sessionState.sqlParser, spark)
     val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
     val rnd = new scala.util.Random(fuzzSeed.getOrElse(20260818L))
-    val trials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
-      .getOrElse(14)
+    val trials = Soak.knob("GRAFT_FUZZ_TRIALS", 14, 56)
     val alphabet = Vector("A", "B", "C", "D")
     // the round-<=16 recursive prefix-sharing expansion, in SQL form
     def recur(rem: Vector[String]): String =

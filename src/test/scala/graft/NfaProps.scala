@@ -13,8 +13,7 @@ object NfaProps extends Properties("Nfa") {
   // (soaks raise it via env)
   override def overrideParameters(
       p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(
-      sys.env.get("GRAFT_NFA_GENS").map(_.toInt).getOrElse(200))
+    p.withMinSuccessfulTests(Soak.knob("GRAFT_NFA_GENS", 200, 10000))
 
   case class E(id: Long, ts: Long, typ: String)
 
@@ -683,7 +682,7 @@ object NfaParityProps extends Properties("NfaParity") {
   override def overrideParameters(
       p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(
-      sys.env.get("GRAFT_PARITY_GENS").map(_.toInt).getOrElse(1000))
+      Soak.knob("GRAFT_PARITY_GENS", 1000, 10000))
 
   /** The streaming micro-batch executor (Cep.step: watermark buffer +
     * incremental NFA) must emit exactly the ordered-replay matches, for

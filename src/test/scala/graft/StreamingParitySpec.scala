@@ -1786,9 +1786,9 @@ class StreamingParitySpec extends SparkSpec {
       spark.sessionState.sqlParser, spark)
     var checked = 0
     var totals = Map.empty[String, Int].withDefaultValue(0)
-    // in-suite default 12; the soak harness raises it via env
-    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
-      .getOrElse(12)
+    // in-suite default 12; GRAFT_SOAK=1 raises to 24, GRAFT_FUZZ_TRIALS
+    // overrides either
+    val nTrials = Soak.knob("GRAFT_FUZZ_TRIALS", 12, 24)
     for (trial <- 1 to nTrials) {
       val (stmt, draws) = drawFuzzStatement(rnd, trial)
       draws.foreach { case (k, v) => totals = totals.updated(k, totals(k) + v) }
@@ -1857,8 +1857,8 @@ class StreamingParitySpec extends SparkSpec {
       spark.sessionState.sqlParser, spark)
     var checked = 0
     var totals = Map.empty[String, Int].withDefaultValue(0)
-    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
-      .getOrElse(12)
+    // in-suite default 12; GRAFT_SOAK=1 raises to 24
+    val nTrials = Soak.knob("GRAFT_FUZZ_TRIALS", 12, 24)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -1943,9 +1943,8 @@ class StreamingParitySpec extends SparkSpec {
     val parser = new graft.plans.GraftSqlParser(
       spark.sessionState.sqlParser, spark)
     // in-suite default 3 statements (each runs 1 control + 2 kill-restart
-    // passes, 5 query starts); the soak harness raises it via env
-    val nTrials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt)
-      .getOrElse(3)
+    // passes, 5 query starts); GRAFT_SOAK=1 raises to the off-suite 8
+    val nTrials = Soak.knob("GRAFT_FUZZ_TRIALS", 3, 8)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -2003,7 +2002,13 @@ class StreamingParitySpec extends SparkSpec {
                 q = startQuery() // resume from the RocksDB checkpoint
               }
             }
-          } finally q.stop()
+          } finally {
+            q.stop()
+            // r18 ADVICE: 3 checkpoint dirs per trial — env-raised
+            // soaks would otherwise accumulate unbounded /tmp disk
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(ck)); ()
+          }
           sink.asScala.toSeq.sortBy(_._1).flatMap(_._2)
             .sortBy(r => (r._1, r._3, r._4, r._2))
         }
