@@ -164,9 +164,17 @@ object DecadeSweep {
         val growth = t10 / math.max(t1, 1e-9)
         // regression gate vs the committed baseline: growth RATIO
         // worsening >1.5× is a plan-shape signal (absolute times move
-        // with the machine; the ratio is the scale property)
+        // with the machine; the ratio is the scale property). Two
+        // absolute floors keep the gate meaningful: sub-second queries
+        // jitter across the whole sub-2× band run-to-run, and a
+        // baseline growth below ~1.7 makes the multiplicative
+        // threshold fire inside that noise (the first gated run
+        // flagged 15 queries, all directly refuted by their own
+        // absolutes) — so a flag additionally requires the new growth
+        // itself past 2.5× AND a 10× leg past 1 s.
         val base = baseline.get(n)
-        val reg = base.exists(b => growth > b * 1.5)
+        val reg = base.exists(b =>
+          growth > b * 1.5 && growth > 2.5 && t10 > 1.0)
         if (reg) regressed += n
         val baseTail = base.map(b =>
           f""","baseline_growth":$b%.2f,"regressed":$reg""")

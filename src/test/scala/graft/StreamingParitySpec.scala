@@ -1657,7 +1657,7 @@ class StreamingParitySpec extends SparkSpec {
     */
   private val fuzzDrawKeys = Seq("exprAgg", "subsetSkip", "varNav",
     "nestedNav", "navExpr", "subsetOffset", "subsetExprAgg", "subsetNav",
-    "nestedNavExpr")
+    "nestedNavExpr", "anchorEnd")
 
   /** One random MATCH_RECOGNIZE statement for the streaming parity
     * fuzzes — shared by the flatMapGroupsWithState leg and the
@@ -1751,6 +1751,19 @@ class StreamingParitySpec extends SparkSpec {
     // inside it would compare two DIFFERENT statements — the
     // harness bug this fuzz's first version shipped with
     val within = 5000 + rnd.nextInt(20000)
+    // '$' end-anchor rotation (round 19): exercises the WITHIN
+    // quiescence flush on both executors AND across kill-restarts
+    // (the held buffer rides checkpointed state). Deterministic —
+    // consumes NO rnd — so every existing seed's draw stream is
+    // unchanged. The fixture users' rows are 2 s apart, far inside
+    // every drawn WITHIN, so stream quiescence ≡ batch partition end
+    // and parity holds; the >WITHIN-gapped tick user is outside the
+    // compared key set.
+    val anchorEnd = trial % 3 == 0
+    if (anchorEnd) bump("anchorEnd")
+    val patA = if (anchorEnd) s"$pat vend $$" else pat
+    val defsA =
+      if (anchorEnd) s"$defs, vend AS event_type IS NOT NULL" else defs
     val stmt = (table: String, streamingClauses: String) =>
       s"""SELECT * FROM $table MATCH_RECOGNIZE (
          |  PARTITION BY user_id
@@ -1758,12 +1771,12 @@ class StreamingParitySpec extends SparkSpec {
          |  MEASURES FIRST(v0.event_id) AS f_id
          |  ALL ROWS PER MATCH
          |  $skipClause
-         |  PATTERN ($pat)
+         |  PATTERN ($patA)
          |  $subsetClause
          |  WITHIN $within
          |  $streamingClauses
          |  $mode
-         |  DEFINE $defs
+         |  DEFINE $defsA
          |)""".stripMargin
     (stmt, draws)
   }
