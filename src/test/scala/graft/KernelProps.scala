@@ -13,7 +13,7 @@ object KernelProps extends Properties("Kernels") {
 
   override def overrideParameters(
       p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(200)
+    p.withMinSuccessfulTests(Soak.knob("GRAFT_KERNEL_GENS", 200, 2000))
 
   private val genSortedSet: Gen[Array[Long]] =
     Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted.toArray)

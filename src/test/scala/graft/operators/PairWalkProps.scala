@@ -11,7 +11,8 @@ object PairWalkProps extends Properties("PairWalk") {
 
   override def overrideParameters(
       p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(500)
+    p.withMinSuccessfulTests(
+      graft.Soak.knob("GRAFT_PAIRWALK_GENS", 500, 5000))
 
   /** Per-item reference: positions 1..n desc-sorted lengths; returns
     * (pack, slot) per position with the same numbering contract —
