@@ -173,6 +173,21 @@ object SqlPatternShowcase {
         |           AND SUM(s.value * 1) > 0
         |)""".stripMargin)
 
+    show("(round 19) mixed-variable navigation — each reference " +
+      "anchors at its own variable's binding (the cross-attribute " +
+      "select, SQL:2016-style)",
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us, event_id
+        |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+        |           LAST(b.value - a.value) AS delta,
+        |           PREV(a.value + b.value) AS psum
+        |  PATTERN (a b)
+        |  MODE STRICT
+        |  DEFINE a AS event_type = 'click',
+        |         b AS event_type = 'view'
+        |           AND LAST(b.value - a.value) > 0
+        |)""".stripMargin)
+
     println("SHOWCASE-DONE")
     spark.stop()
   }

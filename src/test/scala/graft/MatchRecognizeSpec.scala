@@ -2262,6 +2262,91 @@ class MatchRecognizeSpec extends SparkSpec {
         .as[(Long, Double, Double, Option[Double])].collect().toSet
       assert(streamed == batch, s"streaming: $streamed vs $batch")
     } finally q.stop()
+    // RUNNING semantics in ALL ROWS mode: the distributed pieces ride
+    // the per-row filtered slot arrays — LAST(b.value - a.value) is
+    // NULL until b binds (NULL minus the running a-LAST)
+    val running = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        s"""SELECT * FROM mr_mixed_meas_sql MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES RUNNING LAST(b.value - a.value) AS rdelta
+           |  ALL ROWS PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN (a+ b)
+           |  WITHIN 60000
+           |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
+           |)""".stripMargin))
+      .select($"event_id", $"rdelta")
+      .as[(Long, Option[Double])].collect().toSet
+    assert(running == Set((1L, None), (2L, None), (3L, Some(2.0)),
+      (4L, None), (5L, Some(4.0))), s"running: $running")
+  }
+
+  test("streaming $ epoch semantics: a >WITHIN-gapped successor " +
+      "arriving after the fence keeps the earlier anchor; arriving " +
+      "before it, the anchor is conservatively withheld") {
+    // the two arms of DIALECT exclusion 3's documented divergence —
+    // the only place streaming '$' can differ from batch, and only
+    // for successors more than WITHIN past the row in EVENT time
+    // (in-bound successors always arrive before the fence under the
+    // watermark contract)
+    implicit val sqlCtx = spark.sqlContext
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def stmt(table: String, streaming: String): String =
+      s"""SELECT * FROM $table MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_ms, event_id
+         |  MEASURES b.event_id AS b_id
+         |  PATTERN (b $$)
+         |  WITHIN 60000
+         |  $streaming
+         |  DEFINE b AS event_type = 'B'
+         |)""".stripMargin
+    val input = MemoryStream[(Long, Long, Long, String)]
+    input.toDF().toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("etc", timestamp_millis($"ts_ms"))
+      .withWatermark("etc", "10 seconds")
+      .createOrReplaceTempView("mr_epoch_stream")
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(stmt("mr_epoch_stream", "EVENTTIME etc")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mr_epoch_sink").start()
+    try {
+      // key 1 (divergence arm): its only row so far; key 2
+      // (conservative arm): both rows — gap 65 s > WITHIN — buffered
+      // together, so they RELEASE together at the first fence
+      input.addData((1L, 10000L, 1L, "B"),
+        (3L, 10000L, 2L, "B"), (4L, 75000L, 2L, "B"))
+      q.processAllAvailable()
+      // carrier pushes the watermark past every fence above: key 1's
+      // lone row force-feeds with a NULL lookahead (anchor FIRES);
+      // key 2's first row feeds WITH its already-arrived successor
+      // (lookahead filled, anchor withheld = batch), then the
+      // successor itself flushes and anchors
+      input.addData((90L, 200000L, 9L, "X"))
+      q.processAllAvailable()
+      // key 1's >WITHIN-gapped successor arrives AFTER the fence —
+      // row 1's anchor already fired (the divergence); the successor
+      // becomes the next epoch's end
+      input.addData((2L, 300000L, 1L, "B"))
+      input.addData((91L, 1000000000L, 9L, "X")) // final flush
+      q.processAllAvailable()
+      val streamed = spark.table("mr_epoch_sink")
+        .select($"user_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(streamed == Set((1L, 1L), (1L, 2L), (2L, 4L)),
+        s"streaming epochs: $streamed")
+      // batch over the same finite data: only each key's true last row
+      Seq((1L, 10000L, 1L, "B"), (2L, 300000L, 1L, "B"),
+        (3L, 10000L, 2L, "B"), (4L, 75000L, 2L, "B"))
+        .toDF("event_id", "ts_ms", "user_id", "event_type")
+        .createOrReplaceTempView("mr_epoch_batch")
+      val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          parser.parsePlan(stmt("mr_epoch_batch", "")))
+        .select($"user_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(batch == Set((1L, 2L), (2L, 4L)), s"batch: $batch")
+    } finally q.stop()
   }
 
   test("strict checkpoint guard: same compiled shape, different DEFINE " +
