@@ -2224,24 +2224,28 @@ class MatchRecognizeSpec extends SparkSpec {
          |  MEASURES b.event_id AS b_id,
          |           LAST(b.value - a.value) AS delta,
          |           FIRST(a.value + b.value) AS tot,
-         |           PREV(a.value + b.value) AS psum
+         |           PREV(a.value + b.value) AS psum,
+         |           FIRST(s.value + b.value) AS stot
          |  AFTER MATCH SKIP PAST LAST ROW
          |  PATTERN (a+ b)
+         |  SUBSET s = (a, b)
          |  WITHIN 60000
          |  $streamingClauses
          |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
          |)""".stripMargin
     val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
         parser.parsePlan(stmt("mr_mixed_meas_sql", "")))
-      .select($"b_id", $"delta", $"tot", $"psum")
-      .as[(Long, Double, Double, Option[Double])].collect().toSet
+      .select($"b_id", $"delta", $"tot", $"psum", $"stot")
+      .as[(Long, Double, Double, Option[Double], Double)].collect().toSet
     // user 1: a = [e1(2.0), e2(3.0)], b = e3(5.0):
     //   delta = 5 - 3 = 2; tot = FIRST(a)=2 + FIRST(b)=5 = 7;
     //   psum = PREV(last a = e2) + PREV(last b = e3) = 2.0 + 3.0
     // user 2: a = [e4(7.0)], b = e5(11.0):
     //   delta = 4; tot = 18; psum = PREV(e4) + PREV(e5) = NULL + 7
-    assert(batch == Set((3L, 2.0, 7.0, Some(5.0)),
-      (5L, 4.0, 18.0, None)), s"batch: $batch")
+    // stot mixes a SUBSET union with a variable: FIRST(s) is the
+    // merged-first bound row (= the first a) and FIRST(b) the first b
+    assert(batch == Set((3L, 2.0, 7.0, Some(5.0), 7.0),
+      (5L, 4.0, 18.0, None, 18.0)), s"batch: $batch")
     val input = MemoryStream[(Long, Long, Long, String, Double)]
     input.toDF()
       .toDF("event_id", "ts_us", "user_id", "event_type", "value")
@@ -2258,8 +2262,9 @@ class MatchRecognizeSpec extends SparkSpec {
       input.addData((99L, 1000000000L, 9L, "T", 0.0))
       q.processAllAvailable()
       val streamed = spark.table("mr_mixed_meas_sink")
-        .select($"b_id", $"delta", $"tot", $"psum")
-        .as[(Long, Double, Double, Option[Double])].collect().toSet
+        .select($"b_id", $"delta", $"tot", $"psum", $"stot")
+        .as[(Long, Double, Double, Option[Double], Double)]
+        .collect().toSet
       assert(streamed == batch, s"streaming: $streamed vs $batch")
     } finally q.stop()
     // RUNNING semantics in ALL ROWS mode: the distributed pieces ride
@@ -2377,10 +2382,11 @@ class MatchRecognizeSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
-    spark.conf.set("spark.graft.matchRecognize.useTws", "true")
     def chain(t: Throwable): List[Throwable] =
       if (t == null) Nil else t :: chain(t.getCause)
-    def runLeg(strict: Boolean): Unit = {
+    def runLeg(strict: Boolean, useTws: Boolean = true): Unit = {
+      spark.conf.set("spark.graft.matchRecognize.useTws",
+        useTws.toString)
       spark.conf.set("spark.graft.matchRecognize.strictRestore",
         strict.toString)
       val ck = java.nio.file.Files
@@ -2440,6 +2446,11 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     try {
       runLeg(strict = true)
+      // the guard lives in the shared restored() — the strict arm
+      // also fires on the flatMapGroupsWithState executor (eager kryo
+      // decode succeeds here: same CepState schema, only the
+      // fingerprint differs)
+      runLeg(strict = true, useTws = false)
       runLeg(strict = false)
     } finally {
       spark.conf.unset("spark.graft.matchRecognize.strictRestore")
