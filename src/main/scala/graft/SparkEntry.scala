@@ -1658,6 +1658,35 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // Universal-anchor navigation (round 19): an UNQUALIFIED
+    // expression argument in DEFINE navigation folds over ALL rows of
+    // the match (ISO's universal row pattern variable, compiled onto
+    // an implicit all-variables SUBSET). Under MODE STRICT a match is
+    // an adjacent (click, view) pair; FIRST(value * 2) reads the
+    // match's FIRST row (the click), and the nested
+    // PREV(FIRST(value * 1)) the partition row before it — both
+    // oracle as lag/lead windows.
+    "q219_mr_universal_nav" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_univ_q219")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_univ_q219 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view'
+          |           AND value > FIRST(value * 2)
+          |           AND coalesce(PREV(FIRST(value * 1)), 0)
+          |               < value * 10
+          |)""".stripMargin))
+    }),
+
     // Composite-item PERMUTE with FIVE members (round-15 cap lift
     // 4 -> 5; the quantified first item forces the k!-expansion path
     // rather than the dedicated plain n-ary element): under MODE
@@ -8718,6 +8747,24 @@ object SparkEntry {
         |  nv - value AS delta, pv + value AS psum
         |FROM o
         |WHERE event_type = 'click' AND nt = 'view' AND nv > value""".stripMargin,
+
+    // adjacent (click, view) pairs; FIRST universal = the click row
+    // (value*2 read there), nested PREV(FIRST(value)) = the row
+    // before the click (lag from the click = lag(2) from the view)
+    "q219_mr_universal_nav" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS us,
+        |    lag(value) OVER w AS pv,
+        |    lead(event_type) OVER w AS nt,
+        |    lead(event_id) OVER w AS ni,
+        |    lead(value) OVER w AS nv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS a_id, ni AS b_id
+        |FROM o
+        |WHERE event_type = 'click' AND nt = 'view'
+        |  AND nv > value * 2
+        |  AND coalesce(pv, 0) < nv * 10""".stripMargin,
 
     "q208_mr_permute5" ->
       """WITH o AS (SELECT user_id, event_id, event_type,

@@ -1175,6 +1175,20 @@ private[graft] object MatchRecognizeSql {
       }
     require(subsets.map(_._1).distinct.length == subsets.length,
       "duplicate SUBSET names")
+    // ISO's UNIVERSAL row pattern variable, as an implicit SUBSET of
+    // every pattern variable (round 19): an unqualified expression
+    // argument inside DEFINE navigation — `FIRST(value * 2)`,
+    // `PREV(FIRST(value * 2), k)` — anchors over ALL rows of the
+    // match, i.e. the members' merged (ts, tie) binding order, which
+    // is exactly what the SUBSET-union machinery already folds. The
+    // reserved name never appears in user text; the rewrites below
+    // emit it. User-declared SUBSETs and skip targets resolve against
+    // the DECLARED list only.
+    val UnivVar = "_mr_univ_"
+    require(!subsets.exists(_._1.equalsIgnoreCase(UnivVar)) &&
+        !varNames.exists(_.equalsIgnoreCase(UnivVar)),
+      s"the name '$UnivVar' is reserved")
+    val subsetsU = subsets :+ (UnivVar -> varNames)
     // the AFTER MATCH slice is case-normalized before matching, so
     // resolve the skip target against the case-preserved PATTERN
     // variables case-insensitively and carry the canonical name (the
@@ -1407,18 +1421,38 @@ private[graft] object MatchRecognizeSql {
         })
       }
     }
+    def hasQualRef(inner: String): Boolean =
+      """(?i)(?<![\w.])[A-Za-z_]\w*\s*\.\s*[A-Za-z_]""".r
+        .findFirstIn(inner).isDefined
+    def univAlias(inner: String): String =
+      navExprAliases.getOrElseUpdate(inner,
+        s"_mr_navx_${navExprAliases.size}")
+    // flat FIRST/LAST over an unqualified EXPRESSION — the ISO
+    // universal anchor (round 19): the expression derives an input
+    // column and the selection folds over the implicit all-variables
+    // SUBSET's merged binding order. The bounded lookbehind skips a
+    // selector already inside PREV/NEXT (the nested pass owns those).
+    val univFlatRe =
+      ("""(?i)(?<!(?:prev|next)\s{0,9}\(\s{0,9})(?<!\w)(first|last)""" +
+        """\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)\s*(?:,\s*(\d+)\s*)?\)""").r
     def normNavExpr(owner: String, text: String): String =
       rewriteOutsideLiterals(text) { seg0 =>
         val seg = navNestedExprRe.replaceAllIn(seg0, mm => {
           val inner = mm.group(3).trim
-          // an unqualified expression has no binding to anchor the
-          // FIRST/LAST selection at — leave it for the targeted
-          // nested-form error below
-          val hasQual =
-            """(?i)(?<![\w.])[A-Za-z_]\w*\s*\.\s*[A-Za-z_]""".r
-              .findFirstIn(inner).isDefined
-          if (!hasQual)
-            java.util.regex.Matcher.quoteReplacement(mm.matched)
+          // an unqualified expression anchors at the UNIVERSAL
+          // variable (round 19 — formerly the targeted nested-form
+          // rejection): all rows of the match, via the implicit
+          // all-variables SUBSET
+          val hasQual = hasQualRef(inner)
+          if (!hasQual) {
+            val jOff = Option(mm.group(4)).map(o => s", $o")
+              .getOrElse("")
+            val kOff = Option(mm.group(5)).map(o => s", $o")
+              .getOrElse("")
+            java.util.regex.Matcher.quoteReplacement(
+              s"${mm.group(1)}(${mm.group(2)}($UnivVar." +
+                s"${univAlias(inner)}$jOff)$kOff)")
+          }
           else navExprTarget(owner,
               s"${mm.group(1)}(${mm.group(2)}(...))", inner) match {
             case None =>
@@ -1432,7 +1466,7 @@ private[graft] object MatchRecognizeSql {
                 s"${mm.group(1)}(${mm.group(2)}($target$jOff)$kOff)")
           }
         })
-        navExprRe.replaceAllIn(seg, mm => {
+        val seg2 = navExprRe.replaceAllIn(seg, mm => {
           val inner = mm.group(2).trim
           navExprTarget(owner, mm.group(1), inner) match {
             case None =>
@@ -1444,6 +1478,17 @@ private[graft] object MatchRecognizeSql {
                 .getOrElse("")
               java.util.regex.Matcher.quoteReplacement(
                 s"${mm.group(1)}($target$off)")
+          }
+        })
+        univFlatRe.replaceAllIn(seg2, mm => {
+          val inner = mm.group(2).trim
+          if (hasQualRef(inner))
+            java.util.regex.Matcher.quoteReplacement(mm.matched)
+          else {
+            val off = Option(mm.group(3)).map(o => s", $o")
+              .getOrElse("")
+            java.util.regex.Matcher.quoteReplacement(
+              s"${mm.group(1)}($UnivVar.${univAlias(inner)}$off)")
           }
         })
       }
@@ -1630,7 +1675,10 @@ private[graft] object MatchRecognizeSql {
     // whole union is unbound). Offset forms still fail fast (a global
     // merged index needs the interleaving, not just the extremes).
     def expandSubsetDefine(n: String, d: String): String =
-      if (subsets.isEmpty) d
+      // subsetsU: the universal implicit subset participates here (it
+      // is how unqualified navigation anchors fold), so the early-out
+      // keys on it being the only entry with no univ references
+      if (subsetsU.length == 1 && !d.contains(UnivVar)) d
       else rewriteOutsideLiterals(d) { seg0 =>
         def orderColIntegral(cn: String): Boolean =
           src.schema.fields.find(f =>
@@ -1643,7 +1691,7 @@ private[graft] object MatchRecognizeSql {
               case _ => false
             }
         var seg = seg0
-        for ((sn, mem) <- subsets) {
+        for ((sn, mem) <- subsetsU) {
           def per(fn: String, c: String): Seq[String] =
             mem.map(m => s"$fn($m.$c)")
           def cnt(c: String): String =
@@ -1784,7 +1832,7 @@ private[graft] object MatchRecognizeSql {
         // (expandSubsetDefine's (ts, tie, value)-struct election)
         def canonOf(v: String, what: => String): Either[String, String] =
           varNames.find(_.equalsIgnoreCase(v)).map(Left(_)).getOrElse(
-            subsets.map(_._1).find(_.equalsIgnoreCase(v))
+            subsetsU.map(_._1).find(_.equalsIgnoreCase(v))
               .map(Right(_)).getOrElse(
                 throw new IllegalArgumentException(
                   s"DEFINE $n: $what — '$v' is not a PATTERN " +
@@ -1810,10 +1858,11 @@ private[graft] object MatchRecognizeSql {
         if (prevNestedDetectRe.findFirstIn(seg).isDefined)
           throw new IllegalArgumentException(
             s"DEFINE $n: nested navigation takes " +
-              "PREV(FIRST|LAST(qual.col[, j])[, k]) with literal " +
-              "offsets and a var- or SUBSET-qualified column (an " +
-              "expression argument must qualify ONE variable or " +
-              "union)")
+              "PREV(FIRST|LAST(arg[, j])[, k]) with literal offsets " +
+              "and a comma/paren-free arg — a var-/SUBSET-qualified " +
+              "column, a qualified expression, a mixed-variable " +
+              "expression (distributed per qualifier), or an " +
+              "unqualified expression (the universal anchor)")
         prevVarRe.replaceAllIn(seg, mm => {
           val kind = mm.group(1).toLowerCase
           val v = mm.group(2)

@@ -1950,10 +1950,12 @@ class MatchRecognizeSpec extends SparkSpec {
     // claim (DIALECT.md 'Documented exclusions' 1/2/7 + the DEFINE
     // section): var- and SUBSET-qualified navigation over
     // bare/FIRST/LAST(+offset)/PREV(flat & nested)/aggregates with
-    // column and expression arguments all compose; the only rejected
-    // cells are two-variable mixes, unqualified nested expressions,
-    // and union offsets > 19. A future parser change that silently
-    // reopens a cell fails this test by name.
+    // column and expression arguments all compose — round 19 also
+    // mixed-variable arguments (distributed per qualifier) and
+    // fully-unqualified arguments (the universal anchor); the
+    // rejected cells left are mixed aggregates, bare columns inside
+    // mixed navigation, and union offsets > 19. A future parser
+    // change that silently reopens a cell fails this test by name.
     //
     // r18 (r17 VERDICT task 6): the matrix is parameterized over BOTH
     // modes — every supported cell also runs end-to-end on the
@@ -2053,7 +2055,14 @@ class MatchRecognizeSpec extends SparkSpec {
       // single-variable selector-over-expression (new in round 19:
       // FIRST/LAST had no expression-argument path before the
       // distribution pass)
-      ("a/LAST/expr",         "LAST(a.value * 2 + 1)"))
+      ("a/LAST/expr",         "LAST(a.value * 2 + 1)"),
+      // UNIVERSAL anchor (round 19): an unqualified expression
+      // argument folds over ALL rows of the match — ISO's universal
+      // row pattern variable, via the implicit all-variables SUBSET
+      ("univ/LAST/expr",      "LAST(value * 2 + 1)"),
+      ("univ/FIRST(,1)/expr", "FIRST(value * 2, 1)"),
+      ("univ/PREV(FIRST)/expr", "PREV(FIRST(value * 2))"),
+      ("univ/PREV(LAST,2)/expr", "PREV(LAST(value * 2), 2)"))
     val expected = Set(3L, 5L) // user 1's and user 2's b rows
     cells.foreach { case (cell, expr) =>
       val pred = s"COALESCE($expr >= -99999999, TRUE)"
@@ -2085,7 +2094,6 @@ class MatchRecognizeSpec extends SparkSpec {
         "EVERY column reference must be qualified"),
       ("SUM(a.value * b.value) > 0",
         "mixing variables in one argument is undefined"),
-      ("PREV(FIRST(value * 2)) > 0", "nested navigation takes"),
       ("FIRST(s.value, 20) > 0", "supported up to 19"))
     rejected.foreach { case (pred, reason) =>
       val eb = intercept[Exception](
@@ -3194,9 +3202,23 @@ class MatchRecognizeSpec extends SparkSpec {
           |)""".stripMargin))
       .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
     assert(ex == Set((2L, 3L), (3L, 4L)))
-    // fail-fasts that remain: an unqualified expression inside the
-    // nested form (no binding anchors the selection), and an unknown
-    // qualifier
+    // an UNQUALIFIED nested expression now anchors at the UNIVERSAL
+    // variable (round 19 — all rows of the match; with strt the first
+    // bound row it coincides with the strt-qualified form above)
+    val univ = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
+          |  PARTITION BY ticker
+          |  ORDER BY ts_us, event_id
+          |  MEASURES strt.event_id AS s_id, down.event_id AS d_id
+          |  PATTERN (strt down)
+          |  DEFINE strt AS true,
+          |         down AS price < PREV(FIRST(price * 2))
+          |)""".stripMargin))
+      .select($"s_id", $"d_id").as[(Long, Long)].collect().toSet
+    assert(univ == ex, s"universal nested: $univ vs $ex")
+    // fail-fasts that remain: a nested argument that is not
+    // comma/paren-free, and an unknown qualifier
     val enq = intercept[IllegalArgumentException] {
       parser.parsePlan(
         """SELECT * FROM mr_prev_view MATCH_RECOGNIZE (
@@ -3205,7 +3227,7 @@ class MatchRecognizeSpec extends SparkSpec {
           |  MEASURES strt.event_id AS s_id
           |  PATTERN (strt down)
           |  DEFINE strt AS true,
-          |         down AS price < PREV(FIRST(price * 2))
+          |         down AS price < PREV(FIRST(abs(price)))
           |)""".stripMargin)
     }
     assert(enq.getMessage.contains("nested navigation takes"))
