@@ -1692,15 +1692,20 @@ private[graft] object MatchRecognizeSql {
             }
         var seg = seg0
         for ((sn, mem) <- subsetsU) {
+          // the implicit universal subset never appears in user text —
+          // name it by what the user actually wrote in diagnostics
+          def snShow(c: String): String =
+            if (sn == UnivVar) s"the unqualified (universal) argument " +
+              s"deriving column $c" else s"$sn.$c"
           def per(fn: String, c: String): Seq[String] =
             mem.map(m => s"$fn($m.$c)")
           def cnt(c: String): String =
             per("COUNT", c).mkString("(", " + ", ")")
           def navUnion(isF: Boolean, c: String): String = {
             require(orderColIntegral(tsCol) && orderColIntegral(tieCol),
-              s"DEFINE $n: FIRST/LAST($sn.$c) over a SUBSET union " +
-                s"needs integral ORDER BY columns (the merged binding " +
-                s"order folds as a (ts, tie) least/greatest; " +
+              s"DEFINE $n: FIRST/LAST over ${snShow(c)} folds a " +
+                s"merged binding order and needs integral ORDER BY " +
+                s"columns (a (ts, tie) least/greatest; " +
                 s"$tsCol/$tieCol are not)")
             val cmp = if (isF) "least" else "greatest"
             val inf = if (isF) "9223372036854775807"
@@ -1723,14 +1728,15 @@ private[graft] object MatchRecognizeSql {
           // position yields the standard's out-of-range NULL.
           def navUnionOff(isF: Boolean, c: String, k: Int): String = {
             require(orderColIntegral(tsCol) && orderColIntegral(tieCol),
-              s"DEFINE $n: FIRST/LAST($sn.$c, $k) over a SUBSET " +
-                "union needs integral ORDER BY columns (the merged " +
-                s"binding order sorts (ts, tie) structs; " +
+              s"DEFINE $n: FIRST/LAST offset $k over ${snShow(c)} " +
+                "sorts a merged binding order and needs integral " +
+                s"ORDER BY columns ((ts, tie) structs; " +
                 s"$tsCol/$tieCol are not)")
             require(k <= 19,
-              s"DEFINE $n: FIRST/LAST($sn.$c, $k) — union offsets " +
-                "are supported up to 19 (the selection expands " +
-                "(offset+1) x members running markers)")
+              s"DEFINE $n: FIRST/LAST offset $k over ${snShow(c)} — " +
+                "merged-order offsets are supported up to 19 (the " +
+                "selection expands (offset+1) x members running " +
+                "markers)")
             val inf = if (isF) "9223372036854775807"
               else "-9223372036854775808"
             val fn = if (isF) "FIRST" else "LAST"
