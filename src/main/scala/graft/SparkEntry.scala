@@ -1676,7 +1676,8 @@ object SparkEntry {
         """SELECT * FROM mr_univ_q219 MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts_us, event_id
-          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           LAST(value * 2) AS uend
           |  PATTERN (a b)
           |  MODE STRICT
           |  DEFINE a AS event_type = 'click',
@@ -8750,7 +8751,8 @@ object SparkEntry {
 
     // adjacent (click, view) pairs; FIRST universal = the click row
     // (value*2 read there), nested PREV(FIRST(value)) = the row
-    // before the click (lag from the click = lag(2) from the view)
+    // before the click (lag from the click = lag(2) from the view);
+    // the uend MEASURE reads the match LAST row (the view), universal
     "q219_mr_universal_nav" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,
         |    epoch_us(ts) AS us,
@@ -8760,7 +8762,8 @@ object SparkEntry {
         |    lead(value) OVER w AS nv
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
-        |SELECT user_id, event_id AS a_id, ni AS b_id
+        |SELECT user_id, event_id AS a_id, ni AS b_id,
+        |  nv * 2 AS uend
         |FROM o
         |WHERE event_type = 'click' AND nt = 'view'
         |  AND nv > value * 2

@@ -710,6 +710,45 @@ private[graft] object MatchRecognizeSql {
     seg
   }
 
+  /** MEASURES universal anchor (round 19): `FIRST/LAST(<fully
+    * unqualified comma/paren-free expression>[, k])` selects the
+    * (1+k)-th row of the WHOLE match from either end — the members'
+    * merged (ts, tie) order, `arrSql` — and evaluates the expression
+    * on it (every bare column reads the selected element; out of
+    * range yields NULL via try_element_at). ISO's universal row
+    * pattern variable, mirroring the DEFINE-side lift. Bare single
+    * columns and any argument carrying a qualifier are left for the
+    * established per-variable machinery; a selector already inside
+    * PREV/NEXT belongs to the navigation passes (bounded lookbehind).
+    */
+  private val univSelRe =
+    ("""(?i)(?<!(?:prev|next)\s{0,9}\(\s{0,9})(?<!\w)(first|last)""" +
+      """\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)\s*(?:,\s*(\d+)\s*)?\)""").r
+  private val univQualDetectRe =
+    """(?i)(?<![\w.])[A-Za-z_]\w*\s*\.\s*[A-Za-z_]""".r
+  private val univWordOps = Set("and", "or", "not", "is", "null",
+    "true", "false", "case", "when", "then", "else", "end", "div",
+    "mod")
+  private def rewriteUnivSelectors(seg: String, arrSql: String): String =
+    univSelRe.replaceAllIn(seg, mm => {
+      val inner = mm.group(2).trim
+      if (univQualDetectRe.findFirstIn(inner).isDefined)
+        java.util.regex.Matcher.quoteReplacement(mm.matched)
+      else {
+        val k = Option(mm.group(3)).map(_.toInt).getOrElse(0)
+        val idx =
+          if (mm.group(1).equalsIgnoreCase("first")) 1 + k
+          else -(1 + k)
+        val elem = s"try_element_at($arrSql, $idx)"
+        val out = """(?i)(?<![\w.])([A-Za-z_]\w*)(?!\s*[.(])(?!\w)""".r
+          .replaceAllIn(inner, im =>
+            if (univWordOps(im.group(1).toLowerCase)) im.group(1)
+            else java.util.regex.Matcher.quoteReplacement(
+              s"$elem.`${im.group(1)}`"))
+        java.util.regex.Matcher.quoteReplacement(s"($out)")
+      }
+    })
+
   /** Aggregates over an EXPRESSION of ONE variable's row in MEASURES
     * — `SUM(v.price * 2)`, `MAX(v.x - v.y)`, `COUNT(v.col)`:
     * comma/paren-free arithmetic with every `v.col` bound to the HOF
@@ -2287,9 +2326,13 @@ private[graft] object MatchRecognizeSql {
       countStarRe.replaceAllIn(seg,
         java.util.regex.Matcher.quoteReplacement(
           s"cast(size($arrSql) as bigint)"))
+    val univArr = unionSql(varNames)
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
       val t = rewriteOutsideLiterals(et) { seg0 =>
         var seg = rewriteCountStar(rewriteMn(seg0), allSlotsArr)
+        // universal selectors run BEFORE the per-variable rules (an
+        // unqualified argument belongs to no variable's pass)
+        seg = rewriteUnivSelectors(seg, univArr)
         for ((v, arr) <- measureBindings) {
           // aggregates over ALL events bound to the variable (or
           // SUBSET union; numeric aggregation runs in double, in bind
@@ -2360,6 +2403,9 @@ private[graft] object MatchRecognizeSql {
             s"_mr_e.`$tieCol` <= `$tieCol`))"
         val t = rewriteOutsideLiterals(et) { seg0 =>
           var seg = rewriteCountStar(seg0, filt(allSlotsArr))
+          // universal selectors under RUNNING semantics: the merged
+          // order filtered to the rows at-or-before the current one
+          seg = rewriteUnivSelectors(seg, filt(univArr))
           for ((v, arr) <- measureBindings) {
             val f = java.util.regex.Matcher.quoteReplacement(filt(arr))
             // navigation under RUNNING semantics: v resolves to its

@@ -2233,7 +2233,9 @@ class MatchRecognizeSpec extends SparkSpec {
          |           LAST(b.value - a.value) AS delta,
          |           FIRST(a.value + b.value) AS tot,
          |           PREV(a.value + b.value) AS psum,
-         |           FIRST(s.value + b.value) AS stot
+         |           FIRST(s.value + b.value) AS stot,
+         |           FIRST(value * 2) AS ufirst,
+         |           LAST(value * 2, 1) AS upen
          |  AFTER MATCH SKIP PAST LAST ROW
          |  PATTERN (a+ b)
          |  SUBSET s = (a, b)
@@ -2243,17 +2245,21 @@ class MatchRecognizeSpec extends SparkSpec {
          |)""".stripMargin
     val batch = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
         parser.parsePlan(stmt("mr_mixed_meas_sql", "")))
-      .select($"b_id", $"delta", $"tot", $"psum", $"stot")
-      .as[(Long, Double, Double, Option[Double], Double)].collect().toSet
+      .select($"b_id", $"delta", $"tot", $"psum", $"stot",
+        $"ufirst", $"upen")
+      .as[(Long, Double, Double, Option[Double], Double, Double, Double)]
+      .collect().toSet
     // user 1: a = [e1(2.0), e2(3.0)], b = e3(5.0):
     //   delta = 5 - 3 = 2; tot = FIRST(a)=2 + FIRST(b)=5 = 7;
     //   psum = PREV(last a = e2) + PREV(last b = e3) = 2.0 + 3.0
     // user 2: a = [e4(7.0)], b = e5(11.0):
     //   delta = 4; tot = 18; psum = PREV(e4) + PREV(e5) = NULL + 7
     // stot mixes a SUBSET union with a variable: FIRST(s) is the
-    // merged-first bound row (= the first a) and FIRST(b) the first b
-    assert(batch == Set((3L, 2.0, 7.0, Some(5.0), 7.0),
-      (5L, 4.0, 18.0, None, 18.0)), s"batch: $batch")
+    // merged-first bound row (= the first a) and FIRST(b) the first b.
+    // ufirst/upen are UNIVERSAL (unqualified) selectors over the whole
+    // match: its first row, and the second row from the end
+    assert(batch == Set((3L, 2.0, 7.0, Some(5.0), 7.0, 4.0, 6.0),
+      (5L, 4.0, 18.0, None, 18.0, 14.0, 14.0)), s"batch: $batch")
     val input = MemoryStream[(Long, Long, Long, String, Double)]
     input.toDF()
       .toDF("event_id", "ts_us", "user_id", "event_type", "value")
@@ -2270,9 +2276,10 @@ class MatchRecognizeSpec extends SparkSpec {
       input.addData((99L, 1000000000L, 9L, "T", 0.0))
       q.processAllAvailable()
       val streamed = spark.table("mr_mixed_meas_sink")
-        .select($"b_id", $"delta", $"tot", $"psum", $"stot")
-        .as[(Long, Double, Double, Option[Double], Double)]
-        .collect().toSet
+        .select($"b_id", $"delta", $"tot", $"psum", $"stot",
+          $"ufirst", $"upen")
+        .as[(Long, Double, Double, Option[Double], Double, Double,
+          Double)].collect().toSet
       assert(streamed == batch, s"streaming: $streamed vs $batch")
     } finally q.stop()
     // RUNNING semantics in ALL ROWS mode: the distributed pieces ride
@@ -2283,17 +2290,20 @@ class MatchRecognizeSpec extends SparkSpec {
         s"""SELECT * FROM mr_mixed_meas_sql MATCH_RECOGNIZE (
            |  PARTITION BY user_id
            |  ORDER BY ts_us, event_id
-           |  MEASURES RUNNING LAST(b.value - a.value) AS rdelta
+           |  MEASURES RUNNING LAST(b.value - a.value) AS rdelta,
+           |           RUNNING LAST(value * 2) AS rulast
            |  ALL ROWS PER MATCH
            |  AFTER MATCH SKIP PAST LAST ROW
            |  PATTERN (a+ b)
            |  WITHIN 60000
            |  DEFINE a AS event_type = 'A', b AS event_type = 'B'
            |)""".stripMargin))
-      .select($"event_id", $"rdelta")
-      .as[(Long, Option[Double])].collect().toSet
-    assert(running == Set((1L, None), (2L, None), (3L, Some(2.0)),
-      (4L, None), (5L, Some(4.0))), s"running: $running")
+      .select($"event_id", $"rdelta", $"rulast")
+      .as[(Long, Option[Double], Double)].collect().toSet
+    // rulast: the universal RUNNING LAST is the current row itself
+    assert(running == Set((1L, None, 4.0), (2L, None, 6.0),
+      (3L, Some(2.0), 10.0), (4L, None, 14.0), (5L, Some(4.0), 22.0)),
+      s"running: $running")
   }
 
   test("streaming $ epoch semantics: a >WITHIN-gapped successor " +
