@@ -1688,6 +1688,71 @@ object SparkEntry {
           |)""".stripMargin))
     }),
 
+    // String literals INSIDE navigation arguments (round 20): the
+    // literal shield keeps the rewrite text contiguous, so a CASE
+    // carrying dotted ('x.y') and `first(`-shaped literal content
+    // inside mixed navigation parses and distributes per qualifier —
+    // formerly the call was invisible to the rewriter (chunk-split on
+    // quotes) and died as an unresolved function. The literals never
+    // match (a is always 'click'), so the oracle is the plain
+    // adjacent-pair lag/lead replay. BETWEEN in the DEFINE argument
+    // exercises the shared expression-keyword set.
+    "q220_mr_literal_nav" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_lit_q220")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_lit_q220 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id,
+          |           LAST(CASE WHEN a.event_type = 'x.y'
+          |                THEN a.value
+          |                ELSE b.value - a.value END) AS m_lit
+          |  PATTERN (a b)
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'view'
+          |           AND LAST(CASE WHEN a.event_type = 'first('
+          |                    THEN a.value ELSE b.value END)
+          |               BETWEEN -1e18 AND 1e18
+          |)""".stripMargin))
+    }),
+
+    // Universal-anchor navigation over a SINGLE-variable pattern
+    // (round 20): the implicit all-variables SUBSET then has ONE
+    // member, and the union folds (FIRST/LAST/MIN/MAX over the merged
+    // binding order) must degenerate to the member's own selectors —
+    // the round-20 univNav fuzz draw caught least/greatest being
+    // emitted with a lone argument here. With PATTERN (a) every
+    // conjunct evaluates on the one-row match: LAST(value*2) >
+    // FIRST(value*3) - value*2 reduces to value > 0; the subset
+    // MIN/MAX/FIRST/LAST conjuncts are tautologies exercising each
+    // fixed fold.
+    "q221_mr_universal_single" -> ((s, dir) => {
+      evts(s, dir).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+        .createOrReplaceTempView("mr_usingle_q221")
+      val parser = new graft.plans.GraftSqlParser(
+        s.sessionState.sqlParser, s)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, parser.parsePlan(
+        """SELECT * FROM mr_usingle_q221 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, LAST(value * 2) AS uend
+          |  PATTERN (a)
+          |  SUBSET u = (a)
+          |  MODE STRICT
+          |  DEFINE a AS event_type = 'click'
+          |           AND LAST(value * 2) > FIRST(value * 3) - value * 2
+          |           AND MAX(u.value) >= value
+          |           AND MIN(u.value) <= value
+          |           AND FIRST(u.value) = LAST(u.value)
+          |)""".stripMargin))
+    }),
+
     // Composite-item PERMUTE with FIVE members (round-15 cap lift
     // 4 -> 5; the quantified first item forces the k!-expansion path
     // rather than the dedicated plain n-ary element): under MODE
@@ -8768,6 +8833,30 @@ object SparkEntry {
         |WHERE event_type = 'click' AND nt = 'view'
         |  AND nv > value * 2
         |  AND coalesce(pv, 0) < nv * 10""".stripMargin,
+
+    // the literals never match, so m_lit = LAST(b.value) -
+    // LAST(a.value) = nv - value on each adjacent (click, view) pair;
+    // the BETWEEN bound is a tautology
+    "q220_mr_literal_nav" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS us,
+        |    lead(event_type) OVER w AS nt,
+        |    lead(event_id) OVER w AS ni,
+        |    lead(value) OVER w AS nv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS a_id, ni AS b_id,
+        |  nv - value AS m_lit
+        |FROM o
+        |WHERE event_type = 'click' AND nt = 'view'""".stripMargin,
+
+    // PATTERN (a) single-row matches: every DEFINE conjunct reduces on
+    // the one-row binding — LAST(value*2) > FIRST(value*3) - value*2
+    // is value > 0, the subset folds are tautologies
+    "q221_mr_universal_single" ->
+      """SELECT user_id, event_id AS a_id, value * 2 AS uend
+        |FROM events
+        |WHERE event_type = 'click' AND value > 0""".stripMargin,
 
     "q208_mr_permute5" ->
       """WITH o AS (SELECT user_id, event_id, event_type,

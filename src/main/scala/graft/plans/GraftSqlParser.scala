@@ -352,9 +352,10 @@ private[graft] object MatchRecognizeSql {
     private val qualRefRe =
       """(?i)(?<![\w.])([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)""".r
     // word-shaped tokens that are legal in a comma/paren-free scalar
-    // expression without naming a column
-    private val wordOps = Set("and", "or", "not", "is", "null", "true",
-      "false", "case", "when", "then", "else", "end", "div", "mod")
+    // expression without naming a column — the shared set, so this
+    // residue check and the universal-selector rewrite can never
+    // disagree on what a keyword is (r19 ADVICE)
+    private val wordOps = exprWordOps
     private val nestedRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(first|last)\s*\(\s*""" +
         """([^(),]+?)\s*(?:,\s*(\d+)\s*)?\)\s*(?:,\s*(\d+)\s*)?\)""").r
@@ -544,6 +545,86 @@ private[graft] object MatchRecognizeSql {
     new String(b)
   }
 
+  /** Replace every single-quoted literal with a neutral placeholder
+    * (`\u0007<index>\u0007` — no letters, dots, parens or commas, so
+    * NO textual rewrite regex can read a qualifier, a bare column, an
+    * offset or a call boundary out of literal content), returning the
+    * shielded text plus the extracted literals for
+    * [[unshieldLiterals]]. Unlike the chunk-splitting
+    * rewriteOutsideLiterals, the shielded text stays CONTIGUOUS, so a
+    * navigation/selector/aggregate call whose argument CONTAINS a
+    * literal (`LAST(CASE WHEN tag = 'x.y' THEN a.v ELSE b.v END)`) is
+    * visible to the rewrite passes as one call instead of being
+    * silently split across chunks (round-19 VERDICT hygiene item 2).
+    * Same escape handling as [[maskLiterals]]: a backslash escapes the
+    * next char inside a literal under both settings of the legacy
+    * escapedStringLiterals conf. `--` line comments and bracketed
+    * comments outside literals are dropped (they are semantically
+    * void and their content would otherwise feed the scans).
+    */
+  private[plans] def shieldLiterals(s: String)
+      : (String, scala.collection.mutable.ArrayBuffer[String]) = {
+    val out = new StringBuilder
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) i += 2
+          else if (s.charAt(i) == '\'') { done = true; i += 1 }
+          else i += 1
+        }
+        lits += s.substring(start, i)
+        out.append('\u0007').append(lits.length - 1).append('\u0007')
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        out.append(' ')
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < s.length &&
+          !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, s.length)
+        out.append(' ')
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, lits)
+  }
+
+  private val shieldPlaceholderRe = "\u0007(\\d+)\u0007".r
+
+  /** Restore the literals [[shieldLiterals]] extracted. Total: a
+    * placeholder index past the buffer (impossible unless text from a
+    * different shield call leaks in) restores to itself.
+    */
+  private[plans] def unshieldLiterals(s: String,
+      lits: scala.collection.Seq[String]): String =
+    shieldPlaceholderRe.replaceAllIn(s, mm => {
+      val i = mm.group(1).toInt
+      java.util.regex.Matcher.quoteReplacement(
+        if (i < lits.length) lits(i) else mm.matched)
+    })
+
+  /** Word-shaped tokens legal in a comma/paren-free scalar expression
+    * without naming a column — shared by the mixed-variable residue
+    * check and the universal-selector bare-column rewrite so the two
+    * passes can never disagree on what a keyword is (r19 ADVICE).
+    * Covers the boolean/CASE core plus the infix predicate keywords
+    * (BETWEEN, LIKE/ILIKE/RLIKE/REGEXP, IN, ESCAPE, IS [NOT] DISTINCT
+    * FROM). INTERVAL and its unit words are NOT here: `INTERVAL '1'
+    * HOUR` is atomized into one shielded placeholder by
+    * rewriteShielded instead, so a genuine column named `day`/`hour`/
+    * `month` keeps resolving as a column.
+    */
+  private[plans] val exprWordOps: Set[String] = Set(
+    "and", "or", "not", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "div", "mod",
+    "between", "like", "ilike", "rlike", "regexp", "in", "escape",
+    "distinct", "from")
+
   /** Split the MATCH_RECOGNIZE body into its clause sections: a
     * POSITIONAL keyword scan at paren depth 0 on the literal-masked
     * text. Clauses are sought strictly in canonical order, each only
@@ -628,6 +709,41 @@ private[graft] object MatchRecognizeSql {
                 s"order ($canonOrder) — found ${key.toUpperCase} " +
                 s"before ${lateEarlier.minBy(f => canonIdx(f._3))._3
                   .toUpperCase}")
+        }
+    }
+    // Targeted EVENTTIME-keyword diagnosis (r19 ADVICE): the clause
+    // lookahead is a keyword whitelist, so `EVENTTIME timestamp` is
+    // (correctly) never taken for the clause — but without this check
+    // the text gloms into the neighboring section and the failure
+    // surfaces as an unrelated parse error that never mentions the
+    // keyword rule. Fire ONLY where clause intent is unambiguous:
+    // eventtime went unfound, the candidate sits after the (found)
+    // PATTERN clause and before DEFINE — the clause's canonical slot,
+    // where no expression text lives — and the keyword is followed by
+    // the next canonical clause head (an EVENTTIME clause is exactly
+    // one identifier). A bare source COLUMN named `eventtime` inside
+    // MEASURES/DEFINE expression text can never satisfy all three.
+    if (!foundKeys("eventtime")) {
+      val evtKwRe = ("""(?i)(?<!\w)eventtime\s+(""" + sqlKeywordAlt +
+        """)(?!\w)\s+(?:tsscale|mode|define)(?!\w)""").r
+      val patEnd = found.find(_._3 == "pattern").map(_._2)
+      val defStart = found.find(_._3 == "define").map(_._1)
+      evtKwRe.findAllMatchIn(masked)
+        .find { mm =>
+          unqualified(mm.start) && {
+            val prefix = masked.substring(0, mm.start)
+            prefix.count(_ == '(') == prefix.count(_ == ')')
+          } && patEnd.forall(mm.start > _) &&
+            defStart.forall(mm.start < _)
+        }
+        .foreach { mm =>
+          throw new IllegalArgumentException(
+            s"EVENTTIME ${mm.group(1)}: '${mm.group(1)}' is a SQL " +
+              "keyword and cannot follow EVENTTIME — alias the " +
+              "event-time column to a non-keyword name (e.g. SELECT " +
+              s"${mm.group(1)} AS event_ts) before MATCH_RECOGNIZE " +
+              "(DIALECT.md: the EVENTTIME lookahead admits only " +
+              "non-keyword identifiers)")
         }
     }
     val sorted = found.sortBy(_._1).toSeq
@@ -726,9 +842,7 @@ private[graft] object MatchRecognizeSql {
       """\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)\s*(?:,\s*(\d+)\s*)?\)""").r
   private val univQualDetectRe =
     """(?i)(?<![\w.])[A-Za-z_]\w*\s*\.\s*[A-Za-z_]""".r
-  private val univWordOps = Set("and", "or", "not", "is", "null",
-    "true", "false", "case", "when", "then", "else", "end", "div",
-    "mod")
+  private val univWordOps = exprWordOps
   private def rewriteUnivSelectors(seg: String, arrSql: String): String =
     univSelRe.replaceAllIn(seg, mm => {
       val inner = mm.group(2).trim
@@ -1343,6 +1457,40 @@ private[graft] object MatchRecognizeSql {
       flush()
       sb.toString
     }
+    // Shielded variant (round 20): literals become neutral
+    // placeholders so the text stays CONTIGUOUS — a call whose
+    // argument contains a literal is one regex match, not two chunks —
+    // and literal content can never contribute a qualifier, bare
+    // column or offset. Whitespace outside literals is normalized to
+    // single spaces first, so the bounded `\s{0,9}` lookbehinds that
+    // keep a selector inside PREV/NEXT for the nested pass always see
+    // it (a 10+-char newline-plus-indent gap defeated them — r19
+    // ADVICE). INTERVAL literals (`INTERVAL '1' HOUR [TO MINUTE]`)
+    // are atomized into one placeholder so their unit words are never
+    // mistaken for bare columns, without reserving `day`/`hour`/… as
+    // keywords for genuine columns of those names. f receives the
+    // shielded text plus the literal store for the capture points
+    // that persist expression text past the unshield (alias maps).
+    val intervalUnitAlt = "(?:year|quarter|month|week|day|hour|" +
+      "minute|second|millisecond|microsecond)s?"
+    val intervalAtomRe =
+      (s"(?i)(?<!\\w)interval\\s+(?:\\u0007\\d+\\u0007" +
+        s"(?:\\s+$intervalUnitAlt(?:\\s+to\\s+$intervalUnitAlt)?)?" +
+        s"|\\d+(?:\\.\\d+)?\\s+$intervalUnitAlt)").r
+    def rewriteShielded(s: String)(
+        f: (String, scala.collection.Seq[String]) => String): String = {
+      val (sh0, lits) = shieldLiterals(s)
+      // NOT .trim: it strips every char <= U+0020 including the
+      // U+0007 placeholder markers when a literal ends the text
+      val sh1 = sh0.replaceAll("\\s+", " ")
+        .replaceAll("\\A | \\z", "")
+      val sh = intervalAtomRe.replaceAllIn(sh1, mm => {
+        lits += unshieldLiterals(mm.matched, lits)
+        java.util.regex.Matcher.quoteReplacement(
+          "\u0007" + (lits.length - 1) + "\u0007")
+      })
+      unshieldLiterals(f(sh, lits), lits)
+    }
     val prevRe =
       """(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
     // var-qualified PREV/NEXT in DEFINE (round-15 lift): per SQL:2016
@@ -1384,7 +1532,7 @@ private[graft] object MatchRecognizeSql {
     // arguments before.
     val navMixed = new NavMixedRewriter(varNames, subsets.map(_._1))
     def distributeNavMixed(owner: String, text: String): String =
-      rewriteOutsideLiterals(text)(navMixed.rewrite(owner, _))
+      rewriteShielded(text)((seg, _) => navMixed.rewrite(owner, seg))
     val prevVarRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
         """(?:,\s*(\d+)\s*)?\)""").r
@@ -1425,8 +1573,8 @@ private[graft] object MatchRecognizeSql {
     // mix of two, is rejected with the actual reason. Identifier
     // qualifiers only — a decimal literal's dot (2.5) is a fraction
     // point.
-    def navExprTarget(owner: String, fn: String,
-        inner: String): Option[String] = {
+    def navExprTarget(owner: String, fn: String, inner: String,
+        lits: scala.collection.Seq[String]): Option[String] = {
       if (inner.matches("""(?s)\w+\s*\.\s*\w+""")) None
       else {
         val quals =
@@ -1435,11 +1583,13 @@ private[graft] object MatchRecognizeSql {
         val bad = quals.filterNot(q =>
           patVarSet(q.toLowerCase) || subsetSet(q.toLowerCase))
         require(bad.isEmpty,
-          s"DEFINE $owner: $fn($inner) — '${bad.head}' is not a " +
+          s"DEFINE $owner: $fn(${unshieldLiterals(inner, lits)}) — " +
+            s"'${bad.head}' is not a " +
             s"PATTERN variable (have: ${varNames.mkString(", ")})")
         val vars = quals.map(_.toLowerCase).distinct
         require(vars.length <= 1,
-          s"DEFINE $owner: $fn($inner) — a PREV/NEXT expression may " +
+          s"DEFINE $owner: $fn(${unshieldLiterals(inner, lits)}) — " +
+            "a PREV/NEXT expression may " +
             "reference ONE pattern variable or ONE SUBSET union " +
             "(navigation anchors at that qualifier's bound row); " +
             "mixing variables is undefined")
@@ -1449,7 +1599,10 @@ private[graft] object MatchRecognizeSql {
               .replaceAllIn(inner, "`$1`")
           case None => inner
         }
-        val alias = navExprAliases.getOrElseUpdate(stripped,
+        // the alias map keys/values persist past the unshield and are
+        // compiled as input-column SQL — restore their literals NOW
+        val alias = navExprAliases.getOrElseUpdate(
+          unshieldLiterals(stripped, lits),
           s"_mr_navx_${navExprAliases.size}")
         Some(vars.headOption match {
           case Some(v) =>
@@ -1463,8 +1616,9 @@ private[graft] object MatchRecognizeSql {
     def hasQualRef(inner: String): Boolean =
       """(?i)(?<![\w.])[A-Za-z_]\w*\s*\.\s*[A-Za-z_]""".r
         .findFirstIn(inner).isDefined
-    def univAlias(inner: String): String =
-      navExprAliases.getOrElseUpdate(inner,
+    def univAlias(inner: String,
+        lits: scala.collection.Seq[String]): String =
+      navExprAliases.getOrElseUpdate(unshieldLiterals(inner, lits),
         s"_mr_navx_${navExprAliases.size}")
     // flat FIRST/LAST over an unqualified EXPRESSION — the ISO
     // universal anchor (round 19): the expression derives an input
@@ -1475,7 +1629,7 @@ private[graft] object MatchRecognizeSql {
       ("""(?i)(?<!(?:prev|next)\s{0,9}\(\s{0,9})(?<!\w)(first|last)""" +
         """\s*\(\s*([^(),]*[^\w\s(),][^(),]*?)\s*(?:,\s*(\d+)\s*)?\)""").r
     def normNavExpr(owner: String, text: String): String =
-      rewriteOutsideLiterals(text) { seg0 =>
+      rewriteShielded(text) { (seg0, lits) =>
         val seg = navNestedExprRe.replaceAllIn(seg0, mm => {
           val inner = mm.group(3).trim
           // an unqualified expression anchors at the UNIVERSAL
@@ -1490,10 +1644,11 @@ private[graft] object MatchRecognizeSql {
               .getOrElse("")
             java.util.regex.Matcher.quoteReplacement(
               s"${mm.group(1)}(${mm.group(2)}($UnivVar." +
-                s"${univAlias(inner)}$jOff)$kOff)")
+                s"${univAlias(inner, lits)}$jOff)$kOff)")
           }
           else navExprTarget(owner,
-              s"${mm.group(1)}(${mm.group(2)}(...))", inner) match {
+              s"${mm.group(1)}(${mm.group(2)}(...))", inner,
+              lits) match {
             case None =>
               java.util.regex.Matcher.quoteReplacement(mm.matched)
             case Some(target) =>
@@ -1507,7 +1662,7 @@ private[graft] object MatchRecognizeSql {
         })
         val seg2 = navExprRe.replaceAllIn(seg, mm => {
           val inner = mm.group(2).trim
-          navExprTarget(owner, mm.group(1), inner) match {
+          navExprTarget(owner, mm.group(1), inner, lits) match {
             case None =>
               // the pure var.col form is the SQL:2016 var-qualified
               // navigation, handled by the defs2 pre-pass
@@ -1527,7 +1682,7 @@ private[graft] object MatchRecognizeSql {
             val off = Option(mm.group(3)).map(o => s", $o")
               .getOrElse("")
             java.util.regex.Matcher.quoteReplacement(
-              s"${mm.group(1)}($UnivVar.${univAlias(inner)}$off)")
+              s"${mm.group(1)}($UnivVar.${univAlias(inner, lits)}$off)")
           }
         })
       }
@@ -1547,7 +1702,7 @@ private[graft] object MatchRecognizeSql {
       ("""(?i)(?<!\w)(sum|avg|min|max|count)\s*\(\s*""" +
         """([^()]*?\w+\s*\.\s*\w+[^()]*?)\s*\)""").r
     def normAggExpr(owner: String, text: String): String =
-      rewriteOutsideLiterals(text) { seg =>
+      rewriteShielded(text) { (seg, lits) =>
         defAggExprRe.replaceAllIn(seg, mm => {
           val fn = mm.group(1)
           val arg = mm.group(2).trim
@@ -1573,7 +1728,10 @@ private[graft] object MatchRecognizeSql {
               .orElse(subsets.map(_._1).find(_.toLowerCase == v)).get
             val inner = (s"(?i)(?<![\\w.])$v\\s*\\.\\s*(\\w+)").r
               .replaceAllIn(arg, "`$1`")
-            val alias = aggExprAliases.getOrElseUpdate(inner,
+            // the alias map persists past the unshield and compiles
+            // as input-column SQL — restore its literals now
+            val alias = aggExprAliases.getOrElseUpdate(
+              unshieldLiterals(inner, lits),
               s"_mr_xagg_${aggExprAliases.size}")
             java.util.regex.Matcher.quoteReplacement(
               s"$fn($canon.$alias)")
@@ -1741,6 +1899,13 @@ private[graft] object MatchRecognizeSql {
           def cnt(c: String): String =
             per("COUNT", c).mkString("(", " + ", ")")
           def navUnion(isF: Boolean, c: String): String = {
+            val fn0 = if (isF) "FIRST" else "LAST"
+            // a single-member union's merged order IS the member's own
+            // order — and least/greatest reject a lone argument (the
+            // round-20 univNav fuzz draw found this on one-variable
+            // patterns, where the implicit universal SUBSET has one
+            // member; a declared SUBSET s = (a) hit it too)
+            if (mem.length == 1) return s"$fn0(${mem.head}.$c)"
             require(orderColIntegral(tsCol) && orderColIntegral(tieCol),
               s"DEFINE $n: FIRST/LAST over ${snShow(c)} folds a " +
                 s"merged binding order and needs integral ORDER BY " +
@@ -1804,9 +1969,12 @@ private[graft] object MatchRecognizeSql {
                 s"(CASE WHEN ${cnt(c)} = 0 THEN NULL ELSE " +
                   per("SUM", c).map(x => s"coalesce($x, 0)")
                     .mkString("", " + ", " END)")
-              case "min" => per("MIN", c).mkString("least(", ", ", ")")
+              case "min" =>
+                if (mem.length == 1) s"MIN(${mem.head}.$c)"
+                else per("MIN", c).mkString("least(", ", ", ")")
               case "max" =>
-                per("MAX", c).mkString("greatest(", ", ", ")")
+                if (mem.length == 1) s"MAX(${mem.head}.$c)"
+                else per("MAX", c).mkString("greatest(", ", ", ")")
               case "avg" =>
                 s"(CASE WHEN ${cnt(c)} = 0 THEN NULL ELSE cast(" +
                   per("SUM", c).map(x => s"coalesce($x, 0)")
@@ -2328,7 +2496,7 @@ private[graft] object MatchRecognizeSql {
           s"cast(size($arrSql) as bigint)"))
     val univArr = unionSql(varNames)
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
-      val t = rewriteOutsideLiterals(et) { seg0 =>
+      val t = rewriteShielded(et) { (seg0, _) =>
         var seg = rewriteCountStar(rewriteMn(seg0), allSlotsArr)
         // universal selectors run BEFORE the per-variable rules (an
         // unqualified argument belongs to no variable's pass)
@@ -2401,7 +2569,7 @@ private[graft] object MatchRecognizeSql {
           s"filter($arr, _mr_e -> _mr_e.`$tsCol` < `$tsCol` OR " +
             s"(_mr_e.`$tsCol` = `$tsCol` AND " +
             s"_mr_e.`$tieCol` <= `$tieCol`))"
-        val t = rewriteOutsideLiterals(et) { seg0 =>
+        val t = rewriteShielded(et) { (seg0, _) =>
           var seg = rewriteCountStar(seg0, filt(allSlotsArr))
           // universal selectors under RUNNING semantics: the merged
           // order filtered to the rows at-or-before the current one

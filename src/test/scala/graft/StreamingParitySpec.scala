@@ -1657,7 +1657,7 @@ class StreamingParitySpec extends SparkSpec {
     */
   private val fuzzDrawKeys = Seq("exprAgg", "subsetSkip", "varNav",
     "nestedNav", "navExpr", "subsetOffset", "subsetExprAgg", "subsetNav",
-    "nestedNavExpr", "anchorEnd")
+    "nestedNavExpr", "anchorEnd", "univNav", "litNav", "mixedNav")
 
   /** One random MATCH_RECOGNIZE statement for the streaming parity
     * fuzzes — shared by the flatMapGroupsWithState leg and the
@@ -1730,7 +1730,40 @@ class StreamingParitySpec extends SparkSpec {
             s"event_id)), 0) < ${20 + rnd.nextInt(60)}"
         case _ => base
       }
-    }.mkString(", ")
+    }
+    // round-20 deterministic rotations (consume NO rnd — every seeded
+    // draw stream is unchanged, like the anchorEnd rotation): the
+    // round-19 distribution semantics and the round-20 literal shield,
+    // exercised through the SAME batch-vs-streaming parity oracle.
+    //   mixedNav: a navigation argument MIXING variables (distributed
+    //     per qualifier) on the LAST variable's define;
+    //   univNav: a fully-unqualified (universal-anchor) selector;
+    //   litNav: a navigation argument CARRYING a string literal with
+    //     dots / keywords / `first(`-shaped / escaped-quote content —
+    //     shielded, so it must parse and stay inert.
+    val defsRot = defs.zipWithIndex.map { case (d0, i) =>
+      var d = d0
+      if (i == nVars - 1 && nVars == 2 && trial % 3 == 1) {
+        bump("mixedNav")
+        d += s" AND coalesce(PREV(v0.event_id + v1.event_id, " +
+          s"${1 + trial % 2}), 0) < ${60 + (trial * 7) % 80}"
+      }
+      if (i == 0 && trial % 3 == 2) {
+        bump("univNav")
+        d += s" AND coalesce(LAST(event_id * 2), 0) < " +
+          s"${30 + (trial * 11) % 60}"
+      }
+      if (i == 0 && trial % 4 == 3) {
+        bump("litNav")
+        val lit = Vector("A.x", "first(", "prev not like",
+          "don\\'t")((trial / 4) % 4)
+        d += s" AND coalesce(LAST(CASE WHEN v0.event_type = '$lit' " +
+          s"THEN v0.event_id * 1000 ELSE v0.event_id END), 0) " +
+          s"< ${999 + (trial * 13) % 90}"
+      }
+      d
+    }
+    val defsJoined = defsRot.mkString(", ")
     // deterministic rotation for the two-vars-gated skip draw (a
     // pure random draw can starve it on an unlucky stream); v1's
     // last row is never the match's first row, so SKIP TO LAST over
@@ -1763,7 +1796,8 @@ class StreamingParitySpec extends SparkSpec {
     if (anchorEnd) bump("anchorEnd")
     val patA = if (anchorEnd) s"$pat vend $$" else pat
     val defsA =
-      if (anchorEnd) s"$defs, vend AS event_type IS NOT NULL" else defs
+      if (anchorEnd) s"$defsJoined, vend AS event_type IS NOT NULL"
+      else defsJoined
     val stmt = (table: String, streamingClauses: String) =>
       s"""SELECT * FROM $table MATCH_RECOGNIZE (
          |  PARTITION BY user_id
