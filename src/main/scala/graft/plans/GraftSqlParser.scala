@@ -347,6 +347,10 @@ private[graft] object MatchRecognizeSql {
     */
   private final class NavMixedRewriter(varNames: Seq[String],
       subsetNames: Seq[String]) {
+    /** Literal store of the segment currently being rewritten — set by
+      * [[rewrite]] so fail-fast messages can unshield the user's text.
+      */
+    private var errLits: scala.collection.Seq[String] = Nil
     private val bound =
       (varNames ++ subsetNames).map(_.toLowerCase).toSet
     private val qualRefRe =
@@ -375,8 +379,10 @@ private[graft] object MatchRecognizeSql {
         .orElse(subsetNames.find(_.equalsIgnoreCase(v))).get
     private def keep(mm: scala.util.matching.Regex.Match): String =
       java.util.regex.Matcher.quoteReplacement(mm.matched)
-    private def distribute(owner: String, what: String, inner: String,
+    private def distribute(owner: String, what0: String, inner: String,
         wrap: String => String): String = {
+      // error messages show the user's text, not shield placeholders
+      val what = unshieldLiterals(what0, errLits)
       val badQ = qualRefRe.findAllMatchIn(inner).map(_.group(1))
         .filterNot(q => bound(q.toLowerCase)).toSeq.distinct
       require(badQ.isEmpty,
@@ -401,7 +407,9 @@ private[graft] object MatchRecognizeSql {
         java.util.regex.Matcher.quoteReplacement(
           wrap(s"${canonOf(mm.group(1))}.${mm.group(2)}"))) + ")"
     }
-    def rewrite(owner: String, seg0: String): String = {
+    def rewrite(owner: String, seg0: String,
+        lits: scala.collection.Seq[String] = Nil): String = {
+      errLits = lits
       var seg = nestedRe.replaceAllIn(seg0, mm => {
         val inner = mm.group(3).trim
         if (pureRef(inner) || quals(inner).length < 2) keep(mm)
@@ -875,7 +883,8 @@ private[graft] object MatchRecognizeSql {
     * undefined).
     */
   private def rewriteExprAgg(seg0: String, v: String, arrSql: String,
-      allBindingNames: Seq[String]): String =
+      allBindingNames: Seq[String],
+      errLits: scala.collection.Seq[String] = Nil): String =
     (s"(?i)(?<!\\w)(sum|avg|min|max|count)\\s*\\(\\s*" +
       s"([^(),]*?$v\\s*\\.\\s*\\w+[^(),]*?)\\s*\\)").r
       .replaceAllIn(seg0, mm => {
@@ -893,7 +902,8 @@ private[graft] object MatchRecognizeSql {
           allBindingNames.filterNot(_.equalsIgnoreCase(v)).foreach { o =>
             require(s"(?i)(?<!\\w)$o\\s*\\.\\s*\\w+".r
                 .findFirstIn(inner).isEmpty,
-              s"$fn($raw): an aggregate argument may reference ONE " +
+              s"$fn(${unshieldLiterals(raw, errLits)}): " +
+                "an aggregate argument may reference ONE " +
                 "pattern variable (zip semantics across two bindings " +
                 "are undefined) — aggregate each variable separately")
           }
@@ -1532,7 +1542,8 @@ private[graft] object MatchRecognizeSql {
     // arguments before.
     val navMixed = new NavMixedRewriter(varNames, subsets.map(_._1))
     def distributeNavMixed(owner: String, text: String): String =
-      rewriteShielded(text)((seg, _) => navMixed.rewrite(owner, seg))
+      rewriteShielded(text)(
+        (seg, lits) => navMixed.rewrite(owner, seg, lits))
     val prevVarRe =
       ("""(?i)(?<!\w)(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*""" +
         """(?:,\s*(\d+)\s*)?\)""").r
@@ -2015,8 +2026,11 @@ private[graft] object MatchRecognizeSql {
           val refsBound = qualRe.findAllMatchIn(arg)
             .exists(q => bindNames(q.group(1).toLowerCase))
           val plain = arg.matches("""(?is)\w+\s*\.\s*\w+""")
+          // masked positions == original positions, so the message can
+          // quote the user's argument with its literals intact
+          val argShow = d.substring(mm.start(2), mm.end(2)).trim
           require(!refsBound || plain,
-            s"DEFINE $n: ${mm.group(1)}($arg) — an aggregate " +
+            s"DEFINE $n: ${mm.group(1)}($argShow) — an aggregate " +
               "argument in DEFINE may be an expression of ONE " +
               "pattern variable's or ONE SUBSET union's row " +
               "(SUM(b.x * b.y), SUM(s.x * s.y)); mixing variables " +
@@ -2496,7 +2510,7 @@ private[graft] object MatchRecognizeSql {
           s"cast(size($arrSql) as bigint)"))
     val univArr = unionSql(varNames)
     val measures = parsedMeasures.filter(!_._3).map { case (alias, et, _) =>
-      val t = rewriteShielded(et) { (seg0, _) =>
+      val t = rewriteShielded(et) { (seg0, segLits) =>
         var seg = rewriteCountStar(rewriteMn(seg0), allSlotsArr)
         // universal selectors run BEFORE the per-variable rules (an
         // unqualified argument belongs to no variable's pass)
@@ -2530,7 +2544,8 @@ private[graft] object MatchRecognizeSql {
             s"array_max(transform($q, _mr_mx -> _mr_mx.`$$1`))")
           // aggregates over an expression of v's row (plus the plain
           // COUNT(v.col) the dedicated rules above leave behind)
-          seg = rewriteExprAgg(seg, v, arr, measureBindings.map(_._1))
+          seg = rewriteExprAgg(seg, v, arr,
+            measureBindings.map(_._1), segLits)
           // try_element_at: a variable that bound zero events (`?`/`*`
           // quantifier, unchosen alternation side) yields SQL-standard
           // NULL instead of an ANSI INVALID_ARRAY_INDEX crash
@@ -2569,7 +2584,7 @@ private[graft] object MatchRecognizeSql {
           s"filter($arr, _mr_e -> _mr_e.`$tsCol` < `$tsCol` OR " +
             s"(_mr_e.`$tsCol` = `$tsCol` AND " +
             s"_mr_e.`$tieCol` <= `$tieCol`))"
-        val t = rewriteShielded(et) { (seg0, _) =>
+        val t = rewriteShielded(et) { (seg0, segLits) =>
           var seg = rewriteCountStar(seg0, filt(allSlotsArr))
           // universal selectors under RUNNING semantics: the merged
           // order filtered to the rows at-or-before the current one
@@ -2599,7 +2614,7 @@ private[graft] object MatchRecognizeSql {
               s"(?i)(?<!\\w)max\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
               s"array_max(transform($f, _mr_mx -> _mr_mx.`$$1`))")
             seg = rewriteExprAgg(seg, v, filt(arr),
-              measureBindings.map(_._1))
+              measureBindings.map(_._1), segLits)
             seg = seg.replaceAll(
               s"(?i)(?<!\\w)first\\s*\\(\\s*$v\\.(\\w+)\\s*\\)",
               s"try_element_at($f, 1).`$$1`")

@@ -5741,6 +5741,37 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(inert == Set(3L, 5L), s"inert-literal: $inert")
   }
 
+  test("fail-fast messages from shielded rewrite passes show the " +
+      "user's literal text, not placeholder markers") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq((1L, 10L, 1L, "A", 2.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mr_literr_sql")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    def stmtWith(pred: String): String =
+      s"""SELECT * FROM mr_literr_sql MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts_us, event_id
+         |  MEASURES b.event_id AS b_id
+         |  PATTERN (a b)
+         |  DEFINE a AS event_type = 'A',
+         |         b AS event_type = 'B' AND ($pred)
+         |)""".stripMargin
+    // unbound qualifier inside a literal-bearing mixed navigation:
+    // the rejection must quote the original argument verbatim
+    val e1 = intercept[Exception](parser.parsePlan(stmtWith(
+      "LAST(CASE WHEN t = 'x.y' THEN a.value ELSE zz.value END) > 0")))
+    assert(e1.getMessage.contains("'zz' is not a PATTERN variable") &&
+      e1.getMessage.contains("'x.y'") &&
+      !e1.getMessage.contains("\u0007"), e1.getMessage)
+    // zip-semantics aggregate rejection with a literal in the argument
+    val e2 = intercept[Exception](parser.parsePlan(stmtWith(
+      "SUM(CASE WHEN t = 'x.y' THEN a.value ELSE b.value END) > 0")))
+    assert(e2.getMessage.contains("'x.y'") &&
+      !e2.getMessage.contains("\u0007"), e2.getMessage)
+  }
+
   test("EVENTTIME followed by a SQL keyword raises the targeted " +
       "alias-to-non-keyword error; the aliased column works (round 20)") {
     // r19 ADVICE: the whitelist lookahead correctly refuses

@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property coverage for the round-20 literal shield: on ANY text
+  * whose quotes pair under Spark's lexer rules, shield→unshield is the
+  * identity, and no literal content survives into the shielded text.
+  */
+object ShieldProps extends Properties("Shield") {
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(graft.Soak.knob("GRAFT_SHIELD_GENS", 500, 5000))
+
+  // literal contents: dots, keywords, parens, escaped quotes — the
+  // exact shapes the rewrite regexes would misread if they leaked
+  private val genLitBody: Gen[String] = Gen.oneOf(
+    Gen.const("x.y"), Gen.const("first("), Gen.const("a.value"),
+    Gen.const("prev not like"), Gen.const("don\\'t"),
+    Gen.const(""), Gen.const("), PREV(b.v"),
+    Gen.alphaNumStr.map(_.take(8)))
+  private val genCode: Gen[String] = Gen.oneOf(
+    "a.value + b.value", "LAST(", ")", " BETWEEN 1 AND 2",
+    "CASE WHEN t = ", " THEN x ELSE y END", "PREV( FIRST(v.c) )",
+    "  \n  ", "c1 * 2 - 3", ",")
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      genCode,
+      genLitBody.map(b => s"'$b'"))).map(_.mkString(" "))
+
+  property("shield then unshield is the identity") =
+    forAll(genText) { s =>
+      val (sh, lits) = MatchRecognizeSql.shieldLiterals(s)
+      MatchRecognizeSql.unshieldLiterals(sh, lits) == s
+    }
+
+  property("no quote, and no dotted or word content from any literal, " +
+      "survives into the shielded text") =
+    forAll(genText) { s =>
+      val (sh, _) = MatchRecognizeSql.shieldLiterals(s)
+      !sh.contains('\'') &&
+        !sh.contains("x.y") && !sh.contains("first(") &&
+        !sh.contains("don")
+    }
+}
