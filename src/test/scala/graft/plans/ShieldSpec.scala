@@ -31,7 +31,7 @@ class ShieldSpec extends AnyFunSuite {
     assert(!sh.contains('\''))
     // the placeholder is digit-only between U+0007 markers: no regex
     // in the rewrite passes can read a qualifier or bare column there
-    assert("\\d+".r.findAllIn(sh).size == 1)
+    assert("\u0007\\d+\u0007".r.findAllIn(sh).size == 1)
   }
 
   test("comments outside literals are dropped; quotes inside comments " +
@@ -47,6 +47,6 @@ class ShieldSpec extends AnyFunSuite {
   test("unshield is total: a stray placeholder index past the store " +
       "restores to itself") {
     assert(MatchRecognizeSql.unshieldLiterals(
-      "x5y", Vector("'a'")) == "x5y")
+      "x\u00075\u0007y", Vector("'a'")) == "x\u00075\u0007y")
   }
 }
