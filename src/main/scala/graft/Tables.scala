@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
+import scala.jdk.CollectionConverters._
+
 /** Loader for the driver-generated test tables (TESTDATA.md).
   *
   * Streams in the reference are user-registered named inputs
@@ -17,8 +19,85 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Planned input-split count and footer row count per file, cached:
+    * both are pure scan METADATA (file length ÷ maxPartitionBytes
+    * packing; parquet footer row counts), so caching them never caches
+    * data. `.rdd` only plans — no job runs.
+    */
+  private val scanMeta =
+    new scala.collection.concurrent.TrieMap[String, (Int, Long)]
+
+  /** Parquet footer row count (no data read, no job). -1 if unreadable
+    * (directory tables, exotic layouts) — the floor then falls back to
+    * full default parallelism.
+    */
+  private def footerRows(spark: SparkSession, p: String): Long =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(hp, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Parallelism floor for tiny scans (optimization guide §2/§6): the
+    * test tables are single-row-group parquet files, which plan as ONE
+    * input split — every per-row kernel downstream (gram hashing, BPE,
+    * LM scoring) would run on one core no matter how many the session
+    * has. When the planned scan has fewer partitions than the session's
+    * default parallelism, round-robin repartition up to
+    * min(defaultParallelism, ceil(rows / rowsPerSplit)) — proportional
+    * to the data, so a 2 000-row vector table gets a handful of
+    * partitions (its queries are job-count-bound; 32-way tiny tasks
+    * only add shuffle-file and scheduling overhead) while a table with
+    * row counts at or above rowsPerSplit·cores parallelizes fully. On
+    * any production-scale table (many files / row groups) the scan
+    * already splits past the floor and this is the identity, so the
+    * setting is scale-adaptive, not a local[32] constant. Every
+    * operator in this repo is partitioning-independent by design
+    * (integer-exact folds, explicit orderings), and the 221-query
+    * oracle gate adjudicates that claim after this change.
+    *
+    * EXCLUDED tables (spark.graft.scanFloorExclude, default
+    * "lineitem"): q02/q10 aggregate large per-group populations of
+    * DOUBLE columns (sum/avg of price/discount) — those sums match the
+    * sequential DuckDB oracle only while the input feeds the partial
+    * aggregation in row order (one partition), so reordering the scan
+    * changes the 6th decimal (oracle-verified: 4/6 q02 rows drift
+    * under a 32-way floor). lineitem's scan-side work is plain
+    * columnar decode (no per-row kernels), so the floor buys nothing
+    * there anyway. The repo's own operators bank floats as integers
+    * precisely to avoid this class; the TPC-H-style queries predate
+    * that convention and keep their declared semantics.
+    *
+    * Overrides: spark.graft.scanFloor = hard target partition count
+    * (<= 1 disables); spark.graft.scanFloorRows = rows per split
+    * (default 256).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = path(dir, name)
+    val df = spark.read.parquet(p)
+    val excluded = spark.conf
+      .getOption("spark.graft.scanFloorExclude")
+      .getOrElse("lineitem").split(",").map(_.trim).contains(name)
+    if (excluded) return df
+    val dp = spark.sparkContext.defaultParallelism
+    val hard = spark.conf.getOption("spark.graft.scanFloor").map(_.toInt)
+    if (hard.exists(_ <= 1)) return df
+    val (parts, rows) = scanMeta.getOrElseUpdate(p,
+      (df.rdd.getNumPartitions, footerRows(spark, p)))
+    val target = hard.getOrElse {
+      val perSplit = spark.conf
+        .getOption("spark.graft.scanFloorRows").map(_.toLong)
+        .getOrElse(256L)
+      if (rows < 0) dp
+      else math.min(dp.toLong,
+        (rows + perSplit - 1) / perSplit).toInt
+    }
+    if (parts < target) df.repartition(target) else df
+  }
 
   /** The events table with a µs-epoch `ts_us` BIGINT plus `ts`
     * normalized to a µs TimestampType — whatever physical type the

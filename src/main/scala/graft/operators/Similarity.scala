@@ -254,8 +254,10 @@ object Similarity {
     */
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 2, scaleBits: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame =
-    lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir)
+      checkpointDir: Option[String] = None,
+      materialize: Boolean = true): DataFrame =
+    lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir,
+        materialize)
       .select(col("vec_id"), col("cid").as("cluster"))
 
   /** The trained centroids themselves — the [[kmeansAssign]] rounds plus
@@ -266,9 +268,11 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 2, scaleBits: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      materialize: Boolean = true): DataFrame =
     centroidUpdate(
-      lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir),
+      lloyd(df, vecCol, idCol, k, iters, scaleBits, checkpointDir,
+        materialize),
       (1L << scaleBits).toDouble)
 
   /** Map-side nearest-centroid argmin: the k-row `(cid, cv)` codebook
@@ -339,16 +343,23 @@ object Similarity {
     */
   private def lloydFull(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int, scaleBits: Int,
-      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
+      checkpointDir: Option[String],
+      materialize: Boolean = true): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val scale = (1L << scaleBits).toDouble
     // null vectors are EXCLUDED, explicitly: a null distance would sort
     // first under Spark's null ordering but LAST under an external
     // engine's ORDER BY (DuckDB) — dropping the row on both sides is
     // the only engine-independent semantics
-    val e = df.select(col(idCol).cast("long").as("vec_id"),
+    val e0 = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("x"))
       .filter(col("x").isNotNull)
+    // materialize the training relation ONCE (guide §5: it is re-read
+    // by every assignment round, the update, and the seed TakeOrdered —
+    // without this each of those jobs re-derives the scan lineage).
+    // Callers that already hold a materialized projection (the PQ
+    // subspace slices) pass materialize = false.
+    val e = if (materialize) e0.localCheckpoint() else e0
     // the checkpoint dir is SparkContext-GLOBAL: bound through the
     // shared [[Checkpoints]] guard, ONCE per distinct path — repeated
     // calls with the same dir (the pipeline norm) no longer mint fresh
@@ -374,8 +385,24 @@ object Similarity {
 
   private def lloyd(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int, scaleBits: Int,
-      checkpointDir: Option[String]): DataFrame =
-    lloydFull(df, vecCol, idCol, k, iters, scaleBits, checkpointDir)._1
+      checkpointDir: Option[String],
+      materialize: Boolean = true): DataFrame =
+    lloydFull(df, vecCol, idCol, k, iters, scaleBits, checkpointDir,
+      materialize)._1
+
+  /** The corpus/query projection every PQ/IVF kernel shares —
+    * `(idOut, _xf)` with nulls excluded — materialized ONCE so the
+    * dozens of downstream jobs (codebook training rounds, broadcast
+    * builds, encode, rerank fetch) read a few-KB-per-partition local
+    * checkpoint instead of each re-deriving the scan lineage (guide
+    * §1.2/§5: the ANN queries were job-count-bound, not data-bound).
+    */
+  private def matVecs(df: DataFrame, vecCol: String, idCol: String,
+      idOut: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idOut),
+        col(vecCol).cast("array<double>").as("_xf"))
+      .localCheckpoint()
 
   /** One integer-exact Lloyd centroid update over `(cid, x)` rows:
     * floor(x·2^scaleBits) long sums per (cluster, dim), rebuilt in pos
@@ -432,12 +459,14 @@ object Similarity {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must be a positive multiple of m ($m)")
     val subLen = dim / m
+    // one materialized corpus projection shared by all m subspace
+    // trainings — each sub-lloyd reads the checkpoint, not the scan
+    val corpusM = matVecs(df, vecCol, idCol, "vec_id")
     (0 until m).map { s =>
-      val sub = df.select(col(idCol).cast("long").as("vec_id"),
-        slice(col(vecCol).cast("array<double>"),
-          s * subLen + 1, subLen).as("_sub"))
+      val sub = corpusM.select(col("vec_id"),
+        subVecCol(col("_xf"), s, subLen).as("_sub"))
       kmeansAssign(sub, "_sub", "vec_id", k, iters,
-          checkpointDir = checkpointDir)
+          checkpointDir = checkpointDir, materialize = false)
         .select(col("vec_id"), lit(s).cast("int").as("subspace"),
           col("cluster").as("code"))
     }.reduce(_ unionByName _)
@@ -470,18 +499,29 @@ object Similarity {
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(topK >= 1)
     val subLen = dim / m
-    val cents = trainPqCodebooks(corpus, vecCol, idCol, m, k, iters, subLen)
-    // encode: ONE projection over the corpus scan, all m argmins
-    // map-side (each codebook rides in as a 1-row broadcast); null
-    // vectors excluded like the Lloyd core (engine-independent gate)
-    val base = corpus.filter(col(vecCol).isNotNull).select(
-      col(idCol).cast("long").as("vec_id") +:
-        (0 until m).map(s => subVecCol(col(vecCol), s, subLen)
+    pqTopKM(matVecs(corpus, vecCol, idCol, "vec_id"),
+      matVecs(queries, vecCol, idCol, "query_id"),
+      m, k, topK, iters, excludeSelf, subLen)
+  }
+
+  /** [[pqTopK]] over pre-materialized `(vec_id|query_id, _xf)` frames —
+    * the form the rerank compositions share so the corpus and query
+    * projections materialize exactly once per query.
+    */
+  private def pqTopKM(corpusM: DataFrame, queriesM: DataFrame, m: Int,
+      k: Int, topK: Int, iters: Int, excludeSelf: Boolean,
+      subLen: Int): DataFrame = {
+    val cents = trainPqCodebooks(corpusM, m, k, iters, subLen)
+    // encode: ONE projection over the materialized corpus, all m
+    // argmins map-side (each codebook rides in as a 1-row broadcast)
+    val base = corpusM.select(
+      col("vec_id") +:
+        (0 until m).map(s => subVecCol(col("_xf"), s, subLen)
           .as(s"_x$s")): _*)
     val coded = (0 until m).foldLeft(base) { (acc, s) =>
       argminCodebook(acc, s"_x$s", cents(s), s"_c$s")
     }.select(col("vec_id") +: (0 until m).map(s => col(s"_c$s")): _*)
-    adcRank(coded, queries, vecCol, idCol, cents, subLen, topK,
+    adcRank(coded, queriesM, cents, subLen, topK,
       excludeSelf, pairsCarryQueryId = false)
   }
 
@@ -501,15 +541,21 @@ object Similarity {
     * caller references it twice (argmin/encoding + distance table; the
     * semDedup lesson).
     */
-  private def trainPqCodebooks(corpus: DataFrame, vecCol: String,
-      idCol: String, m: Int, k: Int, iters: Int,
-      subLen: Int): Seq[DataFrame] =
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol).cast("long").as("vec_id"),
-        subVecCol(col(vecCol), s, subLen).as("_sub"))
-      lloydFull(sub, "_sub", "vec_id", k, iters, scaleBits = 20,
-        checkpointDir = None)._2.localCheckpoint()
-    }
+  private def trainPqCodebooks(corpusM: DataFrame, m: Int, k: Int,
+      iters: Int, subLen: Int): Seq[DataFrame] = {
+    // all m subspace codebooks union into ONE eager materialization —
+    // one job trains every subspace concurrently (guide §2.6 back-fill,
+    // plan-level union) instead of m sequential checkpoint jobs
+    val all = (0 until m).map { s =>
+      lloydFull(corpusM.select(col("vec_id"),
+          subVecCol(col("_xf"), s, subLen).as("_sub")),
+        "_sub", "vec_id", k, iters, scaleBits = 20,
+        checkpointDir = None, materialize = false)._2
+        .select(lit(s).cast("int").as("_s"), col("cid"), col("cv"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    (0 until m).map(s =>
+      all.filter(col("_s") === s).select(col("cid"), col("cv")))
+  }
 
   /** The shared ADC tail of [[pqTopK]] and [[ivfPqTopK]]: per-subspace
     * distance tables (|Q|·k rows, broadcast) joined onto the coded
@@ -520,14 +566,14 @@ object Similarity {
     * the plain coded corpus (full scan — the first table join introduces
     * query_id).
     */
-  private def adcRank(pairs: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, pqCents: Seq[DataFrame],
+  private def adcRank(pairs: DataFrame, queriesM: DataFrame,
+      pqCents: Seq[DataFrame],
       subLen: Int, topK: Int, excludeSelf: Boolean,
       pairsCarryQueryId: Boolean): DataFrame = {
     val dtabs = pqCents.zipWithIndex.map { case (cents, s) =>
-      queries.filter(col(vecCol).isNotNull)
-        .select(col(idCol).cast("long").as("query_id"),
-          subVecCol(col(vecCol), s, subLen).as("_q"))
+      queriesM
+        .select(col("query_id"),
+          subVecCol(col("_xf"), s, subLen).as("_q"))
         .crossJoin(broadcast(cents))
         .select(col("query_id"), col("cid").as(s"_c$s"),
           sqDist(col("_q"), col("cv")).as(s"_d$s"))
@@ -598,23 +644,29 @@ object Similarity {
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(nCells >= 1 && nProbe >= 1 && topK >= 1)
     val subLen = dim / m
+    ivfPqTopKM(matVecs(corpus, vecCol, idCol, "vec_id"),
+      matVecs(queries, vecCol, idCol, "query_id"),
+      m, k, nCells, nProbe, topK, iters, excludeSelf, residual, subLen)
+  }
+
+  /** [[ivfPqTopK]] over pre-materialized `(vec_id|query_id, _xf)`
+    * frames (see [[matVecs]]) — shared with [[ivfPqRerank]].
+    */
+  private def ivfPqTopKM(corpusM: DataFrame, queriesM: DataFrame,
+      m: Int, k: Int, nCells: Int, nProbe: Int, topK: Int, iters: Int,
+      excludeSelf: Boolean, residual: Boolean,
+      subLen: Int): DataFrame = {
     // the coarse codebook is referenced twice (cell assignment + query
     // probe; three times with residuals) — materialize like the PQ ones
-    val coarse = kmeansCentroids(corpus, vecCol, idCol, nCells, iters)
+    val coarse = kmeansCentroids(corpusM, "_xf", "vec_id", nCells, iters,
+        materialize = false)
       .localCheckpoint()
-    // null vectors excluded like the Lloyd core (engine-independent)
-    val baseF = corpus.filter(col(vecCol).isNotNull).select(
-      col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("_xf"))
-    val withCell = argminCodebook(baseF, "_xf", coarse, "_cell")
+    val withCell = argminCodebook(corpusM, "_xf", coarse, "_cell")
     val probes = probeCodebook(
-        queries.filter(col(vecCol).isNotNull)
-          .select(col(idCol).cast("long").as("query_id"),
-            col(vecCol).cast("array<double>").as("_qf")),
+        queriesM.select(col("query_id"), col("_xf").as("_qf")),
         "_qf", coarse, "_cell", math.min(nProbe, nCells))
     if (!residual) {
-      val pqCents = trainPqCodebooks(corpus, vecCol, idCol, m, k, iters,
-        subLen)
+      val pqCents = trainPqCodebooks(corpusM, m, k, iters, subLen)
       val sub = withCell.select(col("vec_id") +: col("_cell") +:
         (0 until m).map(s => subVecCol(col("_xf"), s, subLen)
           .as(s"_x$s")): _*)
@@ -626,7 +678,7 @@ object Similarity {
       val pairs = coded.join(
         broadcast(probes.select(col("query_id"), col("_cell"))),
         Seq("_cell"))
-      adcRank(pairs, queries, vecCol, idCol, pqCents, subLen, topK,
+      adcRank(pairs, queriesM, pqCents, subLen, topK,
         excludeSelf, pairsCarryQueryId = true)
     } else {
       // residual = x − c_cell, a per-element zip_with subtract in the
@@ -644,11 +696,17 @@ object Similarity {
           (0 until m).map(s => subVecCol(col("_r"), s, subLen)
             .as(s"_x$s")): _*)
         .localCheckpoint()
-      val pqCents = (0 until m).map { s =>
+      // the m residual codebooks union into one eager materialization
+      // (one training job for every subspace — the trainPqCodebooks
+      // shape), each reading the rsub checkpoint, not the scan
+      val pqAll = (0 until m).map { s =>
         lloydFull(rsub.select(col("vec_id"), col(s"_x$s").as("_sub")),
           "_sub", "vec_id", k, iters, scaleBits = 20,
-          checkpointDir = None)._2.localCheckpoint()
-      }
+          checkpointDir = None, materialize = false)._2
+          .select(lit(s).cast("int").as("_s"), col("cid"), col("cv"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val pqCents = (0 until m).map(s =>
+        pqAll.filter(col("_s") === s).select(col("cid"), col("cv")))
       val coded = (0 until m).foldLeft(rsub) { (acc, s) =>
           argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
         }
@@ -697,26 +755,27 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     require(rerankDepth >= topK,
       s"rerankDepth ($rerankDepth) must be >= topK ($topK)")
-    val cands = pqTopK(corpus, queries, vecCol, idCol, dim, m, k,
-        rerankDepth, iters, excludeSelf)
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must be a positive multiple of m ($m)")
+    val corpusM = matVecs(corpus, vecCol, idCol, "vec_id")
+    val queriesM = matVecs(queries, vecCol, idCol, "query_id")
+    val cands = pqTopKM(corpusM, queriesM, m, k,
+        rerankDepth, iters, excludeSelf, dim / m)
       .select(col("query_id"), col("neighbor_id"))
-    exactRerank(corpus, queries, vecCol, idCol, cands, topK)
+    exactRerank(corpusM, queriesM, cands, topK)
   }
 
   /** The shared refine tail: exact fixed-order squared L2 over a
     * (query_id, neighbor_id) shortlist, re-ranked to `topK`. The
     * shortlist and query vectors broadcast; the corpus never shuffles
-    * for the fetch; one WindowGroupLimit-capped rank exchange.
+    * for the fetch; one WindowGroupLimit-capped rank exchange. Takes
+    * the [[matVecs]]-materialized frames.
     */
-  private def exactRerank(corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, cands: DataFrame,
-      topK: Int): DataFrame = {
-    val nbr = corpus.filter(col(vecCol).isNotNull).select(
-      col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("_nv"))
-    val qv = queries.filter(col(vecCol).isNotNull).select(
-      col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("_qv"))
+  private def exactRerank(corpusM: DataFrame, queriesM: DataFrame,
+      cands: DataFrame, topK: Int): DataFrame = {
+    val nbr = corpusM.select(col("vec_id").as("neighbor_id"),
+      col("_xf").as("_nv"))
+    val qv = queriesM.select(col("query_id"), col("_xf").as("_qv"))
     val exact = nbr.join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -742,10 +801,16 @@ object Similarity {
       residual: Boolean = false): DataFrame = {
     require(rerankDepth >= topK,
       s"rerankDepth ($rerankDepth) must be >= topK ($topK)")
-    val cands = ivfPqTopK(corpus, queries, vecCol, idCol, dim, m, k,
-        nCells, nProbe, rerankDepth, iters, excludeSelf, residual)
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must be a positive multiple of m ($m)")
+    require(nCells >= 1 && nProbe >= 1 && topK >= 1)
+    val corpusM = matVecs(corpus, vecCol, idCol, "vec_id")
+    val queriesM = matVecs(queries, vecCol, idCol, "query_id")
+    val cands = ivfPqTopKM(corpusM, queriesM, m, k,
+        nCells, nProbe, rerankDepth, iters, excludeSelf, residual,
+        dim / m)
       .select(col("query_id"), col("neighbor_id"))
-    exactRerank(corpus, queries, vecCol, idCol, cands, topK)
+    exactRerank(corpusM, queriesM, cands, topK)
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,
