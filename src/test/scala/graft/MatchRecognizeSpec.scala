@@ -5741,6 +5741,43 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(inert == Set(3L, 5L), s"inert-literal: $inert")
   }
 
+  test("literals at the BOUNDARY of navigation arguments survive the " +
+      "rewrite: leading, trailing and literal-only forms (r20 ADVICE " +
+      "high — String.trim used to strip the shield markers)") {
+    // String.trim strips every char <= U+0020 including the U+0007
+    // shield markers, so `LAST('P' || ...)` lost its leading marker
+    // (PARSE_SYNTAX_ERROR on the corrupted placeholder) and `LAST('x')`
+    // lost BOTH markers and silently compiled to the placeholder INDEX
+    // — wrong results with no error. wsTrim (shield-safe) fixes all
+    // nine group-trim sites; this is the end-to-end regression.
+    val data = Seq((1L, 10L, 1L, "A", 2.0), (2L, 20L, 1L, "A", 3.0),
+      (3L, 30L, 1L, "B", 5.0), (4L, 10L, 2L, "A", 7.0),
+      (5L, 20L, 2L, "B", 11.0))
+    data.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mr_lit_bound")
+    val parser = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser, spark)
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      parser.parsePlan(
+        """SELECT * FROM mr_lit_bound MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts_us, event_id
+          |  MEASURES b.event_id AS b_id,
+          |           LAST('P' || a.event_type || b.event_type) AS m_lead,
+          |           LAST(a.event_type || '-S') AS m_trail,
+          |           LAST('x') AS m_only
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (a+ b)
+          |  DEFINE a AS event_type = 'A',
+          |         b AS event_type = 'B'
+          |)""".stripMargin))
+      .select($"b_id", $"m_lead", $"m_trail", $"m_only")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(out == Set(
+      (3L, "PAB", "A-S", "x"),
+      (5L, "PAB", "A-S", "x")), s"got: $out")
+  }
+
   test("fail-fast messages from shielded rewrite passes show the " +
       "user's literal text, not placeholder markers") {
     implicit val sqlCtx = spark.sqlContext
@@ -5800,6 +5837,25 @@ class MatchRecognizeSpec extends SparkSpec {
         e.getMessage.contains("alias the event-time column"),
         s"EVENTTIME $kw: expected the targeted keyword error, got:\n" +
           e.getMessage)
+    }
+    // r20 ADVICE (low): a malformed statement MISSING the PATTERN
+    // clause whose text happens to contain `eventtime <keyword>
+    // define` must surface the real missing-clause error, not the
+    // misleading alias diagnosis (patEnd.forall was vacuously true
+    // when PATTERN went unfound — now patEnd.exists)
+    locally {
+      val noPat = intercept[Exception](parser.parsePlan(
+        s"""SELECT * FROM mr_evtkw_sql MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts_us, event_id
+           |  MEASURES b.event_id AS b_id
+           |  EVENTTIME timestamp
+           |  DEFINE b AS event_type = 'B'
+           |)""".stripMargin))
+      assert(noPat.getMessage != null &&
+        !noPat.getMessage.contains("alias the event-time column"),
+        "missing-PATTERN statement must not surface the alias " +
+          s"diagnosis, got:\n${noPat.getMessage}")
     }
     // a column genuinely NAMED `eventtime` used bare in expression
     // text must NOT trip the diagnosis (the three-condition guard:

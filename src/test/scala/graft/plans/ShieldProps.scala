@@ -43,4 +43,31 @@ object ShieldProps extends Properties("Shield") {
         !sh.contains("x.y") && !sh.contains("first(") &&
         !sh.contains("don")
     }
+
+  // r20 ADVICE (high): String.trim strips the U+0007 markers when a
+  // literal sits at the BOUNDARY of a rewriter group — wsTrim must
+  // strip real whitespace ONLY and never touch a marker
+  property("wsTrim strips surrounding whitespace but never a shield " +
+      "marker, and round-trips through unshield") =
+    forAll(genLitBody, Gen.oneOf("", " ", "\t", "\n", " \t ")) { (b, ws) =>
+      val s = s"'$b'"
+      val (sh, lits) = MatchRecognizeSql.shieldLiterals(s)
+      val t = MatchRecognizeSql.wsTrim(ws + sh + ws)
+      t == sh && MatchRecognizeSql.unshieldLiterals(t, lits) == s
+    }
+
+  property("wsTrim equals String.trim on marker-free text") =
+    forAll(Gen.oneOf(genCode, Gen.const(""), Gen.const("  \t\r\n "))) { s =>
+      MatchRecognizeSql.wsTrim(s) == s.trim
+    }
+
+  // r20 ADVICE (low): Spark's lexer nests bracketed comments — the
+  // shield must drop `/* a /* b */ c */` entirely, not leak `c */`
+  property("nested bracketed comments are dropped entirely") =
+    forAll(genLitBody) { b =>
+      val (sh, _) = MatchRecognizeSql.shieldLiterals(
+        s"x /* o '$b' /* i */ leak */ y")
+      !sh.contains("leak") && !sh.contains("*/") &&
+        sh.contains("x") && sh.contains("y")
+    }
 }
