@@ -16,6 +16,16 @@ object Bench {
       // cache entries are small vs the 8g heap.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      // constraint propagation is O(n²) in constraint×expression count
+      // and this suite's plans are deep (unrolled Lloyd rounds, 56 MR
+      // rewrites); every operator here adds its own null filters, so
+      // the inferred constraints buy nothing. A/B on the full sweep:
+      // median per-query ratio 0.963, total 175.8 s vs the 178.2/210.4
+      // baseline pair. Semantics-preserving (the optimizer only STOPS
+      // inferring extra predicates); Verify runs the oracle gate under
+      // the same conf so the verified path IS the timed path.
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer cache, executor threads)

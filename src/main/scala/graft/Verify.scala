@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's planner conf so the oracle gate verifies the
+      // exact configuration the bench times (see Bench.scala)
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
