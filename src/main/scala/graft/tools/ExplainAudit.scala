@@ -14,6 +14,10 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // mirror the bench session's planner conf so the audited plans
+      // are the plans the bench times (see Bench.scala)
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
