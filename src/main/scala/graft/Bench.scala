@@ -78,6 +78,29 @@ object Bench {
           |         b AS event_type = 'purchase'
           |)""".stripMargin))
         .write.mode("overwrite").format("noop").save()
+      // ANN-family leg: the first PQ/IVF query of the run otherwise
+      // absorbs the family's codegen/JIT warmup (q100 measured ~2 s
+      // above its steady-state repeats). 256 synthetic 8-dim vectors.
+      val vecs = spark.range(0L, 256L, 1L, 4)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(8)),
+            i => (col("id") * i % 97).cast("double") / lit(97.0))
+            .as("embedding"))
+      graft.operators.Similarity.ivfPqRerank(vecs,
+          vecs.filter(col("vec_id") < 4), "embedding", "vec_id",
+          dim = 8, m = 2, k = 2, nCells = 2, nProbe = 1, topK = 2,
+          rerankDepth = 3, residual = true)
+        .write.mode("overwrite").format("noop").save()
+      // text-kernel leg: gram hashing / LM scoring codegen paths
+      val docs = spark.range(0L, 512L, 1L, 4)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(24)),
+            i => concat(lit("w"), (col("id") * i % 53).cast("string"))))
+            .as("text"))
+      graft.operators.TextOps.bigramLmScore(docs, "text", "doc_id")
+        .write.mode("overwrite").format("noop").save()
+      graft.operators.TextOps.substringDupStats(docs, "text", "doc_id")
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => }
     // optional comma-separated query filter for local iteration;
     // the driver sets no filter and benches everything
