@@ -101,7 +101,13 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       graft.operators.TextOps.substringDupStats(docs, "text", "doc_id")
         .write.mode("overwrite").format("noop").save()
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      // a silently-skipped warmup reverts the bench to cold-start
+      // numbers with no visible cause — surface the leg failure loudly
+      // (the run itself continues; warmup is a measurement aid)
+      System.err.println(s"[bench] WARMUP LEG FAILED — timings may be " +
+        s"cold: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
     // optional comma-separated query filter for local iteration;
     // the driver sets no filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -166,7 +172,19 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_FULL.json"))
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+      // self-check: the file must be byte-identical to the stdout line
+      // (the driver's artifact keeps only a ~2 KB stdout tail, so the
+      // file is the recoverable copy — a silent divergence would make
+      // a future round-over-round comparison unparseable again)
+      val back = new String(java.nio.file.Files.readAllBytes(out),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (back != line + "\n")
+        System.err.println(
+          s"[bench] WARNING: $out does not match the stdout JSON line")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not persist the " +
+        s"bench line: ${e.getClass.getName}: ${e.getMessage}")
+    }
     // The driver's parser needs the stdout line's field set to stay
     // EXACTLY as-is (see above), so the self-identification metadata —
     // 1-min loadavg at start/end and per query, plus per-query start

@@ -2648,10 +2648,12 @@ object SparkEntry {
     // weights are bit-identical under any partitioning), then the
     // stateless scan-side margin/prediction projection.
     "q115_quality_classifier" -> ((s, dir) => {
-      val docs = ld(s, dir, "documents")
-      val model = Classifier.perceptronTrain(docs, "text", "doc_id",
-        label = col("source") === "src0", buckets = 1024, epochs = 2)
-      Classifier.perceptronScore(docs, "text", "doc_id", model)
+      // train + score fused: ONE tokenize pass (the frozen scorer's
+      // margin/n_feats are exact integer re-folds of the materialized
+      // training relation — output identical to train-then-score)
+      Classifier.perceptronTrainScore(ld(s, dir, "documents"), "text",
+          "doc_id", label = col("source") === "src0", buckets = 1024,
+          epochs = 2)
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -3363,11 +3365,10 @@ object SparkEntry {
     // q115 frozen perceptron — the table that picks a quality gate's
     // operating point before it ships.
     "q131_classifier_calibration" -> ((s, dir) => {
-      val docs = ld(s, dir, "documents")
-      val model = Classifier.perceptronTrain(docs, "text", "doc_id",
-        label = col("source") === "src0", buckets = 1024, epochs = 2)
-      Classifier.calibrationReport(docs, "text", "doc_id",
-        label = col("source") === "src0", model,
+      // train + score + report fused: one tokenize pass (see q115)
+      Classifier.trainCalibrationReport(ld(s, dir, "documents"), "text",
+        "doc_id", label = col("source") === "src0", buckets = 1024,
+        epochs = 2,
         thresholds = Seq(-80000L, -60000L, -45000L, -30000L, -15000L, 0L))
     }),
 

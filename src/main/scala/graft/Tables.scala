@@ -94,6 +94,14 @@ object Tables {
       .getOption("spark.graft.scanFloorTables")
       .getOrElse("").split(",").map(_.trim).contains(name)
     if (!floored) return df
+    // the lineitem float-sum-order hazard above is enforced in CODE,
+    // not just documentation: flooring it silently drifts q02/q10
+    if (name == "lineitem")
+      throw new IllegalArgumentException(
+        "spark.graft.scanFloorTables must not include 'lineitem': " +
+          "q02/q10 sum large per-group DOUBLE populations whose totals " +
+          "match the sequential oracle only in row order (4/6 q02 rows " +
+          "drift at 6dp under a 32-way floor — round-21 finding)")
     val dp = spark.sparkContext.defaultParallelism
     val hard = spark.conf.getOption("spark.graft.scanFloor").map(_.toInt)
     if (hard.exists(_ <= 1)) return df

@@ -14,9 +14,13 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // mirror Bench's planner conf so the oracle gate verifies the
-      // exact configuration the bench times (see Bench.scala)
+      // exact configuration the bench times (see Bench.scala) — BOTH
+      // confs, including the static codegen-cache sizing (r21 ADVICE:
+      // the docs claimed the mirror but only constraint-prop was set)
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

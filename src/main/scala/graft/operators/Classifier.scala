@@ -93,6 +93,12 @@ object Classifier {
     // read 2× per epoch — materialize once
     val dc = if (checkpointDir.isDefined) dc0.checkpoint()
       else dc0.localCheckpoint()
+    PerceptronModel(buckets, epochs, trainOn(dc, buckets, epochs))
+  }
+
+  /** The epoch loop over a materialized per-doc feature relation. */
+  private def trainOn(dc: DataFrame, buckets: Int,
+      epochs: Int): Array[Long] = {
     val w = Array.fill[Long](buckets)(0L)
     for (_ <- 0 until epochs) {
       val wLit = lit(w)
@@ -106,7 +112,46 @@ object Classifier {
         .collect()
       grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
-    PerceptronModel(buckets, epochs, w)
+    w
+  }
+
+  /** Train AND score in ONE tokenize pass (guide §1.2): the
+    * materialized per-document feature relation the epochs iterate
+    * over already carries everything the frozen scorer emits —
+    * `margin = Σ_b c_b·w[b]` (integer adds commute exactly, so the
+    * per-bucket total equals [[perceptronScore]]'s per-occurrence
+    * scan-side fold bit-for-bit; banked as decimal(38,0) like the
+    * training margins so corpus-scale sums cannot wrap) and
+    * `n_feats = Σ_b c_b = 2·|toks|−1` — so the corpus is tokenized
+    * once, not twice. Output rows are identical to
+    * `perceptronScore(df, …, perceptronTrain(df, …))`; docs with
+    * empty/null text score `(0, 0, 0)` via the left join.
+    */
+  def perceptronTrainScore(df: DataFrame, textCol: String, idCol: String,
+      label: Column, buckets: Int = 1024, epochs: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs must be in [1, 64], got $epochs")
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
+    val dc0 = docCounts(df, textCol, idCol, label, buckets)
+    val dc = if (checkpointDir.isDefined) dc0.checkpoint()
+      else dc0.localCheckpoint()
+    val w = trainOn(dc, buckets, epochs)
+    val wLit = lit(w)
+    val perDoc = dc.groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_feats"),
+        sum(col("_c").cast("decimal(38,0)") *
+          element_at(wLit, (col("_b") + 1).cast("int")))
+          .cast("long").as("margin"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("margin"), lit(0L)).as("margin"),
+        (coalesce(col("margin"), lit(0L)) > 0).cast("int").as("predicted"))
   }
 
   /** Score documents against a frozen [[PerceptronModel]] — a
@@ -148,9 +193,30 @@ object Classifier {
     */
   def calibrationReport(df: DataFrame, textCol: String, idCol: String,
       label: Column, model: PerceptronModel,
+      thresholds: Seq[Long]): DataFrame =
+    calibrationFrom(perceptronScore(df, textCol, idCol, model),
+      df, idCol, label, thresholds)
+
+  /** [[calibrationReport]] with the training fused in
+    * ([[perceptronTrainScore]] — one tokenize pass instead of three:
+    * train features, score features, and the report all read the one
+    * materialized per-doc relation). Output identical to
+    * `calibrationReport(df, …, perceptronTrain(df, …), thresholds)`.
+    */
+  def trainCalibrationReport(df: DataFrame, textCol: String,
+      idCol: String, label: Column, buckets: Int = 1024,
+      epochs: Int = 2, thresholds: Seq[Long],
+      checkpointDir: Option[String] = None): DataFrame =
+    calibrationFrom(
+      perceptronTrainScore(df, textCol, idCol, label, buckets, epochs,
+        checkpointDir),
+      df, idCol, label, thresholds)
+
+  private def calibrationFrom(scoredDf: DataFrame, df: DataFrame,
+      idCol: String, label: Column,
       thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val scored = perceptronScore(df, textCol, idCol, model)
+    val scored = scoredDf
       .join(df.select(col(idCol).cast("long").as("id"),
         label.cast("boolean").as("_y")), Seq("id"))
     scored.select(col("margin"), col("_y"),

@@ -404,6 +404,143 @@ object Similarity {
         col(vecCol).cast("array<double>").as("_xf"))
       .localCheckpoint()
 
+  /** Corpus AND query projections in ONE materialization job (every
+    * PQ/IVF kernel materializes both at entry — a side-tagged union
+    * halves those fixed-cost jobs; each side reads back as a filter
+    * over the shared checkpoint).
+    */
+  private def matVecs2(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String): (DataFrame, DataFrame) = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(lit(tag).as("_side"), col(idCol).cast("long").as("_id"),
+          col(vecCol).cast("array<double>").as("_xf"))
+    val both = side(corpus, 0).unionByName(side(queries, 1))
+      .localCheckpoint()
+    (both.filter(col("_side") === 0)
+        .select(col("_id").as("vec_id"), col("_xf")),
+      both.filter(col("_side") === 1)
+        .select(col("_id").as("query_id"), col("_xf")))
+  }
+
+  // ----- keyed (subspace-tagged) Lloyd: ONE pipeline trains every ----
+  // ----- subspace's codebook concurrently (round-21 verdict: the  ----
+  // ----- m sequential per-subspace loops were the ANN family's    ----
+  // ----- job-count bottleneck — m broadcast builds and m codegen  ----
+  // ----- units per round collapse into one of each)               ----
+
+  /** The subspace-sliced relation `(vec_id, _s, _sub)` — one row per
+    * (vector, subspace), the slice a scan-side projection exactly as
+    * in the per-subspace form.
+    */
+  private def pqSubRel(corpusM: DataFrame, m: Int,
+      subLen: Int): DataFrame =
+    corpusM.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("_s"),
+          subVecCol(col("_xf"), s, subLen).as("_sub"))): _*)).as("_e"))
+      .select(col("vec_id"), col("_e._s").as("_s"),
+        col("_e._sub").as("_sub"))
+
+  /** Init codebooks for every subspace — the k lowest-id vectors'
+    * slices (identical seed ids per subspace because every subspace
+    * sees the same id set), as keyed `(_s, cid, cv)` rows from ONE
+    * TakeOrdered.
+    */
+  private def pqSeeds(corpusM: DataFrame, m: Int, k: Int,
+      subLen: Int): DataFrame =
+    pqSubRel(corpusM.orderBy(col("vec_id")).limit(k), m, subLen)
+      .select(col("_s"), col("vec_id").as("cid"), col("_sub").as("cv"))
+
+  /** Per-subspace codebooks collapsed to one m-row broadcastable frame
+    * `(_s, _cl)` — each `_cl` the same sorted (cid, cv) struct array
+    * [[codebookColumn]] builds for a single codebook.
+    */
+  private def keyedCodebook(cents: DataFrame): DataFrame =
+    cents.groupBy(col("_s"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"))))
+        .as("_cl"))
+
+  /** Keyed map-side argmin: the m-row codebook frame broadcasts, each
+    * subspace row picks its nearest centroid with the SAME codegen'd
+    * [[graft.functions.NearestCentroid]] kernel — one broadcast build
+    * and one generated projection for all m subspaces.
+    */
+  private def keyedAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(keyedCodebook(cents)), Seq("_s"))
+      .withColumn("cid",
+        graft.functions.NearestCentroid.column(col("_sub"), col("_cl")))
+      .drop("_cl")
+
+  /** [[centroidUpdate]] keyed by subspace: identical integer-exact
+    * banks per (subspace, cluster, dim) — the per-subspace sums are
+    * disjoint groups of one aggregation instead of m aggregations.
+    */
+  private def keyedCentroidUpdate(assigned: DataFrame,
+      scale: Double): DataFrame =
+    assigned
+      .select(col("_s"), col("cid"),
+        posexplode(col("_sub")).as(Seq("pos", "xv")))
+      .select(col("_s"), col("cid"), col("pos"),
+        floor(col("xv") * lit(scale)).cast("long").as("sxv"))
+      .groupBy(col("_s"), col("cid"), col("pos"))
+      .agg(sum(col("sxv")).as("_sm"), count(lit(1)).as("cnt"))
+      .groupBy(col("_s"), col("cid"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("_sm")))),
+          p => p.getField("_sm")).as("_ss"),
+        max(col("cnt")).as("_cnt"))
+      .select(col("_s"), col("cid"), transform(col("_ss"),
+        s => s.cast("double") /
+          (col("_cnt").cast("double") * lit(scale))).as("cv"))
+
+  /** The keyed Lloyd codebook rounds: `iters − 1` update/assign cycles
+    * over the subspace-tagged relation, returning the round-(iters−1)
+    * codebooks `(_s, cid, cv)` — the codebooks the final assignment
+    * indexes, bit-identical per subspace to [[lloydFull]]'s `._2`
+    * (same seeds, same argmin kernel, same integer-exact update — the
+    * subspaces never mix: every aggregation and join is keyed by
+    * `_s`).
+    */
+  private def lloydKeyedCodebooks(sub: DataFrame, seeds: DataFrame,
+      iters: Int, scaleBits: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(iters >= 1)
+    val scale = (1L << scaleBits).toDouble
+    var cents = seeds
+    var i = 1
+    while (i < iters) {
+      cents = checkpointed(
+        keyedCentroidUpdate(keyedAssign(sub, cents), scale), reliable)
+      i += 1
+    }
+    cents
+  }
+
+  /** ALL subspace codebooks collapsed into ONE single-row broadcastable
+    * frame: `_cls[s+1]` is subspace s's sorted (cid, cv) codebook
+    * array.
+    */
+  private def codebooksRow(cents: DataFrame): DataFrame =
+    keyedCodebook(cents)
+      .agg(transform(
+        array_sort(collect_list(struct(col("_s"), col("_cl")))),
+        x => x.getField("_cl")).as("_cls"))
+
+  /** Map-side PQ encode, all m subspaces in ONE projection: the
+    * single-row all-codebooks frame broadcasts once (instead of m
+    * separate 1-row broadcasts) and the m argmins are m
+    * [[graft.functions.NearestCentroid]] calls in one generated
+    * projection (instead of m chained crossJoin+project operators —
+    * one codegen unit, one broadcast build). `dfWithSubs` carries
+    * `_x0.._x{m-1}`; output carries `keep` plus `_c0.._c{m-1}`.
+    */
+  private def encodePq(dfWithSubs: DataFrame, cents: DataFrame, m: Int,
+      keep: Seq[Column]): DataFrame =
+    dfWithSubs.crossJoin(broadcast(codebooksRow(cents)))
+      .select(keep ++ (0 until m).map(s =>
+        graft.functions.NearestCentroid.column(col(s"_x$s"),
+          element_at(col("_cls"), s + 1)).as(s"_c$s")): _*)
+
   /** One integer-exact Lloyd centroid update over `(cid, x)` rows:
     * floor(x·2^scaleBits) long sums per (cluster, dim), rebuilt in pos
     * order, one double division per coordinate.
@@ -447,11 +584,13 @@ object Similarity {
     * convention). Every float op is the proven q74 arithmetic, so the
     * codes replay exactly in external SQL.
     *
-    * Scale shape: `m` independent Lloyd pipelines over SLICED vectors —
-    * the slice is a scan-side projection, each subspace's assignment is
-    * the map-side broadcast-codebook argmin (the corpus never shuffles),
-    * and only (k · dim/m)-sized centroid updates cross an exchange. The
-    * union of the m code sets is plan-level only (no barrier).
+    * Scale shape: ONE keyed Lloyd pipeline over the subspace-tagged
+    * SLICED relation — the slice/tag is a scan-side projection, the
+    * assignment is a map-side broadcast of the m-row keyed codebook
+    * frame (the corpus never shuffles), and only (m · k · dim/m)-sized
+    * keyed centroid updates cross an exchange. One broadcast build and
+    * one generated projection per round instead of m of each (the
+    * round-21 job-count fix).
     */
   def pqCodes(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, m: Int, k: Int, iters: Int = 2,
@@ -459,17 +598,17 @@ object Similarity {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must be a positive multiple of m ($m)")
     val subLen = dim / m
+    checkpointDir.foreach(
+      Checkpoints.bindDir(df.sparkSession.sparkContext, _))
     // one materialized corpus projection shared by all m subspace
-    // trainings — each sub-lloyd reads the checkpoint, not the scan
+    // trainings — each round reads the checkpoint, not the scan
     val corpusM = matVecs(df, vecCol, idCol, "vec_id")
-    (0 until m).map { s =>
-      val sub = corpusM.select(col("vec_id"),
-        subVecCol(col("_xf"), s, subLen).as("_sub"))
-      kmeansAssign(sub, "_sub", "vec_id", k, iters,
-          checkpointDir = checkpointDir, materialize = false)
-        .select(col("vec_id"), lit(s).cast("int").as("subspace"),
-          col("cluster").as("code"))
-    }.reduce(_ unionByName _)
+    val sub = pqSubRel(corpusM, m, subLen)
+    val cents = lloydKeyedCodebooks(sub, pqSeeds(corpusM, m, k, subLen),
+      iters, scaleBits = 20, reliable = checkpointDir.isDefined)
+    keyedAssign(sub, cents)
+      .select(col("vec_id"), col("_s").cast("int").as("subspace"),
+        col("cid").as("code"))
   }
 
   /** PQ asymmetric-distance top-k (ADC; Jégou et al. 2011 §IV): train
@@ -499,9 +638,8 @@ object Similarity {
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(topK >= 1)
     val subLen = dim / m
-    pqTopKM(matVecs(corpus, vecCol, idCol, "vec_id"),
-      matVecs(queries, vecCol, idCol, "query_id"),
-      m, k, topK, iters, excludeSelf, subLen)
+    val (corpusM, queriesM) = matVecs2(corpus, queries, vecCol, idCol)
+    pqTopKM(corpusM, queriesM, m, k, topK, iters, excludeSelf, subLen)
   }
 
   /** [[pqTopK]] over pre-materialized `(vec_id|query_id, _xf)` frames —
@@ -513,16 +651,15 @@ object Similarity {
       subLen: Int): DataFrame = {
     val cents = trainPqCodebooks(corpusM, m, k, iters, subLen)
     // encode: ONE projection over the materialized corpus, all m
-    // argmins map-side (each codebook rides in as a 1-row broadcast)
+    // argmins map-side off ONE all-codebooks broadcast
     val base = corpusM.select(
       col("vec_id") +:
         (0 until m).map(s => subVecCol(col("_xf"), s, subLen)
           .as(s"_x$s")): _*)
-    val coded = (0 until m).foldLeft(base) { (acc, s) =>
-      argminCodebook(acc, s"_x$s", cents(s), s"_c$s")
-    }.select(col("vec_id") +: (0 until m).map(s => col(s"_c$s")): _*)
-    adcRank(coded, queriesM, cents, subLen, topK,
-      excludeSelf, pairsCarryQueryId = false)
+    val coded = encodePq(base, cents, m, Seq(col("vec_id")))
+    val qtab = queryDistTab(queriesM, cents, m, subLen,
+      Seq(col("query_id")))
+    adcScoreQtab(coded, qtab, Nil, m, topK, excludeSelf)
   }
 
   /** Vector slice for subspace `s` (1-based inclusive, matching DuckDB
@@ -536,69 +673,58 @@ object Similarity {
     Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cv) +
       Vectors.dot(cv, cv)
 
-  /** One trained codebook per subspace — the codebook the FINAL
-    * assignment indexes ([[lloydFull]]), each materialized because every
-    * caller references it twice (argmin/encoding + distance table; the
-    * semDedup lesson).
+  /** The trained per-subspace codebooks — the codebooks the FINAL
+    * assignment indexes ([[lloydFull]] `._2` per subspace), as ONE
+    * keyed `(_s, cid, cv)` frame trained by ONE keyed Lloyd pipeline
+    * and materialized once (every caller references it twice:
+    * argmin/encoding + distance table; the semDedup lesson).
     */
   private def trainPqCodebooks(corpusM: DataFrame, m: Int, k: Int,
-      iters: Int, subLen: Int): Seq[DataFrame] = {
-    // all m subspace codebooks union into ONE eager materialization —
-    // one job trains every subspace concurrently (guide §2.6 back-fill,
-    // plan-level union) instead of m sequential checkpoint jobs
-    val all = (0 until m).map { s =>
-      lloydFull(corpusM.select(col("vec_id"),
-          subVecCol(col("_xf"), s, subLen).as("_sub")),
-        "_sub", "vec_id", k, iters, scaleBits = 20,
-        checkpointDir = None, materialize = false)._2
-        .select(lit(s).cast("int").as("_s"), col("cid"), col("cv"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    (0 until m).map(s =>
-      all.filter(col("_s") === s).select(col("cid"), col("cv")))
-  }
+      iters: Int, subLen: Int): DataFrame =
+    lloydKeyedCodebooks(pqSubRel(corpusM, m, subLen),
+      pqSeeds(corpusM, m, k, subLen), iters, scaleBits = 20)
+      .localCheckpoint()
 
-  /** The shared ADC tail of [[pqTopK]] and [[ivfPqTopK]]: per-subspace
-    * distance tables (|Q|·k rows, broadcast) joined onto the coded
-    * pairs, summed in subspace order (fixed IEEE fold), self-excluded,
-    * ranked ascending with the neighbor-id tie-break and
-    * WindowGroupLimit-capped at `topK`. `pairsCarryQueryId` says whether
-    * `pairs` is already a (query, vector) relation (IVF probe output) or
-    * the plain coded corpus (full scan — the first table join introduces
-    * query_id).
+  /** The per-query ADC distance structure — the m separate |Q|·k
+    * broadcast tables fused into ONE broadcast build: one row per
+    * query (plus whatever extra keys ride in `keep` — the residual
+    * path keys by probed cell), carrying `_dt[s+1]` = the cid→distance
+    * map for subspace s. Distances are the same fixed-order [[sqDist]]
+    * expression as the separate tables; `element_at` on a k-entry map
+    * is a k-step scan bounded by the codebook size, never
+    * corpus-scaled.
     */
-  private def adcRank(pairs: DataFrame, queriesM: DataFrame,
-      pqCents: Seq[DataFrame],
-      subLen: Int, topK: Int, excludeSelf: Boolean,
-      pairsCarryQueryId: Boolean): DataFrame = {
-    val dtabs = pqCents.zipWithIndex.map { case (cents, s) =>
-      queriesM
-        .select(col("query_id"),
-          subVecCol(col("_xf"), s, subLen).as("_q"))
-        .crossJoin(broadcast(cents))
-        .select(col("query_id"), col("cid").as(s"_c$s"),
-          sqDist(col("_q"), col("cv")).as(s"_d$s"))
-    }
-    adcScore(pairs, dtabs,
-      s => if (s == 0 && !pairsCarryQueryId) Seq(s"_c$s")
-      else Seq(s"_c$s", "query_id"),
-      topK, excludeSelf)
-  }
+  private def queryDistTab(queries: DataFrame, cents: DataFrame,
+      m: Int, subLen: Int, keep: Seq[Column],
+      vecCol: String = "_xf"): DataFrame =
+    queries.crossJoin(broadcast(codebooksRow(cents)))
+      .select(keep :+ array((0 until m).map { s =>
+        map_from_entries(transform(element_at(col("_cls"), s + 1), c =>
+          struct(c.getField("cid"),
+            sqDist(subVecCol(col(vecCol), s, subLen),
+              c.getField("cv")))))
+      }: _*).as("_dt"): _*)
 
-  /** The generic ADC scoring/ranking tail over PREBUILT distance tables
-    * (`dtabs(s)` carries `_c\$s` and `_d\$s` plus whatever `keysFor(s)`
-    * joins on): broadcast-join each table, sum the per-subspace
-    * distances in subspace order (fixed IEEE fold), self-exclude, rank
-    * ascending with the neighbor-id tie-break, WindowGroupLimit-cap at
-    * `topK`.
+  /** The ADC scoring/ranking tail over the fused [[queryDistTab]]
+    * broadcast: one broadcast hash join (or crossJoin for the
+    * full-scan form — the same N·|Q| expansion the first per-subspace
+    * table join used to introduce), the per-subspace distances summed
+    * in subspace order (fixed IEEE fold, identical add order to the
+    * per-table `_d0 + _d1 + …`), self-excluded, ranked ascending with
+    * the neighbor-id tie-break, WindowGroupLimit-capped at `topK`.
+    * Every `_c\$s` key is a cid of subspace s's codebook by
+    * construction, so the map lookups are total.
     */
-  private def adcScore(pairs: DataFrame, dtabs: Seq[DataFrame],
-      keysFor: Int => Seq[String], topK: Int,
+  private def adcScoreQtab(pairs: DataFrame, qtab: DataFrame,
+      joinKeys: Seq[String], m: Int, topK: Int,
       excludeSelf: Boolean): DataFrame = {
-    val scored0 = dtabs.zipWithIndex.foldLeft(pairs) {
-      case (acc, (dtab, s)) => acc.join(broadcast(dtab), keysFor(s))
-    }
-    val adc = dtabs.indices.map(s => col(s"_d$s")).reduce(_ + _)
-    val scored1 = scored0.select(col("query_id"),
+    val joined =
+      if (joinKeys.isEmpty) pairs.crossJoin(broadcast(qtab))
+      else pairs.join(broadcast(qtab), joinKeys)
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("_dt"), s + 1), col(s"_c$s")))
+      .reduce(_ + _)
+    val scored1 = joined.select(col("query_id"),
       col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
     val scored =
       if (excludeSelf) scored1.filter(col("query_id") =!= col("neighbor_id"))
@@ -644,90 +770,111 @@ object Similarity {
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(nCells >= 1 && nProbe >= 1 && topK >= 1)
     val subLen = dim / m
-    ivfPqTopKM(matVecs(corpus, vecCol, idCol, "vec_id"),
-      matVecs(queries, vecCol, idCol, "query_id"),
+    val (corpusM, queriesM) = matVecs2(corpus, queries, vecCol, idCol)
+    ivfPqTopKM(corpusM, queriesM,
       m, k, nCells, nProbe, topK, iters, excludeSelf, residual, subLen)
   }
 
+  /** The coarse-quantizer training plan (lazy — [[kmeansCentroids]]
+    * body over a pre-materialized corpus): the full Lloyd rounds plus
+    * one more integer-exact update applied to the final assignment.
+    */
+  private def coarsePlan(corpusM: DataFrame, nCells: Int,
+      iters: Int): DataFrame =
+    centroidUpdate(
+      lloydFull(corpusM, "_xf", "vec_id", nCells, iters, scaleBits = 20,
+        checkpointDir = None, materialize = false)._1,
+      (1L << 20).toDouble)
+
   /** [[ivfPqTopK]] over pre-materialized `(vec_id|query_id, _xf)`
-    * frames (see [[matVecs]]) — shared with [[ivfPqRerank]].
+    * frames (see [[matVecs2]]) — shared with [[ivfPqRerank]].
     */
   private def ivfPqTopKM(corpusM: DataFrame, queriesM: DataFrame,
       m: Int, k: Int, nCells: Int, nProbe: Int, topK: Int, iters: Int,
       excludeSelf: Boolean, residual: Boolean,
       subLen: Int): DataFrame = {
-    // the coarse codebook is referenced twice (cell assignment + query
-    // probe; three times with residuals) — materialize like the PQ ones
-    val coarse = kmeansCentroids(corpusM, "_xf", "vec_id", nCells, iters,
-        materialize = false)
-      .localCheckpoint()
-    val withCell = argminCodebook(corpusM, "_xf", coarse, "_cell")
-    val probes = probeCodebook(
+    if (!residual) {
+      // the coarse codebook and the m PQ codebooks are INDEPENDENT
+      // trainings (raw-vector PQ) — union them into ONE eager
+      // materialization (coarse rides tagged _s = −1): one job runs
+      // every training concurrently, and the frame is referenced many
+      // times downstream (cell assignment + probe + encode + distance
+      // tables)
+      val all = coarsePlan(corpusM, nCells, iters)
+        .select(lit(-1).as("_s"), col("cid"), col("cv"))
+        .unionByName(
+          lloydKeyedCodebooks(pqSubRel(corpusM, m, subLen),
+            pqSeeds(corpusM, m, k, subLen), iters, scaleBits = 20)
+            .select(col("_s"), col("cid"), col("cv")))
+        .localCheckpoint()
+      val coarse = all.filter(col("_s") === -1)
+        .select(col("cid"), col("cv"))
+      val pqCents = all.filter(col("_s") >= 0)
+      val withCell = argminCodebook(corpusM, "_xf", coarse, "_cell")
+      val probes = probeCodebook(
         queriesM.select(col("query_id"), col("_xf").as("_qf")),
         "_qf", coarse, "_cell", math.min(nProbe, nCells))
-    if (!residual) {
-      val pqCents = trainPqCodebooks(corpusM, m, k, iters, subLen)
       val sub = withCell.select(col("vec_id") +: col("_cell") +:
         (0 until m).map(s => subVecCol(col("_xf"), s, subLen)
           .as(s"_x$s")): _*)
-      val coded = (0 until m).foldLeft(sub) { (acc, s) =>
-          argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
-        }
-        .select(col("vec_id") +: col("_cell") +:
-          (0 until m).map(s => col(s"_c$s")): _*)
+      val coded = encodePq(sub, pqCents, m,
+        Seq(col("vec_id"), col("_cell")))
       val pairs = coded.join(
         broadcast(probes.select(col("query_id"), col("_cell"))),
         Seq("_cell"))
-      adcRank(pairs, queriesM, pqCents, subLen, topK,
-        excludeSelf, pairsCarryQueryId = true)
+      val qtab = queryDistTab(queriesM, pqCents, m, subLen,
+        Seq(col("query_id")))
+      adcScoreQtab(pairs, qtab, Seq("query_id"), m, topK, excludeSelf)
     } else {
+      // the residual PQ trainings DEPEND on the coarse assignment, so
+      // the coarse codebook materializes first (referenced by cell
+      // assignment, probe, and both residual subtracts)
+      val coarse = coarsePlan(corpusM, nCells, iters).localCheckpoint()
+      val withCell = argminCodebook(corpusM, "_xf", coarse, "_cell")
+      val probes = probeCodebook(
+        queriesM.select(col("query_id"), col("_xf").as("_qf")),
+        "_qf", coarse, "_cell", math.min(nProbe, nCells))
       // residual = x − c_cell, a per-element zip_with subtract in the
       // same map-side projection as the cell assignment (the coarse
       // codeword arrives via a broadcast k-row join)
       val coarseKV = coarse.select(col("cid").as("_cell"),
         col("cv").as("_ccv"))
-      // materialized ONCE: rsub feeds every PQ training (m of them,
-      // 2 aggregation rounds each) AND the encoding — without this the
-      // coarse argmin + residual subtract re-derives m·(2·iters)+1
-      // times (the semDedup lesson, iterative-consumer form)
+      // materialized ONCE: rsub feeds the keyed PQ training AND the
+      // encoding — without this the coarse argmin + residual subtract
+      // re-derives per aggregation round (the semDedup lesson,
+      // iterative-consumer form)
       val rsub = withCell.join(broadcast(coarseKV), Seq("_cell"))
         .withColumn("_r", zip_with(col("_xf"), col("_ccv"), (a, b) => a - b))
         .select(col("vec_id") +: col("_cell") +:
           (0 until m).map(s => subVecCol(col("_r"), s, subLen)
             .as(s"_x$s")): _*)
         .localCheckpoint()
-      // the m residual codebooks union into one eager materialization
-      // (one training job for every subspace — the trainPqCodebooks
-      // shape), each reading the rsub checkpoint, not the scan
-      val pqAll = (0 until m).map { s =>
-        lloydFull(rsub.select(col("vec_id"), col(s"_x$s").as("_sub")),
-          "_sub", "vec_id", k, iters, scaleBits = 20,
-          checkpointDir = None, materialize = false)._2
-          .select(lit(s).cast("int").as("_s"), col("cid"), col("cv"))
-      }.reduce(_ unionByName _).localCheckpoint()
-      val pqCents = (0 until m).map(s =>
-        pqAll.filter(col("_s") === s).select(col("cid"), col("cv")))
-      val coded = (0 until m).foldLeft(rsub) { (acc, s) =>
-          argminCodebook(acc, s"_x$s", pqCents(s), s"_c$s")
-        }
-        .select(col("vec_id") +: col("_cell") +:
-          (0 until m).map(s => col(s"_c$s")): _*)
-      // the query residual is PER PROBED CELL, so the distance tables
-      // carry the cell key: |Q|·nProbe·k rows per subspace — broadcast
+      // ONE keyed Lloyd pipeline trains all m residual codebooks
+      // (reading the rsub checkpoint, not the scan), materialized once
+      def subRelOf(d: DataFrame): DataFrame =
+        d.select(col("vec_id"), explode(array((0 until m).map(s =>
+            struct(lit(s).as("_s"), col(s"_x$s").as("_sub"))): _*))
+          .as("_e"))
+          .select(col("vec_id"), col("_e._s").as("_s"),
+            col("_e._sub").as("_sub"))
+      val rseeds = subRelOf(rsub.orderBy(col("vec_id")).limit(k))
+        .select(col("_s"), col("vec_id").as("cid"), col("_sub").as("cv"))
+      val pqCents = lloydKeyedCodebooks(subRelOf(rsub), rseeds, iters,
+          scaleBits = 20)
+        .localCheckpoint()
+      val coded = encodePq(rsub, pqCents, m,
+        Seq(col("vec_id"), col("_cell")))
+      // the query residual is PER PROBED CELL, so the fused distance
+      // structure carries the cell key: |Q|·nProbe rows — broadcast
       val qresid = probes.join(broadcast(coarseKV), Seq("_cell"))
         .withColumn("_qr", zip_with(col("_qf"), col("_ccv"), (a, b) => a - b))
-      val dtabs = (0 until m).map { s =>
-        qresid.select(col("query_id"), col("_cell"),
-            subVecCol(col("_qr"), s, subLen).as("_q"))
-          .crossJoin(broadcast(pqCents(s)))
-          .select(col("query_id"), col("_cell"), col("cid").as(s"_c$s"),
-            sqDist(col("_q"), col("cv")).as(s"_d$s"))
-      }
+      val qtab = queryDistTab(qresid, pqCents, m, subLen,
+        Seq(col("query_id"), col("_cell")), vecCol = "_qr")
       val pairs = coded.join(
         broadcast(probes.select(col("query_id"), col("_cell"))),
         Seq("_cell"))
-      adcScore(pairs, dtabs, s => Seq(s"_c$s", "query_id", "_cell"),
-        topK, excludeSelf)
+      adcScoreQtab(pairs, qtab, Seq("query_id", "_cell"), m, topK,
+        excludeSelf)
     }
   }
 
@@ -757,8 +904,7 @@ object Similarity {
       s"rerankDepth ($rerankDepth) must be >= topK ($topK)")
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must be a positive multiple of m ($m)")
-    val corpusM = matVecs(corpus, vecCol, idCol, "vec_id")
-    val queriesM = matVecs(queries, vecCol, idCol, "query_id")
+    val (corpusM, queriesM) = matVecs2(corpus, queries, vecCol, idCol)
     val cands = pqTopKM(corpusM, queriesM, m, k,
         rerankDepth, iters, excludeSelf, dim / m)
       .select(col("query_id"), col("neighbor_id"))
@@ -804,8 +950,7 @@ object Similarity {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must be a positive multiple of m ($m)")
     require(nCells >= 1 && nProbe >= 1 && topK >= 1)
-    val corpusM = matVecs(corpus, vecCol, idCol, "vec_id")
-    val queriesM = matVecs(queries, vecCol, idCol, "query_id")
+    val (corpusM, queriesM) = matVecs2(corpus, queries, vecCol, idCol)
     val cands = ivfPqTopKM(corpusM, queriesM, m, k,
         nCells, nProbe, rerankDepth, iters, excludeSelf, residual,
         dim / m)

@@ -2063,12 +2063,15 @@ object TextOps {
     * lp_micro, h_nats)`; docs with < 3 tokens carry zeros and null
     * `h_nats`.
     *
-    * Shape for scale: doc trigrams pre-aggregate PER DOCUMENT
-    * (shuffle carries distinct (id, gram, count)); the count tables
-    * join back as hash equi-joins — deliberately NOT broadcast (a
-    * 100 TB reference slice's trigram vocabulary is itself huge); t1
-    * and t2 each feed two join branches and are materialized once
-    * (the semDedup lesson); N/V ride a broadcast 1-row crossJoin.
+    * Shape for scale: ONE tokenize+explode pass emits all three gram
+    * levels (level-tagged rows — the keyed-union trick), pre-aggregated
+    * PER DOCUMENT (the shuffle carries distinct (id, lvl, gram, count));
+    * the three train model tables re-aggregate from that one
+    * materialized relation in a second single pass and join back as
+    * hash equi-joins — deliberately NOT broadcast (a 100 TB reference
+    * slice's trigram vocabulary is itself huge); N/V ride a broadcast
+    * 1-row crossJoin. Two materializations and one pass over the text
+    * where there were three of each.
     */
   def trigramLmScore(df: DataFrame, textCol: String, idCol: String,
       isTrain: Column, alphaPerMille: Int = 500,
@@ -2089,37 +2092,53 @@ object TextOps {
       .filter(coalesce(length(trim(col(textCol))), lit(0)) > 0)
       .select(col(idCol).cast("long").as("id"),
         isTrain.cast("boolean").as("_t"), words(col(textCol)).as("_toks"))
-    val trainToks = base.filter(col("_t")).select(col("_toks"))
-    val t1 = mat(trainToks.select(explode(col("_toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("_c1")))
-    val t2 = trainToks.filter(size(col("_toks")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("_toks")) - 1),
-        i => struct(element_at(col("_toks"), i).as("a"),
-          element_at(col("_toks"), i + 1).as("b")))).as("_g"))
-      .select(col("_g.a").as("a"), col("_g.b").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_c2"))
-    val t2m = mat(t2)
-    def triples(src: DataFrame, extraCols: Seq[Column]): DataFrame =
-      src.filter(size(col("_toks")) >= 3)
-        .select(extraCols :+ explode(transform(
-          sequence(lit(1), size(col("_toks")) - 2),
-          i => struct(element_at(col("_toks"), i).as("w1"),
-            element_at(col("_toks"), i + 1).as("w2"),
-            element_at(col("_toks"), i + 2).as("w3")))).as("_g"): _*)
-        .select(extraCols.map(c => c) :+ col("_g.w1").as("w1") :+
-          col("_g.w2").as("w2") :+ col("_g.w3").as("w3"): _*)
-    // one trigram explode serves BOTH relations: the per-doc scoring
-    // counts and (re-aggregated from them — sums of per-doc counts ≡
-    // direct counts) the train model table; materialized once
-    val d3x = mat(triples(base, Seq(col("id"), col("_t")))
-      .groupBy(col("id"), col("_t"), col("w1"), col("w2"), col("w3"))
+    // ONE tokenize + explode pass produces EVERY gram level (guide
+    // §1.2: three separate passes each re-ran the tokenizer over the
+    // single-split scan — 2.2 s + 0.3 s + 1.6 s of single-task kernel
+    // time at sf0.1): level-3 grams for ALL docs (they feed the per-doc
+    // scoring counts and, re-aggregated, the train t3 table — sums of
+    // per-doc counts ≡ direct counts), level-1/2 grams for TRAIN docs
+    // only (they only feed the model tables, with the same per-doc →
+    // global re-aggregation identity).
+    val emptyG = array().cast(
+      "array<struct<lvl:int,w1:string,w2:string,w3:string>>")
+    val nullW = lit(null).cast("string")
+    val g1 = transform(col("_toks"), w =>
+      struct(lit(1).as("lvl"), w.as("w1"), nullW.as("w2"), nullW.as("w3")))
+    val g2 = transform(sequence(lit(1), size(col("_toks")) - 1),
+      i => struct(lit(2).as("lvl"), element_at(col("_toks"), i).as("w1"),
+        element_at(col("_toks"), i + 1).as("w2"), nullW.as("w3")))
+    val g3 = transform(sequence(lit(1), size(col("_toks")) - 2),
+      i => struct(lit(3).as("lvl"), element_at(col("_toks"), i).as("w1"),
+        element_at(col("_toks"), i + 1).as("w2"),
+        element_at(col("_toks"), i + 2).as("w3")))
+    val grams = base.select(col("id"), col("_t"), explode(concat(
+        when(col("_t"), g1).otherwise(emptyG),
+        when(col("_t") && size(col("_toks")) >= 2, g2).otherwise(emptyG),
+        when(size(col("_toks")) >= 3, g3).otherwise(emptyG))).as("_g"))
+      .select(col("id"), col("_t"), col("_g.lvl").as("lvl"),
+        col("_g.w1").as("w1"), col("_g.w2").as("w2"),
+        col("_g.w3").as("w3"))
+    val counts = mat(grams
+      .groupBy(col("id"), col("_t"), col("lvl"),
+        col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("_c")))
-    val t3 = d3x.filter(col("_t"))
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(sum(col("_c")).as("_c3"))
+    // the three train model tables come out of ONE aggregation pass
+    // over the per-doc counts (they were three separate materialize
+    // jobs before)
+    val models = mat(counts.filter(col("_t"))
+      .groupBy(col("lvl"), col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("_c")).as("_cn")))
+    val t1 = models.filter(col("lvl") === 1)
+      .select(col("w1").as("w"), col("_cn").as("_c1"))
+    val t2m = models.filter(col("lvl") === 2)
+      .select(col("w1").as("a"), col("w2").as("b"), col("_cn").as("_c2"))
+    val t3 = models.filter(col("lvl") === 3)
+      .select(col("w1"), col("w2"), col("w3"), col("_cn").as("_c3"))
     val nv = t1.agg(sum(col("_c1")).as("_n"),
       count(lit(1)).as("_v"))
-    val d3 = d3x.drop("_t")
+    val d3 = counts.filter(col("lvl") === 3)
+      .select(col("id"), col("w1"), col("w2"), col("w3"), col("_c"))
     val joined = d3
       .join(t3, Seq("w1", "w2", "w3"), "left")
       .join(t2m.select(col("a").as("w1"), col("b").as("w2"),

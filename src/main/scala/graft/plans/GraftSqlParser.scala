@@ -626,7 +626,12 @@ private[graft] object MatchRecognizeSql {
     * this instead of `.trim`.
     */
   private[plans] def wsTrim(s: String): String =
-    s.replaceAll("\\A[ \\t\\r\\n]+|[ \\t\\r\\n]+\\z", "")
+    // the class matches String.trim's whitespace EXCEPT the sub-space
+    // control range that holds the U+0007 markers: space, tab, CR, LF,
+    // vertical tab (U+000B) and form feed (U+000C) — Spark's lexer
+    // treats the last two as whitespace too, and String.trim stripped
+    // them at the nine call sites this replaced (r21 ADVICE, low)
+    s.replaceAll("\\A[ \\t\\r\\n\\x0B\\f]+|[ \\t\\r\\n\\x0B\\f]+\\z", "")
 
   /** Restore the literals [[shieldLiterals]] extracted. Total: a
     * placeholder index past the buffer (impossible unless text from a

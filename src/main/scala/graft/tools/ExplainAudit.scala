@@ -15,9 +15,11 @@ object ExplainAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // mirror the bench session's planner conf so the audited plans
-      // are the plans the bench times (see Bench.scala)
+      // are the plans the bench times (see Bench.scala) — both confs
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(

@@ -28,10 +28,16 @@ object JobProfile {
       .getOrCreate()
     sys.env.get("SPARK_GRAFT_SCANFLOOR").foreach(v =>
       spark.conf.set("spark.graft.scanFloor", v))
-    // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k=v"
+    // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k=v" (malformed
+    // entries — e.g. a trailing ';' — are skipped with a warning, not
+    // a MatchError)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ if kv.trim.isEmpty => ()
+        case _ => System.err.println(s"[jobprofile] skipping malformed " +
+          s"SPARK_GRAFT_CONF entry: '$kv'")
+      }
     })
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
@@ -89,6 +95,7 @@ object JobProfile {
     val names = if (args.nonEmpty) args.toSeq else Seq("q100_ivf_pq_rerank")
     names.foreach { n =>
       jobs.clear()
+      stages.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

@@ -49,7 +49,9 @@ object ShieldProps extends Properties("Shield") {
   // strip real whitespace ONLY and never touch a marker
   property("wsTrim strips surrounding whitespace but never a shield " +
       "marker, and round-trips through unshield") =
-    forAll(genLitBody, Gen.oneOf("", " ", "\t", "\n", " \t ")) { (b, ws) =>
+    forAll(genLitBody,
+        Gen.oneOf("", " ", "\t", "\n", " \t ", "\u000B", "\f \u000B")) {
+      (b, ws) =>
       val s = s"'$b'"
       val (sh, lits) = MatchRecognizeSql.shieldLiterals(s)
       val t = MatchRecognizeSql.wsTrim(ws + sh + ws)
@@ -57,7 +59,8 @@ object ShieldProps extends Properties("Shield") {
     }
 
   property("wsTrim equals String.trim on marker-free text") =
-    forAll(Gen.oneOf(genCode, Gen.const(""), Gen.const("  \t\r\n "))) { s =>
+    forAll(Gen.oneOf(genCode, Gen.const(""), Gen.const("  \t\r\n "),
+        Gen.const(" \f x \f "))) { s =>
       MatchRecognizeSql.wsTrim(s) == s.trim
     }
 
